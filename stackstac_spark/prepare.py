@@ -1,0 +1,409 @@
+"""Metadata preparation: items/assets DataFrames → asset_table + RasterSpec.
+
+Re-expresses the reference's ``prepare_items`` (prepare.py:59-395 in
+/root/reference/stackstac) as DataFrame transformations:
+
+- asset-id selection by explicit list, by mimetype (universal quantifier over
+  items = ``bool_and`` aggregate; prepare.py:83-122), or default = assets of
+  the item with most assets (``max_by(map_keys, size)``),
+- per-asset CRS resolution: asset ``proj:epsg`` falls back to item level
+  (prepare.py:146-149); without an explicit ``epsg=`` every asset must agree
+  (prepare.py:187-206) — checked with one ``countDistinct`` aggregate,
+- asset bbox in the output CRS with the reference's priority chain
+  (prepare.py:214-266): proj:bbox → corners of shape×transform → item lat/lon
+  bbox, all through 4-corner reprojection (geom_utils.py:42-53),
+- resolution inference = per-asset resolution then a global ``min`` aggregate
+  (prepare.py:268-333); bounds inference = union aggregate (prepare.py:335-354),
+- out-of-bounds drop (prepare.py:355-361), GDAL -tap snapping
+  (geom_utils.py:71-80), all-empty row/col drop (prepare.py:384-393).
+
+Scale notes: all O(n_items × n_assets) work stays in DataFrame land (the
+reprojection is an Arrow-batched pandas UDF); only O(1) scalars (distinct
+EPSG, min resolution, union bounds) are collected to the driver. An asset
+table for millions of items never materializes driver-side.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from stackstac_spark.functions.proj import reproject_bounds, transform_xy
+from stackstac_spark.raster_spec import Bbox, RasterSpec, snapped_bounds
+
+
+@dataclass
+class Prepared:
+    """The prepared IR: sparse asset table + grid spec + coordinate tables."""
+
+    asset_table: DataFrame  # item_idx, band_idx, asset_id, url, bounds[4], scale, offset
+    spec: RasterSpec
+    asset_ids: list[str]
+    items_df: DataFrame  # item_idx, item_id, datetime, properties, ...
+    band_fields: DataFrame | None = None  # asset_id-level constant fields
+
+
+# --- mimetype matching (reference prepare.py:35-56) -------------------------
+
+
+class Mimetype:
+    """'image/tiff; application=geotiff' → subset-matchable mimetype.
+
+    ``Mimetype.from_str("image")`` matches any image/*; parameters given by
+    the user must be a subset of the asset's (prepare.py:35-56)."""
+
+    def __init__(self, type_: str, subtype: str | None, params: dict[str, str]):
+        self.type = type_
+        self.subtype = subtype
+        self.params = params
+
+    @classmethod
+    def from_str(cls, s: str) -> "Mimetype":
+        parts = [p.strip() for p in s.split(";")]
+        full = parts[0]
+        params = {}
+        for p in parts[1:]:
+            if "=" in p:
+                k, v = p.split("=", 1)
+                params[k.strip()] = v.strip()
+        if "/" in full:
+            type_, subtype = full.split("/", 1)
+        else:
+            type_, subtype = full, None
+        return cls(type_, subtype or None, params)
+
+    def matches(self, other_str: str | None) -> bool:
+        if other_str is None:
+            return False
+        other = Mimetype.from_str(other_str)
+        if self.type != other.type:
+            return False
+        if self.subtype is not None and self.subtype != other.subtype:
+            return False
+        return all(other.params.get(k) == v for k, v in self.params.items())
+
+
+# --- asset selection ---------------------------------------------------------
+
+
+def select_asset_ids(
+    items_df: DataFrame, assets_df: DataFrame, assets: list[str] | str | None
+) -> list[str]:
+    """Resolve which asset ids (bands) participate in the stack."""
+    if isinstance(assets, (list, tuple)):
+        return list(assets)
+    if isinstance(assets, str):  # mimetype filter
+        mt = Mimetype.from_str(assets)
+
+        @F.pandas_udf(T.BooleanType())
+        def _matches(s: pd.Series) -> pd.Series:
+            return s.map(lambda v: mt.matches(v) if v is not None else False)
+
+        # universal quantifier: asset id kept iff its type matches on EVERY
+        # item carrying it (prepare.py:86-120); untyped assets drop.
+        rows = (
+            assets_df.groupBy("asset_id")
+            .agg(F.bool_and(_matches(F.col("type"))).alias("all_match"))
+            .filter("all_match")
+            .select("asset_id")
+            .collect()
+        )
+        return sorted(r.asset_id for r in rows)
+    # default: asset ids of the item with the most assets, order-preserving
+    # (prepare.py:83-85)
+    row = (
+        assets_df.groupBy("item_id")
+        .agg(F.collect_list("asset_id").alias("ids"))
+        .orderBy(F.size("ids").desc(), "item_id")
+        .limit(1)
+        .collect()
+    )
+    return list(dict.fromkeys(row[0].ids)) if row else []
+
+
+# --- reprojection UDF --------------------------------------------------------
+
+
+def _bounds_to_out_epsg_udf(out_epsg: int):
+    """Arrow-batched kernel: (bounds, src_epsg) → bounds in out CRS via
+    4-corner reprojection. Batched per Arrow chunk; groups rows by src_epsg
+    so each distinct CRS transforms as one vectorized call."""
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _reproject(bounds: pd.Series, epsg: pd.Series) -> pd.Series:
+        out = pd.Series([None] * len(bounds), index=bounds.index, dtype=object)
+        valid = bounds.notna() & epsg.notna()
+        if not valid.any():
+            return out
+        b = np.stack(bounds[valid].to_numpy())  # (n, 4)
+        e = epsg[valid].to_numpy().astype("int64")
+        res = np.empty_like(b)
+        for code in np.unique(e):
+            m = e == code
+            if int(code) == out_epsg:
+                res[m] = b[m]
+                continue
+            xs = np.concatenate([b[m, 0], b[m, 2], b[m, 0], b[m, 2]])
+            ys = np.concatenate([b[m, 1], b[m, 1], b[m, 3], b[m, 3]])
+            tx, ty = transform_xy(int(code), out_epsg, xs, ys)
+            n = int(m.sum())
+            txc = tx.reshape(4, n)
+            tyc = ty.reshape(4, n)
+            res[m, 0] = txc.min(axis=0)
+            res[m, 1] = tyc.min(axis=0)
+            res[m, 2] = txc.max(axis=0)
+            res[m, 3] = tyc.max(axis=0)
+        vals = np.empty(len(res), dtype=object)
+        vals[:] = [list(map(float, r)) for r in res]
+        out.iloc[np.flatnonzero(valid.to_numpy())] = vals
+        return out
+
+    return _reproject
+
+
+# --- main entry --------------------------------------------------------------
+
+
+def prepare(
+    items_df: DataFrame,
+    assets_df: DataFrame,
+    assets: list[str] | str | None = None,
+    epsg: int | None = None,
+    resolution: float | tuple[float, float] | None = None,
+    bounds: Bbox | None = None,
+    bounds_latlon: Bbox | None = None,
+    snap_bounds: bool = True,
+    rescale: bool = True,
+    dtype: str = "float64",
+    sortby_date: str = "asc",
+) -> Prepared:
+    if bounds is not None and bounds_latlon is not None:
+        raise ValueError("Cannot give both bounds and bounds_latlon")
+
+    spark = items_df.sparkSession
+
+    # 1. sort items by datetime, assign item_idx (stack.py:283-288: missing
+    #    datetime sorts as ""). Items metadata is small next to pixel data, so
+    #    a global row_number window is acceptable even at catalog scale.
+    order = F.coalesce(F.col("datetime"), F.lit(""))
+    if sortby_date not in (None, False):
+        order = order.desc() if sortby_date == "desc" else order.asc()
+        w = Window.orderBy(order, "item_id")
+    else:
+        w = Window.orderBy("item_id")
+    items_idx = items_df.withColumn("item_idx", F.row_number().over(w) - 1)
+
+    # 2. asset-id selection
+    asset_ids = select_asset_ids(items_df, assets_df, assets)
+    if not asset_ids:
+        raise ValueError("No assets selected")
+    if isinstance(assets, (list, tuple)):
+        present = {r.asset_id for r in assets_df.select("asset_id").distinct().collect()}
+        unknown = [a for a in asset_ids if a not in present]
+        if unknown:
+            raise ValueError(
+                f"Asset ids {unknown} not found on any item; available: {sorted(present)}"
+            )
+    band_idx_df = spark.createDataFrame(
+        [(a, i) for i, a in enumerate(asset_ids)], "asset_id STRING, band_idx INT"
+    )
+
+    at = (
+        assets_df.join(F.broadcast(band_idx_df), "asset_id")
+        .join(
+            items_idx.select(
+                "item_id",
+                F.col("item_idx"),
+                F.col("proj_epsg").alias("i_epsg"),
+                F.col("proj_bbox").alias("i_proj_bbox"),
+                F.col("proj_shape").alias("i_shape"),
+                F.col("proj_transform").alias("i_transform"),
+                F.col("bbox").alias("i_bbox"),
+            ),
+            "item_id",
+        )
+        .withColumn("asset_epsg", F.coalesce("proj_epsg", "i_epsg"))
+        .withColumn("eff_bbox", F.coalesce("proj_bbox", "i_proj_bbox"))
+        .withColumn("eff_shape", F.coalesce("proj_shape", "i_shape"))
+        .withColumn("eff_transform", F.coalesce("proj_transform", "i_transform"))
+    )
+
+    # multi-band raster:bands guard (prepare.py:152-159): flagged upstream as
+    # NaN scale
+    bad = at.filter(F.isnan("scale")).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"Assets with multi-band raster:bands are unsupported (asset "
+            f"{bad[0].asset_id!r} on item {bad[0].item_id!r})"
+        )
+
+    # rescale castability guard (prepare.py:166-183)
+    if rescale and not np.issubdtype(np.dtype(dtype), np.floating):
+        row = (
+            at.filter((F.col("scale") != 1.0) | (F.col("offset") != 0.0)).limit(1).collect()
+        )
+        if row:
+            sc, of = row[0].scale, row[0].offset
+            if not (np.can_cast(np.min_scalar_type(sc), dtype) and np.can_cast(np.min_scalar_type(of), dtype)):
+                raise ValueError(
+                    f"scale/offset ({sc}, {of}) can't be cast to output dtype {dtype}"
+                )
+    if not rescale:
+        at = at.withColumn("scale", F.lit(1.0)).withColumn("offset", F.lit(0.0))
+
+    # 3. output CRS (prepare.py:187-206)
+    if epsg is None:
+        codes = [
+            r.asset_epsg
+            for r in at.select("asset_epsg").distinct().collect()
+        ]
+        codes = [c for c in codes if c is not None]
+        if len(set(codes)) != 1:
+            raise ValueError(
+                f"Cannot pick a common CRS: assets have EPSG codes {sorted(set(codes))}; "
+                "pass epsg= explicitly"
+            )
+        out_epsg = int(codes[0])
+    else:
+        out_epsg = int(epsg)
+
+    if bounds_latlon is not None:
+        bounds = reproject_bounds(bounds_latlon, 4326, out_epsg)
+
+    # 4. asset bbox in output CRS, priority chain (prepare.py:214-266):
+    #    proj:bbox → shape×transform corners → item lat/lon bbox.
+    reproj = _bounds_to_out_epsg_udf(out_epsg)
+    trans_bounds = F.array(
+        F.least(
+            F.col("eff_transform")[2],
+            F.col("eff_transform")[2] + F.col("eff_transform")[0] * F.col("eff_shape")[1],
+        ),
+        F.least(
+            F.col("eff_transform")[5],
+            F.col("eff_transform")[5] + F.col("eff_transform")[4] * F.col("eff_shape")[0],
+        ),
+        F.greatest(
+            F.col("eff_transform")[2],
+            F.col("eff_transform")[2] + F.col("eff_transform")[0] * F.col("eff_shape")[1],
+        ),
+        F.greatest(
+            F.col("eff_transform")[5],
+            F.col("eff_transform")[5] + F.col("eff_transform")[4] * F.col("eff_shape")[0],
+        ),
+    )
+    at = at.withColumn(
+        "native_bounds",
+        F.coalesce(
+            "eff_bbox",
+            F.when(F.col("eff_shape").isNotNull() & F.col("eff_transform").isNotNull(), trans_bounds),
+        ),
+    ).withColumn(
+        "out_bounds",
+        F.when(
+            F.col("native_bounds").isNotNull() & F.col("asset_epsg").isNotNull(),
+            reproj(F.col("native_bounds"), F.col("asset_epsg")),
+        ).otherwise(
+            F.when(F.col("i_bbox").isNotNull(), reproj(F.col("i_bbox"), F.lit(4326)))
+        ),
+    )
+    missing = at.filter(F.col("out_bounds").isNull()).limit(1).collect()
+    if missing:
+        raise ValueError(
+            f"No geometry information (proj:bbox / proj:shape+transform / bbox) "
+            f"for asset {missing[0].asset_id!r} of item {missing[0].item_id!r}"
+        )
+
+    # 5. resolution (prepare.py:268-333): same-CRS assets use |a|,|e| of the
+    #    geotransform; cross-CRS assets reproject a 1-pixel box; fallback =
+    #    bbox/shape quotient; global aggregate = min.
+    if resolution is not None:
+        res_xy = (
+            (float(resolution), float(resolution))
+            if np.isscalar(resolution)
+            else (float(resolution[0]), float(resolution[1]))
+        )
+    else:
+        same = at.filter(
+            (F.col("asset_epsg") == out_epsg) & F.col("eff_transform").isNotNull()
+        ).agg(
+            F.min(F.abs(F.col("eff_transform")[0])).alias("rx"),
+            F.min(F.abs(F.col("eff_transform")[4])).alias("ry"),
+        ).collect()[0]
+        cand = []
+        if same.rx is not None:
+            cand.append((float(same.rx), float(same.ry)))
+        cross = at.filter(
+            ((F.col("asset_epsg") != out_epsg) | F.col("eff_transform").isNull())
+            & F.col("native_bounds").isNotNull()
+            & F.col("eff_shape").isNotNull()
+        ).agg(
+            F.min(
+                (F.col("native_bounds")[2] - F.col("native_bounds")[0]) / F.col("eff_shape")[1]
+            ).alias("rx"),
+            F.min(
+                (F.col("native_bounds")[3] - F.col("native_bounds")[1]) / F.col("eff_shape")[0]
+            ).alias("ry"),
+        ).collect()[0]
+        if cross.rx is not None:
+            # quotient in native units ≈ fine when CRS units match (meters);
+            # the reference's 1-px reprojection refinement is equivalent for
+            # rectilinear UTM↔UTM; documents the simplification.
+            cand.append((float(cross.rx), float(cross.ry)))
+        if not cand:
+            raise ValueError("Cannot infer resolution; pass resolution=")
+        res_xy = (min(c[0] for c in cand), min(c[1] for c in cand))
+
+    # 6. bounds (prepare.py:335-361): explicit → drop non-overlapping assets;
+    #    else union of asset bounds.
+    ob = lambda i: F.col("out_bounds")[i]  # noqa: E731
+    if bounds is None:
+        agg = at.agg(
+            F.min(ob(0)).alias("minx"),
+            F.min(ob(1)).alias("miny"),
+            F.max(ob(2)).alias("maxx"),
+            F.max(ob(3)).alias("maxy"),
+        ).collect()[0]
+        out_bounds: Bbox = (agg.minx, agg.miny, agg.maxx, agg.maxy)
+    else:
+        out_bounds = bounds
+        bminx, bminy, bmaxx, bmaxy = bounds
+        at = at.filter(
+            (ob(0) < bmaxx) & (ob(2) > bminx) & (ob(1) < bmaxy) & (ob(3) > bminy)
+        )
+
+    if snap_bounds:
+        out_bounds = snapped_bounds(out_bounds, res_xy)
+    spec = RasterSpec(out_epsg, out_bounds, res_xy)
+
+    # 7. final sparse asset table; empty rows/cols are simply absent
+    #    (prepare.py:384-393's dense row/col drop is a no-op in sparse form —
+    #    we additionally drop items that lost all assets from the coord table).
+    asset_table = at.select(
+        "item_idx",
+        "band_idx",
+        "asset_id",
+        F.col("href").alias("url"),
+        F.col("out_bounds").alias("bounds"),
+        "scale",
+        "offset",
+    )
+    surviving = asset_table.select("item_idx").distinct()
+    items_out = items_idx.join(surviving, "item_idx", "left_semi")
+
+    # band-level constant fields (accumulate_metadata.py:101-131 semantics)
+    band_fields = (
+        assets_df.join(F.broadcast(band_idx_df), "asset_id")
+        .select("asset_id", "band_idx", F.explode_outer("fields").alias("key", "value"))
+        .groupBy("band_idx", "asset_id", "key")
+        .agg(F.count_distinct("value").alias("nvals"), F.first("value").alias("value"))
+        .filter((F.col("nvals") == 1) & F.col("key").isNotNull())
+        .select("band_idx", "asset_id", "key", "value")
+    )
+
+    return Prepared(asset_table, spec, asset_ids, items_out, band_fields)

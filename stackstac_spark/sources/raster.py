@@ -1,0 +1,314 @@
+"""The leaf raster scan: (asset × tile) rows → dense tile blocks.
+
+Spark re-expression of the reference's ``fetch_raster_window``
+(to_dask.py:157-205) + ``AutoParallelRioReader.read`` (rio_reader.py:382-429):
+each Arrow batch of (asset, tile) pairs is mapped to tile rows whose ``data``
+is the ``tile_h × tile_w`` float64 block — windowed-read from the source,
+masked, rescaled (``value * scale + offset``), and filled with ``fill_value``
+outside the asset's footprint.
+
+Readers:
+
+- ``fake://`` URLs (the reference's FakeReader / test-oracle pattern,
+  reader_protocol.py:106-127, tests/test_to_dask.py:99-117) are served by a
+  deterministic pure function of (url, global pixel coords) so tests can
+  paint the identical oracle array without any IO.
+- real COG URLs go through rasterio + WarpedVRT when rasterio is importable;
+  in this container it is not, so the open path raises a clear error while
+  keeping the full plumbing (env handling, windowed read, nodata masking)
+  in place. One dataset handle per (executor, url) via an LRU — Spark tasks
+  are single-threaded, so the reference's entire thread-local machinery
+  (rio_reader.py:124-265) disappears by construction.
+
+Error tolerance mirrors nodata_reader.py:14-64: exceptions matching
+``errors_as_nodata`` (type, message-regex) patterns produce an all-fill tile
+instead of failing the job.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from stackstac_spark.raster_spec import RasterSpec
+
+try:  # pragma: no cover - not present in this container
+    import rasterio  # type: ignore
+    from rasterio.vrt import WarpedVRT  # type: ignore
+
+    _HAVE_RASTERIO = True
+except Exception:  # pragma: no cover
+    _HAVE_RASTERIO = False
+
+TILE_SCHEMA = T.StructType(
+    [
+        T.StructField("item_idx", T.IntegerType()),
+        T.StructField("band_idx", T.IntegerType()),
+        T.StructField("tile_y", T.IntegerType()),
+        T.StructField("tile_x", T.IntegerType()),
+        T.StructField("row_off", T.IntegerType()),
+        T.StructField("col_off", T.IntegerType()),
+        T.StructField("tile_h", T.IntegerType()),
+        T.StructField("tile_w", T.IntegerType()),
+        T.StructField("data", T.BinaryType()),  # float64 C-order (tile_h, tile_w)
+    ]
+)
+
+PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("item_idx", T.IntegerType()),
+        T.StructField("band_idx", T.IntegerType()),
+        T.StructField("row", T.IntegerType()),
+        T.StructField("col", T.IntegerType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+# default error-tolerance pattern, as the reference's stack.py:48-50
+DEFAULT_ERRORS_AS_NODATA = (("RasterioIOError", r"HTTP response code: 404"),)
+
+
+def fake_pixel_values(
+    url: str, rows: np.ndarray, cols: np.ndarray
+) -> np.ndarray:
+    """Deterministic fake data: value = item*1000 + band + small gradient.
+
+    ``fake://{item}/{band}`` URLs encode their position, exactly like the
+    reference's test strategy (tests/test_to_dask.py:23-66 encodes (i, j) in
+    the URL). The gradient term makes windowing/clipping bugs visible."""
+    m = re.match(r"fake://(\d+)/(\d+)", url)
+    if not m:
+        raise ValueError(f"Not a fake url: {url}")
+    i, j = int(m.group(1)), int(m.group(2))
+    base = float(i * 1000 + j)
+    return base + rows * 1e-3 + cols * 1e-6
+
+
+@lru_cache(maxsize=32)
+def _open_dataset(url: str, gdal_env_key: tuple):  # pragma: no cover
+    """Executor-local dataset cache; one handle per (executor, url).
+
+    The reference needs ThreadLocalRioDataset (rio_reader.py:124-265) because
+    many dask threads share one Reader. A Spark task owns its partition, so a
+    plain per-process LRU suffices; never pickled, never shared across JVM
+    threads because python workers are separate processes."""
+    if not _HAVE_RASTERIO:
+        raise NotImplementedError(
+            "rasterio is not installed in this environment; real COG IO is "
+            "stubbed. Use fake:// URLs (FakeReader mode) or install rasterio."
+        )
+    env = dict(gdal_env_key)
+    with rasterio.Env(**env):
+        ds = rasterio.open(url, sharing=False)
+    if ds.count != 1:
+        ds.close()
+        raise ValueError(
+            f"Assets must be single-band, but {url!r} has {ds.count} bands"
+        )
+    return ds
+
+
+def _read_real_window(
+    url: str,
+    spec: RasterSpec,
+    r0: int,
+    r1: int,
+    c0: int,
+    c1: int,
+    resampling: str,
+    gdal_env: dict,
+) -> np.ndarray:  # pragma: no cover - needs rasterio
+    """Windowed, resampled read of one COG onto the output grid, with the
+    WarpedVRT only when the source grid differs from the spec
+    (rio_reader.py:344-360)."""
+    from rasterio import windows as rio_windows
+    from rasterio.enums import Resampling
+
+    ds = _open_dataset(url, tuple(sorted(gdal_env.items())))
+    xres, yres = spec.resolutions_xy
+    gminx, _, _, gmaxy = spec.bounds
+    bounds = (
+        gminx + c0 * xres,
+        gmaxy - r1 * yres,
+        gminx + c1 * xres,
+        gmaxy - r0 * yres,
+    )
+    vrt_needed = not (
+        ds.crs is not None
+        and ds.crs.to_epsg() == spec.epsg
+        and ds.transform.a == xres
+        and ds.transform.e == -yres
+        and (ds.transform.c - gminx) % xres == 0
+        and (ds.transform.f - gmaxy) % yres == 0
+    )
+    src = ds
+    if vrt_needed:
+        from rasterio.transform import from_origin
+
+        src = WarpedVRT(
+            ds,
+            crs=f"EPSG:{spec.epsg}",
+            transform=from_origin(gminx, gmaxy, xres, yres),
+            width=spec.shape[1],
+            height=spec.shape[0],
+            resampling=Resampling[resampling],
+        )
+    window = rio_windows.from_bounds(*bounds, transform=src.transform)
+    arr = src.read(1, window=window, masked=True, out_shape=(r1 - r0, c1 - c0))
+    return np.ma.filled(arr.astype("float64"), np.nan)
+
+
+def make_scan_udf(
+    spec: RasterSpec,
+    fill_value: float = np.nan,
+    resampling: str = "nearest",
+    gdal_env: dict | None = None,
+    errors_as_nodata: tuple = DEFAULT_ERRORS_AS_NODATA,
+):
+    """Build the mapInPandas kernel for the scan.
+
+    Input batches carry: item_idx, band_idx, url, minx..maxy (asset bounds in
+    output CRS), scale, offset, tile_y, tile_x, row_off, col_off, tile_h,
+    tile_w. Output: TILE_SCHEMA rows.
+    """
+    genv = gdal_env or {
+        "GDAL_DISABLE_READDIR_ON_OPEN": "EMPTY_DIR",
+        "GDAL_HTTP_MULTIRANGE": "YES",
+        "GDAL_HTTP_MERGE_CONSECUTIVE_RANGES": "YES",
+    }
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for row in pdf.itertuples(index=False):
+                tile = np.full((row.tile_h, row.tile_w), fill_value, dtype="float64")
+                # asset window on the global grid (to_dask.py:116-124 +
+                # windows.intersect at to_dask.py:183)
+                fr0, fc0, fh, fw = spec.window_from_bounds(
+                    (row.minx, row.miny, row.maxx, row.maxy)
+                )
+                ar0 = int(np.floor(fr0 + 1e-9))
+                ac0 = int(np.floor(fc0 + 1e-9))
+                ar1 = int(np.ceil(fr0 + fh - 1e-9))
+                ac1 = int(np.ceil(fc0 + fw - 1e-9))
+                r0 = max(row.row_off, ar0)
+                r1 = min(row.row_off + row.tile_h, ar1)
+                c0 = max(row.col_off, ac0)
+                c1 = min(row.col_off + row.tile_w, ac1)
+                if r1 > r0 and c1 > c0:
+                    try:
+                        if row.url.startswith("fake://"):
+                            rr, cc = np.meshgrid(
+                                np.arange(r0, r1), np.arange(c0, c1), indexing="ij"
+                            )
+                            block = fake_pixel_values(row.url, rr, cc)
+                        else:
+                            block = _read_real_window(
+                                row.url, spec, r0, r1, c0, c1, resampling, genv
+                            )
+                        block = block * row.scale + row.offset
+                        sub = tile[
+                            r0 - row.row_off : r1 - row.row_off,
+                            c0 - row.col_off : c1 - row.col_off,
+                        ]
+                        valid = ~np.isnan(block)
+                        sub[valid] = block[valid]
+                    except Exception as exc:  # errors-as-nodata path
+                        if not _exception_matches(exc, errors_as_nodata):
+                            raise
+                out_rows.append(
+                    (
+                        row.item_idx,
+                        row.band_idx,
+                        row.tile_y,
+                        row.tile_x,
+                        row.row_off,
+                        row.col_off,
+                        row.tile_h,
+                        row.tile_w,
+                        tile.tobytes(),
+                    )
+                )
+            yield pd.DataFrame(
+                out_rows, columns=[f.name for f in TILE_SCHEMA.fields]
+            )
+
+    return scan
+
+
+def _exception_matches(exc: Exception, patterns: tuple) -> bool:
+    """nodata_reader.py:46-64: match on (type-name, message-regex)."""
+    for type_name, msg_re in patterns:
+        if type(exc).__name__ == type_name and re.search(msg_re, str(exc)):
+            return True
+    return False
+
+
+def scan_tiles(joined: DataFrame, spec: RasterSpec, **kwargs) -> DataFrame:
+    """Run the scan over the asset×tile join result → tile DataFrame."""
+    cols = [
+        "item_idx",
+        "band_idx",
+        "url",
+        "minx",
+        "miny",
+        "maxx",
+        "maxy",
+        "scale",
+        "offset",
+        "tile_y",
+        "tile_x",
+        "row_off",
+        "col_off",
+        "tile_h",
+        "tile_w",
+    ]
+    return joined.select(*cols).mapInPandas(make_scan_udf(spec, **kwargs), TILE_SCHEMA)
+
+
+def explode_pixels(tiles: DataFrame, drop_fill: bool = True) -> DataFrame:
+    """Tile DF → pixel DF (item_idx, band_idx, row, col, value) with global
+    grid coordinates. ``drop_fill`` keeps the representation sparse (NaN
+    pixels are absent rows) — the 100 TB-friendly default; dense semantics are
+    re-synthesized at export (see operators.export)."""
+
+    def to_pixels(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            for row in pdf.itertuples(index=False):
+                arr = np.frombuffer(row.data, dtype="float64").reshape(
+                    row.tile_h, row.tile_w
+                )
+                if drop_fill:
+                    rr, cc = np.nonzero(~np.isnan(arr))
+                    vals = arr[rr, cc]
+                else:
+                    rr, cc = np.meshgrid(
+                        np.arange(row.tile_h), np.arange(row.tile_w), indexing="ij"
+                    )
+                    rr, cc = rr.ravel(), cc.ravel()
+                    vals = arr.ravel()
+                if len(rr) == 0:
+                    continue
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "item_idx": np.full(len(rr), row.item_idx, dtype="int32"),
+                            "band_idx": np.full(len(rr), row.band_idx, dtype="int32"),
+                            "row": (rr + row.row_off).astype("int32"),
+                            "col": (cc + row.col_off).astype("int32"),
+                            "value": vals,
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return tiles.mapInPandas(to_pixels, PIXEL_SCHEMA)

@@ -1,0 +1,175 @@
+"""STAC catalog ingest: anything-item-like → items / assets DataFrames.
+
+Mirrors the reference's input normalization (stac_types.py:136-200 in
+/root/reference/stackstac): accepts plain dicts, sequences of dicts, objects
+exposing ``to_dict()`` (pystac Item / ItemCollection), objects exposing
+``.items`` or being iterable (catalogs), and single items. The output is
+relational from the first moment:
+
+- ``items_df``:  one row per STAC item, typed ``proj:*`` columns plus the
+  open-ended properties as ``MAP<STRING,STRING>``,
+- ``assets_df``: one row per (item, asset), exploded.
+
+On a real deployment these come from ``spark.read.json`` over item JSONL on
+object storage — schema identical, so everything downstream is unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+ITEM_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.StringType()),
+        T.StructField("collection", T.StringType()),
+        T.StructField("datetime", T.StringType()),  # ISO8601; parsed in prepare
+        T.StructField("bbox", T.ArrayType(T.DoubleType())),
+        T.StructField("proj_epsg", T.IntegerType()),
+        T.StructField("proj_bbox", T.ArrayType(T.DoubleType())),
+        T.StructField("proj_shape", T.ArrayType(T.IntegerType())),
+        T.StructField("proj_transform", T.ArrayType(T.DoubleType())),
+        T.StructField("properties", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.StringType()),
+        T.StructField("asset_id", T.StringType()),
+        T.StructField("href", T.StringType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("proj_epsg", T.IntegerType()),
+        T.StructField("proj_bbox", T.ArrayType(T.DoubleType())),
+        T.StructField("proj_shape", T.ArrayType(T.IntegerType())),
+        T.StructField("proj_transform", T.ArrayType(T.DoubleType())),
+        T.StructField("scale", T.DoubleType()),
+        T.StructField("offset", T.DoubleType()),
+        T.StructField("fields", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+
+def items_to_plain(items: Any) -> list[dict]:
+    """Normalize pystac/satstac/dict inputs to a list of plain item dicts
+    (reference stac_types.py:136-200 semantics, duck-typed so the libraries
+    themselves are not required)."""
+    if items is None:
+        raise TypeError("items is None")
+    if isinstance(items, dict):
+        if "type" in items and items.get("type") == "FeatureCollection":
+            return list(items.get("features", []))
+        return [items]
+    if hasattr(items, "to_dict"):
+        plain = items.to_dict()
+        return items_to_plain(plain)
+    if hasattr(items, "items") and not isinstance(items, (list, tuple)):
+        # catalog-ish: .items may be a method (pystac) or attribute (satstac)
+        inner = items.items
+        inner = inner() if callable(inner) else inner
+        return items_to_plain(list(inner))
+    if isinstance(items, Iterable) and not isinstance(items, (str, bytes)):
+        out: list[dict] = []
+        for it in items:
+            out.extend(items_to_plain(it))
+        return out
+    raise TypeError(f"Don't know how to interpret {type(items)!r} as STAC items")
+
+
+def _num_list(v, n=None, cast=float):
+    if v is None:
+        return None
+    try:
+        lst = [cast(x) for x in v]
+    except (TypeError, ValueError):
+        return None
+    if n is not None and len(lst) < n:
+        return None
+    return lst
+
+
+def _proj_fields(d: dict) -> tuple:
+    epsg = d.get("proj:epsg")
+    code = d.get("proj:code")  # STAC proj v2 spelling
+    if epsg is None and isinstance(code, str) and code.upper().startswith("EPSG:"):
+        epsg = code.split(":", 1)[1]
+    shape = _num_list(d.get("proj:shape"), 2, int)
+    transform = _num_list(d.get("proj:transform"))
+    if transform is not None and len(transform) not in (6, 9):
+        transform = None
+    return (
+        int(epsg) if epsg is not None else None,
+        _num_list(d.get("proj:bbox"), 4),
+        shape,
+        transform[:6] if transform else None,
+    )
+
+
+def _stringify(v: Any) -> str:
+    if isinstance(v, str):
+        return v
+    return json.dumps(v, sort_keys=True, default=str)
+
+
+def items_to_dataframes(
+    spark: SparkSession, items: Any
+) -> tuple[DataFrame, DataFrame]:
+    """(items_df, assets_df) from any STAC-ish input."""
+    plain = items_to_plain(items)
+    item_rows = []
+    asset_rows = []
+    for it in plain:
+        props = it.get("properties", {}) or {}
+        epsg, pbbox, pshape, ptrans = _proj_fields(props)
+        item_id = it.get("id")
+        item_rows.append(
+            (
+                item_id,
+                it.get("collection"),
+                props.get("datetime"),
+                _num_list(it.get("bbox"), 4),
+                epsg,
+                pbbox,
+                pshape,
+                ptrans,
+                {k: _stringify(v) for k, v in props.items()},
+            )
+        )
+        for aid, a in (it.get("assets", {}) or {}).items():
+            a_epsg, a_bbox, a_shape, a_trans = _proj_fields(a)
+            raster_bands = a.get("raster:bands")
+            scale, offset = 1.0, 0.0
+            if raster_bands:
+                if len(raster_bands) != 1:
+                    # multi-band assets are an error in the reference
+                    # (prepare.py:152-159); surface at prepare time
+                    scale, offset = float("nan"), float("nan")
+                else:
+                    scale = float(raster_bands[0].get("scale", 1.0) or 1.0)
+                    offset = float(raster_bands[0].get("offset", 0.0) or 0.0)
+            fields = {
+                k: _stringify(v)
+                for k, v in a.items()
+                if k not in ("href", "type") and not k.startswith("proj:")
+            }
+            asset_rows.append(
+                (
+                    item_id,
+                    aid,
+                    a.get("href"),
+                    a.get("type"),
+                    a_epsg,
+                    a_bbox,
+                    a_shape,
+                    a_trans,
+                    scale,
+                    offset,
+                    fields,
+                )
+            )
+    items_df = spark.createDataFrame(item_rows, ITEM_SCHEMA)
+    assets_df = spark.createDataFrame(asset_rows, ASSET_SCHEMA)
+    return items_df, assets_df

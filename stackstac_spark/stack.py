@@ -1,0 +1,161 @@
+"""``stack()`` — the engine façade, mirroring the reference's top-level entry
+(stack.py:26-326 in /root/reference/stackstac) and the delegated xarray query
+surface (README.md:49-57) as DataFrame-native methods.
+
+A ``RasterStack`` is NOT a dense 4-D array: it is a lazy bundle of
+- ``tiles``     — sparse tile DataFrame (one row per non-empty (item, band,
+                  tile) block; the dask chunk grid analogue),
+- ``spec``      — the broadcastable output grid,
+- ``items_df``  — per-time coordinate table (the xarray time coords),
+- ``band_fields`` — per-band constant metadata (the band coords).
+
+All query methods are lazy DataFrame transformations; ``.compute()`` is just
+an action, like the reference's dask graph semantics — Spark's laziness is a
+drop-in replacement.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Any
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stackstac_spark.grid import join_assets_to_tiles, tile_grid
+from stackstac_spark.prepare import Prepared, prepare
+from stackstac_spark.raster_spec import Bbox, RasterSpec
+from stackstac_spark.sources.raster import explode_pixels, scan_tiles
+from stackstac_spark.sources.stac import items_to_dataframes
+
+
+@dataclass
+class RasterStack:
+    tiles: DataFrame
+    spec: RasterSpec
+    asset_ids: list[str]
+    items_df: DataFrame
+    band_fields: DataFrame | None = None
+
+    # --- delegated query surface (SURVEY §2.6) --------------------------
+
+    def pixels(self, drop_fill: bool = True) -> DataFrame:
+        """Per-pixel relational view (item_idx, band_idx, row, col, value)."""
+        return explode_pixels(self.tiles, drop_fill=drop_fill)
+
+    def sel_bands(self, bands: list[str] | str) -> "RasterStack":
+        """``.sel(band=[...])`` — band select as a Catalyst filter."""
+        if isinstance(bands, str):
+            bands = [bands]
+        unknown = [b for b in bands if b not in self.asset_ids]
+        if unknown:
+            raise ValueError(f"Bands {unknown} not in stack; available: {self.asset_ids}")
+        idxs = [self.asset_ids.index(b) for b in bands]
+        return replace(
+            self,
+            tiles=self.tiles.filter(F.col("band_idx").isin(idxs)),
+            asset_ids=list(bands),
+        )
+
+    def filter_items(self, predicate: Any) -> "RasterStack":
+        """``stack[stack["eo:cloud_cover"] < 20]`` — metadata predicate
+        filter: filter the item coord table, semi-join tiles on item_idx.
+        ``predicate`` is a Column over ``items_df`` (properties map exposed
+        as ``properties['key']``)."""
+        keep = self.items_df.filter(predicate).select("item_idx")
+        return replace(
+            self,
+            tiles=self.tiles.join(F.broadcast(keep), "item_idx", "left_semi"),
+            items_df=self.items_df.filter(predicate),
+        )
+
+    def slice_time(self, start: str | None = None, end: str | None = None) -> "RasterStack":
+        """``.loc["2020-01":"2020-04"]`` — label slicing on time."""
+        items = self.items_df
+        if start is not None:
+            items = items.filter(F.col("datetime") >= start)
+        if end is not None:
+            items = items.filter(F.col("datetime") <= end)
+        keep = items.select("item_idx")
+        return replace(
+            self,
+            tiles=self.tiles.join(F.broadcast(keep), "item_idx", "left_semi"),
+            items_df=items,
+        )
+
+    def slice_bounds(self, bounds: Bbox) -> "RasterStack":
+        """Spatial slice: prune whole tiles by a range predicate (partition-
+        prunable at plan time), then rely on per-pixel ops to clip."""
+        minx, miny, maxx, maxy = bounds
+        t = self.tiles.filter(
+            (F.col("tminx") < maxx)
+            & (F.col("tmaxx") > minx)
+            & (F.col("tminy") < maxy)
+            & (F.col("tmaxy") > miny)
+            if "tminx" in self.tiles.columns
+            else F.lit(True)
+        )
+        return replace(self, tiles=t)
+
+    # --- compute --------------------------------------------------------
+
+    def mosaic(self, reverse: bool = False, nodata: float = np.nan) -> DataFrame:
+        from stackstac_spark.operators.mosaic import mosaic_pixels
+
+        return mosaic_pixels(self.pixels(), reverse=reverse, nodata=nodata)
+
+    def compute(self) -> "np.ndarray":
+        """Materialize the dense (time, band, y, x) array driver-side — only
+        for small AOIs / tests, like ``.compute()`` in the reference."""
+        from stackstac_spark.operators.export import to_dense_array
+
+        return to_dense_array(self)
+
+
+def stack(
+    spark,
+    items: Any,
+    assets: list[str] | str | None = None,
+    epsg: int | None = None,
+    resolution: float | tuple[float, float] | None = None,
+    bounds: Bbox | None = None,
+    bounds_latlon: Bbox | None = None,
+    snap_bounds: bool = True,
+    chunksize: int = 1024,
+    fill_value: float = np.nan,
+    rescale: bool = True,
+    sortby_date: str = "asc",
+    resampling: str = "nearest",
+    gdal_env: dict | None = None,
+    errors_as_nodata: tuple | None = None,
+    dtype: str = "float64",
+) -> RasterStack:
+    """items → prepared asset table → tile grid join → lazy scan."""
+    items_df, assets_df = items_to_dataframes(spark, items)
+    prepared: Prepared = prepare(
+        items_df,
+        assets_df,
+        assets=assets,
+        epsg=epsg,
+        resolution=resolution,
+        bounds=bounds,
+        bounds_latlon=bounds_latlon,
+        snap_bounds=snap_bounds,
+        rescale=rescale,
+        dtype=dtype,
+        sortby_date=sortby_date,
+    )
+    tiles_grid = tile_grid(spark, prepared.spec, chunksize=chunksize, bounds=bounds)
+    joined = join_assets_to_tiles(prepared.asset_table, tiles_grid)
+    kwargs: dict = dict(fill_value=fill_value, resampling=resampling, gdal_env=gdal_env)
+    if errors_as_nodata is not None:
+        kwargs["errors_as_nodata"] = errors_as_nodata
+    tiles = scan_tiles(joined, prepared.spec, **kwargs)
+    return RasterStack(
+        tiles=tiles,
+        spec=prepared.spec,
+        asset_ids=prepared.asset_ids,
+        items_df=prepared.items_df,
+        band_fields=prepared.band_fields,
+    )

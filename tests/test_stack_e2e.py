@@ -1,0 +1,140 @@
+"""End-to-end stack correctness against a painted numpy oracle — the
+reference's own test technique (tests/test_to_dask.py:99-117): paint a dense
+ground-truth array per asset window, then assert the engine's scan reproduces
+it pixel-exactly."""
+
+import numpy as np
+import pytest
+
+from stackstac_spark.raster_spec import RasterSpec
+from stackstac_spark.sources.raster import fake_pixel_values
+from stackstac_spark.stack import stack
+from tests.conftest import make_item
+
+
+def paint_oracle(items, asset_ids, spec):
+    """Dense (time, band, h, w) ground truth painted straight from the item
+    metadata + the fake-reader value function."""
+    h, w = spec.shape
+    out = np.full((len(items), len(asset_ids), h, w), np.nan)
+    for t, it in enumerate(items):
+        for b, aid in enumerate(asset_ids):
+            asset = it["assets"].get(aid)
+            if asset is None:
+                continue
+            win = spec.pixel_window_from_bounds(tuple(asset["proj:bbox"]))
+            r0, r1 = max(win.row_off, 0), min(win.row_off + win.height, h)
+            c0, c1 = max(win.col_off, 0), min(win.col_off + win.width, w)
+            if r1 <= r0 or c1 <= c0:
+                continue
+            rr, cc = np.meshgrid(np.arange(r0, r1), np.arange(c0, c1), indexing="ij")
+            out[t, b, r0:r1, c0:c1] = fake_pixel_values(asset["href"], rr, cc)
+    return out
+
+
+@pytest.fixture(scope="module")
+def small_stack_items():
+    # overlapping, offset footprints; one item missing an asset; integer
+    # coords so windows land exactly on the grid
+    items = [
+        make_item(0, "2024-01-05T00:00:00Z", (0.0, 0.0, 40.0, 30.0)),
+        make_item(1, "2024-02-05T00:00:00Z", (10.0, 5.0, 50.0, 40.0)),
+        make_item(2, "2024-03-05T00:00:00Z", (-20.0, -10.0, 15.0, 20.0), cloud=80.0),
+    ]
+    del items[2]["assets"]["nir"]  # missing asset ⇒ fill
+    return items
+
+
+def test_stack_matches_painted_oracle(spark, small_stack_items):
+    st = stack(spark, small_stack_items, assets=["red", "nir"], chunksize=16)
+    assert st.spec.epsg == 32613
+    assert st.spec.bounds == (-20.0, -10.0, 50.0, 40.0)
+    oracle = paint_oracle(small_stack_items, ["red", "nir"], st.spec)
+    got = st.compute()
+    assert got.shape == oracle.shape
+    np.testing.assert_array_equal(got, oracle)
+
+
+def test_band_select_and_property_filter(spark, small_stack_items):
+    from pyspark.sql import functions as F
+
+    st = stack(spark, small_stack_items, assets=["red", "nir"], chunksize=16)
+    only_red = st.sel_bands(["red"])
+    assert only_red.compute().shape[1] == 1
+
+    clear = st.filter_items(F.col("properties")["eo:cloud_cover"].cast("double") < 20)
+    assert clear.items_df.count() == 2
+
+
+def test_mosaic_last_on_top(spark, small_stack_items):
+    st = stack(spark, small_stack_items, assets=["red"], chunksize=16)
+    oracle = paint_oracle(small_stack_items, ["red"], st.spec)
+
+    # numpy oracle: reference semantics, last-on-top
+    def np_mosaic(o, reverse=False):
+        layers = range(o.shape[0]) if reverse else reversed(range(o.shape[0]))
+        out = np.full(o.shape[1:], np.nan)
+        for t in layers:
+            m = np.isnan(out)
+            out[m] = o[t][m]
+        return out
+
+    expected = np_mosaic(oracle)
+    res = st.mosaic().collect()
+    h, w = st.spec.shape
+    got = np.full((1, h, w), np.nan)
+    for r in res:
+        got[r.band_idx, r.row, r.col] = r.value
+    np.testing.assert_array_equal(got, expected)
+
+    expected_rev = np_mosaic(oracle, reverse=True)
+    res = st.mosaic(reverse=True).collect()
+    got = np.full((1, h, w), np.nan)
+    for r in res:
+        got[r.band_idx, r.row, r.col] = r.value
+    np.testing.assert_array_equal(got, expected_rev)
+
+
+def test_mosaic_tiles_matches_pixels(spark, small_stack_items):
+    from stackstac_spark.operators.mosaic import mosaic_tiles
+
+    st = stack(spark, small_stack_items, assets=["red", "nir"], chunksize=16)
+    res = mosaic_tiles(st.tiles).collect()
+    h, w = st.spec.shape
+    got = np.full((2, h, w), np.nan)
+    for r in res:
+        arr = np.frombuffer(r.data, dtype="float64").reshape(r.tile_h, r.tile_w)
+        got[r.band_idx, r.row_off : r.row_off + r.tile_h, r.col_off : r.col_off + r.tile_w] = arr
+    oracle = paint_oracle(small_stack_items, ["red", "nir"], st.spec)
+    out = np.full(oracle.shape[1:], np.nan)
+    for t in reversed(range(oracle.shape[0])):
+        m = np.isnan(out)
+        out[m] = oracle[t][m]
+    np.testing.assert_array_equal(got, out)
+
+
+def test_mosaic_int_nan_nodata_raises(spark):
+    from stackstac_spark.operators.mosaic import mosaic_pixels
+
+    with pytest.raises(ValueError, match="nodata"):
+        mosaic_pixels(None, nodata=np.nan, dtype="int32")
+
+
+def test_explicit_bounds_drop_and_clip(spark, small_stack_items):
+    st = stack(
+        spark, small_stack_items, assets=["red"], bounds=(20.0, 10.0, 45.0, 25.0), chunksize=16
+    )
+    # item 2 (-20..15 x) overlaps nothing of x>=20? its maxx=15 < 20 ⇒ dropped
+    assert st.items_df.count() == 2
+    oracle_items = [it for it in small_stack_items[:2]]
+    oracle = paint_oracle(oracle_items, ["red"], st.spec)
+    np.testing.assert_array_equal(st.compute(), oracle)
+
+
+def test_cross_crs_bbox_union(spark):
+    """Items in UTM, output in 4326: bounds must come from 4-corner
+    reprojection."""
+    items = [make_item(0, "2024-01-01T00:00:00Z", (500000.0, 4400000.0, 501000.0, 4401000.0))]
+    st = stack(spark, items, assets=["red"], epsg=4326, resolution=0.001)
+    minx, miny, maxx, maxy = st.spec.bounds
+    assert -106 < minx < -104 and 39 < miny < 41
