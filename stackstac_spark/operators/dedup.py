@@ -1,0 +1,218 @@
+"""Deduplication operators for large-scale text corpora.
+
+Beyond the reference's surface (per BASELINE.json's north star): exact,
+MinHash+LSH, SimHash and n-gram-Jaccard dedup as reusable DataFrame
+transformations over a ``(id, text)`` corpus.
+
+Scale design notes (the point of doing this in Spark):
+- exact dedup is one hash aggregate — map-side partial combine, no sort;
+- MinHash signatures are a single groupBy over exploded shingles (shuffle
+  keyed by doc — size O(corpus tokens), the unavoidable lower bound);
+- LSH banding turns all-pairs comparison into an equi-join on
+  (band, band_key) — the only join is bucket-local, never O(n²); skewed
+  buckets (boilerplate text) are handled by AQE skew-join + an optional
+  bucket-size cap;
+- SimHash is one aggregate with 64 bitplane sums, then Hamming-ball
+  candidate pairs via band rotation (here: 4×16-bit bands).
+
+Portable hashing: md5 (identical in every engine) instead of engine-native
+hash functions, so results are reproducible across Spark/DuckDB/anything.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(id_col, F.split(F.lower(F.col(text_col)), r"\s+").alias("toks"))
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2) -> DataFrame:
+    """(id, shingle) — distinct word n-grams per document."""
+    t = _tokens(df, id_col, text_col).filter(F.size("toks") >= n)
+    return t.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - {n}), "
+                f"i -> concat_ws(' ', slice(toks, i + 1, {n})))"
+            )
+        ).alias("shingle"),
+    ).distinct()
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", normalize: bool = True
+) -> DataFrame:
+    """Exact dedup via hash-groupBy: (fingerprint, canonical_id, n_copies,
+    ids). Normalization collapses whitespace + case first."""
+    key = F.col(text_col)
+    if normalize:
+        key = F.regexp_replace(F.lower(key), r"\s+", " ")
+    return (
+        df.groupBy(F.md5(key).alias("fingerprint"))
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.sort_array(F.collect_list(id_col)).alias("ids"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """(id, h0..h{k-1}) MinHash signature columns.
+
+    hash_i(shingle) = md5(i ':' shingle); the signature entry is the
+    lexicographic min — a valid min-wise hash family and bit-identical on
+    any engine."""
+    sh = shingles(df, id_col, text_col, shingle_n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 2,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via LSH banding.
+
+    ``max_bucket`` drops degenerate buckets (e.g. empty-ish boilerplate that
+    would otherwise produce quadratic pairs) — the documented guard for
+    skew at 100 TB; dropped buckets should be handled by a dedicated
+    boilerplate rule instead.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(id_col, F.explode(F.array(*band_structs)).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    if max_bucket is not None:
+        sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bn"))
+        banded = banded.join(
+            sizes.filter(F.col("bn") <= max_bucket).drop("bn"), ["band", "key"], "left_semi"
+        )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_similarity(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 2,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate ``pairs`` (id_a, id_b) — or all
+    shingle-sharing pairs when pairs is None (verification stage after LSH;
+    never run pairless at full scale)."""
+    sh = shingles(df, id_col, text_col, shingle_n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if pairs is not None:
+        inter = inter.join(pairs, ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """(id, simhash) — ``bits``-bit SimHash over word tokens (frequency-
+    weighted), bits drawn from md5 nibbles. One explode + one aggregate."""
+    toks = df.select(id_col, F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"))
+    toks = toks.withColumn("h", F.md5("tok"))
+    nib = lambda p: F.instr(F.lit("0123456789abcdef"), F.substring("h", p, 1)) - 1  # noqa: E731
+    bit_sums = [
+        F.sum(
+            (F.shiftright(nib(b // 4 + 1), 3 - b % 4).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    sums = toks.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for b in range(bits):
+        # bit 63 is the sign bit of a long: its weight is -(2^63) in two's
+        # complement (1 << 63 overflows a signed literal)
+        weight = -(1 << 63) if b == 63 else (1 << b)
+        term = F.when(F.col(f"s{b}") > 0, F.lit(weight)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return sums.select(id_col, fp.cast("long").alias("simhash"))
+
+
+def simhash_candidates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64, bands: int = 4
+) -> DataFrame:
+    """Hamming-near pairs by banding the simhash: two docs within
+    (bands-1)-bit Hamming distance share at least one identical band."""
+    bw = bits // bands
+    sh = simhash(df, id_col, text_col, bits)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("simhash"), b * bw).bitwiseAND(F.lit((1 << bw) - 1)).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    banded = sh.select(id_col, "simhash", F.explode(F.array(*band_cols)).alias("bk")).select(
+        id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )

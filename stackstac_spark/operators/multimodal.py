@@ -1,0 +1,143 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads with
+typed metadata, processed by Arrow-batched ``mapInPandas`` kernels.
+
+The Spark-side plumbing — schemas, batch shapes, partition sizing, UDF
+signatures — is real and tested; the actual codec step is STUBBED because no
+image/audio library exists in this container: ``decode_image`` raises
+``NotImplementedError`` unless ``fake=True``, in which case a deterministic
+synthetic decode (seeded by the payload hash) stands in so the downstream
+pipeline (resize / feature-extract / frame-sample) is fully exercisable.
+
+Scale notes: media rows are large (MBs); the kernels are streaming
+(``mapInPandas`` yields per Arrow batch, never materializing a partition),
+and ``media_repartition_hint`` documents the row-group sizing rule —
+payload-heavy tables want small ``spark.sql.files.maxPartitionBytes`` and
+``maxRecordsPerBatch`` tuned so a batch of decoded frames fits in executor
+memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pixels", T.BinaryType()),  # uint8 (h, w, 3) C-order
+    ]
+)
+
+
+def decode_image(payload: bytes, width: int, height: int, fake: bool = False) -> np.ndarray:
+    """payload → uint8 (h, w, 3). STUB: real codecs are unavailable here."""
+    if not fake:
+        raise NotImplementedError(
+            "No image codec available in this environment; pass fake=True for "
+            "the deterministic synthetic decoder (tests), or deploy with "
+            "Pillow/opencv and replace this branch."
+        )
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (height, width, 3), dtype=np.uint8)
+
+
+def make_fake_media(spark, n: int = 8, width: int = 32, height: int = 24) -> DataFrame:
+    """Synthetic media table with deterministic payloads."""
+    rows = [
+        (i, "image", "image/fake", width, height, 1, hashlib.sha256(bytes([i])).digest() * 8)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def extract_features(media: DataFrame, fake: bool = True, bins: int = 16) -> DataFrame:
+    """Per-image color-histogram feature vector via streaming mapInPandas."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                img = decode_image(row.payload, row.width, row.height, fake=fake)
+                hist, _ = np.histogram(img, bins=bins, range=(0, 256))
+                feat = (hist / hist.sum()).astype("float32")
+                out.append((row.media_id, feat.tolist()))
+            yield pd.DataFrame(out, columns=["media_id", "feature"])
+
+    cols = ["media_id", "kind", "mime", "width", "height", "n_frames", "payload"]
+    return media.select(*cols).mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int, fake: bool = True) -> DataFrame:
+    """Nearest-neighbor resize (pure numpy index gather) → FRAME_SCHEMA."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                img = decode_image(row.payload, row.width, row.height, fake=fake)
+                rr = (np.arange(out_h) * row.height // out_h).astype(int)
+                cc = (np.arange(out_w) * row.width // out_w).astype(int)
+                resized = img[rr][:, cc]
+                out.append((row.media_id, 0, out_w, out_h, resized.tobytes()))
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "width", "height", "pixels"]
+            )
+
+    cols = ["media_id", "kind", "mime", "width", "height", "n_frames", "payload"]
+    return media.select(*cols).mapInPandas(kernel, FRAME_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n: int = 2, fake: bool = True) -> DataFrame:
+    """Frame sampling for video rows: emit every ``every_n``-th frame (the
+    fake decoder derives each frame deterministically from (payload, idx))."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                for fi in range(0, max(int(row.n_frames), 1), every_n):
+                    img = decode_image(
+                        row.payload + fi.to_bytes(4, "big"), row.width, row.height, fake=fake
+                    )
+                    out.append((row.media_id, fi, row.width, row.height, img.tobytes()))
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "width", "height", "pixels"]
+            )
+
+    cols = ["media_id", "kind", "mime", "width", "height", "n_frames", "payload"]
+    return media.select(*cols).mapInPandas(kernel, FRAME_SCHEMA)
+
+
+def media_repartition_hint(avg_payload_bytes: int, target_partition_bytes: int = 64 << 20) -> int:
+    """Rows per partition so a partition of payloads stays near the target —
+    the knob that keeps 100 TB of media from creating 100 GB tasks."""
+    return max(1, target_partition_bytes // max(avg_payload_bytes, 1))

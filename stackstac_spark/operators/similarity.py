@@ -1,0 +1,155 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Brute-force cosine top-k as the exact baseline; sign-LSH (random-hyperplane)
+bucketing and a centroid-based IVF variant as the scale paths.
+
+Scale design:
+- brute force broadcasts the (small) query set against the corpus — one
+  scan, no shuffle of the corpus, per-row JVM-side fold (``aggregate`` /
+  ``zip_with``, whole-stage-codegen'd, no Python);
+- sign-LSH maps every vector to a b-bit bucket with deterministic
+  hyperplanes (seeded md5 coefficients), then joins only within buckets;
+- IVF: k centroids learned by a few midpoint iterations on a sample,
+  vectors assigned to nearest centroid (broadcast), queries probe
+  ``nprobe`` nearest lists — corpus shuffles once by centroid id.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: str, b: str):
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"0D, (acc, v) -> acc + v)"
+    )
+
+
+def _norm(a: str):
+    return F.sqrt(F.expr(f"aggregate({a}, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k: (query_id, neighbor_id, sim, rank). Queries broadcast."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot("qv", "cv") / (_norm("qv") * _norm("cv"))).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes from a seeded RNG."""
+    rng = np.random.default_rng(seed)
+    h = rng.standard_normal((bits, dim))
+    h /= np.linalg.norm(h, axis=1, keepdims=True)
+    return h.tolist()
+
+
+def lsh_bucket_column(vec_col: str, dim: int, bits: int = 8, seed: int = 42):
+    """Column: b-bit sign-LSH bucket id of the vector."""
+    planes = _hyperplanes(dim, bits, seed)
+    bucket = None
+    for i, plane in enumerate(planes):
+        arr = ", ".join(f"{v!r}D" for v in plane)
+        proj = F.expr(
+            f"aggregate(zip_with({vec_col}, array({arr}), (x, p) -> CAST(x AS DOUBLE) * p), "
+            f"0D, (acc, v) -> acc + v)"
+        )
+        bit = F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: compare only within the query's LSH bucket."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    bcol = lsh_bucket_column(vec_col, dim, bits)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), bcol.alias("bucket"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), bcol.alias("bucket"))
+    sims = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot("qv", "cv") / (_norm("qv") * _norm("cv"))).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_fraction: float = 0.1,
+    iters: int = 2,
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: learn ``n_lists`` centroids (mini k-means on a
+    driver-side sample — centroids are tiny and broadcast back), assign each
+    vector to its nearest list. Returns (corpus + list_id, centroids)."""
+    sample = [
+        list(map(float, r[0]))
+        for r in corpus.select(vec_col).sample(sample_fraction, seed=seed).limit(50 * n_lists).collect()
+    ]
+    arr = np.asarray(sample)
+    rng = np.random.default_rng(seed)
+    cent = arr[rng.choice(len(arr), size=min(n_lists, len(arr)), replace=False)]
+    for _ in range(iters):
+        d = ((arr[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        lbl = d.argmin(1)
+        for j in range(len(cent)):
+            m = lbl == j
+            if m.any():
+                cent[j] = arr[m].mean(0)
+    centroids = cent.tolist()
+
+    assign = None
+    best = None
+    for j, cvec in enumerate(centroids):
+        arr_sql = ", ".join(f"{v!r}D" for v in cvec)
+        d2 = F.expr(
+            f"aggregate(zip_with({vec_col}, array({arr_sql}), (x, c) -> "
+            f"(CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), 0D, (acc, v) -> acc + v)"
+        )
+        if assign is None:
+            assign, best = F.lit(j), d2
+        else:
+            cond = d2 < best
+            assign = F.when(cond, F.lit(j)).otherwise(assign)
+            best = F.when(cond, d2).otherwise(best)
+    return corpus.withColumn("list_id", assign), centroids

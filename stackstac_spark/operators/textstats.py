@@ -1,0 +1,101 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting — all JVM-side column expressions (no Python UDFs in
+the hot path; every function here survives whole-stage codegen).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny built-in stopword sets per language for the n-gram/marker heuristic
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "des", "est"],
+}
+
+_DEFAULT_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is"]
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace + BPE-ish token counts and basic shape features."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    # BPE-ish: alphanumeric runs and single punctuation marks as tokens
+    bpe = F.expr(rf"regexp_extract_all(lower({text_col}), '[a-z0-9]+|[^a-z0-9\\s]', 0)")
+    stop_arr = ", ".join(f"'{s}'" for s in _DEFAULT_STOPWORDS)
+    return df.select(
+        id_col,
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.length(text_col).alias("n_chars"),
+        (F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)) / F.size(toks)).alias(
+            "avg_tok_len"
+        ),
+        (
+            F.size(F.expr(f"filter(split(lower({text_col}), '\\\\s+'), x -> x IN ({stop_arr}))"))
+            / F.size(toks)
+        ).alias("stopword_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality score in [0,1] from length / punctuation / stopword
+    / repetition signals (the C4/Gopher-style rule family, simplified)."""
+    stats = token_stats(df, id_col, text_col)
+    punct_ratio = (
+        F.length(F.regexp_replace(F.col(text_col), r"[a-zA-Z0-9\s]", "")) / F.greatest(F.length(text_col), F.lit(1))
+    )
+    base = df.select(id_col, punct_ratio.alias("punct_ratio"))
+    j = stats.join(base, id_col)
+    length_ok = F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 100000), 1.0).otherwise(0.0)
+    diversity = F.least(F.col("n_distinct") / F.greatest(F.col("n_tokens"), F.lit(1)) * 2, F.lit(1.0))
+    stop_ok = F.when(F.col("stopword_ratio").between(0.01, 0.6), 1.0).otherwise(0.5)
+    punct_ok = F.when(F.col("punct_ratio") < 0.2, 1.0).otherwise(0.3)
+    return j.select(
+        id_col,
+        "n_tokens",
+        "stopword_ratio",
+        "punct_ratio",
+        ((length_ok + diversity + stop_ok + punct_ok) / 4).alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-token language ID: score = count of language-specific stopword
+    hits; argmax with deterministic tie-break. (A real system plugs a model
+    here; the operator shape — per-language score columns + greatest —
+    stays.)"""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    scored = df.select(id_col, toks.alias("t"))
+    for lang, markers in _LANG_MARKERS.items():
+        arr = ", ".join(f"'{m}'" for m in markers)
+        scored = scored.withColumn(
+            f"score_{lang}", F.size(F.expr(f"filter(t, x -> x IN ({arr}))"))
+        )
+    langs = list(_LANG_MARKERS)
+    best: Column = F.lit("unk")
+    best_score: Column = F.lit(0)
+    for lang in reversed(langs):  # earlier langs win ties
+        s = F.col(f"score_{lang}")
+        cond = s > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return scored.select(id_col, *[f"score_{lang}" for lang in langs], best.alias("pred_lang"))
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Document fingerprints: md5 of whitespace-normalized text plus an
+    order-sensitive positional rolling hash (Σ (pos+1)·val(tok) mod 1e9+7)."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    toks = df.select(id_col, F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("pos", "tok"))
+    tokval = (
+        (F.instr(F.lit("0123456789abcdef"), F.substring(F.md5("tok"), 1, 1)) - 1) * 16
+        + (F.instr(F.lit("0123456789abcdef"), F.substring(F.md5("tok"), 2, 1)) - 1)
+    ).cast("bigint")
+    roll = toks.groupBy(id_col).agg(
+        (F.sum((F.col("pos") + 1) * tokval) % F.lit(1000000007)).alias("rolling_hash")
+    )
+    return df.select(id_col, F.md5(norm).alias("md5_fp")).join(roll, id_col)

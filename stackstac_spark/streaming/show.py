@@ -1,0 +1,165 @@
+"""Interactive map-tile server — the reference's ``show`` pipeline
+(show.py:426-908) re-expressed for Spark:
+
+- ``register(stack)``     → validate 1-3 bands, auto display range via
+  percentiles (show.py:484-497), token the layer (plan fingerprint), cache
+  the tile DataFrame so every map tile reuses the same computed stack.
+- ``TileServer``          → stdlib ThreadingHTTPServer serving
+  ``/{token}/{z}/{x}/{y}.png``; each request warps the cached stack to the
+  requested XYZ tile (operators.warp.xyztile_of_tiles), mosaics bands, and
+  PNG-encodes — a Spark job per tile, grouped under a per-layer job group so
+  out-of-view requests are cancellable (sc.cancelJobGroup, the analogue of
+  the reference's speculative-tile cancellation, show.py:242-257).
+- LRU tile cache of 512 entries (show.py:44-45).
+
+aiohttp/ipyleaflet are not available here; the HTTP protocol and URL shape
+match the reference so any slippy-map client works.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import threading
+from collections import OrderedDict
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from stackstac_spark.functions.png import arr_to_png, empty_tile
+from stackstac_spark.operators.composite import display_range
+from stackstac_spark.operators.mosaic import mosaic_tiles
+from stackstac_spark.operators.warp import xyztile_of_tiles
+
+_CACHE_SIZE = 512
+
+
+@dataclass
+class Layer:
+    stack: "object"  # RasterStack
+    range: tuple[float, float]
+    cmap: str | None
+    checkerboard: bool
+    token: str
+    tile_cache: OrderedDict = field(default_factory=OrderedDict)
+    lock: threading.Lock = field(default_factory=threading.Lock)
+
+
+_LAYERS: dict[str, Layer] = {}
+
+
+def register(
+    stack,
+    range: tuple[float, float] | None = None,
+    cmap: str | None = None,
+    checkerboard: bool = True,
+) -> str:
+    """Validate + register a stack as a display layer; returns its token.
+
+    Mirrors show.py:426-520: 1-3 bands required; display range defaults to
+    the 2nd-98th percentile of the data (computed once, like the reference's
+    ``.persist()``ed percentiles); the token is a deterministic fingerprint
+    of the logical plan (the analogue of dask tokenization at show.py:507).
+    """
+    nb = len(stack.asset_ids)
+    if not (1 <= nb <= 3):
+        raise ValueError(f"show() needs 1-3 bands, got {nb}: {stack.asset_ids}")
+    if nb == 1 and cmap is None:
+        cmap = "viridis"
+    if nb > 1 and cmap is not None:
+        raise ValueError("cmap only applies to single-band layers")
+    stack.tiles.cache()
+    if range is None:
+        range = display_range(stack.pixels())
+    try:  # plan fingerprint (dask-tokenize analogue); private API, so guarded
+        plan = stack.tiles._jdf.queryExecution().logical().toString()
+    except Exception:
+        plan = f"{stack.tiles.schema.simpleString()}-{id(stack.tiles)}"
+    token = hashlib.sha256((plan + repr(range)).encode()).hexdigest()[:16]
+    _LAYERS[token] = Layer(stack, range, cmap, checkerboard, token)
+    return token
+
+
+def compute_tile(layer: Layer, z: int, x: int, y: int, tilesize: int = 256) -> bytes:
+    """One XYZ tile: warp → per-band mosaic over time → dense assemble →
+    PNG (the reference's _compute_tile, show.py:343-397)."""
+    with layer.lock:
+        cached = layer.tile_cache.get((z, x, y))
+        if cached is not None:
+            layer.tile_cache.move_to_end((z, x, y))
+            return cached
+    st = layer.stack
+    spark = st.tiles.sparkSession
+    sc = spark.sparkContext
+    sc.setJobGroup(f"tile-{layer.token}", f"tile z={z} x={x} y={y}", interruptOnCancel=True)
+    try:
+        warped = xyztile_of_tiles(st.tiles, st.spec, z, x, y, tilesize=tilesize)
+        if warped is None:
+            png = empty_tile((tilesize, tilesize), layer.checkerboard)
+        else:
+            rows = mosaic_tiles(warped).collect()
+            arr = np.full((len(st.asset_ids), tilesize, tilesize), np.nan)
+            for r in rows:
+                arr[r.band_idx] = np.frombuffer(r.data, dtype="float64").reshape(
+                    r.tile_h, r.tile_w
+                )
+            png = arr_to_png(arr, layer.range, layer.cmap, layer.checkerboard)
+    finally:
+        sc.setJobGroup("", "")
+    with layer.lock:
+        layer.tile_cache[(z, x, y)] = png
+        while len(layer.tile_cache) > _CACHE_SIZE:
+            layer.tile_cache.popitem(last=False)
+    return png
+
+
+def cancel_layer(spark, token: str) -> None:
+    """Cancel in-flight tile jobs for a layer (the speculative-tile
+    cancellation path, show.py:242-257 → sc.cancelJobGroup)."""
+    spark.sparkContext.cancelJobGroup(f"tile-{token}")
+
+
+class _Handler(BaseHTTPRequestHandler):
+    def log_message(self, *args):  # quiet
+        pass
+
+    def do_GET(self):  # noqa: N802
+        try:
+            parts = self.path.strip("/").split("/")
+            token, z, x, y = parts[0], int(parts[1]), int(parts[2]), int(parts[3].split(".")[0])
+            layer = _LAYERS.get(token)
+            if layer is None:
+                self.send_error(404, "unknown layer")
+                return
+            png = compute_tile(layer, z, x, y)
+            self.send_response(200)
+            self.send_header("Content-Type", "image/png")
+            self.send_header("Content-Length", str(len(png)))
+            self.end_headers()
+            self.wfile.write(png)
+        except Exception as exc:  # pragma: no cover
+            self.send_error(500, str(exc)[:200])
+
+
+class TileServer:
+    """Threaded HTTP tile server: GET /{token}/{z}/{x}/{y}.png."""
+
+    def __init__(self, port: int = 0):
+        self.httpd = ThreadingHTTPServer(("127.0.0.1", port), _Handler)
+        self.port = self.httpd.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> "TileServer":
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+
+
+def show(stack, port: int = 0, **kwargs) -> tuple[str, TileServer]:
+    """register + serve; returns (url_template, server)."""
+    token = register(stack, **kwargs)
+    server = TileServer(port).start()
+    return (f"http://127.0.0.1:{server.port}/{token}/{{z}}/{{x}}/{{y}}.png", server)

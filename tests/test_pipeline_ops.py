@@ -1,0 +1,204 @@
+"""Tests for the training-data pipeline operators: dedup, similarity, text
+stats, multimodal plumbing, streaming ingest."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (2, "The  quick brown fox jumps over the lazy dog"),  # dup after normalize
+    (3, "the quick brown fox jumps over the lazy cat"),  # near-dup
+    (4, "completely different text about spark engines and data"),
+    (5, "el rapido zorro marron salta sobre el perro la que de los"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id LONG, text STRING")
+
+
+def test_exact_dedup(spark, docs_df):
+    from stackstac_spark.operators.dedup import exact_duplicates
+
+    groups = exact_duplicates(docs_df).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g.canonical_id == 0 and g.n_copies == 3 and g.ids == [0, 1, 2]
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs_df):
+    from stackstac_spark.operators.dedup import jaccard_similarity, minhash_lsh_candidates
+
+    cands = minhash_lsh_candidates(docs_df, num_hashes=16, bands=8)
+    pairs = {(r.id_a, r.id_b) for r in cands.collect()}
+    assert (0, 1) in pairs and (0, 2) in pairs  # exact dups always collide
+    assert (0, 3) in pairs or (1, 3) in pairs  # near-dup should band-collide
+    verified = jaccard_similarity(docs_df, cands, threshold=0.5)
+    vd = {(r.id_a, r.id_b): r.jaccard for r in verified.collect()}
+    assert vd[(0, 1)] == 1.0
+    assert 0.5 <= vd[(0, 3)] < 1.0
+    assert not any(4 in p or 5 in p for p in vd)
+
+
+def test_simhash_hamming(spark, docs_df):
+    from stackstac_spark.operators.dedup import simhash, simhash_candidates
+
+    fp = {r.doc_id: r.simhash for r in simhash(docs_df).collect()}
+    assert fp[0] == fp[1] == fp[2]  # token-identical after lowering
+    # short docs flip many bits per changed token → use fine banding (16×4-bit
+    # bands) so a 1-token edit still collides somewhere
+    cands = {(r.id_a, r.id_b): r.hamming for r in simhash_candidates(docs_df, bands=16).collect()}
+    assert cands[(0, 1)] == 0
+    near = cands.get((0, 3))
+    assert near is not None and 0 < near < 40
+    # unrelated docs are farther than the near-dup
+    far = bin((fp[0] ^ fp[4]) & (2**64 - 1)).count("1")
+    assert far > near
+
+
+def test_cosine_topk_exact_vs_numpy(spark):
+    from stackstac_spark.operators.similarity import cosine_topk
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((40, 16)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    out = cosine_topk(df, df.filter(F.col("vec_id") < 3), k=4).collect()
+    v = vecs.astype("float64")
+    sims = (v @ v.T) / (np.linalg.norm(v, axis=1)[:, None] * np.linalg.norm(v, axis=1)[None, :])
+    for q in range(3):
+        order = [i for i in np.argsort(-sims[q]) if i != q][:4]
+        got = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank) if r.query_id == q]
+        assert got == order
+
+
+def test_lsh_topk_subset_of_bucket(spark):
+    from stackstac_spark.operators.similarity import cosine_topk, lsh_topk
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((60, 8)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    q = df.filter(F.col("vec_id") < 2)
+    approx = lsh_topk(df, q, k=3, bits=2, dim=8).collect()
+    exact = cosine_topk(df, q, k=60).collect()
+    exact_sims = {(r.query_id, r.neighbor_id): r.sim for r in exact}
+    # every approx result must carry the true cosine value
+    for r in approx:
+        assert exact_sims[(r.query_id, r.neighbor_id)] == pytest.approx(r.sim)
+
+
+def test_ivf_assign_covers_all(spark):
+    from stackstac_spark.operators.similarity import ivf_assign
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((100, 8)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(100)],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    assigned, centroids = ivf_assign(df, n_lists=4, sample_fraction=1.0)
+    rows = assigned.collect()
+    assert len(rows) == 100
+    assert {r.list_id for r in rows} <= set(range(len(centroids)))
+    # assignment is the argmin centroid, verified in numpy
+    cent = np.asarray(centroids)
+    for r in rows[:10]:
+        d = ((np.asarray(r.embedding, dtype="float64") - cent) ** 2).sum(1)
+        assert r.list_id == int(d.argmin())
+
+
+def test_token_stats_and_quality(spark, docs_df):
+    from stackstac_spark.operators.textstats import quality_score, token_stats
+
+    s = {r.doc_id: r for r in token_stats(docs_df).collect()}
+    assert s[0].n_tokens == 9
+    assert s[0].n_distinct == 8  # 'the' twice
+    assert s[0].stopword_ratio == pytest.approx(2 / 9)
+    q = {r.doc_id: r.quality for r in quality_score(docs_df).collect()}
+    assert 0 <= min(q.values()) and max(q.values()) <= 1
+
+
+def test_language_id(spark, docs_df):
+    from stackstac_spark.operators.textstats import language_id
+
+    pred = {r.doc_id: r.pred_lang for r in language_id(docs_df).collect()}
+    assert pred[0] == "en"
+    assert pred[5] == "es"
+
+
+def test_fingerprint_order_sensitivity(spark):
+    from stackstac_spark.operators.textstats import fingerprint
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma beta alpha")], "doc_id LONG, text STRING"
+    )
+    rows = {r.doc_id: r for r in fingerprint(df).collect()}
+    assert rows[0].md5_fp != rows[1].md5_fp
+    assert rows[0].rolling_hash != rows[1].rolling_hash  # order-sensitive
+
+
+def test_multimodal_plumbing(spark):
+    from stackstac_spark.operators.multimodal import (
+        decode_image,
+        extract_features,
+        make_fake_media,
+        media_repartition_hint,
+        resize_images,
+        sample_frames,
+    )
+
+    media = make_fake_media(spark, n=6, width=32, height=24)
+    feats = extract_features(media, fake=True).collect()
+    assert len(feats) == 6 and all(len(r.feature) == 16 for r in feats)
+    assert all(abs(sum(r.feature) - 1.0) < 1e-5 for r in feats)
+
+    frames = resize_images(media, 8, 8, fake=True).collect()
+    assert len(frames) == 6
+    arr = np.frombuffer(frames[0].pixels, dtype="uint8").reshape(8, 8, 3)
+    assert arr.shape == (8, 8, 3)
+
+    video = make_fake_media(spark, n=2).withColumn("n_frames", F.lit(6))
+    sampled = sample_frames(video, every_n=2, fake=True).collect()
+    assert sorted({r.frame_idx for r in sampled}) == [0, 2, 4]
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"payload", 4, 4, fake=False)
+
+    assert media_repartition_hint(8 << 20) == 8
+
+
+def test_streaming_ingest(spark, tmp_path):
+    import json
+
+    from stackstac_spark.streaming.ingest import (
+        run_to_memory,
+        stream_items,
+        windowed_item_counts,
+    )
+
+    p = tmp_path / "items"
+    p.mkdir()
+    items = [
+        {"id": f"i{k}", "collection": "c1" if k % 2 else "c2",
+         "properties": {"datetime": f"2024-01-{k + 1:02d}T12:00:00Z"},
+         "bbox": [0.0, 0.0, 1.0, 1.0]}
+        for k in range(6)
+    ]
+    with open(p / "batch1.jsonl", "w") as f:
+        for it in items:
+            f.write(json.dumps(it) + "\n")
+
+    stream = stream_items(spark, str(p))
+    assert stream.isStreaming
+    run_to_memory(windowed_item_counts(stream, every="1 day"), "item_counts")
+    rows = spark.sql("select * from item_counts").collect()
+    assert sum(r.n_items for r in rows) == 6
+    assert {r.collection for r in rows} == {"c1", "c2"}

@@ -1,0 +1,167 @@
+"""Fast unit tests (no Spark): grid math, projections, mimetype matching,
+PNG, STAC normalization. Property-based where the reference's own tests are
+(SURVEY §5) — hypothesis over bbox/resolution space for the rounding rules."""
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from stackstac_spark.functions.proj import reproject_bounds, transform_xy
+from stackstac_spark.prepare import Mimetype
+from stackstac_spark.raster_spec import (
+    RasterSpec,
+    Window,
+    bounds_overlap,
+    snapped_bounds,
+    union_bounds,
+)
+from stackstac_spark.sources.stac import items_to_plain
+
+
+# --- RasterSpec rounding (reference raster_spec.py:42-53) -------------------
+
+def test_shape_gdal_rounding_exact():
+    spec = RasterSpec(4326, (0.0, 0.0, 10.0, 10.0), (1.0, 1.0))
+    assert spec.shape == (10, 10)
+    # the GDAL +res/2 snap: 10.4 px → 10, 10.6 px → 11
+    assert RasterSpec(4326, (0.0, 0.0, 10.4, 10.6), (1.0, 1.0)).shape == (11, 10)
+
+
+@given(
+    minx=st.integers(-100, 99),
+    miny=st.integers(-100, 99),
+    w=st.integers(1, 50),
+    h=st.integers(1, 50),
+    res=st.sampled_from([0.25, 0.5, 1.0, 2.0]),
+)
+@settings(max_examples=200, deadline=None)
+def test_shape_matches_reference_formula(minx, miny, w, h, res):
+    bounds = (minx, miny, minx + w, miny + h)
+    spec = RasterSpec(4326, bounds, (res, res))
+    exp_w = int((bounds[2] - bounds[0] + res / 2) / res)
+    exp_h = int((bounds[3] - bounds[1] + res / 2) / res)
+    assert spec.shape == (exp_h, exp_w)
+    # x labels reproduce np.linspace(min, max, n, endpoint=False)
+    np.testing.assert_allclose(
+        spec.x_labels(), np.linspace(bounds[0], bounds[2], exp_w, endpoint=False)
+    )
+
+
+@given(
+    minx=st.floats(-100, 100, allow_nan=False),
+    miny=st.floats(-100, 100, allow_nan=False),
+    w=st.floats(0.1, 50),
+    h=st.floats(0.1, 50),
+    res=st.sampled_from([0.25, 0.5, 1.0]),
+)
+@settings(max_examples=200, deadline=None)
+def test_snapped_bounds_contains_and_aligns(minx, miny, w, h, res):
+    b = (minx, miny, minx + w, miny + h)
+    s = snapped_bounds(b, (res, res))
+    assert s[0] <= b[0] and s[1] <= b[1] and s[2] >= b[2] and s[3] >= b[3]
+    for v in s:
+        assert abs(v / res - round(v / res)) < 1e-9
+
+
+def test_union_and_overlap():
+    assert union_bounds((0, 0, 2, 2), (1, 1, 3, 3)) == (0, 0, 3, 3)
+    assert bounds_overlap((0, 0, 2, 2), (1, 1, 3, 3))
+    assert not bounds_overlap((0, 0, 1, 1), (1, 1, 2, 2))  # strict: touching ≠ overlap
+
+
+def test_window_math():
+    spec = RasterSpec(4326, (0.0, 0.0, 10.0, 10.0), (1.0, 1.0))
+    w = spec.pixel_window_from_bounds((2.0, 3.0, 5.0, 7.0))
+    assert w == Window(row_off=3, col_off=2, height=4, width=3)
+    assert w.intersects(Window(0, 0, 4, 3))
+    assert not w.intersects(Window(0, 0, 3, 2))
+
+
+# --- projections ------------------------------------------------------------
+
+@given(
+    lon=st.floats(-179, 179, allow_nan=False),
+    lat=st.floats(-80, 80, allow_nan=False),
+)
+@settings(max_examples=100, deadline=None)
+def test_mercator_roundtrip(lon, lat):
+    x, y = transform_xy(4326, 3857, np.array([lon]), np.array([lat]))
+    lon2, lat2 = transform_xy(3857, 4326, x, y)
+    assert abs(lon2[0] - lon) < 1e-9 and abs(lat2[0] - lat) < 1e-9
+
+
+@given(
+    lon=st.floats(-107.9, -102.1, allow_nan=False),
+    lat=st.floats(0.1, 83.9, allow_nan=False),
+)
+@settings(max_examples=100, deadline=None)
+def test_utm_roundtrip_zone13(lon, lat):
+    x, y = transform_xy(4326, 32613, np.array([lon]), np.array([lat]))
+    lon2, lat2 = transform_xy(32613, 4326, x, y)
+    assert abs(lon2[0] - lon) < 1e-8 and abs(lat2[0] - lat) < 1e-8
+
+
+def test_utm_known_point():
+    # Denver-ish: published UTM13N coordinates
+    x, y = transform_xy(4326, 32613, np.array([-105.0]), np.array([39.7392]))
+    assert abs(x[0] - 500000.0) < 0.5  # -105 is the zone-13 central meridian
+    assert 4395000 < y[0] < 4405000
+
+
+def test_reproject_bounds_uses_4_corners():
+    # A UTM box straddling the central meridian: naive 2-corner reprojection
+    # would miss the bulge; 4-corner must widen it
+    b = reproject_bounds((-106.0, 39.0, -104.0, 41.0), 4326, 32613)
+    assert b[0] < 420000 and b[2] > 580000
+
+
+def test_unsupported_crs_raises():
+    with pytest.raises(NotImplementedError):
+        transform_xy(4326, 27700, np.array([0.0]), np.array([51.0]))
+
+
+# --- mimetype matching (reference prepare.py:35-56) -------------------------
+
+def test_mimetype_matching():
+    full = Mimetype.from_str("image/tiff; application=geotiff; profile=cloud-optimized")
+    assert Mimetype.from_str("image").matches("image/tiff; application=geotiff")
+    assert Mimetype.from_str("image/tiff").matches("image/tiff; application=geotiff")
+    assert full.matches("image/tiff; application=geotiff; profile=cloud-optimized; extra=1")
+    assert not full.matches("image/tiff; application=geotiff")  # missing param
+    assert not Mimetype.from_str("image/png").matches("image/tiff")
+    assert not Mimetype.from_str("image").matches(None)
+
+
+# --- STAC input normalization (reference stac_types.py:136-200) -------------
+
+def test_items_to_plain_matrix():
+    item = {"type": "Feature", "id": "a", "assets": {}}
+    fc = {"type": "FeatureCollection", "features": [item, {**item, "id": "b"}]}
+
+    class FakePystacItem:
+        def to_dict(self):
+            return dict(item)
+
+    class FakeCatalog:
+        def items(self):
+            return [FakePystacItem(), FakePystacItem()]
+
+    assert items_to_plain(item) == [item]
+    assert [i["id"] for i in items_to_plain(fc)] == ["a", "b"]
+    assert items_to_plain([item, item]) == [item, item]
+    assert items_to_plain(FakePystacItem()) == [item]
+    assert len(items_to_plain(FakeCatalog())) == 2
+    with pytest.raises(TypeError):
+        items_to_plain(42)
+    with pytest.raises(TypeError):
+        items_to_plain(None)
+
+
+def test_raster_spec_validation():
+    with pytest.raises(ValueError):
+        RasterSpec(4326, (1.0, 0.0, 0.0, 1.0), (1.0, 1.0))
+    with pytest.raises(ValueError):
+        RasterSpec(4326, (0.0, 0.0, 1.0, 1.0), (0.0, 1.0))

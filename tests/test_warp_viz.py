@@ -1,0 +1,178 @@
+"""Warp, PNG, coords and tile-server tests (reference geom_utils.py:206-383 +
+show.py semantics)."""
+
+import urllib.request
+import zlib
+
+import numpy as np
+import pytest
+
+from stackstac_spark.functions.png import arr_to_png, empty_tile, encode_png_rgba
+from stackstac_spark.operators.warp import (
+    reproject_tiles,
+    xyz_tile_bounds,
+    xyztile_of_tiles,
+)
+from stackstac_spark.raster_spec import RasterSpec
+from stackstac_spark.stack import stack
+from tests.conftest import make_item
+
+
+def decode_png_rgba(png: bytes) -> np.ndarray:
+    """Minimal PNG decoder for our own encoder's output (filter 0, RGBA8)."""
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, w = 8, None
+    idat = b""
+    while pos < len(png):
+        (length,) = np.frombuffer(png[pos : pos + 4], dtype=">u4")
+        tag = png[pos + 4 : pos + 8]
+        data = png[pos + 8 : pos + 8 + int(length)]
+        if tag == b"IHDR":
+            w, h = np.frombuffer(data[:8], dtype=">u4")
+        elif tag == b"IDAT":
+            idat += data
+        pos += 12 + int(length)
+    raw = np.frombuffer(zlib.decompress(idat), dtype="uint8").reshape(int(h), -1)
+    assert (raw[:, 0] == 0).all()  # filter byte None
+    return raw[:, 1:].reshape(int(h), int(w), 4)
+
+
+def test_png_roundtrip():
+    rgba = np.random.default_rng(0).integers(0, 255, (16, 20, 4), dtype="uint8")
+    out = decode_png_rgba(encode_png_rgba(rgba))
+    np.testing.assert_array_equal(out, rgba)
+
+
+def test_arr_to_png_nan_alpha_and_range():
+    arr = np.array([[[0.0, 5.0], [np.nan, 10.0]]])  # (1 band, 2, 2)
+    png = arr_to_png(arr, (0.0, 10.0), cmap="greys", checkerboard=False)
+    rgba = decode_png_rgba(png)
+    assert rgba[1, 0, 3] == 0  # NaN → transparent
+    assert rgba[0, 0, 3] == 255
+    assert tuple(rgba[0, 0, :3]) == (0, 0, 0)  # vmin → black
+    assert tuple(rgba[1, 1, :3]) == (255, 255, 255)  # vmax → white
+    assert len(empty_tile((8, 8))) > 0
+
+
+@pytest.fixture(scope="module")
+def small_stack(spark):
+    items = [
+        make_item(0, "2024-01-05T00:00:00Z", (0.0, 0.0, 40.0, 30.0)),
+        make_item(1, "2024-02-05T00:00:00Z", (10.0, 5.0, 50.0, 40.0)),
+    ]
+    return stack(spark, items, assets=["red"], chunksize=16)
+
+
+def test_reproject_identity(spark, small_stack):
+    """Warping onto the same spec must reproduce the array exactly (the
+    reference's no-op fastpath, geom_utils.py:250-256 — here it exercises the
+    full halo-join + nearest kernel and must still be exact)."""
+    st = small_stack
+    out = reproject_tiles(st.tiles, st.spec, st.spec, chunksize=16, method="nearest")
+    h, w = st.spec.shape
+    got = {}
+    for r in out.collect():
+        got[(r.item_idx, r.band_idx)] = got.get((r.item_idx, r.band_idx), np.full((h, w), np.nan))
+        got[(r.item_idx, r.band_idx)][
+            r.row_off : r.row_off + r.tile_h, r.col_off : r.col_off + r.tile_w
+        ] = np.frombuffer(r.data, dtype="float64").reshape(r.tile_h, r.tile_w)
+    dense = st.compute()
+    for (t, b), arr in got.items():
+        np.testing.assert_array_equal(arr, dense[t, b])
+
+
+def test_reproject_downsample_nearest(spark, small_stack):
+    """2× coarser grid, nearest: each output pixel = the source pixel its
+    center lands in."""
+    st = small_stack
+    dst = RasterSpec(st.spec.epsg, st.spec.bounds, (2.0, 2.0))
+    out = reproject_tiles(st.tiles, st.spec, dst, chunksize=16, method="nearest")
+    dh, dw = dst.shape
+    dense = st.compute()
+    for r in out.collect():
+        arr = np.frombuffer(r.data, dtype="float64").reshape(r.tile_h, r.tile_w)
+        for i in range(r.tile_h):
+            for j in range(r.tile_w):
+                gr, gc = r.row_off + i, r.col_off + j
+                # center of dst pixel in world coords → src index
+                src_r = int((gr * 2 + 1) // 1) // 1
+                expect = dense[r.item_idx, r.band_idx, gr * 2 + 1, gc * 2 + 1]
+                got = arr[i, j]
+                if np.isnan(expect):
+                    assert np.isnan(got)
+                else:
+                    assert got == expect
+
+
+def test_xyz_tile_bounds_spec():
+    full = xyz_tile_bounds(0, 0, 0)
+    assert full[0] == pytest.approx(-20037508.342789244)
+    assert full[3] == pytest.approx(20037508.342789244)
+    q = xyz_tile_bounds(1, 1, 0)  # NE quadrant
+    assert q[0] == pytest.approx(0.0) and q[3] == pytest.approx(20037508.342789244)
+
+
+def test_xyztile_none_when_no_overlap(spark, small_stack):
+    st = small_stack
+    # tile on the other side of the world (z=5 far west)
+    assert xyztile_of_tiles(st.tiles, st.spec, 5, 0, 12) is None
+
+
+def test_tile_server_end_to_end(spark):
+    """show() → HTTP GET → valid PNG with data where the stack has data.
+    Stack is built directly in EPSG:3857 covering one z=8 tile."""
+    from stackstac_spark.streaming.show import show
+
+    b = xyz_tile_bounds(8, 128, 128)
+    items = [
+        make_item(0, "2024-01-05T00:00:00Z", b, epsg=3857, assets=("red",),
+                  res=(b[2] - b[0]) / 64)
+    ]
+    st = stack(spark, items, assets=["red"], chunksize=64)
+    url_tmpl, server = show(st, checkerboard=False)
+    try:
+        url = url_tmpl.format(z=8, x=128, y=128)
+        with urllib.request.urlopen(url, timeout=120) as resp:
+            png = resp.read()
+        assert resp.status == 200
+        rgba = decode_png_rgba(png)
+        assert rgba.shape == (256, 256, 4)
+        assert (rgba[:, :, 3] == 255).mean() > 0.9  # mostly opaque (data)
+        # unknown layer → 404
+        bad = url_tmpl.format(z=8, x=0, y=0).replace(url_tmpl.split("/")[3], "deadbeef")
+        try:
+            urllib.request.urlopen(bad.replace(url_tmpl.split("/")[3], "nope"), timeout=30)
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.stop()
+
+
+def test_coords_tables(spark):
+    from stackstac_spark.operators.coords import (
+        accumulate_metadata,
+        band_coords_allsame,
+        xy_label_tables,
+    )
+    from stackstac_spark.prepare import prepare
+    from stackstac_spark.sources.stac import items_to_dataframes
+
+    items = [
+        make_item(0, "2024-01-05T00:00:00Z", (0.0, 0.0, 40.0, 30.0)),
+        make_item(1, "2024-02-05T00:00:00Z", (10.0, 5.0, 50.0, 40.0)),
+    ]
+    items_df, assets_df = items_to_dataframes(spark, items)
+    prep = prepare(items_df, assets_df, assets=["red", "nir"])
+
+    meta = {r.key: r for r in accumulate_metadata(prep.items_df).collect()}
+    assert meta["constant_prop"].is_scalar and meta["constant_prop"].scalar_value == "same-everywhere"
+    assert not meta["varying_prop"].is_scalar
+
+    xs, ys = xy_label_tables(spark, prep.spec)
+    h, w = prep.spec.shape
+    x_vals = [r.x for r in xs.orderBy("col").collect()]
+    np.testing.assert_allclose(
+        x_vals, np.linspace(prep.spec.bounds[0], prep.spec.bounds[2], w, endpoint=False)
+    )
+    assert ys.count() == h
