@@ -16,7 +16,15 @@ Query groups:
 - dedup_* / minhash_* / simhash / jaccard_* / fingerprint_* / tokens_* /
   textqual_* / langid_* — the large-scale training-data suite
 - sim_* / lsh_* — similarity search over embeddings
-- sessionize / tumbling_* / json_* — event-stream analytics
+- sessionize / tumbling_* / json_* / asof_join — event-stream analytics
+- tpch_q4..q22 / rollup_agg / set_ops / window_rank / corr_stats — the
+  wider relational surface (semi/anti/outer joins, grouping sets, set ops,
+  ranking windows, statistical aggregates)
+- raster_* — the ACTUAL raster engine (STAC ingest → prepare → tile-grid
+  join → mapInPandas scan → mosaic/NDVI/reduction/warp), hash-checked
+  against closed-form DuckDB oracles over the deterministic fake-reader
+  pixel function
+- multimodal_features — binary-payload mapInPandas plumbing (rows-only)
 """
 
 from __future__ import annotations
@@ -993,6 +1001,607 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 
 # --------------------------------------------------------------------------
+# relational completeness, round 2: semi/anti joins, outer joins, rollup,
+# set ops, ranking windows, as-of join, statistical aggs
+# --------------------------------------------------------------------------
+
+
+def q_tpch_q4(spark, sf):
+    """EXISTS decorrelated to a left-semi join (Q4 shape; no l_commitdate in
+    the synthetic schema, so 'late' = shipped >60 days after order)."""
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_TPCH_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_tpch_q10(spark, sf):
+    """Q10: returned-item revenue per customer; top-20 with stable ties."""
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            # the exact sum has <=4 decimal digits (2dp price x 2dp discount),
+            # so rounding at 4 never cuts at a true half-way point; 2 would
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.round(F.first("c_acctbal"), 2).alias("acctbal"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+SQL_TPCH_Q10 = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       round(any_value(c_acctbal), 2) AS acctbal
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+def q_tpch_q12(spark, sf):
+    """Q12 shape: conditional (CASE) counting over a join, grouped."""
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+SQL_TPCH_Q12 = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+def q_tpch_q13(spark, sf):
+    """Q13: LEFT OUTER join preserving order-less customers → distribution
+    of customers by order count."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+SQL_TPCH_Q13 = """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_tpch_q14(spark, sf):
+    """Q14: promo revenue share — two global conditional sums, one ratio."""
+    part = _t(spark, sf, "part")
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)) / F.sum(rev), 4
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+SQL_TPCH_Q14 = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+def q_tpch_q18(spark, sf):
+    """Q18: HAVING-subquery (large orders) via agg → filter → join back."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 200)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q18 = """
+WITH big AS (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 200
+)
+SELECT c_name, c_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       round(o_totalprice, 2) AS totalprice, sum_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey
+ORDER BY totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+def q_tpch_q19(spark, sf):
+    """Q19: disjunction of conjunctive range predicates (OR-of-ANDs) — the
+    pushdown-hostile shape Catalyst must still prune on the join."""
+    part = _t(spark, sf, "part")
+    li = _t(spark, sf, "lineitem")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    m = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 21))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 40))
+    )
+    return j.filter(m).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+SQL_TPCH_Q19 = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+def q_tpch_q22(spark, sf):
+    """Q22 shape: scalar subquery threshold + NOT EXISTS anti-join, grouped
+    by nation instead of phone prefix (not in the synthetic schema)."""
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    orders = _t(spark, sf, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    big_orders = orders.filter(F.col("o_totalprice") > 300000)
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(big_orders, cust.c_custkey == big_orders.o_custkey, "left_anti")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("numcust"), F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+        .orderBy("n_name")
+    )
+
+
+SQL_TPCH_Q22 = """
+SELECT n_name, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def q_rollup_agg(spark, sf):
+    """ROLLUP (hierarchical grouping sets) over nation × order priority."""
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey).join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    )
+    return (
+        j.rollup("n_name", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total",
+        )
+        .orderBy("nation", "priority")
+    )
+
+
+SQL_ROLLUP_AGG = """
+SELECT coalesce(n_name, 'ALL') AS nation, coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, o_orderpriority)
+ORDER BY nation, priority
+"""
+
+
+def q_set_ops(spark, sf):
+    """INTERSECT / EXCEPT / UNION between two customer key sets."""
+    cust = _t(spark, sf, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+
+    def tagged(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(op).alias("op"), "n")
+
+    return (
+        tagged(building.intersect(rich), "intersect")
+        .unionAll(tagged(building.exceptAll(rich), "except_building"))
+        .unionAll(tagged(rich.exceptAll(building), "except_rich"))
+        .unionAll(tagged(building.union(rich).distinct(), "union"))
+        .orderBy("op")
+    )
+
+
+SQL_SET_OPS = """
+WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+SELECT 'intersect' AS op, count(*) AS n FROM (SELECT * FROM building INTERSECT SELECT * FROM rich)
+UNION ALL
+SELECT 'except_building', count(*) FROM (SELECT * FROM building EXCEPT SELECT * FROM rich)
+UNION ALL
+SELECT 'except_rich', count(*) FROM (SELECT * FROM rich EXCEPT SELECT * FROM building)
+UNION ALL
+SELECT 'union', count(*) FROM (SELECT * FROM building UNION SELECT * FROM rich)
+ORDER BY op
+"""
+
+
+def q_window_rank(spark, sf):
+    """Ranking window functions: per-nation top-3 customers by balance with
+    rank / dense_rank / lag, fully tiebroken."""
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    j = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    w_tie = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), "c_custkey")
+    w_val = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"))
+    return (
+        j.select(
+            "n_name",
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.row_number().over(w_tie).alias("rn"),
+            F.rank().over(w_val).alias("rnk"),
+            F.dense_rank().over(w_val).alias("drnk"),
+            F.round(F.lag("c_acctbal").over(w_tie), 2).alias("prev_bal"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("n_name", "rn")
+    )
+
+
+SQL_WINDOW_RANK = """
+SELECT * FROM (
+  SELECT n_name, c_custkey, round(c_acctbal, 2) AS acctbal,
+         row_number() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS rn,
+         rank()       OVER (PARTITION BY n_name ORDER BY c_acctbal DESC) AS rnk,
+         dense_rank() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC) AS drnk,
+         round(lag(c_acctbal) OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey), 2) AS prev_bal
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+) WHERE rn <= 3 ORDER BY n_name, rn
+"""
+
+
+def q_asof_join(spark, sf):
+    """As-of join: each purchase matched to the latest click at-or-before it
+    (same user). Spark has no ASOF JOIN operator; the scalable form is a
+    range join + one hash agg per left row (max/max_by) — clicks deduped per
+    (user, ts) first so both engines break ties identically."""
+    ev = _events(spark, sf)
+    p = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts_us")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts_us").alias("cts"))
+        .agg(F.max_by("value", "event_id").alias("cval"))
+    )
+    j = p.join(c, (p.user_id == c.user_id) & (F.col("cts") <= F.col("ts_us")))
+    return (
+        j.groupBy("event_id", "ts_us")
+        .agg(F.max("cts").alias("click_ts"), F.max_by("cval", "cts").alias("cv"))
+        .select(
+            "event_id",
+            (F.col("ts_us") - F.col("click_ts")).alias("gap_us"),
+            F.round("cv", 2).alias("click_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+SQL_ASOF_JOIN = f"""
+WITH ev AS ({_DUCK_EV}),
+p AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts_us AS cts, arg_max(value, event_id) AS cval
+      FROM ev WHERE event_type = 'click' GROUP BY 1, 2)
+SELECT event_id, ts_us - max(cts) AS gap_us, round(arg_max(cval, cts), 2) AS click_value
+FROM p JOIN c ON p.user_id = c.user_id AND cts <= ts_us
+GROUP BY event_id, ts_us ORDER BY event_id
+"""
+
+
+def q_corr_stats(spark, sf):
+    """Statistical aggregates: correlation / stddev / covariance per group."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_CORR_STATS = """
+SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(stddev_samp(l_quantity), 4) AS sd_qty,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar, count(*) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_embedding_centroids(spark, sf):
+    """Vector aggregation: per-label centroid components + mean norm —
+    the reduce step of IVF/k-means over the embedding column."""
+    emb = _t(spark, sf, "embeddings")
+    norm = F.sqrt(
+        F.expr("aggregate(embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))")
+    )
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(F.col("embedding")[0].cast("double")), 6).alias("c0"),
+            F.round(F.avg(F.col("embedding")[1].cast("double")), 6).alias("c1"),
+            F.round(F.avg(norm), 4).alias("avg_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+SQL_EMBEDDING_CENTROIDS = """
+SELECT label, count(*) AS n,
+       round(avg(embedding[1]::DOUBLE), 6) AS c0,
+       round(avg(embedding[2]::DOUBLE), 6) AS c1,
+       round(avg(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
+# --------------------------------------------------------------------------
+# raster engine queries — the ACTUAL stack pipeline (STAC ingest → prepare →
+# tile-grid join → mapInPandas scan → operators), hash-checked against
+# closed-form DuckDB oracles. fake:// pixel values are the deterministic
+# function value = item*1000 + band + row*1e-3 + col*1e-6 over the asset's
+# footprint (sources/raster.py::fake_pixel_values — the reference's
+# paint-an-oracle trick, tests/test_to_dask.py:99-117), so the whole
+# distributed scan is expressible as generate_series arithmetic in SQL.
+# --------------------------------------------------------------------------
+
+# Output grid: EPSG:32633, 640 m × 640 m at 10 m → 64×64 px.
+# Item i covers rows [8i, 8i+40) × cols [12i, 12i+40) (clipped to the grid).
+_R_BOUNDS = (500000.0, 4000000.0, 500640.0, 4000640.0)
+_R_COVER = "row >= 8*item AND row < 8*item + 40 AND col >= 12*item AND col < 12*item + 40"
+_R_PX64 = "SELECT r.g AS row, c.g AS col FROM generate_series(0, 63) r(g), generate_series(0, 63) c(g)"
+_R_ITEMS = "SELECT i.g AS item FROM generate_series(0, 3) i(g)"
+
+
+def _fake_items(bands: tuple[str, ...] = ("red", "nir")) -> list[dict]:
+    items = []
+    for i in range(4):
+        minx = 500000.0 + i * 120.0
+        maxy = 4000640.0 - i * 80.0
+        items.append(
+            {
+                "id": f"item-{i}",
+                "bbox": [15.0, 36.0, 15.1, 36.1],
+                "properties": {
+                    "datetime": f"2024-01-{i + 1:02d}T00:00:00Z",
+                    "eo:cloud_cover": i * 25,
+                    "proj:epsg": 32633,
+                    "proj:bbox": [minx, maxy - 400.0, minx + 400.0, maxy],
+                    "proj:shape": [40, 40],
+                    "proj:transform": [10.0, 0.0, minx, 0.0, -10.0, maxy],
+                },
+                "assets": {
+                    b: {"href": f"fake://{i}/{j}", "type": "image/tiff; application=geotiff"}
+                    for j, b in enumerate(bands)
+                },
+            }
+        )
+    return items
+
+
+def _raster_stack(spark, bands: tuple[str, ...] = ("red", "nir")):
+    from stackstac_spark.stack import stack as _stack
+
+    return _stack(
+        spark,
+        _fake_items(bands),
+        assets=list(bands),
+        epsg=32633,
+        resolution=10.0,
+        bounds=_R_BOUNDS,
+        chunksize=32,
+    )
+
+
+def q_raster_mosaic(spark, sf):
+    """Full pipeline → first-valid-pixel mosaic (last-on-top) of the red
+    band: one hash aggregate over the sparse pixel view."""
+    st = _raster_stack(spark).sel_bands(["red"])
+    return (
+        st.mosaic()
+        .select("row", "col", F.round("value", 6).alias("mosaic_value"))
+        .orderBy("row", "col")
+    )
+
+
+SQL_RASTER_MOSAIC = f"""
+WITH px AS ({_R_PX64}), it AS ({_R_ITEMS}),
+cov AS (
+  SELECT row, col, item, item*1000 + row*0.001 + col*0.000001 AS value
+  FROM px, it WHERE {_R_COVER}
+)
+SELECT row, col, round(arg_max(value, item), 6) AS mosaic_value
+FROM cov GROUP BY row, col ORDER BY row, col
+"""
+
+
+def q_raster_ndvi(spark, sf):
+    """Full pipeline → band pivot → (nir-red)/(nir+red) per pixel."""
+    from stackstac_spark.operators.composite import band_pivot, normalized_difference
+
+    st = _raster_stack(spark)
+    px = band_pivot(st.pixels(), st.asset_ids)
+    nd = normalized_difference(px, "nir", "red")
+    return nd.select(
+        "item_idx", "row", "col", F.round("nd", 6).alias("nd")
+    ).orderBy("item_idx", "row", "col")
+
+
+SQL_RASTER_NDVI = f"""
+WITH px AS ({_R_PX64}), it AS ({_R_ITEMS}),
+cov AS (
+  SELECT item, row, col,
+         item*1000 + row*0.001 + col*0.000001 AS red,
+         item*1000 + 1 + row*0.001 + col*0.000001 AS nir
+  FROM px, it WHERE {_R_COVER}
+)
+SELECT item AS item_idx, row, col, round((nir - red) / (nir + red), 6) AS nd
+FROM cov ORDER BY item_idx, row, col
+"""
+
+
+def q_raster_temporal_mean(spark, sf):
+    """Full pipeline → reduction over the time dim (mean per pixel)."""
+    st = _raster_stack(spark).sel_bands(["red"])
+    return (
+        st.pixels()
+        # the exact mean has 6 decimal digits (the col*1e-6 term survives the
+        # mean since it is constant per pixel), so round at 6, never coarser
+        .groupBy("row", "col")
+        .agg(F.round(F.avg("value"), 6).alias("mean_value"), F.count(F.lit(1)).alias("n"))
+        .orderBy("row", "col")
+    )
+
+
+SQL_RASTER_TEMPORAL_MEAN = f"""
+WITH px AS ({_R_PX64}), it AS ({_R_ITEMS}),
+cov AS (
+  SELECT row, col, item, item*1000 + row*0.001 + col*0.000001 AS value
+  FROM px, it WHERE {_R_COVER}
+)
+SELECT row, col, round(avg(value), 6) AS mean_value, count(*) AS n
+FROM cov GROUP BY row, col ORDER BY row, col
+"""
+
+
+def q_raster_resample_nearest(spark, sf):
+    """Full pipeline → reproject_tiles (same-CRS 10 m → 20 m, nearest):
+    destination pixel (R, C) gathers source pixel (2R+1, 2C+1) under the
+    pixel-center convention — closed-form, so the warp kernel itself is
+    oracle-checked."""
+    from stackstac_spark.operators.warp import reproject_tiles
+    from stackstac_spark.raster_spec import RasterSpec
+    from stackstac_spark.sources.raster import explode_pixels
+
+    st = _raster_stack(spark, bands=("red",))
+    t0 = st.tiles.filter((F.col("item_idx") == 0) & (F.col("band_idx") == 0))
+    dst = RasterSpec(32633, _R_BOUNDS, (20.0, 20.0))
+    warped = reproject_tiles(t0, st.spec, dst, chunksize=256, method="nearest")
+    return (
+        explode_pixels(warped)
+        .select("row", "col", F.round("value", 6).alias("value"))
+        .orderBy("row", "col")
+    )
+
+
+SQL_RASTER_RESAMPLE = """
+WITH px AS (SELECT r.g AS row, c.g AS col FROM generate_series(0, 31) r(g), generate_series(0, 31) c(g))
+SELECT row, col, round((2*row + 1)*0.001 + (2*col + 1)*0.000001, 6) AS value
+FROM px WHERE 2*row + 1 < 40 AND 2*col + 1 < 40 ORDER BY row, col
+"""
+
+
+def q_multimodal_features(spark, sf):
+    """Multimodal plumbing (rows-only check: the decode step is a
+    deterministic stand-in, not SQL-expressible): binary payloads →
+    streaming mapInPandas histogram features."""
+    from stackstac_spark.operators.multimodal import extract_features, make_fake_media
+
+    media = make_fake_media(spark, n=16)
+    feats = extract_features(media, fake=True, bins=8)
+    return feats.select(
+        "media_id",
+        F.round(F.expr("aggregate(feature, 0D, (a, x) -> a + x)"), 4).alias("feat_sum"),
+        F.size("feature").alias("n_bins"),
+    ).orderBy("media_id")
+
+
+# --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
 
@@ -1027,6 +1636,25 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "tumbling_hourly": (q_tumbling_hourly, SQL_TUMBLING),
     "json_props": (q_json_props, SQL_JSON_PROPS),
+    "tpch_q4": (q_tpch_q4, SQL_TPCH_Q4),
+    "tpch_q10": (q_tpch_q10, SQL_TPCH_Q10),
+    "tpch_q12": (q_tpch_q12, SQL_TPCH_Q12),
+    "tpch_q13": (q_tpch_q13, SQL_TPCH_Q13),
+    "tpch_q14": (q_tpch_q14, SQL_TPCH_Q14),
+    "tpch_q18": (q_tpch_q18, SQL_TPCH_Q18),
+    "tpch_q19": (q_tpch_q19, SQL_TPCH_Q19),
+    "tpch_q22": (q_tpch_q22, SQL_TPCH_Q22),
+    "rollup_agg": (q_rollup_agg, SQL_ROLLUP_AGG),
+    "set_ops": (q_set_ops, SQL_SET_OPS),
+    "window_rank": (q_window_rank, SQL_WINDOW_RANK),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "corr_stats": (q_corr_stats, SQL_CORR_STATS),
+    "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
+    "raster_mosaic": (q_raster_mosaic, SQL_RASTER_MOSAIC),
+    "raster_ndvi": (q_raster_ndvi, SQL_RASTER_NDVI),
+    "raster_temporal_mean": (q_raster_temporal_mean, SQL_RASTER_TEMPORAL_MEAN),
+    "raster_resample_nearest": (q_raster_resample_nearest, SQL_RASTER_RESAMPLE),
+    "multimodal_features": (q_multimodal_features, None),
 }
 
 
