@@ -1474,18 +1474,27 @@ def _fake_items(bands: tuple[str, ...] = ("red", "nir")) -> list[dict]:
     return items
 
 
+_STACK_CACHE: dict = {}
+
+
 def _raster_stack(spark, bands: tuple[str, ...] = ("red", "nir")):
+    """Build (once per session) the deterministic 4-item test stack. The
+    prepare pass runs a handful of driver-side jobs, so memoize across the
+    raster_* queries — the tile DataFrame itself stays fully lazy."""
     from stackstac_spark.stack import stack as _stack
 
-    return _stack(
-        spark,
-        _fake_items(bands),
-        assets=list(bands),
-        epsg=32633,
-        resolution=10.0,
-        bounds=_R_BOUNDS,
-        chunksize=32,
-    )
+    key = (id(spark), bands)
+    if key not in _STACK_CACHE:
+        _STACK_CACHE[key] = _stack(
+            spark,
+            _fake_items(bands),
+            assets=list(bands),
+            epsg=32633,
+            resolution=10.0,
+            bounds=_R_BOUNDS,
+            chunksize=32,
+        )
+    return _STACK_CACHE[key]
 
 
 def q_raster_mosaic(spark, sf):
@@ -1586,6 +1595,43 @@ FROM px WHERE 2*row + 1 < 40 AND 2*col + 1 < 40 ORDER BY row, col
 """
 
 
+def q_raster_xyz_png(spark, sf):
+    """Viz pipeline under the harness (rows-only: PNG bytes are not
+    SQL-expressible): warp the stack to web-mercator slippy tiles around the
+    AOI, mosaic over time, PNG-encode — the reference's show/_compute_tile
+    path (show.py:343-397). Emits (z, x, y, n_bytes, is_blank) per tile."""
+    import numpy as np
+
+    from stackstac_spark.functions.png import arr_to_png, empty_tile
+    from stackstac_spark.operators.mosaic import mosaic_tiles
+    from stackstac_spark.operators.warp import xyz_tile_bounds, xyztile_of_tiles
+
+    from stackstac_spark.functions.proj import reproject_bounds
+    from stackstac_spark.operators.warp import WEB_MERCATOR_EXTENT as EXT
+
+    st = _raster_stack(spark, bands=("red",))
+    # derive the zoom-13 tile containing the AOI center (deterministic)
+    b3857 = reproject_bounds(st.spec.bounds, 32633, 3857)
+    cx, cy = (b3857[0] + b3857[2]) / 2, (b3857[1] + b3857[3]) / 2
+    n13 = 2**13
+    tx = int((cx + EXT) / (2 * EXT) * n13)
+    ty = int((EXT - cy) / (2 * EXT) * n13)
+    rows = []
+    for z, x, y in ((13, tx, ty), (13, tx + 1, ty), (13, tx, ty + 1), (5, 0, 0)):
+        warped = xyztile_of_tiles(st.tiles, st.spec, z, x, y, tilesize=64)
+        if warped is None:
+            png = empty_tile((64, 64), checkerboard=False)
+            rows.append((z, x, y, len(png), True))
+            continue
+        tiles = mosaic_tiles(warped).collect()
+        arr = np.full((1, 64, 64), np.nan)
+        for r in tiles:
+            arr[0] = np.frombuffer(r.data, dtype="float64").reshape(r.tile_h, r.tile_w)
+        png = arr_to_png(arr, (0.0, 3100.0), cmap="viridis", checkerboard=False)
+        rows.append((z, x, y, len(png), bool(np.isnan(arr).all())))
+    return spark.createDataFrame(rows, "z INT, x INT, y INT, n_bytes INT, is_blank BOOLEAN")
+
+
 def q_multimodal_features(spark, sf):
     """Multimodal plumbing (rows-only check: the decode step is a
     deterministic stand-in, not SQL-expressible): binary payloads →
@@ -1654,6 +1700,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "raster_ndvi": (q_raster_ndvi, SQL_RASTER_NDVI),
     "raster_temporal_mean": (q_raster_temporal_mean, SQL_RASTER_TEMPORAL_MEAN),
     "raster_resample_nearest": (q_raster_resample_nearest, SQL_RASTER_RESAMPLE),
+    "raster_xyz_png": (q_raster_xyz_png, None),
     "multimodal_features": (q_multimodal_features, None),
 }
 
