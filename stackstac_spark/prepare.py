@@ -204,7 +204,9 @@ def prepare(
     if not asset_ids:
         raise ValueError("No assets selected")
     if isinstance(assets, (list, tuple)):
-        present = {r.asset_id for r in assets_df.select("asset_id").distinct().collect()}
+        present = set(
+            assets_df.agg(F.collect_set("asset_id").alias("ids")).collect()[0].ids
+        )
         unknown = [a for a in asset_ids if a not in present]
         if unknown:
             raise ValueError(
@@ -234,26 +236,6 @@ def prepare(
         .withColumn("eff_transform", F.coalesce("proj_transform", "i_transform"))
     )
 
-    # multi-band raster:bands guard (prepare.py:152-159): flagged upstream as
-    # NaN scale
-    bad = at.filter(F.isnan("scale")).limit(1).collect()
-    if bad:
-        raise ValueError(
-            f"Assets with multi-band raster:bands are unsupported (asset "
-            f"{bad[0].asset_id!r} on item {bad[0].item_id!r})"
-        )
-
-    # rescale castability guard (prepare.py:166-183)
-    if rescale and not np.issubdtype(np.dtype(dtype), np.floating):
-        row = (
-            at.filter((F.col("scale") != 1.0) | (F.col("offset") != 0.0)).limit(1).collect()
-        )
-        if row:
-            sc, of = row[0].scale, row[0].offset
-            if not (np.can_cast(np.min_scalar_type(sc), dtype) and np.can_cast(np.min_scalar_type(of), dtype)):
-                raise ValueError(
-                    f"scale/offset ({sc}, {of}) can't be cast to output dtype {dtype}"
-                )
     if not rescale:
         at = at.withColumn("scale", F.lit(1.0)).withColumn("offset", F.lit(0.0))
 
@@ -312,16 +294,76 @@ def prepare(
             F.when(F.col("i_bbox").isNotNull(), reproj(F.col("i_bbox"), F.lit(4326)))
         ),
     )
-    missing = at.filter(F.col("out_bounds").isNull()).limit(1).collect()
-    if missing:
+    # The prepared table is read again by the scan join; cache it so the
+    # reprojection UDF runs once (it is metadata-sized: O(items × bands)).
+    at = at.persist()
+
+    # 5+6. guards + resolution (prepare.py:268-333) + bounds union
+    #      (prepare.py:335-354) in ONE aggregate pass over the asset table —
+    #      every check/inference is a conditional min/max, so a catalog of
+    #      millions of assets costs exactly one map-side-combined job here.
+    ob = lambda i: F.col("out_bounds")[i]  # noqa: E731
+    same_crs = (F.col("asset_epsg") == out_epsg) & F.col("eff_transform").isNotNull()
+    cross_crs = (
+        ((F.col("asset_epsg") != out_epsg) | F.col("eff_transform").isNull())
+        & F.col("native_bounds").isNotNull()
+        & F.col("eff_shape").isNotNull()
+    )
+    g = at.agg(
+        # multi-band raster:bands guard (prepare.py:152-159; NaN scale flag)
+        F.max(F.when(F.isnan("scale"), F.struct("asset_id", "item_id"))).alias("bad_scale"),
+        # no-geometry guard (prepare.py:214-266 fallthrough)
+        F.max(F.when(F.col("out_bounds").isNull(), F.struct("asset_id", "item_id"))).alias(
+            "no_geom"
+        ),
+        # rescale castability witness (prepare.py:166-183)
+        F.max(
+            F.when(
+                (F.col("scale") != 1.0) | (F.col("offset") != 0.0),
+                F.struct("scale", "offset"),
+            )
+        ).alias("rescale_witness"),
+        # same-CRS resolution = min |a|,|e| of the geotransform
+        F.min(F.when(same_crs, F.abs(F.col("eff_transform")[0]))).alias("same_rx"),
+        F.min(F.when(same_crs, F.abs(F.col("eff_transform")[4]))).alias("same_ry"),
+        # cross-CRS fallback = bbox/shape quotient (native units; equivalent
+        # to the reference's 1-px reprojection for rectilinear UTM↔UTM)
+        F.min(
+            F.when(
+                cross_crs,
+                (F.col("native_bounds")[2] - F.col("native_bounds")[0]) / F.col("eff_shape")[1],
+            )
+        ).alias("cross_rx"),
+        F.min(
+            F.when(
+                cross_crs,
+                (F.col("native_bounds")[3] - F.col("native_bounds")[1]) / F.col("eff_shape")[0],
+            )
+        ).alias("cross_ry"),
+        # bounds union
+        F.min(ob(0)).alias("minx"),
+        F.min(ob(1)).alias("miny"),
+        F.max(ob(2)).alias("maxx"),
+        F.max(ob(3)).alias("maxy"),
+    ).collect()[0]
+
+    if g.bad_scale is not None:
+        raise ValueError(
+            f"Assets with multi-band raster:bands are unsupported (asset "
+            f"{g.bad_scale.asset_id!r} on item {g.bad_scale.item_id!r})"
+        )
+    if g.no_geom is not None:
         raise ValueError(
             f"No geometry information (proj:bbox / proj:shape+transform / bbox) "
-            f"for asset {missing[0].asset_id!r} of item {missing[0].item_id!r}"
+            f"for asset {g.no_geom.asset_id!r} of item {g.no_geom.item_id!r}"
         )
+    if rescale and not np.issubdtype(np.dtype(dtype), np.floating) and g.rescale_witness:
+        sc, of = g.rescale_witness.scale, g.rescale_witness.offset
+        if not (np.can_cast(np.min_scalar_type(sc), dtype) and np.can_cast(np.min_scalar_type(of), dtype)):
+            raise ValueError(
+                f"scale/offset ({sc}, {of}) can't be cast to output dtype {dtype}"
+            )
 
-    # 5. resolution (prepare.py:268-333): same-CRS assets use |a|,|e| of the
-    #    geotransform; cross-CRS assets reproject a 1-pixel box; fallback =
-    #    bbox/shape quotient; global aggregate = min.
     if resolution is not None:
         res_xy = (
             (float(resolution), float(resolution))
@@ -329,47 +371,17 @@ def prepare(
             else (float(resolution[0]), float(resolution[1]))
         )
     else:
-        same = at.filter(
-            (F.col("asset_epsg") == out_epsg) & F.col("eff_transform").isNotNull()
-        ).agg(
-            F.min(F.abs(F.col("eff_transform")[0])).alias("rx"),
-            F.min(F.abs(F.col("eff_transform")[4])).alias("ry"),
-        ).collect()[0]
         cand = []
-        if same.rx is not None:
-            cand.append((float(same.rx), float(same.ry)))
-        cross = at.filter(
-            ((F.col("asset_epsg") != out_epsg) | F.col("eff_transform").isNull())
-            & F.col("native_bounds").isNotNull()
-            & F.col("eff_shape").isNotNull()
-        ).agg(
-            F.min(
-                (F.col("native_bounds")[2] - F.col("native_bounds")[0]) / F.col("eff_shape")[1]
-            ).alias("rx"),
-            F.min(
-                (F.col("native_bounds")[3] - F.col("native_bounds")[1]) / F.col("eff_shape")[0]
-            ).alias("ry"),
-        ).collect()[0]
-        if cross.rx is not None:
-            # quotient in native units ≈ fine when CRS units match (meters);
-            # the reference's 1-px reprojection refinement is equivalent for
-            # rectilinear UTM↔UTM; documents the simplification.
-            cand.append((float(cross.rx), float(cross.ry)))
+        if g.same_rx is not None:
+            cand.append((float(g.same_rx), float(g.same_ry)))
+        if g.cross_rx is not None:
+            cand.append((float(g.cross_rx), float(g.cross_ry)))
         if not cand:
             raise ValueError("Cannot infer resolution; pass resolution=")
         res_xy = (min(c[0] for c in cand), min(c[1] for c in cand))
 
-    # 6. bounds (prepare.py:335-361): explicit → drop non-overlapping assets;
-    #    else union of asset bounds.
-    ob = lambda i: F.col("out_bounds")[i]  # noqa: E731
     if bounds is None:
-        agg = at.agg(
-            F.min(ob(0)).alias("minx"),
-            F.min(ob(1)).alias("miny"),
-            F.max(ob(2)).alias("maxx"),
-            F.max(ob(3)).alias("maxy"),
-        ).collect()[0]
-        out_bounds: Bbox = (agg.minx, agg.miny, agg.maxx, agg.maxy)
+        out_bounds: Bbox = (g.minx, g.miny, g.maxx, g.maxy)
     else:
         out_bounds = bounds
         bminx, bminy, bmaxx, bmaxy = bounds

@@ -170,6 +170,14 @@ def items_to_dataframes(
                     fields,
                 )
             )
-    items_df = spark.createDataFrame(item_rows, ITEM_SCHEMA)
-    assets_df = spark.createDataFrame(asset_rows, ASSET_SCHEMA)
-    return items_df, assets_df
+    # size partitions to the data: createDataFrame spreads even a handful of
+    # rows over defaultParallelism partitions, and every empty partition
+    # still forks a python worker in the downstream mapInPandas scan. The
+    # production ingest path (spark.read.json over item JSONL) sizes itself
+    # by input splits and doesn't need this.
+    def _sized(rows, schema):
+        df = spark.createDataFrame(rows, schema)
+        n = max(1, min(len(rows), spark.sparkContext.defaultParallelism))
+        return df.coalesce(n)
+
+    return _sized(item_rows, ITEM_SCHEMA), _sized(asset_rows, ASSET_SCHEMA)
