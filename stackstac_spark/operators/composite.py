@@ -36,13 +36,26 @@ def resample_time(
 ) -> DataFrame:
     """Tumbling event-time window + per-pixel reduction: the Spark-native
     ``.resample(time=...).agg(...)``. ``pixels_with_time`` must carry a
-    ``time`` timestamp column (pixels ⋈ items_df on item_idx)."""
+    ``time`` timestamp column (pixels ⋈ items_df on item_idx).
+
+    Calendar units (month/quarter/year — pandas "MS"-style resampling, the
+    reference's docs use ``.resample(time="MS")``) bucket via ``date_trunc``;
+    fixed durations (minutes/hours/days/weeks) use ``window()``. Both are a
+    single hash aggregate."""
     fn = _AGGS[agg]
     keys = [c for c in ("band_idx", "row", "col") if c in pixels_with_time.columns]
+    unit = every.split()[-1].rstrip("s").lower()
+    if unit in ("month", "quarter", "year"):
+        n = int(every.split()[0]) if every.split()[0].isdigit() else 1
+        if n != 1:
+            raise ValueError(f"Calendar resample supports 1-unit periods, got {every!r}")
+        period = F.date_trunc(unit, F.col("time")).alias("period_start")
+    else:
+        period = F.window("time", every).start.alias("period_start")
     return (
-        pixels_with_time.groupBy(F.window("time", every).alias("period"), *keys)
+        pixels_with_time.groupBy(period, *keys)
         .agg(fn(value_col).alias(agg))
-        .select(F.col("period.start").alias("period_start"), *keys, agg)
+        .select("period_start", *keys, agg)
     )
 
 

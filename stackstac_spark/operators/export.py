@@ -1,12 +1,21 @@
-"""Dense export: re-synthesize fill values from the sparse tile table.
+"""Dense export + tile-table checkpointing.
 
-The engine never materializes dense 4-D data distributed-side (SURVEY §7's
+Dense export re-synthesizes fill values from the sparse tile table. The
+engine never materializes dense 4-D data distributed-side (SURVEY §7's
 representation decision); density is an *export* concern, like the
 reference's final xr.DataArray assembly (stack.py:314-326). Only for small
 AOIs / tests — the driver-side array is O(time × band × h × w).
+
+``write_tiles``/``read_tiles`` checkpoint a computed tile table as Parquet
+partitioned on ``(band_idx, tile_y)`` — the persistent form of the stack.
+Re-reading restores a RasterStack whose band/AOI slices become partition +
+row-group pruning on the Parquet scan, which is how a 100 TB stack is
+served repeatedly without re-reading source COGs.
 """
 
 from __future__ import annotations
+
+import json
 
 import numpy as np
 
@@ -39,3 +48,38 @@ def to_dense_array(stack) -> np.ndarray:
             row.col_off : row.col_off + row.tile_w,
         ] = arr
     return out
+
+
+def write_tiles(stack, path: str, mode: str = "overwrite") -> None:
+    """Checkpoint a RasterStack: tile table → Parquet partitioned on
+    ``(band_idx, tile_y)`` (band-select and row-band AOI slices prune whole
+    directories; finer col pruning rides Parquet min/max stats on tile_x),
+    plus spec/band metadata and the item coord table alongside."""
+    stack.tiles.write.partitionBy("band_idx", "tile_y").mode(mode).parquet(f"{path}/tiles")
+    stack.items_df.write.mode(mode).parquet(f"{path}/items")
+    meta = {
+        "epsg": stack.spec.epsg,
+        "bounds": list(stack.spec.bounds),
+        "resolutions_xy": list(stack.spec.resolutions_xy),
+        "asset_ids": stack.asset_ids,
+    }
+    spark = stack.tiles.sparkSession
+    spark.createDataFrame([(json.dumps(meta),)], "meta STRING").coalesce(1).write.mode(
+        mode
+    ).json(f"{path}/meta")
+
+
+def read_tiles(spark, path: str):
+    """Restore a RasterStack from a ``write_tiles`` checkpoint."""
+    from stackstac_spark.stack import RasterStack
+
+    meta = json.loads(spark.read.json(f"{path}/meta").collect()[0].meta)
+    spec = RasterSpec(
+        int(meta["epsg"]), tuple(meta["bounds"]), tuple(meta["resolutions_xy"])
+    )
+    return RasterStack(
+        tiles=spark.read.parquet(f"{path}/tiles"),
+        spec=spec,
+        asset_ids=list(meta["asset_ids"]),
+        items_df=spark.read.parquet(f"{path}/items"),
+    )

@@ -51,13 +51,81 @@ def windowed_item_counts(
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str) -> None:
+SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("collection", T.StringType()),
+        T.StructField("n_sessions", T.LongType()),
+        T.StructField("n_items", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_sessions", T.LongType()),
+        T.StructField("n_items", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+
+
+def sessionized_item_counts(items: DataFrame, gap: str = "7 days") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-collection
+    acquisition 'sessions' — a new session starts when the gap between
+    consecutive item datetimes exceeds ``gap``. State = (session count, item
+    count, last event time) per collection, carried across micro-batches;
+    the Spark-native form of a custom session-window operator (the batch
+    analogue is the sessionize lag-window query in the driver contract).
+
+    Scale: state is O(distinct collections) rows of 3 longs, partitioned by
+    the group key — the shuffle is the same hash partitioning a batch
+    groupBy would need, and each micro-batch touches only updated keys.
+    """
+    import pandas as pd
+
+    gap_us = int(pd.Timedelta(gap).total_seconds() * 1_000_000)
+
+    def update(key, pdfs, state):
+        n_sessions, n_items, last_us = state.get if state.exists else (0, 0, None)
+        ts = []
+        for pdf in pdfs:
+            ts.append(pdf["datetime"].astype("int64") // 1000)  # ns → µs
+        all_us = pd.concat(ts).sort_values()
+        for t in all_us:
+            t = int(t)
+            if last_us is None or t - last_us > gap_us:
+                n_sessions += 1
+            last_us = t
+            n_items += 1
+        state.update((n_sessions, n_items, last_us))
+        yield pd.DataFrame(
+            [(key[0], n_sessions, n_items, last_us)],
+            columns=["collection", "n_sessions", "n_items", "last_us"],
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        items.select("collection", "datetime")
+        .groupBy("collection")
+        .applyInPandasWithState(
+            update,
+            SESSION_OUT_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete") -> None:
     """Drain the stream with availableNow into an in-memory table (tests /
-    backfills); production sinks are parquet/Delta via writeStream."""
+    backfills); production sinks are parquet/Delta via writeStream. Stateful
+    ``applyInPandasWithState`` pipelines need ``output_mode='update'``."""
     (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
         .awaitTermination()

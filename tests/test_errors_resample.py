@@ -1,0 +1,74 @@
+"""Error-tolerance (errors_as_nodata, reference nodata_reader.py:14-64) and
+the temporal resample / dim-reduction operators."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from stackstac_spark.stack import stack
+from tests.conftest import make_item
+
+
+def _items_with_bad_asset():
+    items = [
+        make_item(0, "2024-01-05T00:00:00Z", (0.0, 0.0, 16.0, 16.0)),
+        make_item(1, "2024-02-05T00:00:00Z", (0.0, 0.0, 16.0, 16.0)),
+    ]
+    # item 1's red asset has a malformed fake URL (reader raises ValueError)
+    items[1]["assets"]["red"]["href"] = "fake://malformed"
+    return items
+
+
+def test_errors_as_nodata_fills(spark):
+    st = stack(
+        spark,
+        _items_with_bad_asset(),
+        assets=["red", "nir"],
+        chunksize=16,
+        errors_as_nodata=(("ValueError", r"Not a fake url"),),
+    )
+    dense = st.compute()
+    assert np.isnan(dense[1, 0]).all()  # broken read → all-fill tile
+    assert np.isfinite(dense[0, 0]).all()  # healthy assets unaffected
+    assert np.isfinite(dense[1, 1]).all()
+
+
+def test_unmatched_errors_propagate(spark):
+    import pytest
+
+    st = stack(
+        spark,
+        _items_with_bad_asset(),
+        assets=["red"],
+        chunksize=16,
+        errors_as_nodata=(("RasterioIOError", r"404"),),  # doesn't match
+    )
+    with pytest.raises(Exception, match="Not a fake url"):
+        st.compute()
+
+
+def test_resample_time_and_reduce_dims(spark):
+    from stackstac_spark.operators.composite import reduce_dims, resample_time
+
+    items = [
+        make_item(0, "2024-01-05T00:00:00Z", (0.0, 0.0, 8.0, 8.0)),
+        make_item(1, "2024-01-20T00:00:00Z", (0.0, 0.0, 8.0, 8.0)),
+        make_item(2, "2024-02-05T00:00:00Z", (0.0, 0.0, 8.0, 8.0)),
+    ]
+    st = stack(spark, items, assets=["red"], chunksize=8)
+    px = st.pixels().join(
+        F.broadcast(st.items_df.select("item_idx", F.to_timestamp("datetime").alias("time"))),
+        "item_idx",
+    )
+    monthly = resample_time(px, every="1 month", agg="mean").collect()
+    # January pixels average items 0 and 1 (values v and v+1000); February = item 2
+    jan = [r for r in monthly if r.period_start.month == 1]
+    feb = [r for r in monthly if r.period_start.month == 2]
+    assert len(jan) == 64 and len(feb) == 64
+    r0 = next(r for r in jan if r.row == 0 and r.col == 0)
+    assert r0.mean == 500.0  # (0 + 1000) / 2 at pixel (0,0)
+    f0 = next(r for r in feb if r.row == 0 and r.col == 0)
+    assert f0.mean == 2000.0
+
+    med = reduce_dims(st.pixels(), dims=("time",), agg="median").collect()
+    m0 = next(r for r in med if r.row == 0 and r.col == 0)
+    assert m0.median == 1000.0  # median of {0, 1000, 2000}
