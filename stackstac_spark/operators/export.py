@@ -36,11 +36,13 @@ def to_dense_array(stack) -> np.ndarray:
     pos = {idx: k for k, idx in enumerate(item_idxs)}
     n_t = len(item_idxs)
     n_b = len(stack.asset_ids)
-    out = np.full((n_t, n_b, h, w), np.nan, dtype="float64")
+    dtype = getattr(stack, "dtype", "float64")
+    fill = getattr(stack, "fill_value", np.nan)
+    out = np.full((n_t, n_b, h, w), fill, dtype=dtype)
     for row in stack.tiles.collect():
         if row.item_idx not in pos:
             continue
-        arr = np.frombuffer(row.data, dtype="float64").reshape(row.tile_h, row.tile_w)
+        arr = np.frombuffer(row.data, dtype=dtype).reshape(row.tile_h, row.tile_w)
         out[
             pos[row.item_idx],
             row.band_idx,
@@ -62,6 +64,8 @@ def write_tiles(stack, path: str, mode: str = "overwrite") -> None:
         "bounds": list(stack.spec.bounds),
         "resolutions_xy": list(stack.spec.resolutions_xy),
         "asset_ids": stack.asset_ids,
+        "dtype": stack.dtype,
+        "fill_value": None if np.isnan(stack.fill_value) else stack.fill_value,
     }
     spark = stack.tiles.sparkSession
     spark.createDataFrame([(json.dumps(meta),)], "meta STRING").coalesce(1).write.mode(
@@ -77,9 +81,12 @@ def read_tiles(spark, path: str):
     spec = RasterSpec(
         int(meta["epsg"]), tuple(meta["bounds"]), tuple(meta["resolutions_xy"])
     )
+    fill = meta.get("fill_value")
     return RasterStack(
         tiles=spark.read.parquet(f"{path}/tiles"),
         spec=spec,
         asset_ids=list(meta["asset_ids"]),
         items_df=spark.read.parquet(f"{path}/items"),
+        dtype=meta.get("dtype", "float64"),
+        fill_value=np.nan if fill is None else fill,
     )

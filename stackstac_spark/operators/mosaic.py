@@ -105,7 +105,7 @@ def mosaic_tiles(
     def fold(key, pdf: pd.DataFrame) -> pd.DataFrame:
         first = pdf.iloc[0]
         arrs = [
-            np.frombuffer(b, dtype="float64").reshape(first.tile_h, first.tile_w)
+            np.frombuffer(b, dtype=dtype).reshape(first.tile_h, first.tile_w)
             for b in pdf["data"]
         ]
         out = _mosaic_fold(arrs, pdf["item_idx"].to_numpy(), reverse, nodata)

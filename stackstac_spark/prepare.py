@@ -209,8 +209,18 @@ def prepare(
         )
         unknown = [a for a in asset_ids if a not in present]
         if unknown:
-            raise ValueError(
-                f"Asset ids {unknown} not found on any item; available: {sorted(present)}"
+            # reference semantics: an asset id empty on EVERY item is an
+            # all-empty column and is dropped (prepare.py:384-393), not an
+            # error — unless nothing survives.
+            asset_ids = [a for a in asset_ids if a in present]
+            if not asset_ids:
+                raise ValueError(
+                    f"Asset ids {unknown} not found on any item; available: {sorted(present)}"
+                )
+            import warnings
+
+            warnings.warn(
+                f"Dropping asset ids not present on any item: {unknown}", stacklevel=3
             )
     band_idx_df = spark.createDataFrame(
         [(a, i) for i, a in enumerate(asset_ids)], "asset_id STRING, band_idx INT"

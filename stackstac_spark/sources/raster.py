@@ -171,13 +171,21 @@ def make_scan_udf(
     resampling: str = "nearest",
     gdal_env: dict | None = None,
     errors_as_nodata: tuple = DEFAULT_ERRORS_AS_NODATA,
+    dtype: str = "float64",
 ):
     """Build the mapInPandas kernel for the scan.
 
     Input batches carry: item_idx, band_idx, url, minx..maxy (asset bounds in
     output CRS), scale, offset, tile_y, tile_x, row_off, col_off, tile_h,
-    tile_w. Output: TILE_SCHEMA rows.
+    tile_w. Output: TILE_SCHEMA rows; ``data`` holds ``dtype`` C-order bytes.
+
+    ``fill_value`` must be castable to ``dtype`` (the reference's check at
+    to_dask.py:39-43).
     """
+    np_dtype = np.dtype(dtype)
+    if np.isnan(fill_value) if isinstance(fill_value, float) else False:
+        if not np.issubdtype(np_dtype, np.floating):
+            raise ValueError(f"fill_value NaN is not castable to dtype {dtype}")
     genv = gdal_env or {
         "GDAL_DISABLE_READDIR_ON_OPEN": "EMPTY_DIR",
         "GDAL_HTTP_MULTIRANGE": "YES",
@@ -188,7 +196,7 @@ def make_scan_udf(
         for pdf in batches:
             out_rows = []
             for row in pdf.itertuples(index=False):
-                tile = np.full((row.tile_h, row.tile_w), fill_value, dtype="float64")
+                tile = np.full((row.tile_h, row.tile_w), fill_value, dtype=np_dtype)
                 # asset window on the global grid (to_dask.py:116-124 +
                 # windows.intersect at to_dask.py:183)
                 fr0, fc0, fh, fw = spec.window_from_bounds(
@@ -219,7 +227,9 @@ def make_scan_udf(
                             c0 - row.col_off : c1 - row.col_off,
                         ]
                         valid = ~np.isnan(block)
-                        sub[valid] = block[valid]
+                        # masked cells keep fill; valid cells cast to the
+                        # output dtype on assignment (rio_reader.py:415-429)
+                        sub[valid] = block[valid].astype(np_dtype)
                     except Exception as exc:  # errors-as-nodata path
                         if not _exception_matches(exc, errors_as_nodata):
                             raise
@@ -273,21 +283,29 @@ def scan_tiles(joined: DataFrame, spec: RasterSpec, **kwargs) -> DataFrame:
     return joined.select(*cols).mapInPandas(make_scan_udf(spec, **kwargs), TILE_SCHEMA)
 
 
-def explode_pixels(tiles: DataFrame, drop_fill: bool = True) -> DataFrame:
+def explode_pixels(
+    tiles: DataFrame,
+    drop_fill: bool = True,
+    dtype: str = "float64",
+    fill_value: float = np.nan,
+) -> DataFrame:
     """Tile DF → pixel DF (item_idx, band_idx, row, col, value) with global
-    grid coordinates. ``drop_fill`` keeps the representation sparse (NaN
+    grid coordinates. ``drop_fill`` keeps the representation sparse (fill
     pixels are absent rows) — the 100 TB-friendly default; dense semantics are
-    re-synthesized at export (see operators.export)."""
+    re-synthesized at export (see operators.export). ``value`` is exposed as
+    double in the relational view regardless of the storage dtype."""
+    fill_is_nan = isinstance(fill_value, float) and np.isnan(fill_value)
 
     def to_pixels(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             frames = []
             for row in pdf.itertuples(index=False):
-                arr = np.frombuffer(row.data, dtype="float64").reshape(
+                arr = np.frombuffer(row.data, dtype=dtype).reshape(
                     row.tile_h, row.tile_w
                 )
                 if drop_fill:
-                    rr, cc = np.nonzero(~np.isnan(arr))
+                    invalid = np.isnan(arr) if fill_is_nan else (arr == fill_value)
+                    rr, cc = np.nonzero(~invalid)
                     vals = arr[rr, cc]
                 else:
                     rr, cc = np.meshgrid(
@@ -304,7 +322,7 @@ def explode_pixels(tiles: DataFrame, drop_fill: bool = True) -> DataFrame:
                             "band_idx": np.full(len(rr), row.band_idx, dtype="int32"),
                             "row": (rr + row.row_off).astype("int32"),
                             "col": (cc + row.col_off).astype("int32"),
-                            "value": vals,
+                            "value": vals.astype("float64"),
                         }
                     )
                 )

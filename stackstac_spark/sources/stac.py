@@ -122,62 +122,97 @@ def items_to_dataframes(
     item_rows = []
     asset_rows = []
     for it in plain:
-        props = it.get("properties", {}) or {}
-        epsg, pbbox, pshape, ptrans = _proj_fields(props)
-        item_id = it.get("id")
-        item_rows.append(
-            (
-                item_id,
-                it.get("collection"),
-                props.get("datetime"),
-                _num_list(it.get("bbox"), 4),
-                epsg,
-                pbbox,
-                pshape,
-                ptrans,
-                {k: _stringify(v) for k, v in props.items()},
-            )
-        )
-        for aid, a in (it.get("assets", {}) or {}).items():
-            a_epsg, a_bbox, a_shape, a_trans = _proj_fields(a)
-            raster_bands = a.get("raster:bands")
-            scale, offset = 1.0, 0.0
-            if raster_bands:
-                if len(raster_bands) != 1:
-                    # multi-band assets are an error in the reference
-                    # (prepare.py:152-159); surface at prepare time
-                    scale, offset = float("nan"), float("nan")
-                else:
-                    scale = float(raster_bands[0].get("scale", 1.0) or 1.0)
-                    offset = float(raster_bands[0].get("offset", 0.0) or 0.0)
-            fields = {
-                k: _stringify(v)
-                for k, v in a.items()
-                if k not in ("href", "type") and not k.startswith("proj:")
-            }
-            asset_rows.append(
-                (
-                    item_id,
-                    aid,
-                    a.get("href"),
-                    a.get("type"),
-                    a_epsg,
-                    a_bbox,
-                    a_shape,
-                    a_trans,
-                    scale,
-                    offset,
-                    fields,
-                )
-            )
+        item_row, a_rows = _item_to_rows(it)
+        item_rows.append(item_row)
+        asset_rows.extend(a_rows)
     # size partitions to the data: createDataFrame spreads even a handful of
     # rows over defaultParallelism partitions, and every empty partition
     # still forks a python worker in the downstream mapInPandas scan. The
-    # production ingest path (spark.read.json over item JSONL) sizes itself
-    # by input splits and doesn't need this.
+    # production ingest path (items_from_jsonl) sizes itself by input splits
+    # and doesn't need this.
     def _sized(rows, schema):
         df = spark.createDataFrame(rows, schema)
         n = max(1, min(len(rows), spark.sparkContext.defaultParallelism))
         return df.coalesce(n)
 
     return _sized(item_rows, ITEM_SCHEMA), _sized(asset_rows, ASSET_SCHEMA)
+
+
+def _item_to_rows(it: dict) -> tuple[tuple, list[tuple]]:
+    """One item dict → (item row, asset rows) — the single normalization
+    kernel shared by the driver-side list path and the distributed JSONL
+    path, so both produce byte-identical schemas."""
+    props = it.get("properties", {}) or {}
+    epsg, pbbox, pshape, ptrans = _proj_fields(props)
+    item_id = it.get("id")
+    item_row = (
+        item_id,
+        it.get("collection"),
+        props.get("datetime"),
+        _num_list(it.get("bbox"), 4),
+        epsg,
+        pbbox,
+        pshape,
+        ptrans,
+        {k: _stringify(v) for k, v in props.items()},
+    )
+    asset_rows = []
+    for aid, a in (it.get("assets", {}) or {}).items():
+        a_epsg, a_bbox, a_shape, a_trans = _proj_fields(a)
+        raster_bands = a.get("raster:bands")
+        scale, offset = 1.0, 0.0
+        if raster_bands:
+            if len(raster_bands) != 1:
+                scale, offset = float("nan"), float("nan")
+            else:
+                scale = float(raster_bands[0].get("scale", 1.0) or 1.0)
+                offset = float(raster_bands[0].get("offset", 0.0) or 0.0)
+        fields = {
+            k: _stringify(v)
+            for k, v in a.items()
+            if k not in ("href", "type") and not k.startswith("proj:")
+        }
+        asset_rows.append(
+            (
+                item_id,
+                aid,
+                a.get("href"),
+                a.get("type"),
+                a_epsg,
+                a_bbox,
+                a_shape,
+                a_trans,
+                scale,
+                offset,
+                fields,
+            )
+        )
+    return item_row, asset_rows
+
+
+def items_from_jsonl(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """Distributed STAC ingest: a directory/glob of item JSONL on (object)
+    storage → (items_df, assets_df), same schemas as ``items_to_dataframes``.
+
+    The text source splits by file/offset, so a billion-item catalog
+    parallelizes across the cluster; normalization runs in Arrow-batched
+    ``mapInPandas`` with the exact same kernel as the driver-side path.
+    """
+    import pandas as pd
+
+    lines = spark.read.text(path)
+
+    def to_items(batches):
+        for pdf in batches:
+            rows = [_item_to_rows(json.loads(s))[0] for s in pdf["value"] if s.strip()]
+            yield pd.DataFrame(rows, columns=[f.name for f in ITEM_SCHEMA.fields])
+
+    def to_assets(batches):
+        for pdf in batches:
+            out = []
+            for s in pdf["value"]:
+                if s.strip():
+                    out.extend(_item_to_rows(json.loads(s))[1])
+            yield pd.DataFrame(out, columns=[f.name for f in ASSET_SCHEMA.fields])
+
+    return lines.mapInPandas(to_items, ITEM_SCHEMA), lines.mapInPandas(to_assets, ASSET_SCHEMA)

@@ -37,12 +37,16 @@ class RasterStack:
     asset_ids: list[str]
     items_df: DataFrame
     band_fields: DataFrame | None = None
+    dtype: str = "float64"
+    fill_value: float = np.nan
 
     # --- delegated query surface (SURVEY §2.6) --------------------------
 
     def pixels(self, drop_fill: bool = True) -> DataFrame:
         """Per-pixel relational view (item_idx, band_idx, row, col, value)."""
-        return explode_pixels(self.tiles, drop_fill=drop_fill)
+        return explode_pixels(
+            self.tiles, drop_fill=drop_fill, dtype=self.dtype, fill_value=self.fill_value
+        )
 
     def sel_bands(self, bands: list[str] | str) -> "RasterStack":
         """``.sel(band=[...])`` — band select as a Catalyst filter."""
@@ -100,10 +104,14 @@ class RasterStack:
 
     # --- compute --------------------------------------------------------
 
-    def mosaic(self, reverse: bool = False, nodata: float = np.nan) -> DataFrame:
+    def mosaic(self, reverse: bool = False, nodata: float | None = None) -> DataFrame:
         from stackstac_spark.operators.mosaic import mosaic_pixels
 
-        return mosaic_pixels(self.pixels(), reverse=reverse, nodata=nodata)
+        if nodata is None:
+            nodata = self.fill_value
+        return mosaic_pixels(
+            self.pixels(), reverse=reverse, nodata=nodata, dtype=self.dtype
+        )
 
     def compute(self) -> "np.ndarray":
         """Materialize the dense (time, band, y, x) array driver-side — only
@@ -131,8 +139,18 @@ def stack(
     errors_as_nodata: tuple | None = None,
     dtype: str = "float64",
 ) -> RasterStack:
-    """items → prepared asset table → tile grid join → lazy scan."""
-    items_df, assets_df = items_to_dataframes(spark, items)
+    """items → prepared asset table → tile grid join → lazy scan.
+
+    ``items`` may be STAC-ish objects/dicts (driver-side normalization) or a
+    string path/glob to item JSONL on storage (distributed ingest —
+    ``sources.stac.items_from_jsonl`` — the 100 TB-catalog path).
+    """
+    if isinstance(items, str):
+        from stackstac_spark.sources.stac import items_from_jsonl
+
+        items_df, assets_df = items_from_jsonl(spark, items)
+    else:
+        items_df, assets_df = items_to_dataframes(spark, items)
     prepared: Prepared = prepare(
         items_df,
         assets_df,
@@ -148,7 +166,9 @@ def stack(
     )
     tiles_grid = tile_grid(spark, prepared.spec, chunksize=chunksize, bounds=bounds)
     joined = join_assets_to_tiles(prepared.asset_table, tiles_grid)
-    kwargs: dict = dict(fill_value=fill_value, resampling=resampling, gdal_env=gdal_env)
+    kwargs: dict = dict(
+        fill_value=fill_value, resampling=resampling, gdal_env=gdal_env, dtype=dtype
+    )
     if errors_as_nodata is not None:
         kwargs["errors_as_nodata"] = errors_as_nodata
     tiles = scan_tiles(joined, prepared.spec, **kwargs)
@@ -158,4 +178,6 @@ def stack(
         asset_ids=prepared.asset_ids,
         items_df=prepared.items_df,
         band_fields=prepared.band_fields,
+        dtype=dtype,
+        fill_value=fill_value,
     )

@@ -74,3 +74,22 @@ def test_stateful_sessionized_counts(spark, tmp_path):
         final[r.collection] = (r.n_sessions, r.n_items)
     assert final["c1"] == (2, 3)  # Jan 1-2 session, then Feb 1 after the gap
     assert final["c2"] == (1, 2)  # Jan 1 + Jan 3 stay one session across batches
+
+
+def test_items_from_jsonl_matches_list_path(spark, tmp_path):
+    """The distributed JSONL ingest must be byte-identical to the driver-side
+    list path: same schemas, same prepared stack, same pixels."""
+    items = [
+        make_item(0, "2024-01-05T00:00:00Z", (0.0, 0.0, 16.0, 16.0)),
+        make_item(1, "2024-02-05T00:00:00Z", (8.0, 8.0, 24.0, 24.0)),
+    ]
+    p = tmp_path / "catalog"
+    p.mkdir()
+    with open(p / "items.jsonl", "w") as f:
+        for it in items:
+            f.write(json.dumps(it) + "\n")
+
+    st_list = stack(spark, items, assets=["red"], chunksize=16)
+    st_path = stack(spark, str(p / "*.jsonl"), assets=["red"], chunksize=16)
+    assert st_path.spec == st_list.spec
+    np.testing.assert_array_equal(st_path.compute(), st_list.compute())

@@ -72,3 +72,33 @@ def test_resample_time_and_reduce_dims(spark):
     med = reduce_dims(st.pixels(), dims=("time",), agg="median").collect()
     m0 = next(r for r in med if r.row == 0 and r.col == 0)
     assert m0.median == 1000.0  # median of {0, 1000, 2000}
+
+
+def test_integer_dtype_stack(spark):
+    """Reference parity: non-float dtypes with a castable fill_value
+    (testing/strategies.py:26-31 exercises uint/int dtypes)."""
+    items = [
+        make_item(0, "2024-01-05T00:00:00Z", (0.0, 0.0, 8.0, 8.0)),
+        make_item(1, "2024-02-05T00:00:00Z", (4.0, 4.0, 12.0, 12.0)),
+    ]
+    st = stack(spark, items, assets=["red"], chunksize=8, dtype="int32", fill_value=0)
+    dense = st.compute()
+    assert dense.dtype == np.int32
+    # item 0 pixel (0,0) = 0*1000 + 0 + small gradient -> truncates to 0...
+    # use item 1 which is offset: value 1000 at its origin
+    assert dense[1, 0, 4, 4] == 1000
+    assert dense[1, 0, 0, 0] == 0  # outside footprint -> fill
+    # sparse pixel view drops fill using the integer fill value
+    px = st.pixels().collect()
+    assert all(r.value != 0 or (r.row >= 0) for r in px)
+    # mosaic with integer nodata (NaN would raise per ops.py:202-208)
+    m = st.mosaic(nodata=0)
+    assert m.count() > 0
+
+
+def test_nan_fill_rejected_for_int_dtype(spark):
+    import pytest
+
+    items = [make_item(0, "2024-01-05T00:00:00Z", (0.0, 0.0, 8.0, 8.0))]
+    with pytest.raises(ValueError, match="not castable"):
+        stack(spark, items, assets=["red"], chunksize=8, dtype="int32").tiles.count()

@@ -47,7 +47,9 @@ def stack_cases(draw):
 def test_scan_fuzz_matches_painted_oracle(spark, case):
     items, chunksize = case
     st_ = stack(spark, items, assets=["red", "nir"], chunksize=chunksize)
-    oracle = paint_oracle(items, ["red", "nir"], st_.spec)
+    # a band missing from EVERY item is dropped (all-empty column semantics,
+    # reference prepare.py:384-393) — paint the oracle for surviving bands
+    oracle = paint_oracle(items, st_.asset_ids, st_.spec)
     got = st_.compute()
     assert got.shape == oracle.shape
     np.testing.assert_array_equal(got, oracle)
