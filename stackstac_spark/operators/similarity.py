@@ -153,3 +153,55 @@ def ivf_assign(
             assign = F.when(cond, F.lit(j)).otherwise(assign)
             best = F.when(cond, d2).otherwise(best)
     return corpus.withColumn("list_id", assign), centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe search: each query scans only its ``nprobe`` nearest
+    inverted lists — the ANN scale path completing ``ivf_assign``.
+
+    Physical plan: queries are assigned their nprobe candidate list_ids
+    driver-free (numpy on the broadcast query set is unnecessary — the query
+    side is small, so we explode (query × probe_list) and broadcast it);
+    the corpus, already shuffled once by ``ivf_assign``'s list_id, is joined
+    on list_id — each task touches ~nprobe/n_lists of the corpus. Recall is
+    tunable via nprobe; nprobe = n_lists degrades to exact brute force.
+    """
+    cents = np.asarray(centroids)
+
+    def probe_lists(vec) -> list[int]:
+        d = ((cents - np.asarray(vec)[None, :]) ** 2).sum(1)
+        return [int(i) for i in np.argsort(d)[:nprobe]]
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    probe = [
+        (int(r[0]), list(map(float, r[1])), pl)
+        for r in q_rows
+        for pl in probe_lists(r[1])
+    ]
+    spark = assigned.sparkSession
+    q_df = spark.createDataFrame(
+        probe, f"query_id BIGINT, qv ARRAY<DOUBLE>, list_id INT"
+    ).coalesce(1)
+
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "list_id"
+    )
+    sims = (
+        c.join(F.broadcast(q_df), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot("qv", "cv") / (_norm("qv") * _norm("cv"))).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -119,6 +119,46 @@ def cancel_layer(spark, token: str) -> None:
     spark.sparkContext.cancelJobGroup(f"tile-{token}")
 
 
+_PREFETCH_POOL: "ThreadPoolExecutor | None" = None
+_PREFETCH_FUTURES: dict[tuple, "object"] = {}
+
+
+def update_viewport(token: str, tiles: list[tuple[int, int, int]]) -> int:
+    """Speculative prefetch (reference show.py:130-408 TileManager): compute
+    viewport tiles before their HTTP requests arrive. Tiles that left the
+    viewport have their *pending* futures cancelled; already-running tiles
+    finish into the LRU (a run is one small Spark job — cheaper to keep than
+    to cancel mid-flight). Returns the number of newly scheduled tiles."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    global _PREFETCH_POOL
+    layer = _LAYERS.get(token)
+    if layer is None:
+        raise KeyError(f"unknown layer {token!r}")
+    if _PREFETCH_POOL is None:
+        # browsers fetch ≤6 tiles concurrently (show.py:44-45 motivation)
+        _PREFETCH_POOL = ThreadPoolExecutor(max_workers=6, thread_name_prefix="tile-prefetch")
+
+    wanted = {(token, z, x, y) for z, x, y in tiles}
+    for key, fut in list(_PREFETCH_FUTURES.items()):
+        if key[0] == token and key not in wanted:
+            fut.cancel()  # only pending futures actually cancel
+            _PREFETCH_FUTURES.pop(key, None)
+
+    scheduled = 0
+    for z, x, y in tiles:
+        key = (token, z, x, y)
+        with layer.lock:
+            cached = (z, x, y) in layer.tile_cache
+        if cached or key in _PREFETCH_FUTURES:
+            continue
+        fut = _PREFETCH_POOL.submit(compute_tile, layer, z, x, y)
+        fut.add_done_callback(lambda _f, _k=key: _PREFETCH_FUTURES.pop(_k, None))
+        _PREFETCH_FUTURES[key] = fut
+        scheduled += 1
+    return scheduled
+
+
 class _Handler(BaseHTTPRequestHandler):
     def log_message(self, *args):  # quiet
         pass

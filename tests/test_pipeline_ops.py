@@ -202,3 +202,59 @@ def test_streaming_ingest(spark, tmp_path):
     rows = spark.sql("select * from item_counts").collect()
     assert sum(r.n_items for r in rows) == 6
     assert {r.collection for r in rows} == {"c1", "c2"}
+
+
+def test_ivf_topk_matches_bruteforce_recall(spark):
+    """IVF probe search: with nprobe == n_lists it must equal brute force;
+    with fewer probes it returns a subset ranked identically."""
+    import numpy as np
+
+    from stackstac_spark.operators.similarity import cosine_topk, ivf_assign, ivf_topk
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(120)]
+    corpus = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>").coalesce(4)
+    queries = corpus.filter("vec_id < 3")
+
+    assigned, cents = ivf_assign(corpus, n_lists=4, sample_fraction=1.0)
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk(corpus, queries, k=5).collect()
+    }
+    full_probe = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_topk(assigned, cents, queries, k=5, nprobe=4).collect()
+    }
+    assert full_probe == exact  # nprobe = n_lists degenerates to brute force
+
+    # fewer probes: a valid (possibly partial-recall) result, ranked desc
+    partial = ivf_topk(assigned, cents, queries, k=5, nprobe=2).collect()
+    assert partial
+    by_q: dict = {}
+    for r in partial:
+        assert -1.0 - 1e-9 <= r.sim <= 1.0 + 1e-9
+        by_q.setdefault(r.query_id, []).append((r.rank, r.sim))
+    for ranked in by_q.values():
+        sims = [s for _, s in sorted(ranked)]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_viewport_prefetch_populates_cache(spark):
+    from stackstac_spark.streaming import show as show_mod
+    from stackstac_spark.streaming.show import register, update_viewport
+    from tests.conftest import make_item
+
+    from stackstac_spark.stack import stack
+
+    items = [make_item(0, "2024-01-05T00:00:00Z", (0.0, 0.0, 32.0, 32.0))]
+    st = stack(spark, items, assets=["red"], chunksize=32)
+    token = register(st, range=(0.0, 100.0))
+    n = update_viewport(token, [(5, 0, 0), (5, 1, 0)])
+    assert n == 2
+    # drain the pool so futures complete
+    for fut in list(show_mod._PREFETCH_FUTURES.values()):
+        fut.result(timeout=120)
+    layer = show_mod._LAYERS[token]
+    assert (5, 0, 0) in layer.tile_cache and (5, 1, 0) in layer.tile_cache
+    # re-request: everything cached, nothing scheduled
+    assert update_viewport(token, [(5, 0, 0)]) == 0
