@@ -27,8 +27,21 @@ def main() -> None:
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm up the JVM + python workers so the first query doesn't pay startup
+    # warm up the JVM + python workers so the first query doesn't pay startup:
+    # one JVM aggregate, plus one Arrow-batched python stage per core so
+    # mapInPandas queries measure steady-state, not worker fork+import
     spark.range(1000000).selectExpr("sum(id)").collect()
+    import pandas as pd  # noqa: F401
+
+    def _noop(batches):
+        import numpy  # noqa: F401  (preload the heavy imports in each worker)
+
+        for pdf in batches:
+            yield pdf
+
+    spark.range(int(cpus) * 4, numPartitions=int(cpus)).mapInPandas(
+        _noop, "id LONG"
+    ).count()
 
     timings: dict[str, float] = {}
     total = 0.0

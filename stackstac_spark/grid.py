@@ -25,18 +25,25 @@ from stackstac_spark.raster_spec import RasterSpec
 def tile_grid(
     spark: SparkSession,
     spec: RasterSpec,
-    chunksize: int = 1024,
+    chunksize: int | tuple[int, int] = 1024,
     bounds: tuple[float, float, float, float] | None = None,
 ) -> DataFrame:
     """DataFrame of output tiles: one row per (tile_y, tile_x) chunk.
 
     Columns: tile_y, tile_x, row_off, col_off, tile_h, tile_w and the tile's
     world bounds (minx..maxy). An optional AOI ``bounds`` is applied as a
-    range predicate so Catalyst prunes tiles before any join.
+    range predicate so Catalyst prunes tiles before any join. ``chunksize``
+    may be an int or a (chunk_h, chunk_w) pair (the reference accepts
+    per-axis chunk specs, stack.py:171-192 / to_dask.py:219-231).
     """
+    chunk_h, chunk_w = (
+        (int(chunksize), int(chunksize))
+        if isinstance(chunksize, int)
+        else (int(chunksize[0]), int(chunksize[1]))
+    )
     height, width = spec.shape
-    n_ty = -(-height // chunksize)
-    n_tx = -(-width // chunksize)
+    n_ty = -(-height // chunk_h)
+    n_tx = -(-width // chunk_w)
     xres, yres = spec.resolutions_xy
     gminx, _, _, gmaxy = spec.bounds
 
@@ -56,10 +63,10 @@ def tile_grid(
         .select(
             "tile_y",
             "tile_x",
-            (F.col("tile_y") * chunksize).alias("row_off"),
-            (F.col("tile_x") * chunksize).alias("col_off"),
-            F.least(F.lit(chunksize), F.col("_h") - F.col("tile_y") * chunksize).alias("tile_h"),
-            F.least(F.lit(chunksize), F.col("_w") - F.col("tile_x") * chunksize).alias("tile_w"),
+            (F.col("tile_y") * chunk_h).alias("row_off"),
+            (F.col("tile_x") * chunk_w).alias("col_off"),
+            F.least(F.lit(chunk_h), F.col("_h") - F.col("tile_y") * chunk_h).alias("tile_h"),
+            F.least(F.lit(chunk_w), F.col("_w") - F.col("tile_x") * chunk_w).alias("tile_w"),
         )
         .select(
             "*",

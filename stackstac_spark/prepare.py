@@ -226,10 +226,15 @@ def prepare(
         [(a, i) for i, a in enumerate(asset_ids)], "asset_id STRING, band_idx INT"
     )
 
+    # the items side is ~n_bands× smaller than the asset table; broadcast it
+    # so the asset table is never shuffled during prepare (python-created DFs
+    # have no stats, so Catalyst would otherwise pick a sort-merge join and
+    # exchange BOTH sides). For catalogs beyond broadcast capacity, drop the
+    # hint and AQE's shuffle join takes over.
     at = (
         assets_df.join(F.broadcast(band_idx_df), "asset_id")
         .join(
-            items_idx.select(
+            F.broadcast(items_idx).select(
                 "item_id",
                 F.col("item_idx"),
                 F.col("proj_epsg").alias("i_epsg"),

@@ -93,19 +93,22 @@ class RasterSpec:
         c1 = math.ceil(col_off + w - 1e-9)
         return Window(r0, c0, max(r1 - r0, 0), max(c1 - c0, 0))
 
-    def x_labels(self) -> list[float]:
-        """Top-left pixel-corner x labels: linspace(min, max, n, endpoint=False)
-        (prepare.py:445-458 in the reference)."""
+    def x_labels(self, center: bool = False) -> list[float]:
+        """x labels: linspace(min, max, n, endpoint=False) top-left corners,
+        optionally shifted by half a pixel to centers — the reference's
+        ``xy_coords="topleft"|"center"`` (prepare.py:445-461)."""
         h, w = self.shape
         minx, _, maxx, _ = self.bounds
         step = (maxx - minx) / w
-        return [minx + i * step for i in range(w)]
+        off = step / 2 if center else 0.0
+        return [minx + off + i * step for i in range(w)]
 
-    def y_labels(self) -> list[float]:
+    def y_labels(self, center: bool = False) -> list[float]:
         h, w = self.shape
         _, miny, _, maxy = self.bounds
         step = (maxy - miny) / h
-        return [maxy - i * step for i in range(h)]
+        off = step / 2 if center else 0.0
+        return [maxy - off - i * step for i in range(h)]
 
 
 def snapped_bounds(bounds: Bbox, resolutions_xy: tuple[float, float]) -> Bbox:

@@ -1,0 +1,87 @@
+"""Physical-plan regression guards — the scale properties SCALE.md claims,
+asserted so they can't silently rot: predicate pushdown reaches the parquet
+scan, dimension joins broadcast (never shuffle both sides), aggregates are
+partial+final, top-k gets rank-limit pushdown, and the raster scan path
+stays shuffle-free."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def entry():
+    import __spark_entry__ as e
+
+    return e
+
+
+def test_filter_pushdown_reaches_scan(spark, entry):
+    plan = _plan(entry.q_metadata_filter(spark, SF))
+    assert "PushedFilters: [" in plan
+    assert "LessThan(value,20.0)" in plan
+    assert "EqualTo(event_type,purchase)" in plan
+
+
+def test_column_pruning(spark, entry):
+    plan = _plan(entry.q_tpch_q6(spark, SF))
+    # q6 touches 4 lineitem columns; the scan must not read the other 7
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read and "l_discount" in read
+    assert "l_returnflag" not in read and "l_orderkey" not in read
+
+
+def test_dim_joins_broadcast_not_shuffle(spark, entry):
+    plan = _plan(entry.q_tpch_q5(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # all dims fit under the threshold
+
+
+def test_aggregate_is_partial_final(spark, entry):
+    plan = _plan(entry.q_tpch_q1(spark, SF))
+    # partial + final pair => two HashAggregate nodes around one Exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_topk_rank_pushdown(spark, entry):
+    plan = _plan(entry.q_sim_bruteforce_topk(spark, SF))
+    assert "WindowGroupLimit" in plan  # per-partition top-k before shuffle
+
+
+def test_orderby_limit_is_take_ordered(spark, entry):
+    plan = _plan(entry.q_tpch_q3(spark, SF))
+    assert "TakeOrderedAndProject" in plan  # no global sort materialization
+
+
+def test_raster_scan_path_has_no_shuffle(spark):
+    """asset_table ⋈ tile_grid must broadcast the tile side: the (huge at
+    scale) asset table is never exchanged before the read UDF."""
+    from stackstac_spark.grid import join_assets_to_tiles, tile_grid
+    from stackstac_spark.sources.stac import items_to_dataframes
+    from stackstac_spark.prepare import prepare
+    from tests.conftest import make_item
+
+    items = [make_item(0, "2024-01-05T00:00:00Z", (0.0, 0.0, 32.0, 32.0))]
+    items_df, assets_df = items_to_dataframes(spark, items)
+    prep = prepare(items_df, assets_df, assets=["red"])
+    joined = join_assets_to_tiles(prep.asset_table, tile_grid(spark, prep.spec, chunksize=16))
+    plan = _plan(joined)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # no Exchange on the asset-table (streamed) side before the join: the
+    # only exchanges allowed are broadcast ones
+    import re
+
+    non_broadcast_exchanges = [
+        ln for ln in plan.splitlines() if re.search(r"\bExchange (?!.*broadcast)", ln, re.I)
+        and "BroadcastExchange" not in ln
+    ]
+    assert not non_broadcast_exchanges, non_broadcast_exchanges

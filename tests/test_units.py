@@ -165,3 +165,17 @@ def test_raster_spec_validation():
         RasterSpec(4326, (1.0, 0.0, 0.0, 1.0), (1.0, 1.0))
     with pytest.raises(ValueError):
         RasterSpec(4326, (0.0, 0.0, 1.0, 1.0), (0.0, 1.0))
+
+
+def test_tuple_chunksize_and_center_labels(spark):
+    from stackstac_spark.grid import tile_grid
+    from stackstac_spark.raster_spec import RasterSpec
+
+    spec = RasterSpec(32633, (0.0, 0.0, 100.0, 60.0), (10.0, 10.0))  # 6x10 px
+    g = tile_grid(spark, spec, chunksize=(4, 5)).collect()
+    assert {(r.tile_y, r.tile_x) for r in g} == {(ty, tx) for ty in range(2) for tx in range(2)}
+    last = next(r for r in g if r.tile_y == 1 and r.tile_x == 1)
+    assert (last.tile_h, last.tile_w) == (2, 5)
+
+    assert spec.x_labels()[0] == 0.0 and spec.x_labels(center=True)[0] == 5.0
+    assert spec.y_labels()[0] == 60.0 and spec.y_labels(center=True)[0] == 55.0
