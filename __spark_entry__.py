@@ -1595,6 +1595,37 @@ FROM px WHERE 2*row + 1 < 40 AND 2*col + 1 < 40 ORDER BY row, col
 """
 
 
+def q_raster_resample_bilinear(spark, sf):
+    """Bilinear warp kernel, oracle-checked: the fake pixel function is
+    linear in (row, col), and bilinear interpolation reproduces a linear
+    function exactly — dst (R, C) at source fractional coords (2R+0.5,
+    2C+0.5) equals (2R+0.5)*1e-3 + (2C+0.5)*1e-6 wherever all four source
+    neighbors are valid."""
+    from stackstac_spark.operators.warp import reproject_tiles
+    from stackstac_spark.raster_spec import RasterSpec
+    from stackstac_spark.sources.raster import explode_pixels
+
+    st = _raster_stack(spark, bands=("red",))
+    t0 = st.tiles.filter((F.col("item_idx") == 0) & (F.col("band_idx") == 0))
+    dst = RasterSpec(32633, _R_BOUNDS, (20.0, 20.0))
+    warped = reproject_tiles(t0, st.spec, dst, chunksize=256, method="linear")
+    # the exact value has 7 decimal digits (half-pixel 5e-7 term): round at 7
+    return (
+        explode_pixels(warped)
+        .select("row", "col", F.round("value", 7).alias("value"))
+        .orderBy("row", "col")
+    )
+
+
+# all 4 neighbors (floor/ceil of 2R+0.5, 2C+0.5) must be inside item 0's
+# 40×40 footprint: ceil = 2R+1 <= 39 → R <= 19 (same for C)
+SQL_RASTER_RESAMPLE_BILINEAR = """
+WITH px AS (SELECT r.g AS row, c.g AS col FROM generate_series(0, 31) r(g), generate_series(0, 31) c(g))
+SELECT row, col, round((2*row + 0.5)*0.001 + (2*col + 0.5)*0.000001, 7) AS value
+FROM px WHERE 2*row + 1 < 40 AND 2*col + 1 < 40 ORDER BY row, col
+"""
+
+
 def q_raster_xyz_png(spark, sf):
     """Viz pipeline under the harness (rows-only: PNG bytes are not
     SQL-expressible): warp the stack to web-mercator slippy tiles around the
@@ -1700,6 +1731,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "raster_ndvi": (q_raster_ndvi, SQL_RASTER_NDVI),
     "raster_temporal_mean": (q_raster_temporal_mean, SQL_RASTER_TEMPORAL_MEAN),
     "raster_resample_nearest": (q_raster_resample_nearest, SQL_RASTER_RESAMPLE),
+    "raster_resample_bilinear": (q_raster_resample_bilinear, SQL_RASTER_RESAMPLE_BILINEAR),
     "raster_xyz_png": (q_raster_xyz_png, None),
     "multimodal_features": (q_multimodal_features, None),
 }
