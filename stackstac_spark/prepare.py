@@ -182,6 +182,7 @@ def prepare(
     rescale: bool = True,
     dtype: str = "float64",
     sortby_date: str = "asc",
+    persist: bool = True,
 ) -> Prepared:
     if bounds is not None and bounds_latlon is not None:
         raise ValueError("Cannot give both bounds and bounds_latlon")
@@ -311,7 +312,10 @@ def prepare(
     )
     # The prepared table is read again by the scan join; cache it so the
     # reprojection UDF runs once (it is metadata-sized: O(items × bands)).
-    at = at.persist()
+    # Callers that prepare repeatedly in one session (e.g. the streaming
+    # foreachBatch sink) pass persist=False so caches don't accumulate.
+    if persist:
+        at = at.persist()
 
     # 5+6. guards + resolution (prepare.py:268-333) + bounds union
     #      (prepare.py:335-354) in ONE aggregate pass over the asset table —

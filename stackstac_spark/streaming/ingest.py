@@ -118,6 +118,87 @@ def sessionized_item_counts(items: DataFrame, gap: str = "7 days") -> DataFrame:
     )
 
 
+def incremental_stack_sink(
+    spark: SparkSession,
+    jsonl_path: str,
+    spec,
+    out_path: str,
+    assets: list[str],
+    chunksize: int = 1024,
+    checkpoint: str | None = None,
+    fill_value: float = float("nan"),
+    dtype: str = "float64",
+):
+    """Streaming raster ingest: a stream of STAC item JSONL → an incrementally
+    maintained tile table (the persistent stack ``operators.export`` reads).
+
+    The output grid must be pinned (``spec`` — incremental maintenance needs
+    a stable grid; inference over an unbounded stream is ill-defined). Each
+    micro-batch runs the SAME batch pipeline (normalize → asset table → tile
+    join → scan) via ``foreachBatch`` and appends Parquet partitioned like
+    ``write_tiles``; new scenes become new ``(item, band, tile)`` rows with
+    no touch of existing data — append-only, so readers never block.
+
+    Returns the StreamingQuery (caller awaits/stops it).
+    """
+    import pandas as pd
+
+    from stackstac_spark.grid import join_assets_to_tiles, tile_grid
+    from stackstac_spark.sources.raster import scan_tiles
+    from stackstac_spark.sources.stac import ASSET_SCHEMA, ITEM_SCHEMA, _item_to_rows
+
+    lines = spark.readStream.format("text").load(jsonl_path)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import json as _json
+
+        def to_items(batches):
+            for pdf in batches:
+                rows = [_item_to_rows(_json.loads(s))[0] for s in pdf["value"] if s.strip()]
+                yield pd.DataFrame(rows, columns=[f.name for f in ITEM_SCHEMA.fields])
+
+        def to_assets(batches):
+            for pdf in batches:
+                out = []
+                for s in pdf["value"]:
+                    if s.strip():
+                        out.extend(_item_to_rows(_json.loads(s))[1])
+                yield pd.DataFrame(out, columns=[f.name for f in ASSET_SCHEMA.fields])
+
+        items_df = batch_df.mapInPandas(to_items, ITEM_SCHEMA)
+        assets_df = batch_df.mapInPandas(to_assets, ASSET_SCHEMA)
+        from stackstac_spark.prepare import prepare
+
+        prep = prepare(
+            items_df,
+            assets_df,
+            assets=assets,
+            epsg=spec.epsg,
+            resolution=spec.resolutions_xy,
+            bounds=spec.bounds,
+            dtype=dtype,
+            persist=False,  # one prepare per micro-batch: don't accumulate caches
+        )
+        joined = join_assets_to_tiles(
+            prep.asset_table, tile_grid(spark, spec, chunksize=chunksize)
+        )
+        tiles = scan_tiles(joined, spec, fill_value=fill_value, dtype=dtype)
+        # item_idx is per-batch; carry a globally unique (batch, item) key so
+        # time ordering across batches is (batch_id, item_idx)
+        out = tiles.withColumn("batch_id", F.lit(batch_id))
+        out.write.partitionBy("band_idx", "tile_y").mode("append").parquet(
+            f"{out_path}/tiles"
+        )
+        prep.items_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            f"{out_path}/items"
+        )
+
+    writer = lines.writeStream.foreachBatch(process_batch).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete") -> None:
     """Drain the stream with availableNow into an in-memory table (tests /
     backfills); production sinks are parquet/Delta via writeStream. Stateful

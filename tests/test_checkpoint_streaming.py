@@ -93,3 +93,54 @@ def test_items_from_jsonl_matches_list_path(spark, tmp_path):
     st_path = stack(spark, str(p / "*.jsonl"), assets=["red"], chunksize=16)
     assert st_path.spec == st_list.spec
     np.testing.assert_array_equal(st_path.compute(), st_list.compute())
+
+
+def test_incremental_stack_sink(spark, tmp_path):
+    """Streaming scenes → append-only tile table; new files become new tile
+    rows without rewriting old ones, and the result matches the batch scan."""
+    from stackstac_spark.raster_spec import RasterSpec
+    from stackstac_spark.streaming.ingest import incremental_stack_sink
+
+    spec = RasterSpec(32613, (0.0, 0.0, 32.0, 32.0), (1.0, 1.0))
+    src = tmp_path / "stream"
+    src.mkdir()
+    items1 = [make_item(0, "2024-01-05T00:00:00Z", (0.0, 0.0, 16.0, 16.0))]
+    with open(src / "b1.jsonl", "w") as f:
+        f.write(json.dumps(items1[0]) + "\n")
+
+    out = str(tmp_path / "stack")
+    ckpt = str(tmp_path / "ckpt")
+    q = incremental_stack_sink(
+        spark, str(src), spec, out, assets=["red"], chunksize=16, checkpoint=ckpt
+    )
+    q.awaitTermination()
+    n1 = spark.read.parquet(f"{out}/tiles").count()
+    assert n1 > 0
+
+    # second batch: a new scene lands; old rows untouched, new rows appended
+    items2 = [make_item(1, "2024-02-05T00:00:00Z", (16.0, 16.0, 32.0, 32.0))]
+    with open(src / "b2.jsonl", "w") as f:
+        f.write(json.dumps(items2[0]) + "\n")
+    q = incremental_stack_sink(
+        spark, str(src), spec, out, assets=["red"], chunksize=16, checkpoint=ckpt
+    )
+    q.awaitTermination()
+    tiles = spark.read.parquet(f"{out}/tiles")
+    assert tiles.count() > n1
+    assert {r.batch_id for r in tiles.select("batch_id").distinct().collect()} == {0, 1}
+
+    # batch-path equivalence: same items through stack() give the same pixels
+    from stackstac_spark.sources.raster import explode_pixels
+    from stackstac_spark.stack import stack as batch_stack
+
+    st = batch_stack(spark, items1 + items2, assets=["red"], chunksize=16,
+                     epsg=32613, resolution=1.0, bounds=spec.bounds)
+    batch_px = {
+        (r.row, r.col, r.value)
+        for r in st.pixels().collect()
+    }
+    stream_px = {
+        (r.row, r.col, r.value)
+        for r in explode_pixels(tiles.drop("batch_id")).collect()
+    }
+    assert stream_px == batch_px
