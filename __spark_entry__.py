@@ -1244,6 +1244,438 @@ GROUP BY n_name ORDER BY n_name
 """
 
 
+def q_tpch_q2(spark, sf):
+    """Q2 shape: correlated-min subquery decorrelated to an agg + join-back
+    (min s_acctbal stands in for min ps_supplycost — no partsupp in the
+    synthetic schema; 'can supply part P' = 'has shipped part P')."""
+    part = _t(spark, sf, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") == 15)
+    )
+    supplier = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    shipped = _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    eu_supp = (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = shipped.join(F.broadcast(eu_supp), shipped.l_suppkey == eu_supp.s_suppkey)
+    min_bal = cand.groupBy("l_partkey").agg(F.min("s_acctbal").alias("min_bal"))
+    return (
+        cand.join(F.broadcast(min_bal), "l_partkey")
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .join(F.broadcast(part), cand.l_partkey == part.p_partkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            F.round("s_acctbal", 2).alias("acctbal"),
+        )
+        .orderBy("acctbal", "p_partkey", "s_name")
+    )
+
+
+SQL_TPCH_Q2 = """
+WITH shipped AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+cand AS (SELECT * FROM shipped JOIN eu ON l_suppkey = s_suppkey)
+SELECT p_partkey, p_name, s_name, n_name, round(s_acctbal, 2) AS acctbal
+FROM cand JOIN part ON l_partkey = p_partkey
+WHERE p_type = 'LARGE' AND p_size = 15
+  AND s_acctbal = (SELECT min(c2.s_acctbal) FROM cand c2 WHERE c2.l_partkey = cand.l_partkey)
+ORDER BY acctbal, p_partkey, s_name
+"""
+
+
+def q_tpch_q7(spark, sf):
+    """Q7: volume shipping between two nations — self-join of nation on both
+    the supplier and customer sides, grouped by direction and ship year."""
+    supplier = _t(spark, sf, "supplier")
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    n1 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
+        F.col("supp_nation") == "NATION_2"
+    ) & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+SQL_TPCH_Q7 = """
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 4) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year, l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_tpch_q8(spark, sf):
+    """Q8: national market share — conditional-sum ratio per order year over
+    a 7-table join (customer region filter, supplier nation in numerator)."""
+    part = _t(spark, sf, "part").filter(F.col("p_type") == "STANDARD")
+    supplier = _t(spark, sf, "supplier")
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    cust = _t(spark, sf, "customer")
+    n1 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n2 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    region = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0)) / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+SQL_TPCH_Q8 = """
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END) / sum(volume), 6) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year, l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+    AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+)
+GROUP BY o_year ORDER BY o_year
+"""
+
+
+def q_tpch_q9(spark, sf):
+    """Q9: product-type profit by nation and year (p_retailprice * quantity
+    stands in for ps_supplycost — no partsupp in the synthetic schema)."""
+    part = _t(spark, sf, "part").filter(F.col("p_name").like("%widget%"))
+    supplier = _t(spark, sf, "supplier")
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    nation = _t(spark, sf, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(amount), 4).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+SQL_TPCH_Q9 = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity), 4) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, year(o_orderdate) ORDER BY n_name, o_year DESC
+"""
+
+
+def q_tpch_q11(spark, sf):
+    """Q11 shape: grouped value vs a scalar-subquery share of the global
+    total (HAVING value > 2% of sum over all groups), decorrelated to a
+    cross-join against the one-row total."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part")
+    supplier = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation")
+    val = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(F.col("l_quantity") * F.col("p_retailprice")).alias("value"))
+    )
+    total = val.agg((F.sum("value") * 0.02).alias("threshold"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("n_name", F.round("value", 2).alias("value"))
+        .orderBy(F.desc("value"), "n_name")
+    )
+
+
+SQL_TPCH_Q11 = """
+WITH val AS (
+  SELECT n_name, sum(l_quantity * p_retailprice) AS value
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, round(value, 2) AS value
+FROM val
+WHERE value > (SELECT sum(value) * 0.02 FROM val)
+ORDER BY value DESC, n_name
+"""
+
+
+def q_tpch_q15(spark, sf):
+    """Q15: top supplier by quarterly revenue — the revenue 'view' + scalar
+    max subquery equality (ties kept, like the spec)."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supplier = _t(spark, sf, "supplier")
+    # round BEFORE the max-compare on both sides: the exact sum has 4 decimal
+    # digits, so rounding is an identity and the equality is engine-stable
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "total_revenue"
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(supplier), F.col("supplier_no") == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_TPCH_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q_tpch_q16(spark, sf):
+    """Q16 shape: NOT IN anti-join + count(DISTINCT supplier) per part
+    attribute triple ('complaint' suppliers = negative account balance)."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    bad = _t(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+SQL_TPCH_Q16 = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_tpch_q17(spark, sf):
+    """Q17: small-quantity-order revenue — correlated avg subquery per part,
+    decorrelated to a per-part aggregate joined back. The per-part avg is a
+    ratio of exact integers (quantities are whole numbers), so the threshold
+    double is bit-identical across engines."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part").filter(F.col("p_brand") == "Brand#3")
+    thresh = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(thresh), li.l_partkey == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+SQL_TPCH_Q17 = """
+SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#3'
+  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def q_tpch_q20(spark, sf):
+    """Q20 shape: nested IN-subqueries — suppliers who shipped > 50 units of
+    any 'red%' part in 1996 (grouped HAVING inside the IN), as a semi-join
+    chain."""
+    supplier = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation")
+    red_parts = _t(spark, sf, "part").filter(F.col("p_name").like("red%"))
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    heavy = (
+        li.join(F.broadcast(red_parts), li.l_partkey == red_parts.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(F.broadcast(heavy), supplier.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .filter(F.col("n_regionkey") == 2)
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+SQL_TPCH_Q20 = """
+SELECT s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_regionkey = 2
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'red%'
+      AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_suppkey, l_partkey
+    HAVING sum(l_quantity) > 50)
+ORDER BY s_name
+"""
+
+
+def q_tpch_q21(spark, sf):
+    """Q21 shape: EXISTS + NOT EXISTS correlated on the same table — the
+    sole 'R'-flag supplier on multi-supplier finished orders ('returned' =
+    kept waiting; no receipt/commit dates in the synthetic schema)."""
+    supplier = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3", "NATION_4", "NATION_5")
+    )
+    orders = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf, "lineitem")
+    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        ).join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(orders, waiting.l_orderkey == orders.o_orderkey, "left_semi")
+        .join(F.broadcast(supplier), waiting.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+SQL_TPCH_Q21 = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders   ON o_orderkey = l1.l_orderkey
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4', 'NATION_5')
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
 def q_rollup_agg(spark, sf):
     """ROLLUP (hierarchical grouping sets) over nation × order priority."""
     orders = _t(spark, sf, "orders")
@@ -1577,7 +2009,10 @@ def q_raster_resample_nearest(spark, sf):
     from stackstac_spark.raster_spec import RasterSpec
     from stackstac_spark.sources.raster import explode_pixels
 
-    st = _raster_stack(spark, bands=("red",))
+    # reuse the shared 2-band stack (red is band_idx 0, pixel value identical
+    # to a red-only stack) — a bands=("red",) stack would pay a second
+    # prepare pass for the same data
+    st = _raster_stack(spark)
     t0 = st.tiles.filter((F.col("item_idx") == 0) & (F.col("band_idx") == 0))
     dst = RasterSpec(32633, _R_BOUNDS, (20.0, 20.0))
     warped = reproject_tiles(t0, st.spec, dst, chunksize=256, method="nearest")
@@ -1605,7 +2040,7 @@ def q_raster_resample_bilinear(spark, sf):
     from stackstac_spark.raster_spec import RasterSpec
     from stackstac_spark.sources.raster import explode_pixels
 
-    st = _raster_stack(spark, bands=("red",))
+    st = _raster_stack(spark)  # shared 2-band stack; red = band_idx 0
     t0 = st.tiles.filter((F.col("item_idx") == 0) & (F.col("band_idx") == 0))
     dst = RasterSpec(32633, _R_BOUNDS, (20.0, 20.0))
     warped = reproject_tiles(t0, st.spec, dst, chunksize=256, method="linear")
@@ -1713,13 +2148,23 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "tumbling_hourly": (q_tumbling_hourly, SQL_TUMBLING),
     "json_props": (q_json_props, SQL_JSON_PROPS),
+    "tpch_q2": (q_tpch_q2, SQL_TPCH_Q2),
     "tpch_q4": (q_tpch_q4, SQL_TPCH_Q4),
+    "tpch_q7": (q_tpch_q7, SQL_TPCH_Q7),
+    "tpch_q8": (q_tpch_q8, SQL_TPCH_Q8),
+    "tpch_q9": (q_tpch_q9, SQL_TPCH_Q9),
     "tpch_q10": (q_tpch_q10, SQL_TPCH_Q10),
+    "tpch_q11": (q_tpch_q11, SQL_TPCH_Q11),
     "tpch_q12": (q_tpch_q12, SQL_TPCH_Q12),
+    "tpch_q15": (q_tpch_q15, SQL_TPCH_Q15),
+    "tpch_q16": (q_tpch_q16, SQL_TPCH_Q16),
+    "tpch_q17": (q_tpch_q17, SQL_TPCH_Q17),
     "tpch_q13": (q_tpch_q13, SQL_TPCH_Q13),
     "tpch_q14": (q_tpch_q14, SQL_TPCH_Q14),
     "tpch_q18": (q_tpch_q18, SQL_TPCH_Q18),
     "tpch_q19": (q_tpch_q19, SQL_TPCH_Q19),
+    "tpch_q20": (q_tpch_q20, SQL_TPCH_Q20),
+    "tpch_q21": (q_tpch_q21, SQL_TPCH_Q21),
     "tpch_q22": (q_tpch_q22, SQL_TPCH_Q22),
     "rollup_agg": (q_rollup_agg, SQL_ROLLUP_AGG),
     "set_ops": (q_set_ops, SQL_SET_OPS),

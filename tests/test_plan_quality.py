@@ -85,3 +85,27 @@ def test_raster_scan_path_has_no_shuffle(spark):
         and "BroadcastExchange" not in ln
     ]
     assert not non_broadcast_exchanges, non_broadcast_exchanges
+
+
+def test_q21_exists_shapes_are_semi_and_anti(spark, entry):
+    """EXISTS/NOT EXISTS decorrelate to one semi + one anti join, and the
+    dimension joins (supplier, nation) broadcast."""
+    plan = _plan(entry.q_tpch_q21(spark, SF))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q17_correlated_avg_broadcasts_threshold(spark, entry):
+    """The per-part avg-quantity threshold table is part-sized (small), so
+    joining it back to lineitem must broadcast, not shuffle lineitem."""
+    plan = _plan(entry.q_tpch_q17(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q2_min_joinback_broadcasts(spark, entry):
+    """Q2's decorrelated min is O(parts) rows: the join-back and all
+    dimension joins broadcast; the only shuffles are the distinct + agg."""
+    plan = _plan(entry.q_tpch_q2(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
