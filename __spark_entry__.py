@@ -1000,6 +1000,57 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_range_join(spark, sf):
+    """Bin-bucketed range join (operators/rangejoin.py): events falling in
+    six 2-hour windows per event type (window j starts j days after the
+    type's first event). The BETWEEN theta-join runs as a hash equi-join on
+    the time bin — no nested-loop — and the oracle is the naive BETWEEN."""
+    from stackstac_spark.operators.rangejoin import point_in_interval_join
+
+    ev = _events(spark, sf)
+    base = ev.groupBy(F.col("event_type").alias("itype")).agg(F.min("ts_us").alias("t0"))
+    iv = (
+        base.select(
+            "itype", "t0", F.explode(F.array([F.lit(j) for j in range(6)])).alias("j")
+        )
+        .select(
+            "itype",
+            "j",
+            (F.col("t0") + F.col("j") * F.lit(86400000000)).alias("start_us"),
+            (F.col("t0") + F.col("j") * F.lit(86400000000) + F.lit(7200000000)).alias(
+                "end_us"
+            ),
+        )
+    )
+    joined = point_in_interval_join(
+        ev.select("ts_us", "value"), iv, "ts_us", "start_us", "end_us",
+        bin_width=3600 * 1000000,
+    )
+    return (
+        joined.groupBy("itype", "j")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("itype", "j")
+    )
+
+
+SQL_RANGE_JOIN = f"""
+WITH ev AS ({_DUCK_EV}),
+base AS (SELECT event_type AS itype, min(ts_us) AS t0 FROM ev GROUP BY event_type),
+iv AS (
+  SELECT itype, j.g AS j,
+         t0 + j.g * 86400000000 AS start_us,
+         t0 + j.g * 86400000000 + 7200000000 AS end_us
+  FROM base, generate_series(0, 5) j(g)
+)
+SELECT itype, j, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM ev JOIN iv ON ev.ts_us BETWEEN iv.start_us AND iv.end_us
+GROUP BY itype, j ORDER BY itype, j
+"""
+
+
 # --------------------------------------------------------------------------
 # relational completeness, round 2: semi/anti joins, outer joins, rollup,
 # set ops, ranking windows, as-of join, statistical aggs
@@ -2148,6 +2199,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "tumbling_hourly": (q_tumbling_hourly, SQL_TUMBLING),
     "json_props": (q_json_props, SQL_JSON_PROPS),
+    "range_join": (q_range_join, SQL_RANGE_JOIN),
     "tpch_q2": (q_tpch_q2, SQL_TPCH_Q2),
     "tpch_q4": (q_tpch_q4, SQL_TPCH_Q4),
     "tpch_q7": (q_tpch_q7, SQL_TPCH_Q7),
