@@ -43,6 +43,18 @@ def main() -> None:
         _noop, "id LONG"
     ).count()
 
+    # scalar pandas UDFs run under a different eval type than mapInPandas —
+    # warm that worker path too (prepare's reprojection UDF uses it)
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("long")
+    def _noop_scalar(s):
+        return s
+
+    spark.range(int(cpus) * 4, numPartitions=int(cpus)).select(
+        _noop_scalar(col("id"))
+    ).count()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in e.queries().items():

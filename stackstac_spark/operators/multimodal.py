@@ -76,9 +76,9 @@ def make_fake_media(spark, n: int = 8, width: int = 32, height: int = 24) -> Dat
         (i, "image", "image/fake", width, height, 1, hashlib.sha256(bytes([i])).digest() * 8)
         for i in range(n)
     ]
-    # avoid empty partitions each forking a python worker downstream
-    k = max(1, min(n, spark.sparkContext.defaultParallelism))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(k)
+    from stackstac_spark.session import local_df
+
+    return local_df(spark, rows, MEDIA_SCHEMA)
 
 
 def extract_features(media: DataFrame, fake: bool = True, bins: int = 16) -> DataFrame:

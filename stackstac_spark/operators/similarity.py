@@ -187,9 +187,11 @@ def ivf_topk(
         for pl in probe_lists(r[1])
     ]
     spark = assigned.sparkSession
-    q_df = spark.createDataFrame(
-        probe, f"query_id BIGINT, qv ARRAY<DOUBLE>, list_id INT"
-    ).coalesce(1)
+    from stackstac_spark.session import local_df
+
+    q_df = local_df(
+        spark, probe, "query_id BIGINT, qv ARRAY<DOUBLE>, list_id INT"
+    )
 
     c = assigned.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "list_id"

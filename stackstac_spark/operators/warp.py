@@ -155,7 +155,10 @@ def reproject_tiles(
                     fw.col_off + fw.width + halo,
                 )
             )
-    dst_tiles = spark.createDataFrame(
+    from stackstac_spark.session import local_df
+
+    dst_tiles = local_df(
+        spark,
         rows,
         "dty INT, dtx INT, dr0 INT, dc0 INT, dh INT, dw INT, "
         "sr0 INT, sc0 INT, sr1 INT, sc1 INT",

@@ -223,8 +223,10 @@ def prepare(
             warnings.warn(
                 f"Dropping asset ids not present on any item: {unknown}", stacklevel=3
             )
-    band_idx_df = spark.createDataFrame(
-        [(a, i) for i, a in enumerate(asset_ids)], "asset_id STRING, band_idx INT"
+    from stackstac_spark.session import local_df
+
+    band_idx_df = local_df(
+        spark, [(a, i) for i, a in enumerate(asset_ids)], "asset_id STRING, band_idx INT"
     )
 
     # the items side is ~n_bands× smaller than the asset table; broadcast it

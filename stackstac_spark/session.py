@@ -48,3 +48,36 @@ def get_spark(
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...]) -> dict:
     """Read the given parquet tables from ``sf_dir`` as DataFrames."""
     return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+
+
+def local_df(spark: SparkSession, rows, schema):
+    """Driver-side rows → DataFrame as a JVM LocalRelation, not a Python RDD.
+
+    ``createDataFrame(list)`` builds a pickled-Python-RDD-backed frame:
+    EVERY downstream action re-runs a Python worker stage just to
+    deserialize a handful of metadata rows (~0.8 s/job of pure overhead),
+    and Catalyst can't constant-fold into it. Routing through pandas+Arrow
+    yields a LocalRelation: JVM-local bytes, zero Python round-trips, and
+    broadcast-able without running a job. Falls back to the plain path for
+    types the Arrow converter rejects.
+    """
+    from pyspark.sql.types import StructType
+
+    if rows:
+        try:
+            import pandas as pd
+
+            names = (
+                schema.fieldNames()
+                if isinstance(schema, StructType)
+                else [f.split()[0] for f in str(schema).split(",")]
+            )
+            pdf = pd.DataFrame(list(rows), columns=names)
+            df = spark.createDataFrame(pdf, schema)
+            # verify we actually got a LocalRelation (Arrow may silently
+            # fall back); if not, the plain path is no worse
+            if "LocalRelation" in df._jdf.queryExecution().optimizedPlan().toString():
+                return df
+        except Exception:
+            pass
+    return spark.createDataFrame(rows, schema)

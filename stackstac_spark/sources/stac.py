@@ -125,17 +125,16 @@ def items_to_dataframes(
         item_row, a_rows = _item_to_rows(it)
         item_rows.append(item_row)
         asset_rows.extend(a_rows)
-    # size partitions to the data: createDataFrame spreads even a handful of
-    # rows over defaultParallelism partitions, and every empty partition
-    # still forks a python worker in the downstream mapInPandas scan. The
-    # production ingest path (items_from_jsonl) sizes itself by input splits
-    # and doesn't need this.
-    def _sized(rows, schema):
-        df = spark.createDataFrame(rows, schema)
-        n = max(1, min(len(rows), spark.sparkContext.defaultParallelism))
-        return df.coalesce(n)
+    # LocalRelation-backed frames (session.local_df): JVM-local metadata, no
+    # Python worker round-trip per action, and Spark sizes the downstream
+    # stages to the data instead of defaultParallelism. The production
+    # ingest path (items_from_jsonl) sizes itself by input splits.
+    from stackstac_spark.session import local_df
 
-    return _sized(item_rows, ITEM_SCHEMA), _sized(asset_rows, ASSET_SCHEMA)
+    return (
+        local_df(spark, item_rows, ITEM_SCHEMA),
+        local_df(spark, asset_rows, ASSET_SCHEMA),
+    )
 
 
 def _item_to_rows(it: dict) -> tuple[tuple, list[tuple]]:

