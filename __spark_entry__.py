@@ -2133,19 +2133,27 @@ def q_raster_xyz_png(spark, sf):
     n13 = 2**13
     tx = int((cx + EXT) / (2 * EXT) * n13)
     ty = int((EXT - cy) / (2 * EXT) * n13)
-    rows = []
-    for z, x, y in ((13, tx, ty), (13, tx + 1, ty), (13, tx, ty + 1), (5, 0, 0)):
+    def one_tile(zxy):
+        # each viewport tile is an independent warp+mosaic job; submit them
+        # concurrently (Spark's scheduler is thread-safe), like the browser's
+        # parallel tile requests the reference's server answers (show.py:44)
+        z, x, y = zxy
         warped = xyztile_of_tiles(st.tiles, st.spec, z, x, y, tilesize=64)
         if warped is None:
             png = empty_tile((64, 64), checkerboard=False)
-            rows.append((z, x, y, len(png), True))
-            continue
+            return (z, x, y, len(png), True)
         tiles = mosaic_tiles(warped).collect()
         arr = np.full((1, 64, 64), np.nan)
         for r in tiles:
             arr[0] = np.frombuffer(r.data, dtype="float64").reshape(r.tile_h, r.tile_w)
         png = arr_to_png(arr, (0.0, 3100.0), cmap="viridis", checkerboard=False)
-        rows.append((z, x, y, len(png), bool(np.isnan(arr).all())))
+        return (z, x, y, len(png), bool(np.isnan(arr).all()))
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    zxys = [(13, tx, ty), (13, tx + 1, ty), (13, tx, ty + 1), (5, 0, 0)]
+    with ThreadPoolExecutor(len(zxys)) as pool:
+        rows = list(pool.map(one_tile, zxys))
     return spark.createDataFrame(rows, "z INT, x INT, y INT, n_bytes INT, is_blank BOOLEAN")
 
 
