@@ -1305,7 +1305,19 @@ def q_tpch_q2(spark, sf):
     supplier = _t(spark, sf, "supplier")
     nation = _t(spark, sf, "nation")
     region = _t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
-    shipped = _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    # the correlated min is per-partkey, so pruning lineitem to the filtered
+    # part list BEFORE the distinct is semantics-preserving — and turns the
+    # distinct's shuffle input from all of lineitem into ~1/250 of it
+    shipped = (
+        _t(spark, sf, "lineitem")
+        .join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
     eu_supp = (
         supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -2126,7 +2138,9 @@ def q_raster_xyz_png(spark, sf):
     from stackstac_spark.functions.proj import reproject_bounds
     from stackstac_spark.operators.warp import WEB_MERCATOR_EXTENT as EXT
 
-    st = _raster_stack(spark, bands=("red",))
+    # reuse the shared 2-band stack (band-select is a Catalyst filter) rather
+    # than running a second prepare pass for a single-band stack
+    st = _raster_stack(spark).sel_bands(["red"])
     # derive the zoom-13 tile containing the AOI center (deterministic)
     b3857 = reproject_bounds(st.spec.bounds, 32633, 3857)
     cx, cy = (b3857[0] + b3857[2]) / 2, (b3857[1] + b3857[3]) / 2
