@@ -27,8 +27,10 @@ def canonical_hash(df: pd.DataFrame) -> str:
         if isinstance(v, float):
             if math.isnan(v):
                 return "NaN"
-            if v == int(v) and abs(v) < 1e15:
-                return str(int(v))
+            # Render floats distinctly from ints: the driver's hash does NOT
+            # collapse 123.0 -> "123", so a DuckDB HUGEINT surfacing as float
+            # must fail here too (it failed tpch_q12 in round 1 while this
+            # mirror reported green).
             return repr(v)
         if isinstance(v, bool):
             return str(bool(v))
