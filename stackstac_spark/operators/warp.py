@@ -110,11 +110,14 @@ def reproject_tiles(
 ) -> DataFrame:
     """Warp the tile DataFrame onto ``dst_spec``.
 
-    Plan shape: generate the destination tile grid; compute each dst tile's
-    source-bounds footprint (4-corner reprojection, driver-side — the grid is
-    small); range-join source tiles to dst tiles they overlap (+halo);
-    groupBy dst tile assembling the padded source block; interpolate.
-    One shuffle (the groupBy); every kernel is O(tile²).
+    Plan shape: generate the destination tile grid EXECUTOR-SIDE
+    (``sequence``+``explode``, the grid.py:50 pattern — a full-raster
+    cross-CRS reproject has millions of dst tiles, so a driver loop would
+    serialize the job before it starts); compute each dst tile's
+    source-bounds footprint with the same Arrow-batched 4-corner
+    reprojection kernel prepare uses; range-join source tiles to dst tiles
+    they overlap (+halo); groupBy dst tile assembling the padded source
+    block; interpolate. One shuffle (the groupBy); every kernel is O(tile²).
     """
     if method not in ("nearest", "linear", "bilinear"):
         raise ValueError(f"interpolation must be nearest/linear, got {method!r}")
@@ -124,44 +127,60 @@ def reproject_tiles(
     n_ty = -(-dh // chunksize)
     n_tx = -(-dw // chunksize)
     sxres, syres = src_spec.resolutions_xy
+    dxres, dyres = dst_spec.resolutions_xy
+    dminx, _, _, dmaxy = dst_spec.bounds
+    sminx, _, _, smaxy = src_spec.bounds
 
-    # destination tile table with its source-pixel footprint (driver-side:
-    # O(dst tiles) rows of plain arithmetic, broadcast to the join)
-    rows = []
-    for ty in range(n_ty):
-        for tx in range(n_tx):
-            r0, c0 = ty * chunksize, tx * chunksize
-            h = min(chunksize, dh - r0)
-            w = min(chunksize, dw - c0)
-            dxres, dyres = dst_spec.resolutions_xy
-            dminx, _, _, dmaxy = dst_spec.bounds
-            bounds = (
-                dminx + c0 * dxres,
-                dmaxy - (r0 + h) * dyres,
-                dminx + (c0 + w) * dxres,
-                dmaxy - r0 * dyres,
-            )
-            # footprint of this dst tile on the source grid, in source CRS
-            from stackstac_spark.functions.proj import reproject_bounds
+    from stackstac_spark.prepare import _bounds_to_out_epsg_udf
 
-            sb = reproject_bounds(bounds, dst_spec.epsg, src_spec.epsg)
-            fw = src_spec.pixel_window_from_bounds(sb)
-            rows.append(
-                (
-                    ty, tx, r0, c0, h, w,
-                    fw.row_off - halo,
-                    fw.col_off - halo,
-                    fw.row_off + fw.height + halo,
-                    fw.col_off + fw.width + halo,
-                )
-            )
-    from stackstac_spark.session import local_df
+    reproj = _bounds_to_out_epsg_udf(src_spec.epsg)
 
-    dst_tiles = local_df(
-        spark,
-        rows,
-        "dty INT, dtx INT, dr0 INT, dc0 INT, dh INT, dw INT, "
-        "sr0 INT, sc0 INT, sr1 INT, sc1 INT",
+    # destination tile table with its source-pixel footprint — all column
+    # arithmetic plus one vectorized reprojection UDF; nothing iterates on
+    # the driver regardless of grid size
+    dst_grid = (
+        spark.range(1)
+        .select(F.explode(F.sequence(F.lit(0), F.lit(n_ty - 1))).alias("dty"))
+        .select("dty", F.explode(F.sequence(F.lit(0), F.lit(n_tx - 1))).alias("dtx"))
+        .select(
+            "dty",
+            "dtx",
+            (F.col("dty") * chunksize).cast("int").alias("dr0"),
+            (F.col("dtx") * chunksize).cast("int").alias("dc0"),
+        )
+        .select(
+            "*",
+            F.least(F.lit(chunksize), F.lit(dh) - F.col("dr0")).cast("int").alias("dh"),
+            F.least(F.lit(chunksize), F.lit(dw) - F.col("dc0")).cast("int").alias("dw"),
+        )
+        .select(
+            "*",
+            F.array(
+                F.lit(dminx) + F.col("dc0") * F.lit(dxres),
+                F.lit(dmaxy) - (F.col("dr0") + F.col("dh")) * F.lit(dyres),
+                F.lit(dminx) + (F.col("dc0") + F.col("dw")) * F.lit(dxres),
+                F.lit(dmaxy) - F.col("dr0") * F.lit(dyres),
+            ).alias("dbounds"),
+        )
+        .withColumn("sb", reproj(F.col("dbounds"), F.lit(int(dst_spec.epsg))))
+    )
+    # fractional source window (raster_spec.window_from_bounds as columns),
+    # outward-rounded with the same 1e-9 epsilon, then ± halo
+    col_off = (F.col("sb")[0] - F.lit(sminx)) / F.lit(sxres)
+    row_off = (F.lit(smaxy) - F.col("sb")[3]) / F.lit(syres)
+    height = (F.col("sb")[3] - F.col("sb")[1]) / F.lit(syres)
+    width = (F.col("sb")[2] - F.col("sb")[0]) / F.lit(sxres)
+    dst_tiles = dst_grid.select(
+        "dty",
+        "dtx",
+        "dr0",
+        "dc0",
+        "dh",
+        "dw",
+        (F.floor(row_off + 1e-9) - halo).cast("int").alias("sr0"),
+        (F.floor(col_off + 1e-9) - halo).cast("int").alias("sc0"),
+        (F.ceil(row_off + height - 1e-9) + halo).cast("int").alias("sr1"),
+        (F.ceil(col_off + width - 1e-9) + halo).cast("int").alias("sc1"),
     )
 
     # source tiles ⋈ dst tiles on pixel-window overlap

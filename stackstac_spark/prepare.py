@@ -130,6 +130,45 @@ def select_asset_ids(
 # --- reprojection UDF --------------------------------------------------------
 
 
+def _pixel_res_udf(out_epsg: int):
+    """Arrow-batched kernel for cross-CRS resolution inference: reproject the
+    (0,0) pixel's 1-px box into the output CRS and return [width, height] in
+    output-CRS units — exactly the reference's approach (prepare.py:287-301),
+    which builds ``asset_affine * [(0,0),(0,1),(1,1),(1,0)]`` and reprojects
+    the four corners. Dividing native bounds by shape instead would yield a
+    resolution in NATIVE units, wrong by orders of magnitude when the units
+    differ (UTM meters vs 4326 degrees)."""
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _pxres(transform: pd.Series, epsg: pd.Series) -> pd.Series:
+        out = pd.Series([None] * len(transform), index=transform.index, dtype=object)
+        valid = transform.notna() & epsg.notna()
+        if not valid.any():
+            return out
+        t = np.stack(transform[valid].to_numpy())  # (n, >=6): a,b,c,d,e,f
+        e = epsg[valid].to_numpy().astype("int64")
+        # unit-pixel corners as (col, row) pairs
+        corners = np.array([(0.0, 0.0), (0.0, 1.0), (1.0, 1.0), (1.0, 0.0)])
+        xs = np.outer(corners[:, 0], t[:, 0]) + np.outer(corners[:, 1], t[:, 1]) + t[:, 2]
+        ys = np.outer(corners[:, 0], t[:, 3]) + np.outer(corners[:, 1], t[:, 4]) + t[:, 5]
+        res = np.empty((len(t), 2))
+        for code in np.unique(e):
+            m = e == code
+            cx, cy = xs[:, m], ys[:, m]
+            if int(code) != out_epsg:
+                tx, ty = transform_xy(int(code), out_epsg, cx.ravel(), cy.ravel())
+                cx = tx.reshape(4, -1)
+                cy = ty.reshape(4, -1)
+            res[m, 0] = cx.max(axis=0) - cx.min(axis=0)
+            res[m, 1] = cy.max(axis=0) - cy.min(axis=0)
+        vals = np.empty(len(res), dtype=object)
+        vals[:] = [list(map(float, r)) for r in res]
+        out.iloc[np.flatnonzero(valid.to_numpy())] = vals
+        return out
+
+    return _pxres
+
+
 def _bounds_to_out_epsg_udf(out_epsg: int):
     """Arrow-batched kernel: (bounds, src_epsg) → bounds in out CRS via
     4-corner reprojection. Batched per Arrow chunk; groups rows by src_epsg
@@ -323,13 +362,23 @@ def prepare(
     #      (prepare.py:335-354) in ONE aggregate pass over the asset table —
     #      every check/inference is a conditional min/max, so a catalog of
     #      millions of assets costs exactly one map-side-combined job here.
+    #      Resolution branches mirror the reference exactly:
+    #        transform + same CRS   → |a|, |e| of the geotransform
+    #        transform + cross CRS  → 1-px box reprojected to out CRS (UDF)
+    #        no transform           → out-CRS bbox extent / proj:shape
     ob = lambda i: F.col("out_bounds")[i]  # noqa: E731
-    same_crs = (F.col("asset_epsg") == out_epsg) & F.col("eff_transform").isNotNull()
-    cross_crs = (
-        ((F.col("asset_epsg") != out_epsg) | F.col("eff_transform").isNull())
-        & F.col("native_bounds").isNotNull()
-        & F.col("eff_shape").isNotNull()
-    )
+    has_trans = F.col("eff_transform").isNotNull() & F.col("asset_epsg").isNotNull()
+    same_crs = has_trans & (F.col("asset_epsg") == F.lit(out_epsg))
+    cross_crs = has_trans & (F.col("asset_epsg") != F.lit(out_epsg))
+    no_trans = F.col("eff_transform").isNull() | F.col("asset_epsg").isNull()
+    if resolution is None:
+        pxres = _pixel_res_udf(out_epsg)
+        at = at.withColumn(
+            "px_res",
+            pxres(F.when(cross_crs, F.col("eff_transform")), F.col("asset_epsg")),
+        )
+    else:
+        at = at.withColumn("px_res", F.lit(None).cast("array<double>"))
     g = at.agg(
         # multi-band raster:bands guard (prepare.py:152-159; NaN scale flag)
         F.max(F.when(F.isnan("scale"), F.struct("asset_id", "item_id"))).alias("bad_scale"),
@@ -344,23 +393,42 @@ def prepare(
                 F.struct("scale", "offset"),
             )
         ).alias("rescale_witness"),
+        # non-rectilinear same-CRS geotransform witness (reference raises
+        # NotImplementedError in auto-resolution mode, prepare.py:276-284)
+        F.max(
+            F.when(
+                same_crs
+                & ((F.col("eff_transform")[1] != 0.0) | (F.col("eff_transform")[3] != 0.0)),
+                F.struct("asset_id", "item_id"),
+            )
+        ).alias("non_rect"),
         # same-CRS resolution = min |a|,|e| of the geotransform
         F.min(F.when(same_crs, F.abs(F.col("eff_transform")[0]))).alias("same_rx"),
         F.min(F.when(same_crs, F.abs(F.col("eff_transform")[4]))).alias("same_ry"),
-        # cross-CRS fallback = bbox/shape quotient (native units; equivalent
-        # to the reference's 1-px reprojection for rectilinear UTM↔UTM)
+        # cross-CRS: 1-px box reprojected into the output CRS (output units)
+        F.min(F.when(cross_crs, F.col("px_res")[0])).alias("cross_rx"),
+        F.min(F.when(cross_crs, F.col("px_res")[1])).alias("cross_ry"),
+        # no geotransform: out-CRS bbox extent / proj:shape — out_bounds is
+        # ALREADY reprojected, so this is in output units (the reference's
+        # asset_bbox_proj / asset_shape quotient, prepare.py:305-325)
         F.min(
             F.when(
-                cross_crs,
-                (F.col("native_bounds")[2] - F.col("native_bounds")[0]) / F.col("eff_shape")[1],
+                no_trans & F.col("eff_shape").isNotNull(),
+                (ob(2) - ob(0)) / F.col("eff_shape")[1],
             )
-        ).alias("cross_rx"),
+        ).alias("shape_rx"),
         F.min(
             F.when(
-                cross_crs,
-                (F.col("native_bounds")[3] - F.col("native_bounds")[1]) / F.col("eff_shape")[0],
+                no_trans & F.col("eff_shape").isNotNull(),
+                (ob(3) - ob(1)) / F.col("eff_shape")[0],
             )
-        ).alias("cross_ry"),
+        ).alias("shape_ry"),
+        # resolution-inference failure witness: no transform AND no shape
+        F.max(
+            F.when(
+                no_trans & F.col("eff_shape").isNull(), F.struct("asset_id", "item_id")
+            )
+        ).alias("no_res"),
         # bounds union
         F.min(ob(0)).alias("minx"),
         F.min(ob(1)).alias("miny"),
@@ -392,11 +460,27 @@ def prepare(
             else (float(resolution[0]), float(resolution[1]))
         )
     else:
+        if g.non_rect is not None:
+            raise NotImplementedError(
+                f"Cannot automatically compute the resolution: asset "
+                f"{g.non_rect.asset_id!r} on item {g.non_rect.item_id!r} has a "
+                "non-rectilinear geotrans (its data is not axis-aligned). "
+                "Please specify the `resolution=` argument."
+            )
+        if g.no_res is not None:
+            raise ValueError(
+                f"Cannot automatically compute the resolution: asset "
+                f"{g.no_res.asset_id!r} on item {g.no_res.item_id!r} provides "
+                "neither proj:transform+proj:epsg nor proj:shape. "
+                "Please specify the `resolution=` argument."
+            )
         cand = []
         if g.same_rx is not None:
             cand.append((float(g.same_rx), float(g.same_ry)))
         if g.cross_rx is not None:
             cand.append((float(g.cross_rx), float(g.cross_ry)))
+        if g.shape_rx is not None:
+            cand.append((float(g.shape_rx), float(g.shape_ry)))
         if not cand:
             raise ValueError("Cannot infer resolution; pass resolution=")
         res_xy = (min(c[0] for c in cand), min(c[1] for c in cand))

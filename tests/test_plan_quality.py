@@ -87,6 +87,33 @@ def test_raster_scan_path_has_no_shuffle(spark):
     assert not hash_exchanges, hash_exchanges
 
 
+def test_warp_dst_grid_is_generated_executor_side(spark):
+    """The destination tile grid of a reproject must come from
+    sequence+explode on executors, not a driver-side Python loop: a
+    full-raster cross-CRS warp has millions of dst tiles, and a driver loop
+    would both OOM and serialize the job before it starts."""
+    from stackstac_spark.operators.warp import reproject_tiles
+    from stackstac_spark.raster_spec import RasterSpec
+    from stackstac_spark.stack import stack as _stack
+    from tests.conftest import make_item
+
+    st = _stack(
+        spark,
+        [make_item(0, "2024-01-05T00:00:00Z", (0.0, 0.0, 32.0, 32.0))],
+        assets=["red"],
+        chunksize=16,
+    )
+    dst = RasterSpec(3857, (0.0, 0.0, 64.0, 64.0), (2.0, 2.0))
+    plan = _plan(reproject_tiles(st.tiles, st.spec, dst, chunksize=16))
+    # sequence() constant-folds to a literal array, so match the Generate
+    # nodes producing the dst tile coordinates
+    assert "Generate explode" in plan and "[dty" in plan and "[dtx" in plan
+    # the grid must NOT arrive as a driver-materialized LocalTableScan
+    assert "LocalTableScan [dty" not in plan
+    # and the grid side still reaches the overlap join as a broadcast
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
 def test_q21_exists_shapes_are_semi_and_anti(spark, entry):
     """EXISTS/NOT EXISTS decorrelate to one semi + one anti join, and the
     dimension joins (supplier, nation) broadcast."""
