@@ -43,22 +43,63 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: i
     ).distinct()
 
 
-def exact_duplicates(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", normalize: bool = True
-) -> DataFrame:
-    """Exact dedup via hash-groupBy: (fingerprint, canonical_id, n_copies,
-    ids). Normalization collapses whitespace + case first."""
+def _exact_fingerprint(text_col: str, normalize: bool):
     key = F.col(text_col)
     if normalize:
         key = F.regexp_replace(F.lower(key), r"\s+", " ")
-    return (
-        df.groupBy(F.md5(key).alias("fingerprint"))
-        .agg(
-            F.min(id_col).alias("canonical_id"),
-            F.count(F.lit(1)).alias("n_copies"),
-            F.sort_array(F.collect_list(id_col)).alias("ids"),
+    return F.md5(key)
+
+
+def exact_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: bool = True,
+    sample_ids: int = 0,
+) -> DataFrame:
+    """Exact dedup via hash-groupBy: (fingerprint, canonical_id, n_copies).
+
+    Deliberately does NOT materialize the full id list per group: at corpus
+    scale a viral duplicate (10⁷ copies of boilerplate) would put a
+    10⁷-element array in one row and OOM the task. ``sample_ids=K`` adds a
+    bounded ``id_sample`` column (first K ids in sort order); for the full
+    id → canonical mapping use :func:`duplicate_mapping`, which is a join,
+    not a per-group array."""
+    aggs = [
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    ]
+    if sample_ids > 0:
+        # bounded: collect_list is capped by slice AFTER sort, so worst-case
+        # memory per group is O(group) during the agg — cap the sample small
+        # and prefer duplicate_mapping for anything downstream
+        aggs.append(
+            F.slice(F.sort_array(F.collect_list(id_col)), 1, sample_ids).alias("id_sample")
         )
+    return (
+        df.groupBy(_exact_fingerprint(text_col, normalize).alias("fingerprint"))
+        .agg(*aggs)
         .filter(F.col("n_copies") > 1)
+    )
+
+
+def duplicate_mapping(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", normalize: bool = True
+) -> DataFrame:
+    """(id, canonical_id) for every NON-canonical duplicate — the drop list.
+
+    Shaped as a fingerprint equi-join back to the corpus instead of a
+    per-group array, so a group with 10⁷ members is 10⁷ ordinary rows
+    spread across partitions, never one giant row."""
+    groups = exact_duplicates(df, id_col, text_col, normalize).select(
+        "fingerprint", "canonical_id"
+    )
+    fp = _exact_fingerprint(text_col, normalize)
+    return (
+        df.select(F.col(id_col), fp.alias("fingerprint"))
+        .join(groups, "fingerprint")
+        .filter(F.col(id_col) != F.col("canonical_id"))
+        .select(id_col, "canonical_id")
     )
 
 

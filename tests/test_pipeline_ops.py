@@ -21,12 +21,34 @@ def docs_df(spark):
 
 
 def test_exact_dedup(spark, docs_df):
-    from stackstac_spark.operators.dedup import exact_duplicates
+    from stackstac_spark.operators.dedup import duplicate_mapping, exact_duplicates
 
-    groups = exact_duplicates(docs_df).collect()
+    groups = exact_duplicates(docs_df, sample_ids=2).collect()
     assert len(groups) == 1
     g = groups[0]
-    assert g.canonical_id == 0 and g.n_copies == 3 and g.ids == [0, 1, 2]
+    assert g.canonical_id == 0 and g.n_copies == 3 and g.id_sample == [0, 1]
+    # default output is bounded: no per-group id array
+    assert "ids" not in exact_duplicates(docs_df).columns
+    # the full mapping comes back as a join, one row per dropped duplicate
+    mapping = sorted(
+        (r.doc_id, r.canonical_id) for r in duplicate_mapping(docs_df).collect()
+    )
+    assert mapping == [(1, 0), (2, 0)]
+
+
+def test_exact_dedup_viral_group_stays_bounded(spark):
+    """A fingerprint with 1e5 copies: groups row stays O(1), the mapping has
+    n-1 rows — nothing materializes a 1e5-element array."""
+    from stackstac_spark.operators.dedup import duplicate_mapping, exact_duplicates
+
+    n = 100_000
+    viral = spark.range(n).selectExpr("id AS doc_id", "'boiler plate text' AS text")
+    groups = exact_duplicates(viral, sample_ids=3).collect()
+    assert len(groups) == 1
+    assert groups[0].n_copies == n
+    assert groups[0].canonical_id == 0
+    assert groups[0].id_sample == [0, 1, 2]
+    assert duplicate_mapping(viral).count() == n - 1
 
 
 def test_minhash_lsh_finds_near_dups(spark, docs_df):
