@@ -28,28 +28,48 @@ _AGGS = {
 }
 
 
+_UNIT_MONTHS = {"month": 1, "quarter": 3, "year": 12}
+
+
 def resample_time(
     pixels_with_time: DataFrame,
     every: str = "1 month",
     agg: str = "median",
     value_col: str = "value",
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """Tumbling event-time window + per-pixel reduction: the Spark-native
     ``.resample(time=...).agg(...)``. ``pixels_with_time`` must carry a
     ``time`` timestamp column (pixels ⋈ items_df on item_idx).
 
-    Calendar units (month/quarter/year — pandas "MS"-style resampling, the
-    reference's docs use ``.resample(time="MS")``) bucket via ``date_trunc``;
-    fixed durations (minutes/hours/days/weeks) use ``window()``. Both are a
-    single hash aggregate."""
+    Calendar units (``"N month/quarter/year"`` — pandas offset-style
+    resampling, the reference delegates arbitrary offsets to xarray) bucket
+    by integer epoch-month arithmetic anchored at 1970-01, so "3 months"
+    and "2 quarters" work like pandas "3MS"/"2QS"; fixed durations
+    (minutes/hours/days/weeks) use ``window()``. Either way it is a single
+    hash aggregate."""
     fn = _AGGS[agg]
-    keys = [c for c in ("band_idx", "row", "col") if c in pixels_with_time.columns]
-    unit = every.split()[-1].rstrip("s").lower()
-    if unit in ("month", "quarter", "year"):
-        n = int(every.split()[0]) if every.split()[0].isdigit() else 1
-        if n != 1:
-            raise ValueError(f"Calendar resample supports 1-unit periods, got {every!r}")
-        period = F.date_trunc(unit, F.col("time")).alias("period_start")
+    if keys is None:
+        keys = [c for c in ("band_idx", "row", "col") if c in pixels_with_time.columns]
+    parts = every.split()
+    head, unit = (parts[0], parts[-1]) if len(parts) > 1 else ("1", parts[0])
+    unit = unit.rstrip("s").lower()
+    if unit in _UNIT_MONTHS:
+        n = int(head) if head.isdigit() else 1
+        step = _UNIT_MONTHS[unit] * n
+        # months since 1970-01, floored to the period start — pure integer
+        # column arithmetic, TZ-immune, still one hash agg
+        m = (F.year("time") - F.lit(1970)) * 12 + F.month("time") - F.lit(1)
+        b = (F.floor(m / F.lit(step)) * step).cast("int")
+        period = (
+            F.make_date(
+                F.lit(1970) + F.floor(b / F.lit(12)).cast("int"),
+                F.pmod(b, F.lit(12)) + F.lit(1),
+                F.lit(1),
+            )
+            .cast("timestamp")
+            .alias("period_start")
+        )
     else:
         period = F.window("time", every).start.alias("period_start")
     return (

@@ -73,6 +73,21 @@ def test_resample_time_and_reduce_dims(spark):
     m0 = next(r for r in med if r.row == 0 and r.col == 0)
     assert m0.median == 1000.0  # median of {0, 1000, 2000}
 
+    # multi-period calendar resample ("2 months" = pandas 2MS anchored at
+    # 1970-01): Jan+Feb 2024 both land in the 2024-01-01 bucket (even month
+    # count since epoch), so every pixel has exactly one period
+    bimonthly = resample_time(px, every="2 months", agg="mean").collect()
+    assert len(bimonthly) == 64
+    b0 = next(r for r in bimonthly if r.row == 0 and r.col == 0)
+    assert (b0.period_start.year, b0.period_start.month, b0.period_start.day) == (2024, 1, 1)
+    assert b0.mean == 1000.0  # (0 + 1000 + 2000) / 3
+
+    # 2-quarter periods: H1-2024 bucket starts 2024-01-01
+    semi = resample_time(px, every="2 quarters", agg="count").collect()
+    assert len(semi) == 64
+    s0 = next(r for r in semi if r.row == 0 and r.col == 0)
+    assert (s0.period_start.month, s0["count"]) == (1, 3)  # ["count"]: tuple.count shadows the field
+
 
 def test_integer_dtype_stack(spark):
     """Reference parity: non-float dtypes with a castable fill_value
