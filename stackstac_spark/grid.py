@@ -16,31 +16,140 @@ scan path at all.
 
 from __future__ import annotations
 
+import math
+import re
+
+import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stackstac_spark.raster_spec import RasterSpec
 
+# dask's default target chunk size ("array.chunk-size" config) — used for
+# chunksize="auto", matching the reference's delegation to
+# da.core.normalize_chunks (to_dask.py:219-231)
+AUTO_TARGET_BYTES = 128 * 2**20
+
+_BYTES_RE = re.compile(r"^\s*(\d+(?:\.\d+)?)\s*([KMGTP]i?)?B\s*$", re.IGNORECASE)
+_BYTES_MULT = {
+    "": 1,
+    "K": 1000,
+    "M": 1000**2,
+    "G": 1000**3,
+    "T": 1000**4,
+    "P": 1000**5,
+    "KI": 1024,
+    "MI": 1024**2,
+    "GI": 1024**3,
+    "TI": 1024**4,
+    "PI": 1024**5,
+}
+
+
+def _parse_bytes(s: str) -> int:
+    m = _BYTES_RE.match(s)
+    if not m:
+        raise ValueError(
+            f"Unparseable chunksize {s!r}: expected an int, 'auto', a byte "
+            "string like '128MiB', -1/None, a (h, w) pair, or a dim dict"
+        )
+    return int(float(m.group(1)) * _BYTES_MULT[(m.group(2) or "").upper()])
+
+
+def normalize_chunksize(
+    chunksize,
+    shape: tuple[int, int],
+    dtype: str = "float64",
+    target_bytes: int = AUTO_TARGET_BYTES,
+) -> tuple[int, int]:
+    """Normalize every chunk spec form the reference accepts
+    (to_dask.py:219-231 → dask normalize_chunks; fuzzed shapes in
+    testing/strategies.py:34-79) down to a spatial (chunk_h, chunk_w):
+
+    - int → square chunks; -1 / None → the full dim;
+    - "auto" → square chunks of ~128 MiB (dask's default target);
+    - byte strings ("8B", "100KiB", "64MiB") → square chunks of ~that size;
+    - (h, w) pairs mixing any of the above; 4-tuples and dim dicts in dask
+      layout, where time/band chunking must stay 1 (the tile model is one
+      row per item × band — chunking those dims >1 is a different physical
+      layout, rejected loudly rather than silently ignored).
+    """
+    h, w = int(shape[0]), int(shape[1])
+    itemsize = np.dtype(dtype).itemsize
+    cv = chunksize
+
+    def _reject_tb(v, dim):
+        if not (v is None or v == 1 or v == -1):
+            raise NotImplementedError(
+                f"Chunking the {dim} dimension (got {v!r}) is unsupported: "
+                "tiles are one row per item x band by construction"
+            )
+
+    if isinstance(cv, dict):
+        for k, v in cv.items():
+            if k in (0, 1, "time", "band"):
+                _reject_tb(v, {0: "time", 1: "band"}.get(k, k))
+        cv = (cv.get(2, cv.get("y", -1)), cv.get(3, cv.get("x", -1)))
+    if isinstance(cv, (tuple, list)) and len(cv) == 4:
+        _reject_tb(cv[0], "time")
+        _reject_tb(cv[1], "band")
+        cv = tuple(cv[2:])
+
+    if cv is None:
+        return (h, w)
+    if isinstance(cv, (int, np.integer)):
+        return (h, w) if cv == -1 else (int(cv), int(cv))
+    if isinstance(cv, str):
+        nbytes = target_bytes if cv == "auto" else _parse_bytes(cv)
+        side = max(math.isqrt(max(nbytes // itemsize, 1)), 1)
+        return (min(side, h) or 1, min(side, w) or 1)
+
+    if isinstance(cv, (tuple, list)) and len(cv) == 2:
+        a, b = cv
+
+        def fixed(v, full):
+            if v is None or (isinstance(v, (int, np.integer)) and v == -1):
+                return full
+            if isinstance(v, (int, np.integer)):
+                return int(v)
+            return None  # string form: resolved against the byte budget below
+
+        fa, fb = fixed(a, h), fixed(b, w)
+        if fa is not None and fb is not None:
+            return (fa, fb)
+        # at least one dim is "auto"/bytes: fixed dims constrain the budget
+        def budget(v):
+            return target_bytes if v == "auto" else _parse_bytes(v)
+
+        if fa is None and fb is None:
+            sa = max(math.isqrt(max(budget(a) // itemsize, 1)), 1)
+            sb = max(math.isqrt(max(budget(b) // itemsize, 1)), 1)
+            return (min(sa, h) or 1, min(sb, w) or 1)
+        if fa is None:
+            side = max(budget(a) // (itemsize * max(fb, 1)), 1)
+            return (min(int(side), h) or 1, fb)
+        side = max(budget(b) // (itemsize * max(fa, 1)), 1)
+        return (fa, min(int(side), w) or 1)
+
+    raise ValueError(f"Unsupported chunksize spec: {chunksize!r}")
+
 
 def tile_grid(
     spark: SparkSession,
     spec: RasterSpec,
-    chunksize: int | tuple[int, int] = 1024,
+    chunksize: int | str | tuple | dict | None = 1024,
     bounds: tuple[float, float, float, float] | None = None,
+    dtype: str = "float64",
 ) -> DataFrame:
     """DataFrame of output tiles: one row per (tile_y, tile_x) chunk.
 
     Columns: tile_y, tile_x, row_off, col_off, tile_h, tile_w and the tile's
     world bounds (minx..maxy). An optional AOI ``bounds`` is applied as a
     range predicate so Catalyst prunes tiles before any join. ``chunksize``
-    may be an int or a (chunk_h, chunk_w) pair (the reference accepts
-    per-axis chunk specs, stack.py:171-192 / to_dask.py:219-231).
+    accepts every form the reference does (see
+    :func:`normalize_chunksize`).
     """
-    chunk_h, chunk_w = (
-        (int(chunksize), int(chunksize))
-        if isinstance(chunksize, int)
-        else (int(chunksize[0]), int(chunksize[1]))
-    )
+    chunk_h, chunk_w = normalize_chunksize(chunksize, spec.shape, dtype)
     height, width = spec.shape
     n_ty = -(-height // chunk_h)
     n_tx = -(-width // chunk_w)

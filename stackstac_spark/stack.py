@@ -130,7 +130,7 @@ def stack(
     bounds: Bbox | None = None,
     bounds_latlon: Bbox | None = None,
     snap_bounds: bool = True,
-    chunksize: int = 1024,
+    chunksize: int | str | tuple | dict | None = 1024,
     fill_value: float = np.nan,
     rescale: bool = True,
     sortby_date: str = "asc",
@@ -164,7 +164,7 @@ def stack(
         dtype=dtype,
         sortby_date=sortby_date,
     )
-    tiles_grid = tile_grid(spark, prepared.spec, chunksize=chunksize, bounds=bounds)
+    tiles_grid = tile_grid(spark, prepared.spec, chunksize=chunksize, bounds=bounds, dtype=dtype)
     joined = join_assets_to_tiles(prepared.asset_table, tiles_grid)
     kwargs: dict = dict(
         fill_value=fill_value, resampling=resampling, gdal_env=gdal_env, dtype=dtype
