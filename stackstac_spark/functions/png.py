@@ -41,10 +41,11 @@ def _apply_cmap(norm: np.ndarray, cmap: str) -> np.ndarray:
 
 
 def make_checkerboard(shape: tuple[int, int], size: int = 8) -> np.ndarray:
-    """Alpha checkerboard for missing data (show.py:973-978)."""
+    """Boolean checkerboard for missing data (show.py:973-978) — True on the
+    cells that get the faint alpha-30 overlay."""
     h, w = shape
     yy, xx = np.meshgrid(np.arange(h) // size, np.arange(w) // size, indexing="ij")
-    return (((yy + xx) % 2) * 60 + 160).astype("uint8")
+    return ((yy + xx) % 2).astype(bool)
 
 
 def encode_png_rgba(rgba: np.ndarray) -> bytes:
@@ -94,13 +95,16 @@ def arr_to_png(
         rgb = _apply_cmap(norm[0], cmap or "viridis")
     else:
         if nb == 2:
-            norm = np.concatenate([norm, np.zeros_like(norm[:1])], axis=0)
+            # reference show.py:957-960: 2-band input duplicates band 0 as
+            # the blue channel ([b0, b1, b0]), not zero-fill
+            norm = np.concatenate([norm, norm[:1]], axis=0)
         rgb = (norm[:3] * 255).astype("uint8").transpose(1, 2, 0)
     alpha = np.where(mask, 0, 255).astype("uint8")
     if checkerboard:
-        board = make_checkerboard(mask.shape)
-        rgb = np.where(mask[..., None], board[..., None], rgb)
-        alpha = np.where(mask, 255, alpha).astype("uint8")
+        # reference show.py:951-953: checker cells over missing data become
+        # FAINTLY visible (alpha 30), the rest stay fully transparent
+        checkers = make_checkerboard(mask.shape)
+        alpha[(alpha == 0) & checkers] = 30
     rgba = np.concatenate([rgb, alpha[..., None]], axis=2)
     return encode_png_rgba(np.ascontiguousarray(rgba))
 

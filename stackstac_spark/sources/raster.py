@@ -254,9 +254,14 @@ def make_scan_udf(
 
 
 def _exception_matches(exc: Exception, patterns: tuple) -> bool:
-    """nodata_reader.py:46-64: match on (type-name, message-regex)."""
+    """nodata_reader.py:46-64: match on (type-name, message-regex).
+
+    The name is checked against the exception's whole MRO, so a subclass of
+    RasterioIOError still matches a "RasterioIOError" pattern — the
+    by-name analogue of the reference's isinstance check."""
+    mro_names = {c.__name__ for c in type(exc).__mro__}
     for type_name, msg_re in patterns:
-        if type(exc).__name__ == type_name and re.search(msg_re, str(exc)):
+        if type_name in mro_names and re.search(msg_re, str(exc)):
             return True
     return False
 

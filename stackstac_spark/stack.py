@@ -38,6 +38,7 @@ class RasterStack:
     items_df: DataFrame
     band_fields: DataFrame | None = None
     dtype: str = "float64"
+    xy_coords: str = "topleft"
     fill_value: float = np.nan
 
     # --- delegated query surface (SURVEY §2.6) --------------------------
@@ -46,6 +47,16 @@ class RasterStack:
         """Per-pixel relational view (item_idx, band_idx, row, col, value)."""
         return explode_pixels(
             self.tiles, drop_fill=drop_fill, dtype=self.dtype, fill_value=self.fill_value
+        )
+
+    def xy_coord_tables(self) -> tuple[DataFrame, DataFrame]:
+        """(col, x) and (row, y) label tables honouring the stack's
+        ``xy_coords`` setting — the reference's topleft/center toggle
+        (stack.py:216, prepare.py:445-461)."""
+        from stackstac_spark.operators.coords import xy_label_tables
+
+        return xy_label_tables(
+            self.tiles.sparkSession, self.spec, pixel_center=(self.xy_coords == "center")
         )
 
     def sel_bands(self, bands: list[str] | str) -> "RasterStack":
@@ -138,6 +149,7 @@ def stack(
     gdal_env: dict | None = None,
     errors_as_nodata: tuple | None = None,
     dtype: str = "float64",
+    xy_coords: str = "topleft",
 ) -> RasterStack:
     """items → prepared asset table → tile grid join → lazy scan.
 
@@ -145,6 +157,8 @@ def stack(
     string path/glob to item JSONL on storage (distributed ingest —
     ``sources.stac.items_from_jsonl`` — the 100 TB-catalog path).
     """
+    if xy_coords not in ("topleft", "center"):
+        raise ValueError(f"xy_coords must be 'topleft' or 'center', got {xy_coords!r}")
     if isinstance(items, str):
         from stackstac_spark.sources.stac import items_from_jsonl
 
@@ -180,4 +194,5 @@ def stack(
         band_fields=prepared.band_fields,
         dtype=dtype,
         fill_value=fill_value,
+        xy_coords=xy_coords,
     )

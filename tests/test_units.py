@@ -179,3 +179,43 @@ def test_tuple_chunksize_and_center_labels(spark):
 
     assert spec.x_labels()[0] == 0.0 and spec.x_labels(center=True)[0] == 5.0
     assert spec.y_labels()[0] == 60.0 and spec.y_labels(center=True)[0] == 55.0
+
+
+def test_stack_surfaces_xy_coords_toggle(spark):
+    """Reference stack.py:216: xy_coords='topleft'|'center' on the façade."""
+    import numpy as np
+    import pytest as _pytest
+
+    from stackstac_spark.stack import stack
+    from tests.conftest import make_item
+
+    items = [make_item(0, "2024-01-05T00:00:00Z", (0.0, 0.0, 8.0, 8.0))]
+    st_tl = stack(spark, items, assets=["red"], chunksize=8)
+    st_c = stack(spark, items, assets=["red"], chunksize=8, xy_coords="center")
+    xs_tl = [r.x for r in st_tl.xy_coord_tables()[0].orderBy("col").collect()]
+    xs_c = [r.x for r in st_c.xy_coord_tables()[0].orderBy("col").collect()]
+    # reference semantics: linspace of top-left corners, center = +res/2
+    np.testing.assert_allclose(xs_tl, np.arange(8) * 1.0)
+    np.testing.assert_allclose(xs_c, np.arange(8) * 1.0 + 0.5)
+    ys_c = [r.y for r in st_c.xy_coord_tables()[1].orderBy("row").collect()]
+    np.testing.assert_allclose(ys_c, 8.0 - np.arange(8) * 1.0 - 0.5)
+    with _pytest.raises(ValueError, match="xy_coords"):
+        stack(spark, items, assets=["red"], xy_coords="corner")
+
+
+def test_exception_matches_subclasses():
+    """A subclass of a named exception type still matches its pattern
+    (reference nodata_reader.py uses isinstance; we match over the MRO)."""
+    from stackstac_spark.sources.raster import _exception_matches
+
+    class RasterioIOError(IOError):
+        pass
+
+    class CurlError(RasterioIOError):
+        pass
+
+    pats = (("RasterioIOError", r"HTTP response code: 404"),)
+    assert _exception_matches(RasterioIOError("HTTP response code: 404"), pats)
+    assert _exception_matches(CurlError("HTTP response code: 404"), pats)
+    assert not _exception_matches(CurlError("HTTP response code: 500"), pats)
+    assert not _exception_matches(ValueError("HTTP response code: 404"), pats)

@@ -54,6 +54,27 @@ def test_arr_to_png_nan_alpha_and_range():
     assert len(empty_tile((8, 8))) > 0
 
 
+def test_arr_to_png_checkerboard_alpha_and_two_band():
+    """Reference show.py:951-960 parity: missing pixels under checker cells
+    get alpha 30 (faintly visible), others alpha 0; 2-band arrays duplicate
+    band 0 as blue."""
+    from stackstac_spark.functions.png import make_checkerboard
+
+    h = w = 16
+    arr = np.full((1, h, w), np.nan)
+    rgba = decode_png_rgba(arr_to_png(arr, (0.0, 1.0), checkerboard=True))
+    checkers = make_checkerboard((h, w))
+    assert (rgba[..., 3][checkers] == 30).all()
+    assert (rgba[..., 3][~checkers] == 0).all()
+
+    two = np.stack(
+        [np.full((2, 2), 10.0), np.full((2, 2), 20.0)]
+    )  # bands b0=10, b1=20
+    rgba2 = decode_png_rgba(arr_to_png(two, (0.0, 20.0), checkerboard=False))
+    r, g, b, a = rgba2[0, 0]
+    assert (r, g, b, a) == (127, 255, 127, 255)  # blue duplicates band 0
+
+
 @pytest.fixture(scope="module")
 def small_stack(spark):
     items = [
