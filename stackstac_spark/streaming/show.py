@@ -41,6 +41,7 @@ class Layer:
     cmap: str | None
     checkerboard: bool
     token: str
+    pyramid: "object | None" = None  # operators.pyramid.Pyramid
     tile_cache: OrderedDict = field(default_factory=OrderedDict)
     lock: threading.Lock = field(default_factory=threading.Lock)
 
@@ -53,6 +54,7 @@ def register(
     range: tuple[float, float] | None = None,
     cmap: str | None = None,
     checkerboard: bool = True,
+    pyramid_levels: int | None = None,
 ) -> str:
     """Validate + register a stack as a display layer; returns its token.
 
@@ -76,7 +78,14 @@ def register(
     except Exception:
         plan = f"{stack.tiles.schema.simpleString()}-{id(stack.tiles)}"
     token = hashlib.sha256((plan + repr(range)).encode()).hexdigest()[:16]
-    _LAYERS[token] = Layer(stack, range, cmap, checkerboard, token)
+    # overview pyramid: low-zoom tiles are served from 2^k-coarser levels so
+    # a world-view request never scans the full-res table (SCALE.md §5).
+    # Levels are lazy (persist() only marks them); cost lands on the first
+    # low-zoom request and is then shared by every later one.
+    from stackstac_spark.operators.pyramid import build_pyramid
+
+    pyr = build_pyramid(stack.tiles, stack.spec, n_levels=pyramid_levels)
+    _LAYERS[token] = Layer(stack, range, cmap, checkerboard, token, pyramid=pyr)
     return token
 
 
@@ -93,7 +102,12 @@ def compute_tile(layer: Layer, z: int, x: int, y: int, tilesize: int = 256) -> b
     sc = spark.sparkContext
     sc.setJobGroup(f"tile-{layer.token}", f"tile z={z} x={x} y={y}", interruptOnCancel=True)
     try:
-        warped = xyztile_of_tiles(st.tiles, st.spec, z, x, y, tilesize=tilesize)
+        if layer.pyramid is not None:
+            from stackstac_spark.operators.pyramid import xyztile_from_pyramid
+
+            warped, _level = xyztile_from_pyramid(layer.pyramid, z, x, y, tilesize=tilesize)
+        else:
+            warped = xyztile_of_tiles(st.tiles, st.spec, z, x, y, tilesize=tilesize)
         if warped is None:
             png = empty_tile((tilesize, tilesize), layer.checkerboard)
         else:
