@@ -184,7 +184,10 @@ def make_scan_udf(
     """
     np_dtype = np.dtype(dtype)
     if np.isnan(fill_value) if isinstance(fill_value, float) else False:
-        if not np.issubdtype(np_dtype, np.floating):
+        if not (
+            np.issubdtype(np_dtype, np.floating)
+            or np.issubdtype(np_dtype, np.complexfloating)
+        ):
             raise ValueError(f"fill_value NaN is not castable to dtype {dtype}")
     genv = gdal_env or {
         "GDAL_DISABLE_READDIR_ON_OPEN": "EMPTY_DIR",
@@ -298,7 +301,13 @@ def explode_pixels(
     grid coordinates. ``drop_fill`` keeps the representation sparse (fill
     pixels are absent rows) — the 100 TB-friendly default; dense semantics are
     re-synthesized at export (see operators.export). ``value`` is exposed as
-    double in the relational view regardless of the storage dtype."""
+    double in the relational view regardless of the storage dtype (complex
+    stacks must go through ``operators.complex_ops.split_complex`` first)."""
+    if np.issubdtype(np.dtype(dtype), np.complexfloating):
+        raise ValueError(
+            "Complex tiles have no relational double view; split into "
+            "(real, imag) float tables with operators.complex_ops.split_complex"
+        )
     fill_is_nan = isinstance(fill_value, float) and np.isnan(fill_value)
 
     def to_pixels(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

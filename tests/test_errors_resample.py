@@ -111,6 +111,46 @@ def test_integer_dtype_stack(spark):
     assert m.count() > 0
 
 
+def test_complex_dtype_stack(spark):
+    """Reference parity: complex dtypes (testing/strategies.py:26-31). Tiles
+    store complex128 natively; the relational plane goes through
+    split_complex's (real, imag) float views."""
+    import pytest as _pytest
+
+    from stackstac_spark.operators.complex_ops import split_complex
+    from stackstac_spark.operators.export import to_dense_array
+
+    items = [
+        make_item(0, "2024-01-05T00:00:00Z", (0.0, 0.0, 8.0, 8.0)),
+        make_item(1, "2024-02-05T00:00:00Z", (4.0, 4.0, 12.0, 12.0)),
+    ]
+    st = stack(spark, items, assets=["red"], chunksize=8, dtype="complex128")
+    dense = st.compute()
+    assert dense.dtype == np.complex128
+    # fake value = 1000 + row*1e-3 + col*1e-6, purely real
+    assert dense[1, 0, 4, 4] == complex(1000.004004, 0.0)
+    assert np.isnan(dense[1, 0, 0, 0])  # outside footprint -> complex NaN fill
+
+    # the double pixel view refuses complex loudly
+    with _pytest.raises(ValueError, match="split_complex"):
+        st.pixels().collect()
+
+    # (real, imag) float views feed the existing operators unchanged
+    re_tiles, im_tiles = split_complex(st.tiles, "complex128")
+    re_stack = type(st)(
+        tiles=re_tiles, spec=st.spec, asset_ids=st.asset_ids, items_df=st.items_df
+    )
+    re_dense = to_dense_array(re_stack)
+    np.testing.assert_array_equal(re_dense, dense.real)
+    im_stack = type(st)(
+        tiles=im_tiles, spec=st.spec, asset_ids=st.asset_ids, items_df=st.items_df
+    )
+    im_dense = to_dense_array(im_stack)
+    finite = ~np.isnan(dense)
+    np.testing.assert_array_equal(im_dense[finite], np.zeros(finite.sum()))
+    assert re_stack.mosaic().count() > 0  # float operators compose
+
+
 def test_nan_fill_rejected_for_int_dtype(spark):
     import pytest
 
