@@ -62,6 +62,10 @@ def main() -> None:
         spark.read.parquet(f"{sf_dir}/lineitem.parquet").groupBy(
             "l_returnflag"
         ).count().collect()
+        # also touch the other scan-heavy tables once (footers + page cache),
+        # so per-query timings measure compute, not first-read IO
+        for t in ("documents", "events", "embeddings", "orders"):
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
     except Exception:
         pass
 

@@ -180,7 +180,18 @@ def ivf_topk(
         d = ((cents - np.asarray(vec)[None, :]) ** 2).sum(1)
         return [int(i) for i in np.argsort(d)[:nprobe]]
 
-    q_rows = queries.select(id_col, vec_col).collect()
+    # the query side is collected to the driver BY DESIGN (broadcast-sized:
+    # an online ANN lookup has 1..10^4 queries, not a corpus). Guard the
+    # contract so a mistaken corpus-as-queries call fails loudly instead of
+    # OOMing the driver; for corpus×corpus jobs use the LSH/bucketed path.
+    MAX_QUERY_SIDE = 100_000
+    q_rows = queries.select(id_col, vec_col).limit(MAX_QUERY_SIDE + 1).collect()
+    if len(q_rows) > MAX_QUERY_SIDE:
+        raise ValueError(
+            f"ivf_topk collects the query side to the driver; got more than "
+            f"{MAX_QUERY_SIDE} query vectors. For corpus-scale query sets "
+            "use lsh_topk / cosine near-dup (bucketed joins) instead."
+        )
     probe = [
         (int(r[0]), list(map(float, r[1])), pl)
         for r in q_rows
