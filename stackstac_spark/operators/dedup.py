@@ -103,6 +103,92 @@ def duplicate_mapping(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) labels over the near-duplicate pair graph — the
+    clustering step that turns LSH candidate pairs into dedup groups
+    (keep one doc per component).
+
+    Algorithm: min-label propagation with pointer doubling. Each round every
+    node takes the min label among {itself, its neighbors' labels, its
+    label's label}; the last term (pointer jump) makes chains converge in
+    O(log diameter) rounds instead of O(diameter) — near-dup graphs DO
+    contain long chains (doc i ≈ doc i+1 ≈ ...), and at corpus scale each
+    round costs a fixed number of shuffles, so rounds are the thing to
+    minimize. Per round: two equi-joins + one hash agg; the only driver-side
+    state is the convergence counter. ``max_iter`` bounds pathological
+    graphs; hitting it raises rather than returning unconverged labels.
+
+    Each round ends in ``localCheckpoint()``: without truncation the logical
+    plan doubles every round (the pointer jump is a self-join) and the driver
+    OOMs on plan analysis long before the data is big. On a cluster where
+    executor loss matters, swap for reliable ``checkpoint()`` with a
+    checkpoint dir — same shape, durable lineage cut.
+    """
+    e1 = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e1.union(
+        e1.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    edges = edges.localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.select(F.col("node").alias("dst"), F.col("label").alias("nl")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nl").alias("minl"))
+            .withColumnRenamed("src", "node")
+        )
+        l1 = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("minl", "label")).alias("label"),
+            )
+            .localCheckpoint()  # consumed twice (as child and as parent table)
+        )
+        # pointer doubling: follow my (new) label's label. This is a
+        # self-join of l1, so both sides must be alias-qualified or Spark
+        # rejects the plan as ambiguous.
+        new_labels = (
+            l1.alias("a")
+            .join(l1.alias("p"), F.col("a.label") == F.col("p.node"), "left")
+            .select(
+                F.col("a.node").alias("node"),
+                F.least(
+                    F.col("a.label"), F.coalesce(F.col("p.label"), F.col("a.label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.select("node", F.col("label").alias("old")), "node"
+            )
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

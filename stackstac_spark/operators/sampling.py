@@ -1,0 +1,54 @@
+"""Deterministic sampling for training-data pipelines.
+
+Random sampling is unusable in a reproducible data pipeline (and
+un-oracle-able); both operators here are pure functions of the data:
+
+- ``hash_sample``:     keep rows whose md5(id) falls under a threshold —
+  a deterministic Bernoulli(p) that is stable across runs, engines and
+  partitionings (the standard trick for held-out splits of a crawl).
+- ``stratified_topk``: per-key quota by deterministic hash order — the
+  "at most K docs per domain/language" balancing step. One window per key;
+  Spark's WindowGroupLimit pushes the rank filter below the sort at scale.
+
+Both are single column expressions / one window — no UDFs, no shuffles
+beyond the required per-key partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, id_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Deterministic Bernoulli(fraction) sample keyed on md5(salt:id).
+
+    Uses the first 8 hex digits as a uniform 32-bit integer; different
+    ``salt`` values give independent splits (train/val/test from one
+    corpus without materializing assignments).
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    return df.filter(bucket < int(fraction * (16**8)))
+
+
+def stratified_topk(
+    df: DataFrame, key_col: str, k: int, id_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """At most ``k`` rows per ``key_col`` value, chosen by deterministic
+    hash order (so the quota is an unbiased-ish, reproducible subset rather
+    than "first K in storage order")."""
+    order = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(key_col).orderBy(order, id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -280,3 +280,73 @@ def test_viewport_prefetch_populates_cache(spark):
     assert (5, 0, 0) in layer.tile_cache and (5, 1, 0) in layer.tile_cache
     # re-request: everything cached, nothing scheduled
     assert update_viewport(token, [(5, 0, 0)]) == 0
+
+
+def test_connected_components_chain_and_clique(spark):
+    """A 6-node chain (worst case for plain propagation), a triangle, and an
+    isolated pair — all labeled with their min member in few rounds."""
+    from stackstac_spark.operators.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(10, 15)]  # chain 10..15
+    edges += [(20, 21), (21, 22), (20, 22)]  # triangle
+    edges += [(30, 31)]
+    pairs = spark.createDataFrame(edges, "id_a LONG, id_b LONG")
+    got = {
+        r.node: r.component for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        **{n: 10 for n in range(10, 16)},
+        **{n: 20 for n in (20, 21, 22)},
+        30: 30,
+        31: 30,
+    }
+
+
+def test_connected_components_long_chain_converges_fast(spark):
+    """Pointer doubling: a 64-node chain must close in O(log n) rounds, so
+    max_iter=10 is plenty (plain propagation would need 63)."""
+    from stackstac_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a LONG, id_b LONG"
+    )
+    comps = connected_components(pairs, max_iter=10).collect()
+    assert {r.component for r in comps} == {0}
+    assert len(comps) == 64
+
+
+def test_hash_sample_deterministic_and_disjoint(spark, docs_df):
+    from stackstac_spark.operators.sampling import hash_sample
+
+    a = {r.doc_id for r in hash_sample(docs_df, 0.5).collect()}
+    b = {r.doc_id for r in hash_sample(docs_df, 0.5).collect()}
+    assert a == b  # reproducible
+    # monotone in fraction: p=1 keeps all, p=0 keeps none
+    assert {r.doc_id for r in hash_sample(docs_df, 1.0).collect()} == set(range(6))
+    assert hash_sample(docs_df, 0.0).count() == 0
+    # different salts give different (independent) splits of a bigger corpus
+    big = spark.range(1000).withColumnRenamed("id", "doc_id")
+    s1 = {r.doc_id for r in hash_sample(big, 0.5, salt="a").collect()}
+    s2 = {r.doc_id for r in hash_sample(big, 0.5, salt="b").collect()}
+    assert s1 != s2
+    assert 400 < len(s1) < 600  # roughly Bernoulli(0.5)
+    with pytest.raises(ValueError):
+        hash_sample(docs_df, 1.5)
+
+
+def test_stratified_topk_quota_and_determinism(spark):
+    from stackstac_spark.operators.sampling import stratified_topk
+
+    rows = [(i, "en" if i % 3 else "fr") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING")
+    got = stratified_topk(df, "lang", 4).collect()
+    from collections import Counter
+
+    counts = Counter(r.lang for r in got)
+    assert counts == {"en": 4, "fr": 4}
+    # deterministic across runs
+    again = stratified_topk(df, "lang", 4).collect()
+    assert sorted(r.doc_id for r in got) == sorted(r.doc_id for r in again)
+    # small groups kept whole
+    tiny = stratified_topk(df.filter(F.col("doc_id") < 2), "lang", 4)
+    assert tiny.count() == 2
