@@ -57,20 +57,30 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects by default; read nanos as long and derive an exact integer
-    microsecond column ``ts_us`` (long division — no float rounding). All
-    time bucketing below is integer arithmetic on ``ts_us`` so results are
-    session-timezone-immune (the driver's session TZ is unknown)."""
+    """Load events and derive an exact integer microsecond column ``ts_us``.
+
+    The ``ts`` parquet column has shipped as TIMESTAMP(NANOS) (which Spark
+    reads as long when ``nanosAsLong`` is set), TIMESTAMP(MICROS) naive
+    (TIMESTAMP_NTZ), and could plausibly be an instant TIMESTAMP — branch on
+    the actual type. Every branch is integer arithmetic on wall-clock values,
+    so results are session-timezone-immune (the driver's session TZ is
+    unknown). All time bucketing below works on ``ts_us``.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        _t(spark, sf_dir, "events")
-        .withColumn("ts_us", F.expr("ts div 1000"))
-    )
+    df = _t(spark, sf_dir, "events")
+    t = df.schema["ts"].dataType.simpleString()
+    if t == "bigint":  # TIMESTAMP(NANOS) read as long
+        ts_us = F.expr("ts div 1000")
+    elif t == "timestamp_ntz":  # wall-clock diff — no session-TZ involvement
+        ts_us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    else:  # instant timestamp
+        ts_us = F.expr("unix_micros(ts)")
+    return df.withColumn("ts_us", ts_us)
 
 
-# DuckDB reads the same column as TIMESTAMP_NS natively; epoch_ns gives the
-# exact integer nanoseconds, div 1000 the same microseconds as Spark.
+# DuckDB reads the same column as a (naive) TIMESTAMP; epoch_ns gives the
+# exact integer nanoseconds of the wall-clock value, div 1000 the same
+# microseconds as every Spark branch above.
 _DUCK_EV = "SELECT *, epoch_ns(ts) // 1000 AS ts_us FROM events"
 
 
