@@ -1966,9 +1966,15 @@ SELECT * FROM (
 
 def q_asof_join(spark, sf):
     """As-of join: each purchase matched to the latest click at-or-before it
-    (same user). Spark has no ASOF JOIN operator; the scalable form is a
-    range join + one hash agg per left row (max/max_by) — clicks deduped per
-    (user, ts) first so both engines break ties identically."""
+    (same user). Spark has no ASOF JOIN operator; the naive range-join form
+    (same user AND cts <= ts) is O(|clicks_u|·|purchases_u|) per user — a
+    scale-killer on a heavy key. `operators/asof.py` uses the sort-based
+    plan instead: union both sides per user, one Window
+    last(click, ignorenulls) ORDER BY ts — O(n log n), one shuffle, no join.
+    Clicks are deduped per (user, ts) first so both engines break ties
+    identically."""
+    from stackstac_spark.operators.asof import asof_join
+
     ev = _events(spark, sf)
     p = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts_us")
     c = (
@@ -1976,17 +1982,15 @@ def q_asof_join(spark, sf):
         .groupBy("user_id", F.col("ts_us").alias("cts"))
         .agg(F.max_by("value", "event_id").alias("cval"))
     )
-    j = p.join(c, (p.user_id == c.user_id) & (F.col("cts") <= F.col("ts_us")))
-    return (
-        j.groupBy("event_id", "ts_us")
-        .agg(F.max("cts").alias("click_ts"), F.max_by("cval", "cts").alias("cv"))
-        .select(
-            "event_id",
-            (F.col("ts_us") - F.col("click_ts")).alias("gap_us"),
-            F.round("cv", 2).alias("click_value"),
-        )
-        .orderBy("event_id")
+    j = asof_join(
+        p, c, on="user_id", left_ts="ts_us", right_ts="cts",
+        right_cols=["cval"], how="inner", matched_ts="click_ts",
     )
+    return j.select(
+        "event_id",
+        (F.col("ts_us") - F.col("click_ts")).alias("gap_us"),
+        F.round("cval", 2).alias("click_value"),
+    ).orderBy("event_id")
 
 
 SQL_ASOF_JOIN = f"""

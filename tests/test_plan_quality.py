@@ -114,6 +114,22 @@ def test_warp_dst_grid_is_generated_executor_side(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_asof_join_is_window_not_range_join(spark, entry):
+    """The asof gate query must use the sort-based plan: one Window over the
+    per-user union, and no join node at all — the range-join form explodes
+    O(|clicks_u|·|purchases_u|) on a heavy user."""
+    plan = _plan(entry.q_asof_join(spark, SF))
+    assert "Window" in plan
+    for bad in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+        "ShuffledHashJoin",
+    ):
+        assert bad not in plan, f"asof plan must not contain {bad}"
+
+
 def test_q21_exists_shapes_are_semi_and_anti(spark, entry):
     """EXISTS/NOT EXISTS decorrelate to one semi + one anti join, and the
     dimension joins (supplier, nation) broadcast."""
