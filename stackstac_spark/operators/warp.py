@@ -100,6 +100,73 @@ def _interp_tile(
     return out
 
 
+_DST_TILES_SCHEMA = (
+    "dty int, dtx int, dr0 int, dc0 int, dh int, dw int, "
+    "sr0 int, sc0 int, sr1 int, sc1 int"
+)
+
+
+def _dst_tiles_driver(
+    spark, src_spec: RasterSpec, dst_spec: RasterSpec, chunksize: int, halo: int
+) -> DataFrame:
+    """Small-grid fastpath: build the dst tile table with vectorized numpy on
+    the driver — zero Spark jobs, no Python workers. Same arithmetic as the
+    executor-side path (4-corner reprojection, 1e-9 outward rounding) so
+    results are identical; only used when the grid is a few thousand tiles
+    (one XYZ tile, a single-raster resample — the common interactive case)."""
+    dh, dw = dst_spec.shape
+    n_ty = -(-dh // chunksize)
+    n_tx = -(-dw // chunksize)
+    sxres, syres = src_spec.resolutions_xy
+    dxres, dyres = dst_spec.resolutions_xy
+    dminx, _, _, dmaxy = dst_spec.bounds
+    sminx, _, _, smaxy = src_spec.bounds
+
+    dty, dtx = np.meshgrid(np.arange(n_ty), np.arange(n_tx), indexing="ij")
+    dty = dty.ravel()
+    dtx = dtx.ravel()
+    dr0 = dty * chunksize
+    dc0 = dtx * chunksize
+    th = np.minimum(chunksize, dh - dr0)
+    tw = np.minimum(chunksize, dw - dc0)
+    # dst tile bounds → src CRS via the same 4-corner min/max the
+    # _bounds_to_out_epsg_udf kernel uses
+    bminx = dminx + dc0 * dxres
+    bminy = dmaxy - (dr0 + th) * dyres
+    bmaxx = dminx + (dc0 + tw) * dxres
+    bmaxy = dmaxy - dr0 * dyres
+    if int(dst_spec.epsg) == int(src_spec.epsg):
+        s0, s1, s2, s3 = bminx, bminy, bmaxx, bmaxy
+    else:
+        xs = np.concatenate([bminx, bmaxx, bminx, bmaxx])
+        ys = np.concatenate([bminy, bminy, bmaxy, bmaxy])
+        tx_, ty_ = transform_xy(int(dst_spec.epsg), int(src_spec.epsg), xs, ys)
+        n = len(dty)
+        txc = tx_.reshape(4, n)
+        tyc = ty_.reshape(4, n)
+        s0, s1 = txc.min(axis=0), tyc.min(axis=0)
+        s2, s3 = txc.max(axis=0), tyc.max(axis=0)
+    col_off = (s0 - sminx) / sxres
+    row_off = (smaxy - s3) / syres
+    height = (s3 - s1) / syres
+    width = (s2 - s0) / sxres
+    pdf = pd.DataFrame(
+        {
+            "dty": dty.astype("int32"),
+            "dtx": dtx.astype("int32"),
+            "dr0": dr0.astype("int32"),
+            "dc0": dc0.astype("int32"),
+            "dh": th.astype("int32"),
+            "dw": tw.astype("int32"),
+            "sr0": (np.floor(row_off + 1e-9) - halo).astype("int32"),
+            "sc0": (np.floor(col_off + 1e-9) - halo).astype("int32"),
+            "sr1": (np.ceil(row_off + height - 1e-9) + halo).astype("int32"),
+            "sc1": (np.ceil(col_off + width - 1e-9) + halo).astype("int32"),
+        }
+    )
+    return spark.createDataFrame(pdf, schema=_DST_TILES_SCHEMA)
+
+
 def reproject_tiles(
     tiles: DataFrame,
     src_spec: RasterSpec,
@@ -107,17 +174,26 @@ def reproject_tiles(
     chunksize: int = 256,
     method: str = "nearest",
     halo: int = 2,
+    grid_on_driver_max: int = 4096,
 ) -> DataFrame:
     """Warp the tile DataFrame onto ``dst_spec``.
 
-    Plan shape: generate the destination tile grid EXECUTOR-SIDE
-    (``sequence``+``explode``, the grid.py:50 pattern — a full-raster
-    cross-CRS reproject has millions of dst tiles, so a driver loop would
-    serialize the job before it starts); compute each dst tile's
-    source-bounds footprint with the same Arrow-batched 4-corner
-    reprojection kernel prepare uses; range-join source tiles to dst tiles
-    they overlap (+halo); groupBy dst tile assembling the padded source
-    block; interpolate. One shuffle (the groupBy); every kernel is O(tile²).
+    Plan shape: generate the destination tile grid, compute each dst tile's
+    source-pixel footprint, range-join source tiles to dst tiles they
+    overlap (+halo), groupBy dst tile assembling the padded source block,
+    interpolate. One shuffle (the groupBy); every kernel is O(tile²).
+
+    The dst grid has two physical strategies:
+
+    - ``<= grid_on_driver_max`` tiles: vectorized numpy on the driver
+      (zero Spark jobs, no Python-worker spin-up). One XYZ tile or a
+      single-raster resample is 1-few hundred tiles; launching an
+      Arrow-batched reprojection job for that costs ~5s of pure overhead.
+    - larger: EXECUTOR-SIDE ``sequence``+``explode`` + the same
+      Arrow-batched 4-corner reprojection kernel prepare uses — a
+      full-raster cross-CRS reproject has millions of dst tiles, so a
+      driver loop would serialize the job before it starts (plan-guarded by
+      tests/test_plan_quality.py).
     """
     if method not in ("nearest", "linear", "bilinear"):
         raise ValueError(f"interpolation must be nearest/linear, got {method!r}")
@@ -131,57 +207,60 @@ def reproject_tiles(
     dminx, _, _, dmaxy = dst_spec.bounds
     sminx, _, _, smaxy = src_spec.bounds
 
-    from stackstac_spark.prepare import _bounds_to_out_epsg_udf
+    if n_ty * n_tx <= grid_on_driver_max:
+        dst_tiles = _dst_tiles_driver(spark, src_spec, dst_spec, chunksize, halo)
+    else:
+        from stackstac_spark.prepare import _bounds_to_out_epsg_udf
 
-    reproj = _bounds_to_out_epsg_udf(src_spec.epsg)
+        reproj = _bounds_to_out_epsg_udf(src_spec.epsg)
 
-    # destination tile table with its source-pixel footprint — all column
-    # arithmetic plus one vectorized reprojection UDF; nothing iterates on
-    # the driver regardless of grid size
-    dst_grid = (
-        spark.range(1)
-        .select(F.explode(F.sequence(F.lit(0), F.lit(n_ty - 1))).alias("dty"))
-        .select("dty", F.explode(F.sequence(F.lit(0), F.lit(n_tx - 1))).alias("dtx"))
-        .select(
+        # destination tile table with its source-pixel footprint — all column
+        # arithmetic plus one vectorized reprojection UDF; nothing iterates on
+        # the driver regardless of grid size
+        dst_grid = (
+            spark.range(1)
+            .select(F.explode(F.sequence(F.lit(0), F.lit(n_ty - 1))).alias("dty"))
+            .select("dty", F.explode(F.sequence(F.lit(0), F.lit(n_tx - 1))).alias("dtx"))
+            .select(
+                "dty",
+                "dtx",
+                (F.col("dty") * chunksize).cast("int").alias("dr0"),
+                (F.col("dtx") * chunksize).cast("int").alias("dc0"),
+            )
+            .select(
+                "*",
+                F.least(F.lit(chunksize), F.lit(dh) - F.col("dr0")).cast("int").alias("dh"),
+                F.least(F.lit(chunksize), F.lit(dw) - F.col("dc0")).cast("int").alias("dw"),
+            )
+            .select(
+                "*",
+                F.array(
+                    F.lit(dminx) + F.col("dc0") * F.lit(dxres),
+                    F.lit(dmaxy) - (F.col("dr0") + F.col("dh")) * F.lit(dyres),
+                    F.lit(dminx) + (F.col("dc0") + F.col("dw")) * F.lit(dxres),
+                    F.lit(dmaxy) - F.col("dr0") * F.lit(dyres),
+                ).alias("dbounds"),
+            )
+            .withColumn("sb", reproj(F.col("dbounds"), F.lit(int(dst_spec.epsg))))
+        )
+        # fractional source window (raster_spec.window_from_bounds as columns),
+        # outward-rounded with the same 1e-9 epsilon, then ± halo
+        col_off = (F.col("sb")[0] - F.lit(sminx)) / F.lit(sxres)
+        row_off = (F.lit(smaxy) - F.col("sb")[3]) / F.lit(syres)
+        height = (F.col("sb")[3] - F.col("sb")[1]) / F.lit(syres)
+        width = (F.col("sb")[2] - F.col("sb")[0]) / F.lit(sxres)
+        dst_tiles = dst_grid.select(
             "dty",
             "dtx",
-            (F.col("dty") * chunksize).cast("int").alias("dr0"),
-            (F.col("dtx") * chunksize).cast("int").alias("dc0"),
+            "dr0",
+            "dc0",
+            "dh",
+            "dw",
+            (F.floor(row_off + 1e-9) - halo).cast("int").alias("sr0"),
+            (F.floor(col_off + 1e-9) - halo).cast("int").alias("sc0"),
+            (F.ceil(row_off + height - 1e-9) + halo).cast("int").alias("sr1"),
+            (F.ceil(col_off + width - 1e-9) + halo).cast("int").alias("sc1"),
         )
-        .select(
-            "*",
-            F.least(F.lit(chunksize), F.lit(dh) - F.col("dr0")).cast("int").alias("dh"),
-            F.least(F.lit(chunksize), F.lit(dw) - F.col("dc0")).cast("int").alias("dw"),
-        )
-        .select(
-            "*",
-            F.array(
-                F.lit(dminx) + F.col("dc0") * F.lit(dxres),
-                F.lit(dmaxy) - (F.col("dr0") + F.col("dh")) * F.lit(dyres),
-                F.lit(dminx) + (F.col("dc0") + F.col("dw")) * F.lit(dxres),
-                F.lit(dmaxy) - F.col("dr0") * F.lit(dyres),
-            ).alias("dbounds"),
-        )
-        .withColumn("sb", reproj(F.col("dbounds"), F.lit(int(dst_spec.epsg))))
-    )
-    # fractional source window (raster_spec.window_from_bounds as columns),
-    # outward-rounded with the same 1e-9 epsilon, then ± halo
-    col_off = (F.col("sb")[0] - F.lit(sminx)) / F.lit(sxres)
-    row_off = (F.lit(smaxy) - F.col("sb")[3]) / F.lit(syres)
-    height = (F.col("sb")[3] - F.col("sb")[1]) / F.lit(syres)
-    width = (F.col("sb")[2] - F.col("sb")[0]) / F.lit(sxres)
-    dst_tiles = dst_grid.select(
-        "dty",
-        "dtx",
-        "dr0",
-        "dc0",
-        "dh",
-        "dw",
-        (F.floor(row_off + 1e-9) - halo).cast("int").alias("sr0"),
-        (F.floor(col_off + 1e-9) - halo).cast("int").alias("sc0"),
-        (F.ceil(row_off + height - 1e-9) + halo).cast("int").alias("sr1"),
-        (F.ceil(col_off + width - 1e-9) + halo).cast("int").alias("sc1"),
-    )
 
     # source tiles ⋈ dst tiles on pixel-window overlap
     joined = tiles.join(

@@ -104,7 +104,9 @@ def test_warp_dst_grid_is_generated_executor_side(spark):
         chunksize=16,
     )
     dst = RasterSpec(3857, (0.0, 0.0, 64.0, 64.0), (2.0, 2.0))
-    plan = _plan(reproject_tiles(st.tiles, st.spec, dst, chunksize=16))
+    # grid_on_driver_max=0 forces the large-grid strategy so the guard keeps
+    # checking the path a million-tile reproject would take
+    plan = _plan(reproject_tiles(st.tiles, st.spec, dst, chunksize=16, grid_on_driver_max=0))
     # sequence() constant-folds to a literal array, so match the Generate
     # nodes producing the dst tile coordinates
     assert "Generate explode" in plan and "[dty" in plan and "[dtx" in plan
@@ -112,6 +114,38 @@ def test_warp_dst_grid_is_generated_executor_side(spark):
     assert "LocalTableScan [dty" not in plan
     # and the grid side still reaches the overlap join as a broadcast
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_warp_small_grid_builds_on_driver(spark):
+    """A small dst grid (one XYZ tile, a 1-raster resample) must NOT launch
+    a Spark job + Python workers just to enumerate a few hundred tiles: the
+    grid arrives as a driver-built LocalTableScan and the only Python stage
+    left is the warp kernel itself."""
+    from stackstac_spark.operators.warp import reproject_tiles
+    from stackstac_spark.raster_spec import RasterSpec
+    from stackstac_spark.stack import stack as _stack
+    from tests.conftest import make_item
+
+    st = _stack(
+        spark,
+        [make_item(0, "2024-01-05T00:00:00Z", (0.0, 0.0, 32.0, 32.0))],
+        assets=["red"],
+        chunksize=16,
+    )
+    dst = RasterSpec(3857, (0.0, 0.0, 64.0, 64.0), (2.0, 2.0))
+    plan = _plan(reproject_tiles(st.tiles, st.spec, dst, chunksize=16))
+    assert "LocalTableScan [dty" in plan
+    # the source tile grid still explodes executor-side; the DST grid must not
+    dst_generates = [
+        ln for ln in plan.splitlines() if "Generate explode" in ln and ("dty" in ln or "dtx" in ln)
+    ]
+    assert not dst_generates, dst_generates
+    # no Arrow-batched reprojection stage for the GRID (the scan path keeps
+    # its own pandas UDFs): the dst-grid bounds column never reaches Python
+    grid_arrow = [
+        ln for ln in plan.splitlines() if "ArrowEvalPython" in ln and "dbounds" in ln
+    ]
+    assert not grid_arrow, grid_arrow
 
 
 def test_asof_join_is_window_not_range_join(spark, entry):
