@@ -123,10 +123,18 @@ def connected_components(
     state is the convergence counter. ``max_iter`` bounds pathological
     graphs; hitting it raises rather than returning unconverged labels.
 
-    Each round ends in ``localCheckpoint()``: without truncation the logical
-    plan doubles every round (the pointer jump is a self-join) and the driver
-    OOMs on plan analysis long before the data is big. On a cluster where
-    executor loss matters, swap for reliable ``checkpoint()`` with a
+    Each round ends in ONE ``localCheckpoint()``: without truncation the
+    logical plan doubles every round (the pointer jump is a self-join) and
+    the driver OOMs on plan analysis long before the data is big. The
+    intermediate ``l1`` is consumed twice within the round (both sides of
+    the pointer-jump self-join) but is NOT checkpointed — the round-end
+    checkpoint truncates it anyway, and AQE's exchange reuse covers the
+    recompute. The convergence count is join-free — the old label travels
+    as a column of the checkpointed result, so the check is one scan of
+    cached partitions. Checking every round is deliberate: a skipped check
+    costs a full extra propagation round (many stage jobs) to notice
+    convergence, while the check itself is one cheap job. On a cluster
+    where executor loss matters, swap for reliable ``checkpoint()`` with a
     checkpoint dir — same shape, durable lineage cut.
     """
     e1 = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -140,6 +148,7 @@ def connected_components(
         .localCheckpoint()
     )
     edges = edges.localCheckpoint()
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(
@@ -150,39 +159,36 @@ def connected_components(
             .agg(F.min("nl").alias("minl"))
             .withColumnRenamed("src", "node")
         )
-        l1 = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("minl", "label")).alias("label"),
-            )
-            .localCheckpoint()  # consumed twice (as child and as parent table)
+        l1 = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.col("label").alias("old"),
+            F.least(F.col("label"), F.coalesce("minl", "label")).alias("label"),
         )
         # pointer doubling: follow my (new) label's label. This is a
         # self-join of l1, so both sides must be alias-qualified or Spark
         # rejects the plan as ambiguous.
         new_labels = (
             l1.alias("a")
-            .join(l1.alias("p"), F.col("a.label") == F.col("p.node"), "left")
+            .join(
+                l1.select("node", "label").alias("p"),
+                F.col("a.label") == F.col("p.node"),
+                "left",
+            )
             .select(
                 F.col("a.node").alias("node"),
+                F.col("a.old").alias("old"),
                 F.least(
                     F.col("a.label"), F.coalesce(F.col("p.label"), F.col("a.label"))
                 ).alias("label"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.join(
-                labels.select("node", F.col("label").alias("old")), "node"
-            )
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        # join-free: old label is a column of the checkpointed result
+        if new_labels.filter(F.col("label") != F.col("old")).count() == 0:
+            converged = True
             break
-    else:
+    if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )
