@@ -29,6 +29,7 @@ Query groups:
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 from collections.abc import Callable
@@ -2255,15 +2256,20 @@ FROM px WHERE 2*row + 1 < 40 AND 2*col + 1 < 40 ORDER BY row, col
 
 
 def q_raster_xyz_png(spark, sf):
-    """Viz pipeline under the harness (rows-only: PNG bytes are not
-    SQL-expressible): warp the stack to web-mercator slippy tiles around the
-    AOI, mosaic over time, PNG-encode — the reference's show/_compute_tile
-    path (show.py:343-397). Emits (z, x, y, n_bytes, is_blank) per tile."""
+    """Viz pipeline under the harness: warp the stack to web-mercator slippy
+    tiles around the AOI, mosaic over time, PNG-encode — the reference's
+    show/_compute_tile path (show.py:343-397). The PNG bytes themselves are
+    not SQL-expressible, so the VALUE oracle checks the pre-PNG mosaic: per
+    tile, the count and (per-pixel-rounded) sum of the warped+mosaicked
+    pixels — closed-form from the fake-pixel function, with the mercator→UTM
+    transform replicated in the DuckDB SQL (Krüger series, hyperbolics via
+    exp/ln since DuckDB has none). PNG encoding still runs; its output is
+    sanity-checked driver-side (non-empty), not hashed."""
     import numpy as np
 
     from stackstac_spark.functions.png import arr_to_png, empty_tile
     from stackstac_spark.operators.mosaic import mosaic_tiles
-    from stackstac_spark.operators.warp import xyz_tile_bounds, xyztile_of_tiles
+    from stackstac_spark.operators.warp import xyztile_of_tiles
 
     from stackstac_spark.functions.proj import reproject_bounds
     from stackstac_spark.operators.warp import WEB_MERCATOR_EXTENT as EXT
@@ -2285,20 +2291,141 @@ def q_raster_xyz_png(spark, sf):
         warped = xyztile_of_tiles(st.tiles, st.spec, z, x, y, tilesize=64)
         if warped is None:
             png = empty_tile((64, 64), checkerboard=False)
-            return (z, x, y, len(png), True)
+            assert len(png) > 0
+            return (z, x, y, None, 0)
         tiles = mosaic_tiles(warped).collect()
         arr = np.full((1, 64, 64), np.nan)
         for r in tiles:
             arr[0] = np.frombuffer(r.data, dtype="float64").reshape(r.tile_h, r.tile_w)
         png = arr_to_png(arr, (0.0, 3100.0), cmap="viridis", checkerboard=False)
-        return (z, x, y, len(png), bool(np.isnan(arr).all()))
+        assert len(png) > 0
+        # pre-PNG value fingerprint: round per pixel (absorbs engine-vs-
+        # oracle fp noise), then sum
+        arr6 = np.round(arr, 6)
+        n = int(np.isfinite(arr6).sum())
+        s = round(float(np.nansum(arr6)), 4) if n else None
+        return (z, x, y, s, n)
 
     from concurrent.futures import ThreadPoolExecutor
 
     zxys = [(13, tx, ty), (13, tx + 1, ty), (13, tx, ty + 1), (5, 0, 0)]
     with ThreadPoolExecutor(len(zxys)) as pool:
         rows = list(pool.map(one_tile, zxys))
-    return spark.createDataFrame(rows, "z INT, x INT, y INT, n_bytes INT, is_blank BOOLEAN")
+    return spark.createDataFrame(
+        rows, "z INT, x INT, y INT, px_sum DOUBLE, px_n INT"
+    ).orderBy("z", "x", "y")
+
+
+def _xyz_png_oracle_sql() -> str:
+    """Closed-form DuckDB oracle for q_raster_xyz_png: replays the dst pixel
+    grid of the one overlapping z13 tile, inverse-projects pixel centers
+    mercator→lon/lat→UTM 33N with the same published Krüger-series formulas
+    proj.py uses (Karney 2011 / Snyder), evaluates the bilinear warp of the
+    linear fake-pixel function in closed form (bilinear of a linear function
+    is exact), and mosaics last-on-top as max(item). DuckDB lacks hyperbolic
+    functions, so sinh/atanh/asinh are inlined via exp/ln. Per-pixel rounding
+    to 6 decimals absorbs engine-vs-oracle fp noise (~1e-11) before summing."""
+    a = 6378137.0
+    f = 1 / 298.257223563
+    e = math.sqrt(f * (2 - f))
+    k0 = 0.9996
+    n = f / (2 - f)
+    n2, n3, n4, n5, n6 = n**2, n**3, n**4, n**5, n**6
+    a1 = a / (1 + n) * (1 + n2 / 4 + n4 / 64 + n6 / 256)
+    alpha = (
+        n / 2 - 2 * n2 / 3 + 5 * n3 / 16 + 41 * n4 / 180 - 127 * n5 / 288 + 7891 * n6 / 37800,
+        13 * n2 / 48 - 3 * n3 / 5 + 557 * n4 / 1440 + 281 * n5 / 630 - 1983433 * n6 / 1935360,
+        61 * n3 / 240 - 103 * n4 / 140 + 15061 * n5 / 26880 + 167603 * n6 / 181440,
+        49561 * n4 / 161280 - 179 * n5 / 168 + 6601661 * n6 / 7257600,
+        34729 * n5 / 80640 - 3418889 * n6 / 1995840,
+        212378941 * n6 / 319334400,
+    )
+    ext = 20037508.342789244
+
+    def lit(v: float) -> str:
+        # scientific notation => DuckDB parses as DOUBLE, not DECIMAL
+        return format(float(v), ".17e")
+
+    terms_xi = " + ".join(
+        f"{lit(c)}*sin({2 * j}*xi_p)*((exp({2 * j}*eta_p)+exp(-({2 * j})*eta_p))/2)"
+        for j, c in enumerate(alpha, start=1)
+    )
+    terms_eta = " + ".join(
+        f"{lit(c)}*cos({2 * j}*xi_p)*((exp({2 * j}*eta_p)-exp(-({2 * j})*eta_p))/2)"
+        for j, c in enumerate(alpha, start=1)
+    )
+    return f"""
+WITH tiles(z, x, y) AS (VALUES (13, 4437, 3212), (13, 4438, 3212), (13, 4437, 3213)),
+px AS (
+  SELECT z, x, y, r.g AS r, c.g AS c
+  FROM tiles, generate_series(0, 63) r(g), generate_series(0, 63) c(g)
+),
+merc AS (  -- dst pixel centers of a 64px z13 slippy tile in EPSG:3857
+  SELECT z, x, y, r, c,
+    -{lit(ext)} + x*(2*{lit(ext)}/8192.0) + (c + 0.5)*(2*{lit(ext)}/8192.0/64) AS mx,
+     {lit(ext)} - y*(2*{lit(ext)}/8192.0) - (r + 0.5)*(2*{lit(ext)}/8192.0/64) AS my
+  FROM px
+),
+tm1 AS (  -- mercator -> lon/lat -> (lam, sin phi) for UTM zone 33 (lon0=15)
+  SELECT z, x, y, r, c,
+    radians(degrees(mx / {lit(a)})) - radians(15.0) AS lam,
+    sin(radians(degrees(2*atan(exp(my / {lit(a)})) - pi()/2))) AS sphi
+  FROM merc
+),
+tm2 AS (  -- conformal latitude: t = sinh(atanh(sphi) - e*atanh(e*sphi))
+  SELECT z, x, y, r, c, lam,
+    (exp(0.5*ln((1+sphi)/(1-sphi)) - {lit(e)}*0.5*ln((1+{lit(e)}*sphi)/(1-{lit(e)}*sphi)))
+     - exp(-(0.5*ln((1+sphi)/(1-sphi)) - {lit(e)}*0.5*ln((1+{lit(e)}*sphi)/(1-{lit(e)}*sphi)))))/2 AS t
+  FROM tm1
+),
+tm3 AS (
+  SELECT z, x, y, r, c,
+    atan2(t, cos(lam)) AS xi_p,
+    ln(sin(lam)/sqrt(t*t + cos(lam)*cos(lam))
+       + sqrt((sin(lam)/sqrt(t*t + cos(lam)*cos(lam)))*(sin(lam)/sqrt(t*t + cos(lam)*cos(lam))) + 1)) AS eta_p
+  FROM tm2
+),
+tm4 AS (  -- Krueger 6th-order series
+  SELECT z, x, y, r, c,
+    xi_p + {terms_xi} AS xi,
+    eta_p + {terms_eta} AS eta
+  FROM tm3
+),
+src AS (  -- fractional source pixel coords on the 10 m UTM grid
+  SELECT z, x, y, r, c,
+    ({lit(k0)}*{lit(a1)}*eta + 500000.0 - 500000.0)/10.0 - 0.5 AS fc,
+    (4000640.0 - {lit(k0)}*{lit(a1)}*xi)/10.0 - 0.5 AS fr
+  FROM tm4
+),
+vals AS (  -- bilinear valid iff all 4 neighbors inside item footprint;
+           -- mosaic last-on-top = max item; bilinear of the linear fake
+           -- pixel fn is the fn at (fr, fc)
+  SELECT s.z, s.x, s.y, s.r, s.c,
+    max(i.g) AS item, max(s.fr) AS fr, max(s.fc) AS fc
+  FROM src s JOIN generate_series(0, 3) i(g)
+    -- footprint ∩ the 64x64 output grid (item 3 overhangs and is clipped
+    -- by the scan, prepare.py bounds semantics)
+    ON floor(s.fr) >= 8*i.g AND floor(s.fr) + 1 < least(8*i.g + 40, 64)
+   AND floor(s.fc) >= 12*i.g AND floor(s.fc) + 1 < least(12*i.g + 40, 64)
+  GROUP BY s.z, s.x, s.y, s.r, s.c
+),
+per_tile AS (
+  SELECT z, x, y,
+    round(sum(round(item*1000 + fr*0.001 + fc*0.000001, 6)), 4) AS px_sum,
+    count(*)::INT AS px_n
+  FROM vals GROUP BY z, x, y
+)
+SELECT z, x, y, px_sum, px_n FROM per_tile
+UNION ALL
+SELECT t.z, t.x, t.y, NULL::DOUBLE AS px_sum, 0 AS px_n
+FROM (SELECT z, x, y FROM tiles EXCEPT SELECT z, x, y FROM per_tile) t
+UNION ALL
+SELECT 5 AS z, 0 AS x, 0 AS y, NULL::DOUBLE AS px_sum, 0 AS px_n
+ORDER BY z, x, y
+"""
+
+
+SQL_RASTER_XYZ_PNG = _xyz_png_oracle_sql()
 
 
 def q_multimodal_features(spark, sf):
@@ -2335,7 +2462,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "raster_temporal_mean": (q_raster_temporal_mean, SQL_RASTER_TEMPORAL_MEAN),
     "raster_resample_nearest": (q_raster_resample_nearest, SQL_RASTER_RESAMPLE),
     "raster_resample_bilinear": (q_raster_resample_bilinear, SQL_RASTER_RESAMPLE_BILINEAR),
-    "raster_xyz_png": (q_raster_xyz_png, None),
+    "raster_xyz_png": (q_raster_xyz_png, SQL_RASTER_XYZ_PNG),
     "multimodal_features": (q_multimodal_features, None),
     # --- relational operators unchecked in r01 ---
     "set_ops": (q_set_ops, SQL_SET_OPS),
