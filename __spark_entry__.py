@@ -994,6 +994,32 @@ SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5 ORDER BY que
 """
 
 
+def q_ivf_topk(spark, sf):
+    """End-to-end IVF ANN (operators/similarity.py::ivf_assign + ivf_topk):
+    learn centroids, shuffle the corpus once by list_id, probe-join the
+    query side. With nprobe = n_lists every list is probed, so the result
+    equals exact brute force — which is precisely what makes it
+    oracle-checkable against the same SQL as sim_bruteforce_topk (identical
+    top-k, identical rounded-sim tie-breaking)."""
+    from stackstac_spark.operators.similarity import ivf_assign, ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    n_lists = 8
+    assigned, centroids = ivf_assign(emb, n_lists=n_lists)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return (
+        ivf_topk(
+            assigned, centroids, queries, k=5, nprobe=n_lists, sim_round=6
+        )
+        .select("query_id", "neighbor_id", "sim", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+# nprobe = n_lists => exact: the IVF oracle IS the brute-force oracle
+SQL_IVF_TOPK = SQL_SIM_BRUTEFORCE
+
+
 def q_lsh_buckets(spark, sf):
     """Sign-LSH bucketing (the ANN scale path): bucket = 4 sign bits of the
     leading dims; bucket histogram + mean norm."""
@@ -2454,7 +2480,10 @@ def q_multimodal_features(spark, sf):
 # because it sat past the cap), then every non-TPC-H operator family, then the
 # ten most shape-diverse TPC-H queries. The 12 TPC-H variants past the cap
 # reuse shapes already proven in-window (star joins, semi/anti, scalar
-# subqueries) and all hash-matched in CORRECTNESS_r01.json.
+# subqueries) and all hash-matched in CORRECTNESS_r01.json; tpch_q21 rotated
+# past the cap in r03 to make room for ivf_topk (q21's semi/anti shape was
+# green in r01+r02 and stays covered by the scripts/check_correctness.py
+# mirror, which CI runs over the past-window entries).
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- raster engine (driver-unchecked in r01; front of the window now) ---
     "raster_mosaic": (q_raster_mosaic, SQL_RASTER_MOSAIC),
@@ -2495,6 +2524,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "langid_heuristic": (q_langid_heuristic, SQL_LANGID),
     "sim_bruteforce_topk": (q_sim_bruteforce_topk, SQL_SIM_BRUTEFORCE),
+    "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "lsh_buckets": (q_lsh_buckets, SQL_LSH_BUCKETS),
     "cosine_neardup": (q_cosine_neardup, SQL_COSINE_NEARDUP),
     # --- events / streaming analogues / misc relational (green in r01) ---

@@ -163,6 +163,7 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sim_round: int | None = None,
 ) -> DataFrame:
     """IVF probe search: each query scans only its ``nprobe`` nearest
     inverted lists — the ANN scale path completing ``ivf_assign``.
@@ -173,6 +174,10 @@ def ivf_topk(
     the corpus, already shuffled once by ``ivf_assign``'s list_id, is joined
     on list_id — each task touches ~nprobe/n_lists of the corpus. Recall is
     tunable via nprobe; nprobe = n_lists degrades to exact brute force.
+
+    ``sim_round``: round the cosine to this many decimals BEFORE ranking —
+    makes tie-breaking reproducible across engines (a cross-engine oracle
+    ranks rounded sims; unrounded fp noise could flip near-ties).
     """
     cents = np.asarray(centroids)
 
@@ -207,14 +212,13 @@ def ivf_topk(
     c = assigned.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "list_id"
     )
+    sim_expr = _dot("qv", "cv") / (_norm("qv") * _norm("cv"))
+    if sim_round is not None:
+        sim_expr = F.round(sim_expr, sim_round)
     sims = (
         c.join(F.broadcast(q_df), "list_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (_dot("qv", "cv") / (_norm("qv") * _norm("cv"))).alias("sim"),
-        )
+        .select("query_id", "neighbor_id", sim_expr.alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
