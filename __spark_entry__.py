@@ -68,6 +68,12 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     unknown). All time bucketing below works on ``ts_us``.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Pin naive TIMESTAMP(MICROS) to the timestamp_ntz branch: if a driver
+    # session disabled inferTimestampNTZ, naive micros would read as
+    # session-local 'timestamp' and unix_micros() would shift by the session
+    # TZ offset, diverging from DuckDB's wall-clock epoch. With this set, the
+    # instant-'timestamp' fallback below only ever sees true instant columns.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
     df = _t(spark, sf_dir, "events")
     t = df.schema["ts"].dataType.simpleString()
     if t == "bigint":  # TIMESTAMP(NANOS) read as long

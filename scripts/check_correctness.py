@@ -51,19 +51,25 @@ def canonical_hash(df: pd.DataFrame) -> str:
     return hashlib.sha256("\n".join(rows).encode()).hexdigest()
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-
+def duck_con(sf_dir: str):
+    """DuckDB connection with the synthetic tables registered as views,
+    exactly as the driver does it."""
     import __spark_entry__ as e
-    from stackstac_spark.session import get_spark
-
-    spark = get_spark("correctness", master="local[8]", shuffle_partitions=8)
 
     con = duckdb.connect()
     for t in e.TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
 
+
+def run_check(spark, con, sf_dir: str, only=None) -> list[tuple[str, str]]:
+    """Run the queries() vs oracle_sql() compare; return (name, problem)
+    failures. ``only`` restricts to those query names (None = all).
+    Importable — tests/test_past_window_mirror.py uses this to keep the
+    entries beyond the driver's 50-entry correctness window honest."""
+    import __spark_entry__ as e
+
+    only = set(only) if only else set()
     qs = e.queries()
     oracles = e.oracle_sql()
     failures = []
@@ -104,8 +110,19 @@ def main() -> int:
             print(f"FAIL {name}: {'; '.join(problems)}")
         else:
             print(f"PASS {name}: rows={len(sdf)} ({time.time() - t0:.1f}s)")
+    return failures
 
-    n_run = len(only) if only else len(qs)
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+    from stackstac_spark.session import get_spark
+
+    spark = get_spark("correctness", master="local[8]", shuffle_partitions=8)
+    failures = run_check(spark, duck_con(sf_dir), sf_dir, only=only)
+    n_run = len(only) if only else len(e.queries())
     print(f"\n{n_run - len(failures)}/{n_run} queries match")
     return 1 if failures else 0
 

@@ -1,0 +1,27 @@
+"""The driver's correctness gate checks only the FIRST 50 registry entries
+(observed in CORRECTNESS_r01/r02). Entries rotated past the cap (TPC-H
+shapes + sampling ops) were green when in-window; this test re-runs the
+exact same Spark-vs-DuckDB compare for them on every CI run, so window
+rotation can never silently regress a query the driver no longer sees."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
+
+SF = "/root/testdata/sf0.01"
+DRIVER_WINDOW = 50
+
+
+@pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata not present")
+def test_past_window_entries_still_match_oracle(spark, capsys):
+    import __spark_entry__ as e
+    from check_correctness import duck_con, run_check
+
+    names = list(e.queries())[DRIVER_WINDOW:]
+    assert names, "registry shrank below the driver window?"
+    failures = run_check(spark, duck_con(SF), SF, only=names)
+    assert not failures, f"past-window regressions: {failures}"
