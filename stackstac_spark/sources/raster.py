@@ -172,6 +172,7 @@ def make_scan_udf(
     gdal_env: dict | None = None,
     errors_as_nodata: tuple = DEFAULT_ERRORS_AS_NODATA,
     dtype: str = "float64",
+    error_acc=None,
 ):
     """Build the mapInPandas kernel for the scan.
 
@@ -181,6 +182,12 @@ def make_scan_udf(
 
     ``fill_value`` must be castable to ``dtype`` (the reference's check at
     to_dask.py:39-43).
+
+    ``error_acc``: optional Spark accumulator incremented once per read that
+    matched ``errors_as_nodata`` and was filled. Without it, a misconfigured
+    bucket at 100 TB reads as "all fill" with zero signal — the reference
+    warns per failed read (nodata_reader.py:46); here the counts flow back
+    to the driver and ``RasterStack`` warns on compute.
     """
     np_dtype = np.dtype(dtype)
     if np.isnan(fill_value) if isinstance(fill_value, float) else False:
@@ -236,6 +243,8 @@ def make_scan_udf(
                     except Exception as exc:  # errors-as-nodata path
                         if not _exception_matches(exc, errors_as_nodata):
                             raise
+                        if error_acc is not None:
+                            error_acc.add(1)
                 out_rows.append(
                     (
                         row.item_idx,

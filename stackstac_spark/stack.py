@@ -40,6 +40,10 @@ class RasterStack:
     dtype: str = "float64"
     xy_coords: str = "topleft"
     fill_value: float = np.nan
+    # accumulator counting reads that matched errors_as_nodata and were
+    # silently filled — the driver-side signal the reference emits as
+    # per-read warnings (nodata_reader.py:46-64)
+    read_error_acc: Any = None
 
     # --- delegated query surface (SURVEY §2.6) --------------------------
 
@@ -124,12 +128,35 @@ class RasterStack:
             self.pixels(), reverse=reverse, nodata=nodata, dtype=self.dtype
         )
 
+    def read_warnings(self) -> int:
+        """Number of raster reads (so far) that matched ``errors_as_nodata``
+        and were filled with ``fill_value``. Accumulators update as tasks
+        finish, so call this after an action."""
+        return int(self.read_error_acc.value) if self.read_error_acc is not None else 0
+
+    def _warn_if_filled_errors(self) -> None:
+        n = self.read_warnings()
+        if n:
+            import warnings
+
+            warnings.warn(
+                f"{n} raster read(s) failed with an errors_as_nodata-matched "
+                f"error and were filled with fill_value={self.fill_value!r}. "
+                "At scale this can silently turn a misconfigured bucket into "
+                "an all-fill result — check read_warnings() and the executor "
+                "logs.",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+
     def compute(self) -> "np.ndarray":
         """Materialize the dense (time, band, y, x) array driver-side — only
         for small AOIs / tests, like ``.compute()`` in the reference."""
         from stackstac_spark.operators.export import to_dense_array
 
-        return to_dense_array(self)
+        out = to_dense_array(self)
+        self._warn_if_filled_errors()
+        return out
 
 
 def stack(
@@ -180,8 +207,13 @@ def stack(
     )
     tiles_grid = tile_grid(spark, prepared.spec, chunksize=chunksize, bounds=bounds, dtype=dtype)
     joined = join_assets_to_tiles(prepared.asset_table, tiles_grid)
+    error_acc = spark.sparkContext.accumulator(0)
     kwargs: dict = dict(
-        fill_value=fill_value, resampling=resampling, gdal_env=gdal_env, dtype=dtype
+        fill_value=fill_value,
+        resampling=resampling,
+        gdal_env=gdal_env,
+        dtype=dtype,
+        error_acc=error_acc,
     )
     if errors_as_nodata is not None:
         kwargs["errors_as_nodata"] = errors_as_nodata
@@ -195,4 +227,5 @@ def stack(
         dtype=dtype,
         fill_value=fill_value,
         xy_coords=xy_coords,
+        read_error_acc=error_acc,
     )
