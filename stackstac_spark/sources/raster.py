@@ -74,6 +74,49 @@ PIXEL_SCHEMA = T.StructType(
 # default error-tolerance pattern, as the reference's stack.py:48-50
 DEFAULT_ERRORS_AS_NODATA = (("RasterioIOError", r"HTTP response code: 404"),)
 
+# Layered GDAL configuration (reference rio_env.py:11-56): `always` applies
+# everywhere; `open` / `open_vrt` / `read` layer on top around the matching
+# GDAL call. The load-bearing default is VSI_CACHE: ON while opening (header/
+# IFD requests are re-read repeatedly and tiny) but OFF while reading (pixel
+# ranges are large, one-shot, and would churn the cache).
+_GDAL_LAYERS = ("always", "open", "open_vrt", "read")
+DEFAULT_GDAL_ENV: dict[str, dict] = {
+    "always": {
+        "GDAL_DISABLE_READDIR_ON_OPEN": "EMPTY_DIR",
+        "GDAL_HTTP_MULTIRANGE": "YES",
+        "GDAL_HTTP_MERGE_CONSECUTIVE_RANGES": "YES",
+    },
+    "open": {"VSI_CACHE": "TRUE"},
+    "open_vrt": {"VSI_CACHE": "TRUE"},
+    "read": {"VSI_CACHE": "FALSE"},
+}
+
+
+def normalize_gdal_env(gdal_env: dict | None) -> dict[str, dict]:
+    """Normalize a user ``gdal_env`` to the layered form.
+
+    - None → the defaults above;
+    - a dict whose keys are all layer names (values dicts) → each layer is
+      the default layer updated with the override;
+    - any other (flat) dict → merged into ``always`` on top of the defaults,
+      so one-off options don't silently drop the VSI_CACHE open/read split.
+    """
+    layers = {k: dict(v) for k, v in DEFAULT_GDAL_ENV.items()}
+    if not gdal_env:
+        return layers
+    if all(k in _GDAL_LAYERS and isinstance(v, dict) for k, v in gdal_env.items()):
+        for k, v in gdal_env.items():
+            layers[k].update(v)
+    else:
+        layers["always"].update(gdal_env)
+    return layers
+
+
+def _merged_layer(layers: dict[str, dict], which: str) -> dict:
+    env = dict(layers["always"])
+    env.update(layers.get(which, {}))
+    return env
+
 
 def fake_pixel_values(
     url: str, rows: np.ndarray, cols: np.ndarray
@@ -127,11 +170,15 @@ def _read_real_window(
 ) -> np.ndarray:  # pragma: no cover - needs rasterio
     """Windowed, resampled read of one COG onto the output grid, with the
     WarpedVRT only when the source grid differs from the spec
-    (rio_reader.py:344-360)."""
+    (rio_reader.py:344-360). ``gdal_env`` may be flat or layered
+    (normalize_gdal_env); open/open_vrt/read each run under their merged
+    option set, mirroring the reference's LayeredEnv (rio_env.py:58-114)."""
+    import rasterio
     from rasterio import windows as rio_windows
     from rasterio.enums import Resampling
 
-    ds = _open_dataset(url, tuple(sorted(gdal_env.items())))
+    layers = normalize_gdal_env(gdal_env)
+    ds = _open_dataset(url, tuple(sorted(_merged_layer(layers, "open").items())))
     xres, yres = spec.resolutions_xy
     gminx, _, _, gmaxy = spec.bounds
     bounds = (
@@ -152,16 +199,18 @@ def _read_real_window(
     if vrt_needed:
         from rasterio.transform import from_origin
 
-        src = WarpedVRT(
-            ds,
-            crs=f"EPSG:{spec.epsg}",
-            transform=from_origin(gminx, gmaxy, xres, yres),
-            width=spec.shape[1],
-            height=spec.shape[0],
-            resampling=Resampling[resampling],
-        )
+        with rasterio.Env(**_merged_layer(layers, "open_vrt")):
+            src = WarpedVRT(
+                ds,
+                crs=f"EPSG:{spec.epsg}",
+                transform=from_origin(gminx, gmaxy, xres, yres),
+                width=spec.shape[1],
+                height=spec.shape[0],
+                resampling=Resampling[resampling],
+            )
     window = rio_windows.from_bounds(*bounds, transform=src.transform)
-    arr = src.read(1, window=window, masked=True, out_shape=(r1 - r0, c1 - c0))
+    with rasterio.Env(**_merged_layer(layers, "read")):
+        arr = src.read(1, window=window, masked=True, out_shape=(r1 - r0, c1 - c0))
     return np.ma.filled(arr.astype("float64"), np.nan)
 
 
@@ -196,11 +245,7 @@ def make_scan_udf(
             or np.issubdtype(np_dtype, np.complexfloating)
         ):
             raise ValueError(f"fill_value NaN is not castable to dtype {dtype}")
-    genv = gdal_env or {
-        "GDAL_DISABLE_READDIR_ON_OPEN": "EMPTY_DIR",
-        "GDAL_HTTP_MULTIRANGE": "YES",
-        "GDAL_HTTP_MERGE_CONSECUTIVE_RANGES": "YES",
-    }
+    genv = normalize_gdal_env(gdal_env)
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -90,10 +90,26 @@ def fake_rasterio(monkeypatch):
 
     transform_mod.from_origin = from_origin
 
+    env_calls = []
+
+    class _FakeEnv:
+        """Records the option set active around each GDAL call."""
+
+        def __init__(self, **options):
+            self.options = options
+
+        def __enter__(self):
+            env_calls.append(self.options)
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
     rio_mod = types.ModuleType("rasterio")
     rio_mod.windows = windows_mod
     rio_mod.enums = enums_mod
     rio_mod.transform = transform_mod
+    rio_mod.Env = _FakeEnv
     for name, mod in [
         ("rasterio", rio_mod),
         ("rasterio.windows", windows_mod),
@@ -103,7 +119,7 @@ def fake_rasterio(monkeypatch):
         monkeypatch.setitem(sys.modules, name, mod)
     monkeypatch.setattr(R, "WarpedVRT", _FakeVRT, raising=False)
     _FakeVRT.calls = []
-    return {"from_bounds_calls": from_bounds_calls}
+    return {"from_bounds_calls": from_bounds_calls, "env_calls": env_calls}
 
 
 SPEC = RasterSpec(32613, (100.0, 200.0, 164.0, 264.0), (2.0, 2.0))  # 32x32 px
@@ -153,6 +169,43 @@ def test_read_cross_crs_uses_vrt(fake_rasterio, monkeypatch):
     R._read_real_window("s3://b/x.tif", SPEC, 0, 4, 0, 4, "nearest", {})
     (vrt_kwargs,) = _FakeVRT.calls
     assert vrt_kwargs["crs"] == "EPSG:32613"
+
+
+def test_gdal_env_layering_open_vs_read(fake_rasterio, monkeypatch):
+    """The reference's LayeredEnv semantics (rio_env.py:11-114): VSI_CACHE
+    is ON for the open that parses headers, OFF for the bulk pixel read —
+    the open key and the read-time Env must disagree on it."""
+    from stackstac_spark.sources import raster as R
+
+    open_keys = []
+
+    def fake_open(url, key):
+        open_keys.append(dict(key))
+        return _FakeDataset(32613, _FakeTransform(2.0, -2.0, 100.0, 264.0))
+
+    monkeypatch.setattr(R, "_open_dataset", fake_open)
+    R._read_real_window("s3://b/x.tif", SPEC, 0, 8, 0, 8, "nearest", None)
+
+    (okey,) = open_keys
+    assert okey["VSI_CACHE"] == "TRUE"
+    assert okey["GDAL_DISABLE_READDIR_ON_OPEN"] == "EMPTY_DIR"
+    read_envs = [e for e in fake_rasterio["env_calls"] if e.get("VSI_CACHE") == "FALSE"]
+    assert len(read_envs) == 1, fake_rasterio["env_calls"]
+    assert read_envs[0]["GDAL_HTTP_MULTIRANGE"] == "YES"  # always-layer carried
+
+
+def test_gdal_env_flat_dict_merges_into_always(fake_rasterio, monkeypatch):
+    """A flat user dict must not erase the open/read VSI_CACHE split."""
+    from stackstac_spark.sources import raster as R
+
+    layers = R.normalize_gdal_env({"GDAL_HTTP_TIMEOUT": "30"})
+    assert layers["always"]["GDAL_HTTP_TIMEOUT"] == "30"
+    assert layers["open"]["VSI_CACHE"] == "TRUE"
+    assert layers["read"]["VSI_CACHE"] == "FALSE"
+    # layered overrides update only the named layer
+    layered = R.normalize_gdal_env({"read": {"CPL_DEBUG": "ON"}})
+    assert layered["read"] == {"VSI_CACHE": "FALSE", "CPL_DEBUG": "ON"}
+    assert layered["open"]["VSI_CACHE"] == "TRUE"
 
 
 def test_open_without_rasterio_raises_cleanly():
