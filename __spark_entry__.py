@@ -24,7 +24,9 @@ Query groups:
   join → mapInPandas scan → mosaic/NDVI/reduction/warp), hash-checked
   against closed-form DuckDB oracles over the deterministic fake-reader
   pixel function
-- multimodal_features — binary-payload mapInPandas plumbing (rows-only)
+- multimodal_features — binary-payload mapInPandas decode + histogram,
+  hash-checked against a closed-form DuckDB replay of the raw-RGB24 fake
+  codec
 """
 
 from __future__ import annotations
@@ -2461,18 +2463,57 @@ SQL_RASTER_XYZ_PNG = _xyz_png_oracle_sql()
 
 
 def q_multimodal_features(spark, sf):
-    """Multimodal plumbing (rows-only check: the decode step is a
-    deterministic stand-in, not SQL-expressible): binary payloads →
-    streaming mapInPandas histogram features."""
+    """Multimodal pipeline, fully oracle-checkable: binary payloads →
+    streaming mapInPandas raw-RGB24 decode → 8-bin histogram features.
+
+    The fake codec reads payload bytes as the pixel buffer (tiled), and
+    ``make_fake_media``'s payloads are a closed-form function of
+    (media_id, byte index), so SQL_MULTIMODAL_FEATURES replays the decode +
+    histogram exactly. ``feat_wsum`` recovers the exact integer bin counts
+    from the float32 normalized feature (round(f * n_px) is exact since
+    float32 eps ≪ 1/n_px) — the value check is integer-exact, plus one
+    float32-parity column (``feat_max``)."""
     from stackstac_spark.operators.multimodal import extract_features, make_fake_media
 
-    media = make_fake_media(spark, n=16)
+    media = make_fake_media(spark, n=16)  # 32x24 → 2304 pixel-bytes per image
     feats = extract_features(media, fake=True, bins=8)
     return feats.select(
         "media_id",
-        F.round(F.expr("aggregate(feature, 0D, (a, x) -> a + x)"), 4).alias("feat_sum"),
         F.size("feature").alias("n_bins"),
+        F.expr(
+            "aggregate(transform(feature, (f, b) -> "
+            "CAST(round(CAST(f AS DOUBLE) * 2304) AS BIGINT) * (b + 1)), "
+            "0L, (a, x) -> a + x)"
+        ).alias("feat_wsum"),
+        F.round(F.expr("CAST(array_max(feature) AS DOUBLE)"), 4).alias("feat_max"),
     ).orderBy("media_id")
+
+
+# Replays make_fake_media + the raw-RGB24 fake decode + np.histogram in pure
+# SQL: payload byte k = ((id+3)*(41k + (k%7)*29 + 17)) % 256, flat pixel j
+# takes byte j % 997, bin = v // 32 (8 bins over [0,256)).
+SQL_MULTIMODAL_FEATURES = """
+WITH media AS (SELECT CAST(i AS BIGINT) AS media_id FROM generate_series(0, 15) t(i)),
+pix AS (
+  SELECT m.media_id,
+         ((m.media_id + 3) * (41*(j.j % 997) + ((j.j % 997) % 7)*29 + 17)) % 256 AS v
+  FROM media m CROSS JOIN generate_series(0, 2303) j(j)
+),
+hist AS (
+  SELECT media_id, v // 32 AS b, count(*) AS cnt
+  FROM pix GROUP BY media_id, v // 32
+),
+bins AS (
+  SELECT m.media_id, bb.b, coalesce(h.cnt, 0) AS cnt
+  FROM media m CROSS JOIN generate_series(0, 7) bb(b)
+  LEFT JOIN hist h ON h.media_id = m.media_id AND h.b = bb.b
+)
+SELECT media_id,
+       CAST(8 AS INT) AS n_bins,
+       CAST(sum(cnt * (b + 1)) AS BIGINT) AS feat_wsum,
+       round(max(CAST(CAST(cnt / 2304.0 AS REAL) AS DOUBLE)), 4) AS feat_max
+FROM bins GROUP BY media_id ORDER BY media_id
+"""
 
 
 # --------------------------------------------------------------------------
@@ -2498,7 +2539,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "raster_resample_nearest": (q_raster_resample_nearest, SQL_RASTER_RESAMPLE),
     "raster_resample_bilinear": (q_raster_resample_bilinear, SQL_RASTER_RESAMPLE_BILINEAR),
     "raster_xyz_png": (q_raster_xyz_png, SQL_RASTER_XYZ_PNG),
-    "multimodal_features": (q_multimodal_features, None),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     # --- relational operators unchecked in r01 ---
     "set_ops": (q_set_ops, SQL_SET_OPS),
     "window_rank": (q_window_rank, SQL_WINDOW_RANK),

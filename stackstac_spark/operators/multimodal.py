@@ -4,9 +4,12 @@ typed metadata, processed by Arrow-batched ``mapInPandas`` kernels.
 The Spark-side plumbing — schemas, batch shapes, partition sizing, UDF
 signatures — is real and tested; the actual codec step is STUBBED because no
 image/audio library exists in this container: ``decode_image`` raises
-``NotImplementedError`` unless ``fake=True``, in which case a deterministic
-synthetic decode (seeded by the payload hash) stands in so the downstream
-pipeline (resize / feature-extract / frame-sample) is fully exercisable.
+``NotImplementedError`` unless ``fake=True``, in which case a *headerless raw
+RGB24* decode stands in: the payload bytes ARE the pixel buffer, tiled
+cyclically to ``(h, w, 3)``. Paired with ``make_fake_media``'s closed-form
+payload generator (a pure function of ``(media_id, byte index)``), every
+downstream feature is expressible in ANSI SQL, so the driver's DuckDB oracle
+can hash-match the whole pipeline (see ``q_multimodal_features``).
 
 Scale notes: media rows are large (MBs); the kernels are streaming
 (``mapInPandas`` yields per Arrow batch, never materializing a partition),
@@ -18,7 +21,6 @@ memory.
 
 from __future__ import annotations
 
-import hashlib
 from typing import Iterator
 
 import numpy as np
@@ -58,23 +60,46 @@ FRAME_SCHEMA = T.StructType(
 
 
 def decode_image(payload: bytes, width: int, height: int, fake: bool = False) -> np.ndarray:
-    """payload → uint8 (h, w, 3). STUB: real codecs are unavailable here."""
+    """payload → uint8 (h, w, 3). STUB: real codecs are unavailable here.
+
+    The ``fake=True`` branch is a *raw RGB24* codec: the payload bytes are
+    read as the pixel buffer itself, tiled cyclically to fill ``(h, w, 3)``
+    (flat pixel ``j`` takes byte ``payload[j % len(payload)]``). Deterministic
+    and closed-form, so a SQL oracle can replay it exactly.
+    """
     if not fake:
         raise NotImplementedError(
             "No image codec available in this environment; pass fake=True for "
-            "the deterministic synthetic decoder (tests), or deploy with "
+            "the deterministic raw-RGB24 decoder (tests), or deploy with "
             "Pillow/opencv and replace this branch."
         )
-    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
-    rng = np.random.default_rng(seed)
-    return rng.integers(0, 256, (height, width, 3), dtype=np.uint8)
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    if buf.size == 0:
+        raise ValueError("decode_image: empty payload")
+    return np.resize(buf, height * width * 3).reshape(height, width, 3)
+
+
+#: Fake payload length. Prime, and co-prime with any (h*w*3), so the cyclic
+#: tiling sweeps the whole byte pattern rather than aliasing to a short cycle.
+FAKE_PAYLOAD_BYTES = 997
+
+
+def fake_payload(media_id: int, nbytes: int = FAKE_PAYLOAD_BYTES) -> bytes:
+    """Closed-form payload: byte ``k`` is ``((id+3)*(41k + (k%7)*29 + 17)) % 256``.
+
+    Pure integer arithmetic in (media_id, k) — replayable in ANSI SQL — and the
+    per-media multiplier ``(media_id+3)`` changes the residue *distribution*
+    (not just a shift), so histograms differ across media.
+    """
+    return bytes(
+        ((media_id + 3) * (41 * k + (k % 7) * 29 + 17)) % 256 for k in range(nbytes)
+    )
 
 
 def make_fake_media(spark, n: int = 8, width: int = 32, height: int = 24) -> DataFrame:
-    """Synthetic media table with deterministic payloads."""
+    """Synthetic media table with deterministic closed-form payloads."""
     rows = [
-        (i, "image", "image/fake", width, height, 1, hashlib.sha256(bytes([i])).digest() * 8)
-        for i in range(n)
+        (i, "image", "image/fake", width, height, 1, fake_payload(i)) for i in range(n)
     ]
     from stackstac_spark.session import local_df
 
@@ -120,7 +145,8 @@ def resize_images(media: DataFrame, out_w: int, out_h: int, fake: bool = True) -
 
 def sample_frames(media: DataFrame, every_n: int = 2, fake: bool = True) -> DataFrame:
     """Frame sampling for video rows: emit every ``every_n``-th frame (the
-    fake decoder derives each frame deterministically from (payload, idx))."""
+    fake raw codec derives each frame deterministically from (payload, idx):
+    appending the frame index changes the tiling period, so frames differ)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

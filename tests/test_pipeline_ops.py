@@ -194,6 +194,11 @@ def test_multimodal_plumbing(spark):
     with pytest.raises(NotImplementedError):
         decode_image(b"payload", 4, 4, fake=False)
 
+    # The fake codec is raw RGB24: payload bytes tile cyclically into pixels.
+    img = decode_image(bytes(range(5)), 2, 2, fake=True)
+    assert img.shape == (2, 2, 3)
+    assert img.ravel().tolist() == [0, 1, 2, 3, 4, 0, 1, 2, 3, 4, 0, 1]
+
     assert media_repartition_hint(8 << 20) == 8
 
 
