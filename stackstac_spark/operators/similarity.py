@@ -138,20 +138,21 @@ def ivf_assign(
                 cent[j] = arr[m].mean(0)
     centroids = cent.tolist()
 
-    assign = None
-    best = None
-    for j, cvec in enumerate(centroids):
-        arr_sql = ", ".join(f"{v!r}D" for v in cvec)
-        d2 = F.expr(
-            f"aggregate(zip_with({vec_col}, array({arr_sql}), (x, c) -> "
-            f"(CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), 0D, (acc, v) -> acc + v)"
-        )
-        if assign is None:
-            assign, best = F.lit(j), d2
-        else:
-            cond = d2 < best
-            assign = F.when(cond, F.lit(j)).otherwise(assign)
-            best = F.when(cond, d2).otherwise(best)
+    # Nearest-centroid argmin as ONE higher-order-function expression over a
+    # single array<array<double>> literal: per-centroid d², paired with its
+    # index in a struct, then array_min picks (min d², then min index — same
+    # tie-break as a strict `<` scan). Expression depth is O(1) in n_lists
+    # (the r3 nested-WHEN chain was O(n_lists) deep and broke Catalyst
+    # analysis/codegen at realistic IVF sizes like n_lists=1024-4096).
+    cent_sql = "array(" + ", ".join(
+        "array(" + ", ".join(f"{v!r}D" for v in cvec) + ")" for cvec in centroids
+    ) + ")"
+    assign = F.expr(
+        f"array_min(transform({cent_sql}, (c, i) -> named_struct("
+        f"'d2', aggregate(zip_with({vec_col}, c, (x, cc) -> "
+        f"(CAST(x AS DOUBLE) - cc) * (CAST(x AS DOUBLE) - cc)), 0D, (acc, v) -> acc + v), "
+        f"'idx', i))).idx"
+    ).cast("int")
     return corpus.withColumn("list_id", assign), centroids
 
 

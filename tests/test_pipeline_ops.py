@@ -137,6 +137,33 @@ def test_ivf_assign_covers_all(spark):
         assert r.list_id == int(d.argmin())
 
 
+def test_ivf_assign_realistic_n_lists_bounded(spark):
+    """n_lists=256 must plan + run in bounded time: the assignment is ONE
+    HOF argmin over an array<array<double>> literal, not an O(n_lists)-deep
+    WHEN chain (which blew up Catalyst analysis at realistic IVF sizes)."""
+    import time
+
+    from stackstac_spark.operators.similarity import ivf_assign
+
+    rng = np.random.default_rng(7)
+    n, dim = 512, 16
+    vecs = rng.standard_normal((n, dim)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    t0 = time.time()
+    assigned, centroids = ivf_assign(df, n_lists=256, sample_fraction=1.0)
+    rows = assigned.collect()
+    elapsed = time.time() - t0
+    assert len(rows) == n and len(centroids) == 256
+    assert elapsed < 60, f"ivf_assign at n_lists=256 took {elapsed:.1f}s"
+    cent = np.asarray(centroids)
+    for r in rows[:20]:
+        d = ((np.asarray(r.embedding, dtype="float64") - cent) ** 2).sum(1)
+        assert r.list_id == int(d.argmin())
+
+
 def test_token_stats_and_quality(spark, docs_df):
     from stackstac_spark.operators.textstats import quality_score, token_stats
 
