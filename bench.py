@@ -1,16 +1,25 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "queries_spread": {name: {min, med, max}}, "sf": ...}.
 
-Each query is executed to completion (count() drains the plan) after a
-warm-up of the session; per-query wall time includes planning + execution.
+Each query is executed to completion (count() drains the plan)
+$SPARK_GRAFT_BENCH_RUNS times back-to-back (default 3); "queries" holds the
+per-query MEDIAN and "value" the sum of medians, with the full min/med/max
+spread alongside — so a per-query regression can be told apart from
+run-order / GC noise instead of guessed at. Per-query wall time includes
+planning + execution.
+
+Methodology note (r4): rounds 1-3 published a single pass, so r4 totals read
+slightly lower for unchanged queries purely because the median of warm
+repeats strips one-time scan/JIT warmup; the spread makes that visible.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -20,6 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 32))
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
     import __spark_entry__ as e
     from stackstac_spark.session import get_spark
@@ -69,16 +79,30 @@ def main() -> None:
     except Exception:
         pass
 
-    timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
     total = 0.0
     for name, fn in e.queries().items():
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        dt = time.time() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+        times: list[float] = []
+        n = 0
+        for _ in range(runs):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            times.append(time.time() - t0)
+        med = statistics.median(times)
+        medians[name] = round(med, 3)
+        spread[name] = {
+            "min": round(min(times), 3),
+            "med": round(med, 3),
+            "max": round(max(times), 3),
+        }
+        total += med
+        print(
+            f"# {name}: med {med:.2f}s [min {min(times):.2f} max {max(times):.2f}]"
+            f" x{runs} ({n} rows)",
+            file=sys.stderr,
+        )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -87,7 +111,9 @@ def main() -> None:
                 "metric": "total_wall_sec_all_queries",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
+                "runs_per_query": runs,
+                "queries": medians,
+                "queries_spread": spread,
                 "sf": float(sf),
             }
         )

@@ -81,9 +81,34 @@ def asof_join(
         raise ValueError(f"right_cols collide with left columns: {sorted(clash)}")
     if matched_ts in left.columns or matched_ts in right_cols:
         raise ValueError(f"matched_ts {matched_ts!r} collides with an output column")
+    # '__'-prefixed names are reserved for the union/window internals
+    # (__ts/__side/__is_left/__r/__match and the __r struct's fields); an
+    # input column named like them would silently shadow or duplicate.
+    dunder = sorted({c for c in (*left.columns, *right.columns) if c.startswith("__")})
+    if dunder:
+        raise ValueError(
+            f"asof_join reserves '__'-prefixed column names internally; "
+            f"rename input columns: {dunder}"
+        )
 
     # left_ts travels as __ts and is re-aliased on output, so exclude it here
     left_payload = [c for c in left.columns if c not in keys and c != left_ts]
+
+    # Null ordering keys are rejected (pandas.merge_asof raises on them too):
+    # under the backward (asc) ordering a null right_ts would sort first and
+    # silently become every unmatched left row's "match", and forward (desc)
+    # would behave differently. The check is IN-PLAN (when(null, raise_error))
+    # so it stays lazy and free when no nulls exist — no eager count() pass.
+    def _nn(c: Column, what: str) -> Column:
+        return F.when(
+            c.isNull(),
+            F.raise_error(
+                F.lit(
+                    f"asof_join: null {what} ordering key "
+                    "(pandas.merge_asof also rejects null keys); filter nulls upstream"
+                )
+            ).cast(left.schema[left_ts].dataType if what == "left_ts" else right.schema[right_ts].dataType),
+        ).otherwise(c)
 
     # Secondary sort key: at equal ts, the side that must be *visible* to the
     # other sorts first (ROWS frame ending at CURRENT ROW looks backward).
@@ -106,7 +131,7 @@ def asof_join(
 
     l_side = left.select(
         *[F.col(k) for k in keys],
-        F.col(left_ts).alias("__ts"),
+        _nn(F.col(left_ts), "left_ts").alias("__ts"),
         F.lit(left_rank).alias("__side"),
         F.lit(True).alias("__is_left"),
         *[F.col(c) for c in left_payload],
@@ -114,7 +139,7 @@ def asof_join(
     )
     r_side = right.select(
         *[F.col(k) for k in keys],
-        F.col(right_ts).alias("__ts"),
+        _nn(F.col(right_ts), "right_ts").alias("__ts"),
         F.lit(right_rank).alias("__side"),
         F.lit(False).alias("__is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],

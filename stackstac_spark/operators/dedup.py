@@ -136,58 +136,83 @@ def connected_components(
     convergence, while the check itself is one cheap job. On a cluster
     where executor loss matters, swap for reliable ``checkpoint()`` with a
     checkpoint dir — same shape, durable lineage cut.
+
+    Shuffle sizing: the per-round joins inherit the session's
+    ``spark.sql.shuffle.partitions`` — right for a corpus-scale graph,
+    pure per-task overhead for a small one (AQE's coalesce doesn't rescue
+    an iterative loop: every round still *launches* the pre-coalesce task
+    count across its 10+ stages). After materializing the edge list once we
+    know the graph size, so the loop runs under a shuffle-partition count
+    sized from it (~100k edges/partition, capped at the session default,
+    restored afterwards). At 100 TB this leaves the default untouched; at
+    toy scale it collapses ~80 fixed-cost tasks/round to a handful.
     """
+    spark = pairs.sparkSession
     e1 = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = e1.union(
         e1.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
-    )
     edges = edges.localCheckpoint()
-    converged = False
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(
-                labels.select(F.col("node").alias("dst"), F.col("label").alias("nl")),
-                "dst",
-            )
-            .groupBy("src")
-            .agg(F.min("nl").alias("minl"))
-            .withColumnRenamed("src", "node")
-        )
-        l1 = labels.join(neighbor_min, "node", "left").select(
-            "node",
-            F.col("label").alias("old"),
-            F.least(F.col("label"), F.coalesce("minl", "label")).alias("label"),
-        )
-        # pointer doubling: follow my (new) label's label. This is a
-        # self-join of l1, so both sides must be alias-qualified or Spark
-        # rejects the plan as ambiguous.
-        new_labels = (
-            l1.alias("a")
-            .join(
-                l1.select("node", "label").alias("p"),
-                F.col("a.label") == F.col("p.node"),
-                "left",
-            )
-            .select(
-                F.col("a.node").alias("node"),
-                F.col("a.old").alias("old"),
-                F.least(
-                    F.col("a.label"), F.coalesce(F.col("p.label"), F.col("a.label"))
-                ).alias("label"),
-            )
+    n_edges = edges.count()  # cheap: counts the checkpointed partitions
+
+    conf_key = "spark.sql.shuffle.partitions"
+    default_parts = int(spark.conf.get(conf_key))
+    parts = max(1, min(default_parts, -(-n_edges // 100_000)))
+    if parts != default_parts:
+        spark.conf.set(conf_key, str(parts))
+        # re-lay the edge list at the loop's partitioning so every round's
+        # join reads `parts` co-partitioned inputs, not the original layout
+        edges = edges.repartition(parts, "dst").localCheckpoint()
+    try:
+        labels = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
             .localCheckpoint()
         )
-        labels = new_labels
-        # join-free: old label is a column of the checkpointed result
-        if new_labels.filter(F.col("label") != F.col("old")).count() == 0:
-            converged = True
-            break
+        converged = False
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges.join(
+                    labels.select(F.col("node").alias("dst"), F.col("label").alias("nl")),
+                    "dst",
+                )
+                .groupBy("src")
+                .agg(F.min("nl").alias("minl"))
+                .withColumnRenamed("src", "node")
+            )
+            l1 = labels.join(neighbor_min, "node", "left").select(
+                "node",
+                F.col("label").alias("old"),
+                F.least(F.col("label"), F.coalesce("minl", "label")).alias("label"),
+            )
+            # pointer doubling: follow my (new) label's label. This is a
+            # self-join of l1, so both sides must be alias-qualified or Spark
+            # rejects the plan as ambiguous.
+            new_labels = (
+                l1.alias("a")
+                .join(
+                    l1.select("node", "label").alias("p"),
+                    F.col("a.label") == F.col("p.node"),
+                    "left",
+                )
+                .select(
+                    F.col("a.node").alias("node"),
+                    F.col("a.old").alias("old"),
+                    F.least(
+                        F.col("a.label"), F.coalesce(F.col("p.label"), F.col("a.label"))
+                    ).alias("label"),
+                )
+                .localCheckpoint()
+            )
+            labels = new_labels
+            # join-free: old label is a column of the checkpointed result
+            if new_labels.filter(F.col("label") != F.col("old")).count() == 0:
+                converged = True
+                break
+    finally:
+        if parts != default_parts:
+            spark.conf.set(conf_key, str(default_parts))
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"

@@ -98,13 +98,28 @@ def normalize_gdal_env(gdal_env: dict | None) -> dict[str, dict]:
     - None → the defaults above;
     - a dict whose keys are all layer names (values dicts) → each layer is
       the default layer updated with the override;
-    - any other (flat) dict → merged into ``always`` on top of the defaults,
-      so one-off options don't silently drop the VSI_CACHE open/read split.
+    - a flat dict (no layer-named dict values) → merged into ``always`` on
+      top of the defaults, so one-off options don't silently drop the
+      VSI_CACHE open/read split;
+    - a MIX of the two raises: treating it as flat would pass a nested dict
+      to GDAL as a bogus option value, and treating it as layered would drop
+      the flat options.
     """
     layers = {k: dict(v) for k, v in DEFAULT_GDAL_ENV.items()}
     if not gdal_env:
         return layers
-    if all(k in _GDAL_LAYERS and isinstance(v, dict) for k, v in gdal_env.items()):
+    layerish = {
+        k for k, v in gdal_env.items() if k in _GDAL_LAYERS and isinstance(v, dict)
+    }
+    if layerish and layerish != set(gdal_env):
+        raise ValueError(
+            "gdal_env mixes layered and flat keys: layer dicts "
+            f"{sorted(layerish)} alongside flat options "
+            f"{sorted(set(gdal_env) - layerish)}. Pass EITHER a layered dict "
+            f"(keys from {_GDAL_LAYERS}, dict values) OR a flat options dict; "
+            "put one-off flat options under 'always'."
+        )
+    if layerish:
         for k, v in gdal_env.items():
             layers[k].update(v)
     else:

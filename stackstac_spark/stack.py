@@ -130,12 +130,19 @@ class RasterStack:
 
     def read_warnings(self) -> int:
         """Number of raster reads (so far) that matched ``errors_as_nodata``
-        and were filled with ``fill_value``. Accumulators update as tasks
-        finish, so call this after an action."""
+        and were filled with ``fill_value``.
+
+        AT-LEAST-ONCE counter: Spark accumulators updated inside a
+        transformation re-increment on task retries, speculative duplicates,
+        and every action that re-runs the scan (two ``compute()`` calls count
+        the same failing read twice). Treat it as "nonzero ⇒ some reads were
+        error-filled", not as an exact count; per-action deltas are what
+        ``compute()`` warns on. Accumulators update as tasks finish, so call
+        this after an action."""
         return int(self.read_error_acc.value) if self.read_error_acc is not None else 0
 
-    def _warn_if_filled_errors(self) -> None:
-        n = self.read_warnings()
+    def _warn_if_filled_errors(self, baseline: int = 0) -> None:
+        n = self.read_warnings() - baseline
         if n:
             import warnings
 
@@ -154,8 +161,12 @@ class RasterStack:
         for small AOIs / tests, like ``.compute()`` in the reference."""
         from stackstac_spark.operators.export import to_dense_array
 
+        # Warn on the DELTA across this action only: the accumulator is
+        # at-least-once and cumulative, so a prior action's (already-warned)
+        # failures must not re-warn a healthy compute().
+        baseline = self.read_warnings()
         out = to_dense_array(self)
-        self._warn_if_filled_errors()
+        self._warn_if_filled_errors(baseline=baseline)
         return out
 
 

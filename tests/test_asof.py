@@ -118,3 +118,44 @@ def test_plan_is_window_not_join(spark, frames):
     assert "Window" in plan
     for bad in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct", "BroadcastHashJoin"):
         assert bad not in plan, f"asof plan must not contain {bad}"
+
+
+def test_null_ordering_key_raises(spark):
+    """Null ts keys are rejected in-plan (pandas.merge_asof raises too):
+    without this, a null right_ts sorts first under backward-asc and becomes
+    every unmatched left row's silent 'match'."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    left = spark.createDataFrame([("k", 100, "p")], "key string, ts long, pid string")
+    right_null = spark.createDataFrame(
+        [("k", None, 1.0), ("k", 50, 2.0)], "key string, rts long, val double"
+    )
+    with pytest.raises((Py4JJavaError, PySparkException), match="null right_ts"):
+        asof_join(
+            left, right_null, on="key", left_ts="ts", right_ts="rts",
+            right_cols=["val"], how="left", matched_ts="mts",
+        ).collect()
+
+    left_null = spark.createDataFrame(
+        [("k", None, "p")], "key string, ts long, pid string"
+    )
+    right = spark.createDataFrame([("k", 50, 2.0)], "key string, rts long, val double")
+    with pytest.raises((Py4JJavaError, PySparkException), match="null left_ts"):
+        asof_join(
+            left_null, right, on="key", left_ts="ts", right_ts="rts",
+            right_cols=["val"], how="left", matched_ts="mts",
+        ).collect()
+
+
+def test_reserved_dunder_columns_rejected(spark):
+    left = spark.createDataFrame([("k", 1, 5)], "key string, ts long, __ts long")
+    right = spark.createDataFrame([("k", 1, 1.0)], "key string, rts long, val double")
+    with pytest.raises(ValueError, match="__"):
+        asof_join(left, right, on="key", left_ts="ts", right_ts="rts")
+    with pytest.raises(ValueError, match="__"):
+        asof_join(
+            right.withColumnRenamed("val", "ok"),
+            left.withColumnRenamed("__ts", "__match"),
+            on="key", left_ts="rts", right_ts="ts",
+        )

@@ -15,8 +15,25 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
 SF = "/root/testdata/sf0.01"
 DRIVER_WINDOW = 50
 
+# This file is the ONLY regression coverage for entries rotated beyond the
+# driver's window; a silent skip on a runner without the fixture data would
+# reduce that guard to nothing. Outside the driver environment (no
+# /root/testdata) we still skip — but LOUDLY, and as a hard failure when the
+# environment claims the data should exist (SPARK_GRAFT_SF_DIR or CI=true).
+if not os.path.isdir(SF) and (os.environ.get("CI") or os.environ.get("SPARK_GRAFT_SF_DIR")):
+    pytest.fail(
+        f"past-window mirror: {SF} missing but CI/SPARK_GRAFT_SF_DIR is set — "
+        "the rotation-regression guard would silently vanish; provision the "
+        "sf0.01 fixtures or unset CI to acknowledge the gap.",
+        pytrace=False,
+    )
 
-@pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata not present")
+
+@pytest.mark.skipif(
+    not os.path.isdir(SF),
+    reason=f"LOUD SKIP: {SF} absent — the past-window rotation guard is NOT "
+    "running; the driver-window registry entries beyond 50 are unverified here",
+)
 def test_past_window_entries_still_match_oracle(spark, capsys):
     import __spark_entry__ as e
     from check_correctness import duck_con, run_check

@@ -206,6 +206,10 @@ def test_gdal_env_flat_dict_merges_into_always(fake_rasterio, monkeypatch):
     layered = R.normalize_gdal_env({"read": {"CPL_DEBUG": "ON"}})
     assert layered["read"] == {"VSI_CACHE": "FALSE", "CPL_DEBUG": "ON"}
     assert layered["open"]["VSI_CACHE"] == "TRUE"
+    # a MIX of layered and flat keys is ambiguous: treating it as flat would
+    # hand rasterio.Env a nested dict as an option value — reject loudly
+    with pytest.raises(ValueError, match="mixes layered and flat"):
+        R.normalize_gdal_env({"open": {"VSI_CACHE": "TRUE"}, "GDAL_HTTP_TIMEOUT": "30"})
 
 
 def test_open_without_rasterio_raises_cleanly():
