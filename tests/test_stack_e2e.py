@@ -14,15 +14,23 @@ from tests.conftest import make_item
 
 def paint_oracle(items, asset_ids, spec):
     """Dense (time, band, h, w) ground truth painted straight from the item
-    metadata + the fake-reader value function."""
+    metadata + the fake-reader value function. Cross-CRS items are painted
+    over their 4-corner-reprojected footprint (the fake reader serves values
+    on the OUTPUT grid, exactly like a WarpedVRT serving the warped raster)."""
+    from stackstac_spark.functions.proj import reproject_bounds
+
     h, w = spec.shape
     out = np.full((len(items), len(asset_ids), h, w), np.nan)
     for t, it in enumerate(items):
+        src_epsg = int(it["properties"]["proj:epsg"])
         for b, aid in enumerate(asset_ids):
             asset = it["assets"].get(aid)
             if asset is None:
                 continue
-            win = spec.pixel_window_from_bounds(tuple(asset["proj:bbox"]))
+            bounds = tuple(asset["proj:bbox"])
+            if src_epsg != spec.epsg:
+                bounds = reproject_bounds(bounds, src_epsg, spec.epsg)
+            win = spec.pixel_window_from_bounds(bounds)
             r0, r1 = max(win.row_off, 0), min(win.row_off + win.height, h)
             c0, c1 = max(win.col_off, 0), min(win.col_off + win.width, w)
             if r1 <= r0 or c1 <= c0:
