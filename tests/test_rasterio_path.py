@@ -58,9 +58,11 @@ class _FakeDataset:
 
 class _FakeVRT(_FakeDataset):
     calls: list = []
+    instances: list = []
 
     def __init__(self, ds, **kwargs):
         _FakeVRT.calls.append(kwargs)
+        _FakeVRT.instances.append(self)
         self.wrapped = ds
         tr = kwargs["transform"]
         super().__init__(int(kwargs["crs"].split(":")[1]), tr)
@@ -119,6 +121,7 @@ def fake_rasterio(monkeypatch):
         monkeypatch.setitem(sys.modules, name, mod)
     monkeypatch.setattr(R, "WarpedVRT", _FakeVRT, raising=False)
     _FakeVRT.calls = []
+    _FakeVRT.instances = []
     return {"from_bounds_calls": from_bounds_calls, "env_calls": env_calls}
 
 
@@ -169,6 +172,38 @@ def test_read_cross_crs_uses_vrt(fake_rasterio, monkeypatch):
     R._read_real_window("s3://b/x.tif", SPEC, 0, 4, 0, 4, "nearest", {})
     (vrt_kwargs,) = _FakeVRT.calls
     assert vrt_kwargs["crs"] == "EPSG:32613"
+
+
+def test_read_coarse_spec_decimates_via_vrt(fake_rasterio, monkeypatch):
+    """Decimated read (reference rio_reader.py:382-429): spec 4x coarser than
+    the native raster. Our design pins the WarpedVRT to the SPEC grid, so
+    GDAL performs the decimation (overview selection) inside the VRT warp;
+    the read then asks for exactly the coarse pixel window with
+    out_shape == (r1-r0, c1-c0) — each output pixel covers 4x4 native pixels
+    but the task only ever materializes the decimated block."""
+    from stackstac_spark.sources import raster as R
+
+    spec_coarse = RasterSpec(32613, (100.0, 200.0, 164.0, 264.0), (8.0, 8.0))  # 8x8 px
+    # native 2 m dataset, same CRS, aligned origin — only the resolution differs
+    ds = _FakeDataset(32613, _FakeTransform(2.0, -2.0, 100.0, 264.0))
+    monkeypatch.setattr(R, "_open_dataset", lambda url, key: ds)
+
+    out = R._read_real_window("s3://b/x.tif", spec_coarse, 2, 6, 1, 5, "nearest", {})
+    assert out.shape == (4, 4)
+
+    # the VRT is the decimation point: it must target the coarse spec grid
+    (vrt_kwargs,) = _FakeVRT.calls
+    tr = vrt_kwargs["transform"]
+    assert (tr.a, tr.e, tr.c, tr.f) == (8.0, -8.0, 100.0, 264.0)
+    assert vrt_kwargs["width"] == 8 and vrt_kwargs["height"] == 8
+
+    # the raw dataset is never read directly; the VRT gets the coarse window
+    assert ds.reads == []
+    (vrt,) = _FakeVRT.instances
+    assert vrt.reads[0]["out_shape"] == (4, 4)
+    # rows 2..6, cols 1..5 on the 8 m grid anchored (100, 264):
+    # a 32 m x 32 m span = 16x16 native pixels, decimated to out_shape (4, 4)
+    assert fake_rasterio["from_bounds_calls"] == [(108.0, 216.0, 140.0, 248.0)]
 
 
 def test_gdal_env_layering_open_vs_read(fake_rasterio, monkeypatch):
