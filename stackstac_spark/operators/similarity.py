@@ -138,22 +138,94 @@ def ivf_assign(
                 cent[j] = arr[m].mean(0)
     centroids = cent.tolist()
 
-    # Nearest-centroid argmin as ONE higher-order-function expression over a
-    # single array<array<double>> literal: per-centroid d², paired with its
-    # index in a struct, then array_min picks (min d², then min index — same
-    # tie-break as a strict `<` scan). Expression depth is O(1) in n_lists
-    # (the r3 nested-WHEN chain was O(n_lists) deep and broke Catalyst
-    # analysis/codegen at realistic IVF sizes like n_lists=1024-4096).
+    assign = nearest_centroid_column(vec_col, centroids)
+    return corpus.withColumn("list_id", assign), centroids
+
+
+def nearest_centroid_column(
+    vec_col: str, centroids: list[list[float]], d2_round: int | None = None
+):
+    """Nearest-centroid argmin as ONE higher-order-function expression over a
+    single array<array<double>> literal: per-centroid d², paired with its
+    index in a struct, then array_min picks (min d², then min index — same
+    tie-break as a strict `<` scan). Expression depth is O(1) in n_lists
+    (the r3 nested-WHEN chain was O(n_lists) deep and broke Catalyst
+    analysis/codegen at realistic IVF sizes like n_lists=1024-4096).
+
+    ``d2_round``: round d² to this many decimals before comparing — used by
+    cross-engine oracles so fp summation-order noise can't flip near-ties.
+    """
     cent_sql = "array(" + ", ".join(
         "array(" + ", ".join(f"{v!r}D" for v in cvec) + ")" for cvec in centroids
     ) + ")"
-    assign = F.expr(
+    d2 = (
+        f"aggregate(zip_with({vec_col}, c, (x, cc) -> "
+        f"(CAST(x AS DOUBLE) - cc) * (CAST(x AS DOUBLE) - cc)), 0D, (acc, v) -> acc + v)"
+    )
+    if d2_round is not None:
+        d2 = f"round({d2}, {d2_round})"
+    return F.expr(
         f"array_min(transform({cent_sql}, (c, i) -> named_struct("
-        f"'d2', aggregate(zip_with({vec_col}, c, (x, cc) -> "
-        f"(CAST(x AS DOUBLE) - cc) * (CAST(x AS DOUBLE) - cc)), 0D, (acc, v) -> acc + v), "
-        f"'idx', i))).idx"
+        f"'d2', {d2}, 'idx', i))).idx"
     ).cast("int")
-    return corpus.withColumn("list_id", assign), centroids
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    d2_round: int | None = 6,
+    cent_round: int | None = 6,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Distributed Lloyd's k-means over the FULL corpus (vs ``ivf_assign``'s
+    sample-based quantizer): ``iters`` rounds of (assign via one HOF-argmin
+    scan, update via posexplode + per-(cluster, dim) avg), then a final
+    assignment with the converged centroids.
+
+    Deterministic and cross-engine replayable by construction: seeds are the
+    vectors of the ``k`` smallest ids; every d² and every updated centroid
+    coordinate are rounded (``d2_round`` / ``cent_round``), so a SQL engine
+    replaying the same rounds gets bit-identical assignments (fp
+    summation-order noise is absorbed by the rounding).
+
+    Scale shape: each round is one full-corpus scan (no shuffle — the argmin
+    is a per-row expression) plus one posexplode + (cluster, dim)-keyed agg
+    whose result is k×dim rows — tiny, collected to the driver and shipped
+    back as the next round's literal. Empty clusters keep their previous
+    centroid. Returns (corpus + ``cluster`` column, final centroids).
+    """
+    # All rounding happens ENGINE-side (Spark round = HALF_UP = DuckDB's
+    # half-away-from-zero); Python's round() is banker's and would diverge
+    # exactly at half-boundaries.
+    seed_vec = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
+    if cent_round is not None:
+        seed_vec = f"transform({seed_vec}, x -> round(x, {cent_round}))"
+    seeds = corpus.orderBy(id_col).limit(k).select(F.expr(seed_vec).alias("cv")).collect()
+    if len(seeds) < k:
+        raise ValueError(f"kmeans_fit: corpus has fewer than k={k} rows")
+    cents = [[float(v) for v in r[0]] for r in seeds]
+
+    avg_cv = F.avg("v")
+    if cent_round is not None:
+        avg_cv = F.round(avg_cv, cent_round)
+    for _ in range(iters):
+        assigned = corpus.withColumn(
+            "cluster", nearest_centroid_column(vec_col, cents, d2_round)
+        )
+        upd = (
+            assigned.select("cluster", F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(avg_cv.alias("cv"))
+            .collect()  # k x dim rows — tiny by construction
+        )
+        for row in upd:
+            cents[row["cluster"]][row["pos"]] = float(row["cv"])
+    assigned = corpus.withColumn(
+        "cluster", nearest_centroid_column(vec_col, cents, d2_round)
+    )
+    return assigned, cents
 
 
 def ivf_topk(

@@ -99,3 +99,109 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         (F.sum((F.col("pos") + 1) * tokval) % F.lit(1000000007)).alias("rolling_hash")
     )
     return df.select(id_col, F.md5(norm).alias("md5_fp")).join(roll, id_col)
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Intra-document repetition (boilerplate) signals — the C4/Gopher rule
+    family: of a doc's word ``n``-grams, what fraction are repeats, and what
+    fraction the single most frequent n-gram claims.
+
+    Scale shape: explode n-grams → groupBy (doc, gram) with map-side combine
+    (collapses repeats before the shuffle) → one per-doc agg. O(m log m) per
+    doc, never the O(m²) in-array recount a HOF-only version would cost on
+    long documents. Docs with fewer than ``n`` tokens drop out (no n-grams).
+    """
+    toks = df.select(id_col, F.split(F.lower(F.col(text_col)), " ").alias("t")).filter(
+        F.size("t") >= n
+    )
+    gram = F.expr(
+        f"transform(sequence(0, size(t) - {n}), i -> concat_ws(' ', slice(t, i + 1, {n})))"
+    )
+    grams = toks.select(id_col, F.explode(gram).alias("g"))
+    gc = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+    return gc.groupBy(id_col).agg(
+        F.sum("c").alias("n_ngrams"),
+        F.count(F.lit(1)).alias("n_distinct_ngrams"),
+        F.round(F.lit(1.0) - F.count(F.lit(1)) / F.sum("c"), 6).alias("dup_ngram_ratio"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_ngram_frac"),
+    )
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    probe: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: per doc, the fraction of its distinct word
+    ``n``-grams that appear anywhere in ``probe`` (a benchmark/eval corpus
+    with a ``text_col``).
+
+    Scale shape: the probe side is a benchmark suite — small — so its
+    distinct n-gram set broadcasts and the corpus is scored with a broadcast
+    left-semi-style join + per-doc agg: the 100 TB side never shuffles on
+    the gram key.
+    """
+
+    def _grams(d: DataFrame, cols):
+        t = d.select(*cols, F.split(F.lower(F.col(text_col)), " ").alias("t")).filter(
+            F.size("t") >= n
+        )
+        g = F.expr(
+            f"transform(sequence(0, size(t) - {n}), i -> concat_ws(' ', slice(t, i + 1, {n})))"
+        )
+        return t.select(*cols, F.explode(g).alias("g")).distinct()
+
+    doc_grams = _grams(docs, [id_col])
+    probe_grams = _grams(probe, []).select("g").distinct()
+    hit = F.when(F.col("pg").isNotNull(), 1).otherwise(0)
+    joined = doc_grams.join(
+        F.broadcast(probe_grams.withColumn("pg", F.lit(1))), "g", "left"
+    )
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(hit).alias("n_contaminated"),
+        F.round(F.sum(hit) / F.count(F.lit(1)), 6).alias("contamination"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-``k`` terms by tf·idf (idf = ln(N/df), the classic
+    form). Deterministic tie-break: higher rounded score first, then term.
+
+    Scale shape: one (doc, term) count with map-side combine, one term-level
+    doc-frequency agg, one window for top-k. The corpus shuffles on
+    (doc, term) once — the lower bound for exact tf — and never on raw
+    tokens. The tf⋈df join keys on term with NO forced broadcast: the
+    vocabulary is corpus-scale at 100 TB (a forced broadcast would OOM the
+    driver); AQE picks broadcast by itself when the vocab is actually small.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(id_col, F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(F.count_distinct(id_col).alias("n_docs"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tfidf")
+    )

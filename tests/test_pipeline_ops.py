@@ -382,3 +382,82 @@ def test_stratified_topk_quota_and_determinism(spark):
     # small groups kept whole
     tiny = stratified_topk(df.filter(F.col("doc_id") < 2), "lang", 4)
     assert tiny.count() == 2
+
+
+def test_repetition_stats(spark):
+    from stackstac_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [(0, "a b c a b c a b c"), (1, "w x y z"), (2, "t u")],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df, n=3).collect()}
+    # doc 0: 7 3-grams, 3 distinct ("a b c" x3, "b c a" x2, "c a b" x2)
+    assert rows[0].n_ngrams == 7 and rows[0].n_distinct_ngrams == 3
+    assert rows[0].dup_ngram_ratio == pytest.approx(1 - 3 / 7, abs=1e-6)
+    assert rows[0].top_ngram_frac == pytest.approx(3 / 7, abs=1e-6)
+    # doc 1: 2 unique 3-grams, no repeats
+    assert rows[1].n_ngrams == 2 and rows[1].dup_ngram_ratio == 0.0
+    assert 2 not in rows  # < n tokens -> no n-grams -> absent
+
+
+def test_ngram_contamination(spark):
+    from stackstac_spark.operators.textstats import ngram_contamination
+
+    docs = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "dogs bark at night always")],
+        "doc_id LONG, text STRING",
+    )
+    probe = spark.createDataFrame(
+        [(100, "the cat sat quietly")], "doc_id LONG, text STRING"
+    )
+    rows = {r.doc_id: r for r in ngram_contamination(docs, probe, n=3).collect()}
+    # doc 0 grams: "the cat sat","cat sat on","sat on the","on the mat";
+    # probe grams: "the cat sat","cat sat quietly" -> 1 of 4 contaminated
+    assert rows[0].n_grams == 4 and rows[0].n_contaminated == 1
+    assert rows[0].contamination == pytest.approx(0.25)
+    assert rows[1].n_contaminated == 0 and rows[1].contamination == 0.0
+
+
+def test_tfidf_top_terms(spark):
+    from stackstac_spark.operators.textstats import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(0, "apple apple banana"), (1, "banana cherry"), (2, "cherry date date")],
+        "doc_id LONG, text STRING",
+    )
+    rows = tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.term, r.tfidf))
+    # 'apple' appears only in doc 0, twice: tfidf = 2 * ln(3/1)
+    top0 = sorted(by_doc[0])[0]
+    assert top0[1] == "apple"
+    assert top0[2] == pytest.approx(2 * np.log(3.0), abs=1e-6)
+    # every doc has at most k=2 ranked terms, ranks are 1..k
+    assert all(sorted(r for r, _, _ in v) == list(range(1, len(v) + 1)) for v in by_doc.values())
+
+
+def test_kmeans_two_blobs(spark):
+    from stackstac_spark.operators.similarity import kmeans_fit
+
+    rng = np.random.default_rng(11)
+    a = rng.standard_normal((30, 4)) * 0.1 + np.array([5, 5, 5, 5])
+    b = rng.standard_normal((30, 4)) * 0.1 - np.array([5, 5, 5, 5])
+    vecs = np.vstack([a, b]).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    assigned, cents = kmeans_fit(df, k=2, iters=3)
+    lab = {r.vec_id: r.cluster for r in assigned.collect()}
+    blob_a = {lab[i] for i in range(30)}
+    blob_b = {lab[i] for i in range(30, 60)}
+    assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
+    # centroids land on the blob means
+    means = sorted(round(sum(c) / len(c)) for c in cents)
+    assert means == [-5, 5]
+    # deterministic: a second run reproduces the labels exactly
+    assigned2, cents2 = kmeans_fit(df, k=2, iters=3)
+    assert cents2 == cents
+    assert {r.vec_id: r.cluster for r in assigned2.collect()} == lab
