@@ -118,6 +118,34 @@ def sessionized_item_counts(items: DataFrame, gap: str = "7 days") -> DataFrame:
     )
 
 
+def dedup_stream(
+    df: DataFrame,
+    keys: list[str] | str = "id",
+    ts_col: str = "datetime",
+    watermark: str = "2 days",
+    fingerprint_text: str | None = None,
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key, with state
+    BOUNDED by the watermark horizon (``dropDuplicatesWithinWatermark`` —
+    keys older than the watermark are evicted, unlike ``dropDuplicates``
+    whose state grows without bound on an unbounded stream; an ingest
+    pipeline that runs for months needs the bounded form).
+
+    ``fingerprint_text``: optionally dedup on the md5 of a whitespace-
+    normalized text column instead of identity keys — the streaming
+    complement of the batch ``operators.dedup.exact_duplicates``.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if fingerprint_text is not None:
+        df = df.withColumn(
+            "__fp",
+            F.md5(F.regexp_replace(F.lower(F.col(fingerprint_text)), r"\s+", " ")),
+        )
+        keys = ["__fp"]
+    out = df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return out.drop("__fp") if fingerprint_text is not None else out
+
+
 def incremental_stack_sink(
     spark: SparkSession,
     jsonl_path: str,

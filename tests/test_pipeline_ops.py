@@ -461,3 +461,28 @@ def test_kmeans_two_blobs(spark):
     assigned2, cents2 = kmeans_fit(df, k=2, iters=3)
     assert cents2 == cents
     assert {r.vec_id: r.cluster for r in assigned2.collect()} == lab
+
+
+def test_streaming_dedup(spark, tmp_path):
+    import json
+
+    from stackstac_spark.streaming.ingest import dedup_stream, run_to_memory, stream_items
+
+    p = tmp_path / "dedup_items"
+    p.mkdir()
+    rows = [
+        {"id": "a", "collection": "c", "properties": {"datetime": "2024-01-01T00:00:00Z"}, "bbox": [0.0, 0.0, 1.0, 1.0]},
+        {"id": "a", "collection": "c", "properties": {"datetime": "2024-01-01T01:00:00Z"}, "bbox": [0.0, 0.0, 1.0, 1.0]},  # dup id
+        {"id": "b", "collection": "c", "properties": {"datetime": "2024-01-01T02:00:00Z"}, "bbox": [0.0, 0.0, 1.0, 1.0]},
+        {"id": "c", "collection": "c", "properties": {"datetime": "2024-01-01T03:00:00Z"}, "bbox": [0.0, 0.0, 1.0, 1.0]},
+        {"id": "b", "collection": "c", "properties": {"datetime": "2024-01-01T04:00:00Z"}, "bbox": [0.0, 0.0, 1.0, 1.0]},  # dup id
+    ]
+    with open(p / "b1.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    stream = stream_items(spark, str(p))
+    deduped = dedup_stream(stream, keys="id", watermark="1 day")
+    run_to_memory(deduped, "dedup_out", output_mode="append")
+    got = spark.sql("select id from dedup_out").collect()
+    assert sorted(r.id for r in got) == ["a", "b", "c"]
