@@ -186,3 +186,41 @@ def test_q2_min_joinback_broadcasts(spark, entry):
     plan = _plan(entry.q_tpch_q2(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_contamination_probe_broadcasts_corpus_never_shuffles_on_gram(spark, entry):
+    """Decontamination: the probe (benchmark) n-gram set must broadcast; a
+    SortMergeJoin would mean the 100 TB corpus shuffles on the gram key."""
+    plan = _plan(entry.q_ngram_contamination(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_kmeans_assignment_is_scan_only(spark):
+    """The Lloyd assignment is a per-row HOF expression: no Exchange, no
+    join — one scan of the corpus regardless of k."""
+    from stackstac_spark.operators.similarity import nearest_centroid_column
+
+    df = spark.range(100).selectExpr(
+        "id AS vec_id", "array(CAST(id AS DOUBLE), CAST(id+1 AS DOUBLE)) AS embedding"
+    )
+    cents = [[0.0, 0.0], [50.0, 50.0], [100.0, 100.0]]
+    assigned = df.withColumn("cluster", nearest_centroid_column("embedding", cents, 6))
+    plan = _plan(assigned)
+    assert "Exchange" not in plan
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert bad not in plan
+
+
+def test_tfidf_vocab_join_not_forced_broadcast(spark, entry):
+    """The tf⋈df join must NOT carry a planner-forced broadcast hint: the
+    vocabulary is corpus-scale at 100 TB. (AQE may still *choose* broadcast
+    at toy scale — the guard is on the logical plan's hints, not the
+    physical choice.)"""
+    df = entry.q_tfidf_top(spark, SF)
+    # optimizedPlan folds hints into join strategies; inspect the analyzed
+    # plan's explicit hint nodes (the 1-row n_docs scalar is the only one
+    # tolerated)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    n_hints = analyzed.count("UnresolvedHint") + analyzed.count("ResolvedHint")
+    assert n_hints <= 1, f"unexpected broadcast hints in tfidf plan:\n{analyzed}"
