@@ -1,0 +1,101 @@
+"""Property-based checks for the r4 text operators: random token corpora,
+oracle = a direct pure-Python recount of the same definition. Catches
+off-by-one n-gram windows, distinct-vs-total confusions, and tie-break
+drift that a fixed example would miss."""
+
+import math
+from collections import Counter
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+words = st.sampled_from(["a", "b", "c", "dd", "eee", "fg"])
+doc = st.lists(words, min_size=0, max_size=12).map(" ".join)
+corpus = st.lists(doc, min_size=1, max_size=8)
+
+
+def _grams(text: str, n: int = 3) -> list[str]:
+    t = text.lower().split(" ")
+    return [" ".join(t[i : i + n]) for i in range(len(t) - n + 1)] if len(t) >= n else []
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=corpus)
+def test_repetition_stats_matches_python(spark, texts):
+    from stackstac_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id LONG, text STRING")
+    got = {r.doc_id: r for r in repetition_stats(df, n=3).collect()}
+    for i, t in enumerate(texts):
+        grams = _grams(t)
+        if not grams:
+            assert i not in got
+            continue
+        c = Counter(grams)
+        assert got[i].n_ngrams == len(grams)
+        assert got[i].n_distinct_ngrams == len(c)
+        assert got[i].dup_ngram_ratio == pytest.approx(
+            round(1 - len(c) / len(grams), 6), abs=1e-9
+        )
+        assert got[i].top_ngram_frac == pytest.approx(
+            round(max(c.values()) / len(grams), 6), abs=1e-9
+        )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=corpus, probe_texts=st.lists(doc, min_size=1, max_size=4))
+def test_contamination_matches_python(spark, texts, probe_texts):
+    from stackstac_spark.operators.textstats import ngram_contamination
+
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id LONG, text STRING")
+    probe = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(probe_texts)], "doc_id LONG, text STRING"
+    )
+    got = {r.doc_id: r for r in ngram_contamination(docs, probe, n=3).collect()}
+    probe_set = {g for t in probe_texts for g in _grams(t)}
+    for i, t in enumerate(texts):
+        grams = set(_grams(t))
+        if not grams:
+            assert i not in got
+            continue
+        hits = len(grams & probe_set)
+        assert got[i].n_grams == len(grams)
+        assert got[i].n_contaminated == hits
+        assert got[i].contamination == pytest.approx(round(hits / len(grams), 6), abs=1e-9)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(doc.filter(lambda t: t.strip() != ""), min_size=1, max_size=6))
+def test_tfidf_matches_python(spark, texts):
+    from stackstac_spark.operators.textstats import tfidf_top_terms
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id LONG, text STRING")
+    got = {}
+    for r in tfidf_top_terms(df, k=3).collect():
+        got.setdefault(r.doc_id, []).append((r.rank, r.term, r.tfidf))
+    n_docs = len(texts)
+    tf = {i: Counter(t.lower().split(" ")) for i, t in enumerate(texts)}
+    dfreq = Counter(term for c in tf.values() for term in c)
+    for i in range(n_docs):
+        scored = sorted(
+            ((round(c * math.log(n_docs / dfreq[term]), 6), term) for term, c in tf[i].items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:3]
+        want = [(rk + 1, term, s) for rk, (s, term) in enumerate(scored)]
+        have = sorted(got.get(i, []))
+        assert [(rk, t) for rk, t, _ in have] == [(rk, t) for rk, t, _ in want]
+        for (_, _, a), (_, _, b) in zip(have, want):
+            assert a == pytest.approx(b, abs=1e-9)
