@@ -1216,6 +1216,60 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
 SQL_KMEANS = _kmeans_oracle_sql()
 
 
+def q_int8_quant(spark, sf):
+    """Symmetric per-vector int8 quantization (operators/similarity.py::
+    quantize_embeddings) — the vector-store ingest transform; per-label
+    reconstruction-error rollup, value-checked against a DuckDB replay of
+    scale/round/dequant."""
+    from stackstac_spark.operators.similarity import quantize_embeddings
+
+    emb = _t(spark, sf, "embeddings")
+    q = quantize_embeddings(emb)
+    j = q.join(emb.select("vec_id", "label"), "vec_id")
+    return (
+        j.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("rel_err"), 6).alias("avg_rel_err"),
+            F.round(F.avg("scale"), 6).alias("avg_scale"),
+            F.max(F.expr("array_max(qvec)")).alias("q_max"),
+        )
+        .orderBy("label")
+    )
+
+
+SQL_INT8_QUANT = """
+WITH base AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+scaled AS (
+  SELECT vec_id, label, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM base
+),
+quant AS (
+  SELECT vec_id, label, v, scale,
+         list_transform(v, x -> CAST(CASE WHEN scale = 0 THEN 0
+                                          ELSE round(x / scale) END AS TINYINT)) AS q
+  FROM scaled
+),
+err AS (
+  SELECT vec_id, label, scale, q,
+         sqrt(list_sum(list_transform(generate_series(1, len(v)),
+              i -> (v[i] - CAST(q[i] AS DOUBLE) * scale) * (v[i] - CAST(q[i] AS DOUBLE) * scale)))) AS l2,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM quant
+)
+SELECT label, count(*) AS n,
+       round(avg(round(CASE WHEN nrm = 0 THEN 0 ELSE l2 / nrm END, 6)), 6) AS avg_rel_err,
+       round(avg(scale), 6) AS avg_scale,
+       max(list_max(q)) AS q_max
+FROM err GROUP BY label ORDER BY label
+"""
+
+
 def q_lsh_buckets(spark, sf):
     """Sign-LSH bucketing (the ANN scale path): bucket = 4 sign bits of the
     leading dims; bucket histogram + mean norm."""
@@ -2804,6 +2858,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "tpch_q17": (q_tpch_q17, SQL_TPCH_Q17),
     "tpch_q19": (q_tpch_q19, SQL_TPCH_Q19),
     "tpch_q22": (q_tpch_q22, SQL_TPCH_Q22),
+    # r4 additions past the window (CI-mirror value-checked like all
+    # past-window entries)
+    "int8_quant": (q_int8_quant, SQL_INT8_QUANT),
 }
 
 

@@ -295,3 +295,46 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the standard
+    vector-store ingest transform (4x storage + bandwidth for ANN shards):
+    ``scale = max|v| / 127``, ``q_i = round(v_i / scale)`` (clamped by
+    construction), dequant ``q_i * scale``.
+
+    Pure column expressions (whole-stage codegen, no shuffle, no Python).
+    Zero vectors quantize to zeros with scale 0. Returns ``id_col``,
+    ``qvec array<tinyint>``, ``scale double``, and the reconstruction
+    diagnostics ``l2_err`` / ``rel_err`` (rounded to 6) a quantization
+    monitor alerts on.
+    """
+    v = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    scale = f"array_max(transform({v}, x -> abs(x))) / 127.0D"
+    q = (
+        f"transform({v}, x -> CAST(CASE WHEN __scale = 0D THEN 0D "
+        f"ELSE round(x / __scale) END AS TINYINT))"
+    )
+    l2 = (
+        "sqrt(aggregate(zip_with({v}, qvec, (x, qq) -> "
+        "(x - CAST(qq AS DOUBLE) * __scale) * (x - CAST(qq AS DOUBLE) * __scale)), "
+        "0D, (acc, e) -> acc + e))"
+    ).format(v=v)
+    norm = f"sqrt(aggregate({v}, 0D, (acc, x) -> acc + x * x))"
+    return (
+        df.select(id_col, F.col(vec_col), F.expr(scale).alias("__scale"))
+        .select(id_col, vec_col, "__scale", F.expr(q).alias("qvec"))
+        .select(
+            id_col,
+            "qvec",
+            F.col("__scale").alias("scale"),
+            F.round(F.expr(l2), 6).alias("l2_err"),
+            F.round(
+                F.when(F.expr(norm) == 0, F.lit(0.0)).otherwise(F.expr(l2) / F.expr(norm)), 6
+            ).alias("rel_err"),
+        )
+    )

@@ -486,3 +486,32 @@ def test_streaming_dedup(spark, tmp_path):
     run_to_memory(deduped, "dedup_out", output_mode="append")
     got = spark.sql("select id from dedup_out").collect()
     assert sorted(r.id for r in got) == ["a", "b", "c"]
+
+
+def test_quantize_embeddings_matches_numpy(spark):
+    from stackstac_spark.operators.similarity import quantize_embeddings
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((20, 8)).astype("float32")
+    vecs[3] = 0.0  # zero vector edge case
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    rows = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    for i in range(20):
+        v = vecs[i].astype("float64")
+        scale = np.abs(v).max() / 127.0
+        if scale == 0:
+            q = np.zeros_like(v)
+            assert rows[i].scale == 0.0 and list(rows[i].qvec) == [0] * 8
+            assert rows[i].rel_err == 0.0
+            continue
+        # numpy rounds half-to-even; the engine rounds half-away — values at
+        # exact .5 boundaries are measure-zero for float data, so floor(+0.5)
+        q = np.floor(np.abs(v / scale) + 0.5) * np.sign(v)
+        assert list(rows[i].qvec) == [int(x) for x in q]
+        assert abs(rows[i].scale - scale) < 1e-12
+        l2 = np.sqrt(((v - q * scale) ** 2).sum())
+        assert rows[i].rel_err == pytest.approx(round(l2 / np.sqrt((v**2).sum()), 6), abs=1e-9)
+        assert max(abs(x) for x in rows[i].qvec) <= 127
