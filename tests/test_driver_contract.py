@@ -1,0 +1,65 @@
+"""Guards on the driver contract (__spark_entry__.py + bench.py): the
+driver's correctness gate grades the FIRST 50 registry entries and parses
+bench.py's single JSON line — breakage of either silently costs a round, so
+both contracts are pinned here."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def test_registry_contract():
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    names = list(qs)
+    # every oracle key corresponds to a query
+    assert set(oracles) <= set(qs)
+    # the graded window must be fully oracle-backed (no rows-only rows)
+    missing = [n for n in names[:50] if not oracles.get(n)]
+    assert not missing, f"in-window entries without oracles: {missing}"
+    # every callable takes (spark, sf_dir)
+    import inspect
+
+    for n, fn in qs.items():
+        assert len(inspect.signature(fn).parameters) == 2, n
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_SMOKE), reason="driver testdata not present")
+def test_bench_emits_one_json_line():
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=SF_SMOKE,
+        SPARK_GRAFT_CPUS="4",
+        SPARK_GRAFT_BENCH_RUNS="1",
+        PYTHONPATH=REPO,
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        env=env,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    json_lines = [ln for ln in out.stdout.splitlines() if ln.strip().startswith("{")]
+    assert len(json_lines) == 1, out.stdout
+    d = json.loads(json_lines[0])
+    assert d["metric"] == "total_wall_sec_all_queries" and d["unit"] == "sec"
+    assert d["sf"] == 0.001 and d["runs_per_query"] == 1
+    import __spark_entry__ as e
+
+    assert set(d["queries"]) == set(e.queries())
+    assert set(d["queries_spread"]) == set(d["queries"])
+    for v in d["queries_spread"].values():
+        assert v["min"] <= v["med"] <= v["max"]
