@@ -1040,6 +1040,32 @@ FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
 """
 
 
+def q_unigram_lm(spark, sf):
+    """LM-based quality scoring, CCNet shape (operators/textstats.py::
+    unigram_logprob_score): mean token NLL under an add-0.5-smoothed unigram
+    model fit on the corpus itself; value-checked against a DuckDB replay."""
+    from stackstac_spark.operators.textstats import unigram_logprob_score
+
+    docs = _t(spark, sf, "documents")
+    return unigram_logprob_score(docs, alpha=0.5).orderBy("doc_id")
+
+
+SQL_UNIGRAM_LM = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+lm AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total, count(*) AS vocab FROM lm),
+nll AS (
+  SELECT t.doc_id,
+         -ln((l.cnt + 0.5) / (tot.total + 0.5 * (tot.vocab + 1))) AS nll
+  FROM toks t JOIN lm l USING (term) CROSS JOIN tot
+)
+SELECT doc_id, count(*) AS n_tokens, round(avg(nll), 6) AS avg_nll
+FROM nll GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # similarity search over embeddings
 # --------------------------------------------------------------------------
@@ -2861,6 +2887,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # r4 additions past the window (CI-mirror value-checked like all
     # past-window entries)
     "int8_quant": (q_int8_quant, SQL_INT8_QUANT),
+    "unigram_lm": (q_unigram_lm, SQL_UNIGRAM_LM),
 }
 
 

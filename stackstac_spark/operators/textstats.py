@@ -205,3 +205,61 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "rank", "term", "tfidf")
     )
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    lm: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """LM-based quality scoring, CCNet/KenLM shape with a unigram stand-in:
+    score = mean negative log-probability of the doc's tokens under an
+    add-alpha-smoothed unigram model (high score = surprising/low-quality
+    text under the reference corpus; real deployments swap in a KenLM
+    n-gram table — the operator shape, a token⋈LM join + per-doc mean,
+    is identical).
+
+    ``lm``: a (term, cnt) DataFrame fit elsewhere (``fit_unigram_lm``), or
+    None to fit on ``df`` itself (self-scoring). Unseen tokens get the
+    smoothed floor alpha / (total + alpha·(V+1)).
+
+    Scale shape: LM fit is one token groupBy (vocab-sized result); scoring
+    joins tokens to the LM on term with no forced broadcast (vocabulary is
+    corpus-scale at 100 TB; AQE broadcasts when it is actually small), then
+    one per-doc agg.
+    """
+    toks = df.select(id_col, F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"))
+    if lm is None:
+        lm = fit_unigram_lm(df, text_col=text_col)
+    totals = lm.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("vocab")
+    )
+    scored = (
+        toks.join(lm, "term", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            (
+                -F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("total") + F.lit(alpha) * (F.col("vocab") + 1))
+                )
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("nll"), 6).alias("avg_nll"),
+    )
+
+
+def fit_unigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(term, cnt) unigram counts — the reference-corpus side of
+    ``unigram_logprob_score``."""
+    return (
+        df.select(F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

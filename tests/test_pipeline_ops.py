@@ -515,3 +515,29 @@ def test_quantize_embeddings_matches_numpy(spark):
         l2 = np.sqrt(((v - q * scale) ** 2).sum())
         assert rows[i].rel_err == pytest.approx(round(l2 / np.sqrt((v**2).sum()), 6), abs=1e-9)
         assert max(abs(x) for x in rows[i].qvec) <= 127
+
+
+def test_unigram_lm_scoring(spark):
+    import math
+
+    from stackstac_spark.operators.textstats import fit_unigram_lm, unigram_logprob_score
+
+    docs = spark.createDataFrame(
+        [(0, "a a a b"), (1, "a b"), (2, "zz zz")], "doc_id LONG, text STRING"
+    )
+    # self-fit: counts a=5? no: a:4? tokens: doc0 a,a,a,b doc1 a,b doc2 zz,zz
+    # -> a:4, b:2, zz:2 ; total=8, vocab=3 ; denom = 8 + 0.5*4 = 10
+    rows = {r.doc_id: r for r in unigram_logprob_score(docs, alpha=0.5).collect()}
+    p = {"a": 4.5 / 10, "b": 2.5 / 10, "zz": 2.5 / 10}
+    want0 = -(3 * math.log(p["a"]) + math.log(p["b"])) / 4
+    assert rows[0].n_tokens == 4
+    assert rows[0].avg_nll == pytest.approx(round(want0, 6), abs=1e-9)
+    # rarer tokens => higher NLL: doc2 (zz zz) scores above doc0 (a-heavy)
+    assert rows[2].avg_nll > rows[0].avg_nll
+
+    # external LM: unseen tokens get the smoothed floor
+    lm = fit_unigram_lm(spark.createDataFrame([(0, "a b")], "doc_id LONG, text STRING"))
+    ext = {r.doc_id: r for r in unigram_logprob_score(docs, lm=lm, alpha=0.5).collect()}
+    # lm: a:1, b:1, total=2, vocab=2, denom = 2 + 0.5*3 = 3.5; unseen p=0.5/3.5
+    want2 = -math.log(0.5 / 3.5)
+    assert ext[2].avg_nll == pytest.approx(round(want2, 6), abs=1e-9)
