@@ -707,6 +707,38 @@ LIMIT 20
 """
 
 
+def q_span_dedup(spark, sf):
+    """Exact-substring duplication fraction per doc (ExactSubstr shape,
+    Lee et al. 2022; operators/dedup.py::span_dedup): 8-token windows hashed
+    to md5, windows appearing verbatim in >=2 docs mark their token span,
+    exact interval union via distinct (doc, position)."""
+    from stackstac_spark.operators.dedup import span_dedup
+
+    docs = _t(spark, sf, "documents")
+    return span_dedup(docs, k=8).orderBy("doc_id")
+
+
+SQL_SPAN_DEDUP = """
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+wins AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(t[i+1:i+8], ' ')) AS gh
+  FROM toks, unnest(generate_series(0, len(t) - 8)) AS u(i)
+  WHERE len(t) >= 8
+),
+dup AS (SELECT gh FROM wins GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT DISTINCT w.doc_id, p
+  FROM wins w JOIN dup USING (gh), unnest(generate_series(w.pos, w.pos + 7)) AS g2(p)
+),
+base AS (SELECT doc_id, len(t) AS n_tokens FROM toks)
+SELECT b.doc_id, CAST(b.n_tokens AS INT) AS n_tokens,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_dup_tokens,
+       round(coalesce(c.n, 0) * 1.0 / greatest(b.n_tokens, 1), 6) AS dup_frac
+FROM base b LEFT JOIN (SELECT doc_id, count(*) AS n FROM cov GROUP BY doc_id) c USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_dedup_components(spark, sf):
     """Connected components over the LSH candidate-pair graph — the
     clustering step completing the dedup suite (keep one doc per component).
@@ -2836,6 +2868,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH),
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
+    "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "simhash": (q_simhash, _duck_simhash_sql()),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),

@@ -283,6 +283,59 @@ def minhash_lsh_candidates(
     )
 
 
+def span_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """Exact-substring duplication signal (the ExactSubstr family from
+    "Deduplicating Training Data Makes Language Models Better", Lee et al.
+    2022): per document, the fraction of word tokens covered by at least one
+    length-``k`` token window that also appears verbatim in ANOTHER document.
+
+    Returns (id, n_tokens, n_dup_tokens, dup_frac) for every input doc; docs
+    shorter than ``k`` tokens score 0.
+
+    Scale shape: windows shuffle ONCE, keyed on a 128-bit md5 of the window
+    text (32 hex chars regardless of k — the k-token string never crosses the
+    wire); the duplicated-window set comes from one groupBy with map-side
+    combine and flows back via a semi-join (no forced broadcast: the dup set
+    is corpus-scale at 100 TB, AQE broadcasts when it is actually small).
+    The k-times coverage explode runs only on windows already known to be
+    duplicated — clean corpora pay nearly nothing. Interval union is exact
+    via distinct (doc, position), not an approximation.
+    """
+    toks = df.select(id_col, F.split(F.lower(F.col(text_col)), " ").alias("t"))
+    base = toks.select(id_col, F.size("t").alias("n_tokens"))
+    wins = toks.filter(F.size("t") >= k).select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(t) - {k}),"
+                f" i -> md5(concat_ws(' ', slice(t, i + 1, {k}))))"
+            )
+        ).alias("pos", "gh"),
+    )
+    dup = (
+        wins.groupBy("gh")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    cov = (
+        wins.join(dup, "gh", "left_semi")
+        .select(id_col, F.explode(F.expr(f"sequence(pos, pos + {k} - 1)")).alias("p"))
+        .distinct()
+    )
+    per_doc = cov.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_dup_tokens"))
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("n_dup_tokens", F.lit(0)).alias("n_dup_tokens"),
+        F.round(
+            F.coalesce("n_dup_tokens", F.lit(0)) / F.greatest("n_tokens", F.lit(1)), 6
+        ).alias("dup_frac"),
+    )
+
+
 def jaccard_similarity(
     df: DataFrame,
     pairs: DataFrame | None = None,

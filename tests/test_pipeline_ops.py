@@ -65,6 +65,45 @@ def test_minhash_lsh_finds_near_dups(spark, docs_df):
     assert not any(4 in p or 5 in p for p in vd)
 
 
+def test_span_dedup_matches_python_oracle(spark, docs_df):
+    """span_dedup vs a brute-force interval-union oracle: every k-window
+    string that occurs in >=2 docs marks its k token positions covered."""
+    from stackstac_spark.operators.dedup import span_dedup
+
+    k = 4
+    toks = {d: t.lower().split(" ") for d, t in DOCS}
+    wins: dict[str, set[int]] = {}
+    for d, t in toks.items():
+        for i in range(len(t) - k + 1):
+            wins.setdefault(" ".join(t[i : i + k]), set()).add(d)
+    covered = {d: set() for d in toks}
+    for d, t in toks.items():
+        for i in range(len(t) - k + 1):
+            if len(wins[" ".join(t[i : i + k])]) >= 2:
+                covered[d].update(range(i, i + k))
+    got = {r.doc_id: r for r in span_dedup(docs_df, k=k).collect()}
+    assert set(got) == set(toks)
+    for d, t in toks.items():
+        assert got[d].n_tokens == len(t)
+        assert got[d].n_dup_tokens == len(covered[d]), d
+        assert got[d].dup_frac == pytest.approx(
+            round(len(covered[d]) / max(len(t), 1), 6)
+        )
+    # sanity on the fixture itself: the exact dups cover fully, the unique
+    # doc not at all
+    assert got[0].dup_frac == 1.0 and got[1].dup_frac == 1.0
+    assert got[4].n_dup_tokens == 0
+
+
+def test_span_dedup_short_docs_score_zero(spark):
+    from stackstac_spark.operators.dedup import span_dedup
+
+    df = spark.createDataFrame([(0, "too short"), (1, "too short")], "doc_id LONG, text STRING")
+    rows = {r.doc_id: r for r in span_dedup(df, k=8).collect()}
+    # both docs are below the window length: present in the output, zero dup
+    assert rows[0].n_tokens == 2 and rows[0].n_dup_tokens == 0 and rows[0].dup_frac == 0.0
+
+
 def test_simhash_hamming(spark, docs_df):
     from stackstac_spark.operators.dedup import simhash, simhash_candidates
 
