@@ -1072,6 +1072,74 @@ FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
 """
 
 
+def q_pii_scrub(spark, sf):
+    """PII redaction (operators/textstats.py::pii_scrub): the synthetic
+    corpus carries no PII, so the query plants deterministic emails / IPv4s /
+    phone-like runs keyed on doc_id (identically in the DuckDB oracle), then
+    checks the per-class counts and the md5 of the scrubbed text."""
+    from stackstac_spark.operators.textstats import pii_scrub
+
+    docs = _t(spark, sf, "documents")
+    sid = F.col("doc_id").cast("string")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.concat(F.lit(" reach user"), sid, F.lit("@example.com now"))
+            )
+            .when(
+                F.col("doc_id") % 3 == 1,
+                F.concat(F.lit(" server 10.1."), (F.col("doc_id") % 250).cast("string"), F.lit(".7 up")),
+            )
+            .otherwise(
+                F.concat(F.lit(" call 555-0123-"), (F.col("doc_id") % 90 + 10).cast("string"), F.lit(" today"))
+            ),
+            F.when(
+                F.col("doc_id") % 6 == 0, F.lit(" cc ops@example.org")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = pii_scrub(planted)
+    return out.select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", F.md5("scrubbed").alias("scrub_md5")
+    ).orderBy("doc_id")
+
+
+SQL_PII_SCRUB = """
+WITH planted AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 3 = 0 THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+              WHEN doc_id % 3 = 1 THEN ' server 10.1.' || CAST(doc_id % 250 AS VARCHAR) || '.7 up'
+              ELSE ' call 555-0123-' || CAST(doc_id % 90 + 10 AS VARCHAR) || ' today' END ||
+         CASE WHEN doc_id % 6 = 0 THEN ' cc ops@example.org' ELSE '' END AS text
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}')) AS n_email,
+         regexp_replace(text, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+  FROM planted
+),
+s2 AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4,
+         regexp_replace(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS t
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_email, n_ipv4,
+         len(regexp_extract_all(t, '\\+?\\d[\\d\\- ]{7,}\\d')) AS n_phone,
+         regexp_replace(t, '\\+?\\d[\\d\\- ]{7,}\\d', '<PHONE>', 'g') AS t
+  FROM s2
+)
+SELECT doc_id, CAST(n_email AS INT) AS n_email, CAST(n_ipv4 AS INT) AS n_ipv4,
+       CAST(n_phone AS INT) AS n_phone, md5(t) AS scrub_md5
+FROM s3 ORDER BY doc_id
+"""
+
+
 def q_unigram_lm(spark, sf):
     """LM-based quality scoring, CCNet shape (operators/textstats.py::
     unigram_logprob_score): mean token NLL under an add-0.5-smoothed unigram
@@ -2869,6 +2937,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "simhash": (q_simhash, _duck_simhash_sql()),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),

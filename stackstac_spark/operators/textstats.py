@@ -255,6 +255,34 @@ def unigram_logprob_score(
     )
 
 
+# PII patterns restricted to syntax shared verbatim by Java regex (Spark)
+# and RE2 (DuckDB/Go): char classes, \d, \b, bounded repetition.
+_PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+]
+
+
+def pii_scrub(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """PII redaction: sequentially replace emails, IPv4 addresses, and
+    phone-like digit runs with typed placeholders, counting matches per
+    class BEFORE each replacement (so an IP inside an already-redacted
+    email is not double-counted; order is email → ip → phone).
+
+    Returns (id, n_email, n_ipv4, n_phone, scrubbed). Pure JVM column
+    expressions — three regexp passes, no shuffle, no Python in the hot
+    path; survives whole-stage codegen and scales embarrassingly.
+    """
+    cur = F.col(text_col)
+    cols: list[Column] = [F.col(id_col)]
+    for name, pat, repl in _PII_PATTERNS:
+        cols.append(F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0))).alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    cols.append(cur.alias("scrubbed"))
+    return df.select(*cols)
+
+
 def fit_unigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(term, cnt) unigram counts — the reference-corpus side of
     ``unigram_logprob_score``."""

@@ -104,6 +104,36 @@ def test_span_dedup_short_docs_score_zero(spark):
     assert rows[0].n_tokens == 2 and rows[0].n_dup_tokens == 0 and rows[0].dup_frac == 0.0
 
 
+def test_pii_scrub_sequential_counts(spark):
+    """Counts are taken before each replacement in email→ip→phone order:
+    digits inside a redacted email never double-count as a phone."""
+    from stackstac_spark.operators.textstats import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail me at john.doe+spam@corp.example.com thanks"),
+            (1, "host 192.168.0.1 and 10.0.0.255 are up"),
+            (2, "call +1 555-0123-456 or 555 0123 9999 now"),
+            (3, "mixed: a@b.io on 8.8.8.8 dial 555-0100-222"),
+            (4, "clean text with no sensitive content at all"),
+            (5, "digits12345678999@example.org only an email"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert (rows[0].n_email, rows[0].n_ipv4, rows[0].n_phone) == (1, 0, 0)
+    assert "<EMAIL>" in rows[0].scrubbed and "@" not in rows[0].scrubbed
+    assert (rows[1].n_email, rows[1].n_ipv4, rows[1].n_phone) == (0, 2, 0)
+    assert rows[1].scrubbed.count("<IP>") == 2
+    assert rows[2].n_phone == 2 and "<PHONE>" in rows[2].scrubbed
+    assert (rows[3].n_email, rows[3].n_ipv4, rows[3].n_phone) == (1, 1, 1)
+    assert (rows[4].n_email, rows[4].n_ipv4, rows[4].n_phone) == (0, 0, 0)
+    assert rows[4].scrubbed == "clean text with no sensitive content at all"
+    # the long digit run sits INSIDE the email: email is redacted first, so
+    # no phone is counted
+    assert (rows[5].n_email, rows[5].n_phone) == (1, 0)
+
+
 def test_simhash_hamming(spark, docs_df):
     from stackstac_spark.operators.dedup import simhash, simhash_candidates
 
