@@ -1072,6 +1072,36 @@ FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
 """
 
 
+def q_pack_sequences(spark, sf):
+    """Training sequence packing (operators/packing.py::pack_sequences):
+    per-source running token cumsum cut into 256-token context windows —
+    one shuffle on the shard key, no global sort."""
+    from stackstac_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf, "documents")
+    return pack_sequences(docs, capacity=256).orderBy("shard", "doc_id")
+
+
+SQL_PACK_SEQUENCES = """
+WITH toks AS (
+  SELECT source AS shard, doc_id, len(string_split(lower(text), ' ')) AS n
+  FROM documents
+),
+cum AS (
+  SELECT shard, doc_id, n,
+         sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) - n AS so
+  FROM toks
+)
+SELECT shard, doc_id, CAST(n AS INT) AS n_tokens, CAST(so AS BIGINT) AS start_offset,
+       CAST(floor(so / 256.0) AS BIGINT) AS start_chunk,
+       CAST(greatest(floor((so + n - 1) / 256.0), floor(so / 256.0)) AS BIGINT) AS end_chunk,
+       CAST(greatest(floor((so + n - 1) / 256.0), floor(so / 256.0))
+            - floor(so / 256.0) + 1 AS BIGINT) AS n_chunks
+FROM cum ORDER BY shard, doc_id
+"""
+
+
 def q_pii_scrub(spark, sf):
     """PII redaction (operators/textstats.py::pii_scrub): the synthetic
     corpus carries no PII, so the query plants deterministic emails / IPv4s /
@@ -2938,6 +2968,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "simhash": (q_simhash, _duck_simhash_sql()),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),

@@ -134,6 +134,54 @@ def test_pii_scrub_sequential_counts(spark):
     assert (rows[5].n_email, rows[5].n_phone) == (1, 0)
 
 
+def test_pack_sequences_hand_checked(spark):
+    from stackstac_spark.operators.packing import pack_sequences
+
+    rows = [
+        # shard a: lengths 6, 6, 3 with capacity 8 -> doc 1 straddles 0/1
+        ("a", 0, 6),
+        ("a", 1, 6),
+        ("a", 2, 3),
+        # shard b packs independently from offset 0
+        ("b", 3, 8),
+        ("b", 4, 1),
+        # zero-length doc: occupies no window, pinned to its start chunk
+        ("b", 5, 0),
+        ("b", 6, 2),
+    ]
+    df = spark.createDataFrame(rows, "source STRING, doc_id LONG, n LONG")
+    got = {
+        r.doc_id: r
+        for r in pack_sequences(df, capacity=8, len_col="n").collect()
+    }
+    expect = {
+        0: (0, 0, 0, 1),
+        1: (6, 0, 1, 2),
+        2: (12, 1, 1, 1),
+        3: (0, 0, 0, 1),
+        4: (8, 1, 1, 1),
+        5: (9, 1, 1, 1),
+        6: (9, 1, 1, 1),
+    }
+    for d, (off, sc, ec, nc) in expect.items():
+        r = got[d]
+        assert (r.start_offset, r.start_chunk, r.end_chunk, r.n_chunks) == (off, sc, ec, nc), d
+
+
+def test_pack_sequences_no_global_sort(spark):
+    """The running sum must be windowed per shard — a global (empty
+    partitionBy) window would serialize the corpus through one task."""
+    from stackstac_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [("a", 0, "x y z"), ("b", 1, "w v")], "source STRING, doc_id LONG, text STRING"
+    )
+    plan = pack_sequences(df, capacity=4)._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(shard" in plan, plan
+    with pytest.raises(ValueError, match="capacity"):
+        pack_sequences(df, capacity=0)
+
+
 def test_simhash_hamming(spark, docs_df):
     from stackstac_spark.operators.dedup import simhash, simhash_candidates
 
