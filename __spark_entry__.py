@@ -1072,6 +1072,80 @@ FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
 """
 
 
+def q_vocab_topk(spark, sf):
+    """Corpus vocabulary top-50 (operators/textstats.py::vocab_topk): one
+    token groupBy with map-side combine, TakeOrdered top-k (no vocabulary
+    sort shuffle)."""
+    from stackstac_spark.operators.textstats import vocab_topk
+
+    docs = _t(spark, sf, "documents")
+    return vocab_topk(docs, k=50).orderBy("rank")
+
+
+SQL_VOCAB_TOPK = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+counts AS (
+  SELECT term, count(*) AS cnt, count(DISTINCT doc_id) AS doc_freq
+  FROM toks GROUP BY term
+),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY cnt DESC, term) AS rank, term, cnt, doc_freq
+  FROM counts
+)
+SELECT CAST(rank AS INT) AS rank, term, cnt, doc_freq
+FROM ranked WHERE rank <= 50 ORDER BY rank
+"""
+
+
+def q_matryoshka_topk(spark, sf):
+    """Matryoshka retrieval (operators/similarity.py::truncate_embeddings +
+    cosine_topk): cosine top-5 in the first 16 of 64 dims — the
+    low-dim-search stage of an MRL search stack; rounded-sim + id
+    tiebreak keeps the ranking engine-portable."""
+    from pyspark.sql import Window
+
+    from stackstac_spark.operators.similarity import truncate_embeddings
+
+    emb = _t(spark, sf, "embeddings")
+    trunc = truncate_embeddings(emb, dims=16, renormalize=False)
+    queries = trunc.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cand = trunc.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    sims = (
+        cand.crossJoin(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(_spark_cosine("qv", "cv"), 6).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "sim", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+SQL_MATRYOSHKA_TOPK = """
+WITH trunc AS (SELECT vec_id, (embedding::DOUBLE[])[1:16] AS v FROM embeddings),
+queries AS (SELECT vec_id AS query_id, v AS qv FROM trunc WHERE vec_id < 5),
+sims AS (
+  SELECT query_id, t.vec_id AS neighbor_id,
+         round(list_inner_product(qv, t.v)
+               / (sqrt(list_inner_product(qv, qv))
+                * sqrt(list_inner_product(t.v, t.v))), 6) AS sim
+  FROM trunc t CROSS JOIN queries WHERE t.vec_id != query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 def q_pack_sequences(spark, sf):
     """Training sequence packing (operators/packing.py::pack_sequences):
     per-source running token cumsum cut into 256-token context windows —
@@ -2969,6 +3043,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
+    "matryoshka_topk": (q_matryoshka_topk, SQL_MATRYOSHKA_TOPK),
     "simhash": (q_simhash, _duck_simhash_sql()),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),

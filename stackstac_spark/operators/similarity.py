@@ -59,6 +59,31 @@ def cosine_topk(
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def truncate_embeddings(
+    df: DataFrame, dims: int, vec_col: str = "embedding", renormalize: bool = True
+) -> DataFrame:
+    """Matryoshka-style dimensionality reduction ("Matryoshka Representation
+    Learning", Kusupati et al. 2022): keep the first ``dims`` coordinates of
+    an MRL-trained embedding, optionally L2-renormalizing — the standard
+    cheap-retrieval trick (search at d/4, rerank at d).
+
+    Pure JVM higher-order functions over the array column — no shuffle, no
+    Python; the narrowed vector shrinks every downstream shuffle/broadcast
+    by dims/d, which is the entire point at 100 TB.
+    """
+    if dims <= 0:
+        raise ValueError(f"truncate_embeddings: dims must be positive, got {dims}")
+    v = f"slice({vec_col}, 1, {dims})"
+    if renormalize:
+        out = F.expr(
+            f"transform({v}, x -> CAST(x AS DOUBLE) / "
+            f"sqrt(aggregate({v}, 0D, (a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))"
+        )
+    else:
+        out = F.expr(f"transform({v}, x -> CAST(x AS DOUBLE))")
+    return df.withColumn(vec_col, out)
+
+
 def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes from a seeded RNG."""
     rng = np.random.default_rng(seed)

@@ -255,6 +255,31 @@ def unigram_logprob_score(
     )
 
 
+def vocab_topk(
+    df: DataFrame, k: int = 50, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide top-``k`` vocabulary: (rank, term, cnt, doc_freq) —
+    the seed step of BPE/WordPiece vocabulary building and of stopword
+    mining. Deterministic tiebreak: higher count first, then term.
+
+    Scale shape: one token groupBy with map-side combine (the shuffle
+    carries the vocabulary, not the corpus), then orderBy+limit which Spark
+    executes as TakeOrdered — per-partition top-k merged on the driver, no
+    full sort shuffle of the vocabulary.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(id_col, F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"))
+    counts = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("cnt"), F.count_distinct(F.col(id_col)).alias("doc_freq")
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("term")).limit(k)
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "term", "cnt", "doc_freq"
+    )
+
+
 # PII patterns restricted to syntax shared verbatim by Java regex (Spark)
 # and RE2 (DuckDB/Go): char classes, \d, \b, bounded repetition.
 _PII_PATTERNS: list[tuple[str, str, str]] = [

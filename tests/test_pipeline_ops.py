@@ -182,6 +182,55 @@ def test_pack_sequences_no_global_sort(spark):
         pack_sequences(df, capacity=0)
 
 
+def test_vocab_topk_counts_and_tiebreak(spark, docs_df):
+    from stackstac_spark.operators.textstats import vocab_topk
+
+    rows = vocab_topk(docs_df, k=3).collect()
+    py_counts: dict[str, int] = {}
+    py_docs: dict[str, set] = {}
+    for d, t in DOCS:
+        for tok in t.lower().split(" "):
+            py_counts[tok] = py_counts.get(tok, 0) + 1
+            py_docs.setdefault(tok, set()).add(d)
+    expect = sorted(py_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert [(r.term, r.cnt) for r in rows] == expect
+    assert [r.rank for r in rows] == [1, 2, 3]
+    for r in rows:
+        assert r.doc_freq == len(py_docs[r.term])
+
+
+def test_vocab_topk_uses_take_ordered(spark, docs_df):
+    """orderBy+limit over the vocabulary must compile to TakeOrdered (per-
+    partition top-k + driver merge), not a full sort shuffle."""
+    from stackstac_spark.operators.textstats import vocab_topk
+
+    plan = vocab_topk(docs_df, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in plan, plan
+
+
+def test_truncate_embeddings_matches_numpy(spark):
+    from stackstac_spark.operators.similarity import truncate_embeddings
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(20, 16).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    out = {r.vec_id: r.embedding for r in truncate_embeddings(df, dims=4).collect()}
+    for i in range(20):
+        sl = vecs[i][:4].astype("float64")
+        want = sl / np.sqrt((sl * sl).sum())
+        np.testing.assert_allclose(out[i], want, rtol=1e-6)
+    raw = {
+        r.vec_id: r.embedding
+        for r in truncate_embeddings(df, dims=4, renormalize=False).collect()
+    }
+    np.testing.assert_allclose(raw[3], vecs[3][:4].astype("float64"), rtol=1e-6)
+    with pytest.raises(ValueError, match="dims"):
+        truncate_embeddings(df, dims=0)
+
+
 def test_simhash_hamming(spark, docs_df):
     from stackstac_spark.operators.dedup import simhash, simhash_candidates
 
