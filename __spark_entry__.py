@@ -3053,18 +3053,23 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "ngram_contamination": (q_ngram_contamination, SQL_NGRAM_CONTAMINATION),
     "tfidf_top": (q_tfidf_top, SQL_TFIDF_TOP),
+    "unigram_lm": (q_unigram_lm, SQL_UNIGRAM_LM),
     "sim_bruteforce_topk": (q_sim_bruteforce_topk, SQL_SIM_BRUTEFORCE),
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "kmeans": (q_kmeans, SQL_KMEANS),
     "lsh_buckets": (q_lsh_buckets, SQL_LSH_BUCKETS),
     "cosine_neardup": (q_cosine_neardup, SQL_COSINE_NEARDUP),
+    "int8_quant": (q_int8_quant, SQL_INT8_QUANT),
     # --- events / streaming analogues / misc relational (green in r01) ---
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "tumbling_hourly": (q_tumbling_hourly, SQL_TUMBLING),
     "json_props": (q_json_props, SQL_JSON_PROPS),
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "rollup_agg": (q_rollup_agg, SQL_ROLLUP_AGG),
-    # --- TPC-H: the ten most shape-diverse stay in-window ---
+    # ---- slot 51+ from here: every entry below was driver-green in a past
+    # ---- round (r01-r03) and is hash-re-checked in CI by
+    # ---- tests/test_past_window_mirror.py; the 50-entry graded window above
+    # ---- holds every operator the driver has not yet graded ----
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q2": (q_tpch_q2, SQL_TPCH_Q2),
     "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
@@ -3073,10 +3078,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "tpch_q12": (q_tpch_q12, SQL_TPCH_Q12),
     "tpch_q18": (q_tpch_q18, SQL_TPCH_Q18),
     "tpch_q21": (q_tpch_q21, SQL_TPCH_Q21),
-    # ---- slot 51+: shapes redundant with the in-window set; all TPC-H
-    # ---- entries here were driver-green in CORRECTNESS_r01.json, and the
-    # ---- sampling ops are window/filter shapes proven by window_rank &
-    # ---- metadata_filter (hash-checked in the local mirror regardless) ----
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "tpch_q15": (q_tpch_q15, SQL_TPCH_Q15),
@@ -3093,10 +3094,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "tpch_q17": (q_tpch_q17, SQL_TPCH_Q17),
     "tpch_q19": (q_tpch_q19, SQL_TPCH_Q19),
     "tpch_q22": (q_tpch_q22, SQL_TPCH_Q22),
-    # r4 additions past the window (CI-mirror value-checked like all
-    # past-window entries)
-    "int8_quant": (q_int8_quant, SQL_INT8_QUANT),
-    "unigram_lm": (q_unigram_lm, SQL_UNIGRAM_LM),
 }
 
 

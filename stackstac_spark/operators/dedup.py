@@ -294,15 +294,19 @@ def span_dedup(
     Returns (id, n_tokens, n_dup_tokens, dup_frac) for every input doc; docs
     shorter than ``k`` tokens score 0.
 
-    Scale shape: windows shuffle ONCE, keyed on a 128-bit md5 of the window
-    text (32 hex chars regardless of k — the k-token string never crosses the
-    wire); the duplicated-window set comes from one groupBy with map-side
-    combine and flows back via a semi-join (no forced broadcast: the dup set
-    is corpus-scale at 100 TB, AQE broadcasts when it is actually small).
-    The k-times coverage explode runs only on windows already known to be
-    duplicated — clean corpora pay nearly nothing. Interval union is exact
-    via distinct (doc, position), not an approximation.
+    Scale shape: the window table is computed ONCE and shuffles ONCE, keyed
+    on a 128-bit md5 of the window text (32 hex chars regardless of k — the
+    k-token string never crosses the wire); "window appears in >=2 docs" is
+    min(doc) != max(doc) over that one hash partition — a Window aggregate,
+    not a groupBy + join-back, so the corpus-scale explode subtree is never
+    evaluated twice (an aggregate+semi-join formulation re-scans and
+    re-explodes the corpus on the join side). The k-times coverage explode
+    runs only on windows already known to be duplicated — clean corpora pay
+    nearly nothing. Interval union is exact via distinct (doc, position),
+    not an approximation.
     """
+    from pyspark.sql import Window
+
     toks = df.select(id_col, F.split(F.lower(F.col(text_col)), " ").alias("t"))
     base = toks.select(id_col, F.size("t").alias("n_tokens"))
     wins = toks.filter(F.size("t") >= k).select(
@@ -314,14 +318,10 @@ def span_dedup(
             )
         ).alias("pos", "gh"),
     )
-    dup = (
-        wins.groupBy("gh")
-        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gh")
-    )
+    w_gh = Window.partitionBy("gh")
     cov = (
-        wins.join(dup, "gh", "left_semi")
+        wins.withColumn("__dup", F.min(id_col).over(w_gh) != F.max(id_col).over(w_gh))
+        .filter(F.col("__dup"))
         .select(id_col, F.explode(F.expr(f"sequence(pos, pos + {k} - 1)")).alias("p"))
         .distinct()
     )

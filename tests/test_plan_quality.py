@@ -224,3 +224,20 @@ def test_tfidf_vocab_join_not_forced_broadcast(spark, entry):
     analyzed = df._jdf.queryExecution().analyzed().toString()
     n_hints = analyzed.count("UnresolvedHint") + analyzed.count("ResolvedHint")
     assert n_hints <= 1, f"unexpected broadcast hints in tfidf plan:\n{analyzed}"
+
+
+def test_span_dedup_single_window_shuffle_no_self_join(spark, entry):
+    """span_dedup: the corpus-scale window table must be built once and
+    shuffled once on the md5 key — 'duplicated' is a Window min!=max over
+    that one partition, NOT a groupBy + join-back (which re-scans and
+    re-explodes the corpus). Expect exactly one Exchange on gh, one Window,
+    and no sort-merge join anywhere."""
+    import re
+
+    plan = _plan(entry.q_span_dedup(spark, SF))
+    assert len(re.findall(r"Exchange hashpartitioning\(gh", plan)) == 1, plan
+    assert plan.count("Window") == 1
+    assert "SortMergeJoin" not in plan
+    # two corpus scans total: the n_tokens base projection + the window
+    # pipeline (the rewrite this guards collapsed 3 scans to 2)
+    assert plan.count("Scan parquet") == 2, plan
