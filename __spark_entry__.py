@@ -782,6 +782,64 @@ SELECT node, min(r) AS component FROM reach GROUP BY node ORDER BY node
 """
 
 
+def q_canonical_docs(spark, sf):
+    """Dedup endgame (operators/dedup.py::canonical_docs): LSH pairs →
+    connected components → keep the longest doc per cluster (n_chars,
+    tiebreak min id); singleton docs are their own canonical. Emits the
+    full keep/drop mapping for the corpus."""
+    from stackstac_spark.operators.dedup import canonical_docs, connected_components
+
+    docs = _t(spark, sf, "documents")
+    pairs = q_minhash_lsh_pairs(spark, sf)
+    comps = connected_components(pairs, id_a="doc_a", id_b="doc_b")
+    return canonical_docs(docs, comps, score_col="n_chars").orderBy("doc_id")
+
+
+SQL_CANONICAL_DOCS = f"""
+WITH RECURSIVE shingles AS ({_DUCK_SHINGLES}),
+d AS (SELECT DISTINCT doc_id, sh FROM shingles),
+sig AS (
+  SELECT doc_id, min(md5('0:' || sh)) AS h0, min(md5('1:' || sh)) AS h1,
+         min(md5('2:' || sh)) AS h2, min(md5('3:' || sh)) AS h3
+  FROM d GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, h0 || h1 AS key FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, h2 || h3 AS key FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, r) AS (
+  SELECT DISTINCT src AS node, src AS r FROM edges
+  UNION
+  SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.node
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+lab AS (
+  SELECT dd.doc_id, dd.n_chars, coalesce(c.component, dd.doc_id) AS cluster
+  FROM documents dd LEFT JOIN comp c ON dd.doc_id = c.node
+),
+canon AS (
+  SELECT doc_id, cluster,
+         first_value(doc_id) OVER (
+           PARTITION BY cluster ORDER BY n_chars DESC, doc_id
+         ) AS canonical_id
+  FROM lab
+)
+SELECT doc_id, cluster, canonical_id, doc_id = canonical_id AS is_canonical
+FROM canon ORDER BY doc_id
+"""
+
+
 def q_stratified_sample(spark, sf):
     """Per-key quota sampling (≤5 docs per language) by deterministic hash
     order — the corpus-balancing step of a training pipeline."""
@@ -3039,6 +3097,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIG),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH),
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
+    "canonical_docs": (q_canonical_docs, SQL_CANONICAL_DOCS),
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),

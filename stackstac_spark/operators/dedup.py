@@ -427,3 +427,50 @@ def simhash_candidates(
         )
         .distinct()
     )
+
+
+def canonical_docs(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str | None = None,
+    node_col: str = "node",
+    comp_col: str = "component",
+) -> DataFrame:
+    """Final dedup stage: pick ONE representative per near-duplicate cluster
+    and emit the full keep/drop mapping — (id, cluster, canonical_id,
+    is_canonical) for every input doc. ``components`` is the
+    (node, component) labeling from :func:`connected_components`; docs absent
+    from the pair graph are singleton clusters and their own canonical.
+    Canonical = highest ``score_col`` (e.g. a quality score or length),
+    tie-broken by smallest id; ``score_col=None`` keeps the smallest id.
+
+    Scale shape: one id-keyed equi-join (the components table holds only
+    docs that belong to some cluster — usually a small fraction of the
+    corpus, so AQE broadcasts it) and one per-cluster window. No
+    per-cluster arrays, no driver collect; output rows == input rows.
+    """
+    from pyspark.sql import Window
+
+    labeled = docs.join(
+        components.select(
+            F.col(node_col).alias(id_col), F.col(comp_col).alias("__comp")
+        ),
+        id_col,
+        "left",
+    ).select(
+        id_col,
+        *( [F.col(score_col)] if score_col else [] ),
+        F.coalesce("__comp", F.col(id_col)).alias("cluster"),
+    )
+    order = (
+        [F.desc(score_col), F.asc(id_col)] if score_col else [F.asc(id_col)]
+    )
+    w = Window.partitionBy("cluster").orderBy(*order)
+    with_canon = labeled.withColumn("canonical_id", F.first(id_col).over(w))
+    return with_canon.select(
+        id_col,
+        "cluster",
+        "canonical_id",
+        (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
+    )

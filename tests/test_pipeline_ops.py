@@ -104,6 +104,29 @@ def test_span_dedup_short_docs_score_zero(spark):
     assert rows[0].n_tokens == 2 and rows[0].n_dup_tokens == 0 and rows[0].dup_frac == 0.0
 
 
+def test_canonical_docs_selection_and_singletons(spark):
+    from stackstac_spark.operators.dedup import canonical_docs
+
+    docs = spark.createDataFrame(
+        [(0, 10), (1, 30), (2, 30), (3, 5), (4, 99)],
+        "doc_id LONG, n_chars LONG",
+    )
+    # cluster {0,1,2}: 1 and 2 tie on n_chars=30 -> min id 1 wins; 3 and 4
+    # are singletons
+    comps = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0)], "node LONG, component LONG"
+    )
+    rows = {r.doc_id: r for r in canonical_docs(docs, comps, score_col="n_chars").collect()}
+    assert len(rows) == 5
+    assert [rows[i].canonical_id for i in range(3)] == [1, 1, 1]
+    assert rows[1].is_canonical and not rows[0].is_canonical
+    for i in (3, 4):
+        assert rows[i].cluster == i and rows[i].canonical_id == i and rows[i].is_canonical
+    # score_col=None keeps the smallest id
+    by_id = {r.doc_id: r for r in canonical_docs(docs, comps).collect()}
+    assert by_id[2].canonical_id == 0
+
+
 def test_pii_scrub_sequential_counts(spark):
     """Counts are taken before each replacement in email→ip→phone order:
     digits inside a redacted email never double-count as a phone."""

@@ -99,3 +99,66 @@ def test_tfidf_matches_python(spark, texts):
         assert [(rk, t) for rk, t, _ in have] == [(rk, t) for rk, t, _ in want]
         for (_, _, a), (_, _, b) in zip(have, want):
             assert a == pytest.approx(b, abs=1e-9)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=corpus, k=st.integers(min_value=2, max_value=4))
+def test_span_dedup_matches_python(spark, texts, k):
+    from stackstac_spark.operators.dedup import span_dedup
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id LONG, text STRING")
+    got = {r.doc_id: r for r in span_dedup(df, k=k).collect()}
+    toks = {i: t.lower().split(" ") for i, t in enumerate(texts)}
+    owners: dict[str, set] = {}
+    for i, t in toks.items():
+        for p in range(len(t) - k + 1):
+            owners.setdefault(" ".join(t[p : p + k]), set()).add(i)
+    for i, t in toks.items():
+        covered = set()
+        for p in range(len(t) - k + 1):
+            if len(owners[" ".join(t[p : p + k])]) >= 2:
+                covered.update(range(p, p + k))
+        assert got[i].n_tokens == len(t)
+        assert got[i].n_dup_tokens == len(covered)
+        assert got[i].dup_frac == pytest.approx(
+            round(len(covered) / max(len(t), 1), 6), abs=1e-9
+        )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lens=st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=12),
+    shards=st.lists(st.sampled_from(["s0", "s1", "s2"]), min_size=1, max_size=12),
+    cap=st.integers(min_value=1, max_value=9),
+)
+def test_pack_sequences_matches_python(spark, lens, shards, cap):
+    from stackstac_spark.operators.packing import pack_sequences
+
+    n = min(len(lens), len(shards))
+    rows = [(shards[i], i, lens[i]) for i in range(n)]
+    df = spark.createDataFrame(rows, "source STRING, doc_id LONG, n LONG")
+    got = {r.doc_id: r for r in pack_sequences(df, capacity=cap, len_col="n").collect()}
+    offsets: dict[str, int] = {}
+    for shard, i, ln in sorted(rows, key=lambda r: (r[0], r[1])):
+        off = offsets.get(shard, 0)
+        sc = off // cap
+        ec = max((off + ln - 1) // cap, sc)
+        r = got[i]
+        assert (r.start_offset, r.start_chunk, r.end_chunk, r.n_chunks) == (
+            off,
+            sc,
+            ec,
+            ec - sc + 1,
+        ), (i, shard, ln, cap)
+        offsets[shard] = off + ln
+    # packing is gap-free per shard: total tokens == final offset
+    for shard in set(s for s, _, _ in rows):
+        assert offsets[shard] == sum(ln for s, _, ln in rows if s == shard)
