@@ -308,6 +308,63 @@ def pii_scrub(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return df.select(*cols)
 
 
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Data selection via importance resampling (DSIR, Xie et al. 2023,
+    hashed-n-gram variant simplified to unigrams): score every corpus doc by
+    log p_target(x) - log p_source(x) under two smoothed unigram LMs — one
+    fit on the (small, curated) ``target`` set, one on the corpus itself.
+    High ``log_ratio`` = looks like the target distribution; downstream,
+    sample proportionally (e.g. with :mod:`sampling`'s hash sampler over a
+    weight-derived threshold).
+
+    Returns (id, n_tokens, nll_source, nll_target, log_ratio) with
+    log_ratio = n_tokens-normalized log-likelihood ratio = nll_source -
+    nll_target (both are mean NLLs, so the ratio is per-token).
+
+    Scale shape: both LM fits are vocabulary-sized groupBys; scoring is two
+    term-keyed joins over ONE tokenization of the corpus (the exploded
+    token table is built once and joined to both LMs in a single pass —
+    not two separate explode pipelines), then one per-doc agg. No forced
+    broadcasts: vocabularies are corpus-scale at 100 TB, AQE broadcasts
+    the target LM when it is actually small.
+    """
+    toks = df.select(id_col, F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"))
+    lm_s = fit_unigram_lm(df, text_col=text_col)
+    lm_t = fit_unigram_lm(target, text_col=text_col)
+    tot_s = lm_s.agg(F.sum("cnt").alias("total_s"), F.count(F.lit(1)).alias("vocab_s"))
+    tot_t = lm_t.agg(F.sum("cnt").alias("total_t"), F.count(F.lit(1)).alias("vocab_t"))
+
+    def _nll(cnt_col: str, total: str, vocab: str) -> Column:
+        return -F.log(
+            (F.coalesce(F.col(cnt_col), F.lit(0)) + F.lit(alpha))
+            / (F.col(total) + F.lit(alpha) * (F.col(vocab) + 1))
+        )
+
+    scored = (
+        toks.join(lm_s.withColumnRenamed("cnt", "cnt_s"), "term", "left")
+        .join(lm_t.withColumnRenamed("cnt", "cnt_t"), "term", "left")
+        .crossJoin(F.broadcast(tot_s))
+        .crossJoin(F.broadcast(tot_t))
+        .select(
+            id_col,
+            _nll("cnt_s", "total_s", "vocab_s").alias("nll_s"),
+            _nll("cnt_t", "total_t", "vocab_t").alias("nll_t"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("nll_s"), 6).alias("nll_source"),
+        F.round(F.avg("nll_t"), 6).alias("nll_target"),
+        F.round(F.avg("nll_s") - F.avg("nll_t"), 6).alias("log_ratio"),
+    )
+
+
 def fit_unigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(term, cnt) unigram counts — the reference-corpus side of
     ``unigram_logprob_score``."""

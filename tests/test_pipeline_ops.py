@@ -730,3 +730,30 @@ def test_unigram_lm_scoring(spark):
     # lm: a:1, b:1, total=2, vocab=2, denom = 2 + 0.5*3 = 3.5; unseen p=0.5/3.5
     want2 = -math.log(0.5 / 3.5)
     assert ext[2].avg_nll == pytest.approx(round(want2, 6), abs=1e-9)
+
+
+def test_dsir_weights_prefers_target_like_docs(spark):
+    import math
+
+    from stackstac_spark.operators.textstats import dsir_weights
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta alpha beta"),   # target-like
+            (1, "gamma delta gamma delta"), # off-target
+            (2, "alpha gamma"),             # mixed
+        ],
+        "doc_id LONG, text STRING",
+    )
+    target = docs.filter("doc_id = 0")
+    rows = {r.doc_id: r for r in dsir_weights(docs, target).collect()}
+    # target-like text must get the highest log-ratio, off-target the lowest
+    assert rows[0].log_ratio > rows[2].log_ratio > rows[1].log_ratio
+    # exact value for doc 1 against the closed-form unigram math:
+    # source LM: alpha:3 beta:2 gamma:3 delta:2, total=10, vocab=4, denom=12.5
+    # target LM: alpha:2 beta:2, total=4, vocab=2, denom=5.5
+    nll_s = -(2 * math.log(3.5 / 12.5) + 2 * math.log(2.5 / 12.5)) / 4
+    nll_t = -math.log(0.5 / 5.5)  # every doc-1 token unseen by the target LM
+    assert rows[1].nll_source == pytest.approx(round(nll_s, 6), abs=1e-9)
+    assert rows[1].nll_target == pytest.approx(round(nll_t, 6), abs=1e-9)
+    assert rows[1].log_ratio == pytest.approx(round(nll_s - nll_t, 6), abs=1e-6)
