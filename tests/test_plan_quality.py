@@ -241,3 +241,25 @@ def test_span_dedup_single_window_shuffle_no_self_join(spark, entry):
     # two corpus scans total: the n_tokens base projection + the window
     # pipeline (the rewrite this guards collapsed 3 scans to 2)
     assert plan.count("Scan parquet") == 2, plan
+
+
+def test_pii_scrub_is_single_scan_no_shuffle(spark, entry):
+    """PII scrub is three regexp column passes: one scan, zero hash
+    Exchange (the trailing orderBy's rangepartitioning is harness
+    determinism, not engine need)."""
+    plan = _plan(entry.q_pii_scrub(spark, SF))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Join" not in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_pack_sequences_single_shard_shuffle(spark, entry):
+    """Packing = one Exchange on the shard key + one Window; nothing else."""
+    import re
+
+    plan = _plan(entry.q_pack_sequences(spark, SF))
+    # the trailing orderBy adds a rangepartitioning exchange (harness
+    # determinism); the data path must have exactly one hash exchange
+    assert len(re.findall(r"Exchange hashpartitioning\(shard", plan)) == 1, plan
+    assert plan.count("Window") == 1
+    assert "Join" not in plan
