@@ -1130,6 +1130,38 @@ FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
 """
 
 
+def q_stream_enrich(spark, sf):
+    """Stream-static enrichment (streaming/ingest.py::enrich_stream): the
+    event stream joins a broadcast dimension snapshot (customer segments) —
+    stateless, no stream-side shuffle; replayed here on the batch tables
+    (identical plan shape; the streaming e2e lives in
+    tests/test_checkpoint_streaming.py)."""
+    from stackstac_spark.streaming.ingest import enrich_stream
+
+    ev = _t(spark, sf, "events")
+    dim = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = enrich_stream(ev, dim, on="user_id")
+    return (
+        enriched.groupBy(F.coalesce("c_mktsegment", F.lit("unknown")).alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .orderBy("segment")
+    )
+
+
+SQL_STREAM_ENRICH = """
+SELECT coalesce(c.c_mktsegment, 'unknown') AS segment,
+       count(*) AS n_events,
+       round(sum(e.value), 6) AS total_value
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1 ORDER BY segment
+"""
+
+
 def q_dsir_weights(spark, sf):
     """DSIR importance weighting (operators/textstats.py::dsir_weights):
     per-doc log-likelihood ratio between a target unigram LM (the 'en'
@@ -3149,10 +3181,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "tfidf_top": (q_tfidf_top, SQL_TFIDF_TOP),
     "unigram_lm": (q_unigram_lm, SQL_UNIGRAM_LM),
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
+    "stream_enrich": (q_stream_enrich, SQL_STREAM_ENRICH),
     "sim_bruteforce_topk": (q_sim_bruteforce_topk, SQL_SIM_BRUTEFORCE),
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "kmeans": (q_kmeans, SQL_KMEANS),
-    "cosine_neardup": (q_cosine_neardup, SQL_COSINE_NEARDUP),
     "int8_quant": (q_int8_quant, SQL_INT8_QUANT),
     # --- events / streaming analogues / misc relational (green in r01) ---
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
@@ -3165,6 +3197,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ---- tests/test_past_window_mirror.py; the 50-entry graded window above
     # ---- holds every operator the driver has not yet graded ----
     "lsh_buckets": (q_lsh_buckets, SQL_LSH_BUCKETS),
+    "cosine_neardup": (q_cosine_neardup, SQL_COSINE_NEARDUP),
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q2": (q_tpch_q2, SQL_TPCH_Q2),
     "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),

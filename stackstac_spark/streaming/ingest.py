@@ -146,6 +146,36 @@ def dedup_stream(
     return out.drop("__fp") if fingerprint_text is not None else out
 
 
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: list[str] | str,
+    how: str = "left",
+    hint_broadcast: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: attach slowly-changing dimension
+    attributes (e.g. a customer or collection table) to a live stream.
+
+    Spark re-plans the static side every micro-batch, so a refreshed dim
+    snapshot (re-read per batch) is picked up without restarting the query;
+    the static side is broadcast when small — no stream-side shuffle, no
+    state store (stream-static joins are stateless, unlike stream-stream
+    joins which need watermarked buffers on both sides).
+
+    Only inner/left are allowed: right/full would need to emit dim rows
+    with no stream match, which is ill-defined on an unbounded stream
+    (Spark rejects it at runtime; we reject it eagerly with a clear error).
+    ``hint_broadcast=False`` drops the broadcast hint for a dim too large
+    to replicate — the planner then shuffles each micro-batch against it.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"enrich_stream: how must be 'inner' or 'left' for a stream-static join, got {how!r}"
+        )
+    on = [on] if isinstance(on, str) else list(on)
+    return stream.join(F.broadcast(dim) if hint_broadcast else dim, on, how)
+
+
 def incremental_stack_sink(
     spark: SparkSession,
     jsonl_path: str,

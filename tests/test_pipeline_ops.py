@@ -677,6 +677,34 @@ def test_streaming_dedup(spark, tmp_path):
     assert sorted(r.id for r in got) == ["a", "b", "c"]
 
 
+def test_stream_enrich_static_join(spark, tmp_path):
+    """Real streaming run: a file-source stream left-joins a static
+    dimension; unmatched stream rows keep flowing with nulls."""
+    import json
+
+    from stackstac_spark.streaming.ingest import enrich_stream, run_to_memory
+
+    p = tmp_path / "enrich_events"
+    p.mkdir()
+    rows = [
+        {"event_id": 1, "user_id": 10, "value": 1.5},
+        {"event_id": 2, "user_id": 20, "value": 2.5},
+        {"event_id": 3, "user_id": 99, "value": 3.5},  # no dim match
+    ]
+    with open(p / "b1.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    stream = spark.readStream.schema("event_id LONG, user_id LONG, value DOUBLE").json(str(p))
+    dim = spark.createDataFrame([(10, "AUTO"), (20, "HOME")], "user_id LONG, segment STRING")
+    out = enrich_stream(stream, dim, on="user_id")
+    assert out.isStreaming
+    run_to_memory(out, "enrich_out", output_mode="append")
+    got = {r.event_id: r.segment for r in spark.sql("select * from enrich_out").collect()}
+    assert got == {1: "AUTO", 2: "HOME", 3: None}
+    with pytest.raises(ValueError, match="stream-static"):
+        enrich_stream(stream, dim, on="user_id", how="full")
+
+
 def test_quantize_embeddings_matches_numpy(spark):
     from stackstac_spark.operators.similarity import quantize_embeddings
 
