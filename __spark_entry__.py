@@ -1130,6 +1130,58 @@ FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
 """
 
 
+def q_dsir_sample(spark, sf):
+    """DSIR end-to-end (dsir_weights → operators/sampling.py::
+    importance_sample): weight = exp(per-token log-ratio), deterministic
+    md5-coin acceptance with probability min(1, 0.5·weight) — the
+    importance-RESAMPLING step that completes the DSIR pipeline."""
+    from stackstac_spark.operators.sampling import importance_sample
+    from stackstac_spark.operators.textstats import dsir_weights
+
+    docs = _t(spark, sf, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    weighted = dsir_weights(docs, target).withColumn(
+        "weight", F.round(F.exp("log_ratio"), 6)
+    )
+    kept = importance_sample(weighted, "weight", rate=0.5)
+    return kept.select("doc_id", "weight").orderBy("doc_id")
+
+
+SQL_DSIR_SAMPLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+lm_s AS (SELECT term, count(*) AS cnt_s FROM toks GROUP BY term),
+tot_s AS (SELECT CAST(sum(cnt_s) AS DOUBLE) AS total_s, count(*) AS vocab_s FROM lm_s),
+ttoks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents WHERE lang = 'en'
+),
+lm_t AS (SELECT term, count(*) AS cnt_t FROM ttoks GROUP BY term),
+tot_t AS (SELECT CAST(sum(cnt_t) AS DOUBLE) AS total_t, count(*) AS vocab_t FROM lm_t),
+nll AS (
+  SELECT t.doc_id,
+         -ln((coalesce(s.cnt_s, 0) + 0.5) / (tot_s.total_s + 0.5 * (tot_s.vocab_s + 1))) AS nll_s,
+         -ln((coalesce(tt.cnt_t, 0) + 0.5) / (tot_t.total_t + 0.5 * (tot_t.vocab_t + 1))) AS nll_t
+  FROM toks t LEFT JOIN lm_s s USING (term) LEFT JOIN lm_t tt USING (term)
+  CROSS JOIN tot_s CROSS JOIN tot_t
+),
+weighted AS (
+  SELECT doc_id,
+         round(exp(round(avg(nll_s) - avg(nll_t), 6)), 6) AS weight
+  FROM nll GROUP BY doc_id
+),
+coined AS (
+  SELECT doc_id, weight,
+         ('0x' || substring(md5(':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           / CAST(4294967296 AS DOUBLE) AS coin
+  FROM weighted
+)
+SELECT doc_id, weight FROM coined
+WHERE coin < least(1.0, 0.5 * weight)
+ORDER BY doc_id
+"""
+
+
 def q_stream_enrich(spark, sf):
     """Stream-static enrichment (streaming/ingest.py::enrich_stream): the
     event stream joins a broadcast dimension snapshot (customer segments) —
@@ -3141,7 +3193,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "raster_xyz_png": (q_raster_xyz_png, SQL_RASTER_XYZ_PNG),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     # --- relational operators unchecked in r01 ---
-    "set_ops": (q_set_ops, SQL_SET_OPS),
     "window_rank": (q_window_rank, SQL_WINDOW_RANK),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "corr_stats": (q_corr_stats, SQL_CORR_STATS),
@@ -3182,6 +3233,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "unigram_lm": (q_unigram_lm, SQL_UNIGRAM_LM),
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
     "stream_enrich": (q_stream_enrich, SQL_STREAM_ENRICH),
+    "dsir_sample": (q_dsir_sample, SQL_DSIR_SAMPLE),
     "sim_bruteforce_topk": (q_sim_bruteforce_topk, SQL_SIM_BRUTEFORCE),
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "kmeans": (q_kmeans, SQL_KMEANS),
@@ -3206,6 +3258,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "tpch_q12": (q_tpch_q12, SQL_TPCH_Q12),
     "tpch_q18": (q_tpch_q18, SQL_TPCH_Q18),
     "tpch_q21": (q_tpch_q21, SQL_TPCH_Q21),
+    "set_ops": (q_set_ops, SQL_SET_OPS),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "tpch_q15": (q_tpch_q15, SQL_TPCH_Q15),

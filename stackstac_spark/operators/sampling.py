@@ -52,3 +52,37 @@ def stratified_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def importance_sample(
+    df: DataFrame,
+    weight_col: str,
+    rate: float = 1.0,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic importance resampling — the 'R' of DSIR (Xie et al.
+    2023): keep each row with probability min(1, rate · weight), decided by
+    the same md5 coin as :func:`hash_sample` so the draw is a pure function
+    of (salt, id) — reproducible across runs, engines, and partitionings,
+    and independent draws come from different salts.
+
+    ``weight_col`` is any non-negative weight (e.g. ``exp(log_ratio)`` from
+    ``textstats.dsir_weights``); ``rate`` scales the overall acceptance to
+    hit a target corpus size. One filter expression — no shuffle, no UDF,
+    survives whole-stage codegen.
+    """
+    if rate < 0:
+        raise ValueError(f"rate must be non-negative, got {rate}")
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        / float(16**8)
+    )
+    p = F.least(F.lit(1.0), F.lit(float(rate)) * F.col(weight_col))
+    return df.filter(coin < p)

@@ -785,3 +785,27 @@ def test_dsir_weights_prefers_target_like_docs(spark):
     assert rows[1].nll_source == pytest.approx(round(nll_s, 6), abs=1e-9)
     assert rows[1].nll_target == pytest.approx(round(nll_t, 6), abs=1e-9)
     assert rows[1].log_ratio == pytest.approx(round(nll_s - nll_t, 6), abs=1e-6)
+
+
+def test_importance_sample_deterministic_and_bounded(spark):
+    from stackstac_spark.operators.sampling import importance_sample
+
+    df = spark.range(2000).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 4 = 0 THEN 0.0 WHEN id % 4 = 1 THEN 0.5 ELSE 10.0 END AS w",
+    )
+    kept = importance_sample(df, "w", rate=1.0)
+    ids = {r.doc_id for r in kept.collect()}
+    # weight 0 -> never kept; weight 10 (p clamped to 1) -> always kept
+    assert not any(i % 4 == 0 for i in ids)
+    assert all(i in ids for i in range(2000) if i % 4 >= 2)
+    # weight 0.5 -> ~half kept, and the draw is deterministic across runs
+    half = [i for i in ids if i % 4 == 1]
+    assert 150 < len(half) < 350
+    ids2 = {r.doc_id for r in importance_sample(df, "w", rate=1.0).collect()}
+    assert ids == ids2
+    # a different salt gives a different (but still deterministic) draw
+    ids3 = {r.doc_id for r in importance_sample(df, "w", rate=1.0, salt="v2").collect()}
+    assert ids3 != ids
+    with pytest.raises(ValueError, match="rate"):
+        importance_sample(df, "w", rate=-1)
