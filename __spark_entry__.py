@@ -1552,14 +1552,16 @@ def q_kmeans(spark, sf):
     )
 
 
-def _kmeans_oracle_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
-    """Generate the Lloyd's-replay oracle: seeds = vectors of the k smallest
-    ids (coords rounded 6); each round assigns by argmin of round(d², 6)
-    with min-cluster tie-break, then updates centroids as round(avg, 6) per
-    dim (empty clusters keep the previous centroid); final assignment with
-    the last centroids. Matches kmeans_fit(d2_round=6, cent_round=6)."""
+def _kmeans_assign_ctes(k: int = 8, iters: int = 2, dim: int = 64) -> tuple[list[str], str]:
+    """Shared Lloyd's-replay CTE chain (used by the kmeans AND semdedup
+    oracles): seeds = vectors of the k smallest ids (coords rounded 6); each
+    round assigns by argmin of round(d², 6) with min-cluster tie-break, then
+    updates centroids as round(avg, 6) per dim (empty clusters keep the
+    previous centroid); ``afinal`` holds the final (vec_id, c) assignment.
+    Returns (cte_lines_without_WITH, final_centroid_cte_name). Matches
+    kmeans_fit(d2_round=6, cent_round=6)."""
     parts = [
-        "WITH emb AS (",
+        "emb AS (",
         "  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v",
         "  FROM embeddings",
         "),",
@@ -1607,10 +1609,19 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
         f"    FROM emb e CROSS JOIN {prev} s",
         "  ) WHERE rn = 1",
         "),",
+    ]
+    return parts, prev
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Per-cluster rollup over the shared Lloyd's replay (_kmeans_assign_ctes)."""
+    ctes, prev = _kmeans_assign_ctes(k, iters, dim)
+    parts = ["WITH " + ctes[0], *ctes[1:]]
+    parts += [
         "agg AS (",
         "  SELECT c AS cluster, count(*) AS n_members,",
         "         CAST(min(vec_id) AS BIGINT) AS min_vec_id",
-        f"  FROM {final_a} GROUP BY c",
+        "  FROM afinal GROUP BY c",
         ")",
         "SELECT CAST(g.cluster AS INT) AS cluster, g.n_members, g.min_vec_id,",
         "       round(sqrt(list_sum(list_transform(s.cv, x -> x * x))), 4) AS cent_norm",
@@ -3183,6 +3194,169 @@ FROM bins GROUP BY media_id ORDER BY media_id
 # training-data operators in-window (repetition_stats, ngram_contamination,
 # tfidf_top, kmeans), rotating tpch_q5/q6/q12/q18 past the cap — all four
 # were green r01-r03 and remain mirror-covered.
+def q_paragraph_dedup(spark, sf):
+    """C4-style global paragraph dedup (Raffel et al. 2020 §2.2;
+    operators/dedup.py::paragraph_dedup): docs split into 16-token blocks,
+    only the corpus-wide FIRST occurrence of each distinct block survives
+    (first = smallest (doc_id, pos)), surviving blocks reassembled in doc
+    order. Two shuffles: block-hash window + doc-keyed reassembly."""
+    from stackstac_spark.operators.dedup import paragraph_dedup
+
+    docs = _t(spark, sf, "documents")
+    return paragraph_dedup(docs, block_tokens=16).orderBy("doc_id")
+
+
+SQL_PARAGRAPH_DEDUP = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+blocks AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i*16+1 : i*16+16], ' ') AS block
+  FROM toks, unnest(generate_series(0, CAST(ceil(len(t) / 16.0) AS INT) - 1)) AS u(i)
+),
+ranked AS (
+  SELECT doc_id, pos, block,
+         row_number() OVER (PARTITION BY md5(block) ORDER BY doc_id, pos) AS rn
+  FROM blocks
+),
+kept AS (SELECT doc_id, pos, block FROM ranked WHERE rn = 1),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(block, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+),
+base AS (SELECT doc_id, count(*) AS n_blocks FROM blocks GROUP BY doc_id)
+SELECT b.doc_id, CAST(b.n_blocks AS BIGINT) AS n_blocks,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(a.clean_text, '') AS clean_text
+FROM base b LEFT JOIN agg a USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
+def q_cdc_chunks(spark, sf):
+    """Content-defined chunking (Rabin/gear-hash CDC family;
+    operators/dedup.py::cdc_chunks): chunk boundaries where the token hash
+    ≡ 0 mod 8, per-doc fraction of chunks appearing verbatim in another doc.
+    Shift-robust counterpart to fixed-block and sliding-window dedup."""
+    from stackstac_spark.operators.dedup import cdc_chunks
+
+    docs = _t(spark, sf, "documents")
+    return cdc_chunks(docs, boundary_mod=8).orderBy("doc_id")
+
+
+SQL_CDC_CHUNKS = """
+WITH toks0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+toks AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+  FROM toks0, unnest(generate_series(1, len(t))) AS u(i)
+),
+flag AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN (strpos('0123456789abcdef', substring(md5(tok), 32, 1)) - 1) % 8 = 0
+              THEN 1 ELSE 0 END AS b
+  FROM toks
+),
+chunked AS (
+  SELECT doc_id, pos, tok,
+         coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+  FROM flag
+),
+chunks AS (
+  SELECT doc_id, chunk, md5(string_agg(tok, ' ' ORDER BY pos)) AS ch
+  FROM chunked GROUP BY doc_id, chunk
+),
+dup AS (SELECT ch FROM chunks GROUP BY ch HAVING min(doc_id) <> max(doc_id))
+SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN d.ch IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       round(sum(CASE WHEN d.ch IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_frac
+FROM chunks c LEFT JOIN dup d USING (ch)
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+"""
+
+
+#: Mixture weights for the gate query: sources src0..src9 weighted 1/2/3
+#: cyclically, src10+ absent (weight 0 → dropped).
+_MIX_WEIGHTS = {f"src{i}": 1.0 + (i % 3) for i in range(10)}
+_MIX_TOTAL = 5000
+
+
+def q_domain_mix(spark, sf):
+    """Token-budgeted domain mixture sampling (The Pile per-source weights /
+    DoReMi shape; operators/sampling.py::mixture_sample): per-domain token
+    budget total·w_d/Σw, docs kept in deterministic md5 order until the
+    budget fills. One window per domain, zero joins."""
+    from stackstac_spark.operators.sampling import mixture_sample
+
+    docs = _t(spark, sf, "documents")
+    return mixture_sample(docs, _MIX_WEIGHTS, total_tokens=_MIX_TOTAL).orderBy("doc_id")
+
+
+def _domain_mix_oracle_sql() -> str:
+    wsum = sum(_MIX_WEIGHTS.values())
+    case = " ".join(
+        f"WHEN '{d}' THEN {(_MIX_TOTAL * wt / wsum)!r}"
+        for d, wt in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+         CASE source {case} ELSE 0.0 END AS budget,
+         md5(':' || CAST(doc_id AS VARCHAR)) AS ord
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, source, n_tokens, budget,
+         coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY ord, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM scored
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum_before AS BIGINT) AS cum_before
+FROM cum WHERE cum_before < budget
+ORDER BY doc_id
+"""
+
+
+SQL_DOMAIN_MIX = _domain_mix_oracle_sql()
+
+
+def q_semdedup(spark, sf):
+    """SemDeDup (Abbas et al. 2023; operators/similarity.py::semantic_dedup):
+    k-means clusters (k=8, 2 Lloyd rounds, the same engine-replayable
+    recipe as q_kmeans), then WITHIN-cluster cosine pairs ≥ 0.3 drop all
+    but the smallest id of each similar group. The oracle replays the
+    identical k-means rounds via CTEs, then the pair join."""
+    from stackstac_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf, "embeddings")
+    return semantic_dedup(emb, k=8, iters=2, threshold=0.3).orderBy("vec_id")
+
+
+def _semdedup_oracle_sql(threshold: float = 0.3, dim: int = 64) -> str:
+    ctes, _prev = _kmeans_assign_ctes(k=8, iters=2, dim=dim)
+    body = "\n".join(["WITH " + ctes[0], *ctes[1:]])
+    return f"""{body}
+pairs AS (
+  SELECT a.vec_id AS ida
+  FROM afinal a JOIN afinal b ON a.c = b.c AND a.vec_id > b.vec_id
+  JOIN emb ea ON ea.vec_id = a.vec_id
+  JOIN emb eb ON eb.vec_id = b.vec_id
+  WHERE round(
+          list_sum(list_transform(generate_series(1, {dim}), i -> ea.v[i] * eb.v[i]))
+          / (sqrt(list_sum(list_transform(ea.v, x -> x * x)))
+             * sqrt(list_sum(list_transform(eb.v, x -> x * x)))), 6) >= {threshold!r}
+),
+dropped AS (SELECT DISTINCT ida AS vec_id FROM pairs)
+SELECT a.vec_id, CAST(a.c AS INT) AS cluster, (d.vec_id IS NULL) AS is_kept
+FROM afinal a LEFT JOIN dropped d USING (vec_id)
+ORDER BY a.vec_id
+"""
+
+
+SQL_SEMDEDUP = _semdedup_oracle_sql()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- raster engine (driver-unchecked in r01; front of the window now) ---
     "raster_mosaic": (q_raster_mosaic, SQL_RASTER_MOSAIC),
@@ -3206,10 +3380,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pivot_ndvi": (q_pivot_ndvi, SQL_PIVOT_NDVI),
     "reduce_dims": (q_reduce_dims, SQL_REDUCE_DIMS),
     "percentile_range": (q_percentile_range, SQL_PERCENTILE_RANGE),
-    "sort_items": (q_sort_items, SQL_SORT_ITEMS),
-    "snapped_bounds": (q_snapped_bounds, SQL_SNAPPED_BOUNDS),
-    "tile_grid_overlap": (q_tile_grid_overlap, SQL_TILE_GRID_OVERLAP),
-    "metadata_allsame": (q_metadata_allsame, SQL_METADATA_ALLSAME),
     # --- LLM-pipeline: dedup / text / similarity (green in r01) ---
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIG),
@@ -3238,6 +3408,11 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "kmeans": (q_kmeans, SQL_KMEANS),
     "int8_quant": (q_int8_quant, SQL_INT8_QUANT),
+    # --- r4 wave 2: corpus-level dedup / mixing / semantic dedup ---
+    "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
+    "cdc_chunks": (q_cdc_chunks, SQL_CDC_CHUNKS),
+    "domain_mix": (q_domain_mix, SQL_DOMAIN_MIX),
+    "semdedup": (q_semdedup, SQL_SEMDEDUP),
     # --- events / streaming analogues / misc relational (green in r01) ---
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "tumbling_hourly": (q_tumbling_hourly, SQL_TUMBLING),
@@ -3248,6 +3423,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ---- round (r01-r03) and is hash-re-checked in CI by
     # ---- tests/test_past_window_mirror.py; the 50-entry graded window above
     # ---- holds every operator the driver has not yet graded ----
+    "sort_items": (q_sort_items, SQL_SORT_ITEMS),
+    "snapped_bounds": (q_snapped_bounds, SQL_SNAPPED_BOUNDS),
+    "tile_grid_overlap": (q_tile_grid_overlap, SQL_TILE_GRID_OVERLAP),
+    "metadata_allsame": (q_metadata_allsame, SQL_METADATA_ALLSAME),
     "lsh_buckets": (q_lsh_buckets, SQL_LSH_BUCKETS),
     "cosine_neardup": (q_cosine_neardup, SQL_COSINE_NEARDUP),
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),

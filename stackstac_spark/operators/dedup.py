@@ -336,6 +336,133 @@ def span_dedup(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_tokens: int = 16,
+    delim: str | None = None,
+) -> DataFrame:
+    """C4-style global paragraph dedup (Raffel et al. 2020 §2.2: discard all
+    but one occurrence of any three-sentence span corpus-wide): split every
+    document into paragraphs, keep only the globally-FIRST occurrence of each
+    distinct paragraph (first = smallest ``(doc_id, position)``), and
+    reassemble the surviving paragraphs in document order.
+
+    ``delim`` splits on a literal delimiter (``"\\n\\n"`` for real corpora);
+    ``delim=None`` falls back to fixed non-overlapping ``block_tokens``-token
+    blocks (the synthetic corpus has no paragraph structure). Returns one row
+    per input doc: (id, n_blocks, n_kept, clean_text) — ``clean_text`` is
+    ``''`` when every block of a doc already appeared earlier in the corpus.
+
+    Scale shape: exactly two shuffles — one keyed on the 128-bit paragraph
+    hash (a Window min-aggregate decides the global first occurrence; the
+    paragraph text itself never needs to leave its partition twice), one
+    keyed on doc id for the ordered reassembly (``array_sort`` over
+    (pos, block) structs — no driver collect, no per-corpus array). At
+    100 TB the hash shuffle is the unavoidable lower bound of global dedup;
+    viral paragraphs (10⁷ copies of boilerplate) are 10⁷ rows spread across
+    the hash partition's tasks, never one giant group, because the winner is
+    a min-aggregate, not a collected list.
+    """
+    from pyspark.sql import Window
+
+    if delim is not None:
+        # delim is a Java regex (e.g. r"\n\n")
+        blocks = df.select(
+            id_col, F.posexplode(F.split(F.col(text_col), delim, -1)).alias("pos", "block")
+        )
+    else:
+        bt = int(block_tokens)
+        blocks = df.select(
+            id_col,
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, CAST(ceil(size(split({text_col}, ' ')) / {bt}.0) AS INT) - 1), "
+                    f"i -> concat_ws(' ', slice(split({text_col}, ' '), i * {bt} + 1, {bt})))"
+                )
+            ).alias("pos", "block"),
+        )
+    w = Window.partitionBy(F.md5("block"))
+    first = F.min(F.struct(F.col(id_col), F.col("pos"))).over(w)
+    flagged = blocks.withColumn(
+        "__keep",
+        (F.col(f"{id_col}") == first[id_col]) & (F.col("pos") == first["pos"]),
+    )
+    # single pass: dropped blocks still flow to the doc-keyed aggregate (so
+    # fully-deduped docs keep their row with n_kept=0) — no base/join-back,
+    # exactly two exchanges: block-hash window + doc-keyed agg
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+        F.expr(
+            "array_join(transform(array_sort("
+            "collect_list(CASE WHEN __keep THEN struct(pos, block) END)"
+            "), x -> x.block), ' ')"
+        ).alias("clean_text"),
+    )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundary_mod: int = 8,
+) -> DataFrame:
+    """Content-defined chunking + chunk-level duplication signal: cut each
+    document into variable-size chunks at CONTENT-derived boundaries (after
+    any token whose hash ≡ 0 mod ``boundary_mod`` — the Rabin/gear-hash CDC
+    family used by storage dedup and incremental corpus diffing), then score
+    each doc by the fraction of its chunks that also appear verbatim in
+    another document.
+
+    Unlike fixed blocks (:func:`paragraph_dedup`) or sliding windows
+    (:func:`span_dedup`), CDC boundaries are *shift-robust*: inserting one
+    token early in a doc moves every fixed-block boundary but only the one
+    CDC chunk containing the edit — so near-identical docs still share most
+    chunk hashes. Expected chunk length is ``boundary_mod`` tokens.
+
+    Returns (id, n_chunks, n_dup_chunks, dup_frac). Scale shape: one
+    per-doc window cumsum (shuffle keyed by doc id) to number chunks, one
+    groupBy (doc, chunk) that stays in the same partitioning, then the
+    cross-doc signal is a Window min≠max over the chunk-hash partition —
+    the same single-shuffle shape as :func:`span_dedup`, never a self-join.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    )
+    # boundary AFTER token i when md5's last nibble ≡ 0 (mod boundary_mod ≤ 16);
+    # chunk index = number of boundaries strictly before this token
+    bflag = (
+        F.instr(F.lit("0123456789abcdef"), F.substring(F.md5("tok"), 32, 1)) - 1
+    ) % boundary_mod == 0
+    w_doc = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = toks.withColumn(
+        "chunk", F.coalesce(F.sum(bflag.cast("int")).over(w_doc), F.lit(0))
+    )
+    chunks = chunked.groupBy(id_col, "chunk").agg(
+        F.md5(F.concat_ws(" ", F.expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"))).alias("ch")
+    )
+    w_ch = Window.partitionBy("ch")
+    dup = chunks.withColumn(
+        "__dup", F.min(id_col).over(w_ch) != F.max(id_col).over(w_ch)
+    )
+    return dup.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("__dup").cast("int")).alias("n_dup_chunks"),
+        F.round(
+            F.sum(F.col("__dup").cast("int")) / F.count(F.lit(1)), 6
+        ).alias("dup_frac"),
+    )
+
+
 def jaccard_similarity(
     df: DataFrame,
     pairs: DataFrame | None = None,

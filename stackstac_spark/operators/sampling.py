@@ -54,6 +54,67 @@ def stratified_topk(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    total_tokens: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    token_count_col: str | None = None,
+    text_col: str = "text",
+    salt: str = "",
+) -> DataFrame:
+    """Token-budgeted domain mixture sampling — the "data mixing" step of a
+    pretraining pipeline (The Pile's per-source weights; DoReMi's reweighted
+    sampling): given target ``weights`` per domain and a ``total_tokens``
+    budget, keep documents domain-by-domain in deterministic hash order
+    until each domain's token budget ``total_tokens * w_d / Σw`` is filled.
+
+    A doc is kept iff the cumulative token count of the docs *before* it
+    (in md5 order within its domain) is still under the domain budget — so
+    every domain overshoots by at most one document, and the selection is a
+    pure function of (salt, ids): reproducible and engine-replayable.
+    Domains absent from ``weights`` get weight 0 (dropped entirely).
+
+    Returns kept rows as (id, domain, n_tokens, cum_before). Scale shape:
+    one window per domain (shuffle keyed by domain; skew note — a domain
+    holding half the corpus makes one partition hot, so at 100 TB either
+    pre-aggregate per (domain, hash-prefix) or split hot domains into
+    salted sub-windows and merge budgets). No joins, no driver state: the
+    per-domain budget is a literal CASE expression.
+    """
+    if total_tokens < 0:
+        raise ValueError(f"total_tokens must be non-negative, got {total_tokens}")
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive value")
+    # per-domain budget as one CASE chain over the (small) weights dict —
+    # a literal expression, not a join; realistic pipelines have O(10²) domains
+    budget = F.lit(0.0)
+    for d, wt in sorted(weights.items()):
+        budget = F.when(
+            F.col(domain_col) == d, F.lit(float(total_tokens) * float(wt) / wsum)
+        ).otherwise(budget)
+    n_tokens = (
+        F.col(token_count_col)
+        if token_count_col
+        else F.size(F.split(F.col(text_col), " "))
+    )
+    order = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(order, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = df.select(
+        F.col(id_col),
+        F.col(domain_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        budget.alias("__budget"),
+    ).withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return scored.filter(F.col("cum_before") < F.col("__budget")).drop("__budget")
+
+
 def importance_sample(
     df: DataFrame,
     weight_col: str,

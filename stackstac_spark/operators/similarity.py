@@ -363,3 +363,62 @@ def quantize_embeddings(
             ).alias("rel_err"),
         )
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cos_round: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-level
+    semantic deduplication — cluster the corpus with k-means, compare pairs
+    ONLY within a cluster, and drop all but one of any group of
+    semantically-identical items (pairwise cosine ≥ ``threshold``).
+
+    Keep policy: an item is dropped iff a SMALLER-id item in its cluster is
+    within the threshold (the paper keeps the item farthest from the
+    centroid; any one-per-group policy is admissible — smallest-id is
+    deterministic and join-shaped, so the decision is a semi-join instead
+    of a per-group argmax). Cosines are rounded to ``cos_round`` before the
+    comparison so a replay on another engine can't flip a borderline pair.
+
+    Returns (id, cluster, is_kept) for every input row. Scale shape: the
+    k-means is :func:`kmeans_fit` (per-round: one scan + one k×dim agg);
+    the pair stage is a self-equi-join ON THE CLUSTER KEY — cost
+    Σ|cluster|², the paper's own trade (k controls the quadratic bound;
+    at 100 TB pick k so clusters are ~10⁵ rows), never corpus-wide O(n²).
+    The drop decision is one aggregate over the pair list per id — no
+    connected components needed because "similar to ANY smaller id" is
+    already a deterministic canonical choice.
+    """
+    assigned, _cents = kmeans_fit(
+        emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    side = assigned.select(
+        F.col(id_col).alias("__id"), F.col("cluster"), F.col(vec_col).alias("__v")
+    )
+    a, b = side.alias("a"), side.alias("b")
+    cos = F.round(
+        _dot("a.__v", "b.__v") / (_norm("a.__v") * _norm("b.__v")), cos_round
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("a.__id") > F.col("b.__id"))
+        .withColumn("__cos", cos)
+        .filter(F.col("__cos") >= float(threshold))
+        .select(F.col("a.__id").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.select(id_col, "cluster")
+        .join(dropped.withColumn("__drop", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("is_kept"),
+        )
+    )

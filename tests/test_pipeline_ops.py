@@ -809,3 +809,106 @@ def test_importance_sample_deterministic_and_bounded(spark):
     assert ids3 != ids
     with pytest.raises(ValueError, match="rate"):
         importance_sample(df, "w", rate=-1)
+
+
+def test_paragraph_dedup_global_first_occurrence(spark):
+    from stackstac_spark.operators.dedup import paragraph_dedup
+
+    # 4-token blocks; doc 1 repeats doc 0's first block, doc 2 repeats its
+    # own block (intra-doc dup), doc 3 is unique, doc 4 is fully duplicated
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h"),          # blocks: [a b c d] [e f g h]
+            (1, "a b c d x y z w"),          # first block dropped
+            (2, "p q r s p q r s"),          # second copy of own block dropped
+            (3, "unique words only here"),
+            (4, "a b c d"),                  # entirely dropped
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r for r in paragraph_dedup(df, block_tokens=4).collect()}
+    assert out[0].n_blocks == 2 and out[0].n_kept == 2
+    assert out[0].clean_text == "a b c d e f g h"
+    assert out[1].n_kept == 1 and out[1].clean_text == "x y z w"
+    assert out[2].n_kept == 1 and out[2].clean_text == "p q r s"
+    assert out[3].n_kept == 1
+    assert out[4].n_kept == 0 and out[4].clean_text == ""
+    # tail blocks shorter than block_tokens survive as their own unit
+    df2 = spark.createDataFrame([(0, "a b c d e")], "doc_id LONG, text STRING")
+    r = paragraph_dedup(df2, block_tokens=4).collect()[0]
+    assert r.n_blocks == 2 and r.clean_text == "a b c d e"
+
+
+def test_paragraph_dedup_delim_mode(spark):
+    from stackstac_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(0, "para one\n\npara two"), (1, "para one\n\npara three")],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r for r in paragraph_dedup(df, delim=r"\n\n").collect()}
+    assert out[0].clean_text == "para one para two"
+    assert out[1].n_kept == 1 and out[1].clean_text == "para three"
+
+
+def test_cdc_chunks_shift_robust(spark):
+    from stackstac_spark.operators.dedup import cdc_chunks
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    shifted = "PREFIX " + base  # one token inserted at the front
+    df = spark.createDataFrame(
+        [(0, base.strip()), (1, shifted.strip()), (2, "totally different words")],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r for r in cdc_chunks(df, boundary_mod=4).collect()}
+    # content-defined boundaries realign after the insertion: most of doc 0's
+    # chunks reappear verbatim in doc 1, so both score high dup fractions
+    assert out[0].dup_frac > 0.5
+    assert out[1].dup_frac > 0.5
+    assert out[2].n_dup_chunks == 0
+    # sanity: chunk counts are positive and bounded by token counts
+    assert 0 < out[0].n_chunks <= len(base.split())
+
+
+def test_mixture_sample_budgets_and_determinism(spark):
+    from stackstac_spark.operators.sampling import mixture_sample
+
+    rows = [(i, f"d{i % 3}", "tok " * 10) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING, text STRING")
+    # ~11 tokens/doc ("tok"*10 split -> 10 toks + trailing ''), budget 100 per
+    # domain except d2 (weight 0 -> dropped)
+    out = mixture_sample(df, {"d0": 1.0, "d1": 1.0}, total_tokens=200)
+    rows_out = out.collect()
+    assert {r.source for r in rows_out} == {"d0", "d1"}
+    # every kept doc had cum_before under its 100-token budget; each domain
+    # overshoots by at most one doc
+    per = {}
+    for r in rows_out:
+        per.setdefault(r.source, []).append(r)
+    for d, rs in per.items():
+        assert all(r.cum_before < 100 for r in rs)
+        assert sum(r.n_tokens for r in rs) < 100 + max(r.n_tokens for r in rs) + 1
+    # pure function of (salt, ids): identical second run
+    again = sorted((r.doc_id for r in out.collect()))
+    assert again == sorted(r.doc_id for r in rows_out)
+    with pytest.raises(ValueError):
+        mixture_sample(df, {}, total_tokens=100)
+
+
+def test_semantic_dedup_drops_within_cluster_only(spark):
+    from stackstac_spark.operators.similarity import semantic_dedup
+
+    # two tight blobs; identical-direction vectors inside each blob
+    rows = []
+    for i in range(4):
+        rows.append((i, [1.0 + 0.001 * i, 0.0, 0.0, 0.0]))          # blob A
+    for i in range(4, 8):
+        rows.append((i, [0.0, 1.0 + 0.001 * i, 0.0, 0.0]))          # blob B
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    out = {r.vec_id: r for r in semantic_dedup(df, k=2, iters=2, threshold=0.999).collect()}
+    # every blob keeps exactly its smallest id
+    kept = sorted(i for i, r in out.items() if r.is_kept)
+    assert kept == [0, 4]
+    # cluster labels are consistent within blob
+    assert len({out[i].cluster for i in range(4)}) == 1
+    assert len({out[i].cluster for i in range(4, 8)}) == 1

@@ -263,3 +263,35 @@ def test_pack_sequences_single_shard_shuffle(spark, entry):
     assert len(re.findall(r"Exchange hashpartitioning\(shard", plan)) == 1, plan
     assert plan.count("Window") == 1
     assert "Join" not in plan
+
+
+def test_paragraph_dedup_two_exchanges_no_join(spark, entry):
+    # single-pass shape: block-hash window + doc-keyed conditional aggregate;
+    # a base/join-back formulation would show 3-4 exchanges and a Join node
+    plan = _plan(entry.q_paragraph_dedup(spark, SF))
+    assert plan.count("Exchange") <= 3  # window + agg + final orderBy range
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_mixture_sample_one_exchange_no_join(spark):
+    from stackstac_spark.operators.sampling import mixture_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(mixture_sample(docs, {"src0": 1.0, "src1": 2.0}, 1000))
+    # one window shuffle keyed by domain; budgets are a literal CASE, never a join
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_semdedup_pair_join_is_cluster_keyed(spark):
+    from stackstac_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(semantic_dedup(emb, k=4, iters=1, threshold=0.5))
+    # the pair stage must be an equi-join on the cluster key (cost bounded by
+    # sum of squared cluster sizes), never a cartesian/broadcast-nested-loop
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan
