@@ -912,3 +912,42 @@ def test_semantic_dedup_drops_within_cluster_only(spark):
     # cluster labels are consistent within blob
     assert len({out[i].cluster for i in range(4)}) == 1
     assert len({out[i].cluster for i in range(4, 8)}) == 1
+
+
+def test_corpus_clean_all_reasons(spark):
+    from stackstac_spark.operators.pipeline import corpus_clean
+
+    long_diverse = " ".join(f"w{i}" for i in range(30))          # kept
+    repetitive = "dup " * 29 + "dup"                             # low diversity
+    contaminated = " ".join(f"bench{i}" for i in range(30))      # matches probe
+    corpus = spark.createDataFrame(
+        [
+            (0, long_diverse),
+            (1, long_diverse),        # exact dup of 0 -> dropped
+            (2, "too short"),
+            (3, repetitive),
+            (4, contaminated),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    probe = spark.createDataFrame([(100, contaminated)], "doc_id LONG, text STRING")
+    out = {
+        r.doc_id: r
+        for r in corpus_clean(
+            corpus, probe, min_tokens=5, min_diversity=0.3, contamination_max=0.5
+        ).collect()
+    }
+    assert len(out) == 5  # one verdict row per input doc
+    assert out[0].reason == "kept" and out[0].keep
+    assert out[1].reason == "exact_dup" and not out[1].keep
+    assert out[2].reason == "too_short"
+    assert out[3].reason == "low_diversity"
+    assert out[4].reason == "contaminated" and out[4].contamination == 1.0
+    # no probe -> contamination stage disabled, doc 4 survives
+    out2 = {
+        r.doc_id: r
+        for r in corpus_clean(
+            corpus, None, min_tokens=5, min_diversity=0.3
+        ).collect()
+    }
+    assert out2[4].reason == "kept" and out2[4].contamination == 0.0
