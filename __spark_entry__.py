@@ -1552,7 +1552,9 @@ def q_kmeans(spark, sf):
     )
 
 
-def _kmeans_assign_ctes(k: int = 8, iters: int = 2, dim: int = 64) -> tuple[list[str], str]:
+def _kmeans_assign_ctes(
+    k: int = 8, iters: int = 2, dim: int = 64, prefix: str = "", vec_expr: str = "embedding"
+) -> tuple[list[str], str]:
     """Shared Lloyd's-replay CTE chain (used by the kmeans AND semdedup
     oracles): seeds = vectors of the k smallest ids (coords rounded 6); each
     round assigns by argmin of round(d², 6) with min-cluster tie-break, then
@@ -1560,20 +1562,21 @@ def _kmeans_assign_ctes(k: int = 8, iters: int = 2, dim: int = 64) -> tuple[list
     previous centroid); ``afinal`` holds the final (vec_id, c) assignment.
     Returns (cte_lines_without_WITH, final_centroid_cte_name). Matches
     kmeans_fit(d2_round=6, cent_round=6)."""
+    p = prefix
     parts = [
-        "emb AS (",
-        "  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v",
+        f"{p}emb AS (",
+        f"  SELECT vec_id, list_transform({vec_expr}, x -> CAST(x AS DOUBLE)) AS v",
         "  FROM embeddings",
         "),",
-        "c0 AS (",
+        f"{p}c0 AS (",
         "  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,",
         "         list_transform(v, x -> round(x, 6)) AS cv",
-        f"  FROM emb ORDER BY vec_id LIMIT {k}",
+        f"  FROM {p}emb ORDER BY vec_id LIMIT {k}",
         "),",
     ]
-    prev = "c0"
+    prev = f"{p}c0"
     for it in range(iters):
-        a, upd, nxt = f"a{it}", f"u{it}", f"c{it + 1}"
+        a, upd, nxt = f"{p}a{it}", f"{p}u{it}", f"{p}c{it + 1}"
         parts += [
             f"{a} AS (",
             "  SELECT vec_id, c FROM (",
@@ -1581,13 +1584,13 @@ def _kmeans_assign_ctes(k: int = 8, iters: int = 2, dim: int = 64) -> tuple[list
             "      PARTITION BY e.vec_id ORDER BY round(list_sum(list_transform(",
             f"        generate_series(1, {dim}),",
             "        i -> (e.v[i] - s.cv[i]) * (e.v[i] - s.cv[i]))), 6), s.c) AS rn",
-            f"    FROM emb e CROSS JOIN {prev} s",
+            f"    FROM {p}emb e CROSS JOIN {prev} s",
             "  ) WHERE rn = 1",
             "),",
             f"{upd} AS (",
             "  SELECT a.c, list(round(av, 6) ORDER BY pos) AS cv FROM (",
             "    SELECT a.c AS c, i.i AS pos, avg(e.v[i.i]) AS av",
-            f"    FROM {a} a JOIN emb e USING (vec_id)",
+            f"    FROM {a} a JOIN {p}emb e USING (vec_id)",
             f"    CROSS JOIN generate_series(1, {dim}) i(i)",
             "    GROUP BY a.c, i.i",
             "  ) a GROUP BY a.c",
@@ -1598,7 +1601,7 @@ def _kmeans_assign_ctes(k: int = 8, iters: int = 2, dim: int = 64) -> tuple[list
             "),",
         ]
         prev = nxt
-    final_a = "afinal"
+    final_a = f"{p}afinal"
     parts += [
         f"{final_a} AS (",
         "  SELECT vec_id, c FROM (",
@@ -1606,7 +1609,7 @@ def _kmeans_assign_ctes(k: int = 8, iters: int = 2, dim: int = 64) -> tuple[list
         "      PARTITION BY e.vec_id ORDER BY round(list_sum(list_transform(",
         f"        generate_series(1, {dim}),",
         "        i -> (e.v[i] - s.cv[i]) * (e.v[i] - s.cv[i]))), 6), s.c) AS rn",
-        f"    FROM emb e CROSS JOIN {prev} s",
+        f"    FROM {p}emb e CROSS JOIN {prev} s",
         "  ) WHERE rn = 1",
         "),",
     ]
@@ -3419,6 +3422,80 @@ FROM verdict ORDER BY doc_id
 """
 
 
+def q_pq_topk(spark, sf):
+    """Product quantization end-to-end (Jégou et al. 2011; operators/
+    similarity.py::pq_fit/pq_encode/pq_adc_topk): m=4 subspace codebooks
+    (k=8, 1 Lloyd round each — the same engine-replayable recipe as
+    q_kmeans per subspace), corpus compressed to 4 codes/vector, then
+    asymmetric-distance top-10 for 4 queries. The oracle replays all four
+    sub-quantizer fits, the encode argmin, and the ADC ranking in SQL."""
+    from stackstac_spark.operators.similarity import pq_adc_topk, pq_encode, pq_fit
+
+    emb = _t(spark, sf, "embeddings")
+    books = pq_fit(emb, m=4, k=8, iters=1)
+    enc = pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") < 4)
+    return pq_adc_topk(enc, books, queries, k=10).orderBy("query_id", "rank")
+
+
+def _pq_oracle_sql(
+    m: int = 4, k: int = 8, iters: int = 1, dim: int = 64, n_queries: int = 4, topk: int = 10
+) -> str:
+    """Replay pq_fit (m independent Lloyd chains on dimension slices),
+    pq_encode (per-subspace argmin = each chain's afinal), and pq_adc_topk
+    (sum of per-subspace ||q_sub - codeword||², rounded 6, ranked with
+    neighbor-id tie-break)."""
+    sub = dim // m
+    ctes: list[str] = []
+    finals: list[str] = []  # per-subspace final-centroid CTE names
+    for j in range(m):
+        c, prev = _kmeans_assign_ctes(
+            k, iters, sub, prefix=f"s{j}_",
+            vec_expr=f"embedding[{j * sub + 1}:{(j + 1) * sub}]",
+        )
+        ctes += c
+        finals.append(prev)
+    ctes += [
+        "fullemb AS (",
+        "  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v",
+        "  FROM embeddings",
+        "),",
+    ]
+    dist_terms = " + ".join(
+        f"list_sum(list_transform(generate_series(1, {sub}), "
+        f"i -> (q.v[{j * sub} + i] - cb{j}.cv[i]) * (q.v[{j * sub} + i] - cb{j}.cv[i])))"
+        for j in range(m)
+    )
+    joins = "\n".join(
+        f"  JOIN s{j}_afinal a{j} ON a{j}.vec_id = n.vec_id\n"
+        f"  JOIN {finals[j]} cb{j} ON cb{j}.c = a{j}.c"
+        for j in range(m)
+    )
+    body = "WITH " + ctes[0] + "\n" + "\n".join(ctes[1:])
+    return f"""{body}
+dists AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         round({dist_terms}, 6) AS adc_dist
+  FROM fullemb q
+  CROSS JOIN fullemb n
+{joins}
+  WHERE q.vec_id < {n_queries} AND n.vec_id != q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adc_dist,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY adc_dist, neighbor_id) AS INT) AS rank
+  FROM dists
+)
+SELECT query_id, neighbor_id, adc_dist, rank
+FROM ranked WHERE rank <= {topk}
+ORDER BY query_id, rank
+"""
+
+
+SQL_PQ_TOPK = _pq_oracle_sql()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- raster engine (driver-unchecked in r01; front of the window now) ---
     "raster_mosaic": (q_raster_mosaic, SQL_RASTER_MOSAIC),
@@ -3440,7 +3517,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "resample_quarterly": (q_resample_quarterly, SQL_RESAMPLE_QUARTERLY),
     "metadata_filter": (q_metadata_filter, SQL_METADATA_FILTER),
     "pivot_ndvi": (q_pivot_ndvi, SQL_PIVOT_NDVI),
-    "reduce_dims": (q_reduce_dims, SQL_REDUCE_DIMS),
     # --- LLM-pipeline: dedup / text / similarity (green in r01) ---
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIG),
@@ -3475,6 +3551,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "domain_mix": (q_domain_mix, SQL_DOMAIN_MIX),
     "semdedup": (q_semdedup, SQL_SEMDEDUP),
     "corpus_clean": (q_corpus_clean, SQL_CORPUS_CLEAN),
+    "pq_topk": (q_pq_topk, SQL_PQ_TOPK),
     # --- events / streaming analogues / misc relational (green in r01) ---
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "tumbling_hourly": (q_tumbling_hourly, SQL_TUMBLING),
@@ -3485,6 +3562,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ---- round (r01-r03) and is hash-re-checked in CI by
     # ---- tests/test_past_window_mirror.py; the 50-entry graded window above
     # ---- holds every operator the driver has not yet graded ----
+    "reduce_dims": (q_reduce_dims, SQL_REDUCE_DIMS),
     "percentile_range": (q_percentile_range, SQL_PERCENTILE_RANGE),
     "sort_items": (q_sort_items, SQL_SORT_ITEMS),
     "snapped_bounds": (q_snapped_bounds, SQL_SNAPPED_BOUNDS),

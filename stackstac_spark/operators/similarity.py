@@ -422,3 +422,127 @@ def semantic_dedup(
             F.coalesce(~F.col("__drop"), F.lit(True)).alias("is_kept"),
         )
     )
+
+
+def pq_fit(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou et al. 2011, the PQ half of
+    FAISS's IVF-PQ): split the ``dim`` dimensions into ``m`` contiguous
+    subspaces and train an independent ``k``-centroid codebook per subspace
+    with the SAME engine-replayable Lloyd's recipe as :func:`kmeans_fit`
+    (smallest-id seeds, rounded d² and centroid updates) — so a SQL engine
+    can replay the entire fit bit-identically.
+
+    Returns ``codebooks[m][k][dim/m]``. Cost: m small k-means fits, each
+    per-round one corpus scan + a k×(dim/m) driver-collected agg — at 100 TB
+    you fit on a sample (pass ``corpus.sample(...)``); encode/search below
+    are the full-corpus paths.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"pq_fit: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        sliced = corpus.select(
+            F.col(id_col), F.expr(f"slice({vec_col}, {j * sub + 1}, {sub})").alias(vec_col)
+        )
+        _assigned, cents = kmeans_fit(sliced, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+        books.append(cents)
+    return books
+
+
+def _pq_books_sql(codebooks: list[list[list[float]]]) -> str:
+    return "array(" + ", ".join(
+        "array(" + ", ".join(
+            "array(" + ", ".join(f"{v!r}D" for v in cvec) + ")" for cvec in book
+        ) + ")"
+        for book in codebooks
+    ) + ")"
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    d2_round: int | None = 6,
+) -> DataFrame:
+    """(id, codes array<int>) — each vector compressed to m byte-ish codes
+    (32× smaller at m=8/dim=64): per subspace, the argmin codebook entry.
+
+    One scan, zero shuffles, no Python: the codebooks ship as a single
+    array<array<array<double>>> literal and each subspace's argmin is the
+    same O(1)-depth min-struct HOF as :func:`nearest_centroid_column` —
+    expression depth is constant in both m and k.
+    """
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    books = _pq_books_sql(codebooks)
+    d2 = (
+        f"aggregate(zip_with(slice({vec_col}, j * {sub} + 1, {sub}), c, "
+        f"(x, cc) -> (CAST(x AS DOUBLE) - cc) * (CAST(x AS DOUBLE) - cc)), "
+        f"0D, (acc, v) -> acc + v)"
+    )
+    if d2_round is not None:
+        d2 = f"round({d2}, {d2_round})"
+    # NB: bracket indexing on Spark SQL arrays is 0-based
+    codes = (
+        f"transform(sequence(0, {m - 1}), j -> "
+        f"array_min(transform({books}[j], (c, i) -> "
+        f"named_struct('d2', {d2}, 'idx', i))).idx)"
+    )
+    return corpus.select(F.col(id_col), F.expr(codes).cast("array<int>").alias("codes"))
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dist_round: int | None = 6,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: approximate
+    ``||q - v||² ≈ Σ_j ||q_j - codebook[j][codes[j]]||²`` — the query stays
+    exact, the corpus side is its code words. This is the search shape that
+    makes 10⁹-vector ANN fit in RAM (FAISS ADC).
+
+    Physical plan: queries broadcast (same driver-guard philosophy as
+    :func:`ivf_topk` — query sides are small by contract); the corpus scan
+    computes the ADC sum as one HOF expression over the codebook literal
+    (depth O(1) in m and k), then per-query top-k via the rank window
+    (WindowGroupLimit pushes the limit below the sort). The uncompressed
+    corpus vectors are never touched — at scale they live in cold storage.
+    """
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    books = _pq_books_sql(codebooks)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("qv"),
+    )
+    c = encoded.select(F.col(id_col).alias("neighbor_id"), "codes")
+    adc = (
+        f"aggregate(sequence(0, {m - 1}), 0D, (acc, j) -> acc + "
+        f"aggregate(zip_with(slice(qv, j * {sub} + 1, {sub}), "
+        f"{books}[j][codes[j]], "
+        f"(x, cc) -> (x - cc) * (x - cc)), 0D, (a2, v) -> a2 + v))"
+    )
+    dist = F.expr(adc)
+    if dist_round is not None:
+        dist = F.round(dist, dist_round)
+    sims = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", dist.alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -951,3 +951,41 @@ def test_corpus_clean_all_reasons(spark):
         ).collect()
     }
     assert out2[4].reason == "kept" and out2[4].contamination == 0.0
+
+
+def test_pq_matches_numpy_adc(spark):
+    from stackstac_spark.operators.similarity import pq_adc_topk, pq_encode, pq_fit
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    books = pq_fit(df, m=2, k=4, iters=2)
+    assert len(books) == 2 and len(books[0]) == 4 and len(books[0][0]) == 4
+    enc = {r.vec_id: r.codes for r in pq_encode(df, books).collect()}
+    assert all(0 <= c < 4 for codes in enc.values() for c in codes)
+
+    # numpy replication: float32-cast vectors (the stored dtype), same argmin
+    V = {i: np.array(v, dtype=np.float32).astype(float) for i, v in rows}
+    B = [np.array(b) for b in books]
+    def adc(q, cid):
+        c = enc[cid]
+        return round(sum(float(np.sum((q[j*4:(j+1)*4] - B[j][c[j]])**2)) for j in range(2)), 6)
+    top = pq_adc_topk(enc_df := pq_encode(df, books), books, df.filter("vec_id < 2"), k=5)
+    got = {(r.query_id, r.rank): r.neighbor_id for r in top.collect()}
+    for q in (0, 1):
+        want = [i for _, i in sorted((adc(V[q], i), i) for i in V if i != q)[:5]]
+        assert [got[(q, r)] for r in range(1, 6)] == want
+
+    with pytest.raises(ValueError):
+        pq_fit(df, m=3)  # 8 dims not divisible by 3
+
+
+def test_pq_encode_is_scan_only(spark):
+    from stackstac_spark.operators.similarity import pq_encode, pq_fit
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq_fit(emb, m=4, k=4, iters=1)
+    plan = pq_encode(emb, books)._jdf.queryExecution().executedPlan().toString()
+    # compression is a pure per-row expression: no shuffle, no Python worker
+    assert "Exchange" not in plan
+    assert "Python" not in plan
