@@ -3496,6 +3496,54 @@ ORDER BY query_id, rank
 SQL_PQ_TOPK = _pq_oracle_sql()
 
 
+def q_incremental_dedup(spark, sf):
+    """Incremental exact dedup against a persistent fingerprint store
+    (operators/dedup.py::incremental_dedup) — the daily-crawl-increment
+    shape: store = fingerprints of docs < 250; batch = full corpus plus
+    re-ingested clones (doc_id+10000 for doc_id % 7 == 0), exercising all
+    three statuses (dup_of_store / dup_in_batch / new)."""
+    from stackstac_spark.operators.dedup import incremental_dedup
+
+    docs = _t(spark, sf, "documents")
+    store = docs.filter(F.col("doc_id") < 250).select(
+        F.md5(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("fingerprint")
+    )
+    clones = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    batch = docs.select("doc_id", "text").union(clones)
+    return incremental_dedup(batch, store).orderBy("doc_id")
+
+
+SQL_INCREMENTAL_DEDUP = """
+WITH batch AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+),
+fps AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+  FROM batch
+),
+store AS (
+  SELECT DISTINCT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+  FROM documents WHERE doc_id < 250
+),
+w AS (
+  SELECT doc_id, fingerprint,
+         min(doc_id) OVER (PARTITION BY fingerprint) AS min_id
+  FROM fps
+)
+SELECT w.doc_id, w.fingerprint,
+       CASE WHEN s.fingerprint IS NOT NULL THEN 'dup_of_store'
+            WHEN w.doc_id != w.min_id THEN 'dup_in_batch'
+            ELSE 'new' END AS status
+FROM w LEFT JOIN store s USING (fingerprint)
+ORDER BY w.doc_id
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- raster engine (driver-unchecked in r01; front of the window now) ---
     "raster_mosaic": (q_raster_mosaic, SQL_RASTER_MOSAIC),
@@ -3516,7 +3564,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "resample_daily_median": (q_resample_daily_median, SQL_RESAMPLE_MEDIAN),
     "resample_quarterly": (q_resample_quarterly, SQL_RESAMPLE_QUARTERLY),
     "metadata_filter": (q_metadata_filter, SQL_METADATA_FILTER),
-    "pivot_ndvi": (q_pivot_ndvi, SQL_PIVOT_NDVI),
     # --- LLM-pipeline: dedup / text / similarity (green in r01) ---
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIG),
@@ -3552,6 +3599,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "semdedup": (q_semdedup, SQL_SEMDEDUP),
     "corpus_clean": (q_corpus_clean, SQL_CORPUS_CLEAN),
     "pq_topk": (q_pq_topk, SQL_PQ_TOPK),
+    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     # --- events / streaming analogues / misc relational (green in r01) ---
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "tumbling_hourly": (q_tumbling_hourly, SQL_TUMBLING),
@@ -3562,6 +3610,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ---- round (r01-r03) and is hash-re-checked in CI by
     # ---- tests/test_past_window_mirror.py; the 50-entry graded window above
     # ---- holds every operator the driver has not yet graded ----
+    "pivot_ndvi": (q_pivot_ndvi, SQL_PIVOT_NDVI),
     "reduce_dims": (q_reduce_dims, SQL_REDUCE_DIMS),
     "percentile_range": (q_percentile_range, SQL_PERCENTILE_RANGE),
     "sort_items": (q_sort_items, SQL_SORT_ITEMS),

@@ -601,3 +601,48 @@ def canonical_docs(
         "canonical_id",
         (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
     )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    store: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: bool = True,
+) -> DataFrame:
+    """Incremental exact dedup of a NEW batch against a persistent
+    fingerprint ``store`` — the shape of a daily crawl increment: the corpus
+    already ingested lives as a (bucketed) fingerprint table; each new batch
+    is checked against it AND against itself, never re-scanning the corpus.
+
+    Returns (id, fingerprint, status) for every batch row, with
+    ``status`` ∈ {'dup_of_store', 'dup_in_batch', 'new'} (store precedence:
+    a doc that matches the store is 'dup_of_store' even if also duplicated
+    within the batch; within-batch the smallest id is the 'new' one).
+    The 'new' rows' fingerprints are what the caller appends to the store.
+
+    Scale shape: one fingerprint-keyed window over the BATCH (small — one
+    increment) + one equi-join against the store on the fingerprint key.
+    With the store bucketed by fingerprint (``sources/sinks.py``) the join
+    is co-located and shuffle-free on the store side; at extreme scale put
+    a bloom filter of store fingerprints in front (the join then touches
+    only probable-duplicate rows) — the exact join stays as the confirm
+    step, so the result is still exact.
+    """
+    from pyspark.sql import Window
+
+    fp = _exact_fingerprint(text_col, normalize)
+    w = Window.partitionBy("fingerprint")
+    b = batch.select(F.col(id_col), fp.alias("fingerprint")).withColumn(
+        "__min_id", F.min(id_col).over(w)
+    )
+    seen = store.select("fingerprint").distinct().withColumn("__seen", F.lit(True))
+    status = (
+        F.when(F.col("__seen"), "dup_of_store")
+        .when(F.col(id_col) != F.col("__min_id"), "dup_in_batch")
+        .otherwise("new")
+    )
+    return (
+        b.join(seen, "fingerprint", "left")
+        .select(id_col, "fingerprint", status.alias("status"))
+    )

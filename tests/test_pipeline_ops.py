@@ -989,3 +989,30 @@ def test_pq_encode_is_scan_only(spark):
     # compression is a pure per-row expression: no shuffle, no Python worker
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_incremental_dedup_statuses(spark):
+    from stackstac_spark.operators.dedup import incremental_dedup
+
+    batch = spark.createDataFrame(
+        [
+            (10, "already in the store"),
+            (11, "fresh content one"),
+            (12, "fresh content two"),
+            (13, "fresh content two"),     # in-batch dup of 12
+            (14, "Already  in the STORE"), # store dup after normalize
+        ],
+        "doc_id LONG, text STRING",
+    )
+    from pyspark.sql import functions as F
+    store = spark.createDataFrame(
+        [("already in the store",)], "text STRING"
+    ).select(F.md5(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("fingerprint"))
+    out = {r.doc_id: r.status for r in incremental_dedup(batch, store).collect()}
+    assert out == {
+        10: "dup_of_store",
+        11: "new",
+        12: "new",
+        13: "dup_in_batch",
+        14: "dup_of_store",
+    }
