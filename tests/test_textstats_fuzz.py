@@ -162,3 +162,107 @@ def test_pack_sequences_matches_python(spark, lens, shards, cap):
     # packing is gap-free per shard: total tokens == final offset
     for shard in set(s for s, _, _ in rows):
         assert offsets[shard] == sum(ln for s, _, ln in rows if s == shard)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=corpus, bt=st.sampled_from([2, 4]))
+def test_paragraph_dedup_matches_python(spark, texts, bt):
+    from stackstac_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id LONG, text STRING")
+    got = {r.doc_id: r for r in paragraph_dedup(df, block_tokens=bt).collect()}
+
+    # python oracle: global first occurrence by (doc_id, pos)
+    blocks = {}  # (doc, pos) -> block
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        for p in range(0, math.ceil(len(toks) / bt)):
+            blocks[(i, p)] = " ".join(toks[p * bt : (p + 1) * bt])
+    first = {}
+    for (i, p), b in sorted(blocks.items()):
+        first.setdefault(b, (i, p))
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        nb = math.ceil(len(toks) / bt)
+        kept = [
+            blocks[(i, p)] for p in range(nb) if first[blocks[(i, p)]] == (i, p)
+        ]
+        assert got[i].n_blocks == nb
+        assert got[i].n_kept == len(kept)
+        assert got[i].clean_text == " ".join(kept)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=corpus, mod=st.sampled_from([2, 4, 8]))
+def test_cdc_chunks_matches_python(spark, texts, mod):
+    import hashlib
+
+    from stackstac_spark.operators.dedup import cdc_chunks
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id LONG, text STRING")
+    got = {r.doc_id: r for r in cdc_chunks(df, boundary_mod=mod).collect()}
+
+    def nib(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[31], 16)
+
+    chunks_by_doc = {}
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        chunks, cur = [], []
+        for tok in toks:
+            cur.append(tok)
+            if nib(tok) % mod == 0:
+                chunks.append(" ".join(cur)); cur = []
+        if cur:
+            chunks.append(" ".join(cur))
+        chunks_by_doc[i] = chunks
+    owners = {}
+    for i, cs in chunks_by_doc.items():
+        for c in cs:
+            owners.setdefault(c, set()).add(i)
+    for i, cs in chunks_by_doc.items():
+        dup = sum(1 for c in cs if len(owners[c]) > 1)
+        assert got[i].n_chunks == len(cs)
+        assert got[i].n_dup_chunks == dup
+        assert got[i].dup_frac == pytest.approx(round(dup / len(cs), 6), abs=1e-9)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(doc, min_size=1, max_size=10),
+    budget=st.sampled_from([0, 5, 20, 10**6]),
+)
+def test_mixture_sample_matches_python(spark, texts, budget):
+    import hashlib
+
+    from stackstac_spark.operators.sampling import mixture_sample
+
+    rows = [(i, f"d{i % 2}", t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING, text STRING")
+    weights = {"d0": 1.0, "d1": 3.0}
+    got = sorted(r.doc_id for r in mixture_sample(df, weights, budget).collect())
+
+    per = {"d0": [], "d1": []}
+    for i, d, t in rows:
+        per[d].append((hashlib.md5(f":{i}".encode()).hexdigest(), i, len(t.split(" "))))
+    want = []
+    for d, items in per.items():
+        b = budget * weights[d] / 4.0
+        cum = 0
+        for _, i, n in sorted(items):
+            if cum < b:
+                want.append(i)
+            cum += n
+    assert got == sorted(want)
