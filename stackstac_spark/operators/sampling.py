@@ -115,6 +115,51 @@ def mixture_sample(
     return scored.filter(F.col("cum_before") < F.col("__budget")).drop("__budget")
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Weighted sampling without replacement via the Efraimidis–Spirakis
+    A-ES scheme (Inf. Process. Lett. 97(5), 2006): each row draws a
+    deterministic uniform ``u`` from md5(salt:id) and gets the exponential
+    race key ``-ln(u) / w``; the ``k`` smallest keys are a weighted sample
+    without replacement. Keying on md5 makes the draw a pure function of
+    (salt, id) — reproducible and engine-replayable.
+
+    Scale shape: one column expression plus a global ``orderBy(...).limit(k)``,
+    which Spark executes as TakeOrderedAndProject — a per-partition top-k
+    heap merged on the driver, **no full sort, no shuffle**. At 100 TB each
+    task returns at most ``k`` rows; the driver merges P·k candidates. For
+    k beyond driver memory, swap the limit for a window-rank over a single
+    range-partitioned sort (documented tradeoff).
+
+    Rows with non-positive weight are dropped (zero weight ⇒ never sampled,
+    matching A-ES as w→0 since the key diverges).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / float(16**8)
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("sample_key", key)
+        .orderBy("sample_key", id_col)
+        .limit(k)
+    )
+
+
 def importance_sample(
     df: DataFrame,
     weight_col: str,

@@ -365,6 +365,75 @@ def quantize_embeddings(
     )
 
 
+def pca_power(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_iters: int = 8,
+    center: bool = True,
+) -> tuple[float, list[float], float, int]:
+    """Top principal component of an embedding column by distributed moment
+    aggregation + driver-side power iteration — the whitening / drift-check
+    step of an embedding pipeline (and the building block of PCA-based
+    dimensionality reduction à la latent semantic indexing).
+
+    Distributed part (the only part that sees data): each partition
+    computes its (count, Σx, XᵀX) in one numpy pass via ``mapInPandas``
+    — BLAS does the d×d Gram locally, and only ``numPartitions`` rows of
+    size O(d²) cross the wire. That is the exact partial/final shape MLlib
+    uses for ``RowMatrix.computeCovariance``; at 100 TB it is one scan, no
+    shuffle (a ≤P-row collect). Driver part: covariance from the moments,
+    then ``n_iters`` *unnormalized* power-iteration steps from the all-ones
+    vector — unnormalized on purpose: every operation is a fixed-order
+    polynomial in the input moments, so an external SQL engine can replay
+    it exactly (normalizing each step would still be replayable but costs
+    nothing to skip at these iteration counts; doubles hold λ^8 easily).
+
+    Returns ``(eigval, eigvec, explained_ratio, n)``: the Rayleigh-quotient
+    top eigenvalue, the L2-normalized eigenvector, eigval / trace(cov)
+    (fraction of variance explained), and the row count.
+    """
+    import pandas as pd
+
+    if n_iters <= 0:
+        raise ValueError(f"n_iters must be positive, got {n_iters}")
+
+    def partial(batches):
+        n, s, g = 0, None, None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            n += m.shape[0]
+            s = m.sum(0) if s is None else s + m.sum(0)
+            gg = m.T @ m
+            g = gg if g is None else g + gg
+        if n:
+            yield pd.DataFrame(
+                [(n, s.tolist(), g.reshape(-1).tolist())], columns=["n", "s", "g"]
+            )
+
+    parts = df.select(vec_col).mapInPandas(
+        partial, "n long, s array<double>, g array<double>"
+    ).collect()
+    if not parts:
+        raise ValueError("pca_power: empty input")
+    n = sum(p["n"] for p in parts)
+    s = np.sum([np.asarray(p["s"]) for p in parts], axis=0)
+    d = s.shape[0]
+    g = np.sum([np.asarray(p["g"]).reshape(d, d) for p in parts], axis=0)
+    mu = s / n
+    cov = g / n - (np.outer(mu, mu) if center else 0.0)
+    v = np.ones(d)
+    for _ in range(n_iters):
+        v = cov @ v
+    av = cov @ v
+    vv = float(v @ v)
+    eigval = float(v @ av) / vv if vv else 0.0
+    trace = float(np.trace(cov))
+    vec = (v / math.sqrt(vv)).tolist() if vv else [0.0] * d
+    return eigval, vec, (eigval / trace if trace else 0.0), int(n)
+
+
 def semantic_dedup(
     emb: DataFrame,
     k: int = 8,

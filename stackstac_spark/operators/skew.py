@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_join"]
+__all__ = ["salted_join", "grouped_topk"]
 
 _SALT = "_salt"
 
@@ -61,3 +61,56 @@ def salted_join(
         _SALT, F.explode(F.array([F.lit(i) for i in range(n_salts)]))
     )
     return salted_big.join(replicated, keys + [_SALT], how).drop(_SALT)
+
+
+def grouped_topk(
+    df: DataFrame,
+    group_cols: str | list[str],
+    order_col: str,
+    k: int,
+    ascending: bool = False,
+    tiebreak_col: str | None = None,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-safe per-group top-k: the "best K docs per domain" primitive.
+
+    The naive plan — one ``row_number`` window partitioned by group — sends
+    EVERY row of a group to one reduce task; a group holding half the corpus
+    makes the window stage a single-task straggler (Spark's WindowGroupLimit
+    pushdown trims *after* the shuffle, not before it). This runs two
+    phases instead:
+
+    1. local: window over ``(group, salt)`` with a deterministic salt from
+       the tiebreak column → each salt keeps its own top-k, so at most
+       ``n_salts · k`` rows per group survive — a map-heavy stage whose
+       reduce keys are ``n_salts×`` finer than the group;
+    2. final: the real window over ``group`` on the ≤ ``n_salts·k`` survivors.
+
+    This is the same partial/final shape Spark uses for ``TakeOrdered``,
+    applied per group. Output = input rows plus ``rank`` (1-based). Ordering
+    is total — (order_col, tiebreak) — so results are deterministic and
+    engine-replayable.
+    """
+    from pyspark.sql import Window
+
+    keys = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    tiebreak = tiebreak_col or order_col
+    direction = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    order = [direction, F.col(tiebreak).asc()]
+
+    salt = F.pmod(F.hash(F.col(tiebreak).cast("string")), F.lit(n_salts)).cast("int")
+    local_w = Window.partitionBy(*keys, "_salt").orderBy(*order)
+    survivors = (
+        df.withColumn("_salt", salt)
+        .withColumn("_lr", F.row_number().over(local_w))
+        .filter(F.col("_lr") <= k)
+        .drop("_lr")
+    )
+    final_w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        survivors.drop("_salt")
+        .withColumn("rank", F.row_number().over(final_w))
+        .filter(F.col("rank") <= k)
+    )

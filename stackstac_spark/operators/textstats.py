@@ -289,6 +289,65 @@ _PII_PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
+def normalize_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Canonical text normalization for dedup keys (the C4/Gopher cleanup
+    convention): lowercase → strip everything but ``[a-z0-9 ]`` → collapse
+    whitespace runs → trim. Emits the normalized text, its md5 (the usual
+    dedup key), and the post-normalization token count.
+
+    Pure column expressions (three regexp passes + md5), whole-stage
+    codegen'd, zero shuffles — at 100 TB this is a map-only stage that
+    fuses into whatever scan precedes it.
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return df.select(
+        id_col,
+        norm.alias("norm_text"),
+        F.md5(norm).alias("norm_key"),
+        F.when(norm == "", F.lit(0))
+        .otherwise(F.size(F.split(norm, " ")))
+        .alias("n_norm_tokens"),
+    )
+
+
+def quality_buckets(
+    df: DataFrame,
+    score_col: str,
+    n_buckets: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020 §4.3: head /
+    middle / tail by LM perplexity): rank all docs by ``score_col`` and
+    assign equal-count quantile buckets with ``ntile``.
+
+    Bucket 1 = best (lowest score — CCNet convention: lower perplexity is
+    better). One global window: this is the one operator here that is
+    intentionally a total order — CCNet's cutoffs are corpus-wide
+    quantiles. At 100 TB, swap the exact ntile for percentile_approx
+    cutoffs computed in one pass and a broadcast CASE (documented
+    tradeoff; the exact form stays here because it is the reference
+    semantics and the oracle target).
+    """
+    from pyspark.sql import Window
+
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    w = Window.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+    return df.select(
+        id_col,
+        F.col(score_col),
+        F.ntile(n_buckets).over(w).alias("bucket"),
+    )
+
+
 def pii_scrub(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """PII redaction: sequentially replace emails, IPv4 addresses, and
     phone-like digit runs with typed placeholders, counting matches per

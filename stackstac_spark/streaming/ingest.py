@@ -51,6 +51,42 @@ def windowed_item_counts(
     )
 
 
+def sliding_window_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sliding (hopping) window aggregation: each event lands in
+    ``window/slide`` overlapping windows (Spark materializes the expansion
+    with its internal ``window()`` generator — JVM-side, no UDF). The
+    canonical moving-rate / rolling-SLA monitor shape; with ``watermark``
+    set and a streaming input this runs incrementally with bounded state —
+    state per (key, open window), windows finalized ``watermark`` past
+    their end.
+
+    Works identically on batch DataFrames (the gate query path: DuckDB
+    replays the expansion as a cross join against the slide grid).
+    """
+    src = events.withWatermark(ts_col, watermark) if watermark else events
+    return (
+        src.groupBy(F.window(ts_col, window, slide).alias("w"), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 SESSION_OUT_SCHEMA = T.StructType(
     [
         T.StructField("collection", T.StringType()),
