@@ -103,11 +103,52 @@ def duplicate_mapping(
     )
 
 
+def _components_driver(edges: DataFrame) -> DataFrame:
+    """Driver union-find over a collected edge list — the small-graph
+    physical strategy (same dual-strategy pattern as ``operators/warp.py``'s
+    small-grid fastpath). Labels are identical to the distributed loop's:
+    each node gets the min id of its component."""
+    spark = edges.sparkSession
+    rows = edges.collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = r["src"], r["dst"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min so the representative IS the min label
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    out = sorted((n, find(n)) for n in parent)
+    node_type = edges.schema["src"].dataType
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("node", node_type), T.StructField("component", node_type)]
+    )
+    if not out:
+        return spark.createDataFrame([], schema)
+    from stackstac_spark.session import local_df
+
+    return local_df(spark, out, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """(node, component) labels over the near-duplicate pair graph — the
     clustering step that turns LSH candidate pairs into dedup groups
@@ -154,6 +195,16 @@ def connected_components(
     ).distinct()
     edges = edges.localCheckpoint()
     n_edges = edges.count()  # cheap: counts the checkpointed partitions
+
+    # Dual physical strategy (the operators/warp.py small-grid precedent):
+    # an LSH candidate graph is usually tiny relative to the corpus — the
+    # iterative loop's ~10 fixed-cost jobs/round dwarf the work. Below the
+    # threshold, collect the edges and run driver union-find (identical
+    # min-label output, one job + one LocalRelation). At 100 TB edge counts
+    # are billions and this branch never triggers; `driver_threshold=0`
+    # forces the distributed loop (the tests pin both paths).
+    if n_edges <= driver_threshold:
+        return _components_driver(edges)
 
     conf_key = "spark.sql.shuffle.partitions"
     default_parts = int(spark.conf.get(conf_key))

@@ -512,15 +512,22 @@ def test_connected_components_chain_and_clique(spark):
     edges += [(20, 21), (21, 22), (20, 22)]  # triangle
     edges += [(30, 31)]
     pairs = spark.createDataFrame(edges, "id_a LONG, id_b LONG")
-    got = {
-        r.node: r.component for r in connected_components(pairs).collect()
-    }
-    assert got == {
+    expect = {
         **{n: 10 for n in range(10, 16)},
         **{n: 20 for n in (20, 21, 22)},
         30: 30,
         31: 30,
     }
+    # distributed loop (driver_threshold=0) and driver union-find fastpath
+    # are alternate physical strategies for the same operator — both must
+    # produce the identical min-label components
+    got_loop = {
+        r.node: r.component
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
+    got_fast = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert got_loop == expect
+    assert got_fast == expect
 
 
 def test_connected_components_long_chain_converges_fast(spark):
@@ -531,9 +538,24 @@ def test_connected_components_long_chain_converges_fast(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(63)], "id_a LONG, id_b LONG"
     )
-    comps = connected_components(pairs, max_iter=10).collect()
+    comps = connected_components(pairs, max_iter=10, driver_threshold=0).collect()
     assert {r.component for r in comps} == {0}
     assert len(comps) == 64
+
+
+def test_connected_components_paths_agree_on_random_graph(spark):
+    """Fastpath vs distributed loop on a pseudo-random graph: identical
+    labelings (the fastpath is a physical strategy, not a semantic fork)."""
+    from stackstac_spark.operators.dedup import connected_components
+
+    edges = [((i * 37) % 150, (i * 91 + 13) % 150) for i in range(120)]
+    pairs = spark.createDataFrame(edges, "id_a LONG, id_b LONG")
+    fast = {r.node: r.component for r in connected_components(pairs).collect()}
+    loop = {
+        r.node: r.component
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert fast == loop and len(fast) > 0
 
 
 def test_hash_sample_deterministic_and_disjoint(spark, docs_df):
