@@ -3779,6 +3779,151 @@ FROM v6, stats WHERE v6.i < 8 ORDER BY component
 """
 
 
+def q_winnow_pairs(spark, sf):
+    """Winnowing near-dup candidates (operators/dedup.py::winnow_pairs —
+    the MOSS fingerprint scheme): k-gram hashes → sliding-window minima →
+    pairs sharing ≥2 fingerprints, with a document-frequency guard
+    (fp in > 50 docs dropped) standing in for boilerplate removal."""
+    from stackstac_spark.operators.dedup import winnow_pairs
+
+    docs = _t(spark, sf, "documents")
+    return winnow_pairs(docs, k=4, w=4, min_shared=2, max_df=50).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+SQL_WINNOW_PAIRS = """
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, u.i AS pos,
+         ('0x' || substring(md5(array_to_string(t[u.i+1:u.i+4], ' ')), 1, 8))::BIGINT AS h,
+         len(t) - 3 AS ng
+  FROM toks, unnest(generate_series(0, len(t) - 4)) u(i)
+  WHERE len(t) >= 7
+),
+wm AS (
+  SELECT doc_id, pos, ng,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM grams
+),
+fps AS (SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= ng - 4),
+kept AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50),
+ffps AS (SELECT f.doc_id, f.fp FROM fps f JOIN kept USING (fp))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+FROM ffps a JOIN ffps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY doc_a, doc_b HAVING count(*) >= 2 ORDER BY doc_a, doc_b
+"""
+
+
+def q_sorted_neighborhood(spark, sf):
+    """Sorted Neighborhood blocking (operators/dedup.py::
+    sorted_neighborhood_pairs): global (key, id) order via range
+    repartition + per-partition ranks + offsets, successors via a position
+    equi-join — never a single-partition window. Oracle is the naive
+    global row_number."""
+    from stackstac_spark.operators.dedup import sorted_neighborhood_pairs
+
+    docs = _t(spark, sf, "documents")
+    return sorted_neighborhood_pairs(docs, "n_chars", window=3).orderBy(
+        "id_a", "dist"
+    )
+
+
+SQL_SORTED_NEIGHBORHOOD = """
+WITH pos AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS p
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_chars AS key_a,
+       b.n_chars AS key_b, CAST(b.p - a.p AS INT) AS dist
+FROM pos a JOIN pos b ON b.p - a.p IN (1, 2)
+ORDER BY id_a, dist
+"""
+
+
+def q_interval_join(spark, sf):
+    """Event-time interval join (streaming/ingest.py::interval_join — the
+    stream-stream attribution shape, here on its batch-identical plan):
+    purchases within 2 h after a view by the same user, aggregated per
+    user. Hash equi-join on user_id with the interval as residual."""
+    from stackstac_spark.streaming.ingest import interval_join
+
+    ev = _events(spark, sf).withColumn("ts", F.timestamp_micros("ts_us"))
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("ts_us").alias("view_us")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("ts_us").alias("buy_us")
+    )
+    j = interval_join(
+        views, buys, on="user_id", lower="0 seconds", upper="2 hours"
+    )
+    return (
+        j.select("user_id", (F.col("buy_us") - F.col("view_us")).alias("gap"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("gap").alias("min_gap_us"),
+            F.sum("gap").alias("sum_gap_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_INTERVAL_JOIN = f"""
+WITH ev AS ({_DUCK_EV}),
+v AS (SELECT user_id, ts_us AS view_us FROM ev WHERE event_type = 'view'),
+p AS (SELECT user_id, ts_us AS buy_us FROM ev WHERE event_type = 'purchase'),
+j AS (
+  SELECT v.user_id, p.buy_us - v.view_us AS gap
+  FROM v JOIN p ON v.user_id = p.user_id
+   AND p.buy_us >= v.view_us AND p.buy_us <= v.view_us + 7200000000
+)
+SELECT user_id, count(*) AS n_pairs, min(gap) AS min_gap_us,
+       CAST(sum(gap) AS BIGINT) AS sum_gap_us
+FROM j GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_raster_ffill(spark, sf):
+    """Temporal forward-fill over the stack (operators/composite.py::
+    ffill_time — xarray's .ffill('time'), the cloud-gap-filling composite):
+    dense (pixel × time) output where each missing observation takes the
+    most recent earlier one; aggregated per (item, row) for a compact
+    hash. The oracle computes each cell's fill source in closed form (max
+    covering item ≤ t)."""
+    from stackstac_spark.operators.composite import ffill_time
+
+    st = _raster_stack(spark).sel_bands(["red"])
+    filled = ffill_time(st.pixels(), [0, 1, 2, 3])
+    return (
+        filled.groupBy("item_idx", "row")
+        .agg(
+            F.count("value").alias("n_filled"),
+            F.round(F.sum("value"), 6).alias("sum_filled"),
+        )
+        .orderBy("item_idx", "row")
+    )
+
+
+SQL_RASTER_FFILL = f"""
+WITH px AS ({_R_PX64}), it AS ({_R_ITEMS}),
+src AS (
+  SELECT p.row, p.col, t.item,
+         (SELECT max(i.item) FROM it i WHERE i.item <= t.item
+            AND p.row >= 8*i.item AND p.row < 8*i.item + 40
+            AND p.col >= 12*i.item AND p.col < 12*i.item + 40) AS s
+  FROM px p CROSS JOIN it t
+)
+SELECT item AS item_idx, row,
+       count(s) AS n_filled,
+       round(sum(s*1000 + row*0.001 + col*0.000001), 6) AS sum_filled
+FROM src GROUP BY item, row ORDER BY item_idx, row
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- raster engine (driver-unchecked in r01; front of the window now) ---
     "raster_mosaic": (q_raster_mosaic, SQL_RASTER_MOSAIC),
@@ -3787,12 +3932,11 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "raster_resample_nearest": (q_raster_resample_nearest, SQL_RASTER_RESAMPLE),
     "raster_resample_bilinear": (q_raster_resample_bilinear, SQL_RASTER_RESAMPLE_BILINEAR),
     "raster_xyz_png": (q_raster_xyz_png, SQL_RASTER_XYZ_PNG),
+    "raster_ffill": (q_raster_ffill, SQL_RASTER_FFILL),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     # --- relational operators unchecked in r01 ---
     "window_rank": (q_window_rank, SQL_WINDOW_RANK),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
-    "corr_stats": (q_corr_stats, SQL_CORR_STATS),
-    "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
     # --- metadata-plane / grid / composite (green in r01) ---
     "resample_daily_median": (q_resample_daily_median, SQL_RESAMPLE_MEDIAN),
     "metadata_filter": (q_metadata_filter, SQL_METADATA_FILTER),
@@ -3806,9 +3950,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
     "matryoshka_topk": (q_matryoshka_topk, SQL_MATRYOSHKA_TOPK),
-    "simhash": (q_simhash, _duck_simhash_sql()),
-    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "langid_heuristic": (q_langid_heuristic, SQL_LANGID),
+    "winnow_pairs": (q_winnow_pairs, SQL_WINNOW_PAIRS),
+    "sorted_neighborhood": (q_sorted_neighborhood, SQL_SORTED_NEIGHBORHOOD),
+    "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "ngram_contamination": (q_ngram_contamination, SQL_NGRAM_CONTAMINATION),
     "tfidf_top": (q_tfidf_top, SQL_TFIDF_TOP),
@@ -3840,6 +3985,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ---- round (r01-r03) and is hash-re-checked in CI by
     # ---- tests/test_past_window_mirror.py; the 50-entry graded window above
     # ---- holds every operator the driver has not yet graded ----
+    "corr_stats": (q_corr_stats, SQL_CORR_STATS),
+    "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
+    "simhash": (q_simhash, _duck_simhash_sql()),
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "mosaic_first_valid": (q_mosaic_first_valid, SQL_MOSAIC_FWD),
     "mosaic_reverse": (q_mosaic_reverse, SQL_MOSAIC_REV),
     "resample_quarterly": (q_resample_quarterly, SQL_RESAMPLE_QUARTERLY),

@@ -91,6 +91,59 @@ def reduce_dims(
     return pixels.groupBy(*keys).agg(fn("value").alias(agg))
 
 
+def ffill_time(
+    pixels: DataFrame,
+    dim_values: list,
+    dim_col: str = "item_idx",
+    value_col: str = "value",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Temporal forward-fill — xarray's ``.ffill("time")`` on the sparse
+    pixel table (the cloud-gap-filling composite: each missing observation
+    takes the most recent earlier one). ``dim_values`` is the full ordered
+    time index (the stack's item list — driver-known and small); output is
+    DENSE over keys × dim: one row per (pixel, time step), ``value`` null
+    where no earlier observation exists.
+
+    Plan: distinct pixel keys (one shuffle) × exploded time index (JVM
+    generator, no join), left join back to observations (co-keyed), then
+    ONE window per pixel ordered by time with ``last(ignorenulls)``. The
+    join and the window share the pixel-key partitioning, so it is two
+    exchanges total. The T× row inflation is the *semantic* output of
+    ffill (dense gap-filled series), not overhead — at 100 TB you run it
+    after spatial/temporal slicing, like the reference's users do with
+    xarray. NaN observations (errors-as-nodata fills) count as missing.
+    """
+    if not dim_values:
+        raise ValueError("ffill_time: dim_values must be non-empty")
+    if keys is None:
+        keys = [c for c in ("band_idx", "row", "col") if c in pixels.columns]
+    obs = pixels.select(
+        *keys,
+        F.col(dim_col),
+        F.when(~F.isnan(F.col(value_col)), F.col(value_col)).alias("__v")
+        if dict(pixels.dtypes)[value_col] in ("double", "float")
+        else F.col(value_col).alias("__v"),
+    )
+    grid = (
+        pixels.select(*keys)
+        .distinct()
+        .select(*keys, F.explode(F.array(*[F.lit(v) for v in dim_values])).alias(dim_col))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(dim_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(obs, [*keys, dim_col], "left")
+        .withColumn(value_col, F.last("__v", ignorenulls=True).over(w))
+        .drop("__v")
+    )
+
+
 def band_pivot(pixels: DataFrame, band_names: list[str]) -> DataFrame:
     """Pivot band_idx → one column per band, per (item_idx, row, col).
 

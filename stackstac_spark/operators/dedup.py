@@ -21,7 +21,7 @@ hash functions, so results are reproducible across Spark/DuckDB/anything.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -41,6 +41,144 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: i
             )
         ).alias("shingle"),
     ).distinct()
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+    2003 — the MOSS algorithm), set variant: hash every token k-gram, slide
+    a w-hash window over the hash sequence, keep each window's minimum;
+    the distinct minima are the document's fingerprints. The winnowing
+    guarantee carries over: two documents sharing any token run of length
+    ≥ w + k − 1 share at least one fingerprint, while the fingerprint
+    density is ~2/(w+1) of the grams — the local-selection property that
+    makes it robust where "every n-th gram" sampling is alignment-fragile.
+
+    Scale shape: one posexplode + ONE doc-keyed window (the per-doc hash
+    partition is the shuffle lower bound for position-aware selection) +
+    a distinct. Gram hashes are md5-derived, so any engine replays them.
+    """
+    if k <= 0 or w <= 0:
+        raise ValueError(f"k and w must be positive, got k={k} w={w}")
+    t = _tokens(df, id_col, text_col).filter(F.size("toks") >= k + w - 1)
+    grams = t.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - {k}), "
+                f"i -> concat_ws(' ', slice(toks, i + 1, {k})))"
+            )
+        ).alias("pos", "gram"),
+    ).select(
+        id_col,
+        "pos",
+        F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("bigint").alias("h"),
+    )
+    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    full = Window.partitionBy(id_col)
+    return (
+        grams.withColumn("fp", F.min("h").over(win))
+        .withColumn("__ng", F.count("h").over(full))
+        .filter(F.col("pos") <= F.col("__ng") - w)  # complete windows only
+        .select(id_col, "fp")
+        .distinct()
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = 100,
+) -> DataFrame:
+    """Candidate near-duplicate pairs by shared winnowing fingerprints:
+    (doc_a < doc_b, n_shared). ``max_df`` drops fingerprints present in
+    more than that many docs before the self-join — the boilerplate /
+    skew guard that keeps a viral license-header fingerprint from creating
+    a quadratic bucket (same role as LSH's ``max_bucket``)."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    if max_df is not None:
+        freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+        fps = fps.join(
+            freq.filter(F.col("df") <= max_df).drop("df"), "fp", "left_semi"
+        )
+    a = fps.select(F.col(id_col).alias("doc_a"), "fp")
+    b = fps.select(F.col(id_col).alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key_col: str,
+    window: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sorted Neighborhood Method blocking (Hernández & Stolfo, SIGMOD
+    1995): order the corpus by a blocking key and emit each record paired
+    with its ``window − 1`` successors — the classic entity-resolution
+    candidate generator when records lack a clean equi-join key.
+
+    Scale shape — global order WITHOUT a single-partition window: one
+    range repartition by (key, id) + in-partition sort, per-partition
+    ``row_number`` turned into a global position by adding per-partition
+    offsets (one P-row collect of partition counts), then successors via
+    an explode of j∈[1, window) and an equi-join on position — a hash
+    join on an integer key, never a cartesian. Total order is (key, id),
+    so positions (and pairs) are deterministic regardless of where the
+    range sampler places partition boundaries.
+
+    Returns (id_a, id_b, key_a, key_b, dist) with dist = position gap in
+    [1, window).
+    """
+    if window < 2:
+        raise ValueError(f"window must be ≥ 2, got {window}")
+    spark = df.sparkSession
+    keyed = (
+        df.select(F.col(id_col).alias("id"), F.col(key_col).alias("key"))
+        .repartitionByRange("key", "id")
+        .sortWithinPartitions("key", "id")
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    keyed = keyed.localCheckpoint()  # pin partitioning; counted + reused below
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in keyed.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offset, acc = {}, 0
+    for pid in sorted(counts):
+        offset[pid] = acc
+        acc += counts[pid]
+    off_col = F.lit(0)
+    for pid, off in offset.items():
+        off_col = F.when(F.col("__pid") == pid, F.lit(off)).otherwise(off_col)
+    w_in = Window.partitionBy("__pid").orderBy("key", "id")
+    pos = keyed.select(
+        "id", "key", (F.row_number().over(w_in) - 1 + off_col).alias("pos")
+    )
+    left = pos.select(
+        F.col("id").alias("id_a"),
+        F.col("key").alias("key_a"),
+        "pos",
+        F.explode(F.array(*[F.lit(j) for j in range(1, window)])).alias("dist"),
+    ).withColumn("__tgt", F.col("pos") + F.col("dist"))
+    right = pos.select(
+        F.col("id").alias("id_b"), F.col("key").alias("key_b"), F.col("pos").alias("__tgt")
+    )
+    return left.join(right, "__tgt").select("id_a", "id_b", "key_a", "key_b", "dist")
 
 
 def _exact_fingerprint(text_col: str, normalize: bool):

@@ -87,6 +87,55 @@ def sliding_window_agg(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    watermark: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Event-time interval join: match left and right rows sharing ``on``
+    with ``right_ts ∈ [left_ts − lower, left_ts + upper]`` — the
+    impression⋈click / request⋈response attribution shape.
+
+    On streams (both sides ``readStream``), setting ``watermark`` enables
+    Spark's stream-stream join: both sides are watermarked and the time
+    bound lets the state store evict rows older than watermark+interval —
+    state stays O(in-flight interval), the requirement for an unbounded
+    run. On batch DataFrames the identical plan is a hash equi-join on
+    ``on`` with the interval as a residual predicate (never a nested-loop:
+    the equality key drives the shuffle), which is what the gate oracle
+    replays.
+
+    Column conflicts: right's ts is exposed as ``right_ts_val``.
+    """
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(f"interval_join supports inner/leftOuter, got {how!r}")
+    l = left.withWatermark(left_ts, watermark) if watermark else left
+    r = right.withWatermark(right_ts, watermark) if watermark else right
+    l = l.alias("l")
+    r = r.select(
+        F.col(on).alias("__rk"), F.col(right_ts).alias("right_ts_val"), *
+        [c for c in right.columns if c not in (on, right_ts)]
+    ).alias("r")
+    cond = (
+        (F.col(f"l.{on}") == F.col("r.__rk"))
+        & (
+            F.col("r.right_ts_val")
+            >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {lower}")
+        )
+        & (
+            F.col("r.right_ts_val")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}")
+        )
+    )
+    return l.join(r, cond, how).drop("__rk")
+
+
 SESSION_OUT_SCHEMA = T.StructType(
     [
         T.StructField("collection", T.StringType()),

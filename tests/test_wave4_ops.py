@@ -1,0 +1,250 @@
+"""Wave-4 operators: winnowing fingerprints, sorted-neighborhood blocking,
+event-time interval join (batch + stream-stream), raster temporal
+forward-fill — checked against pure-Python oracles and plan properties."""
+
+import hashlib
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# --- winnowing -------------------------------------------------------------
+
+
+def _py_winnow(text: str, k: int, w: int) -> set:
+    toks = text.lower().split()
+    if len(toks) < k + w - 1:
+        return set()
+    hs = [
+        int(hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()[:8], 16)
+        for i in range(len(toks) - k + 1)
+    ]
+    return {min(hs[s : s + w]) for s in range(len(hs) - w + 1)}
+
+
+def test_winnow_fingerprints_match_python(spark):
+    from stackstac_spark.operators.dedup import winnow_fingerprints
+
+    texts = [
+        (0, "a b c d e f g h i j"),
+        (1, "x y a b c d e f q r"),  # shares the run "a b c d e f" with doc 0
+        (2, "one two three"),  # too short: < k+w-1 tokens
+        (3, "z z z z z z z z"),  # degenerate repeats
+    ]
+    df = spark.createDataFrame(texts, "doc_id LONG, text STRING")
+    got = {}
+    for r in winnow_fingerprints(df, k=4, w=4).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for i, t in texts:
+        expect = _py_winnow(t, 4, 4)
+        assert got.get(i, set()) == expect, (i, got.get(i), expect)
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    from stackstac_spark.operators.dedup import winnow_pairs
+
+    # docs 0/1 share a 7-token run (≥ w+k-1 = 7) → guaranteed shared fp
+    df = spark.createDataFrame(
+        [
+            (0, "p q r common run of seven shared tokens here end"),
+            (1, "common run of seven shared tokens here totally different tail"),
+            (2, "nothing in common with the others at all whatsoever"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    pairs = winnow_pairs(df, k=4, w=4, min_shared=1, max_df=None).collect()
+    assert any(r["doc_a"] == 0 and r["doc_b"] == 1 for r in pairs)
+    assert not any(2 in (r["doc_a"], r["doc_b"]) for r in pairs)
+
+
+def test_winnow_max_df_drops_boilerplate(spark):
+    from stackstac_spark.operators.dedup import winnow_pairs
+
+    # the same boilerplate in every doc; max_df=2 < 4 docs kills those fps
+    boiler = "this license header appears in every single document verbatim"
+    df = spark.createDataFrame(
+        [(i, boiler) for i in range(4)], "doc_id LONG, text STRING"
+    )
+    assert winnow_pairs(df, k=4, w=4, min_shared=1, max_df=2).count() == 0
+    assert winnow_pairs(df, k=4, w=4, min_shared=1, max_df=None).count() == 6
+
+
+# --- sorted neighborhood ---------------------------------------------------
+
+
+def test_sorted_neighborhood_matches_naive(spark):
+    from stackstac_spark.operators.dedup import sorted_neighborhood_pairs
+
+    rows = [(i, float((i * 37) % 50)) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id LONG, key DOUBLE")
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in sorted_neighborhood_pairs(df, "key", window=4).collect()
+    }
+    order = [i for i, _ in sorted(rows, key=lambda r: (r[1], r[0]))]
+    expect = {
+        (order[p], order[p + j], j)
+        for p in range(len(order))
+        for j in range(1, 4)
+        if p + j < len(order)
+    }
+    assert got == expect
+
+
+def test_sorted_neighborhood_no_global_window(spark):
+    from stackstac_spark.operators.dedup import sorted_neighborhood_pairs
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97).cast("double").alias("key")
+    )
+    out = sorted_neighborhood_pairs(df, "key", window=3)
+    plan = _plan(out)
+    # the global order comes from the range repartition (pinned behind the
+    # localCheckpoint) + per-__pid windows — every window spec must be
+    # partitioned (a partition-less window would be the single-task plan)
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all(s.lstrip().startswith("__pid") for s in specs), plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, "key", window=1)
+
+
+# --- interval join ---------------------------------------------------------
+
+
+def test_interval_join_batch_matches_naive(spark):
+    from stackstac_spark.streaming.ingest import interval_join
+
+    left = spark.createDataFrame(
+        [(u, 1_700_000_000 + off) for u in range(5) for off in (0, 1000, 5000)],
+        "user_id LONG, ts_s LONG",
+    ).withColumn("ts", F.timestamp_seconds("ts_s"))
+    right = spark.createDataFrame(
+        [(u, 1_700_000_000 + off) for u in range(5) for off in (500, 1500, 9999)],
+        "user_id LONG, ts_s LONG",
+    ).withColumn("ts", F.timestamp_seconds("ts_s"))
+    j = interval_join(
+        left.select("user_id", "ts", F.col("ts_s").alias("l_s")),
+        right.select("user_id", "ts", F.col("ts_s").alias("r_s")),
+        on="user_id",
+        lower="0 seconds",
+        upper="1000 seconds",
+    )
+    got = {(r["user_id"], r["l_s"], r["r_s"]) for r in j.collect()}
+    expect = {
+        (u, 1_700_000_000 + lo, 1_700_000_000 + ro)
+        for u in range(5)
+        for lo in (0, 1000, 5000)
+        for ro in (500, 1500, 9999)
+        if 0 <= ro - lo <= 1000
+    }
+    assert got == expect
+    with pytest.raises(ValueError):
+        interval_join(left, right, on="user_id", how="full")
+
+
+def test_interval_join_is_hash_join_on_key(spark):
+    from stackstac_spark.streaming.ingest import interval_join
+
+    l = spark.range(100).select(
+        F.col("id").alias("user_id"), F.timestamp_seconds(F.col("id") * 60).alias("ts")
+    )
+    r = spark.range(100).select(
+        F.col("id").alias("user_id"),
+        F.timestamp_seconds(F.col("id") * 60 + 30).alias("ts"),
+    )
+    plan = _plan(interval_join(l, r, on="user_id"))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_interval_join_stream_stream(spark, tmp_path):
+    import json
+    import time
+
+    from stackstac_spark.streaming.ingest import interval_join
+
+    ldir, rdir = tmp_path / "l", tmp_path / "r"
+    ldir.mkdir(), rdir.mkdir()
+    base = 1_700_000_000
+    with open(ldir / "a.json", "w") as f:
+        for u in range(4):
+            f.write(json.dumps({"user_id": u, "ts_s": base + u}) + "\n")
+    with open(rdir / "a.json", "w") as f:
+        for u in range(4):
+            # u-th right row lands u*40s after the left row → only u<=2 match 100s
+            f.write(json.dumps({"user_id": u, "ts_s": base + u + u * 40}) + "\n")
+    mk = lambda d: (
+        spark.readStream.schema("user_id LONG, ts_s LONG")
+        .json(str(d))
+        .withColumn("ts", F.timestamp_seconds("ts_s"))
+    )
+    j = interval_join(
+        mk(ldir).select("user_id", "ts"),
+        mk(rdir).select("user_id", "ts"),
+        on="user_id",
+        lower="0 seconds",
+        upper="100 seconds",
+        watermark="10 minutes",
+    )
+    q = (
+        j.select("user_id")
+        .writeStream.format("memory")
+        .queryName("ivj_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        users = set()
+        while time.time() < deadline:
+            q.processAllAvailable()
+            users = {
+                r["user_id"] for r in spark.sql("SELECT user_id FROM ivj_test").collect()
+            }
+            if users == {0, 1, 2}:
+                break
+            time.sleep(0.5)
+        assert users == {0, 1, 2}
+    finally:
+        q.stop()
+
+
+# --- raster ffill ----------------------------------------------------------
+
+
+def test_ffill_time_dense_forward_fill(spark):
+    from stackstac_spark.operators.composite import ffill_time
+
+    # one pixel observed at t=0 and t=2 (NaN at t=2 → missing), another at t=1
+    px = spark.createDataFrame(
+        [
+            (0, 0, 0, 0, 10.0),
+            (2, 0, 0, 0, float("nan")),
+            (1, 0, 0, 1, 20.0),
+        ],
+        "item_idx INT, band_idx INT, row INT, col INT, value DOUBLE",
+    )
+    got = {
+        (r["item_idx"], r["row"], r["col"]): r["value"]
+        for r in ffill_time(px, [0, 1, 2, 3]).collect()
+    }
+    assert got[(0, 0, 0)] == 10.0
+    assert got[(1, 0, 0)] == 10.0  # gap filled forward
+    assert got[(2, 0, 0)] == 10.0  # NaN observation treated as missing
+    assert got[(3, 0, 0)] == 10.0
+    assert got[(0, 0, 1)] is None  # nothing before the first observation
+    assert got[(1, 0, 1)] == 20.0
+    assert got[(3, 0, 1)] == 20.0
+    assert len(got) == 8  # dense: 2 pixels × 4 steps
+    with pytest.raises(ValueError):
+        ffill_time(px, [])
