@@ -3924,6 +3924,37 @@ FROM src GROUP BY item, row ORDER BY item_idx, row
 """
 
 
+def q_bm25_topk(spark, sf):
+    """BM25 retrieval (operators/textstats.py::bm25_topk, Lucene idf form):
+    score the corpus against a 3-term query, top-15. Token filter before
+    any shuffle, broadcast per-term df + one-row scalars, TakeOrdered."""
+    from stackstac_spark.operators.textstats import bm25_topk
+
+    docs = _t(spark, sf, "documents")
+    return bm25_topk(docs, ["table", "spark", "sort"], k=15)
+
+
+SQL_BM25_TOPK = """
+WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+dl AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS dl FROM documents),
+scalars AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ('table', 'spark', 'sort') GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT t.doc_id,
+         round(sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * (t.tf * 2.2)
+                   / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))), 6) AS bm25
+  FROM tf t JOIN dft d USING (term) JOIN dl l USING (doc_id) CROSS JOIN scalars s
+  GROUP BY t.doc_id
+)
+SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 15
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- raster engine (driver-unchecked in r01; front of the window now) ---
     "raster_mosaic": (q_raster_mosaic, SQL_RASTER_MOSAIC),
@@ -3941,7 +3972,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "resample_daily_median": (q_resample_daily_median, SQL_RESAMPLE_MEDIAN),
     "metadata_filter": (q_metadata_filter, SQL_METADATA_FILTER),
     # --- LLM-pipeline: dedup / text / similarity (green in r01) ---
-    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH),
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "canonical_docs": (q_canonical_docs, SQL_CANONICAL_DOCS),
@@ -3954,6 +3984,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "winnow_pairs": (q_winnow_pairs, SQL_WINNOW_PAIRS),
     "sorted_neighborhood": (q_sorted_neighborhood, SQL_SORTED_NEIGHBORHOOD),
     "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
+    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "ngram_contamination": (q_ngram_contamination, SQL_NGRAM_CONTAMINATION),
     "tfidf_top": (q_tfidf_top, SQL_TFIDF_TOP),
@@ -3987,6 +4018,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ---- holds every operator the driver has not yet graded ----
     "corr_stats": (q_corr_stats, SQL_CORR_STATS),
     "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "simhash": (q_simhash, _duck_simhash_sql()),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "mosaic_first_valid": (q_mosaic_first_valid, SQL_MOSAIC_FWD),

@@ -348,6 +348,70 @@ def quality_buckets(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 retrieval over the corpus (Robertson & Zaragoza 2009; idf in
+    the Lucene form ``ln(1 + (N − df + 0.5)/(df + 0.5))``) — the "find
+    corpus docs closest to this eval set / seed query" curation step.
+
+    score(d) = Σ_t idf_t · tf_td·(k1+1) / (tf_td + k1·(1 − b + b·|d|/avgdl))
+
+    Scale shape: tokens are filtered to the query terms BEFORE any shuffle
+    (tf table is O(|corpus ∩ q|), not O(tokens)); per-term df is a
+    query-sized aggregate joined back broadcast; N and avgdl are one-row
+    aggregates cross-joined (Catalyst broadcasts single-row relations);
+    the final top-k is a TakeOrdered, not a full sort. Scores are rounded
+    to 6 so the ranking is engine-portable.
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk: query_terms must be non-empty")
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    toks = df.select(
+        id_col, F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term")
+    )
+    dl = df.select(
+        id_col, F.size(F.split(F.lower(F.col(text_col)), r"\s+")).alias("dl")
+    )
+    scalars = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qt = toks.filter(F.col("term").isin(list(query_terms)))
+    tf = qt.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dft), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(scalars))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("contrib"), 6).alias("bm25"))
+    )
+    return scored.orderBy(F.desc("bm25"), id_col).limit(k)
+
+
 def pii_scrub(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """PII redaction: sequentially replace emails, IPv4 addresses, and
     phone-like digit runs with typed placeholders, counting matches per

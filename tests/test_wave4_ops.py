@@ -219,6 +219,61 @@ def test_interval_join_stream_stream(spark, tmp_path):
         q.stop()
 
 
+# --- bm25 -----------------------------------------------------------------
+
+
+def test_bm25_matches_python(spark):
+    import math
+
+    from stackstac_spark.operators.textstats import bm25_topk
+
+    texts = [
+        (0, "spark table join spark spark"),
+        (1, "table sort merge"),
+        (2, "nothing relevant here at all"),
+        (3, "spark"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r["bm25"] for r in bm25_topk(df, ["spark", "table"], k=10).collect()}
+
+    docs = {i: t.split() for i, t in texts}
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    dfreq = {
+        q: sum(1 for t in docs.values() if q in t) for q in ("spark", "table")
+    }
+    expect = {}
+    for i, t in docs.items():
+        s = 0.0
+        for q in ("spark", "table"):
+            tf = t.count(q)
+            if not tf:
+                continue
+            idf = math.log(1 + (n - dfreq[q] + 0.5) / (dfreq[q] + 0.5))
+            s += idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * len(t) / avgdl))
+        if s:
+            expect[i] = round(s, 6)
+    assert got == expect
+    # ranking: doc 0 (3×spark + table) must beat doc 3 (1×spark)
+    assert got[0] > got[3]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bm25_topk(df, [])
+    with _pytest.raises(ValueError):
+        bm25_topk(df, ["spark"], k=0)
+
+
+def test_bm25_plan_take_ordered_and_broadcasts(spark):
+    from stackstac_spark.operators.textstats import bm25_topk
+
+    df = spark.createDataFrame(
+        [(i, f"w{i % 11} spark table") for i in range(300)], "doc_id LONG, text STRING"
+    )
+    plan = _plan(bm25_topk(df, ["spark", "table"], k=5))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 # --- raster ffill ----------------------------------------------------------
 
 
