@@ -266,3 +266,65 @@ def test_mixture_sample_matches_python(spark, texts, budget):
                 want.append(i)
             cum += n
     assert got == sorted(want)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(st.lists(words, min_size=0, max_size=20).map(" ".join), min_size=1, max_size=6))
+def test_winnow_fingerprints_match_python_fuzz(spark, texts):
+    """Winnowing set-variant vs a direct Python replay: k-gram md5 hashes,
+    per-window minima over complete windows only, distinct per doc."""
+    import hashlib as _hl
+
+    from stackstac_spark.operators.dedup import winnow_fingerprints
+
+    k, w = 3, 3
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id LONG, text STRING")
+    got = {}
+    for r in winnow_fingerprints(df, k=k, w=w).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    for i, t in enumerate(texts):
+        toks = t.lower().split(" ") if t else [""]
+        if len(toks) < k + w - 1:
+            assert i not in got
+            continue
+        hs = [
+            int(_hl.md5(" ".join(toks[j : j + k]).encode()).hexdigest()[:8], 16)
+            for j in range(len(toks) - k + 1)
+        ]
+        expect = {min(hs[s : s + w]) for s in range(len(hs) - w + 1)}
+        assert got.get(i, set()) == expect, (i, t)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    weights=st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=30),
+    k=st.integers(min_value=1, max_value=8),
+)
+def test_weighted_sample_matches_python_fuzz(spark, weights, k):
+    """A-ES weighted sampling vs the Python replay of key = -ln(u)/w with
+    u from md5 — including zero-weight drops and k > n."""
+    import hashlib as _hl
+    import math as _m
+
+    from stackstac_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float(wt)) for i, wt in enumerate(weights)]
+    df = spark.createDataFrame(rows, "doc_id LONG, w DOUBLE")
+    got = [r.doc_id for r in weighted_sample(df, "w", k=k).collect()]
+
+    keyed = []
+    for i, wt in rows:
+        if wt <= 0:
+            continue
+        u = (int(_hl.md5(f":{i}".encode()).hexdigest()[:8], 16) + 0.5) / 2**32
+        keyed.append((-_m.log(u) / wt, i))
+    expect = [i for _, i in sorted(keyed)[:k]]
+    assert sorted(got) == sorted(expect)
