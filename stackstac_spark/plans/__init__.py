@@ -1,1 +1,3 @@
-"""stackstac_spark.plans"""
+"""stackstac_spark.plans — physical-plan auditing utilities."""
+
+from stackstac_spark.plans import audit  # noqa: F401
