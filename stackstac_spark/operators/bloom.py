@@ -64,7 +64,10 @@ def bloom_build(
     if n_hashes <= 0:
         raise ValueError(f"n_hashes must be positive, got {n_hashes}")
     col = F.col(key_col)
-    positions = keys.select(
+    # null keys have no md5 → null positions → a null word group that the
+    # packing loop can't place; a null is "no key", so drop it up front
+    # (the predicate side agrees: a null probe value never matches)
+    positions = keys.filter(col.isNotNull()).select(
         F.explode(
             F.array(*[_bit_position(col, i, m_bits, salt) for i in range(n_hashes)])
         ).alias("pos")

@@ -153,7 +153,10 @@ def weighted_sample(
     ) / float(16**8)
     key = -F.log(u) / F.col(weight_col).cast("double")
     return (
+        # null ids would get a null key, and nulls sort FIRST ascending —
+        # they would silently occupy the top-k; null weight is "no weight"
         df.filter(F.col(weight_col) > 0)
+        .filter(F.col(id_col).isNotNull())
         .withColumn("sample_key", key)
         .orderBy("sample_key", id_col)
         .limit(k)

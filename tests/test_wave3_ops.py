@@ -58,6 +58,29 @@ def test_weighted_sample_drops_nonpositive_and_validates(spark):
         weighted_sample(df, "w", k=0)
 
 
+def test_weighted_sample_null_safety(spark):
+    from stackstac_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(None, 100.0), (1, None), (2, 1.0)], "doc_id LONG, w DOUBLE"
+    )
+    got = weighted_sample(df, "w", k=5).select("doc_id").collect()
+    # null id and null weight both dropped, never occupying top-k slots
+    assert [r["doc_id"] for r in got] == [2]
+
+
+def test_bloom_null_key_ignored(spark):
+    from stackstac_spark.operators.bloom import bloom_build, bloom_predicate
+
+    keys = spark.createDataFrame([("a",), (None,), ("b",)], "k STRING")
+    words = bloom_build(keys, "k", m_bits=512)
+    probe = spark.createDataFrame([("a",), ("b",), (None,)], "k STRING")
+    hits = {
+        r["k"] for r in probe.filter(bloom_predicate(F.col("k"), words)).collect()
+    }
+    assert hits == {"a", "b"}  # null probe never matches, null key never crashes
+
+
 def test_weighted_sample_plan_is_take_ordered(spark):
     from stackstac_spark.operators.sampling import weighted_sample
 
