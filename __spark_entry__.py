@@ -3955,6 +3955,115 @@ SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 15
 """
 
 
+def q_minhash_est(spark, sf):
+    """MinHash Jaccard estimation (operators/dedup.py::
+    minhash_jaccard_estimate, Broder 1997): agreeing-component fraction
+    over 8 hashes for LSH candidates (4 bands × 2 rows) — the cheap
+    scoring pass between candidate generation and exact verify."""
+    from stackstac_spark.operators.dedup import minhash_jaccard_estimate
+
+    docs = _t(spark, sf, "documents")
+    return minhash_jaccard_estimate(docs, num_hashes=8, bands=4).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _duck_minhash_est_sql(num_hashes: int = 8, bands: int = 4, max_bucket: int = 1000) -> str:
+    mins = ", ".join(f"min(md5('{i}:' || sh)) AS h{i}" for i in range(num_hashes))
+    rows = num_hashes // bands
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || ".join(f"h{b * rows + r}" for r in range(rows))
+        + " AS key FROM sig"
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    return f"""
+WITH shingles AS ({_DUCK_SHINGLES}),
+d AS (SELECT DISTINCT doc_id, sh FROM shingles),
+sig AS (SELECT doc_id, {mins} FROM d GROUP BY doc_id),
+banded AS ({band_selects}),
+kept AS (SELECT band, key FROM banded GROUP BY band, key HAVING count(*) <= {max_bucket}),
+bk AS (SELECT b.doc_id, b.band, b.key FROM banded b JOIN kept USING (band, key)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b, round(({agree}) / {num_hashes}.0, 6) AS est_jaccard
+FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b
+ORDER BY id_a, id_b
+"""
+
+
+SQL_MINHASH_EST = _duck_minhash_est_sql()
+
+
+def q_char_entropy(spark, sf):
+    """Per-doc Shannon character entropy (operators/textstats.py::
+    char_entropy) — the gibberish/encoded-blob quality signal; two
+    co-partitioned aggregates, closed-form log2 identity."""
+    from stackstac_spark.operators.textstats import char_entropy
+
+    docs = _t(spark, sf, "documents")
+    return char_entropy(docs).orderBy("doc_id")
+
+
+SQL_CHAR_ENTROPY = """
+WITH chars AS (
+  SELECT doc_id, substring(text, u.i, 1) AS ch
+  FROM documents, unnest(generate_series(1, len(text))) u(i)
+),
+counts AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+       round(log2(CAST(sum(c) AS DOUBLE)) - sum(c * log2(CAST(c AS DOUBLE))) / sum(c), 6)
+         AS entropy
+FROM counts GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_vocab_encode(spark, sf):
+    """Vocabulary encoding (operators/textstats.py::encode_with_vocab):
+    tokens → top-50 vocab ids (OOV → 0), reassembled in document order;
+    the ids array is md5-keyed so the whole sequence is value-checked."""
+    from stackstac_spark.operators.textstats import encode_with_vocab, vocab_topk
+
+    docs = _t(spark, sf, "documents")
+    enc = encode_with_vocab(docs, vocab_topk(docs, k=50))
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.md5(
+            F.concat_ws(",", F.expr("transform(ids, x -> CAST(x AS STRING))"))
+        ).alias("ids_key"),
+    ).orderBy("doc_id")
+
+
+SQL_VOCAB_ENCODE = """
+WITH toks0 AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+tok AS (
+  SELECT doc_id, u.i AS pos, t[u.i + 1] AS term
+  FROM toks0, unnest(generate_series(0, len(t) - 1)) u(i)
+),
+counts AS (SELECT term, count(*) AS cnt, count(DISTINCT doc_id) AS doc_freq FROM tok GROUP BY term),
+vocab AS (
+  SELECT term, rank FROM (
+    SELECT term, row_number() OVER (ORDER BY cnt DESC, term) AS rank FROM counts
+  ) WHERE rank <= 50
+),
+enc AS (
+  SELECT tok.doc_id, tok.pos, coalesce(v.rank, 0) AS tid
+  FROM tok LEFT JOIN vocab v USING (term)
+)
+SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+       CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS INT) AS n_oov,
+       md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos)) AS ids_key
+FROM enc GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- raster engine (driver-unchecked in r01; front of the window now) ---
     "raster_mosaic": (q_raster_mosaic, SQL_RASTER_MOSAIC),
@@ -3966,11 +4075,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "raster_ffill": (q_raster_ffill, SQL_RASTER_FFILL),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     # --- relational operators unchecked in r01 ---
-    "window_rank": (q_window_rank, SQL_WINDOW_RANK),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     # --- metadata-plane / grid / composite (green in r01) ---
     "resample_daily_median": (q_resample_daily_median, SQL_RESAMPLE_MEDIAN),
-    "metadata_filter": (q_metadata_filter, SQL_METADATA_FILTER),
     # --- LLM-pipeline: dedup / text / similarity (green in r01) ---
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH),
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
@@ -3980,11 +4087,13 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
     "matryoshka_topk": (q_matryoshka_topk, SQL_MATRYOSHKA_TOPK),
-    "langid_heuristic": (q_langid_heuristic, SQL_LANGID),
     "winnow_pairs": (q_winnow_pairs, SQL_WINNOW_PAIRS),
     "sorted_neighborhood": (q_sorted_neighborhood, SQL_SORTED_NEIGHBORHOOD),
     "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "minhash_est": (q_minhash_est, SQL_MINHASH_EST),
+    "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
+    "vocab_encode": (q_vocab_encode, SQL_VOCAB_ENCODE),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "ngram_contamination": (q_ngram_contamination, SQL_NGRAM_CONTAMINATION),
     "tfidf_top": (q_tfidf_top, SQL_TFIDF_TOP),
@@ -4019,6 +4128,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "corr_stats": (q_corr_stats, SQL_CORR_STATS),
     "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "window_rank": (q_window_rank, SQL_WINDOW_RANK),
+    "metadata_filter": (q_metadata_filter, SQL_METADATA_FILTER),
+    "langid_heuristic": (q_langid_heuristic, SQL_LANGID),
     "simhash": (q_simhash, _duck_simhash_sql()),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "mosaic_first_valid": (q_mosaic_first_valid, SQL_MOSAIC_FWD),

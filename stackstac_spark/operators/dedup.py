@@ -472,6 +472,51 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_jaccard_estimate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 2,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Estimated Jaccard similarity for LSH candidate pairs (Broder 1997:
+    P[minhash agrees] = J(A,B), so the fraction of agreeing signature
+    components is an unbiased estimate with σ = √(J(1−J)/k)) — the cheap
+    scoring step between LSH candidate generation and an exact verify,
+    which at 100 TB prunes most candidates without touching shingle sets.
+
+    Returns (id_a, id_b, est_jaccard). Plan: LSH candidates (bucket join)
+    + two id-keyed hash joins against the signature table — never touches
+    the shingle sets of a pair.
+    """
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, num_hashes, bands, shingle_n, max_bucket
+    )
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    a = sig.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"h{i}").alias(f"__a{i}") for i in range(num_hashes)],
+    )
+    b = sig.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"h{i}").alias(f"__b{i}") for i in range(num_hashes)],
+    )
+    agree = sum(
+        (F.col(f"__a{i}") == F.col(f"__b{i}")).cast("int") for i in range(num_hashes)
+    )
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(agree / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
+        )
+    )
+
+
 def span_dedup(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8
 ) -> DataFrame:

@@ -348,6 +348,75 @@ def quality_buckets(
     )
 
 
+def char_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Shannon character entropy (bits/char) — the classic
+    gibberish / base64-blob / repeated-filler quality signal (low entropy =
+    repetition, ≈ uniform-random = encoded binary). Computed as
+    ``log2(n) − Σ c·log2(c) / n`` over character counts — one (doc, char)
+    aggregate with map-side combine, then a per-doc aggregate; both keyed
+    by doc so the second agg is co-partitioned. Empty texts are absent
+    from the output (no characters → entropy undefined).
+
+    Returns (id, n_chars, entropy) with entropy rounded to 6.
+    """
+    # NB: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not an empty
+    # array — an unguarded explode would fabricate two empty-string "chars"
+    # for an empty text; filter them out up front (empty → absent, as the
+    # docstring states and as generate_series-based engines behave)
+    chars = df.filter(F.length(text_col) > 0).select(
+        id_col,
+        F.explode(
+            F.expr(f"transform(sequence(1, length({text_col})), i -> substring({text_col}, i, 1))")
+        ).alias("ch"),
+    )
+    counts = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_chars"),
+            F.round(
+                F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c"), 6
+            ).alias("entropy"),
+        )
+    )
+
+
+def encode_with_vocab(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary encoding — the tokenize step of a training pipeline: map
+    each whitespace token to its vocabulary id (``vocab`` is (rank, term),
+    e.g. from :func:`vocab_topk`; id = rank, OOV → 0), reassembling ids in
+    document order.
+
+    Returns (id, n_tokens, n_oov, ids array<int>). Plan: one positional
+    explode, a term-keyed join against the vocabulary with NO forced
+    broadcast (a BPE vocab is small and AQE will broadcast it; a
+    billion-term vocab shuffles — same policy as tfidf), then one doc-keyed
+    aggregate reassembling via sort_array over (pos, id) structs.
+    """
+    toks = df.select(
+        id_col,
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias("pos", "term"),
+    )
+    v = vocab.select(F.col("term"), F.col("rank").cast("int").alias("__vid"))
+    enc = toks.join(v, "term", "left").select(
+        id_col, "pos", F.coalesce("__vid", F.lit(0)).alias("tid")
+    )
+    return enc.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        F.sum((F.col("tid") == 0).cast("int")).cast("int").alias("n_oov"),
+        F.expr("transform(sort_array(collect_list(struct(pos, tid))), x -> x.tid)").alias(
+            "ids"
+        ),
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     query_terms: list[str],

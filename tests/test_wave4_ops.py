@@ -303,3 +303,65 @@ def test_ffill_time_dense_forward_fill(spark):
     assert len(got) == 8  # dense: 2 pixels × 4 steps
     with pytest.raises(ValueError):
         ffill_time(px, [])
+
+
+# --- wave 5: minhash estimate / char entropy / vocab encode ----------------
+
+
+def test_minhash_jaccard_estimate_bounds_and_exact_dup(spark):
+    from stackstac_spark.operators.dedup import minhash_jaccard_estimate
+
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "alpha beta gamma delta epsilon zeta"),  # exact dup → est 1.0
+            (2, "alpha beta gamma delta other words here"),
+            (3, "completely unrelated text payload entirely"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_jaccard_estimate(df, num_hashes=8, bands=4).collect()
+    }
+    assert got[(0, 1)] == 1.0  # identical shingle sets agree on every hash
+    assert all(0.0 <= v <= 1.0 for v in got.values())
+    assert (0, 3) not in got and (1, 3) not in got  # no shared bucket
+
+
+def test_char_entropy_matches_python(spark):
+    import math
+    from collections import Counter
+
+    from stackstac_spark.operators.textstats import char_entropy
+
+    texts = [(0, "aaaa"), (1, "abab"), (2, "abcd"), (3, "a"), (4, "")]
+    df = spark.createDataFrame(texts, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: (r["n_chars"], r["entropy"]) for r in char_entropy(df).collect()}
+    for i, t in texts:
+        if not t:
+            assert i not in got  # empty text absent
+            continue
+        c = Counter(t)
+        n = len(t)
+        ent = round(-sum(v / n * math.log2(v / n) for v in c.values()), 6)
+        assert got[i][0] == n
+        assert abs(got[i][1] - ent) < 1e-9, (i, got[i], ent)
+    assert got[0][1] == 0.0 and got[2][1] == 2.0  # degenerate / uniform
+
+
+def test_encode_with_vocab_roundtrip(spark):
+    from stackstac_spark.operators.textstats import encode_with_vocab, vocab_topk
+
+    df = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "the the dog"), (2, "rare token xyzzy")],
+        "doc_id LONG, text STRING",
+    )
+    vocab = vocab_topk(df, k=3)  # the(3), cat/dog/rare/sat/token/xyzzy tie → cat, dog
+    v = {r["term"]: r["rank"] for r in vocab.collect()}
+    assert v["the"] == 1
+    got = {r["doc_id"]: r for r in encode_with_vocab(df, vocab).collect()}
+    assert got[0]["ids"] == [v["the"], v.get("cat", 0), v.get("sat", 0)]
+    assert got[1]["ids"][:2] == [v["the"], v["the"]]
+    assert got[2]["n_oov"] >= 1  # xyzzy can't be in a k=3 vocab with 'the' ×3
+    assert all(r["n_tokens"] == len(r["ids"]) for r in got.values())
