@@ -3196,13 +3196,21 @@ FROM bins GROUP BY media_id ORDER BY media_id
 # mirror, which CI runs over the past-window entries). r04 adds four new
 # training-data operators in-window (repetition_stats, ngram_contamination,
 # tfidf_top, kmeans), rotating tpch_q5/q6/q12/q18 past the cap — all four
-# were green r01-r03 and remain mirror-covered. r04 wave 3 adds seven more
-# (weighted_sample, grouped_topk, text_normalize, quality_buckets,
-# sliding_windows, bloom_prefilter, pca_power), rotating mosaic_reverse,
-# resample_quarterly, sessionize, tumbling_hourly, json_props, range_join,
-# rollup_agg — each green r01-r03, each family still represented in-window
-# (mosaic_first_valid, resample_daily_median, stream_enrich/sliding_windows),
-# all mirror-covered.
+# were green r01-r03 and remain mirror-covered. r04 waves 3-5 add 16 more
+# new-operator queries in-window (weighted_sample, grouped_topk,
+# text_normalize, quality_buckets, sliding_windows, bloom_prefilter,
+# pca_power, winnow_pairs, sorted_neighborhood, interval_join, raster_ffill,
+# bm25_topk, minhash_est, char_entropy, vocab_encode, grouping_sets,
+# unpivot); every rotated entry (mosaic_reverse, resample_quarterly,
+# sessionize, tumbling_hourly, json_props, range_join, rollup_agg,
+# mosaic_first_valid, minhash_signatures, jaccard_pairs, doc_fingerprint,
+# text_quality, corr_stats, embedding_centroids, dedup_exact, simhash,
+# token_stats, window_rank, metadata_filter, langid_heuristic,
+# minhash_lsh_pairs, resample_daily_median) was driver-green in r01-r03,
+# keeps a same-code-path relative in-window where one exists (e.g.
+# raster_mosaic for the mosaic kernel, minhash_est for the LSH+signature
+# path, corpus_clean for quality/fingerprint), and is re-hash-checked every
+# CI run by the past-window mirror.
 def q_paragraph_dedup(spark, sf):
     """C4-style global paragraph dedup (Raffel et al. 2020 §2.2;
     operators/dedup.py::paragraph_dedup): docs split into 16-token blocks,
@@ -4064,6 +4072,66 @@ FROM enc GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_grouping_sets(spark, sf):
+    """Arbitrary GROUPING SETS (beyond rollup's hierarchy): the three sets
+    ((flag, status), (status), ()) over lineitem — Catalyst's Expand node,
+    one pass over the fact table for all three aggregation levels."""
+    li = _t(spark, sf, "lineitem")
+    li.createOrReplaceTempView("__gs_lineitem")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS flag,
+               coalesce(l_linestatus, 'ALL') AS status,
+               count(*) AS n, round(sum(l_quantity), 2) AS qty
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        ORDER BY flag, status
+        """
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT coalesce(l_returnflag, 'ALL') AS flag,
+       coalesce(l_linestatus, 'ALL') AS status,
+       count(*) AS n, round(sum(l_quantity), 2) AS qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+ORDER BY flag, status
+"""
+
+
+def q_unpivot(spark, sf):
+    """UNPIVOT (wide metrics → long (metric, value) rows — the melt shape):
+    per-returnflag totals unpivoted to one row per metric via Spark's
+    native unpivot (Expand node, single pass, no join/union of scans)."""
+    li = _t(spark, sf, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "avg_disc"], "metric", "value"
+    ).orderBy("l_returnflag", "metric")
+
+
+SQL_UNPIVOT = """
+WITH wide AS (
+  SELECT l_returnflag,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_price,
+         round(avg(l_discount), 6) AS avg_disc
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM wide
+UNION ALL
+SELECT l_returnflag, 'avg_disc' AS metric, avg_disc AS value FROM wide
+ORDER BY l_returnflag, metric
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- raster engine (driver-unchecked in r01; front of the window now) ---
     "raster_mosaic": (q_raster_mosaic, SQL_RASTER_MOSAIC),
@@ -4077,9 +4145,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- relational operators unchecked in r01 ---
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     # --- metadata-plane / grid / composite (green in r01) ---
-    "resample_daily_median": (q_resample_daily_median, SQL_RESAMPLE_MEDIAN),
     # --- LLM-pipeline: dedup / text / similarity (green in r01) ---
-    "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH),
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "canonical_docs": (q_canonical_docs, SQL_CANONICAL_DOCS),
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
@@ -4094,6 +4160,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "minhash_est": (q_minhash_est, SQL_MINHASH_EST),
     "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
     "vocab_encode": (q_vocab_encode, SQL_VOCAB_ENCODE),
+    "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
+    "unpivot": (q_unpivot, SQL_UNPIVOT),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "ngram_contamination": (q_ngram_contamination, SQL_NGRAM_CONTAMINATION),
     "tfidf_top": (q_tfidf_top, SQL_TFIDF_TOP),
@@ -4128,6 +4196,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "corr_stats": (q_corr_stats, SQL_CORR_STATS),
     "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH),
+    "resample_daily_median": (q_resample_daily_median, SQL_RESAMPLE_MEDIAN),
     "window_rank": (q_window_rank, SQL_WINDOW_RANK),
     "metadata_filter": (q_metadata_filter, SQL_METADATA_FILTER),
     "langid_heuristic": (q_langid_heuristic, SQL_LANGID),
