@@ -70,6 +70,12 @@ def sliding_window_agg(
 
     Works identically on batch DataFrames (the gate query path: DuckDB
     replays the expansion as a cross join against the slide grid).
+
+    Composition note: when an upstream stage already set a watermark (e.g.
+    ``dedup_stream`` ahead of this in the same query), leave ``watermark``
+    as None — Spark forbids redefining the watermark once multiple
+    stateful operators share a query, and the upstream one flows through
+    (see tests/test_streaming_pipeline_e2e.py).
     """
     src = events.withWatermark(ts_col, watermark) if watermark else events
     return (
