@@ -4132,6 +4132,67 @@ ORDER BY l_returnflag, metric
 """
 
 
+def q_gopher_filter(spark, sf):
+    """Gopher quality-filter rules (operators/textstats.py::
+    gopher_quality_filter, Rae et al. 2021 A1 subset): per-doc rule
+    measurements + combined keep flag — map-only verdict table."""
+    from stackstac_spark.operators.textstats import gopher_quality_filter
+
+    docs = _t(spark, sf, "documents")
+    return gopher_quality_filter(docs).orderBy("doc_id")
+
+
+SQL_GOPHER_FILTER = """
+WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS tk FROM documents),
+m AS (
+  SELECT doc_id,
+         len(tk) AS word_count,
+         round(list_sum(list_transform(tk, x -> len(x))) * 1.0 / len(tk), 6) AS mean_word_len,
+         round(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) * 1.0 / len(tk), 6) AS alpha_word_frac,
+         round(len(regexp_replace(text, '[^#…]', '', 'g')) * 1.0 / len(tk), 6) AS symbol_ratio,
+         len(list_filter(['the','a','an','and','or','of','to','in','is'],
+                         s -> list_contains(tk, s))) AS stopword_hits
+  FROM t
+)
+SELECT doc_id, CAST(word_count AS INT) AS word_count, mean_word_len,
+       alpha_word_frac, symbol_ratio, CAST(stopword_hits AS INT) AS stopword_hits,
+       (word_count BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        AND alpha_word_frac >= 0.8 AND symbol_ratio <= 0.1 AND stopword_hits >= 2) AS keep
+FROM m ORDER BY doc_id
+"""
+
+
+def q_sliding_chunks(spark, sf):
+    """RAG sliding-window chunker (operators/packing.py::sliding_chunks):
+    32-token windows every 16 tokens, ragged tail; each chunk's text is
+    md5-keyed so the full split is value-checked. Map-only generator."""
+    from stackstac_spark.operators.packing import sliding_chunks
+
+    docs = _t(spark, sf, "documents")
+    ch = sliding_chunks(docs, chunk_tokens=32, stride=16)
+    return ch.select(
+        "doc_id", "chunk_idx", F.md5("chunk_text").alias("chunk_key"), "n_chunk_tokens"
+    ).orderBy("doc_id", "chunk_idx")
+
+
+SQL_SLIDING_CHUNKS = """
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+nw AS (
+  SELECT doc_id, tk,
+         CAST(1 + ceil(greatest(len(tk) - 32, 0) / 16.0) AS INT) AS n_win
+  FROM t WHERE len(tk) >= 1
+),
+chunks AS (
+  SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,
+         array_to_string(tk[u.i*16+1 : u.i*16+32], ' ') AS chunk_text
+  FROM nw, unnest(generate_series(0, n_win - 1)) u(i)
+)
+SELECT doc_id, chunk_idx, md5(chunk_text) AS chunk_key,
+       CAST(len(string_split(chunk_text, ' ')) AS INT) AS n_chunk_tokens
+FROM chunks ORDER BY doc_id, chunk_idx
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- raster engine (driver-unchecked in r01; front of the window now) ---
     "raster_mosaic": (q_raster_mosaic, SQL_RASTER_MOSAIC),
@@ -4146,7 +4207,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     # --- metadata-plane / grid / composite (green in r01) ---
     # --- LLM-pipeline: dedup / text / similarity (green in r01) ---
-    "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "canonical_docs": (q_canonical_docs, SQL_CANONICAL_DOCS),
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
@@ -4162,6 +4222,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "vocab_encode": (q_vocab_encode, SQL_VOCAB_ENCODE),
     "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
     "unpivot": (q_unpivot, SQL_UNPIVOT),
+    "gopher_filter": (q_gopher_filter, SQL_GOPHER_FILTER),
+    "sliding_chunks": (q_sliding_chunks, SQL_SLIDING_CHUNKS),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "ngram_contamination": (q_ngram_contamination, SQL_NGRAM_CONTAMINATION),
     "tfidf_top": (q_tfidf_top, SQL_TFIDF_TOP),
@@ -4169,7 +4231,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
     "stream_enrich": (q_stream_enrich, SQL_STREAM_ENRICH),
     "dsir_sample": (q_dsir_sample, SQL_DSIR_SAMPLE),
-    "sim_bruteforce_topk": (q_sim_bruteforce_topk, SQL_SIM_BRUTEFORCE),
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "kmeans": (q_kmeans, SQL_KMEANS),
     "int8_quant": (q_int8_quant, SQL_INT8_QUANT),
@@ -4196,6 +4257,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "corr_stats": (q_corr_stats, SQL_CORR_STATS),
     "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
+    "sim_bruteforce_topk": (q_sim_bruteforce_topk, SQL_SIM_BRUTEFORCE),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH),
     "resample_daily_median": (q_resample_daily_median, SQL_RESAMPLE_MEDIAN),
     "window_rank": (q_window_rank, SQL_WINDOW_RANK),

@@ -75,3 +75,46 @@ def pack_sequences(
         end_chunk.alias("end_chunk"),
         (end_chunk - start_chunk + 1).alias("n_chunks"),
     )
+
+
+def sliding_chunks(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    stride: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-stride sliding-window chunking — the RAG-ingestion splitter:
+    token windows of ``chunk_tokens`` starting every ``stride`` tokens
+    (overlap = chunk_tokens − stride), last window ragged, documents
+    shorter than one stride yield a single chunk.
+
+    Returns (id, chunk_idx, chunk_text, n_chunk_tokens). One generator
+    expression per doc (JVM ``transform`` over a sequence — no Python, no
+    shuffle: chunking is map-only and fuses into the scan; the output is
+    ~chunk/stride× the corpus, which is the operator's semantics, not
+    overhead).
+    """
+    if chunk_tokens <= 0 or stride <= 0:
+        raise ValueError(
+            f"chunk_tokens and stride must be positive, got {chunk_tokens}, {stride}"
+        )
+    t = df.select(
+        id_col, F.split(F.lower(F.col(text_col)), r"\s+").alias("__t")
+    ).filter(F.size("__t") >= 1)
+    # number of windows: 1 + ceil(max(n - chunk, 0) / stride)
+    n_win = F.lit(1) + F.ceil(
+        F.greatest(F.size("__t") - F.lit(chunk_tokens), F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    chunks = t.withColumn("__nw", n_win).select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, __nw - 1), "
+                f"i -> concat_ws(' ', slice(__t, i * {stride} + 1, {chunk_tokens})))"
+            )
+        ).alias("chunk_idx", "chunk_text"),
+    )
+    return chunks.withColumn(
+        "n_chunk_tokens", F.size(F.split("chunk_text", " "))
+    )

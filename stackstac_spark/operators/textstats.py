@@ -417,6 +417,54 @@ def encode_with_vocab(
     )
 
 
+def gopher_quality_filter(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The Gopher quality-filter rule set (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", table A1 — the deterministic subset):
+    per document, the rule measurements and a combined keep flag:
+
+    - ``word_count`` ∈ [50, 100_000]
+    - ``mean_word_len`` ∈ [3, 10]
+    - ``alpha_word_frac`` ≥ 0.8 (words containing ≥1 alphabetic char)
+    - ``symbol_ratio`` ≤ 0.1 (# and … per word)
+    - ``stopword_hits`` ≥ 2 distinct stop words present
+
+    Pure column expressions over one token split — map-only, fused into
+    the scan under whole-stage codegen; the verdict-table shape (all rows
+    kept, ``keep`` boolean) matches ``pipeline.corpus_clean``.
+    """
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    mean_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    ) / n
+    alpha_frac = F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))) / n
+    symbols = F.length(F.regexp_replace(F.col(text_col), "[^#…]", ""))
+    stop_arr = ", ".join(f"'{s}'" for s in _DEFAULT_STOPWORDS)
+    stop_hits = F.size(
+        F.expr(
+            f"array_intersect(split(lower({text_col}), '\\\\s+'), array({stop_arr}))"
+        )
+    )
+    out = df.select(
+        id_col,
+        n.alias("word_count"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        F.round(symbols / n, 6).alias("symbol_ratio"),
+        stop_hits.alias("stopword_hits"),
+    )
+    keep = (
+        F.col("word_count").between(50, 100_000)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("alpha_word_frac") >= 0.8)
+        & (F.col("symbol_ratio") <= 0.1)
+        & (F.col("stopword_hits") >= 2)
+    )
+    return out.withColumn("keep", keep)
+
+
 def bm25_topk(
     df: DataFrame,
     query_terms: list[str],

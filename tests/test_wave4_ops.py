@@ -365,3 +365,55 @@ def test_encode_with_vocab_roundtrip(spark):
     assert got[1]["ids"][:2] == [v["the"], v["the"]]
     assert got[2]["n_oov"] >= 1  # xyzzy can't be in a k=3 vocab with 'the' ×3
     assert all(r["n_tokens"] == len(r["ids"]) for r in got.values())
+
+
+# --- gopher filter / sliding chunks ----------------------------------------
+
+
+def test_gopher_quality_filter_rules(spark):
+    from stackstac_spark.operators.textstats import gopher_quality_filter
+
+    long_good = " ".join(
+        ["the quick brown fox and the lazy dog in open field is here"] * 5
+    )
+    df = spark.createDataFrame(
+        [
+            (0, long_good),  # 60 words, stopwords, all alpha → keep
+            (1, "too short to pass the word count rule"),  # < 50 words
+            (2, " ".join(["####"] * 60)),  # no alpha, no stopwords
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {r["doc_id"]: r for r in gopher_quality_filter(df).collect()}
+    assert got[0]["keep"] is True
+    assert got[1]["keep"] is False and got[1]["word_count"] == 8
+    assert got[2]["keep"] is False
+    assert got[2]["alpha_word_frac"] == 0.0 and got[2]["symbol_ratio"] == 4.0
+    assert got[0]["stopword_hits"] >= 2
+
+
+def test_sliding_chunks_matches_python(spark):
+    from stackstac_spark.operators.packing import sliding_chunks
+
+    texts = [
+        (0, " ".join(f"w{i}" for i in range(10))),  # 10 tokens
+        (1, "a b c"),  # shorter than one chunk
+        (2, " ".join(f"x{i}" for i in range(8))),  # exactly 2 windows at 4/4
+    ]
+    df = spark.createDataFrame(texts, "doc_id LONG, text STRING")
+    got = {}
+    for r in sliding_chunks(df, chunk_tokens=4, stride=3).collect():
+        got[(r["doc_id"], r["chunk_idx"])] = (r["chunk_text"], r["n_chunk_tokens"])
+    import math
+
+    for i, t in texts:
+        toks = t.split()
+        n_win = 1 + math.ceil(max(len(toks) - 4, 0) / 3)
+        for w in range(n_win):
+            chunk = toks[w * 3 : w * 3 + 4]
+            assert got[(i, w)] == (" ".join(chunk), len(chunk)), (i, w)
+        assert (i, n_win) not in got
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sliding_chunks(df, chunk_tokens=0)
