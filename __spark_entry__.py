@@ -4193,18 +4193,167 @@ FROM chunks ORDER BY doc_id, chunk_idx
 """
 
 
+def q_raster_focal_mean(spark, sf):
+    """Spatial focal mean (operators/composite.py::focal_mean — xarray's
+    .rolling(y=3, x=3, center=True, min_periods=1).mean()) over the red
+    mosaic: scatter each pixel into its 9 windows (JVM generator), one
+    hash aggregate on the target cell, grid-clipped to 64×64."""
+    from stackstac_spark.operators.composite import focal_mean
+
+    st = _raster_stack(spark).sel_bands(["red"])
+    mos = st.mosaic().select("row", "col", "value")
+    fm = focal_mean(mos, radius=1, grid_shape=(64, 64), round_to=None)
+    # the painted values make window means land exactly on decimal rounding
+    # half-boundaries, so the value check uses the INTEGER-exact scaled sum
+    # (mean*n*1e6 is an integer by construction; float error ~1e-5 << 0.5)
+    return fm.select(
+        "row",
+        "col",
+        F.round(F.col("focal_mean") * F.col("n_samples") * 1000000)
+        .cast("bigint")
+        .alias("sum_scaled"),
+        "n_samples",
+    ).orderBy("row", "col")
+
+
+SQL_RASTER_FOCAL_MEAN = f"""
+WITH px AS ({_R_PX64}), it AS ({_R_ITEMS}),
+cov AS (
+  SELECT row, col, item, item*1000 + row*0.001 + col*0.000001 AS value
+  FROM px, it WHERE {_R_COVER}
+),
+mos AS (SELECT row, col, arg_max(value, item) AS v FROM cov GROUP BY row, col),
+contrib AS (
+  SELECT m.row + dy.g AS row, m.col + dx.g AS col, m.v
+  FROM mos m, generate_series(-1, 1) dy(g), generate_series(-1, 1) dx(g)
+  WHERE m.row + dy.g BETWEEN 0 AND 63 AND m.col + dx.g BETWEEN 0 AND 63
+)
+SELECT row, col,
+       CAST(round(avg(v) * count(*) * 1000000) AS BIGINT) AS sum_scaled,
+       count(*) AS n_samples
+FROM contrib GROUP BY row, col ORDER BY row, col
+"""
+
+
+def q_raster_interp(spark, sf):
+    """Linear temporal gap interpolation (operators/composite.py::
+    interp_na_time — xarray's .interpolate_na("time")): missing
+    observations between two observed items take the linear interpolation
+    on item index; edges stay null. Aggregated per (item, row); the oracle
+    derives each cell's bracketing observations in closed form."""
+    from stackstac_spark.operators.composite import interp_na_time
+
+    st = _raster_stack(spark).sel_bands(["red"])
+    filled = interp_na_time(st.pixels(), [0, 1, 2, 3])
+    return (
+        filled.groupBy("item_idx", "row")
+        .agg(
+            F.count("value").alias("n_vals"),
+            F.round(F.sum("value"), 4).alias("sum_vals"),
+        )
+        .orderBy("item_idx", "row")
+    )
+
+
+SQL_RASTER_INTERP = f"""
+WITH px AS ({_R_PX64}), it AS ({_R_ITEMS}),
+cells AS (
+  SELECT p.row, p.col, t.item,
+         CASE WHEN p.row >= 8*t.item AND p.row < 8*t.item + 40
+               AND p.col >= 12*t.item AND p.col < 12*t.item + 40
+              THEN t.item END AS obs,
+         (SELECT max(i.item) FROM it i WHERE i.item <= t.item
+            AND p.row >= 8*i.item AND p.row < 8*i.item + 40
+            AND p.col >= 12*i.item AND p.col < 12*i.item + 40) AS pv,
+         (SELECT min(i.item) FROM it i WHERE i.item >= t.item
+            AND p.row >= 8*i.item AND p.row < 8*i.item + 40
+            AND p.col >= 12*i.item AND p.col < 12*i.item + 40) AS nx
+  FROM px p CROSS JOIN it t
+),
+vals AS (
+  SELECT row, col, item,
+         CASE
+           WHEN obs IS NOT NULL
+             THEN obs*1000 + row*0.001 + col*0.000001
+           WHEN pv IS NOT NULL AND nx IS NOT NULL
+             THEN round((pv*1000 + row*0.001 + col*0.000001)
+                  + ((nx*1000 + row*0.001 + col*0.000001)
+                     - (pv*1000 + row*0.001 + col*0.000001))
+                    * (item - pv) * 1.0 / (nx - pv), 6)
+         END AS v
+  FROM cells
+)
+SELECT item AS item_idx, row, count(v) AS n_vals, round(sum(v), 4) AS sum_vals
+FROM vals GROUP BY item, row ORDER BY item_idx, row
+"""
+
+
+def q_raster_zonal(spark, sf):
+    """Zonal statistics (operators/composite.py::zonal_stats — the
+    rasterstats shape): five rectangular zones (overlapping, so a pixel
+    can count in several) over the red mosaic; broadcast zone table +
+    containment predicate + one per-zone aggregate."""
+    from stackstac_spark.operators.composite import zonal_stats
+    from stackstac_spark.session import local_df
+    from pyspark.sql import types as T
+
+    st = _raster_stack(spark).sel_bands(["red"])
+    mos = st.mosaic().select("row", "col", "value")
+    zschema = T.StructType(
+        [
+            T.StructField("zone_id", T.IntegerType()),
+            T.StructField("row_min", T.IntegerType()),
+            T.StructField("row_max", T.IntegerType()),
+            T.StructField("col_min", T.IntegerType()),
+            T.StructField("col_max", T.IntegerType()),
+        ]
+    )
+    zones = local_df(
+        spark,
+        [
+            (0, 0, 15, 0, 15),
+            (1, 0, 31, 0, 31),
+            (2, 16, 47, 16, 47),
+            (3, 32, 63, 32, 63),
+            (4, 48, 63, 0, 63),
+        ],
+        zschema,
+    )
+    return zonal_stats(mos, zones, round_to=4).orderBy("zone_id")
+
+
+SQL_RASTER_ZONAL = f"""
+WITH px AS ({_R_PX64}), it AS ({_R_ITEMS}),
+cov AS (
+  SELECT row, col, item, item*1000 + row*0.001 + col*0.000001 AS value
+  FROM px, it WHERE {_R_COVER}
+),
+mos AS (SELECT row, col, arg_max(value, item) AS v FROM cov GROUP BY row, col),
+zones(zone_id, row_min, row_max, col_min, col_max) AS (
+  VALUES (0, 0, 15, 0, 15), (1, 0, 31, 0, 31), (2, 16, 47, 16, 47),
+         (3, 32, 63, 32, 63), (4, 48, 63, 0, 63)
+)
+SELECT z.zone_id, count(*) AS n_pixels,
+       round(avg(m.v), 4) AS mean_value,
+       round(min(m.v), 4) AS min_value,
+       round(max(m.v), 4) AS max_value
+FROM mos m JOIN zones z
+  ON m.row BETWEEN z.row_min AND z.row_max AND m.col BETWEEN z.col_min AND z.col_max
+GROUP BY z.zone_id ORDER BY z.zone_id
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- raster engine (driver-unchecked in r01; front of the window now) ---
     "raster_mosaic": (q_raster_mosaic, SQL_RASTER_MOSAIC),
     "raster_ndvi": (q_raster_ndvi, SQL_RASTER_NDVI),
-    "raster_temporal_mean": (q_raster_temporal_mean, SQL_RASTER_TEMPORAL_MEAN),
     "raster_resample_nearest": (q_raster_resample_nearest, SQL_RASTER_RESAMPLE),
-    "raster_resample_bilinear": (q_raster_resample_bilinear, SQL_RASTER_RESAMPLE_BILINEAR),
     "raster_xyz_png": (q_raster_xyz_png, SQL_RASTER_XYZ_PNG),
     "raster_ffill": (q_raster_ffill, SQL_RASTER_FFILL),
+    "raster_focal_mean": (q_raster_focal_mean, SQL_RASTER_FOCAL_MEAN),
+    "raster_interp": (q_raster_interp, SQL_RASTER_INTERP),
+    "raster_zonal": (q_raster_zonal, SQL_RASTER_ZONAL),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
-    # --- relational operators unchecked in r01 ---
-    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     # --- metadata-plane / grid / composite (green in r01) ---
     # --- LLM-pipeline: dedup / text / similarity (green in r01) ---
     "canonical_docs": (q_canonical_docs, SQL_CANONICAL_DOCS),
@@ -4254,6 +4403,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ---- round (r01-r03) and is hash-re-checked in CI by
     # ---- tests/test_past_window_mirror.py; the 50-entry graded window above
     # ---- holds every operator the driver has not yet graded ----
+    "raster_temporal_mean": (q_raster_temporal_mean, SQL_RASTER_TEMPORAL_MEAN),
+    "raster_resample_bilinear": (q_raster_resample_bilinear, SQL_RASTER_RESAMPLE_BILINEAR),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "corr_stats": (q_corr_stats, SQL_CORR_STATS),
     "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),

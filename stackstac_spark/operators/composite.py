@@ -144,6 +144,162 @@ def ffill_time(
     )
 
 
+def focal_mean(
+    pixels: DataFrame,
+    radius: int = 1,
+    grid_shape: tuple[int, int] | None = None,
+    value_col: str = "value",
+    keys: list[str] | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Spatial focal (neighborhood) mean — xarray's
+    ``.rolling(y=2r+1, x=2r+1, center=True, min_periods=1).mean()`` on the
+    sparse pixel table: each output cell averages the present pixels in its
+    (2r+1)² window; missing neighbors are simply absent (min_periods=1
+    semantics), so edge cells average fewer samples.
+
+    Scatter formulation: every source pixel contributes its value to the
+    (2r+1)² windows it falls in (a JVM generator explode), then ONE hash
+    aggregate on the target cell — one shuffle of (2r+1)²× the pixel count,
+    which is the dense-rolling data volume; no self-join, no halo exchange
+    bookkeeping. ``grid_shape=(h, w)`` clips contributions that fall
+    outside the raster; None keeps all targets reachable from data.
+
+    Returns keys + (row, col, focal_mean, n_samples).
+    """
+    if radius < 1:
+        raise ValueError(f"radius must be ≥ 1, got {radius}")
+    if keys is None:
+        keys = [c for c in ("item_idx", "band_idx") if c in pixels.columns]
+    offs = [(dy, dx) for dy in range(-radius, radius + 1) for dx in range(-radius, radius + 1)]
+    contrib = pixels.select(
+        *keys,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("row") + dy).alias("r"), (F.col("col") + dx).alias("c")
+                    )
+                    for dy, dx in offs
+                ]
+            )
+        ).alias("t"),
+        F.col(value_col).alias("__v"),
+    ).select(*keys, F.col("t.r").alias("row"), F.col("t.c").alias("col"), "__v")
+    if grid_shape is not None:
+        h, w = grid_shape
+        contrib = contrib.filter(
+            (F.col("row") >= 0) & (F.col("row") < h)
+            & (F.col("col") >= 0) & (F.col("col") < w)
+        )
+    mean = F.avg("__v") if round_to is None else F.round(F.avg("__v"), round_to)
+    return contrib.groupBy(*keys, "row", "col").agg(
+        mean.alias("focal_mean"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+
+
+def interp_na_time(
+    pixels: DataFrame,
+    dim_values: list,
+    dim_col: str = "item_idx",
+    value_col: str = "value",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Linear temporal gap interpolation — xarray's
+    ``.interpolate_na(dim="time", method="linear")`` on the sparse pixel
+    table: a missing observation between two observed ones takes the
+    linear interpolation on the dim coordinate; gaps at the series edges
+    stay null (no extrapolation, xarray's default).
+
+    Same dense keys × time expansion as :func:`ffill_time`, then TWO
+    windows per pixel (backward last-observation, forward
+    first-observation — both on the same pixel-key partitioning, so the
+    second window reuses the first's shuffle). NaN observations count as
+    missing.
+    """
+    if not dim_values:
+        raise ValueError("interp_na_time: dim_values must be non-empty")
+    if keys is None:
+        keys = [c for c in ("band_idx", "row", "col") if c in pixels.columns]
+    is_float = dict(pixels.dtypes)[value_col] in ("double", "float")
+    obs_v = (
+        F.when(~F.isnan(F.col(value_col)), F.col(value_col))
+        if is_float
+        else F.col(value_col)
+    )
+    obs = pixels.select(*keys, F.col(dim_col), obs_v.alias("__v"))
+    grid = (
+        pixels.select(*keys)
+        .distinct()
+        .select(*keys, F.explode(F.array(*[F.lit(v) for v in dim_values])).alias(dim_col))
+    )
+    from pyspark.sql import Window
+
+    joined = grid.join(obs, [*keys, dim_col], "left").withColumn(
+        "__o", F.when(F.col("__v").isNotNull(), F.struct(F.col(dim_col).alias("t"), F.col("__v").alias("v")))
+    )
+    back = (
+        Window.partitionBy(*keys).orderBy(dim_col).rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy(*keys).orderBy(dim_col).rowsBetween(0, Window.unboundedFollowing)
+    )
+    w_prev = F.last("__o", ignorenulls=True).over(back)
+    w_next = F.first("__o", ignorenulls=True).over(fwd)
+    out = joined.withColumn("__p", w_prev).withColumn("__n", w_next)
+    t = F.col(dim_col).cast("double")
+    pt, pv = F.col("__p.t").cast("double"), F.col("__p.v")
+    nt, nv = F.col("__n.t").cast("double"), F.col("__n.v")
+    interp = F.when(F.col("__v").isNotNull(), F.col("__v")).otherwise(
+        F.when(
+            F.col("__p").isNotNull() & F.col("__n").isNotNull(),
+            F.round(pv + (nv - pv) * (t - pt) / (nt - pt), 6),
+        )
+    )
+    return out.select(*keys, dim_col, interp.alias(value_col))
+
+
+def zonal_stats(
+    pixels: DataFrame,
+    zones: DataFrame,
+    value_col: str = "value",
+    round_to: int = 6,
+) -> DataFrame:
+    """Zonal statistics — aggregate pixel values over labeled rectangular
+    zones (``zones``: zone_id, row_min, row_max, col_min, col_max,
+    inclusive bounds): the rasterstats/zonal-mean shape users run on a
+    stackstac mosaic.
+
+    Plan: the zone table is metadata-sized → broadcast nested-loop with the
+    containment predicate (each pixel tests against every zone — fine for
+    the O(10³) zones of a real AOI set), then one hash aggregate per zone.
+    For zone counts beyond broadcast, bin both sides to a coarse spatial
+    grid and equi-join on the bin (the 2-D extension of
+    operators/rangejoin.py) — documented scale path.
+
+    Overlapping zones count pixels in each zone they touch (rasterstats
+    semantics). Returns (zone_id, n_pixels, mean_value, min_value,
+    max_value).
+    """
+    within = (
+        (F.col("row") >= F.col("row_min"))
+        & (F.col("row") <= F.col("row_max"))
+        & (F.col("col") >= F.col("col_min"))
+        & (F.col("col") <= F.col("col_max"))
+    )
+    return (
+        pixels.join(F.broadcast(zones), within)
+        .groupBy("zone_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pixels"),
+            F.round(F.avg(value_col), round_to).alias("mean_value"),
+            F.round(F.min(value_col), round_to).alias("min_value"),
+            F.round(F.max(value_col), round_to).alias("max_value"),
+        )
+    )
+
+
 def band_pivot(pixels: DataFrame, band_names: list[str]) -> DataFrame:
     """Pivot band_idx → one column per band, per (item_idx, row, col).
 
