@@ -3206,7 +3206,9 @@ FROM bins GROUP BY media_id ORDER BY media_id
 # mosaic_first_valid, minhash_signatures, jaccard_pairs, doc_fingerprint,
 # text_quality, corr_stats, embedding_centroids, dedup_exact, simhash,
 # token_stats, window_rank, metadata_filter, langid_heuristic,
-# minhash_lsh_pairs, resample_daily_median) was driver-green in r01-r03,
+# minhash_lsh_pairs, resample_daily_median, dedup_components,
+# sim_bruteforce_topk, raster_temporal_mean, raster_resample_bilinear,
+# asof_join) was driver-green in r01-r03,
 # keeps a same-code-path relative in-window where one exists (e.g.
 # raster_mosaic for the mosaic kernel, minhash_est for the LSH+signature
 # path, corpus_clean for quality/fingerprint), and is re-hash-checked every
