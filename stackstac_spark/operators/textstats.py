@@ -354,32 +354,36 @@ def char_entropy(
     """Per-document Shannon character entropy (bits/char) — the classic
     gibberish / base64-blob / repeated-filler quality signal (low entropy =
     repetition, ≈ uniform-random = encoded binary). Computed as
-    ``log2(n) − Σ c·log2(c) / n`` over character counts — one (doc, char)
-    aggregate with map-side combine, then a per-doc aggregate; both keyed
-    by doc so the second agg is co-partitioned. Empty texts are absent
+    ``log2(n) − Σ c·log2(c) / n`` over character counts.
+
+    Map-only: the per-char counts come from higher-order functions over
+    the char array (distinct chars → count each via ``filter``), entirely
+    inside whole-stage codegen — ZERO shuffle, fuses into the scan. That is
+    O(n·distinct) per doc vs the exploded (doc, char) groupBy's O(n) rows
+    through a full shuffle; for natural text (distinct ≈ alphabet size)
+    the map-only form wins at any corpus size, and at 100 TB it removes
+    the largest shuffle of the text-quality stage. Empty texts are absent
     from the output (no characters → entropy undefined).
 
     Returns (id, n_chars, entropy) with entropy rounded to 6.
     """
     # NB: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not an empty
-    # array — an unguarded explode would fabricate two empty-string "chars"
-    # for an empty text; filter them out up front (empty → absent, as the
+    # array — hence the explicit empty-text filter (empty → absent, as the
     # docstring states and as generate_series-based engines behave)
-    chars = df.filter(F.length(text_col) > 0).select(
-        id_col,
-        F.explode(
-            F.expr(f"transform(sequence(1, length({text_col})), i -> substring({text_col}, i, 1))")
-        ).alias("ch"),
+    chars = f"transform(sequence(1, length({text_col})), i -> substring({text_col}, i, 1))"
+    counts = (
+        f"transform(array_distinct({chars}), "
+        f"c -> size(filter({chars}, x -> x = c)))"
     )
-    counts = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("c"))
-    return (
-        counts.groupBy(id_col)
-        .agg(
-            F.sum("c").alias("n_chars"),
-            F.round(
-                F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c"), 6
-            ).alias("entropy"),
-        )
+    ent = (
+        f"log2(CAST(length({text_col}) AS DOUBLE)) - "
+        f"aggregate({counts}, 0D, (a, c) -> a + c * log2(CAST(c AS DOUBLE))) "
+        f"/ length({text_col})"
+    )
+    return df.filter(F.length(text_col) > 0).select(
+        id_col,
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.round(F.expr(ent), 6).alias("entropy"),
     )
 
 
