@@ -141,6 +141,11 @@ def weighted_sample(
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    if "sample_key" in df.columns:
+        raise ValueError(
+            "weighted_sample: input column 'sample_key' collides with the "
+            "output key column; rename it first"
+        )
     u = (
         F.conv(
             F.substring(

@@ -96,6 +96,12 @@ def grouped_topk(
     keys = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    for reserved in ("rank", "_salt", "_lr"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"grouped_topk: input column {reserved!r} collides with an "
+                "output/internal column; rename it first"
+            )
     tiebreak = tiebreak_col or order_col
     direction = F.col(order_col).asc() if ascending else F.col(order_col).desc()
     order = [direction, F.col(tiebreak).asc()]

@@ -339,3 +339,15 @@ def test_pca_power_validation(spark):
         pca_power(df, "embedding", n_iters=0)
     with pytest.raises(ValueError):
         pca_power(df.filter("vec_id < 0"), "embedding")
+
+
+def test_output_column_collision_guards(spark):
+    from stackstac_spark.operators.sampling import weighted_sample
+    from stackstac_spark.operators.skew import grouped_topk
+
+    df = spark.createDataFrame([(1, 2.0, 0.5)], "doc_id LONG, w DOUBLE, sample_key DOUBLE")
+    with pytest.raises(ValueError, match="sample_key"):
+        weighted_sample(df, "w", k=1)
+    df2 = spark.createDataFrame([(1, "a", 2.0, 3)], "id LONG, grp STRING, s DOUBLE, rank INT")
+    with pytest.raises(ValueError, match="rank"):
+        grouped_topk(df2, "grp", "s", k=1)
