@@ -91,3 +91,87 @@ def test_zonal_stats_overlapping_zones(spark):
     assert got[1]["n_pixels"] == 4 and got[1]["min_value"] == 11.0
     assert got[2]["n_pixels"] == 16 and got[2]["max_value"] == 33.0
     # pixel (1,1) counted in all three zones (overlap semantics)
+
+
+# --- Hypothesis fuzz -------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(min_value=0, max_value=2**16),
+    density=st.floats(min_value=0.1, max_value=1.0),
+    radius=st.integers(min_value=1, max_value=2),
+)
+def test_focal_mean_fuzz_vs_numpy(spark, seed, density, radius):
+    from stackstac_spark.operators.composite import focal_mean
+
+    h, w = 5, 6
+    rng = np.random.default_rng(seed)
+    grid = rng.integers(0, 50, (h, w)).astype(float)
+    mask = rng.random((h, w)) < density
+    rows = [
+        (int(r), int(c), float(grid[r, c]))
+        for r in range(h)
+        for c in range(w)
+        if mask[r, c]
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "row INT, col INT, value DOUBLE")
+    got = {
+        (r["row"], r["col"]): (r["focal_mean"], r["n_samples"])
+        for r in focal_mean(df, radius=radius, grid_shape=(h, w)).collect()
+    }
+    for r in range(h):
+        for c in range(w):
+            vals = [
+                grid[rr, cc]
+                for rr in range(max(0, r - radius), min(h, r + radius + 1))
+                for cc in range(max(0, c - radius), min(w, c + radius + 1))
+                if mask[rr, cc]
+            ]
+            if not vals:
+                assert (r, c) not in got
+            else:
+                fm, n = got[(r, c)]
+                assert n == len(vals)
+                assert abs(fm - round(float(np.mean(vals)), 6)) < 1e-9
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(obs=st.lists(st.tuples(st.integers(0, 5), st.floats(0, 100)), min_size=1, max_size=6, unique_by=lambda t: t[0]))
+def test_interp_na_time_fuzz_vs_numpy(spark, obs):
+    from stackstac_spark.operators.composite import interp_na_time
+
+    dim = list(range(6))
+    px = spark.createDataFrame(
+        [(t, 0, 0, 0, float(v)) for t, v in obs],
+        "item_idx INT, band_idx INT, row INT, col INT, value DOUBLE",
+    )
+    got = {
+        r["item_idx"]: r["value"] for r in interp_na_time(px, dim).collect()
+    }
+    ts = sorted(t for t, _ in obs)
+    vals = dict(obs)
+    for t in dim:
+        if t in vals:
+            assert got[t] == pytest.approx(vals[t])
+            continue
+        prev = max((x for x in ts if x <= t), default=None)
+        nxt = min((x for x in ts if x >= t), default=None)
+        if prev is None or nxt is None:
+            assert got[t] is None
+        else:
+            expect = vals[prev] + (vals[nxt] - vals[prev]) * (t - prev) / (nxt - prev)
+            assert got[t] == pytest.approx(round(expect, 6), abs=1e-9)
