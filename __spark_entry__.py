@@ -4345,6 +4345,62 @@ GROUP BY z.zone_id ORDER BY z.zone_id
 """
 
 
+def q_cube_agg(spark, sf):
+    """CUBE (all 2^k grouping combinations) over returnflag × linestatus —
+    completes the rollup / grouping-sets / cube aggregation trio."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "n",
+            "qty",
+        )
+        .orderBy("flag", "status")
+    )
+
+
+SQL_CUBE_AGG = """
+SELECT coalesce(l_returnflag, 'ALL') AS flag,
+       coalesce(l_linestatus, 'ALL') AS status,
+       count(*) AS n, round(sum(l_quantity), 2) AS qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY flag, status
+"""
+
+
+def q_sentence_stats(spark, sf):
+    """Sentence segmentation stats (operators/textstats.py::sentence_stats
+    — the C4 ≥3-sentences rule's measurement): terminal-punctuation split,
+    per-doc counts and mean sentence token length."""
+    from stackstac_spark.operators.textstats import sentence_stats
+
+    docs = _t(spark, sf, "documents")
+    return sentence_stats(docs).orderBy("doc_id")
+
+
+SQL_SENTENCE_STATS = """
+WITH segs AS (
+  SELECT doc_id,
+         list_filter(list_transform(regexp_split_to_array(text, '[.!?]+(\\s+|$)'),
+                                    x -> trim(x)), x -> x != '') AS s,
+         regexp_matches(text, '[.!?]\\s*$') AS ends_terminal
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(s) AS INT) AS n_sentences,
+       CASE WHEN len(s) > 0 THEN
+         round(list_sum(list_transform(s, x -> len(regexp_split_to_array(x, '\\s+')))) * 1.0
+               / len(s), 6)
+       END AS mean_sentence_tokens,
+       ends_terminal,
+       (len(s) >= 3) AS c4_min_sentences
+FROM segs ORDER BY doc_id
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- raster engine (driver-unchecked in r01; front of the window now) ---
     "raster_mosaic": (q_raster_mosaic, SQL_RASTER_MOSAIC),
@@ -4466,6 +4522,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "tpch_q17": (q_tpch_q17, SQL_TPCH_Q17),
     "tpch_q19": (q_tpch_q19, SQL_TPCH_Q19),
     "tpch_q22": (q_tpch_q22, SQL_TPCH_Q22),
+    # r4 additions landing past-window (the window is full of never-graded
+    # queries); mirror-checked now, graded when the window rotates
+    "cube_agg": (q_cube_agg, SQL_CUBE_AGG),
+    "sentence_stats": (q_sentence_stats, SQL_SENTENCE_STATS),
 }
 
 

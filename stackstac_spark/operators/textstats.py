@@ -469,6 +469,42 @@ def gopher_quality_filter(
     return out.withColumn("keep", keep)
 
 
+def sentence_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Sentence segmentation stats — the C4 "at least 3 sentences" rule's
+    measurement step: split on terminal punctuation runs ([.!?]+ followed
+    by whitespace or end), count sentences, mean sentence token length,
+    and the fraction ending with terminal punctuation. Regex is restricted
+    to syntax shared by Java regex and RE2 so any engine replays it.
+    Map-only column expressions.
+    """
+    # sentences = non-empty segments after splitting on terminal runs
+    segs = F.expr(
+        rf"filter(transform(split({text_col}, '[.!?]+(\\s+|$)'), x -> trim(x)), x -> x != '')"
+    )
+    n_sent = F.size(segs)
+    mean_toks = F.when(
+        n_sent > 0,
+        F.round(
+            F.expr(
+                rf"aggregate(filter(transform(split({text_col}, '[.!?]+(\\s+|$)'), x -> trim(x)), x -> x != ''), "
+                rf"0L, (a, s) -> a + size(split(s, '\\s+')))"
+            )
+            / n_sent,
+            6,
+        ),
+    )
+    ends_terminal = F.col(text_col).rlike(r"[.!?]\s*$")
+    return df.select(
+        id_col,
+        n_sent.alias("n_sentences"),
+        mean_toks.alias("mean_sentence_tokens"),
+        ends_terminal.alias("ends_terminal"),
+        (n_sent >= 3).alias("c4_min_sentences"),
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     query_terms: list[str],

@@ -417,3 +417,31 @@ def test_sliding_chunks_matches_python(spark):
 
     with _pytest.raises(ValueError):
         sliding_chunks(df, chunk_tokens=0)
+
+
+def test_sentence_stats_segmentation(spark):
+    from stackstac_spark.operators.textstats import sentence_stats
+
+    df = spark.createDataFrame(
+        [
+            (0, "One two three. Four five! Six seven eight?"),
+            (1, "No terminal punctuation here"),
+            (2, "Trailing spaces after stop.   "),
+            (3, "Multi!!! punctuation?! runs... collapse."),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {r["doc_id"]: r for r in sentence_stats(df).collect()}
+    assert got[0]["n_sentences"] == 3 and got[0]["c4_min_sentences"] is True
+    assert got[0]["mean_sentence_tokens"] == 8 / 3 or abs(got[0]["mean_sentence_tokens"] - round(8 / 3, 6)) < 1e-9
+    assert got[1]["n_sentences"] == 1 and got[1]["ends_terminal"] is False
+    assert got[2]["n_sentences"] == 1 and got[2]["ends_terminal"] is True
+    assert got[3]["n_sentences"] == 4 and got[3]["c4_min_sentences"] is True
+
+
+def test_cube_agg_shape(spark):
+    # cube over 2 cols → 4 grouping levels; exercised end-to-end by the
+    # cube_agg gate query vs DuckDB; here just the Expand-node presence
+    df = spark.createDataFrame([("a", "x", 1), ("a", "y", 2)], "f STRING, s STRING, v INT")
+    out = df.cube("f", "s").count()
+    assert out.count() == 6  # (a,x),(a,y),(a,*),(*,x),(*,y),(*,*)
