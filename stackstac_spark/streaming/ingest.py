@@ -117,10 +117,19 @@ def interval_join(
     the equality key drives the shuffle), which is what the gate oracle
     replays.
 
-    Column conflicts: right's ts is exposed as ``right_ts_val``.
+    Column conflicts: right's ts is exposed as ``right_ts_val``; any other
+    shared column name would make the joined frame ambiguous, so it is
+    rejected up front (rename before joining).
     """
     if how not in ("inner", "leftOuter"):
         raise ValueError(f"interval_join supports inner/leftOuter, got {how!r}")
+    clash = (set(left.columns) & set(right.columns)) - {on, right_ts}
+    clash |= {c for c in ("right_ts_val", "__rk") if c in left.columns + right.columns}
+    if clash:
+        raise ValueError(
+            f"interval_join: column names shared by both sides (or reserved) "
+            f"would be ambiguous after the join: {sorted(clash)}; rename them first"
+        )
     l = left.withWatermark(left_ts, watermark) if watermark else left
     r = right.withWatermark(right_ts, watermark) if watermark else right
     l = l.alias("l")

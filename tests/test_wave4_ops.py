@@ -445,3 +445,13 @@ def test_cube_agg_shape(spark):
     df = spark.createDataFrame([("a", "x", 1), ("a", "y", 2)], "f STRING, s STRING, v INT")
     out = df.cube("f", "s").count()
     assert out.count() == 6  # (a,x),(a,y),(a,*),(*,x),(*,y),(*,*)
+
+
+def test_interval_join_rejects_ambiguous_columns(spark):
+    from stackstac_spark.streaming.ingest import interval_join
+
+    l = spark.createDataFrame([(1, 100, 5.0)], "user_id LONG, ts_s LONG, value DOUBLE")
+    r = spark.createDataFrame([(1, 150, 9.0)], "user_id LONG, ts_s LONG, value DOUBLE")
+    mk = lambda d: d.withColumn("ts", F.timestamp_seconds("ts_s"))
+    with pytest.raises(ValueError, match="ambiguous"):
+        interval_join(mk(l), mk(r), on="user_id")  # ts_s + value shared
