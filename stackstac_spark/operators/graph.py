@@ -1,0 +1,75 @@
+"""Iterative graph algorithms over edge-list DataFrames.
+
+Connected components lives in ``operators/dedup.py`` (it is the dedup
+clustering step); this module holds the general-purpose iterative ops.
+PageRank here is the third iterative-algorithm pattern in the engine
+(alongside k-means in ``similarity.py`` and pointer-doubling components):
+a driver-side loop of joins/aggregates with one ``localCheckpoint`` per
+iteration to truncate the growing plan — the Pregel-without-Pregel shape
+Spark executes well when iteration counts are small and fixed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    iters: int = 5,
+    damping: float = 0.85,
+    round_to: int = 6,
+) -> DataFrame:
+    """PageRank over an UNDIRECTED edge list (each pair contributes both
+    directions) — e.g. centrality over the near-duplicate candidate graph,
+    where high-rank documents are cluster hubs (an alternative canonical-
+    doc policy to min-id/best-score).
+
+    Fixed ``iters`` synchronous iterations of
+    ``r = (1 − d)/N + d · Σ_in r_src / deg_src`` over the node set defined
+    by the edges (no dangling nodes in an undirected graph). Fixed-count,
+    fixed-order arithmetic → an external SQL engine replays it exactly
+    with an unrolled CTE chain.
+
+    Scale shape: degrees are ONE aggregate; each iteration is one
+    edge⋈ranks equi-join + one destination-keyed aggregate, both shuffling
+    on the node id (co-partitioned round to round), with a
+    ``localCheckpoint`` per iteration to stop logical-plan doubling —
+    identical hygiene to ``connected_components``. Ranks sum to ~1 and are
+    rounded to ``round_to`` on output only.
+    """
+    if iters <= 0:
+        raise ValueError(f"iters must be positive, got {iters}")
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    e1 = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e1.union(
+        e1.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.count()
+    if n == 0:
+        return deg.select(F.col("src").alias("node"), F.lit(0.0).alias("rank"))
+    base = (1.0 - damping) / n
+    ranks = deg.select("src", F.lit(1.0 / n).alias("r")).localCheckpoint()
+    # pre-join degree once: contribution = r / deg
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks, "src")
+            .join(deg, "src")
+            .select(F.col("dst").alias("src"), (F.col("r") / F.col("deg")).alias("c"))
+        )
+        ranks = (
+            contrib.groupBy("src")
+            .agg((F.lit(base) + F.lit(damping) * F.sum("c")).alias("r"))
+            .localCheckpoint()
+        )
+    return ranks.select(
+        F.col("src").alias("node"), F.round("r", round_to).alias("rank")
+    )
