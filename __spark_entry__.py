@@ -4457,6 +4457,90 @@ r0 AS (SELECT deg.src, 1.0 / nn.n AS r FROM deg, nn),
 SQL_PAGERANK = _duck_pagerank_sql()
 
 
+def q_session_windows(spark, sf):
+    """Native session windows (Spark's session_window — gap-merged
+    event-time sessions, the built-in complement of the
+    applyInPandasWithState sessionizer): per-user sessions with a
+    30-minute gap, aggregated per user. TZ-immune output: session bounds
+    are reported as epoch-microsecond integers."""
+    ev = _events(spark, sf).withColumn("ts", F.timestamp_micros("ts_us"))
+    sess = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("start_us"),
+            F.unix_micros("w.end").alias("end_us"),
+            "n_events",
+        )
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max(F.col("end_us") - F.col("start_us")).alias("max_len_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# islands-and-gaps replay: a new session starts when the gap from the
+# previous event exceeds 30 min; Spark's session_window end = last event
+# + gap, so session length = (last - first) + 30 min.
+SQL_SESSION_WINDOWS = f"""
+WITH ev AS ({_DUCK_EV}),
+marked AS (
+  SELECT user_id, ts_us,
+         CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                   > 1800000000 OR
+                   lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+),
+sessioned AS (
+  SELECT user_id, ts_us,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked
+),
+sess AS (
+  SELECT user_id, sess_id, count(*) AS n_events,
+         max(ts_us) - min(ts_us) + 1800000000 AS len_us
+  FROM sessioned GROUP BY user_id, sess_id
+)
+SELECT user_id, count(*) AS n_sessions,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       max(len_us) AS max_len_us
+FROM sess GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_group_quantiles(spark, sf):
+    """Per-group exact continuous quantiles (Spark percentile == DuckDB
+    quantile_cont, both the linear-interpolation definition): doc-length
+    quartiles per source."""
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.round(F.expr("percentile(n_chars, 0.25)"), 4).alias("q25"),
+            F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("q50"),
+            F.round(F.expr("percentile(n_chars, 0.75)"), 4).alias("q75"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_GROUP_QUANTILES = """
+SELECT source,
+       round(quantile_cont(n_chars, 0.25), 4) AS q25,
+       round(quantile_cont(n_chars, 0.5), 4) AS q50,
+       round(quantile_cont(n_chars, 0.75), 4) AS q75
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- raster engine (driver-unchecked in r01; front of the window now) ---
     "raster_mosaic": (q_raster_mosaic, SQL_RASTER_MOSAIC),
@@ -4583,6 +4667,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "cube_agg": (q_cube_agg, SQL_CUBE_AGG),
     "sentence_stats": (q_sentence_stats, SQL_SENTENCE_STATS),
     "pagerank": (q_pagerank, SQL_PAGERANK),
+    "session_windows": (q_session_windows, SQL_SESSION_WINDOWS),
+    "group_quantiles": (q_group_quantiles, SQL_GROUP_QUANTILES),
 }
 
 
