@@ -35,9 +35,15 @@ def test_pagerank_matches_python(spark):
     # star (hub 0) + triangle + isolated pair
     edges = [(0, 1), (0, 2), (0, 3), (0, 4), (10, 11), (11, 12), (10, 12), (20, 21)]
     pairs = spark.createDataFrame(edges, "id_a LONG, id_b LONG")
+    # both physical strategies must agree with the replay and each other
     got = {r["node"]: r["rank"] for r in pagerank(pairs, iters=5).collect()}
+    got_loop = {
+        r["node"]: r["rank"]
+        for r in pagerank(pairs, iters=5, driver_threshold=0).collect()
+    }
     expect = _py_pagerank(edges)
     assert got == expect
+    assert got_loop == expect
     # hub of the star outranks its leaves; triangle members are symmetric
     assert got[0] > got[1] and got[1] == got[2] == got[3] == got[4]
     assert got[10] == got[11] == got[12]
