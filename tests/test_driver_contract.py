@@ -47,7 +47,7 @@ def test_bench_emits_one_json_line():
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True,
         text=True,
-        timeout=900,
+        timeout=1800,
         env=env,
         cwd=REPO,
     )
