@@ -3196,12 +3196,15 @@ FROM bins GROUP BY media_id ORDER BY media_id
 # mirror, which CI runs over the past-window entries). r04 adds four new
 # training-data operators in-window (repetition_stats, ngram_contamination,
 # tfidf_top, kmeans), rotating tpch_q5/q6/q12/q18 past the cap — all four
-# were green r01-r03 and remain mirror-covered. r04 waves 3-5 add 16 more
+# were green r01-r03 and remain mirror-covered. r04 waves 3-5 add 22 more
 # new-operator queries in-window (weighted_sample, grouped_topk,
 # text_normalize, quality_buckets, sliding_windows, bloom_prefilter,
-# pca_power, winnow_pairs, sorted_neighborhood, interval_join, raster_ffill,
-# bm25_topk, minhash_est, char_entropy, vocab_encode, grouping_sets,
-# unpivot); every rotated entry (mosaic_reverse, resample_quarterly,
+# pca_power, winnow_pairs, sorted_neighborhood, interval_join, bm25_topk,
+# minhash_est, char_entropy, vocab_encode, grouping_sets, unpivot,
+# gopher_filter, sliding_chunks, raster_ffill, raster_focal_mean,
+# raster_interp, raster_zonal) plus five more landing past-window
+# (cube_agg, sentence_stats, pagerank, session_windows, group_quantiles);
+# every rotated entry (mosaic_reverse, resample_quarterly,
 # sessionize, tumbling_hourly, json_props, range_join, rollup_agg,
 # mosaic_first_valid, minhash_signatures, jaccard_pairs, doc_fingerprint,
 # text_quality, corr_stats, embedding_centroids, dedup_exact, simhash,

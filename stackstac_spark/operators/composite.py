@@ -114,8 +114,34 @@ def ffill_time(
     after spatial/temporal slicing, like the reference's users do with
     xarray. NaN observations (errors-as-nodata fills) count as missing.
     """
+    keys, joined = _dense_time_obs(pixels, dim_values, dim_col, value_col, keys)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(dim_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        joined.withColumn(value_col, F.last("__v", ignorenulls=True).over(w))
+        .drop("__v")
+    )
+
+
+def _dense_time_obs(
+    pixels: DataFrame,
+    dim_values: list,
+    dim_col: str,
+    value_col: str,
+    keys: list[str] | None,
+):
+    """Shared scaffolding of the temporal gap-filling operators: densify
+    (distinct pixel keys × exploded time index) and left-join the
+    observations with NaN masked to null as ``__v``. Returns
+    ``(keys, joined)``; the join and any downstream per-pixel window share
+    the pixel-key partitioning."""
     if not dim_values:
-        raise ValueError("ffill_time: dim_values must be non-empty")
+        raise ValueError("dim_values must be non-empty")
     if keys is None:
         keys = [c for c in ("band_idx", "row", "col") if c in pixels.columns]
     obs = pixels.select(
@@ -130,18 +156,7 @@ def ffill_time(
         .distinct()
         .select(*keys, F.explode(F.array(*[F.lit(v) for v in dim_values])).alias(dim_col))
     )
-    from pyspark.sql import Window
-
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(dim_col)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return (
-        grid.join(obs, [*keys, dim_col], "left")
-        .withColumn(value_col, F.last("__v", ignorenulls=True).over(w))
-        .drop("__v")
-    )
+    return keys, grid.join(obs, [*keys, dim_col], "left")
 
 
 def focal_mean(
@@ -218,25 +233,10 @@ def interp_na_time(
     second window reuses the first's shuffle). NaN observations count as
     missing.
     """
-    if not dim_values:
-        raise ValueError("interp_na_time: dim_values must be non-empty")
-    if keys is None:
-        keys = [c for c in ("band_idx", "row", "col") if c in pixels.columns]
-    is_float = dict(pixels.dtypes)[value_col] in ("double", "float")
-    obs_v = (
-        F.when(~F.isnan(F.col(value_col)), F.col(value_col))
-        if is_float
-        else F.col(value_col)
-    )
-    obs = pixels.select(*keys, F.col(dim_col), obs_v.alias("__v"))
-    grid = (
-        pixels.select(*keys)
-        .distinct()
-        .select(*keys, F.explode(F.array(*[F.lit(v) for v in dim_values])).alias(dim_col))
-    )
+    keys, joined = _dense_time_obs(pixels, dim_values, dim_col, value_col, keys)
     from pyspark.sql import Window
 
-    joined = grid.join(obs, [*keys, dim_col], "left").withColumn(
+    joined = joined.withColumn(
         "__o", F.when(F.col("__v").isNotNull(), F.struct(F.col(dim_col).alias("t"), F.col("__v").alias("v")))
     )
     back = (

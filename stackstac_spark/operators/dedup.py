@@ -146,7 +146,6 @@ def sorted_neighborhood_pairs(
     """
     if window < 2:
         raise ValueError(f"window must be ≥ 2, got {window}")
-    spark = df.sparkSession
     keyed = (
         df.select(F.col(id_col).alias("id"), F.col(key_col).alias("key"))
         .repartitionByRange("key", "id")

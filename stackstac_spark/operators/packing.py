@@ -99,6 +99,12 @@ def sliding_chunks(
         raise ValueError(
             f"chunk_tokens and stride must be positive, got {chunk_tokens}, {stride}"
         )
+    if stride > chunk_tokens:
+        raise ValueError(
+            f"stride ({stride}) must not exceed chunk_tokens ({chunk_tokens}): "
+            "a larger stride would skip tokens and emit phantom empty chunks "
+            "(overlap = chunk_tokens - stride must be >= 0)"
+        )
     t = df.select(
         id_col, F.split(F.lower(F.col(text_col)), r"\s+").alias("__t")
     ).filter(F.size("__t") >= 1)

@@ -103,7 +103,13 @@ def grouped_topk(
                 "output/internal column; rename it first"
             )
     tiebreak = tiebreak_col or order_col
-    direction = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    # nulls always LAST: Spark's ASC default is NULLS FIRST, which would let
+    # unscored rows displace real winners from the top-k
+    direction = (
+        F.col(order_col).asc_nulls_last()
+        if ascending
+        else F.col(order_col).desc_nulls_last()
+    )
     order = [direction, F.col(tiebreak).asc()]
 
     salt = F.pmod(F.hash(F.col(tiebreak).cast("string")), F.lit(n_salts)).cast("int")

@@ -341,7 +341,9 @@ def quality_buckets(
     if n_buckets <= 0:
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
     w = Window.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
-    return df.select(
+    # unscored rows are dropped, not bucketed: ASC sorts NULLS FIRST, which
+    # would otherwise promote every unscored doc into bucket 1 ("best")
+    return df.filter(F.col(score_col).isNotNull()).select(
         id_col,
         F.col(score_col),
         F.ntile(n_buckets).over(w).alias("bucket"),

@@ -39,7 +39,11 @@ def report(df: DataFrame) -> dict:
     """Structural summary of the physical plan.
 
     Keys:
-    - ``n_exchanges``: shuffle boundaries (excluding broadcast exchanges)
+    - ``n_exchanges``: shuffle boundaries (every Exchange that is not a
+      broadcast — including ``SinglePartition`` exchanges, which ARE
+      shuffles and the single-task hazard this module exists to catch)
+    - ``n_single_partition``: the subset of exchanges collapsing to one
+      partition (global sort/limit/agg funnels)
     - ``n_broadcasts``: broadcast exchanges (cheap, but count the memory)
     - ``n_joins`` / ``join_kinds``: join nodes and their physical strategies
     - ``has_cartesian``: CartesianProduct or BroadcastNestedLoopJoin present
@@ -65,8 +69,8 @@ def report(df: DataFrame) -> dict:
         s for s in specs if re.search(r"\b(ASC|DESC)\b", s.split(",")[0])
     ]
     return {
-        "n_exchanges": sum(1 for e in exchanges if e != "SinglePartition")
-        - plan.count("BroadcastExchange"),
+        "n_exchanges": len(exchanges) - plan.count("BroadcastExchange"),
+        "n_single_partition": sum(1 for e in exchanges if e == "SinglePartition"),
         "n_broadcasts": plan.count("BroadcastExchange"),
         "n_joins": len(joins),
         "join_kinds": sorted(set(joins)),

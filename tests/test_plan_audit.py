@@ -107,3 +107,12 @@ def test_expect_on_engine_operators(spark):
         forbid_partitionless_windows=True,
     )
     assert rep2["has_take_ordered"]
+
+
+def test_report_counts_single_partition_exchange(spark):
+    from stackstac_spark.plans import audit
+
+    rep = audit.report(spark.range(100).repartition(1))
+    assert rep["n_exchanges"] == 1 and rep["n_single_partition"] == 1
+    with pytest.raises(AssertionError, match="n_exchanges"):
+        audit.expect(spark.range(100).repartition(1), max_exchanges=0)

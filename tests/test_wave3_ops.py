@@ -351,3 +351,26 @@ def test_output_column_collision_guards(spark):
     df2 = spark.createDataFrame([(1, "a", 2.0, 3)], "id LONG, grp STRING, s DOUBLE, rank INT")
     with pytest.raises(ValueError, match="rank"):
         grouped_topk(df2, "grp", "s", k=1)
+
+
+def test_grouped_topk_nulls_never_win(spark):
+    from stackstac_spark.operators.skew import grouped_topk
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "a", 5.0), (3, "a", 1.0)], "id LONG, grp STRING, s DOUBLE"
+    )
+    asc = grouped_topk(df, "grp", "s", k=1, ascending=True, tiebreak_col="id").collect()
+    assert [r["id"] for r in asc] == [3]  # not the NULL-score row
+    desc = grouped_topk(df, "grp", "s", k=1, tiebreak_col="id").collect()
+    assert [r["id"] for r in desc] == [2]
+
+
+def test_quality_buckets_drops_null_scores(spark):
+    from stackstac_spark.operators.textstats import quality_buckets
+
+    df = spark.createDataFrame(
+        [(0, None), (1, 1.0), (2, 2.0), (3, 9.0), (4, 4.0)], "doc_id LONG, s DOUBLE"
+    )
+    got = {r["doc_id"]: r["bucket"] for r in quality_buckets(df, "s", n_buckets=2).collect()}
+    assert 0 not in got  # unscored doc is dropped, not promoted to "best"
+    assert got == {1: 1, 2: 1, 4: 2, 3: 2}

@@ -455,3 +455,11 @@ def test_interval_join_rejects_ambiguous_columns(spark):
     mk = lambda d: d.withColumn("ts", F.timestamp_seconds("ts_s"))
     with pytest.raises(ValueError, match="ambiguous"):
         interval_join(mk(l), mk(r), on="user_id")  # ts_s + value shared
+
+
+def test_sliding_chunks_rejects_stride_gt_chunk(spark):
+    from stackstac_spark.operators.packing import sliding_chunks
+
+    df = spark.createDataFrame([(0, "a b c d e")], "doc_id LONG, text STRING")
+    with pytest.raises(ValueError, match="stride"):
+        sliding_chunks(df, chunk_tokens=4, stride=10)
