@@ -4544,6 +4544,32 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def q_heavy_hitters(spark, sf):
+    """SpaceSaving heavy hitters (operators/sketch.py::heavy_hitters —
+    mergeable-sketch two-phase top-k): per-partition sketches merged by a
+    counter-sum groupBy. Gate runs with capacity ≫ distinct items, where
+    the sketch is provably exact (err = 0), so DuckDB value-checks the
+    entire machinery — the approximate regime's error bounds are covered
+    by pytest."""
+    from stackstac_spark.operators.sketch import heavy_hitters
+
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    )
+    return heavy_hitters(toks, "tok", k=20, capacity=1000).orderBy(
+        F.desc("count"), "value"
+    )
+
+
+SQL_HEAVY_HITTERS = """
+WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+counts AS (SELECT tok AS value, count(*) AS count FROM toks GROUP BY tok)
+SELECT value, count, CAST(0 AS BIGINT) AS err, count AS count_lo
+FROM counts ORDER BY count DESC, value LIMIT 20
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- raster engine (driver-unchecked in r01; front of the window now) ---
     "raster_mosaic": (q_raster_mosaic, SQL_RASTER_MOSAIC),
@@ -4672,6 +4698,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "session_windows": (q_session_windows, SQL_SESSION_WINDOWS),
     "group_quantiles": (q_group_quantiles, SQL_GROUP_QUANTILES),
+    "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
 }
 
 

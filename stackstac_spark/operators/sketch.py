@@ -1,0 +1,101 @@
+"""Mergeable sketches for approximate aggregation at scale.
+
+SpaceSaving heavy hitters (Metwally/Agrawal/El Abbadi, ICDT 2005; merge
+per "Mergeable Summaries", Agarwal et al., PODS 2012): each partition
+maintains ``capacity`` counters in one streaming pass; partial sketches are
+tiny (capacity rows per partition) and merge by summing matched counters —
+the canonical two-phase shape for "top domains / hottest tokens over 100 TB"
+where an exact global groupBy would shuffle the full corpus.
+
+Error contract: a partial's reported count overestimates the true partition
+count by at most that partial's ``err`` (the count the item inherited when
+it evicted another); after merging, every surviving item's TRUE count lies
+in ``[count − err, count]``, and any item with true frequency >
+Σ_partitions (n_p / capacity) is guaranteed to survive. With ``capacity ≥``
+the number of distinct items per partition the sketch degenerates to exact
+counting (err = 0) — which is what the gate query exploits so DuckDB can
+value-check the whole machinery (the nprobe=n_lists ⇒ exact trick from the
+IVF gate).
+
+Scale shape: one ``mapInPandas`` scan (Arrow-batched, dict-based counters —
+no per-row Python function calls against Spark rows), then a groupBy over
+≤ P·capacity partial rows — the shuffle carries sketches, not data.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["heavy_hitters"]
+
+
+def _space_saving(values: Iterator, capacity: int) -> dict:
+    """One streaming SpaceSaving pass: item -> (count, err)."""
+    counters: dict = {}
+    for v in values:
+        if v in counters:
+            c, e = counters[v]
+            counters[v] = (c + 1, e)
+        elif len(counters) < capacity:
+            counters[v] = (1, 0)
+        else:
+            # evict the min counter; the newcomer inherits its count as err
+            victim = min(counters, key=lambda k: counters[k][0])
+            c_min, _ = counters.pop(victim)
+            counters[v] = (c_min + 1, c_min)
+    return counters
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int = 10,
+    capacity: int = 1000,
+) -> DataFrame:
+    """Approximate top-``k`` most frequent values of ``col``.
+
+    Returns (value, count, err, count_lo): ``count`` is an upper bound on
+    the true frequency, ``count − err = count_lo`` a lower bound; rows are
+    the top-k by ``count`` with value as the deterministic tiebreak. Null
+    values are ignored (no frequency, matching count/groupBy-of-non-null
+    semantics).
+    """
+    if k <= 0 or capacity <= 0:
+        raise ValueError(f"k and capacity must be positive, got k={k}, capacity={capacity}")
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        # one sketch per TASK (not per Arrow batch): feed all batches
+        # through a single SpaceSaving state for the partition
+        def gen():
+            for pdf in batches:
+                for v in pdf[col]:
+                    if v is not None and v == v:  # skip null/NaN
+                        yield v
+
+        counters = _space_saving(gen(), capacity)
+        if counters:
+            yield pd.DataFrame(
+                [(v, c, e) for v, (c, e) in counters.items()],
+                columns=["value", "cnt", "err"],
+            )
+
+    schema = f"value {dict(df.dtypes)[col]}, cnt long, err long"
+    partials = df.select(col).mapInPandas(partial, schema)
+    merged = partials.groupBy("value").agg(
+        F.sum("cnt").alias("count"), F.sum("err").alias("err")
+    )
+    return (
+        merged.select(
+            "value",
+            "count",
+            "err",
+            (F.col("count") - F.col("err")).alias("count_lo"),
+        )
+        .orderBy(F.desc("count"), "value")
+        .limit(k)
+    )

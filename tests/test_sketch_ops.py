@@ -1,0 +1,61 @@
+"""operators/sketch.py: SpaceSaving heavy hitters — exact regime vs a
+Python count oracle, approximate regime error bounds, and the guaranteed-
+retention property."""
+
+import os
+import sys
+from collections import Counter
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _values(n=3000):
+    # Zipf-ish: item i appears ~ n / (i+1) times, plus a long tail
+    out = []
+    for i in range(40):
+        out += [f"hot{i}"] * (n // (i + 1) // 10)
+    out += [f"tail{j}" for j in range(500)]
+    # deterministic interleave so partitions see mixed traffic
+    out.sort(key=lambda s: hash(s) % 7919)
+    return out
+
+
+def test_heavy_hitters_exact_when_capacity_suffices(spark):
+    from stackstac_spark.operators.sketch import heavy_hitters
+
+    vals = _values()
+    df = spark.createDataFrame([(v,) for v in vals], "v STRING").repartition(8)
+    got = heavy_hitters(df, "v", k=10, capacity=10_000).collect()
+    truth = Counter(vals)
+    expect = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r["value"], r["count"]) for r in got] == expect
+    assert all(r["err"] == 0 and r["count_lo"] == r["count"] for r in got)
+
+
+def test_heavy_hitters_bounds_in_approximate_regime(spark):
+    from stackstac_spark.operators.sketch import heavy_hitters
+
+    vals = _values()
+    df = spark.createDataFrame([(v,) for v in vals], "v STRING").repartition(4)
+    got = heavy_hitters(df, "v", k=15, capacity=64).collect()
+    truth = Counter(vals)
+    for r in got:
+        true = truth[r["value"]]
+        # reported count is an upper bound; count_lo a lower bound
+        assert r["count_lo"] <= true <= r["count"], (r, true)
+    # the top few true heavy hitters must survive a capacity-64 sketch
+    top_true = [v for v, _ in sorted(truth.items(), key=lambda kv: -kv[1])[:3]]
+    surviving = {r["value"] for r in got}
+    assert set(top_true) <= surviving
+
+
+def test_heavy_hitters_nulls_and_validation(spark):
+    from stackstac_spark.operators.sketch import heavy_hitters
+
+    df = spark.createDataFrame([("a",), (None,), ("a",), ("b",)], "v STRING")
+    got = heavy_hitters(df, "v", k=5, capacity=10).collect()
+    assert [(r["value"], r["count"]) for r in got] == [("a", 2), ("b", 1)]
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "v", k=0)
