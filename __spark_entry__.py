@@ -4570,6 +4570,44 @@ FROM counts ORDER BY count DESC, value LIMIT 20
 """
 
 
+def q_kmv_distinct(spark, sf):
+    """KMV distinct-count sketch (operators/sketch.py::kmv_distinct):
+    per-event-type distinct-user estimates with k=64 — genuinely in the
+    APPROXIMATE regime, and still value-checked exactly because the
+    estimate is a deterministic function of the md5 min-k set (unlike
+    HLL). One distinct-hash aggregate + one window-rank top-k per group."""
+    from stackstac_spark.operators.sketch import kmv_distinct
+
+    ev = _t(spark, sf, "events")
+    return kmv_distinct(ev, "user_id", k=64, group_cols="event_type").orderBy(
+        "event_type"
+    )
+
+
+SQL_KMV_DISTINCT = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         (((('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT) + 0.5)
+          / 1152921504606846976.0) AS hv
+  FROM events WHERE user_id IS NOT NULL
+),
+ranked AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS r
+  FROM h
+),
+kept AS (
+  SELECT event_type, max(hv) AS hk, count(*) AS n_kept
+  FROM ranked WHERE r <= 64 GROUP BY event_type
+)
+SELECT event_type,
+       round(CASE WHEN n_kept < 64 THEN n_kept ELSE 63 / hk END, 4) AS est_distinct,
+       CAST(n_kept AS BIGINT) AS n_kept,
+       (n_kept < 64) AS exact
+FROM kept ORDER BY event_type
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- raster engine (driver-unchecked in r01; front of the window now) ---
     "raster_mosaic": (q_raster_mosaic, SQL_RASTER_MOSAIC),
@@ -4699,6 +4737,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "session_windows": (q_session_windows, SQL_SESSION_WINDOWS),
     "group_quantiles": (q_group_quantiles, SQL_GROUP_QUANTILES),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
+    "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
 }
 
 

@@ -30,7 +30,77 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["heavy_hitters"]
+__all__ = ["heavy_hitters", "kmv_distinct"]
+
+
+def kmv_distinct(
+    df: DataFrame,
+    col: str,
+    k: int = 64,
+    group_cols: list[str] | str | None = None,
+) -> DataFrame:
+    """K-minimum-values distinct-count estimation (Bar-Yossef et al. 2002;
+    Beyer et al., SIGMOD 2007 unbiased estimator): hash every value to a
+    uniform in (0, 1), keep the k smallest; if the k-th smallest is h_k,
+    the unbiased estimate is ``(k − 1) / h_k``. Unlike HLL, the sketch is
+    a pure function of the value SET under a deterministic hash (md5
+    here), so an external SQL engine replays the ESTIMATE exactly — the
+    approximate answer itself is oracle-checkable, not just an exact
+    degenerate regime. Mergeable: min-k of a union is the min-k of the
+    merged min-k sets, so partial aggregation applies.
+
+    With fewer than k distinct values the count is exact (returns the
+    distinct count itself, flagged ``exact = true``).
+
+    Returns (group_cols..., est_distinct DOUBLE rounded 4, n_kept, exact).
+    Plan: distinct hashes (one agg with map-side combine — the shuffle
+    carries hashes, not values), then per-group k smallest via a window
+    rank (WindowGroupLimit pushes the filter down) or a global TakeOrdered
+    when ungrouped.
+    """
+    if k < 2:
+        raise ValueError(f"k must be ≥ 2, got {k}")
+    groups = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols or [])
+    )
+    h = (
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10).cast(
+            "double"
+        )
+        + 0.5
+    ) / float(16**15)
+    hashed = (
+        df.filter(F.col(col).isNotNull())
+        .select(*groups, h.alias("__h"))
+        .groupBy(*groups, "__h")
+        .agg(F.lit(1))
+        .select(*groups, "__h")
+    )
+    from pyspark.sql import Window
+
+    if groups:
+        w = Window.partitionBy(*groups).orderBy("__h")
+        kept = (
+            hashed.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= k)
+            .groupBy(*groups)
+            .agg(F.max("__h").alias("__hk"), F.count(F.lit(1)).alias("n_kept"))
+        )
+    else:
+        kept = (
+            hashed.orderBy("__h")
+            .limit(k)
+            .agg(F.max("__h").alias("__hk"), F.count(F.lit(1)).alias("n_kept"))
+        )
+    est = F.when(F.col("n_kept") < k, F.col("n_kept").cast("double")).otherwise(
+        (k - 1) / F.col("__hk")
+    )
+    return kept.select(
+        *groups,
+        F.round(est, 4).alias("est_distinct"),
+        "n_kept",
+        (F.col("n_kept") < k).alias("exact"),
+    )
 
 
 def _space_saving(values: Iterator, capacity: int) -> dict:

@@ -59,3 +59,46 @@ def test_heavy_hitters_nulls_and_validation(spark):
     assert [(r["value"], r["count"]) for r in got] == [("a", 2), ("b", 1)]
     with pytest.raises(ValueError):
         heavy_hitters(df, "v", k=0)
+
+
+def test_kmv_distinct_accuracy_and_exact_regime(spark):
+    import math
+
+    from stackstac_spark.operators.sketch import kmv_distinct
+
+    # 2000 distinct values with duplicates → approximate regime at k=128
+    df = spark.createDataFrame(
+        [(f"v{i % 2000}",) for i in range(6000)], "v STRING"
+    ).repartition(8)
+    r = kmv_distinct(df, "v", k=128).collect()[0]
+    assert not r["exact"] and r["n_kept"] == 128
+    # KMV std error ≈ 1/sqrt(k-2) ≈ 8.9%; allow 4σ
+    assert abs(r["est_distinct"] - 2000) / 2000 < 4 / math.sqrt(126)
+
+    # fewer distinct than k → exact
+    small = spark.createDataFrame([(f"u{i}",) for i in range(10)], "v STRING")
+    r2 = kmv_distinct(small, "v", k=64).collect()[0]
+    assert r2["exact"] and r2["est_distinct"] == 10.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kmv_distinct(df, "v", k=1)
+
+
+def test_kmv_distinct_grouped_and_deterministic(spark):
+    from stackstac_spark.operators.sketch import kmv_distinct
+
+    df = spark.createDataFrame(
+        [("a", f"x{i}") for i in range(500)] + [("b", f"x{i}") for i in range(30)],
+        "g STRING, v STRING",
+    )
+    got = {r["g"]: r for r in kmv_distinct(df, "v", k=64, group_cols="g").collect()}
+    assert got["b"]["exact"] and got["b"]["est_distinct"] == 30.0
+    assert not got["a"]["exact"]
+    # determinism across partitionings (pure function of the value set)
+    got2 = {
+        r["g"]: r["est_distinct"]
+        for r in kmv_distinct(df.repartition(7), "v", k=64, group_cols="g").collect()
+    }
+    assert got2 == {g: r["est_distinct"] for g, r in got.items()}
