@@ -157,13 +157,17 @@ def sorted_neighborhood_pairs(
         r["__pid"]: r["cnt"]
         for r in keyed.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
-    offset, acc = {}, 0
-    for pid in sorted(counts):
-        offset[pid] = acc
-        acc += counts[pid]
-    off_col = F.lit(0)
-    for pid, off in offset.items():
-        off_col = F.when(F.col("__pid") == pid, F.lit(off)).otherwise(off_col)
+    # flat offset lookup: element_at over one array literal indexed by pid —
+    # an O(P)-deep WHEN chain here would be the Catalyst expression-depth
+    # hazard nearest_centroid_column documents (blew up at ~1024 branches)
+    n_parts = keyed.rdd.getNumPartitions()
+    offsets, acc = [], 0
+    for pid in range(n_parts):
+        offsets.append(acc)
+        acc += counts.get(pid, 0)
+    off_col = F.element_at(
+        F.array(*[F.lit(o).cast("long") for o in offsets]), F.col("__pid") + 1
+    )
     w_in = Window.partitionBy("__pid").orderBy("key", "id")
     pos = keyed.select(
         "id", "key", (F.row_number().over(w_in) - 1 + off_col).alias("pos")
@@ -213,8 +217,13 @@ def exact_duplicates(
         aggs.append(
             F.slice(F.sort_array(F.collect_list(id_col)), 1, sample_ids).alias("id_sample")
         )
+    # NULL text has a NULL fingerprint: groupBy would lump all contentless
+    # docs into one phantom "duplicate group" that duplicate_mapping's
+    # equi-join (NULL = NULL is never true) could then never resolve —
+    # contentless docs are not copies of each other, so drop them here
     return (
-        df.groupBy(_exact_fingerprint(text_col, normalize).alias("fingerprint"))
+        df.filter(F.col(text_col).isNotNull())
+        .groupBy(_exact_fingerprint(text_col, normalize).alias("fingerprint"))
         .agg(*aggs)
         .filter(F.col("n_copies") > 1)
     )
@@ -315,17 +324,12 @@ def connected_components(
     where executor loss matters, swap for reliable ``checkpoint()`` with a
     checkpoint dir — same shape, durable lineage cut.
 
-    Shuffle sizing: the per-round joins inherit the session's
-    ``spark.sql.shuffle.partitions`` — right for a corpus-scale graph,
-    pure per-task overhead for a small one (AQE's coalesce doesn't rescue
-    an iterative loop: every round still *launches* the pre-coalesce task
-    count across its 10+ stages). After materializing the edge list once we
-    know the graph size, so the loop runs under a shuffle-partition count
-    sized from it (~100k edges/partition, capped at the session default,
-    restored afterwards). At 100 TB this leaves the default untouched; at
-    toy scale it collapses ~80 fixed-cost tasks/round to a handful.
+    Shuffle sizing: graphs small enough for the session default to be
+    per-task overhead take the driver union-find fastpath instead (below
+    ``driver_threshold`` edges); the loop therefore always runs at
+    corpus-graph scale where the session's ``spark.sql.shuffle.partitions``
+    is the right sizing, and never mutates session-global configuration.
     """
-    spark = pairs.sparkSession
     e1 = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = e1.union(
         e1.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -343,64 +347,58 @@ def connected_components(
     if n_edges <= driver_threshold:
         return _components_driver(edges)
 
-    conf_key = "spark.sql.shuffle.partitions"
-    default_parts = int(spark.conf.get(conf_key))
-    parts = max(1, min(default_parts, -(-n_edges // 100_000)))
-    if parts != default_parts:
-        spark.conf.set(conf_key, str(parts))
-        # re-lay the edge list at the loop's partitioning so every round's
-        # join reads `parts` co-partitioned inputs, not the original layout
-        edges = edges.repartition(parts, "dst").localCheckpoint()
-    try:
-        labels = (
-            edges.select(F.col("src").alias("node"))
-            .distinct()
-            .withColumn("label", F.col("node"))
+    # NOTE: graphs reaching the loop exceed driver_threshold edges, where
+    # the session's shuffle-partition default is the right sizing. (An
+    # earlier revision shrank spark.sql.shuffle.partitions for small
+    # graphs — that mutated SESSION-GLOBAL state mid-loop, mis-sizing any
+    # concurrent query on a shared session; the driver union-find fastpath
+    # replaced that need entirely.)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    converged = False
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.select(F.col("node").alias("dst"), F.col("label").alias("nl")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nl").alias("minl"))
+            .withColumnRenamed("src", "node")
+        )
+        l1 = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.col("label").alias("old"),
+            F.least(F.col("label"), F.coalesce("minl", "label")).alias("label"),
+        )
+        # pointer doubling: follow my (new) label's label. This is a
+        # self-join of l1, so both sides must be alias-qualified or Spark
+        # rejects the plan as ambiguous.
+        new_labels = (
+            l1.alias("a")
+            .join(
+                l1.select("node", "label").alias("p"),
+                F.col("a.label") == F.col("p.node"),
+                "left",
+            )
+            .select(
+                F.col("a.node").alias("node"),
+                F.col("a.old").alias("old"),
+                F.least(
+                    F.col("a.label"), F.coalesce(F.col("p.label"), F.col("a.label"))
+                ).alias("label"),
+            )
             .localCheckpoint()
         )
-        converged = False
-        for _ in range(max_iter):
-            neighbor_min = (
-                edges.join(
-                    labels.select(F.col("node").alias("dst"), F.col("label").alias("nl")),
-                    "dst",
-                )
-                .groupBy("src")
-                .agg(F.min("nl").alias("minl"))
-                .withColumnRenamed("src", "node")
-            )
-            l1 = labels.join(neighbor_min, "node", "left").select(
-                "node",
-                F.col("label").alias("old"),
-                F.least(F.col("label"), F.coalesce("minl", "label")).alias("label"),
-            )
-            # pointer doubling: follow my (new) label's label. This is a
-            # self-join of l1, so both sides must be alias-qualified or Spark
-            # rejects the plan as ambiguous.
-            new_labels = (
-                l1.alias("a")
-                .join(
-                    l1.select("node", "label").alias("p"),
-                    F.col("a.label") == F.col("p.node"),
-                    "left",
-                )
-                .select(
-                    F.col("a.node").alias("node"),
-                    F.col("a.old").alias("old"),
-                    F.least(
-                        F.col("a.label"), F.coalesce(F.col("p.label"), F.col("a.label"))
-                    ).alias("label"),
-                )
-                .localCheckpoint()
-            )
-            labels = new_labels
-            # join-free: old label is a column of the checkpointed result
-            if new_labels.filter(F.col("label") != F.col("old")).count() == 0:
-                converged = True
-                break
-    finally:
-        if parts != default_parts:
-            spark.conf.set(conf_key, str(default_parts))
+        labels = new_labels
+        # join-free: old label is a column of the checkpointed result
+        if new_labels.filter(F.col("label") != F.col("old")).count() == 0:
+            converged = True
+            break
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
@@ -444,6 +442,11 @@ def minhash_lsh_candidates(
     skew at 100 TB; dropped buckets should be handled by a dedicated
     boilerplate rule instead.
     """
+    if num_hashes % bands:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}); trailing "
+            "hashes would be silently dropped, shifting the LSH S-curve"
+        )
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     band_structs = [
@@ -575,6 +578,7 @@ def paragraph_dedup(
     text_col: str = "text",
     block_tokens: int = 16,
     delim: str | None = None,
+    join_delim: str = " ",
 ) -> DataFrame:
     """C4-style global paragraph dedup (Raffel et al. 2020 §2.2: discard all
     but one occurrence of any three-sentence span corpus-wide): split every
@@ -584,9 +588,13 @@ def paragraph_dedup(
 
     ``delim`` splits on a literal delimiter (``"\\n\\n"`` for real corpora);
     ``delim=None`` falls back to fixed non-overlapping ``block_tokens``-token
-    blocks (the synthetic corpus has no paragraph structure). Returns one row
-    per input doc: (id, n_blocks, n_kept, clean_text) — ``clean_text`` is
-    ``''`` when every block of a doc already appeared earlier in the corpus.
+    blocks (the synthetic corpus has no paragraph structure). Surviving
+    blocks are rejoined with ``join_delim`` (default single space — right
+    for token blocks; for paragraph mode pass the structural separator,
+    e.g. ``join_delim="\\n\\n"``, so paragraph boundaries survive the
+    round-trip — ``delim`` is a REGEX, so it cannot double as the joiner).
+    Returns one row per input doc: (id, n_blocks, n_kept, clean_text) —
+    ``clean_text`` is ``''`` when every block already appeared earlier.
 
     Scale shape: exactly two shuffles — one keyed on the 128-bit paragraph
     hash (a Window min-aggregate decides the global first occurrence; the
@@ -628,10 +636,13 @@ def paragraph_dedup(
     return flagged.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_blocks"),
         F.sum(F.col("__keep").cast("long")).alias("n_kept"),
-        F.expr(
-            "array_join(transform(array_sort("
-            "collect_list(CASE WHEN __keep THEN struct(pos, block) END)"
-            "), x -> x.block), ' ')"
+        F.array_join(
+            F.expr(
+                "transform(array_sort("
+                "collect_list(CASE WHEN __keep THEN struct(pos, block) END)"
+                "), x -> x.block)"
+            ),
+            join_delim,
         ).alias("clean_text"),
     )
 
@@ -711,6 +722,13 @@ def jaccard_similarity(
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    if pairs is not None:
+        # prune BOTH shingle sides to candidate docs BEFORE the co-shingle
+        # self-join: a post-join semi-join on (id_a, id_b) references both
+        # sides, so Catalyst cannot push it down and the quadratic
+        # all-pairs work would run anyway — defeating the LSH stage
+        a = a.join(pairs.select("id_a").distinct(), "id_a", "left_semi")
+        b = b.join(pairs.select("id_b").distinct(), "id_b", "left_semi")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -718,6 +736,7 @@ def jaccard_similarity(
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     if pairs is not None:
+        # exact pair filter still applies (doc-level pruning is a superset)
         inter = inter.join(pairs, ["id_a", "id_b"], "left_semi")
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))

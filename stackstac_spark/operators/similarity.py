@@ -42,17 +42,22 @@ def cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k: (query_id, neighbor_id, sim, rank). Queries broadcast."""
+    # norms once per ROW before the join — computing them inside the
+    # pair-level select would redo the O(d) fold once per (query, corpus)
+    # pair, tripling the dominant stage's arithmetic
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    ).withColumn("__qn", _norm("qv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("__cn", _norm("cv"))
     sims = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            (_dot("qv", "cv") / (_norm("qv") * _norm("cv"))).alias("sim"),
+            (_dot("qv", "cv") / (F.col("__qn") * F.col("__cn"))).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
@@ -73,15 +78,21 @@ def truncate_embeddings(
     """
     if dims <= 0:
         raise ValueError(f"truncate_embeddings: dims must be positive, got {dims}")
-    v = f"slice({vec_col}, 1, {dims})"
+    v = f"transform(slice({vec_col}, 1, {dims}), x -> CAST(x AS DOUBLE))"
     if renormalize:
-        out = F.expr(
-            f"transform({v}, x -> CAST(x AS DOUBLE) / "
-            f"sqrt(aggregate({v}, 0D, (a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))"
+        # norm computed ONCE per row into an intermediate column — nesting
+        # the aggregate inside the per-element transform lambda would
+        # re-evaluate the full O(dims) fold for every element (O(dims²)/row;
+        # HOF lambdas get no loop-invariant hoisting)
+        return (
+            df.withColumn("__tv", F.expr(v))
+            .withColumn(
+                "__tn", F.expr("sqrt(aggregate(__tv, 0D, (a, y) -> a + y * y))")
+            )
+            .withColumn(vec_col, F.expr("transform(__tv, x -> x / __tn)"))
+            .drop("__tv", "__tn")
         )
-    else:
-        out = F.expr(f"transform({v}, x -> CAST(x AS DOUBLE))")
-    return df.withColumn(vec_col, out)
+    return df.withColumn(vec_col, F.expr(v))
 
 
 def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
@@ -120,15 +131,19 @@ def lsh_topk(
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     bcol = lsh_bucket_column(vec_col, dim, bits)
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), bcol.alias("bucket"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), bcol.alias("bucket"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), bcol.alias("bucket")
+    ).withColumn("__cn", _norm("cv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), bcol.alias("bucket")
+    ).withColumn("__qn", _norm("qv"))
     sims = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            (_dot("qv", "cv") / (_norm("qv") * _norm("cv"))).alias("sim"),
+            (_dot("qv", "cv") / (F.col("__qn") * F.col("__cn"))).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
@@ -151,6 +166,11 @@ def ivf_assign(
         list(map(float, r[0]))
         for r in corpus.select(vec_col).sample(sample_fraction, seed=seed).limit(50 * n_lists).collect()
     ]
+    if not sample:
+        raise ValueError(
+            "ivf_assign: the centroid-training sample is empty — corpus too "
+            "small for sample_fraction; raise sample_fraction (or pass 1.0)"
+        )
     arr = np.asarray(sample)
     rng = np.random.default_rng(seed)
     cent = arr[rng.choice(len(arr), size=min(n_lists, len(arr)), replace=False)]
@@ -295,22 +315,28 @@ def ivf_topk(
             f"{MAX_QUERY_SIDE} query vectors. For corpus-scale query sets "
             "use lsh_topk / cosine near-dup (bucketed joins) instead."
         )
+    # keep the query id's ORIGINAL type (string/UUID corpora are valid for
+    # every other operator here; int() would crash or silently retype)
     probe = [
-        (int(r[0]), list(map(float, r[1])), pl)
+        (r[0], list(map(float, r[1])), pl)
         for r in q_rows
         for pl in probe_lists(r[1])
     ]
     spark = assigned.sparkSession
     from stackstac_spark.session import local_df
 
+    qid_type = queries.schema[id_col].dataType.simpleString()
     q_df = local_df(
-        spark, probe, "query_id BIGINT, qv ARRAY<DOUBLE>, list_id INT"
+        spark, probe, f"query_id {qid_type}, qv ARRAY<DOUBLE>, list_id INT"
     )
 
+    # norms once per ROW, not once per pair: the corpus-side norm would
+    # otherwise be recomputed for every probed query it meets
     c = assigned.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "list_id"
-    )
-    sim_expr = _dot("qv", "cv") / (_norm("qv") * _norm("cv"))
+    ).withColumn("__cn", _norm("cv"))
+    q_df = q_df.withColumn("__qn", _norm("qv"))
+    sim_expr = _dot("qv", "cv") / (F.col("__qn") * F.col("__cn"))
     if sim_round is not None:
         sim_expr = F.round(sim_expr, sim_round)
     sims = (

@@ -871,6 +871,13 @@ def test_paragraph_dedup_delim_mode(spark):
     out = {r.doc_id: r for r in paragraph_dedup(df, delim=r"\n\n").collect()}
     assert out[0].clean_text == "para one para two"
     assert out[1].n_kept == 1 and out[1].clean_text == "para three"
+    # structural round-trip: join_delim restores paragraph boundaries, so an
+    # untouched doc's clean_text equals its original text
+    rt = {
+        r.doc_id: r
+        for r in paragraph_dedup(df, delim=r"\n\n", join_delim="\n\n").collect()
+    }
+    assert rt[0].clean_text == "para one\n\npara two"
 
 
 def test_cdc_chunks_shift_robust(spark):
@@ -1038,3 +1045,25 @@ def test_incremental_dedup_statuses(spark):
         13: "dup_in_batch",
         14: "dup_of_store",
     }
+
+
+def test_minhash_bands_must_divide_hashes(spark):
+    from stackstac_spark.operators.dedup import minhash_lsh_candidates
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id LONG, text STRING")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divide"):
+        minhash_lsh_candidates(df, num_hashes=16, bands=5)
+
+
+def test_ivf_topk_string_ids(spark):
+    from stackstac_spark.operators.similarity import ivf_assign, ivf_topk
+
+    rows = [(f"doc-{i}", [float((i * 7 + j) % 5) for j in range(4)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id STRING, embedding ARRAY<DOUBLE>")
+    assigned, cents = ivf_assign(df, n_lists=2, sample_fraction=1.0)
+    out = ivf_topk(assigned, cents, df.limit(3), k=2, nprobe=2)
+    got = out.collect()
+    assert got and all(isinstance(r["query_id"], str) for r in got)
+    assert all(r["query_id"] != r["neighbor_id"] for r in got)
