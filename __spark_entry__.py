@@ -1722,17 +1722,13 @@ FROM embeddings GROUP BY 1 ORDER BY bucket
 
 
 def q_cosine_neardup(spark, sf):
-    """Embedding-cosine near-dup: top-10 most similar pairs within a bounded
-    id range (a < b), deterministic ordering."""
+    """Embedding-cosine near-dup (operators/similarity.py::
+    cosine_near_duplicates): top-10 most similar pairs within a bounded id
+    range (a < b), deterministic ordering."""
+    from stackstac_spark.operators.similarity import cosine_near_duplicates
+
     emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 50)
-    a = emb.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("idb"), F.col("embedding").alias("vb"))
-    return (
-        a.join(F.broadcast(b), F.col("ida") < F.col("idb"))
-        .select("ida", "idb", F.round(_spark_cosine("va", "vb"), 6).alias("sim"))
-        .orderBy(F.desc("sim"), "ida", "idb")
-        .limit(10)
-    )
+    return cosine_near_duplicates(emb, top_pairs=10)
 
 
 SQL_COSINE_NEARDUP = """

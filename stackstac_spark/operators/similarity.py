@@ -391,6 +391,44 @@ def quantize_embeddings(
     )
 
 
+def cosine_near_duplicates(
+    emb: DataFrame,
+    top_pairs: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_round: int = 6,
+) -> DataFrame:
+    """Top near-duplicate pairs by embedding cosine over a BOUNDED subset:
+    self-join (id_a < id_b) with the smaller side broadcast, ranked by
+    similarity — the exact-verification endpoint of the near-dup pipeline
+    (run it on LSH/SemDeDup candidate clusters or a bounded slice, never
+    corpus×corpus; that contract is the caller's, matching cosine_topk's
+    broadcast-side rule). Norms computed once per row before the join.
+
+    Returns (ida, idb, sim) — the ``top_pairs`` highest-similarity pairs.
+    """
+    if top_pairs <= 0:
+        raise ValueError(f"top_pairs must be positive, got {top_pairs}")
+    a = emb.select(
+        F.col(id_col).alias("ida"), F.col(vec_col).alias("va")
+    ).withColumn("__an", _norm("va"))
+    b = emb.select(
+        F.col(id_col).alias("idb"), F.col(vec_col).alias("vb")
+    ).withColumn("__bn", _norm("vb"))
+    return (
+        a.join(F.broadcast(b), F.col("ida") < F.col("idb"))
+        .select(
+            "ida",
+            "idb",
+            F.round(
+                _dot("va", "vb") / (F.col("__an") * F.col("__bn")), sim_round
+            ).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), "ida", "idb")
+        .limit(top_pairs)
+    )
+
+
 def pca_power(
     df: DataFrame,
     vec_col: str = "embedding",

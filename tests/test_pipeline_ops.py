@@ -1067,3 +1067,23 @@ def test_ivf_topk_string_ids(spark):
     got = out.collect()
     assert got and all(isinstance(r["query_id"], str) for r in got)
     assert all(r["query_id"] != r["neighbor_id"] for r in got)
+
+
+def test_cosine_near_duplicates_operator(spark):
+    from stackstac_spark.operators.similarity import cosine_near_duplicates
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [1.0, 0.0]),  # identical to 0 → sim 1.0
+            (2, [0.0, 1.0]),  # orthogonal
+        ],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    got = cosine_near_duplicates(emb, top_pairs=3).collect()
+    assert (got[0]["ida"], got[0]["idb"], got[0]["sim"]) == (0, 1, 1.0)
+    assert all(r["ida"] < r["idb"] for r in got) and len(got) == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cosine_near_duplicates(emb, top_pairs=0)
