@@ -175,6 +175,7 @@ def reproject_tiles(
     method: str = "nearest",
     halo: int = 2,
     grid_on_driver_max: int = 4096,
+    dtype: str = "float64",
 ) -> DataFrame:
     """Warp the tile DataFrame onto ``dst_spec``.
 
@@ -280,7 +281,12 @@ def reproject_tiles(
         sr0, sc0 = int(first.sr0), int(first.sc0)
         block = np.full((int(first.sr1) - sr0, int(first.sc1) - sc0), np.nan)
         for row in pdf.itertuples(index=False):
-            arr = np.frombuffer(row.data, dtype="float64").reshape(row.tile_h, row.tile_w)
+            # tile payload dtype is a stack parameter (RasterStack.dtype) —
+            # hardcoding float64 here crashed (or silently misread) any
+            # non-float64 stack; the warp OUTPUT stays float64 (interpolation)
+            arr = np.frombuffer(row.data, dtype=dtype).reshape(
+                row.tile_h, row.tile_w
+            ).astype("float64", copy=False)
             rr0 = max(row.row_off, sr0)
             rr1 = min(row.row_off + row.tile_h, int(first.sr1))
             cc0 = max(row.col_off, sc0)
@@ -321,6 +327,7 @@ def xyztile_of_tiles(
     y: int,
     tilesize: int = 256,
     method: str = "linear",
+    dtype: str = "float64",
 ) -> DataFrame | None:
     """Warp the stack to one OSM tile (geom_utils.py:307-383): returns a tile
     DataFrame with one (tilesize×tilesize) EPSG:3857 tile per (item, band),
@@ -334,4 +341,4 @@ def xyztile_of_tiles(
         return None
     res = (bounds[2] - bounds[0]) / tilesize
     dst_spec = RasterSpec(3857, bounds, (res, res))
-    return reproject_tiles(tiles, src_spec, dst_spec, chunksize=tilesize, method=method)
+    return reproject_tiles(tiles, src_spec, dst_spec, chunksize=tilesize, method=method, dtype=dtype)

@@ -318,23 +318,19 @@ def prepare(
     # 4. asset bbox in output CRS, priority chain (prepare.py:214-266):
     #    proj:bbox → shape×transform corners → item lat/lon bbox.
     reproj = _bounds_to_out_epsg_udf(out_epsg)
+    # full-affine 4-corner bounds (reference geom_utils.py:18-37,
+    # bounds_from_affine): the rotation terms b (t[1]) and d (t[3]) MUST
+    # participate — dropping them under-estimates bounds for skewed
+    # transforms and degenerates to zero width for 90°-rotated ones
+    # (for rectilinear transforms b = d = 0 and this reduces to the
+    # axis-aligned min/max exactly)
+    _a, _b, _c = (F.col("eff_transform")[i] for i in (0, 1, 2))
+    _d, _e, _f = (F.col("eff_transform")[i] for i in (3, 4, 5))
+    _h, _w = F.col("eff_shape")[0], F.col("eff_shape")[1]
+    _xs = (_c, _c + _a * _w, _c + _b * _h, _c + _a * _w + _b * _h)
+    _ys = (_f, _f + _d * _w, _f + _e * _h, _f + _d * _w + _e * _h)
     trans_bounds = F.array(
-        F.least(
-            F.col("eff_transform")[2],
-            F.col("eff_transform")[2] + F.col("eff_transform")[0] * F.col("eff_shape")[1],
-        ),
-        F.least(
-            F.col("eff_transform")[5],
-            F.col("eff_transform")[5] + F.col("eff_transform")[4] * F.col("eff_shape")[0],
-        ),
-        F.greatest(
-            F.col("eff_transform")[2],
-            F.col("eff_transform")[2] + F.col("eff_transform")[0] * F.col("eff_shape")[1],
-        ),
-        F.greatest(
-            F.col("eff_transform")[5],
-            F.col("eff_transform")[5] + F.col("eff_transform")[4] * F.col("eff_shape")[0],
-        ),
+        F.least(*_xs), F.least(*_ys), F.greatest(*_xs), F.greatest(*_ys)
     )
     at = at.withColumn(
         "native_bounds",

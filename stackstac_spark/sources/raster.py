@@ -28,7 +28,6 @@ instead of failing the job.
 from __future__ import annotations
 
 import re
-from functools import lru_cache
 from typing import Iterator
 
 import numpy as np
@@ -149,19 +148,47 @@ def fake_pixel_values(
     return base + rows * 1e-3 + cols * 1e-6
 
 
-@lru_cache(maxsize=32)
+_DS_CACHE: "OrderedDict" = None  # type: ignore[assignment]
+_DS_CACHE_MAX = 32
+
+
+def _ds_cache_clear() -> None:
+    """Close and drop every cached dataset handle."""
+    global _DS_CACHE
+    if _DS_CACHE:
+        while _DS_CACHE:
+            _, old = _DS_CACHE.popitem()
+            try:
+                old.close()
+            except Exception:
+                pass
+
+
 def _open_dataset(url: str, gdal_env_key: tuple):  # pragma: no cover
     """Executor-local dataset cache; one handle per (executor, url).
 
     The reference needs ThreadLocalRioDataset (rio_reader.py:124-265) because
     many dask threads share one Reader. A Spark task owns its partition, so a
     plain per-process LRU suffices; never pickled, never shared across JVM
-    threads because python workers are separate processes."""
+    threads because python workers are separate processes. Unlike
+    ``functools.lru_cache``, eviction CLOSES the dataset — dropping a GDAL
+    handle without close() leaks it (plus its VSI caches) until GC
+    finalization, unbounded on an executor touching many URLs."""
     if not _HAVE_RASTERIO:
         raise NotImplementedError(
             "rasterio is not installed in this environment; real COG IO is "
             "stubbed. Use fake:// URLs (FakeReader mode) or install rasterio."
         )
+    global _DS_CACHE
+    if _DS_CACHE is None:
+        from collections import OrderedDict
+
+        _DS_CACHE = OrderedDict()
+    key = (url, gdal_env_key)
+    cached = _DS_CACHE.get(key)
+    if cached is not None:
+        _DS_CACHE.move_to_end(key)
+        return cached
     env = dict(gdal_env_key)
     with rasterio.Env(**env):
         ds = rasterio.open(url, sharing=False)
@@ -170,7 +197,17 @@ def _open_dataset(url: str, gdal_env_key: tuple):  # pragma: no cover
         raise ValueError(
             f"Assets must be single-band, but {url!r} has {ds.count} bands"
         )
+    _DS_CACHE[key] = ds
+    if len(_DS_CACHE) > _DS_CACHE_MAX:
+        _, old = _DS_CACHE.popitem(last=False)
+        try:
+            old.close()
+        except Exception:
+            pass
     return ds
+
+
+_open_dataset.cache_clear = _ds_cache_clear  # drop-in for the old lru_cache API
 
 
 def _read_real_window(
@@ -224,8 +261,32 @@ def _read_real_window(
                 resampling=Resampling[resampling],
             )
     window = rio_windows.from_bounds(*bounds, transform=src.transform)
-    with rasterio.Env(**_merged_layer(layers, "read")):
-        arr = src.read(1, window=window, masked=True, out_shape=(r1 - r0, c1 - c0))
+    try:
+        with rasterio.Env(**_merged_layer(layers, "read")):
+            if vrt_needed:
+                # the VRT spans the full spec grid, so the window can never
+                # overhang it
+                arr = src.read(
+                    1, window=window, masked=True, out_shape=(r1 - r0, c1 - c0)
+                )
+            else:
+                # direct read: asset bbox metadata can overstate the actual
+                # raster extent, making the window overhang the dataset —
+                # without boundless, rasterio would CLIP the window and then
+                # stretch the clipped data to out_shape, misregistering every
+                # pixel in edge tiles; boundless fills the margin as masked
+                arr = src.read(
+                    1,
+                    window=window,
+                    masked=True,
+                    out_shape=(r1 - r0, c1 - c0),
+                    boundless=True,
+                )
+    finally:
+        if vrt_needed:
+            # per-read VRT: close it or the GDAL handle (and its warp
+            # transformer) leaks on every tile read
+            src.close()
     return np.ma.filled(arr.astype("float64"), np.nan)
 
 
@@ -254,12 +315,24 @@ def make_scan_udf(
     to the driver and ``RasterStack`` warns on compute.
     """
     np_dtype = np.dtype(dtype)
-    if np.isnan(fill_value) if isinstance(fill_value, float) else False:
+    is_nan_fill = isinstance(fill_value, float) and np.isnan(fill_value)
+    if is_nan_fill:
         if not (
             np.issubdtype(np_dtype, np.floating)
             or np.issubdtype(np_dtype, np.complexfloating)
         ):
             raise ValueError(f"fill_value NaN is not castable to dtype {dtype}")
+    else:
+        # general castability (reference to_dask.py:39-43): an out-of-range
+        # fill for an integer dtype would otherwise WRAP silently at task
+        # runtime (np.full(..., -1.0, dtype=uint8) → 255) and read as valid
+        # bright data that drop_fill can never match
+        cast = np_dtype.type(fill_value)
+        if cast != fill_value:
+            raise ValueError(
+                f"fill_value {fill_value!r} is not exactly representable in "
+                f"dtype {dtype} (would become {cast!r})"
+            )
     genv = normalize_gdal_env(gdal_env)
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -268,14 +341,13 @@ def make_scan_udf(
             for row in pdf.itertuples(index=False):
                 tile = np.full((row.tile_h, row.tile_w), fill_value, dtype=np_dtype)
                 # asset window on the global grid (to_dask.py:116-124 +
-                # windows.intersect at to_dask.py:183)
-                fr0, fc0, fh, fw = spec.window_from_bounds(
+                # windows.intersect at to_dask.py:183); the outward epsilon
+                # rounding lives in ONE place — raster_spec — because the
+                # scan and the tile grid must agree to the pixel
+                ar0, ac0, ah, aw = spec.pixel_window_from_bounds(
                     (row.minx, row.miny, row.maxx, row.maxy)
                 )
-                ar0 = int(np.floor(fr0 + 1e-9))
-                ac0 = int(np.floor(fc0 + 1e-9))
-                ar1 = int(np.ceil(fr0 + fh - 1e-9))
-                ac1 = int(np.ceil(fc0 + fw - 1e-9))
+                ar1, ac1 = ar0 + ah, ac0 + aw
                 r0 = max(row.row_off, ar0)
                 r1 = min(row.row_off + row.tile_h, ar1)
                 c0 = max(row.col_off, ac0)

@@ -86,9 +86,26 @@ def _num_list(v, n=None, cast=float):
         lst = [cast(x) for x in v]
     except (TypeError, ValueError):
         return None
-    if n is not None and len(lst) < n:
-        return None
+    if n is not None:
+        if len(lst) < n:
+            return None
+        lst = lst[:n]  # over-long lists would crash ragged np.stack downstream
     return lst
+
+
+def _bbox2d(v):
+    """2-D [minx, miny, maxx, maxy] from a STAC bbox of 4 OR 6 elements.
+
+    A 3-D bbox is [w, s, minz, e, n, maxz] (STAC spec §bbox: 2·n axes) — a
+    naive first-4 slice would read minz as maxx, silently corrupting every
+    downstream 4-corner reprojection and the inferred grid bounds."""
+    lst = _num_list(v)
+    if lst is None or len(lst) < 4:
+        return None
+    if len(lst) >= 6 and len(lst) % 2 == 0:
+        half = len(lst) // 2
+        return [lst[0], lst[1], lst[half], lst[half + 1]]
+    return lst[:4]
 
 
 def _proj_fields(d: dict) -> tuple:
@@ -102,7 +119,7 @@ def _proj_fields(d: dict) -> tuple:
         transform = None
     return (
         int(epsg) if epsg is not None else None,
-        _num_list(d.get("proj:bbox"), 4),
+        _bbox2d(d.get("proj:bbox")),
         shape,
         transform[:6] if transform else None,
     )
@@ -148,7 +165,7 @@ def _item_to_rows(it: dict) -> tuple[tuple, list[tuple]]:
         item_id,
         it.get("collection"),
         props.get("datetime"),
-        _num_list(it.get("bbox"), 4),
+        _bbox2d(it.get("bbox")),
         epsg,
         pbbox,
         pshape,

@@ -107,7 +107,9 @@ def compute_tile(layer: Layer, z: int, x: int, y: int, tilesize: int = 256) -> b
 
             warped, _level = xyztile_from_pyramid(layer.pyramid, z, x, y, tilesize=tilesize)
         else:
-            warped = xyztile_of_tiles(st.tiles, st.spec, z, x, y, tilesize=tilesize)
+            warped = xyztile_of_tiles(
+                st.tiles, st.spec, z, x, y, tilesize=tilesize, dtype=st.dtype
+            )
         if warped is None:
             png = empty_tile((tilesize, tilesize), layer.checkerboard)
         else:

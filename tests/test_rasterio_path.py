@@ -47,8 +47,12 @@ class _FakeDataset:
         self.transform = transform
         self.reads = []
 
-    def read(self, band, window=None, masked=True, out_shape=None):
-        self.reads.append({"band": band, "window": window, "out_shape": out_shape})
+    closed = False
+
+    def read(self, band, window=None, masked=True, out_shape=None, boundless=False):
+        self.reads.append(
+            {"band": band, "window": window, "out_shape": out_shape, "boundless": boundless}
+        )
         h, w = out_shape
         data = np.arange(h * w, dtype="float64").reshape(h, w)
         mask = np.zeros((h, w), dtype=bool)
@@ -59,6 +63,9 @@ class _FakeDataset:
 class _FakeVRT(_FakeDataset):
     calls: list = []
     instances: list = []
+
+    def close(self):
+        self.closed = True
 
     def __init__(self, ds, **kwargs):
         _FakeVRT.calls.append(kwargs)
@@ -356,3 +363,36 @@ def test_real_cog_cross_crs_matches_warpedvrt_oracle(spark, tmp_path):
         ) as vrt:
             oracle = np.ma.filled(vrt.read(1, masked=True).astype("float64"), np.nan)
     np.testing.assert_allclose(dense[0, 0], oracle, equal_nan=True)
+
+
+def test_direct_read_is_boundless_vrt_read_is_not(fake_rasterio, monkeypatch):
+    """The non-VRT fastpath must read boundless (asset bbox metadata can
+    overstate the raster extent; a clipped window would be stretched to
+    out_shape, misregistering edge tiles). The VRT spans the full spec grid,
+    so its read stays bounded — and the per-read VRT must be closed."""
+    from stackstac_spark.sources import raster as R
+
+    ds = _FakeDataset(32613, _FakeTransform(2.0, -2.0, 100.0, 264.0))
+    monkeypatch.setattr(R, "_open_dataset", lambda url, key: ds)
+    R._read_real_window("s3://b/x.tif", SPEC, 0, 8, 0, 8, "nearest", {})
+    assert ds.reads[-1]["boundless"] is True
+
+    off = _FakeDataset(32613, _FakeTransform(2.0, -2.0, 101.0, 264.0))
+    monkeypatch.setattr(R, "_open_dataset", lambda url, key: off)
+    _FakeVRT.instances = []
+    R._read_real_window("s3://b/y.tif", SPEC, 0, 8, 0, 8, "nearest", {})
+    (vrt,) = _FakeVRT.instances
+    assert vrt.reads[-1]["boundless"] is False
+    assert vrt.closed  # per-read VRT handle released
+
+
+def test_scan_udf_rejects_unrepresentable_fill():
+    from stackstac_spark.raster_spec import RasterSpec
+    from stackstac_spark.sources.raster import make_scan_udf
+
+    spec = RasterSpec(32613, (0.0, 0.0, 64.0, 64.0), (1.0, 1.0))
+    with pytest.raises(ValueError, match="not exactly representable"):
+        make_scan_udf(spec, fill_value=-1.0, dtype="uint8")
+    make_scan_udf(spec, fill_value=255.0, dtype="uint8")  # in-range is fine
+    with pytest.raises(ValueError, match="NaN"):
+        make_scan_udf(spec, fill_value=float("nan"), dtype="int32")

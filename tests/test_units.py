@@ -219,3 +219,41 @@ def test_exception_matches_subclasses():
     assert _exception_matches(CurlError("HTTP response code: 404"), pats)
     assert not _exception_matches(CurlError("HTTP response code: 500"), pats)
     assert not _exception_matches(ValueError("HTTP response code: 404"), pats)
+
+
+def test_bbox2d_handles_3d_stac_bbox():
+    from stackstac_spark.sources.stac import _bbox2d
+
+    assert _bbox2d([1.0, 2.0, 3.0, 4.0]) == [1.0, 2.0, 3.0, 4.0]
+    # 3-D bbox [w, s, minz, e, n, maxz] → [w, s, e, n], NOT first-4
+    assert _bbox2d([1.0, 2.0, -10.0, 3.0, 4.0, 99.0]) == [1.0, 2.0, 3.0, 4.0]
+    assert _bbox2d([1.0, 2.0, 3.0]) is None
+    assert _bbox2d(None) is None
+
+
+def test_trans_bounds_includes_rotation_terms(spark):
+    """A 90°-rotated geotransform (a=e=0, b/d carry the scale) must still
+    produce the correct 4-corner bounds, not a degenerate zero-width box."""
+    from stackstac_spark.stack import stack as _stack
+
+    item = {
+        "id": "rot-0",
+        "bbox": [0.0, 0.0, 1.0, 1.0],
+        "properties": {"datetime": "2024-01-01T00:00:00Z", "proj:epsg": 32613},
+        "assets": {
+            "b1": {
+                "href": "fake://0/0",
+                "type": "image/tiff",
+                # x = 10*row + 100, y = -10*col + 300: a=e=0, rotation only
+                "proj:transform": [0.0, 10.0, 100.0, -10.0, 0.0, 300.0],
+                "proj:shape": [10, 10],
+            }
+        },
+    }
+    st = _stack(
+        spark, [item], assets=["b1"], epsg=32613, resolution=10.0, chunksize=32
+    )
+    minx, miny, maxx, maxy = st.spec.bounds
+    # corners: x ∈ [100, 100+10*10], y ∈ [300-10*10, 300]
+    assert (minx, maxy) == (100.0, 300.0)
+    assert (maxx, miny) == (200.0, 200.0)

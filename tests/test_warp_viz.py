@@ -197,3 +197,22 @@ def test_coords_tables(spark):
         x_vals, np.linspace(prep.spec.bounds[0], prep.spec.bounds[2], w, endpoint=False)
     )
     assert ys.count() == h
+
+
+def test_reproject_float32_stack(spark):
+    """Non-float64 stacks warp correctly: tile payload bytes are read with
+    the stack's dtype (hardcoded float64 used to crash the reshape or read
+    garbage); warp output stays float64."""
+    items = [make_item(0, "2024-01-05T00:00:00Z", (0.0, 0.0, 32.0, 32.0))]
+    st = stack(spark, items, assets=["red"], chunksize=16, dtype="float32")
+    out = reproject_tiles(
+        st.tiles, st.spec, st.spec, chunksize=16, method="nearest", dtype="float32"
+    )
+    h, w = st.spec.shape
+    got = np.full((h, w), np.nan)
+    for r in out.collect():
+        got[r.row_off : r.row_off + r.tile_h, r.col_off : r.col_off + r.tile_w] = (
+            np.frombuffer(r.data, dtype="float64").reshape(r.tile_h, r.tile_w)
+        )
+    dense = st.compute()
+    np.testing.assert_array_equal(got, dense[0, 0].astype("float64"))
