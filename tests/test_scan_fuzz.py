@@ -52,7 +52,11 @@ def stack_cases(draw):
         if n_items > 1 and draw(st.booleans()):
             del items[i]["assets"][draw(st.sampled_from(["red", "nir"]))]
     chunksize = draw(st.sampled_from([7, 16, 33, 256]))
-    return items, chunksize
+    # dtype draw (reference testing/strategies.py:26-31 draws dtypes too);
+    # float32 exercises the non-float64 payload path end to end — the
+    # oracle is cast with the same numpy rounding the scan applies
+    dtype = draw(st.sampled_from(["float64", "float32"]))
+    return items, chunksize, dtype
 
 
 @settings(
@@ -62,12 +66,13 @@ def stack_cases(draw):
 )
 @given(case=stack_cases())
 def test_scan_fuzz_matches_painted_oracle(spark, case):
-    items, chunksize = case
-    st_ = stack(spark, items, assets=["red", "nir"], chunksize=chunksize)
+    items, chunksize, dtype = case
+    st_ = stack(spark, items, assets=["red", "nir"], chunksize=chunksize, dtype=dtype)
     # a band missing from EVERY item is dropped (all-empty column semantics,
     # reference prepare.py:384-393) — paint the oracle for surviving bands
-    oracle = paint_oracle(items, st_.asset_ids, st_.spec)
+    oracle = paint_oracle(items, st_.asset_ids, st_.spec).astype(dtype)
     got = st_.compute()
+    assert got.dtype == np.dtype(dtype)
     assert got.shape == oracle.shape
     np.testing.assert_array_equal(got, oracle)
 
