@@ -1,7 +1,11 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "queries_spread": {name: {min, med, max}}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (r5): stdout ends with a SHORT final JSON line
+{"metric": ..., "value": total_sec, "unit": "sec", "n_queries": N,
+"sf": ...} (<2 KB, driver-parseable). The full per-query medians +
+min/med/max spread are printed on the line before it AND written to
+BENCH_DETAIL.json next to this script.
 
 Each query is executed to completion (count() drains the plan)
 $SPARK_GRAFT_BENCH_RUNS times back-to-back (default 3); "queries" holds the
@@ -79,10 +83,15 @@ def main() -> None:
     except Exception:
         pass
 
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
+    only_set = {q.strip() for q in only.split(",") if q.strip()}
+
     medians: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
     total = 0.0
     for name, fn in e.queries().items():
+        if only_set and name not in only_set:
+            continue
         times: list[float] = []
         n = 0
         for _ in range(runs):
@@ -105,19 +114,40 @@ def main() -> None:
         )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_sec_all_queries",
-                "value": round(total, 3),
-                "unit": "sec",
-                "runs_per_query": runs,
-                "queries": medians,
-                "queries_spread": spread,
-                "sf": float(sf),
-            }
-        )
+    detail = {
+        "metric": "total_wall_sec_all_queries",
+        "value": round(total, 3),
+        "unit": "sec",
+        "runs_per_query": runs,
+        "queries": medians,
+        "queries_spread": spread,
+        "sf": float(sf),
+    }
+    # Full per-query detail goes to a side file (and an EARLY stdout line for
+    # humans); the driver's tail capture parses only the LAST stdout line, so
+    # that line must stay short (r4 lesson: the 118-query spread grew past the
+    # driver's capture and BENCH_r04 recorded "parsed": null).
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(detail))
+    summary = {
+        "metric": "total_wall_sec_all_queries",
+        "value": round(total, 3),
+        "unit": "sec",
+        "runs_per_query": runs,
+        "n_queries": len(medians),
+        "sf": float(sf),
+        "detail_file": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(summary)
+    assert len(line) < 2000, "final bench line must stay driver-parseable"
+    print(line)
 
 
 if __name__ == "__main__":
