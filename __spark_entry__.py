@@ -4605,6 +4605,24 @@ FROM kept ORDER BY event_type
 
 
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
+    # --- r5 rotation: the 9 entries below are the last never-driver-graded
+    # --- queries (landed past-window in r4); they open the window so r5
+    # --- grading closes the 118/118 ever-graded loop. To make room, 9
+    # --- r4-green entries with close family siblings still in-window moved
+    # --- past slot 50: vocab_encode (vocab_topk stays), sliding_chunks
+    # --- (pack_sequences), repetition_stats (gopher_filter), tfidf_top
+    # --- (bm25_topk), unigram_lm (dsir_sample), dsir_weights (dsir_sample),
+    # --- unpivot (grouping_sets), int8_quant (matryoshka/pq), text_normalize
+    # --- (corpus_clean). All rotated entries stay CI-mirror-checked.
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
+    "cube_agg": (q_cube_agg, SQL_CUBE_AGG),
+    "sentence_stats": (q_sentence_stats, SQL_SENTENCE_STATS),
+    "pagerank": (q_pagerank, SQL_PAGERANK),
+    "session_windows": (q_session_windows, SQL_SESSION_WINDOWS),
+    "group_quantiles": (q_group_quantiles, SQL_GROUP_QUANTILES),
+    "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
+    "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
     # --- raster engine (driver-unchecked in r01; front of the window now) ---
     "raster_mosaic": (q_raster_mosaic, SQL_RASTER_MOSAIC),
     "raster_ndvi": (q_raster_ndvi, SQL_RASTER_NDVI),
@@ -4629,21 +4647,13 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "minhash_est": (q_minhash_est, SQL_MINHASH_EST),
     "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
-    "vocab_encode": (q_vocab_encode, SQL_VOCAB_ENCODE),
     "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
-    "unpivot": (q_unpivot, SQL_UNPIVOT),
     "gopher_filter": (q_gopher_filter, SQL_GOPHER_FILTER),
-    "sliding_chunks": (q_sliding_chunks, SQL_SLIDING_CHUNKS),
-    "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "ngram_contamination": (q_ngram_contamination, SQL_NGRAM_CONTAMINATION),
-    "tfidf_top": (q_tfidf_top, SQL_TFIDF_TOP),
-    "unigram_lm": (q_unigram_lm, SQL_UNIGRAM_LM),
-    "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
     "stream_enrich": (q_stream_enrich, SQL_STREAM_ENRICH),
     "dsir_sample": (q_dsir_sample, SQL_DSIR_SAMPLE),
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "kmeans": (q_kmeans, SQL_KMEANS),
-    "int8_quant": (q_int8_quant, SQL_INT8_QUANT),
     # --- r4 wave 2: corpus-level dedup / mixing / semantic dedup ---
     "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "cdc_chunks": (q_cdc_chunks, SQL_CDC_CHUNKS),
@@ -4655,7 +4665,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- r4 wave 3: sampling / skew / bloom / PCA / sliding windows ---
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "grouped_topk": (q_grouped_topk, SQL_GROUPED_TOPK),
-    "text_normalize": (q_text_normalize, SQL_TEXT_NORMALIZE),
     "quality_buckets": (q_quality_buckets, SQL_QUALITY_BUCKETS),
     "sliding_windows": (q_sliding_windows, SQL_SLIDING_WINDOWS),
     "bloom_prefilter": (q_bloom_prefilter, SQL_BLOOM_PREFILTER),
@@ -4709,8 +4718,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "tpch_q18": (q_tpch_q18, SQL_TPCH_Q18),
     "tpch_q21": (q_tpch_q21, SQL_TPCH_Q21),
     "set_ops": (q_set_ops, SQL_SET_OPS),
-    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
-    "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "tpch_q15": (q_tpch_q15, SQL_TPCH_Q15),
     "tpch_q20": (q_tpch_q20, SQL_TPCH_Q20),
     "tpch_q4": (q_tpch_q4, SQL_TPCH_Q4),
@@ -4725,15 +4732,17 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "tpch_q17": (q_tpch_q17, SQL_TPCH_Q17),
     "tpch_q19": (q_tpch_q19, SQL_TPCH_Q19),
     "tpch_q22": (q_tpch_q22, SQL_TPCH_Q22),
-    # r4 additions landing past-window (the window is full of never-graded
-    # queries); mirror-checked now, graded when the window rotates
-    "cube_agg": (q_cube_agg, SQL_CUBE_AGG),
-    "sentence_stats": (q_sentence_stats, SQL_SENTENCE_STATS),
-    "pagerank": (q_pagerank, SQL_PAGERANK),
-    "session_windows": (q_session_windows, SQL_SESSION_WINDOWS),
-    "group_quantiles": (q_group_quantiles, SQL_GROUP_QUANTILES),
-    "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
-    "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
+    # r5 rotation: r4-green entries moved past the window (family siblings
+    # remain in-window); CI mirror re-checks these every run
+    "vocab_encode": (q_vocab_encode, SQL_VOCAB_ENCODE),
+    "sliding_chunks": (q_sliding_chunks, SQL_SLIDING_CHUNKS),
+    "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
+    "tfidf_top": (q_tfidf_top, SQL_TFIDF_TOP),
+    "unigram_lm": (q_unigram_lm, SQL_UNIGRAM_LM),
+    "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
+    "unpivot": (q_unpivot, SQL_UNPIVOT),
+    "int8_quant": (q_int8_quant, SQL_INT8_QUANT),
+    "text_normalize": (q_text_normalize, SQL_TEXT_NORMALIZE),
 }
 
 
