@@ -1260,9 +1260,10 @@ def q_vocab_topk(spark, sf):
 
 
 SQL_VOCAB_TOPK = """
-WITH toks AS (
-  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+WITH toks0 AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term FROM documents
 ),
+toks AS (SELECT doc_id, term FROM toks0 WHERE term <> ''),
 counts AS (
   SELECT term, count(*) AS cnt, count(DISTINCT doc_id) AS doc_freq
   FROM toks GROUP BY term
@@ -3579,9 +3580,14 @@ WITH keyed AS (
          -ln((('0x' || substring(md5(':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
              / 4294967296.0) / n_chars AS k
   FROM documents WHERE n_chars > 0
-)
+),
+-- selection by the UNROUNDED key (matches weighted_sample's top-k) ...
+sel AS (SELECT doc_id, n_chars, k FROM keyed ORDER BY k, doc_id LIMIT 50)
+-- ... but final row order by the ROUNDED display key, exactly like the
+-- Spark side's orderBy("sample_key", "doc_id") — keys within 1e-6 of each
+-- other must not order differently between engines (hash is row-ordered)
 SELECT doc_id, n_chars, round(k, 6) AS sample_key
-FROM keyed ORDER BY k, doc_id LIMIT 50
+FROM sel ORDER BY round(k, 6), doc_id
 """
 
 
@@ -3710,8 +3716,11 @@ bits AS (
   FROM block b CROSS JOIN generate_series(0, 2) t(i)
 ),
 cand AS (
+  -- text IS NOT NULL mirrors Spark's null semantics: bloom_predicate over a
+  -- NULL text yields NULL and the filter drops the row, while DuckDB's
+  -- NOT EXISTS over NULL hash positions would keep it
   SELECT d.doc_id, d.text FROM documents d
-  WHERE NOT EXISTS (
+  WHERE d.text IS NOT NULL AND NOT EXISTS (
     SELECT 1 FROM generate_series(0, 2) t(i)
     WHERE (('0x' || substring(md5('bloom' || CAST(t.i AS VARCHAR) || ':' || d.text), 1, 8))::BIGINT)
             % 512 NOT IN (SELECT p FROM bits)
@@ -4051,10 +4060,11 @@ def q_vocab_encode(spark, sf):
 
 
 SQL_VOCAB_ENCODE = """
-WITH toks0 AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+WITH toks0 AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents),
 tok AS (
   SELECT doc_id, u.i AS pos, t[u.i + 1] AS term
   FROM toks0, unnest(generate_series(0, len(t) - 1)) u(i)
+  WHERE t[u.i + 1] <> ''
 ),
 counts AS (SELECT term, count(*) AS cnt, count(DISTINCT doc_id) AS doc_freq FROM tok GROUP BY term),
 vocab AS (

@@ -187,6 +187,12 @@ def focal_mean(
     if keys is None:
         keys = [c for c in ("item_idx", "band_idx") if c in pixels.columns]
     offs = [(dy, dx) for dy in range(-radius, radius + 1) for dx in range(-radius, radius + 1)]
+    # NaN is missing under the engine's errors-as-nodata convention (scan
+    # fills with NaN): mask to null so avg skips it and n_samples counts
+    # only observed neighbors — xarray rolling(...).mean(min_periods=1)
+    # semantics. A cell whose whole neighborhood is NaN keeps its row with
+    # null focal_mean and n_samples=0.
+    masked_v = F.when(~F.isnan(F.col(value_col)), F.col(value_col))
     contrib = pixels.select(
         *keys,
         F.explode(
@@ -199,7 +205,7 @@ def focal_mean(
                 ]
             )
         ).alias("t"),
-        F.col(value_col).alias("__v"),
+        masked_v.alias("__v"),
     ).select(*keys, F.col("t.r").alias("row"), F.col("t.c").alias("col"), "__v")
     if grid_shape is not None:
         h, w = grid_shape
@@ -210,7 +216,7 @@ def focal_mean(
     mean = F.avg("__v") if round_to is None else F.round(F.avg("__v"), round_to)
     return contrib.groupBy(*keys, "row", "col").agg(
         mean.alias("focal_mean"),
-        F.count(F.lit(1)).alias("n_samples"),
+        F.count("__v").alias("n_samples"),
     )
 
 
@@ -288,14 +294,18 @@ def zonal_stats(
         & (F.col("col") >= F.col("col_min"))
         & (F.col("col") <= F.col("col_max"))
     )
+    # NaN pixels are nodata (rasterstats skipna semantics): mask to null so
+    # mean/min/max skip them and n_pixels counts only valid pixels.
+    masked_v = F.when(~F.isnan(F.col(value_col)), F.col(value_col))
     return (
-        pixels.join(F.broadcast(zones), within)
+        pixels.withColumn("__v", masked_v)
+        .join(F.broadcast(zones), within)
         .groupBy("zone_id")
         .agg(
-            F.count(F.lit(1)).alias("n_pixels"),
-            F.round(F.avg(value_col), round_to).alias("mean_value"),
-            F.round(F.min(value_col), round_to).alias("min_value"),
-            F.round(F.max(value_col), round_to).alias("max_value"),
+            F.count("__v").alias("n_pixels"),
+            F.round(F.avg("__v"), round_to).alias("mean_value"),
+            F.round(F.min("__v"), round_to).alias("min_value"),
+            F.round(F.max("__v"), round_to).alias("max_value"),
         )
     )
 

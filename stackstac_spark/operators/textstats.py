@@ -269,7 +269,11 @@ def vocab_topk(
     """
     from pyspark.sql import Window
 
-    toks = df.select(id_col, F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"))
+    # \s+ tokenization, consistent with bm25/gopher/dedup (a vocab learned
+    # here must match their tokens); leading-whitespace empty tokens dropped
+    toks = df.select(
+        id_col, F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
     counts = toks.groupBy("term").agg(
         F.count(F.lit(1)).alias("cnt"), F.count_distinct(F.col(id_col)).alias("doc_freq")
     )
@@ -406,10 +410,13 @@ def encode_with_vocab(
     billion-term vocab shuffles — same policy as tfidf), then one doc-keyed
     aggregate reassembling via sort_array over (pos, id) structs.
     """
+    # \s+ tokenization matching vocab_topk/bm25 (tabs, newlines, runs of
+    # spaces are separators, not OOV empty-string tokens); positions keep
+    # document order even after the empty-token filter
     toks = df.select(
         id_col,
-        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias("pos", "term"),
-    )
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("pos", "term"),
+    ).filter(F.col("term") != "")
     v = vocab.select(F.col("term"), F.col("rank").cast("int").alias("__vid"))
     enc = toks.join(v, "term", "left").select(
         id_col, "pos", F.coalesce("__vid", F.lit(0)).alias("tid")

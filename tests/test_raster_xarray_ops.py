@@ -93,6 +93,49 @@ def test_zonal_stats_overlapping_zones(spark):
     # pixel (1,1) counted in all three zones (overlap semantics)
 
 
+def test_focal_mean_skips_nan(spark):
+    """NaN pixels are nodata: they must not poison neighboring means,
+    must not count toward n_samples, and an all-NaN neighborhood yields a
+    null mean with n_samples=0 (xarray rolling min_periods=1 semantics)."""
+    from stackstac_spark.operators.composite import focal_mean
+
+    # 1-D strip: values 1, NaN, 3 — plus an isolated NaN far away at col 10
+    px = spark.createDataFrame(
+        [(0, 0, 1.0), (0, 1, float("nan")), (0, 2, 3.0), (0, 10, float("nan"))],
+        "row INT, col INT, value DOUBLE",
+    )
+    got = {
+        (r["row"], r["col"]): (r["focal_mean"], r["n_samples"])
+        for r in focal_mean(px, radius=1).collect()
+    }
+    assert got[(0, 1)] == (2.0, 2)  # mean(1, 3); NaN neighbor skipped
+    assert got[(0, 0)] == (1.0, 1)
+    assert got[(0, 2)] == (3.0, 1)
+    # neighborhood of the isolated NaN: row exists, null mean, 0 samples
+    fm, n = got[(0, 10)]
+    assert fm is None and n == 0
+
+
+def test_zonal_stats_skips_nan(spark):
+    """rasterstats skipna: NaN pixels excluded from count/mean/min/max."""
+    from stackstac_spark.operators.composite import zonal_stats
+
+    px = spark.createDataFrame(
+        [(0, 0, 2.0), (0, 1, float("nan")), (1, 0, 4.0), (1, 1, float("nan"))],
+        "row INT, col INT, value DOUBLE",
+    )
+    zones = spark.createDataFrame(
+        [(0, 0, 1, 0, 1), (1, 0, 0, 1, 1)],
+        "zone_id INT, row_min INT, row_max INT, col_min INT, col_max INT",
+    )
+    got = {r["zone_id"]: r for r in zonal_stats(px, zones).collect()}
+    assert got[0]["n_pixels"] == 2
+    assert got[0]["mean_value"] == 3.0
+    assert got[0]["min_value"] == 2.0 and got[0]["max_value"] == 4.0
+    # zone 1 covers only NaN pixels: present with 0 valid pixels, null stats
+    assert got[1]["n_pixels"] == 0 and got[1]["mean_value"] is None
+
+
 # --- Hypothesis fuzz -------------------------------------------------------
 
 from hypothesis import HealthCheck, given, settings

@@ -463,3 +463,39 @@ def test_sliding_chunks_rejects_stride_gt_chunk(spark):
     df = spark.createDataFrame([(0, "a b c d e")], "doc_id LONG, text STRING")
     with pytest.raises(ValueError, match="stride"):
         sliding_chunks(df, chunk_tokens=4, stride=10)
+
+
+def test_session_window_exact_gap_merges(spark):
+    """Pin Spark's session_window boundary: an event EXACTLY gap after the
+    previous one MERGES into the session (next_start <= prev_end is
+    inclusive). The SQL_SESSION_WINDOWS oracle replays this with
+    `gap > 1800000000 -> new session`, i.e. exact gap merges — this test
+    guards that both engines agree on the boundary (verified empirically
+    against Spark 4.1; an exclusive-merge change would break the gate)."""
+    df = spark.createDataFrame(
+        [(1, 0), (1, 1_800_000_000), (1, 3_600_000_001)],
+        "user_id INT, ts_us LONG",
+    ).withColumn("ts", F.timestamp_micros("ts_us"))
+    out = (
+        df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    # events 0 and 1800s merge (exact gap); 3600.000001s starts a new session
+    assert sorted(r.n for r in out) == [1, 2]
+
+
+def test_vocab_tokenization_whitespace_runs(spark):
+    """vocab_topk / encode_with_vocab split on \\s+ like bm25/gopher: tabs,
+    newlines and space runs are separators — no empty-string OOV tokens."""
+    from stackstac_spark.operators.textstats import encode_with_vocab, vocab_topk
+
+    docs = spark.createDataFrame(
+        [(0, "aa\tbb\naa  bb"), (1, "aa bb cc")], "doc_id LONG, text STRING"
+    )
+    vocab = vocab_topk(docs, k=10)
+    terms = {r["term"] for r in vocab.collect()}
+    assert terms == {"aa", "bb", "cc"}  # no '' term from the runs
+    enc = {r["doc_id"]: r for r in encode_with_vocab(docs, vocab).collect()}
+    assert enc[0]["n_tokens"] == 4 and enc[0]["n_oov"] == 0
+    assert enc[1]["n_tokens"] == 3
