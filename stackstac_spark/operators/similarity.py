@@ -397,18 +397,35 @@ def cosine_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sim_round: int = 6,
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """Top near-duplicate pairs by embedding cosine over a BOUNDED subset:
     self-join (id_a < id_b) with the smaller side broadcast, ranked by
     similarity — the exact-verification endpoint of the near-dup pipeline
     (run it on LSH/SemDeDup candidate clusters or a bounded slice, never
-    corpus×corpus; that contract is the caller's, matching cosine_topk's
-    broadcast-side rule). Norms computed once per row before the join.
+    corpus×corpus). Norms computed once per row before the join.
+
+    The bounded-subset contract is SELF-ENFORCING (same policy as
+    ivf_topk's MAX_QUERY_SIDE): the input must have at most ``max_rows``
+    rows — above that, the broadcast non-equi self-join is O(n²) compute
+    and would OOM the broadcast; the call fails loudly instead. For
+    corpus-scale near-dup use minhash_lsh / semdedup to generate bounded
+    candidate clusters first. The count() guard is one cheap agg over the
+    (usually already-filtered) input, negligible next to the O(n²) join
+    it protects.
 
     Returns (ida, idb, sim) — the ``top_pairs`` highest-similarity pairs.
     """
     if top_pairs <= 0:
         raise ValueError(f"top_pairs must be positive, got {top_pairs}")
+    n = emb.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"cosine_near_duplicates is an exact O(n²) verification endpoint "
+            f"for BOUNDED candidate sets; got more than {max_rows} rows. "
+            "Run minhash_lsh / semdedup first and call this on the candidate "
+            "clusters, or raise max_rows explicitly if you accept the cost."
+        )
     a = emb.select(
         F.col(id_col).alias("ida"), F.col(vec_col).alias("va")
     ).withColumn("__an", _norm("va"))

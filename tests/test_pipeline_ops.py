@@ -1087,3 +1087,7 @@ def test_cosine_near_duplicates_operator(spark):
 
     with _pytest.raises(ValueError):
         cosine_near_duplicates(emb, top_pairs=0)
+    # the bounded-subset contract self-enforces: above max_rows the O(n^2)
+    # broadcast self-join refuses loudly (mirrors ivf_topk's MAX_QUERY_SIDE)
+    with _pytest.raises(ValueError, match="BOUNDED"):
+        cosine_near_duplicates(emb, top_pairs=3, max_rows=2)
