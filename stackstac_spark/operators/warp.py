@@ -106,6 +106,55 @@ _DST_TILES_SCHEMA = (
 )
 
 
+def _bounds_9pt_udf(out_epsg: int):
+    """Arrow-batched kernel: (bounds, src_epsg) → bounds in out CRS via
+    3x3 boundary-point sampling (corners + edge midpoints + center).
+
+    The warp-footprint variant of prepare's 4-corner
+    ``_bounds_to_out_epsg_udf``: mid-edge samples capture graticule
+    curvature extrema (a tile straddling a UTM central meridian has its
+    max northing mid-edge, not at a corner), so the source footprint
+    covers what ``_interp_tile`` will actually gather. prepare keeps the
+    4-corner form (reference ``geom_utils.reproject_bounds`` parity)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _reproject(bounds: pd.Series, epsg: pd.Series) -> pd.Series:
+        out = pd.Series([None] * len(bounds), index=bounds.index, dtype=object)
+        valid = bounds.notna() & epsg.notna()
+        if not valid.any():
+            return out
+        b = np.stack(bounds[valid].to_numpy())  # (n, 4)
+        e = epsg[valid].to_numpy().astype("int64")
+        res = np.empty_like(b)
+        midx = (b[:, 0] + b[:, 2]) / 2.0
+        midy = (b[:, 1] + b[:, 3]) / 2.0
+        for code in np.unique(e):
+            m = e == code
+            if int(code) == out_epsg:
+                res[m] = b[m]
+                continue
+            px = [b[m, 0], midx[m], b[m, 2]]
+            py = [b[m, 1], midy[m], b[m, 3]]
+            xs = np.concatenate([px[i] for _ in range(3) for i in range(3)])
+            ys = np.concatenate([py[j] for j in range(3) for _ in range(3)])
+            tx, ty = transform_xy(int(code), out_epsg, xs, ys)
+            n = int(m.sum())
+            txc = tx.reshape(9, n)
+            tyc = ty.reshape(9, n)
+            res[m, 0] = txc.min(axis=0)
+            res[m, 1] = tyc.min(axis=0)
+            res[m, 2] = txc.max(axis=0)
+            res[m, 3] = tyc.max(axis=0)
+        vals = np.empty(len(res), dtype=object)
+        vals[:] = [list(map(float, r)) for r in res]
+        out.iloc[np.flatnonzero(valid.to_numpy())] = vals
+        return out
+
+    return _reproject
+
+
 def _dst_tiles_driver(
     spark, src_spec: RasterSpec, dst_spec: RasterSpec, chunksize: int, halo: int
 ) -> DataFrame:
@@ -138,12 +187,21 @@ def _dst_tiles_driver(
     if int(dst_spec.epsg) == int(src_spec.epsg):
         s0, s1, s2, s3 = bminx, bminy, bmaxx, bmaxy
     else:
-        xs = np.concatenate([bminx, bmaxx, bminx, bmaxx])
-        ys = np.concatenate([bminy, bminy, bmaxy, bmaxy])
+        # 3x3 boundary sampling (corners + edge midpoints + center), not the
+        # 4 corners alone: curved graticules (e.g. a UTM parallel) reach
+        # their extremum MID-EDGE when a tile straddles the central
+        # meridian — a corner-only bbox under-covers there and the fixed
+        # halo can't absorb it at coarse zooms (edge-NaN risk).
+        bmidx = (bminx + bmaxx) / 2.0
+        bmidy = (bminy + bmaxy) / 2.0
+        xs = np.concatenate([bminx, bmidx, bmaxx] * 3)
+        ys = np.concatenate(
+            [bminy, bminy, bminy, bmidy, bmidy, bmidy, bmaxy, bmaxy, bmaxy]
+        )
         tx_, ty_ = transform_xy(int(dst_spec.epsg), int(src_spec.epsg), xs, ys)
         n = len(dty)
-        txc = tx_.reshape(4, n)
-        tyc = ty_.reshape(4, n)
+        txc = tx_.reshape(9, n)
+        tyc = ty_.reshape(9, n)
         s0, s1 = txc.min(axis=0), tyc.min(axis=0)
         s2, s3 = txc.max(axis=0), tyc.max(axis=0)
     col_off = (s0 - sminx) / sxres
@@ -176,6 +234,8 @@ def reproject_tiles(
     halo: int = 2,
     grid_on_driver_max: int = 4096,
     dtype: str = "float64",
+    broadcast_dst_max: int = 65536,
+    bin_px: int | None = None,
 ) -> DataFrame:
     """Warp the tile DataFrame onto ``dst_spec``.
 
@@ -211,9 +271,7 @@ def reproject_tiles(
     if n_ty * n_tx <= grid_on_driver_max:
         dst_tiles = _dst_tiles_driver(spark, src_spec, dst_spec, chunksize, halo)
     else:
-        from stackstac_spark.prepare import _bounds_to_out_epsg_udf
-
-        reproj = _bounds_to_out_epsg_udf(src_spec.epsg)
+        reproj = _bounds_9pt_udf(src_spec.epsg)
 
         # destination tile table with its source-pixel footprint — all column
         # arithmetic plus one vectorized reprojection UDF; nothing iterates on
@@ -263,14 +321,102 @@ def reproject_tiles(
             (F.ceil(col_off + width - 1e-9) + halo).cast("int").alias("sc1"),
         )
 
-    # source tiles ⋈ dst tiles on pixel-window overlap
-    joined = tiles.join(
-        F.broadcast(dst_tiles),
+    # source tiles ⋈ dst tiles on pixel-window overlap. Two physical
+    # strategies on the same predicate:
+    #
+    # - dst grid <= broadcast_dst_max tiles: broadcast nested-loop — a dst
+    #   grid of 64k rows of 10 ints is ~3 MB, and AOI/viz warps (one XYZ
+    #   tile, a resample) are far below that.
+    # - larger: binned 2-D equi-join (the rangejoin.py shape in two
+    #   dimensions) — both sides emit the source-pixel bins their window
+    #   covers and equi-join on (bin_r, bin_c), so a full-corpus cross-CRS
+    #   reproject with millions of tiles on BOTH sides shuffles on bin
+    #   keys instead of broadcasting an unbounded grid. The src side joins
+    #   METADATA only (payload bytes never duplicate across bins); matched
+    #   pairs pull the payload back with one hash join on the tile key.
+    #   Pairs dedupe via the canonical-bin trick (keep the pair only in
+    #   the top-left bin of the window intersection), not a distinct.
+    overlap = (
         (F.col("row_off") < F.col("sr1"))
         & (F.col("row_off") + F.col("tile_h") > F.col("sr0"))
         & (F.col("col_off") < F.col("sc1"))
-        & (F.col("col_off") + F.col("tile_w") > F.col("sc0")),
+        & (F.col("col_off") + F.col("tile_w") > F.col("sc0"))
     )
+    if n_ty * n_tx <= broadcast_dst_max:
+        joined = tiles.join(F.broadcast(dst_tiles), overlap)
+    else:
+        if bin_px is None:
+            # bins sized so a typical window on either side covers O(1)
+            # bins: at least 256 src px, scaled up when dst pixels are
+            # coarser than src (a dst tile's footprint is ~chunksize *
+            # res_ratio src px wide)
+            res_ratio = max(dxres / sxres, dyres / syres, 1.0)
+            bin_px = 1 << max(8, math.ceil(math.log2(chunksize * res_ratio + 1)))
+        B = float(bin_px)
+        src_meta = tiles.select(
+            "item_idx", "band_idx", "row_off", "col_off", "tile_h", "tile_w"
+        ).withColumn(
+            "__br",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("row_off") / B).cast("int"),
+                    F.greatest(
+                        F.floor((F.col("row_off") + F.col("tile_h") - 1) / B),
+                        F.floor(F.col("row_off") / B),
+                    ).cast("int"),
+                )
+            ),
+        ).withColumn(
+            "__bc",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("col_off") / B).cast("int"),
+                    F.greatest(
+                        F.floor((F.col("col_off") + F.col("tile_w") - 1) / B),
+                        F.floor(F.col("col_off") / B),
+                    ).cast("int"),
+                )
+            ),
+        )
+        dst_binned = dst_tiles.withColumn(
+            "__br",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("sr0") / B).cast("int"),
+                    F.greatest(
+                        F.floor((F.col("sr1") - 1) / B), F.floor(F.col("sr0") / B)
+                    ).cast("int"),
+                )
+            ),
+        ).withColumn(
+            "__bc",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("sc0") / B).cast("int"),
+                    F.greatest(
+                        F.floor((F.col("sc1") - 1) / B), F.floor(F.col("sc0") / B)
+                    ).cast("int"),
+                )
+            ),
+        )
+        pairs = (
+            src_meta.join(dst_binned, ["__br", "__bc"])
+            .filter(overlap)
+            .filter(
+                (
+                    F.col("__br")
+                    == F.floor(F.greatest(F.col("sr0"), F.col("row_off")) / B).cast("int")
+                )
+                & (
+                    F.col("__bc")
+                    == F.floor(F.greatest(F.col("sc0"), F.col("col_off")) / B).cast("int")
+                )
+            )
+            .drop("__br", "__bc")
+        )
+        joined = tiles.join(
+            pairs, ["item_idx", "band_idx", "row_off", "col_off", "tile_h", "tile_w"]
+        )
 
     src_spec_b = src_spec
     dst_spec_b = dst_spec

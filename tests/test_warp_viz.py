@@ -216,3 +216,114 @@ def test_reproject_float32_stack(spark):
         )
     dense = st.compute()
     np.testing.assert_array_equal(got, dense[0, 0].astype("float64"))
+
+
+# --- r5: binned overlap join + curvature-aware footprints -------------------
+
+
+def _collect_dense(out, shape):
+    got = {}
+    h, w = shape
+    for r in out.collect():
+        key = (r.item_idx, r.band_idx)
+        got.setdefault(key, np.full((h, w), np.nan))
+        got[key][
+            r.row_off : r.row_off + r.tile_h, r.col_off : r.col_off + r.tile_w
+        ] = np.frombuffer(r.data, dtype="float64").reshape(r.tile_h, r.tile_w)
+    return got
+
+
+def test_reproject_binned_join_matches_broadcast(spark, small_stack):
+    """The binned 2-D equi-join (big dst grids) must produce byte-identical
+    output to the broadcast overlap join — same predicate, different
+    physical strategy."""
+    st = small_stack
+    dst = RasterSpec(st.spec.epsg, st.spec.bounds, (2.0, 2.0))
+    base = _collect_dense(
+        reproject_tiles(st.tiles, st.spec, dst, chunksize=16), dst.shape
+    )
+    binned = _collect_dense(
+        reproject_tiles(
+            st.tiles, st.spec, dst, chunksize=16, broadcast_dst_max=0, bin_px=32
+        ),
+        dst.shape,
+    )
+    assert set(base) == set(binned)
+    for k in base:
+        np.testing.assert_array_equal(base[k], binned[k])
+    # and with the executor-side dst grid too (grid_on_driver_max=0)
+    binned2 = _collect_dense(
+        reproject_tiles(
+            st.tiles, st.spec, dst, chunksize=16,
+            broadcast_dst_max=0, grid_on_driver_max=0, bin_px=32,
+        ),
+        dst.shape,
+    )
+    for k in base:
+        np.testing.assert_array_equal(base[k], binned2[k])
+
+
+def test_reproject_binned_no_broadcast_of_dst_grid(spark, small_stack):
+    """Plan guard (SCALE.md §5 deferral #1): above broadcast_dst_max the
+    dst grid must NOT be broadcast — the overlap join becomes a binned
+    equi-join with no BroadcastNestedLoopJoin anywhere in the plan."""
+    st = small_stack
+    dst = RasterSpec(st.spec.epsg, st.spec.bounds, (2.0, 2.0))
+    def dst_grid_bnlj(df):
+        # the dst-grid overlap join's condition references sr1/sc1; the
+        # stack's own (metadata-sized) tile⋈asset bbox join is a separate,
+        # legitimate BNLJ and must not trip this guard
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return [
+            ln for ln in plan.split("\n")
+            if "BroadcastNestedLoopJoin" in ln and "sr1" in ln
+        ]
+
+    out = reproject_tiles(
+        st.tiles, st.spec, dst, chunksize=16, broadcast_dst_max=0, bin_px=32
+    )
+    assert dst_grid_bnlj(out) == []
+    # the broadcast path (small grids) legitimately keeps it
+    small = reproject_tiles(st.tiles, st.spec, dst, chunksize=16)
+    assert dst_grid_bnlj(small) != []
+
+
+def test_reproject_curvature_midedge_no_nan(spark):
+    """Cross-central-meridian coarse warp (SCALE.md §5 deferral #2): a
+    UTM->4326 warp of a 600 km-wide raster straddling the zone-33 central
+    meridian. The max northing of the top edge occurs MID-edge (~4 km /
+    ~4 src px above the corner northings here); a 4-corner footprint plus
+    the fixed 2 px halo under-covers it and leaves NaN pixels along the
+    top edge. The 9-point (corner+midpoint) footprint must cover every dst
+    pixel whose center maps inside the source raster."""
+    from stackstac_spark.functions.proj import transform_xy
+
+    src_bounds = (200000.0, 4900000.0, 800000.0, 5000000.0)
+    items = [make_item(0, "2024-01-05T00:00:00Z", src_bounds, epsg=32633,
+                       assets=("red",), res=1000.0)]
+    st = stack(spark, items, assets=["red"], chunksize=64)
+    # dst: 4326 box containing the raster, ONE 64x56-px dst tile spanning the
+    # full 10 degrees of longitude — its bottom-edge min northing sags ~12
+    # src px below the corner northings (measured), far past the 2 px halo,
+    # so a 4-corner footprint leaves a NaN band along the bottom edge
+    dst = RasterSpec(4326, (10.0, 44.0, 20.0, 45.4), (0.15625, 0.025))
+    dh, dw = dst.shape
+    for kwargs in ({}, {"grid_on_driver_max": 0}):
+        out = reproject_tiles(
+            st.tiles, st.spec, dst, chunksize=64, method="nearest", **kwargs
+        )
+        dense = _collect_dense(out, dst.shape)[(0, 0)]
+        # dst pixel centers → src coords; those strictly inside the raster
+        # (1 src px margin) must all be observed
+        xs = dst.bounds[0] + (np.arange(dw) + 0.5) * 0.15625
+        ys = dst.bounds[3] - (np.arange(dh) + 0.5) * 0.025
+        xx, yy = np.meshgrid(xs, ys)
+        sx, sy = transform_xy(4326, 32633, xx.ravel(), yy.ravel())
+        sx = sx.reshape(dh, dw)
+        sy = sy.reshape(dh, dw)
+        inside = (
+            (sx > src_bounds[0] + 1000) & (sx < src_bounds[2] - 1000)
+            & (sy > src_bounds[1] + 1000) & (sy < src_bounds[3] - 1000)
+        )
+        n_nan_inside = int(np.isnan(dense[inside]).sum())
+        assert n_nan_inside == 0, f"{n_nan_inside} NaN pixels inside the raster"
