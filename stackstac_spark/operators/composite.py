@@ -79,6 +79,91 @@ def resample_time(
     )
 
 
+_PERIODS = {
+    "month": lambda t: F.month(t),
+    "quarter": lambda t: F.quarter(t),
+    "dayofyear": lambda t: F.dayofyear(t),
+    "year": lambda t: F.year(t),
+    "season": lambda t: F.element_at(
+        F.array(*[F.lit(s) for s in
+                  ("DJF", "DJF", "MAM", "MAM", "MAM", "JJA",
+                   "JJA", "JJA", "SON", "SON", "SON", "DJF")]),
+        F.month(t),
+    ),
+}
+
+
+def climatology(
+    pixels_with_time: DataFrame,
+    period: str = "month",
+    agg: str = "mean",
+    value_col: str = "value",
+    keys: list[str] | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Calendar climatology — xarray's ``.groupby("time.month").mean()``
+    idiom: group by the CALENDAR PERIOD of the timestamp (month-of-year /
+    day-of-year / quarter / season ACROSS years), not by consecutive
+    windows like :func:`resample_time`. The monthly-anomaly composite every
+    temporal analysis starts from.
+
+    ``pixels_with_time`` carries a ``time`` column (pixels ⋈ items_df).
+    One ``date_part`` groupBy — a single hash aggregate with map-side
+    partials; at 100 TB the shuffle carries (period × pixel) partials, the
+    same cardinality as any per-pixel reduction. NaN observations are
+    masked to null first (missing stays missing, xarray skipna default).
+
+    Returns (period, *keys, <agg>, n_obs).
+    """
+    if period not in _PERIODS:
+        raise ValueError(f"period must be one of {sorted(_PERIODS)}, got {period!r}")
+    fn = _AGGS[agg]
+    if keys is None:
+        keys = [c for c in ("band_idx", "row", "col") if c in pixels_with_time.columns]
+    v = F.when(~F.isnan(F.col(value_col)), F.col(value_col))
+    agg_expr = fn(v)
+    if round_to is not None:
+        agg_expr = F.round(agg_expr, round_to)
+    return (
+        pixels_with_time.withColumn("__v", v)
+        .groupBy(_PERIODS[period]("time").alias(period), *keys)
+        .agg(agg_expr.alias(agg), F.count("__v").alias("n_obs"))
+        .select(period, *keys, agg, "n_obs")
+    )
+
+
+def climatology_anomaly(
+    pixels_with_time: DataFrame,
+    period: str = "month",
+    value_col: str = "value",
+    keys: list[str] | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Per-observation anomaly vs the calendar climatology:
+    ``value - mean(values of the same calendar period at this pixel)`` —
+    xarray's ``da.groupby("time.month") - clim`` broadcast.
+
+    Plan: the climatology (mean, unrounded) joins back on
+    (period, *keys) — an equi-join co-keyed with the groupBy that produced
+    it, so the shuffle is reused; the climatology side is 1/period-count
+    the size of the data."""
+    if keys is None:
+        keys = [c for c in ("band_idx", "row", "col") if c in pixels_with_time.columns]
+    clim = climatology(
+        pixels_with_time, period=period, agg="mean",
+        value_col=value_col, keys=keys, round_to=None,
+    ).withColumnRenamed("mean", "__clim")
+    px = pixels_with_time.withColumn(
+        period, _PERIODS[period]("time")
+    )
+    anom = F.col(value_col) - F.col("__clim")
+    if round_to is not None:
+        anom = F.round(anom, round_to)
+    return px.join(clim, [period, *keys]).select(
+        *px.columns, anom.alias("anomaly")
+    )
+
+
 def reduce_dims(
     pixels: DataFrame, dims: tuple[str, ...] = ("item_idx",), agg: str = "median"
 ) -> DataFrame:

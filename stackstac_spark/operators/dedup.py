@@ -331,21 +331,32 @@ def connected_components(
     is the right sizing, and never mutates session-global configuration.
     """
     e1 = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = e1.union(
+    edges_raw = e1.union(
         e1.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    edges = edges.localCheckpoint()
-    n_edges = edges.count()  # cheap: counts the checkpointed partitions
+    ).localCheckpoint()
+    # raw count (pre-distinct): duplicates only make it an overestimate,
+    # which can only route a borderline graph to the distributed loop —
+    # never a too-big graph to the driver
+    n_raw = edges_raw.count()
 
     # Dual physical strategy (the operators/warp.py small-grid precedent):
     # an LSH candidate graph is usually tiny relative to the corpus — the
     # iterative loop's ~10 fixed-cost jobs/round dwarf the work. Below the
     # threshold, collect the edges and run driver union-find (identical
-    # min-label output, one job + one LocalRelation). At 100 TB edge counts
-    # are billions and this branch never triggers; `driver_threshold=0`
-    # forces the distributed loop (the tests pin both paths).
-    if n_edges <= driver_threshold:
-        return _components_driver(edges)
+    # min-label output, one job + one LocalRelation). Union-find tolerates
+    # duplicate edges, so the driver path skips the distinct entirely —
+    # one less exchange + hash agg on the checkpoint materialization path
+    # (the r4 bench's dedup_components floor was exactly these fixed
+    # costs). At 100 TB edge counts are billions and this branch never
+    # triggers; `driver_threshold=0` forces the distributed loop (the
+    # tests pin both paths).
+    if n_raw <= 2 * driver_threshold:
+        return _components_driver(edges_raw)
+
+    # the loop, by contrast, does want distinct edges: the per-round
+    # neighbor join is sized by |E|, and LSH candidate generation emits the
+    # same pair once per colliding band
+    edges = edges_raw.distinct().localCheckpoint()
 
     # NOTE: graphs reaching the loop exceed driver_threshold edges, where
     # the session's shuffle-partition default is the right sizing. (An

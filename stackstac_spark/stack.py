@@ -53,6 +53,62 @@ class RasterStack:
             self.tiles, drop_fill=drop_fill, dtype=self.dtype, fill_value=self.fill_value
         )
 
+    def pixels_with_time(self, drop_fill: bool = True) -> DataFrame:
+        """``pixels()`` ⋈ the item datetime (broadcast — items are
+        metadata-sized): adds a ``time`` timestamp column for temporal
+        operators (resample, climatology)."""
+        t = self.items_df.select(
+            "item_idx", F.col("datetime").cast("timestamp").alias("time")
+        )
+        return self.pixels(drop_fill).join(F.broadcast(t), "item_idx")
+
+    def where(self, cond: Any, other: float | None = None) -> "RasterStack":
+        """Elementwise ``xr.DataArray.where`` (reference demo:
+        ``comp.where(comp > threshold)``, examples/show.ipynb:36012): keep
+        pixels where the vectorized numpy predicate ``cond`` holds, fill
+        the rest with ``other`` (default the stack fill — NaN, so masked
+        pixels drop out of the sparse pixel view). Map-only, no shuffle."""
+        from stackstac_spark.operators.mask import where_tiles
+
+        fill = self.fill_value if other is None else other
+        return replace(
+            self,
+            tiles=where_tiles(self.tiles, cond, other=fill, dtype=self.dtype),
+        )
+
+    def mask_band(
+        self, band: str, keep: Any, other: float | None = None
+    ) -> "RasterStack":
+        """Mask all data bands by a classification band (the Sentinel-2
+        SCL cloud-mask idiom): pixels whose ``band`` value is not in
+        ``keep`` (a value list, or a vectorized numpy predicate) become
+        ``other`` (default stack fill). The mask band is consumed — it is
+        removed from the resulting stack. One tile-keyed equi-join + a
+        map-only kernel (operators/mask.py)."""
+        from stackstac_spark.operators.mask import mask_band_tiles
+
+        if band not in self.asset_ids:
+            raise ValueError(f"Band {band!r} not in stack; available: {self.asset_ids}")
+        fill = self.fill_value if other is None else other
+        idx = self.asset_ids.index(band)
+        return replace(
+            self,
+            tiles=mask_band_tiles(
+                self.tiles, idx, keep, other=fill, dtype=self.dtype
+            ),
+            asset_ids=[a for a in self.asset_ids if a != band],
+        )
+
+    def groupby_period(
+        self, period: str = "month", agg: str = "mean"
+    ) -> DataFrame:
+        """Calendar climatology — ``.groupby("time.month").mean()``:
+        month-of-year / day-of-year / season composites ACROSS years
+        (operators/composite.py::climatology)."""
+        from stackstac_spark.operators.composite import climatology
+
+        return climatology(self.pixels_with_time(), period=period, agg=agg)
+
     def xy_coord_tables(self) -> tuple[DataFrame, DataFrame]:
         """(col, x) and (row, y) label tables honouring the stack's
         ``xy_coords`` setting — the reference's topleft/center toggle

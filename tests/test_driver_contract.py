@@ -53,13 +53,24 @@ def test_bench_emits_one_json_line():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     json_lines = [ln for ln in out.stdout.splitlines() if ln.strip().startswith("{")]
-    assert len(json_lines) == 1, out.stdout
+    # r5 contract: detail line first, then a SHORT final summary line — the
+    # driver tail-parses the LAST line, which must stay <2 KB (the r4 single
+    # giant line overflowed the driver's capture: BENCH_r04 "parsed": null)
+    assert len(json_lines) == 2, out.stdout
+    last = out.stdout.splitlines()[-1]
+    assert last.strip().startswith("{") and len(last) < 2000
+    summary = json.loads(last)
+    assert summary["metric"] == "total_wall_sec_all_queries" and summary["unit"] == "sec"
+    assert summary["sf"] == 0.001 and summary["runs_per_query"] == 1
     d = json.loads(json_lines[0])
-    assert d["metric"] == "total_wall_sec_all_queries" and d["unit"] == "sec"
-    assert d["sf"] == 0.001 and d["runs_per_query"] == 1
     import __spark_entry__ as e
 
+    assert summary["n_queries"] == len(e.queries())
     assert set(d["queries"]) == set(e.queries())
     assert set(d["queries_spread"]) == set(d["queries"])
     for v in d["queries_spread"].values():
         assert v["min"] <= v["med"] <= v["max"]
+    assert summary["value"] == d["value"]
+    # side file mirrors the detail line
+    with open(os.path.join(REPO, "BENCH_DETAIL.json")) as f:
+        assert json.load(f)["queries"] == d["queries"]
