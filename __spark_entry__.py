@@ -4720,6 +4720,211 @@ FROM kept ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# r5 wave 2: two-stage ANN, recall eval, split/script/dup-health primitives
+# --------------------------------------------------------------------------
+
+
+def q_ann_rerank(spark, sf):
+    """Two-stage retrieval (operators/similarity.py::rerank_topk): 16-dim
+    Matryoshka prefilter keeps k*refine=15 candidates per query, exact
+    64-dim cosine reranks to top-5. The full-d scan never happens — stage
+    B touches 15 rows per query. Both stages rank rounded-sim + id."""
+    from stackstac_spark.operators.similarity import rerank_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return (
+        rerank_topk(emb, queries, k=5, prefilter_dims=16, refine=3)
+        .select("query_id", "neighbor_id", "sim", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+SQL_ANN_RERANK = """
+WITH trunc AS (SELECT vec_id, (embedding::DOUBLE[])[1:16] AS v FROM embeddings),
+tq AS (SELECT vec_id AS query_id, v AS qv FROM trunc WHERE vec_id < 5),
+a_sims AS (
+  SELECT query_id, t.vec_id AS neighbor_id,
+         round(list_inner_product(qv, t.v)
+               / (sqrt(list_inner_product(qv, qv))
+                * sqrt(list_inner_product(t.v, t.v))), 6) AS a_sim
+  FROM trunc t CROSS JOIN tq WHERE t.vec_id != query_id
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY a_sim DESC, neighbor_id) AS a_rank
+    FROM a_sims
+  ) WHERE a_rank <= 15
+),
+fq AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qf FROM embeddings WHERE vec_id < 5),
+b_sims AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_inner_product(fq.qf, e.embedding::DOUBLE[])
+               / (sqrt(list_inner_product(fq.qf, fq.qf))
+                * sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS sim
+  FROM cand c JOIN embeddings e ON e.vec_id = c.neighbor_id
+  JOIN fq ON fq.query_id = c.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM b_sims
+)
+SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def q_ann_recall(spark, sf):
+    """ANN quality evaluation (operators/similarity.py::ann_recall):
+    recall@5 of the 16-dim Matryoshka search against full-dimension brute
+    force, per query — the tuning metric of the whole ANN ladder. Top-k-
+    sized joins only."""
+    from stackstac_spark.operators.similarity import ann_recall
+
+    approx = q_matryoshka_topk(spark, sf)
+    exact = q_sim_bruteforce_topk(spark, sf)
+    return ann_recall(approx, exact, k=5).orderBy("query_id")
+
+
+SQL_ANN_RECALL = """
+WITH trunc AS (SELECT vec_id, (embedding::DOUBLE[])[1:16] AS v FROM embeddings),
+tq AS (SELECT vec_id AS query_id, v AS qv FROM trunc WHERE vec_id < 5),
+a_sims AS (
+  SELECT query_id, t.vec_id AS neighbor_id,
+         round(list_inner_product(qv, t.v)
+               / (sqrt(list_inner_product(qv, qv))
+                * sqrt(list_inner_product(t.v, t.v))), 6) AS sim
+  FROM trunc t CROSS JOIN tq WHERE t.vec_id != query_id
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM a_sims
+  ) WHERE rank <= 5
+),
+fq AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qf FROM embeddings WHERE vec_id < 5),
+e_sims AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         round(list_inner_product(qf, e.embedding::DOUBLE[])
+               / (sqrt(list_inner_product(qf, qf))
+                * sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS sim
+  FROM embeddings e CROSS JOIN fq WHERE e.vec_id != query_id
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM e_sims
+  ) WHERE rank <= 5
+),
+truth AS (SELECT query_id, count(*) AS n_true FROM exact GROUP BY query_id),
+hits AS (
+  SELECT ex.query_id, count(*) AS n_hit
+  FROM exact ex JOIN approx a USING (query_id, neighbor_id)
+  GROUP BY ex.query_id
+)
+SELECT t.query_id, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       t.n_true, round(coalesce(h.n_hit, 0) / CAST(t.n_true AS DOUBLE), 4) AS recall
+FROM truth t LEFT JOIN hits h USING (query_id) ORDER BY t.query_id
+"""
+
+
+def q_hash_split(spark, sf):
+    """Deterministic train/val/test assignment (operators/sampling.py::
+    hash_split): contiguous md5-bucket ranges, {train 0.8, val 0.1,
+    test 0.1} — map-only, replayed bucket-for-bucket by the oracle.
+    Output: per-split doc count + id/char checksums."""
+    from stackstac_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf, "documents")
+    out = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum("n_chars").alias("chars_sum"),
+        )
+        .orderBy("split")
+    )
+
+
+SQL_HASH_SPLIT = """
+WITH b AS (
+  SELECT doc_id, n_chars,
+         ('0x' || substring(md5(':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS bucket
+  FROM documents
+),
+assigned AS (
+  SELECT doc_id, n_chars,
+         CASE
+           WHEN bucket >= 0 AND bucket < CAST(0.8 * 4294967296 AS BIGINT) THEN 'train'
+           WHEN bucket >= CAST(0.8 * 4294967296 AS BIGINT)
+                AND bucket < CAST(0.9 * 4294967296 AS BIGINT) THEN 'val'
+           WHEN bucket >= CAST(0.9 * 4294967296 AS BIGINT)
+                AND bucket < CAST(1.0 * 4294967296 AS BIGINT) THEN 'test'
+         END AS split
+  FROM b
+)
+SELECT split, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+FROM assigned WHERE split IS NOT NULL GROUP BY split ORDER BY split
+"""
+
+
+def q_script_stats(spark, sf):
+    """Character-class composition (operators/textstats.py::script_stats):
+    latin/digit/space/punct/other counts + ratios per document — map-only
+    regexp counting, classes restricted to Java-regex/RE2-shared syntax."""
+    from stackstac_spark.operators.textstats import script_stats
+
+    docs = _t(spark, sf, "documents")
+    return script_stats(docs).orderBy("doc_id")
+
+
+SQL_SCRIPT_STATS = """
+WITH c AS (
+  SELECT doc_id, len(text) AS n,
+         len(text) - len(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_latin,
+         len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+         len(text) - len(regexp_replace(text, '[ \t\n\r]', '', 'g')) AS n_space,
+         len(text) - len(regexp_replace(text, '[.,;:!?''"-]', '', 'g')) AS n_punct
+  FROM documents
+)
+SELECT doc_id, n AS n_chars, n_latin, n_digit, n_space, n_punct,
+       (n - n_latin - n_digit - n_space - n_punct) AS n_other,
+       round(n_latin / (CASE WHEN n > 0 THEN CAST(n AS DOUBLE) ELSE 1.0 END), 6) AS latin_ratio,
+       round(n_digit / (CASE WHEN n > 0 THEN CAST(n AS DOUBLE) ELSE 1.0 END), 6) AS digit_ratio
+FROM c ORDER BY doc_id
+"""
+
+
+def q_dedup_stats(spark, sf):
+    """Per-source duplication health (operators/dedup.py::dedup_stats):
+    docs vs distinct normalized contents — one count_distinct aggregate
+    over the exact-dedup fingerprint, the crawl-monitoring dashboard row."""
+    from stackstac_spark.operators.dedup import dedup_stats
+
+    docs = _t(spark, sf, "documents")
+    return dedup_stats(docs, group_col="source").orderBy("group")
+
+
+SQL_DEDUP_STATS = """
+WITH fp AS (
+  SELECT source AS "group", doc_id,
+         md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS f
+  FROM documents
+)
+SELECT "group", count(doc_id) AS n_docs,
+       count(DISTINCT f) AS n_contents,
+       (count(f) - count(DISTINCT f)) AS n_dupes,
+       CASE WHEN count(f) > 0
+            THEN round(1.0 - count(DISTINCT f) / CAST(count(f) AS DOUBLE), 6)
+       END AS dup_ratio
+FROM fp GROUP BY "group" ORDER BY "group"
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- r5 rotation: the 9 entries below are the last never-driver-graded
     # --- queries (landed past-window in r4); they open the window so r5
@@ -4753,6 +4958,11 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "raster_masked_mosaic": (q_raster_masked_mosaic, SQL_RASTER_MASKED_MOSAIC),
     "raster_where": (q_raster_where, SQL_RASTER_WHERE),
     "raster_climatology": (q_raster_climatology, SQL_RASTER_CLIMATOLOGY),
+    "ann_rerank": (q_ann_rerank, SQL_ANN_RERANK),
+    "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
+    "hash_split": (q_hash_split, SQL_HASH_SPLIT),
+    "script_stats": (q_script_stats, SQL_SCRIPT_STATS),
+    "dedup_stats": (q_dedup_stats, SQL_DEDUP_STATS),
     # --- metadata-plane / grid / composite (green in r01) ---
     # --- LLM-pipeline: dedup / text / similarity (green in r01) ---
     "canonical_docs": (q_canonical_docs, SQL_CANONICAL_DOCS),
@@ -4761,14 +4971,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
     "matryoshka_topk": (q_matryoshka_topk, SQL_MATRYOSHKA_TOPK),
-    "winnow_pairs": (q_winnow_pairs, SQL_WINNOW_PAIRS),
-    "sorted_neighborhood": (q_sorted_neighborhood, SQL_SORTED_NEIGHBORHOOD),
-    "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "minhash_est": (q_minhash_est, SQL_MINHASH_EST),
     "gopher_filter": (q_gopher_filter, SQL_GOPHER_FILTER),
-    "ngram_contamination": (q_ngram_contamination, SQL_NGRAM_CONTAMINATION),
-    "stream_enrich": (q_stream_enrich, SQL_STREAM_ENRICH),
     "dsir_sample": (q_dsir_sample, SQL_DSIR_SAMPLE),
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "kmeans": (q_kmeans, SQL_KMEANS),
@@ -4851,6 +5056,11 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "tpch_q22": (q_tpch_q22, SQL_TPCH_Q22),
     # r5 rotation: r4-green entries moved past the window (family siblings
     # remain in-window); CI mirror re-checks these every run
+    "winnow_pairs": (q_winnow_pairs, SQL_WINNOW_PAIRS),
+    "sorted_neighborhood": (q_sorted_neighborhood, SQL_SORTED_NEIGHBORHOOD),
+    "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
+    "ngram_contamination": (q_ngram_contamination, SQL_NGRAM_CONTAMINATION),
+    "stream_enrich": (q_stream_enrich, SQL_STREAM_ENRICH),
     "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
     "char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
     "quality_buckets": (q_quality_buckets, SQL_QUALITY_BUCKETS),

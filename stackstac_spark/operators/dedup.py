@@ -229,6 +229,47 @@ def exact_duplicates(
     )
 
 
+def dedup_stats(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: bool = True,
+) -> DataFrame:
+    """Per-group duplication health report — the corpus-QA dashboard
+    number every crawl ingest is monitored by (a source whose dup_ratio
+    jumps is re-crawling itself; C4/RefinedWeb report exactly this per
+    dump): documents, distinct contents, duplicate ratio.
+
+    One hash aggregate: ``count_distinct`` over the same md5 fingerprint
+    :func:`exact_duplicates` groups by (so the two agree by construction).
+    The shuffle carries (group, fingerprint) partials — at 100 TB this is
+    the same O(distinct) bound as exact dedup itself, with map-side
+    partial aggregation collapsing each group's duplicates before the
+    exchange. NULL-text docs are counted in ``n_docs`` but are not
+    contents (consistent with exact_duplicates dropping them).
+
+    Returns (group, n_docs, n_contents, n_dupes, dup_ratio) with
+    dup_ratio = 1 - n_contents/n_docs_with_text, rounded to 6.
+    """
+    fp = _exact_fingerprint(text_col, normalize)
+    withfp = df.select(F.col(group_col).alias("group"), F.col(id_col), fp.alias("__fp"))
+    return (
+        withfp.groupBy("group")
+        .agg(
+            F.count(id_col).alias("n_docs"),
+            F.count_distinct("__fp").alias("n_contents"),
+            (F.count("__fp") - F.count_distinct("__fp")).alias("n_dupes"),
+            F.round(
+                F.lit(1.0)
+                - F.count_distinct("__fp")
+                / F.when(F.count("__fp") > 0, F.count("__fp").cast("double")),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )
+
+
 def duplicate_mapping(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", normalize: bool = True
 ) -> DataFrame:

@@ -39,6 +39,47 @@ def hash_sample(
     return df.filter(bucket < int(fraction * (16**8)))
 
 
+def hash_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the held-out-split
+    primitive of every training pipeline: each row lands in exactly one
+    named split, by cumulative md5-bucket ranges, stable across runs,
+    engines, partitionings and table growth (a doc keeps its split when
+    the corpus around it changes — the property random splits lack).
+
+    ``fractions`` maps split name → fraction; they must sum to ≤ 1 (any
+    remainder is dropped, e.g. {"train": .8, "val": .1, "test": .1}).
+    Pure column expression (one md5 + a CASE ladder over contiguous
+    ranges): map-only, fuses into the scan, no shuffle at any scale.
+    """
+    if not fractions:
+        raise ValueError("fractions must name at least one split")
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError(f"negative fraction in {fractions}")
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    expr = None
+    cum = 0.0
+    for name, frac in fractions.items():
+        lo, cum = cum, cum + frac
+        cond = (bucket >= int(lo * (16**8))) & (bucket < int(cum * (16**8)))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn(split_col, expr).filter(F.col(split_col).isNotNull())
+
+
 def stratified_topk(
     df: DataFrame, key_col: str, k: int, id_col: str = "doc_id", salt: str = ""
 ) -> DataFrame:

@@ -95,6 +95,122 @@ def truncate_embeddings(
     return df.withColumn(vec_col, F.expr(v))
 
 
+def rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    prefilter_dims: int = 16,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_round: int | None = 6,
+) -> DataFrame:
+    """Two-stage ANN: cheap low-dimensional prefilter → exact rerank — the
+    standard production retrieval stack (Matryoshka coarse search at d/4,
+    exact cosine on the shortlist; Kusupati et al. 2022 §4 usage).
+
+    Stage A scores every corpus vector against the broadcast queries using
+    only the first ``prefilter_dims`` coordinates (O(n·d') arithmetic — the
+    full-d scan is the dominant cost at corpus scale, and d'/d is the
+    speedup) and keeps ``k·refine`` candidates per query. Stage B joins
+    ONLY those candidates back to the full vectors (|Q|·k·refine rows — a
+    semi-join-sized equi-join, never a second corpus scan) and reranks by
+    exact full-dimension cosine.
+
+    Ranking at both stages uses round-to-``sim_round`` + id tiebreak so the
+    candidate CUT and the final order are engine-portable (the proven
+    matryoshka_topk recipe). Returns (query_id, neighbor_id, sim, rank)
+    with rank ≤ k by exact similarity.
+    """
+    if k <= 0 or refine <= 0:
+        raise ValueError(f"k and refine must be positive, got k={k} refine={refine}")
+    tv = f"transform(slice({vec_col}, 1, {prefilter_dims}), x -> CAST(x AS DOUBLE))"
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("qfull"),
+        F.expr(tv).alias("qv"),
+    ).withColumn("__qn", _norm("qv")).withColumn("__qfn", _norm("qfull"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv_src")
+    ).withColumn("cv", F.expr(tv.replace(vec_col, "cv_src"))).withColumn(
+        "__cn", _norm("cv")
+    )
+    a_sim = _dot("qv", "cv") / (F.col("__qn") * F.col("__cn"))
+    if sim_round is not None:
+        a_sim = F.round(a_sim, sim_round)
+    # zero-norm guard (ANSI mode divides loudly): a vector with no mass in
+    # the prefilter dims is invisible to stage A — exactly the ANN recall
+    # tradeoff; ann_recall() measures it
+    stage_a = (
+        c.filter(F.col("__cn") > 0)
+        .crossJoin(F.broadcast(q.filter(F.col("__qn") > 0).select("query_id", "qv", "__qn")))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", a_sim.alias("a_sim"))
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.desc("a_sim"), "neighbor_id")
+    cand = (
+        stage_a.withColumn("a_rank", F.row_number().over(wa))
+        .filter(F.col("a_rank") <= k * refine)
+        .select("query_id", "neighbor_id")
+    )
+    # stage B: candidates ⋈ full vectors (equi-join, candidate-sized), exact
+    full_c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("cfull"),
+    ).withColumn("__cfn", _norm("cfull"))
+    b = (
+        cand.join(full_c.filter(F.col("__cfn") > 0), "neighbor_id")
+        .join(F.broadcast(q.filter(F.col("__qfn") > 0).select("query_id", "qfull", "__qfn")), "query_id")
+    )
+    b_sim = _dot("qfull", "cfull") / (F.col("__qfn") * F.col("__cfn"))
+    if sim_round is not None:
+        b_sim = F.round(b_sim, sim_round)
+    wb = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        b.select("query_id", "neighbor_id", b_sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(wb))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ann_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Recall@k evaluation of an ANN result against brute-force ground
+    truth — the metric every ANN deployment (LSH/IVF/PQ ladder) is tuned
+    by. Both inputs carry (query_id, neighbor_id, rank); rows with
+    rank ≤ k are compared.
+
+    Plan: one inner equi-join on (query_id, neighbor_id) counting hits +
+    one groupBy on the exact side for the denominator, joined back —
+    everything is top-k-sized (|Q|·k rows), negligible next to the search
+    itself. Queries with no approx hits still appear (recall 0.0).
+
+    Returns (query_id, n_hit, n_true, recall) with recall rounded to 4.
+    """
+    a = approx.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    e = exact.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    truth = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
+    hits = (
+        e.join(a, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        truth.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            "n_true",
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) / F.col("n_true"), 4
+            ).alias("recall"),
+        )
+    )
+
+
 def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes from a seeded RNG."""
     rng = np.random.default_rng(seed)

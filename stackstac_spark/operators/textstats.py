@@ -430,6 +430,46 @@ def encode_with_vocab(
     )
 
 
+def script_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document character-class composition — the script/garbage mix
+    signal multilingual curation filters on (CCNet buckets by it; a doc
+    that is 40% digits or 30% punctuation is navigation boilerplate, and a
+    Latin-ratio collapse flags mis-identified languages).
+
+    Counts per class via ``length(text) - length(regexp_replace(text,
+    class, ''))`` — classes restricted to explicit ranges shared verbatim
+    by Java regex and RE2 ([A-Za-z], [0-9], whitespace, [.,;:!?'\"-]), the
+    same portability rule as the PII patterns above. Map-only column
+    expressions: zero shuffle, fuses into the scan. Empty docs report zero
+    ratios. Returns (id, n_chars, n_latin, n_digit, n_space, n_punct,
+    n_other, latin_ratio, digit_ratio) with ratios rounded to 6.
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+
+    def cls(pattern: str):
+        return n - F.length(F.regexp_replace(t, pattern, ""))
+
+    n_latin = cls("[A-Za-z]")
+    n_digit = cls("[0-9]")
+    n_space = cls(r"[ \t\n\r]")
+    n_punct = cls("[.,;:!?'\"-]")
+    safe = F.when(n > 0, n.cast("double")).otherwise(F.lit(1.0))
+    return df.select(
+        id_col,
+        n.cast("long").alias("n_chars"),
+        n_latin.cast("long").alias("n_latin"),
+        n_digit.cast("long").alias("n_digit"),
+        n_space.cast("long").alias("n_space"),
+        n_punct.cast("long").alias("n_punct"),
+        (n - n_latin - n_digit - n_space - n_punct).cast("long").alias("n_other"),
+        F.round(n_latin / safe, 6).alias("latin_ratio"),
+        F.round(n_digit / safe, 6).alias("digit_ratio"),
+    )
+
+
 def gopher_quality_filter(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

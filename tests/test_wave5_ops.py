@@ -1,0 +1,175 @@
+"""r5 wave-2 operators: two-stage ANN rerank, recall eval, hash split,
+script stats, dedup health."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _emb_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+
+
+def test_rerank_topk_matches_bruteforce_when_refine_covers(spark):
+    """With a shortlist big enough to contain the true top-k, the rerank
+    output must equal exact full-dimension cosine top-k."""
+    from stackstac_spark.operators.similarity import cosine_topk, rerank_topk
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(30, 8))
+    emb = _emb_df(spark, vecs)
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in rerank_topk(emb, queries, k=3, prefilter_dims=4, refine=8).collect()
+    }
+    # exact reference via numpy
+    for q in range(3):
+        sims = []
+        for j in range(30):
+            if j == q:
+                continue
+            s = vecs[q] @ vecs[j] / (np.linalg.norm(vecs[q]) * np.linalg.norm(vecs[j]))
+            sims.append((round(float(s), 6), j))
+        top = sorted(sims, key=lambda t: (-t[0], t[1]))[:3]
+        for rank, (_, j) in enumerate(top, 1):
+            assert got[(q, rank)] == j, (q, rank, got[(q, rank)], j)
+
+
+def test_rerank_prefilter_actually_prunes(spark):
+    """A vector that wins on the truncated dims but loses on the full ones
+    must still be beaten by the exact rerank; a vector invisible in the
+    truncated dims (zeros there, huge later) can be MISSED — that is the
+    ANN tradeoff the recall metric measures."""
+    from stackstac_spark.operators.similarity import rerank_topk
+
+    # query 0: [1,0,0,0]; decoy 1 matches in dim 0 only; true best 2 matches
+    # fully but its first-dims are weaker than the decoy's
+    vecs = [
+        [1.0, 0.0, 0.0, 0.0],
+        [1.0, 0.0, 0.0, 9.0],   # prefilter-similar (dims 1-2), exact-poor
+        [0.9, 0.1, 0.0, 0.0],   # exact-best
+        [0.0, 0.0, 5.0, 5.0],   # prefilter-invisible
+    ]
+    emb = _emb_df(spark, vecs)
+    queries = emb.filter(F.col("vec_id") == 0)
+    out = rerank_topk(emb, queries, k=1, prefilter_dims=2, refine=2).collect()
+    assert len(out) == 1 and out[0].neighbor_id == 2
+
+    with pytest.raises(ValueError, match="positive"):
+        rerank_topk(emb, queries, k=0)
+
+
+def test_ann_recall_counts_hits_and_zero(spark):
+    from stackstac_spark.operators.similarity import ann_recall
+
+    approx = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (1, 99, 1)],
+        "query_id LONG, neighbor_id LONG, rank INT",
+    )
+    exact = spark.createDataFrame(
+        [(0, 10, 1), (0, 12, 2), (1, 10, 1), (2, 11, 1)],
+        "query_id LONG, neighbor_id LONG, rank INT",
+    )
+    got = {r.query_id: r for r in ann_recall(approx, exact, k=2).collect()}
+    assert got[0].n_hit == 1 and got[0].n_true == 2 and got[0].recall == 0.5
+    assert got[1].n_hit == 0 and got[1].recall == 0.0  # wrong neighbor
+    assert got[2].n_hit == 0 and got[2].recall == 0.0  # no approx rows at all
+
+
+def test_hash_split_partition_properties(spark):
+    from stackstac_spark.operators.sampling import hash_split
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = out.collect()
+    assert len(rows) == 1000  # fractions sum to 1 → every row assigned
+    by_split = {}
+    for r in rows:
+        by_split.setdefault(r.split, set()).add(r.doc_id)
+    # disjoint + roughly proportional
+    assert sum(len(v) for v in by_split.values()) == 1000
+    assert 700 < len(by_split["train"]) < 900
+    # deterministic across invocations
+    again = {(r.doc_id, r.split) for r in hash_split(df, {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert again == {(r.doc_id, r.split) for r in rows}
+    # remainder dropped when fractions sum < 1
+    part = hash_split(df, {"a": 0.5}).count()
+    assert 400 < part < 600
+    with pytest.raises(ValueError, match="sum"):
+        hash_split(df, {"a": 0.9, "b": 0.2})
+    with pytest.raises(ValueError, match="negative"):
+        hash_split(df, {"a": -0.1})
+    with pytest.raises(ValueError, match="at least one"):
+        hash_split(df, {})
+
+
+def test_hash_split_agrees_with_hash_sample(spark):
+    """The first split's membership equals hash_sample at the same fraction
+    and salt — one consistent bucketing across both primitives."""
+    from stackstac_spark.operators.sampling import hash_sample, hash_split
+
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id for r in hash_split(df, {"train": 0.3}).collect()}
+    b = {r.doc_id for r in hash_sample(df, 0.3).collect()}
+    assert a == b
+
+
+def test_script_stats_counts(spark):
+    from stackstac_spark.operators.textstats import script_stats
+
+    docs = spark.createDataFrame(
+        [(0, "Ab1 ,x"), (1, ""), (2, "日本語abc")],
+        "doc_id LONG, text STRING",
+    )
+    got = {r.doc_id: r for r in script_stats(docs).collect()}
+    r0 = got[0]
+    assert (r0.n_chars, r0.n_latin, r0.n_digit, r0.n_space, r0.n_punct, r0.n_other) == (6, 3, 1, 1, 1, 0)
+    assert r0.latin_ratio == 0.5
+    r1 = got[1]
+    assert r1.n_chars == 0 and r1.latin_ratio == 0.0 and r1.digit_ratio == 0.0
+    r2 = got[2]
+    assert r2.n_latin == 3 and r2.n_other == 3
+
+
+def test_script_stats_map_only(spark):
+    from stackstac_spark.operators.textstats import script_stats
+
+    docs = spark.createDataFrame([(0, "abc")], "doc_id LONG, text STRING")
+    plan = script_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_dedup_stats_counts_and_nulls(spark):
+    from stackstac_spark.operators.dedup import dedup_stats, exact_duplicates
+
+    docs = spark.createDataFrame(
+        [
+            (0, "hello  world", "a"),   # normalizes same as 1
+            (1, "hello world", "a"),
+            (2, "other", "a"),
+            (3, None, "a"),             # NULL text: a doc, not a content
+            (4, "unique", "b"),
+        ],
+        "doc_id LONG, text STRING, source STRING",
+    )
+    got = {r["group"]: r for r in dedup_stats(docs, group_col="source").collect()}
+    a = got["a"]
+    assert (a.n_docs, a.n_contents, a.n_dupes) == (4, 2, 1)
+    assert a.dup_ratio == round(1 - 2 / 3, 6)
+    b = got["b"]
+    assert (b.n_docs, b.n_contents, b.n_dupes, b.dup_ratio) == (1, 1, 0, 0.0)
+    # consistency with exact_duplicates: total surplus copies match n_dupes
+    surplus = sum(
+        r.n_copies - 1
+        for r in exact_duplicates(docs.filter(F.col("source") == "a")).collect()
+    )
+    assert surplus == a.n_dupes
