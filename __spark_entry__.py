@@ -4720,6 +4720,40 @@ FROM kept ORDER BY event_type
 """
 
 
+def q_raster_temporal_diff(spark, sf):
+    """Change detection — xarray ``.diff("time")`` (operators/composite.py::
+    temporal_diff): per-pixel difference between consecutive observations,
+    one lag window on the pixel key. Painted oracle: consecutive covering
+    items at a pixel differ by exactly (item - prev_item) * 1000."""
+    from stackstac_spark.operators.composite import temporal_diff
+
+    st = _raster_stack(spark).sel_bands(["red"])
+    return (
+        temporal_diff(st.pixels())
+        .select("row", "col", "item_idx", "prev_item_idx", "value_diff")
+        .orderBy("row", "col", "item_idx")
+    )
+
+
+SQL_RASTER_TEMPORAL_DIFF = f"""
+WITH px AS ({_R_PX64}), it AS ({_R_ITEMS}),
+cov AS (
+  SELECT row, col, item, item*1000 + row*0.001 + col*0.000001 AS value
+  FROM px, it WHERE {_R_COVER}
+),
+lagged AS (
+  SELECT row, col, item,
+         lag(item) OVER (PARTITION BY row, col ORDER BY item) AS prev_item,
+         round(value - lag(value) OVER (PARTITION BY row, col ORDER BY item), 6)
+           AS value_diff
+  FROM cov
+)
+SELECT row, col, CAST(item AS INT) AS item_idx,
+       CAST(prev_item AS INT) AS prev_item_idx, value_diff
+FROM lagged WHERE prev_item IS NOT NULL ORDER BY row, col, item_idx
+"""
+
+
 # --------------------------------------------------------------------------
 # r5 wave 2: two-stage ANN, recall eval, split/script/dup-health primitives
 # --------------------------------------------------------------------------
@@ -4958,6 +4992,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "raster_masked_mosaic": (q_raster_masked_mosaic, SQL_RASTER_MASKED_MOSAIC),
     "raster_where": (q_raster_where, SQL_RASTER_WHERE),
     "raster_climatology": (q_raster_climatology, SQL_RASTER_CLIMATOLOGY),
+    "raster_temporal_diff": (q_raster_temporal_diff, SQL_RASTER_TEMPORAL_DIFF),
     "ann_rerank": (q_ann_rerank, SQL_ANN_RERANK),
     "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
@@ -4971,7 +5006,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
     "matryoshka_topk": (q_matryoshka_topk, SQL_MATRYOSHKA_TOPK),
-    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "minhash_est": (q_minhash_est, SQL_MINHASH_EST),
     "gopher_filter": (q_gopher_filter, SQL_GOPHER_FILTER),
     "dsir_sample": (q_dsir_sample, SQL_DSIR_SAMPLE),
@@ -5056,6 +5090,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "tpch_q22": (q_tpch_q22, SQL_TPCH_Q22),
     # r5 rotation: r4-green entries moved past the window (family siblings
     # remain in-window); CI mirror re-checks these every run
+    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "winnow_pairs": (q_winnow_pairs, SQL_WINNOW_PAIRS),
     "sorted_neighborhood": (q_sorted_neighborhood, SQL_SORTED_NEIGHBORHOOD),
     "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),

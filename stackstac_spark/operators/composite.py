@@ -164,6 +164,51 @@ def climatology_anomaly(
     )
 
 
+def temporal_diff(
+    pixels: DataFrame,
+    dim_col: str = "item_idx",
+    value_col: str = "value",
+    keys: list[str] | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Per-pixel difference vs the previous observation along time —
+    xarray's ``.diff("time")``, the change-detection primitive (NDVI delta,
+    disturbance mapping).
+
+    Sparse semantics: the difference is between consecutive OBSERVATIONS
+    of each pixel (absent rows are missing, not zero) — matching xarray's
+    diff over a dense array whose NaN slots drop out of both sides. NaN
+    observations are treated as missing (skipped entirely, so the diff
+    spans across them like ffill's source tracking).
+
+    ONE window (lag over the pixel key ordered by the dim) — a single
+    shuffle keyed per pixel, the same partitioning ffill/interp use; at
+    100 TB this is the minimal data movement any per-pixel temporal
+    operator needs. Returns keys + (dim, prev_dim, <value>_diff); the
+    first observation of each pixel has no predecessor and is absent.
+    """
+    from pyspark.sql import Window
+
+    if keys is None:
+        keys = [c for c in ("band_idx", "row", "col") if c in pixels.columns]
+    obs = pixels.filter(~F.isnan(F.col(value_col)))
+    w = Window.partitionBy(*keys).orderBy(dim_col)
+    prev_v = F.lag(value_col).over(w)
+    prev_d = F.lag(dim_col).over(w)
+    d = F.col(value_col) - prev_v
+    if round_to is not None:
+        d = F.round(d, round_to)
+    return (
+        obs.select(
+            *keys,
+            F.col(dim_col),
+            prev_d.alias(f"prev_{dim_col}"),
+            d.alias(f"{value_col}_diff"),
+        )
+        .filter(F.col(f"prev_{dim_col}").isNotNull())
+    )
+
+
 def reduce_dims(
     pixels: DataFrame, dims: tuple[str, ...] = ("item_idx",), agg: str = "median"
 ) -> DataFrame:

@@ -218,3 +218,24 @@ def test_interp_na_time_fuzz_vs_numpy(spark, obs):
         else:
             expect = vals[prev] + (vals[nxt] - vals[prev]) * (t - prev) / (nxt - prev)
             assert got[t] == pytest.approx(round(expect, 6), abs=1e-9)
+
+
+def test_temporal_diff_sparse_and_nan(spark):
+    """diff("time") semantics on the sparse plane: consecutive OBSERVATIONS
+    difference (absent rows skipped); NaN observations skipped entirely, so
+    the diff spans across them; first observation has no row."""
+    from stackstac_spark.operators.composite import temporal_diff
+
+    px = spark.createDataFrame(
+        [
+            # pixel (0,0): t0=10, t1=NaN, t3=40 → diff row t3 vs t0
+            (0, 0, 0, 10.0), (1, 0, 0, float("nan")), (3, 0, 0, 40.0),
+            # pixel (0,1): single obs → no rows
+            (2, 0, 1, 7.0),
+        ],
+        "item_idx INT, row INT, col INT, value DOUBLE",
+    )
+    got = temporal_diff(px).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.row, r.col, r.item_idx, r.prev_item_idx, r.value_diff) == (0, 0, 3, 0, 30.0)
