@@ -4959,6 +4959,63 @@ FROM fp GROUP BY "group" ORDER BY "group"
 """
 
 
+def q_pool_embeddings(spark, sf):
+    """Chunk→document embedding pooling (operators/similarity.py::
+    pool_embeddings): element-wise MAX pooling per label — one hash agg,
+    vectors cross the shuffle once. Max pooling is floating-point
+    order-free, so the pooled dims compare UNROUNDED across engines."""
+    from stackstac_spark.operators.similarity import pool_embeddings
+
+    emb = _t(spark, sf, "embeddings")
+    out = pool_embeddings(emb, "label", mode="max")
+    return out.select(
+        "label",
+        "n_chunks",
+        F.col("pooled")[0].alias("p0"),
+        F.col("pooled")[1].alias("p1"),
+        F.col("pooled")[2].alias("p2"),
+        F.col("pooled")[3].alias("p3"),
+    ).orderBy("label")
+
+
+SQL_POOL_EMBEDDINGS = """
+SELECT label, count(*) AS n_chunks,
+       max(embedding[1]::DOUBLE) AS p0, max(embedding[2]::DOUBLE) AS p1,
+       max(embedding[3]::DOUBLE) AS p2, max(embedding[4]::DOUBLE) AS p3
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
+def q_score_normalize(spark, sf):
+    """Per-domain z-score normalization (operators/textstats.py::
+    score_normalize): n_chars standardized within each source so one
+    global threshold compares across domains — group stats in one tiny
+    agg, broadcast back, no corpus-wide window."""
+    from stackstac_spark.operators.textstats import score_normalize
+
+    docs = _t(spark, sf, "documents")
+    return (
+        score_normalize(docs, "n_chars", group_col="source")
+        .select("doc_id", "source", "n_chars", "z")
+        .orderBy("doc_id")
+    )
+
+
+SQL_SCORE_NORMALIZE = """
+WITH stats AS (
+  SELECT source, avg(n_chars) AS mu, stddev_pop(n_chars) AS sd
+  FROM documents GROUP BY source
+)
+SELECT d.doc_id, d.source, d.n_chars,
+       CASE WHEN d.n_chars IS NOT NULL AND s.sd > 0
+            THEN round((d.n_chars - s.mu) / s.sd, 4)
+            WHEN d.n_chars IS NOT NULL THEN 0.0
+       END AS z
+FROM documents d JOIN stats s USING (source)
+ORDER BY d.doc_id
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- r5 rotation: the 9 entries below are the last never-driver-graded
     # --- queries (landed past-window in r4); they open the window so r5
@@ -4998,6 +5055,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "script_stats": (q_script_stats, SQL_SCRIPT_STATS),
     "dedup_stats": (q_dedup_stats, SQL_DEDUP_STATS),
+    "pool_embeddings": (q_pool_embeddings, SQL_POOL_EMBEDDINGS),
+    "score_normalize": (q_score_normalize, SQL_SCORE_NORMALIZE),
     # --- metadata-plane / grid / composite (green in r01) ---
     # --- LLM-pipeline: dedup / text / similarity (green in r01) ---
     "canonical_docs": (q_canonical_docs, SQL_CANONICAL_DOCS),
@@ -5014,9 +5073,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- r4 wave 2: corpus-level dedup / mixing / semantic dedup ---
     "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "cdc_chunks": (q_cdc_chunks, SQL_CDC_CHUNKS),
-    "domain_mix": (q_domain_mix, SQL_DOMAIN_MIX),
     "semdedup": (q_semdedup, SQL_SEMDEDUP),
-    "corpus_clean": (q_corpus_clean, SQL_CORPUS_CLEAN),
     "pq_topk": (q_pq_topk, SQL_PQ_TOPK),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     # --- r4 wave 3: sampling / skew / bloom / PCA / sliding windows ---
@@ -5090,6 +5147,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "tpch_q22": (q_tpch_q22, SQL_TPCH_Q22),
     # r5 rotation: r4-green entries moved past the window (family siblings
     # remain in-window); CI mirror re-checks these every run
+    "domain_mix": (q_domain_mix, SQL_DOMAIN_MIX),
+    "corpus_clean": (q_corpus_clean, SQL_CORPUS_CLEAN),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "winnow_pairs": (q_winnow_pairs, SQL_WINNOW_PAIRS),
     "sorted_neighborhood": (q_sorted_neighborhood, SQL_SORTED_NEIGHBORHOOD),

@@ -211,6 +211,60 @@ def ann_recall(
     )
 
 
+def pool_embeddings(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    mode: str = "mean",
+    order_col: str | None = "vec_id",
+) -> DataFrame:
+    """Pool chunk embeddings into one vector per group — the standard
+    long-document embedding recipe (embed chunks, mean/max-pool to a doc
+    vector; Sentence-BERT pooling heads do exactly this). Modes: ``mean``,
+    ``sum``, ``max``.
+
+    Plan: ONE hash aggregate — ``collect_list`` per group (bounded by
+    chunks-per-doc, tens not millions; this is a per-document contract
+    like exact_duplicates' id_sample, NOT a corpus-wide array), then a
+    JVM ``aggregate``+``zip_with`` element-wise fold. The shuffle carries
+    each vector exactly once. ``order_col`` sorts the collected chunks so
+    the floating-point fold order is deterministic across runs and
+    partitionings (max pooling is order-free, but mean/sum are not at the
+    last ulp).
+
+    Returns (group_col, n_chunks, pooled array<double>).
+    """
+    if mode not in ("mean", "sum", "max"):
+        raise ValueError(f"mode must be mean/sum/max, got {mode!r}")
+    v = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    if order_col is not None:
+        collected = F.expr(
+            f"transform(array_sort(collect_list(struct({order_col} AS o, {v} AS v)),"
+            " (a, b) -> CASE WHEN a.o < b.o THEN -1 WHEN a.o > b.o THEN 1 ELSE 0 END),"
+            " s -> s.v)"
+        )
+    else:
+        collected = F.expr(f"collect_list({v})")
+    op = "greatest(x, y)" if mode == "max" else "x + y"
+    fold = (
+        "aggregate(slice(__vs, 2, size(__vs) - 1), __vs[0],"
+        f" (acc, vv) -> zip_with(acc, vv, (x, y) -> {op}))"
+    )
+    out = f"CASE WHEN size(__vs) > 0 THEN {fold} END"
+    pooled = F.expr(out)
+    if mode == "mean":
+        pooled = F.expr(f"transform({out}, x -> x / size(__vs))")
+    return (
+        df.groupBy(group_col)
+        .agg(collected.alias("__vs"))
+        .select(
+            group_col,
+            F.size("__vs").alias("n_chunks"),
+            pooled.alias("pooled"),
+        )
+    )
+
+
 def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes from a seeded RNG."""
     rng = np.random.default_rng(seed)

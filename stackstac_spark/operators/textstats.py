@@ -430,6 +430,42 @@ def encode_with_vocab(
     )
 
 
+def score_normalize(
+    df: DataFrame,
+    score_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-group z-score normalization — make quality scores comparable
+    ACROSS domains before a global threshold (CCNet's per-language
+    perplexity buckets generalize exactly this way: a raw score cut would
+    keep whole easy domains and drop whole hard ones).
+
+    Plan: group stats via ONE hash aggregate (mean + population stddev —
+    group count is domain-sized, tiny), broadcast-joined back; no window
+    over the corpus. Null scores pass through with null z. A zero-variance
+    group normalizes to z=0 (every doc is average), not a division error.
+
+    Returns the input columns + ``z`` rounded to ``round_to``.
+    """
+    stats = df.groupBy(group_col).agg(
+        F.avg(score_col).alias("__mu"),
+        F.stddev_pop(score_col).alias("__sd"),
+    )
+    z = F.when(
+        F.col(score_col).isNotNull() & (F.col("__sd") > 0),
+        F.round((F.col(score_col) - F.col("__mu")) / F.col("__sd"), round_to),
+    ).otherwise(
+        F.when(F.col(score_col).isNotNull(), F.lit(0.0))
+    )
+    return (
+        df.join(F.broadcast(stats), group_col)
+        .withColumn("z", z)
+        .drop("__mu", "__sd")
+    )
+
+
 def script_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

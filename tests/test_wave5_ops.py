@@ -173,3 +173,51 @@ def test_dedup_stats_counts_and_nulls(spark):
         for r in exact_duplicates(docs.filter(F.col("source") == "a")).collect()
     )
     assert surplus == a.n_dupes
+
+
+def test_pool_embeddings_modes(spark):
+    from stackstac_spark.operators.similarity import pool_embeddings
+
+    df = spark.createDataFrame(
+        [(0, "a", [1.0, 5.0]), (1, "a", [3.0, 1.0]), (2, "b", [2.0, 2.0])],
+        "vec_id LONG, doc STRING, embedding ARRAY<DOUBLE>",
+    )
+    for mode, expect_a in (
+        ("mean", [2.0, 3.0]),
+        ("sum", [4.0, 6.0]),
+        ("max", [3.0, 5.0]),
+    ):
+        got = {r.doc: (r.n_chunks, r.pooled) for r in pool_embeddings(df, "doc", mode=mode).collect()}
+        assert got["a"] == (2, expect_a), (mode, got)
+        assert got["b"] == (1, [2.0, 2.0])
+    with pytest.raises(ValueError, match="mode"):
+        pool_embeddings(df, "doc", mode="min")
+
+
+def test_pool_embeddings_deterministic_fold_order(spark):
+    """mean pooling folds in order_col order — same result across runs and
+    partitionings even where float addition is not associative."""
+    from stackstac_spark.operators.similarity import pool_embeddings
+
+    rng = np.random.default_rng(0)
+    rows = [(i, "d", [float(x) for x in rng.normal(size=4)]) for i in range(40)]
+    df1 = spark.createDataFrame(rows, "vec_id LONG, doc STRING, embedding ARRAY<DOUBLE>")
+    df8 = df1.repartition(8)
+    a = pool_embeddings(df1, "doc", mode="mean").collect()[0].pooled
+    b = pool_embeddings(df8, "doc", mode="mean").collect()[0].pooled
+    assert a == b  # bit-identical, not approximately
+
+
+def test_score_normalize_zscore_and_zero_variance(spark):
+    from stackstac_spark.operators.textstats import score_normalize
+
+    df = spark.createDataFrame(
+        [(0, "a", 10.0), (1, "a", 20.0), (2, "a", 30.0), (3, "b", 5.0), (4, "b", 5.0)],
+        "doc_id LONG, source STRING, score DOUBLE",
+    )
+    got = {r.doc_id: r.z for r in score_normalize(df, "score").collect()}
+    sd = float(np.std([10, 20, 30]))  # population std
+    assert got[0] == round((10 - 20) / sd, 4)
+    assert got[2] == round((30 - 20) / sd, 4)
+    # zero-variance group: z = 0, not a division error
+    assert got[3] == 0.0 and got[4] == 0.0
