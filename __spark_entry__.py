@@ -4955,7 +4955,7 @@ SELECT "group", count(doc_id) AS n_docs,
        CASE WHEN count(f) > 0
             THEN round(1.0 - count(DISTINCT f) / CAST(count(f) AS DOUBLE), 6)
        END AS dup_ratio
-FROM fp GROUP BY "group" ORDER BY "group"
+FROM fp GROUP BY "group" ORDER BY "group" NULLS FIRST
 """
 
 

@@ -36,16 +36,20 @@ def to_dense_array(stack) -> np.ndarray:
     pos = {idx: k for k, idx in enumerate(item_idxs)}
     n_t = len(item_idxs)
     n_b = len(stack.asset_ids)
+    # band_idx values can be non-contiguous after sel_bands/mask_band (the
+    # stack keeps ORIGINAL indices) — map them to dense axis positions
+    band_idxs = getattr(stack, "band_idxs", None) or list(range(n_b))
+    bpos = {idx: k for k, idx in enumerate(band_idxs)}
     dtype = getattr(stack, "dtype", "float64")
     fill = getattr(stack, "fill_value", np.nan)
     out = np.full((n_t, n_b, h, w), fill, dtype=dtype)
     for row in stack.tiles.collect():
-        if row.item_idx not in pos:
+        if row.item_idx not in pos or row.band_idx not in bpos:
             continue
         arr = np.frombuffer(row.data, dtype=dtype).reshape(row.tile_h, row.tile_w)
         out[
             pos[row.item_idx],
-            row.band_idx,
+            bpos[row.band_idx],
             row.row_off : row.row_off + row.tile_h,
             row.col_off : row.col_off + row.tile_w,
         ] = arr

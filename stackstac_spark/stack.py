@@ -37,6 +37,10 @@ class RasterStack:
     asset_ids: list[str]
     items_df: DataFrame
     band_fields: DataFrame | None = None
+    # tile band_idx value for each entry of asset_ids (None = positional
+    # identity). Band selection keeps the ORIGINAL indices, so chained
+    # sel_bands / mask_band / dense export stay correct after a subset.
+    band_idxs: list[int] | None = None
     dtype: str = "float64"
     xy_coords: str = "topleft"
     fill_value: float = np.nan
@@ -90,13 +94,15 @@ class RasterStack:
         if band not in self.asset_ids:
             raise ValueError(f"Band {band!r} not in stack; available: {self.asset_ids}")
         fill = self.fill_value if other is None else other
-        idx = self.asset_ids.index(band)
+        bmap = self._band_map()
+        idx = bmap[band]
         return replace(
             self,
             tiles=mask_band_tiles(
                 self.tiles, idx, keep, other=fill, dtype=self.dtype
             ),
             asset_ids=[a for a in self.asset_ids if a != band],
+            band_idxs=[bmap[a] for a in self.asset_ids if a != band],
         )
 
     def groupby_period(
@@ -119,18 +125,26 @@ class RasterStack:
             self.tiles.sparkSession, self.spec, pixel_center=(self.xy_coords == "center")
         )
 
+    def _band_map(self) -> dict[str, int]:
+        idxs = self.band_idxs or list(range(len(self.asset_ids)))
+        return dict(zip(self.asset_ids, idxs))
+
     def sel_bands(self, bands: list[str] | str) -> "RasterStack":
-        """``.sel(band=[...])`` — band select as a Catalyst filter."""
+        """``.sel(band=[...])`` — band select as a Catalyst filter. Keeps
+        the ORIGINAL band_idx of each selected band (via ``band_idxs``),
+        so selecting from an already-selected/masked stack composes."""
         if isinstance(bands, str):
             bands = [bands]
         unknown = [b for b in bands if b not in self.asset_ids]
         if unknown:
             raise ValueError(f"Bands {unknown} not in stack; available: {self.asset_ids}")
-        idxs = [self.asset_ids.index(b) for b in bands]
+        bmap = self._band_map()
+        idxs = [bmap[b] for b in bands]
         return replace(
             self,
             tiles=self.tiles.filter(F.col("band_idx").isin(idxs)),
             asset_ids=list(bands),
+            band_idxs=idxs,
         )
 
     def filter_items(self, predicate: Any) -> "RasterStack":

@@ -150,3 +150,24 @@ def test_climatology_single_shuffle(spark, two_band_stack):
     out = climatology(st.pixels_with_time(), period="month")
     after = out._jdf.queryExecution().executedPlan().toString().count("Exchange")
     assert after == base + 1
+
+
+def test_band_selection_composes(spark, two_band_stack):
+    """sel_bands keeps ORIGINAL band_idx values: selecting nir (idx 1),
+    re-selecting, and dense-exporting all compose — previously the export
+    indexed out[:, 1] into a 1-band array (IndexError) and a chained
+    sel_bands silently filtered on the wrong index."""
+    st = two_band_stack
+    nir = st.sel_bands(["nir"])
+    assert nir.band_idxs == [1]
+    again = nir.sel_bands(["nir"])  # chained re-select must stay band 1
+    assert again.band_idxs == [1]
+    dense_all = st.compute()
+    dense_nir = again.compute()
+    assert dense_nir.shape[1] == 1
+    np.testing.assert_array_equal(dense_nir[:, 0], dense_all[:, 1])
+    # mask_band then sel_bands: consume nir as mask, re-select red
+    masked = st.mask_band("nir", keep=lambda m: m == m)
+    sel = masked.sel_bands(["red"])
+    assert sel.band_idxs == [0]
+    np.testing.assert_array_equal(sel.compute()[:, 0], dense_all[:, 0])
