@@ -101,3 +101,43 @@ def test_streaming_pipeline_dedup_enrich_window(spark, tmp_path):
         assert sites == {"building-a", "building-b"}  # enrichment applied
     finally:
         q.stop()
+
+
+def test_stateless_curation_ops_run_on_streams(spark, tmp_path):
+    """hash_split and script_stats are pure column expressions, so the SAME
+    operator code runs unchanged in a Structured Streaming query — the
+    batch/stream unification a curation ingest relies on (assign splits and
+    score documents as they arrive, no batch re-pass)."""
+    import json as _json
+
+    from stackstac_spark.operators.sampling import hash_split
+    from stackstac_spark.operators.textstats import script_stats
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    with open(src / "b0.json", "w") as f:
+        for i in range(50):
+            f.write(_json.dumps({"doc_id": i, "text": f"doc {i} text {i%7}"}) + "\n")
+
+    stream = spark.readStream.schema("doc_id LONG, text STRING").json(str(src))
+    split = hash_split(stream, {"train": 0.8, "val": 0.2})
+    scored = script_stats(split, id_col="doc_id")  # stateless: composes on the stream
+    assert scored.isStreaming
+    q = (
+        split.writeStream.format("memory").queryName("stream_split").outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM stream_split").collect()
+        assert len(rows) == 50  # fractions sum to 1
+        # identical assignment to the batch operator (unified semantics)
+        batch = {
+            (r.doc_id, r.split)
+            for r in hash_split(
+                spark.read.schema("doc_id LONG, text STRING").json(str(src)),
+                {"train": 0.8, "val": 0.2},
+            ).collect()
+        }
+        assert {(r.doc_id, r.split) for r in rows} == batch
+    finally:
+        q.stop()
