@@ -4959,6 +4959,39 @@ FROM fp GROUP BY "group" ORDER BY "group" NULLS FIRST
 """
 
 
+def q_boilerplate_lines(spark, sf):
+    """Global boilerplate removal (operators/dedup.py::boilerplate_lines):
+    any 8-token block appearing in >= 2 distinct docs is dropped from ALL
+    of them (C4's line rule) — df table via one block-hash aggregate,
+    co-keyed join back, doc-keyed reassembly. The clean text is md5-keyed
+    so the whole surviving sequence is value-checked."""
+    from stackstac_spark.operators.dedup import boilerplate_lines
+
+    docs = _t(spark, sf, "documents")
+    out = boilerplate_lines(docs, min_df=2, block_tokens=8)
+    return out.select(
+        "doc_id",
+        "n_blocks",
+        "n_kept",
+        F.md5("clean_text").alias("clean_key"),
+    ).orderBy("doc_id")
+
+
+SQL_BOILERPLATE_LINES = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+blocks AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i*8+1 : i*8+8], ' ') AS block
+  FROM toks, unnest(generate_series(0, CAST(ceil(len(t) / 8.0) AS INT) - 1)) AS u(i)
+),
+dfs AS (SELECT block, count(DISTINCT doc_id) AS df FROM blocks GROUP BY block)
+SELECT b.doc_id, count(*) AS n_blocks,
+       CAST(sum(CASE WHEN d.df < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(coalesce(string_agg(CASE WHEN d.df < 2 THEN b.block END, ' ' ORDER BY b.pos), '')) AS clean_key
+FROM blocks b JOIN dfs d USING (block)
+GROUP BY b.doc_id ORDER BY b.doc_id
+"""
+
+
 def q_pool_embeddings(spark, sf):
     """Chunk→document embedding pooling (operators/similarity.py::
     pool_embeddings): element-wise MAX pooling per label — one hash agg,
@@ -5057,6 +5090,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "dedup_stats": (q_dedup_stats, SQL_DEDUP_STATS),
     "pool_embeddings": (q_pool_embeddings, SQL_POOL_EMBEDDINGS),
     "score_normalize": (q_score_normalize, SQL_SCORE_NORMALIZE),
+    "boilerplate_lines": (q_boilerplate_lines, SQL_BOILERPLATE_LINES),
     # --- metadata-plane / grid / composite (green in r01) ---
     # --- LLM-pipeline: dedup / text / similarity (green in r01) ---
     "canonical_docs": (q_canonical_docs, SQL_CANONICAL_DOCS),
@@ -5073,7 +5107,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- r4 wave 2: corpus-level dedup / mixing / semantic dedup ---
     "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "cdc_chunks": (q_cdc_chunks, SQL_CDC_CHUNKS),
-    "semdedup": (q_semdedup, SQL_SEMDEDUP),
     "pq_topk": (q_pq_topk, SQL_PQ_TOPK),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     # --- r4 wave 3: sampling / skew / bloom / PCA / sliding windows ---
@@ -5147,6 +5180,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "tpch_q22": (q_tpch_q22, SQL_TPCH_Q22),
     # r5 rotation: r4-green entries moved past the window (family siblings
     # remain in-window); CI mirror re-checks these every run
+    "semdedup": (q_semdedup, SQL_SEMDEDUP),
     "domain_mix": (q_domain_mix, SQL_DOMAIN_MIX),
     "corpus_clean": (q_corpus_clean, SQL_CORPUS_CLEAN),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),

@@ -699,6 +699,72 @@ def paragraph_dedup(
     )
 
 
+def boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    block_tokens: int = 16,
+    delim: str | None = None,
+    join_delim: str = " ",
+) -> DataFrame:
+    """Global boilerplate removal by document frequency — the C4/RefinedWeb
+    line-cleaning rule (Raffel et al. 2020 §2.2 drops any line occurring
+    ≥3 times corpus-wide; Penedo et al. 2023 §3.2 the same per dump):
+    remove every block that appears in ``min_df`` or more DISTINCT
+    documents, from ALL of them. Complements :func:`paragraph_dedup`,
+    which keeps the first occurrence — navigation chrome and cookie
+    banners should survive nowhere, not once.
+
+    ``delim`` splits on a regex (``r"\\n"`` for real line-based corpora);
+    ``delim=None`` uses fixed ``block_tokens``-token blocks (the synthetic
+    corpus has no line structure). Returns one row per input doc:
+    (id, n_blocks, n_kept, clean_text).
+
+    Scale shape: three co-keyed exchanges — block-hash aggregate for the
+    per-block distinct-doc count (the stats side is distinct-block-sized,
+    a doc-frequency table, NOT the corpus), a hash-keyed join of blocks
+    to their df (reuses the same key), and the doc-keyed ordered
+    reassembly. A viral block (10⁷ copies) is one stats row and 10⁷
+    independently-partitioned block rows — no per-group collection
+    anywhere except the per-DOC reassembly, which is document-sized.
+    """
+    from pyspark.sql import Window  # noqa: F401  (parity with siblings)
+
+    if min_df < 1:
+        raise ValueError(f"min_df must be >= 1, got {min_df}")
+    if delim is not None:
+        blocks = df.select(
+            id_col, F.posexplode(F.split(F.col(text_col), delim, -1)).alias("pos", "block")
+        )
+    else:
+        bt = int(block_tokens)
+        blocks = df.select(
+            id_col,
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, CAST(ceil(size(split({text_col}, ' ')) / {bt}.0) AS INT) - 1), "
+                    f"i -> concat_ws(' ', slice(split({text_col}, ' '), i * {bt} + 1, {bt})))"
+                )
+            ).alias("pos", "block"),
+        )
+    blocks = blocks.withColumn("__h", F.md5("block"))
+    stats = blocks.groupBy("__h").agg(F.count_distinct(F.col(id_col)).alias("__df"))
+    flagged = blocks.join(stats, "__h").withColumn("__keep", F.col("__df") < min_df)
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.expr(
+                "transform(array_sort("
+                "collect_list(CASE WHEN __keep THEN struct(pos, block) END)"
+                "), x -> x.block)"
+            ),
+            join_delim,
+        ).alias("clean_text"),
+    )
+
+
 def cdc_chunks(
     df: DataFrame,
     id_col: str = "doc_id",

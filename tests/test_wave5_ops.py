@@ -221,3 +221,34 @@ def test_score_normalize_zscore_and_zero_variance(spark):
     assert got[2] == round((30 - 20) / sd, 4)
     # zero-variance group: z = 0, not a division error
     assert got[3] == 0.0 and got[4] == 0.0
+
+
+def test_boilerplate_lines_drops_from_all_docs(spark):
+    """min_df=2: a block shared by two docs vanishes from BOTH (unlike
+    paragraph_dedup, which keeps the first occurrence)."""
+    from stackstac_spark.operators.dedup import boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [
+            (0, "cookie banner\nreal content zero"),
+            (1, "cookie banner\nreal content one"),
+            (2, "only unique text here"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r.doc_id: r
+        for r in boilerplate_lines(docs, min_df=2, delim=r"\n", join_delim="\n").collect()
+    }
+    assert got[0].n_blocks == 2 and got[0].n_kept == 1
+    assert got[0].clean_text == "real content zero"
+    assert got[1].clean_text == "real content one"
+    assert got[2].n_kept == 1 and got[2].clean_text == "only unique text here"
+    # repeated WITHIN one doc but in no other: df counts DISTINCT docs
+    solo = spark.createDataFrame(
+        [(0, "x\nx\ny")], "doc_id LONG, text STRING"
+    )
+    r = boilerplate_lines(solo, min_df=2, delim=r"\n", join_delim="\n").collect()[0]
+    assert r.n_kept == 3  # 'x' appears twice but only in one doc — kept
+    with pytest.raises(ValueError, match="min_df"):
+        boilerplate_lines(docs, min_df=0)
