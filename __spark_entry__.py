@@ -1261,7 +1261,7 @@ def q_vocab_topk(spark, sf):
 
 SQL_VOCAB_TOPK = """
 WITH toks0 AS (
-  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term FROM documents
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[ \\t\\n\\r\\f]+')) AS term FROM documents
 ),
 toks AS (SELECT doc_id, term FROM toks0 WHERE term <> ''),
 counts AS (
@@ -2851,7 +2851,7 @@ def q_raster_ndvi(spark, sf):
     from stackstac_spark.operators.composite import band_pivot, normalized_difference
 
     st = _raster_stack(spark)
-    px = band_pivot(st.pixels(), st.asset_ids)
+    px = band_pivot(st.pixels(), st.asset_ids, st.band_idxs)
     nd = normalized_difference(px, "nir", "red")
     return nd.select(
         "item_idx", "row", "col", F.round("nd", 6).alias("nd")
@@ -4067,7 +4067,7 @@ def q_vocab_encode(spark, sf):
 
 
 SQL_VOCAB_ENCODE = """
-WITH toks0 AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM documents),
+WITH toks0 AS (SELECT doc_id, regexp_split_to_array(lower(text), '[ \\t\\n\\r\\f]+') AS t FROM documents),
 tok AS (
   SELECT doc_id, u.i AS pos, t[u.i + 1] AS term
   FROM toks0, unnest(generate_series(0, len(t) - 1)) u(i)
@@ -4394,7 +4394,7 @@ FROM cov GROUP BY row, col ORDER BY row, col
 def q_raster_where(spark, sf):
     """Elementwise ``.where(cond)`` (stack.py::where — the reference's own
     demo masks ``comp.where(comp > threshold)``, examples/show.ipynb:36012):
-    keep red pixels where value > 1980 AND fractional part < 0.0195, then
+    keep red pixels where value > 980 AND fractional part < 0.0195, then
     aggregate survivors per item. Map-only mask (no shuffle) + one agg."""
     import numpy as np
 
@@ -4891,12 +4891,15 @@ WITH b AS (
 ),
 assigned AS (
   SELECT doc_id, n_chars,
+         -- floor() matches Python int() truncation in hash_split: a bare
+         -- CAST AS BIGINT ROUNDS in DuckDB (0.8*2^32 -> ...837, not ...836),
+         -- which would flip the split of a doc landing exactly on a boundary
          CASE
-           WHEN bucket >= 0 AND bucket < CAST(0.8 * 4294967296 AS BIGINT) THEN 'train'
-           WHEN bucket >= CAST(0.8 * 4294967296 AS BIGINT)
-                AND bucket < CAST(0.9 * 4294967296 AS BIGINT) THEN 'val'
-           WHEN bucket >= CAST(0.9 * 4294967296 AS BIGINT)
-                AND bucket < CAST(1.0 * 4294967296 AS BIGINT) THEN 'test'
+           WHEN bucket >= 0 AND bucket < CAST(floor(0.8 * 4294967296) AS BIGINT) THEN 'train'
+           WHEN bucket >= CAST(floor(0.8 * 4294967296) AS BIGINT)
+                AND bucket < CAST(floor(0.9 * 4294967296) AS BIGINT) THEN 'val'
+           WHEN bucket >= CAST(floor(0.9 * 4294967296) AS BIGINT)
+                AND bucket < CAST(floor(1.0 * 4294967296) AS BIGINT) THEN 'test'
          END AS split
   FROM b
 )

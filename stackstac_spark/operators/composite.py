@@ -117,6 +117,8 @@ def climatology(
     """
     if period not in _PERIODS:
         raise ValueError(f"period must be one of {sorted(_PERIODS)}, got {period!r}")
+    if agg not in _AGGS:
+        raise ValueError(f"agg must be one of {sorted(_AGGS)}, got {agg!r}")
     fn = _AGGS[agg]
     if keys is None:
         keys = [c for c in ("band_idx", "row", "col") if c in pixels_with_time.columns]
@@ -440,22 +442,34 @@ def zonal_stats(
     )
 
 
-def band_pivot(pixels: DataFrame, band_names: list[str]) -> DataFrame:
+def band_pivot(
+    pixels: DataFrame, band_names: list[str], band_idxs: list[int] | None = None
+) -> DataFrame:
     """Pivot band_idx → one column per band, per (item_idx, row, col).
 
     The preferred physical plan for band arithmetic (NDVI etc.): one
     groupBy-pivot shuffle with map-side partial aggregation, instead of a
     self-join of the pixel table against itself.
+
+    ``band_idxs`` gives the tile band_idx VALUE for each name; default is
+    positional (a full stack). Pass ``stack.band_idxs`` for a stack that
+    went through ``sel_bands``/``mask_band`` — those keep the ORIGINAL
+    indices, so a positional pivot would silently read the wrong band.
     """
+    idxs = band_idxs if band_idxs is not None else list(range(len(band_names)))
+    if len(idxs) != len(band_names):
+        raise ValueError(
+            f"band_idxs has {len(idxs)} entries for {len(band_names)} band names"
+        )
     return (
         pixels.groupBy("item_idx", "row", "col")
-        .pivot("band_idx", list(range(len(band_names))))
+        .pivot("band_idx", idxs)
         .agg(F.first("value"))
         .select(
             "item_idx",
             "row",
             "col",
-            *[F.col(str(i)).alias(n) for i, n in enumerate(band_names)],
+            *[F.col(str(i)).alias(n) for i, n in zip(idxs, band_names)],
         )
     )
 

@@ -375,9 +375,6 @@ def connected_components(
     edges_raw = e1.union(
         e1.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
-    # raw count (pre-distinct): duplicates only make it an overestimate,
-    # which can only route a borderline graph to the distributed loop —
-    # never a too-big graph to the driver
     n_raw = edges_raw.count()
 
     # Dual physical strategy (the operators/warp.py small-grid precedent):
@@ -385,19 +382,25 @@ def connected_components(
     # iterative loop's ~10 fixed-cost jobs/round dwarf the work. Below the
     # threshold, collect the edges and run driver union-find (identical
     # min-label output, one job + one LocalRelation). Union-find tolerates
-    # duplicate edges, so the driver path skips the distinct entirely —
-    # one less exchange + hash agg on the checkpoint materialization path
+    # duplicate edges, so the common small-graph path skips the distinct
+    # entirely — one less exchange + hash agg on the materialization path
     # (the r4 bench's dedup_components floor was exactly these fixed
-    # costs). At 100 TB edge counts are billions and this branch never
-    # triggers; `driver_threshold=0` forces the distributed loop (the
-    # tests pin both paths).
-    if n_raw <= 2 * driver_threshold:
+    # costs). The raw (pre-distinct) count keeps the driver-collect
+    # ceiling IDENTICAL to the distinct-count threshold for dup-free
+    # input; a duplicate-heavy graph that overshoots it falls through to
+    # the distinct below and gets a second, exact routing check — so
+    # dup-heavy LSH pair lists still reach the fastpath, at the cost of
+    # the same distinct the old code always paid. At 100 TB edge counts
+    # are billions and neither branch triggers; `driver_threshold=0`
+    # forces the distributed loop (the tests pin both paths).
+    if n_raw <= driver_threshold:
         return _components_driver(edges_raw)
 
-    # the loop, by contrast, does want distinct edges: the per-round
-    # neighbor join is sized by |E|, and LSH candidate generation emits the
-    # same pair once per colliding band
+    # the loop wants distinct edges anyway (the per-round neighbor join is
+    # sized by |E|, and LSH emits the same pair once per colliding band)
     edges = edges_raw.distinct().localCheckpoint()
+    if edges.count() <= driver_threshold:
+        return _components_driver(edges)
 
     # NOTE: graphs reaching the loop exceed driver_threshold edges, where
     # the session's shuffle-partition default is the right sizing. (An
@@ -729,8 +732,6 @@ def boilerplate_lines(
     independently-partitioned block rows — no per-group collection
     anywhere except the per-DOC reassembly, which is document-sized.
     """
-    from pyspark.sql import Window  # noqa: F401  (parity with siblings)
-
     if min_df < 1:
         raise ValueError(f"min_df must be >= 1, got {min_df}")
     if delim is not None:

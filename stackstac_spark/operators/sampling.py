@@ -75,7 +75,14 @@ def hash_split(
     cum = 0.0
     for name, frac in fractions.items():
         lo, cum = cum, cum + frac
-        cond = (bucket >= int(lo * (16**8))) & (bucket < int(cum * (16**8)))
+        # round the cumulative fraction before scaling: float accumulation
+        # makes 0.8+0.1+0.1 = 0.9999999999999999, whose truncated bucket
+        # bound (2^32 - 1) would silently drop the top bucket; rounding at
+        # 12 decimals restores the intended boundary (and matches the
+        # DuckDB oracle's floor(frac * 2^32) over decimal literals)
+        cond = (bucket >= int(round(lo, 12) * (16**8))) & (
+            bucket < int(round(cum, 12) * (16**8))
+        )
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     return df.withColumn(split_col, expr).filter(F.col(split_col).isNotNull())
 

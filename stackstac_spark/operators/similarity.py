@@ -124,15 +124,17 @@ def rerank_topk(
     """
     if k <= 0 or refine <= 0:
         raise ValueError(f"k and refine must be positive, got k={k} refine={refine}")
-    tv = f"transform(slice({vec_col}, 1, {prefilter_dims}), x -> CAST(x AS DOUBLE))"
+    def trunc_expr(col: str) -> str:
+        return f"transform(slice({col}, 1, {prefilter_dims}), x -> CAST(x AS DOUBLE))"
+
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("qfull"),
-        F.expr(tv).alias("qv"),
+        F.expr(trunc_expr(vec_col)).alias("qv"),
     ).withColumn("__qn", _norm("qv")).withColumn("__qfn", _norm("qfull"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv_src")
-    ).withColumn("cv", F.expr(tv.replace(vec_col, "cv_src"))).withColumn(
+    ).withColumn("cv", F.expr(trunc_expr("cv_src"))).withColumn(
         "__cn", _norm("cv")
     )
     a_sim = _dot("qv", "cv") / (F.col("__qn") * F.col("__cn"))

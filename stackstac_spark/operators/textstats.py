@@ -269,10 +269,12 @@ def vocab_topk(
     """
     from pyspark.sql import Window
 
-    # \s+ tokenization, consistent with bm25/gopher/dedup (a vocab learned
-    # here must match their tokens); leading-whitespace empty tokens dropped
+    # whitespace-run tokenization, consistent with bm25/gopher/dedup (a
+    # vocab learned here must match their tokens); the EXPLICIT class (not
+    # \s) because Java \s includes \x0B while RE2 — the DuckDB oracle —
+    # does not; leading-whitespace empty tokens dropped
     toks = df.select(
-        id_col, F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term")
+        id_col, F.explode(F.split(F.lower(F.col(text_col)), r"[ \t\n\r\f]+")).alias("term")
     ).filter(F.col("term") != "")
     counts = toks.groupBy("term").agg(
         F.count(F.lit(1)).alias("cnt"), F.count_distinct(F.col(id_col)).alias("doc_freq")
@@ -410,12 +412,12 @@ def encode_with_vocab(
     billion-term vocab shuffles — same policy as tfidf), then one doc-keyed
     aggregate reassembling via sort_array over (pos, id) structs.
     """
-    # \s+ tokenization matching vocab_topk/bm25 (tabs, newlines, runs of
-    # spaces are separators, not OOV empty-string tokens); positions keep
-    # document order even after the empty-token filter
+    # whitespace-run tokenization matching vocab_topk (explicit class for
+    # Java/RE2 portability — see vocab_topk); positions keep document
+    # order even after the empty-token filter
     toks = df.select(
         id_col,
-        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("pos", "term"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"[ \t\n\r\f]+")).alias("pos", "term"),
     ).filter(F.col("term") != "")
     v = vocab.select(F.col("term"), F.col("rank").cast("int").alias("__vid"))
     enc = toks.join(v, "term", "left").select(

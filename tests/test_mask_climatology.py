@@ -171,3 +171,18 @@ def test_band_selection_composes(spark, two_band_stack):
     sel = masked.sel_bands(["red"])
     assert sel.band_idxs == [0]
     np.testing.assert_array_equal(sel.compute()[:, 0], dense_all[:, 0])
+
+
+def test_band_pivot_respects_band_idxs(spark, two_band_stack):
+    """band_pivot over a subset stack must pivot the ORIGINAL band_idx
+    values — a positional pivot would silently null the shifted bands."""
+    from stackstac_spark.operators.composite import band_pivot
+
+    st = two_band_stack.sel_bands(["nir"])  # band_idx 1, single name
+    px = band_pivot(st.pixels(), st.asset_ids, st.band_idxs)
+    row = px.orderBy("item_idx", "row", "col").first()
+    assert row["nir"] is not None
+    dense = two_band_stack.compute()
+    assert row["nir"] == dense[row["item_idx"], 1, row["row"], row["col"]]
+    with pytest.raises(ValueError, match="entries"):
+        band_pivot(st.pixels(), ["a", "b"], [0])
