@@ -3183,6 +3183,89 @@ FROM bins GROUP BY media_id ORDER BY media_id
 """
 
 
+def q_multimodal_resize(spark, sf):
+    """Multimodal resize (operators/multimodal.py::resize_images): raw-RGB24
+    decode → nearest-neighbor 32x24 → 10x7 gather inside the streaming
+    mapInPandas kernel. The gather indices (r*24//7, c*32//10) and the fake
+    codec are closed-form, so every output BYTE is value-checked: pix_key =
+    md5 over the hex rendering of the pixel buffer (DuckDB's md5 is
+    VARCHAR-only, so both engines hash the uppercase hex text)."""
+    from stackstac_spark.operators.multimodal import make_fake_media, resize_images
+
+    media = make_fake_media(spark, n=8, width=32, height=24)
+    out = resize_images(media, out_w=10, out_h=7, fake=True)
+    return out.select(
+        "media_id",
+        "frame_idx",
+        "width",
+        "height",
+        F.md5(F.hex("pixels")).alias("pix_key"),
+    ).orderBy("media_id")
+
+
+SQL_MULTIMODAL_RESIZE = """
+WITH media AS (SELECT CAST(i AS BIGINT) AS media_id FROM generate_series(0, 7) t(i)),
+px AS (
+  SELECT m.media_id, j.j AS i,
+         (j.j // 30) AS r, ((j.j % 30) // 3) AS c, (j.j % 3) AS ch
+  FROM media m CROSS JOIN generate_series(0, 209) j(j)
+),
+calc AS (
+  SELECT media_id, i,
+         ((((r * 24 // 7) * 32 + (c * 32 // 10)) * 3 + ch) % 997) AS k
+  FROM px
+),
+bytes AS (
+  SELECT media_id, i,
+         ((media_id + 3) * (41*k + (k % 7)*29 + 17)) % 256 AS v
+  FROM calc
+)
+SELECT media_id, CAST(0 AS INT) AS frame_idx, CAST(10 AS INT) AS width,
+       CAST(7 AS INT) AS height,
+       md5(string_agg(upper(lpad(to_hex(v), 2, '0')), '' ORDER BY i)) AS pix_key
+FROM bytes GROUP BY media_id ORDER BY media_id
+"""
+
+
+def q_multimodal_frames(spark, sf):
+    """Video frame sampling (operators/multimodal.py::sample_frames): every
+    2nd of 5 frames per media; the fake codec derives frame fi from
+    payload||fi (4-byte BE), so each sampled frame's full pixel buffer is
+    value-checked byte-for-byte like multimodal_resize."""
+    from stackstac_spark.operators.multimodal import make_fake_media, sample_frames
+
+    media = make_fake_media(spark, n=6, width=32, height=24).withColumn(
+        "n_frames", F.lit(5)
+    )
+    out = sample_frames(media, every_n=2, fake=True)
+    return out.select(
+        "media_id",
+        "frame_idx",
+        F.md5(F.hex("pixels")).alias("pix_key"),
+    ).orderBy("media_id", "frame_idx")
+
+
+SQL_MULTIMODAL_FRAMES = """
+WITH media AS (SELECT CAST(i AS BIGINT) AS media_id FROM generate_series(0, 5) t(i)),
+frames AS (SELECT f.f AS fi FROM generate_series(0, 4) f(f) WHERE f.f % 2 = 0),
+px AS (
+  SELECT m.media_id, fr.fi, j.j AS i, (j.j % 1001) AS k
+  FROM media m CROSS JOIN frames fr CROSS JOIN generate_series(0, 2303) j(j)
+),
+bytes AS (
+  SELECT media_id, fi, i,
+         CASE WHEN k < 997
+              THEN ((media_id + 3) * (41*k + (k % 7)*29 + 17)) % 256
+              WHEN k = 1000 THEN fi          -- last byte of the 4-byte BE index
+              ELSE 0 END AS v
+  FROM px
+)
+SELECT media_id, CAST(fi AS INT) AS frame_idx,
+       md5(string_agg(upper(lpad(to_hex(v), 2, '0')), '' ORDER BY i)) AS pix_key
+FROM bytes GROUP BY media_id, fi ORDER BY media_id, frame_idx
+"""
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -5081,6 +5164,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "raster_interp": (q_raster_interp, SQL_RASTER_INTERP),
     "raster_zonal": (q_raster_zonal, SQL_RASTER_ZONAL),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
+    "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
+    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
     # --- r5 additions (never graded): mask / where / climatology ---
     "raster_masked_mosaic": (q_raster_masked_mosaic, SQL_RASTER_MASKED_MOSAIC),
     "raster_where": (q_raster_where, SQL_RASTER_WHERE),
@@ -5109,8 +5194,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "kmeans": (q_kmeans, SQL_KMEANS),
     # --- r4 wave 2: corpus-level dedup / mixing / semantic dedup ---
     "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
-    "cdc_chunks": (q_cdc_chunks, SQL_CDC_CHUNKS),
-    "pq_topk": (q_pq_topk, SQL_PQ_TOPK),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     # --- r4 wave 3: sampling / skew / bloom / PCA / sliding windows ---
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
@@ -5183,6 +5266,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "tpch_q22": (q_tpch_q22, SQL_TPCH_Q22),
     # r5 rotation: r4-green entries moved past the window (family siblings
     # remain in-window); CI mirror re-checks these every run
+    "cdc_chunks": (q_cdc_chunks, SQL_CDC_CHUNKS),
+    "pq_topk": (q_pq_topk, SQL_PQ_TOPK),
     "semdedup": (q_semdedup, SQL_SEMDEDUP),
     "domain_mix": (q_domain_mix, SQL_DOMAIN_MIX),
     "corpus_clean": (q_corpus_clean, SQL_CORPUS_CLEAN),
