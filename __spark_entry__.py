@@ -4803,6 +4803,54 @@ FROM kept ORDER BY event_type
 """
 
 
+def q_raster_gradient(spark, sf):
+    """Horn 3x3 gradient / slope (operators/composite.py::focal_gradient —
+    the gdaldem hillshade primitive): scatter-explode + one hash agg, full
+    8-neighbor stencils only. The painted surface is linear in (row, col),
+    so interior gradients are the constants (1e-6, 1e-3) — any wrong
+    stencil weight or edge-clip bug changes them."""
+    from stackstac_spark.operators.composite import focal_gradient
+
+    st = _raster_stack(spark).sel_bands(["red"])
+    return (
+        focal_gradient(st.pixels())
+        # slope = sqrt(1e-12 + 1e-6) = 0.0010000005 — EXACTLY on the
+        # 9-decimal rounding half-boundary (the known painted-value trap);
+        # re-round at 8 where the margin is 4.5e-9
+        .select(
+            "item_idx", "row", "col", "dzdx", "dzdy",
+            F.round("slope", 8).alias("slope"),
+        )
+        .orderBy("item_idx", "row", "col")
+    )
+
+
+SQL_RASTER_GRADIENT = f"""
+WITH px AS ({_R_PX64}), it AS ({_R_ITEMS}),
+cov AS (
+  SELECT row, col, item, item*1000 + row*0.001 + col*0.000001 AS value
+  FROM px, it WHERE {_R_COVER}
+),
+offs(dy, dx, wx, wy) AS (VALUES
+  (-1,-1,-1.0,-1.0), (-1,0,0.0,-2.0), (-1,1,1.0,-1.0),
+  (0,-1,-2.0,0.0),                    (0,1,2.0,0.0),
+  (1,-1,-1.0,1.0),   (1,0,0.0,2.0),   (1,1,1.0,1.0)),
+grad AS (
+  SELECT t.item, t.row, t.col,
+         sum(o.wx * s.value) / 8.0 AS gx,
+         sum(o.wy * s.value) / 8.0 AS gy,
+         count(*) AS n
+  FROM cov t CROSS JOIN offs o
+  JOIN cov s ON s.item = t.item AND s.row = t.row + o.dy AND s.col = t.col + o.dx
+  GROUP BY t.item, t.row, t.col
+)
+SELECT item AS item_idx, row, col,
+       round(gx, 9) AS dzdx, round(gy, 9) AS dzdy,
+       round(round(sqrt(gx*gx + gy*gy), 9), 8) AS slope
+FROM grad WHERE n = 8 ORDER BY item_idx, row, col
+"""
+
+
 def q_raster_temporal_diff(spark, sf):
     """Change detection — xarray ``.diff("time")`` (operators/composite.py::
     temporal_diff): per-pixel difference between consecutive observations,
@@ -5171,6 +5219,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "raster_where": (q_raster_where, SQL_RASTER_WHERE),
     "raster_climatology": (q_raster_climatology, SQL_RASTER_CLIMATOLOGY),
     "raster_temporal_diff": (q_raster_temporal_diff, SQL_RASTER_TEMPORAL_DIFF),
+    "raster_gradient": (q_raster_gradient, SQL_RASTER_GRADIENT),
     "ann_rerank": (q_ann_rerank, SQL_ANN_RERANK),
     "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
@@ -5187,7 +5236,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
     "matryoshka_topk": (q_matryoshka_topk, SQL_MATRYOSHKA_TOPK),
-    "minhash_est": (q_minhash_est, SQL_MINHASH_EST),
     "gopher_filter": (q_gopher_filter, SQL_GOPHER_FILTER),
     "dsir_sample": (q_dsir_sample, SQL_DSIR_SAMPLE),
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
@@ -5266,6 +5314,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "tpch_q22": (q_tpch_q22, SQL_TPCH_Q22),
     # r5 rotation: r4-green entries moved past the window (family siblings
     # remain in-window); CI mirror re-checks these every run
+    "minhash_est": (q_minhash_est, SQL_MINHASH_EST),
     "cdc_chunks": (q_cdc_chunks, SQL_CDC_CHUNKS),
     "pq_topk": (q_pq_topk, SQL_PQ_TOPK),
     "semdedup": (q_semdedup, SQL_SEMDEDUP),

@@ -352,6 +352,84 @@ def focal_mean(
     )
 
 
+def focal_gradient(
+    pixels: DataFrame,
+    cellsize_x: float = 1.0,
+    cellsize_y: float = 1.0,
+    keys: list[str] | None = None,
+    round_to: int | None = 9,
+) -> DataFrame:
+    """Horn (1981) 3x3 finite-difference gradient — the slope/aspect/
+    hillshade primitive of DEM analysis (gdaldem's default kernel):
+
+        dz/dx = ((c+2f+i) - (a+2d+g)) / (8·cellsize_x)
+        dz/dy = ((g+2h+i) - (a+2b+c)) / (8·cellsize_y)
+
+    over the 8 neighbors (a..i row-major, e = center unused). Emitted only
+    where ALL 8 neighbors are observed and non-NaN (gdaldem edge
+    semantics: no gradient at data edges).
+
+    Same scatter shape as :func:`focal_mean` — each pixel contributes to
+    the neighbors' stencils via one JVM generator explode carrying the
+    per-offset (wx, wy) weights, then ONE hash aggregate on the target
+    cell; the shuffle is 8x the pixel count, which IS the stencil's data
+    volume. Returns keys + (row, col, dzdx, dzdy, slope).
+    """
+    if keys is None:
+        keys = [c for c in ("item_idx", "band_idx") if c in pixels.columns]
+    # weight tables, target = src - (dy, dx): src at offset (dy, dx) FROM
+    # the target means the target gathers it with weight w(dy, dx)
+    wx = {(-1, -1): -1.0, (0, -1): -2.0, (1, -1): -1.0,
+          (-1, 1): 1.0, (0, 1): 2.0, (1, 1): 1.0}
+    wy = {(-1, -1): -1.0, (-1, 0): -2.0, (-1, 1): -1.0,
+          (1, -1): 1.0, (1, 0): 2.0, (1, 1): 1.0}
+    offs = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1) if (dy, dx) != (0, 0)]
+    masked = F.when(~F.isnan(F.col("value")), F.col("value"))
+    contrib = pixels.withColumn("__v", masked).filter(F.col("__v").isNotNull()).select(
+        *keys,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("row") - dy).alias("r"),
+                        (F.col("col") - dx).alias("c"),
+                        F.lit(wx.get((dy, dx), 0.0)).alias("wx"),
+                        F.lit(wy.get((dy, dx), 0.0)).alias("wy"),
+                    )
+                    for dy, dx in offs
+                ]
+            )
+        ).alias("t"),
+        F.col("__v"),
+    ).select(
+        *keys,
+        F.col("t.r").alias("row"),
+        F.col("t.c").alias("col"),
+        F.col("t.wx").alias("wx"),
+        F.col("t.wy").alias("wy"),
+        "__v",
+    )
+    gx = F.sum(F.col("wx") * F.col("__v")) / F.lit(8.0 * cellsize_x)
+    gy = F.sum(F.col("wy") * F.col("__v")) / F.lit(8.0 * cellsize_y)
+    slope = F.sqrt(gx * gx + gy * gy)
+    if round_to is not None:
+        gx, gy, slope = (F.round(e, round_to) for e in (gx, gy, slope))
+    targets = pixels.filter(~F.isnan(F.col("value"))).select(*keys, "row", "col")
+    return (
+        targets.join(
+            contrib.groupBy(*keys, "row", "col").agg(
+                gx.alias("dzdx"), gy.alias("dzdy"), slope.alias("slope"),
+                F.count("__v").alias("__n"),
+            ),
+            [*keys, "row", "col"],
+        )
+        # full-stencil only: the target itself must be an observed pixel
+        # (the join above) AND all 8 neighbors must have contributed
+        .filter(F.col("__n") == 8)
+        .drop("__n")
+    )
+
+
 def interp_na_time(
     pixels: DataFrame,
     dim_values: list,

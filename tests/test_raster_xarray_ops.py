@@ -239,3 +239,32 @@ def test_temporal_diff_sparse_and_nan(spark):
     assert len(got) == 1
     r = got[0]
     assert (r.row, r.col, r.item_idx, r.prev_item_idx, r.value_diff) == (0, 0, 3, 0, 30.0)
+
+
+def test_focal_gradient_horn_vs_numpy(spark):
+    """Horn 3x3 gradient vs a direct numpy stencil on a random full grid;
+    edge pixels (incomplete stencil) and neighborhoods broken by a NaN are
+    absent (gdaldem edge semantics)."""
+    from stackstac_spark.operators.composite import focal_gradient
+
+    h, w = 6, 7
+    rng = np.random.default_rng(11)
+    grid = rng.integers(0, 100, (h, w)).astype(float)
+    grid[2, 3] = np.nan
+    rows = [(r, c, float(grid[r, c])) for r in range(h) for c in range(w)]
+    df = spark.createDataFrame(rows, "row INT, col INT, value DOUBLE")
+    got = {(r.row, r.col): (r.dzdx, r.dzdy, r.slope)
+           for r in focal_gradient(df, cellsize_x=2.0).collect()}
+    for r in range(1, h - 1):
+        for c in range(1, w - 1):
+            n = grid[r - 1:r + 2, c - 1:c + 2]
+            if np.isnan(n).any():
+                assert (r, c) not in got
+                continue
+            a, b, cc2, d, _, f, g, hh, i = n.ravel()
+            gx = ((cc2 + 2 * f + i) - (a + 2 * d + g)) / (8 * 2.0)
+            gy = ((g + 2 * hh + i) - (a + 2 * b + cc2)) / 8.0
+            ex = (round(gx, 9), round(gy, 9), round(float(np.hypot(gx, gy)), 9))
+            assert got[(r, c)] == pytest.approx(ex, abs=1e-9), (r, c)
+    # no edge rows/cols in the output
+    assert all(0 < r < h - 1 and 0 < c < w - 1 for r, c in got)
