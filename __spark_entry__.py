@@ -3887,6 +3887,72 @@ FROM v6, stats WHERE v6.i < 8 ORDER BY component
 """
 
 
+def q_abtt(spark, sf):
+    """All-but-the-Top (operators/similarity.py::remove_top_component):
+    μ and the top PC from the distributed-moments fit, then a MAP-ONLY
+    transform with the literals inlined. The oracle extends the pca_power
+    unrolled CTE chain (same 6 power iterations) with the per-vector
+    projection and residual; round-4 tolerance as established for PCA."""
+    from stackstac_spark.operators.similarity import remove_top_component
+
+    emb = _t(spark, sf, "embeddings")
+    out = remove_top_component(emb, n_iters=6, round_to=None)
+    return (
+        out.filter(F.col("vec_id") < 10)
+        .select(
+            "vec_id",
+            F.round("coef", 4).alias("coef"),
+            F.round("resid_norm", 4).alias("resid_norm"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+SQL_ABTT = """
+WITH e AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+idx AS (SELECT i FROM generate_series(0, 63) t(i)),
+sv AS (SELECT i, sum(v[i + 1]) AS s FROM e CROSS JOIN idx GROUP BY i),
+gm AS (
+  SELECT a.i AS i, b.i AS j, sum(v[a.i + 1] * v[b.i + 1]) AS g
+  FROM e CROSS JOIN idx a CROSS JOIN idx b GROUP BY a.i, b.i
+),
+cov AS (
+  SELECT gm.i, gm.j, gm.g / nn.n - (sa.s / nn.n) * (sb.s / nn.n) AS c
+  FROM gm, nn, sv sa, sv sb WHERE sa.i = gm.i AND sb.i = gm.j
+),
+v1 AS (SELECT cov.i, sum(cov.c) AS val FROM cov GROUP BY cov.i),
+v2 AS (SELECT cov.i, sum(cov.c * p.val) AS val FROM cov JOIN v1 p ON p.i = cov.j GROUP BY cov.i),
+v3 AS (SELECT cov.i, sum(cov.c * p.val) AS val FROM cov JOIN v2 p ON p.i = cov.j GROUP BY cov.i),
+v4 AS (SELECT cov.i, sum(cov.c * p.val) AS val FROM cov JOIN v3 p ON p.i = cov.j GROUP BY cov.i),
+v5 AS (SELECT cov.i, sum(cov.c * p.val) AS val FROM cov JOIN v4 p ON p.i = cov.j GROUP BY cov.i),
+v6 AS (SELECT cov.i, sum(cov.c * p.val) AS val FROM cov JOIN v5 p ON p.i = cov.j GROUP BY cov.i),
+nv AS (SELECT sqrt(sum(val * val)) AS nv FROM v6),
+u AS (SELECT v6.i, v6.val / nv.nv AS u FROM v6, nv),
+mu AS (SELECT sv.i, sv.s / nn.n AS m FROM sv, nn),
+sel AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < 10
+),
+coefs AS (
+  SELECT s.vec_id, sum((s.v[u.i + 1] - mu.m) * u.u) AS c
+  FROM sel s CROSS JOIN u JOIN mu ON mu.i = u.i
+  GROUP BY s.vec_id
+),
+resid AS (
+  SELECT s.vec_id,
+         sqrt(sum(pow(s.v[u.i + 1] - mu.m - cf.c * u.u, 2))) AS rn
+  FROM sel s JOIN coefs cf USING (vec_id)
+  CROSS JOIN u JOIN mu ON mu.i = u.i
+  GROUP BY s.vec_id
+)
+SELECT c.vec_id, round(c.c, 4) AS coef, round(r.rn, 4) AS resid_norm
+FROM coefs c JOIN resid r USING (vec_id) ORDER BY c.vec_id
+"""
+
+
 def q_winnow_pairs(spark, sf):
     """Winnowing near-dup candidates (operators/dedup.py::winnow_pairs —
     the MOSS fingerprint scheme): k-gram hashes → sliding-window minima →
@@ -5242,13 +5308,13 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "kmeans": (q_kmeans, SQL_KMEANS),
     # --- r4 wave 2: corpus-level dedup / mixing / semantic dedup ---
     "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
-    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     # --- r4 wave 3: sampling / skew / bloom / PCA / sliding windows ---
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "grouped_topk": (q_grouped_topk, SQL_GROUPED_TOPK),
     "sliding_windows": (q_sliding_windows, SQL_SLIDING_WINDOWS),
     "bloom_prefilter": (q_bloom_prefilter, SQL_BLOOM_PREFILTER),
     "pca_power": (q_pca_power, SQL_PCA_POWER),
+    "abtt": (q_abtt, SQL_ABTT),
     # ---- slot 51+ from here: every entry below was driver-green in a past
     # ---- round (r01-r03) and is hash-re-checked in CI by
     # ---- tests/test_past_window_mirror.py; the 50-entry graded window above
@@ -5314,6 +5380,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "tpch_q22": (q_tpch_q22, SQL_TPCH_Q22),
     # r5 rotation: r4-green entries moved past the window (family siblings
     # remain in-window); CI mirror re-checks these every run
+    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "minhash_est": (q_minhash_est, SQL_MINHASH_EST),
     "cdc_chunks": (q_cdc_chunks, SQL_CDC_CHUNKS),
     "pq_topk": (q_pq_topk, SQL_PQ_TOPK),

@@ -687,6 +687,64 @@ def pca_power(
     return eigval, vec, (eigval / trace if trace else 0.0), int(n)
 
 
+def remove_top_component(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iters: int = 8,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """All-but-the-Top embedding post-processing (Mu & Viswanath, ICLR
+    2018): subtract the mean and the projection onto the top principal
+    component — the standard fix for anisotropic embedding spaces (the
+    dominant direction carries frequency, not semantics, and drowns
+    cosine similarities).
+
+    Plan: :func:`pca_power`'s distributed-moments fit (one scan, no
+    shuffle) gives μ and the top component u driver-side; the transform
+    is then a MAP-ONLY column expression with μ and u inlined as array
+    literals — ``c = (v-μ)·u``, ``v' = (v-μ) - c·u`` — that fuses into
+    the scan at any corpus size. Returns (id, coef, resid array<double>,
+    resid_norm).
+    """
+    _eigval, u, _ratio, _n = pca_power(df, vec_col, n_iters=n_iters, center=True)
+    d = len(u)
+    # the mean via one tiny per-dim aggregate (posexplode → d rows)
+    mu_rows = (
+        df.select(F.posexplode(F.col(vec_col)).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .collect()
+    )
+    mu = [0.0] * d
+    for r in mu_rows:
+        mu[r["i"]] = float(r["m"])
+    u_lit = "array(" + ", ".join(f"{x!r}D" for x in u) + ")"
+    mu_lit = "array(" + ", ".join(f"{x!r}D" for x in mu) + ")"
+    v = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    centered = f"zip_with({v}, {mu_lit}, (x, m) -> x - m)"
+    out = (
+        df.select(id_col, F.col(vec_col))
+        .withColumn("__c", F.expr(centered))
+        .withColumn(
+            "__coef",
+            F.expr(f"aggregate(zip_with(__c, {u_lit}, (x, uu) -> x * uu), 0D, (a, y) -> a + y)"),
+        )
+        .withColumn("__r", F.expr(f"zip_with(__c, {u_lit}, (x, uu) -> x - __coef * uu)"))
+    )
+    coef = F.col("__coef")
+    rn = F.expr("sqrt(aggregate(__r, 0D, (a, y) -> a + y * y))")
+    if round_to is not None:
+        coef = F.round(coef, round_to)
+        rn = F.round(rn, round_to)
+    return out.select(
+        id_col,
+        coef.alias("coef"),
+        F.col("__r").alias("resid"),
+        rn.alias("resid_norm"),
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     k: int = 8,

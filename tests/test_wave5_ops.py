@@ -252,3 +252,28 @@ def test_boilerplate_lines_drops_from_all_docs(spark):
     assert r.n_kept == 3  # 'x' appears twice but only in one doc — kept
     with pytest.raises(ValueError, match="min_df"):
         boilerplate_lines(docs, min_df=0)
+
+
+def test_remove_top_component_matches_numpy(spark):
+    """All-but-the-Top: coef/residual match a numpy replay of the same
+    moments + unnormalized power iteration; residuals are orthogonal to
+    the learned component."""
+    from stackstac_spark.operators.similarity import remove_top_component
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(40, 6))
+    base[:, 0] += 4.0 * rng.normal(size=40)  # dominant direction
+    emb = _emb_df(spark, base)
+    got = {r.vec_id: r for r in remove_top_component(emb, n_iters=6).collect()}
+    mu = base.mean(0)
+    cov = (base.T @ base) / len(base) - np.outer(mu, mu)
+    v = np.ones(6)
+    for _ in range(6):
+        v = cov @ v
+    u = v / np.linalg.norm(v)
+    for i in range(40):
+        c = float((base[i] - mu) @ u)
+        resid = (base[i] - mu) - c * u
+        assert got[i].coef == pytest.approx(round(c, 6), abs=1e-6)
+        assert got[i].resid_norm == pytest.approx(round(float(np.linalg.norm(resid)), 6), abs=1e-6)
+        assert abs(np.asarray(got[i].resid) @ u) < 1e-8  # orthogonality
