@@ -165,6 +165,63 @@ def sample_frames(media: DataFrame, every_n: int = 2, fake: bool = True) -> Data
     return media.select(*cols).mapInPandas(kernel, FRAME_SCHEMA)
 
 
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("n_zero_cross", T.IntegerType()),
+    ]
+)
+
+
+def decode_audio(payload: bytes, fake: bool = False) -> np.ndarray:
+    """payload → int16 mono PCM samples. STUB like :func:`decode_image`:
+    real audio codecs are unavailable here; ``fake=True`` reads the payload
+    as headerless little-endian PCM16 (byte pair ``(2k, 2k+1)`` → sample
+    ``k``; a trailing odd byte is dropped) — closed-form over the payload
+    bytes, so a SQL oracle replays it exactly."""
+    if not fake:
+        raise NotImplementedError(
+            "No audio codec available in this environment; pass fake=True for "
+            "the deterministic raw-PCM16 decoder (tests), or deploy with "
+            "soundfile/librosa and replace this branch."
+        )
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    n = (buf.size // 2) * 2
+    if n == 0:
+        raise ValueError("decode_audio: payload shorter than one sample")
+    return buf[:n].view("<i2").astype(np.int64)
+
+
+def extract_audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Per-clip waveform features — RMS level, peak amplitude, zero
+    crossings (the speech/silence/clipping triage every audio-corpus
+    ingest runs before the expensive ASR/embedding stage). Streaming
+    ``mapInPandas``, one pass per payload, no shuffle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                s = decode_audio(row.payload, fake=fake)
+                rms = float(np.sqrt(np.mean(s.astype(np.float64) ** 2)))
+                sign = np.sign(s)
+                nz = sign != 0
+                zc = int(np.count_nonzero(np.diff(sign[nz]) != 0))
+                out.append(
+                    (row.media_id, int(s.size), rms, int(np.abs(s).max()), zc)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "n_samples", "rms", "peak", "n_zero_cross"],
+            )
+
+    cols = ["media_id", "kind", "mime", "width", "height", "n_frames", "payload"]
+    return media.select(*cols).mapInPandas(kernel, AUDIO_FEATURE_SCHEMA)
+
+
 def media_repartition_hint(avg_payload_bytes: int, target_partition_bytes: int = 64 << 20) -> int:
     """Rows per partition so a partition of payloads stays near the target —
     the knob that keeps 100 TB of media from creating 100 GB tasks."""

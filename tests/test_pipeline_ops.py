@@ -1091,3 +1091,34 @@ def test_cosine_near_duplicates_operator(spark):
     # broadcast self-join refuses loudly (mirrors ivf_topk's MAX_QUERY_SIDE)
     with _pytest.raises(ValueError, match="BOUNDED"):
         cosine_near_duplicates(emb, top_pairs=3, max_rows=2)
+
+
+def test_audio_features_match_numpy(spark):
+    """PCM16 fake decode + RMS/peak/zero-cross vs a direct numpy replay,
+    incl. the real-codec NotImplementedError stub."""
+    import numpy as np
+    import pytest as _pytest
+
+    from stackstac_spark.operators.multimodal import (
+        decode_audio,
+        extract_audio_features,
+        fake_payload,
+        make_fake_media,
+    )
+
+    media = make_fake_media(spark, n=4)
+    got = {r.media_id: r for r in extract_audio_features(media, fake=True).collect()}
+    for mid in range(4):
+        buf = np.frombuffer(fake_payload(mid), dtype=np.uint8)
+        s = buf[: (buf.size // 2) * 2].view("<i2").astype(np.int64)
+        r = got[mid]
+        assert r.n_samples == s.size
+        assert r.peak == int(np.abs(s).max())
+        assert r.rms == pytest.approx(float(np.sqrt(np.mean(s.astype(float) ** 2))), rel=1e-9)
+        sign = np.sign(s)
+        nz = sign != 0
+        assert r.n_zero_cross == int(np.count_nonzero(np.diff(sign[nz]) != 0))
+    with _pytest.raises(NotImplementedError):
+        decode_audio(b"\x00\x01", fake=False)
+    with _pytest.raises(ValueError):
+        decode_audio(b"\x00", fake=True)

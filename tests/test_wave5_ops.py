@@ -277,3 +277,81 @@ def test_remove_top_component_matches_numpy(spark):
         assert got[i].coef == pytest.approx(round(c, 6), abs=1e-6)
         assert got[i].resid_norm == pytest.approx(round(float(np.linalg.norm(resid)), 6), abs=1e-6)
         assert abs(np.asarray(got[i].resid) @ u) < 1e-8  # orthogonality
+
+
+# --- Hypothesis fuzz -------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(0, 2**16),
+    min_df=st.integers(1, 3),
+    n_docs=st.integers(2, 8),
+)
+def test_boilerplate_lines_fuzz_vs_python(spark, seed, min_df, n_docs):
+    from stackstac_spark.operators.dedup import boilerplate_lines
+
+    rng = np.random.default_rng(seed)
+    lines = [f"l{i}" for i in range(5)]
+    docs = [
+        (i, "\n".join(rng.choice(lines, size=rng.integers(1, 6)).tolist()))
+        for i in range(n_docs)
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    got = {
+        r.doc_id: (r.n_blocks, r.n_kept, r.clean_text)
+        for r in boilerplate_lines(df, min_df=min_df, delim=r"\n", join_delim="\n").collect()
+    }
+    # python oracle
+    from collections import defaultdict
+    df_count: dict = defaultdict(set)
+    for i, text in docs:
+        for ln in text.split("\n"):
+            df_count[ln].add(i)
+    for i, text in docs:
+        blocks = text.split("\n")
+        kept = [b for b in blocks if len(df_count[b]) < min_df]
+        assert got[i] == (len(blocks), len(kept), "\n".join(kept)), (i, text)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    fracs=st.lists(st.floats(0.05, 0.5), min_size=1, max_size=4),
+    salt=st.sampled_from(["", "a", "b"]),
+)
+def test_hash_split_fuzz_partition(spark, fracs, salt):
+    """Any fraction list (sum <= 1): splits are disjoint, deterministic,
+    and every assigned row's bucket lies in its split's range."""
+    from stackstac_spark.operators.sampling import hash_split
+
+    total = sum(fracs)
+    if total > 1.0:
+        fracs = [f / total for f in fracs]
+    names = [f"s{i}" for i in range(len(fracs))]
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, dict(zip(names, fracs)), salt=salt).collect()
+    seen = {}
+    for r in out:
+        assert r.doc_id not in seen  # one split per row
+        seen[r.doc_id] = r.split
+    import hashlib
+    bounds = []
+    cum = 0.0
+    for n, f in zip(names, fracs):
+        lo, cum = cum, cum + f
+        bounds.append((n, int(round(lo, 12) * 16**8), int(round(cum, 12) * 16**8)))
+    for doc_id, split in seen.items():
+        b = int(hashlib.md5(f"{salt}:{doc_id}".encode()).hexdigest()[:8], 16)
+        expect = next((n for n, lo, hi in bounds if lo <= b < hi), None)
+        assert split == expect, (doc_id, split, expect)
