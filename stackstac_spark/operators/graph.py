@@ -18,15 +18,16 @@ __all__ = ["pagerank"]
 
 
 def _pagerank_driver(edges: DataFrame, iters: int, damping: float, round_to: int) -> DataFrame:
-    """Driver-side iteration over a collected (already symmetric, distinct)
-    edge list — the small-graph physical strategy."""
+    """Driver-side iteration over a collected symmetric edge list — the
+    small-graph physical strategy. Dedupes locally (a Python set), so the
+    caller may hand it the RAW pre-distinct union: LSH pair lists emit the
+    same pair once per colliding band, and degree counts must not inflate."""
     from pyspark.sql import types as T
 
     rows = edges.collect()
     adj: dict = {}
     deg: dict = {}
-    for r in rows:
-        s, t = r["src"], r["dst"]
+    for s, t in {(r["src"], r["dst"]) for r in rows}:
         adj.setdefault(t, []).append(s)
         deg[s] = deg.get(s, 0) + 1
     nodes = sorted(deg)
@@ -82,15 +83,21 @@ def pagerank(
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
     e1 = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = e1.union(
+    edges_raw = e1.union(
         e1.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    edges = edges.localCheckpoint()
+    ).localCheckpoint()
     # dual physical strategy (the connected_components/warp precedent):
     # below the threshold, collect the edge list and iterate on the driver
     # — identical arithmetic, one job instead of ~4 jobs per round; a
     # billion-edge graph never triggers it (driver_threshold=0 forces the
-    # distributed loop; tests pin both paths and assert agreement)
+    # distributed loop; tests pin both paths and assert agreement).
+    # Same raw-count routing as connected_components: the driver path
+    # dedupes locally, so the common small-graph case skips the distinct
+    # exchange entirely; a duplicate-heavy graph overshooting the raw
+    # count gets the exact re-check after the distinct it needs anyway.
+    if edges_raw.count() <= driver_threshold:
+        return _pagerank_driver(edges_raw, iters, damping, round_to)
+    edges = edges_raw.distinct().localCheckpoint()
     if edges.count() <= driver_threshold:
         return _pagerank_driver(edges, iters, damping, round_to)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
