@@ -489,13 +489,16 @@ def minhash_lsh_candidates(
     bands: int = 4,
     shingle_n: int = 2,
     max_bucket: int | None = 1000,
+    sig_df: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via LSH banding.
 
     ``max_bucket`` drops degenerate buckets (e.g. empty-ish boilerplate that
     would otherwise produce quadratic pairs) — the documented guard for
     skew at 100 TB; dropped buckets should be handled by a dedicated
-    boilerplate rule instead.
+    boilerplate rule instead. ``sig_df`` supplies a precomputed (usually
+    persisted) signature table so a pipeline that also scores candidates
+    computes the signatures ONCE (minhash_jaccard_estimate does this).
     """
     if num_hashes % bands:
         raise ValueError(
@@ -503,7 +506,9 @@ def minhash_lsh_candidates(
             "hashes would be silently dropped, shifting the LSH S-curve"
         )
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    sig = sig_df if sig_df is not None else minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_n
+    )
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -548,10 +553,15 @@ def minhash_jaccard_estimate(
     + two id-keyed hash joins against the signature table — never touches
     the shingle sets of a pair.
     """
+    # signatures computed ONCE and pinned: the candidate join and both
+    # scoring joins share the same table — without the checkpoint the
+    # shingle-explode + k-hash aggregate subtree appears three times in
+    # the plan. Signatures are k fixed-width hashes per doc (a ~1e-4
+    # fraction of the corpus), the table every real pipeline persists.
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).localCheckpoint()
     cands = minhash_lsh_candidates(
-        df, id_col, text_col, num_hashes, bands, shingle_n, max_bucket
+        df, id_col, text_col, num_hashes, bands, shingle_n, max_bucket, sig_df=sig
     )
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     a = sig.select(
         F.col(id_col).alias("id_a"),
         *[F.col(f"h{i}").alias(f"__a{i}") for i in range(num_hashes)],
