@@ -104,7 +104,12 @@ def winnow_pairs(
     more than that many docs before the self-join — the boilerplate /
     skew guard that keeps a viral license-header fingerprint from creating
     a quadratic bucket (same role as LSH's ``max_bucket``)."""
-    fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    # fingerprints computed ONCE and pinned: the df-guard aggregate, its
+    # semi-join, and both sides of the pair self-join otherwise repeat the
+    # posexplode + doc-window + distinct subtree four times in one plan.
+    # The fingerprint table is ~2/(w+1) hashes per gram — the artifact a
+    # real MOSS pipeline persists anyway.
+    fps = winnow_fingerprints(df, id_col, text_col, k, w).localCheckpoint()
     if max_df is not None:
         freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
         fps = fps.join(
