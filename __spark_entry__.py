@@ -24,9 +24,13 @@ Query groups:
   join → mapInPandas scan → mosaic/NDVI/reduction/warp), hash-checked
   against closed-form DuckDB oracles over the deterministic fake-reader
   pixel function
-- multimodal_features — binary-payload mapInPandas decode + histogram,
-  hash-checked against a closed-form DuckDB replay of the raw-RGB24 fake
-  codec
+- multimodal_* — binary-payload mapInPandas decode + histogram, resize,
+  frame-sample (byte-exact), and PCM16 audio features, hash-checked
+  against closed-form DuckDB replays of the fake codecs
+- r5 additions: raster mask-band/where/climatology/temporal-diff/Horn
+  gradient; two-stage ANN rerank + recall eval + All-but-the-Top;
+  hash_split / script_stats / dedup_stats / pool_embeddings /
+  score_normalize / boilerplate_lines
 """
 
 from __future__ import annotations
