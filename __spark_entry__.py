@@ -4929,6 +4929,34 @@ FROM kept ORDER BY event_type
 """
 
 
+def q_raster_crop(spark, sf):
+    """Exact AOI crop (stack.py::crop → operators/crop.py): non-tile-aligned
+    sub-box, boundary tiles sliced, offsets rebased to the cropped grid —
+    then first-valid mosaic. The oracle restricts the painted coverage to
+    the pixel window [18,51)x[11,43) and shifts coordinates to the new
+    origin."""
+    st = _raster_stack(spark).sel_bands(["red"])
+    cropped = st.crop((500110.0, 4000130.0, 500430.0, 4000460.0))
+    return (
+        cropped.mosaic()
+        .select("row", "col", F.round("value", 6).alias("mosaic_value"))
+        .orderBy("row", "col")
+    )
+
+
+SQL_RASTER_CROP = f"""
+WITH px AS ({_R_PX64}), it AS ({_R_ITEMS}),
+cov AS (
+  SELECT row, col, item, item*1000 + row*0.001 + col*0.000001 AS value
+  FROM px, it WHERE {_R_COVER}
+    AND row >= 18 AND row < 51 AND col >= 11 AND col < 43
+)
+SELECT row - 18 AS row, col - 11 AS col,
+       round(arg_max(value, item), 6) AS mosaic_value
+FROM cov GROUP BY row, col ORDER BY row, col
+"""
+
+
 def q_raster_gradient(spark, sf):
     """Horn 3x3 gradient / slope (operators/composite.py::focal_gradient —
     the gdaldem hillshade primitive): scatter-explode + one hash agg, full
@@ -5347,6 +5375,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "raster_climatology": (q_raster_climatology, SQL_RASTER_CLIMATOLOGY),
     "raster_temporal_diff": (q_raster_temporal_diff, SQL_RASTER_TEMPORAL_DIFF),
     "raster_gradient": (q_raster_gradient, SQL_RASTER_GRADIENT),
+    "raster_crop": (q_raster_crop, SQL_RASTER_CROP),
     "ann_rerank": (q_ann_rerank, SQL_ANN_RERANK),
     "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
@@ -5367,7 +5396,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "kmeans": (q_kmeans, SQL_KMEANS),
     # --- r4 wave 2: corpus-level dedup / mixing / semantic dedup ---
-    "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     # --- r4 wave 3: sampling / skew / bloom / PCA / sliding windows ---
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "grouped_topk": (q_grouped_topk, SQL_GROUPED_TOPK),
@@ -5440,6 +5468,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "tpch_q22": (q_tpch_q22, SQL_TPCH_Q22),
     # r5 rotation: r4-green entries moved past the window (family siblings
     # remain in-window); CI mirror re-checks these every run
+    "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "minhash_est": (q_minhash_est, SQL_MINHASH_EST),

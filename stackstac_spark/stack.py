@@ -173,6 +173,17 @@ class RasterStack:
             items_df=items,
         )
 
+    def crop(self, bounds: Bbox) -> "RasterStack":
+        """Exact AOI crop — the pixel-true ``.loc[y-slice, x-slice]``: the
+        result's spec IS the cropped grid (aligned with the parent, no
+        resampling), boundary tiles sliced, offsets rebased. One range
+        filter + a map-only kernel (operators/crop.py). Use
+        :meth:`slice_bounds` when a plan-time tile prune suffices."""
+        from stackstac_spark.operators.crop import crop_tiles
+
+        tiles, spec = crop_tiles(self.tiles, self.spec, bounds, dtype=self.dtype)
+        return replace(self, tiles=tiles, spec=spec)
+
     def slice_bounds(self, bounds: Bbox) -> "RasterStack":
         """Spatial slice: prune whole tiles by a range predicate (partition-
         prunable at plan time), then rely on per-pixel ops to clip."""

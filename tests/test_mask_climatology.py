@@ -186,3 +186,37 @@ def test_band_pivot_respects_band_idxs(spark, two_band_stack):
     assert row["nir"] == dense[row["item_idx"], 1, row["row"], row["col"]]
     with pytest.raises(ValueError, match="entries"):
         band_pivot(st.pixels(), ["a", "b"], [0])
+
+
+def test_crop_exact_aoi(spark, two_band_stack):
+    """crop(): the dense export of the cropped stack equals the numpy slice
+    of the parent export; grid stays aligned; boundary tiles sliced."""
+    st = two_band_stack.sel_bands(["red"])
+    dense = st.compute()
+    # spec: epsg from make_item (32613), res 1.0, bounds (0,0,32,24) → 24x32
+    # crop an interior, non-tile-aligned box: x 5..21, y 3..19
+    cropped = st.crop((5.0, 5.0, 21.0, 21.0))
+    h, w = cropped.spec.shape
+    assert (h, w) == (16, 16)
+    assert cropped.spec.bounds == (5.0, 5.0, 21.0, 21.0)
+    got = cropped.compute()
+    # grid row r of the crop = parent row (ymax_parent - ymax_crop) + r
+    r0 = int(round(st.spec.bounds[3] - 21.0))
+    c0 = 5
+    np.testing.assert_array_equal(got[:, 0], dense[:, 0, r0:r0 + 16, c0:c0 + 16])
+    # pixels view offsets are rebased
+    mx = cropped.pixels().agg(
+        F.max("row").alias("mr"), F.max("col").alias("mc"),
+        F.min("row").alias("nr"), F.min("col").alias("nc"),
+    ).collect()[0]
+    assert mx.nr >= 0 and mx.nc >= 0 and mx.mr < 16 and mx.mc < 16
+    # non-overlapping crop errors loudly
+    with pytest.raises(ValueError, match="do not overlap"):
+        st.crop((1000.0, 1000.0, 1001.0, 1001.0))
+
+
+def test_crop_is_map_only(spark, two_band_stack):
+    st = two_band_stack.sel_bands(["red"])
+    base = st.tiles._jdf.queryExecution().executedPlan().toString().count("Exchange")
+    after = st.crop((5.0, 5.0, 21.0, 21.0)).tiles._jdf.queryExecution().executedPlan().toString().count("Exchange")
+    assert after == base
