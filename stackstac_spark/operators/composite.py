@@ -370,10 +370,12 @@ def focal_gradient(
     semantics: no gradient at data edges).
 
     Same scatter shape as :func:`focal_mean` — each pixel contributes to
-    the neighbors' stencils via one JVM generator explode carrying the
-    per-offset (wx, wy) weights, then ONE hash aggregate on the target
-    cell; the shuffle is 8x the pixel count, which IS the stencil's data
-    volume. Returns keys + (row, col, dzdx, dzdy, slope).
+    the neighbors' stencils (and to its own, with weight 0, so the
+    full-stencil test rides the same aggregate) via one JVM generator
+    explode carrying the per-offset (wx, wy) weights, then ONE hash
+    aggregate on the target cell; the shuffle is 9x the pixel count,
+    which IS the stencil's data volume — one scan, zero joins.
+    Returns keys + (row, col, dzdx, dzdy, slope).
     """
     if keys is None:
         keys = [c for c in ("item_idx", "band_idx") if c in pixels.columns]
@@ -383,7 +385,11 @@ def focal_gradient(
           (-1, 1): 1.0, (0, 1): 2.0, (1, 1): 1.0}
     wy = {(-1, -1): -1.0, (-1, 0): -2.0, (-1, 1): -1.0,
           (1, -1): 1.0, (1, 0): 2.0, (1, 1): 1.0}
-    offs = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1) if (dy, dx) != (0, 0)]
+    # the center offset scatters with weight 0: it contributes nothing to
+    # the sums but lets the "__n == 9" filter enforce BOTH full-stencil and
+    # center-observed in the same aggregate — no second scan of the pixel
+    # table, no join (a previous revision joined targets back on)
+    offs = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
     masked = F.when(~F.isnan(F.col("value")), F.col("value"))
     contrib = pixels.withColumn("__v", masked).filter(F.col("__v").isNotNull()).select(
         *keys,
@@ -414,18 +420,14 @@ def focal_gradient(
     slope = F.sqrt(gx * gx + gy * gy)
     if round_to is not None:
         gx, gy, slope = (F.round(e, round_to) for e in (gx, gy, slope))
-    targets = pixels.filter(~F.isnan(F.col("value"))).select(*keys, "row", "col")
     return (
-        targets.join(
-            contrib.groupBy(*keys, "row", "col").agg(
-                gx.alias("dzdx"), gy.alias("dzdy"), slope.alias("slope"),
-                F.count("__v").alias("__n"),
-            ),
-            [*keys, "row", "col"],
+        contrib.groupBy(*keys, "row", "col")
+        .agg(
+            gx.alias("dzdx"), gy.alias("dzdy"), slope.alias("slope"),
+            F.count("__v").alias("__n"),
         )
-        # full-stencil only: the target itself must be an observed pixel
-        # (the join above) AND all 8 neighbors must have contributed
-        .filter(F.col("__n") == 8)
+        # 9 = the 8 neighbors AND the (weight-0) center all observed
+        .filter(F.col("__n") == 9)
         .drop("__n")
     )
 

@@ -558,6 +558,13 @@ def minhash_jaccard_estimate(
     + two id-keyed hash joins against the signature table — never touches
     the shingle sets of a pair.
     """
+    # validate BEFORE the eager signature job below — a bad bands value
+    # must not cost a full corpus scan before raising
+    if num_hashes % bands:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}); trailing "
+            "hashes would be silently dropped, shifting the LSH S-curve"
+        )
     # signatures computed ONCE and pinned: the candidate join and both
     # scoring joins share the same table — without the checkpoint the
     # shingle-explode + k-hash aggregate subtree appears three times in

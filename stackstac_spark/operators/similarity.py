@@ -623,7 +623,8 @@ def pca_power(
     vec_col: str = "embedding",
     n_iters: int = 8,
     center: bool = True,
-) -> tuple[float, list[float], float, int]:
+    return_mu: bool = False,
+) -> tuple:
     """Top principal component of an embedding column by distributed moment
     aggregation + driver-side power iteration — the whitening / drift-check
     step of an embedding pipeline (and the building block of PCA-based
@@ -641,7 +642,8 @@ def pca_power(
     it exactly (normalizing each step would still be replayable but costs
     nothing to skip at these iteration counts; doubles hold λ^8 easily).
 
-    Returns ``(eigval, eigvec, explained_ratio, n)``: the Rayleigh-quotient
+    Returns ``(eigval, eigvec, explained_ratio, n)`` — plus ``mu`` as a
+    fifth element when ``return_mu=True``: the Rayleigh-quotient
     top eigenvalue, the L2-normalized eigenvector, eigval / trace(cov)
     (fraction of variance explained), and the row count.
     """
@@ -684,7 +686,12 @@ def pca_power(
     eigval = float(v @ av) / vv if vv else 0.0
     trace = float(np.trace(cov))
     vec = (v / math.sqrt(vv)).tolist() if vv else [0.0] * d
-    return eigval, vec, (eigval / trace if trace else 0.0), int(n)
+    explained = eigval / trace if trace else 0.0
+    if return_mu:
+        # the mean falls out of the same moments — callers that also need
+        # it (remove_top_component) must not pay a second corpus scan
+        return eigval, vec, explained, int(n), mu.tolist()
+    return eigval, vec, explained, int(n)
 
 
 def remove_top_component(
@@ -707,18 +714,12 @@ def remove_top_component(
     the scan at any corpus size. Returns (id, coef, resid array<double>,
     resid_norm).
     """
-    _eigval, u, _ratio, _n = pca_power(df, vec_col, n_iters=n_iters, center=True)
-    d = len(u)
-    # the mean via one tiny per-dim aggregate (posexplode → d rows)
-    mu_rows = (
-        df.select(F.posexplode(F.col(vec_col)).alias("i", "x"))
-        .groupBy("i")
-        .agg(F.avg(F.col("x").cast("double")).alias("m"))
-        .collect()
+    # ONE scan: the moments fit yields both u and mu (a second
+    # posexplode-aggregate for the mean would re-read the corpus)
+    _eigval, u, _ratio, _n, mu = pca_power(
+        df, vec_col, n_iters=n_iters, center=True, return_mu=True
     )
-    mu = [0.0] * d
-    for r in mu_rows:
-        mu[r["i"]] = float(r["m"])
+    d = len(u)
     u_lit = "array(" + ", ".join(f"{x!r}D" for x in u) + ")"
     mu_lit = "array(" + ", ".join(f"{x!r}D" for x in mu) + ")"
     v = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
