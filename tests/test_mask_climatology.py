@@ -220,3 +220,28 @@ def test_crop_is_map_only(spark, two_band_stack):
     base = st.tiles._jdf.queryExecution().executedPlan().toString().count("Exchange")
     after = st.crop((5.0, 5.0, 21.0, 21.0)).tiles._jdf.queryExecution().executedPlan().toString().count("Exchange")
     assert after == base
+
+
+@pytest.mark.parametrize(
+    "box",
+    [
+        (0.0, 0.0, 32.0, 24.0),      # full raster
+        (0.0, 23.0, 1.0, 24.0),      # single top-left pixel
+        (15.0, 7.0, 17.0, 9.0),      # tile-corner straddle (chunksize 16)
+        (-5.0, -5.0, 3.0, 3.0),      # partially outside: clamped
+        (31.0, 0.0, 40.0, 24.0),     # right-edge overhang
+    ],
+)
+def test_crop_windows_match_numpy_slice(spark, two_band_stack, box):
+    st = two_band_stack.sel_bands(["red"])
+    dense = st.compute()
+    cropped = st.crop(box)
+    h, w = cropped.spec.shape
+    got = cropped.compute()
+    # parent-grid window of the cropped spec
+    r0 = int(round(st.spec.bounds[3] - cropped.spec.bounds[3]))
+    c0 = int(round(cropped.spec.bounds[0] - st.spec.bounds[0]))
+    np.testing.assert_array_equal(got[:, 0], dense[:, 0, r0:r0 + h, c0:c0 + w])
+    # cropped spec never exceeds the parent raster
+    pb, cb = st.spec.bounds, cropped.spec.bounds
+    assert cb[0] >= pb[0] and cb[1] >= pb[1] and cb[2] <= pb[2] and cb[3] <= pb[3]
