@@ -5499,10 +5499,13 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: the engine's signature shape
-    — metadata filter → band pivot → normalized-difference arithmetic →
-    reduction (the NDVI-composite pipeline from the reference's README)."""
-    return q_pivot_ndvi(spark, "/root/testdata/sf0.001")
+    """Flagship: the ACTUAL raster pipeline end to end — STAC ingest →
+    prepare → tile-grid join → mapInPandas scan → band pivot → NDVI
+    (the reference README's signature composite), per-pixel over the
+    deterministic painted stack. Replaces the r1-era events-table NDVI
+    analogue now that the real engine exists; the relational analogue
+    remains graded as `pivot_ndvi`."""
+    return q_raster_ndvi(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
