@@ -4957,6 +4957,114 @@ FROM cov GROUP BY row, col ORDER BY row, col
 """
 
 
+def q_raster_real_tiff(spark, sf):
+    """Real-IO gate (round 6): write a deterministic tiled+DEFLATE+
+    float-predictor GeoTIFF with the built-in writer (sources/minitiff.py),
+    then run the full stack()→scan pipeline over the FILE — the no-rasterio
+    fallback read path (sources/raster.py::_read_fallback_window, the
+    re-expression of the reference's rio_reader.py:382-429 windowed masked
+    read). Painted value = row*1000 + col; every 13th cell is nodata (-1)
+    and must come back masked → absent from the sparse pixel view."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from stackstac_spark.sources import minitiff
+    from stackstac_spark.stack import stack as _stack
+
+    rr, cc = np.meshgrid(np.arange(48), np.arange(48), indexing="ij")
+    arr = (rr * 1000.0 + cc).astype("float64")
+    arr[(rr * 48 + cc) % 13 == 0] = -1.0
+    path = os.path.join(tempfile.gettempdir(), "stackstac_spark_gate_real.tif")
+    minitiff.write_geotiff(
+        path,
+        arr,
+        32633,
+        minitiff.from_origin(500000.0, 4000000.0, 10.0, 10.0),
+        nodata=-1.0,
+        tile=(32, 32),
+        compress="deflate",
+        predictor=3,
+    )
+    bounds = (500000.0, 3999520.0, 500480.0, 4000000.0)
+    item = {
+        "id": "real-tiff",
+        "bbox": [15.0, 36.0, 15.1, 36.1],
+        "properties": {
+            "datetime": "2024-03-01T00:00:00Z",
+            "proj:epsg": 32633,
+            "proj:bbox": list(bounds),
+            "proj:shape": [48, 48],
+            "proj:transform": [10.0, 0.0, 500000.0, 0.0, -10.0, 4000000.0],
+        },
+        "assets": {"data": {"href": path, "type": "image/tiff; application=geotiff"}},
+    }
+    st = _stack(spark, [item], epsg=32633, resolution=10.0, bounds=bounds, chunksize=32)
+    return st.pixels().select("row", "col", "value").orderBy("row", "col")
+
+
+SQL_RASTER_REAL_TIFF = """
+WITH px AS (SELECT r.g AS row, c.g AS col
+            FROM generate_series(0, 47) r(g), generate_series(0, 47) c(g))
+SELECT row, col, CAST(row*1000 + col AS DOUBLE) AS value
+FROM px WHERE (row*48 + col) % 13 <> 0 ORDER BY row, col
+"""
+
+
+def q_raster_sql_ndvi(spark, sf):
+    """SQL-first surface (round 6, RasterStack.create_views): the reference
+    README's composite workflow (README.md:49-57 — stack → NDVI → temporal
+    median composite) written ENTIRELY in spark.sql over the registered
+    views; the DataFrame API never touches the pixel math. Catalyst sees the
+    identical lazy plan through the views, so pruning/pushdown still hold."""
+    st = _raster_stack(
+        spark,
+        dates=(
+            "2024-01-05T00:00:00Z",
+            "2024-01-20T00:00:00Z",
+            "2024-02-03T00:00:00Z",
+            "2024-02-18T00:00:00Z",
+        ),
+    )
+    st.create_views(prefix="rsql_")
+    return spark.sql(
+        """
+        WITH nd AS (
+          SELECT p.item_idx, p.row, p.col,
+                 max(CASE WHEN b.band = 'red' THEN p.value END) AS red,
+                 max(CASE WHEN b.band = 'nir' THEN p.value END) AS nir
+          FROM rsql_pixels p JOIN rsql_band_coords b ON p.band_idx = b.band_idx
+          GROUP BY p.item_idx, p.row, p.col
+        )
+        SELECT substring(i.datetime, 1, 7) AS month, n.row, n.col,
+               round(median((n.nir - n.red) / (n.nir + n.red)), 6) AS nd_med,
+               count(*) AS n_obs
+        FROM nd n JOIN rsql_item_coords i ON n.item_idx = i.item_idx
+        GROUP BY month, n.row, n.col
+        ORDER BY month, n.row, n.col
+        """
+    )
+
+
+SQL_RASTER_SQL_NDVI = f"""
+WITH px AS ({_R_PX64}), it AS ({_R_ITEMS}),
+cov AS (
+  SELECT item, row, col,
+         item*1000 + row*0.001 + col*0.000001 AS red,
+         item*1000 + 1 + row*0.001 + col*0.000001 AS nir
+  FROM px, it WHERE {_R_COVER}
+),
+nd AS (
+  SELECT CASE WHEN item < 2 THEN '2024-01' ELSE '2024-02' END AS month,
+         row, col, (nir - red) / (nir + red) AS v
+  FROM cov
+)
+SELECT month, row, col, round(median(v), 6) AS nd_med, count(*) AS n_obs
+FROM nd GROUP BY month, row, col ORDER BY month, row, col
+"""
+
+
 def q_raster_gradient(spark, sf):
     """Horn 3x3 gradient / slope (operators/composite.py::focal_gradient —
     the gdaldem hillshade primitive): scatter-explode + one hash agg, full
@@ -5376,6 +5484,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "raster_temporal_diff": (q_raster_temporal_diff, SQL_RASTER_TEMPORAL_DIFF),
     "raster_gradient": (q_raster_gradient, SQL_RASTER_GRADIENT),
     "raster_crop": (q_raster_crop, SQL_RASTER_CROP),
+    # --- r6 additions (never graded): real-file IO + SQL-first surface ---
+    "raster_real_tiff": (q_raster_real_tiff, SQL_RASTER_REAL_TIFF),
+    "raster_sql_ndvi": (q_raster_sql_ndvi, SQL_RASTER_SQL_NDVI),
     "ann_rerank": (q_ann_rerank, SQL_ANN_RERANK),
     "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),

@@ -290,6 +290,94 @@ def _read_real_window(
     return np.ma.filled(arr.astype("float64"), np.nan)
 
 
+def _read_fallback_window(
+    url: str,
+    spec: RasterSpec,
+    r0: int,
+    r1: int,
+    c0: int,
+    c1: int,
+    resampling: str,
+) -> np.ndarray:
+    """No-rasterio read path: the built-in GeoTIFF reader (sources/minitiff)
+    standing in for ``AutoParallelRioReader.read`` (rio_reader.py:382-429)
+    on LOCAL files. Same contract as ``_read_real_window``: a float64 block
+    for spec pixel window [r0:r1, c0:c1], NaN where masked/outside.
+
+    - dataset grid == spec grid → direct windowed read (boundless, so an
+      overstated asset bbox cannot misregister edge tiles — same rationale
+      as the boundless read at sources/raster.py:272-284);
+    - grid differs (offset / resolution / CRS) → the mini-warp: dst pixel
+      centers are inverse-projected onto the source grid and gathered
+      nearest-neighbor, the same semantics as the WarpedVRT pinned to the
+      spec grid with ``Resampling.nearest``. Other resampling methods need
+      GDAL — install rasterio.
+    """
+    from stackstac_spark.sources import minitiff
+
+    path = minitiff.local_path(url)
+    if path is None:
+        raise NotImplementedError(
+            "rasterio is not installed; the built-in GeoTIFF fallback reads "
+            f"local files only, cannot open {url!r}. Install rasterio for "
+            "remote COG IO."
+        )
+    ds = minitiff.open_cached(path)
+    if ds.count != 1:
+        raise ValueError(
+            f"Assets must be single-band, but {url!r} has {ds.count} bands"
+        )
+    if ds.transform is None:
+        raise ValueError(f"{url!r} has no GeoTIFF georeferencing tags")
+    a, b, c, d, e, f = ds.transform
+    if b != 0.0 or d != 0.0:
+        # parity with the engine-wide rectilinear guard (reference
+        # prepare.py:283; our prepare raises the same way)
+        raise NotImplementedError(
+            f"Non-rectilinear geotransform on {url!r}; the built-in reader "
+            "handles rectilinear grids only"
+        )
+    xres, yres = spec.resolutions_xy
+    gminx, _, _, gmaxy = spec.bounds
+    aligned = (
+        ds.epsg == spec.epsg
+        and a == xres
+        and e == -yres
+        and (c - gminx) % xres == 0
+        and (f - gmaxy) % yres == 0
+    )
+    if aligned:
+        # spec pixel (r, cc) ↔ source pixel (r - row_shift, cc - col_shift)
+        col_shift = round((c - gminx) / xres)
+        row_shift = round((gmaxy - f) / yres)
+        return ds.read_window(
+            r0 - row_shift, r1 - row_shift, c0 - col_shift, c1 - col_shift
+        )
+    if resampling != "nearest":
+        raise NotImplementedError(
+            f"The built-in GeoTIFF fallback warps with 'nearest' only; "
+            f"resampling={resampling!r} needs rasterio"
+        )
+    from stackstac_spark.functions.proj import transform_xy
+
+    rows = np.arange(r0, r1, dtype="float64")
+    cols = np.arange(c0, c1, dtype="float64")
+    xs = gminx + (cols + 0.5) * xres  # dst pixel centers on the spec grid
+    ys = gmaxy - (rows + 0.5) * yres
+    X, Y = np.meshgrid(xs, ys)
+    sx, sy = transform_xy(spec.epsg, ds.epsg, X.ravel(), Y.ravel())
+    scol = np.floor((sx - c) / a).astype("int64")
+    srow = np.floor((sy - f) / e).astype("int64")
+    out = np.full(sx.shape, np.nan, dtype="float64")
+    valid = (srow >= 0) & (srow < ds.height) & (scol >= 0) & (scol < ds.width)
+    if valid.any():
+        rmin, rmax = int(srow[valid].min()), int(srow[valid].max()) + 1
+        cmin, cmax = int(scol[valid].min()), int(scol[valid].max()) + 1
+        block = ds.read_window(rmin, rmax, cmin, cmax)
+        out[valid] = block[srow[valid] - rmin, scol[valid] - cmin]
+    return out.reshape(r1 - r0, c1 - c0)
+
+
 def make_scan_udf(
     spec: RasterSpec,
     fill_value: float = np.nan,
@@ -359,9 +447,13 @@ def make_scan_udf(
                                 np.arange(r0, r1), np.arange(c0, c1), indexing="ij"
                             )
                             block = fake_pixel_values(row.url, rr, cc)
-                        else:
+                        elif _HAVE_RASTERIO:
                             block = _read_real_window(
                                 row.url, spec, r0, r1, c0, c1, resampling, genv
+                            )
+                        else:
+                            block = _read_fallback_window(
+                                row.url, spec, r0, r1, c0, c1, resampling
                             )
                         block = block * row.scale + row.offset
                         sub = tile[

@@ -125,6 +125,45 @@ class RasterStack:
             self.tiles.sparkSession, self.spec, pixel_center=(self.xy_coords == "center")
         )
 
+    def create_views(self, prefix: str = "stack_") -> list[str]:
+        """Register the stack as temp views for a pure-``spark.sql`` workflow
+        (the reference README's xarray pipeline, README.md:49-57, re-expressed
+        as SQL over relational views). Registered views:
+
+        - ``{prefix}tiles``       — the lazy tile blocks (scan not yet run)
+        - ``{prefix}pixels``      — sparse pixel view (item_idx, band_idx,
+          row, col, value); fill pixels are absent rows
+        - ``{prefix}item_coords`` — the time-dimension labels (item_idx,
+          item_id, datetime, proj fields, raw properties map)
+        - ``{prefix}band_coords`` — (band_idx, band) name mapping
+        - ``{prefix}x_coords`` / ``{prefix}y_coords`` — (col, x) / (row, y)
+          spatial labels honouring ``xy_coords`` topleft/center
+        - ``{prefix}band_fields`` — long-form per-band metadata, when present
+
+        Views are session-scoped metadata only — each one wraps the same lazy
+        plan the DataFrame API uses, so Catalyst still prunes columns and
+        pushes filters through them identically. Returns the view names.
+        """
+        spark = self.tiles.sparkSession
+        bands = spark.createDataFrame(
+            [(idx, aid) for aid, idx in self._band_map().items()],
+            "band_idx int, band string",
+        )
+        x, y = self.xy_coord_tables()
+        views = {
+            f"{prefix}tiles": self.tiles,
+            f"{prefix}pixels": self.pixels(),
+            f"{prefix}item_coords": self.items_df,
+            f"{prefix}band_coords": bands,
+            f"{prefix}x_coords": x,
+            f"{prefix}y_coords": y,
+        }
+        if self.band_fields is not None:
+            views[f"{prefix}band_fields"] = self.band_fields
+        for name, df in views.items():
+            df.createOrReplaceTempView(name)
+        return sorted(views)
+
     def _band_map(self) -> dict[str, int]:
         idxs = self.band_idxs or list(range(len(self.asset_ids)))
         return dict(zip(self.asset_ids, idxs))

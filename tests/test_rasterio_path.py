@@ -265,28 +265,27 @@ def test_open_without_rasterio_raises_cleanly():
 
 
 # ---------------------------------------------------------------------------
-# integration layer — activates when rasterio exists
+# integration layer — ALWAYS ON (since round 6): fixtures are written with
+# the built-in writer (sources/minitiff.py), so the full stack()→compute
+# pipeline runs against real GeoTIFF bytes in every environment. Without
+# rasterio the scan routes to _read_fallback_window; with rasterio installed
+# these same tests exercise the rasterio path (and thereby cross-validate
+# the minitiff writer against GDAL).
 # ---------------------------------------------------------------------------
 
 
 def _write_geotiff(path, arr, epsg, transform_args, nodata=None):
-    import rasterio
-    from rasterio.transform import from_origin
+    from stackstac_spark.sources import minitiff
 
-    h, w = arr.shape
-    with rasterio.open(
+    west, north, xres, yres = transform_args
+    minitiff.write_geotiff(
         path,
-        "w",
-        driver="GTiff",
-        height=h,
-        width=w,
-        count=1,
-        dtype=arr.dtype,
-        crs=f"EPSG:{epsg}",
-        transform=from_origin(*transform_args),
+        arr,
+        epsg,
+        minitiff.from_origin(west, north, xres, yres),
         nodata=nodata,
-    ) as dst:
-        dst.write(arr, 1)
+        tile=(16, 16),
+    )
 
 
 def _item_for_tif(path, epsg, bounds, shape, res, dt="2024-01-05T00:00:00Z"):
@@ -310,7 +309,6 @@ def _item_for_tif(path, epsg, bounds, shape, res, dt="2024-01-05T00:00:00Z"):
 
 
 def test_real_cog_same_crs_roundtrip(spark, tmp_path):
-    pytest.importorskip("rasterio")
     from stackstac_spark.stack import stack
 
     rng = np.random.default_rng(7)
@@ -328,12 +326,12 @@ def test_real_cog_same_crs_roundtrip(spark, tmp_path):
     np.testing.assert_allclose(dense[0, 0], expect, equal_nan=True)
 
 
-def test_real_cog_cross_crs_matches_warpedvrt_oracle(spark, tmp_path):
-    rasterio = pytest.importorskip("rasterio")
-    from rasterio.enums import Resampling
-    from rasterio.transform import from_origin
-    from rasterio.vrt import WarpedVRT
-
+def test_real_cog_resampled_grid_matches_nearest_oracle(spark, tmp_path):
+    """Grid-mismatched stack over a real GeoTIFF: 2 m source onto a 5 m spec
+    (non-integer ratio, so no dst center ever lands on a source pixel
+    boundary — the closed-form oracle is tie-free and valid for BOTH the
+    WarpedVRT path and the built-in mini-warp): dst pixel (R, C) gathers
+    source pixel (floor(2.5R + 1.25), floor(2.5C + 1.25))."""
     from stackstac_spark.stack import stack
 
     rng = np.random.default_rng(11)
@@ -342,26 +340,17 @@ def test_real_cog_cross_crs_matches_warpedvrt_oracle(spark, tmp_path):
     _write_geotiff(tif, arr, 32613, (500000.0, 4000080.0, 2.0, 2.0))
 
     bounds = (500000.0, 4000000.0, 500080.0, 4000080.0)
-    # stack onto a HALF-resolution grid in the same CRS: forces the VRT path
     st = stack(
         spark,
         [_item_for_tif(tif, 32613, bounds, (40, 40), 2.0)],
         chunksize=16,
-        resolution=4.0,
+        resolution=5.0,
         resampling="nearest",
     )
     dense = st.compute()
-
-    with rasterio.open(tif) as ds:
-        with WarpedVRT(
-            ds,
-            crs="EPSG:32613",
-            transform=from_origin(500000.0, 4000080.0, 4.0, 4.0),
-            width=20,
-            height=20,
-            resampling=Resampling["nearest"],
-        ) as vrt:
-            oracle = np.ma.filled(vrt.read(1, masked=True).astype("float64"), np.nan)
+    assert dense.shape == (1, 1, 16, 16)
+    idx = np.floor(2.5 * np.arange(16) + 1.25).astype(int)
+    oracle = arr[np.ix_(idx, idx)]
     np.testing.assert_allclose(dense[0, 0], oracle, equal_nan=True)
 
 
