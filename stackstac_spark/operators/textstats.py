@@ -329,27 +329,54 @@ def quality_buckets(
     score_col: str,
     n_buckets: int = 3,
     id_col: str = "doc_id",
+    approx: bool = False,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """CCNet-style quality bucketing (Wenzek et al. 2020 §4.3: head /
-    middle / tail by LM perplexity): rank all docs by ``score_col`` and
-    assign equal-count quantile buckets with ``ntile``.
+    middle / tail by LM perplexity). Bucket 1 = best (lowest score —
+    CCNet convention: lower perplexity is better). Unscored rows are
+    dropped, not bucketed.
 
-    Bucket 1 = best (lowest score — CCNet convention: lower perplexity is
-    better). One global window: this is the one operator here that is
-    intentionally a total order — CCNet's cutoffs are corpus-wide
-    quantiles. At 100 TB, swap the exact ntile for percentile_approx
-    cutoffs computed in one pass and a broadcast CASE (documented
-    tradeoff; the exact form stays here because it is the reference
-    semantics and the oracle target).
+    Two modes:
+
+    - ``approx=False`` (default, the oracle target): exact equal-count
+      buckets via a global ``ntile`` — intentionally a total order
+      (CCNet's cutoffs are corpus-wide quantiles), which means ONE
+      single-partition window. Fine to tens of millions of rows; wrong
+      shape at 100 TB.
+    - ``approx=True`` (the scale path): one ``percentile_approx`` pass
+      computes the n-1 corpus-wide cutoffs (mergeable partial aggregate —
+      no row ever leaves its partition), then a broadcast CASE assigns
+      buckets map-side. ZERO window, ZERO per-row shuffle. Differences vs
+      exact, by construction: cutoff placement is within the sketch's
+      rank error (≤ total_rows/accuracy), and every tie at a cutoff value
+      lands in the same bucket (ntile splits ties to keep counts exactly
+      equal; quantile cutoffs cannot).
     """
-    from pyspark.sql import Window
-
     if n_buckets <= 0:
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    # NULLS dropped in both modes: ASC sorts NULLS FIRST, which would
+    # otherwise promote every unscored doc into bucket 1 ("best")
+    scored = df.filter(F.col(score_col).isNotNull())
+    if approx:
+        if n_buckets == 1:
+            return scored.select(id_col, score_col, F.lit(1).alias("bucket"))
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        (cuts,) = scored.select(
+            F.percentile_approx(score_col, qs, accuracy).alias("c")
+        ).first()
+        # driver pull is the n-1 cutoff floats only, never rows; the CASE
+        # broadcasts with the plan. score <= cut_i → bucket i+1 at most.
+        bucket = F.lit(n_buckets)
+        for i in range(n_buckets - 2, -1, -1):
+            bucket = F.when(F.col(score_col) <= F.lit(cuts[i]), i + 1).otherwise(
+                bucket
+            )
+        return scored.select(id_col, score_col, bucket.alias("bucket"))
+    from pyspark.sql import Window
+
     w = Window.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
-    # unscored rows are dropped, not bucketed: ASC sorts NULLS FIRST, which
-    # would otherwise promote every unscored doc into bucket 1 ("best")
-    return df.filter(F.col(score_col).isNotNull()).select(
+    return scored.select(
         id_col,
         F.col(score_col),
         F.ntile(n_buckets).over(w).alias("bucket"),

@@ -175,6 +175,45 @@ def test_quality_buckets_quantiles(spark):
         quality_buckets(df, "score", n_buckets=0)
 
 
+def test_quality_buckets_approx_mode(spark):
+    """The scale path (round 6): percentile_approx cutoffs + broadcast CASE.
+    Must (a) contain NO window at all in the physical plan, (b) agree with
+    exact ntile on ≥99% of distinct-score rows, (c) keep bucket counts
+    near-equal."""
+    from stackstac_spark.operators.textstats import quality_buckets
+
+    # distinct scores (md5-scrambled order) so ntile tie-splitting can't
+    # create legitimate disagreements
+    rows = [(i, float((i * 7919) % 4001)) for i in range(4001)]
+    df = spark.createDataFrame(rows, "doc_id LONG, score DOUBLE")
+    exact = {r["doc_id"]: r["bucket"] for r in quality_buckets(df, "score", 4).collect()}
+    ap = quality_buckets(df, "score", 4, approx=True)
+    plan = ap._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan  # no WindowExec, partitioned or not
+    got = {r["doc_id"]: r["bucket"] for r in ap.collect()}
+    assert set(got) == set(exact)
+    agree = sum(got[k] == exact[k] for k in got) / len(got)
+    assert agree >= 0.99, agree
+    from collections import Counter
+
+    counts = Counter(got.values())
+    assert set(counts) == {1, 2, 3, 4}
+    assert max(counts.values()) - min(counts.values()) <= 0.02 * len(rows)
+
+
+def test_quality_buckets_approx_null_and_single_bucket(spark):
+    from stackstac_spark.operators.textstats import quality_buckets
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 1.0)], "doc_id LONG, s DOUBLE"
+    )
+    got = {r["doc_id"]: r["bucket"] for r in quality_buckets(df, "s", 2, approx=True).collect()}
+    assert 2 not in got  # unscored dropped, same as exact mode
+    assert got[3] == 1 and got[1] == 2
+    one = quality_buckets(df, "s", 1, approx=True).collect()
+    assert {r["bucket"] for r in one} == {1}
+
+
 # --- sliding_window_agg ----------------------------------------------------
 
 
