@@ -29,6 +29,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+try:  # pragma: no cover - not present in this container
+    from PIL import Image as _PILImage  # type: ignore
+
+    _HAVE_PIL = True
+except Exception:  # pragma: no cover
+    _HAVE_PIL = False
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -60,23 +67,40 @@ FRAME_SCHEMA = T.StructType(
 
 
 def decode_image(payload: bytes, width: int, height: int, fake: bool = False) -> np.ndarray:
-    """payload → uint8 (h, w, 3). STUB: real codecs are unavailable here.
+    """payload → uint8 (h, w, 3).
 
-    The ``fake=True`` branch is a *raw RGB24* codec: the payload bytes are
-    read as the pixel buffer itself, tiled cyclically to fill ``(h, w, 3)``
-    (flat pixel ``j`` takes byte ``payload[j % len(payload)]``). Deterministic
-    and closed-form, so a SQL oracle can replay it exactly.
+    Three routes, mirroring the rasterio import-gate policy in
+    ``sources/raster.py``:
+
+    - ``fake=True``: deterministic *raw RGB24* codec — the payload bytes
+      are read as the pixel buffer itself, tiled cyclically to fill
+      ``(h, w, 3)`` (flat pixel ``j`` takes byte ``payload[j % len]``).
+      Closed-form, so a SQL oracle can replay it exactly. This is the
+      tested default in this container.
+    - Pillow importable (absent here): real JPEG/PNG/WebP decode via
+      ``Image.open`` → RGB. The declared (width, height) metadata are
+      hints; the DECODED dimensions win (payload is the source of truth —
+      same rule as the raster scan trusting the file over proj:shape).
+    - neither: a clear NotImplementedError.
     """
-    if not fake:
-        raise NotImplementedError(
-            "No image codec available in this environment; pass fake=True for "
-            "the deterministic raw-RGB24 decoder (tests), or deploy with "
-            "Pillow/opencv and replace this branch."
-        )
-    buf = np.frombuffer(payload, dtype=np.uint8)
-    if buf.size == 0:
-        raise ValueError("decode_image: empty payload")
-    return np.resize(buf, height * width * 3).reshape(height, width, 3)
+    if fake:
+        buf = np.frombuffer(payload, dtype=np.uint8)
+        if buf.size == 0:
+            raise ValueError("decode_image: empty payload")
+        return np.resize(buf, height * width * 3).reshape(height, width, 3)
+    if _HAVE_PIL:
+        import io
+
+        with _PILImage.open(io.BytesIO(bytes(payload))) as im:
+            arr = np.asarray(im.convert("RGB"), dtype=np.uint8)
+        if arr.ndim != 3 or arr.shape[2] != 3:
+            raise ValueError(f"decode_image: decoded shape {arr.shape} is not RGB")
+        return arr
+    raise NotImplementedError(
+        "No image codec available in this environment; pass fake=True for "
+        "the deterministic raw-RGB24 decoder (tests), or install Pillow — "
+        "decode_image routes to it automatically when importable."
+    )
 
 
 #: Fake payload length. Prime, and co-prime with any (h*w*3), so the cyclic

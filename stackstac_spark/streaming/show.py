@@ -219,3 +219,78 @@ def show(stack, port: int = 0, **kwargs) -> tuple[str, TileServer]:
     token = register(stack, **kwargs)
     server = TileServer(port).start()
     return (f"http://127.0.0.1:{server.port}/{token}/{{z}}/{{x}}/{{y}}.png", server)
+
+
+# ---------------------------------------------------------------------------
+# viewport observer (round 6) — the widget-free MapObserver equivalent
+# ---------------------------------------------------------------------------
+
+
+def visible_tiles(
+    bbox: tuple[float, float, float, float], zoom: int
+) -> list[tuple[int, int, int]]:
+    """XYZ tiles covering a lon/lat viewport at ``zoom`` (slippy-map math,
+    the OSM published formula). ``bbox`` is (west, south, east, north) in
+    degrees — the shape every web-map `bounds` event emits. Latitudes are
+    clamped to the Web-Mercator limit; antimeridian-crossing boxes
+    (west > east) wrap through x = 2^z - 1 → 0."""
+    import math
+
+    west, south, east, north = bbox
+    n = 1 << zoom
+
+    def tx(lon: float) -> int:
+        return min(n - 1, max(0, int((lon + 180.0) / 360.0 * n)))
+
+    def ty(lat: float) -> int:
+        lat = max(-85.0511, min(85.0511, lat))
+        r = math.radians(lat)
+        return min(n - 1, max(0, int((1 - math.asinh(math.tan(r)) / math.pi) / 2 * n)))
+
+    x0, x1 = tx(west), tx(east)
+    y0, y1 = ty(north), ty(south)  # y grows southward
+    xs = (
+        list(range(x0, x1 + 1))
+        if x0 <= x1
+        else list(range(x0, n)) + list(range(0, x1 + 1))
+    )
+    return [(zoom, x, y) for y in range(y0, y1 + 1) for x in xs]
+
+
+class MapObserver:
+    """Dependency-free stand-in for the reference's ipyleaflet trait
+    observer (show.py:523-634): any frontend calls ``bounds_changed`` on
+    pan/zoom, and the observer translates the viewport into XYZ tiles and
+    drives :func:`update_viewport` (speculative submit of newly visible
+    tiles + cancel of pending tiles that scrolled away — the reference's
+    viewport-diff semantics at show.py:591-610). The ipyleaflet widget, if
+    installed, is a 5-line `observe` hookup onto this class; no notebook
+    machinery lives in the engine.
+
+    ``max_tiles`` guards against a whole-world viewport at high zoom
+    flooding the prefetch pool: the tile list is truncated center-out (the
+    tiles the user is looking at first), mirroring the browser's own ≤6
+    concurrent tile fetches that motivate the pool size.
+    """
+
+    def __init__(self, token: str, max_tiles: int = 64):
+        if token not in _LAYERS:
+            raise KeyError(f"unknown layer {token!r}")
+        self.token = token
+        self.max_tiles = max_tiles
+        self.current: list[tuple[int, int, int]] = []
+
+    def bounds_changed(
+        self, bbox: tuple[float, float, float, float], zoom: int
+    ) -> dict:
+        """Returns {"tiles": visible, "scheduled": newly submitted}."""
+        tiles = visible_tiles(bbox, int(zoom))
+        if len(tiles) > self.max_tiles:
+            cx = sum(t[1] for t in tiles) / len(tiles)
+            cy = sum(t[2] for t in tiles) / len(tiles)
+            tiles = sorted(
+                tiles, key=lambda t: (t[1] - cx) ** 2 + (t[2] - cy) ** 2
+            )[: self.max_tiles]
+        scheduled = update_viewport(self.token, tiles)
+        self.current = tiles
+        return {"tiles": tiles, "scheduled": scheduled}

@@ -418,6 +418,62 @@ def test_multimodal_plumbing(spark):
     assert media_repartition_hint(8 << 20) == 8
 
 
+def test_decode_image_routes_to_pil_when_importable(monkeypatch):
+    """Round 6: decode_image prefers Pillow when importable — same
+    import-gate policy as rasterio in sources/raster.py. Mocked here
+    (Pillow is absent in this container); the real-PIL test below
+    activates in richer deployments."""
+    from stackstac_spark.operators import multimodal as MM
+
+    opened = []
+
+    class _FakeIm:
+        def convert(self, mode):
+            assert mode == "RGB"
+            return np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+    class _FakeImageModule:
+        @staticmethod
+        def open(fh):
+            opened.append(fh.read())
+            return _FakeIm()
+
+    monkeypatch.setattr(MM, "_HAVE_PIL", True)
+    monkeypatch.setattr(MM, "_PILImage", _FakeImageModule, raising=False)
+    out = MM.decode_image(b"\x89PNG-ish", 999, 999, fake=False)
+    assert out.shape == (2, 3, 3)  # decoded dims win over metadata hints
+    assert opened == [b"\x89PNG-ish"]  # payload reached the codec verbatim
+
+    class _GrayIm(_FakeIm):
+        def convert(self, mode):
+            return np.zeros((2, 3), dtype=np.uint8)  # not RGB
+
+    monkeypatch.setattr(
+        _FakeImageModule, "open", staticmethod(lambda fh: _GrayIm())
+    )
+    with pytest.raises(ValueError, match="not RGB"):
+        MM.decode_image(b"x", 2, 3, fake=False)
+
+
+def test_decode_image_real_pil_roundtrip():
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    from stackstac_spark.operators.multimodal import decode_image
+
+    arr = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3)
+    buf = io.BytesIO()
+    PIL.fromarray(arr).save(buf, format="PNG")
+    out = decode_image(buf.getvalue(), 5, 4, fake=False)
+    np.testing.assert_array_equal(out, arr)
+
+
 def test_streaming_ingest(spark, tmp_path):
     import json
 
@@ -501,6 +557,83 @@ def test_viewport_prefetch_populates_cache(spark):
     assert (5, 0, 0) in layer.tile_cache and (5, 1, 0) in layer.tile_cache
     # re-request: everything cached, nothing scheduled
     assert update_viewport(token, [(5, 0, 0)]) == 0
+
+
+def test_visible_tiles_slippy_math():
+    from stackstac_spark.streaming.show import visible_tiles
+
+    # whole world at z=0/1
+    assert visible_tiles((-180, -85, 180, 85), 0) == [(0, 0, 0)]
+    assert len(visible_tiles((-180, -85, 180, 85), 1)) == 4
+    # a point viewport maps to exactly one tile; (0, 0) at z=2 is tile (2, 2)
+    assert visible_tiles((0.1, 0.1, 0.2, 0.2), 2) == [(2, 2, 1)]
+    # out-of-range latitudes clamp instead of exploding
+    assert visible_tiles((0.0, -89.0, 0.1, 89.0), 1) == [(1, 1, 0), (1, 1, 1)]
+    # antimeridian crossing (west > east) wraps through the last column
+    tiles = visible_tiles((170.0, 0.1, -170.0, 10.0), 3)
+    assert {t[1] for t in tiles} == {7, 0}
+
+
+def test_map_observer_pan_zoom_sequences(spark, monkeypatch):
+    """The widget-free MapObserver (reference show.py:523-634): pan/zoom
+    events drive update_viewport — new tiles submitted, pending off-screen
+    tiles cancelled. Deterministic by blocking the prefetch pool."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    from stackstac_spark.stack import stack
+    from stackstac_spark.streaming import show as show_mod
+    from stackstac_spark.streaming.show import MapObserver, register
+    from tests.conftest import make_item
+
+    items = [make_item(0, "2024-01-05T00:00:00Z", (0.0, 0.0, 32.0, 32.0))]
+    st = stack(spark, items, assets=["red"], chunksize=32)
+    token = register(st, range=(0.0, 100.0))
+
+    with pytest.raises(KeyError):
+        MapObserver("no-such-layer")
+
+    gate = threading.Event()
+    computed = []
+
+    def fake_compute(layer, z, x, y, tilesize=256):
+        gate.wait(timeout=60)
+        computed.append((z, x, y))
+        return b"png"
+
+    monkeypatch.setattr(show_mod, "compute_tile", fake_compute)
+    # fresh 1-worker pool: the first submitted tile occupies the worker
+    # (blocked on the gate), every later tile stays PENDING → cancellable
+    monkeypatch.setattr(
+        show_mod, "_PREFETCH_POOL", ThreadPoolExecutor(max_workers=1)
+    )
+    show_mod._PREFETCH_FUTURES.clear()
+
+    obs = MapObserver(token, max_tiles=4)
+    r1 = obs.bounds_changed((0.1, 0.1, 0.2, 0.2), 6)  # one-tile viewport
+    assert r1["scheduled"] == 1 and len(r1["tiles"]) == 1
+    r2 = obs.bounds_changed((0.1, 0.1, 12.0, 12.0), 6)  # viewport grows
+    assert r2["scheduled"] >= 1
+    pending_before = set(show_mod._PREFETCH_FUTURES)
+    # pan far away: every pending (not-yet-running) tile must be cancelled
+    r3 = obs.bounds_changed((100.0, 40.0, 100.4, 40.4), 6)
+    still = set(show_mod._PREFETCH_FUTURES)
+    gone = pending_before - still
+    assert gone, "off-screen pending tiles were not cancelled"
+    assert all(k[0] == token for k in gone)
+    # the new viewport's tiles are now tracked
+    assert {(token, *t) for t in r3["tiles"]} <= still | {
+        k for k in pending_before if k in still
+    }
+    gate.set()  # release the worker; surviving futures drain
+    for fut in list(show_mod._PREFETCH_FUTURES.values()):
+        try:
+            fut.result(timeout=60)
+        except Exception:
+            pass
+    # max_tiles truncation: a whole-world viewport at z=6 is 4096 tiles
+    r4 = obs.bounds_changed((-180, -85, 180, 85), 6)
+    assert len(r4["tiles"]) == 4
 
 
 def test_connected_components_chain_and_clique(spark):
