@@ -94,3 +94,85 @@ def read_tiles(spark, path: str):
         dtype=meta.get("dtype", "float64"),
         fill_value=np.nan if fill is None else fill,
     )
+
+
+def plane_to_geotiff(
+    df,
+    spec: RasterSpec,
+    path: str,
+    value_col: str = "value",
+    nodata: float | None = None,
+    dtype: str = "float64",
+    tile: tuple[int, int] | None = (256, 256),
+    compress: str = "deflate",
+    predictor: int | None = None,
+) -> str:
+    """(row, col, value) pixel plane → single-band GeoTIFF on ``spec``'s
+    grid, written with the built-in writer (sources/minitiff) — the export
+    twin of the no-rasterio read fallback, closing the IO loop: a stack can
+    be read from GeoTIFFs, processed relationally, and written back as a
+    GeoTIFF with zero native dependencies.
+
+    Works for any single-plane result: ``mosaic()``, a normalized-difference
+    plane, one climatology period, a warped band. Dense assembly happens
+    driver-side like :func:`to_dense_array` (export-scale AOIs only; tiled
+    distributed export is ``write_tiles``). Rows absent from ``df`` become
+    ``nodata`` (default NaN for float dtypes, 0 for integer dtypes — the
+    same default rule as the scan's fill_value guard). ``predictor=None``
+    picks the DEFLATE-friendly one for the dtype (3 for floats, 2 for ints).
+    """
+    from stackstac_spark.sources import minitiff
+
+    np_dtype = np.dtype(dtype)
+    if nodata is None:
+        nodata = np.nan if np_dtype.kind == "f" else 0
+    if predictor is None:
+        predictor = 1 if compress != "deflate" else (3 if np_dtype.kind == "f" else 2)
+    h, w = spec.shape
+    pdf = df.select("row", "col", value_col).toPandas()
+    rr = pdf["row"].to_numpy()
+    cc = pdf["col"].to_numpy()
+    if len(rr) and (
+        rr.min() < 0 or rr.max() >= h or cc.min() < 0 or cc.max() >= w
+    ):
+        raise ValueError(
+            f"plane has pixels outside the spec grid {h}x{w}: "
+            f"rows [{rr.min()}, {rr.max()}], cols [{cc.min()}, {cc.max()}]"
+        )
+    arr = np.full((h, w), nodata, dtype=np_dtype)
+    arr[rr, cc] = pdf[value_col].to_numpy().astype(np_dtype)
+    if tile is not None:
+        # don't pad a small raster out to a huge tile: clamp each tile dim
+        # to the raster dim rounded up to the TIFF-required multiple of 16
+        tile = (
+            min(tile[0], -(-h // 16) * 16),
+            min(tile[1], -(-w // 16) * 16),
+        )
+    xres, yres = spec.resolutions_xy
+    minx, _, _, maxy = spec.bounds
+    return minitiff.write_geotiff(
+        path,
+        arr,
+        spec.epsg,
+        (xres, 0.0, minx, 0.0, -yres, maxy),
+        nodata=None if (isinstance(nodata, float) and np.isnan(nodata)) else float(nodata),
+        tile=tile,
+        compress=compress,
+        predictor=predictor,
+    )
+
+
+def mosaic_to_geotiff(stack, path: str, reverse: bool = False, **kwargs) -> str:
+    """Convenience: single-band stack → first-valid mosaic → GeoTIFF."""
+    if len(stack.asset_ids) != 1:
+        raise ValueError(
+            f"mosaic_to_geotiff writes ONE band; sel_bands() first "
+            f"(stack has {stack.asset_ids})"
+        )
+    return plane_to_geotiff(
+        stack.mosaic(reverse=reverse),
+        stack.spec,
+        path,
+        dtype=kwargs.pop("dtype", stack.dtype),
+        **kwargs,
+    )

@@ -316,3 +316,67 @@ def test_open_cached_evicts_and_closes(tmp_path):
     assert M.open_cached(paths[-1]) is handles[-1]  # hit
     M.cache_clear()
     assert all(h._fh.closed for h in handles)
+
+
+# ---------------------------------------------------------------------------
+# GeoTIFF sink (operators/export.py::plane_to_geotiff) — the full IO loop
+# ---------------------------------------------------------------------------
+
+
+def test_geotiff_full_loop_read_process_write(spark, tmp_path):
+    """stack() over a real GeoTIFF → relational mosaic → GeoTIFF sink →
+    re-read both with the reader and through a second stack(): values,
+    nodata, and georeferencing survive the full loop."""
+    from stackstac_spark.operators.export import mosaic_to_geotiff
+    from stackstac_spark.stack import stack
+
+    rng = np.random.default_rng(5)
+    arr = rng.uniform(0, 100, (32, 32))
+    arr[4:6, 7:9] = -1.0  # nodata hole
+    src = tmp_path / "src.tif"
+    M.write_geotiff(src, arr, 32633, M.from_origin(500000.0, 4000320.0, 10.0, 10.0),
+                    nodata=-1.0, tile=(16, 16))
+    bounds = (500000.0, 4000000.0, 500320.0, 4000320.0)
+    item = {
+        "id": "loop", "bbox": [15.0, 36.0, 15.1, 36.1],
+        "properties": {"datetime": "2024-01-05T00:00:00Z", "proj:epsg": 32633,
+                       "proj:bbox": list(bounds), "proj:shape": [32, 32],
+                       "proj:transform": [10.0, 0.0, 500000.0, 0.0, -10.0, 4000320.0]},
+        "assets": {"b": {"href": str(src), "type": "image/tiff; application=geotiff"}},
+    }
+    st = stack(spark, [item], chunksize=16)
+    dst = tmp_path / "out.tif"
+    mosaic_to_geotiff(st, str(dst))
+
+    expect = arr.copy()
+    expect[arr == -1.0] = np.nan
+    with M.MiniTiffDataset(str(dst)) as ds:
+        assert ds.epsg == 32633
+        assert ds.transform == (10.0, 0.0, 500000.0, 0.0, -10.0, 4000320.0)
+        np.testing.assert_allclose(ds.read_full(), expect, equal_nan=True)
+
+    # restack the sink output — the write is a first-class source again
+    item2 = {**item, "id": "loop2",
+             "assets": {"b": {"href": str(dst), "type": "image/tiff; application=geotiff"}}}
+    st2 = stack(spark, [item2], chunksize=16)
+    np.testing.assert_allclose(st2.compute()[0, 0], expect, equal_nan=True)
+
+
+def test_plane_to_geotiff_int_dtype_and_bounds_guard(spark, tmp_path):
+    from stackstac_spark.operators.export import plane_to_geotiff
+    from stackstac_spark.raster_spec import RasterSpec
+
+    spec = RasterSpec(32633, (0.0, 0.0, 40.0, 40.0), (10.0, 10.0))  # 4x4
+    df = spark.createDataFrame(
+        [(0, 0, 7.0), (3, 3, 9.0)], "row INT, col INT, value DOUBLE"
+    )
+    p = tmp_path / "int.tif"
+    plane_to_geotiff(df, spec, str(p), dtype="uint16", nodata=0)
+    with M.MiniTiffDataset(str(p)) as ds:
+        out = ds.read_full()
+        assert ds.dtype == np.dtype("<u2")
+        assert out[0, 0] == 7.0 and out[3, 3] == 9.0
+        assert np.isnan(out[1, 1])  # nodata=0 → masked
+    bad = spark.createDataFrame([(9, 0, 1.0)], "row INT, col INT, value DOUBLE")
+    with pytest.raises(ValueError, match="outside the spec grid"):
+        plane_to_geotiff(bad, spec, str(tmp_path / "bad.tif"))
