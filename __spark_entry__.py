@@ -5000,7 +5000,14 @@ def q_raster_real_tiff(spark, sf):
         },
         "assets": {"data": {"href": path, "type": "image/tiff; application=geotiff"}},
     }
-    st = _stack(spark, [item], epsg=32633, resolution=10.0, bounds=bounds, chunksize=32)
+    # memoize the prepare pass like _raster_stack does (the scan itself is
+    # lazy and re-reads the file at every collection)
+    key = (id(spark), "real-tiff")
+    if key not in _STACK_CACHE:
+        _STACK_CACHE[key] = _stack(
+            spark, [item], epsg=32633, resolution=10.0, bounds=bounds, chunksize=32
+        )
+    st = _STACK_CACHE[key]
     return st.pixels().select("row", "col", "value").orderBy("row", "col")
 
 

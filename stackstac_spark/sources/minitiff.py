@@ -69,6 +69,9 @@ _TYPES = {
     10: ("ii", 8),  # SRATIONAL
     11: ("f", 4),  # FLOAT
     12: ("d", 8),  # DOUBLE
+    16: ("Q", 8),  # LONG8 (BigTIFF)
+    17: ("q", 8),  # SLONG8 (BigTIFF)
+    18: ("Q", 8),  # IFD8 (BigTIFF)
 }
 
 _SAMPLE_DTYPES = {
@@ -91,6 +94,111 @@ _GK_PROJECTED_CS = 3072
 
 class TiffError(ValueError):
     """Malformed or unsupported TIFF structure."""
+
+
+# -- LZW codec (TIFF 6.0 §13: MSB-first bit order, 9→12-bit codes, the
+#    "early change" quirk where the code width grows one code early) -------
+
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def _lzw_decode(buf: bytes) -> bytes:
+    out = bytearray()
+    nbits = 9
+    bitpos = 0
+    total_bits = len(buf) * 8
+
+    def get() -> int | None:
+        nonlocal bitpos
+        if bitpos + nbits > total_bits:
+            return None
+        byte0 = bitpos >> 3
+        chunk = int.from_bytes(buf[byte0 : byte0 + 3].ljust(3, b"\x00"), "big")
+        code = (chunk >> (24 - (bitpos & 7) - nbits)) & ((1 << nbits) - 1)
+        bitpos += nbits
+        return code
+
+    table: list[bytes] = []
+    prev = b""
+    while True:
+        code = get()
+        if code is None or code == _LZW_EOI:
+            break
+        if code == _LZW_CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            nbits = 9
+            code = get()
+            if code is None or code == _LZW_EOI:
+                break
+            if code > 255:
+                raise TiffError(f"LZW: code {code} directly after Clear")
+            out += table[code]
+            prev = table[code]
+            continue
+        if not table:
+            raise TiffError("LZW: stream does not start with a Clear code")
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise TiffError(f"LZW: code {code} beyond table size {len(table)}")
+        out += entry
+        table.append(prev + entry[:1])
+        prev = entry
+        if len(table) == (1 << nbits) - 1 and nbits < 12:  # early change
+            nbits += 1
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-flavor LZW encoder (used by the writer's ``compress="lzw"``).
+    Resets the table well before the 12-bit ceiling so the decoder's width
+    schedule can never be exceeded."""
+    out = bytearray()
+    acc = 0
+    accbits = 0
+    nbits = 9
+
+    def put(code: int) -> None:
+        nonlocal acc, accbits
+        acc = (acc << nbits) | code
+        accbits += nbits
+        while accbits >= 8:
+            accbits -= 8
+            out.append((acc >> accbits) & 0xFF)
+
+    def reset() -> tuple[dict, int]:
+        return {bytes([i]): i for i in range(256)}, 258
+
+    put(_LZW_CLEAR)
+    table, next_code = reset()
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        put(table[w])
+        table[wc] = next_code
+        next_code += 1
+        # width grows one code later than the decoder's len(table) check —
+        # the decoder appends nothing for the first code after Clear, so its
+        # table trails next_code by one; (1 << nbits) here pairs exactly
+        # with the decoder's (1 << nbits) - 1 early-change rule
+        if next_code == (1 << nbits) and nbits < 12:
+            nbits += 1
+        elif next_code >= 4093:  # table nearly full → start over
+            put(_LZW_CLEAR)
+            nbits = 9
+            table, next_code = reset()
+        w = bytes([b])
+    if w:
+        put(table[w])
+    put(_LZW_EOI)
+    if accbits:
+        out.append((acc << (8 - accbits)) & 0xFF)
+    return bytes(out)
 
 
 class MiniTiffDataset:
@@ -126,22 +234,40 @@ class MiniTiffDataset:
         else:
             raise TiffError(f"{self.path}: not a TIFF (byte order {head[:2]!r})")
         magic = struct.unpack(self._e + "H", head[2:4])[0]
-        if magic == 43:
-            raise TiffError(
-                f"{self.path}: BigTIFF is not supported by the built-in "
-                "reader; install rasterio for BigTIFF sources"
-            )
-        if magic != 42:
+        self._big = magic == 43
+        def read_exact(n: int, what: str) -> bytes:
+            b = self._fh.read(n)
+            if len(b) < n:
+                raise TiffError(f"{self.path}: truncated {what}")
+            return b
+
+        if self._big:
+            # BigTIFF: H offset-size (must be 8), H reserved, Q first IFD
+            osize, _zero = struct.unpack(self._e + "HH", head[4:8])
+            if osize != 8:
+                raise TiffError(f"{self.path}: BigTIFF offset size {osize} != 8")
+            (ifd_off,) = struct.unpack(self._e + "Q", read_exact(8, "BigTIFF header"))
+        elif magic == 42:
+            (ifd_off,) = struct.unpack(self._e + "I", head[4:8])
+        else:
             raise TiffError(f"{self.path}: bad TIFF magic {magic}")
-        (ifd_off,) = struct.unpack(self._e + "I", head[4:8])
 
         self._fh.seek(ifd_off)
-        (n_entries,) = struct.unpack(self._e + "H", self._fh.read(2))
-        raw = self._fh.read(12 * n_entries)
+        if self._big:
+            (n_entries,) = struct.unpack(self._e + "Q", read_exact(8, "IFD count"))
+            esize, head_fmt = 20, "HHQ"
+        else:
+            (n_entries,) = struct.unpack(self._e + "H", read_exact(2, "IFD count"))
+            esize, head_fmt = 12, "HHI"
+        vwidth = esize - struct.calcsize(self._e + head_fmt)
+        raw = read_exact(esize * n_entries, "IFD entries")
         tags: dict[int, tuple] = {}
         for i in range(n_entries):
-            tag, typ, cnt = struct.unpack(self._e + "HHI", raw[i * 12 : i * 12 + 8])
-            tags[tag] = (typ, cnt, raw[i * 12 + 8 : i * 12 + 12])
+            at = i * esize
+            tag, typ, cnt = struct.unpack(
+                self._e + head_fmt, raw[at : at + esize - vwidth]
+            )
+            tags[tag] = (typ, cnt, raw[at + esize - vwidth : at + esize])
         self._tags = tags
 
         self.width = int(self._scalar(_T_WIDTH))
@@ -158,11 +284,11 @@ class MiniTiffDataset:
             raise TiffError(f"{self.path}: unsupported sample (format={fmt}, bits={bits[0]})")
         self.dtype = np.dtype(self._e + _SAMPLE_DTYPES[key])
         self._compression = int(self._scalar(_T_COMPRESSION, default=1))
-        if self._compression not in (1, 8, 32946):
+        if self._compression not in (1, 5, 8, 32946):
             raise TiffError(
                 f"{self.path}: compression {self._compression} unsupported "
-                "(built-in reader handles none and DEFLATE; install rasterio "
-                "for LZW/JPEG/ZSTD sources)"
+                "(built-in reader handles none, LZW and DEFLATE; install "
+                "rasterio for JPEG/ZSTD/packbits sources)"
             )
         self._predictor = int(self._scalar(_T_PREDICTOR, default=1))
         if self._predictor not in (1, 2, 3):
@@ -210,10 +336,10 @@ class MiniTiffDataset:
             raise TiffError(f"{self.path}: tag {tag} has unknown type {typ}")
         ch, size = _TYPES[typ]
         total = size * cnt * (2 if typ in (5, 10) else 1)
-        if total <= 4:
+        if total <= len(field):  # inline: 4 bytes classic, 8 BigTIFF
             buf = field[:total]
         else:
-            (off,) = struct.unpack(self._e + "I", field)
+            (off,) = struct.unpack(self._e + ("Q" if self._big else "I"), field)
             self._fh.seek(off)
             buf = self._fh.read(total)
             if len(buf) < total:
@@ -302,6 +428,8 @@ class MiniTiffDataset:
             raise TiffError(f"{self.path}: chunk {idx} truncated on disk")
         if self._compression in (8, 32946):
             buf = zlib.decompress(buf)
+        elif self._compression == 5:
+            buf = _lzw_decode(buf)
         h = self._chunk_h if self.tiled else rows_in_chunk
         w = self._chunk_w
         nb = self.dtype.itemsize
@@ -452,14 +580,16 @@ def write_geotiff(
     rows_per_strip: int | None = None,
     compress: str = "deflate",
     predictor: int = 1,
+    bigtiff: bool = False,
 ) -> str:
-    """Write a single-band classic little-endian GeoTIFF.
+    """Write a single-band little-endian GeoTIFF (classic, or BigTIFF with
+    ``bigtiff=True`` — 8-byte offsets, LONG8 chunk tables).
 
     ``transform`` is the affine 6-tuple ``(a, b, c, d, e, f)`` (use
     :func:`from_origin`); only rectilinear (b == d == 0) grids are written.
     ``tile=None`` writes strips (``rows_per_strip`` rows each, default 16).
-    ``compress`` is ``"deflate"`` or ``"none"``; ``predictor`` 1, 2 (ints)
-    or 3 (floats).
+    ``compress`` is ``"deflate"``, ``"lzw"`` or ``"none"``; ``predictor``
+    1, 2 (ints) or 3 (floats).
     """
     arr = np.ascontiguousarray(arr)
     if arr.ndim != 2:
@@ -469,8 +599,10 @@ def write_geotiff(
         raise ValueError(f"unsupported dtype {arr.dtype}")
     if transform[1] != 0.0 or transform[3] != 0.0:
         raise ValueError("write_geotiff writes rectilinear grids only (b == d == 0)")
-    if compress not in ("deflate", "none"):
-        raise ValueError(f"compress must be 'deflate' or 'none', got {compress!r}")
+    if compress not in ("deflate", "lzw", "none"):
+        raise ValueError(
+            f"compress must be 'deflate', 'lzw' or 'none', got {compress!r}"
+        )
     if predictor not in (1, 2, 3):
         raise ValueError(f"predictor must be 1, 2 or 3, got {predictor}")
     if predictor == 2 and dt.kind == "f":
@@ -507,7 +639,11 @@ def write_geotiff(
             raw = _predict3(chunk)
         else:
             raw = chunk.tobytes()
-        blobs.append(zlib.compress(raw, 6) if compress == "deflate" else raw)
+        if compress == "deflate":
+            raw = zlib.compress(raw, 6)
+        elif compress == "lzw":
+            raw = _lzw_encode(raw)
+        blobs.append(raw)
 
     # entries: (tag, type, count, packed-values-bytes)
     def _pack(typ: str, vals) -> bytes:
@@ -517,7 +653,7 @@ def write_geotiff(
         (_T_WIDTH, 4, 1, _pack("I", [w])),
         (_T_HEIGHT, 4, 1, _pack("I", [h])),
         (_T_BITS, 3, 1, _pack("H", [bits])),
-        (_T_COMPRESSION, 3, 1, _pack("H", [8 if compress == "deflate" else 1])),
+        (_T_COMPRESSION, 3, 1, _pack("H", [{"deflate": 8, "lzw": 5, "none": 1}[compress]])),
         (_T_PHOTOMETRIC, 3, 1, _pack("H", [1])),
         (_T_SAMPLES, 3, 1, _pack("H", [1])),
         (_T_PLANAR, 3, 1, _pack("H", [1])),
@@ -546,41 +682,53 @@ def write_geotiff(
     else:
         entries.append((_T_ROWS_PER_STRIP, 4, 1, _pack("I", [rows_per_strip or min(16, h)])))
 
-    # layout: header(8) | chunk data | out-of-line tag values | IFD
-    pos = 8
+    # layout: header | chunk data | out-of-line tag values | IFD
+    inline = 8 if bigtiff else 4
+    off_fmt = "Q" if bigtiff else "I"
+    pos = 16 if bigtiff else 8
     chunk_offsets = []
     for blob in blobs:
         chunk_offsets.append(pos)
         pos += len(blob) + (-len(blob)) % 4
-    entries.append((off_tag, 4, n, _pack("I", chunk_offsets)))
-    entries.append((cnt_tag, 4, n, _pack("I", [len(b) for b in blobs])))
+    arr_typ = 16 if bigtiff else 4  # LONG8 chunk tables in BigTIFF
+    entries.append((off_tag, arr_typ, n, _pack(off_fmt, chunk_offsets)))
+    entries.append((cnt_tag, arr_typ, n, _pack(off_fmt, [len(b) for b in blobs])))
     entries.sort(key=lambda t: t[0])
 
     overflow: list[bytes] = []
     fields = []
     for tag, typ, cnt, data in entries:
-        if len(data) <= 4:
-            fields.append((tag, typ, cnt, data.ljust(4, b"\x00")))
+        if len(data) <= inline:
+            fields.append((tag, typ, cnt, data.ljust(inline, b"\x00")))
         else:
             pad = (-len(data)) % 4
             overflow_off = pos
             overflow.append(data + b"\x00" * pad)
             pos += len(data) + pad
-            fields.append((tag, typ, cnt, struct.pack("<I", overflow_off)))
+            fields.append((tag, typ, cnt, struct.pack("<" + off_fmt, overflow_off)))
     ifd_off = pos
 
     with open(path, "wb") as fh:
-        fh.write(struct.pack("<2sHI", b"II", 42, ifd_off))
+        if bigtiff:
+            fh.write(struct.pack("<2sHHHQ", b"II", 43, 8, 0, ifd_off))
+        else:
+            fh.write(struct.pack("<2sHI", b"II", 42, ifd_off))
         for blob in blobs:
             fh.write(blob)
             fh.write(b"\x00" * ((-len(blob)) % 4))
         for data in overflow:
             fh.write(data)
         assert fh.tell() == ifd_off
-        fh.write(struct.pack("<H", len(fields)))
-        for tag, typ, cnt, val4 in fields:
-            fh.write(struct.pack("<HHI", tag, typ, cnt) + val4)
-        fh.write(struct.pack("<I", 0))  # no next IFD
+        if bigtiff:
+            fh.write(struct.pack("<Q", len(fields)))
+            for tag, typ, cnt, val in fields:
+                fh.write(struct.pack("<HHQ", tag, typ, cnt) + val)
+            fh.write(struct.pack("<Q", 0))  # no next IFD
+        else:
+            fh.write(struct.pack("<H", len(fields)))
+            for tag, typ, cnt, val in fields:
+                fh.write(struct.pack("<HHI", tag, typ, cnt) + val)
+            fh.write(struct.pack("<I", 0))  # no next IFD
     return str(path)
 
 

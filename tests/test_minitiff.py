@@ -187,8 +187,13 @@ def test_reader_rejects_garbage(tmp_path):
     p.write_bytes(b"NOTATIFFATALL")
     with pytest.raises(M.TiffError, match="not a TIFF"):
         M.MiniTiffDataset(str(p))
-    p.write_bytes(struct.pack("<2sHI", b"II", 43, 8))  # BigTIFF magic
-    with pytest.raises(M.TiffError, match="BigTIFF"):
+    # BigTIFF magic with a truncated body → clean TiffError, not struct noise
+    p.write_bytes(struct.pack("<2sHHH", b"II", 43, 8, 0))
+    with pytest.raises(M.TiffError, match="truncated"):
+        M.MiniTiffDataset(str(p))
+    # BigTIFF with a non-8 offset size is unreadable by anyone
+    p.write_bytes(struct.pack("<2sHHHQ", b"II", 43, 4, 0, 16))
+    with pytest.raises(M.TiffError, match="offset size"):
         M.MiniTiffDataset(str(p))
     # unsupported compression: patch the tag in a valid file
     good = tmp_path / "g.tif"
@@ -199,10 +204,10 @@ def test_reader_rejects_garbage(tmp_path):
     for i in range(n):
         at = ifd_off + 2 + 12 * i
         if struct.unpack("<H", buf[at : at + 2])[0] == 259:
-            buf[at + 8 : at + 12] = struct.pack("<I", 5)  # LZW
-    (tmp_path / "lzw.tif").write_bytes(bytes(buf))
-    with pytest.raises(M.TiffError, match="compression 5"):
-        M.MiniTiffDataset(str(tmp_path / "lzw.tif"))
+            buf[at + 8 : at + 12] = struct.pack("<I", 7)  # JPEG
+    (tmp_path / "jpeg.tif").write_bytes(bytes(buf))
+    with pytest.raises(M.TiffError, match="compression 7"):
+        M.MiniTiffDataset(str(tmp_path / "jpeg.tif"))
 
 
 def test_writer_validation():
@@ -380,3 +385,147 @@ def test_plane_to_geotiff_int_dtype_and_bounds_guard(spark, tmp_path):
     bad = spark.createDataFrame([(9, 0, 1.0)], "row INT, col INT, value DOUBLE")
     with pytest.raises(ValueError, match="outside the spec grid"):
         plane_to_geotiff(bad, spec, str(tmp_path / "bad.tif"))
+
+
+# ---------------------------------------------------------------------------
+# LZW + BigTIFF (round 6 extensions)
+# ---------------------------------------------------------------------------
+
+
+def test_lzw_codec_roundtrip_and_handbuilt_stream():
+    rng = np.random.default_rng(13)
+    for n in [0, 1, 5, 300, 5000, 70000]:
+        low = bytes(rng.integers(0, 8, n).astype("u1"))  # long matches
+        assert M._lzw_decode(M._lzw_encode(low)) == low
+        high = bytes(rng.integers(0, 256, n).astype("u1"))  # early-change stress
+        assert M._lzw_decode(M._lzw_encode(high)) == high
+    # decoder vs a HAND-ASSEMBLED stream (independent of our encoder):
+    # Clear(256) 'A'(65) 'B'(66) EOI(257), 9-bit MSB-first
+    bits = "".join(format(c, "09b") for c in (256, 65, 66, 257))
+    bits += "0" * ((8 - len(bits) % 8) % 8)
+    stream = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    assert M._lzw_decode(stream) == b"AB"
+    with pytest.raises(M.TiffError, match="does not start with a Clear"):
+        M._lzw_decode(bytes([0b00000100, 0b00000000]))  # code 8, no Clear
+
+
+@pytest.mark.parametrize("bigtiff", [False, True])
+@pytest.mark.parametrize("compress", ["lzw", "deflate"])
+def test_bigtiff_lzw_roundtrip(tmp_path, bigtiff, compress):
+    rng = np.random.default_rng(17)
+    arr = rng.integers(0, 4000, (37, 53)).astype("u2")
+    p = tmp_path / f"bt_{bigtiff}_{compress}.tif"
+    M.write_geotiff(p, arr, 32633, M.from_origin(0.0, 370.0, 10.0, 10.0),
+                    nodata=float(arr[2, 2]), tile=(16, 16),
+                    compress=compress, predictor=2, bigtiff=bigtiff)
+    with M.MiniTiffDataset(str(p)) as ds:
+        assert ds._big == bigtiff
+        assert ds.epsg == 32633 and ds._compression == (5 if compress == "lzw" else 8)
+        expect = arr.astype("f8")
+        expect[arr == arr[2, 2]] = np.nan
+        np.testing.assert_allclose(ds.read_full(), expect, equal_nan=True)
+        # windowed read still chunk-local on the BigTIFF layout
+        win = ds.read_window(10, 20, 20, 40)
+        np.testing.assert_allclose(win, expect[10:20, 20:40], equal_nan=True)
+
+
+def test_bigtiff_header_structure(tmp_path):
+    import struct as S
+
+    p = tmp_path / "b.tif"
+    M.write_geotiff(p, np.zeros((16, 16), "u1"), 4326, M.from_origin(0, 0, 1, 1),
+                    tile=(16, 16), bigtiff=True)
+    buf = p.read_bytes()
+    order, magic, osize, zero = S.unpack("<2sHHH", buf[:8])
+    assert (order, magic, osize, zero) == (b"II", 43, 8, 0)
+    (ifd,) = S.unpack("<Q", buf[8:16])
+    (n,) = S.unpack("<Q", buf[ifd : ifd + 8])
+    tags = [S.unpack("<H", buf[ifd + 8 + 20 * i : ifd + 10 + 20 * i])[0] for i in range(n)]
+    assert tags == sorted(tags)
+    assert S.unpack("<Q", buf[ifd + 8 + 20 * n :][:8]) == (0,)
+
+
+# ---------------------------------------------------------------------------
+# property-based fuzz
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_DTYPES = ["u1", "u2", "u4", "i1", "i2", "i4", "f4", "f8"]
+
+
+@st.composite
+def tiff_cases(draw):
+    dt = draw(st.sampled_from(_DTYPES))
+    h = draw(st.integers(1, 70))
+    w = draw(st.integers(1, 70))
+    seed = draw(st.integers(0, 2**31 - 1))
+    layout = draw(st.sampled_from(["tile16", "tile32x16", "strip", "strip1"]))
+    compress = draw(st.sampled_from(["none", "deflate", "lzw"]))
+    if compress == "none":
+        pred = 1
+    elif dt[0] == "f":
+        pred = draw(st.sampled_from([1, 3]))
+    else:
+        pred = draw(st.sampled_from([1, 2]))
+    bigtiff = draw(st.booleans())
+    return dt, h, w, seed, layout, compress, pred, bigtiff
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(case=tiff_cases())
+def test_fuzz_roundtrip_any_shape_layout_codec(tmp_path_factory, case):
+    dt, h, w, seed, layout, compress, pred, bigtiff = case
+    rng = np.random.default_rng(seed)
+    if dt[0] == "f":
+        arr = rng.uniform(-1e6, 1e6, (h, w)).astype(dt)
+    else:
+        info = np.iinfo(dt)
+        arr = rng.integers(info.min, info.max, (h, w), endpoint=True).astype(dt)
+    kw = {
+        "tile16": dict(tile=(16, 16)),
+        "tile32x16": dict(tile=(32, 16)),
+        "strip": dict(tile=None),
+        "strip1": dict(tile=None, rows_per_strip=1),
+    }[layout]
+    p = tmp_path_factory.mktemp("fz") / "f.tif"
+    M.write_geotiff(p, arr, 32633, M.from_origin(-3.5, 77.25, 0.25, 0.5),
+                    compress=compress, predictor=pred, bigtiff=bigtiff, **kw)
+    with M.MiniTiffDataset(str(p)) as ds:
+        assert (ds.height, ds.width) == (h, w)
+        assert ds.transform == (0.25, 0.0, -3.5, 0.0, -0.5, 77.25)
+        np.testing.assert_array_equal(ds.read_full(), arr.astype("f8"))
+        # a random interior window agrees with the slice
+        r0 = rng.integers(0, h); r1 = rng.integers(r0 + 1, h + 1)
+        c0 = rng.integers(0, w); c1 = rng.integers(c0 + 1, w + 1)
+        np.testing.assert_array_equal(
+            ds.read_window(int(r0), int(r1), int(c0), int(c1)),
+            arr[r0:r1, c0:c1].astype("f8"),
+        )
+
+
+@settings(max_examples=60, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1))
+def test_fuzz_corruption_never_escapes_tifferror(tmp_path_factory, seed):
+    """Random byte corruption of a valid file must produce either correct
+    parse, TiffError, or a zlib error routed to the read path — never an
+    IndexError/struct.error/segfault-shaped failure from the parser."""
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 255, (24, 24)).astype("u1")
+    p = tmp_path_factory.mktemp("cz") / "c.tif"
+    M.write_geotiff(p, arr, 32633, M.from_origin(0, 24, 1, 1), tile=(16, 16))
+    buf = bytearray(p.read_bytes())
+    for _ in range(rng.integers(1, 8)):
+        buf[rng.integers(0, len(buf))] = rng.integers(0, 256)
+    q = tmp_path_factory.mktemp("cz") / "x.tif"
+    q.write_bytes(bytes(buf))
+    try:
+        with M.MiniTiffDataset(str(q)) as ds:
+            ds.read_full()
+    except (M.TiffError, zlib.error):
+        pass  # the contract: structured failure, not parser UB
