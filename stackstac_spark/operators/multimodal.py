@@ -155,8 +155,11 @@ def resize_images(media: DataFrame, out_w: int, out_h: int, fake: bool = True) -
             out = []
             for row in pdf.itertuples(index=False):
                 img = decode_image(row.payload, row.width, row.height, fake=fake)
-                rr = (np.arange(out_h) * row.height // out_h).astype(int)
-                cc = (np.arange(out_w) * row.width // out_w).astype(int)
+                # decoded dims win over metadata hints (decode_image contract
+                # — a real codec may disagree with the declared width/height)
+                src_h, src_w = img.shape[:2]
+                rr = (np.arange(out_h) * src_h // out_h).astype(int)
+                cc = (np.arange(out_w) * src_w // out_w).astype(int)
                 resized = img[rr][:, cc]
                 out.append((row.media_id, 0, out_w, out_h, resized.tobytes()))
             yield pd.DataFrame(
@@ -180,7 +183,11 @@ def sample_frames(media: DataFrame, every_n: int = 2, fake: bool = True) -> Data
                     img = decode_image(
                         row.payload + fi.to_bytes(4, "big"), row.width, row.height, fake=fake
                     )
-                    out.append((row.media_id, fi, row.width, row.height, img.tobytes()))
+                    # label frames with the DECODED dims so pixels always
+                    # reshape to (height, width, 3) regardless of metadata
+                    out.append(
+                        (row.media_id, fi, img.shape[1], img.shape[0], img.tobytes())
+                    )
             yield pd.DataFrame(
                 out, columns=["media_id", "frame_idx", "width", "height", "pixels"]
             )

@@ -365,6 +365,8 @@ def quality_buckets(
         (cuts,) = scored.select(
             F.percentile_approx(score_col, qs, accuracy).alias("c")
         ).first()
+        if cuts is None:  # zero scored rows → empty result, same as exact mode
+            return scored.select(id_col, score_col, F.lit(1).alias("bucket"))
         # driver pull is the n-1 cutoff floats only, never rows; the CASE
         # broadcasts with the plan. score <= cut_i → bucket i+1 at most.
         bucket = F.lit(n_buckets)

@@ -335,7 +335,7 @@ class MiniTiffDataset:
         if typ not in _TYPES:
             raise TiffError(f"{self.path}: tag {tag} has unknown type {typ}")
         ch, size = _TYPES[typ]
-        total = size * cnt * (2 if typ in (5, 10) else 1)
+        total = size * cnt  # _TYPES size already covers a rational's pair
         if total <= len(field):  # inline: 4 bytes classic, 8 BigTIFF
             buf = field[:total]
         else:
@@ -388,6 +388,8 @@ class MiniTiffDataset:
                 break
             kid, loc, cnt, val = keys[base : base + 4]
             if kid in (_GK_PROJECTED_CS, _GK_GEOGRAPHIC_CS) and loc == 0:
+                if val in (32767, 0):  # user-defined / undefined: not an EPSG code
+                    continue
                 # projected key wins when both are present (the geographic
                 # key then only names the datum underneath)
                 if kid == _GK_PROJECTED_CS or epsg is None:

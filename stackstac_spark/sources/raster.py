@@ -339,13 +339,24 @@ def _read_fallback_window(
         )
     xres, yres = spec.resolutions_xy
     gminx, _, _, gmaxy = spec.bounds
+    # No GeoKeyDirectory (ds.epsg None — e.g. user-defined CRS key 32767 or
+    # bare georeferencing tags): trust the transform and treat the file as
+    # spec-CRS for the ALIGNED fast path only; a grid mismatch without a CRS
+    # is unresolvable and must error clearly rather than blame pyproj.
+    same_crs = ds.epsg is None or ds.epsg == spec.epsg
     aligned = (
-        ds.epsg == spec.epsg
+        same_crs
         and a == xres
         and e == -yres
         and (c - gminx) % xres == 0
         and (f - gmaxy) % yres == 0
     )
+    if not aligned and ds.epsg is None:
+        raise ValueError(
+            f"{url!r} carries no EPSG GeoKey and its grid does not match the "
+            "output spec; cannot warp a CRS-less raster. Re-tag the file or "
+            "match the spec grid."
+        )
     if aligned:
         # spec pixel (r, cc) ↔ source pixel (r - row_shift, cc - col_shift)
         col_shift = round((c - gminx) / xres)

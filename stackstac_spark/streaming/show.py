@@ -286,10 +286,23 @@ class MapObserver:
         """Returns {"tiles": visible, "scheduled": newly submitted}."""
         tiles = visible_tiles(bbox, int(zoom))
         if len(tiles) > self.max_tiles:
-            cx = sum(t[1] for t in tiles) / len(tiles)
-            cy = sum(t[2] for t in tiles) / len(tiles)
+            # center-out in VIEWPORT order, not raw tile coordinates: for an
+            # antimeridian-wrapping viewport the x values jump (…63, 0, 1…),
+            # so a coordinate-mean centroid would sit outside the viewport
+            # and the truncation would keep the edges and drop the center.
+            xs_seq: list[int] = []
+            ys_seq: list[int] = []
+            for _, x, y in tiles:
+                if x not in xs_seq:
+                    xs_seq.append(x)
+                if y not in ys_seq:
+                    ys_seq.append(y)
+            xi = {x: i for i, x in enumerate(xs_seq)}
+            yi = {y: i for i, y in enumerate(ys_seq)}
+            cx = (len(xs_seq) - 1) / 2
+            cy = (len(ys_seq) - 1) / 2
             tiles = sorted(
-                tiles, key=lambda t: (t[1] - cx) ** 2 + (t[2] - cy) ** 2
+                tiles, key=lambda t: (xi[t[1]] - cx) ** 2 + (yi[t[2]] - cy) ** 2
             )[: self.max_tiles]
         scheduled = update_viewport(self.token, tiles)
         self.current = tiles

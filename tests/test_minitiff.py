@@ -529,3 +529,65 @@ def test_fuzz_corruption_never_escapes_tifferror(tmp_path_factory, seed):
             ds.read_full()
     except (M.TiffError, zlib.error):
         pass  # the contract: structured failure, not parser UB
+
+
+# ---------------------------------------------------------------------------
+# r6 review fixes
+# ---------------------------------------------------------------------------
+
+
+def test_rational_tag_parses(tmp_path):
+    """RATIONAL (type 5) values: size already covers the num/den pair —
+    regression for the double-counted byte size."""
+    arr = np.zeros((16, 16), "u1")
+    p = tmp_path / "r.tif"
+    M.write_geotiff(p, arr, 4326, M.from_origin(0, 16, 1, 1), tile=(16, 16))
+    buf = bytearray(p.read_bytes())
+    # splice an XResolution (282) RATIONAL 300/1 into the IFD: rewrite the
+    # file with the extra entry appended out-of-line
+    (ifd_off,) = struct.unpack("<I", buf[4:8])
+    (n,) = struct.unpack("<H", buf[ifd_off : ifd_off + 2])
+    entries = buf[ifd_off + 2 : ifd_off + 2 + 12 * n]
+    # place the rational data where the old IFD was, then rebuild the IFD
+    new = bytearray(buf[:ifd_off])
+    rat_pos = len(new)
+    new += struct.pack("<II", 300, 1)
+    new_entries = []
+    for i in range(n):
+        new_entries.append(bytes(entries[i * 12 : (i + 1) * 12]))
+    new_entries.append(struct.pack("<HHI", 282, 5, 1) + struct.pack("<I", rat_pos))
+    new_entries.sort(key=lambda e: struct.unpack("<H", e[:2])[0])
+    ifd2 = len(new)
+    new += struct.pack("<H", n + 1) + b"".join(new_entries) + struct.pack("<I", 0)
+    new[4:8] = struct.pack("<I", ifd2)
+    q = tmp_path / "r2.tif"
+    q.write_bytes(bytes(new))
+    with M.MiniTiffDataset(str(q)) as ds:
+        assert ds._values(282) == [300.0]
+        np.testing.assert_array_equal(ds.read_full(), arr.astype("f8"))
+
+
+def test_fallback_crsless_aligned_reads_and_mismatch_errors(tmp_path):
+    """A GeoTIFF with georeferencing but NO GeoKeyDirectory: aligned grid →
+    direct read (trust the transform); mismatched grid → a clear error
+    naming the missing CRS, not a pyproj complaint."""
+    arr = _painted(32, 32)
+    p = tmp_path / "nocrs.tif"
+    M.write_geotiff(p, arr, None, M.from_origin(100.0, 264.0, 2.0, 2.0), tile=(16, 16))
+    with M.MiniTiffDataset(str(p)) as ds:
+        assert ds.epsg is None
+    out = R._read_fallback_window(str(p), SPEC, 0, 8, 0, 8, "nearest")
+    np.testing.assert_allclose(out, arr[:8, :8])
+    spec_off = RasterSpec(32613, (101.0, 200.0, 165.0, 264.0), (2.0, 2.0))
+    with pytest.raises(ValueError, match="no EPSG GeoKey"):
+        R._read_fallback_window(str(p), spec_off, 0, 8, 0, 8, "nearest")
+
+
+def test_user_defined_geokey_reads_as_no_epsg(tmp_path):
+    """ProjectedCSTypeGeoKey 32767 (user-defined) must surface as epsg=None,
+    not as a bogus EPSG code."""
+    arr = np.zeros((16, 16), "u1")
+    p = tmp_path / "ud.tif"
+    M.write_geotiff(p, arr, 32767, M.from_origin(0, 16, 1, 1), tile=(16, 16))
+    with M.MiniTiffDataset(str(p)) as ds:
+        assert ds.epsg is None

@@ -1255,3 +1255,61 @@ def test_audio_features_match_numpy(spark):
         decode_audio(b"\x00\x01", fake=False)
     with _pytest.raises(ValueError):
         decode_audio(b"\x00", fake=True)
+
+
+def test_frame_kernels_honor_decoded_dims(spark, monkeypatch):
+    """r6 review fix: resize_images / sample_frames must index and label by
+    the DECODED image dims, not the metadata hints (a real codec can
+    disagree — decode_image's documented contract)."""
+    from stackstac_spark.operators import multimodal as MM
+
+    small = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    monkeypatch.setattr(MM, "decode_image", lambda payload, w, h, fake=False: small)
+    media = MM.make_fake_media(spark, n=1, width=999, height=999)
+    frames = MM.resize_images(media, 4, 4, fake=False).collect()
+    arr = np.frombuffer(frames[0].pixels, dtype="uint8").reshape(4, 4, 3)
+    assert arr.shape == (4, 4, 3)  # no IndexError from 999-row gather
+    vid = media.withColumn("n_frames", F.lit(2))
+    sampled = MM.sample_frames(vid, every_n=1, fake=False).collect()
+    for r in sampled:
+        assert (r.height, r.width) == (2, 3)  # decoded dims in the schema
+        assert len(r.pixels) == r.height * r.width * 3
+
+
+def test_quality_buckets_approx_empty_and_all_null(spark):
+    """r6 review fix: zero scored rows must yield an empty frame (like
+    exact mode), not a TypeError from NULL percentile cutoffs."""
+    from stackstac_spark.operators.textstats import quality_buckets
+
+    empty = spark.createDataFrame([], "doc_id LONG, s DOUBLE")
+    assert quality_buckets(empty, "s", 3, approx=True).collect() == []
+    allnull = spark.createDataFrame([(1, None), (2, None)], "doc_id LONG, s DOUBLE")
+    assert quality_buckets(allnull, "s", 3, approx=True).collect() == []
+
+
+def test_map_observer_wrap_truncation_keeps_seam_center():
+    """r6 review fix: center-out truncation must work in viewport order —
+    an antimeridian-crossing viewport keeps the tiles at the seam (the
+    visual center), not the viewport edges."""
+    from stackstac_spark.streaming import show as show_mod
+    from stackstac_spark.streaming.show import MapObserver
+
+    calls = []
+    layer_token = "wrap-test"
+    show_mod._LAYERS[layer_token] = object()  # observer only checks membership
+    try:
+        orig = show_mod.update_viewport
+        show_mod.update_viewport = lambda token, tiles: calls.append(tiles) or 0
+        try:
+            obs = MapObserver(layer_token, max_tiles=6)
+            # z=6: lon 170→-170 wraps through x=63→0; lat band picks 1 row
+            r = obs.bounds_changed((160.0, 20.0, -160.0, 24.0), 6)
+            kept_x = sorted(t[1] for t in r["tiles"])
+            # viewport columns: 60..63, 0..3 (8 cols); the seam (63, 0) is
+            # the visual center and MUST survive a 6-tile truncation
+            assert 63 in kept_x and 0 in kept_x, kept_x
+            assert 60 not in kept_x or 3 not in kept_x  # an edge was dropped
+        finally:
+            show_mod.update_viewport = orig
+    finally:
+        del show_mod._LAYERS[layer_token]
