@@ -5019,6 +5019,50 @@ FROM px WHERE (row*48 + col) % 13 <> 0 ORDER BY row, col
 """
 
 
+def q_raster_tiff_sink(spark, sf):
+    """Sink gate (round 6): crop the painted real-file stack to an interior
+    AOI, mosaic it, write the plane back out as a tiled DEFLATE GeoTIFF
+    (operators/export.py::plane_to_geotiff), then RESTACK the written file
+    and return its pixels — write → read round trip, all through the
+    no-native-deps GeoTIFF path, against a closed-form oracle."""
+    import os
+    import tempfile
+
+    from stackstac_spark.operators.export import plane_to_geotiff
+    from stackstac_spark.stack import stack as _stack
+
+    q_raster_real_tiff(spark, sf)  # ensures the source file + cached stack
+    st = _STACK_CACHE[(id(spark), "real-tiff")]
+    cropped = st.crop((500080.0, 3999600.0, 500400.0, 3999920.0))  # px [8,40)²
+    out = os.path.join(tempfile.gettempdir(), "stackstac_spark_gate_sink.tif")
+    plane_to_geotiff(cropped.mosaic(), cropped.spec, out)
+    b = list(cropped.spec.bounds)
+    item = {
+        "id": "sink-tiff",
+        "bbox": [15.0, 36.0, 15.1, 36.1],
+        "properties": {
+            "datetime": "2024-04-01T00:00:00Z",
+            "proj:epsg": 32633,
+            "proj:bbox": b,
+            "proj:shape": [32, 32],
+            "proj:transform": [10.0, 0.0, b[0], 0.0, -10.0, b[3]],
+        },
+        "assets": {"data": {"href": out, "type": "image/tiff; application=geotiff"}},
+    }
+    st2 = _stack(
+        spark, [item], epsg=32633, resolution=10.0, bounds=tuple(b), chunksize=32
+    )
+    return st2.pixels().select("row", "col", "value").orderBy("row", "col")
+
+
+SQL_RASTER_TIFF_SINK = """
+WITH px AS (SELECT r.g AS row, c.g AS col
+            FROM generate_series(8, 39) r(g), generate_series(8, 39) c(g))
+SELECT row - 8 AS row, col - 8 AS col, CAST(row*1000 + col AS DOUBLE) AS value
+FROM px WHERE (row*48 + col) % 13 <> 0 ORDER BY row, col
+"""
+
+
 def q_raster_sql_ndvi(spark, sf):
     """SQL-first surface (round 6, RasterStack.create_views): the reference
     README's composite workflow (README.md:49-57 — stack → NDVI → temporal
@@ -5465,6 +5509,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- scripts/check_correctness.py.
     "raster_real_tiff": (q_raster_real_tiff, SQL_RASTER_REAL_TIFF),
     "raster_sql_ndvi": (q_raster_sql_ndvi, SQL_RASTER_SQL_NDVI),
+    "raster_tiff_sink": (q_raster_tiff_sink, SQL_RASTER_TIFF_SINK),
     "tpch_q4": (q_tpch_q4, SQL_TPCH_Q4),
     "tpch_q7": (q_tpch_q7, SQL_TPCH_Q7),
     "tpch_q8": (q_tpch_q8, SQL_TPCH_Q8),
@@ -5512,8 +5557,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "tile_grid_overlap": (q_tile_grid_overlap, SQL_TILE_GRID_OVERLAP),
     "metadata_allsame": (q_metadata_allsame, SQL_METADATA_ALLSAME),
     "lsh_buckets": (q_lsh_buckets, SQL_LSH_BUCKETS),
-    "cosine_neardup": (q_cosine_neardup, SQL_COSINE_NEARDUP),
     # ---- slot 51+ from here: driver-green in a past round, mirror-checked in CI ----
+    "cosine_neardup": (q_cosine_neardup, SQL_COSINE_NEARDUP),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "cube_agg": (q_cube_agg, SQL_CUBE_AGG),

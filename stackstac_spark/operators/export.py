@@ -106,6 +106,7 @@ def plane_to_geotiff(
     tile: tuple[int, int] | None = (256, 256),
     compress: str = "deflate",
     predictor: int | None = None,
+    overviews: list[int] | None = None,
 ) -> str:
     """(row, col, value) pixel plane → single-band GeoTIFF on ``spec``'s
     grid, written with the built-in writer (sources/minitiff) — the export
@@ -159,6 +160,7 @@ def plane_to_geotiff(
         tile=tile,
         compress=compress,
         predictor=predictor,
+        overviews=overviews,
     )
 
 

@@ -212,8 +212,12 @@ class MiniTiffDataset:
     (x = c + col*a + row*b; y = f + col*d + row*e).
     """
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, ifd_index: int = 0):
+        """``ifd_index`` selects an IFD in the chain: 0 = full resolution,
+        1.. = overview levels (COG layout). ``n_ifds`` and
+        :meth:`overview` navigate the chain."""
         self.path = path
+        self.ifd_index = ifd_index
         self._fh = open(path, "rb")
         try:
             self._parse()
@@ -252,14 +256,33 @@ class MiniTiffDataset:
         else:
             raise TiffError(f"{self.path}: bad TIFF magic {magic}")
 
-        self._fh.seek(ifd_off)
+        # walk the IFD chain: pick self.ifd_index, count the rest
         if self._big:
-            (n_entries,) = struct.unpack(self._e + "Q", read_exact(8, "IFD count"))
-            esize, head_fmt = 20, "HHQ"
+            esize, head_fmt, nfmt, nsize = 20, "HHQ", "Q", 8
         else:
-            (n_entries,) = struct.unpack(self._e + "H", read_exact(2, "IFD count"))
-            esize, head_fmt = 12, "HHI"
+            esize, head_fmt, nfmt, nsize = 12, "HHI", "H", 2
         vwidth = esize - struct.calcsize(self._e + head_fmt)
+        offs: list[int] = []
+        off = ifd_off
+        for _ in range(64):  # chain-length guard against pointer loops
+            if off == 0:
+                break
+            offs.append(off)
+            self._fh.seek(off)
+            (n,) = struct.unpack(self._e + nfmt, read_exact(nsize, "IFD count"))
+            self._fh.seek(off + nsize + esize * n)
+            (off,) = struct.unpack(
+                self._e + ("Q" if self._big else "I"),
+                read_exact(8 if self._big else 4, "next-IFD pointer"),
+            )
+        self.n_ifds = len(offs)
+        if self.ifd_index >= self.n_ifds:
+            raise TiffError(
+                f"{self.path}: IFD {self.ifd_index} requested but file has "
+                f"{self.n_ifds}"
+            )
+        self._fh.seek(offs[self.ifd_index])
+        (n_entries,) = struct.unpack(self._e + nfmt, read_exact(nsize, "IFD count"))
         raw = read_exact(esize * n_entries, "IFD entries")
         tags: dict[int, tuple] = {}
         for i in range(n_entries):
@@ -492,6 +515,13 @@ class MiniTiffDataset:
     def read_full(self) -> np.ndarray:
         return self.read_window(0, self.height, 0, self.width)
 
+    def overview(self, index: int) -> "MiniTiffDataset":
+        """Open overview level ``index`` (0 = first overview = IFD 1) as its
+        own dataset. The caller closes it. Overview IFDs carry no geo tags
+        (COG convention) — derive georeferencing from IFD 0's transform
+        scaled by the decimation factor ``round(width / ov.width)``."""
+        return MiniTiffDataset(self.path, ifd_index=index + 1)
+
     def close(self) -> None:
         self._fh.close()
 
@@ -583,6 +613,7 @@ def write_geotiff(
     compress: str = "deflate",
     predictor: int = 1,
     bigtiff: bool = False,
+    overviews: list[int] | None = None,
 ) -> str:
     """Write a single-band little-endian GeoTIFF (classic, or BigTIFF with
     ``bigtiff=True`` — 8-byte offsets, LONG8 chunk tables).
@@ -592,6 +623,12 @@ def write_geotiff(
     ``tile=None`` writes strips (``rows_per_strip`` rows each, default 16).
     ``compress`` is ``"deflate"``, ``"lzw"`` or ``"none"``; ``predictor``
     1, 2 (ints) or 3 (floats).
+
+    ``overviews`` (e.g. ``[2, 4, 8]``) appends COG-style reduced-resolution
+    IFDs, nearest-decimated, tagged NewSubfileType=1, chained after the
+    full-resolution IFD. Geo tags live on IFD 0 only (COG convention);
+    read them back with ``MiniTiffDataset(path, ifd_index=i)`` or
+    :meth:`MiniTiffDataset.overview`.
     """
     arr = np.ascontiguousarray(arr)
     if arr.ndim != 2:
@@ -615,122 +652,154 @@ def write_geotiff(
     h, w = arr.shape
     fmt, bits = _W_DTYPES[dt]
 
-    # chunk the array
-    chunks: list[np.ndarray] = []
-    if tile is not None:
-        th, tw = tile
-        if th % 16 or tw % 16:
-            raise ValueError(f"tile dims must be multiples of 16, got {tile}")
-        pad_val = nodata if (nodata is not None and not np.isnan(nodata)) else 0
-        for ty in range(-(-h // th)):
-            for tx in range(-(-w // tw)):
-                block = np.full((th, tw), pad_val, dtype=arr.dtype)
-                src = arr[ty * th : ty * th + th, tx * tw : tx * tw + tw]
-                block[: src.shape[0], : src.shape[1]] = src
-                chunks.append(block)
+    if overviews:
+        factors = sorted({int(v) for v in overviews})
+        if any(v < 2 for v in factors):
+            raise ValueError(f"overview factors must be >= 2, got {overviews}")
+        if tile is None:
+            raise ValueError("overviews require tiled layout (the COG convention)")
     else:
-        rps = rows_per_strip or min(16, h)
-        for sy in range(-(-h // rps)):
-            chunks.append(arr[sy * rps : sy * rps + rps, :])
+        factors = []
+    # nearest-decimated pyramid (GDAL NEAREST overview convention: sample
+    # the top-left source pixel of each fxf block)
+    levels = [arr] + [np.ascontiguousarray(arr[::v, ::v]) for v in factors]
 
-    blobs = []
-    for chunk in chunks:
-        if predictor == 2:
-            raw = _predict2(chunk)
-        elif predictor == 3:
-            raw = _predict3(chunk)
-        else:
-            raw = chunk.tobytes()
-        if compress == "deflate":
-            raw = zlib.compress(raw, 6)
-        elif compress == "lzw":
-            raw = _lzw_encode(raw)
-        blobs.append(raw)
-
-    # entries: (tag, type, count, packed-values-bytes)
     def _pack(typ: str, vals) -> bytes:
         return struct.pack("<" + typ * len(vals), *vals)
 
-    entries: list[tuple[int, int, int, bytes]] = [
-        (_T_WIDTH, 4, 1, _pack("I", [w])),
-        (_T_HEIGHT, 4, 1, _pack("I", [h])),
-        (_T_BITS, 3, 1, _pack("H", [bits])),
-        (_T_COMPRESSION, 3, 1, _pack("H", [{"deflate": 8, "lzw": 5, "none": 1}[compress]])),
-        (_T_PHOTOMETRIC, 3, 1, _pack("H", [1])),
-        (_T_SAMPLES, 3, 1, _pack("H", [1])),
-        (_T_PLANAR, 3, 1, _pack("H", [1])),
-        (_T_SAMPLE_FORMAT, 3, 1, _pack("H", [fmt])),
-    ]
-    if predictor != 1:
-        entries.append((_T_PREDICTOR, 3, 1, _pack("H", [predictor])))
-    a, b_, c, d_, e, f = (float(v) for v in transform)
-    entries.append((_T_PIXEL_SCALE, 12, 3, _pack("d", [a, -e, 0.0])))
-    entries.append((_T_TIEPOINT, 12, 6, _pack("d", [0.0, 0.0, 0.0, c, f, 0.0])))
-    if epsg is not None:
-        model = 2 if 4000 <= epsg < 5000 else 1  # geographic vs projected
-        cs_key = _GK_GEOGRAPHIC_CS if model == 2 else _GK_PROJECTED_CS
-        geokeys = [1, 1, 0, 3, _GK_MODEL_TYPE, 0, 1, model, _GK_RASTER_TYPE, 0, 1, 1, cs_key, 0, 1, epsg]
-        entries.append((_T_GEO_KEYS, 3, len(geokeys), _pack("H", geokeys)))
-    if nodata is not None:
-        txt = (b"nan" if np.isnan(nodata) else repr(float(nodata)).encode()) + b"\x00"
-        entries.append((_T_GDAL_NODATA, 2, len(txt), txt))
+    def _chunk_level(lv: np.ndarray) -> list[np.ndarray]:
+        lh, lw = lv.shape
+        chunks: list[np.ndarray] = []
+        if tile is not None:
+            th, tw = tile
+            if th % 16 or tw % 16:
+                raise ValueError(f"tile dims must be multiples of 16, got {tile}")
+            pad_val = nodata if (nodata is not None and not np.isnan(nodata)) else 0
+            for ty in range(-(-lh // th)):
+                for tx in range(-(-lw // tw)):
+                    block = np.full((th, tw), pad_val, dtype=lv.dtype)
+                    src = lv[ty * th : ty * th + th, tx * tw : tx * tw + tw]
+                    block[: src.shape[0], : src.shape[1]] = src
+                    chunks.append(block)
+        else:
+            rps = rows_per_strip or min(16, lh)
+            for sy in range(-(-lh // rps)):
+                chunks.append(lv[sy * rps : sy * rps + rps, :])
+        return chunks
 
-    n = len(chunks)
-    off_tag = _T_TILE_OFFSETS if tile is not None else _T_STRIP_OFFSETS
-    cnt_tag = _T_TILE_COUNTS if tile is not None else _T_STRIP_COUNTS
-    if tile is not None:
-        entries.append((_T_TILE_W, 4, 1, _pack("I", [tw])))
-        entries.append((_T_TILE_H, 4, 1, _pack("I", [th])))
-    else:
-        entries.append((_T_ROWS_PER_STRIP, 4, 1, _pack("I", [rows_per_strip or min(16, h)])))
+    def _encode(chunks: list[np.ndarray]) -> list[bytes]:
+        blobs = []
+        for chunk in chunks:
+            if predictor == 2:
+                raw = _predict2(chunk)
+            elif predictor == 3:
+                raw = _predict3(chunk)
+            else:
+                raw = chunk.tobytes()
+            if compress == "deflate":
+                raw = zlib.compress(raw, 6)
+            elif compress == "lzw":
+                raw = _lzw_encode(raw)
+            blobs.append(raw)
+        return blobs
 
-    # layout: header | chunk data | out-of-line tag values | IFD
+    def _base_entries(lv: np.ndarray, first: bool) -> list[tuple[int, int, int, bytes]]:
+        lh, lw = lv.shape
+        entries: list[tuple[int, int, int, bytes]] = [
+            (_T_WIDTH, 4, 1, _pack("I", [lw])),
+            (_T_HEIGHT, 4, 1, _pack("I", [lh])),
+            (_T_BITS, 3, 1, _pack("H", [bits])),
+            (_T_COMPRESSION, 3, 1, _pack("H", [{"deflate": 8, "lzw": 5, "none": 1}[compress]])),
+            (_T_PHOTOMETRIC, 3, 1, _pack("H", [1])),
+            (_T_SAMPLES, 3, 1, _pack("H", [1])),
+            (_T_PLANAR, 3, 1, _pack("H", [1])),
+            (_T_SAMPLE_FORMAT, 3, 1, _pack("H", [fmt])),
+        ]
+        if not first:
+            # NewSubfileType: reduced-resolution subfile (TIFF 6.0 tag 254)
+            entries.append((254, 4, 1, _pack("I", [1])))
+        if predictor != 1:
+            entries.append((_T_PREDICTOR, 3, 1, _pack("H", [predictor])))
+        if first:
+            a, b_, c, d_, e, f = (float(v) for v in transform)
+            entries.append((_T_PIXEL_SCALE, 12, 3, _pack("d", [a, -e, 0.0])))
+            entries.append((_T_TIEPOINT, 12, 6, _pack("d", [0.0, 0.0, 0.0, c, f, 0.0])))
+            if epsg is not None:
+                model = 2 if 4000 <= epsg < 5000 else 1  # geographic vs projected
+                cs_key = _GK_GEOGRAPHIC_CS if model == 2 else _GK_PROJECTED_CS
+                geokeys = [1, 1, 0, 3, _GK_MODEL_TYPE, 0, 1, model,
+                           _GK_RASTER_TYPE, 0, 1, 1, cs_key, 0, 1, epsg]
+                entries.append((_T_GEO_KEYS, 3, len(geokeys), _pack("H", geokeys)))
+        if nodata is not None:
+            txt = (b"nan" if np.isnan(nodata) else repr(float(nodata)).encode()) + b"\x00"
+            entries.append((_T_GDAL_NODATA, 2, len(txt), txt))
+        if tile is not None:
+            entries.append((_T_TILE_W, 4, 1, _pack("I", [tile[1]])))
+            entries.append((_T_TILE_H, 4, 1, _pack("I", [tile[0]])))
+        else:
+            entries.append((_T_ROWS_PER_STRIP, 4, 1, _pack("I", [rows_per_strip or min(16, lh)])))
+        return entries
+
+    # global layout: header | [level data | level overflow | level IFD]...
+    # Each next-IFD pointer jumps forward over the following level's data.
     inline = 8 if bigtiff else 4
     off_fmt = "Q" if bigtiff else "I"
-    pos = 16 if bigtiff else 8
-    chunk_offsets = []
-    for blob in blobs:
-        chunk_offsets.append(pos)
-        pos += len(blob) + (-len(blob)) % 4
     arr_typ = 16 if bigtiff else 4  # LONG8 chunk tables in BigTIFF
-    entries.append((off_tag, arr_typ, n, _pack(off_fmt, chunk_offsets)))
-    entries.append((cnt_tag, arr_typ, n, _pack(off_fmt, [len(b) for b in blobs])))
-    entries.sort(key=lambda t: t[0])
+    nsize = 8 if bigtiff else 2
+    esize = 20 if bigtiff else 12
+    ptr = 8 if bigtiff else 4
+    off_tag = _T_TILE_OFFSETS if tile is not None else _T_STRIP_OFFSETS
+    cnt_tag = _T_TILE_COUNTS if tile is not None else _T_STRIP_COUNTS
 
-    overflow: list[bytes] = []
-    fields = []
-    for tag, typ, cnt, data in entries:
-        if len(data) <= inline:
-            fields.append((tag, typ, cnt, data.ljust(inline, b"\x00")))
-        else:
-            pad = (-len(data)) % 4
-            overflow_off = pos
-            overflow.append(data + b"\x00" * pad)
-            pos += len(data) + pad
-            fields.append((tag, typ, cnt, struct.pack("<" + off_fmt, overflow_off)))
-    ifd_off = pos
+    pos = 16 if bigtiff else 8
+    plan = []  # (blobs, fields, overflow, ifd_off) per level
+    for li, lv in enumerate(levels):
+        blobs = _encode(_chunk_level(lv))
+        chunk_offsets = []
+        for blob in blobs:
+            chunk_offsets.append(pos)
+            pos += len(blob) + (-len(blob)) % 4
+        entries = _base_entries(lv, li == 0)
+        entries.append((off_tag, arr_typ, len(blobs), _pack(off_fmt, chunk_offsets)))
+        entries.append((cnt_tag, arr_typ, len(blobs), _pack(off_fmt, [len(b) for b in blobs])))
+        entries.sort(key=lambda t: t[0])
+        overflow: list[bytes] = []
+        fields = []
+        for tag, typ, cnt, data in entries:
+            if len(data) <= inline:
+                fields.append((tag, typ, cnt, data.ljust(inline, b"\x00")))
+            else:
+                pad = (-len(data)) % 4
+                overflow.append(data + b"\x00" * pad)
+                fields.append((tag, typ, cnt, struct.pack("<" + off_fmt, pos)))
+                pos += len(data) + pad
+        ifd_off = pos
+        pos += nsize + esize * len(fields) + ptr
+        plan.append((blobs, fields, overflow, ifd_off))
 
     with open(path, "wb") as fh:
         if bigtiff:
-            fh.write(struct.pack("<2sHHHQ", b"II", 43, 8, 0, ifd_off))
+            fh.write(struct.pack("<2sHHHQ", b"II", 43, 8, 0, plan[0][3]))
         else:
-            fh.write(struct.pack("<2sHI", b"II", 42, ifd_off))
-        for blob in blobs:
-            fh.write(blob)
-            fh.write(b"\x00" * ((-len(blob)) % 4))
-        for data in overflow:
-            fh.write(data)
-        assert fh.tell() == ifd_off
-        if bigtiff:
-            fh.write(struct.pack("<Q", len(fields)))
-            for tag, typ, cnt, val in fields:
-                fh.write(struct.pack("<HHQ", tag, typ, cnt) + val)
-            fh.write(struct.pack("<Q", 0))  # no next IFD
-        else:
-            fh.write(struct.pack("<H", len(fields)))
-            for tag, typ, cnt, val in fields:
-                fh.write(struct.pack("<HHI", tag, typ, cnt) + val)
-            fh.write(struct.pack("<I", 0))  # no next IFD
+            fh.write(struct.pack("<2sHI", b"II", 42, plan[0][3]))
+        for li, (blobs, fields, overflow, ifd_off) in enumerate(plan):
+            for blob in blobs:
+                fh.write(blob)
+                fh.write(b"\x00" * ((-len(blob)) % 4))
+            for data in overflow:
+                fh.write(data)
+            assert fh.tell() == ifd_off
+            next_off = plan[li + 1][3] if li + 1 < len(plan) else 0
+            if bigtiff:
+                fh.write(struct.pack("<Q", len(fields)))
+                for tag, typ, cnt, val in fields:
+                    fh.write(struct.pack("<HHQ", tag, typ, cnt) + val)
+                fh.write(struct.pack("<Q", next_off))
+            else:
+                fh.write(struct.pack("<H", len(fields)))
+                for tag, typ, cnt, val in fields:
+                    fh.write(struct.pack("<HHI", tag, typ, cnt) + val)
+                fh.write(struct.pack("<I", next_off))
     return str(path)
 
 

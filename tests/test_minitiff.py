@@ -591,3 +591,59 @@ def test_user_defined_geokey_reads_as_no_epsg(tmp_path):
     M.write_geotiff(p, arr, 32767, M.from_origin(0, 16, 1, 1), tile=(16, 16))
     with M.MiniTiffDataset(str(p)) as ds:
         assert ds.epsg is None
+
+
+# ---------------------------------------------------------------------------
+# overview IFDs (COG-style pyramid, r6)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("bigtiff", [False, True])
+def test_overview_pyramid_roundtrip(tmp_path, bigtiff):
+    rng = np.random.default_rng(23)
+    arr = rng.integers(0, 5000, (100, 130)).astype("u2")
+    p = tmp_path / "ov.tif"
+    M.write_geotiff(p, arr, 32633, M.from_origin(0.0, 1000.0, 10.0, 10.0),
+                    nodata=9999.0, tile=(16, 16), predictor=2,
+                    bigtiff=bigtiff, overviews=[2, 4])
+    with M.MiniTiffDataset(str(p)) as ds:
+        assert ds.n_ifds == 3
+        assert ds.epsg == 32633
+        np.testing.assert_array_equal(ds.read_full(), arr.astype("f8"))
+        for i, f in enumerate([2, 4]):
+            with ds.overview(i) as ov:
+                exp = arr[::f, ::f]
+                assert (ov.height, ov.width) == exp.shape
+                assert ov._scalar(254) == 1  # NewSubfileType: reduced-res
+                assert ov.epsg is None  # geo tags on IFD 0 only (COG rule)
+                assert ov.nodata == 9999.0
+                np.testing.assert_array_equal(ov.read_full(), exp.astype("f8"))
+    with pytest.raises(M.TiffError, match="IFD 7 requested"):
+        M.MiniTiffDataset(str(p), ifd_index=7)
+
+
+def test_overviews_require_tiles_and_sane_factors(tmp_path):
+    arr = np.zeros((16, 16), "u1")
+    with pytest.raises(ValueError, match="tiled layout"):
+        M.write_geotiff(tmp_path / "a.tif", arr, 4326, M.from_origin(0, 16, 1, 1),
+                        tile=None, overviews=[2])
+    with pytest.raises(ValueError, match=">= 2"):
+        M.write_geotiff(tmp_path / "b.tif", arr, 4326, M.from_origin(0, 16, 1, 1),
+                        overviews=[1, 2])
+
+
+def test_plane_to_geotiff_with_overviews(spark, tmp_path):
+    from stackstac_spark.operators.export import plane_to_geotiff
+    from stackstac_spark.raster_spec import RasterSpec
+
+    spec = RasterSpec(32633, (0.0, 0.0, 640.0, 640.0), (10.0, 10.0))  # 64x64
+    rows = [(r, c, float(r * 100 + c)) for r in range(64) for c in range(64)]
+    df = spark.createDataFrame(rows, "row INT, col INT, value DOUBLE")
+    p = tmp_path / "cog.tif"
+    plane_to_geotiff(df, spec, str(p), tile=(32, 32), overviews=[2, 4])
+    with M.MiniTiffDataset(str(p)) as ds:
+        assert ds.n_ifds == 3
+        with ds.overview(1) as ov:  # factor 4 → 16x16
+            exp = np.array([[r * 400 + c * 4 for c in range(16)] for r in range(16)],
+                           dtype="f8")
+            np.testing.assert_array_equal(ov.read_full(), exp)
