@@ -299,32 +299,27 @@ def incremental_stack_sink(
 
     Returns the StreamingQuery (caller awaits/stops it).
     """
-    import pandas as pd
-
     from stackstac_spark.grid import join_assets_to_tiles, tile_grid
     from stackstac_spark.sources.raster import scan_tiles
-    from stackstac_spark.sources.stac import ASSET_SCHEMA, ITEM_SCHEMA, _item_to_rows
+    from stackstac_spark.sources.stac import items_to_dataframes
 
     lines = spark.readStream.format("text").load(jsonl_path)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         import json as _json
 
-        def to_items(batches):
-            for pdf in batches:
-                rows = [_item_to_rows(_json.loads(s))[0] for s in pdf["value"] if s.strip()]
-                yield pd.DataFrame(rows, columns=[f.name for f in ITEM_SCHEMA.fields])
-
-        def to_assets(batches):
-            for pdf in batches:
-                out = []
-                for s in pdf["value"]:
-                    if s.strip():
-                        out.extend(_item_to_rows(_json.loads(s))[1])
-                yield pd.DataFrame(out, columns=[f.name for f in ASSET_SCHEMA.fields])
-
-        items_df = batch_df.mapInPandas(to_items, ITEM_SCHEMA)
-        assets_df = batch_df.mapInPandas(to_assets, ASSET_SCHEMA)
+        # A micro-batch of SCENES is catalog metadata — KBs per item, tens
+        # to thousands of items per trigger — so normalize driver-side with
+        # the same path batch stack() uses. Keeping the parse distributed
+        # (mapInPandas over the streaming frame) was measured 3x slower:
+        # every one of prepare's small aggregate actions re-executed the
+        # streaming-lineage parse through a Python worker roundtrip.
+        rows = [r.value for r in batch_df.collect() if r.value and r.value.strip()]
+        if not rows:
+            return
+        items_df, assets_df = items_to_dataframes(
+            spark, [_json.loads(s) for s in rows]
+        )
         from stackstac_spark.prepare import prepare
 
         prep = prepare(
