@@ -267,14 +267,23 @@ class MiniTiffDataset:
         for _ in range(64):  # chain-length guard against pointer loops
             if off == 0:
                 break
+            try:
+                self._fh.seek(off)
+                (n,) = struct.unpack(self._e + nfmt, read_exact(nsize, "IFD count"))
+                self._fh.seek(off + nsize + esize * n)
+                (nxt,) = struct.unpack(
+                    self._e + ("Q" if self._big else "I"),
+                    read_exact(8 if self._big else 4, "next-IFD pointer"),
+                )
+            except TiffError:
+                # a corrupt TRAILING chain must not make the IFDs before it
+                # unreadable: tolerate by truncating n_ifds, re-raise only if
+                # the requested IFD itself is inside the broken region
+                if len(offs) > self.ifd_index:
+                    break
+                raise
             offs.append(off)
-            self._fh.seek(off)
-            (n,) = struct.unpack(self._e + nfmt, read_exact(nsize, "IFD count"))
-            self._fh.seek(off + nsize + esize * n)
-            (off,) = struct.unpack(
-                self._e + ("Q" if self._big else "I"),
-                read_exact(8 if self._big else 4, "next-IFD pointer"),
-            )
+            off = nxt
         self.n_ifds = len(offs)
         if self.ifd_index >= self.n_ifds:
             raise TiffError(

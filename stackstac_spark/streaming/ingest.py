@@ -286,6 +286,7 @@ def incremental_stack_sink(
     checkpoint: str | None = None,
     fill_value: float = float("nan"),
     dtype: str = "float64",
+    max_files_per_trigger: int = 16,
 ):
     """Streaming raster ingest: a stream of STAC item JSONL → an incrementally
     maintained tile table (the persistent stack ``operators.export`` reads).
@@ -303,7 +304,14 @@ def incremental_stack_sink(
     from stackstac_spark.sources.raster import scan_tiles
     from stackstac_spark.sources.stac import items_to_dataframes
 
-    lines = spark.readStream.format("text").load(jsonl_path)
+    # bound each micro-batch: process_batch collects the batch's item JSON
+    # to the driver, so an unbounded availableNow backfill over a huge
+    # directory must be sliced into file-bounded triggers, not one batch
+    lines = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(jsonl_path)
+    )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         import json as _json

@@ -647,3 +647,24 @@ def test_plane_to_geotiff_with_overviews(spark, tmp_path):
             exp = np.array([[r * 400 + c * 4 for c in range(16)] for r in range(16)],
                            dtype="f8")
             np.testing.assert_array_equal(ov.read_full(), exp)
+
+
+def test_corrupt_trailing_ifd_chain_tolerated(tmp_path):
+    """r6 review fix: a broken next-IFD pointer must not make IFD 0
+    unreadable — the chain truncates; only requesting the broken region
+    errors."""
+    arr = np.arange(256, dtype="u1").reshape(16, 16)
+    p = tmp_path / "chain.tif"
+    M.write_geotiff(p, arr, 32633, M.from_origin(0, 16, 1, 1), tile=(16, 16))
+    buf = bytearray(p.read_bytes())
+    (ifd_off,) = struct.unpack("<I", buf[4:8])
+    (n,) = struct.unpack("<H", buf[ifd_off : ifd_off + 2])
+    ptr_at = ifd_off + 2 + 12 * n
+    buf[ptr_at : ptr_at + 4] = struct.pack("<I", len(buf) - 1)  # garbage chain
+    q = tmp_path / "chain2.tif"
+    q.write_bytes(bytes(buf))
+    with M.MiniTiffDataset(str(q)) as ds:  # IFD 0 still opens
+        assert ds.n_ifds == 1
+        np.testing.assert_array_equal(ds.read_full(), arr.astype("f8"))
+    with pytest.raises(M.TiffError):  # the broken region itself errors
+        M.MiniTiffDataset(str(q), ifd_index=1)
