@@ -113,6 +113,43 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # BASELINE.md's only directly comparable number: lazy stack()
+    # construction for 13 items x 17 bands of 10980^2 px (reference: 117 ms
+    # wall, driver-only, docs/basic.ipynb cell 7). Measure ours at the same
+    # shape — warm median of 3 — via the driver-side prepare fast path.
+    def _baseline_item(i: int, n_bands: int) -> dict:
+        minx, maxy = 500000.0 + i * 100, 4000640.0
+        return {
+            "id": f"bl-{i:03d}",
+            "bbox": [15.0, 36.0, 15.1, 36.1],
+            "properties": {
+                "datetime": f"2024-01-{(i % 27) + 1:02d}T00:00:00Z",
+                "proj:epsg": 32633,
+                "proj:bbox": [minx, maxy - 109800.0, minx + 109800.0, maxy],
+                "proj:shape": [10980, 10980],
+                "proj:transform": [10.0, 0.0, minx, 0.0, -10.0, maxy],
+            },
+            "assets": {
+                f"B{j:02d}": {"href": f"fake://{i}/{j}", "type": "image/tiff; application=geotiff"}
+                for j in range(n_bands)
+            },
+        }
+
+    from stackstac_spark.stack import stack as _stack
+
+    bl_items = [_baseline_item(i, 17) for i in range(13)]
+    ctimes = []
+    for _ in range(3):
+        t0 = time.time()
+        _stack(spark, bl_items, chunksize=1024)
+        ctimes.append((time.time() - t0) * 1000)
+    construction_ms = round(statistics.median(ctimes), 1)
+    print(
+        f"# stack_construction_ms (13 items x 17 bands, BASELINE.md shape): "
+        f"{construction_ms} (reference: 117)",
+        file=sys.stderr,
+    )
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     detail = {
         "metric": "total_wall_sec_all_queries",
@@ -121,6 +158,7 @@ def main() -> None:
         "runs_per_query": runs,
         "queries": medians,
         "queries_spread": spread,
+        "stack_construction_ms": construction_ms,
         "sf": float(sf),
     }
     # Full per-query detail goes to a side file (and an EARLY stdout line for

@@ -317,25 +317,50 @@ def stack(
     """
     if xy_coords not in ("topleft", "center"):
         raise ValueError(f"xy_coords must be 'topleft' or 'center', got {xy_coords!r}")
+    prepared: Prepared | None = None
     if isinstance(items, str):
         from stackstac_spark.sources.stac import items_from_jsonl
 
         items_df, assets_df = items_from_jsonl(spark, items)
     else:
-        items_df, assets_df = items_to_dataframes(spark, items)
-    prepared: Prepared = prepare(
-        items_df,
-        assets_df,
-        assets=assets,
-        epsg=epsg,
-        resolution=resolution,
-        bounds=bounds,
-        bounds_latlon=bounds_latlon,
-        snap_bounds=snap_bounds,
-        rescale=rescale,
-        dtype=dtype,
-        sortby_date=sortby_date,
-    )
+        from stackstac_spark.prepare_local import LOCAL_PREPARE_MAX, prepare_local
+        from stackstac_spark.sources.stac import items_to_plain
+
+        plain = items_to_plain(items)
+        if len(plain) <= LOCAL_PREPARE_MAX:
+            # small driver-side catalogs: identical inference in numpy, zero
+            # Spark jobs during planning (parity-tested vs prepare.py in
+            # tests/test_prepare_local_parity.py) — the reference plans a
+            # 13-item stack in ~117 ms (BASELINE.md) and so should we
+            prepared = prepare_local(
+                spark,
+                plain,
+                assets=assets,
+                epsg=epsg,
+                resolution=resolution,
+                bounds=bounds,
+                bounds_latlon=bounds_latlon,
+                snap_bounds=snap_bounds,
+                rescale=rescale,
+                dtype=dtype,
+                sortby_date=sortby_date,
+            )
+        else:
+            items_df, assets_df = items_to_dataframes(spark, plain)
+    if prepared is None:
+        prepared = prepare(
+            items_df,
+            assets_df,
+            assets=assets,
+            epsg=epsg,
+            resolution=resolution,
+            bounds=bounds,
+            bounds_latlon=bounds_latlon,
+            snap_bounds=snap_bounds,
+            rescale=rescale,
+            dtype=dtype,
+            sortby_date=sortby_date,
+        )
     tiles_grid = tile_grid(spark, prepared.spec, chunksize=chunksize, bounds=bounds, dtype=dtype)
     joined = join_assets_to_tiles(prepared.asset_table, tiles_grid)
     error_acc = spark.sparkContext.accumulator(0)
