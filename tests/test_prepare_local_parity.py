@@ -242,3 +242,82 @@ def test_stack_routes_small_lists_to_local_path(spark, monkeypatch):
     # and the stack still computes correctly through the normal scan
     dense = st.compute()
     assert dense.shape[0] == 2 and not np.isnan(dense).all()
+
+
+# ---------------------------------------------------------------------------
+# randomized parity fuzz
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@st.composite
+def catalogs(draw):
+    n = draw(st.integers(1, 5))
+    kw = {"epsg": 32633}
+    items = []
+    pool = ["red", "nir", "green"]
+    any_no_trans = False
+    for i in range(n):
+        n_assets = draw(st.integers(1, 3))
+        no_trans = draw(st.booleans())
+        any_no_trans = any_no_trans or no_trans
+        cross = (not no_trans) and draw(st.booleans())
+        if cross:
+            items.append(
+                _item(i, dt=f"2024-02-{draw(st.integers(1, 28)):02d}T00:00:00Z",
+                      epsg=4326, origin=(15.0 + i * 0.002, 36.2),
+                      res=draw(st.sampled_from([0.0001, 0.0002])),
+                      shape=(draw(st.integers(20, 60)), draw(st.integers(20, 60))),
+                      assets=tuple(pool[:n_assets]),
+                      item_bbox=(15.0, 36.1, 15.05, 36.2))
+            )
+        else:
+            items.append(
+                _item(i, dt=f"2024-01-{draw(st.integers(1, 28)):02d}T00:00:00Z",
+                      origin=(500000.0 + i * draw(st.sampled_from([0.0, 80.0, 130.0])),
+                              4000640.0 - i * draw(st.sampled_from([0.0, 40.0]))),
+                      res=draw(st.sampled_from([10.0, 20.0])),
+                      shape=(draw(st.integers(20, 64)), draw(st.integers(20, 64))),
+                      assets=tuple(pool[:n_assets]),
+                      no_transform=no_trans)
+            )
+    if draw(st.booleans()):
+        kw["resolution"] = draw(st.sampled_from([10.0, (10.0, 20.0)]))
+    elif any_no_trans or True:
+        pass  # inferred; branches mix same-CRS / cross-CRS / shape-quotient
+    if draw(st.booleans()):
+        kw["bounds"] = (500000.0, 4000100.0, 500500.0, 4000640.0)
+        if "resolution" not in kw:
+            kw["resolution"] = 10.0  # bounds filter can drop the res source
+    kw["snap_bounds"] = draw(st.booleans())
+    kw["sortby_date"] = draw(st.sampled_from(["asc", "desc"]))
+    kw["assets"] = draw(st.sampled_from([None, ["red"], "image/tiff"]))
+    return items, kw
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(case=catalogs())
+def test_parity_fuzz_random_catalogs(spark, case):
+    items, kw = case
+    try:
+        loc = prepare_local(spark, items, **kw)
+        loc_err = None
+    except Exception as e:  # noqa: BLE001
+        loc, loc_err = None, e
+    items_df, assets_df = items_to_dataframes(spark, items)
+    try:
+        dist = prepare(items_df, assets_df, persist=False, **kw)
+        dist_err = None
+    except Exception as e:  # noqa: BLE001
+        dist, dist_err = None, e
+    if loc_err or dist_err:
+        assert type(loc_err) is type(dist_err), (loc_err, dist_err)
+        assert str(loc_err)[:60] == str(dist_err)[:60]
+        return
+    _assert_same(loc, dist)
