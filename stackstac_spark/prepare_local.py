@@ -87,21 +87,22 @@ def prepare_local(
     asset_rows = [a for r in rows for a in r[1]]
 
     # 1. sort items, assign item_idx (missing datetime sorts as "")
-    if sortby_date not in (None, False):
+    if sortby_date == "desc":
+        # Spark sorts (datetime DESC, item_id ASC): two stable passes
+        keyed = sorted(item_rows, key=lambda r: r[_I["item_id"]] or "")
+        keyed = sorted(keyed, key=lambda r: r[_I["datetime"]] or "", reverse=True)
+    elif sortby_date not in (None, False):
         keyed = sorted(
             item_rows,
             key=lambda r: (r[_I["datetime"]] or "", r[_I["item_id"]] or ""),
-            reverse=(sortby_date == "desc"),
         )
-        if sortby_date == "desc":
-            # Spark sorts (datetime DESC, item_id ASC): re-sort ties asc
-            keyed = sorted(keyed, key=lambda r: r[_I["item_id"]] or "")
-            keyed = sorted(
-                keyed, key=lambda r: r[_I["datetime"]] or "", reverse=True
-            )
     else:
         keyed = sorted(item_rows, key=lambda r: r[_I["item_id"]] or "")
-    item_idx = {r[_I["item_id"]]: i for i, r in enumerate(keyed)}
+    # id → ALL indices carrying it: duplicate item ids fan out exactly like
+    # the distributed path's assets⋈items equi-join on item_id
+    item_idxs: dict[str, list[int]] = {}
+    for i, r in enumerate(keyed):
+        item_idxs.setdefault(r[_I["item_id"]], []).append(i)
 
     # 2. asset-id selection (select_asset_ids semantics, prepare.py:93-125)
     if isinstance(assets, (list, tuple)):
@@ -133,29 +134,38 @@ def prepare_local(
         asset_ids = list(dict.fromkeys(best[0][1])) if best else []
     if not asset_ids:
         raise ValueError("No assets selected")
-    band_idx = {a: i for i, a in enumerate(asset_ids)}
+    # id → ALL band positions (a duplicated explicit asset id fans out into
+    # one band per occurrence, matching the band_idx_df equi-join)
+    band_idxs: dict[str, list[int]] = {}
+    for i, a in enumerate(asset_ids):
+        band_idxs.setdefault(a, []).append(i)
 
-    # 3. effective per-asset metadata (asset field falls back to item level)
-    by_item = {r[_I["item_id"]]: r for r in item_rows}
+    # 3. effective per-asset metadata (asset field falls back to item level);
+    #    the double loop IS the assets ⋈ band_idx_df ⋈ items_idx join of the
+    #    distributed path, so duplicate ids produce the same fan-out
     sel = []
     for a in asset_rows:
-        if a[_A["asset_id"]] not in band_idx:
+        if a[_A["asset_id"]] not in band_idxs:
             continue
-        it = by_item[a[_A["item_id"]]]
-        sel.append(
-            {
-                "item_id": a[_A["item_id"]],
-                "asset_id": a[_A["asset_id"]],
-                "href": a[_A["href"]],
-                "epsg": a[_A["proj_epsg"]] if a[_A["proj_epsg"]] is not None else it[_I["proj_epsg"]],
-                "bbox": a[_A["proj_bbox"]] if a[_A["proj_bbox"]] is not None else it[_I["proj_bbox"]],
-                "shape": a[_A["proj_shape"]] if a[_A["proj_shape"]] is not None else it[_I["proj_shape"]],
-                "trans": a[_A["proj_transform"]] if a[_A["proj_transform"]] is not None else it[_I["proj_transform"]],
-                "i_bbox": it[_I["bbox"]],
-                "scale": 1.0 if not rescale else a[_A["scale"]],
-                "offset": 0.0 if not rescale else a[_A["offset"]],
-            }
-        )
+        for ii in item_idxs[a[_A["item_id"]]]:
+            it = keyed[ii]
+            for bi in band_idxs[a[_A["asset_id"]]]:
+                sel.append(
+                    {
+                        "item_idx": ii,
+                        "band_idx": bi,
+                        "item_id": a[_A["item_id"]],
+                        "asset_id": a[_A["asset_id"]],
+                        "href": a[_A["href"]],
+                        "epsg": a[_A["proj_epsg"]] if a[_A["proj_epsg"]] is not None else it[_I["proj_epsg"]],
+                        "bbox": a[_A["proj_bbox"]] if a[_A["proj_bbox"]] is not None else it[_I["proj_bbox"]],
+                        "shape": a[_A["proj_shape"]] if a[_A["proj_shape"]] is not None else it[_I["proj_shape"]],
+                        "trans": a[_A["proj_transform"]] if a[_A["proj_transform"]] is not None else it[_I["proj_transform"]],
+                        "i_bbox": it[_I["bbox"]],
+                        "scale": 1.0 if not rescale else a[_A["scale"]],
+                        "offset": 0.0 if not rescale else a[_A["offset"]],
+                    }
+                )
 
     # 4. output CRS (prepare.py:187-206 semantics)
     if epsg is None:
@@ -175,6 +185,13 @@ def prepare_local(
     # 5. out-CRS bounds, priority chain + guards (one python pass instead of
     #    the one-aggregate Spark job — same branches, same error strings)
     bad_scale = no_geom = non_rect = no_res = None
+
+    def _wit(cur, s):
+        # Spark picks F.max(struct(asset_id, item_id)) — the lexicographic
+        # MAX witness — so error messages match the distributed path exactly
+        if cur is None or (s["asset_id"], s["item_id"]) > (cur["asset_id"], cur["item_id"]):
+            return s
+        return cur
     rescale_witness = None
     same_r = []
     cross_r = []
@@ -182,14 +199,14 @@ def prepare_local(
     union = [np.inf, np.inf, -np.inf, -np.inf]
     for s in sel:
         if isinstance(s["scale"], float) and np.isnan(s["scale"]):
-            bad_scale = bad_scale or s
+            bad_scale = _wit(bad_scale, s)
         native = s["bbox"] if s["bbox"] is not None else _affine_bounds(s["shape"], s["trans"])
         if native is not None and s["epsg"] is not None:
             ob = list(reproject_bounds(tuple(native), int(s["epsg"]), out_epsg))
         elif s["i_bbox"] is not None:
             ob = list(reproject_bounds(tuple(s["i_bbox"]), 4326, out_epsg))
         else:
-            no_geom = no_geom or s
+            no_geom = _wit(no_geom, s)
             ob = None
         s["out_bounds"] = ob
         if (s["scale"] != 1.0 or s["offset"] != 0.0) and not (
@@ -201,7 +218,7 @@ def prepare_local(
         has_trans = s["trans"] is not None and s["epsg"] is not None
         if has_trans and int(s["epsg"]) == out_epsg:
             if float(s["trans"][1]) != 0.0 or float(s["trans"][3]) != 0.0:
-                non_rect = non_rect or s
+                non_rect = _wit(non_rect, s)
             else:
                 same_r.append((abs(float(s["trans"][0])), abs(float(s["trans"][4]))))
         elif has_trans:
@@ -216,7 +233,7 @@ def prepare_local(
                     )
                 )
             else:
-                no_res = no_res or s
+                no_res = _wit(no_res, s)
         if ob is not None:
             union = [
                 min(union[0], ob[0]),
@@ -298,8 +315,8 @@ def prepare_local(
         spark,
         [
             (
-                item_idx[s["item_id"]],
-                band_idx[s["asset_id"]],
+                s["item_idx"],
+                s["band_idx"],
                 s["asset_id"],
                 s["href"],
                 [float(v) for v in s["out_bounds"]],
@@ -311,7 +328,7 @@ def prepare_local(
         "item_idx INT, band_idx INT, asset_id STRING, url STRING, "
         "bounds ARRAY<DOUBLE>, scale DOUBLE, offset DOUBLE",
     )
-    surviving = {item_idx[s["item_id"]] for s in sel}
+    surviving = {s["item_idx"] for s in sel}
     from pyspark.sql import types as T
 
     items_schema = T.StructType(
@@ -331,10 +348,11 @@ def prepare_local(
     fields_acc: dict[tuple[int, str, str], set] = {}
     for a in asset_rows:
         aid = a[_A["asset_id"]]
-        if aid not in band_idx:
+        if aid not in band_idxs:
             continue
         for k, v in (a[_A["fields"]] or {}).items():
-            fields_acc.setdefault((band_idx[aid], aid, k), set()).add(v)
+            for bi in band_idxs[aid]:
+                fields_acc.setdefault((bi, aid, k), set()).add(v)
     band_fields = local_df(
         spark,
         [

@@ -313,21 +313,63 @@ def incremental_stack_sink(
         .load(jsonl_path)
     )
 
+    def _distributed_normalize(batch_df: DataFrame):
+        """mapInPandas parse for oversized batches — same kernel as the
+        JSONL catalog source, bounded driver memory."""
+        import json as _json
+
+        import pandas as pd
+
+        from stackstac_spark.sources.stac import ASSET_SCHEMA, ITEM_SCHEMA, _item_to_rows
+
+        def to_items(batches):
+            for pdf in batches:
+                rows = [
+                    _item_to_rows(_json.loads(s))[0] for s in pdf["value"] if s.strip()
+                ]
+                yield pd.DataFrame(rows, columns=[f.name for f in ITEM_SCHEMA.fields])
+
+        def to_assets(batches):
+            for pdf in batches:
+                out = []
+                for s in pdf["value"]:
+                    if s.strip():
+                        out.extend(_item_to_rows(_json.loads(s))[1])
+                yield pd.DataFrame(out, columns=[f.name for f in ASSET_SCHEMA.fields])
+
+        return (
+            batch_df.mapInPandas(to_items, ITEM_SCHEMA),
+            batch_df.mapInPandas(to_assets, ASSET_SCHEMA),
+        )
+
+    # maxFilesPerTrigger bounds files, not lines: ONE giant backfill JSONL
+    # could still be a single multi-million-line batch, which the driver-side
+    # normalize below must not collect. Above this line count the batch falls
+    # back to the distributed parse (bounded driver memory, slower per small
+    # batch — the right trade in both regimes).
+    max_driver_lines = 100_000
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         import json as _json
 
-        # A micro-batch of SCENES is catalog metadata — KBs per item, tens
-        # to thousands of items per trigger — so normalize driver-side with
-        # the same path batch stack() uses. Keeping the parse distributed
-        # (mapInPandas over the streaming frame) was measured 3x slower:
-        # every one of prepare's small aggregate actions re-executed the
-        # streaming-lineage parse through a Python worker roundtrip.
-        rows = [r.value for r in batch_df.collect() if r.value and r.value.strip()]
-        if not rows:
+        n_lines = batch_df.count()
+        if n_lines == 0:
             return
-        items_df, assets_df = items_to_dataframes(
-            spark, [_json.loads(s) for s in rows]
-        )
+        if n_lines > max_driver_lines:
+            items_df, assets_df = _distributed_normalize(batch_df)
+        else:
+            # A micro-batch of SCENES is catalog metadata — KBs per item,
+            # tens to thousands of items per trigger — so normalize
+            # driver-side with the same path batch stack() uses. Keeping the
+            # parse distributed was measured 3x slower here: every one of
+            # prepare's small aggregate actions re-executed the
+            # streaming-lineage parse through a Python worker roundtrip.
+            rows = [r.value for r in batch_df.collect() if r.value and r.value.strip()]
+            if not rows:
+                return
+            items_df, assets_df = items_to_dataframes(
+                spark, [_json.loads(s) for s in rows]
+            )
         from stackstac_spark.prepare import prepare
 
         prep = prepare(

@@ -258,11 +258,9 @@ def catalogs(draw):
     kw = {"epsg": 32633}
     items = []
     pool = ["red", "nir", "green"]
-    any_no_trans = False
     for i in range(n):
         n_assets = draw(st.integers(1, 3))
         no_trans = draw(st.booleans())
-        any_no_trans = any_no_trans or no_trans
         cross = (not no_trans) and draw(st.booleans())
         if cross:
             items.append(
@@ -285,8 +283,6 @@ def catalogs(draw):
             )
     if draw(st.booleans()):
         kw["resolution"] = draw(st.sampled_from([10.0, (10.0, 20.0)]))
-    elif any_no_trans or True:
-        pass  # inferred; branches mix same-CRS / cross-CRS / shape-quotient
     if draw(st.booleans()):
         kw["bounds"] = (500000.0, 4000100.0, 500500.0, 4000640.0)
         if "resolution" not in kw:
@@ -318,6 +314,59 @@ def test_parity_fuzz_random_catalogs(spark, case):
         dist, dist_err = None, e
     if loc_err or dist_err:
         assert type(loc_err) is type(dist_err), (loc_err, dist_err)
-        assert str(loc_err)[:60] == str(dist_err)[:60]
+        assert str(loc_err) == str(dist_err)
         return
     _assert_same(loc, dist)
+
+
+# ---------------------------------------------------------------------------
+# degenerate-input parity (r6 review fixes)
+# ---------------------------------------------------------------------------
+
+
+def test_parity_duplicate_item_ids_fan_out(spark):
+    """Two items sharing an id: the distributed path's assets⋈items join
+    fans each asset row out to BOTH item indices — the local path must
+    reproduce that, not last-id-wins."""
+    a = _item(0, dt="2024-01-01T00:00:00Z")
+    b = _item(0, dt="2024-02-01T00:00:00Z", origin=(500080.0, 4000560.0))
+    loc, dist = _both(spark, [a, b], epsg=32633, resolution=10.0)
+    _assert_same(loc, dist)
+    # 2 item rows x 2 join partners x 2 bands = 8 asset rows in BOTH paths
+    assert loc.asset_table.count() == dist.asset_table.count() == 8
+
+
+def test_parity_duplicate_explicit_assets(spark):
+    """assets=['red','red']: one band per occurrence (the band_idx_df join
+    fan-out), identically in both paths."""
+    loc, dist = _both(spark, [_item(0)], assets=["red", "red"], epsg=32633, resolution=10.0)
+    _assert_same(loc, dist)
+    assert loc.asset_ids == ["red", "red"]
+    assert sorted(r.band_idx for r in loc.asset_table.collect()) == [0, 1]
+
+
+def test_parity_error_witness_with_two_offenders(spark):
+    """Two no-geometry assets: both paths must name the SAME one (the
+    max-by-(asset_id, item_id) witness) in the full error string."""
+    bad = []
+    for i in range(2):
+        it = _item(i, no_transform=True)
+        for a in it["assets"].values():
+            del a["proj:bbox"], a["proj:shape"]
+        del it["bbox"]
+        bad.append(it)
+    with pytest.raises(ValueError) as loc_err:
+        prepare_local(spark, bad, epsg=32633, resolution=10.0)
+    items_df, assets_df = items_to_dataframes(spark, bad)
+    with pytest.raises(ValueError) as dist_err:
+        prepare(items_df, assets_df, epsg=32633, resolution=10.0, persist=False)
+    assert str(loc_err.value) == str(dist_err.value)
+
+
+def test_parity_items_df_column_order(spark):
+    """Both paths expose the same items_df schema ORDER (positional
+    consumers of create_views' item_coords must see one layout)."""
+    loc, dist = _both(spark, [_item(0)], epsg=32633, resolution=10.0)
+    assert loc.items_df.columns == dist.items_df.columns
+    assert loc.asset_table.columns == dist.asset_table.columns
+    assert loc.band_fields.columns == dist.band_fields.columns
