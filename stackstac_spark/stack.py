@@ -212,6 +212,56 @@ class RasterStack:
             items_df=items,
         )
 
+    def sel(
+        self,
+        band: list[str] | str | None = None,
+        time: "slice | str | None" = None,
+        item: list[str] | str | None = None,
+    ) -> "RasterStack":
+        """xarray-style label selection dispatcher — the reference's
+        ``.sel(band=["red","green"])`` / ``.loc["2020-01":"2020-04"]``
+        surface (README.md:53, stack.py:216-217) in one call:
+
+        - ``band``: name(s) → :meth:`sel_bands`
+        - ``time``: a ``slice(start, end)`` of ISO strings → label range
+          (:meth:`slice_time`); a bare string → exact-prefix match on the
+          item datetime (``.sel(time="2024-01")`` keeps January items)
+        - ``item``: item id(s) → metadata filter
+        """
+        st = self
+        if band is not None:
+            st = st.sel_bands([band] if isinstance(band, str) else list(band))
+        if time is not None:
+            if isinstance(time, slice):
+                if time.step is not None:
+                    raise ValueError("sel(time=slice(...)) does not support a step")
+                st = st.slice_time(time.start, time.stop)
+            else:
+                st = st.filter_items(F.col("datetime").startswith(str(time)))
+        if item is not None:
+            ids = [item] if isinstance(item, str) else list(item)
+            st = st.filter_items(F.col("item_id").isin(ids))
+        return st
+
+    def isel_time(self, idx: int | list[int]) -> "RasterStack":
+        """Positional selection on the time axis — ``arr.isel(time=i)`` /
+        ``arr[i]``. Positions address THIS stack's date-sorted items (after
+        any prior filtering, where raw item_idx values are non-contiguous);
+        negatives count from the end. The item list is metadata-sized, so
+        the position→item_idx resolution is a tiny driver pull."""
+        idx_list = sorted(
+            r.item_idx for r in self.items_df.select("item_idx").collect()
+        )
+        n = len(idx_list)
+        idxs = [idx] if isinstance(idx, int) else list(idx)
+        resolved = []
+        for i in idxs:
+            j = i + n if i < 0 else i
+            if not 0 <= j < n:
+                raise IndexError(f"time index {i} out of range for {n} items")
+            resolved.append(idx_list[j])
+        return self.filter_items(F.col("item_idx").isin(resolved))
+
     def crop(self, bounds: Bbox) -> "RasterStack":
         """Exact AOI crop — the pixel-true ``.loc[y-slice, x-slice]``: the
         result's spec IS the cropped grid (aligned with the parent, no

@@ -137,3 +137,50 @@ def test_monthly_median_ndvi_sql_workflow(spark):
     )
     assert got[("2024-02", 3, 4)] == pytest.approx(nd(2, 3, 4), abs=1e-12)
     assert len(got) == 2 * 16 * 16
+
+
+# ---------------------------------------------------------------------------
+# xarray-style .sel / .isel dispatchers (round 6)
+# ---------------------------------------------------------------------------
+
+
+def test_sel_dispatcher_band_time_item(spark):
+    from tests.conftest import make_item
+
+    items = [
+        make_item(0, "2024-01-05T00:00:00Z", (0.0, 0.0, 16.0, 16.0)),
+        make_item(1, "2024-02-05T00:00:00Z", (0.0, 0.0, 16.0, 16.0)),
+        make_item(2, "2024-02-20T00:00:00Z", (0.0, 0.0, 16.0, 16.0)),
+    ]
+    st = stack(spark, items, assets=["red", "nir"], chunksize=16)
+    one = st.sel(band="red", time=slice("2024-02-01", "2024-02-10"))
+    assert one.asset_ids == ["red"]
+    assert [r.item_id for r in one.items_df.collect()] == ["item-0001"]
+    feb = st.sel(time="2024-02")  # prefix match keeps both February items
+    assert feb.items_df.count() == 2
+    byid = st.sel(item="item-0002")
+    assert [r.item_idx for r in byid.items_df.collect()] == [2]
+    with pytest.raises(ValueError, match="step"):
+        st.sel(time=slice("2024-01", "2024-02", 2))
+    # chained: sel returns a stack, so compute still works
+    dense = one.compute()
+    assert dense.shape[:2] == (1, 1)
+
+
+def test_isel_time_positions_after_filtering(spark):
+    from tests.conftest import make_item
+
+    items = [
+        make_item(i, f"2024-01-{i+1:02d}T00:00:00Z", (0.0, 0.0, 16.0, 16.0))
+        for i in range(4)
+    ]
+    st = stack(spark, items, assets=["red"], chunksize=16)
+    assert [r.item_idx for r in st.isel_time(0).items_df.collect()] == [0]
+    assert [r.item_idx for r in st.isel_time(-1).items_df.collect()] == [3]
+    assert sorted(r.item_idx for r in st.isel_time([1, 2]).items_df.collect()) == [1, 2]
+    # positions address the FILTERED stack: drop item 0, position 0 -> item 1
+    sub = st.filter_items(F.col("item_id") != "item-0000")
+    assert [r.item_idx for r in sub.isel_time(0).items_df.collect()] == [1]
+    assert [r.item_idx for r in sub.isel_time(-1).items_df.collect()] == [3]
+    with pytest.raises(IndexError, match="out of range"):
+        sub.isel_time(3)
