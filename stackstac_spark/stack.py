@@ -358,8 +358,15 @@ def stack(
     errors_as_nodata: tuple | None = None,
     dtype: str = "float64",
     xy_coords: str = "topleft",
+    properties: bool | str | list = True,
+    band_coords: bool = True,
 ) -> RasterStack:
     """items → prepared asset table → tile grid join → lazy scan.
+
+    ``properties`` picks which item-property fields are exposed as
+    time-dimension metadata (reference stack.py:45,230-237): ``True`` = all,
+    ``False`` = none, a name or list = only those. ``band_coords=False``
+    drops the per-band metadata table (reference stack.py:46,238).
 
     ``items`` may be STAC-ish objects/dicts (driver-side normalization) or a
     string path/glob to item JSONL on storage (distributed ingest —
@@ -424,12 +431,23 @@ def stack(
     if errors_as_nodata is not None:
         kwargs["errors_as_nodata"] = errors_as_nodata
     tiles = scan_tiles(joined, prepared.spec, **kwargs)
+    items_df = prepared.items_df
+    if properties is False:
+        items_df = items_df.withColumn(
+            "properties", F.expr("cast(map() as map<string,string>)")
+        )
+    elif properties is not True:
+        keep = [properties] if isinstance(properties, str) else list(properties)
+        items_df = items_df.withColumn(
+            "properties",
+            F.map_filter("properties", lambda k, v: k.isin(*keep) if len(keep) else F.lit(False)),
+        )
     return RasterStack(
         tiles=tiles,
         spec=prepared.spec,
         asset_ids=prepared.asset_ids,
-        items_df=prepared.items_df,
-        band_fields=prepared.band_fields,
+        items_df=items_df,
+        band_fields=prepared.band_fields if band_coords else None,
         dtype=dtype,
         fill_value=fill_value,
         xy_coords=xy_coords,

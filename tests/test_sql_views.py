@@ -184,3 +184,32 @@ def test_isel_time_positions_after_filtering(spark):
     assert [r.item_idx for r in sub.isel_time(-1).items_df.collect()] == [3]
     with pytest.raises(IndexError, match="out of range"):
         sub.isel_time(3)
+
+
+def test_stack_properties_and_band_coords_params(spark):
+    """Reference stack() parity (stack.py:45-46): properties= picks which
+    item-property fields survive as time metadata; band_coords=False drops
+    the per-band metadata table."""
+    from tests.conftest import make_item
+
+    items = [make_item(0, "2024-01-05T00:00:00Z", (0.0, 0.0, 16.0, 16.0))]
+    full = stack(spark, items, assets=["red"], chunksize=16)
+    assert len(full.items_df.first().properties) > 1
+    assert full.band_fields is not None and full.band_fields.count() > 0
+
+    none = stack(spark, items, assets=["red"], chunksize=16, properties=False,
+                 band_coords=False)
+    assert none.items_df.first().properties == {}
+    assert none.band_fields is None
+    # the data plane is untouched: pixels still compute
+    assert not np.isnan(none.compute()).all()
+
+    one = stack(spark, items, assets=["red"], chunksize=16,
+                properties="eo:cloud_cover")
+    assert set(one.items_df.first().properties) == {"eo:cloud_cover"}
+    some = stack(spark, items, assets=["red"], chunksize=16,
+                 properties=["eo:cloud_cover", "constant_prop"])
+    assert set(some.items_df.first().properties) == {"eo:cloud_cover", "constant_prop"}
+    # create_views omits the band_fields view when band_coords=False
+    names = none.create_views(prefix="nb_")
+    assert "nb_band_fields" not in names
