@@ -2802,6 +2802,20 @@ def _fake_items(
 
 
 _STACK_CACHE: dict = {}
+_GATE_TMPDIR: list = []  # lazily-created per-process fixture dir
+
+
+def _gate_tmpdir() -> str:
+    """Per-process temp directory for gate fixtures. A fixed shared filename
+    (the r6 approach) lets concurrent sessions on one machine race on the
+    same file — and a rewrite mid-session could serve stale cached IFD
+    offsets. mkdtemp is unique per process, so fixtures are session-private;
+    minitiff.open_cached additionally stat-invalidates on rewrite."""
+    import tempfile
+
+    if not _GATE_TMPDIR:
+        _GATE_TMPDIR.append(tempfile.mkdtemp(prefix="stackstac_spark_gate_"))
+    return _GATE_TMPDIR[0]
 
 
 def _raster_stack(
@@ -4976,7 +4990,7 @@ def q_raster_real_tiff(spark, sf):
     rr, cc = np.meshgrid(np.arange(48), np.arange(48), indexing="ij")
     arr = (rr * 1000.0 + cc).astype("float64")
     arr[(rr * 48 + cc) % 13 == 0] = -1.0
-    path = os.path.join(tempfile.gettempdir(), "stackstac_spark_gate_real.tif")
+    path = os.path.join(_gate_tmpdir(), "real.tif")
     minitiff.write_geotiff(
         path,
         arr,
@@ -5039,7 +5053,7 @@ def q_raster_tiff_sink(spark, sf):
         q_raster_real_tiff(spark, sf)  # ensures the source file + cached stack
         st = _STACK_CACHE[(id(spark), "real-tiff")]
         cropped = st.crop((500080.0, 3999600.0, 500400.0, 3999920.0))  # px [8,40)²
-        out = os.path.join(tempfile.gettempdir(), "stackstac_spark_gate_sink.tif")
+        out = os.path.join(_gate_tmpdir(), "sink.tif")
         plane_to_geotiff(cropped.mosaic(), cropped.spec, out)
         b = list(cropped.spec.bounds)
         item = {
@@ -5086,7 +5100,7 @@ def q_stream_scenes(spark, sf):
     from stackstac_spark.sources.raster import explode_pixels
     from stackstac_spark.streaming.ingest import incremental_stack_sink
 
-    base = os.path.join(tempfile.gettempdir(), "stackstac_spark_gate_stream")
+    base = os.path.join(_gate_tmpdir(), "stream")
     in_dir = os.path.join(base, "in")
     out = os.path.join(base, "out")
     ckpt = os.path.join(base, "ck")

@@ -514,7 +514,14 @@ def prepare(
         assets_df.join(F.broadcast(band_idx_df), "asset_id")
         .select("asset_id", "band_idx", F.explode_outer("fields").alias("key", "value"))
         .groupBy("band_idx", "asset_id", "key")
-        .agg(F.count_distinct("value").alias("nvals"), F.first("value").alias("value"))
+        .agg(
+            F.count_distinct("value").alias("nvals"),
+            # ignorenulls: a key carried as {null, "x"} has one distinct
+            # non-null value and must deterministically surface "x" — plain
+            # first() could return the null depending on row order, diverging
+            # from prepare_local.py:359's next-non-null pick
+            F.first("value", ignorenulls=True).alias("value"),
+        )
         .filter((F.col("nvals") == 1) & F.col("key").isNotNull())
         .select("band_idx", "asset_id", "key", "value")
     )

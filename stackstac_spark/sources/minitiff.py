@@ -127,7 +127,10 @@ def _lzw_decode(buf: bytes) -> bytes:
         if code == _LZW_CLEAR:
             table = [bytes([i]) for i in range(256)] + [b"", b""]
             nbits = 9
-            code = get()
+            # consecutive Clear codes are legal (libtiff/GDAL emit them when
+            # flushing); keep resetting until a literal arrives
+            while (code := get()) == _LZW_CLEAR:
+                pass
             if code is None or code == _LZW_EOI:
                 break
             if code > 255:
@@ -544,26 +547,41 @@ class MiniTiffDataset:
 # -- handle cache (same close-on-evict LRU policy as the rasterio path's
 #    _open_dataset, sources/raster.py:167-207) ------------------------------
 
-_CACHE: OrderedDict[str, MiniTiffDataset] = OrderedDict()
+# path -> (dataset, (mtime_ns, size)); the stat signature invalidates stale
+# parsed offsets when a file is rewritten in place (ADVICE r6)
+_CACHE: "OrderedDict[str, tuple[MiniTiffDataset, tuple[int, int]]]" = OrderedDict()
 _CACHE_MAX = 32
 
 
 def open_cached(path: str) -> MiniTiffDataset:
-    ds = _CACHE.get(path)
-    if ds is not None:
-        _CACHE.move_to_end(path)
-        return ds
+    import os
+
+    st = os.stat(path)
+    sig = (st.st_mtime_ns, st.st_size)
+    hit = _CACHE.get(path)
+    if hit is not None:
+        ds, cached_sig = hit
+        if cached_sig == sig:
+            _CACHE.move_to_end(path)
+            return ds
+        # the file changed under us (rewritten fixture, re-synced object):
+        # cached IFD/chunk offsets would read garbage — drop and reopen
+        del _CACHE[path]
+        try:
+            ds.close()
+        except Exception:
+            pass
     ds = MiniTiffDataset(path)
-    _CACHE[path] = ds
+    _CACHE[path] = (ds, sig)
     if len(_CACHE) > _CACHE_MAX:
-        _, old = _CACHE.popitem(last=False)
+        _, (old, _sig) = _CACHE.popitem(last=False)
         old.close()
     return ds
 
 
 def cache_clear() -> None:
     while _CACHE:
-        _, old = _CACHE.popitem()
+        _, (old, _sig) = _CACHE.popitem()
         try:
             old.close()
         except Exception:
@@ -609,6 +627,22 @@ def _predict3(chunk: np.ndarray) -> bytes:
     out = planes.copy()
     out[:, 1:] = planes[:, 1:] - planes[:, :-1]
     return out.tobytes()
+
+
+# Geographic (2D lat/lon) CRSs the engine's built-in transform layer knows
+# about, plus the rest of the commonly tagged geographic codes. The 4000-5000
+# block is NOT uniformly geographic (EPSG:4087/4088 are projected world
+# equidistant grids), so a range test would misfile them into
+# GeographicTypeGeoKey for external readers; key off an explicit set and
+# treat everything else as projected. Self round-trip is unaffected either
+# way (_parse_epsg reads both keys); this only affects what GDAL sees.
+_GEOGRAPHIC_EPSG = frozenset(
+    {4326, 4267, 4269, 4258, 4283, 4490, 4617, 4619, 4674, 4759, 4765, 4612}
+)
+
+
+def _is_geographic_epsg(epsg: int) -> bool:
+    return epsg in _GEOGRAPHIC_EPSG
 
 
 def write_geotiff(
@@ -734,7 +768,7 @@ def write_geotiff(
             entries.append((_T_PIXEL_SCALE, 12, 3, _pack("d", [a, -e, 0.0])))
             entries.append((_T_TIEPOINT, 12, 6, _pack("d", [0.0, 0.0, 0.0, c, f, 0.0])))
             if epsg is not None:
-                model = 2 if 4000 <= epsg < 5000 else 1  # geographic vs projected
+                model = 2 if _is_geographic_epsg(epsg) else 1
                 cs_key = _GK_GEOGRAPHIC_CS if model == 2 else _GK_PROJECTED_CS
                 geokeys = [1, 1, 0, 3, _GK_MODEL_TYPE, 0, 1, model,
                            _GK_RASTER_TYPE, 0, 1, 1, cs_key, 0, 1, epsg]

@@ -242,10 +242,10 @@ def _read_real_window(
     vrt_needed = not (
         ds.crs is not None
         and ds.crs.to_epsg() == spec.epsg
-        and ds.transform.a == xres
-        and ds.transform.e == -yres
-        and (ds.transform.c - gminx) % xres == 0
-        and (ds.transform.f - gmaxy) % yres == 0
+        and _grid_aligned(
+            ds.transform.a, ds.transform.e, ds.transform.c, ds.transform.f,
+            xres, yres, gminx, gmaxy,
+        )
     )
     src = ds
     if vrt_needed:
@@ -288,6 +288,38 @@ def _read_real_window(
             # transformer) leaks on every tile read
             src.close()
     return np.ma.filled(arr.astype("float64"), np.nan)
+
+
+def _grid_aligned(
+    a: float,
+    e: float,
+    c: float,
+    f: float,
+    xres: float,
+    yres: float,
+    gminx: float,
+    gmaxy: float,
+    rel_tol: float = 1e-9,
+) -> bool:
+    """True when the dataset grid ``(a, e, c, f)`` coincides with the spec
+    grid up to float rounding: same pixel size and an origin offset that is a
+    whole number of pixels. Exact ``==``/``%`` tests would silently demote a
+    grid that differs only in the 1e-13 digits to the nearest-neighbor
+    mini-warp (or, for non-nearest resampling, a spurious error), so compare
+    the residual of the rounded pixel shift instead."""
+    import math
+
+    if not (
+        math.isclose(a, xres, rel_tol=rel_tol)
+        and math.isclose(e, -yres, rel_tol=rel_tol)
+    ):
+        return False
+    col_shift = (c - gminx) / xres
+    row_shift = (gmaxy - f) / yres
+    return (
+        abs(col_shift - round(col_shift)) <= rel_tol * max(1.0, abs(col_shift))
+        and abs(row_shift - round(row_shift)) <= rel_tol * max(1.0, abs(row_shift))
+    )
 
 
 def _read_fallback_window(
@@ -344,13 +376,7 @@ def _read_fallback_window(
     # spec-CRS for the ALIGNED fast path only; a grid mismatch without a CRS
     # is unresolvable and must error clearly rather than blame pyproj.
     same_crs = ds.epsg is None or ds.epsg == spec.epsg
-    aligned = (
-        same_crs
-        and a == xres
-        and e == -yres
-        and (c - gminx) % xres == 0
-        and (f - gmaxy) % yres == 0
-    )
+    aligned = same_crs and _grid_aligned(a, e, c, f, xres, yres, gminx, gmaxy)
     if not aligned and ds.epsg is None:
         raise ValueError(
             f"{url!r} carries no EPSG GeoKey and its grid does not match the "

@@ -323,6 +323,58 @@ def test_open_cached_evicts_and_closes(tmp_path):
     assert all(h._fh.closed for h in handles)
 
 
+def test_open_cached_invalidates_on_rewrite(tmp_path):
+    """Rewriting a file in place must not serve stale parsed offsets
+    (ADVICE r6): the cache keys on (mtime_ns, size) and reopens on change."""
+    import os
+
+    M.cache_clear()
+    p = str(tmp_path / "rw.tif")
+    M.write_geotiff(p, np.full((16, 16), 7, "u1"), 4326, M.from_origin(0, 16, 1, 1))
+    ds1 = M.open_cached(p)
+    assert ds1.read_full()[0, 0] == 7.0
+    # rewrite with different content AND layout (strips → different offsets)
+    M.write_geotiff(p, np.full((16, 16), 9, "u1"), 4326, M.from_origin(0, 16, 1, 1),
+                    tile=None, rows_per_strip=4, compress="none")
+    os.utime(p, ns=(os.stat(p).st_atime_ns, os.stat(p).st_mtime_ns + 1))
+    ds2 = M.open_cached(p)
+    assert ds2 is not ds1 and ds1._fh.closed
+    assert ds2.read_full()[0, 0] == 9.0
+    M.cache_clear()
+
+
+def test_grid_aligned_tolerates_float_rounding():
+    """ADVICE r6: alignment is decided with a relative tolerance, not exact
+    float equality — a grid equal up to 1e-13 rounding must take the direct
+    path, a genuinely shifted grid must not."""
+    xres = yres = 10.0
+    gminx, gmaxy = 500000.0, 4000000.0
+    # same grid, origin recomputed through float math that rounds
+    c = gminx + 37 * xres * (1 + 2e-14)
+    f = gmaxy - 5 * yres * (1 - 3e-14)
+    assert R._grid_aligned(10.0 * (1 + 1e-13), -10.0, c, f, xres, yres, gminx, gmaxy)
+    # half-pixel shift: NOT aligned
+    assert not R._grid_aligned(10.0, -10.0, gminx + 5.0, gmaxy, xres, yres, gminx, gmaxy)
+    # resolution mismatch: NOT aligned
+    assert not R._grid_aligned(20.0, -10.0, gminx, gmaxy, xres, yres, gminx, gmaxy)
+
+
+def test_writer_geokey_model_type_set_based(tmp_path):
+    """EPSG:4087 (world equidistant cylindrical) sits in the 4xxx block but
+    is PROJECTED — the writer must key model type off the known-geographic
+    set, not the numeric range (ADVICE r6)."""
+    import struct as S
+
+    for epsg, want_model in [(4326, 2), (4087, 1), (32633, 1), (3031, 1)]:
+        p = str(tmp_path / f"mk{epsg}.tif")
+        M.write_geotiff(p, np.zeros((16, 16), "u1"), epsg, M.from_origin(0, 16, 1, 1))
+        with M.MiniTiffDataset(p) as ds:
+            assert ds.epsg == epsg  # self round-trip reads either key
+            keys = ds._values(M._T_GEO_KEYS)
+            kv = {keys[4 + 4 * i]: keys[7 + 4 * i] for i in range(keys[3])}
+            assert kv[M._GK_MODEL_TYPE] == want_model, epsg
+
+
 # ---------------------------------------------------------------------------
 # GeoTIFF sink (operators/export.py::plane_to_geotiff) — the full IO loop
 # ---------------------------------------------------------------------------
@@ -407,6 +459,17 @@ def test_lzw_codec_roundtrip_and_handbuilt_stream():
     assert M._lzw_decode(stream) == b"AB"
     with pytest.raises(M.TiffError, match="does not start with a Clear"):
         M._lzw_decode(bytes([0b00000100, 0b00000000]))  # code 8, no Clear
+    # consecutive Clear codes are legal (libtiff emits them when flushing):
+    # Clear Clear Clear 'A' 'B' EOI must decode as "AB", not raise (ADVICE r6)
+    bits = "".join(format(c, "09b") for c in (256, 256, 256, 65, 66, 257))
+    bits += "0" * ((8 - len(bits) % 8) % 8)
+    stream = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    assert M._lzw_decode(stream) == b"AB"
+    # Clear immediately before EOI is also fine (empty tail)
+    bits = "".join(format(c, "09b") for c in (256, 65, 256, 256, 257))
+    bits += "0" * ((8 - len(bits) % 8) % 8)
+    stream = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    assert M._lzw_decode(stream) == b"A"
 
 
 @pytest.mark.parametrize("bigtiff", [False, True])

@@ -200,6 +200,36 @@ def test_parity_band_fields_constancy(spark):
     assert "eo:bands" in keys and "roles" not in keys  # varying field dropped
 
 
+def test_band_fields_null_mixed_value(spark):
+    # ADVICE r6: a key carried as {NULL, "x"} across an asset's rows has ONE
+    # distinct non-null value (count_distinct ignores nulls) — the
+    # distributed path must deterministically surface "x", not a
+    # row-order-dependent NULL from a plain first(). The dict-ingestion path
+    # stringifies None to "null", so inject genuine SQL NULL map values by
+    # rewriting assets_df directly.
+    from pyspark.sql import functions as F
+
+    items = [_item(0), _item(1)]
+    items_df, assets_df = items_to_dataframes(spark, items)
+    assets_df = assets_df.withColumn(
+        "fields",
+        F.map_from_arrays(
+            F.array(F.lit("gsd"), F.lit("all_null")),
+            F.array(
+                F.when(F.col("item_id") == "it-01", F.lit("10")).otherwise(
+                    F.lit(None).cast("string")
+                ),
+                F.lit(None).cast("string"),
+            ),
+        ),
+    )
+    dist = prepare(items_df, assets_df, persist=False, epsg=32633, resolution=10.0)
+    vals = {(r.asset_id, r.key): r.value for r in dist.band_fields.collect()}
+    assert vals[("red", "gsd")] == "10"
+    assert vals[("nir", "gsd")] == "10"
+    assert ("red", "all_null") not in vals  # no non-null value → dropped
+
+
 def test_parity_rescale_guard_and_disable(spark):
     items = [_item(0, scale=(2.0, 1.5))]
     loc, dist = _both(spark, items, epsg=32633, resolution=10.0)
