@@ -5,10 +5,11 @@ The reference leans on pyproj (geom_utils.py:15,42-53) for two things:
 (2) inverse-transforming output pixel grids during ``reproject_array``.
 pyproj is not in this container, so this module implements the projections
 the STAC ecosystem actually uses — EPSG:4326 (lon/lat), EPSG:3857
-(Web Mercator) and the UTM zones (326xx/327xx, Transverse Mercator on
-WGS84) — from the published formulas (Karney/Krüger series as given in
-standard references, e.g. Snyder, *Map Projections — A Working Manual*).
-If pyproj IS importable it is preferred, transparently.
+(Web Mercator), the UTM zones (326xx/327xx, Transverse Mercator on
+WGS84), and the polar stereographic grids (3031/3032/3413/3976/3995 —
+EPSG method 9829 "variant B") — from the published formulas
+(Karney/Krüger series and Snyder, *Map Projections — A Working Manual*,
+§21). If pyproj IS importable it is preferred, transparently.
 
 All kernels are numpy-vectorized so they slot into Arrow-batched pandas UDFs.
 """
@@ -45,8 +46,23 @@ def _utm_zone(epsg: int) -> tuple[int, bool] | None:
     return None
 
 
+# Polar Stereographic (EPSG method 9829, "variant B") parameter sets for the
+# common polar grids — (standard_parallel_deg, lon_origin_deg, FE, FN). The
+# most common non-UTM real-world CRSs on STAC items (Antarctic / Arctic
+# collections); the reference handles them via pyproj (geom_utils.py:15-53).
+_PS_PARAMS: dict[int, tuple[float, float, float, float]] = {
+    3031: (-71.0, 0.0, 0.0, 0.0),  # WGS84 / Antarctic Polar Stereographic
+    3032: (-71.0, 70.0, 6000000.0, 6000000.0),  # Australian Antarctic
+    3413: (70.0, -45.0, 0.0, 0.0),  # NSIDC Sea Ice Polar Stereographic North
+    3976: (-70.0, 0.0, 0.0, 0.0),  # NSIDC Sea Ice Polar Stereographic South
+    3995: (71.0, 0.0, 0.0, 0.0),  # WGS84 / Arctic Polar Stereographic
+}
+
+
 def _supported(epsg: int) -> bool:
-    return epsg in (4326, 3857) or _utm_zone(epsg) is not None
+    return (
+        epsg in (4326, 3857) or epsg in _PS_PARAMS or _utm_zone(epsg) is not None
+    )
 
 
 # --- Web Mercator ---------------------------------------------------------
@@ -129,6 +145,67 @@ def _utm_to_ll(x: np.ndarray, y: np.ndarray, zone: int, north: bool) -> tuple[np
     return np.degrees(lam + lon0), np.degrees(phi)
 
 
+# --- Polar Stereographic (EPSG 9829 variant B; Snyder 1987 §21) ------------
+# Ellipsoidal formulas from the published EPSG Guidance Note 7-2 / Snyder.
+# Validated against the EPSG worked example for EPSG:3032 (75°S 120°E →
+# E 7255380.79, N 7053389.56) in tests/test_units.py.
+
+
+def _ps_t(phi: np.ndarray, south: bool) -> np.ndarray:
+    """Isometric-latitude half-angle function t(φ) (Snyder eq. 15-9)."""
+    s = np.sin(phi)
+    es = ((1 + _E * s) / (1 - _E * s)) ** (_E / 2)
+    if south:
+        return np.tan(np.pi / 4 + phi / 2) / es
+    return np.tan(np.pi / 4 - phi / 2) * es
+
+
+def _ps_consts(epsg: int) -> tuple[float, float, float, float, float, bool]:
+    lat_ts, lon0, fe, fn = _PS_PARAMS[epsg]
+    south = lat_ts < 0
+    phi_f = math.radians(lat_ts)
+    s = math.sin(phi_f)
+    m_f = math.cos(phi_f) / math.sqrt(1 - _E2 * s * s)
+    t_f = float(_ps_t(np.array(phi_f), south))
+    return math.radians(lon0), fe, fn, m_f, t_f, south
+
+
+def _ll_to_ps(lon: np.ndarray, lat: np.ndarray, epsg: int) -> tuple[np.ndarray, np.ndarray]:
+    lon0, fe, fn, m_f, t_f, south = _ps_consts(epsg)
+    phi = np.radians(lat)
+    theta = np.radians(lon) - lon0
+    rho = _A * m_f * _ps_t(phi, south) / t_f
+    x = fe + rho * np.sin(theta)
+    y = fn + (rho if south else -rho) * np.cos(theta)
+    return x, y
+
+
+def _ps_to_ll(x: np.ndarray, y: np.ndarray, epsg: int) -> tuple[np.ndarray, np.ndarray]:
+    lon0, fe, fn, m_f, t_f, south = _ps_consts(epsg)
+    dx = np.asarray(x, dtype="float64") - fe
+    dy = np.asarray(y, dtype="float64") - fn
+    rho = np.hypot(dx, dy)
+    t = rho * t_f / (_A * m_f)
+    if south:
+        chi = 2 * np.arctan(t) - np.pi / 2
+        lam = np.arctan2(dx, dy)
+    else:
+        chi = np.pi / 2 - 2 * np.arctan(t)
+        lam = np.arctan2(dx, -dy)
+    # conformal → geodetic latitude, Snyder eq. 3-5 series in e²
+    e2, e4, e6, e8 = _E2, _E2**2, _E2**3, _E2**4
+    phi = (
+        chi
+        + (e2 / 2 + 5 * e4 / 24 + e6 / 12 + 13 * e8 / 360) * np.sin(2 * chi)
+        + (7 * e4 / 48 + 29 * e6 / 240 + 811 * e8 / 11520) * np.sin(4 * chi)
+        + (7 * e6 / 120 + 81 * e8 / 1120) * np.sin(6 * chi)
+        + (4279 * e8 / 161280) * np.sin(8 * chi)
+    )
+    # the pole itself has no defined longitude; pin it to λ0 like pyproj
+    lam = np.where(rho == 0, 0.0, lam)
+    return np.degrees(lam + lon0), np.degrees(phi)
+
+
 # --- public API ------------------------------------------------------------
 
 
@@ -150,13 +227,16 @@ def transform_xy(
     if not (_supported(src_epsg) and _supported(dst_epsg)):
         raise NotImplementedError(
             f"CRS pair {src_epsg}->{dst_epsg} needs pyproj (not installed); "
-            "built-in support covers 4326, 3857 and UTM 326xx/327xx"
+            "built-in support covers 4326, 3857, UTM 326xx/327xx and the "
+            f"polar stereographic grids {sorted(_PS_PARAMS)}"
         )
     # go through lon/lat
     if src_epsg == 4326:
         lon, lat = xs, ys
     elif src_epsg == 3857:
         lon, lat = _merc_to_ll(xs, ys)
+    elif src_epsg in _PS_PARAMS:
+        lon, lat = _ps_to_ll(xs, ys, src_epsg)
     else:
         zone, north = _utm_zone(src_epsg)  # type: ignore[misc]
         lon, lat = _utm_to_ll(xs, ys, zone, north)
@@ -164,6 +244,8 @@ def transform_xy(
         return lon, lat
     if dst_epsg == 3857:
         return _ll_to_merc(lon, lat)
+    if dst_epsg in _PS_PARAMS:
+        return _ll_to_ps(lon, lat, dst_epsg)
     zone, north = _utm_zone(dst_epsg)  # type: ignore[misc]
     return _ll_to_utm(lon, lat, zone, north)
 

@@ -96,6 +96,13 @@ class TiffError(ValueError):
     """Malformed or unsupported TIFF structure."""
 
 
+# Compressed bytes handed to the codec across all reads in this process —
+# the observable that proves decimated reads actually touch fewer bytes
+# (tests/test_minitiff.py asserts overview reads decode >=4x less). Not
+# thread-synchronized: Spark python workers are single-threaded processes.
+DECODE_BYTES = 0
+
+
 # -- LZW codec (TIFF 6.0 §13: MSB-first bit order, 9→12-bit codes, the
 #    "early change" quirk where the code width grows one code early) -------
 
@@ -459,6 +466,8 @@ class MiniTiffDataset:
         Tiles are always padded to (tile_h, tile_w); the final strip holds
         only its remaining rows (TIFF 6.0 §3, unpadded strips)."""
         off, cnt = self._offsets[idx], self._counts[idx]
+        global DECODE_BYTES
+        DECODE_BYTES += cnt
         self._fh.seek(off)
         buf = self._fh.read(cnt)
         if len(buf) < cnt:
@@ -534,7 +543,44 @@ class MiniTiffDataset:
         scaled by the decimation factor ``round(width / ov.width)``."""
         return MiniTiffDataset(self.path, ifd_index=index + 1)
 
+    def overviews_cached(self) -> list[tuple[int, "MiniTiffDataset"]]:
+        """(factor, dataset) per reduced-resolution IFD, ascending by factor,
+        opened once and owned by (closed with) this dataset. Only IFDs that
+        look like genuine COG overviews count: NewSubfileType=1 and dims
+        equal to ``ceil(full / factor)`` for an integer factor >= 2 — a
+        multi-page TIFF's unrelated pages are not overviews."""
+        cached = getattr(self, "_ov_cache", None)
+        if cached is not None:
+            return cached
+        ovs: list[tuple[int, MiniTiffDataset]] = []
+        for i in range(1, self.n_ifds):
+            try:
+                ov = MiniTiffDataset(self.path, ifd_index=i)
+            except TiffError:
+                break
+            if ov._scalar(254, default=0) != 1 or ov.width <= 0:
+                ov.close()
+                continue
+            factor = round(self.width / ov.width)
+            if (
+                factor >= 2
+                and -(-self.width // factor) == ov.width
+                and -(-self.height // factor) == ov.height
+            ):
+                ovs.append((factor, ov))
+            else:
+                ov.close()
+        ovs.sort(key=lambda t: t[0])
+        self._ov_cache = ovs
+        return ovs
+
     def close(self) -> None:
+        for _f, ov in getattr(self, "_ov_cache", None) or []:
+            try:
+                ov.close()
+            except Exception:
+                pass
+        self._ov_cache = None
         self._fh.close()
 
     def __enter__(self):

@@ -322,6 +322,11 @@ def _grid_aligned(
     )
 
 
+# windows served from a reduced-resolution IFD in this process (executor-
+# local; the driver-visible signal is the overview_acc accumulator)
+FALLBACK_OVERVIEW_READS = 0
+
+
 def _read_fallback_window(
     url: str,
     spec: RasterSpec,
@@ -330,6 +335,7 @@ def _read_fallback_window(
     c0: int,
     c1: int,
     resampling: str,
+    overview_mode: str = "exact",
 ) -> np.ndarray:
     """No-rasterio read path: the built-in GeoTIFF reader (sources/minitiff)
     standing in for ``AutoParallelRioReader.read`` (rio_reader.py:382-429)
@@ -397,6 +403,7 @@ def _read_fallback_window(
         )
     from stackstac_spark.functions.proj import transform_xy
 
+    nr, nc = r1 - r0, c1 - c0
     rows = np.arange(r0, r1, dtype="float64")
     cols = np.arange(c0, c1, dtype="float64")
     xs = gminx + (cols + 0.5) * xres  # dst pixel centers on the spec grid
@@ -408,11 +415,77 @@ def _read_fallback_window(
     out = np.full(sx.shape, np.nan, dtype="float64")
     valid = (srow >= 0) & (srow < ds.height) & (scol >= 0) & (scol < ds.width)
     if valid.any():
-        rmin, rmax = int(srow[valid].min()), int(srow[valid].max()) + 1
-        cmin, cmax = int(scol[valid].min()), int(scol[valid].max()) + 1
-        block = ds.read_window(rmin, rmax, cmin, cmax)
-        out[valid] = block[srow[valid] - rmin, scol[valid] - cmin]
-    return out.reshape(r1 - r0, c1 - c0)
+        src, vr, vc = _select_overview(
+            ds, srow[valid], scol[valid],
+            _decimation_estimate(srow.reshape(nr, nc), scol.reshape(nr, nc)),
+            overview_mode,
+        )
+        rmin, rmax = int(vr.min()), int(vr.max()) + 1
+        cmin, cmax = int(vc.min()), int(vc.max()) + 1
+        block = src.read_window(rmin, rmax, cmin, cmax)
+        vals = block[vr - rmin, vc - cmin]
+        if src is not ds and ds.nodata is not None and not np.isnan(ds.nodata):
+            # overview IFDs inherit the parent's nodata semantics even if
+            # the tag is absent on the reduced-resolution IFD
+            vals = np.where(vals == float(ds.nodata), np.nan, vals)
+        out[valid] = vals
+    return out.reshape(nr, nc)
+
+
+def _decimation_estimate(srow2d: np.ndarray, scol2d: np.ndarray) -> float:
+    """How many source pixels one dst pixel step spans, estimated from the
+    gathered index grid (works cross-CRS, where there is no single closed
+    form) — the analogue of the warper's resolution-ratio estimate that GDAL
+    uses to pick an overview level for a WarpedVRT at coarse target
+    resolution (reference rio_reader.py:344-360 gets this for free)."""
+    strides = []
+    if scol2d.shape[1] > 1:
+        strides.append(float(np.median(np.abs(np.diff(scol2d, axis=1)))))
+    if srow2d.shape[0] > 1:
+        strides.append(float(np.median(np.abs(np.diff(srow2d, axis=0)))))
+    return min(strides) if strides else 1.0
+
+
+def _select_overview(
+    ds, srow_v: np.ndarray, scol_v: np.ndarray, decim: float, mode: str
+):
+    """Pick the overview IFD to serve a nearest-neighbor gather, if any.
+
+    ``mode``:
+
+    - ``"exact"`` (default): deepest overview whose factor divides EVERY
+      sampled full-res index — the overview pixel (r//v, c//v) then holds
+      exactly full-res pixel (r, c) (the writer's nearest decimation keeps
+      the top-left sample, minitiff.py ``arr[::v, ::v]``), so the read is
+      bit-identical to the full-res gather while decoding ~v² fewer pixels.
+      A z<=8 XYZ tile over a 10980² asset reads the pyramid tip instead of
+      ~1800× the needed bytes (the r6 scale-design weakness).
+    - ``"snap"``: WarpedVRT parity — deepest overview with factor <= the
+      estimated decimation, indices snapped with ``//`` (each dst pixel
+      takes the top-left full-res sample of its block). Approximate vs the
+      full-res gather by up to one block, exactly like GDAL reading
+      nearest-built overviews; opt-in via ``stack(overview_mode="snap")``.
+    - ``"off"``: always full-res.
+
+    Returns ``(dataset, row_idx, col_idx)`` in the chosen dataset's grid.
+    """
+    if mode == "off" or ds.n_ifds <= 1:
+        return ds, srow_v, scol_v
+    if mode not in ("exact", "snap"):
+        raise ValueError(f"overview_mode must be 'exact', 'snap' or 'off', got {mode!r}")
+    best = None
+    for factor, ov in ds.overviews_cached():
+        if mode == "snap":
+            if factor <= decim:
+                best = (factor, ov)
+        elif (srow_v % factor == 0).all() and (scol_v % factor == 0).all():
+            best = (factor, ov)
+    if best is None:
+        return ds, srow_v, scol_v
+    factor, ov = best
+    global FALLBACK_OVERVIEW_READS
+    FALLBACK_OVERVIEW_READS += 1
+    return ov, srow_v // factor, scol_v // factor
 
 
 def make_scan_udf(
@@ -423,6 +496,8 @@ def make_scan_udf(
     errors_as_nodata: tuple = DEFAULT_ERRORS_AS_NODATA,
     dtype: str = "float64",
     error_acc=None,
+    overview_mode: str = "exact",
+    overview_acc=None,
 ):
     """Build the mapInPandas kernel for the scan.
 
@@ -438,7 +513,16 @@ def make_scan_udf(
     bucket at 100 TB reads as "all fill" with zero signal — the reference
     warns per failed read (nodata_reader.py:46); here the counts flow back
     to the driver and ``RasterStack`` warns on compute.
+
+    ``overview_mode`` ("exact"/"snap"/"off", see ``_select_overview``)
+    controls whether decimated fallback reads may be served from COG
+    overview IFDs; ``overview_acc`` counts windows that were (driver-side
+    observability for the decimation path, mirrored by tests).
     """
+    if overview_mode not in ("exact", "snap", "off"):
+        raise ValueError(
+            f"overview_mode must be 'exact', 'snap' or 'off', got {overview_mode!r}"
+        )
     np_dtype = np.dtype(dtype)
     is_nan_fill = isinstance(fill_value, float) and np.isnan(fill_value)
     if is_nan_fill:
@@ -489,9 +573,23 @@ def make_scan_udf(
                                 row.url, spec, r0, r1, c0, c1, resampling, genv
                             )
                         else:
+                            # read the counter through the module: cloudpickle
+                            # ships this closure with a BY-VALUE snapshot of
+                            # plain globals, so a bare name here would stay
+                            # frozen at 0 on workers while _select_overview
+                            # increments the real module global
+                            from stackstac_spark.sources import raster as _rmod
+
+                            before_ov = _rmod.FALLBACK_OVERVIEW_READS
                             block = _read_fallback_window(
-                                row.url, spec, r0, r1, c0, c1, resampling
+                                row.url, spec, r0, r1, c0, c1, resampling,
+                                overview_mode=overview_mode,
                             )
+                            if (
+                                overview_acc is not None
+                                and _rmod.FALLBACK_OVERVIEW_READS > before_ov
+                            ):
+                                overview_acc.add(1)
                         block = block * row.scale + row.offset
                         sub = tile[
                             r0 - row.row_off : r1 - row.row_off,

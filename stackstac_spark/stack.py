@@ -48,6 +48,10 @@ class RasterStack:
     # silently filled — the driver-side signal the reference emits as
     # per-read warnings (nodata_reader.py:46-64)
     read_error_acc: Any = None
+    # accumulator counting fallback windows served from a COG overview IFD
+    # (sources/raster.py::_select_overview) — observability for the
+    # decimated-read path
+    overview_read_acc: Any = None
 
     # --- delegated query surface (SURVEY §2.6) --------------------------
 
@@ -311,6 +315,18 @@ class RasterStack:
         this after an action."""
         return int(self.read_error_acc.value) if self.read_error_acc is not None else 0
 
+    def overview_reads(self) -> int:
+        """Number of fallback windows (so far) served from a reduced-
+        resolution overview IFD instead of full-res chunks. Same
+        at-least-once caveats as :meth:`read_warnings`; useful to confirm a
+        decimated pipeline (e.g. zoomed-out XYZ tiles) is actually reading
+        the pyramid, not decoding full-res source blocks."""
+        return (
+            int(self.overview_read_acc.value)
+            if self.overview_read_acc is not None
+            else 0
+        )
+
     def _warn_if_filled_errors(self, baseline: int = 0) -> None:
         n = self.read_warnings() - baseline
         if n:
@@ -360,6 +376,7 @@ def stack(
     xy_coords: str = "topleft",
     properties: bool | str | list = True,
     band_coords: bool = True,
+    overview_mode: str = "exact",
 ) -> RasterStack:
     """items → prepared asset table → tile grid join → lazy scan.
 
@@ -371,6 +388,12 @@ def stack(
     ``items`` may be STAC-ish objects/dicts (driver-side normalization) or a
     string path/glob to item JSONL on storage (distributed ingest —
     ``sources.stac.items_from_jsonl`` — the 100 TB-catalog path).
+
+    ``overview_mode`` (engine extension; no reference counterpart — the
+    reference gets decimation from GDAL's WarpedVRT, rio_reader.py:344-360):
+    how decimated fallback reads may use COG overview IFDs — ``"exact"``
+    (default; only when bit-identical to the full-res gather), ``"snap"``
+    (WarpedVRT parity, approximate by up to one block), ``"off"``.
     """
     if xy_coords not in ("topleft", "center"):
         raise ValueError(f"xy_coords must be 'topleft' or 'center', got {xy_coords!r}")
@@ -421,12 +444,15 @@ def stack(
     tiles_grid = tile_grid(spark, prepared.spec, chunksize=chunksize, bounds=bounds, dtype=dtype)
     joined = join_assets_to_tiles(prepared.asset_table, tiles_grid)
     error_acc = spark.sparkContext.accumulator(0)
+    overview_acc = spark.sparkContext.accumulator(0)
     kwargs: dict = dict(
         fill_value=fill_value,
         resampling=resampling,
         gdal_env=gdal_env,
         dtype=dtype,
         error_acc=error_acc,
+        overview_mode=overview_mode,
+        overview_acc=overview_acc,
     )
     if errors_as_nodata is not None:
         kwargs["errors_as_nodata"] = errors_as_nodata
@@ -452,4 +478,5 @@ def stack(
         fill_value=fill_value,
         xy_coords=xy_coords,
         read_error_acc=error_acc,
+        overview_read_acc=overview_acc,
     )

@@ -192,6 +192,51 @@ def test_complex_dtype_stack(spark):
     assert re_stack.mosaic().count() > 0  # float operators compose
 
 
+def test_combine_complex_and_complex_pixels_roundtrip(spark):
+    """r7: combine_complex is the exact inverse of split_complex, and
+    complex_pixels gives the one-pass (re, im) relational view — checked
+    against a numpy oracle built from the painted closed form."""
+    import pytest as _pytest
+
+    from stackstac_spark.operators.complex_ops import (
+        combine_complex,
+        complex_pixels,
+        split_complex,
+    )
+
+    items = [
+        make_item(0, "2024-01-05T00:00:00Z", (0.0, 0.0, 8.0, 8.0)),
+        make_item(1, "2024-02-05T00:00:00Z", (4.0, 4.0, 12.0, 12.0)),
+    ]
+    st = stack(spark, items, assets=["red", "nir"], chunksize=8)
+    tiles = st.tiles
+    re_t = tiles.filter(F.col("band_idx") == 0)
+    im_t = tiles.filter(F.col("band_idx") == 1).withColumn("band_idx", F.lit(0))
+    cx = combine_complex(re_t, im_t)
+    px = complex_pixels(cx).collect()
+    assert px, "no complex pixels"
+    for r in px:
+        # red paints item*1000 + row*1e-3 + col*1e-6; nir has base +1.
+        # Evaluate in the SAME left-to-right order as fake_pixel_values
+        # (base first) — float addition is not associative.
+        exp_re = (r.item_idx * 1000 + 0) + r.row * 1e-3 + r.col * 1e-6
+        exp_im = (r.item_idx * 1000 + 1) + r.row * 1e-3 + r.col * 1e-6
+        assert r.re == exp_re and r.im == exp_im, r
+    # split(combine(re, im)) round-trips to the original float parts
+    re2, _im2 = split_complex(cx)
+    orig = {(r.item_idx, r.tile_y, r.tile_x): r.data for r in re_t.collect()}
+    back = {(r.item_idx, r.tile_y, r.tile_x): r.data for r in re2.collect()}
+    assert orig.keys() == back.keys()
+    for k in orig:
+        np.testing.assert_array_equal(
+            np.frombuffer(orig[k], "f8"), np.frombuffer(back[k], "f8")
+        )
+    with _pytest.raises(ValueError, match="combine_complex"):
+        combine_complex(re_t, im_t, dtype="float64")
+    with _pytest.raises(ValueError, match="complex_pixels"):
+        complex_pixels(cx, dtype="int32")
+
+
 def test_nan_fill_rejected_for_int_dtype(spark):
     import pytest
 

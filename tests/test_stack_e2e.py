@@ -146,3 +146,36 @@ def test_cross_crs_bbox_union(spark):
     st = stack(spark, items, assets=["red"], epsg=4326, resolution=0.001)
     minx, miny, maxx, maxy = st.spec.bounds
     assert -106 < minx < -104 and 39 < miny < 41
+
+
+def test_polar_stack_3031_e2e(spark):
+    """r7: an Antarctic stack in EPSG:3031 works WITHOUT pyproj — the
+    built-in polar stereographic transform (functions/proj.py) carries
+    bounds_latlon → 3031 and the full prepare → scan → pixels pipeline
+    paints the grid. The reference reaches this via pyproj
+    (geom_utils.py:15-53)."""
+    import numpy as np
+
+    from stackstac_spark.functions.proj import reproject_bounds
+    from stackstac_spark.raster_spec import snapped_bounds
+
+    # an item whose asset grid IS in 3031 (McMurdo-ish quadrant)
+    b3031 = (300000.0, -1300000.0, 302000.0, -1298000.0)
+    item = make_item(0, "2024-01-01T00:00:00Z", b3031, epsg=3031, res=100.0)
+    st = stack(spark, [item], assets=["red"], chunksize=16)
+    assert st.spec.epsg == 3031
+    assert st.spec.bounds == b3031  # same-CRS: inferred union = asset bbox
+    assert st.spec.resolutions_xy == (100.0, 100.0)
+    px = st.pixels().collect()
+    assert len(px) == 20 * 20
+    for r in px[:5]:
+        assert r.value == (0.0 + r.row * 1e-3) + r.col * 1e-6
+
+    # bounds_latlon routed through the polar transform
+    ll = (165.0, -78.0, 166.0, -77.8)
+    st2 = stack(
+        spark, [item], assets=["red"], epsg=3031, resolution=100.0,
+        bounds_latlon=ll, snap_bounds=True,
+    )
+    exp = snapped_bounds(reproject_bounds(ll, 4326, 3031), (100.0, 100.0))
+    np.testing.assert_allclose(st2.spec.bounds, exp)

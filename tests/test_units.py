@@ -123,6 +123,95 @@ def test_unsupported_crs_raises():
         transform_xy(4326, 27700, np.array([0.0]), np.array([51.0]))
 
 
+# --- polar stereographic (EPSG 9829 variant B; Snyder §21) — r7 -------------
+
+
+def test_polar_stereographic_epsg_worked_example():
+    """EPSG Guidance Note 7-2's published worked example for EPSG:3032
+    (Australian Antarctic, lat_ts 71°S, lon0 70°E, FE=FN=6000000):
+    75°S 120°E → E 7255380.79 m, N 7053389.56 m."""
+    x, y = transform_xy(4326, 3032, np.array([120.0]), np.array([-75.0]))
+    assert abs(x[0] - 7255380.79) < 0.01
+    assert abs(y[0] - 7053389.56) < 0.01
+    lon, lat = transform_xy(3032, 4326, x, y)
+    assert abs(lon[0] - 120.0) < 1e-9 and abs(lat[0] + 75.0) < 1e-9
+
+
+def test_polar_stereographic_poles_and_standard_parallel():
+    # both poles map to the (FE, FN) origin
+    x, y = transform_xy(4326, 3031, np.array([37.0]), np.array([-90.0]))
+    assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+    x, y = transform_xy(4326, 3413, np.array([12.0]), np.array([90.0]))
+    assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+    # at the standard parallel on the origin meridian, N = ±a·mF (variant B
+    # scale: t/tF = 1 there); for 3031 (71°S, λ0=0) that is ~2082760.11 m
+    x, y = transform_xy(4326, 3031, np.array([0.0]), np.array([-71.0]))
+    assert abs(x[0]) < 1e-6 and abs(y[0] - 2082760.1085) < 0.01
+    # grid orientation: for the south aspect, +y points along λ0 away from
+    # the pole; 180°E lands on -y, 90°E on +x
+    x, y = transform_xy(4326, 3031, np.array([180.0, 90.0]), np.array([-71.0, -71.0]))
+    assert abs(y[0] + 2082760.1085) < 0.01 and abs(x[0]) < 1e-6
+    assert abs(x[1] - 2082760.1085) < 0.01 and abs(y[1]) < 1e-6
+
+
+def test_polar_stereographic_north_south_symmetry():
+    """The north formulas must mirror the south ones: 3995 (71°N, λ0 0) vs
+    3031 (71°S, λ0 0) — E equal, N negated, for mirrored latitudes."""
+    lon = np.array([-150.0, -45.0, 0.0, 33.0, 179.0])
+    lat = np.array([75.0, 71.0, 82.5, 66.0, 89.0])
+    xn, yn = transform_xy(4326, 3995, lon, lat)
+    xs, ys = transform_xy(4326, 3031, lon, -lat)
+    np.testing.assert_allclose(xn, xs, atol=1e-6)
+    np.testing.assert_allclose(yn, -ys, atol=1e-6)
+
+
+@given(
+    lon=st.floats(-180, 180),
+    lat=st.floats(-89.99, -55.0),
+)
+@settings(max_examples=100, deadline=None)
+def test_polar_stereographic_roundtrip_3031(lon, lat):
+    x, y = transform_xy(4326, 3031, np.array([lon]), np.array([lat]))
+    lon2, lat2 = transform_xy(3031, 4326, x, y)
+    dlon = abs((lon2[0] - lon + 180.0) % 360.0 - 180.0)
+    assert dlon < 1e-8 and abs(lat2[0] - lat) < 1e-8
+
+
+@given(
+    lon=st.floats(-180, 180),
+    lat=st.floats(55.0, 89.99),
+)
+@settings(max_examples=100, deadline=None)
+def test_polar_stereographic_roundtrip_3413(lon, lat):
+    x, y = transform_xy(4326, 3413, np.array([lon]), np.array([lat]))
+    lon2, lat2 = transform_xy(3413, 4326, x, y)
+    dlon = abs((lon2[0] - lon + 180.0) % 360.0 - 180.0)
+    assert dlon < 1e-8 and abs(lat2[0] - lat) < 1e-8
+
+
+def test_polar_crs_composes_with_utm_and_mercator():
+    # chain through the lon/lat hub: 3031 → 3857 → 3031
+    x = np.array([100000.0, -250000.0])
+    y = np.array([1800000.0, 2300000.0])
+    mx, my = transform_xy(3031, 3857, x, y)
+    x2, y2 = transform_xy(3857, 3031, mx, my)
+    np.testing.assert_allclose(x2, x, atol=1e-5)
+    np.testing.assert_allclose(y2, y, atol=1e-5)
+
+
+def test_reproject_bounds_polar():
+    """4-corner bbox reprojection into 3031 (same corner semantics as the
+    reference's geom_utils.py:42-53): bounds must equal the min/max over
+    the four transformed corners of an Antarctic quadrant box."""
+    minx, miny, maxx, maxy = -60.0, -80.0, -30.0, -70.0
+    b = reproject_bounds((minx, miny, maxx, maxy), 4326, 3031)
+    cx = np.array([minx, maxx, minx, maxx])
+    cy = np.array([miny, miny, maxy, maxy])
+    tx, ty = transform_xy(4326, 3031, cx, cy)
+    np.testing.assert_allclose(b, (tx.min(), ty.min(), tx.max(), ty.max()))
+    assert b[0] < b[2] and b[1] < b[3]
+
+
 # --- mimetype matching (reference prepare.py:35-56) -------------------------
 
 def test_mimetype_matching():
