@@ -287,6 +287,7 @@ def incremental_stack_sink(
     fill_value: float = float("nan"),
     dtype: str = "float64",
     max_files_per_trigger: int = 16,
+    available_now: bool = True,
 ):
     """Streaming raster ingest: a stream of STAC item JSONL → an incrementally
     maintained tile table (the persistent stack ``operators.export`` reads).
@@ -297,6 +298,13 @@ def incremental_stack_sink(
     join → scan) via ``foreachBatch`` and appends Parquet partitioned like
     ``write_tiles``; new scenes become new ``(item, band, tile)`` rows with
     no touch of existing data — append-only, so readers never block.
+
+    ``available_now=True`` (default) drains the backlog and terminates —
+    the batch-backfill mode. ``available_now=False`` keeps the query live
+    on the default micro-batch trigger: new scene drops are picked up as
+    they land, and a caller ingesting several drops pays query startup
+    ONCE (``q.processAllAvailable()`` between drops, ``q.stop()`` when
+    done) instead of one cold start per drop.
 
     Returns the StreamingQuery (caller awaits/stops it).
     """
@@ -352,36 +360,47 @@ def incremental_stack_sink(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         import json as _json
 
-        n_lines = batch_df.count()
-        if n_lines == 0:
+        # ONE job sizes AND fetches the batch: take(limit+1) pushes the limit
+        # into the scan, so a small scene drop costs a single collect instead
+        # of the old count()-then-collect() pair (2 jobs per micro-batch)
+        head = batch_df.take(max_driver_lines + 1)
+        if not head:
             return
-        if n_lines > max_driver_lines:
+        if len(head) > max_driver_lines:
             items_df, assets_df = _distributed_normalize(batch_df)
+            from stackstac_spark.prepare import prepare
+
+            prep = prepare(
+                items_df,
+                assets_df,
+                assets=assets,
+                epsg=spec.epsg,
+                resolution=spec.resolutions_xy,
+                bounds=spec.bounds,
+                dtype=dtype,
+                persist=False,  # one prepare per batch: don't accumulate caches
+            )
         else:
             # A micro-batch of SCENES is catalog metadata — KBs per item,
-            # tens to thousands of items per trigger — so normalize
-            # driver-side with the same path batch stack() uses. Keeping the
-            # parse distributed was measured 3x slower here: every one of
-            # prepare's small aggregate actions re-executed the
-            # streaming-lineage parse through a Python worker roundtrip.
-            rows = [r.value for r in batch_df.collect() if r.value and r.value.strip()]
+            # tens to thousands of items per trigger — so prepare it with
+            # the ZERO-job driver fastpath batch stack() uses for small
+            # catalogs (prepare_local, parity-locked to prepare). The old
+            # distributed prepare here cost ~6 driver jobs per micro-batch,
+            # each re-executing the streaming-lineage parse.
+            rows = [r.value for r in head if r.value and r.value.strip()]
             if not rows:
                 return
-            items_df, assets_df = items_to_dataframes(
-                spark, [_json.loads(s) for s in rows]
-            )
-        from stackstac_spark.prepare import prepare
+            from stackstac_spark.prepare_local import prepare_local
 
-        prep = prepare(
-            items_df,
-            assets_df,
-            assets=assets,
-            epsg=spec.epsg,
-            resolution=spec.resolutions_xy,
-            bounds=spec.bounds,
-            dtype=dtype,
-            persist=False,  # one prepare per micro-batch: don't accumulate caches
-        )
+            prep = prepare_local(
+                spark,
+                [_json.loads(s) for s in rows],
+                assets=assets,
+                epsg=spec.epsg,
+                resolution=spec.resolutions_xy,
+                bounds=spec.bounds,
+                dtype=dtype,
+            )
         joined = join_assets_to_tiles(
             prep.asset_table, tile_grid(spark, spec, chunksize=chunksize)
         )
@@ -396,7 +415,9 @@ def incremental_stack_sink(
             f"{out_path}/items"
         )
 
-    writer = lines.writeStream.foreachBatch(process_batch).trigger(availableNow=True)
+    writer = lines.writeStream.foreachBatch(process_batch)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
