@@ -6,10 +6,23 @@ The reference leans on pyproj (geom_utils.py:15,42-53) for two things:
 pyproj is not in this container, so this module implements the projections
 the STAC ecosystem actually uses — EPSG:4326 (lon/lat), EPSG:3857
 (Web Mercator), the UTM zones (326xx/327xx, Transverse Mercator on
-WGS84), and the polar stereographic grids (3031/3032/3413/3976/3995 —
-EPSG method 9829 "variant B") — from the published formulas
-(Karney/Krüger series and Snyder, *Map Projections — A Working Manual*,
-§21). If pyproj IS importable it is preferred, transparently.
+WGS84), the polar stereographic grids (3031/3032/3413/3976/3995 —
+EPSG method 9829 "variant B"; 5041/5042/32661/32761 — method 9810
+"variant A" / UPS), the continental equal-area grids (LAEA 3035 Europe +
+EASE-Grid 2.0 6931/6932, Albers 5070 CONUS + 3577 Australia, cylindrical
+equal-area 6933), the national Lambert Conformal Conic grids (2154
+Lambert-93, 3978 Canada Atlas) and NZTM 2193 — from the published
+formulas (Karney/Krüger series; Snyder, *Map Projections — A Working
+Manual* §8/§14/§15/§21/§24; EPSG Guidance Note 7-2 methods
+9802/9810/9820/9822/9829/9835). If pyproj IS importable it is
+preferred, transparently.
+
+Datum note: ETRS89, NAD83, GDA94 and NZGD2000 are treated as coincident
+with WGS84 (null datum shift), the same default pyproj applies without a
+transformation grid; the difference is decimeter-to-meter level, far
+below the pixel sizes these grids are used with. Ellipsoid constants
+(GRS80 vs WGS84) ARE kept per-CRS — the projection math uses the CRS's
+own ellipsoid.
 
 All kernels are numpy-vectorized so they slot into Arrow-batched pandas UDFs.
 """
@@ -20,6 +33,7 @@ import math
 from functools import lru_cache
 
 import numpy as np
+import pandas as pd
 
 try:  # pragma: no cover - environment-dependent
     from pyproj import Transformer as _PyprojTransformer
@@ -61,7 +75,10 @@ _PS_PARAMS: dict[int, tuple[float, float, float, float]] = {
 
 def _supported(epsg: int) -> bool:
     return (
-        epsg in (4326, 3857) or epsg in _PS_PARAMS or _utm_zone(epsg) is not None
+        epsg in (4326, 3857)
+        or epsg in _PS_PARAMS
+        or epsg in _PROJ_PARAMS
+        or _utm_zone(epsg) is not None
     )
 
 
@@ -109,9 +126,20 @@ _BETA = (
 
 
 def _ll_to_utm(lon: np.ndarray, lat: np.ndarray, zone: int, north: bool) -> tuple[np.ndarray, np.ndarray]:
-    lon0 = math.radians(zone * 6 - 183)
+    return _ll_to_tm(lon, lat, zone * 6 - 183, 500000.0, 0.0 if north else 10000000.0)
+
+
+def _utm_to_ll(x: np.ndarray, y: np.ndarray, zone: int, north: bool) -> tuple[np.ndarray, np.ndarray]:
+    return _tm_to_ll(x, y, zone * 6 - 183, 500000.0, 0.0 if north else 10000000.0)
+
+
+def _ll_to_tm(lon: np.ndarray, lat: np.ndarray, lon0_deg: float, fe: float, fn: float) -> tuple[np.ndarray, np.ndarray]:
+    """Transverse Mercator (Krüger series), parameterized central meridian /
+    false origin — covers the UTM zones and NZTM 2000 (lat0=0, k0=0.9996)."""
+    lon0 = math.radians(lon0_deg)
     phi = np.radians(lat)
     lam = np.radians(lon) - lon0
+    lam = (lam + np.pi) % (2 * np.pi) - np.pi  # wrap to ±180° of the CM
     # conformal latitude
     t = np.sinh(np.arctanh(np.sin(phi)) - _E * np.arctanh(_E * np.sin(phi)))
     xi_p = np.arctan2(t, np.cos(lam))
@@ -121,15 +149,15 @@ def _ll_to_utm(lon: np.ndarray, lat: np.ndarray, zone: int, north: bool) -> tupl
     for j, a in enumerate(_ALPHA, start=1):
         xi += a * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
         eta += a * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
-    x = _K0 * _A1 * eta + 500000.0
-    y = _K0 * _A1 * xi + (0.0 if north else 10000000.0)
+    x = _K0 * _A1 * eta + fe
+    y = _K0 * _A1 * xi + fn
     return x, y
 
 
-def _utm_to_ll(x: np.ndarray, y: np.ndarray, zone: int, north: bool) -> tuple[np.ndarray, np.ndarray]:
-    lon0 = math.radians(zone * 6 - 183)
-    xi = (y - (0.0 if north else 10000000.0)) / (_K0 * _A1)
-    eta = (x - 500000.0) / (_K0 * _A1)
+def _tm_to_ll(x: np.ndarray, y: np.ndarray, lon0_deg: float, fe: float, fn: float) -> tuple[np.ndarray, np.ndarray]:
+    lon0 = math.radians(lon0_deg)
+    xi = (np.asarray(y, dtype="float64") - fn) / (_K0 * _A1)
+    eta = (np.asarray(x, dtype="float64") - fe) / (_K0 * _A1)
     xi_p = xi.copy()
     eta_p = eta.copy()
     for j, b in enumerate(_BETA, start=1):
@@ -206,6 +234,332 @@ def _ps_to_ll(x: np.ndarray, y: np.ndarray, epsg: int) -> tuple[np.ndarray, np.n
     return np.degrees(lam + lon0), np.degrees(phi)
 
 
+# --- parameterized kernels: LCC / Albers / LAEA / CEA / UPS / TM ------------
+# Any-ellipsoid implementations of EPSG methods 9802 (Lambert Conformal
+# Conic 2SP), 9822 (Albers Equal Area), 9820 (Lambert Azimuthal Equal
+# Area, oblique + polar), 9835 (Lambert Cylindrical Equal Area) and 9810
+# (Polar Stereographic variant A). Formulas from Snyder 1987 §8/§14/§15/
+# §21/§24 and EPSG Guidance Note 7-2. The reference gets all of these via
+# pyproj (geom_utils.py:15-53); these kernels make the most common
+# non-UTM production grids (Lambert-93, CONUS Albers, LAEA Europe,
+# EASE-Grid 2.0, Canada Atlas, NZTM, UPS) work without it.
+
+# (a, e2) per ellipsoid. GRS80 and WGS84 differ only in the 9th decimal of
+# the flattening (sub-mm on the ground) but we keep them distinct so the
+# kernels match authoritative values exactly.
+_ELLIPSOIDS: dict[str, tuple[float, float]] = {
+    "WGS84": (_A, _E2),
+    "GRS80": (6378137.0, (1 / 298.257222101) * (2 - 1 / 298.257222101)),
+    # Clarke 1866, in US survey feet — used only by the EPSG worked-example
+    # kernel test for LCC 2SP (NAD27 Texas South Central).
+    "CLARKE1866_USFT": (20925832.164, 0.00676866),
+}
+
+
+def _m_ell(phi: np.ndarray, e2: float) -> np.ndarray:
+    """Snyder eq. 14-15: m(φ) = cosφ / sqrt(1 − e² sin²φ)."""
+    s = np.sin(phi)
+    return np.cos(phi) / np.sqrt(1 - e2 * s * s)
+
+
+def _t_ell(phi: np.ndarray, e: float) -> np.ndarray:
+    """Snyder eq. 15-9 (northern form): t = tan(π/4−φ/2) / ((1−e sinφ)/(1+e sinφ))^(e/2)."""
+    s = np.sin(phi)
+    return np.tan(np.pi / 4 - phi / 2) * ((1 + e * s) / (1 - e * s)) ** (e / 2)
+
+
+def _q_ell(phi: np.ndarray, e: float) -> np.ndarray:
+    """Snyder eq. 3-12: equal-area q(φ). The log term is written as
+    log1p(−es) − log1p(es) so q is *exactly* antisymmetric in φ — a plain
+    log((1−es)/(1+es)) leaves a ~1e-16 residue that the polar ρ = a·sqrt(qp−q)
+    amplifies to ~0.2 m at the pole itself."""
+    e2 = e * e
+    s = np.sin(phi)
+    return (1 - e2) * (s / (1 - e2 * s * s) - (np.log1p(-e * s) - np.log1p(e * s)) / (2 * e))
+
+
+def _q_to_phi(q: np.ndarray, e: float) -> np.ndarray:
+    """Invert q(φ): authalic series (Snyder 3-18) + one Newton step on
+    q(φ) − q = 0 (dq/dφ = 2(1−e²)cosφ/(1−e²sin²φ)²), which takes the
+    truncated-series error from ~1e-8 deg down to float64 noise."""
+    e2 = e * e
+    qp = float(_q_ell(np.float64(math.pi / 2), e))
+    beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+    phi = _beta_to_phi(beta, e2)
+    s = np.sin(phi)
+    c = np.cos(phi)
+    dq = 2 * (1 - e2) * c / (1 - e2 * s * s) ** 2
+    with np.errstate(invalid="ignore", divide="ignore"):
+        step = (q - _q_ell(phi, e)) / dq
+    return np.where(dq > 1e-12, phi + np.where(np.isfinite(step), step, 0.0), phi)
+
+
+def _chi_to_phi(chi: np.ndarray, e2: float) -> np.ndarray:
+    """Conformal → geodetic latitude, Snyder eq. 3-5 series in e²."""
+    e4, e6, e8 = e2**2, e2**3, e2**4
+    return (
+        chi
+        + (e2 / 2 + 5 * e4 / 24 + e6 / 12 + 13 * e8 / 360) * np.sin(2 * chi)
+        + (7 * e4 / 48 + 29 * e6 / 240 + 811 * e8 / 11520) * np.sin(4 * chi)
+        + (7 * e6 / 120 + 81 * e8 / 1120) * np.sin(6 * chi)
+        + (4279 * e8 / 161280) * np.sin(8 * chi)
+    )
+
+
+def _beta_to_phi(beta: np.ndarray, e2: float) -> np.ndarray:
+    """Authalic → geodetic latitude, Snyder eq. 3-18 series in e²."""
+    e4, e6 = e2**2, e2**3
+    return (
+        beta
+        + (e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) * np.sin(2 * beta)
+        + (23 * e4 / 360 + 251 * e6 / 3780) * np.sin(4 * beta)
+        + (761 * e6 / 45360) * np.sin(6 * beta)
+    )
+
+
+# -- Lambert Conformal Conic, 2 standard parallels (EPSG 9802; Snyder §15) --
+
+
+@lru_cache(maxsize=32)
+def _lcc_consts(a: float, e2: float, lat1: float, lat2: float, lat0: float) -> tuple[float, float, float]:
+    e = math.sqrt(e2)
+    p1, p2, p0 = (math.radians(v) for v in (lat1, lat2, lat0))
+    m1 = float(_m_ell(np.float64(p1), e2))
+    m2 = float(_m_ell(np.float64(p2), e2))
+    t1 = float(_t_ell(np.float64(p1), e))
+    t2 = float(_t_ell(np.float64(p2), e))
+    t0 = float(_t_ell(np.float64(p0), e))
+    n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    f = m1 / (n * t1**n)
+    rho0 = a * f * t0**n
+    return n, f, rho0
+
+
+def _ll_to_lcc(lon, lat, a, e2, lat1, lat2, lat0, lon0, fe, fn):
+    e = math.sqrt(e2)
+    n, f, rho0 = _lcc_consts(a, e2, lat1, lat2, lat0)
+    t = _t_ell(np.radians(lat), e)  # > 0 for |φ| < 90, so t**n is safe for n of either sign
+    rho = a * f * t**n
+    theta = n * (np.radians(lon) - math.radians(lon0))
+    return fe + rho * np.sin(theta), fn + rho0 - rho * np.cos(theta)
+
+
+def _lcc_to_ll(x, y, a, e2, lat1, lat2, lat0, lon0, fe, fn):
+    e = math.sqrt(e2)
+    n, f, rho0 = _lcc_consts(a, e2, lat1, lat2, lat0)
+    sgn = 1.0 if n >= 0 else -1.0
+    dx = np.asarray(x, dtype="float64") - fe
+    dy = rho0 - (np.asarray(y, dtype="float64") - fn)
+    rho = sgn * np.hypot(dx, dy)
+    theta = np.arctan2(sgn * dx, sgn * dy)
+    t = (rho / (a * f)) ** (1 / n)
+    chi = np.pi / 2 - 2 * np.arctan(t)
+    lam = theta / n + math.radians(lon0)
+    return np.degrees(lam), np.degrees(_chi_to_phi(chi, e2))
+
+
+# -- Albers Equal Area, 2 standard parallels (EPSG 9822; Snyder §14) ---------
+
+
+@lru_cache(maxsize=32)
+def _aea_consts(a: float, e2: float, lat1: float, lat2: float, lat0: float) -> tuple[float, float, float, float]:
+    e = math.sqrt(e2)
+    p1, p2, p0 = (math.radians(v) for v in (lat1, lat2, lat0))
+    m1 = float(_m_ell(np.float64(p1), e2))
+    m2 = float(_m_ell(np.float64(p2), e2))
+    q1 = float(_q_ell(np.float64(p1), e))
+    q2 = float(_q_ell(np.float64(p2), e))
+    q0 = float(_q_ell(np.float64(p0), e))
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    c = m1 * m1 + n * q1
+    rho0 = a * math.sqrt(c - n * q0) / n
+    qp = float(_q_ell(np.float64(math.pi / 2), e))
+    return n, c, rho0, qp
+
+
+def _ll_to_aea(lon, lat, a, e2, lat1, lat2, lat0, lon0, fe, fn):
+    e = math.sqrt(e2)
+    n, c, rho0, _ = _aea_consts(a, e2, lat1, lat2, lat0)
+    q = _q_ell(np.radians(lat), e)
+    rho = a * np.sqrt(c - n * q) / n
+    theta = n * (np.radians(lon) - math.radians(lon0))
+    return fe + rho * np.sin(theta), fn + rho0 - rho * np.cos(theta)
+
+
+def _aea_to_ll(x, y, a, e2, lat1, lat2, lat0, lon0, fe, fn):
+    n, c, rho0, qp = _aea_consts(a, e2, lat1, lat2, lat0)
+    sgn = 1.0 if n >= 0 else -1.0
+    dx = np.asarray(x, dtype="float64") - fe
+    dy = rho0 - (np.asarray(y, dtype="float64") - fn)
+    rho = sgn * np.hypot(dx, dy)
+    theta = np.arctan2(sgn * dx, sgn * dy)
+    q = (c - (rho * n / a) ** 2) / n
+    lam = theta / n + math.radians(lon0)
+    return np.degrees(lam), np.degrees(_q_to_phi(q, math.sqrt(e2)))
+
+
+# -- Lambert Azimuthal Equal Area (EPSG 9820; Snyder §24) --------------------
+
+
+@lru_cache(maxsize=32)
+def _laea_consts(a: float, e2: float, lat0: float) -> tuple[float, float, float, float]:
+    e = math.sqrt(e2)
+    p0 = math.radians(lat0)
+    qp = float(_q_ell(np.float64(math.pi / 2), e))
+    q0 = float(_q_ell(np.float64(p0), e))
+    beta0 = math.asin(min(1.0, max(-1.0, q0 / qp)))
+    rq = a * math.sqrt(qp / 2)
+    m0 = float(_m_ell(np.float64(p0), e2))
+    d = a * m0 / (rq * math.cos(beta0))
+    return qp, beta0, rq, d
+
+
+def _ll_to_laea(lon, lat, a, e2, lat0, lon0, fe, fn):
+    e = math.sqrt(e2)
+    if abs(lat0) >= 90 - 1e-12:  # polar aspect (Snyder 24-23/24-25)
+        qp = float(_q_ell(np.float64(math.pi / 2), e))
+        q = _q_ell(np.radians(lat), e)
+        north = lat0 > 0
+        rho = a * np.sqrt(np.maximum(qp - q if north else qp + q, 0.0))
+        theta = np.radians(lon) - math.radians(lon0)
+        x = fe + rho * np.sin(theta)
+        y = fn + (-rho * np.cos(theta) if north else rho * np.cos(theta))
+        return x, y
+    qp, beta0, rq, d = _laea_consts(a, e2, lat0)
+    q = _q_ell(np.radians(lat), e)
+    beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+    lam = np.radians(lon) - math.radians(lon0)
+    denom = 1 + math.sin(beta0) * np.sin(beta) + math.cos(beta0) * np.cos(beta) * np.cos(lam)
+    b = rq * np.sqrt(2 / denom)
+    x = fe + b * d * np.cos(beta) * np.sin(lam)
+    y = fn + (b / d) * (math.cos(beta0) * np.sin(beta) - math.sin(beta0) * np.cos(beta) * np.cos(lam))
+    return x, y
+
+
+def _laea_to_ll(x, y, a, e2, lat0, lon0, fe, fn):
+    e = math.sqrt(e2)
+    dx = np.asarray(x, dtype="float64") - fe
+    dy = np.asarray(y, dtype="float64") - fn
+    if abs(lat0) >= 90 - 1e-12:
+        qp = float(_q_ell(np.float64(math.pi / 2), e))
+        north = lat0 > 0
+        rho = np.hypot(dx, dy)
+        q = qp - (rho / a) ** 2 if north else (rho / a) ** 2 - qp
+        lam = np.arctan2(dx, -dy) if north else np.arctan2(dx, dy)
+        lam = np.where(rho == 0, 0.0, lam)
+        return np.degrees(lam + math.radians(lon0)), np.degrees(_q_to_phi(q, e))
+    qp, beta0, rq, d = _laea_consts(a, e2, lat0)
+    rho = np.hypot(dx / d, d * dy)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ce = 2 * np.arcsin(np.clip(rho / (2 * rq), -1.0, 1.0))
+        sbeta = np.cos(ce) * math.sin(beta0) + d * dy * np.sin(ce) * math.cos(beta0) / rho
+        lam = np.arctan2(
+            dx * np.sin(ce),
+            d * rho * math.cos(beta0) * np.cos(ce) - d * d * dy * math.sin(beta0) * np.sin(ce),
+        )
+    q = qp * np.clip(np.where(rho == 0, math.sin(beta0), sbeta), -1.0, 1.0)
+    lam = np.where(rho == 0, 0.0, lam)
+    return np.degrees(lam + math.radians(lon0)), np.degrees(_q_to_phi(q, e))
+
+
+# -- Lambert Cylindrical Equal Area (EPSG 9835; Snyder §10) ------------------
+
+
+def _ll_to_cea(lon, lat, a, e2, lat_ts, lon0, fe, fn):
+    e = math.sqrt(e2)
+    k0 = float(_m_ell(np.float64(math.radians(lat_ts)), e2))
+    q = _q_ell(np.radians(lat), e)
+    x = fe + a * k0 * (np.radians(lon) - math.radians(lon0))
+    y = fn + a * q / (2 * k0)
+    return x, y
+
+
+def _cea_to_ll(x, y, a, e2, lat_ts, lon0, fe, fn):
+    e = math.sqrt(e2)
+    k0 = float(_m_ell(np.float64(math.radians(lat_ts)), e2))
+    q = 2 * k0 * (np.asarray(y, dtype="float64") - fn) / a
+    lon = np.degrees((np.asarray(x, dtype="float64") - fe) / (a * k0) + math.radians(lon0))
+    return lon, np.degrees(_q_to_phi(q, e))
+
+
+# -- Polar Stereographic variant A (EPSG 9810; k0 at the pole — UPS) ---------
+
+
+def _ll_to_ups(lon, lat, a, e2, lat0, lon0, k0, fe, fn):
+    e = math.sqrt(e2)
+    south = lat0 < 0
+    phi = np.radians(lat)
+    t = _t_ell(-phi if south else phi, e)
+    rho = 2 * a * k0 * t / math.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e))
+    theta = np.radians(lon) - math.radians(lon0)
+    x = fe + rho * np.sin(theta)
+    y = fn + (rho if south else -rho) * np.cos(theta)
+    return x, y
+
+
+def _ups_to_ll(x, y, a, e2, lat0, lon0, k0, fe, fn):
+    e = math.sqrt(e2)
+    south = lat0 < 0
+    dx = np.asarray(x, dtype="float64") - fe
+    dy = np.asarray(y, dtype="float64") - fn
+    rho = np.hypot(dx, dy)
+    t = rho * math.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e)) / (2 * a * k0)
+    chi = 2 * np.arctan(t) - np.pi / 2 if south else np.pi / 2 - 2 * np.arctan(t)
+    lam = np.arctan2(dx, dy) if south else np.arctan2(dx, -dy)
+    lam = np.where(rho == 0, 0.0, lam)
+    return np.degrees(lam + math.radians(lon0)), np.degrees(_chi_to_phi(chi, e2))
+
+
+# -- parameter registry for the named EPSG codes -----------------------------
+# (family, params, ellipsoid). TM entries reuse the WGS84 Krüger series
+# constants; for GRS80 the series differ below 0.1 mm (Δn ≈ 4e-12).
+_PROJ_PARAMS: dict[int, tuple[str, tuple, str]] = {
+    # RGF93 / Lambert-93 (France national grid)
+    2154: ("lcc", (44.0, 49.0, 46.5, 3.0, 700000.0, 6600000.0), "GRS80"),
+    # NAD83 / Canada Atlas Lambert
+    3978: ("lcc", (49.0, 77.0, 49.0, -95.0, 0.0, 0.0), "GRS80"),
+    # NAD83 / Conus Albers
+    5070: ("aea", (29.5, 45.5, 23.0, -96.0, 0.0, 0.0), "GRS80"),
+    # GDA94 / Australian Albers
+    3577: ("aea", (-18.0, -36.0, 0.0, 132.0, 0.0, 0.0), "GRS80"),
+    # ETRS89-extended / LAEA Europe
+    3035: ("laea", (52.0, 10.0, 4321000.0, 3210000.0), "GRS80"),
+    # WGS 84 / NSIDC EASE-Grid 2.0 North / South (polar LAEA)
+    6931: ("laea", (90.0, 0.0, 0.0, 0.0), "WGS84"),
+    6932: ("laea", (-90.0, 0.0, 0.0, 0.0), "WGS84"),
+    # WGS 84 / NSIDC EASE-Grid 2.0 Global (cylindrical equal-area, lat_ts 30)
+    6933: ("cea", (30.0, 0.0, 0.0, 0.0), "WGS84"),
+    # WGS 84 / UPS North & South (polar stereographic variant A, k0=0.994)
+    5041: ("ups", (90.0, 0.0, 0.994, 2000000.0, 2000000.0), "WGS84"),
+    5042: ("ups", (-90.0, 0.0, 0.994, 2000000.0, 2000000.0), "WGS84"),
+    32661: ("ups", (90.0, 0.0, 0.994, 2000000.0, 2000000.0), "WGS84"),
+    32761: ("ups", (-90.0, 0.0, 0.994, 2000000.0, 2000000.0), "WGS84"),
+    # NZGD2000 / New Zealand Transverse Mercator 2000
+    2193: ("tm", (173.0, 1600000.0, 10000000.0), "GRS80"),
+}
+
+_PARAM_FWD = {"lcc": _ll_to_lcc, "aea": _ll_to_aea, "laea": _ll_to_laea, "cea": _ll_to_cea, "ups": _ll_to_ups}
+_PARAM_INV = {"lcc": _lcc_to_ll, "aea": _aea_to_ll, "laea": _laea_to_ll, "cea": _cea_to_ll, "ups": _ups_to_ll}
+
+
+def _param_from_ll(epsg: int, lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    family, params, ell = _PROJ_PARAMS[epsg]
+    if family == "tm":
+        lon0, fe, fn = params
+        return _ll_to_tm(lon, lat, lon0, fe, fn)
+    a, e2 = _ELLIPSOIDS[ell]
+    return _PARAM_FWD[family](lon, lat, a, e2, *params)
+
+
+def _param_to_ll(epsg: int, x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    family, params, ell = _PROJ_PARAMS[epsg]
+    if family == "tm":
+        lon0, fe, fn = params
+        return _tm_to_ll(x, y, lon0, fe, fn)
+    a, e2 = _ELLIPSOIDS[ell]
+    return _PARAM_INV[family](x, y, a, e2, *params)
+
+
 # --- public API ------------------------------------------------------------
 
 
@@ -227,8 +581,9 @@ def transform_xy(
     if not (_supported(src_epsg) and _supported(dst_epsg)):
         raise NotImplementedError(
             f"CRS pair {src_epsg}->{dst_epsg} needs pyproj (not installed); "
-            "built-in support covers 4326, 3857, UTM 326xx/327xx and the "
-            f"polar stereographic grids {sorted(_PS_PARAMS)}"
+            "built-in support covers 4326, 3857, UTM 326xx/327xx, the polar "
+            f"stereographic grids {sorted(_PS_PARAMS)} and "
+            f"{sorted(_PROJ_PARAMS)} (LCC/Albers/LAEA/CEA/UPS/NZTM)"
         )
     # go through lon/lat
     if src_epsg == 4326:
@@ -237,6 +592,8 @@ def transform_xy(
         lon, lat = _merc_to_ll(xs, ys)
     elif src_epsg in _PS_PARAMS:
         lon, lat = _ps_to_ll(xs, ys, src_epsg)
+    elif src_epsg in _PROJ_PARAMS:
+        lon, lat = _param_to_ll(src_epsg, xs, ys)
     else:
         zone, north = _utm_zone(src_epsg)  # type: ignore[misc]
         lon, lat = _utm_to_ll(xs, ys, zone, north)
@@ -246,8 +603,36 @@ def transform_xy(
         return _ll_to_merc(lon, lat)
     if dst_epsg in _PS_PARAMS:
         return _ll_to_ps(lon, lat, dst_epsg)
+    if dst_epsg in _PROJ_PARAMS:
+        return _param_from_ll(dst_epsg, lon, lat)
     zone, north = _utm_zone(dst_epsg)  # type: ignore[misc]
     return _ll_to_utm(lon, lat, zone, north)
+
+
+def project_xy(df, lon_col: str, lat_col: str, src_epsg: int, dst_epsg: int,
+               x_col: str = "x", y_col: str = "y"):
+    """DataFrame-level vectorized reprojection: append projected (x, y)
+    columns computed from (lon_col, lat_col) via an Arrow-batched pandas
+    UDF over :func:`transform_xy` — the relational face of the same kernels
+    ``prepare``/``reproject_tiles`` use (reference: pyproj Transformers in
+    geom_utils.py:15-53). Stays a narrow map — no shuffle, scales linearly
+    with partition count."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<x: double, y: double>")
+    def _tx(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        x, y = transform_xy(src_epsg, dst_epsg, lon.to_numpy(dtype="float64"),
+                            lat.to_numpy(dtype="float64"))
+        return pd.DataFrame({"x": x, "y": y})
+
+    tmp = f"__proj_{x_col}_{y_col}"
+    return (
+        df.withColumn(tmp, _tx(F.col(lon_col).cast("double"), F.col(lat_col).cast("double")))
+        .withColumn(x_col, F.col(tmp)["x"])
+        .withColumn(y_col, F.col(tmp)["y"])
+        .drop(tmp)
+    )
 
 
 def reproject_bounds(

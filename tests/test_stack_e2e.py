@@ -179,3 +179,49 @@ def test_polar_stack_3031_e2e(spark):
     )
     exp = snapped_bounds(reproject_bounds(ll, 4326, 3031), (100.0, 100.0))
     np.testing.assert_allclose(st2.spec.bounds, exp)
+
+
+def test_laea_stack_3035_e2e(spark):
+    """r7: a European stack in EPSG:3035 (ETRS89 / LAEA Europe) without
+    pyproj — the built-in Lambert Azimuthal Equal Area kernel carries the
+    whole prepare → scan → pixels pipeline, same contract as the 3031 e2e."""
+    import numpy as np
+
+    from stackstac_spark.functions.proj import reproject_bounds
+    from stackstac_spark.raster_spec import snapped_bounds
+
+    # an item whose asset grid IS in 3035 (central-Europe quadrant)
+    b3035 = (4200000.0, 2900000.0, 4202000.0, 2902000.0)
+    item = make_item(0, "2024-06-01T00:00:00Z", b3035, epsg=3035, res=100.0)
+    st = stack(spark, [item], assets=["red"], chunksize=16)
+    assert st.spec.epsg == 3035
+    assert st.spec.bounds == b3035
+    px = st.pixels().collect()
+    assert len(px) == 20 * 20
+    for r in px[:5]:
+        assert r.value == (0.0 + r.row * 1e-3) + r.col * 1e-6
+
+    # bounds_latlon routed through the LAEA transform
+    ll = (8.0, 46.0, 8.4, 46.3)
+    st2 = stack(
+        spark, [item], assets=["red"], epsg=3035, resolution=100.0,
+        bounds_latlon=ll, snap_bounds=True,
+    )
+    exp = snapped_bounds(reproject_bounds(ll, 4326, 3035), (100.0, 100.0))
+    np.testing.assert_allclose(st2.spec.bounds, exp)
+
+
+def test_cross_crs_union_lambert93_to_laea(spark):
+    """Items on the French national grid (EPSG:2154), output on the European
+    LAEA grid (EPSG:3035): the inferred union must come from the 4-corner
+    reprojection chain 2154 → lon/lat → 3035, all built-in kernels."""
+    from stackstac_spark.functions.proj import reproject_bounds
+
+    b2154 = (650000.0, 6860000.0, 652000.0, 6862000.0)  # Paris-ish
+    item = make_item(0, "2024-06-01T00:00:00Z", b2154, epsg=2154, res=100.0)
+    st = stack(spark, [item], assets=["red"], epsg=3035, resolution=100.0, snap_bounds=False)
+    exp = reproject_bounds(b2154, 2154, 3035)
+    np.testing.assert_allclose(st.spec.bounds, exp)
+    # sanity: lands in the France region of the LAEA grid
+    minx, miny, maxx, maxy = st.spec.bounds
+    assert 3.7e6 < minx < 3.9e6 and 2.8e6 < miny < 3.0e6
