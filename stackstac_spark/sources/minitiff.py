@@ -20,8 +20,10 @@ test. This module closes that gap from the published TIFF 6.0 and GeoTIFF
   uncompressed and DEFLATE) without any native dependency.
 
 When rasterio IS importable the engine still prefers it (sources/raster.py
-routes on ``_HAVE_RASTERIO``); this reader is the local-file fallback so a
-bare ``pip install stackstac-spark`` can read its own GeoTIFFs.
+routes on ``_HAVE_RASTERIO``); this reader is the fallback so a bare
+``pip install stackstac-spark`` can read its own GeoTIFFs — from local
+paths or over http(s) via :class:`HttpRangeFile`, which reproduces GDAL's
+``/vsicurl/`` ranged-GET + block-cache access pattern without curl.
 """
 
 from __future__ import annotations
@@ -101,6 +103,148 @@ class TiffError(ValueError):
 # (tests/test_minitiff.py asserts overview reads decode >=4x less). Not
 # thread-synchronized: Spark python workers are single-threaded processes.
 DECODE_BYTES = 0
+
+# Ranged-HTTP IO accumulators (same single-threaded-worker caveat): request
+# count and payload bytes actually transferred. The observable that proves a
+# windowed COG read over HTTP moves a small fraction of the file.
+HTTP_REQUESTS = 0
+HTTP_BYTES = 0
+
+
+class HttpRangeFile:
+    """Read-only file-like over HTTP(S) built on ranged GETs — the access
+    pattern GDAL's ``/vsicurl/`` uses for cloud-optimized GeoTIFFs (the
+    reference's production reads go through it via rasterio,
+    rio_reader.py:287-466). Plumbing only — no native deps:
+
+    - small reads are served from an LRU cache of aligned blocks (default
+      64 KiB, the /vsicurl/ default chunk size), so the header/IFD parse
+      costs one or two requests, not dozens;
+    - large reads (≥ 2 blocks) bypass the cache with ONE exact-range GET —
+      a tile/strip gather never re-downloads per block;
+    - file size is learned from the first response's ``Content-Range`` (no
+      separate HEAD round-trip);
+    - a server that ignores ``Range`` (plain 200) degrades gracefully: the
+      full body is kept as one cached block and served from memory.
+
+    Thread-unsafe by design, matching the engine's single-threaded-task
+    read model (sources/raster.py module docstring).
+    """
+
+    def __init__(self, url: str, block_size: int = 64 * 1024, max_blocks: int = 64):
+        self.url = url
+        self.block_size = int(block_size)
+        self._blocks: "OrderedDict[int, bytes]" = OrderedDict()
+        self._max_blocks = int(max_blocks)
+        self._pos = 0
+        self.size: int | None = None
+        self._full: bytes | None = None  # set when the server ignores Range
+
+    # -- transport ---------------------------------------------------------
+
+    def _fetch(self, start: int, stop: int) -> bytes:
+        """GET bytes [start, stop) — returns possibly-short payload at EOF."""
+        global HTTP_REQUESTS, HTTP_BYTES
+        import urllib.error
+        import urllib.request
+
+        if self._full is not None:
+            return self._full[start:stop]
+        if self.size is not None:
+            stop = min(stop, self.size)
+            if start >= stop:
+                return b""
+        req = urllib.request.Request(
+            self.url, headers={"Range": f"bytes={start}-{stop - 1}"}
+        )
+        try:
+            resp = urllib.request.urlopen(req)
+        except urllib.error.HTTPError as ex:
+            if ex.code == 416:  # requested range past EOF
+                self.size = self.size if self.size is not None else start
+                return b""
+            raise
+        with resp:
+            body = resp.read()
+            HTTP_REQUESTS += 1
+            HTTP_BYTES += len(body)
+            if resp.status == 206:
+                cr = resp.headers.get("Content-Range", "")
+                if "/" in cr:
+                    try:
+                        self.size = int(cr.rsplit("/", 1)[1])
+                    except ValueError:
+                        pass
+                return body
+            # 200: server ignored Range — keep the whole object, serve slices
+            self._full = body
+            self.size = len(body)
+            return body[start:stop]
+
+    def _block(self, idx: int) -> bytes:
+        blk = self._blocks.get(idx)
+        if blk is None:
+            start = idx * self.block_size
+            blk = self._fetch(start, start + self.block_size)
+            self._blocks[idx] = blk
+            if len(self._blocks) > self._max_blocks:
+                self._blocks.popitem(last=False)
+        else:
+            self._blocks.move_to_end(idx)
+        return blk
+
+    # -- file-like ---------------------------------------------------------
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            # to-EOF read: learn the size (one tiny ranged GET) then read
+            if self.size is None:
+                self._block(self._pos // self.block_size)
+            if self.size is None:  # still unknown: empty object
+                return b""
+            n = max(self.size - self._pos, 0)
+        if n == 0:
+            return b""
+        start, stop = self._pos, self._pos + n
+        first, last = start // self.block_size, (stop - 1) // self.block_size
+        if last - first + 1 >= 2 and n >= self.block_size:
+            out = self._fetch(start, stop)  # big gather: one exact-range GET
+        else:
+            parts = []
+            for idx in range(first, last + 1):
+                blk = self._block(idx)
+                b0 = max(start - idx * self.block_size, 0)
+                b1 = min(stop - idx * self.block_size, len(blk))
+                if b1 > b0:
+                    parts.append(blk[b0:b1])
+                if len(blk) < self.block_size:
+                    break  # EOF block
+            out = b"".join(parts)
+        self._pos += len(out)
+        return out
+
+    def seek(self, offset: int, whence: int = 0) -> int:
+        if whence == 0:
+            self._pos = offset
+        elif whence == 1:
+            self._pos += offset
+        elif whence == 2:
+            if self.size is None:
+                self._block(0)
+            self._pos = (self.size or 0) + offset
+        else:
+            raise ValueError(f"bad whence {whence}")
+        return self._pos
+
+    def tell(self) -> int:
+        return self._pos
+
+    def close(self) -> None:
+        self._blocks.clear()
+        self._full = None
+
+
+_HTTP_RE = re.compile(r"(?i)^https?://")
 
 
 # -- LZW codec (TIFF 6.0 §13: MSB-first bit order, 9→12-bit codes, the
@@ -228,7 +372,7 @@ class MiniTiffDataset:
         :meth:`overview` navigate the chain."""
         self.path = path
         self.ifd_index = ifd_index
-        self._fh = open(path, "rb")
+        self._fh = HttpRangeFile(path) if _HTTP_RE.match(path) else open(path, "rb")
         try:
             self._parse()
         except Exception:
@@ -602,8 +746,13 @@ _CACHE_MAX = 32
 def open_cached(path: str) -> MiniTiffDataset:
     import os
 
-    st = os.stat(path)
-    sig = (st.st_mtime_ns, st.st_size)
+    if _HTTP_RE.match(path):
+        # remote objects: no cheap mtime probe — cache for the process
+        # lifetime, exactly GDAL's /vsicurl/ default. cache_clear() resets.
+        sig = ("http",)
+    else:
+        st = os.stat(path)
+        sig = (st.st_mtime_ns, st.st_size)
     hit = _CACHE.get(path)
     if hit is not None:
         ds, cached_sig = hit

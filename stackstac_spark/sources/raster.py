@@ -14,9 +14,11 @@ Readers:
   deterministic pure function of (url, global pixel coords) so tests can
   paint the identical oracle array without any IO.
 - real COG URLs go through rasterio + WarpedVRT when rasterio is importable;
-  in this container it is not, so the open path raises a clear error while
-  keeping the full plumbing (env handling, windowed read, nodata masking)
-  in place. One dataset handle per (executor, url) via an LRU — Spark tasks
+  without it, local files AND http(s) URLs are served by the built-in
+  GeoTIFF reader (sources/minitiff — ranged-GET block-cached HTTP, the
+  /vsicurl/ access pattern), while other remote schemes raise a clear
+  error with the full plumbing (env handling, windowed read, nodata
+  masking) in place. One dataset handle per (executor, url) via an LRU — Spark tasks
   are single-threaded, so the reference's entire thread-local machinery
   (rio_reader.py:124-265) disappears by construction.
 
@@ -355,11 +357,18 @@ def _read_fallback_window(
 
     path = minitiff.local_path(url)
     if path is None:
-        raise NotImplementedError(
-            "rasterio is not installed; the built-in GeoTIFF fallback reads "
-            f"local files only, cannot open {url!r}. Install rasterio for "
-            "remote COG IO."
-        )
+        if minitiff._HTTP_RE.match(url):
+            # ranged-HTTP COG reads (minitiff.HttpRangeFile — the
+            # /vsicurl/ access pattern the reference gets from GDAL,
+            # rio_reader.py:287-466): header+IFD from the 64 KiB block
+            # cache, each tile gather one exact-range GET
+            path = url
+        else:
+            raise NotImplementedError(
+                "rasterio is not installed; the built-in GeoTIFF fallback "
+                f"reads local files and http(s) URLs only, cannot open "
+                f"{url!r}. Install rasterio for other remote COG schemes."
+            )
     ds = minitiff.open_cached(path)
     if ds.count != 1:
         raise ValueError(

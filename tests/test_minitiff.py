@@ -296,7 +296,9 @@ def test_fallback_cross_crs_matches_independent_gather(tmp_path):
 
 
 def test_fallback_remote_url_raises():
-    with pytest.raises(NotImplementedError, match="local files only"):
+    # http(s) goes through HttpRangeFile (test_minitiff_http.py); every
+    # OTHER remote scheme still needs rasterio and says so
+    with pytest.raises(NotImplementedError, match="http\\(s\\) URLs only"):
         R._read_fallback_window("s3://bucket/x.tif", SPEC, 0, 8, 0, 8, "nearest")
 
 
