@@ -5033,6 +5033,140 @@ FROM px WHERE (row*48 + col) % 13 <> 0 ORDER BY row, col
 """
 
 
+_HTTP_GATE: dict = {}
+
+
+def _gate_http_server():
+    """One Range-capable localhost HTTP server per process, serving the
+    per-session gate tmpdir. Daemon-threaded; lives for the process."""
+    if _HTTP_GATE:
+        return _HTTP_GATE["base"], _HTTP_GATE["log"]
+    import http.server
+    import re as _re
+    import threading
+
+    root = _gate_tmpdir()
+    log: list[tuple[str, bool]] = []  # (path, was_ranged)
+
+    class Handler(http.server.SimpleHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            rng = self.headers.get("Range")
+            m = _re.fullmatch(r"bytes=(\d+)-(\d*)", (rng or "").strip()) if rng else None
+            log.append((self.path, m is not None))
+            if m is None:
+                return super().do_GET()
+            try:
+                with open(self.translate_path(self.path), "rb") as fh:
+                    data = fh.read()
+            except OSError:
+                self.send_error(404)
+                return
+            s = int(m.group(1))
+            e = min(int(m.group(2)) + 1 if m.group(2) else len(data), len(data))
+            if s >= len(data):
+                self.send_response(416)
+                self.send_header("Content-Range", f"bytes */{len(data)}")
+                self.end_headers()
+                return
+            body = data[s:e]
+            self.send_response(206)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("Content-Range", f"bytes {s}-{e - 1}/{len(data)}")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    def factory(*a, **kw):
+        return Handler(*a, directory=root, **kw)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), factory)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    _HTTP_GATE["srv"] = srv
+    _HTTP_GATE["base"] = f"http://127.0.0.1:{srv.server_address[1]}"
+    _HTTP_GATE["log"] = log
+    return _HTTP_GATE["base"], _HTTP_GATE["log"]
+
+
+def q_raster_http_read(spark, sf):
+    """Networked-IO gate (round 7): the deterministic GeoTIFF is served by a
+    REAL localhost HTTP server and the stack()→scan pipeline reads it over
+    the wire through minitiff.HttpRangeFile — the pure-Python stand-in for
+    the reference's GDAL /vsicurl/ ranged-COG reads (rio_reader.py:287-466,
+    rio_env.py session layering). In-gate assertion: after forcing the scan
+    once, the server log must show ≥1 request and EVERY request carrying a
+    Range header (no full-file downloads). Painted value = 7000 + row*100 +
+    col with every 11th anti-diagonal nodata; DuckDB replays the closed
+    form."""
+    import os
+
+    import numpy as np
+
+    from stackstac_spark.sources import minitiff
+    from stackstac_spark.stack import stack as _stack
+
+    base, log = _gate_http_server()
+    rr, cc = np.meshgrid(np.arange(48), np.arange(48), indexing="ij")
+    arr = (7000.0 + rr * 100.0 + cc).astype("float64")
+    arr[(rr + cc) % 11 == 0] = -9.0
+    path = os.path.join(_gate_tmpdir(), "http_scene.tif")
+    if not os.path.exists(path):
+        minitiff.write_geotiff(
+            path,
+            arr,
+            32633,
+            minitiff.from_origin(400000.0, 5000000.0, 10.0, 10.0),
+            nodata=-9.0,
+            tile=(32, 32),
+            compress="deflate",
+            predictor=3,
+        )
+    url = f"{base}/http_scene.tif"
+    bounds = (400000.0, 4999520.0, 400480.0, 5000000.0)
+    item = {
+        "id": "http-tiff",
+        "bbox": [12.0, 45.0, 12.1, 45.1],
+        "properties": {
+            "datetime": "2024-04-01T00:00:00Z",
+            "proj:epsg": 32633,
+            "proj:bbox": list(bounds),
+            "proj:shape": [48, 48],
+            "proj:transform": [10.0, 0.0, 400000.0, 0.0, -10.0, 5000000.0],
+        },
+        "assets": {"data": {"href": url, "type": "image/tiff; application=geotiff"}},
+    }
+    key = (id(spark), "http-tiff")
+    if key not in _STACK_CACHE:
+        st = _stack(
+            spark, [item], epsg=32633, resolution=10.0, bounds=bounds, chunksize=32
+        )
+        df = st.pixels().select("row", "col", "value")
+        n0 = len(log)
+        df.count()  # force one scan through the HTTP path
+        seen = log[n0:]
+        if not seen:
+            raise AssertionError(
+                "raster_http_read: the scan did not touch the HTTP server"
+            )
+        if not all(ranged for _, ranged in seen):
+            raise AssertionError(
+                f"raster_http_read: non-ranged (full-file) GET observed: {seen}"
+            )
+        _STACK_CACHE[key] = st
+    st = _STACK_CACHE[key]
+    return st.pixels().select("row", "col", "value").orderBy("row", "col")
+
+
+SQL_RASTER_HTTP_READ = """
+WITH px AS (SELECT r.g AS row, c.g AS col
+            FROM generate_series(0, 47) r(g), generate_series(0, 47) c(g))
+SELECT row, col, CAST(7000 + row*100 + col AS DOUBLE) AS value
+FROM px WHERE (row + col) % 11 <> 0 ORDER BY row, col
+"""
+
+
 def q_raster_overview_read(spark, sf):
     """Overview-accelerated decimated read gate (round 7, clears the r6
     weak mark): a 96x96 full-res GeoTIFF written with a nearest-decimated
@@ -6035,14 +6169,15 @@ SQL_PROJ_TRANSFORM = _proj_gate_sql()
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- r7 rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json; last-graded rounds per entry: r3 = 13
-    # --- entries, r4 = 27, r5 = 50, r6 = 50). Slots 1-50 hold (a) the 4
+    # --- entries, r4 = 27, r5 = 50, r6 = 50). Slots 1-50 hold (a) the 5
     # --- never-graded r7 additions (raster_overview_read,
-    # --- prepare_inference, raster_complex_mosaic, proj_transform),
-    # --- (b) all 13 r3-vintage entries (7 tpch + set_ops + mosaic_reverse
-    # --- + resample_quarterly + minhash_signatures + cosine_neardup +
-    # --- lsh_buckets), (c) all 27 r4-vintage entries, and (d) 6 r5-vintage
-    # --- picks chosen for family spread (raster_crop, raster_mosaic,
-    # --- raster_xyz_png, multimodal_features, kmeans, pagerank) —
+    # --- prepare_inference, raster_complex_mosaic, proj_transform,
+    # --- raster_http_read), (b) all 13 r3-vintage entries (7 tpch +
+    # --- set_ops + mosaic_reverse + resample_quarterly +
+    # --- minhash_signatures + cosine_neardup + lsh_buckets), (c) all 27
+    # --- r4-vintage entries, and (d) 5 r5-vintage picks chosen for family
+    # --- spread (raster_crop, raster_mosaic, raster_xyz_png,
+    # --- multimodal_features, kmeans) —
     # --- stalest-first re-grading against driver-environment drift. All 50
     # --- r6-graded entries and the remaining r5 greens rotate past slot
     # --- 50; every rotated entry stays hash-checked in CI by
@@ -6051,6 +6186,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "prepare_inference": (q_prepare_inference, SQL_PREPARE_INFERENCE),
     "raster_complex_mosaic": (q_raster_complex_mosaic, SQL_RASTER_COMPLEX_MOSAIC),
     "proj_transform": (q_proj_transform, SQL_PROJ_TRANSFORM),
+    "raster_http_read": (q_raster_http_read, SQL_RASTER_HTTP_READ),
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q2": (q_tpch_q2, SQL_TPCH_Q2),
     "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
@@ -6096,8 +6232,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "raster_xyz_png": (q_raster_xyz_png, SQL_RASTER_XYZ_PNG),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "kmeans": (q_kmeans, SQL_KMEANS),
-    "pagerank": (q_pagerank, SQL_PAGERANK),
     # ---- slot 51+ from here: driver-green in a past round, mirror-checked in CI ----
+    "pagerank": (q_pagerank, SQL_PAGERANK),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "raster_real_tiff": (q_raster_real_tiff, SQL_RASTER_REAL_TIFF),
     "raster_sql_ndvi": (q_raster_sql_ndvi, SQL_RASTER_SQL_NDVI),
