@@ -131,7 +131,14 @@ class HttpRangeFile:
     read model (sources/raster.py module docstring).
     """
 
-    def __init__(self, url: str, block_size: int = 64 * 1024, max_blocks: int = 64):
+    def __init__(
+        self,
+        url: str,
+        block_size: int = 64 * 1024,
+        max_blocks: int = 64,
+        retries: int = 3,
+        retry_backoff: float = 0.25,
+    ):
         self.url = url
         self.block_size = int(block_size)
         self._blocks: "OrderedDict[int, bytes]" = OrderedDict()
@@ -139,6 +146,8 @@ class HttpRangeFile:
         self._pos = 0
         self.size: int | None = None
         self._full: bytes | None = None  # set when the server ignores Range
+        self.retries = int(retries)
+        self.retry_backoff = float(retry_backoff)
 
     # -- transport ---------------------------------------------------------
 
@@ -157,13 +166,27 @@ class HttpRangeFile:
         req = urllib.request.Request(
             self.url, headers={"Range": f"bytes={start}-{stop - 1}"}
         )
-        try:
-            resp = urllib.request.urlopen(req)
-        except urllib.error.HTTPError as ex:
-            if ex.code == 416:  # requested range past EOF
-                self.size = self.size if self.size is not None else start
-                return b""
-            raise
+        # transient-failure retry with exponential backoff — object stores
+        # throw 429/5xx and connection resets routinely at fleet scale; GDAL
+        # covers this with GDAL_HTTP_MAX_RETRY/RETRY_DELAY, so the fallback
+        # must too. 4xx (except 416/429) fail fast: retrying a 403 is noise.
+        import time
+
+        resp = None
+        for attempt in range(self.retries + 1):
+            try:
+                resp = urllib.request.urlopen(req)
+                break
+            except urllib.error.HTTPError as ex:
+                if ex.code == 416:  # requested range past EOF
+                    self.size = self.size if self.size is not None else start
+                    return b""
+                if ex.code not in (429, 500, 502, 503, 504) or attempt == self.retries:
+                    raise
+            except (urllib.error.URLError, ConnectionError, TimeoutError):
+                if attempt == self.retries:
+                    raise
+            time.sleep(self.retry_backoff * (2**attempt))
         with resp:
             body = resp.read()
             HTTP_REQUESTS += 1

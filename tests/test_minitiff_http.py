@@ -47,6 +47,7 @@ class _RangeHandler(http.server.SimpleHTTPRequestHandler):
             with open(path, "rb") as fh:
                 data = fh.read()
         except OSError:
+            type(self).log.append((self.path, rng, 404))
             self.send_error(404)
             return
         m = re.fullmatch(r"bytes=(\d+)-(\d*)", rng.strip())
@@ -174,6 +175,40 @@ def test_http_range_file_read_semantics(http_dir, tmp_path):
     assert f.read(10) == b""
     assert f.size == len(blob)
     f.close()
+
+
+def test_http_retry_on_transient_5xx(http_dir, tmp_path):
+    """First two responses 503 → the ranged read succeeds on retry; a 404
+    fails fast without retries (GDAL_HTTP_MAX_RETRY parity)."""
+    base, log, handler = http_dir
+    blob = b"retry-me" * 512
+    (tmp_path / "r.bin").write_bytes(blob)
+    fails = {"n": 2}
+    orig = handler.do_GET
+
+    def flaky(self):
+        if fails["n"] > 0:
+            fails["n"] -= 1
+            self.send_error(503)
+            return
+        orig(self)
+
+    handler.do_GET = flaky
+    try:
+        f = HttpRangeFile(f"{base}/r.bin", block_size=1024, retry_backoff=0.01)
+        assert f.read(16) == blob[:16]
+        assert fails["n"] == 0
+        f.close()
+        # fail-fast on 404: exactly one request, error surfaces
+        import urllib.error
+
+        n0 = len(log)
+        g = HttpRangeFile(f"{base}/absent.bin", retry_backoff=0.01)
+        with pytest.raises(urllib.error.HTTPError):
+            g.read(16)
+        assert len(log) == n0 + 1
+    finally:
+        handler.do_GET = orig
 
 
 def test_http_open_cached_reuses_dataset(http_dir, tmp_path):
