@@ -232,3 +232,111 @@ def items_from_jsonl(spark: SparkSession, path: str) -> tuple[DataFrame, DataFra
             yield pd.DataFrame(out, columns=[f.name for f in ASSET_SCHEMA.fields])
 
     return lines.mapInPandas(to_items, ITEM_SCHEMA), lines.mapInPandas(to_assets, ASSET_SCHEMA)
+
+
+# -- STAC-GeoParquet ---------------------------------------------------------
+# The columnar catalog layout (public stac-geoparquet spec,
+# github.com/stac-utils/stac-geoparquet): item properties flattened to
+# top-level columns, `assets` as a struct/map of asset structs, `bbox` as a
+# struct (v1.x) or 4-list (v0.x), `geometry` as WKB. The format big STAC
+# APIs publish bulk catalogs in — a billion-item catalog is a few hundred
+# parquet files, and Spark's parquet source gives split-parallel ingest plus
+# column pruning (we never read `geometry`/`links` bytes at all).
+
+_GPQ_NON_PROPERTY_COLS = {
+    "type",
+    "stac_version",
+    "stac_extensions",
+    "id",
+    "geometry",
+    "bbox",
+    "links",
+    "assets",
+    "collection",
+}
+
+
+def _gpq_datetime_str(v) -> str:
+    """pandas/py timestamp → the ISO8601 'Z' string form the JSON paths
+    carry, so items_df rows are byte-identical across ingest paths."""
+    try:
+        if getattr(v, "tzinfo", None) is not None:
+            import datetime as _dt
+
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    except Exception:
+        pass
+    iso = v.isoformat()
+    return iso + "Z" if not iso.endswith("Z") else iso
+
+
+def _gpq_record_to_item(rec: dict) -> dict:
+    """One flattened stac-geoparquet record → a plain STAC item dict, fed to
+    the SAME ``_item_to_rows`` kernel as every other ingest path."""
+    import math
+
+    bbox = rec.get("bbox")
+    if isinstance(bbox, dict):  # v1.x struct {xmin, ymin, xmax, ymax}
+        bbox = [bbox.get("xmin"), bbox.get("ymin"), bbox.get("xmax"), bbox.get("ymax")]
+    assets = rec.get("assets")
+    if isinstance(assets, list):  # Arrow MAP surfaces as [(key, value), ...]
+        assets = dict(assets)
+    plain_assets = {}
+    for aid, a in (assets or {}).items():
+        if a is None:
+            continue
+        if isinstance(a, list):
+            a = dict(a)
+        plain_assets[aid] = {
+            k: (list(v) if isinstance(v, (tuple, set)) or hasattr(v, "tolist") else v)
+            for k, v in dict(a).items()
+            if v is not None and not (isinstance(v, float) and math.isnan(v))
+        }
+    props = {}
+    for k, v in rec.items():
+        if k in _GPQ_NON_PROPERTY_COLS or v is None:
+            continue
+        if isinstance(v, float) and math.isnan(v):
+            continue  # parquet NULL for a row missing this property
+        if hasattr(v, "isoformat"):
+            v = _gpq_datetime_str(v)
+        elif hasattr(v, "tolist"):  # numpy array/scalar from an Arrow list
+            v = v.tolist()
+        props[k] = v
+    return {
+        "id": rec.get("id"),
+        "collection": rec.get("collection"),
+        "bbox": bbox,
+        "assets": plain_assets,
+        "properties": props,
+    }
+
+
+def items_from_geoparquet(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """Distributed STAC ingest from stac-geoparquet → (items_df, assets_df),
+    same schemas as ``items_to_dataframes`` (shared ``_item_to_rows``
+    kernel). `geometry` (WKB) and `links` are dropped BEFORE the scan, so
+    parquet column pruning never reads those bytes."""
+    import pandas as pd
+
+    df = spark.read.parquet(path)
+    drop = [c for c in ("geometry", "links") if c in df.columns]
+    if drop:
+        df = df.drop(*drop)
+
+    def to_items(batches):
+        for pdf in batches:
+            rows = [
+                _item_to_rows(_gpq_record_to_item(rec))[0]
+                for rec in pdf.to_dict("records")
+            ]
+            yield pd.DataFrame(rows, columns=[f.name for f in ITEM_SCHEMA.fields])
+
+    def to_assets(batches):
+        for pdf in batches:
+            out = []
+            for rec in pdf.to_dict("records"):
+                out.extend(_item_to_rows(_gpq_record_to_item(rec))[1])
+            yield pd.DataFrame(out, columns=[f.name for f in ASSET_SCHEMA.fields])
+
+    return df.mapInPandas(to_items, ITEM_SCHEMA), df.mapInPandas(to_assets, ASSET_SCHEMA)

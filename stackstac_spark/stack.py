@@ -386,8 +386,10 @@ def stack(
     drops the per-band metadata table (reference stack.py:46,238).
 
     ``items`` may be STAC-ish objects/dicts (driver-side normalization) or a
-    string path/glob to item JSONL on storage (distributed ingest —
-    ``sources.stac.items_from_jsonl`` — the 100 TB-catalog path).
+    string path/glob on storage for distributed ingest (the 100 TB-catalog
+    paths): item JSONL (``sources.stac.items_from_jsonl``) or
+    stac-geoparquet (``items_from_geoparquet`` — picked by a ``.parquet`` /
+    ``.pq`` suffix or ``geoparquet`` in the path).
 
     ``overview_mode`` (engine extension; no reference counterpart — the
     reference gets decimation from GDAL's WarpedVRT, rio_reader.py:344-360):
@@ -399,9 +401,15 @@ def stack(
         raise ValueError(f"xy_coords must be 'topleft' or 'center', got {xy_coords!r}")
     prepared: Prepared | None = None
     if isinstance(items, str):
-        from stackstac_spark.sources.stac import items_from_jsonl
+        if items.rstrip("/").endswith((".parquet", ".pq")) or "geoparquet" in items:
+            # stac-geoparquet bulk catalogs (split-parallel, column-pruned)
+            from stackstac_spark.sources.stac import items_from_geoparquet
 
-        items_df, assets_df = items_from_jsonl(spark, items)
+            items_df, assets_df = items_from_geoparquet(spark, items)
+        else:
+            from stackstac_spark.sources.stac import items_from_jsonl
+
+            items_df, assets_df = items_from_jsonl(spark, items)
     else:
         from stackstac_spark.prepare_local import LOCAL_PREPARE_MAX, prepare_local
         from stackstac_spark.sources.stac import items_to_plain
