@@ -29,8 +29,16 @@ broadcast small sides, partial aggregation, predicate pushdown; tested on
 
 from stackstac_spark.raster_spec import RasterSpec
 from stackstac_spark.session import get_spark
+from stackstac_spark.sources.stac_api import search_items
 from stackstac_spark.stack import RasterStack, stack
 
 __version__ = "0.1.0"
 
-__all__ = ["RasterSpec", "RasterStack", "get_spark", "stack", "__version__"]
+__all__ = [
+    "RasterSpec",
+    "RasterStack",
+    "get_spark",
+    "search_items",
+    "stack",
+    "__version__",
+]
