@@ -560,6 +560,159 @@ def _param_to_ll(epsg: int, x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, n
     return _PARAM_INV[family](x, y, a, e2, *params)
 
 
+# --- user-registered CRSs (proj4 parameter strings) -------------------------
+# The reference accepts ANY pyproj CRS (geom_utils.py:15-53). The built-in
+# path covers fixed EPSG tables above; `register_crs` opens it to any CRS in
+# the implemented projection families, parameterized from its public proj4
+# string (as printed by `pyproj.CRS(code).to_proj4()` / spatialreference.org).
+#
+# Distribution note: the projection kernels run INSIDE executor Python
+# workers, which import this module fresh — a driver-side dict mutation does
+# not propagate by itself (not even on local[*]: Spark's Python workers are
+# separate processes). Every UDF factory that reprojects therefore captures
+# `user_crs_snapshot()` into its closure (cloudpickle ships captured locals)
+# and calls `install_user_crs(snap)` worker-side before transforming.
+
+_USER_CRS: dict[int, tuple[str, tuple, str]] = {}
+
+_DATUM_ELLPS = {"WGS84": "WGS84", "NAD83": "GRS80", "ETRS89": "GRS80"}
+
+
+def _parse_proj4(s: str) -> dict:
+    d: dict[str, object] = {}
+    for tok in s.split():
+        if not tok.startswith("+"):
+            continue
+        k, _, v = tok[1:].partition("=")
+        if k == "k":  # proj4 spells the scale factor both +k= and +k_0=
+            k = "k_0"
+        d[k] = v if v != "" else True
+    return d
+
+
+def register_crs(epsg: int, proj4: str) -> None:
+    """Register a projected CRS for the built-in (no-pyproj) transform path.
+
+    ``epsg`` is the code STAC items will carry (any integer — private codes
+    work); ``proj4`` is its public parameter string. Supported families:
+    ``lcc`` (2SP), ``aea``, ``laea``, ``cea``, polar ``stere`` (variant A
+    via +k_0 or variant B via +lat_ts), ``tmerc``/``utm`` (k_0=0.9996).
+    Ellipsoid: WGS84 or GRS80 (+ellps / +datum); null datum shift only.
+
+    Call on the driver BEFORE building a stack — the prepare/warp/scan
+    kernels snapshot the registry into their executor closures.
+    """
+    epsg = int(epsg)
+    d = _parse_proj4(proj4)
+    proj = d.get("proj")
+    if "ellps" in d:
+        ell = {"WGS84": "WGS84", "GRS80": "GRS80"}.get(str(d["ellps"]))
+    elif "datum" in d:
+        ell = _DATUM_ELLPS.get(str(d["datum"]))
+    else:
+        ell = "WGS84"
+    if ell is None:
+        raise NotImplementedError(
+            f"register_crs({epsg}): only WGS84/GRS80 ellipsoids (got "
+            f"{d.get('ellps') or d.get('datum')!r}); install pyproj for others"
+        )
+    tow = d.get("towgs84")
+    if isinstance(tow, str) and any(float(x) != 0.0 for x in tow.split(",")):
+        raise NotImplementedError(
+            f"register_crs({epsg}): non-null +towgs84 datum shift needs pyproj"
+        )
+    if str(d.get("units", "m")) != "m" or (
+        "to_meter" in d and float(str(d["to_meter"])) != 1.0
+    ):
+        raise NotImplementedError(f"register_crs({epsg}): non-metre units")
+
+    def f(k: str, default: float = 0.0) -> float:
+        return float(str(d.get(k, default)))
+
+    if proj == "lcc":
+        if "lat_1" not in d:
+            raise ValueError(f"register_crs({epsg}): +proj=lcc needs +lat_1")
+        if "k_0" in d and f("k_0", 1.0) != 1.0:
+            raise NotImplementedError(
+                f"register_crs({epsg}): LCC 1SP with scale factor needs pyproj"
+            )
+        lat1 = f("lat_1")
+        fam, params = "lcc", (lat1, f("lat_2", lat1), f("lat_0"), f("lon_0"), f("x_0"), f("y_0"))
+    elif proj == "aea":
+        if "lat_1" not in d:
+            raise ValueError(f"register_crs({epsg}): +proj=aea needs +lat_1")
+        lat1 = f("lat_1")
+        fam, params = "aea", (lat1, f("lat_2", lat1), f("lat_0"), f("lon_0"), f("x_0"), f("y_0"))
+    elif proj == "laea":
+        fam, params = "laea", (f("lat_0"), f("lon_0"), f("x_0"), f("y_0"))
+    elif proj == "cea":
+        fam, params = "cea", (f("lat_ts"), f("lon_0"), f("x_0"), f("y_0"))
+    elif proj == "stere":
+        lat0 = f("lat_0")
+        if abs(lat0) != 90.0:
+            raise NotImplementedError(
+                f"register_crs({epsg}): oblique stereographic needs pyproj "
+                "(built-in stere is polar only)"
+            )
+        if "lat_ts" in d and "k_0" not in d:
+            # EPSG 9829 variant B — same kernel family as 3031/3413.
+            # (_ps_* uses WGS84 series constants; for GRS80 the difference
+            # is sub-mm, same note as the TM entries.)
+            fam, params = "ps", (f("lat_ts"), f("lon_0"), f("x_0"), f("y_0"))
+        else:
+            fam, params = "ups", (lat0, f("lon_0"), f("k_0", 1.0), f("x_0"), f("y_0"))
+    elif proj in ("tmerc", "utm"):
+        if proj == "utm":
+            zone = int(str(d["zone"]))
+            lon0, fe, fn = zone * 6.0 - 183.0, 500000.0, (10000000.0 if d.get("south") else 0.0)
+        else:
+            if f("lat_0") != 0.0:
+                raise NotImplementedError(
+                    f"register_crs({epsg}): tmerc with non-zero +lat_0 needs "
+                    "pyproj (the Krüger-series kernel has no false origin "
+                    "latitude)"
+                )
+            lon0, fe, fn = f("lon_0"), f("x_0"), f("y_0")
+        if abs(f("k_0", 0.9996) - 0.9996) > 1e-12:
+            raise NotImplementedError(
+                f"register_crs({epsg}): tmerc kernel bakes k_0=0.9996 "
+                "(UTM/NZTM); other scale factors need pyproj"
+            )
+        fam, params = "tm", (lon0, fe, fn)
+    else:
+        raise NotImplementedError(
+            f"register_crs({epsg}): +proj={proj!r} not in the built-in "
+            "families (lcc, aea, laea, cea, polar stere, tmerc, utm); "
+            "install pyproj for it"
+        )
+    _USER_CRS[epsg] = (fam, params, ell)
+    _apply_user_crs(epsg, fam, params, ell)
+
+
+def _apply_user_crs(epsg: int, fam: str, params: tuple, ell: str) -> None:
+    if fam == "ps":
+        _PS_PARAMS[epsg] = params
+    else:
+        _PROJ_PARAMS[epsg] = (fam, params, ell)
+
+
+def user_crs_snapshot() -> dict[int, tuple[str, tuple, str]]:
+    """Driver-side: the registered-CRS table, for capture into an executor
+    closure (see module Distribution note)."""
+    return dict(_USER_CRS)
+
+
+def install_user_crs(snapshot: dict[int, tuple[str, tuple, str]] | None) -> None:
+    """Worker-side: idempotently merge a shipped snapshot into this
+    process's parameter tables."""
+    if not snapshot:
+        return
+    for epsg, (fam, params, ell) in snapshot.items():
+        if epsg not in _USER_CRS:
+            _USER_CRS[epsg] = (fam, params, ell)
+            _apply_user_crs(epsg, fam, params, ell)
+
+
 # --- public API ------------------------------------------------------------
 
 
@@ -576,14 +729,20 @@ def transform_xy(
     ys = np.asarray(ys, dtype="float64")
     if src_epsg == dst_epsg:
         return xs, ys
-    if _HAVE_PYPROJ:  # pragma: no cover
+    # user-registered codes may be private (unknown to pyproj's EPSG
+    # database) — serve those from the built-in kernels even with pyproj
+    if _HAVE_PYPROJ and not (
+        src_epsg in _USER_CRS or dst_epsg in _USER_CRS
+    ):  # pragma: no cover
         return _pyproj_transformer(src_epsg, dst_epsg).transform(xs, ys)
     if not (_supported(src_epsg) and _supported(dst_epsg)):
         raise NotImplementedError(
             f"CRS pair {src_epsg}->{dst_epsg} needs pyproj (not installed); "
             "built-in support covers 4326, 3857, UTM 326xx/327xx, the polar "
             f"stereographic grids {sorted(_PS_PARAMS)} and "
-            f"{sorted(_PROJ_PARAMS)} (LCC/Albers/LAEA/CEA/UPS/NZTM)"
+            f"{sorted(_PROJ_PARAMS)} (LCC/Albers/LAEA/CEA/UPS/NZTM); "
+            "other CRSs in these families can be added with "
+            "stackstac_spark.functions.proj.register_crs(epsg, proj4_string)"
         )
     # go through lon/lat
     if src_epsg == 4326:
@@ -620,8 +779,11 @@ def project_xy(df, lon_col: str, lat_col: str, src_epsg: int, dst_epsg: int,
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 
+    _crs_snap = user_crs_snapshot()
+
     @pandas_udf("struct<x: double, y: double>")
     def _tx(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        install_user_crs(_crs_snap)
         x, y = transform_xy(src_epsg, dst_epsg, lon.to_numpy(dtype="float64"),
                             lat.to_numpy(dtype="float64"))
         return pd.DataFrame({"x": x, "y": y})

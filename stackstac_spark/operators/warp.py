@@ -119,8 +119,13 @@ def _bounds_9pt_udf(out_epsg: int):
     import pandas as pd
     from pyspark.sql import types as T
 
+    from stackstac_spark.functions.proj import install_user_crs, user_crs_snapshot
+
+    _crs_snap = user_crs_snapshot()
+
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
     def _reproject(bounds: pd.Series, epsg: pd.Series) -> pd.Series:
+        install_user_crs(_crs_snap)
         out = pd.Series([None] * len(bounds), index=bounds.index, dtype=object)
         valid = bounds.notna() & epsg.notna()
         if not valid.any():
@@ -420,8 +425,12 @@ def reproject_tiles(
 
     src_spec_b = src_spec
     dst_spec_b = dst_spec
+    from stackstac_spark.functions.proj import install_user_crs, user_crs_snapshot
+
+    _crs_snap = user_crs_snapshot()
 
     def warp_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        install_user_crs(_crs_snap)
         item_idx, band_idx, dty, dtx = (int(k) for k in key)
         first = pdf.iloc[0]
         sr0, sc0 = int(first.sr0), int(first.sc0)

@@ -138,9 +138,13 @@ def _pixel_res_udf(out_epsg: int):
     the four corners. Dividing native bounds by shape instead would yield a
     resolution in NATIVE units, wrong by orders of magnitude when the units
     differ (UTM meters vs 4326 degrees)."""
+    from stackstac_spark.functions.proj import install_user_crs, user_crs_snapshot
+
+    _crs_snap = user_crs_snapshot()
 
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
     def _pxres(transform: pd.Series, epsg: pd.Series) -> pd.Series:
+        install_user_crs(_crs_snap)
         out = pd.Series([None] * len(transform), index=transform.index, dtype=object)
         valid = transform.notna() & epsg.notna()
         if not valid.any():
@@ -173,9 +177,13 @@ def _bounds_to_out_epsg_udf(out_epsg: int):
     """Arrow-batched kernel: (bounds, src_epsg) → bounds in out CRS via
     4-corner reprojection. Batched per Arrow chunk; groups rows by src_epsg
     so each distinct CRS transforms as one vectorized call."""
+    from stackstac_spark.functions.proj import install_user_crs, user_crs_snapshot
+
+    _crs_snap = user_crs_snapshot()
 
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
     def _reproject(bounds: pd.Series, epsg: pd.Series) -> pd.Series:
+        install_user_crs(_crs_snap)
         out = pd.Series([None] * len(bounds), index=bounds.index, dtype=object)
         valid = bounds.notna() & epsg.notna()
         if not valid.any():

@@ -552,8 +552,12 @@ def make_scan_udf(
                 f"dtype {dtype} (would become {cast!r})"
             )
     genv = normalize_gdal_env(gdal_env)
+    from stackstac_spark.functions.proj import install_user_crs, user_crs_snapshot
+
+    _crs_snap = user_crs_snapshot()
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        install_user_crs(_crs_snap)
         for pdf in batches:
             out_rows = []
             for row in pdf.itertuples(index=False):

@@ -1,0 +1,171 @@
+"""register_crs: proj4-string registration of user CRSs for the built-in
+transform path (functions/proj.py). The reference gets arbitrary-CRS support
+from pyproj (geom_utils.py:15-53); register_crs opens the built-in kernels
+to any CRS in the implemented families, so private/uncommon codes work
+without pyproj.
+
+Validation strategy: register the proj4 parameter string of an EPSG the
+built-in tables already carry, under a PRIVATE code, and assert bit-exact
+agreement with the table-driven kernel — this checks the parser end-to-end
+against every projection family without needing pyproj ground truth.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from stackstac_spark.functions import proj as P
+
+# (builtin_epsg, private_code, public proj4 string) — one per family
+_CASES = [
+    # LCC 2SP — RGF93 / Lambert-93
+    (2154, 990154, "+proj=lcc +lat_1=44 +lat_2=49 +lat_0=46.5 +lon_0=3 "
+                   "+x_0=700000 +y_0=6600000 +ellps=GRS80 +towgs84=0,0,0,0,0,0,0 "
+                   "+units=m +no_defs"),
+    # Albers — NAD83 / Conus Albers
+    (5070, 990570, "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 "
+                   "+x_0=0 +y_0=0 +datum=NAD83 +units=m +no_defs"),
+    # LAEA polar — EASE-Grid 2.0 North
+    (6931, 990631, "+proj=laea +lat_0=90 +lon_0=0 +x_0=0 +y_0=0 +datum=WGS84 "
+                   "+units=m +no_defs"),
+    # CEA — EASE-Grid 2.0 Global
+    (6933, 990633, "+proj=cea +lat_ts=30 +lon_0=0 +x_0=0 +y_0=0 +datum=WGS84 "
+                   "+units=m +no_defs"),
+    # Polar stereographic variant A (UPS North)
+    (5041, 990541, "+proj=stere +lat_0=90 +lon_0=0 +k_0=0.994 +x_0=2000000 "
+                   "+y_0=2000000 +datum=WGS84 +units=m +no_defs"),
+    # Polar stereographic variant B (Antarctic 3031, +lat_ts form)
+    (3031, 990331, "+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 +x_0=0 +y_0=0 "
+                   "+datum=WGS84 +units=m +no_defs"),
+    # UTM zone 33N via +proj=utm
+    (32633, 990633 + 9000, "+proj=utm +zone=33 +datum=WGS84 +units=m +no_defs"),
+    # NZTM via +proj=tmerc
+    (2193, 990193, "+proj=tmerc +lat_0=0 +lon_0=173 +k=0.9996 +x_0=1600000 "
+                   "+y_0=10000000 +ellps=GRS80 +units=m +no_defs"),
+]
+
+# sample lon/lat grids confined to each CRS's domain of use
+_DOMAINS = {
+    2154: (-4.0, 9.0, 42.0, 51.0),
+    5070: (-120.0, -75.0, 25.0, 48.0),
+    6931: (-180.0, 180.0, 45.0, 89.0),
+    6933: (-170.0, 170.0, -80.0, 80.0),
+    5041: (-180.0, 180.0, 60.0, 89.5),
+    3031: (-180.0, 180.0, -89.5, -60.0),
+    32633: (12.0, 18.0, -70.0, 80.0),
+    2193: (166.0, 178.0, -47.0, -34.0),
+}
+
+
+def _grid(dom, n=7):
+    lon = np.linspace(dom[0], dom[1], n)
+    lat = np.linspace(dom[2], dom[3], n)
+    LO, LA = np.meshgrid(lon, lat)
+    return LO.ravel(), LA.ravel()
+
+
+@pytest.mark.parametrize("builtin,private,proj4", _CASES,
+                         ids=[str(c[0]) for c in _CASES])
+def test_registered_matches_builtin_kernel(builtin, private, proj4):
+    P.register_crs(private, proj4)
+    lon, lat = _grid(_DOMAINS[builtin])
+    bx, by = P.transform_xy(4326, builtin, lon, lat)
+    rx, ry = P.transform_xy(4326, private, lon, lat)
+    np.testing.assert_array_equal(rx, bx)
+    np.testing.assert_array_equal(ry, by)
+    # and the inverse
+    blon, blat = P.transform_xy(builtin, 4326, bx, by)
+    rlon, rlat = P.transform_xy(private, 4326, rx, ry)
+    np.testing.assert_array_equal(rlon, blon)
+    np.testing.assert_array_equal(rlat, blat)
+
+
+def test_novel_crs_roundtrip():
+    """EPSG:3573 (Canada Atlas LAEA over the pole) is in none of the
+    built-in tables — register it from its public proj4 and check the
+    forward/inverse kernels are consistent to float precision."""
+    P.register_crs(3573, "+proj=laea +lat_0=90 +lon_0=-100 +x_0=0 +y_0=0 "
+                         "+datum=WGS84 +units=m +no_defs")
+    lon, lat = _grid((-140.0, -60.0, 45.0, 85.0))
+    x, y = P.transform_xy(4326, 3573, lon, lat)
+    lon2, lat2 = P.transform_xy(3573, 4326, x, y)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+    # the projection origin maps to (0, 0)
+    ox, oy = P.transform_xy(4326, 3573, np.array([-100.0]), np.array([90.0]))
+    assert abs(ox[0]) < 1e-6 and abs(oy[0]) < 1e-6
+
+
+@pytest.mark.parametrize("proj4,err", [
+    ("+proj=omerc +lat_0=4 +lonc=115 +datum=WGS84", "not in the built-in"),
+    ("+proj=lcc +lat_1=44 +towgs84=1,2,3 +ellps=GRS80", "towgs84"),
+    ("+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 +ellps=WGS84", "lat_0"),
+    ("+proj=tmerc +lat_0=0 +lon_0=-2 +k=0.9996012717 +ellps=WGS84", "0.9996"),
+    ("+proj=stere +lat_0=52.15 +lon_0=5.38 +k=0.9999 +ellps=WGS84", "polar"),
+    ("+proj=lcc +lat_1=44 +ellps=intl", "ellipsoid"),
+    ("+proj=lcc +lat_1=44 +ellps=GRS80 +units=ft", "units"),
+])
+def test_unsupported_forms_raise(proj4, err):
+    with pytest.raises((NotImplementedError, ValueError), match=err):
+        P.register_crs(999999, proj4)
+
+
+def test_error_message_mentions_register(monkeypatch):
+    if P._HAVE_PYPROJ:  # pragma: no cover
+        pytest.skip("builtin error path only without pyproj")
+    with pytest.raises(NotImplementedError, match="register_crs"):
+        P.transform_xy(4326, 27700, np.array([0.0]), np.array([51.0]))
+
+
+def test_registered_crs_reaches_executors(spark):
+    """The critical distributed property: a CRS registered on the DRIVER
+    must be usable inside executor Python workers (separate processes that
+    import proj.py fresh). project_xy ships the registry snapshot in its
+    closure; compare against a driver-side transform."""
+    P.register_crs(990901, "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 "
+                           "+y_0=3210000 +ellps=GRS80 +units=m +no_defs")
+    import pandas as pd
+
+    pts = pd.DataFrame({"lon": [5.0, 10.0, 15.0, 24.0], "lat": [45.0, 50.0, 55.0, 65.0]})
+    df = spark.createDataFrame(pts)
+    got = (
+        P.project_xy(df, "lon", "lat", 4326, 990901)
+        .orderBy("lon")
+        .toPandas()
+    )
+    ex, ey = P.transform_xy(4326, 3035, pts["lon"].to_numpy(), pts["lat"].to_numpy())
+    np.testing.assert_allclose(got["x"].to_numpy(), ex, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(got["y"].to_numpy(), ey, rtol=0, atol=1e-9)
+
+
+def test_stack_e2e_with_registered_crs(spark):
+    """stack() over items whose assets sit in a registered private CRS:
+    the prepare path must reproject their bounds with the user kernel."""
+    P.register_crs(990902, "+proj=lcc +lat_1=44 +lat_2=49 +lat_0=46.5 +lon_0=3 "
+                           "+x_0=700000 +y_0=6600000 +ellps=GRS80 +units=m")
+    from stackstac_spark.stack import stack
+
+    # one item natively in the private CRS (Lambert-93 clone), stacked to 3035
+    x0, y0 = P.transform_xy(4326, 990902, np.array([4.0]), np.array([46.0]))
+    x0, y0 = float(x0[0]), float(y0[0])
+    items = [{
+        "id": "it-0",
+        "bbox": None,
+        "properties": {
+            "datetime": "2024-05-01T00:00:00Z",
+            "proj:epsg": 990902,
+            "proj:bbox": [x0, y0, x0 + 640.0, y0 + 640.0],
+            "proj:shape": [64, 64],
+            "proj:transform": [10.0, 0.0, x0, 0.0, -10.0, y0 + 640.0],
+        },
+        "assets": {"red": {"href": "fake://0/0", "type": "image/tiff; application=geotiff"}},
+    }]
+    st = stack(spark, items, assets=["red"], epsg=3035, resolution=10.0, chunksize=32)
+    assert st.spec.epsg == 3035
+    # the Lambert-93-ish 640 m box lands as a finite, sane 3035 window
+    minx, miny, maxx, maxy = st.spec.bounds
+    assert np.isfinite([minx, miny, maxx, maxy]).all()
+    assert 0 < maxx - minx < 5000 and 0 < maxy - miny < 5000
+    arr = st.compute()
+    assert np.isfinite(arr).any()
