@@ -86,6 +86,28 @@ def main() -> None:
     only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
     only_set = {q.strip() for q in only.split(",") if q.strip()}
 
+    # machine calibration: two fixed microbenchmarks (BLAS matmul + pure-
+    # Python loop) recorded alongside the query times. Cross-round bench
+    # comparisons are only meaningful if the machine was equally fast; a
+    # drifting probe says "normalize before judging" (r7: an apparent 2x
+    # across-the-board regression turned out to track exactly this probe).
+    import numpy as _np
+
+    _m = _np.random.default_rng(0).random((2048, 2048))
+    _t0 = time.time()
+    _ = _m @ _m
+    matmul_s = time.time() - _t0
+    _t0 = time.time()
+    _acc = 0
+    for _i in range(5_000_000):
+        _acc += _i
+    pyloop_s = time.time() - _t0
+    machine_probe = {
+        "matmul_2048_s": round(matmul_s, 3),
+        "pyloop_5m_s": round(pyloop_s, 3),
+    }
+    print(f"# machine_probe: {machine_probe}", file=sys.stderr)
+
     medians: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
     # Queries that memoize expensive setup per session (the raster stacks'
@@ -169,6 +191,7 @@ def main() -> None:
         "queries": medians,
         "queries_spread": spread,
         "first_call_s": first_call_s,
+        "machine_probe": machine_probe,
         "stack_construction_ms": construction_ms,
         "sf": float(sf),
     }

@@ -547,6 +547,7 @@ def minhash_jaccard_estimate(
     bands: int = 4,
     shingle_n: int = 2,
     max_bucket: int | None = 1000,
+    sig_df: DataFrame | None = None,
 ) -> DataFrame:
     """Estimated Jaccard similarity for LSH candidate pairs (Broder 1997:
     P[minhash agrees] = J(A,B), so the fraction of agreeing signature
@@ -557,6 +558,12 @@ def minhash_jaccard_estimate(
     Returns (id_a, id_b, est_jaccard). Plan: LSH candidates (bucket join)
     + two id-keyed hash joins against the signature table — never touches
     the shingle sets of a pair.
+
+    ``sig_df``: a precomputed ``minhash_signatures(df, id_col, text_col,
+    num_hashes, shingle_n)`` table. Real pipelines persist signatures once
+    and score many candidate batches against them; pass that table here to
+    skip the per-call signature job (the caller owns its persistence —
+    no localCheckpoint is taken on a provided table).
     """
     # validate BEFORE the eager signature job below — a bad bands value
     # must not cost a full corpus scan before raising
@@ -570,7 +577,12 @@ def minhash_jaccard_estimate(
     # shingle-explode + k-hash aggregate subtree appears three times in
     # the plan. Signatures are k fixed-width hashes per doc (a ~1e-4
     # fraction of the corpus), the table every real pipeline persists.
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).localCheckpoint()
+    if sig_df is not None:
+        sig = sig_df
+    else:
+        sig = minhash_signatures(
+            df, id_col, text_col, num_hashes, shingle_n
+        ).localCheckpoint()
     cands = minhash_lsh_candidates(
         df, id_col, text_col, num_hashes, bands, shingle_n, max_bucket, sig_df=sig
     )
