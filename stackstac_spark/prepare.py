@@ -100,21 +100,18 @@ def select_asset_ids(
         return list(assets)
     if isinstance(assets, str):  # mimetype filter
         mt = Mimetype.from_str(assets)
-
-        @F.pandas_udf(T.BooleanType())
-        def _matches(s: pd.Series) -> pd.Series:
-            return s.map(lambda v: mt.matches(v) if v is not None else False)
-
         # universal quantifier: asset id kept iff its type matches on EVERY
-        # item carrying it (prepare.py:86-120); untyped assets drop.
-        rows = (
-            assets_df.groupBy("asset_id")
-            .agg(F.bool_and(_matches(F.col("type"))).alias("all_match"))
-            .filter("all_match")
-            .select("asset_id")
-            .collect()
-        )
-        return sorted(r.asset_id for r in rows)
+        # item carrying it (prepare.py:86-120); untyped assets drop. The
+        # match itself runs driver-side over the DISTINCT (asset_id, type)
+        # pairs — a native dedup job with no Python-worker round trip; the
+        # distinct set is metadata-plane (band ids × mime-string variants),
+        # tiny at any corpus scale.
+        pairs = assets_df.select("asset_id", "type").distinct().collect()
+        by_id: dict[str, bool] = {}
+        for r in pairs:
+            ok = mt.matches(r.type) if r.type is not None else False
+            by_id[r.asset_id] = by_id.get(r.asset_id, True) and ok
+        return sorted(aid for aid, ok in by_id.items() if ok)
     # default: asset ids of the item with the most assets, order-preserving
     # (prepare.py:83-85)
     row = (
