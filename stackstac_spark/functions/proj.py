@@ -329,7 +329,19 @@ def _lcc_consts(a: float, e2: float, lat1: float, lat2: float, lat0: float) -> t
     t1 = float(_t_ell(np.float64(p1), e))
     t2 = float(_t_ell(np.float64(p2), e))
     t0 = float(_t_ell(np.float64(p0), e))
-    n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    if abs(p1 - p2) < 1e-12:
+        # Tangent (1SP, k0=1) limit of the 2SP formula: n → sin(φ1)
+        # (Snyder §15, eq. 15-3 degenerates; EPSG 9801 with k0=1).
+        n = math.sin(p1)
+    else:
+        n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    if abs(n) < 1e-12:
+        # lat_1 == -lat_2 (or tangent at the equator): the cone degenerates
+        # to a cylinder (Mercator limit) — not an LCC.
+        raise ValueError(
+            "LCC degenerate: standard parallels give cone constant n == 0 "
+            "(equatorial/symmetric parallels); use a Mercator CRS instead"
+        )
     f = m1 / (n * t1**n)
     rho0 = a * f * t0**n
     return n, f, rho0
@@ -370,7 +382,17 @@ def _aea_consts(a: float, e2: float, lat1: float, lat2: float, lat0: float) -> t
     q1 = float(_q_ell(np.float64(p1), e))
     q2 = float(_q_ell(np.float64(p2), e))
     q0 = float(_q_ell(np.float64(p0), e))
-    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    if abs(p1 - p2) < 1e-12:
+        # Tangent (1SP) limit: n → sin(φ1) (Snyder §14).
+        n = math.sin(p1)
+    else:
+        n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    if abs(n) < 1e-12:
+        raise ValueError(
+            "Albers degenerate: standard parallels give cone constant n == 0 "
+            "(equatorial/symmetric parallels); use a cylindrical equal-area "
+            "CRS instead"
+        )
     c = m1 * m1 + n * q1
     rho0 = a * math.sqrt(c - n * q0) / n
     qp = float(_q_ell(np.float64(math.pi / 2), e))
@@ -673,10 +695,15 @@ def register_crs(epsg: int, proj4: str) -> None:
                     "latitude)"
                 )
             lon0, fe, fn = f("lon_0"), f("x_0"), f("y_0")
-        if abs(f("k_0", 0.9996) - 0.9996) > 1e-12:
+        # PROJ defaults tmerc's scale factor to 1.0 when +k/+k_0 is absent;
+        # silently assuming 0.9996 would register a CRS whose coordinates
+        # are wrong by ~100 m. Only an explicit +k=0.9996 (or +proj=utm,
+        # where 0.9996 IS the definition) may use the baked-in kernel.
+        if abs(f("k_0", 0.9996 if proj == "utm" else 1.0) - 0.9996) > 1e-12:
             raise NotImplementedError(
                 f"register_crs({epsg}): tmerc kernel bakes k_0=0.9996 "
-                "(UTM/NZTM); other scale factors need pyproj"
+                "(UTM/NZTM); other scale factors (including the PROJ "
+                "default k_0=1.0 when +k is absent) need pyproj"
             )
         fam, params = "tm", (lon0, fe, fn)
     else:
@@ -685,6 +712,15 @@ def register_crs(epsg: int, proj4: str) -> None:
             "families (lcc, aea, laea, cea, polar stere, tmerc, utm); "
             "install pyproj for it"
         )
+    if fam in ("lcc", "aea"):
+        # Fail degenerate parallel choices HERE, not as a ZeroDivisionError
+        # deep inside an executor UDF later: probe the cone constants once.
+        a_ell, e2_ell = _ELLIPSOIDS[ell]
+        consts = _lcc_consts if fam == "lcc" else _aea_consts
+        try:
+            consts(a_ell, e2_ell, params[0], params[1], params[2])
+        except ValueError as exc:
+            raise NotImplementedError(f"register_crs({epsg}): {exc}") from None
     _USER_CRS[epsg] = (fam, params, ell)
     _apply_user_crs(epsg, fam, params, ell)
 

@@ -138,6 +138,7 @@ class HttpRangeFile:
         max_blocks: int = 64,
         retries: int = 3,
         retry_backoff: float = 0.25,
+        timeout: float = 30.0,
     ):
         self.url = url
         self.block_size = int(block_size)
@@ -148,6 +149,10 @@ class HttpRangeFile:
         self._full: bytes | None = None  # set when the server ignores Range
         self.retries = int(retries)
         self.retry_backoff = float(retry_backoff)
+        # GDAL's /vsicurl/ has connect/read timeouts; without one here a
+        # stalled connection hangs the executor task forever and the retry
+        # policy below never triggers (no exception is ever raised).
+        self.timeout = float(timeout)
 
     # -- transport ---------------------------------------------------------
 
@@ -175,7 +180,7 @@ class HttpRangeFile:
         resp = None
         for attempt in range(self.retries + 1):
             try:
-                resp = urllib.request.urlopen(req)
+                resp = urllib.request.urlopen(req, timeout=self.timeout)
                 break
             except urllib.error.HTTPError as ex:
                 if ex.code == 416:  # requested range past EOF

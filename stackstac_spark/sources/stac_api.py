@@ -53,6 +53,7 @@ def _http_json(
     headers: dict | None,
     retries: int,
     retry_backoff: float,
+    timeout: float = 30.0,
 ) -> dict:
     """One request (POST when ``body`` is not None, else GET) → parsed JSON,
     with the engine's standard transient-failure retry policy."""
@@ -66,7 +67,9 @@ def _http_json(
     req = urllib.request.Request(url, data=data, headers=hdrs)
     for attempt in range(retries + 1):
         try:
-            with urllib.request.urlopen(req) as resp:
+            # finite timeout so a stalled server converts to TimeoutError
+            # and enters the retry path instead of hanging the driver
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
                 return json.loads(resp.read().decode())
         except urllib.error.HTTPError as ex:
             if ex.code not in _RETRIABLE or attempt == retries:
@@ -134,6 +137,7 @@ def search_items(
     headers: dict | None = None,
     retries: int = 3,
     retry_backoff: float = 0.25,
+    timeout: float = 30.0,
     to_jsonl: str | None = None,
     max_pages: int = 10_000,
 ) -> list[dict] | str:
@@ -170,10 +174,15 @@ def search_items(
     try:
         # first request
         if method == "POST":
-            page = _http_json(base, body, headers, retries, retry_backoff)
+            page = _http_json(base, body, headers, retries, retry_backoff, timeout)
         else:
             page = _http_json(
-                base + "?" + _get_params(body), None, headers, retries, retry_backoff
+                base + "?" + _get_params(body),
+                None,
+                headers,
+                retries,
+                retry_backoff,
+                timeout,
             )
         pages = 1
         while True:
@@ -205,9 +214,9 @@ def search_items(
                 if nxt.get("merge"):
                     nbody = {**body, **nbody}
                 body = nbody
-                page = _http_json(href, body, headers, retries, retry_backoff)
+                page = _http_json(href, body, headers, retries, retry_backoff, timeout)
             else:
-                page = _http_json(href, None, headers, retries, retry_backoff)
+                page = _http_json(href, None, headers, retries, retry_backoff, timeout)
     finally:
         if sink is not None:
             sink.close()

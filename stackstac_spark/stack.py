@@ -377,6 +377,7 @@ def stack(
     properties: bool | str | list = True,
     band_coords: bool = True,
     overview_mode: str = "exact",
+    catalog_format: str | None = None,
 ) -> RasterStack:
     """items → prepared asset table → tile grid join → lazy scan.
 
@@ -388,8 +389,11 @@ def stack(
     ``items`` may be STAC-ish objects/dicts (driver-side normalization) or a
     string path/glob on storage for distributed ingest (the 100 TB-catalog
     paths): item JSONL (``sources.stac.items_from_jsonl``) or
-    stac-geoparquet (``items_from_geoparquet`` — picked by a ``.parquet`` /
-    ``.pq`` suffix or ``geoparquet`` in the path).
+    stac-geoparquet (``items_from_geoparquet``). Routing is by the final
+    path component's extension (``.parquet`` / ``.pq`` / ``.geoparquet`` →
+    geoparquet, anything else → JSONL); pass ``catalog_format="geoparquet"``
+    or ``"jsonl"`` explicitly for ambiguous paths (e.g. a directory of
+    parquet part-files with no extension).
 
     ``overview_mode`` (engine extension; no reference counterpart — the
     reference gets decimation from GDAL's WarpedVRT, rio_reader.py:344-360):
@@ -400,8 +404,23 @@ def stack(
     if xy_coords not in ("topleft", "center"):
         raise ValueError(f"xy_coords must be 'topleft' or 'center', got {xy_coords!r}")
     prepared: Prepared | None = None
+    if catalog_format not in (None, "geoparquet", "jsonl"):
+        raise ValueError(
+            f"catalog_format must be 'geoparquet', 'jsonl', or None (infer "
+            f"from the path extension), got {catalog_format!r}"
+        )
     if isinstance(items, str):
-        if items.rstrip("/").endswith((".parquet", ".pq")) or "geoparquet" in items:
+        # Route by the FINAL path component's extension only — a directory
+        # named .../geoparquet_export/items.jsonl must go to the JSONL
+        # reader. Ambiguous paths (extensionless directories) take the
+        # explicit catalog_format= parameter.
+        leaf = items.rstrip("/").rsplit("/", 1)[-1].lower()
+        is_geoparquet = (
+            catalog_format == "geoparquet"
+            if catalog_format
+            else leaf.endswith((".parquet", ".pq", ".geoparquet"))
+        )
+        if is_geoparquet:
             # stac-geoparquet bulk catalogs (split-parallel, column-pruned)
             from stackstac_spark.sources.stac import items_from_geoparquet
 

@@ -169,3 +169,48 @@ def test_stack_e2e_with_registered_crs(spark):
     assert 0 < maxx - minx < 5000 and 0 < maxy - miny < 5000
     arr = st.compute()
     assert np.isfinite(arr).any()
+
+
+@pytest.mark.parametrize("proj4,err", [
+    # PROJ defaults tmerc scale to 1.0 when +k is absent — silently baking
+    # 0.9996 would be ~100 m wrong; must refuse instead (r7 advice).
+    ("+proj=tmerc +lat_0=0 +lon_0=9 +ellps=WGS84", "0.9996"),
+    ("+proj=tmerc +lat_0=0 +lon_0=9 +k=1.0 +ellps=WGS84", "0.9996"),
+    # LCC/AEA degenerate parallels must fail at registration, not as a
+    # ZeroDivisionError inside executor UDFs later (r7 advice).
+    ("+proj=lcc +lat_1=0 +lat_2=0 +lat_0=0 +lon_0=3 +ellps=GRS80", "degenerate"),
+    ("+proj=lcc +lat_1=30 +lat_2=-30 +lat_0=0 +lon_0=3 +ellps=GRS80", "degenerate"),
+    ("+proj=aea +lat_1=20 +lat_2=-20 +lat_0=0 +lon_0=3 +ellps=GRS80", "degenerate"),
+])
+def test_r8_advice_registration_guards(proj4, err):
+    with pytest.raises(NotImplementedError, match=err):
+        P.register_crs(999998, proj4)
+
+
+def test_lcc_tangent_1sp_limit():
+    """lat_1 == lat_2 (tangent cone, k0=1) uses the n = sin(lat_1) limit and
+    produces finite, invertible coordinates instead of ZeroDivisionError."""
+    P.register_crs(990990, "+proj=lcc +lat_1=45 +lat_2=45 +lat_0=45 +lon_0=10 "
+                           "+x_0=0 +y_0=0 +ellps=WGS84")
+    lon = np.array([8.0, 10.0, 13.5])
+    lat = np.array([43.0, 45.0, 47.25])
+    x, y = P.transform_xy(4326, 990990, lon, lat)
+    assert np.isfinite(x).all() and np.isfinite(y).all()
+    # origin maps to (0, 0) for the tangent case
+    assert abs(x[1]) < 1e-6 and abs(y[1]) < 1e-6
+    lon2, lat2 = P.transform_xy(990990, 4326, x, y)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+
+def test_aea_tangent_1sp_limit():
+    P.register_crs(990991, "+proj=aea +lat_1=-20 +lat_2=-20 +lat_0=-20 "
+                           "+lon_0=135 +x_0=0 +y_0=0 +ellps=GRS80")
+    lon = np.array([130.0, 135.0, 141.0])
+    lat = np.array([-25.0, -20.0, -15.5])
+    x, y = P.transform_xy(4326, 990991, lon, lat)
+    assert np.isfinite(x).all() and np.isfinite(y).all()
+    assert abs(x[1]) < 1e-6 and abs(y[1]) < 1e-6
+    lon2, lat2 = P.transform_xy(990991, 4326, x, y)
+    np.testing.assert_allclose(lon2, lon, atol=1e-8)
+    np.testing.assert_allclose(lat2, lat, atol=1e-8)

@@ -173,3 +173,47 @@ def test_geoparquet_plan_prunes_geometry(spark, tmp_path):
     gi, _ = items_from_geoparquet(spark, p)
     plan = gi._jdf.queryExecution().executedPlan().toString()
     assert "geometry" not in plan
+
+
+class _Routed(Exception):
+    pass
+
+
+@pytest.mark.parametrize("path,fmt,expect", [
+    # routing is by the FINAL component's extension, not a substring match:
+    # a JSONL file inside a 'geoparquet_export' dir must go to JSONL (r7 advice)
+    ("s3a://bucket/geoparquet_export/items.jsonl", None, "jsonl"),
+    ("/data/catalog/items.parquet", None, "geoparquet"),
+    ("/data/catalog/*.pq", None, "geoparquet"),
+    ("/data/catalog/items.geoparquet", None, "geoparquet"),
+    ("/data/catalog/items.GeoParquet", None, "geoparquet"),
+    ("/data/geoparquet_parts/", None, "jsonl"),  # extensionless → JSONL default
+    ("/data/geoparquet_parts/", "geoparquet", "geoparquet"),  # explicit override
+    ("/data/catalog/items.parquet", "jsonl", "jsonl"),  # explicit override wins
+])
+def test_catalog_path_routing(spark, monkeypatch, path, fmt, expect):
+    import stackstac_spark.sources.stac as stac_mod
+    from stackstac_spark.stack import stack
+
+    called = {}
+
+    def _gpq(*a, **k):
+        called["fmt"] = "geoparquet"
+        raise _Routed()
+
+    def _jsonl(*a, **k):
+        called["fmt"] = "jsonl"
+        raise _Routed()
+
+    monkeypatch.setattr(stac_mod, "items_from_geoparquet", _gpq)
+    monkeypatch.setattr(stac_mod, "items_from_jsonl", _jsonl)
+    with pytest.raises(_Routed):
+        stack(spark, path, catalog_format=fmt)
+    assert called["fmt"] == expect
+
+
+def test_catalog_format_validated(spark):
+    from stackstac_spark.stack import stack
+
+    with pytest.raises(ValueError, match="catalog_format"):
+        stack(spark, "/tmp/x.jsonl", catalog_format="csv")
