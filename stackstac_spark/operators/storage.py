@@ -1,0 +1,120 @@
+"""Z-order (Morton) clustering — the layout move bucketing can't make.
+
+The reference engine reads whatever layout the catalog hands it; at the
+100 TB scale this repo targets, the LAYOUT is an operator too. The
+write-side layout primitives already live in
+:mod:`stackstac_spark.sources.sinks` (``write_bucketed`` — co-located
+joins with zero Exchange; ``write_partitioned`` — file-listing-level
+pruning; both re-exported here for discoverability). This module adds the
+third lakehouse layout move, multi-column clustering:
+
+- :func:`zorder_key` — Morton (Z-order) interleaving of 2-3 quantized
+  columns, the clustering key behind Delta/Iceberg ``OPTIMIZE ZORDER``:
+  sort-writing by the interleaved key makes parquet row-group min/max
+  stats selective on EVERY interleaved column at once, not just the
+  leading sort column (a plain ``sortBy(x)`` leaves y's per-file range at
+  full domain width). Pure column math (shiftleft/or/cast, JVM codegen) —
+  no UDF, no shuffle beyond the final range-partition.
+- :func:`zorder_write` — key → ``repartitionByRange`` →
+  ``sortWithinPartitions`` → parquet: the write side of
+  ``OPTIMIZE ZORDER BY``. The range partitioner samples the key
+  distribution, so skewed inputs still produce balanced files.
+
+Plan + value contracts are pinned in tests/test_storage_layout.py
+(bit-for-bit Morton parity with a Python reference; per-file min/max
+tightness on both clustered columns; no Python eval nodes in the plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stackstac_spark.sources.sinks import (  # noqa: F401 (re-exports)
+    read_table,
+    write_bucketed,
+    write_partitioned,
+)
+
+__all__ = [
+    "zorder_key",
+    "zorder_write",
+    "write_bucketed",
+    "write_partitioned",
+    "read_table",
+]
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    out_col: str = "zorder",
+    ranges: dict[str, tuple[float, float]] | None = None,
+) -> DataFrame:
+    """Append a Morton (Z-order) interleaved key over 2-3 numeric columns.
+
+    Each column is min-max quantized to ``bits`` bits (range computed in one
+    tiny agg unless supplied via ``ranges``, then folded into the expression
+    as literals), and the bit patterns are interleaved: bit i of column j
+    lands at position ``i*len(cols)+j``. Sorting/range-partitioning by the
+    result clusters rows so that parquet row-group min/max stats stay tight
+    on EVERY input column — the property ``OPTIMIZE ZORDER BY`` buys in
+    Delta/Iceberg.
+
+    Entirely native column expressions (shiftleft/or/cast) → whole-stage
+    codegen; the only action is the 1-row min/max agg (skipped when
+    ``ranges`` provides the bounds — pass them when the domain is known,
+    e.g. lon/lat, to keep the op fully lazy).
+    """
+    if not 2 <= len(cols) <= 3:
+        raise ValueError(f"zorder_key interleaves 2-3 columns, got {len(cols)}")
+    if not 1 <= bits <= 20:
+        raise ValueError(f"bits must be in [1, 20], got {bits}")
+    if ranges is None:
+        # one scan for all ranges (driver-side scalar fetch: 1 row)
+        aggs = []
+        for c in cols:
+            aggs += [F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
+                     F.max(F.col(c).cast("double")).alias(f"mx_{c}")]
+        row = df.agg(*aggs).first()
+        ranges = {c: (float(row[f"mn_{c}"]), float(row[f"mx_{c}"])) for c in cols}
+    nlevels = (1 << bits) - 1
+    quant = []
+    for c in cols:
+        mn, mx = ranges[c]
+        span = (mx - mn) or 1.0
+        # floor() then clamp: the max value quantizes to nlevels, not nlevels+1
+        q = F.least(
+            F.lit(nlevels),
+            F.floor(((F.col(c).cast("double") - F.lit(mn)) / F.lit(span)) * F.lit(nlevels + 1)).cast("long"),
+        )
+        quant.append(F.greatest(F.lit(0).cast("long"), q))
+    # interleave: bit i of column j → position i*k + j
+    k = len(cols)
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, q in enumerate(quant):
+            bit = F.shiftright(q, i).bitwiseAND(F.lit(1).cast("long"))
+            key = key.bitwiseOR(F.shiftleft(bit, i * k + j))
+    return df.withColumn(out_col, key)
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    n_files: int = 32,
+    mode: str = "errorifexists",
+) -> None:
+    """Z-order-cluster and write: key → range-repartition → sort within
+    partitions → parquet (the write-side of ``OPTIMIZE ZORDER BY``)."""
+    keyed = zorder_key(df, cols, bits=bits)
+    (
+        keyed.repartitionByRange(int(n_files), "zorder")
+        .sortWithinPartitions("zorder")
+        .drop("zorder")
+        .write.mode(mode)
+        .parquet(path)
+    )
