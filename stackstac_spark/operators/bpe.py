@@ -146,3 +146,48 @@ def merges_df(spark, merges: list[tuple[int, str, str, int]]) -> DataFrame:
         [(s, l, r, l + r, c) for (s, l, r, c) in merges],
         "step int, left string, right string, merged string, cnt bigint",
     )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    out_col: str = "tokens",
+    id_cols: list[str] | None = None,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Tokenize a corpus with a learned merge table → (id_cols..., tokens).
+
+    Scale shape: the merge replay runs over the DISTINCT-WORD dictionary
+    (vocabulary-bounded, like training), then the per-document token
+    sequence is assembled by a word-keyed join + one ordered re-aggregation
+    — the corpus text is never folded row-by-row. At 100 TB that keeps the
+    k merge passes over ~10^7 dictionary rows instead of 10^11 documents,
+    and the single corpus-scale join is an equi-join on the word (AQE
+    broadcasts the dictionary when it fits).
+
+    ``merges`` is the list returned by :func:`bpe_train` (order matters);
+    ``id_cols`` defaults to every non-text column of ``docs``.
+    """
+    if id_cols is None:
+        id_cols = [c for c in docs.columns if c != text_col]
+    words = docs.select(
+        *id_cols,
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("pos", "word"),
+    ).filter(F.col("word") != "")
+    vocab = words.select("word").distinct().withColumn(
+        "syms", F.concat(F.split(F.col("word"), ""), F.array(F.lit(EOW)))
+    )
+    for i, (_step, left, right, _cnt) in enumerate(merges):
+        vocab = bpe_merge_pass(vocab, left, right)
+        if (i + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint()
+    joined = words.join(vocab, "word")
+    return (
+        joined.groupBy(*id_cols)
+        .agg(
+            F.flatten(
+                F.expr("transform(array_sort(collect_list(struct(pos, syms))), x -> x.syms)")
+            ).alias(out_col)
+        )
+    )

@@ -14,6 +14,8 @@ arithmetic deliberately pivots bands to columns instead of self-joining on
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -430,6 +432,55 @@ def focal_gradient(
         .filter(F.col("__n") == 9)
         .drop("__n")
     )
+
+
+def hillshade(
+    pixels: DataFrame,
+    azimuth_deg: float = 315.0,
+    altitude_deg: float = 45.0,
+    z_factor: float = 1.0,
+    cellsize_x: float = 1.0,
+    cellsize_y: float = 1.0,
+    keys: list[str] | None = None,
+    round_gradient_to: int | None = None,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """gdaldem-style Horn hillshade: :func:`focal_gradient` → Lambertian
+    illumination, entirely native trig (the terrain-viz endgame on top of
+    the slope/aspect primitive):
+
+        slope  = atan(z · sqrt(dzdx² + dzdy²))
+        aspect = atan2(dzdy, -dzdx)
+        cang   = sin(alt)·cos(slope) + cos(alt)·sin(slope)·cos(az - π/2 - aspect)
+        shade  = 1 + 254·cang   (clamped to 1 where the face is self-shadowed;
+                                 0 is reserved for nodata, GDAL convention)
+
+    ``azimuth_deg`` is measured clockwise from north (315 = NW default),
+    ``altitude_deg`` above the horizon. The sun-angle sines/cosines are
+    computed driver-side and folded in as literals. ``round_gradient_to``
+    optionally rounds dzdx/dzdy BEFORE the trig — set it when replaying
+    against an engine whose floating sum order differs, so a last-ulp
+    gradient difference can't flip the rounded shade. Returns
+    keys + (row, col, shade); edge semantics inherited from
+    :func:`focal_gradient` (full 8-neighbor stencils only).
+    """
+    az = math.radians(azimuth_deg)
+    alt = math.radians(altitude_deg)
+    g = focal_gradient(
+        pixels, cellsize_x, cellsize_y, keys=keys, round_to=round_gradient_to
+    )
+    if keys is None:
+        keys = [c for c in ("item_idx", "band_idx") if c in g.columns]
+    gx, gy = F.col("dzdx"), F.col("dzdy")
+    slope_ang = F.atan(F.lit(float(z_factor)) * F.sqrt(gx * gx + gy * gy))
+    aspect = F.atan2(gy, -gx)
+    cang = F.lit(math.sin(alt)) * F.cos(slope_ang) + F.lit(
+        math.cos(alt)
+    ) * F.sin(slope_ang) * F.cos(F.lit(az - math.pi / 2.0) - aspect)
+    shade = F.when(cang <= 0.0, F.lit(1.0)).otherwise(1.0 + 254.0 * cang)
+    if round_to is not None:
+        shade = F.round(shade, round_to)
+    return g.select(*keys, "row", "col", shade.alias("shade"))
 
 
 def interp_na_time(

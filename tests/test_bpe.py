@@ -117,3 +117,26 @@ def test_bpe_train_quote_safe(spark):
     ref_merges, ref_syms = _ref_bpe(["don't don't don't can't"], 6, min_count=2)
     assert merges == ref_merges
     assert {r["word"]: list(r["syms"]) for r in wf.collect()} == ref_syms
+
+
+def test_bpe_encode_matches_reference(spark):
+    from stackstac_spark.operators.bpe import bpe_encode
+
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)], "doc_id int, text string")
+    merges, _ = bpe_train(docs, n_merges=8, min_count=2)
+    enc = {r["doc_id"]: list(r["tokens"]) for r in bpe_encode(docs, merges).collect()}
+    _, ref_syms = _ref_bpe(TEXTS, 8, min_count=2)
+    for i, t in enumerate(TEXTS):
+        want = []
+        for w in re.split(r"\s+", t.lower()):
+            if w:
+                want += ref_syms[w]
+        assert enc[i] == want, (i, enc[i], want)
+
+
+def test_bpe_encode_empty_merges_is_char_level(spark):
+    from stackstac_spark.operators.bpe import bpe_encode
+
+    docs = spark.createDataFrame([(0, "ab ba")], "doc_id int, text string")
+    enc = bpe_encode(docs, []).collect()[0]["tokens"]
+    assert enc == ["a", "b", EOW, "b", "a", EOW]

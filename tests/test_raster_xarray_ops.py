@@ -268,3 +268,42 @@ def test_focal_gradient_horn_vs_numpy(spark):
             assert got[(r, c)] == pytest.approx(ex, abs=1e-9), (r, c)
     # no edge rows/cols in the output
     assert all(0 < r < h - 1 and 0 < c < w - 1 for r, c in got)
+
+
+def test_hillshade_vs_numpy(spark):
+    """Horn hillshade vs a direct numpy replay of the gdaldem formula
+    (slope=atan(z·|∇|), aspect=atan2(gy,-gx), Lambertian cang, 1+254·cang
+    clamped at 1) — same random grid as the gradient test, plus a flat
+    grid whose shade must be exactly round(1+254·sin(alt), 4) everywhere."""
+    import math
+
+    from stackstac_spark.operators.composite import hillshade
+
+    h, w = 6, 7
+    rng = np.random.default_rng(11)
+    grid = rng.integers(0, 100, (h, w)).astype(float)
+    rows = [(r, c, float(grid[r, c])) for r in range(h) for c in range(w)]
+    df = spark.createDataFrame(rows, "row INT, col INT, value DOUBLE")
+    az, alt = math.radians(315.0), math.radians(45.0)
+    got = {(r.row, r.col): r.shade
+           for r in hillshade(df, z_factor=2.0, cellsize_x=2.0).collect()}
+    for r in range(1, h - 1):
+        for c in range(1, w - 1):
+            n = grid[r - 1:r + 2, c - 1:c + 2]
+            a, b, cc2, d, _, f, g, hh, i = n.ravel()
+            gx = ((cc2 + 2 * f + i) - (a + 2 * d + g)) / (8 * 2.0)
+            gy = ((g + 2 * hh + i) - (a + 2 * b + cc2)) / 8.0
+            slope = math.atan(2.0 * math.hypot(gx, gy))
+            aspect = math.atan2(gy, -gx)
+            cang = (math.sin(alt) * math.cos(slope)
+                    + math.cos(alt) * math.sin(slope)
+                    * math.cos(az - math.pi / 2 - aspect))
+            want = 1.0 if cang <= 0 else 1.0 + 254.0 * cang
+            assert got[(r, c)] == pytest.approx(round(want, 4), abs=1e-4), (r, c)
+    # flat surface: zero gradient everywhere → shade = 1 + 254·sin(alt)
+    flat = spark.createDataFrame(
+        [(r, c, 5.0) for r in range(4) for c in range(4)],
+        "row INT, col INT, value DOUBLE",
+    )
+    vals = {r.shade for r in hillshade(flat).collect()}
+    assert vals == {round(1.0 + 254.0 * math.sin(alt), 4)}
