@@ -3015,6 +3015,39 @@ FROM px WHERE 2*row + 1 < 40 AND 2*col + 1 < 40 ORDER BY row, col
 """
 
 
+def q_raster_resample_cubic(spark, sf):
+    """Keys (1981) a=-0.5 cubic-convolution warp (operators/warp.py::
+    _interp_tile 'cubic' — the rasterio Resampling.cubic kernel), oracle-
+    checked: cubic convolution is third-order accurate, so on the linear
+    painted surface it reproduces the same closed form as bilinear — but
+    over a ONE-RING-TIGHTER footprint (the 4x4 stencil must fit: R,C in
+    [1,18] instead of [0,19]), which pins the kernel's support; the exact
+    weights are pinned vs a direct convolution replay in
+    tests/test_warp_viz.py::test_interp_tile_cubic_keys_vs_direct."""
+    from stackstac_spark.operators.warp import reproject_tiles
+    from stackstac_spark.raster_spec import RasterSpec
+    from stackstac_spark.sources.raster import explode_pixels
+
+    st = _raster_stack(spark)  # shared 2-band stack; red = band_idx 0
+    t0 = st.tiles.filter((F.col("item_idx") == 0) & (F.col("band_idx") == 0))
+    dst = RasterSpec(32633, _R_BOUNDS, (20.0, 20.0))
+    warped = reproject_tiles(t0, st.spec, dst, chunksize=256, method="cubic")
+    return (
+        explode_pixels(warped)
+        .select("row", "col", F.round("value", 7).alias("value"))
+        .orderBy("row", "col")
+    )
+
+
+# the full 4x4 stencil around floor(2R+0.5)=2R must be inside item 0's
+# 40x40 footprint: 2R-1 >= 0 and 2R+2 <= 39 → R in [1, 18] (same for C)
+SQL_RASTER_RESAMPLE_CUBIC = """
+WITH px AS (SELECT r.g AS row, c.g AS col FROM generate_series(0, 31) r(g), generate_series(0, 31) c(g))
+SELECT row, col, round((2*row + 0.5)*0.001 + (2*col + 0.5)*0.000001, 7) AS value
+FROM px WHERE row BETWEEN 1 AND 18 AND col BETWEEN 1 AND 18 ORDER BY row, col
+"""
+
+
 def q_raster_xyz_png(spark, sf):
     """Viz pipeline under the harness: warp the stack to web-mercator slippy
     tiles around the AOI, mosaic over time, PNG-encode — the reference's
@@ -6746,6 +6779,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "bpe_encode": (q_bpe_encode, None),
     "raster_hillshade": (q_raster_hillshade, SQL_RASTER_HILLSHADE),
     "label_propagation": (q_label_propagation, SQL_LABEL_PROPAGATION),
+    "raster_resample_cubic": (q_raster_resample_cubic, SQL_RASTER_RESAMPLE_CUBIC),
     "raster_overview_read": (q_raster_overview_read, SQL_RASTER_OVERVIEW_READ),
     "prepare_inference": (q_prepare_inference, SQL_PREPARE_INFERENCE),
     "raster_complex_mosaic": (q_raster_complex_mosaic, SQL_RASTER_COMPLEX_MOSAIC),

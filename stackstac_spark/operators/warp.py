@@ -6,9 +6,10 @@ DataFrame.
 Physical strategy: the OUTPUT grid is tiled; for each output tile we compute
 (inverse-transform) the source-pixel footprint it needs, fetch exactly those
 source tiles (an overlap join — the bounded-halo exchange SURVEY §7 calls
-for), and interpolate per output tile in an Arrow-batched kernel. Nearest and
-bilinear interpolation are implemented in numpy directly (scipy is not in
-this container; interpn on a regular grid reduces to index arithmetic).
+for), and interpolate per output tile in an Arrow-batched kernel. Nearest,
+bilinear, and cubic (Keys a=-0.5, the rasterio Resampling.cubic kernel)
+interpolation are implemented in numpy directly (scipy is not in this
+container; interpn on a regular grid reduces to index arithmetic).
 
 The reference collapses spatial chunks to warp whole arrays at once
 (geom_utils.py:245-248 admits this doesn't scale); the per-output-tile
@@ -80,6 +81,35 @@ def _interp_tile(
         cc = np.floor(fc + 0.5).astype("int64")
         ok = (rr >= 0) & (rr < sh) & (cc >= 0) & (cc < sw)
         out[ok] = src[rr[ok], cc[ok]]
+    elif method == "cubic":
+        # Keys (1981) cubic convolution, a = -0.5 (the GDAL/rasterio
+        # Resampling.cubic kernel): separable 4x4 gather around floor(f),
+        # taps at offsets -1..2. Third-order accurate — reproduces linear
+        # (and quadratic) surfaces exactly, which the gate exploits.
+        r0f = np.floor(fr).astype("int64")
+        c0f = np.floor(fc).astype("int64")
+        tr = fr - r0f
+        tc = fc - c0f
+        ok = (r0f - 1 >= 0) & (r0f + 2 < sh) & (c0f - 1 >= 0) & (c0f + 2 < sw)
+        rok, cok, trk, tck = r0f[ok], c0f[ok], tr[ok], tc[ok]
+
+        def _keys(t: np.ndarray) -> list[np.ndarray]:
+            a = -0.5
+            d0, d1, d2, d3 = 1.0 + t, t, 1.0 - t, 2.0 - t
+            return [
+                a * d0**3 - 5 * a * d0**2 + 8 * a * d0 - 4 * a,
+                (a + 2) * d1**3 - (a + 3) * d1**2 + 1.0,
+                (a + 2) * d2**3 - (a + 3) * d2**2 + 1.0,
+                a * d3**3 - 5 * a * d3**2 + 8 * a * d3 - 4 * a,
+            ]
+
+        wr = _keys(trk)
+        wc = _keys(tck)
+        acc = np.zeros(rok.shape)
+        for i in range(4):
+            for j in range(4):
+                acc += wr[i] * wc[j] * src[rok + i - 1, cok + j - 1]
+        out[ok] = acc
     else:  # bilinear
         r0f = np.floor(fr).astype("int64")
         c0f = np.floor(fc).astype("int64")
@@ -261,9 +291,11 @@ def reproject_tiles(
       driver loop would serialize the job before it starts (plan-guarded by
       tests/test_plan_quality.py).
     """
-    if method not in ("nearest", "linear", "bilinear"):
-        raise ValueError(f"interpolation must be nearest/linear, got {method!r}")
-    meth = "nearest" if method == "nearest" else "bilinear"
+    if method not in ("nearest", "linear", "bilinear", "cubic"):
+        raise ValueError(
+            f"interpolation must be nearest/linear/cubic, got {method!r}"
+        )
+    meth = {"nearest": "nearest", "cubic": "cubic"}.get(method, "bilinear")
     spark = tiles.sparkSession
     dh, dw = dst_spec.shape
     n_ty = -(-dh // chunksize)

@@ -327,3 +327,80 @@ def test_reproject_curvature_midedge_no_nan(spark):
         )
         n_nan_inside = int(np.isnan(dense[inside]).sum())
         assert n_nan_inside == 0, f"{n_nan_inside} NaN pixels inside the raster"
+
+
+def test_interp_tile_cubic_keys_vs_direct():
+    """Keys a=-0.5 cubic kernel vs a direct per-pixel convolution replay on
+    random data (same-CRS fractional decimation), plus the exactness
+    property: cubic reproduces a linear surface bit-closely and its valid
+    footprint needs the full 4x4 neighborhood (one ring tighter than
+    bilinear)."""
+    import numpy as np
+
+    from stackstac_spark.operators.warp import _interp_tile
+    from stackstac_spark.raster_spec import RasterSpec
+
+    rng = np.random.default_rng(7)
+    src = rng.normal(size=(12, 12))
+    sspec = RasterSpec(32633, (0.0, -12.0, 12.0, 0.0), (1.0, 1.0))
+    # dst at 1.5x coarser resolution over the same extent -> fractional taps
+    dspec = RasterSpec(32633, (0.0, -12.0, 12.0, 0.0), (1.5, 1.5))
+    got = _interp_tile(src, sspec, (0, 0), dspec, (0, 0, 8, 8), "cubic")
+
+    def keys_w(t):
+        a = -0.5
+        ds = [1.0 + t, t, 1.0 - t, 2.0 - t]
+        return [
+            a * ds[0] ** 3 - 5 * a * ds[0] ** 2 + 8 * a * ds[0] - 4 * a,
+            (a + 2) * ds[1] ** 3 - (a + 3) * ds[1] ** 2 + 1.0,
+            (a + 2) * ds[2] ** 3 - (a + 3) * ds[2] ** 2 + 1.0,
+            a * ds[3] ** 3 - 5 * a * ds[3] ** 2 + 8 * a * ds[3] - 4 * a,
+        ]
+
+    for R in range(8):
+        for C in range(8):
+            fr = (R + 0.5) * 1.5 - 0.5
+            fc = (C + 0.5) * 1.5 - 0.5
+            r0, c0 = int(np.floor(fr)), int(np.floor(fc))
+            if r0 - 1 < 0 or r0 + 2 >= 12 or c0 - 1 < 0 or c0 + 2 >= 12:
+                assert np.isnan(got[R, C]), (R, C)
+                continue
+            wr, wc = keys_w(fr - r0), keys_w(fc - c0)
+            want = sum(
+                wr[i] * wc[j] * src[r0 + i - 1, c0 + j - 1]
+                for i in range(4)
+                for j in range(4)
+            )
+            assert got[R, C] == pytest.approx(want, rel=1e-12), (R, C)
+    # linear surface: cubic is 3rd-order accurate -> exact on v = r + 10c
+    lin = np.add.outer(np.arange(12.0), 10.0 * np.arange(12.0))
+    gl = _interp_tile(lin, sspec, (0, 0), dspec, (0, 0, 8, 8), "cubic")
+    for R in range(8):
+        for C in range(8):
+            if not np.isnan(gl[R, C]):
+                fr = (R + 0.5) * 1.5 - 0.5
+                fc = (C + 0.5) * 1.5 - 0.5
+                assert gl[R, C] == pytest.approx(fr + 10 * fc, abs=1e-9)
+
+
+def test_reproject_tiles_cubic_end_to_end(spark):
+    """Whole-pipeline cubic warp on a painted stack: 2x decimation of the
+    linear painted surface must reproduce the closed form
+    (2R+0.5)*1e-3 + (2C+0.5)*1e-6 wherever the 4x4 stencil fits — and the
+    valid footprint is one ring tighter than the bilinear warp's."""
+    items = [make_item(0, "2024-01-05T00:00:00Z", (0.0, 0.0, 40.0, 40.0))]
+    st = stack(spark, items, assets=["red"], chunksize=16)
+    dst = RasterSpec(st.spec.epsg, st.spec.bounds, (2.0, 2.0))
+    out = reproject_tiles(st.tiles, st.spec, dst, chunksize=16, method="cubic")
+    seen = {}
+    for r in out.collect():
+        arr = np.frombuffer(r.data, dtype="float64").reshape(r.tile_h, r.tile_w)
+        for i in range(r.tile_h):
+            for j in range(r.tile_w):
+                seen[(r.row_off + i, r.col_off + j)] = arr[i, j]
+    valid = {k for k, v in seen.items() if not np.isnan(v)}
+    # full 4x4 stencil: floor(2R+0.5)=2R needs 2R-1>=0 and 2R+2<=39
+    assert valid == {(R, C) for R in range(1, 19) for C in range(1, 19)}
+    for (R, C) in valid:
+        fr, fc = 2 * R + 0.5, 2 * C + 0.5
+        assert seen[(R, C)] == pytest.approx(fr * 1e-3 + fc * 1e-6, abs=1e-9), (R, C)
