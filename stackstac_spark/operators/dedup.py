@@ -98,18 +98,29 @@ def winnow_pairs(
     w: int = 4,
     min_shared: int = 2,
     max_df: int | None = 100,
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs by shared winnowing fingerprints:
     (doc_a < doc_b, n_shared). ``max_df`` drops fingerprints present in
     more than that many docs before the self-join — the boilerplate /
     skew guard that keeps a viral license-header fingerprint from creating
-    a quadratic bucket (same role as LSH's ``max_bucket``)."""
+    a quadratic bucket (same role as LSH's ``max_bucket``).
+
+    ``fingerprints`` accepts a previously persisted
+    :func:`winnow_fingerprints` table (``id_col``, ``fp``) — the artifact a
+    real MOSS pipeline stores once and joins against on every run (the
+    same persisted-signature pattern as ``minhash_jaccard_estimate``);
+    when omitted the table is computed here and pinned for this plan."""
     # fingerprints computed ONCE and pinned: the df-guard aggregate, its
     # semi-join, and both sides of the pair self-join otherwise repeat the
     # posexplode + doc-window + distinct subtree four times in one plan.
     # The fingerprint table is ~2/(w+1) hashes per gram — the artifact a
     # real MOSS pipeline persists anyway.
-    fps = winnow_fingerprints(df, id_col, text_col, k, w).localCheckpoint()
+    fps = (
+        fingerprints
+        if fingerprints is not None
+        else winnow_fingerprints(df, id_col, text_col, k, w).localCheckpoint()
+    )
     if max_df is not None:
         freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
         fps = fps.join(
