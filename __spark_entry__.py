@@ -6753,22 +6753,28 @@ def q_bpe_encode(spark, sf):
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- r8 rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json; last-graded rounds per entry after r7:
-    # --- r5 = 46 entries, r6 = 50, r7 = 50). Slots 1-50 hold (a) the 4 new
-    # --- r8 oracle gates (zorder_cluster, bucketed_join, salted_join,
-    # --- bpe_pair_counts) and (b) ALL 46 r5-vintage entries — exactly 50,
-    # --- stalest-first re-grading against driver-environment drift. The
-    # --- rows-only r8 addition bpe_merges sits at slot 51 (its exactness vs
-    # --- a pure-Python reference is pinned in tests/test_bpe.py); r6- and
-    # --- r7-graded entries rotate past slot 50 and stay hash-checked in CI
-    # --- by tests/test_past_window_mirror.py + scripts/check_correctness.py.
+    # --- r5 = 46 entries, r6 = 50, r7 = 50). Slots 1-50 hold (a) the 7
+    # --- never-graded r8 oracle gates (zorder_cluster, bucketed_join,
+    # --- salted_join, bpe_pair_counts, raster_hillshade,
+    # --- label_propagation, raster_resample_cubic) and (b) 43 of the 46
+    # --- r5-vintage entries, stalest-first; the 3 deferred r5 entries
+    # --- (hash_sample, stratified_sample, multimodal_frames — each with a
+    # --- same-code-path relative in-window: hash_split, weighted_sample /
+    # --- grouped_topk, multimodal_resize/audio) rotate to r9 and stay
+    # --- CI-mirrored meanwhile. The rows-only r8 additions bpe_merges /
+    # --- bpe_encode sit past the window (pure-Python-reference parity in
+    # --- tests/test_bpe.py); r6- and r7-graded entries follow, all
+    # --- hash-checked every CI run by tests/test_past_window_mirror.py +
+    # --- scripts/check_correctness.py.
     "zorder_cluster": (q_zorder_cluster, SQL_ZORDER_CLUSTER),
     "bucketed_join": (q_bucketed_join, SQL_BUCKETED_JOIN),
     "salted_join": (q_salted_join, SQL_SALTED_JOIN),
     "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
+    "raster_hillshade": (q_raster_hillshade, SQL_RASTER_HILLSHADE),
+    "label_propagation": (q_label_propagation, SQL_LABEL_PROPAGATION),
+    "raster_resample_cubic": (q_raster_resample_cubic, SQL_RASTER_RESAMPLE_CUBIC),
     "kmeans": (q_kmeans, SQL_KMEANS),
     "pagerank": (q_pagerank, SQL_PAGERANK),
-    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
-    "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "cube_agg": (q_cube_agg, SQL_CUBE_AGG),
     "sentence_stats": (q_sentence_stats, SQL_SENTENCE_STATS),
     "session_windows": (q_session_windows, SQL_SESSION_WINDOWS),
@@ -6782,7 +6788,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "raster_interp": (q_raster_interp, SQL_RASTER_INTERP),
     "raster_zonal": (q_raster_zonal, SQL_RASTER_ZONAL),
     "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
-    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
     "multimodal_audio": (q_multimodal_audio, SQL_MULTIMODAL_AUDIO),
     "raster_masked_mosaic": (q_raster_masked_mosaic, SQL_RASTER_MASKED_MOSAIC),
     "raster_where": (q_raster_where, SQL_RASTER_WHERE),
@@ -6811,12 +6816,13 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "bloom_prefilter": (q_bloom_prefilter, SQL_BLOOM_PREFILTER),
     "pca_power": (q_pca_power, SQL_PCA_POWER),
     "abtt": (q_abtt, SQL_ABTT),
-    # ---- slot 51+ from here: driver-green in a past round, mirror-checked in CI ----
+    # ---- slot 51+ from here: CI-mirror-checked (driver-green in a past round,
+    # ---- or rows-only iterative ops with pytest reference parity) ----
     "bpe_merges": (q_bpe_merges, None),
     "bpe_encode": (q_bpe_encode, None),
-    "raster_hillshade": (q_raster_hillshade, SQL_RASTER_HILLSHADE),
-    "label_propagation": (q_label_propagation, SQL_LABEL_PROPAGATION),
-    "raster_resample_cubic": (q_raster_resample_cubic, SQL_RASTER_RESAMPLE_CUBIC),
+    "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
     "raster_overview_read": (q_raster_overview_read, SQL_RASTER_OVERVIEW_READ),
     "prepare_inference": (q_prepare_inference, SQL_PREPARE_INFERENCE),
     "raster_complex_mosaic": (q_raster_complex_mosaic, SQL_RASTER_COMPLEX_MOSAIC),

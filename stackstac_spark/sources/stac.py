@@ -340,3 +340,88 @@ def items_from_geoparquet(spark: SparkSession, path: str) -> tuple[DataFrame, Da
             yield pd.DataFrame(out, columns=[f.name for f in ASSET_SCHEMA.fields])
 
     return df.mapInPandas(to_items, ITEM_SCHEMA), df.mapInPandas(to_assets, ASSET_SCHEMA)
+
+
+def items_to_geoparquet(items, path: str) -> None:
+    """Write plain STAC item dicts as a stac-geoparquet v1-shaped catalog —
+    the inverse of :func:`items_from_geoparquet`, closing the catalog round
+    trip (search → process → export a derived catalog).
+
+    Layout per the stac-geoparquet spec: one row per item; ``bbox`` as a
+    ``{xmin, ymin, xmax, ymax}`` struct; ``assets`` as one struct column
+    with a field per asset key (union across items — absent assets are
+    null); each item property as a top-level column ('datetime' converted
+    to a real UTC timestamp); ``geometry``/``links`` omitted (the reader
+    prunes them before the scan anyway). Arrow infers the unified nested
+    schema from the record list, so heterogeneous catalogs (different
+    asset keys / property sets per item) land as nullable unions.
+
+    Driver-side by design: a catalog export is metadata-plane (items, not
+    pixels) — the same boundary as the reference's pystac handling. For
+    bigger-than-driver catalogs, write the JSONL spool
+    (``search_items(..., to_jsonl=...)``) and convert shard-wise.
+    """
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stackstac_spark.sources.stac import items_to_plain  # self-import ok
+
+    records = []
+    for it in items_to_plain(items):
+        rec: dict = {
+            "id": it.get("id"),
+            "collection": it.get("collection"),
+        }
+        bbox = it.get("bbox")
+        if bbox is not None:
+            rec["bbox"] = {
+                "xmin": float(bbox[0]),
+                "ymin": float(bbox[1]),
+                "xmax": float(bbox[2]),
+                "ymax": float(bbox[3]),
+            }
+        for k, v in (it.get("properties") or {}).items():
+            if k == "datetime" and isinstance(v, str):
+                s = v[:-1] + "+00:00" if v.endswith("Z") else v
+                try:
+                    v = _dt.datetime.fromisoformat(s)
+                    if v.tzinfo is None:
+                        v = v.replace(tzinfo=_dt.timezone.utc)
+                except ValueError:
+                    pass  # non-ISO datetime string: keep as-is
+            rec[k] = v
+        rec["assets"] = {
+            aid: dict(a) for aid, a in (it.get("assets") or {}).items()
+        }
+        records.append(rec)
+    if not records:
+        raise ValueError("items_to_geoparquet: no items to write")
+    # Arrow infers the schema from the first rows — normalize every record
+    # to the full key union (missing → null) so a property or asset that
+    # first appears mid-catalog still gets a column
+    all_keys: dict = {}
+    all_asset_ids: dict = {}
+    asset_fields: dict = {}  # aid -> union of that asset's fields
+    for rec in records:
+        for k in rec:
+            all_keys.setdefault(k, None)
+        for aid, a in (rec.get("assets") or {}).items():
+            all_asset_ids.setdefault(aid, None)
+            if a:
+                asset_fields.setdefault(aid, {}).update(dict.fromkeys(a))
+    for rec in records:
+        for k in all_keys:
+            rec.setdefault(k, None)
+        assets = rec.get("assets") or {}
+        for aid in all_asset_ids:
+            a = assets.get(aid)
+            if a is not None:
+                for f in asset_fields.get(aid, ()):
+                    a.setdefault(f, None)
+            else:
+                assets[aid] = None
+        rec["assets"] = assets
+    table = pa.Table.from_pylist(records)
+    pq.write_table(table, path)

@@ -217,3 +217,47 @@ def test_catalog_format_validated(spark):
 
     with pytest.raises(ValueError, match="catalog_format"):
         stack(spark, "/tmp/x.jsonl", catalog_format="csv")
+
+
+def test_items_to_geoparquet_round_trip(spark, tmp_path):
+    """Writer → reader round trip: items exported by items_to_geoparquet
+    re-ingest to byte-identical items/assets rows as the dict path — the
+    catalog export loop closed (search → process → derived catalog)."""
+    from stackstac_spark.sources.stac import items_to_geoparquet
+
+    items = _dict_items()
+    p = str(tmp_path / "derived.parquet")
+    items_to_geoparquet(items, p)
+    gi, ga = items_from_geoparquet(spark, p)
+    di, da = items_to_dataframes(spark, items)
+    assert _rows(gi, "item_id") == _rows(di, "item_id")
+    assert _rows(ga, "item_id") == _rows(da, "item_id")
+
+
+def test_items_to_geoparquet_heterogeneous_assets(spark, tmp_path):
+    """Items with DIFFERENT asset keys / property sets: the unified Arrow
+    schema unions them with nulls, and the reader drops the null slots."""
+    from stackstac_spark.sources.stac import items_to_geoparquet
+    from tests.conftest import make_item
+
+    a = make_item(0, "2024-01-01T00:00:00Z", (0.0, 0.0, 8.0, 8.0), assets=("red",))
+    b = make_item(1, "2024-01-02T00:00:00Z", (0.0, 0.0, 8.0, 8.0), assets=("red", "nir"))
+    b["properties"]["only_on_b"] = "x"
+    p = str(tmp_path / "hetero.parquet")
+    items_to_geoparquet([a, b], p)
+    gi, ga = items_from_geoparquet(spark, p)
+    rows = _rows(ga, "item_id")
+    by_item = {}
+    for r in rows:
+        by_item.setdefault(r["item_id"], set()).add(r["asset_id"])
+    assert by_item == {"item-0000": {"red"}, "item-0001": {"red", "nir"}}
+    props = {r["item_id"]: r["properties"] for r in _rows(gi, "item_id")}
+    assert props["item-0001"]["only_on_b"] == "x"
+    assert "only_on_b" not in props["item-0000"]
+
+
+def test_items_to_geoparquet_empty_raises(tmp_path):
+    from stackstac_spark.sources.stac import items_to_geoparquet
+
+    with pytest.raises(ValueError):
+        items_to_geoparquet([], str(tmp_path / "x.parquet"))
