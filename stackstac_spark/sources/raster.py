@@ -93,10 +93,100 @@ DEFAULT_GDAL_ENV: dict[str, dict] = {
 }
 
 
-def normalize_gdal_env(gdal_env: dict | None) -> dict[str, dict]:
+# Reference parity (rio_reader.py:36-44): drivers safe to read from multiple
+# threads within one process. Informational here — this engine's tasks are
+# single-threaded by design (one GDAL handle per task, no cross-thread
+# sharing), so the allowlist never gates anything; exported so reference
+# user code that imports it keeps working.
+MULTITHREADED_DRIVER_ALLOWLIST = frozenset({"GTiff"})
+
+
+class LayeredEnv:
+    """GDAL configuration options layered by situation — the reference's
+    ``stackstac.LayeredEnv`` (rio_env.py:11-114), rasterio-free: layers are
+    plain dicts here (the scan task wraps the merged dict in
+    ``rasterio.Env`` when rasterio is present, sources/raster.py::
+    _read_real_window). Layering: ``open``/``read`` = ``always`` + that
+    layer; ``open_vrt`` = ``always`` + ``open_vrt``, falling back to
+    ``open`` when empty. Plain data → pickles cleanly into task closures
+    (the reference needed __getstate__ for the same reason,
+    rio_env.py:104-114)."""
+
+    def __init__(
+        self,
+        always: dict,
+        open: dict | None = None,
+        open_vrt: dict | None = None,
+        read: dict | None = None,
+    ) -> None:
+        self._always = dict(always)
+        self._open = dict(open or {})
+        self._open_vrt = dict(open_vrt or {})
+        self._read = dict(read or {})
+
+    @property
+    def always(self) -> dict:
+        return dict(self._always)
+
+    @property
+    def open(self) -> dict:
+        return {**self._always, **self._open}
+
+    @property
+    def open_vrt(self) -> dict:
+        if not self._open_vrt:
+            return self.open
+        return {**self._always, **self._open_vrt}
+
+    @property
+    def read(self) -> dict:
+        return {**self._always, **self._read}
+
+    def updated(
+        self,
+        always: dict | None = None,
+        open: dict | None = None,
+        open_vrt: dict | None = None,
+        read: dict | None = None,
+    ) -> "LayeredEnv":
+        """Duplicate, adding options per situation (rio_env.py:88-102)."""
+        return LayeredEnv(
+            always={**self._always, **(always or {})},
+            open={**self._open, **(open or {})},
+            open_vrt={**self._open_vrt, **(open_vrt or {})},
+            read={**self._read, **(read or {})},
+        )
+
+    def __repr__(self) -> str:
+        return (
+            f"{type(self).__name__}(\n"
+            f"    always={self._always},\n"
+            f"    open={self._open},\n"
+            f"    open_vrt={self._open_vrt},\n"
+            f"    read={self._read},\n"
+            ")"
+        )
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, LayeredEnv) and (
+            (self._always, self._open, self._open_vrt, self._read)
+            == (other._always, other._open, other._open_vrt, other._read)
+        )
+
+    def __getstate__(self):
+        return (self._always, self._open, self._open_vrt, self._read)
+
+    def __setstate__(self, state):
+        self.__init__(*state)
+
+
+def normalize_gdal_env(gdal_env: dict | LayeredEnv | None) -> dict[str, dict]:
     """Normalize a user ``gdal_env`` to the layered form.
 
     - None → the defaults above;
+    - a :class:`LayeredEnv` → its four layers override the defaults
+      layer-wise (the reference's native type, accepted for drop-in
+      compatibility);
     - a dict whose keys are all layer names (values dicts) → each layer is
       the default layer updated with the override;
     - a flat dict (no layer-named dict values) → merged into ``always`` on
@@ -107,6 +197,14 @@ def normalize_gdal_env(gdal_env: dict | None) -> dict[str, dict]:
       the flat options.
     """
     layers = {k: dict(v) for k, v in DEFAULT_GDAL_ENV.items()}
+    if isinstance(gdal_env, LayeredEnv):
+        gdal_env = {
+            "always": gdal_env._always,
+            "open": gdal_env._open,
+            "open_vrt": gdal_env._open_vrt,
+            "read": gdal_env._read,
+        }
+        gdal_env = {k: v for k, v in gdal_env.items() if v}
     if not gdal_env:
         return layers
     layerish = {

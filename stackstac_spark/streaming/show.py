@@ -221,6 +221,32 @@ def show(stack, port: int = 0, **kwargs) -> tuple[str, TileServer]:
     return (f"http://127.0.0.1:{server.port}/{token}/{{z}}/{{x}}/{{y}}.png", server)
 
 
+def server_stats() -> list[dict]:
+    """Per-layer serving stats — the reference's ``stackstac.server_stats``
+    (show.py:63-121), data-shaped instead of an ipywidgets VBox (render it
+    however you like; the reference's widget is UI glue over the same
+    numbers). One dict per registered layer: cached tile count, pending
+    speculative prefetches, display range, and the epsg/bounds of the
+    underlying stack."""
+    out = []
+    for token, layer in _LAYERS.items():
+        with layer.lock:
+            n_cached = len(layer.tile_cache)
+        out.append(
+            {
+                "token": token,
+                "cached_tiles": n_cached,
+                "pending_prefetch": sum(
+                    1 for k in _PREFETCH_FUTURES if k[0] == token
+                ),
+                "range": layer.range,
+                "epsg": layer.stack.spec.epsg,
+                "bounds": layer.stack.spec.bounds,
+            }
+        )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # viewport observer (round 6) — the widget-free MapObserver equivalent
 # ---------------------------------------------------------------------------
