@@ -1715,6 +1715,55 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
 SQL_KMEANS = _kmeans_oracle_sql()
 
 
+def q_kcenter_coreset(spark, sf):
+    """Greedy k-center coreset selection (Gonzalez 1985; operators/
+    similarity.py::kcenter_select): seed = min vec_id, then 5 rounds of
+    farthest-point selection with rounded clamped d² and min-id tie-break —
+    the engine's 5th fully-value-checked iterative algorithm; the oracle
+    unrolls every selection round as a CTE chain on list_dot_product."""
+    from stackstac_spark.operators.similarity import kcenter_select
+
+    emb = _t(spark, sf, "embeddings")
+    return kcenter_select(emb, k=6).orderBy("rank")
+
+
+def _kcenter_oracle_sql(k: int = 6, d2_round: int = 6) -> str:
+    parts = [
+        """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+en AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS n FROM e),
+s0 AS (SELECT vec_id, v, n FROM en ORDER BY vec_id LIMIT 1)"""
+    ]
+    prev_sel, prev_d = "s0", None
+    for r in range(1, k):
+        d = f"d{r}"
+        dist = (
+            f"round(GREATEST(0, en.n + s.n - 2 * list_dot_product(en.v, s.v)), {d2_round})"
+        )
+        if prev_d is None:
+            parts.append(
+                f"{d} AS (SELECT en.vec_id, en.v, en.n, {dist} AS md FROM en, {prev_sel} s)"
+            )
+        else:
+            parts.append(
+                f"{d} AS (SELECT en.vec_id, en.v, en.n, LEAST(p.md, {dist}) AS md "
+                f"FROM {prev_d} p JOIN en ON en.vec_id = p.vec_id, {prev_sel} s)"
+            )
+        parts.append(
+            f"s{r} AS (SELECT vec_id, v, n, md FROM {d} ORDER BY md DESC, vec_id LIMIT 1)"
+        )
+        prev_sel, prev_d = f"s{r}", d
+    union = ["SELECT 0 AS rank, vec_id, CAST(NULL AS DOUBLE) AS dist2 FROM s0"]
+    union += [f"SELECT {r} AS rank, vec_id, md AS dist2 FROM s{r}" for r in range(1, k)]
+    return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(union) + "\nORDER BY rank"
+
+
+SQL_KCENTER_CORESET = _kcenter_oracle_sql()
+
+
 def q_int8_quant(spark, sf):
     """Symmetric per-vector int8 quantization (operators/similarity.py::
     quantize_embeddings) — the vector-store ingest transform; per-label
@@ -6818,6 +6867,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "abtt": (q_abtt, SQL_ABTT),
     # ---- slot 51+ from here: CI-mirror-checked (driver-green in a past round,
     # ---- or rows-only iterative ops with pytest reference parity) ----
+    "kcenter_coreset": (q_kcenter_coreset, SQL_KCENTER_CORESET),
     "bpe_merges": (q_bpe_merges, None),
     "bpe_encode": (q_bpe_encode, None),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),

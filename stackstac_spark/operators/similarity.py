@@ -927,3 +927,71 @@ def pq_adc_topk(
     )
     w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def kcenter_select(
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    d2_round: int = 6,
+) -> DataFrame:
+    """Greedy k-center selection (Gonzalez 1985, the classic 2-approximation;
+    the coreset / diverse-subset policy in training-data curation): seed
+    with the smallest id, then ``k-1`` times pick the point FARTHEST from
+    the selected set → (rank, vec_id, dist2).
+
+    Deterministic and engine-replayable: squared distances use the
+    ``|a|² + |b|² − 2·a·b`` form clamped at 0 and rounded to ``d2_round``
+    BEFORE the running min and the argmax (fp noise can't flip a near-tie),
+    argmax ties break on the smaller id; an external SQL engine unrolls the
+    selection as a CTE chain. ``dist2`` is the point's distance² to the
+    previously selected set at selection time (NULL for the seed).
+
+    Scale shape: per selection one full corpus scan — a JVM fold against
+    the newest center's array literal updating the running min — plus a
+    TakeOrdered top-1; ``localCheckpoint`` per round keeps the plan flat.
+    k scans total is the canonical greedy algorithm; at 100 TB run it over
+    a uniform pre-sample (coreset-of-a-sample, the standard move) or with
+    a larger batch per round.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    e = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("v"),
+    ).withColumn("n", F.expr("aggregate(v, 0D, (a, x) -> a + x * x)"))
+    seed = e.orderBy("vec_id").limit(1).collect()
+    if not seed:
+        raise ValueError("kcenter_select: empty corpus")
+    seed = seed[0]
+    selected: list[tuple] = [(0, seed["vec_id"], None)]
+    cur_vec, cur_n = list(seed["v"]), float(seed["n"])
+    df = e
+    have_md = False
+    for rank in range(1, k):
+        lit = "array(" + ", ".join(f"{x!r}D" for x in cur_vec) + ")"
+        d2 = (
+            f"round(greatest(0D, n + {cur_n!r}D - 2D * "
+            f"aggregate(zip_with(v, {lit}, (x, y) -> x * y), 0D, (a, z) -> a + z)"
+            f"), {d2_round})"
+        )
+        df = df.withColumn(
+            "md", F.expr(d2) if not have_md else F.least(F.col("md"), F.expr(d2))
+        ).localCheckpoint()
+        have_md = True
+        best = df.orderBy(F.desc("md"), F.asc("vec_id")).limit(1).collect()[0]
+        selected.append((rank, best["vec_id"], float(best["md"])))
+        cur_vec, cur_n = list(best["v"]), float(best["n"])
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("vec_id", corpus.schema[id_col].dataType),
+            T.StructField("dist2", T.DoubleType()),
+        ]
+    )
+    from stackstac_spark.session import local_df
+
+    return local_df(corpus.sparkSession, selected, schema)

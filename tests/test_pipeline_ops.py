@@ -1313,3 +1313,48 @@ def test_map_observer_wrap_truncation_keeps_seam_center():
             show_mod.update_viewport = orig
     finally:
         del show_mod._LAYERS[layer_token]
+
+
+def test_kcenter_select_matches_python(spark):
+    """Greedy k-center vs a pure-Python replay (same seed, rounding, and
+    tie-break) on a tiny planted geometry: 3 far-apart cluster centers must
+    be selected before any same-cluster point."""
+    import numpy as np
+
+    from stackstac_spark.operators.similarity import kcenter_select
+
+    rng = np.random.default_rng(3)
+    centers = {0: (0.0, 0.0), 1: (100.0, 0.0), 2: (0.0, 100.0)}
+    rows = []
+    for i in range(30):
+        cx, cy = centers[i % 3]
+        rows.append((i, [float(cx + rng.normal(0, 0.5)), float(cy + rng.normal(0, 0.5))]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = [(r["rank"], r["vec_id"], r["dist2"]) for r in kcenter_select(df, k=5).orderBy("rank").collect()]
+
+    # python replay with the exact same arithmetic shape
+    vecs = {i: [float(np.float32(x)) for x in v] for i, v in rows}
+    norms = {i: sum(x * x for x in v) for i, v in vecs.items()}
+    sel = [min(vecs)]
+    md = {}
+    expect = [(0, sel[0], None)]
+    for rank in range(1, 5):
+        s = sel[-1]
+        for i, v in vecs.items():
+            d = round(max(0.0, norms[i] + norms[s] - 2 * sum(x * y for x, y in zip(v, vecs[s]))), 6)
+            md[i] = d if rank == 1 else min(md[i], d)
+        best = min(vecs, key=lambda i: (-md[i], i))
+        expect.append((rank, best, md[best]))
+        sel.append(best)
+    assert got == [(r, v, pytest.approx(d) if d is not None else None) for r, v, d in expect]
+    # the three planted clusters are covered by the first three selections
+    assert {v % 3 for _, v, _ in got[:3]} == {0, 1, 2}
+
+
+def test_kcenter_select_validates(spark):
+    from stackstac_spark.operators.similarity import kcenter_select
+
+    df = spark.createDataFrame([(0, [1.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        kcenter_select(df, k=0)
+    assert kcenter_select(df, k=1).collect()[0]["vec_id"] == 0
