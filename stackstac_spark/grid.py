@@ -156,44 +156,39 @@ def tile_grid(
     xres, yres = spec.resolutions_xy
     gminx, _, _, gmaxy = spec.bounds
 
-    df = (
-        spark.range(1)
-        .select(
-            F.explode(F.sequence(F.lit(0), F.lit(n_ty - 1))).alias("tile_y"),
-            F.lit(height).alias("_h"),
-            F.lit(width).alias("_w"),
-        )
-        .select(
-            "tile_y",
-            F.explode(F.sequence(F.lit(0), F.lit(n_tx - 1))).alias("tile_x"),
-            "_h",
-            "_w",
-        )
-        .select(
-            "tile_y",
-            "tile_x",
-            (F.col("tile_y") * chunk_h).alias("row_off"),
-            (F.col("tile_x") * chunk_w).alias("col_off"),
-            F.least(F.lit(chunk_h), F.col("_h") - F.col("tile_y") * chunk_h).alias("tile_h"),
-            F.least(F.lit(chunk_w), F.col("_w") - F.col("tile_x") * chunk_w).alias("tile_w"),
-        )
-        .select(
-            "*",
-            (F.lit(gminx) + F.col("col_off") * F.lit(xres)).alias("tminx"),
-            (F.lit(gmaxy) - (F.col("row_off") + F.col("tile_h")) * F.lit(yres)).alias("tminy"),
-            (F.lit(gminx) + (F.col("col_off") + F.col("tile_w")) * F.lit(xres)).alias("tmaxx"),
-            (F.lit(gmaxy) - F.col("row_off") * F.lit(yres)).alias("tmaxy"),
-        )
-    )
+    # ONE spark.sql call instead of chained selects: every F.col/F.lit/
+    # operator in the DataFrame API is a py4j round trip, and this grid is
+    # on the lazy stack() hot path (BASELINE.md's construction number) —
+    # the SQL string builds the same Generate-over-Generate plan in a
+    # single JVM call. All values are driver-known literals (repr() on the
+    # floats round-trips exactly).
+    where = ""
     if bounds is not None:
         bminx, bminy, bmaxx, bmaxy = bounds
-        df = df.filter(
-            (F.col("tminx") < bmaxx)
-            & (F.col("tmaxx") > bminx)
-            & (F.col("tminy") < bmaxy)
-            & (F.col("tmaxy") > bminy)
+        where = (
+            f"WHERE tminx < {bmaxx!r}D AND tmaxx > {bminx!r}D "
+            f"AND tminy < {bmaxy!r}D AND tmaxy > {bminy!r}D"
         )
-    return df
+    return spark.sql(f"""
+SELECT * FROM (
+  SELECT tile_y, tile_x, row_off, col_off, tile_h, tile_w,
+         {gminx!r}D + col_off * {xres!r}D AS tminx,
+         {gmaxy!r}D - (row_off + tile_h) * {yres!r}D AS tminy,
+         {gminx!r}D + (col_off + tile_w) * {xres!r}D AS tmaxx,
+         {gmaxy!r}D - row_off * {yres!r}D AS tmaxy
+  FROM (
+    SELECT tile_y, tile_x,
+           tile_y * {chunk_h} AS row_off,
+           tile_x * {chunk_w} AS col_off,
+           least({chunk_h}, {height} - tile_y * {chunk_h}) AS tile_h,
+           least({chunk_w}, {width} - tile_x * {chunk_w}) AS tile_w
+    FROM (
+      SELECT tile_y, explode(sequence(0, {n_tx - 1})) AS tile_x
+      FROM (SELECT explode(sequence(0, {n_ty - 1})) AS tile_y)
+    )
+  )
+) {where}
+""")
 
 
 def overlap_predicate(
@@ -221,21 +216,20 @@ def join_assets_to_tiles(asset_table: DataFrame, tiles: DataFrame) -> DataFrame:
     result carries, per (item, band, tile), the asset's read window clipped
     to the tile — everything the scan UDF needs.
     """
-    a = asset_table.select(
+    # string expressions: one py4j call for the whole projection / predicate
+    # (see tile_grid's note — this join is on the lazy-construction hot path)
+    a = asset_table.selectExpr(
         "item_idx",
         "band_idx",
         "url",
-        F.col("bounds")[0].alias("minx"),
-        F.col("bounds")[1].alias("miny"),
-        F.col("bounds")[2].alias("maxx"),
-        F.col("bounds")[3].alias("maxy"),
+        "bounds[0] AS minx",
+        "bounds[1] AS miny",
+        "bounds[2] AS maxx",
+        "bounds[3] AS maxy",
         "scale",
         "offset",
     )
-    cond = (
-        (F.col("minx") < F.col("tmaxx"))
-        & (F.col("maxx") > F.col("tminx"))
-        & (F.col("miny") < F.col("tmaxy"))
-        & (F.col("maxy") > F.col("tminy"))
+    cond = F.expr(
+        "minx < tmaxx AND maxx > tminx AND miny < tmaxy AND maxy > tminy"
     )
     return a.join(F.broadcast(tiles), cond, "inner")
