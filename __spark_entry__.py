@@ -1771,6 +1771,67 @@ s0 AS (SELECT vec_id, v, n FROM en ORDER BY vec_id LIMIT 1)"""
 SQL_KCENTER_CORESET = _kcenter_oracle_sql()
 
 
+def q_quality_logreg(spark, sf):
+    """Quality-classifier training as a pipeline step (operators/mlfit.py::
+    logistic_fit — the GPT-3/CCNet quality-filter shape): batch-GD logistic
+    regression of is-English on [1, n_chars/1000, n_words/100], 3 fixed
+    steps, gradients/weights rounded per step in BOTH engines so float
+    drift can't compound — the 6th fully-value-checked iterative algorithm.
+    lr = 0.4 on purpose: 0.4 x any 6-dp gradient NEVER produces a decimal
+    half-boundary at the 6th place (0.4*d mod 10 is always even), so
+    Python's half-even and SQL's half-away rounding cannot disagree on the
+    weight update (lr = 0.5 hit exactly that boundary and diverged).
+    Emits the whole weight trajectory; the oracle unrolls each gradient
+    pass and update as a CTE chain."""
+    from stackstac_spark.operators.mlfit import logistic_fit_df
+
+    docs = _t(spark, sf, "documents").select(
+        (F.col("n_chars") / 1000.0).alias("f_len"),
+        (F.size(F.split(F.col("text"), " ")) / 100.0).alias("f_words"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+    return logistic_fit_df(
+        docs, ["f_len", "f_words"], "y", iters=3, lr=0.4
+    ).orderBy("step")
+
+
+def _logreg_oracle_sql(iters: int = 3, lr: float = 0.4, r: int = 6) -> str:
+    parts = [
+        """
+WITH f AS (
+  SELECT 1.0 AS x0, n_chars / 1000.0 AS x1,
+         len(string_split(text, ' ')) / 100.0 AS x2,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)"""
+    ]
+    for t in range(1, iters + 1):
+        p = f"(1.0 / (1.0 + exp(-(f.x0 * w.w0 + f.x1 * w.w1 + f.x2 * w.w2))) - f.y)"
+        parts.append(
+            f"""g{t} AS (
+  SELECT round(sum({p} * f.x0) / n.n, {r}) AS g0,
+         round(sum({p} * f.x1) / n.n, {r}) AS g1,
+         round(sum({p} * f.x2) / n.n, {r}) AS g2
+  FROM f, w{t - 1} w, n GROUP BY n.n
+),
+w{t} AS (
+  SELECT round(w.w0 - {lr!r} * g.g0, {r}) AS w0,
+         round(w.w1 - {lr!r} * g.g1, {r}) AS w1,
+         round(w.w2 - {lr!r} * g.g2, {r}) AS w2
+  FROM w{t - 1} w, g{t} g
+)"""
+        )
+    sel = ["SELECT 0 AS step, w0, w1, w2 FROM w0"] + [
+        f"SELECT {t} AS step, w0, w1, w2 FROM w{t}" for t in range(1, iters + 1)
+    ]
+    return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(sel) + "\nORDER BY step"
+
+
+SQL_QUALITY_LOGREG = _logreg_oracle_sql()
+
+
 def q_int8_quant(spark, sf):
     """Symmetric per-vector int8 quantization (operators/similarity.py::
     quantize_embeddings) — the vector-store ingest transform; per-label
@@ -6875,6 +6936,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ---- slot 51+ from here: CI-mirror-checked (driver-green in a past round,
     # ---- or rows-only iterative ops with pytest reference parity) ----
     "kcenter_coreset": (q_kcenter_coreset, SQL_KCENTER_CORESET),
+    "quality_logreg": (q_quality_logreg, SQL_QUALITY_LOGREG),
     "bpe_merges": (q_bpe_merges, None),
     "bpe_encode": (q_bpe_encode, None),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
