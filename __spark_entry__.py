@@ -1771,6 +1771,60 @@ s0 AS (SELECT vec_id, v, n FROM en ORDER BY vec_id LIMIT 1)"""
 SQL_KCENTER_CORESET = _kcenter_oracle_sql()
 
 
+def q_cms_frequency(spark, sf):
+    """Count-Min sketch build + probe (Cormode 2005; operators/sketch.py::
+    cms_build/cms_estimate): 4x128 md5-bucketed counters over the corpus
+    word stream (ONE groupBy — the sketch IS the mergeable partial
+    aggregate), broadcast-probed for the 12 lexicographically-first words
+    with the true counts alongside. md5-deterministic ⇒ the oracle replays
+    every bucket and the min-of-rows estimate exactly — completing the
+    deterministic sketch family (KMV distinct / SpaceSaving top-k / CMS
+    frequency)."""
+    from stackstac_spark.operators.sketch import cms_build, cms_estimate
+
+    docs = _t(spark, sf, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    cms = cms_build(words, "word", depth=4, width=128)
+    probes = words.select("word").distinct().orderBy("word").limit(12)
+    est = cms_estimate(cms, probes, "word", depth=4, width=128)
+    true = words.groupBy("word").agg(F.count(F.lit(1)).alias("true_cnt"))
+    return (
+        est.join(true, est["key"] == true["word"])
+        .select(F.col("key").alias("word"), "est", "true_cnt")
+        .orderBy("word")
+    )
+
+
+SQL_CMS_FREQUENCY = """
+WITH words AS (
+  SELECT w AS word
+  FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(w)
+  WHERE w <> ''
+),
+cells AS (
+  SELECT u.i,
+         (('0x' || substring(md5(CAST(u.i AS VARCHAR) || ':' || word), 1, 15))::BIGINT) % 128 AS j
+  FROM words, unnest([0, 1, 2, 3]) AS u(i)
+),
+cms AS (SELECT i, j, CAST(count(*) AS BIGINT) AS cnt FROM cells GROUP BY i, j),
+probes AS (SELECT DISTINCT word FROM words ORDER BY word LIMIT 12),
+pcells AS (
+  SELECT p.word, u.i,
+         (('0x' || substring(md5(CAST(u.i AS VARCHAR) || ':' || p.word), 1, 15))::BIGINT) % 128 AS j
+  FROM probes p, unnest([0, 1, 2, 3]) AS u(i)
+),
+est AS (
+  SELECT pc.word, min(coalesce(c.cnt, 0)) AS est
+  FROM pcells pc LEFT JOIN cms c ON c.i = pc.i AND c.j = pc.j
+  GROUP BY pc.word
+),
+tr AS (SELECT word, CAST(count(*) AS BIGINT) AS true_cnt FROM words GROUP BY word)
+SELECT e.word, e.est, t.true_cnt FROM est e JOIN tr t USING (word) ORDER BY word
+"""
+
+
 def q_quality_logreg(spark, sf):
     """Quality-classifier training as a pipeline step (operators/mlfit.py::
     logistic_fit — the GPT-3/CCNet quality-filter shape): batch-GD logistic
@@ -6937,6 +6991,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ---- or rows-only iterative ops with pytest reference parity) ----
     "kcenter_coreset": (q_kcenter_coreset, SQL_KCENTER_CORESET),
     "quality_logreg": (q_quality_logreg, SQL_QUALITY_LOGREG),
+    "cms_frequency": (q_cms_frequency, SQL_CMS_FREQUENCY),
     "bpe_merges": (q_bpe_merges, None),
     "bpe_encode": (q_bpe_encode, None),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),

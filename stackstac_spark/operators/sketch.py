@@ -169,3 +169,75 @@ def heavy_hitters(
         .orderBy(F.desc("count"), "value")
         .limit(k)
     )
+
+
+def cms_build(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 256,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) → (i, j, cnt):
+    ``depth`` rows of ``width`` counters; row i buckets a value by an
+    md5-derived hash (salted with i), so the WHOLE sketch is a pure
+    deterministic function of the multiset — an external engine replays it
+    bucket for bucket (same property as :func:`kmv_distinct`).
+
+    Relationally the build is ONE groupBy: explode each value into its
+    ``depth`` (row, bucket) cells, hash agg on (i, j). Shuffle carries at
+    most depth*width cells after map-side combine — the sketch IS the
+    partial aggregate, which is what makes CMS mergeable across partitions
+    / days / shards for free. Completes the deterministic sketch family
+    here: KMV (distinct count), SpaceSaving (top-k), CMS (point frequency).
+    """
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1, width >= 2; got {depth}, {width}")
+    w = F.lit(1).cast("long") if weight_col is None else F.col(weight_col).cast("long")
+    cells = df.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {depth - 1}), i -> struct(i AS i, "
+                f"CAST(conv(substring(md5(concat(CAST(i AS STRING), ':', "
+                f"CAST({col} AS STRING))), 1, 15), 16, 10) AS BIGINT) % {width} AS j))"
+            )
+        ).alias("c"),
+        w.alias("__w"),
+    )
+    return (
+        cells.groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
+        .agg(F.sum("__w").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    keys: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates from a :func:`cms_build` sketch:
+    est(x) = min over rows i of counter[i][h_i(x)] (never under-counts;
+    over-counts by collisions, bounded by N·e/width w.p. ``1 - e^-depth``).
+
+    The keys side is hashed with the SAME md5 bucket math and equi-joined
+    to the sketch on (i, j) — the sketch is tiny (depth × width cells), so
+    Spark broadcasts it and the probe is a map-side lookup join + one
+    min-agg per key. Absent (i, j) cells mean counter 0 → estimate 0
+    (left join + coalesce)."""
+    probes = keys.select(
+        F.col(col).alias("key"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {depth - 1}), i -> struct(i AS i, "
+                f"CAST(conv(substring(md5(concat(CAST(i AS STRING), ':', "
+                f"CAST({col} AS STRING))), 1, 15), 16, 10) AS BIGINT) % {width} AS j))"
+            )
+        ).alias("c"),
+    ).select("key", F.col("c.i").alias("i"), F.col("c.j").alias("j"))
+    joined = probes.join(F.broadcast(cms), ["i", "j"], "left")
+    return (
+        joined.groupBy("key")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

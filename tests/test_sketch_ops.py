@@ -102,3 +102,72 @@ def test_kmv_distinct_grouped_and_deterministic(spark):
         for r in kmv_distinct(df.repartition(7), "v", k=64, group_cols="g").collect()
     }
     assert got2 == {g: r["est_distinct"] for g, r in got.items()}
+
+
+def test_cms_never_undercounts_and_bounds_overcount(spark):
+    """CMS guarantees: est >= true always; with depth=4,width=256 over a
+    small stream, expected overcount is tiny. Exact-regime check: when
+    width >> #distinct, every estimate is exact."""
+    from collections import Counter
+
+    from stackstac_spark.operators.sketch import cms_build, cms_estimate
+
+    import numpy as np
+    rng = np.random.default_rng(9)
+    vals = [f"k{int(v)}" for v in rng.zipf(1.5, 2000) % 50]
+    truth = Counter(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "k string")
+    keys = spark.createDataFrame([(k,) for k in truth], "k string")
+
+    cms = cms_build(df, "k", depth=4, width=64)
+    est = {r["key"]: r["est"] for r in cms_estimate(cms, keys, "k", depth=4, width=64).collect()}
+    assert set(est) == set(truth)
+    assert all(est[k] >= truth[k] for k in truth)  # never undercounts
+    # exact regime: width far above distinct-count -> zero collisions w.h.p.
+    cms2 = cms_build(df, "k", depth=4, width=4096)
+    est2 = {r["key"]: r["est"] for r in cms_estimate(cms2, keys, "k", depth=4, width=4096).collect()}
+    assert est2 == dict(truth)
+
+
+def test_cms_weighted_and_unknown_key(spark):
+    from stackstac_spark.operators.sketch import cms_build, cms_estimate
+
+    df = spark.createDataFrame([("a", 5), ("a", 7), ("b", 1)], "k string, w long")
+    cms = cms_build(df, "k", depth=3, width=128, weight_col="w")
+    keys = spark.createDataFrame([("a",), ("b",), ("zz-not-present",)], "k string")
+    est = {r["key"]: r["est"] for r in cms_estimate(cms, keys, "k", depth=3, width=128).collect()}
+    assert est["a"] == 12 and est["b"] == 1
+    assert est["zz-not-present"] >= 0  # collisions may overcount, never error
+
+
+def test_cms_validates(spark):
+    from stackstac_spark.operators.sketch import cms_build
+
+    df = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError):
+        cms_build(df, "k", depth=0)
+    with pytest.raises(ValueError):
+        cms_build(df, "k", width=1)
+
+
+def test_cms_sketch_is_mergeable(spark):
+    """Build on two halves, SUM the cells, estimate — must equal the
+    single-pass sketch (the partial-aggregate property that makes CMS
+    shard/day-mergeable for free)."""
+    from pyspark.sql import functions as F
+
+    from stackstac_spark.operators.sketch import cms_build, cms_estimate
+
+    rows = [(i, f"v{i % 7}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, k string")
+    h1, h2 = df.filter("id < 100"), df.filter("id >= 100")
+    full = cms_build(df, "k", depth=3, width=32)
+    merged = (
+        cms_build(h1, "k", depth=3, width=32)
+        .unionByName(cms_build(h2, "k", depth=3, width=32))
+        .groupBy("i", "j").agg(F.sum("cnt").alias("cnt"))
+    )
+    keys = spark.createDataFrame([(f"v{i}",) for i in range(7)], "k string")
+    a = {r["key"]: r["est"] for r in cms_estimate(full, keys, "k", depth=3, width=32).collect()}
+    b = {r["key"]: r["est"] for r in cms_estimate(merged, keys, "k", depth=3, width=32).collect()}
+    assert a == b
