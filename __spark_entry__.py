@@ -1771,6 +1771,84 @@ s0 AS (SELECT vec_id, v, n FROM en ORDER BY vec_id LIMIT 1)"""
 SQL_KCENTER_CORESET = _kcenter_oracle_sql()
 
 
+def q_ols_trend(spark, sf):
+    """Per-group closed-form OLS (Catalyst's built-in regr_slope/
+    regr_intercept/regr_r2 — covariance-form linear trend fitting, one hash
+    aggregate, no iteration): value vs hours-since-epoch per event type,
+    the metric-drift trend a pipeline monitors. DuckDB implements the same
+    SQL-standard regr_* aggregates, so the oracle is nearly verbatim."""
+    ev = _events(spark, sf).select(
+        "event_type",
+        "value",
+        (F.col("ts_us") / F.lit(3.6e9)).alias("xh"),
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("regr_slope(value, xh)"), 6).alias("slope"),
+            F.round(F.expr("regr_intercept(value, xh)"), 4).alias("intercept"),
+            F.round(F.expr("regr_r2(value, xh)"), 6).alias("r2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_ewma_smooth(spark, sf):
+    ev = _events(spark, sf).filter(F.col("user_id") < 40)
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sort_array(
+                F.collect_list(F.struct(F.col("ts_us"), F.col("event_id"), F.col("value")))
+            ).alias("__s"),
+        )
+        .select(
+            "user_id",
+            "n",
+            F.round(
+                F.expr(
+                    "aggregate(slice(__s, 2, size(__s) - 1), CAST(__s[0].value AS DOUBLE), "
+                    "(acc, x) -> 0.8D * acc + 0.2D * CAST(x.value AS DOUBLE))"
+                ),
+                6,
+            ).alias("ewma"),
+        )
+        .orderBy("user_id")
+    )
+
+
+q_ewma_smooth.__doc__ = """Per-user exponential smoothing (EWMA, alpha=0.2):
+the recursive s' = 0.8*s + 0.2*x fold over each user's (ts, event_id)-ordered
+values — sequential semantics done natively as collect_list → sort_array →
+aggregate() lambda (first element seeds the accumulator, matching DuckDB's
+list_reduce exactly; fixed fold order in both engines). One shuffle; the
+per-user state never leaves the JVM."""
+
+
+SQL_OLS_TREND = f"""
+WITH ev AS ({_DUCK_EV})
+SELECT event_type, count(*) AS n,
+       round(regr_slope(value, ts_us / 3.6e9), 6) AS slope,
+       round(regr_intercept(value, ts_us / 3.6e9), 4) AS intercept,
+       round(regr_r2(value, ts_us / 3.6e9), 6) AS r2
+FROM ev GROUP BY event_type ORDER BY event_type
+"""
+
+SQL_EWMA_SMOOTH = f"""
+WITH ev AS ({_DUCK_EV}),
+s AS (
+  SELECT user_id, count(*) AS n,
+         list(CAST(value AS DOUBLE) ORDER BY ts_us, event_id) AS vs
+  FROM ev WHERE user_id < 40 GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       round(list_reduce(vs, (acc, x) -> 0.8 * acc + 0.2 * x), 6) AS ewma
+FROM s ORDER BY user_id
+"""
+
+
 def q_cms_frequency(spark, sf):
     """Count-Min sketch build + probe (Cormode 2005; operators/sketch.py::
     cms_build/cms_estimate): 4x128 md5-bucketed counters over the corpus
@@ -6992,6 +7070,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "kcenter_coreset": (q_kcenter_coreset, SQL_KCENTER_CORESET),
     "quality_logreg": (q_quality_logreg, SQL_QUALITY_LOGREG),
     "cms_frequency": (q_cms_frequency, SQL_CMS_FREQUENCY),
+    "ols_trend": (q_ols_trend, SQL_OLS_TREND),
+    "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "bpe_merges": (q_bpe_merges, None),
     "bpe_encode": (q_bpe_encode, None),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
