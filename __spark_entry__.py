@@ -1849,6 +1849,74 @@ FROM s ORDER BY user_id
 """
 
 
+_LOGREG_CACHE: dict = {}
+
+
+def _logreg_weights(spark, sf):
+    """Final weights of the quality_logreg fit, memoized per (session, sf)
+    — the trained model is the build-once artifact its consumers share."""
+    key = (id(spark), sf)
+    if key not in _LOGREG_CACHE:
+        from stackstac_spark.operators.mlfit import logistic_fit
+
+        docs = _t(spark, sf, "documents").select(
+            (F.col("n_chars") / 1000.0).alias("f_len"),
+            (F.size(F.split(F.col("text"), " ")) / 100.0).alias("f_words"),
+            F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        )
+        hist = logistic_fit(docs, ["f_len", "f_words"], "y", iters=10, lr=0.4)
+        _LOGREG_CACHE[key] = hist[-1][1:]
+    return _LOGREG_CACHE[key]
+
+
+def q_quality_calibration(spark, sf):
+    """Reliability diagram of the trained quality classifier (the
+    calibrate step after quality_logreg's train step): score every doc with
+    the fitted weights, bucket predicted probability into deciles, emit
+    per-bin count / mean predicted p / empirical positive rate (percent
+    bins — a 10-step fit moves p over a narrow range, so decile bins would
+    collapse to one row). One scan + one bounded aggregate; the oracle re-derives the SAME weights through
+    the unrolled GD chain and replays the binning."""
+    w0, w1, w2 = _logreg_weights(spark, sf)
+    docs = _t(spark, sf, "documents").select(
+        (F.col("n_chars") / 1000.0).alias("f_len"),
+        (F.size(F.split(F.col("text"), " ")) / 100.0).alias("f_words"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+    p = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(-(F.lit(w0) + F.col("f_len") * F.lit(w1) + F.col("f_words") * F.lit(w2)))
+    )
+    return (
+        docs.select(p.alias("p"), "y")
+        .groupBy(F.least(F.lit(99), F.floor(F.col("p") * 100)).cast("int").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("p"), 6).alias("mean_pred"),
+            F.round(F.avg("y"), 6).alias("frac_pos"),
+        )
+        .orderBy("bin")
+    )
+
+
+def _calibration_oracle_sql(iters: int = 10, lr: float = 0.4, r: int = 6) -> str:
+    # the logreg chain up to w{iters}, then score + decile-bin
+    chain = _logreg_oracle_sql(iters=iters, lr=lr, r=r)
+    head = chain[: chain.rindex("SELECT 0 AS step")].rstrip()
+    return (
+        head
+        + f""",
+scored AS (
+  SELECT 1.0 / (1.0 + exp(-(w.w0 + f.x1 * w.w1 + f.x2 * w.w2))) AS p, f.y
+  FROM f, w{iters} w
+)
+SELECT CAST(LEAST(99, FLOOR(p * 100)) AS INT) AS bin, count(*) AS n,
+       round(avg(p), 6) AS mean_pred, round(avg(y), 6) AS frac_pos
+FROM scored GROUP BY 1 ORDER BY bin
+"""
+    )
+
+
 def q_cms_frequency(spark, sf):
     """Count-Min sketch build + probe (Cormode 2005; operators/sketch.py::
     cms_build/cms_estimate): 4x128 md5-bucketed counters over the corpus
@@ -1962,6 +2030,7 @@ w{t} AS (
 
 
 SQL_QUALITY_LOGREG = _logreg_oracle_sql()
+SQL_QUALITY_CALIBRATION = _calibration_oracle_sql()
 
 
 def q_int8_quant(spark, sf):
@@ -7072,6 +7141,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "cms_frequency": (q_cms_frequency, SQL_CMS_FREQUENCY),
     "ols_trend": (q_ols_trend, SQL_OLS_TREND),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
+    "quality_calibration": (q_quality_calibration, SQL_QUALITY_CALIBRATION),
     "bpe_merges": (q_bpe_merges, None),
     "bpe_encode": (q_bpe_encode, None),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
