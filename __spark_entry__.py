@@ -1917,6 +1917,59 @@ FROM scored GROUP BY 1 ORDER BY bin
     )
 
 
+def q_mad_outliers(spark, sf):
+    """Robust outlier detection per metric stream: median / MAD (median
+    absolute deviation, the robust sigma: 1.4826·MAD ≈ σ under normality)
+    with a 6-robust-sigma outlier count per event type — the
+    data-validation pass a pipeline runs before trusting a feed. Exact
+    medians (Spark `median` = interpolating percentile, same as DuckDB's
+    quantile_cont-backed median, so the doubles match bit-for-bit); two
+    grouped aggregates + one broadcast-joined recount."""
+    ev = _events(spark, sf).select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.expr("median(value)").alias("med"))
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.expr("median(abs(value - med))").alias("mad"),
+            F.first("med").alias("med"),
+        )
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.first("med"), 6).alias("med"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med"))
+                    > F.lit(6.0) * F.lit(1.4826) * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_MAD_OUTLIERS = f"""
+WITH ev AS ({_DUCK_EV}),
+m AS (SELECT event_type, median(value) AS med FROM ev GROUP BY event_type),
+s AS (
+  SELECT e.event_type, median(abs(e.value - m.med)) AS mad, max(m.med) AS med
+  FROM ev e JOIN m USING (event_type) GROUP BY e.event_type
+)
+SELECT e.event_type, count(*) AS n,
+       round(s.med, 6) AS med, round(s.mad, 6) AS mad,
+       CAST(sum(CASE WHEN abs(e.value - s.med) > 6.0 * 1.4826 * s.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM ev e JOIN s USING (event_type)
+GROUP BY e.event_type, s.med, s.mad ORDER BY event_type
+"""
+
+
 def q_cms_frequency(spark, sf):
     """Count-Min sketch build + probe (Cormode 2005; operators/sketch.py::
     cms_build/cms_estimate): 4x128 md5-bucketed counters over the corpus
@@ -7142,6 +7195,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ols_trend": (q_ols_trend, SQL_OLS_TREND),
     "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
     "quality_calibration": (q_quality_calibration, SQL_QUALITY_CALIBRATION),
+    "mad_outliers": (q_mad_outliers, SQL_MAD_OUTLIERS),
     "bpe_merges": (q_bpe_merges, None),
     "bpe_encode": (q_bpe_encode, None),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
