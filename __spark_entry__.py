@@ -2024,6 +2024,275 @@ SELECT e.word, e.est, t.true_cnt FROM est e JOIN tr t USING (word) ORDER BY word
 """
 
 
+def q_hll_distinct(spark, sf):
+    """HyperLogLog distinct user-days per event type (operators/sketch.py::
+    hll_distinct, Flajolet 2007): m=64 registers from a 60-bit md5 prefix,
+    rho via exact binary-string length (no float log2), harmonic sum kept
+    as a scaled BIGINT so partial-agg order cannot perturb it. Genuinely
+    approximate (true ~1600/group vs estimates 1300-1750) yet exactly
+    replayable — the sketch sum s_scaled is value-checked bit-for-bit.
+    Fourth member of the deterministic sketch family (KMV / SpaceSaving /
+    CMS / HLL); O(m) state per group, register-wise-max mergeable."""
+    from stackstac_spark.operators.sketch import hll_distinct
+
+    ev = _events(spark, sf).select(
+        "event_type",
+        F.concat_ws(
+            ":", F.col("user_id"), F.expr("ts_us div 86400000000")
+        ).alias("uday"),
+    )
+    return hll_distinct(ev, "uday", p=6, group_cols="event_type").orderBy(
+        "event_type"
+    )
+
+
+_HLL_NUM = repr((0.7213 / (1.0 + 1.079 / 64)) * 4096.0 * float(1 << 55))
+
+SQL_HLL_DISTINCT = f"""
+WITH ev AS ({_DUCK_EV}),
+h AS (
+  SELECT event_type,
+         ('0x' || substring(md5(user_id || ':' || (ts_us // 86400000000)), 1, 15))::BIGINT AS h
+  FROM ev WHERE user_id IS NOT NULL
+),
+r AS (SELECT event_type, h % 64 AS reg, h // 64 AS w FROM h),
+rho AS (
+  SELECT event_type, reg,
+         CASE WHEN w > 0 THEN 55 - length(bin(w)) ELSE 55 END AS rho
+  FROM r
+),
+mx AS (SELECT event_type, reg, max(rho) AS mr FROM rho GROUP BY 1, 2),
+g AS (
+  SELECT event_type, CAST(count(*) AS INT) AS n_regs,
+         sum((1::BIGINT << (55 - mr))) AS s_present
+  FROM mx GROUP BY event_type
+),
+f AS (
+  SELECT event_type, n_regs, CAST(64 - n_regs AS INT) AS zeros,
+         CAST(s_present + CAST(64 - n_regs AS BIGINT) * 36028797018963968 AS BIGINT) AS s
+  FROM g
+),
+e AS (SELECT *, CAST({_HLL_NUM} AS DOUBLE) / CAST(s AS DOUBLE) AS e_raw FROM f)
+SELECT event_type,
+       round(CASE WHEN zeros > 0 AND e_raw <= 160.0
+                  THEN 64.0 * ln(64 / zeros) ELSE e_raw END, 4) AS est_distinct,
+       n_regs, zeros, s AS s_scaled
+FROM e ORDER BY event_type
+"""
+
+
+def q_triangle_count(spark, sf):
+    """Per-node triangle counting (operators/graph.py::triangle_count,
+    Cohen 2009 degree-ordered orientation) over the market-basket graph:
+    parts co-occurring in an order are linked; triangles measure basket
+    clustering. Orientation from the lower (degree, id) endpoint bounds
+    wedge fan-out by O(sqrt E) — the property that keeps the quadratic
+    step feasible on a hub-heavy 100 TB graph. Exactly one wedge + one
+    close-check per triangle (no /3, no distinct); top-100 nodes by
+    (n_tri desc, node)."""
+    from stackstac_spark.operators.graph import triangle_count
+
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    e = (
+        li.alias("x")
+        .join(li.alias("y"), "ok")
+        .filter(F.col("x.pk") < F.col("y.pk"))
+        .select(F.col("x.pk").alias("id_a"), F.col("y.pk").alias("id_b"))
+    )
+    return (
+        triangle_count(e)
+        .orderBy(F.desc("n_tri"), "node")
+        .limit(100)
+    )
+
+
+SQL_TRIANGLE_COUNT = """
+WITH li AS (SELECT l_orderkey ok, l_partkey pk FROM lineitem),
+e AS (SELECT DISTINCT least(x.pk, y.pk) a, greatest(x.pk, y.pk) b
+      FROM li x JOIN li y ON x.ok = y.ok WHERE x.pk <> y.pk),
+deg AS (SELECT node, count(*) AS d
+        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY node),
+o AS (
+  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.a < e.b) THEN e.a ELSE e.b END AS src,
+         CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.a < e.b) THEN e.b ELSE e.a END AS dst,
+         CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.a < e.b) THEN db.d ELSE da.d END AS dd
+  FROM e JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node
+),
+w AS (
+  SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
+  FROM o o1 JOIN o o2 ON o1.src = o2.src
+  WHERE (o1.dd < o2.dd) OR (o1.dd = o2.dd AND o1.dst < o2.dst)
+),
+t AS (SELECT u, v, w.w AS w FROM w JOIN o c ON w.v = c.src AND w.w = c.dst),
+corners AS (SELECT u AS node FROM t UNION ALL SELECT v FROM t UNION ALL SELECT w FROM t)
+SELECT node, count(*) AS n_tri FROM corners GROUP BY node
+ORDER BY n_tri DESC, node LIMIT 100
+"""
+
+
+def q_naive_bayes(spark, sf):
+    """Multinomial Naive Bayes language classifier (operators/mlfit.py::
+    naive_bayes_classify): Laplace-smoothed per-class token likelihoods in
+    the SPARSE formulation — score = prior + T_d*ln(a/(tot_c+aV)) +
+    sum tf*ln((cnt+a)/a) — so no dense vocab x class table exists and the
+    only corpus-sized shuffle is the token-keyed count join. Per-doc
+    argmax tie-broken on (round(score, 6) desc, class); every ln() input
+    is a ratio of exact integers, replayed term-for-term by the oracle."""
+    from stackstac_spark.operators.mlfit import naive_bayes_classify
+
+    docs = _t(spark, sf, "documents")
+    return naive_bayes_classify(docs).orderBy("doc_id")
+
+
+SQL_NAIVE_BAYES = r"""
+WITH toks AS (
+  SELECT doc_id AS id, lang AS y, t.tok AS tok
+  FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS t(tok)
+  WHERE t.tok <> ''
+),
+doctok AS (SELECT id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+ctab AS (SELECT y, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+v AS (SELECT count(DISTINCT tok) AS v FROM ctab),
+nn AS (SELECT count(*) AS n FROM documents),
+stats AS (
+  SELECT c.y, ln(p.n_docs / CAST(nn.n AS DOUBLE)) AS prior,
+         ln(1.0 / (CAST(c.tot AS DOUBLE) + 1.0 * v.v)) AS base_ll
+  FROM (SELECT y, sum(cnt) AS tot FROM ctab GROUP BY y) c
+  JOIN (SELECT lang AS y, count(*) AS n_docs FROM documents GROUP BY 1) p USING (y), v, nn
+),
+contrib AS (
+  SELECT d.id, c.y, sum(d.tf * ln((CAST(c.cnt AS DOUBLE) + 1.0) / 1.0)) AS s
+  FROM doctok d JOIN ctab c ON d.tok = c.tok GROUP BY 1, 2
+),
+t_doc AS (SELECT id, sum(tf) AS t_d FROM doctok GROUP BY 1),
+scored AS (
+  SELECT t.id, st.y, st.prior + t.t_d * st.base_ll + coalesce(c.s, 0.0) AS score
+  FROM t_doc t CROSS JOIN stats st LEFT JOIN contrib c ON t.id = c.id AND st.y = c.y
+),
+best AS (
+  SELECT id, y, score,
+         row_number() OVER (PARTITION BY id ORDER BY round(score, 6) DESC, y) AS rn
+  FROM scored
+)
+SELECT b.id AS doc_id, b.y AS pred, round(b.score, 4) AS logp, d.lang AS actual
+FROM best b JOIN documents d ON b.id = d.doc_id WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+def q_acf_daily(spark, sf):
+    """Per-stream autocorrelation (the seasonality/drift diagnostic next
+    to ols_trend/ewma_smooth): daily value totals per event type, then
+    ACF at row-lags 1-3 as plain Pearson corr between the series and its
+    window-lagged self — two hash aggs + one partitioned window, all
+    Catalyst built-ins. Day boundaries are exact integer ts_us div
+    86400000000, immune to session timezones."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf)
+    daily = ev.groupBy(
+        "event_type", F.expr("ts_us div 86400000000").alias("day")
+    ).agg(F.sum("value").alias("v"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "v",
+        F.lag("v", 1).over(w).alias("v1"),
+        F.lag("v", 2).over(w).alias("v2"),
+        F.lag("v", 3).over(w).alias("v3"),
+    )
+    agg = lagged.groupBy("event_type").agg(
+        F.count("v1").alias("n1"),
+        F.count("v2").alias("n2"),
+        F.count("v3").alias("n3"),
+        F.round(F.corr("v", "v1"), 6).alias("a1"),
+        F.round(F.corr("v", "v2"), 6).alias("a2"),
+        F.round(F.corr("v", "v3"), 6).alias("a3"),
+    )
+    return agg.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("lag"), F.col("n1").alias("n"), F.col("a1").alias("acf")),
+                F.struct(F.lit(2).alias("lag"), F.col("n2").alias("n"), F.col("a2").alias("acf")),
+                F.struct(F.lit(3).alias("lag"), F.col("n3").alias("n"), F.col("a3").alias("acf")),
+            )
+        ).alias("s"),
+    ).select(
+        "event_type", F.col("s.lag").alias("lag"), F.col("s.n").alias("n"), F.col("s.acf").alias("acf")
+    ).orderBy("event_type", "lag")
+
+
+SQL_ACF_DAILY = f"""
+WITH ev AS ({_DUCK_EV}),
+daily AS (
+  SELECT event_type, ts_us // 86400000000 AS day, sum(value) AS v
+  FROM ev GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, v,
+         lag(v, 1) OVER (PARTITION BY event_type ORDER BY day) AS v1,
+         lag(v, 2) OVER (PARTITION BY event_type ORDER BY day) AS v2,
+         lag(v, 3) OVER (PARTITION BY event_type ORDER BY day) AS v3
+  FROM daily
+),
+agg AS (
+  SELECT event_type,
+         count(v1) AS n1, count(v2) AS n2, count(v3) AS n3,
+         round(corr(v, v1), 6) AS a1, round(corr(v, v2), 6) AS a2,
+         round(corr(v, v3), 6) AS a3
+  FROM lagged GROUP BY event_type
+)
+SELECT event_type, u.lag AS lag, u.n AS n, u.acf AS acf
+FROM agg, unnest([
+  struct_pack(lag := 1, n := n1, acf := a1),
+  struct_pack(lag := 2, n := n2, acf := a2),
+  struct_pack(lag := 3, n := n3, acf := a3)
+]) AS t(u)
+ORDER BY event_type, lag
+"""
+
+
+def q_pmi_bigrams(spark, sf):
+    """Adjacent-bigram PMI collocations (operators/textstats.py::
+    pmi_bigrams — the word2vec phrases pass): one native
+    transform(sequence) explode to bigram slots, pair-keyed count, two
+    broadcast marginal joins, salience-ranked (n*pmi) top-100 with exact
+    tie-breaks. Counts are exact bigints; one ln() per surviving pair."""
+    from stackstac_spark.operators.textstats import pmi_bigrams
+
+    docs = _t(spark, sf, "documents")
+    return pmi_bigrams(docs, min_count=5, top_k=100)
+
+
+SQL_PMI_BIGRAMS = r"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+  FROM documents
+),
+tok2 AS (SELECT ts FROM toks WHERE length(ts) >= 2),
+pairs AS (
+  SELECT p.l AS "left", p.r AS "right"
+  FROM tok2, unnest(list_transform(generate_series(1, length(ts) - 1),
+       i -> struct_pack(l := ts[i], r := ts[i + 1]))) AS u(p)
+),
+pc AS (SELECT "left", "right", count(*) AS n_pair FROM pairs GROUP BY 1, 2),
+lm AS (SELECT "left", count(*) AS n_left FROM pairs GROUP BY 1),
+rm AS (SELECT "right", count(*) AS n_right FROM pairs GROUP BY 1),
+ns AS (SELECT count(*) AS n FROM pairs),
+scored AS (
+  SELECT pc."left", pc."right", pc.n_pair,
+         round(ln(CAST(pc.n_pair AS DOUBLE) * CAST(ns.n AS DOUBLE)
+                  / (CAST(lm.n_left AS DOUBLE) * rm.n_right)), 4) AS pmi
+  FROM pc JOIN lm USING ("left") JOIN rm USING ("right"), ns
+  WHERE pc.n_pair >= 5
+)
+SELECT "left", "right", n_pair, pmi FROM scored
+ORDER BY round(n_pair * pmi, 6) DESC, "left", "right" LIMIT 100
+"""
+
+
 def q_quality_logreg(spark, sf):
     """Quality-classifier training as a pipeline step (operators/mlfit.py::
     logistic_fit — the GPT-3/CCNet quality-filter shape): batch-GD logistic
@@ -7122,21 +7391,33 @@ def q_bpe_encode(spark, sf):
 
 
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
-    # --- r8 rotation policy (window history: PROGRESS.jsonl /
-    # --- CORRECTNESS_r0*.json; last-graded rounds per entry after r7:
-    # --- r5 = 46 entries, r6 = 50, r7 = 50). Slots 1-50 hold (a) the 7
-    # --- never-graded r8 oracle gates (zorder_cluster, bucketed_join,
-    # --- salted_join, bpe_pair_counts, raster_hillshade,
-    # --- label_propagation, raster_resample_cubic) and (b) 43 of the 46
-    # --- r5-vintage entries, stalest-first; the 3 deferred r5 entries
-    # --- (hash_sample, stratified_sample, multimodal_frames — each with a
-    # --- same-code-path relative in-window: hash_split, weighted_sample /
-    # --- grouped_topk, multimodal_resize/audio) rotate to r9 and stay
-    # --- CI-mirrored meanwhile. The rows-only r8 additions bpe_merges /
-    # --- bpe_encode sit past the window (pure-Python-reference parity in
-    # --- tests/test_bpe.py); r6- and r7-graded entries follow, all
-    # --- hash-checked every CI run by tests/test_past_window_mirror.py +
-    # --- scripts/check_correctness.py.
+    # --- r9 rotation policy (window history: PROGRESS.jsonl /
+    # --- CORRECTNESS_r0*.json). Round 8's driver grading never landed
+    # --- (no CORRECTNESS_r08), so slots 1-50 prioritize NEVER-GRADED
+    # --- entries: the 5 new r9 oracle gates (hll_distinct,
+    # --- triangle_count, naive_bayes, acf_daily, pmi_bigrams), the 7
+    # --- late-r8 gates added after the r8 window froze (kcenter_coreset,
+    # --- quality_logreg, cms_frequency, ols_trend, ewma_smooth,
+    # --- quality_calibration, mad_outliers), and the 7 early-r8 gates
+    # --- (zorder_cluster .. raster_resample_cubic); then the 3
+    # --- r5-deferred entries (hash_sample, stratified_sample,
+    # --- multimodal_frames) and 28 of the 43 r5-vintage entries,
+    # --- stalest-first in their r8 order. The 15 remaining r5-vintage
+    # --- entries sit at slots 51-65 for r10 and stay hash-checked every
+    # --- CI run by tests/test_past_window_mirror.py +
+    # --- scripts/check_correctness.py, as do all later slots.
+    "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
+    "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
+    "naive_bayes": (q_naive_bayes, SQL_NAIVE_BAYES),
+    "acf_daily": (q_acf_daily, SQL_ACF_DAILY),
+    "pmi_bigrams": (q_pmi_bigrams, SQL_PMI_BIGRAMS),
+    "kcenter_coreset": (q_kcenter_coreset, SQL_KCENTER_CORESET),
+    "quality_logreg": (q_quality_logreg, SQL_QUALITY_LOGREG),
+    "cms_frequency": (q_cms_frequency, SQL_CMS_FREQUENCY),
+    "ols_trend": (q_ols_trend, SQL_OLS_TREND),
+    "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
+    "quality_calibration": (q_quality_calibration, SQL_QUALITY_CALIBRATION),
+    "mad_outliers": (q_mad_outliers, SQL_MAD_OUTLIERS),
     "zorder_cluster": (q_zorder_cluster, SQL_ZORDER_CLUSTER),
     "bucketed_join": (q_bucketed_join, SQL_BUCKETED_JOIN),
     "salted_join": (q_salted_join, SQL_SALTED_JOIN),
@@ -7144,6 +7425,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "raster_hillshade": (q_raster_hillshade, SQL_RASTER_HILLSHADE),
     "label_propagation": (q_label_propagation, SQL_LABEL_PROPAGATION),
     "raster_resample_cubic": (q_raster_resample_cubic, SQL_RASTER_RESAMPLE_CUBIC),
+    "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
     "kmeans": (q_kmeans, SQL_KMEANS),
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "cube_agg": (q_cube_agg, SQL_CUBE_AGG),
@@ -7187,20 +7471,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "bloom_prefilter": (q_bloom_prefilter, SQL_BLOOM_PREFILTER),
     "pca_power": (q_pca_power, SQL_PCA_POWER),
     "abtt": (q_abtt, SQL_ABTT),
-    # ---- slot 51+ from here: CI-mirror-checked (driver-green in a past round,
-    # ---- or rows-only iterative ops with pytest reference parity) ----
-    "kcenter_coreset": (q_kcenter_coreset, SQL_KCENTER_CORESET),
-    "quality_logreg": (q_quality_logreg, SQL_QUALITY_LOGREG),
-    "cms_frequency": (q_cms_frequency, SQL_CMS_FREQUENCY),
-    "ols_trend": (q_ols_trend, SQL_OLS_TREND),
-    "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
-    "quality_calibration": (q_quality_calibration, SQL_QUALITY_CALIBRATION),
-    "mad_outliers": (q_mad_outliers, SQL_MAD_OUTLIERS),
     "bpe_merges": (q_bpe_merges, None),
     "bpe_encode": (q_bpe_encode, None),
-    "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
-    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
-    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
     "raster_overview_read": (q_raster_overview_read, SQL_RASTER_OVERVIEW_READ),
     "prepare_inference": (q_prepare_inference, SQL_PREPARE_INFERENCE),
     "raster_complex_mosaic": (q_raster_complex_mosaic, SQL_RASTER_COMPLEX_MOSAIC),

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["logistic_fit"]
+__all__ = ["logistic_fit", "naive_bayes_classify"]
 
 
 def logistic_fit(
@@ -103,3 +103,99 @@ def logistic_fit_df(
         + [T.StructField(f"w{j}", T.DoubleType()) for j in range(d)]
     )
     return local_df(df.sparkSession, hist, st)
+
+
+def naive_bayes_classify(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    round_to: int = 4,
+) -> DataFrame:
+    """Multinomial Naive Bayes over whitespace tokens: train per-class
+    token likelihoods with Laplace smoothing ``alpha`` and score every
+    document, returning (id, label, pred, logp) — the classic supervised
+    companion to the logistic quality filter (a fastText-style label
+    classifier trained ON the corpus as a pipeline step).
+
+    Sparse formulation (the 100 TB shape): with L_c = ln(α/(tot_c+αV))
+    the per-class score is
+
+        score(d, c) = ln(N_c/N) + T_d·L_c + Σ_{t∈d} tf_t·ln((cnt_{c,t}+α)/α)
+
+    so the only corpus-sized join is (doc, token)⋈(class, token) on the
+    token counts that EXIST — no dense vocab×class table is ever built
+    (missing (class, token) pairs contribute exactly through the T_d·L_c
+    term). Shuffles: one token-keyed count (train), one token-keyed join +
+    (doc, class) agg (score), one per-doc argmax window. Every ln() input
+    is a ratio of exact integers, so an external engine replays the
+    arithmetic; the argmax tie-breaks on (round(score, 6) desc, class asc)
+    to pin fp-order ambiguity.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("y"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+        ).alias("tok"),
+    )
+    doctok = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    ctab = toks.groupBy("y", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    v_size = ctab.select("tok").distinct().count()
+    stats = (
+        ctab.groupBy("y")
+        .agg(F.sum("cnt").alias("tot"))
+        .join(
+            df.groupBy(F.col(label_col).alias("y")).agg(
+                F.count(F.lit(1)).alias("n_docs")
+            ),
+            "y",
+        )
+    )
+    n_total = df.count()
+    stats = stats.select(
+        "y",
+        F.log(F.col("n_docs") / F.lit(float(n_total))).alias("prior"),
+        F.log(
+            F.lit(alpha) / (F.col("tot").cast("double") + F.lit(alpha * v_size))
+        ).alias("base_ll"),
+    )
+    contrib = (
+        doctok.join(ctab, "tok")
+        .groupBy("id", "y")
+        .agg(
+            F.sum(
+                F.col("tf")
+                * F.log((F.col("cnt").cast("double") + F.lit(alpha)) / F.lit(alpha))
+            ).alias("s")
+        )
+    )
+    t_doc = doctok.groupBy("id").agg(F.sum("tf").alias("t_d"))
+    scored = (
+        t_doc.crossJoin(F.broadcast(stats))
+        .join(contrib, ["id", "y"], "left")
+        .select(
+            "id",
+            "y",
+            (
+                F.col("prior")
+                + F.col("t_d") * F.col("base_ll")
+                + F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(
+        F.desc(F.round(F.col("score"), 6)), F.asc("y")
+    )
+    best = scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    return (
+        best.select(
+            F.col("id").alias(id_col),
+            F.col("y").alias("pred"),
+            F.round("score", round_to).alias("logp"),
+        )
+        .join(df.select(id_col, F.col(label_col).alias("actual")), id_col)
+    )

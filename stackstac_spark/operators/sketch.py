@@ -30,7 +30,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["heavy_hitters", "kmv_distinct"]
+__all__ = ["heavy_hitters", "hll_distinct", "kmv_distinct"]
+
+# 2^55 — the fixed-point scale for HLL register sums (see hll_distinct)
+_HLL_SCALE = 1 << 55
 
 
 def kmv_distinct(
@@ -100,6 +103,88 @@ def kmv_distinct(
         F.round(est, 4).alias("est_distinct"),
         "n_kept",
         (F.col("n_kept") < k).alias("exact"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    col: str,
+    p: int = 6,
+    group_cols: list[str] | str | None = None,
+) -> DataFrame:
+    """HyperLogLog distinct-count estimation (Flajolet et al., AofA 2007)
+    with fully engine-replayable arithmetic. Each value's md5 is split into
+    a register index (low ``p`` bits of a 60-bit prefix) and a 54-bit
+    remainder ``w``; the register stores max ρ(w) (position of the highest
+    set bit counted from the MSB of the 54-bit word — computed EXACTLY as
+    ``55 − p − length(bin(w))`` + 1 via the binary-string length, no
+    floating log2). The harmonic-mean denominator Σ 2^−M_j is kept as a
+    SCALED INTEGER Σ 2^(55−M_j) (a bigint — exact, order-insensitive, so
+    Spark's and an external engine's partial-aggregation orders cannot
+    diverge the way a float sum could); one final double division produces
+    the estimate, with the standard small-range linear-counting correction
+    when E ≤ 2.5m and empty registers remain.
+
+    Scale shape: groupBy (groups, register) max-agg — map-side combine
+    reduces every partition to ≤ m rows per group before the shuffle, the
+    defining property of the HLL sketch (state = m 6-bit registers
+    regardless of input size; union-mergeable by register-wise max).
+    Complements :func:`kmv_distinct`: KMV's estimate is replayable from the
+    k-min set; HLL's is replayable from the register table and costs O(m)
+    state instead of O(k) hashes with better accuracy per byte.
+
+    Returns (group_cols..., est_distinct DOUBLE rounded 4, n_regs, zeros,
+    s_scaled BIGINT) — ``s_scaled`` is the exact integer sketch sum, so a
+    value-check on the output verifies the full register table, not just
+    the rounded estimate.
+    """
+    if not 4 <= p <= 12:
+        raise ValueError(f"p must be in [4, 12], got {p}")
+    m = 1 << p
+    rem_bits = 60 - p
+    rho_max = rem_bits + 1  # ρ when the remainder is all zeros
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols or [])
+    h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    regs = (
+        df.filter(F.col(col).isNotNull())
+        .select(*groups, h.alias("__h"))
+        .select(
+            *groups,
+            (F.col("__h") % m).alias("__reg"),
+            F.expr(f"__h div {m}").alias("__w"),
+        )
+        .select(
+            *groups,
+            "__reg",
+            F.when(
+                F.col("__w") > 0, F.lit(rho_max) - F.length(F.bin(F.col("__w")))
+            )
+            .otherwise(F.lit(rho_max))
+            .alias("__rho"),
+        )
+        .groupBy(*groups, "__reg")
+        .agg(F.max("__rho").alias("__M"))
+    )
+    grp = regs.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("int").alias("n_regs"),
+        F.sum(F.expr(f"CAST(1 AS BIGINT) << ({rho_max} - __M)")).alias("__s_present"),
+    )
+    zeros = F.lit(m) - F.col("n_regs")
+    s = F.col("__s_present") + zeros.cast("long") * F.lit(_HLL_SCALE)
+    e_raw = F.lit(alpha * m * m * float(_HLL_SCALE)) / s.cast("double")
+    est = F.when(
+        (zeros > 0) & (e_raw <= F.lit(2.5 * m)),
+        F.lit(float(m)) * F.log(F.lit(m) / zeros),
+    ).otherwise(e_raw)
+    return grp.select(
+        *groups,
+        F.round(est, 4).alias("est_distinct"),
+        "n_regs",
+        zeros.cast("int").alias("zeros"),
+        s.alias("s_scaled"),
     )
 
 

@@ -769,3 +769,72 @@ def fit_unigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 100,
+    round_to: int = 4,
+) -> DataFrame:
+    """Pointwise mutual information of adjacent token pairs (collocation
+    mining, the word2vec-era association statistic):
+
+        pmi(l, r) = ln( c(l,r) · N / (c(l,·) · c(·,r)) )
+
+    over all adjacent bigram positions N in the corpus, with the marginals
+    counted over bigram SLOTS (left occurrences / right occurrences), so
+    the three counts live in one distribution and the estimate is exact.
+    High-PMI pairs are multiword expressions ("new york"); a tokenizer
+    step merges them (the phrases pass of word2vec; Mikolov et al. 2013).
+
+    Plan: one pass explodes each document's bigram positions via a native
+    ``transform(sequence(...))`` lambda (no Python UDF), one pair-keyed
+    count, two broadcast-joined marginal counts (each ≤ vocab rows),
+    tie-broken top-k. Every count is an exact bigint; the single ln() per
+    surviving pair is replayed by the oracle.
+
+    Returns (left, right, n_pair, pmi) — top ``top_k`` by
+    (n_pair·pmi desc, left, right): ranking by raw PMI alone surfaces
+    hapax noise, so the score weights association by evidence (the
+    "salience" variant).
+    """
+    toks = df.select(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+        ).alias("ts")
+    ).filter(F.size("ts") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 1), "
+                "i -> struct(element_at(ts, i) AS l, element_at(ts, i + 1) AS r))"
+            )
+        ).alias("p")
+    ).select(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
+    pc = pairs.groupBy("left", "right").agg(F.count(F.lit(1)).alias("n_pair"))
+    lm = pairs.groupBy("left").agg(F.count(F.lit(1)).alias("n_left"))
+    rm = pairs.groupBy("right").agg(F.count(F.lit(1)).alias("n_right"))
+    n_slots = pairs.count()
+    scored = (
+        pc.filter(F.col("n_pair") >= min_count)
+        .join(F.broadcast(lm), "left")
+        .join(F.broadcast(rm), "right")
+        .select(
+            "left",
+            "right",
+            "n_pair",
+            F.round(
+                F.log(
+                    F.col("n_pair").cast("double")
+                    * F.lit(float(n_slots))
+                    / (F.col("n_left").cast("double") * F.col("n_right"))
+                ),
+                round_to,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.desc(F.round(F.col("n_pair") * F.col("pmi"), 6)), "left", "right"
+    ).limit(top_k)

@@ -1,0 +1,169 @@
+"""r9 operators: HyperLogLog distinct, triangle counting, Naive Bayes,
+PMI bigram collocations — exact-regime checks vs Python oracles plus the
+determinism properties the DuckDB gates rely on."""
+
+import math
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+# ---------------------------------------------------------------- HLL
+
+
+def test_hll_estimate_within_error(spark):
+    from stackstac_spark.operators.sketch import hll_distinct
+
+    n = 5000
+    df = spark.createDataFrame(
+        [(f"v{i % n}",) for i in range(2 * n)], "v STRING"
+    ).repartition(8)
+    row = hll_distinct(df, "v", p=6).collect()[0]
+    # m=64 -> relative stddev ~ 1.04/sqrt(64) = 13%; allow 3 sigma
+    assert abs(row["est_distinct"] - n) / n < 0.4
+    assert row["n_regs"] + row["zeros"] == 64
+
+
+def test_hll_pure_function_of_distinct_set(spark):
+    from stackstac_spark.operators.sketch import hll_distinct
+
+    vals = [f"x{i}" for i in range(300)]
+    a = spark.createDataFrame([(v,) for v in vals], "v STRING").repartition(7)
+    b = spark.createDataFrame(
+        [(v,) for v in vals * 3][::-1], "v STRING"
+    ).repartition(2)
+    ra = hll_distinct(a, "v").collect()[0]
+    rb = hll_distinct(b, "v").collect()[0]
+    # duplicates and partitioning/order must not move a single register
+    assert ra["s_scaled"] == rb["s_scaled"]
+    assert ra["est_distinct"] == rb["est_distinct"]
+
+
+def test_hll_small_range_linear_counting(spark):
+    from stackstac_spark.operators.sketch import hll_distinct
+
+    df = spark.createDataFrame([(f"k{i}",) for i in range(5)], "v STRING")
+    row = hll_distinct(df, "v", p=6).collect()[0]
+    assert row["zeros"] >= 59
+    # linear counting: m * ln(m / zeros), near-exact at tiny cardinality
+    expect = 64.0 * math.log(64.0 / row["zeros"])
+    assert abs(row["est_distinct"] - round(expect, 4)) < 1e-9
+    assert abs(row["est_distinct"] - 5) < 1.0
+
+
+def test_hll_grouped_and_validation(spark):
+    from stackstac_spark.operators.sketch import hll_distinct
+
+    df = spark.createDataFrame(
+        [("a", "x1"), ("a", "x2"), ("b", "x1"), ("b", None)],
+        "g STRING, v STRING",
+    )
+    rows = {r["g"]: r for r in hll_distinct(df, "v", group_cols="g").collect()}
+    assert set(rows) == {"a", "b"}
+    assert rows["b"]["n_regs"] == 1  # null dropped, one distinct value
+    with pytest.raises(ValueError):
+        hll_distinct(df, "v", p=3)
+
+
+# ----------------------------------------------------- triangle counting
+
+
+def _tri(spark, edges):
+    from stackstac_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame(edges, "id_a INT, id_b INT")
+    return {r["node"]: r["n_tri"] for r in triangle_count(df).collect()}
+
+
+def test_triangles_k4(spark):
+    # K4 has 4 triangles; every node sits in 3 of them
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    got = _tri(spark, edges)
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangles_path_graph_none(spark):
+    assert _tri(spark, [(0, 1), (1, 2), (2, 3)]) == {}
+
+
+def test_triangles_dedup_reversed_selfloop(spark):
+    # one triangle + pendant; duplicates, reversed edges, self-loops ignored
+    edges = [(0, 1), (1, 0), (1, 2), (2, 0), (2, 2), (2, 3), (0, 1)]
+    got = _tri(spark, edges)
+    assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_triangles_two_shared_edge(spark):
+    # two triangles sharing edge (0,1): nodes 0,1 in 2; nodes 2,3 in 1
+    edges = [(0, 1), (0, 2), (1, 2), (0, 3), (1, 3)]
+    assert _tri(spark, edges) == {0: 2, 1: 2, 2: 1, 3: 1}
+
+
+# -------------------------------------------------------- naive Bayes
+
+
+def test_naive_bayes_separable(spark):
+    from stackstac_spark.operators.mlfit import naive_bayes_classify
+
+    rows = [
+        (0, "cat cat purr", "a"),
+        (1, "cat purr purr", "a"),
+        (2, "dog dog woof", "b"),
+        (3, "dog woof woof", "b"),
+        (4, "cat purr cat", "a"),
+        (5, "woof dog dog", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING, lang STRING")
+    got = {r["doc_id"]: r for r in naive_bayes_classify(df).collect()}
+    assert all(got[i]["pred"] == got[i]["actual"] for i in range(6))
+    # hand-replay doc 0 under the sparse formulation
+    # classes: a{cat:5, purr:4}, b{dog:5, woof:4}; V=4, tot=9 each, prior=ln(1/2)
+    def score(counts, toks):
+        tot, V, a = 9, 4, 1.0
+        base = math.log(a / (tot + a * V))
+        s = math.log(0.5) + len(toks) * base
+        for t in toks:
+            s += math.log((counts.get(t, 0) + a) / a)
+        return s
+    sa = score({"cat": 5, "purr": 4}, ["cat", "cat", "purr"])
+    assert abs(got[0]["logp"] - round(sa, 4)) < 1e-9
+
+
+def test_naive_bayes_tie_breaks_to_smaller_class(spark):
+    from stackstac_spark.operators.mlfit import naive_bayes_classify
+
+    # perfectly symmetric classes -> equal scores -> lexicographic winner
+    rows = [(0, "x", "a"), (1, "x", "b")]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING, lang STRING")
+    got = {r["doc_id"]: r["pred"] for r in naive_bayes_classify(df).collect()}
+    assert got == {0: "a", 1: "a"}
+
+
+# ---------------------------------------------------------- PMI bigrams
+
+
+def test_pmi_bigrams_hand_value(spark):
+    from stackstac_spark.operators.textstats import pmi_bigrams
+
+    # 6 docs "a b", 6 docs "a c": slots N=12, c(a,.)=12, c(.,b)=6, c(a,b)=6
+    rows = [(i, "a b") for i in range(6)] + [(10 + i, "a c") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    got = {(r["left"], r["right"]): r for r in pmi_bigrams(df, min_count=5).collect()}
+    assert set(got) == {("a", "b"), ("a", "c")}
+    expect = round(math.log(6 * 12 / (12 * 6)), 4)  # = 0.0
+    assert got[("a", "b")]["pmi"] == expect
+    assert got[("a", "b")]["n_pair"] == 6
+
+
+def test_pmi_min_count_and_window(spark):
+    from stackstac_spark.operators.textstats import pmi_bigrams
+
+    rows = [(0, "p q p q p q p q p q"), (1, "r s")]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    got = pmi_bigrams(df, min_count=4, top_k=10).collect()
+    pairs = {(r["left"], r["right"]) for r in got}
+    assert ("r", "s") not in pairs  # below min_count
+    assert ("p", "q") in pairs and ("q", "p") in pairs  # adjacency both ways
