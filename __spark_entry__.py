@@ -2293,6 +2293,165 @@ ORDER BY round(n_pair * pmi, 6) DESC, "left", "right" LIMIT 100
 """
 
 
+def q_funnel_steps(spark, sf):
+    """Ordered conversion funnel (the canonical product-analytics op):
+    view -> click -> purchase per user, each step's timestamp strictly
+    after the previous step's FIRST occurrence (min-ts chaining, the
+    exact textbook semantics — not mere set intersection). Three
+    user-keyed min-aggregates chained by co-partitioned joins (every
+    shuffle on user_id, so AQE coalesces them into one exchange reuse);
+    the final 4-row frame gets conversion rates via one lag window."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+    steps = (
+        ev.agg(F.countDistinct("user_id").alias("n"))
+        .select(F.lit(0).alias("step"), F.lit("all_users").alias("name"), "n")
+        .unionAll(v.agg(F.count(F.lit(1)).alias("n")).select(F.lit(1).alias("step"), F.lit("view").alias("name"), "n"))
+        .unionAll(c.agg(F.count(F.lit(1)).alias("n")).select(F.lit(2).alias("step"), F.lit("click").alias("name"), "n"))
+        .unionAll(p.agg(F.count(F.lit(1)).alias("n")).select(F.lit(3).alias("step"), F.lit("purchase").alias("name"), "n"))
+    )
+    w = Window.orderBy("step")
+    return steps.select(
+        "step",
+        "name",
+        "n",
+        F.round(F.col("n") / F.lag("n").over(w), 4).alias("conv_from_prev"),
+    ).orderBy("step")
+
+
+SQL_FUNNEL_STEPS = f"""
+WITH ev AS ({_DUCK_EV}),
+v AS (SELECT user_id, min(ts_us) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts_us) AS t2 FROM ev e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts_us > v.t1 GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts_us) AS t3 FROM ev e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts_us > c.t2 GROUP BY e.user_id),
+steps AS (
+  SELECT 0 AS step, 'all_users' AS name, count(DISTINCT user_id) AS n FROM ev
+  UNION ALL SELECT 1, 'view', count(*) FROM v
+  UNION ALL SELECT 2, 'click', count(*) FROM c
+  UNION ALL SELECT 3, 'purchase', count(*) FROM p
+)
+SELECT step, name, n,
+       round(n / CAST(lag(n) OVER (ORDER BY step) AS DOUBLE), 4) AS conv_from_prev
+FROM steps ORDER BY step
+"""
+
+
+def q_cohort_retention(spark, sf):
+    """Cohort retention matrix (the other canonical product-analytics op):
+    users cohorted by first-active day, per (cohort, day-offset) distinct
+    active users and retention vs cohort size. Day boundaries are exact
+    integer ts_us div 86400e6 — timezone-immune. Two user-keyed aggs +
+    one distinct + one broadcast-joined cohort-size lookup; the activity
+    distinct carries (user, week) only, never raw events, so the shuffle
+    is bounded by user-days not event count."""
+    ev = _events(spark, sf)
+    wk = F.expr("ts_us div 86400000000")
+    first = ev.groupBy("user_id").agg(F.min(wk).alias("cohort"))
+    act = (
+        ev.select("user_id", wk.alias("day"))
+        .distinct()
+        .join(first, "user_id")
+    )
+    cell = act.groupBy(
+        "cohort", (F.col("day") - F.col("cohort")).alias("offset")
+    ).agg(F.countDistinct("user_id").alias("n_active"))
+    size = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_cohort"))
+    return (
+        cell.join(F.broadcast(size), "cohort")
+        .select(
+            "cohort",
+            "offset",
+            "n_active",
+            "n_cohort",
+            F.round(F.col("n_active") / F.col("n_cohort"), 4).alias("retention"),
+        )
+        .orderBy("cohort", "offset")
+    )
+
+
+SQL_COHORT_RETENTION = f"""
+WITH ev AS ({_DUCK_EV}),
+first AS (SELECT user_id, min(ts_us // 86400000000) AS cohort FROM ev GROUP BY user_id),
+act AS (
+  SELECT DISTINCT e.user_id, e.ts_us // 86400000000 AS day, f.cohort
+  FROM ev e JOIN first f ON e.user_id = f.user_id
+),
+cell AS (
+  SELECT cohort, day - cohort AS "offset", count(DISTINCT user_id) AS n_active
+  FROM act GROUP BY 1, 2
+),
+sz AS (SELECT cohort, count(*) AS n_cohort FROM first GROUP BY cohort)
+SELECT c.cohort, c."offset", c.n_active, sz.n_cohort,
+       round(c.n_active / CAST(sz.n_cohort AS DOUBLE), 4) AS retention
+FROM cell c JOIN sz ON c.cohort = sz.cohort
+ORDER BY 1, 2
+"""
+
+
+def q_bigram_ppl(spark, sf):
+    """Interpolated bigram-LM perplexity per document (operators/
+    textstats.py::bigram_lm_score — the CCNet/KenLM perplexity filter with
+    the LM trained on the corpus in one pass): Jelinek-Mercer bigram MLE +
+    Laplace unigram backoff, scored through a sparse bigram-keyed join
+    (no dense vocab-squared table). Pairs with unigram_lm one model order
+    up; every count is an exact bigint replayed by the oracle."""
+    from stackstac_spark.operators.textstats import bigram_lm_score
+
+    docs = _t(spark, sf, "documents")
+    return bigram_lm_score(docs).orderBy("doc_id")
+
+
+SQL_BIGRAM_PPL = r"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+  FROM documents
+),
+tok2 AS (SELECT id, ts FROM toks WHERE length(ts) >= 2),
+bigs AS (
+  SELECT id, b.p AS p, b.w AS w
+  FROM tok2, unnest(list_transform(generate_series(1, length(ts) - 1),
+       i -> struct_pack(p := ts[i], w := ts[i + 1]))) AS u(b)
+),
+bc AS (SELECT p, w, count(*) AS c_pw FROM bigs GROUP BY 1, 2),
+pc AS (SELECT p, count(*) AS c_p FROM bigs GROUP BY 1),
+uni AS (SELECT w, count(*) AS c_w FROM bigs GROUP BY 1),
+nv AS (SELECT (SELECT count(*) FROM bigs) + (SELECT count(*) FROM uni) AS den),
+scored AS (
+  SELECT b.id, count(*) AS n_big,
+         sum(ln(0.7 * CAST(bc.c_pw AS DOUBLE) / pc.c_p
+                + 0.30000000000000004 * (CAST(uni.c_w AS DOUBLE) + 1.0) / nv.den)) AS ll
+  FROM bigs b JOIN bc ON b.p = bc.p AND b.w = bc.w
+  JOIN pc ON b.p = pc.p JOIN uni ON b.w = uni.w, nv
+  GROUP BY b.id
+)
+SELECT id AS doc_id, n_big, round(exp(-ll / n_big), 4) AS ppl
+FROM scored ORDER BY doc_id
+"""
+
+
 def q_quality_logreg(spark, sf):
     """Quality-classifier training as a pipeline step (operators/mlfit.py::
     logistic_fit — the GPT-3/CCNet quality-filter shape): batch-GD logistic
@@ -7401,9 +7560,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- quality_calibration, mad_outliers), and the 7 early-r8 gates
     # --- (zorder_cluster .. raster_resample_cubic); then the 3
     # --- r5-deferred entries (hash_sample, stratified_sample,
-    # --- multimodal_frames) and 28 of the 43 r5-vintage entries,
-    # --- stalest-first in their r8 order. The 15 remaining r5-vintage
-    # --- entries sit at slots 51-65 for r10 and stay hash-checked every
+    # --- multimodal_frames) and 25 of the 43 r5-vintage entries,
+    # --- stalest-first in their r8 order. The 18 remaining r5-vintage
+    # --- entries sit at slots 51-68 for r10 and stay hash-checked every
     # --- CI run by tests/test_past_window_mirror.py +
     # --- scripts/check_correctness.py, as do all later slots.
     "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
@@ -7411,6 +7570,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "naive_bayes": (q_naive_bayes, SQL_NAIVE_BAYES),
     "acf_daily": (q_acf_daily, SQL_ACF_DAILY),
     "pmi_bigrams": (q_pmi_bigrams, SQL_PMI_BIGRAMS),
+    "funnel_steps": (q_funnel_steps, SQL_FUNNEL_STEPS),
+    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
+    "bigram_ppl": (q_bigram_ppl, SQL_BIGRAM_PPL),
     "kcenter_coreset": (q_kcenter_coreset, SQL_KCENTER_CORESET),
     "quality_logreg": (q_quality_logreg, SQL_QUALITY_LOGREG),
     "cms_frequency": (q_cms_frequency, SQL_CMS_FREQUENCY),

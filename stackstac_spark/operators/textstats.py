@@ -838,3 +838,73 @@ def pmi_bigrams(
     return scored.orderBy(
         F.desc(F.round(F.col("n_pair") * F.col("pmi"), 6)), "left", "right"
     ).limit(top_k)
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.7,
+    round_to: int = 4,
+) -> DataFrame:
+    """Interpolated bigram language-model scoring (the CCNet/KenLM-style
+    perplexity filter, with the LM trained ON the corpus as a pipeline
+    step): per document the cross-entropy over its bigram transitions
+
+        H(d) = −(1/T_d) Σ ln[ λ·c(prev,w)/c(prev,·) + (1−λ)·(c(w)+1)/(N+V) ]
+
+    — Jelinek-Mercer interpolation of the bigram MLE with a Laplace
+    unigram backoff, so unseen transitions stay finite. High-perplexity
+    docs are LM-unlike (boilerplate, tables, other languages) and get
+    filtered; this pairs with :func:`unigram_logprob_score` one model
+    order up.
+
+    Plan shape: the bigram/unigram count tables are token-keyed aggregates
+    of ONE corpus pass (the same explode the PMI/collocation op uses); the
+    scoring join is (doc, prev, w) ⋈ counts on the bigram key — sparse,
+    never a dense vocab² table. All counts exact bigints; ln() per
+    surviving term; per-doc sum order pinned by rounding only at output.
+
+    Returns (id, n_big, ppl) with ppl = exp(H) rounded to ``round_to``.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+        ).alias("ts"),
+    ).filter(F.size("ts") >= 2)
+    bigs = toks.select(
+        "id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 1), "
+                "i -> struct(element_at(ts, i) AS p, element_at(ts, i + 1) AS w))"
+            )
+        ).alias("b"),
+    ).select("id", F.col("b.p").alias("p"), F.col("b.w").alias("w"))
+    bc = bigs.groupBy("p", "w").agg(F.count(F.lit(1)).alias("c_pw"))
+    pc = bigs.groupBy("p").agg(F.count(F.lit(1)).alias("c_p"))
+    uni = bigs.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    n_slots = bigs.count()
+    v_size = uni.count()
+    prob = (
+        F.lit(lam) * F.col("c_pw").cast("double") / F.col("c_p")
+        + F.lit(1.0 - lam)
+        * (F.col("c_w").cast("double") + F.lit(1.0))
+        / F.lit(float(n_slots + v_size))
+    )
+    scored = (
+        bigs.join(bc, ["p", "w"])
+        .join(F.broadcast(pc), "p")
+        .join(F.broadcast(uni), "w")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_big"),
+            F.sum(F.log(prob)).alias("__ll"),
+        )
+    )
+    return scored.select(
+        F.col("id").alias(id_col),
+        "n_big",
+        F.round(F.exp(-F.col("__ll") / F.col("n_big")), round_to).alias("ppl"),
+    )

@@ -167,3 +167,66 @@ def test_pmi_min_count_and_window(spark):
     pairs = {(r["left"], r["right"]) for r in got}
     assert ("r", "s") not in pairs  # below min_count
     assert ("p", "q") in pairs and ("q", "p") in pairs  # adjacency both ways
+
+
+# ------------------------------------------------------- bigram LM ppl
+
+
+def test_bigram_lm_hand_value(spark):
+    from stackstac_spark.operators.textstats import bigram_lm_score
+
+    rows = [(0, "a b"), (1, "a b"), (2, "a c")]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    got = {r["doc_id"]: r for r in bigram_lm_score(df, lam=0.7).collect()}
+    # slots: (a,b)x2, (a,c); c_p(a)=3; c_w: b=2, c=1; N=3, V=2
+    p_ab = 0.7 * 2 / 3 + (1.0 - 0.7) * (2 + 1) / 5.0
+    p_ac = 0.7 * 1 / 3 + (1.0 - 0.7) * (1 + 1) / 5.0
+    assert got[0]["ppl"] == round(1.0 / p_ab, 4)
+    assert got[2]["ppl"] == round(1.0 / p_ac, 4)
+    assert got[0]["n_big"] == 1
+
+
+def test_bigram_lm_single_token_docs_drop(spark):
+    from stackstac_spark.operators.textstats import bigram_lm_score
+
+    df = spark.createDataFrame(
+        [(0, "only"), (1, "two words")], "doc_id INT, text STRING"
+    )
+    got = bigram_lm_score(df).collect()
+    assert [r["doc_id"] for r in got] == [1]
+
+
+# ------------------------------------------- funnel / cohort gate shape
+
+
+def _entry():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_funnel_monotone(spark):
+    mod = _entry()
+    rows = mod.queries()["funnel_steps"](spark, "/root/testdata/sf0.001").collect()
+    ns = [r["n"] for r in sorted(rows, key=lambda r: r["step"])]
+    assert len(ns) == 4
+    # each funnel step can only lose users
+    assert all(a >= b for a, b in zip(ns, ns[1:]))
+    assert rows[0]["conv_from_prev"] is None
+
+
+def test_cohort_offset0_full_retention(spark):
+    mod = _entry()
+    rows = mod.queries()["cohort_retention"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["retention"] <= 1.0
+        if r["offset"] == 0:
+            assert r["retention"] == 1.0  # first-day activity defines the cohort
+        assert r["n_active"] <= r["n_cohort"]
