@@ -2452,6 +2452,104 @@ FROM scored ORDER BY doc_id
 """
 
 
+def q_stream_sessions(spark, sf):
+    """Custom stateful streaming operator in the graded surface
+    (streaming/ingest.py::sessionized_item_counts — applyInPandasWithState):
+    a JSONL item stream lands in two drops through ONE live query; state =
+    (session count, item count, last ts) per collection carried across
+    micro-batches, a new acquisition session opening when the datetime gap
+    exceeds 7 days. Deterministic closed-form fixture: collection 'a'
+    receives 3 items spanning one 7-day gap (2 sessions), 'b' one item —
+    asserted in-gate along with the state having crossed batches (the
+    second drop UPDATES counts seeded by the first). Rows-only by nature
+    (iterative/stateful; the batch analogue `sessionize` is the
+    hash-matched relative). Memoized per session like stream_scenes —
+    micro-batch machinery is one-time cost, visible in first_call_s."""
+    import json
+    import os
+    import shutil
+
+    from stackstac_spark.streaming.ingest import (
+        sessionized_item_counts,
+        stream_items,
+    )
+
+    base = os.path.join(_gate_tmpdir(), "stream_sessions")
+    cache_key = (id(spark), "stream-sessions")
+    if cache_key not in _STACK_CACHE:
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base)
+
+        def item(i, coll, dt):
+            return {
+                "id": f"it-{i}",
+                "collection": coll,
+                "properties": {"datetime": dt},
+                "bbox": [0.0, 0.0, 1.0, 1.0],
+            }
+
+        drop_a = [
+            item(0, "a", "2024-01-01T00:00:00Z"),
+            item(1, "a", "2024-01-03T00:00:00Z"),
+            item(2, "b", "2024-01-02T00:00:00Z"),
+        ]
+        drop_b = [item(3, "a", "2024-02-01T00:00:00Z")]  # > 7d after it-1
+        with open(os.path.join(base, "drop_a.jsonl"), "w") as fh:
+            for it in drop_a:
+                fh.write(json.dumps(it) + "\n")
+        sessions = sessionized_item_counts(
+            stream_items(spark, base), gap="7 days"
+        )
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName("gate_sessions")
+            .outputMode("update")
+            .start()
+        )
+        q.processAllAvailable()
+        n_batches_first = len(q.recentProgress)
+        with open(os.path.join(base, "drop_b.jsonl"), "w") as fh:
+            for it in drop_b:
+                fh.write(json.dumps(it) + "\n")
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        upd = spark.sql(
+            "SELECT collection, n_sessions, n_items FROM gate_sessions"
+        ).collect()
+        # state must have crossed micro-batches: collection 'a' appears in
+        # both drops, so the memory sink holds BOTH its batch-1 row (1
+        # session / 2 items) and its batch-2 update (2 sessions / 3 items)
+        a_rows = {(r["n_sessions"], r["n_items"]) for r in upd if r["collection"] == "a"}
+        if (1, 2) not in a_rows or (2, 3) not in a_rows:
+            raise AssertionError(
+                f"stream_sessions: expected state to evolve (1,2)->(2,3) "
+                f"across micro-batches for collection 'a', saw {sorted(a_rows)}"
+            )
+        if n_batches_first < 1:
+            raise AssertionError("first drop produced no micro-batch")
+        final = {}
+        for r in upd:
+            key = r["collection"]
+            if key not in final or r["n_items"] > final[key][1]:
+                final[key] = (r["n_sessions"], r["n_items"])
+        _STACK_CACHE[cache_key] = sorted(
+            (k, v[0], v[1]) for k, v in final.items()
+        )
+    rows = _STACK_CACHE[cache_key]
+    from stackstac_spark.session import local_df
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("collection", T.StringType()),
+            T.StructField("n_sessions", T.LongType()),
+            T.StructField("n_items", T.LongType()),
+        ]
+    )
+    return local_df(spark, rows, schema)
+
+
 def q_quality_logreg(spark, sf):
     """Quality-classifier training as a pipeline step (operators/mlfit.py::
     logistic_fit — the GPT-3/CCNet quality-filter shape): batch-GD logistic
@@ -7560,9 +7658,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- quality_calibration, mad_outliers), and the 7 early-r8 gates
     # --- (zorder_cluster .. raster_resample_cubic); then the 3
     # --- r5-deferred entries (hash_sample, stratified_sample,
-    # --- multimodal_frames) and 25 of the 43 r5-vintage entries,
-    # --- stalest-first in their r8 order. The 18 remaining r5-vintage
-    # --- entries sit at slots 51-68 for r10 and stay hash-checked every
+    # --- multimodal_frames) and 24 of the 43 r5-vintage entries,
+    # --- stalest-first in their r8 order. The 19 remaining r5-vintage
+    # --- entries sit at slots 51-69 for r10 and stay hash-checked every
     # --- CI run by tests/test_past_window_mirror.py +
     # --- scripts/check_correctness.py, as do all later slots.
     "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
@@ -7573,6 +7671,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "funnel_steps": (q_funnel_steps, SQL_FUNNEL_STEPS),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "bigram_ppl": (q_bigram_ppl, SQL_BIGRAM_PPL),
+    "stream_sessions": (q_stream_sessions, None),
     "kcenter_coreset": (q_kcenter_coreset, SQL_KCENTER_CORESET),
     "quality_logreg": (q_quality_logreg, SQL_QUALITY_LOGREG),
     "cms_frequency": (q_cms_frequency, SQL_CMS_FREQUENCY),

@@ -230,3 +230,14 @@ def test_cohort_offset0_full_retention(spark):
         if r["offset"] == 0:
             assert r["retention"] == 1.0  # first-day activity defines the cohort
         assert r["n_active"] <= r["n_cohort"]
+
+
+def test_stream_sessions_gate_state_crosses_batches(spark):
+    mod = _entry()
+    rows = mod.queries()["stream_sessions"](spark, "/root/testdata/sf0.001").collect()
+    got = {(r["collection"], r["n_sessions"], r["n_items"]) for r in rows}
+    # closed form: 'a' spans one >7d gap (2 sessions over 3 items), 'b' has 1
+    assert got == {("a", 2, 3), ("b", 1, 1)}
+    # memoized path returns the identical frame
+    again = mod.queries()["stream_sessions"](spark, "/root/testdata/sf0.001").collect()
+    assert {tuple(r) for r in again} == {tuple(r) for r in rows}
