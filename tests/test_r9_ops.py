@@ -241,3 +241,21 @@ def test_stream_sessions_gate_state_crosses_batches(spark):
     # memoized path returns the identical frame
     again = mod.queries()["stream_sessions"](spark, "/root/testdata/sf0.001").collect()
     assert {tuple(r) for r in again} == {tuple(r) for r in rows}
+
+
+def test_triangles_strategies_agree(spark):
+    from stackstac_spark.operators.graph import triangle_count
+
+    # K4 + shared-edge bowtie + pendant, duplicated/reversed edges
+    edges = (
+        [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        + [(10, 11), (10, 12), (11, 12), (10, 13), (11, 13), (12, 0), (13, 13)]
+        + [(1, 0), (3, 2)]
+    )
+    df = spark.createDataFrame(edges, "id_a INT, id_b INT")
+    fast = {(r["node"], r["n_tri"]) for r in triangle_count(df).collect()}
+    dist = {
+        (r["node"], r["n_tri"])
+        for r in triangle_count(df, broadcast_threshold=0).collect()
+    }
+    assert fast == dist and fast
