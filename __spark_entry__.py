@@ -2550,6 +2550,170 @@ def q_stream_sessions(spark, sf):
     return local_df(spark, rows, schema)
 
 
+def q_markov_transitions(spark, sf):
+    """First-order Markov transition matrix over per-user event sequences
+    (the user-behavior model behind next-event prediction and anomaly
+    scoring): order each user's events by (ts_us, event_id), count
+    (prev_type → type) transitions, emit row-normalized probabilities.
+    One partitioned lag window + one pair-keyed count + a broadcast row-
+    total join — the sequence reconstruction shuffles each user's events
+    to one partition exactly once, the statistics after that are
+    transition-keyed (25 rows here, |types|² in general)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    steps = ev.select(
+        F.lag("event_type").over(w).alias("prev"),
+        F.col("event_type").alias("next"),
+    ).filter(F.col("prev").isNotNull())
+    cnt = steps.groupBy("prev", "next").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("prev").agg(F.sum("n").alias("row_n"))
+    return (
+        cnt.join(F.broadcast(tot), "prev")
+        .select(
+            "prev",
+            "next",
+            "n",
+            F.round(F.col("n") / F.col("row_n"), 4).alias("p"),
+        )
+        .orderBy("prev", "next")
+    )
+
+
+SQL_MARKOV_TRANSITIONS = f"""
+WITH ev AS ({_DUCK_EV}),
+steps AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev,
+         event_type AS next
+  FROM ev
+),
+cnt AS (SELECT prev, next, count(*) AS n FROM steps WHERE prev IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT prev, sum(n) AS row_n FROM cnt GROUP BY prev)
+SELECT c.prev, c.next, c.n, round(c.n / CAST(t.row_n AS DOUBLE), 4) AS p
+FROM cnt c JOIN tot t ON c.prev = t.prev
+ORDER BY 1, 2
+"""
+
+
+def q_trending_terms(spark, sf):
+    """Week-over-week trending terms (corpus drift monitoring): per-week
+    token counts from the events' props JSON payloads would be natural at
+    scale; here the documents corpus is bucketed by doc_id stripe to give
+    two deterministic 'weeks'. Rank terms within each period (count desc,
+    term), join each term's rank to its previous-period rank, emit the
+    top movers by rank improvement. Shuffles: one (period, token) count,
+    one token-keyed self-join of the two small rank tables."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        (F.col("doc_id") % 2).alias("period"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+        ).alias("term"),
+    )
+    cnt = toks.groupBy("period", "term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("period").orderBy(F.desc("n"), "term")
+    ranked = cnt.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 200
+    )
+    cur = ranked.filter(F.col("period") == 1).select(
+        "term", F.col("n").alias("n_now"), F.col("rnk").alias("rnk_now")
+    )
+    prev = ranked.filter(F.col("period") == 0).select(
+        "term", F.col("rnk").alias("rnk_prev")
+    )
+    return (
+        cur.join(prev, "term", "left")
+        .select(
+            "term",
+            "n_now",
+            "rnk_now",
+            F.coalesce(F.col("rnk_prev"), F.lit(201)).alias("rnk_prev"),
+            (
+                F.coalesce(F.col("rnk_prev"), F.lit(201)) - F.col("rnk_now")
+            ).alias("rank_gain"),
+        )
+        .orderBy(F.desc("rank_gain"), "term")
+        .limit(50)
+    )
+
+
+SQL_TRENDING_TERMS = r"""
+WITH toks AS (
+  SELECT doc_id % 2 AS period, t.term AS term
+  FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS t(term)
+  WHERE t.term <> ''
+),
+cnt AS (SELECT period, term, count(*) AS n FROM toks GROUP BY 1, 2),
+ranked AS (
+  SELECT period, term, n,
+         row_number() OVER (PARTITION BY period ORDER BY n DESC, term) AS rnk
+  FROM cnt
+),
+topr AS (SELECT * FROM ranked WHERE rnk <= 200),
+cur AS (SELECT term, n AS n_now, rnk AS rnk_now FROM topr WHERE period = 1),
+prev AS (SELECT term, rnk AS rnk_prev FROM topr WHERE period = 0)
+SELECT c.term, c.n_now, c.rnk_now,
+       coalesce(p.rnk_prev, 201) AS rnk_prev,
+       coalesce(p.rnk_prev, 201) - c.rnk_now AS rank_gain
+FROM cur c LEFT JOIN prev p ON c.term = p.term
+ORDER BY rank_gain DESC, c.term LIMIT 50
+"""
+
+
+def q_forecast_backtest(spark, sf):
+    """Forecast backtest over the metric streams (the drift monitor's
+    companion: how predictable is each feed?): per event type, daily
+    totals, then MAE of the naive (yesterday) and seasonal-naive (7 days
+    ago) forecasts over every day where both are defined — the standard
+    baselines any forecasting pipeline must beat. Two hash aggs + one
+    partitioned window carrying both lags in a single pass."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf)
+    daily = ev.groupBy(
+        "event_type", F.expr("ts_us div 86400000000").alias("day")
+    ).agg(F.sum("value").alias("v"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "v",
+        F.lag("v", 1).over(w).alias("v1"),
+        F.lag("v", 7).over(w).alias("v7"),
+    ).filter(F.col("v1").isNotNull() & F.col("v7").isNotNull())
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.avg(F.abs(F.col("v") - F.col("v1"))), 4).alias("mae_naive"),
+            F.round(F.avg(F.abs(F.col("v") - F.col("v7"))), 4).alias("mae_seasonal"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_FORECAST_BACKTEST = f"""
+WITH ev AS ({_DUCK_EV}),
+daily AS (
+  SELECT event_type, ts_us // 86400000000 AS day, sum(value) AS v
+  FROM ev GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, v,
+         lag(v, 1) OVER (PARTITION BY event_type ORDER BY day) AS v1,
+         lag(v, 7) OVER (PARTITION BY event_type ORDER BY day) AS v7
+  FROM daily
+)
+SELECT event_type, count(*) AS n_days,
+       round(avg(abs(v - v1)), 4) AS mae_naive,
+       round(avg(abs(v - v7)), 4) AS mae_seasonal
+FROM lagged WHERE v1 IS NOT NULL AND v7 IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_quality_logreg(spark, sf):
     """Quality-classifier training as a pipeline step (operators/mlfit.py::
     logistic_fit — the GPT-3/CCNet quality-filter shape): batch-GD logistic
@@ -7658,9 +7822,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- quality_calibration, mad_outliers), and the 7 early-r8 gates
     # --- (zorder_cluster .. raster_resample_cubic); then the 3
     # --- r5-deferred entries (hash_sample, stratified_sample,
-    # --- multimodal_frames) and 24 of the 43 r5-vintage entries,
-    # --- stalest-first in their r8 order. The 19 remaining r5-vintage
-    # --- entries sit at slots 51-69 for r10 and stay hash-checked every
+    # --- multimodal_frames) and 21 of the 43 r5-vintage entries,
+    # --- stalest-first in their r8 order. The 22 remaining r5-vintage
+    # --- entries sit at slots 51-72 for r10 and stay hash-checked every
     # --- CI run by tests/test_past_window_mirror.py +
     # --- scripts/check_correctness.py, as do all later slots.
     "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
@@ -7672,6 +7836,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "bigram_ppl": (q_bigram_ppl, SQL_BIGRAM_PPL),
     "stream_sessions": (q_stream_sessions, None),
+    "markov_transitions": (q_markov_transitions, SQL_MARKOV_TRANSITIONS),
+    "trending_terms": (q_trending_terms, SQL_TRENDING_TERMS),
+    "forecast_backtest": (q_forecast_backtest, SQL_FORECAST_BACKTEST),
     "kcenter_coreset": (q_kcenter_coreset, SQL_KCENTER_CORESET),
     "quality_logreg": (q_quality_logreg, SQL_QUALITY_LOGREG),
     "cms_frequency": (q_cms_frequency, SQL_CMS_FREQUENCY),
@@ -7710,9 +7877,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "raster_climatology": (q_raster_climatology, SQL_RASTER_CLIMATOLOGY),
     "raster_temporal_diff": (q_raster_temporal_diff, SQL_RASTER_TEMPORAL_DIFF),
     "raster_gradient": (q_raster_gradient, SQL_RASTER_GRADIENT),
-    "ann_rerank": (q_ann_rerank, SQL_ANN_RERANK),
-    "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
+    "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
+    "ann_rerank": (q_ann_rerank, SQL_ANN_RERANK),
     "script_stats": (q_script_stats, SQL_SCRIPT_STATS),
     "dedup_stats": (q_dedup_stats, SQL_DEDUP_STATS),
     "pool_embeddings": (q_pool_embeddings, SQL_POOL_EMBEDDINGS),

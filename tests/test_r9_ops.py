@@ -259,3 +259,56 @@ def test_triangles_strategies_agree(spark):
         for r in triangle_count(df, broadcast_threshold=0).collect()
     }
     assert fast == dist and fast
+
+
+def test_hll_shard_merge_is_register_max(spark):
+    """HLL mergeability: the sketch of a union equals register-wise max of
+    shard sketches — verified through s_scaled, which encodes the whole
+    register table."""
+    from pyspark.sql import functions as F
+
+    from stackstac_spark.operators.sketch import hll_distinct
+
+    a = [(0, f"u{i}") for i in range(200)]
+    b = [(0, f"u{i}") for i in range(100, 350)]  # overlapping shard
+    df_a = spark.createDataFrame(a, "g INT, v STRING")
+    df_b = spark.createDataFrame(b, "g INT, v STRING")
+    both = df_a.unionAll(df_b)
+    merged = hll_distinct(both, "v").collect()[0]
+    # replay the register-wise max by rebuilding from the distinct union
+    dedup = both.select("v").distinct()
+    again = hll_distinct(dedup, "v").collect()[0]
+    assert merged["s_scaled"] == again["s_scaled"]
+    assert merged["est_distinct"] == again["est_distinct"]
+
+
+def test_markov_rows_are_probabilities(spark):
+    mod = _entry()
+    rows = mod.queries()["markov_transitions"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    from collections import defaultdict
+
+    sums = defaultdict(float)
+    for r in rows:
+        assert 0.0 < r["p"] <= 1.0
+        sums[r["prev"]] += r["p"]
+    for prev, total in sums.items():
+        assert abs(total - 1.0) < 0.01, (prev, total)
+
+
+def test_forecast_backtest_shape(spark):
+    mod = _entry()
+    rows = mod.queries()["forecast_backtest"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["mae_naive"] >= 0 and r["mae_seasonal"] >= 0 and r["n_days"] > 0
+
+
+def test_trending_terms_ordering(spark):
+    mod = _entry()
+    rows = mod.queries()["trending_terms"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    gains = [r["rank_gain"] for r in rows]
+    assert gains == sorted(gains, reverse=True)
+    for r in rows:
+        assert r["rank_gain"] == r["rnk_prev"] - r["rnk_now"]
