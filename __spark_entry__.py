@@ -2714,6 +2714,58 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_binary_topk(spark, sf):
+    """Binary-quantized ANN (operators/similarity.py::sign_codes/
+    hamming_topk — Charikar 2002 sign-random-projection with axis-aligned
+    planes): embeddings packed to 2 bigint words (32x memory), Hamming
+    prefilter via bit_count(xor) integer ops only, exact-cosine rerank of
+    the 16-deep shortlist to top-5. Completes the quantization family
+    (int8 / PQ / Matryoshka / binary); the packing is an exact integer sum
+    replayed word-for-word by the oracle."""
+    from stackstac_spark.operators.similarity import hamming_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return hamming_topk(emb, [0, 1, 2, 3, 4], dim=64, k=5, shortlist=16)
+
+
+SQL_BINARY_TOPK = """
+WITH codes AS (
+  SELECT vec_id AS id,
+         CAST(list_sum(list_transform(generate_series(1, 32),
+              i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END)) AS BIGINT) AS w0,
+         CAST(list_sum(list_transform(generate_series(33, 64),
+              i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 33)) ELSE 0::BIGINT END)) AS BIGINT) AS w1
+  FROM embeddings
+),
+vecs AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT c.id AS query_id, v.v AS qv, c.w0 AS qw0, c.w1 AS qw1
+      FROM codes c JOIN vecs v USING (id) WHERE c.id IN (0, 1, 2, 3, 4)),
+cand AS (SELECT c.id AS neighbor_id, v.v AS cv, c.w0 AS cw0, c.w1 AS cw1
+         FROM codes c JOIN vecs v USING (id)),
+sims AS (
+  SELECT query_id, neighbor_id, qv, cv,
+         bit_count(xor(cw0, qw0)) + bit_count(xor(cw1, qw1)) AS hamming
+  FROM cand CROSS JOIN q WHERE neighbor_id <> query_id
+),
+short AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS r
+  FROM sims
+),
+scored AS (
+  SELECT query_id, neighbor_id, hamming,
+         round(list_inner_product(qv, cv)
+               / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))), 6) AS sim
+  FROM short WHERE r <= 16
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, hamming, sim, rank FROM ranked
+WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 def q_quality_logreg(spark, sf):
     """Quality-classifier training as a pipeline step (operators/mlfit.py::
     logistic_fit — the GPT-3/CCNet quality-filter shape): batch-GD logistic
@@ -7822,9 +7874,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- quality_calibration, mad_outliers), and the 7 early-r8 gates
     # --- (zorder_cluster .. raster_resample_cubic); then the 3
     # --- r5-deferred entries (hash_sample, stratified_sample,
-    # --- multimodal_frames) and 21 of the 43 r5-vintage entries,
-    # --- stalest-first in their r8 order. The 22 remaining r5-vintage
-    # --- entries sit at slots 51-72 for r10 and stay hash-checked every
+    # --- multimodal_frames) and 20 of the 43 r5-vintage entries,
+    # --- stalest-first in their r8 order. The 23 remaining r5-vintage
+    # --- entries sit at slots 51-73 for r10 and stay hash-checked every
     # --- CI run by tests/test_past_window_mirror.py +
     # --- scripts/check_correctness.py, as do all later slots.
     "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
@@ -7839,6 +7891,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "markov_transitions": (q_markov_transitions, SQL_MARKOV_TRANSITIONS),
     "trending_terms": (q_trending_terms, SQL_TRENDING_TERMS),
     "forecast_backtest": (q_forecast_backtest, SQL_FORECAST_BACKTEST),
+    "binary_topk": (q_binary_topk, SQL_BINARY_TOPK),
     "kcenter_coreset": (q_kcenter_coreset, SQL_KCENTER_CORESET),
     "quality_logreg": (q_quality_logreg, SQL_QUALITY_LOGREG),
     "cms_frequency": (q_cms_frequency, SQL_CMS_FREQUENCY),

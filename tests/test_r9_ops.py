@@ -312,3 +312,50 @@ def test_trending_terms_ordering(spark):
     assert gains == sorted(gains, reverse=True)
     for r in rows:
         assert r["rank_gain"] == r["rnk_prev"] - r["rnk_now"]
+
+
+# ------------------------------------------------- binary quantized ANN
+
+
+def test_sign_codes_packing(spark):
+    from stackstac_spark.operators.similarity import sign_codes
+
+    rows = [(0, [1.0, -1.0, 0.5, 0.0]), (1, [-2.0, 3.0, -0.1, 4.0])]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<FLOAT>")
+    got = {r["id"]: r["w0"] for r in sign_codes(df, dim=4).collect()}
+    # doc 0: bits 1,3 set (v>0) -> 0b0101 = 5; doc 1: bits 2,4 -> 0b1010 = 10
+    assert got == {0: 0b0101, 1: 0b1010}
+
+
+def test_sign_codes_multiword_boundary(spark):
+    from stackstac_spark.operators.similarity import sign_codes
+
+    vec = [0.0] * 64
+    vec[31] = 1.0  # last bit of word 0
+    vec[32] = 1.0  # first bit of word 1
+    df = spark.createDataFrame([(0, vec)], "vec_id INT, embedding ARRAY<FLOAT>")
+    r = sign_codes(df, dim=64).collect()[0]
+    assert r["w0"] == 1 << 31 and r["w1"] == 1
+
+
+def test_hamming_topk_recovers_exact_neighbor(spark):
+    import math
+    from stackstac_spark.operators.similarity import hamming_topk
+
+    # query 0 and vector 1 identical signs; vector 2 fully flipped
+    base = [1.0, -1.0, 1.0, 1.0, -1.0, 1.0, -1.0, 1.0]
+    rows = [
+        (0, base),
+        (1, [x * 0.5 for x in base]),
+        (2, [-x for x in base]),
+        (3, [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<FLOAT>")
+    got = hamming_topk(df, [0], dim=8, k=3, shortlist=3).collect()
+    assert got[0]["neighbor_id"] == 1 and got[0]["hamming"] == 0
+    assert got[0]["sim"] == 1.0  # same direction
+    assert {r["neighbor_id"] for r in got} == {1, 3, 2} or len(got) == 3
+    # fully flipped vector has max hamming and sim -1
+    worst = [r for r in got if r["neighbor_id"] == 2]
+    if worst:
+        assert worst[0]["sim"] == -1.0
