@@ -2766,6 +2766,202 @@ WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+def q_linkage_score(spark, sf):
+    """Probabilistic record linkage (operators/linkage.py — Fellegi &
+    Sunter 1969): customers blocked on nation, scored on segment /
+    balance-bucket / name-suffix agreement with ln(m/u) weights where u is
+    the EXACT data-estimated random-pair collision probability (an integer
+    computation both engines replay bit-for-bit). The structured-records
+    relative of the text dedup family; blocking is the only thing between
+    this and O(N^2). Top-100 pairs by (score desc, ids)."""
+    from stackstac_spark.operators.linkage import linkage_score
+
+    cust = _t(spark, sf, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 100).cast("long").alias("bal"),
+        F.substring(F.col("c_name"), -2, 2).alias("sfx"),
+    )
+    scored = linkage_score(
+        cust,
+        id_col="c_custkey",
+        block_cols=["c_nationkey"],
+        field_m={"seg": 0.9, "bal": 0.8, "sfx": 0.95},
+    )
+    return scored.orderBy(F.desc("score"), "id_a", "id_b").limit(100)
+
+
+SQL_LINKAGE_SCORE = """
+WITH f AS (
+  SELECT c_custkey AS id, c_nationkey AS blk, c_mktsegment AS seg,
+         CAST(floor(c_acctbal / 100) AS BIGINT) AS bal,
+         substring(c_name, length(c_name) - 1, 2) AS sfx
+  FROM customer
+),
+nn AS (SELECT count(*) AS n FROM f),
+u AS (
+  SELECT
+    (SELECT sum(c * (c - 1)) FROM (SELECT seg, count(*) AS c FROM f GROUP BY seg))
+      / (CAST(nn.n AS DOUBLE) * (nn.n - 1)) AS u_seg,
+    (SELECT sum(c * (c - 1)) FROM (SELECT bal, count(*) AS c FROM f GROUP BY bal))
+      / (CAST(nn.n AS DOUBLE) * (nn.n - 1)) AS u_bal,
+    (SELECT sum(c * (c - 1)) FROM (SELECT sfx, count(*) AS c FROM f GROUP BY sfx))
+      / (CAST(nn.n AS DOUBLE) * (nn.n - 1)) AS u_sfx
+  FROM nn
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         a.seg = b.seg AS agree_seg, a.bal = b.bal AS agree_bal,
+         a.sfx = b.sfx AS agree_sfx
+  FROM f a JOIN f b ON a.blk = b.blk AND a.id < b.id
+)
+SELECT id_a, id_b, agree_seg, agree_bal, agree_sfx,
+       round(
+         (CASE WHEN agree_seg THEN ln(0.9 / u.u_seg) ELSE ln((1 - 0.9) / (1 - u.u_seg)) END)
+       + (CASE WHEN agree_bal THEN ln(0.8 / u.u_bal) ELSE ln((1 - 0.8) / (1 - u.u_bal)) END)
+       + (CASE WHEN agree_sfx THEN ln(0.95 / u.u_sfx) ELSE ln((1 - 0.95) / (1 - u.u_sfx)) END), 4) AS score
+FROM pairs, u
+ORDER BY score DESC, id_a, id_b LIMIT 100
+"""
+
+
+def q_profile_table(spark, sf):
+    """One-pass table profiling (the data-quality monitor a 100 TB feed
+    runs before anything trusts it): per-column row/null/distinct counts
+    and min/max, ALL columns in ONE scan + ONE aggregate (the per-column
+    stats are parallel aggregate expressions, then a literal struct-array
+    explode pivots the single row to per-column rows — no per-column
+    scans, no shuffle beyond the one agg). Timestamps profiled as exact
+    epoch microseconds; numerics as doubles; varchars as strings."""
+    li = _t(spark, sf, "lineitem").withColumn(
+        "ship_us",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', l_shipdate)"
+        ),
+    )
+    agg = li.agg(
+        F.count(F.lit(1)).alias('n'),
+        (F.count(F.lit(1)) - F.count('l_orderkey')).alias('nn_l_orderkey'),
+        F.countDistinct('l_orderkey').alias('nd_l_orderkey'),
+        F.min('l_orderkey').cast('double').alias('mn_l_orderkey'),
+        F.max('l_orderkey').cast('double').alias('mx_l_orderkey'),
+        (F.count(F.lit(1)) - F.count('l_partkey')).alias('nn_l_partkey'),
+        F.countDistinct('l_partkey').alias('nd_l_partkey'),
+        F.min('l_partkey').cast('double').alias('mn_l_partkey'),
+        F.max('l_partkey').cast('double').alias('mx_l_partkey'),
+        (F.count(F.lit(1)) - F.count('l_suppkey')).alias('nn_l_suppkey'),
+        F.countDistinct('l_suppkey').alias('nd_l_suppkey'),
+        F.min('l_suppkey').cast('double').alias('mn_l_suppkey'),
+        F.max('l_suppkey').cast('double').alias('mx_l_suppkey'),
+        (F.count(F.lit(1)) - F.count('l_linenumber')).alias('nn_l_linenumber'),
+        F.countDistinct('l_linenumber').alias('nd_l_linenumber'),
+        F.min('l_linenumber').cast('double').alias('mn_l_linenumber'),
+        F.max('l_linenumber').cast('double').alias('mx_l_linenumber'),
+        (F.count(F.lit(1)) - F.count('l_quantity')).alias('nn_l_quantity'),
+        F.countDistinct('l_quantity').alias('nd_l_quantity'),
+        F.min('l_quantity').cast('double').alias('mn_l_quantity'),
+        F.max('l_quantity').cast('double').alias('mx_l_quantity'),
+        (F.count(F.lit(1)) - F.count('l_extendedprice')).alias('nn_l_extendedprice'),
+        F.countDistinct('l_extendedprice').alias('nd_l_extendedprice'),
+        F.min('l_extendedprice').cast('double').alias('mn_l_extendedprice'),
+        F.max('l_extendedprice').cast('double').alias('mx_l_extendedprice'),
+        (F.count(F.lit(1)) - F.count('l_discount')).alias('nn_l_discount'),
+        F.countDistinct('l_discount').alias('nd_l_discount'),
+        F.min('l_discount').cast('double').alias('mn_l_discount'),
+        F.max('l_discount').cast('double').alias('mx_l_discount'),
+        (F.count(F.lit(1)) - F.count('l_tax')).alias('nn_l_tax'),
+        F.countDistinct('l_tax').alias('nd_l_tax'),
+        F.min('l_tax').cast('double').alias('mn_l_tax'),
+        F.max('l_tax').cast('double').alias('mx_l_tax'),
+        (F.count(F.lit(1)) - F.count('l_returnflag')).alias('nn_l_returnflag'),
+        F.countDistinct('l_returnflag').alias('nd_l_returnflag'),
+        F.min('l_returnflag').alias('mn_l_returnflag'),
+        F.max('l_returnflag').alias('mx_l_returnflag'),
+        (F.count(F.lit(1)) - F.count('l_linestatus')).alias('nn_l_linestatus'),
+        F.countDistinct('l_linestatus').alias('nd_l_linestatus'),
+        F.min('l_linestatus').alias('mn_l_linestatus'),
+        F.max('l_linestatus').alias('mx_l_linestatus'),
+        (F.count(F.lit(1)) - F.count('ship_us')).alias('nn_l_shipdate'),
+        F.countDistinct('ship_us').alias('nd_l_shipdate'),
+        F.min('ship_us').cast('double').alias('mn_l_shipdate'),
+        F.max('ship_us').cast('double').alias('mx_l_shipdate'),
+    )
+    return (
+        agg.select(F.explode(F.array(
+            F.struct(F.lit('l_orderkey').alias('col_name'), F.col('n').alias('n'), F.col('nn_l_orderkey').alias('n_null'), F.col('nd_l_orderkey').alias('n_distinct'), F.col('mn_l_orderkey').alias('min_num'), F.col('mx_l_orderkey').alias('max_num'), F.lit(None).cast('string').alias('min_str'), F.lit(None).cast('string').alias('max_str')),
+            F.struct(F.lit('l_partkey').alias('col_name'), F.col('n').alias('n'), F.col('nn_l_partkey').alias('n_null'), F.col('nd_l_partkey').alias('n_distinct'), F.col('mn_l_partkey').alias('min_num'), F.col('mx_l_partkey').alias('max_num'), F.lit(None).cast('string').alias('min_str'), F.lit(None).cast('string').alias('max_str')),
+            F.struct(F.lit('l_suppkey').alias('col_name'), F.col('n').alias('n'), F.col('nn_l_suppkey').alias('n_null'), F.col('nd_l_suppkey').alias('n_distinct'), F.col('mn_l_suppkey').alias('min_num'), F.col('mx_l_suppkey').alias('max_num'), F.lit(None).cast('string').alias('min_str'), F.lit(None).cast('string').alias('max_str')),
+            F.struct(F.lit('l_linenumber').alias('col_name'), F.col('n').alias('n'), F.col('nn_l_linenumber').alias('n_null'), F.col('nd_l_linenumber').alias('n_distinct'), F.col('mn_l_linenumber').alias('min_num'), F.col('mx_l_linenumber').alias('max_num'), F.lit(None).cast('string').alias('min_str'), F.lit(None).cast('string').alias('max_str')),
+            F.struct(F.lit('l_quantity').alias('col_name'), F.col('n').alias('n'), F.col('nn_l_quantity').alias('n_null'), F.col('nd_l_quantity').alias('n_distinct'), F.col('mn_l_quantity').alias('min_num'), F.col('mx_l_quantity').alias('max_num'), F.lit(None).cast('string').alias('min_str'), F.lit(None).cast('string').alias('max_str')),
+            F.struct(F.lit('l_extendedprice').alias('col_name'), F.col('n').alias('n'), F.col('nn_l_extendedprice').alias('n_null'), F.col('nd_l_extendedprice').alias('n_distinct'), F.col('mn_l_extendedprice').alias('min_num'), F.col('mx_l_extendedprice').alias('max_num'), F.lit(None).cast('string').alias('min_str'), F.lit(None).cast('string').alias('max_str')),
+            F.struct(F.lit('l_discount').alias('col_name'), F.col('n').alias('n'), F.col('nn_l_discount').alias('n_null'), F.col('nd_l_discount').alias('n_distinct'), F.col('mn_l_discount').alias('min_num'), F.col('mx_l_discount').alias('max_num'), F.lit(None).cast('string').alias('min_str'), F.lit(None).cast('string').alias('max_str')),
+            F.struct(F.lit('l_tax').alias('col_name'), F.col('n').alias('n'), F.col('nn_l_tax').alias('n_null'), F.col('nd_l_tax').alias('n_distinct'), F.col('mn_l_tax').alias('min_num'), F.col('mx_l_tax').alias('max_num'), F.lit(None).cast('string').alias('min_str'), F.lit(None).cast('string').alias('max_str')),
+            F.struct(F.lit('l_returnflag').alias('col_name'), F.col('n').alias('n'), F.col('nn_l_returnflag').alias('n_null'), F.col('nd_l_returnflag').alias('n_distinct'), F.lit(None).cast('double').alias('min_num'), F.lit(None).cast('double').alias('max_num'), F.col('mn_l_returnflag').alias('min_str'), F.col('mx_l_returnflag').alias('max_str')),
+            F.struct(F.lit('l_linestatus').alias('col_name'), F.col('n').alias('n'), F.col('nn_l_linestatus').alias('n_null'), F.col('nd_l_linestatus').alias('n_distinct'), F.lit(None).cast('double').alias('min_num'), F.lit(None).cast('double').alias('max_num'), F.col('mn_l_linestatus').alias('min_str'), F.col('mx_l_linestatus').alias('max_str')),
+            F.struct(F.lit('l_shipdate').alias('col_name'), F.col('n').alias('n'), F.col('nn_l_shipdate').alias('n_null'), F.col('nd_l_shipdate').alias('n_distinct'), F.col('mn_l_shipdate').alias('min_num'), F.col('mx_l_shipdate').alias('max_num'), F.lit(None).cast('string').alias('min_str'), F.lit(None).cast('string').alias('max_str')),
+        )).alias("s"))
+        .select("s.*")
+        .orderBy("col_name")
+    )
+
+
+SQL_PROFILE_TABLE = """
+SELECT * FROM (
+SELECT 'l_orderkey' AS col_name, count(*) AS n, count(*) - count(l_orderkey) AS n_null,
+       count(DISTINCT l_orderkey) AS n_distinct, CAST(min(l_orderkey) AS DOUBLE) AS min_num,
+       CAST(max(l_orderkey) AS DOUBLE) AS max_num, CAST(NULL AS VARCHAR) AS min_str,
+       CAST(NULL AS VARCHAR) AS max_str FROM lineitem
+UNION ALL
+SELECT 'l_partkey' AS col_name, count(*) AS n, count(*) - count(l_partkey) AS n_null,
+       count(DISTINCT l_partkey) AS n_distinct, CAST(min(l_partkey) AS DOUBLE) AS min_num,
+       CAST(max(l_partkey) AS DOUBLE) AS max_num, CAST(NULL AS VARCHAR) AS min_str,
+       CAST(NULL AS VARCHAR) AS max_str FROM lineitem
+UNION ALL
+SELECT 'l_suppkey' AS col_name, count(*) AS n, count(*) - count(l_suppkey) AS n_null,
+       count(DISTINCT l_suppkey) AS n_distinct, CAST(min(l_suppkey) AS DOUBLE) AS min_num,
+       CAST(max(l_suppkey) AS DOUBLE) AS max_num, CAST(NULL AS VARCHAR) AS min_str,
+       CAST(NULL AS VARCHAR) AS max_str FROM lineitem
+UNION ALL
+SELECT 'l_linenumber' AS col_name, count(*) AS n, count(*) - count(l_linenumber) AS n_null,
+       count(DISTINCT l_linenumber) AS n_distinct, CAST(min(l_linenumber) AS DOUBLE) AS min_num,
+       CAST(max(l_linenumber) AS DOUBLE) AS max_num, CAST(NULL AS VARCHAR) AS min_str,
+       CAST(NULL AS VARCHAR) AS max_str FROM lineitem
+UNION ALL
+SELECT 'l_quantity' AS col_name, count(*) AS n, count(*) - count(l_quantity) AS n_null,
+       count(DISTINCT l_quantity) AS n_distinct, CAST(min(l_quantity) AS DOUBLE) AS min_num,
+       CAST(max(l_quantity) AS DOUBLE) AS max_num, CAST(NULL AS VARCHAR) AS min_str,
+       CAST(NULL AS VARCHAR) AS max_str FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice' AS col_name, count(*) AS n, count(*) - count(l_extendedprice) AS n_null,
+       count(DISTINCT l_extendedprice) AS n_distinct, CAST(min(l_extendedprice) AS DOUBLE) AS min_num,
+       CAST(max(l_extendedprice) AS DOUBLE) AS max_num, CAST(NULL AS VARCHAR) AS min_str,
+       CAST(NULL AS VARCHAR) AS max_str FROM lineitem
+UNION ALL
+SELECT 'l_discount' AS col_name, count(*) AS n, count(*) - count(l_discount) AS n_null,
+       count(DISTINCT l_discount) AS n_distinct, CAST(min(l_discount) AS DOUBLE) AS min_num,
+       CAST(max(l_discount) AS DOUBLE) AS max_num, CAST(NULL AS VARCHAR) AS min_str,
+       CAST(NULL AS VARCHAR) AS max_str FROM lineitem
+UNION ALL
+SELECT 'l_tax' AS col_name, count(*) AS n, count(*) - count(l_tax) AS n_null,
+       count(DISTINCT l_tax) AS n_distinct, CAST(min(l_tax) AS DOUBLE) AS min_num,
+       CAST(max(l_tax) AS DOUBLE) AS max_num, CAST(NULL AS VARCHAR) AS min_str,
+       CAST(NULL AS VARCHAR) AS max_str FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag), count(DISTINCT l_returnflag),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min(l_returnflag), max(l_returnflag) FROM lineitem
+UNION ALL
+SELECT 'l_linestatus', count(*), count(*) - count(l_linestatus), count(DISTINCT l_linestatus),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min(l_linestatus), max(l_linestatus) FROM lineitem
+UNION ALL
+SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
+       count(DISTINCT l_shipdate), CAST(min(epoch_ns(l_shipdate) // 1000) AS DOUBLE),
+       CAST(max(epoch_ns(l_shipdate) // 1000) AS DOUBLE),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM lineitem
+) ORDER BY col_name
+"""
+
+
 def q_quality_logreg(spark, sf):
     """Quality-classifier training as a pipeline step (operators/mlfit.py::
     logistic_fit — the GPT-3/CCNet quality-filter shape): batch-GD logistic
@@ -7874,9 +8070,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- quality_calibration, mad_outliers), and the 7 early-r8 gates
     # --- (zorder_cluster .. raster_resample_cubic); then the 3
     # --- r5-deferred entries (hash_sample, stratified_sample,
-    # --- multimodal_frames) and 20 of the 43 r5-vintage entries,
-    # --- stalest-first in their r8 order. The 23 remaining r5-vintage
-    # --- entries sit at slots 51-73 for r10 and stay hash-checked every
+    # --- multimodal_frames) and 18 of the 43 r5-vintage entries,
+    # --- stalest-first in their r8 order. The 25 remaining r5-vintage
+    # --- entries sit at slots 51-75 for r10 and stay hash-checked every
     # --- CI run by tests/test_past_window_mirror.py +
     # --- scripts/check_correctness.py, as do all later slots.
     "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
@@ -7892,6 +8088,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "trending_terms": (q_trending_terms, SQL_TRENDING_TERMS),
     "forecast_backtest": (q_forecast_backtest, SQL_FORECAST_BACKTEST),
     "binary_topk": (q_binary_topk, SQL_BINARY_TOPK),
+    "linkage_score": (q_linkage_score, SQL_LINKAGE_SCORE),
+    "profile_table": (q_profile_table, SQL_PROFILE_TABLE),
     "kcenter_coreset": (q_kcenter_coreset, SQL_KCENTER_CORESET),
     "quality_logreg": (q_quality_logreg, SQL_QUALITY_LOGREG),
     "cms_frequency": (q_cms_frequency, SQL_CMS_FREQUENCY),
@@ -7927,8 +8125,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "multimodal_audio": (q_multimodal_audio, SQL_MULTIMODAL_AUDIO),
     "raster_masked_mosaic": (q_raster_masked_mosaic, SQL_RASTER_MASKED_MOSAIC),
     "raster_where": (q_raster_where, SQL_RASTER_WHERE),
-    "raster_climatology": (q_raster_climatology, SQL_RASTER_CLIMATOLOGY),
     "raster_temporal_diff": (q_raster_temporal_diff, SQL_RASTER_TEMPORAL_DIFF),
+    "raster_climatology": (q_raster_climatology, SQL_RASTER_CLIMATOLOGY),
     "raster_gradient": (q_raster_gradient, SQL_RASTER_GRADIENT),
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "ann_recall": (q_ann_recall, SQL_ANN_RECALL),

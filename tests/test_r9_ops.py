@@ -359,3 +359,76 @@ def test_hamming_topk_recovers_exact_neighbor(spark):
     worst = [r for r in got if r["neighbor_id"] == 2]
     if worst:
         assert worst[0]["sim"] == -1.0
+
+
+# ------------------------------------------------------ record linkage
+
+
+def test_linkage_score_hand_replay(spark):
+    import math
+
+    from stackstac_spark.operators.linkage import (
+        field_u_probabilities,
+        linkage_score,
+    )
+
+    rows = [
+        (1, "x", "A", 10),
+        (2, "x", "A", 10),  # agrees with 1 on both fields
+        (3, "x", "B", 10),  # agrees with 1 on f2 only
+        (4, "y", "A", 10),  # other block: never paired with 1-3
+        (5, "y", "B", 20),
+    ]
+    df = spark.createDataFrame(rows, "id INT, blk STRING, f1 STRING, f2 INT")
+    u = field_u_probabilities(df, ["f1", "f2"])
+    # f1: A:3,B:2 -> (6+2)/20 = 0.4 ; f2: 10:4,20:1 -> 12/20 = 0.6
+    assert u == {"f1": 0.4, "f2": 0.6}
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in linkage_score(
+            df, "id", ["blk"], {"f1": 0.9, "f2": 0.8}
+        ).collect()
+    }
+    assert set(got) == {(1, 2), (1, 3), (2, 3), (4, 5)}
+    w1a, w1d = math.log(0.9 / 0.4), math.log(0.1 / 0.6)
+    w2a, w2d = math.log(0.8 / 0.6), math.log(0.2 / 0.4)
+    assert got[(1, 2)]["score"] == round(w1a + w2a, 4)
+    assert got[(1, 3)]["score"] == round(w1d + w2a, 4)
+    assert got[(4, 5)]["score"] == round(w1d + w2d, 4)
+    assert got[(1, 2)]["agree_f1"] and not got[(1, 3)]["agree_f1"]
+
+
+def test_linkage_rejects_degenerate_field(spark):
+    from stackstac_spark.operators.linkage import linkage_score
+
+    df = spark.createDataFrame(
+        [(1, "x", "same"), (2, "x", "same")], "id INT, blk STRING, f STRING"
+    )
+    with pytest.raises(ValueError, match="degenerate"):
+        linkage_score(df, "id", ["blk"], {"f": 0.9})
+
+
+# ------------------------------------------------------- table profiling
+
+
+def test_profile_table_matches_direct_counts(spark):
+    mod = _entry()
+    rows = {
+        r["col_name"]: r
+        for r in mod.queries()["profile_table"](spark, "/root/testdata/sf0.001").collect()
+    }
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    n = li.count()
+    assert rows["l_orderkey"]["n"] == n and rows["l_orderkey"]["n_null"] == 0
+    from pyspark.sql import functions as F
+
+    direct = li.agg(
+        F.countDistinct("l_returnflag").alias("d"),
+        F.min("l_discount").alias("mn"),
+        F.max("l_discount").alias("mx"),
+    ).collect()[0]
+    assert rows["l_returnflag"]["n_distinct"] == direct["d"]
+    assert rows["l_discount"]["min_num"] == direct["mn"]
+    assert rows["l_discount"]["max_num"] == direct["mx"]
+    assert rows["l_returnflag"]["min_str"] is not None
+    assert rows["l_shipdate"]["min_num"] is not None
