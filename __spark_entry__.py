@@ -8070,9 +8070,12 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- quality_calibration, mad_outliers), and the 7 early-r8 gates
     # --- (zorder_cluster .. raster_resample_cubic); then the 3
     # --- r5-deferred entries (hash_sample, stratified_sample,
-    # --- multimodal_frames) and 18 of the 43 r5-vintage entries,
-    # --- stalest-first in their r8 order. The 25 remaining r5-vintage
-    # --- entries sit at slots 51-75 for r10 and stay hash-checked every
+    # --- multimodal_frames) and 19 of the 43 r5-vintage entries,
+    # --- stalest-first in their r8 order. The 24 remaining r5-vintage
+    # --- entries sit at slots 51-74 for r10;
+    # --- the rows-only stream_sessions joins bpe_merges/bpe_encode past
+    # --- the window (window slots stay fully oracle-backed per the
+    # --- driver-contract test), pytest-covered end-to-end and stay hash-checked every
     # --- CI run by tests/test_past_window_mirror.py +
     # --- scripts/check_correctness.py, as do all later slots.
     "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
@@ -8083,7 +8086,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "funnel_steps": (q_funnel_steps, SQL_FUNNEL_STEPS),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "bigram_ppl": (q_bigram_ppl, SQL_BIGRAM_PPL),
-    "stream_sessions": (q_stream_sessions, None),
     "markov_transitions": (q_markov_transitions, SQL_MARKOV_TRANSITIONS),
     "trending_terms": (q_trending_terms, SQL_TRENDING_TERMS),
     "forecast_backtest": (q_forecast_backtest, SQL_FORECAST_BACKTEST),
@@ -8150,6 +8152,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "bloom_prefilter": (q_bloom_prefilter, SQL_BLOOM_PREFILTER),
     "pca_power": (q_pca_power, SQL_PCA_POWER),
     "abtt": (q_abtt, SQL_ABTT),
+    "stream_sessions": (q_stream_sessions, None),
     "bpe_merges": (q_bpe_merges, None),
     "bpe_encode": (q_bpe_encode, None),
     "raster_overview_read": (q_raster_overview_read, SQL_RASTER_OVERVIEW_READ),
