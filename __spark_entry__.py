@@ -2962,6 +2962,199 @@ SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
 """
 
 
+def q_benford_digits(spark, sf):
+    """Benford first-digit conformance over the money-like feed columns
+    (the forensic data-quality screen: fabricated or truncated feeds break
+    the log-uniform leading-digit law): observed first-digit distribution
+    of l_extendedprice vs expected log10(1 + 1/d), plus the chi-square
+    statistic per digit row so drift localizes. One scan + one 9-row agg;
+    digit extraction is exact integer/string arithmetic, expected
+    probabilities are closed-form literals identical in both engines."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_extendedprice") > 0)
+    d = F.substring(F.col("l_extendedprice").cast("string"), 1, 1).cast("int")
+    obs = (
+        li.select(d.alias("digit"))
+        .filter(F.col("digit").between(1, 9))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = obs.agg(F.sum("n").alias("total"))
+    exp_p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("p_obs"),
+            F.round(exp_p, 6).alias("p_benford"),
+            F.round(
+                F.pow(F.col("n") - exp_p * F.col("total"), 2)
+                / (exp_p * F.col("total")),
+                4,
+            ).alias("chi2"),
+        )
+        .orderBy("digit")
+    )
+
+
+SQL_BENFORD_DIGITS = """
+WITH obs AS (
+  SELECT CAST(substring(CAST(l_extendedprice AS VARCHAR), 1, 1) AS INT) AS digit,
+         count(*) AS n
+  FROM lineitem WHERE l_extendedprice > 0 GROUP BY 1
+),
+obsf AS (SELECT * FROM obs WHERE digit BETWEEN 1 AND 9),
+tot AS (SELECT sum(n) AS total FROM obsf)
+SELECT digit, n,
+       round(n / CAST(total AS DOUBLE), 6) AS p_obs,
+       round(log10(1.0 + 1.0 / digit), 6) AS p_benford,
+       round(pow(n - log10(1.0 + 1.0 / digit) * total, 2)
+             / (log10(1.0 + 1.0 / digit) * total), 4) AS chi2
+FROM obsf, tot ORDER BY digit
+"""
+
+
+def q_k_anonymity(spark, sf):
+    """k-anonymity audit over quasi-identifiers (the privacy screen a
+    training-data release runs: how many records are re-identifiable
+    because their QI combination is near-unique?): group customers by
+    (nation, segment, balance-decile), report the equivalence-class size
+    histogram and the count of records in classes below k=5. One grouped
+    count + one histogram agg — QI cardinality bounds the state, never
+    the record count."""
+    cust = _t(spark, sf, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_k"),
+    )
+    classes = cust.groupBy("c_nationkey", "c_mktsegment", "bal_k").agg(
+        F.count(F.lit(1)).alias("cls_size")
+    )
+    return (
+        classes.groupBy("cls_size")
+        .agg(F.count(F.lit(1)).alias("n_classes"))
+        .select(
+            "cls_size",
+            "n_classes",
+            (F.col("cls_size") * F.col("n_classes")).alias("n_records"),
+            (F.col("cls_size") < 5).alias("below_k"),
+        )
+        .orderBy("cls_size")
+    )
+
+
+SQL_K_ANONYMITY = """
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_k,
+         count(*) AS cls_size
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT cls_size, count(*) AS n_classes,
+       cls_size * count(*) AS n_records,
+       cls_size < 5 AS below_k
+FROM classes GROUP BY cls_size ORDER BY cls_size
+"""
+
+
+def q_snapshot_diff(spark, sf):
+    """Snapshot diff / CDC between two table versions (the data-versioning
+    primitive: what changed between yesterday's and today's feed?): v1 =
+    orders, v2 = orders with a deterministic synthetic edit pattern
+    (every 7th order's totalprice bumped, every 11th dropped, priority
+    rewritten on every 13th) — FULL OUTER join on the key + md5 row-hash
+    compare classifies added / removed / changed / unchanged, then one
+    bounded summary per status with value checksums. The row-hash means
+    the wide compare ships ONE string per side regardless of column
+    count; the join is key-partitioned (co-partitioned when both
+    snapshots share layout, e.g. zorder_write output)."""
+    v1 = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    v2 = v1.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.round(F.col("o_totalprice") * 1.1, 2)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("RECLASSIFIED"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+    ).unionAll(
+        # inserts: every 17th order re-keyed past the v1 key space
+        v1.filter(F.col("o_orderkey") % 17 == 0).select(
+            (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+            "o_totalprice",
+            "o_orderpriority",
+        )
+    )
+
+    def rh(df):
+        return df.select(
+            "o_orderkey",
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.format_string("%.2f", F.col("o_totalprice")),
+                    F.col("o_orderpriority"),
+                )
+            ).alias("h"),
+        )
+
+    j = rh(v1).withColumnRenamed("h", "h1").join(
+        rh(v2).withColumnRenamed("h", "h2"), "o_orderkey", "full_outer"
+    )
+    status = (
+        F.when(F.col("h1").isNull(), F.lit("added"))
+        .when(F.col("h2").isNull(), F.lit("removed"))
+        .when(F.col("h1") == F.col("h2"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.select(status.alias("status"), "o_orderkey")
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            F.md5(F.concat_ws(",", F.sort_array(F.collect_list("o_orderkey"))))
+            .alias("keys_md5"),
+        )
+        .orderBy("status")
+    )
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH v1 AS (SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders),
+v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN round(o_totalprice * 1.1, 2)
+              ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % 13 = 0 THEN 'RECLASSIFIED'
+              ELSE o_orderpriority END AS o_orderpriority
+  FROM orders WHERE o_orderkey % 11 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 17 = 0
+),
+h1 AS (SELECT o_orderkey, md5(format('{:.2f}', o_totalprice) || '|' || o_orderpriority) AS h FROM v1),
+h2 AS (SELECT o_orderkey, md5(format('{:.2f}', o_totalprice) || '|' || o_orderpriority) AS h FROM v2),
+j AS (
+  SELECT coalesce(h1.o_orderkey, h2.o_orderkey) AS k, h1.h AS ha, h2.h AS hb
+  FROM h1 FULL OUTER JOIN h2 ON h1.o_orderkey = h2.o_orderkey
+),
+st AS (
+  SELECT k, CASE WHEN ha IS NULL THEN 'added' WHEN hb IS NULL THEN 'removed'
+                 WHEN ha = hb THEN 'unchanged' ELSE 'changed' END AS status
+  FROM j
+)
+SELECT status, count(*) AS n, min(k) AS min_key, max(k) AS max_key,
+       md5(string_agg(CAST(k AS VARCHAR), ',' ORDER BY k)) AS keys_md5
+FROM st GROUP BY status ORDER BY status
+"""
+
+
 def q_quality_logreg(spark, sf):
     """Quality-classifier training as a pipeline step (operators/mlfit.py::
     logistic_fit — the GPT-3/CCNet quality-filter shape): batch-GD logistic
@@ -8070,9 +8263,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- quality_calibration, mad_outliers), and the 7 early-r8 gates
     # --- (zorder_cluster .. raster_resample_cubic); then the 3
     # --- r5-deferred entries (hash_sample, stratified_sample,
-    # --- multimodal_frames) and 19 of the 43 r5-vintage entries,
-    # --- stalest-first in their r8 order. The 24 remaining r5-vintage
-    # --- entries sit at slots 51-74 for r10;
+    # --- multimodal_frames) and 16 of the 43 r5-vintage entries,
+    # --- stalest-first in their r8 order. The 27 remaining r5-vintage
+    # --- entries sit at slots 51-77 for r10;
     # --- the rows-only stream_sessions joins bpe_merges/bpe_encode past
     # --- the window (window slots stay fully oracle-backed per the
     # --- driver-contract test), pytest-covered end-to-end and stay hash-checked every
@@ -8092,6 +8285,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "binary_topk": (q_binary_topk, SQL_BINARY_TOPK),
     "linkage_score": (q_linkage_score, SQL_LINKAGE_SCORE),
     "profile_table": (q_profile_table, SQL_PROFILE_TABLE),
+    "benford_digits": (q_benford_digits, SQL_BENFORD_DIGITS),
+    "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
+    "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "kcenter_coreset": (q_kcenter_coreset, SQL_KCENTER_CORESET),
     "quality_logreg": (q_quality_logreg, SQL_QUALITY_LOGREG),
     "cms_frequency": (q_cms_frequency, SQL_CMS_FREQUENCY),
@@ -8125,9 +8321,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "raster_zonal": (q_raster_zonal, SQL_RASTER_ZONAL),
     "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
     "multimodal_audio": (q_multimodal_audio, SQL_MULTIMODAL_AUDIO),
-    "raster_masked_mosaic": (q_raster_masked_mosaic, SQL_RASTER_MASKED_MOSAIC),
-    "raster_where": (q_raster_where, SQL_RASTER_WHERE),
     "raster_temporal_diff": (q_raster_temporal_diff, SQL_RASTER_TEMPORAL_DIFF),
+    "raster_where": (q_raster_where, SQL_RASTER_WHERE),
+    "raster_masked_mosaic": (q_raster_masked_mosaic, SQL_RASTER_MASKED_MOSAIC),
     "raster_climatology": (q_raster_climatology, SQL_RASTER_CLIMATOLOGY),
     "raster_gradient": (q_raster_gradient, SQL_RASTER_GRADIENT),
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),

@@ -432,3 +432,45 @@ def test_profile_table_matches_direct_counts(spark):
     assert rows["l_discount"]["max_num"] == direct["mx"]
     assert rows["l_returnflag"]["min_str"] is not None
     assert rows["l_shipdate"]["min_num"] is not None
+
+
+# --------------------------------------------- wave-6 data-quality gates
+
+
+def test_benford_probabilities_sum(spark):
+    mod = _entry()
+    rows = mod.queries()["benford_digits"](spark, "/root/testdata/sf0.001").collect()
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    import math
+
+    assert abs(sum(r["p_obs"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r["p_benford"] == round(math.log10(1 + 1 / r["digit"]), 6)
+        assert r["chi2"] >= 0
+
+
+def test_k_anonymity_accounting(spark):
+    mod = _entry()
+    rows = mod.queries()["k_anonymity"](spark, "/root/testdata/sf0.001").collect()
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    assert sum(r["n_records"] for r in rows) == cust.count()
+    for r in rows:
+        assert r["n_records"] == r["cls_size"] * r["n_classes"]
+        assert r["below_k"] == (r["cls_size"] < 5)
+
+
+def test_snapshot_diff_closed_form(spark):
+    mod = _entry()
+    rows = {r["status"]: r for r in mod.queries()["snapshot_diff"](spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows) == {"added", "removed", "changed", "unchanged"}
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    keys = [r["o_orderkey"] for r in orders.select("o_orderkey").collect()]
+    removed = {k for k in keys if k % 11 == 0}
+    added = {k for k in keys if k % 17 == 0}
+    kept = [k for k in keys if k % 11 != 0]
+    changed = {k for k in kept if k % 7 == 0 or k % 13 == 0}
+    assert rows["removed"]["n"] == len(removed)
+    assert rows["added"]["n"] == len(added)
+    assert rows["changed"]["n"] == len(changed)
+    assert rows["unchanged"]["n"] == len(kept) - len(changed)
+    assert rows["added"]["min_key"] >= 10000000
