@@ -2768,12 +2768,14 @@ WHERE rank <= 5 ORDER BY query_id, rank
 
 def q_linkage_score(spark, sf):
     """Probabilistic record linkage (operators/linkage.py — Fellegi &
-    Sunter 1969): customers blocked on nation, scored on segment /
-    balance-bucket / name-suffix agreement with ln(m/u) weights where u is
-    the EXACT data-estimated random-pair collision probability (an integer
+    Sunter 1969): customers blocked on (nation, name-suffix) — the tight
+    compound block that keeps the pair stream linear-ish; loosening it to
+    nation alone multiplies pairs ~120x, which is exactly the O(N^2) knob
+    FS practice controls with blocking passes — and scored on segment /
+    balance-bucket agreement with ln(m/u) weights where u is the EXACT
+    data-estimated random-pair collision probability (an integer
     computation both engines replay bit-for-bit). The structured-records
-    relative of the text dedup family; blocking is the only thing between
-    this and O(N^2). Top-100 pairs by (score desc, ids)."""
+    relative of the text dedup family. Top-100 pairs by (score desc, ids)."""
     from stackstac_spark.operators.linkage import linkage_score
 
     cust = _t(spark, sf, "customer").select(
@@ -2786,8 +2788,8 @@ def q_linkage_score(spark, sf):
     scored = linkage_score(
         cust,
         id_col="c_custkey",
-        block_cols=["c_nationkey"],
-        field_m={"seg": 0.9, "bal": 0.8, "sfx": 0.95},
+        block_cols=["c_nationkey", "sfx"],
+        field_m={"seg": 0.9, "bal": 0.8},
     )
     return scored.orderBy(F.desc("score"), "id_a", "id_b").limit(100)
 
@@ -2805,22 +2807,18 @@ u AS (
     (SELECT sum(c * (c - 1)) FROM (SELECT seg, count(*) AS c FROM f GROUP BY seg))
       / (CAST(nn.n AS DOUBLE) * (nn.n - 1)) AS u_seg,
     (SELECT sum(c * (c - 1)) FROM (SELECT bal, count(*) AS c FROM f GROUP BY bal))
-      / (CAST(nn.n AS DOUBLE) * (nn.n - 1)) AS u_bal,
-    (SELECT sum(c * (c - 1)) FROM (SELECT sfx, count(*) AS c FROM f GROUP BY sfx))
-      / (CAST(nn.n AS DOUBLE) * (nn.n - 1)) AS u_sfx
+      / (CAST(nn.n AS DOUBLE) * (nn.n - 1)) AS u_bal
   FROM nn
 ),
 pairs AS (
   SELECT a.id AS id_a, b.id AS id_b,
-         a.seg = b.seg AS agree_seg, a.bal = b.bal AS agree_bal,
-         a.sfx = b.sfx AS agree_sfx
-  FROM f a JOIN f b ON a.blk = b.blk AND a.id < b.id
+         a.seg = b.seg AS agree_seg, a.bal = b.bal AS agree_bal
+  FROM f a JOIN f b ON a.blk = b.blk AND a.sfx = b.sfx AND a.id < b.id
 )
-SELECT id_a, id_b, agree_seg, agree_bal, agree_sfx,
+SELECT id_a, id_b, agree_seg, agree_bal,
        round(
          (CASE WHEN agree_seg THEN ln(0.9 / u.u_seg) ELSE ln((1 - 0.9) / (1 - u.u_seg)) END)
-       + (CASE WHEN agree_bal THEN ln(0.8 / u.u_bal) ELSE ln((1 - 0.8) / (1 - u.u_bal)) END)
-       + (CASE WHEN agree_sfx THEN ln(0.95 / u.u_sfx) ELSE ln((1 - 0.95) / (1 - u.u_sfx)) END), 4) AS score
+       + (CASE WHEN agree_bal THEN ln(0.8 / u.u_bal) ELSE ln((1 - 0.8) / (1 - u.u_bal)) END), 4) AS score
 FROM pairs, u
 ORDER BY score DESC, id_a, id_b LIMIT 100
 """
