@@ -3153,6 +3153,101 @@ FROM st GROUP BY status ORDER BY status
 """
 
 
+def q_kmv_set_ops(spark, sf):
+    """KMV sketch set operations (operators/sketch.py::kmv_set_ops, Beyer
+    2007 §4): union / intersection / Jaccard estimates between every pair
+    of event types' user sets from two 64-hash summaries — the mergeable-
+    sketch answer to "overlap between two multi-TB key sets" with no join
+    of the raw sets. True Jaccard computed alongside from the (tiny here)
+    exact sets, so the gate value-checks estimate AND ground truth;
+    md5-determinism makes the APPROXIMATE numbers replay exactly."""
+    from stackstac_spark.operators.sketch import kmv_set_ops
+
+    ev = _t(spark, sf, "events").select("event_type", "user_id")
+    est = kmv_set_ops(ev, "user_id", "event_type", k=64)
+    su = ev.filter(F.col("user_id").isNotNull()).distinct()
+    sizes = su.groupBy("event_type").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        su.withColumnRenamed("event_type", "g_a")
+        .join(su.withColumnRenamed("event_type", "g_b"), "user_id")
+        .filter(F.col("g_a") < F.col("g_b"))
+        .groupBy("g_a", "g_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    exact = (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("event_type", "g_a").withColumnRenamed("sz", "sz_a")),
+            "g_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("event_type", "g_b").withColumnRenamed("sz", "sz_b")),
+            "g_b",
+        )
+        .select(
+            "g_a",
+            "g_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+                6,
+            ).alias("true_jaccard"),
+        )
+    )
+    return est.join(exact, ["g_a", "g_b"]).orderBy("g_a", "g_b")
+
+
+SQL_KMV_SET_OPS = """
+WITH su AS (SELECT DISTINCT event_type AS g, user_id FROM events WHERE user_id IS NOT NULL),
+h AS (
+  SELECT g, (((('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT) + 0.5)
+             / 1152921504606846976.0) AS hv
+  FROM su
+),
+ranked AS (SELECT g, hv, row_number() OVER (PARTITION BY g ORDER BY hv) AS r FROM h),
+sk AS (SELECT g, hv FROM ranked WHERE r <= 64),
+pairs AS (SELECT DISTINCT a.g AS g_a, b.g AS g_b FROM sk a, sk b WHERE a.g < b.g),
+merged AS (
+  SELECT p.g_a, p.g_b, s.hv FROM pairs p JOIN sk s ON s.g = p.g_a
+  UNION ALL
+  SELECT p.g_a, p.g_b, s.hv FROM pairs p JOIN sk s ON s.g = p.g_b
+),
+uni AS (
+  SELECT g_a, g_b, hv, count(*) AS sides FROM merged GROUP BY 1, 2, 3
+),
+unionk AS (
+  SELECT *, row_number() OVER (PARTITION BY g_a, g_b ORDER BY hv) AS r FROM uni
+),
+agg AS (
+  SELECT g_a, g_b, max(hv) AS hk, count(*) AS n_kept,
+         sum(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS k_inter
+  FROM unionk WHERE r <= 64 GROUP BY 1, 2
+),
+est AS (
+  SELECT g_a, g_b,
+         CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE) ELSE 63 / hk END AS eu,
+         k_inter / CAST(n_kept AS DOUBLE) AS ej, k_inter, n_kept
+  FROM agg
+),
+sizes AS (SELECT g, count(*) AS sz FROM su GROUP BY g),
+inter AS (
+  SELECT a.g AS g_a, b.g AS g_b, count(*) AS n_inter
+  FROM su a JOIN su b ON a.user_id = b.user_id AND a.g < b.g
+  GROUP BY 1, 2
+)
+SELECT e.g_a, e.g_b, round(e.eu, 4) AS est_union,
+       round(e.ej, 6) AS est_jaccard,
+       round(e.eu * e.ej, 4) AS est_intersection,
+       CAST(e.k_inter AS BIGINT) AS k_inter,
+       (e.n_kept < 64) AS exact,
+       round(i.n_inter / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE), 6) AS true_jaccard
+FROM est e
+JOIN inter i ON e.g_a = i.g_a AND e.g_b = i.g_b
+JOIN sizes sa ON sa.g = e.g_a
+JOIN sizes sb ON sb.g = e.g_b
+ORDER BY 1, 2
+"""
+
+
 def q_quality_logreg(spark, sf):
     """Quality-classifier training as a pipeline step (operators/mlfit.py::
     logistic_fit — the GPT-3/CCNet quality-filter shape): batch-GD logistic
@@ -8261,9 +8356,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- quality_calibration, mad_outliers), and the 7 early-r8 gates
     # --- (zorder_cluster .. raster_resample_cubic); then the 3
     # --- r5-deferred entries (hash_sample, stratified_sample,
-    # --- multimodal_frames) and 16 of the 43 r5-vintage entries,
-    # --- stalest-first in their r8 order. The 27 remaining r5-vintage
-    # --- entries sit at slots 51-77 for r10;
+    # --- multimodal_frames) and 15 of the 43 r5-vintage entries,
+    # --- stalest-first in their r8 order. The 28 remaining r5-vintage
+    # --- entries sit at slots 51-78 for r10;
     # --- the rows-only stream_sessions joins bpe_merges/bpe_encode past
     # --- the window (window slots stay fully oracle-backed per the
     # --- driver-contract test), pytest-covered end-to-end and stay hash-checked every
@@ -8286,6 +8381,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "benford_digits": (q_benford_digits, SQL_BENFORD_DIGITS),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
+    "kmv_set_ops": (q_kmv_set_ops, SQL_KMV_SET_OPS),
     "kcenter_coreset": (q_kcenter_coreset, SQL_KCENTER_CORESET),
     "quality_logreg": (q_quality_logreg, SQL_QUALITY_LOGREG),
     "cms_frequency": (q_cms_frequency, SQL_CMS_FREQUENCY),
@@ -8319,10 +8415,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "raster_zonal": (q_raster_zonal, SQL_RASTER_ZONAL),
     "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
     "multimodal_audio": (q_multimodal_audio, SQL_MULTIMODAL_AUDIO),
+    "raster_climatology": (q_raster_climatology, SQL_RASTER_CLIMATOLOGY),
     "raster_temporal_diff": (q_raster_temporal_diff, SQL_RASTER_TEMPORAL_DIFF),
     "raster_where": (q_raster_where, SQL_RASTER_WHERE),
     "raster_masked_mosaic": (q_raster_masked_mosaic, SQL_RASTER_MASKED_MOSAIC),
-    "raster_climatology": (q_raster_climatology, SQL_RASTER_CLIMATOLOGY),
     "raster_gradient": (q_raster_gradient, SQL_RASTER_GRADIENT),
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "ann_recall": (q_ann_recall, SQL_ANN_RECALL),

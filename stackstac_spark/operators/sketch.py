@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["heavy_hitters", "hll_distinct", "kmv_distinct"]
+__all__ = ["heavy_hitters", "hll_distinct", "kmv_distinct", "kmv_set_ops"]
 
 # 2^55 — the fixed-point scale for HLL register sums (see hll_distinct)
 _HLL_SCALE = 1 << 55
@@ -325,4 +325,90 @@ def cms_estimate(
     return (
         joined.groupBy("key")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
+def kmv_set_ops(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Set-operation estimates between every pair of groups from their KMV
+    sketches (Beyer et al., SIGMOD 2007 §4): build one k-minimum-values
+    sketch per group, then for each group pair combine the two sketches —
+    the k smallest hashes of the UNION are the k smallest of the merged
+    min-k sets, K∩ = how many of those k appear in both sketches, and
+
+        |A∪B| ≈ (k−1)/h_k,   J(A,B) ≈ K∩/k,   |A∩B| ≈ J·|A∪B|
+
+    This is the whole point of mergeable sketches at 100 TB: overlap /
+    Jaccard between two multi-TB key sets (users active in two periods,
+    tokens of two corpus slices) from two k-row summaries, no join of the
+    raw sets. md5-deterministic like :func:`kmv_distinct`, so even the
+    APPROXIMATE estimates replay exactly in an external engine.
+
+    Plan: one distinct-hash pass + per-group window top-k (the sketch
+    build), then the pair combine runs on G·k rows — driver-scale for any
+    real group count. Exact regime: if the union sketch holds fewer than
+    k hashes, the estimates are exact (flagged ``exact``).
+
+    Returns (g_a, g_b, est_union, est_jaccard, est_intersection,
+    k_inter, exact) for g_a < g_b.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    h = (
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10).cast(
+            "double"
+        )
+        + 0.5
+    ) / float(16**15)
+    from pyspark.sql import Window
+
+    hashed = (
+        df.filter(F.col(col).isNotNull())
+        .select(F.col(group_col).alias("g"), h.alias("__h"))
+        .distinct()
+    )
+    w = Window.partitionBy("g").orderBy("__h")
+    sk = (
+        hashed.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .select("g", "__h")
+    )
+    a = sk.select(F.col("g").alias("g_a"), F.col("__h").alias("ha"))
+    b = sk.select(F.col("g").alias("g_b"), F.col("__h").alias("hb"))
+    # union sketch per pair: all hashes from both sides, deduped, k smallest
+    pairs = (
+        a.select("g_a").distinct()
+        .join(b.select("g_b").distinct(), F.col("g_a") < F.col("g_b"))
+    )
+    both = pairs.join(a, "g_a").select("g_a", "g_b", F.col("ha").alias("h")).unionAll(
+        pairs.join(b, "g_b").select("g_a", "g_b", F.col("hb").alias("h"))
+    )
+    wp = Window.partitionBy("g_a", "g_b").orderBy("h")
+    union_k = (
+        both.groupBy("g_a", "g_b", "h")
+        .agg(F.count(F.lit(1)).alias("__sides"))
+        .withColumn("__r", F.row_number().over(wp))
+        .filter(F.col("__r") <= k)
+    )
+    agg = union_k.groupBy("g_a", "g_b").agg(
+        F.max("h").alias("hk"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.when(F.col("__sides") == 2, 1).otherwise(0)).alias("k_inter"),
+    )
+    est_union = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise((k - 1) / F.col("hk"))
+    est_j = F.col("k_inter") / F.col("n_kept")
+    return agg.select(
+        "g_a",
+        "g_b",
+        F.round(est_union, 4).alias("est_union"),
+        F.round(est_j, 6).alias("est_jaccard"),
+        F.round(est_union * est_j, 4).alias("est_intersection"),
+        F.col("k_inter").cast("long").alias("k_inter"),
+        (F.col("n_kept") < k).alias("exact"),
     )

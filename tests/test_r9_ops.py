@@ -474,3 +474,35 @@ def test_snapshot_diff_closed_form(spark):
     assert rows["changed"]["n"] == len(changed)
     assert rows["unchanged"]["n"] == len(kept) - len(changed)
     assert rows["added"]["min_key"] >= 10000000
+
+
+def test_kmv_set_ops_exact_regime(spark):
+    from stackstac_spark.operators.sketch import kmv_set_ops
+
+    # < k distinct per group: estimates must be EXACT
+    rows = [("a", f"u{i}") for i in range(30)] + [("b", f"u{i}") for i in range(20, 50)]
+    df = spark.createDataFrame(rows, "g STRING, v STRING")
+    r = kmv_set_ops(df, "v", "g", k=64).collect()[0]
+    assert r["exact"] is True
+    assert r["est_union"] == 50.0
+    # intersection u20..u29 = 10; jaccard 10/50
+    assert r["est_jaccard"] == round(10 / 50, 6)
+    assert r["est_intersection"] == round(50.0 * (10 / 50), 4)
+    assert r["k_inter"] == 10
+
+
+def test_kmv_set_ops_approximate_regime(spark):
+    from stackstac_spark.operators.sketch import kmv_set_ops
+
+    n = 1000
+    rows = [("a", f"u{i}") for i in range(n)] + [
+        ("b", f"u{i}") for i in range(n // 2, n + n // 2)
+    ]
+    df = spark.createDataFrame(rows, "g STRING, v STRING").repartition(8)
+    r = kmv_set_ops(df, "v", "g", k=128).collect()[0]
+    assert r["exact"] is False
+    # true union 1500, true jaccard 500/1500=0.333; k=128 -> ~9% rel stddev
+    assert abs(r["est_union"] - 1500) / 1500 < 0.35
+    assert abs(r["est_jaccard"] - 1 / 3) < 0.2
+    with pytest.raises(ValueError):
+        kmv_set_ops(df, "v", "g", k=1)
