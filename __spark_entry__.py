@@ -3248,6 +3248,161 @@ ORDER BY 1, 2
 """
 
 
+def q_rolling_median(spark, sf):
+    """Rolling 7-day median per metric stream (the robust trend line the
+    MAD gate's point-in-time screen smooths into): exact median over a
+    ROWS frame. Spark disallows ordered-aggregate window frames, so the
+    frame's values ride a sort_array(collect_list) window (7 doubles of
+    state) and the midpoint/mean-of-midpoints median — identical to
+    DuckDB's windowed quantile_cont median — is taken natively; the
+    window aggregate is value-checked bit-for-bit.
+    One day-bucketed agg + one partitioned window; frame state is 7 rows
+    per stream regardless of event volume."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf)
+    daily = ev.groupBy(
+        "event_type", F.expr("ts_us div 86400000000").alias("day")
+    ).agg(F.sum("value").alias("v"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    arr = F.sort_array(F.collect_list("v").over(w))
+    n = F.size(arr)
+    med = F.when(
+        n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int"))
+    ).otherwise(
+        (
+            F.element_at(arr, (n / 2).cast("int"))
+            + F.element_at(arr, (n / 2).cast("int") + 1)
+        )
+        / 2.0
+    )
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            F.round("v", 6).alias("v"),
+            F.round(med, 6).alias("med7"),
+            F.count(F.lit(1)).over(w).alias("n_win"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+SQL_ROLLING_MEDIAN = f"""
+WITH ev AS ({_DUCK_EV}),
+daily AS (
+  SELECT event_type, ts_us // 86400000000 AS day, sum(value) AS v
+  FROM ev GROUP BY 1, 2
+)
+SELECT event_type, day, round(v, 6) AS v,
+       round(median(v) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS med7,
+       count(*) OVER (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_win
+FROM daily ORDER BY event_type, day
+"""
+
+
+def q_gap_fill(spark, sf):
+    """Calendar gap-fill with linear interpolation (the TimescaleDB
+    time_bucket_gapfill + interpolate() signature op, Spark-native): the
+    purchase stream thinned to a sparse series (only days where the daily
+    total clears a threshold survive), then the full per-stream calendar
+    is regenerated with sequence()+explode and missing days are linearly
+    interpolated between the bracketing observations (leading/trailing
+    gaps carry the nearest observation). Two windows — a backward
+    last-non-null carry and a forward next-non-null carry — do the whole
+    fill natively; no driver loop, state bounded per stream."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf)
+    daily = (
+        ev.groupBy("event_type", F.expr("ts_us div 86400000000").alias("day"))
+        .agg(F.round(F.sum("value"), 6).alias("v"))
+        .filter(F.col("v") > 120.0)  # deterministic thinning -> gaps
+    )
+    cal = (
+        daily.groupBy("event_type")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(d0, d1)")).alias("day"),
+        )
+    )
+    j = cal.join(daily, ["event_type", "day"], "left")
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev_v = F.last("v", ignorenulls=True).over(wb)
+    next_v = F.first("v", ignorenulls=True).over(wf)
+    prev_d = F.last(F.when(F.col("v").isNotNull(), F.col("day")), True).over(wb)
+    next_d = F.first(F.when(F.col("v").isNotNull(), F.col("day")), True).over(wf)
+    interp = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        F.when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(
+            prev_v
+            + (next_v - prev_v)
+            * (F.col("day") - prev_d)
+            / (next_d - prev_d)
+        )
+    )
+    return j.select(
+        "event_type",
+        "day",
+        F.col("v").isNull().alias("filled"),
+        F.round(interp, 6).alias("v_filled"),
+    ).orderBy("event_type", "day")
+
+
+SQL_GAP_FILL = f"""
+WITH ev AS ({_DUCK_EV}),
+daily AS (
+  SELECT event_type, ts_us // 86400000000 AS day, round(sum(value), 6) AS v
+  FROM ev GROUP BY 1, 2 HAVING round(sum(value), 6) > 120.0
+),
+cal AS (
+  SELECT event_type, unnest(generate_series(min(day), max(day))) AS day
+  FROM daily GROUP BY event_type
+),
+j AS (
+  SELECT c.event_type, c.day, d.v
+  FROM cal c LEFT JOIN daily d ON c.event_type = d.event_type AND c.day = d.day
+),
+marked AS (
+  SELECT event_type, day, v,
+         last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         first_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+         first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+  FROM j
+)
+SELECT event_type, day, v IS NULL AS filled,
+       round(CASE WHEN v IS NOT NULL THEN v
+                  WHEN pv IS NULL THEN nv
+                  WHEN nv IS NULL THEN pv
+                  ELSE pv + (nv - pv) * (day - pd) / CAST(nd - pd AS DOUBLE) END, 6) AS v_filled
+FROM marked ORDER BY event_type, day
+"""
+
+
 def q_quality_logreg(spark, sf):
     """Quality-classifier training as a pipeline step (operators/mlfit.py::
     logistic_fit — the GPT-3/CCNet quality-filter shape): batch-GD logistic
@@ -8356,9 +8511,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- quality_calibration, mad_outliers), and the 7 early-r8 gates
     # --- (zorder_cluster .. raster_resample_cubic); then the 3
     # --- r5-deferred entries (hash_sample, stratified_sample,
-    # --- multimodal_frames) and 15 of the 43 r5-vintage entries,
-    # --- stalest-first in their r8 order. The 28 remaining r5-vintage
-    # --- entries sit at slots 51-78 for r10;
+    # --- multimodal_frames) and 13 of the 43 r5-vintage entries,
+    # --- stalest-first in their r8 order. The 30 remaining r5-vintage
+    # --- entries sit at slots 51-80 for r10;
     # --- the rows-only stream_sessions joins bpe_merges/bpe_encode past
     # --- the window (window slots stay fully oracle-backed per the
     # --- driver-contract test), pytest-covered end-to-end and stay hash-checked every
@@ -8382,6 +8537,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "kmv_set_ops": (q_kmv_set_ops, SQL_KMV_SET_OPS),
+    "rolling_median": (q_rolling_median, SQL_ROLLING_MEDIAN),
+    "gap_fill": (q_gap_fill, SQL_GAP_FILL),
     "kcenter_coreset": (q_kcenter_coreset, SQL_KCENTER_CORESET),
     "quality_logreg": (q_quality_logreg, SQL_QUALITY_LOGREG),
     "cms_frequency": (q_cms_frequency, SQL_CMS_FREQUENCY),
@@ -8415,9 +8572,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "raster_zonal": (q_raster_zonal, SQL_RASTER_ZONAL),
     "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
     "multimodal_audio": (q_multimodal_audio, SQL_MULTIMODAL_AUDIO),
-    "raster_climatology": (q_raster_climatology, SQL_RASTER_CLIMATOLOGY),
     "raster_temporal_diff": (q_raster_temporal_diff, SQL_RASTER_TEMPORAL_DIFF),
     "raster_where": (q_raster_where, SQL_RASTER_WHERE),
+    "raster_climatology": (q_raster_climatology, SQL_RASTER_CLIMATOLOGY),
     "raster_masked_mosaic": (q_raster_masked_mosaic, SQL_RASTER_MASKED_MOSAIC),
     "raster_gradient": (q_raster_gradient, SQL_RASTER_GRADIENT),
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),

@@ -506,3 +506,38 @@ def test_kmv_set_ops_approximate_regime(spark):
     assert abs(r["est_jaccard"] - 1 / 3) < 0.2
     with pytest.raises(ValueError):
         kmv_set_ops(df, "v", "g", k=1)
+
+
+def test_rolling_median_window_shape(spark):
+    mod = _entry()
+    rows = mod.queries()["rolling_median"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    from collections import defaultdict
+
+    seen = defaultdict(int)
+    for r in rows:
+        seen[r["event_type"]] += 1
+        assert 1 <= r["n_win"] <= 7
+        if r["n_win"] == 1:
+            assert r["med7"] == r["v"]  # first day: window is itself
+
+
+def test_gap_fill_interpolates_and_preserves(spark):
+    mod = _entry()
+    rows = mod.queries()["gap_fill"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r["event_type"], []).append(r)
+    for g, rs in by_g.items():
+        days = [r["day"] for r in rs]
+        assert days == list(range(min(days), max(days) + 1))  # dense calendar
+        assert rs[0]["filled"] is False and rs[-1]["filled"] is False
+        for i, r in enumerate(rs):
+            assert r["v_filled"] is not None
+            if r["filled"] and 0 < i < len(rs) - 1:
+                # interpolated point lies within its bracketing values
+                prev = next(x for x in reversed(rs[:i]) if not x["filled"])
+                nxt = next(x for x in rs[i + 1:] if not x["filled"])
+                lo, hi = sorted((prev["v_filled"], nxt["v_filled"]))
+                assert lo - 1e-6 <= r["v_filled"] <= hi + 1e-6
