@@ -8504,21 +8504,23 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- r9 rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json). Round 8's driver grading never landed
     # --- (no CORRECTNESS_r08), so slots 1-50 prioritize NEVER-GRADED
-    # --- entries: the 5 new r9 oracle gates (hll_distinct,
-    # --- triangle_count, naive_bayes, acf_daily, pmi_bigrams), the 7
-    # --- late-r8 gates added after the r8 window froze (kcenter_coreset,
-    # --- quality_logreg, cms_frequency, ols_trend, ewma_smooth,
-    # --- quality_calibration, mad_outliers), and the 7 early-r8 gates
-    # --- (zorder_cluster .. raster_resample_cubic); then the 3
-    # --- r5-deferred entries (hash_sample, stratified_sample,
-    # --- multimodal_frames) and 13 of the 43 r5-vintage entries,
-    # --- stalest-first in their r8 order. The 30 remaining r5-vintage
-    # --- entries sit at slots 51-80 for r10;
-    # --- the rows-only stream_sessions joins bpe_merges/bpe_encode past
-    # --- the window (window slots stay fully oracle-backed per the
-    # --- driver-contract test), pytest-covered end-to-end and stay hash-checked every
-    # --- CI run by tests/test_past_window_mirror.py +
-    # --- scripts/check_correctness.py, as do all later slots.
+    # --- entries: the 19 new r9 oracle gates (hll_distinct,
+    # --- triangle_count, naive_bayes, acf_daily, pmi_bigrams,
+    # --- funnel_steps, cohort_retention, bigram_ppl, markov_transitions,
+    # --- trending_terms, forecast_backtest, binary_topk, linkage_score,
+    # --- profile_table, benford_digits, k_anonymity, snapshot_diff,
+    # --- kmv_set_ops, rolling_median, gap_fill — 20 with gap_fill), the
+    # --- 7 late-r8 gates added after the r8 window froze (kcenter_coreset
+    # --- .. mad_outliers) and the 7 early-r8 gates (zorder_cluster ..
+    # --- raster_resample_cubic); then the 3 r5-deferred entries
+    # --- (hash_sample, stratified_sample, multimodal_frames) and the
+    # --- stalest r5-vintage entries fill to 50. The remaining r5-vintage
+    # --- entries sit at slots 51+ for r10 and stay hash-checked every CI
+    # --- run by tests/test_past_window_mirror.py +
+    # --- scripts/check_correctness.py, as do all later slots; the
+    # --- rows-only stream_sessions joins bpe_merges/bpe_encode past the
+    # --- window (window slots stay fully oracle-backed per the
+    # --- driver-contract test), pytest-covered end-to-end.
     "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
     "naive_bayes": (q_naive_bayes, SQL_NAIVE_BAYES),
