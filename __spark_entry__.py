@@ -3403,6 +3403,152 @@ FROM marked ORDER BY event_type, day
 """
 
 
+def q_fuzzy_variants(spark, sf):
+    """Spelling-variant detection via deletion-neighborhood blocking
+    (SymSpell/FastSS): every DICTIONARY word (distinct, length-bounded —
+    the corpus itself is never exploded) emits its 1-deletion variants;
+    words sharing a variant are edit-distance-<=2 candidates, verified
+    with the native levenshtein and kept at distance exactly 1. The
+    candidate count is Σ len(w) over the vocabulary — dictionary-bounded
+    candidate generation is what replaces the O(V²) all-pairs
+    edit-distance join at scale. A deterministic OCR-noise shard (every
+    13th doc drops each word's 2nd character) plants the variants the
+    detector must find; the correction direction is the frequency
+    asymmetry (low-freq variant → high-freq canonical). Top-100 by
+    combined frequency."""
+    docs = _t(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+        ).alias("t"),
+    )
+    noisy = F.when(
+        (F.col("doc_id") % 13 == 0) & (F.length("t") >= 4),
+        F.concat(F.substring("t", 1, 1), F.expr("substring(t, 3)")),
+    ).otherwise(F.col("t"))
+    words = (
+        tok.select(noisy.alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter((F.length("w") >= 4) & (F.length("w") <= 12))
+    )
+    variants = words.select(
+        "w",
+        "freq",
+        F.explode(
+            F.expr(
+                "array_union(array(w), transform(sequence(1, length(w)), "
+                "i -> concat(substring(w, 1, i - 1), substring(w, i + 1, length(w) - i))))"
+            )
+        ).alias("v"),
+    )
+    a = variants.select(F.col("w").alias("w1"), F.col("freq").alias("f1"), "v")
+    b = variants.select(F.col("w").alias("w2"), F.col("freq").alias("f2"), "v")
+    pairs = (
+        a.join(b, "v")
+        .filter(F.col("w1") < F.col("w2"))
+        .select("w1", "w2", "f1", "f2")
+        .distinct()
+        .filter(F.levenshtein("w1", "w2") == 1)
+    )
+    return pairs.select(
+        "w1", "w2", "f1", "f2", (F.col("f1") + F.col("f2")).alias("f_sum")
+    ).orderBy(F.desc("f_sum"), "w1", "w2").limit(100)
+
+
+SQL_FUZZY_VARIANTS = r"""
+WITH tok AS (
+  SELECT doc_id, t.t AS t
+  FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS t(t)
+  WHERE t.t <> ''
+),
+noisy AS (
+  SELECT CASE WHEN doc_id % 13 = 0 AND length(t) >= 4
+              THEN substring(t, 1, 1) || substring(t, 3) ELSE t END AS w
+  FROM tok
+),
+words AS (SELECT w, count(*) AS freq FROM noisy GROUP BY w),
+dict AS (SELECT * FROM words WHERE length(w) BETWEEN 4 AND 12),
+variants AS (
+  SELECT w, freq, unnest(list_distinct(list_append(
+           list_transform(generate_series(1, length(w)),
+             i -> substring(w, 1, i - 1) || substring(w, i + 1, length(w) - i)),
+           w))) AS v
+  FROM dict
+),
+pairs AS (
+  SELECT DISTINCT a.w AS w1, b.w AS w2, a.freq AS f1, b.freq AS f2
+  FROM variants a JOIN variants b ON a.v = b.v AND a.w < b.w
+)
+SELECT w1, w2, f1, f2, f1 + f2 AS f_sum
+FROM pairs WHERE levenshtein(w1, w2) = 1
+ORDER BY f_sum DESC, w1, w2 LIMIT 100
+"""
+
+
+def q_attribution(spark, sf):
+    """Last-touch conversion attribution (the marketing-analytics join:
+    which exposure gets credit for a purchase?): each purchase attributes
+    its value to the user's most recent prior view within 3 days — one
+    user-ordered carry window over the merged event stream (the same
+    physical shape as the as-of join, no self-join), then a day-of-view
+    rollup of attributed conversions/value plus the unattributed bucket
+    (day -1). Window state per user is one (ts, day) tuple."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf).select("user_id", "event_type", "value", "ts_us", "event_id")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_view = F.last(
+        F.when(F.col("event_type") == "view", F.col("ts_us")), True
+    ).over(w)
+    purch = (
+        ev.withColumn("lv", last_view)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(
+                F.col("lv").isNotNull()
+                & (F.col("ts_us") - F.col("lv") <= 3 * 86400000000),
+                F.expr("lv div 86400000000"),
+            )
+            .otherwise(F.lit(-1))
+            .alias("view_day"),
+            "value",
+        )
+    )
+    return (
+        purch.groupBy("view_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 6).alias("attributed_value"),
+        )
+        .orderBy("view_day")
+    )
+
+
+SQL_ATTRIBUTION = f"""
+WITH ev AS ({_DUCK_EV}),
+marked AS (
+  SELECT user_id, event_type, value, ts_us,
+         last_value(CASE WHEN event_type = 'view' THEN ts_us END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lv
+  FROM ev
+),
+purch AS (
+  SELECT CASE WHEN lv IS NOT NULL AND ts_us - lv <= 3 * 86400000000
+              THEN lv // 86400000000 ELSE -1 END AS view_day, value
+  FROM marked WHERE event_type = 'purchase'
+)
+SELECT view_day, count(*) AS n_purchases, round(sum(value), 6) AS attributed_value
+FROM purch GROUP BY view_day ORDER BY view_day
+"""
+
+
 def q_quality_logreg(spark, sf):
     """Quality-classifier training as a pipeline step (operators/mlfit.py::
     logistic_fit — the GPT-3/CCNet quality-filter shape): batch-GD logistic
@@ -8504,12 +8650,13 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- r9 rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json). Round 8's driver grading never landed
     # --- (no CORRECTNESS_r08), so slots 1-50 prioritize NEVER-GRADED
-    # --- entries: the 19 new r9 oracle gates (hll_distinct,
+    # --- entries: the 22 new r9 oracle gates (hll_distinct,
     # --- triangle_count, naive_bayes, acf_daily, pmi_bigrams,
     # --- funnel_steps, cohort_retention, bigram_ppl, markov_transitions,
     # --- trending_terms, forecast_backtest, binary_topk, linkage_score,
     # --- profile_table, benford_digits, k_anonymity, snapshot_diff,
-    # --- kmv_set_ops, rolling_median, gap_fill — 20 with gap_fill), the
+    # --- kmv_set_ops, rolling_median, gap_fill, fuzzy_variants,
+    # --- attribution — 22 total), the
     # --- 7 late-r8 gates added after the r8 window froze (kcenter_coreset
     # --- .. mad_outliers) and the 7 early-r8 gates (zorder_cluster ..
     # --- raster_resample_cubic); then the 3 r5-deferred entries
@@ -8541,6 +8688,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "kmv_set_ops": (q_kmv_set_ops, SQL_KMV_SET_OPS),
     "rolling_median": (q_rolling_median, SQL_ROLLING_MEDIAN),
     "gap_fill": (q_gap_fill, SQL_GAP_FILL),
+    "fuzzy_variants": (q_fuzzy_variants, SQL_FUZZY_VARIANTS),
+    "attribution": (q_attribution, SQL_ATTRIBUTION),
     "kcenter_coreset": (q_kcenter_coreset, SQL_KCENTER_CORESET),
     "quality_logreg": (q_quality_logreg, SQL_QUALITY_LOGREG),
     "cms_frequency": (q_cms_frequency, SQL_CMS_FREQUENCY),

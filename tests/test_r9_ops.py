@@ -541,3 +541,30 @@ def test_gap_fill_interpolates_and_preserves(spark):
                 nxt = next(x for x in rs[i + 1:] if not x["filled"])
                 lo, hi = sorted((prev["v_filled"], nxt["v_filled"]))
                 assert lo - 1e-6 <= r["v_filled"] <= hi + 1e-6
+
+
+def test_fuzzy_variants_finds_planted_typos(spark):
+    mod = _entry()
+    rows = mod.queries()["fuzzy_variants"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        # every surviving pair is exactly one deletion apart
+        assert abs(len(r["w1"]) - len(r["w2"])) <= 1
+        shorter, longer = sorted((r["w1"], r["w2"]), key=len)
+        if len(shorter) != len(longer):
+            # the planted noise drops char 2: longer[0] + longer[2:] == shorter
+            assert longer[0] + longer[2:] == shorter
+        assert r["f_sum"] == r["f1"] + r["f2"]
+
+
+def test_attribution_buckets(spark):
+    mod = _entry()
+    rows = mod.queries()["attribution"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    n_purch = ev.filter(ev.event_type == "purchase").count()
+    assert sum(r["n_purchases"] for r in rows) == n_purch
+    days = [r["view_day"] for r in rows]
+    assert days == sorted(days)
+    for r in rows:
+        assert r["attributed_value"] >= 0 or r["view_day"] == -1
