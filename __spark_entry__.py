@@ -3549,6 +3549,156 @@ FROM purch GROUP BY view_day ORDER BY view_day
 """
 
 
+def q_ab_test(spark, sf):
+    """A/B experiment readout (the analytics every data pipeline feeds):
+    users deterministically bucketed into two arms by md5 parity (the
+    hash_split mechanism — assignment is a pure function of the id, no
+    stored assignment table), per-arm conversion (user's purchase value
+    clears a fixed threshold) and total purchase value, plus the pooled
+    two-proportion z statistic the decision gate reads. Two hash aggregates; the z arithmetic is a
+    4-row driver-free projection."""
+    ev = _events(spark, sf)
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        % 2
+    ).alias("arm")
+    per_user = ev.groupBy(F.col("user_id"), arm).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+        ).alias("purch_value"),
+    ).withColumn(
+        "converted", F.when(F.col("purch_value") > 600.0, 1).otherwise(0)
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+        F.round(F.avg("converted"), 6).alias("conv_rate"),
+        F.round(F.sum("purch_value"), 6).alias("total_value"),
+    )
+    a = arms.filter(F.col("arm") == 0).select(
+        F.col("n_users").alias("na"), F.col("n_converted").alias("ca")
+    )
+    b = arms.filter(F.col("arm") == 1).select(
+        F.col("n_users").alias("nb"), F.col("n_converted").alias("cb")
+    )
+    z = a.crossJoin(b).select(
+        (
+            (F.col("ca") / F.col("na") - F.col("cb") / F.col("nb"))
+            / F.sqrt(
+                ((F.col("ca") + F.col("cb")) / (F.col("na") + F.col("nb")))
+                * (1 - (F.col("ca") + F.col("cb")) / (F.col("na") + F.col("nb")))
+                * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+            )
+        ).alias("zraw")
+    )
+    return (
+        arms.crossJoin(F.broadcast(z))
+        .select(
+            F.col("arm").cast("int").alias("arm"),
+            "n_users",
+            "n_converted",
+            "conv_rate",
+            "total_value",
+            F.round("zraw", 4).alias("z_stat"),
+        )
+        .orderBy("arm")
+    )
+
+
+SQL_AB_TEST = f"""
+WITH ev AS ({_DUCK_EV}),
+per_user AS (
+  SELECT user_id,
+         (('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT) % 2 AS arm,
+         sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) AS purch_value,
+         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) > 600.0
+              THEN 1 ELSE 0 END AS converted
+  FROM ev GROUP BY 1, 2
+),
+arms AS (
+  SELECT arm, count(*) AS n_users, CAST(sum(converted) AS BIGINT) AS n_converted,
+         round(avg(converted), 6) AS conv_rate,
+         round(sum(purch_value), 6) AS total_value
+  FROM per_user GROUP BY arm
+),
+z AS (
+  SELECT ((a.n_converted / CAST(a.n_users AS DOUBLE)) - (b.n_converted / CAST(b.n_users AS DOUBLE)))
+         / sqrt(((a.n_converted + b.n_converted) / CAST(a.n_users + b.n_users AS DOUBLE))
+                * (1 - (a.n_converted + b.n_converted) / CAST(a.n_users + b.n_users AS DOUBLE))
+                * (1.0 / a.n_users + 1.0 / b.n_users)) AS zraw
+  FROM (SELECT * FROM arms WHERE arm = 0) a, (SELECT * FROM arms WHERE arm = 1) b
+)
+SELECT CAST(arm AS INT) AS arm, n_users, n_converted, conv_rate, total_value,
+       round(z.zraw, 4) AS z_stat
+FROM arms, z ORDER BY arm
+"""
+
+
+def q_skew_report(spark, sf):
+    """Join-key skew diagnostics (what decides between a plain shuffle
+    join, AQE skew splitting, and the salted_join operator here): per
+    candidate key column — lineitem.l_partkey, lineitem.l_orderkey,
+    events.user_id, events.event_type — the distinct-key count, max/mean
+    key multiplicity, top-key share, and p99/median multiplicity ratio.
+    Each column is one grouped count + one bounded agg; the report is the
+    input to the partition-strategy decision, computed the same way a
+    100 TB pre-flight would."""
+
+    def keystats(df, col, label):
+        cnt = df.groupBy(F.col(col).alias("k")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        return cnt.agg(
+            F.lit(label).alias("key_col"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("c").alias("n_rows"),
+            F.max("c").alias("max_mult"),
+            F.round(F.avg("c"), 4).alias("mean_mult"),
+            F.round(F.max("c") / F.sum("c"), 6).alias("top_share"),
+            F.round(
+                F.expr("percentile(c, 0.99)") / F.expr("percentile(c, 0.5)"), 4
+            ).alias("p99_over_med"),
+        )
+
+    li = _t(spark, sf, "lineitem")
+    ev = _events(spark, sf)
+    out = (
+        keystats(li, "l_partkey", "lineitem.l_partkey")
+        .unionAll(keystats(li, "l_orderkey", "lineitem.l_orderkey"))
+        .unionAll(keystats(ev, "user_id", "events.user_id"))
+        .unionAll(keystats(ev, "event_type", "events.event_type"))
+    )
+    return out.orderBy("key_col")
+
+
+SQL_SKEW_REPORT = f"""
+WITH ev AS ({_DUCK_EV}),
+s1 AS (SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+s2 AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+s3 AS (SELECT user_id AS k, count(*) AS c FROM ev GROUP BY 1),
+s4 AS (SELECT event_type AS k, count(*) AS c FROM ev GROUP BY 1)
+SELECT * FROM (
+  SELECT 'lineitem.l_partkey' AS key_col, count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+         max(c) AS max_mult, round(avg(c), 4) AS mean_mult,
+         round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_share,
+         round(quantile_cont(c, 0.99) / quantile_cont(c, 0.5), 4) AS p99_over_med
+  FROM s1
+  UNION ALL
+  SELECT 'lineitem.l_orderkey', count(*), CAST(sum(c) AS BIGINT), max(c), round(avg(c), 4),
+         round(max(c) / CAST(sum(c) AS DOUBLE), 6),
+         round(quantile_cont(c, 0.99) / quantile_cont(c, 0.5), 4) FROM s2
+  UNION ALL
+  SELECT 'events.user_id', count(*), CAST(sum(c) AS BIGINT), max(c), round(avg(c), 4),
+         round(max(c) / CAST(sum(c) AS DOUBLE), 6),
+         round(quantile_cont(c, 0.99) / quantile_cont(c, 0.5), 4) FROM s3
+  UNION ALL
+  SELECT 'events.event_type', count(*), CAST(sum(c) AS BIGINT), max(c), round(avg(c), 4),
+         round(max(c) / CAST(sum(c) AS DOUBLE), 6),
+         round(quantile_cont(c, 0.99) / quantile_cont(c, 0.5), 4) FROM s4
+) ORDER BY key_col
+"""
+
+
 def q_quality_logreg(spark, sf):
     """Quality-classifier training as a pipeline step (operators/mlfit.py::
     logistic_fit — the GPT-3/CCNet quality-filter shape): batch-GD logistic
@@ -8650,13 +8800,13 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- r9 rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json). Round 8's driver grading never landed
     # --- (no CORRECTNESS_r08), so slots 1-50 prioritize NEVER-GRADED
-    # --- entries: the 22 new r9 oracle gates (hll_distinct,
+    # --- entries: the 24 new r9 oracle gates (hll_distinct,
     # --- triangle_count, naive_bayes, acf_daily, pmi_bigrams,
     # --- funnel_steps, cohort_retention, bigram_ppl, markov_transitions,
     # --- trending_terms, forecast_backtest, binary_topk, linkage_score,
     # --- profile_table, benford_digits, k_anonymity, snapshot_diff,
     # --- kmv_set_ops, rolling_median, gap_fill, fuzzy_variants,
-    # --- attribution — 22 total), the
+    # --- attribution, ab_test, skew_report — 24 total), the
     # --- 7 late-r8 gates added after the r8 window froze (kcenter_coreset
     # --- .. mad_outliers) and the 7 early-r8 gates (zorder_cluster ..
     # --- raster_resample_cubic); then the 3 r5-deferred entries
@@ -8690,6 +8840,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "gap_fill": (q_gap_fill, SQL_GAP_FILL),
     "fuzzy_variants": (q_fuzzy_variants, SQL_FUZZY_VARIANTS),
     "attribution": (q_attribution, SQL_ATTRIBUTION),
+    "ab_test": (q_ab_test, SQL_AB_TEST),
+    "skew_report": (q_skew_report, SQL_SKEW_REPORT),
     "kcenter_coreset": (q_kcenter_coreset, SQL_KCENTER_CORESET),
     "quality_logreg": (q_quality_logreg, SQL_QUALITY_LOGREG),
     "cms_frequency": (q_cms_frequency, SQL_CMS_FREQUENCY),

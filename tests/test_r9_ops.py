@@ -568,3 +568,33 @@ def test_attribution_buckets(spark):
     assert days == sorted(days)
     for r in rows:
         assert r["attributed_value"] >= 0 or r["view_day"] == -1
+
+
+def test_ab_test_accounting(spark):
+    mod = _entry()
+    rows = mod.queries()["ab_test"](spark, "/root/testdata/sf0.001").collect()
+    assert [r["arm"] for r in rows] == [0, 1]
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n_users"] for r in rows) == n_users
+    assert rows[0]["z_stat"] == rows[1]["z_stat"]  # one statistic, both rows
+    for r in rows:
+        assert 0.0 <= r["conv_rate"] <= 1.0
+        assert r["n_converted"] <= r["n_users"]
+
+
+def test_skew_report_invariants(spark):
+    mod = _entry()
+    rows = {r["key_col"]: r for r in mod.queries()["skew_report"](spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows) == {
+        "lineitem.l_partkey", "lineitem.l_orderkey",
+        "events.user_id", "events.event_type",
+    }
+    for r in rows.values():
+        assert r["max_mult"] >= r["mean_mult"] >= 1
+        assert 0 < r["top_share"] <= 1
+        assert r["p99_over_med"] >= 1
+        assert r["n_keys"] <= r["n_rows"]
+    # event_type is the known hot-key column: 5 keys over all rows
+    assert rows["events.event_type"]["n_keys"] == 5
+    assert rows["events.event_type"]["top_share"] > 0.15
