@@ -3699,6 +3699,63 @@ SELECT * FROM (
 """
 
 
+def q_rendezvous_shards(spark, sf):
+    """Rendezvous (highest-random-weight) hashing shard assignment
+    (Thaler & Ravishankar 1998 — the consistent-placement scheme behind
+    cache/shard routing): every user key scores each shard by
+    md5(shard:key), lands on the argmax, and when the fleet grows 8→9
+    ONLY keys whose new shard wins move (expected 1/9 — the minimal-
+    disruption property, asserted in the emitted movement stats). The
+    score matrix is a native transform(sequence) lambda — one scan, no
+    join against a shard table; exactly how a 100 TB keyspace routes to
+    workers without a stored assignment map."""
+    ev = _t(spark, sf, "events").select("user_id").distinct()
+
+    def best(n):
+        return F.expr(
+            "array_max(transform(sequence(0, {m}), s -> struct("
+            "CAST(conv(substring(md5(concat(CAST(s AS STRING), ':', CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT) AS h,"
+            " s AS shard))).shard".format(m=n - 1)
+        )
+
+    assigned = ev.select(
+        "user_id", best(8).alias("shard8"), best(9).alias("shard9")
+    )
+    return (
+        assigned.groupBy("shard8")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(
+                F.when(F.col("shard9") != F.col("shard8"), 1).otherwise(0)
+            ).cast("long").alias("n_moved"),
+            F.round(
+                F.avg(F.when(F.col("shard9") != F.col("shard8"), 1.0).otherwise(0.0)),
+                6,
+            ).alias("moved_frac"),
+        )
+        .orderBy("shard8")
+    )
+
+
+SQL_RENDEZVOUS_SHARDS = """
+WITH keys AS (SELECT DISTINCT user_id FROM events),
+scored AS (
+  SELECT user_id,
+         (SELECT s FROM (SELECT u.s, ('0x' || substring(md5(u.s || ':' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+                         FROM unnest(generate_series(0, 7)) AS u(s))
+          ORDER BY h DESC, s LIMIT 1) AS shard8,
+         (SELECT s FROM (SELECT u.s, ('0x' || substring(md5(u.s || ':' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+                         FROM unnest(generate_series(0, 8)) AS u(s))
+          ORDER BY h DESC, s LIMIT 1) AS shard9
+  FROM keys
+)
+SELECT shard8, count(*) AS n_keys,
+       CAST(sum(CASE WHEN shard9 <> shard8 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+       round(avg(CASE WHEN shard9 <> shard8 THEN 1.0 ELSE 0.0 END), 6) AS moved_frac
+FROM scored GROUP BY shard8 ORDER BY shard8
+"""
+
+
 def q_quality_logreg(spark, sf):
     """Quality-classifier training as a pipeline step (operators/mlfit.py::
     logistic_fit — the GPT-3/CCNet quality-filter shape): batch-GD logistic
@@ -8800,13 +8857,14 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- r9 rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json). Round 8's driver grading never landed
     # --- (no CORRECTNESS_r08), so slots 1-50 prioritize NEVER-GRADED
-    # --- entries: the 24 new r9 oracle gates (hll_distinct,
+    # --- entries: the 25 new r9 oracle gates (hll_distinct,
     # --- triangle_count, naive_bayes, acf_daily, pmi_bigrams,
     # --- funnel_steps, cohort_retention, bigram_ppl, markov_transitions,
     # --- trending_terms, forecast_backtest, binary_topk, linkage_score,
     # --- profile_table, benford_digits, k_anonymity, snapshot_diff,
     # --- kmv_set_ops, rolling_median, gap_fill, fuzzy_variants,
-    # --- attribution, ab_test, skew_report — 24 total), the
+    # --- attribution, ab_test, skew_report, rendezvous_shards — 25
+    # --- total), the
     # --- 7 late-r8 gates added after the r8 window froze (kcenter_coreset
     # --- .. mad_outliers) and the 7 early-r8 gates (zorder_cluster ..
     # --- raster_resample_cubic); then the 3 r5-deferred entries
@@ -8842,6 +8900,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "attribution": (q_attribution, SQL_ATTRIBUTION),
     "ab_test": (q_ab_test, SQL_AB_TEST),
     "skew_report": (q_skew_report, SQL_SKEW_REPORT),
+    "rendezvous_shards": (q_rendezvous_shards, SQL_RENDEZVOUS_SHARDS),
     "kcenter_coreset": (q_kcenter_coreset, SQL_KCENTER_CORESET),
     "quality_logreg": (q_quality_logreg, SQL_QUALITY_LOGREG),
     "cms_frequency": (q_cms_frequency, SQL_CMS_FREQUENCY),
@@ -8875,8 +8934,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "raster_zonal": (q_raster_zonal, SQL_RASTER_ZONAL),
     "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
     "multimodal_audio": (q_multimodal_audio, SQL_MULTIMODAL_AUDIO),
-    "raster_temporal_diff": (q_raster_temporal_diff, SQL_RASTER_TEMPORAL_DIFF),
     "raster_where": (q_raster_where, SQL_RASTER_WHERE),
+    "raster_temporal_diff": (q_raster_temporal_diff, SQL_RASTER_TEMPORAL_DIFF),
     "raster_climatology": (q_raster_climatology, SQL_RASTER_CLIMATOLOGY),
     "raster_masked_mosaic": (q_raster_masked_mosaic, SQL_RASTER_MASKED_MOSAIC),
     "raster_gradient": (q_raster_gradient, SQL_RASTER_GRADIENT),

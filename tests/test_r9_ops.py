@@ -598,3 +598,15 @@ def test_skew_report_invariants(spark):
     # event_type is the known hot-key column: 5 keys over all rows
     assert rows["events.event_type"]["n_keys"] == 5
     assert rows["events.event_type"]["top_share"] > 0.15
+
+
+def test_rendezvous_minimal_disruption(spark):
+    mod = _entry()
+    rows = mod.queries()["rendezvous_shards"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) <= 8
+    n = sum(r["n_keys"] for r in rows)
+    moved = sum(r["n_moved"] for r in rows)
+    # HRW property: growing 8->9 moves ~1/9 of keys, never more than ~3x that
+    assert 0 < moved / n < 0.34
+    for r in rows:
+        assert 0 <= r["n_moved"] <= r["n_keys"]
