@@ -1103,3 +1103,177 @@ def hamming_topk(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def mmr_select(
+    corpus: DataFrame,
+    query_id,
+    k: int = 6,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_round: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein 1998):
+    greedily pick ``k`` items maximizing λ·rel(i) − (1−λ)·max_{s∈S}
+    sim(i, s) — relevance-weighted DIVERSE retrieval, the standard
+    context-packing / dedup-at-retrieval policy in RAG pipelines. The
+    query is the corpus row with id ``query_id``; rel and sim are cosine.
+
+    Deterministic and engine-replayable (same contract as
+    :func:`kcenter_select`): every cosine is rounded to ``sim_round``
+    BEFORE the running max and the argmax; score is rounded again after
+    the λ-combine; argmax ties break on the smaller id. The oracle unrolls
+    the k selection rounds as a CTE chain.
+
+    Scale shape: one corpus scan per round — a JVM fold against the newest
+    pick's array literal updating the running max-sim — plus TakeOrdered
+    top-1; ``localCheckpoint`` keeps the plan flat. k is user-facing small
+    (a context window), so k scans is the canonical algorithm.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    e = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("v"),
+    ).withColumn("nn", F.sqrt(F.expr("aggregate(v, 0D, (a, x) -> a + x * x)")))
+    qrow = e.filter(F.col("vec_id") == query_id).collect()
+    if not qrow:
+        raise ValueError(f"mmr_select: query id {query_id!r} not in corpus")
+    qv, qn = list(qrow[0]["v"]), float(qrow[0]["nn"])
+
+    def cos_expr(vec: list, n: float) -> str:
+        lit = "array(" + ", ".join(f"{x!r}D" for x in vec) + ")"
+        return (
+            f"round(aggregate(zip_with(v, {lit}, (x, y) -> x * y), 0D, "
+            f"(a, z) -> a + z) / (nn * {n!r}D), {sim_round})"
+        )
+
+    cand = e.filter(F.col("vec_id") != query_id).withColumn(
+        "rel", F.expr(cos_expr(qv, qn))
+    )
+    selected: list[tuple] = []
+    df, have_ms = cand, False
+    for rank in range(k):
+        if not have_ms:
+            score = F.col("rel")
+        else:
+            score = F.round(
+                F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("ms"), sim_round
+            )
+        best = (
+            df.withColumn("score", score)
+            .orderBy(F.desc("score"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        selected.append((rank, best["vec_id"], float(best["rel"]), float(best["score"])))
+        if rank == k - 1:
+            break
+        sim_new = F.expr(cos_expr(list(best["v"]), float(best["nn"])))
+        df = (
+            df.filter(F.col("vec_id") != best["vec_id"])
+            .withColumn("ms", sim_new if not have_ms else F.greatest(F.col("ms"), sim_new))
+            .localCheckpoint()
+        )
+        have_ms = True
+    from pyspark.sql import types as T
+
+    from stackstac_spark.session import local_df
+
+    schema = T.StructType(
+        [
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("vec_id", corpus.schema[id_col].dataType),
+            T.StructField("rel", T.DoubleType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    return local_df(corpus.sparkSession, selected, schema)
+
+
+def bitext_margin_pairs(
+    src: DataFrame,
+    tgt: DataFrame,
+    knn: int = 4,
+    threshold: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_round: int = 6,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the LASER /
+    CCMatrix pairing rule): score every cross-lingual pair by
+    ratio-margin sim(x,y) / ((avg_knn(x) + avg_knn(y)) / 2), keep pairs
+    that are each other's best margin match (mutual argmax) above
+    ``threshold``. The standard parallel-corpus miner for translation
+    training data.
+
+    Relational shape: one sim matrix (src × tgt — at scale, replace the
+    cross join with an ANN candidate join, e.g. ivf_topk's cell join;
+    the margin/mutual logic downstream is unchanged), two window top-k
+    passes for the kNN averages, two argmax windows, one self-join for
+    mutuality. Every sim and margin is rounded before ranking, ties break
+    on the partner id, so an external engine replays the exact pair set.
+    """
+    s = src.select(
+        F.col(id_col).alias("src_id"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("sv"),
+    ).withColumn("sn", F.sqrt(F.expr("aggregate(sv, 0D, (a, x) -> a + x * x)")))
+    t = tgt.select(
+        F.col(id_col).alias("tgt_id"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("tv"),
+    ).withColumn("tn", F.sqrt(F.expr("aggregate(tv, 0D, (a, x) -> a + x * x)")))
+    sims = s.crossJoin(t).select(
+        "src_id",
+        "tgt_id",
+        F.round(
+            F.expr(
+                "aggregate(zip_with(sv, tv, (x, y) -> x * y), 0D, (a, z) -> a + z)"
+            )
+            / (F.col("sn") * F.col("tn")),
+            sim_round,
+        ).alias("sim"),
+    )
+    w_s = Window.partitionBy("src_id").orderBy(F.desc("sim"), F.asc("tgt_id"))
+    w_t = Window.partitionBy("tgt_id").orderBy(F.desc("sim"), F.asc("src_id"))
+    ranked = sims.withColumn("rk_s", F.row_number().over(w_s)).withColumn(
+        "rk_t", F.row_number().over(w_t)
+    )
+    # carry the rounded SUM of the top-k sims, not their average: the sims
+    # are 6-decimal multiples, so their ideal sum is too — round(sum, 6) is
+    # boundary-stable across engines, whereas round(sum/k, 6) lands exactly
+    # on a .5e-6 rounding boundary for ~1/k of all keys (fp noise then
+    # flips the 6th decimal between engines). The /2k moves into the
+    # margin denominator.
+    sum_s = (
+        ranked.filter(F.col("rk_s") <= knn)
+        .groupBy("src_id")
+        .agg(F.round(F.sum("sim"), sim_round).alias("sum_s"))
+    )
+    sum_t = (
+        ranked.filter(F.col("rk_t") <= knn)
+        .groupBy("tgt_id")
+        .agg(F.round(F.sum("sim"), sim_round).alias("sum_t"))
+    )
+    scored = (
+        sims.join(F.broadcast(sum_s), "src_id")
+        .join(F.broadcast(sum_t), "tgt_id")
+        .withColumn(
+            "margin",
+            F.round(
+                F.col("sim") / ((F.col("sum_s") + F.col("sum_t")) / F.lit(2.0 * knn)),
+                sim_round,
+            ),
+        )
+    )
+    w_fwd = Window.partitionBy("src_id").orderBy(F.desc("margin"), F.asc("tgt_id"))
+    w_bwd = Window.partitionBy("tgt_id").orderBy(F.desc("margin"), F.asc("src_id"))
+    best = (
+        scored.withColumn("rk_f", F.row_number().over(w_fwd))
+        .withColumn("rk_b", F.row_number().over(w_bwd))
+    )
+    return (
+        best.filter((F.col("rk_f") == 1) & (F.col("rk_b") == 1))
+        .filter(F.col("margin") >= threshold)
+        .select("src_id", "tgt_id", "sim", "margin")
+    )

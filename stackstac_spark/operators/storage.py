@@ -118,3 +118,53 @@ def zorder_write(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def rle_run_stats(
+    df: DataFrame,
+    value_cols: list[str],
+    page_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Page-local run-length statistics: for each column, how many RLE
+    runs the physical layout produces — (a) as laid out today (rows
+    grouped in pages by ``page_col``, ordered by ``order_col`` within a
+    page — runs never cross page boundaries, exactly like Parquet data
+    pages) vs (b) re-clustered on the column itself (lower bound =
+    #distinct values). The ratio is the sort-before-write win a layout
+    job (zorder_write / ORDER BY in the sink) would buy — the cheap
+    "should we re-cluster this table?" report at 100 TB, where a 10×
+    run-count drop is a 10× smaller RLE-encoded column.
+
+    Scale shape: per-column one lag window PARTITIONED BY the page key
+    (no global sort, no single-task window — pages are independent) and
+    one distinct-count agg; output is one row per audited column.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    outs = []
+    for c in value_cols:
+        # tie-break the in-page order with the value itself: if
+        # (page, order) isn't unique, permutations of tied rows must not
+        # move the run count — and with equal-ordered rows also
+        # value-sorted, adjacent ties compare equal, so they can't
+        w = Window.partitionBy(page_col).orderBy(order_col, F.col(c))
+        changed = F.when(
+            F.lag(F.col(c)).over(w).isNull()  # first row of its page
+            | (F.col(c) != F.lag(F.col(c)).over(w)),
+            1,
+        ).otherwise(0)
+        per_page = df.select(F.lit(c).alias("column"), changed.alias("chg"), F.col(c).alias("v"))
+        outs.append(
+            per_page.groupBy("column").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("chg").alias("runs_paged"),
+                F.count_distinct("v").alias("runs_clustered"),
+                F.round(
+                    F.sum("chg").cast("double") / F.count_distinct("v"), 6
+                ).alias("recluster_gain"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)

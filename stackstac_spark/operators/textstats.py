@@ -908,3 +908,193 @@ def bigram_lm_score(
         "n_big",
         F.round(F.exp(-F.col("__ll") / F.col("n_big")), round_to).alias("ppl"),
     )
+
+
+_WS = r"[ \t\n\r\f]+"  # explicit class: Java \s ⊃ RE2 \s (\x0B), see vocab_topk
+
+
+def zipf_fit(
+    df: DataFrame,
+    by: str = "lang",
+    top_n: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Zipf's-law fit per group: OLS of ln(count) on ln(rank) over the
+    ``top_n`` most frequent terms — the slope (~ -1 for natural language)
+    is a cheap corpus-health screen (synthetic/boilerplate corpora bend
+    the curve). One token groupBy (map-side combined), a per-group rank
+    window over the vocabulary (small), then Catalyst's built-in
+    ``regr_slope``/``regr_intercept``/``regr_r2`` — no Python in the
+    token path, so the corpus-sized stage stays in whole-stage codegen.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(by).alias("grp"),
+        F.explode(F.split(F.lower(F.col(text_col)), _WS)).alias("term"),
+    ).filter(F.col("term") != "")
+    counts = toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("grp").orderBy(F.desc("cnt"), F.asc("term"))
+    ranked = counts.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_n
+    )
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("cnt").cast("double"))
+    return (
+        ranked.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.expr("regr_slope(ln(cast(cnt as double)), ln(cast(rank as double)))"), round_to).alias("slope"),
+            F.round(F.expr("regr_intercept(ln(cast(cnt as double)), ln(cast(rank as double)))"), round_to).alias("intercept"),
+            F.round(F.expr("regr_r2(ln(cast(cnt as double)), ln(cast(rank as double)))"), round_to).alias("r2"),
+        )
+        .withColumnRenamed("grp", by)
+    )
+
+
+def keyness_llr(
+    df: DataFrame,
+    group: str = "source",
+    k: int = 5,
+    min_count: int = 5,
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Dunning log-likelihood keyness (Dunning 1993): for each group, the
+    ``k`` terms most over-represented vs the rest of the corpus by the
+    G² statistic 2·(a·ln(a/E1) + b·ln(b/E2)). The workhorse of
+    domain-vocabulary drift reports and per-source boilerplate discovery.
+
+    Scale shape: ONE corpus-sized token groupBy; everything after runs on
+    the (group × vocabulary) table, which is bounded, and the per-group
+    totals / corpus totals join back via broadcast.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(group).alias("grp"),
+        F.explode(F.split(F.lower(F.col(text_col)), _WS)).alias("term"),
+    ).filter(F.col("term") != "")
+    a_tab = toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("a"))
+    n1_tab = a_tab.groupBy("grp").agg(F.sum("a").alias("n1"))
+    tot_tab = a_tab.groupBy("term").agg(F.sum("a").alias("tot"))
+    n_all = a_tab.agg(F.sum("a").alias("n_all"))
+    j = (
+        a_tab.join(F.broadcast(n1_tab), "grp")
+        .join(tot_tab, "term")
+        .crossJoin(F.broadcast(n_all))
+        .withColumn("b", F.col("tot") - F.col("a"))
+        .withColumn("n2", F.col("n_all") - F.col("n1"))
+    )
+    e1 = F.col("n1").cast("double") * F.col("tot") / F.col("n_all")
+    e2 = F.col("n2").cast("double") * F.col("tot") / F.col("n_all")
+    term_a = F.col("a").cast("double") * F.log(F.col("a") / e1)
+    term_b = F.when(
+        F.col("b") > 0, F.col("b").cast("double") * F.log(F.col("b") / e2)
+    ).otherwise(F.lit(0.0))
+    scored = (
+        j.filter(F.col("a") >= min_count)
+        # keyword = over-represented in the group (rate above corpus rate)
+        .filter(F.col("a").cast("double") / F.col("n1") > F.col("tot").cast("double") / F.col("n_all"))
+        .withColumn("llr", F.round(F.lit(2.0) * (term_a + term_b), round_to))
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("llr"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("grp").alias(group),
+            F.col("rank").cast("int").alias("rank"),
+            "term",
+            "a",
+            "tot",
+            "llr",
+        )
+    )
+
+
+def flesch_readability(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """Flesch reading-ease per document (Flesch 1948): 206.835 −
+    1.015·(words/sentences) − 84.6·(syllables/words), with the standard
+    cheap proxies — sentences = runs of ``[.!?]``, syllables = vowel-group
+    runs per word (min 1). A readability band is a routine quality-mix
+    feature in pretraining-data curation.
+
+    All column expressions (regexp_extract_all + higher-order aggregate);
+    no Python, no shuffle — embarrassingly parallel per document.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), _WS), lambda t: t != F.lit(""))
+    syl = F.aggregate(
+        F.transform(
+            toks,
+            lambda t: F.greatest(
+                F.lit(1),
+                F.size(F.regexp_extract_all(t, F.lit("[aeiouy]+"), F.lit(0))),
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + s,
+    )
+    n_words = F.size(toks).cast("long")
+    n_sents = F.greatest(
+        F.lit(1).cast("long"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit("[.!?]+"), F.lit(0))).cast("long"),
+    )
+    fre = (
+        F.lit(206.835)
+        - F.lit(1.015) * n_words.cast("double") / n_sents.cast("double")
+        - F.lit(84.6) * syl.cast("double") / n_words.cast("double")
+    )
+    return df.filter(n_words > 0).select(
+        id_col,
+        n_words.alias("n_words"),
+        n_sents.alias("n_sents"),
+        syl.alias("n_syll"),
+        F.round(fre, round_to).alias("fre"),
+    )
+
+
+def token_gini(
+    df: DataFrame,
+    by: str = "lang",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Gini coefficient of the term-frequency distribution per group —
+    0 = perfectly uniform vocabulary use, →1 = a few terms dominate
+    (template/boilerplate smell). Computed from the exact integer
+    identity G = 2·Σᵢ i·fᵢ / (n·Σf) − (n+1)/n over frequencies sorted
+    ascending, so every engine that sums the same integers gets the same
+    double. One corpus token groupBy; the window runs on the vocabulary.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(by).alias("grp"),
+        F.explode(F.split(F.lower(F.col(text_col)), _WS)).alias("term"),
+    ).filter(F.col("term") != "")
+    counts = toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.partitionBy("grp").orderBy(F.asc("f"), F.asc("term"))
+    ranked = counts.withColumn("i", F.row_number().over(w))
+    return (
+        ranked.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("f").alias("total_tokens"),
+            F.round(
+                F.lit(2.0) * F.sum(F.col("i").cast("long") * F.col("f")).cast("double")
+                / (F.count(F.lit(1)).cast("double") * F.sum("f").cast("double"))
+                - (F.count(F.lit(1)) + F.lit(1)).cast("double") / F.count(F.lit(1)).cast("double"),
+                round_to,
+            ).alias("gini"),
+        )
+        .withColumnRenamed("grp", by)
+        .orderBy(by)
+    )

@@ -435,3 +435,69 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
         .start()
         .awaitTermination()
     )
+
+
+def upsert_sink(
+    spark: SparkSession,
+    json_path: str,
+    schema,
+    out_path: str,
+    keys: list[str] | str,
+    seq_col: str,
+    checkpoint: str | None = None,
+    max_files_per_trigger: int = 16,
+    available_now: bool = True,
+):
+    """Streaming keyed upsert (CDC apply): a JSON change stream →
+    a maintained last-write-wins snapshot table at ``out_path``/state.
+
+    Each micro-batch is MERGEd via ``foreachBatch``: the batch is first
+    reduced to one row per key (max ``seq_col``, later micro-batch wins
+    ties), then current-state rows for touched keys are replaced —
+    higher-``seq_col`` state survives a stale/out-of-order batch, so
+    replaying the same drop twice (at-least-once delivery) is idempotent.
+
+    The snapshot swap here is read-materialize-overwrite on Parquet (the
+    current state is ``localCheckpoint``-pinned before the overwrite so
+    the lazy read can't race its own rewrite). On a real lakehouse this
+    exact ``foreachBatch`` body becomes ``MERGE INTO`` on a Delta/Iceberg
+    table — the streaming topology (bounded triggers, per-batch merge,
+    checkpointed progress) is unchanged; only the sink's atomicity
+    mechanism upgrades.
+
+    Returns the StreamingQuery (caller awaits/stops it).
+    """
+    from pyspark.sql import Window
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    state_path = f"{out_path}/state"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(json_path)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        w = Window.partitionBy(*keys).orderBy(F.desc(seq_col), F.desc("__src"))
+        incoming = batch_df.withColumn("__src", F.lit(1))
+        try:
+            current = spark.read.parquet(state_path).withColumn("__src", F.lit(0))
+            merged = current.unionByName(incoming)
+        except Exception:  # first batch: no state yet
+            merged = incoming
+        snap = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__src")
+            .localCheckpoint()  # pin BEFORE overwriting what it was read from
+        )
+        snap.write.mode("overwrite").parquet(state_path)
+
+    writer = stream.writeStream.foreachBatch(process_batch)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
