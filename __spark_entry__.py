@@ -9479,23 +9479,295 @@ FROM u ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# r8 wave 1: web-corpus preparation (operators/webtext.py) + star components
+
+
+def q_cc_star(spark, sf):
+    """Connected components via alternating large-star/small-star edge
+    rewrites (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond"; operators/graph.py::connected_components_star) — the web-scale
+    CC formulation whose per-round shuffle volume SHRINKS as components
+    collapse toward a star forest, vs. the fixed-|E| min-label loop graded
+    as dedup_components. Adversarial fixture: sixteen 25-node chains (the
+    worst case for naive propagation) plus cross edges merging chain pairs,
+    built purely from spark.range (no table read). Oracle: recursive-CTE
+    min-reachable-label closure."""
+    from stackstac_spark.operators.graph import connected_components_star
+
+    nums = spark.range(400)
+    chain = nums.filter(F.col("id") % 25 != 24).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    cross = nums.filter(F.col("id") % 50 == 3).select(
+        F.col("id").alias("id_a"), (F.col("id") + 100).alias("id_b")
+    )
+    return connected_components_star(chain.union(cross)).orderBy("node")
+
+
+SQL_CC_STAR = """
+WITH RECURSIVE nums AS (SELECT range AS i FROM range(400)),
+e0 AS (
+  SELECT i AS a, i + 1 AS b FROM nums WHERE i % 25 <> 24
+  UNION ALL
+  SELECT i AS a, i + 100 AS b FROM nums WHERE i % 50 = 3
+),
+edges AS (SELECT a AS src, b AS dst FROM e0 UNION SELECT b, a FROM e0),
+reach(node, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.node
+)
+SELECT node, min(r) AS component FROM reach GROUP BY node ORDER BY node
+"""
+
+
+def _r8_fake_url() -> "Column":
+    """Deterministic raw-URL column painted from (doc_id, source): mixed-case
+    scheme/host, optional www, 4 TLDs (two of them two-level public
+    suffixes), default and non-default ports, tracking params, fragments —
+    every rewrite the canonicalizer performs is exercised. Both engines
+    build the identical string from the same columns."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit("HTTPS://"),
+        F.when(d % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.upper(F.col("source")),
+        F.lit("Site."),
+        F.element_at(
+            F.array(F.lit("com"), F.lit("co.uk"), F.lit("org"), F.lit("com.au")),
+            (d % 4 + 1).cast("int"),
+        ),
+        F.when(d % 5 == 0, F.lit(":443"))
+        .when(d % 5 == 1, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/Docs/"),
+        d.cast("string"),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("?utm_source=tw&b="), (d % 7).cast("string"), F.lit("&a=1")
+            ),
+        )
+        .when(d % 3 == 1, F.lit("?z=9&y=8&gclid=x"))
+        .otherwise(F.lit("")),
+        F.when(d % 2 == 1, F.lit("#sec")).otherwise(F.lit("")),
+    )
+
+
+def q_url_canonical(spark, sf):
+    """URL canonicalization + registered-domain extraction + per-domain cap
+    (operators/webtext.py) — the CommonCrawl-style normalization that runs
+    BEFORE dedup: lowercase scheme/host, strip www/fragments/default
+    ports/tracking params, sort surviving query params, pay-level domain via
+    an embedded two-level-suffix table, then keep ≤5 docs per domain by
+    deterministic md5 order. All map-only JVM regexp/array expressions; the
+    cap is the module's one shuffle (domain-keyed window, O(1) rank state).
+    Oracle replays the identical rewrite chain in RE2 SQL."""
+    from stackstac_spark.operators.webtext import (
+        canonicalize_url,
+        domain_cap,
+        registered_domain,
+    )
+
+    docs = _t(spark, sf, "documents")
+    canon = docs.select(
+        "doc_id", canonicalize_url(_r8_fake_url()).alias("url_canon")
+    ).withColumn("domain", registered_domain(F.col("url_canon")))
+    return (
+        domain_cap(canon, cap=5)
+        .select("doc_id", "url_canon", "domain", "domain_rank")
+        .orderBy("domain", "domain_rank")
+    )
+
+
+_DUCK_RAW_URL = """
+  SELECT doc_id,
+    'HTTPS://' || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END
+      || upper(source) || 'Site.'
+      || (['com','co.uk','org','com.au'])[(doc_id % 4)::INT + 1]
+      || CASE WHEN doc_id % 5 = 0 THEN ':443'
+              WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END
+      || '/Docs/' || doc_id
+      || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+      || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=tw&b=' || (doc_id % 7) || '&a=1'
+              WHEN doc_id % 3 = 1 THEN '?z=9&y=8&gclid=x' ELSE '' END
+      || CASE WHEN doc_id % 2 = 1 THEN '#sec' ELSE '' END AS url
+  FROM documents
+"""
+
+SQL_URL_CANONICAL = rf"""
+WITH raw AS ({_DUCK_RAW_URL}),
+s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS u FROM raw),
+s2 AS (SELECT doc_id,
+  lower(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0))
+    || substring(u, length(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0)) + 1) AS u
+  FROM s1),
+s3 AS (SELECT doc_id,
+  regexp_replace(regexp_replace(u, '^(https?://)www\.', '\1'),
+                 ':(?:80|443)(/|$)', '\1') AS u
+  FROM s2),
+parts AS (SELECT doc_id,
+  regexp_replace(split_part(u, '?', 1), '/+$', '') AS path,
+  CASE WHEN contains(u, '?') THEN split_part(u, '?', 2) ELSE '' END AS q
+  FROM s3),
+canon AS (SELECT doc_id,
+  path || CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END AS url_canon
+  FROM (SELECT doc_id, path,
+          list_sort(list_filter(string_split(q, '&'),
+            p -> p <> '' AND NOT regexp_matches(p,
+              '^(utm_[^=]*|fbclid|gclid|msclkid|ref|ref_src)='))) AS ps
+        FROM parts)),
+dom AS (SELECT doc_id, url_canon,
+  CASE WHEN len(parts) >= 3
+        AND (parts[len(parts)-1] || '.' || parts[len(parts)]) IN
+            ('co.uk','org.uk','ac.uk','gov.uk','me.uk','com.au','net.au',
+             'org.au','co.jp','ne.jp','or.jp','com.br','com.cn','com.mx',
+             'com.ar','com.tr','co.in','co.kr','co.za','co.nz')
+       THEN parts[len(parts)-2] || '.' || parts[len(parts)-1] || '.' || parts[len(parts)]
+       WHEN len(parts) >= 2
+       THEN parts[len(parts)-1] || '.' || parts[len(parts)]
+       ELSE host END AS domain
+  FROM (SELECT doc_id, url_canon,
+          string_split(regexp_extract(url_canon, '^[a-z]+://([^/:?#]+)', 1), '.') AS parts,
+          regexp_extract(url_canon, '^[a-z]+://([^/:?#]+)', 1) AS host
+        FROM canon)),
+ranked AS (SELECT doc_id, url_canon, domain,
+  row_number() OVER (PARTITION BY domain
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS domain_rank
+  FROM dom)
+SELECT doc_id, url_canon, domain, CAST(domain_rank AS INT) AS domain_rank
+FROM ranked WHERE domain_rank <= 5 ORDER BY domain, domain_rank
+"""
+
+
+def q_html_strip(spark, sf):
+    """HTML → plain-text extraction (operators/webtext.py::strip_html): drop
+    script/style elements wholesale (their content is code), comments, tags,
+    decode the six common entities (&amp; last, so double-escapes survive),
+    collapse whitespace. The C4 extraction step as ONE map-only JVM regexp
+    chain — no parser, no Python. The fixture wraps each doc's text in a
+    deterministic HTML shell with embedded '<' inside a script string and a
+    double-escaped entity, the two classic naive-stripper traps. Oracle
+    replays the chain with RE2 global flags."""
+    from stackstac_spark.operators.webtext import strip_html
+
+    docs = _t(spark, sf, "documents")
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><head><title>D"),
+        d.cast("string"),
+        F.lit('</title><style>p{color:red}</style><script>if(1<2){x="<b>";}</script></head><body><h1>'),
+        F.upper(F.col("lang")),
+        F.lit("&nbsp;doc</h1><p>"),
+        F.substring(F.col("text"), 1, 120),
+        F.lit(" &amp;&lt;end&gt;</p><!-- trail "),
+        d.cast("string"),
+        F.lit(" --></body></html>"),
+    )
+    return docs.select(
+        "doc_id", strip_html(html).alias("text_plain")
+    ).withColumn("n_chars_plain", F.length("text_plain")).orderBy("doc_id")
+
+
+SQL_HTML_STRIP = r"""
+WITH raw AS (
+  SELECT doc_id,
+    '<html><head><title>D' || doc_id
+      || '</title><style>p{color:red}</style><script>if(1<2){x="<b>";}</script></head><body><h1>'
+      || upper(lang) || '&nbsp;doc</h1><p>' || substring(text, 1, 120)
+      || ' &amp;&lt;end&gt;</p><!-- trail ' || doc_id || ' --></body></html>' AS html
+  FROM documents
+),
+stripped AS (
+  SELECT doc_id, trim(regexp_replace(
+    replace(replace(replace(replace(replace(replace(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        '(?i)<script\b.*?</script>', ' ', 'gs'),
+        '(?i)<style\b.*?</style>', ' ', 'gs'),
+        '<!--.*?-->', ' ', 'gs'),
+        '<[^>]+>', ' ', 'g'),
+      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      '&#39;', chr(39)), '&amp;', '&'),
+    '\s+', ' ', 'g')) AS text_plain
+  FROM raw
+)
+SELECT doc_id, text_plain, CAST(length(text_plain) AS INT) AS n_chars_plain
+FROM stripped ORDER BY doc_id
+"""
+
+
+def q_blocklist_filter(spark, sf):
+    """Blocklist screening (operators/webtext.py::blocklist_hits): per-doc
+    hit count / ratio / keep-verdict against a word blocklist — the
+    bad-words filter of every web pipeline. The fixture blocklist is the
+    corpus's own top-20 tokens (length ≥ 4, freq desc / token asc — fully
+    deterministic), standing in for an external list. Plan shape: the
+    blocklist is an explicitly broadcast() dimension, so the only wide
+    exchange is the doc-keyed count agg (map-side partials); zero-hit docs
+    survive via the left join. hit_ratio is raw IEEE division — bit-exact
+    across engines."""
+    from stackstac_spark.operators.webtext import blocklist_hits
+
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+        ).alias("word")
+    )
+    blocklist = (
+        toks.filter(F.length("word") >= 4)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "word")
+        .limit(20)
+    )
+    return blocklist_hits(docs, blocklist, max_ratio=0.35).orderBy("doc_id")
+
+
+SQL_BLOCKLIST_FILTER = r"""
+WITH tok AS (
+  SELECT doc_id, t.t AS tok
+  FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS t(t)
+  WHERE t.t <> ''
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS freq FROM tok WHERE length(tok) >= 4 GROUP BY tok
+  ) ORDER BY freq DESC, tok LIMIT 20
+),
+totals AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY doc_id),
+hits AS (SELECT doc_id, count(*) AS n_hits FROM tok JOIN vocab USING (tok) GROUP BY doc_id)
+SELECT t.doc_id, t.n_tokens, coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) / t.n_tokens AS hit_ratio,
+       coalesce(h.n_hits, 0) / t.n_tokens <= 0.35 AS keep
+FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id ORDER BY t.doc_id
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- Rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r07,
     # --- 50/50 green). Slots 1-50 prioritize NEVER-GRADED entries,
-    # --- newest wave first: the 12 new gates of this round (zipf_slope
-    # --- .. stream_upsert), the 25 prior-wave oracle gates (hll_distinct
-    # --- .. rendezvous_shards), the 7 model-fit gates (kcenter_coreset
-    # --- .. mad_outliers), and the first 6 of the layout/join wave
-    # --- (zorder_cluster .. label_propagation) fill exactly 50. The
-    # --- remaining never-graded entries (raster_resample_cubic,
-    # --- hash_sample, stratified_sample, multimodal_frames) head the
-    # --- next window; everything below stays hash-checked every CI run
-    # --- by tests/test_past_window_mirror.py +
-    # --- scripts/check_correctness.py. The rows-only stream_sessions /
-    # --- bpe_merges / bpe_encode sit past the window (window slots stay
-    # --- fully oracle-backed per the driver-contract test),
-    # --- pytest-covered end-to-end.
+    # --- newest wave first: the 4 r8 gates (cc_star .. blocklist_filter),
+    # --- the 12 prior new gates (zipf_slope .. stream_upsert), the 25
+    # --- prior-wave oracle gates (hll_distinct .. rendezvous_shards), the
+    # --- 7 model-fit gates (kcenter_coreset .. mad_outliers), and the
+    # --- first 2 of the layout/join wave (zorder_cluster, bucketed_join)
+    # --- fill exactly 50. The remaining never-graded entries
+    # --- (salted_join, bpe_pair_counts, raster_hillshade,
+    # --- label_propagation, raster_resample_cubic, hash_sample,
+    # --- stratified_sample, multimodal_frames) head the next window;
+    # --- everything below stays hash-checked every CI run by
+    # --- tests/test_past_window_mirror.py + scripts/check_correctness.py.
+    # --- The rows-only stream_sessions / bpe_merges / bpe_encode sit past
+    # --- the window (window slots stay fully oracle-backed per the
+    # --- driver-contract test), pytest-covered end-to-end.
+    "cc_star": (q_cc_star, SQL_CC_STAR),
+    "url_canonical": (q_url_canonical, SQL_URL_CANONICAL),
+    "html_strip": (q_html_strip, SQL_HTML_STRIP),
+    "blocklist_filter": (q_blocklist_filter, SQL_BLOCKLIST_FILTER),
     "zipf_slope": (q_zipf_slope, SQL_ZIPF_SLOPE),
     "keyness_llr": (q_keyness_llr, SQL_KEYNESS_LLR),
     "readability": (q_readability, SQL_READABILITY),
