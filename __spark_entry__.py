@@ -9746,6 +9746,225 @@ FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id ORDER BY t.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# r8 wave 2: containment dedup, fuzzy decontamination, detector evaluation
+
+
+def q_containment_dup(spark, sf):
+    """Shingle-containment near-dup pairs (operators/dedup.py::
+    containment_pairs; Broder 1997's second resemblance measure) — catches
+    snippet/partial-mirror duplication that symmetric Jaccard structurally
+    misses: the fixture plants half-length snippet docs (every 11th doc,
+    id+100000, first ⌊n/2⌋ words) whose containment in their source is
+    ~1.0 while Jaccard is ~0.5. Co-shingle equi-join with the
+    hyper-common-shingle prune; ratios raw IEEE division."""
+    from stackstac_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    t = F.split(F.col("text"), " ")
+    snippets = (
+        docs.filter(F.col("doc_id") % 11 == 0)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.array_join(
+                F.slice(
+                    t, 1, F.greatest(F.lit(1), F.floor(F.size(t) / F.lit(2)).cast("int"))
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
+    aug = docs.union(snippets)
+    return containment_pairs(aug, threshold=0.9).orderBy("id_a", "id_b")
+
+
+SQL_CONTAINMENT_DUP = """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         array_to_string(t[1:greatest(1, CAST(floor(len(t) / 2.0) AS INT))], ' ')
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE doc_id % 11 = 0
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS sh
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM aug),
+       unnest(generate_series(1, len(t) - 1)) AS u(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+kept AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 1000),
+shk AS (SELECT s.doc_id, s.sh FROM sh s JOIN kept USING (sh)),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM shk a JOIN shk b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, inter,
+       inter / sa.n AS c_a_in_b, inter / sb.n AS c_b_in_a
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE greatest(inter / sa.n, inter / sb.n) >= 0.9
+ORDER BY id_a, id_b
+"""
+
+
+def q_cross_decontam(spark, sf):
+    """Fuzzy cross-corpus decontamination (operators/dedup.py::
+    cross_lsh_matches): corpus docs whose MinHash signature collides with
+    an eval-style REFERENCE set in ≥1 LSH band, scored by the signature-
+    agreement Jaccard estimator — the near-duplicate complement to exact
+    13-gram contamination (Brown et al. 2020 App. C). The reference is a
+    dimension table by construction, so the band join is a broadcast hash
+    join: NO corpus-side shuffle. Fixture reference: every 17th doc's
+    first ⌊2n/3⌋ words under a separate ref_id space."""
+    from stackstac_spark.operators.dedup import cross_lsh_matches
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    t = F.split(F.col("text"), " ")
+    ref = docs.filter(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("ref_id"),
+        F.array_join(
+            F.slice(
+                t,
+                1,
+                F.greatest(
+                    F.lit(1), F.floor(F.size(t) * 2 / F.lit(3)).cast("int")
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    return cross_lsh_matches(docs, ref, min_est_jaccard=0.5).orderBy(
+        "doc_id", "ref_id"
+    )
+
+
+def _duck_cross_decontam_sql(num_hashes: int = 8, bands: int = 4) -> str:
+    mins = ", ".join(f"min(md5('{i}:' || sh)) AS h{i}" for i in range(num_hashes))
+    rows = num_hashes // bands
+
+    def _bands(src: str, key: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT {key}, {b} AS band, "
+            + " || ".join(f"h{b * rows + r}" for r in range(rows))
+            + f" AS key FROM {src}"
+            for b in range(bands)
+        )
+
+    agree = " + ".join(
+        f"CASE WHEN sc.h{i} = sr.h{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    return f"""
+WITH refdocs AS (
+  SELECT doc_id AS ref_id,
+         array_to_string(t[1:greatest(1, CAST(floor(len(t) * 2 / 3.0) AS INT))], ' ') AS text
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE doc_id % 17 = 0
+),
+shc AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS sh
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+       unnest(generate_series(1, len(t) - 1)) AS u(i)
+),
+shr AS (
+  SELECT DISTINCT ref_id, t[i] || ' ' || t[i+1] AS sh
+  FROM (SELECT ref_id, string_split(lower(text), ' ') AS t FROM refdocs),
+       unnest(generate_series(1, len(t) - 1)) AS u(i)
+),
+sigc AS (SELECT doc_id, {mins} FROM shc GROUP BY doc_id),
+sigr AS (SELECT ref_id, {mins} FROM shr GROUP BY ref_id),
+bc AS ({_bands('sigc', 'doc_id')}),
+br AS ({_bands('sigr', 'ref_id')}),
+cand AS (
+  SELECT DISTINCT c.doc_id, r.ref_id
+  FROM bc c JOIN br r ON c.band = r.band AND c.key = r.key
+)
+SELECT cand.doc_id, cand.ref_id, ({agree}) / {num_hashes}.0 AS est_jaccard
+FROM cand JOIN sigc sc ON sc.doc_id = cand.doc_id
+          JOIN sigr sr ON sr.ref_id = cand.ref_id
+WHERE ({agree}) / {num_hashes}.0 >= 0.5
+ORDER BY cand.doc_id, cand.ref_id
+"""
+
+
+SQL_CROSS_DECONTAM = _duck_cross_decontam_sql()
+
+
+def q_dedup_eval(spark, sf):
+    """Detector evaluation harness (operators/dedup.py::pair_confusion):
+    precision/recall of the MinHash-LSH candidate generator against planted
+    ground truth — the (bands, rows) tuning loop every dedup deployment
+    runs on a labeled sample before the full-corpus pass. Fixture plants a
+    near-copy (text + 2 trailing tokens, id+100000) of every 10th doc; the
+    detector runs 8 hashes × 4 bands over the augmented corpus. One full
+    outer join on the canonical pair key + one global agg → a single
+    summary row."""
+    from stackstac_spark.operators.dedup import minhash_lsh_candidates, pair_confusion
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail marker")).alias("text"),
+    )
+    aug = docs.union(copies)
+    truth = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 100000).alias("id_b")
+    )
+    detected = minhash_lsh_candidates(aug, num_hashes=8, bands=4)
+    return pair_confusion(detected, truth)
+
+
+def _duck_dedup_eval_sql(num_hashes: int = 8, bands: int = 4, max_bucket: int = 1000) -> str:
+    mins = ", ".join(f"min(md5('{i}:' || sh)) AS h{i}" for i in range(num_hashes))
+    rows = num_hashes // bands
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || ".join(f"h{b * rows + r}" for r in range(rows))
+        + " AS key FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' tail marker' FROM documents WHERE doc_id % 10 = 0
+),
+shingles AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS sh
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM aug),
+       unnest(generate_series(1, len(t) - 1)) AS u(i)
+),
+sig AS (SELECT doc_id, {mins} FROM shingles GROUP BY doc_id),
+banded AS ({band_selects}),
+kept AS (SELECT band, key FROM banded GROUP BY band, key HAVING count(*) <= {max_bucket}),
+bk AS (SELECT b.doc_id, b.band, b.key FROM banded b JOIN kept USING (band, key)),
+detected AS (
+  SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
+  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+truth AS (
+  SELECT doc_id AS pa, doc_id + 100000 AS pb FROM documents WHERE doc_id % 10 = 0
+),
+j AS (
+  SELECT coalesce(d.flag, 0) AS is_d, coalesce(t.flag, 0) AS is_t
+  FROM (SELECT pa, pb, 1 AS flag FROM detected) d
+  FULL OUTER JOIN (SELECT pa, pb, 1 AS flag FROM truth) t USING (pa, pb)
+),
+agg AS (
+  SELECT CAST(sum(is_t) AS BIGINT) AS n_truth,
+         CAST(sum(is_d) AS BIGINT) AS n_detected,
+         CAST(sum(is_d * is_t) AS BIGINT) AS tp
+  FROM j
+)
+SELECT n_truth, n_detected, tp, n_detected - tp AS fp, n_truth - tp AS fn,
+       tp / n_detected AS precision, tp / n_truth AS recall
+FROM agg
+"""
+
+
+SQL_DEDUP_EVAL = _duck_dedup_eval_sql()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- Rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r07,
@@ -9768,6 +9987,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "url_canonical": (q_url_canonical, SQL_URL_CANONICAL),
     "html_strip": (q_html_strip, SQL_HTML_STRIP),
     "blocklist_filter": (q_blocklist_filter, SQL_BLOCKLIST_FILTER),
+    "containment_dup": (q_containment_dup, SQL_CONTAINMENT_DUP),
+    "cross_decontam": (q_cross_decontam, SQL_CROSS_DECONTAM),
+    "dedup_eval": (q_dedup_eval, SQL_DEDUP_EVAL),
     "zipf_slope": (q_zipf_slope, SQL_ZIPF_SLOPE),
     "keyness_llr": (q_keyness_llr, SQL_KEYNESS_LLR),
     "readability": (q_readability, SQL_READABILITY),

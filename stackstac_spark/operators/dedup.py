@@ -1062,3 +1062,188 @@ def incremental_dedup(
         b.join(seen, "fingerprint", "left")
         .select(id_col, "fingerprint", status.alias("status"))
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 2,
+    threshold: float = 0.8,
+    max_shingle_docs: int | None = 1000,
+) -> DataFrame:
+    """Shingle-CONTAINMENT near-duplicate pairs — catches a document whose
+    shingle set is mostly a subset of another's (quote pages, snippet
+    scrapes, partial mirrors), which symmetric Jaccard structurally misses:
+    a 50-word snippet inside a 500-word page has containment ≈ 1.0 but
+    Jaccard ≈ 0.1, below any sane dedup threshold (Broder 1997 defines both
+    resemblance AND containment for exactly this reason).
+
+    Emits each unordered pair once: (id_a < id_b, inter, c_a_in_b =
+    |A∩B|/|A|, c_b_in_a = |A∩B|/|B|), kept when max(c1, c2) ≥ threshold.
+    Ratios are raw IEEE division — oracle-replayable bit-for-bit.
+
+    Scale shape: pair generation is the co-shingle equi-join (shingle-keyed
+    shuffle, never an all-pairs product). ``max_shingle_docs`` drops
+    shingles appearing in more documents than the cap BEFORE the join —
+    the boilerplate guard that keeps a hyper-common shingle ("click here
+    to") from emitting a quadratic bucket, same spirit as
+    ``minhash_lsh_candidates``'s ``max_bucket``; genuinely boilerplate-
+    dominated corpora should run ``boilerplate_lines`` first. Sizes join
+    back by doc id (two hash joins on the already-aggregated pair list).
+    """
+    sh = shingles(df, id_col, text_col, shingle_n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    if max_shingle_docs is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(
+            freq.filter(F.col("df") <= max_shingle_docs).drop("df"),
+            "shingle",
+            "left_semi",
+        )
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            (F.col("inter") / F.col("na")).alias("c_a_in_b"),
+            (F.col("inter") / F.col("nb")).alias("c_b_in_a"),
+        )
+        .filter(F.greatest("c_a_in_b", "c_b_in_a") >= threshold)
+    )
+
+
+def cross_lsh_matches(
+    corpus: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    ref_id_col: str = "ref_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 2,
+    min_est_jaccard: float = 0.0,
+    broadcast_reference: bool = True,
+) -> DataFrame:
+    """Fuzzy CROSS-corpus matches: corpus documents whose MinHash signature
+    collides with a REFERENCE set (eval benchmarks, a blocklist of known
+    texts, an already-trained corpus) in ≥1 LSH band — decontamination by
+    near-duplicate rather than exact 13-gram overlap (the fuzzy
+    complement to ``textstats.ngram_contamination``; Brown et al. 2020
+    dedup eval sets against training data exactly this way).
+
+    Returns (id, ref_id, est_jaccard) where est_jaccard = fraction of the
+    ``num_hashes`` signature entries that agree (the unbiased MinHash
+    estimator), filtered to ≥ ``min_est_jaccard``.
+
+    Scale shape: signatures are computed per side (shingle-keyed agg);
+    the band join is corpus × reference on (band, key). The reference set
+    is a dimension table by construction (eval suites are thousands of
+    docs, the corpus is billions) — ``broadcast_reference`` pins a
+    broadcast hash join so NO corpus-side shuffle happens at all: banding
+    is a map-side explode and the collision check is a map-side probe.
+    The estimator join back to the two signature tables is id-keyed.
+    """
+    if num_hashes % bands:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})"
+        )
+    rows_per_band = num_hashes // bands
+    sig_c = minhash_signatures(corpus, id_col, text_col, num_hashes, shingle_n)
+    sig_r = minhash_signatures(reference, ref_id_col, text_col, num_hashes, shingle_n)
+
+    def _banded(sig: DataFrame, key: str) -> DataFrame:
+        band_structs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(
+                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+        return sig.select(key, F.explode(F.array(*band_structs)).alias("bk")).select(
+            key, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+        )
+
+    bc = _banded(sig_c, id_col)
+    br = _banded(sig_r, ref_id_col)
+    if broadcast_reference:
+        br = F.broadcast(br)
+    cand = (
+        bc.join(br, ["band", "key"])
+        .select(id_col, ref_id_col)
+        .distinct()
+    )
+    agree = sum(
+        F.when(F.col(f"c.h{i}") == F.col(f"r.h{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (
+        cand.join(sig_c.alias("c"), id_col)
+        .join(
+            F.broadcast(sig_r.alias("r")) if broadcast_reference else sig_r.alias("r"),
+            ref_id_col,
+        )
+        .select(
+            id_col,
+            ref_id_col,
+            (agree / F.lit(float(num_hashes))).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+    )
+
+
+def pair_confusion(
+    detected: DataFrame,
+    truth: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """One-row confusion summary of a pair detector against ground-truth
+    pairs: (n_truth, n_detected, tp, fp, fn, precision, recall) — the
+    evaluation harness for any candidate generator (LSH banding, SimHash,
+    winnowing, blocking keys), e.g. for tuning (bands, rows) against a
+    planted-duplicates sample before committing to a full-corpus run.
+
+    Both inputs are canonicalized to unordered distinct pairs first, so
+    orientation and emission multiplicity don't skew the counts. Shape:
+    two distincts + one full outer join on the pair key + one global agg —
+    everything pair-keyed; the output is a single row. Ratios are raw
+    IEEE division (bit-exact for the oracle); an empty side yields NULL
+    precision/recall rather than a fake 0.0.
+    """
+    def _canon(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("pa"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("pb"),
+        ).distinct()
+
+    d = _canon(detected).withColumn("is_d", F.lit(1))
+    t = _canon(truth).withColumn("is_t", F.lit(1))
+    joined = d.join(t, ["pa", "pb"], "full_outer")
+    return joined.agg(
+        F.coalesce(F.sum("is_t"), F.lit(0)).alias("n_truth"),
+        F.coalesce(F.sum("is_d"), F.lit(0)).alias("n_detected"),
+        F.coalesce(F.sum(F.col("is_d") * F.col("is_t")), F.lit(0)).alias("tp"),
+    ).select(
+        "n_truth",
+        "n_detected",
+        "tp",
+        (F.col("n_detected") - F.col("tp")).alias("fp"),
+        (F.col("n_truth") - F.col("tp")).alias("fn"),
+        (F.col("tp") / F.col("n_detected")).alias("precision"),
+        (F.col("tp") / F.col("n_truth")).alias("recall"),
+    )
