@@ -9965,24 +9965,211 @@ FROM agg
 SQL_DEDUP_EVAL = _duck_dedup_eval_sql()
 
 
+def q_percentile_calibration(spark, sf):
+    """Histogram-CDF global percentile estimation (operators/textstats.py::
+    histogram_cdf): every doc's quality score mapped to an approximate
+    global 0..1 percentile via a 32-bin equi-width histogram — the
+    100 TB-safe calibration that replaces an exact global percent_rank
+    (which needs a corpus-wide sort no plan survives). One global (min,
+    max, N) agg broadcast back + one K-row histogram + an explode-based
+    cumulative (no partition-less window, no nested-loop triangle join) +
+    one broadcast equi-join. Raw IEEE arithmetic throughout; the oracle
+    replays the identical formula."""
+    from stackstac_spark.operators.textstats import histogram_cdf
+
+    docs = _t(spark, sf, "documents")
+    return (
+        histogram_cdf(docs.select("doc_id", "source", "n_chars"), "n_chars")
+        .select("doc_id", "source", "n_chars", "pct_est")
+        .orderBy("doc_id")
+    )
+
+
+SQL_PERCENTILE_CALIBRATION = """
+WITH stats AS (
+  SELECT min(CAST(n_chars AS DOUBLE)) AS lo, max(CAST(n_chars AS DOUBLE)) AS hi,
+         count(n_chars) AS n
+  FROM documents
+),
+binned AS (
+  SELECT doc_id, source, n_chars,
+         CASE WHEN hi = lo THEN 0
+              ELSE least(31, CAST(floor((CAST(n_chars AS DOUBLE) - lo)
+                                        / ((hi - lo) / 32.0)) AS INT)) END AS bin,
+         lo, hi, n
+  FROM documents, stats
+),
+hist AS (SELECT bin, count(*) AS cnt FROM binned GROUP BY bin),
+cum AS (
+  SELECT t.t AS bin, sum(h.cnt) AS cum_below
+  FROM hist h, unnest(generate_series(h.bin + 1, 31)) AS t(t)
+  WHERE h.bin < 31
+  GROUP BY t.t
+)
+SELECT b.doc_id, b.source, b.n_chars,
+       (coalesce(c.cum_below, 0)
+        + CASE WHEN b.hi = b.lo THEN 1.0
+               ELSE (CAST(b.n_chars AS DOUBLE) - (b.lo + b.bin * ((b.hi - b.lo) / 32.0)))
+                    / ((b.hi - b.lo) / 32.0) END * h.cnt) / b.n AS pct_est
+FROM binned b JOIN hist h USING (bin) LEFT JOIN cum c USING (bin)
+ORDER BY b.doc_id
+"""
+
+
+def q_raster_aspect(spark, sf):
+    """gdaldem-style slope/aspect (operators/composite.py::slope_aspect):
+    Horn gradient → slope in degrees + compass aspect with the flat
+    sentinel — the terrain products hillshade folds away, exposed
+    directly. Same squared-surface fixture as raster_hillshade (a linear
+    surface has constant gradient; squaring it makes d(v²) = 2v·∇v vary
+    per pixel, exercising atan2's full quadrant range). Gradients rounded
+    (5 dp) before the trig in both engines."""
+    from stackstac_spark.operators.composite import slope_aspect
+
+    st = _raster_stack(spark).sel_bands(["red"])
+    px = st.pixels().withColumn("value", F.col("value") * F.col("value"))
+    return (
+        slope_aspect(px, round_gradient_to=5, round_to=4)
+        .select("item_idx", "row", "col", "slope_deg", "aspect_deg")
+        .orderBy("item_idx", "row", "col")
+    )
+
+
+SQL_RASTER_ASPECT = f"""
+WITH px AS ({_R_PX64}), it AS ({_R_ITEMS}),
+cov AS (
+  SELECT row, col, item,
+         (item*1000 + row*0.001 + col*0.000001) * (item*1000 + row*0.001 + col*0.000001) AS value
+  FROM px, it WHERE {_R_COVER}
+),
+offs(dy, dx, wx, wy) AS (VALUES
+  (-1,-1,-1.0,-1.0), (-1,0,0.0,-2.0), (-1,1,1.0,-1.0),
+  (0,-1,-2.0,0.0),                    (0,1,2.0,0.0),
+  (1,-1,-1.0,1.0),   (1,0,0.0,2.0),   (1,1,1.0,1.0)),
+grad AS (
+  SELECT t.item, t.row, t.col,
+         round(sum(o.wx * s.value) / 8.0, 5) AS gx,
+         round(sum(o.wy * s.value) / 8.0, 5) AS gy,
+         count(*) AS n
+  FROM cov t CROSS JOIN offs o
+  JOIN cov s ON s.item = t.item AND s.row = t.row + o.dy AND s.col = t.col + o.dx
+  GROUP BY t.item, t.row, t.col
+)
+SELECT item AS item_idx, row, col,
+       round(degrees(atan(sqrt(gx*gx + gy*gy))), 4) AS slope_deg,
+       round(CASE WHEN gx = 0 AND gy = 0 THEN -1.0
+                  WHEN degrees(atan2(gy, -gx)) < 0 THEN degrees(atan2(gy, -gx)) + 360.0
+                  ELSE degrees(atan2(gy, -gx)) END, 4) AS aspect_deg
+FROM grad WHERE n = 8 ORDER BY item_idx, row, col
+"""
+
+
+def q_lsh_tuning(spark, sf):
+    """LSH S-curve tuning (operators/dedup.py::lsh_tuning_curve): empirical
+    detection rate per (bands, rows) config over planted pairs at four
+    controlled similarity levels, next to the analytic 1-(1-j^r)^b curve
+    at each pair's EXACT Jaccard — the calibration table that picks (b, r)
+    before a full-corpus dedup run. One 8-hash signature table re-sliced
+    three ways (b8r1 / b4r2 / b2r4); variants are prefix fractions
+    f ∈ {0.3, 0.5, 0.7, 0.9} of every 9th doc, so shingle-subset Jaccard
+    lands near f. Integer sim buckets (floor(10j)) — no float group keys."""
+    from stackstac_spark.operators.dedup import lsh_tuning_curve
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    t = F.split(F.col("text"), " ")
+    fidx = F.floor(F.col("doc_id") / F.lit(9.0)) % 4
+    frac = (F.lit(3.0) + F.lit(2.0) * fidx) / F.lit(10.0)
+    variants = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                t, 1, F.greatest(F.lit(1), F.floor(F.size(t) * frac).cast("int"))
+            ),
+            " ",
+        ).alias("text"),
+    )
+    aug = docs.union(variants)
+    truth = docs.filter(F.col("doc_id") % 9 == 0).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 200000).alias("id_b")
+    )
+    return lsh_tuning_curve(aug, truth).orderBy("config", "sim_bucket")
+
+
+def _duck_lsh_tuning_sql(num_hashes: int = 8) -> str:
+    mins = ", ".join(f"min(md5('{i}:' || sh)) AS h{i}" for i in range(num_hashes))
+    config_selects = []
+    for b, r in ((8, 1), (4, 2), (2, 4)):
+        bands = " OR ".join(
+            "("
+            + " AND ".join(f"sa.h{bi * r + k} = sb.h{bi * r + k}" for k in range(r))
+            + ")"
+            for bi in range(b)
+        )
+        config_selects.append(
+            f"SELECT 'b{b}r{r}' AS config, p.id_a, p.id_b, p.jaccard, "
+            f"CASE WHEN {bands} THEN 1 ELSE 0 END AS det, "
+            f"1.0 - pow(1.0 - pow(p.jaccard, {float(r)!r}), {float(b)!r}) AS analytic "
+            f"FROM jp p JOIN sig sa ON sa.doc_id = p.id_a JOIN sig sb ON sb.doc_id = p.id_b"
+        )
+    unioned = " UNION ALL ".join(config_selects)
+    return f"""
+WITH variants AS (
+  SELECT odid + 200000 AS doc_id,
+         array_to_string(t[1:greatest(1, CAST(floor(len(t) *
+           ((3.0 + 2.0 * (CAST(floor(odid / 9.0) AS BIGINT) % 4)) / 10.0)) AS INT))], ' ') AS text
+  FROM (SELECT doc_id AS odid, string_split(text, ' ') AS t FROM documents)
+  WHERE odid % 9 = 0
+),
+aug AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM variants),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS sh
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM aug),
+       unnest(generate_series(1, len(t) - 1)) AS u(i)
+),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+truth AS (SELECT doc_id AS id_a, doc_id + 200000 AS id_b FROM documents WHERE doc_id % 9 = 0),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT t.id_a, t.id_b, count(*) AS inter
+  FROM truth t JOIN sh a ON a.doc_id = t.id_a JOIN sh b ON b.doc_id = t.id_b AND b.sh = a.sh
+  GROUP BY t.id_a, t.id_b
+),
+jp AS (
+  SELECT i.id_a, i.id_b, i.inter / (sa.n + sb.n - i.inter) AS jaccard
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b
+),
+scored AS ({unioned})
+SELECT config, CAST(floor(jaccard * 10) AS INT) AS sim_bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(det) AS BIGINT) AS n_detected,
+       sum(det) / count(*) AS emp_rate,
+       round(avg(analytic), 4) AS mean_analytic
+FROM scored GROUP BY config, sim_bucket ORDER BY config, sim_bucket
+"""
+
+
+SQL_LSH_TUNING = _duck_lsh_tuning_sql()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- Rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r07,
     # --- 50/50 green). Slots 1-50 prioritize NEVER-GRADED entries,
-    # --- newest wave first: the 4 r8 gates (cc_star .. blocklist_filter),
+    # --- newest wave first: the 10 r8 gates (cc_star .. lsh_tuning),
     # --- the 12 prior new gates (zipf_slope .. stream_upsert), the 25
-    # --- prior-wave oracle gates (hll_distinct .. rendezvous_shards), the
-    # --- 7 model-fit gates (kcenter_coreset .. mad_outliers), and the
-    # --- first 2 of the layout/join wave (zorder_cluster, bucketed_join)
-    # --- fill exactly 50. The remaining never-graded entries
-    # --- (salted_join, bpe_pair_counts, raster_hillshade,
-    # --- label_propagation, raster_resample_cubic, hash_sample,
-    # --- stratified_sample, multimodal_frames) head the next window;
-    # --- everything below stays hash-checked every CI run by
-    # --- tests/test_past_window_mirror.py + scripts/check_correctness.py.
-    # --- The rows-only stream_sessions / bpe_merges / bpe_encode sit past
-    # --- the window (window slots stay fully oracle-backed per the
-    # --- driver-contract test), pytest-covered end-to-end.
+    # --- prior-wave oracle gates (hll_distinct .. rendezvous_shards), and
+    # --- the first 3 model-fit gates (kcenter_coreset, quality_logreg,
+    # --- cms_frequency) fill exactly 50. The remaining never-graded
+    # --- entries (ols_trend, ewma_smooth, quality_calibration,
+    # --- mad_outliers, zorder_cluster, bucketed_join, salted_join,
+    # --- bpe_pair_counts, raster_hillshade, label_propagation,
+    # --- raster_resample_cubic, hash_sample, stratified_sample,
+    # --- multimodal_frames) head the next window; everything below stays
+    # --- hash-checked every CI run by tests/test_past_window_mirror.py +
+    # --- scripts/check_correctness.py. The rows-only stream_sessions /
+    # --- bpe_merges / bpe_encode sit past the window (window slots stay
+    # --- fully oracle-backed per the driver-contract test),
+    # --- pytest-covered end-to-end.
     "cc_star": (q_cc_star, SQL_CC_STAR),
     "url_canonical": (q_url_canonical, SQL_URL_CANONICAL),
     "html_strip": (q_html_strip, SQL_HTML_STRIP),
@@ -9990,6 +10177,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "containment_dup": (q_containment_dup, SQL_CONTAINMENT_DUP),
     "cross_decontam": (q_cross_decontam, SQL_CROSS_DECONTAM),
     "dedup_eval": (q_dedup_eval, SQL_DEDUP_EVAL),
+    "percentile_calibration": (q_percentile_calibration, SQL_PERCENTILE_CALIBRATION),
+    "raster_aspect": (q_raster_aspect, SQL_RASTER_ASPECT),
+    "lsh_tuning": (q_lsh_tuning, SQL_LSH_TUNING),
     "zipf_slope": (q_zipf_slope, SQL_ZIPF_SLOPE),
     "keyness_llr": (q_keyness_llr, SQL_KEYNESS_LLR),
     "readability": (q_readability, SQL_READABILITY),

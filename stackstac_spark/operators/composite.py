@@ -483,6 +483,53 @@ def hillshade(
     return g.select(*keys, "row", "col", shade.alias("shade"))
 
 
+def slope_aspect(
+    pixels: DataFrame,
+    z_factor: float = 1.0,
+    cellsize_x: float = 1.0,
+    cellsize_y: float = 1.0,
+    keys: list[str] | None = None,
+    round_gradient_to: int | None = None,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """gdaldem-style slope (degrees) + aspect (compass degrees) — the two
+    terrain products :func:`hillshade` folds away into one shade value,
+    exposed directly (gdaldem slope/aspect modes; Horn 1981 kernel via
+    :func:`focal_gradient`):
+
+        slope_deg  = degrees(atan(z · sqrt(dzdx² + dzdy²)))
+        aspect_deg = degrees(atan2(dzdy, -dzdx)) wrapped to [0, 360)
+                     (GDAL's formula: 0 = north, clockwise); FLAT cells
+                     (both gradients exactly 0) emit aspect −1.0, the
+                     conventional flat sentinel (GDAL uses −9999 by
+                     default; −1 matches its ``-zero_for_flat``-adjacent
+                     behavior and keeps the column finite)
+
+    Same map-only scatter/aggregate shape as the gradient (one explode +
+    one hash agg, no joins); ``round_gradient_to`` rounds dzdx/dzdy BEFORE
+    the trig for cross-engine replay (a last-ulp float-sum difference
+    must not flip the rounded output). Returns keys + (row, col,
+    slope_deg, aspect_deg).
+    """
+    g = focal_gradient(
+        pixels, cellsize_x, cellsize_y, keys=keys, round_to=round_gradient_to
+    )
+    if keys is None:
+        keys = [c for c in ("item_idx", "band_idx") if c in g.columns]
+    gx, gy = F.col("dzdx"), F.col("dzdy")
+    slope_deg = F.degrees(F.atan(F.lit(float(z_factor)) * F.sqrt(gx * gx + gy * gy)))
+    raw = F.degrees(F.atan2(gy, -gx))
+    aspect_deg = F.when((gx == 0.0) & (gy == 0.0), F.lit(-1.0)).otherwise(
+        F.when(raw < 0.0, raw + 360.0).otherwise(raw)
+    )
+    if round_to is not None:
+        slope_deg = F.round(slope_deg, round_to)
+        aspect_deg = F.round(aspect_deg, round_to)
+    return g.select(
+        *keys, "row", "col", slope_deg.alias("slope_deg"), aspect_deg.alias("aspect_deg")
+    )
+
+
 def interp_na_time(
     pixels: DataFrame,
     dim_values: list,

@@ -1247,3 +1247,97 @@ def pair_confusion(
         (F.col("tp") / F.col("n_detected")).alias("precision"),
         (F.col("tp") / F.col("n_truth")).alias("recall"),
     )
+
+
+def lsh_tuning_curve(
+    df: DataFrame,
+    truth_pairs: DataFrame,
+    num_hashes: int = 8,
+    configs: tuple[tuple[int, int], ...] = ((8, 1), (4, 2), (2, 4)),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 2,
+    round_to: int = 4,
+) -> DataFrame:
+    """Empirical vs analytic LSH detection rates per (bands, rows) config
+    over labeled ground-truth pairs — the S-curve tuner run before
+    committing a (b, r) choice to a full-corpus dedup pass (Leskovec/
+    Rajaraman/Ullman ch. 3: P(detect | jaccard j) = 1 − (1 − j^r)^b).
+
+    For each config sharing ONE ``num_hashes``-entry signature table
+    (b · r must equal num_hashes for every config — signatures are the
+    expensive artifact; the whole point is re-slicing them instead of
+    re-hashing), each truth pair is scored
+    detected = OR over bands of (all r signature entries agree), bucketed
+    by its EXACT shingle Jaccard (floor(j·10), an integer key — no float
+    group-by), and aggregated to (config, sim_bucket, n_pairs, n_detected,
+    emp_rate, mean_analytic) where mean_analytic averages the closed-form
+    curve at each pair's exact j.
+
+    Scale shape: one signature agg + one exact-Jaccard pass RESTRICTED to
+    the labeled pairs (id-keyed semi-joins — the label set is a sample,
+    never the corpus), two id-keyed joins to attach signatures, then a
+    per-config map + one small agg. Nothing pairwise beyond the labels.
+    """
+    for b, r in configs:
+        if b * r != num_hashes:
+            raise ValueError(
+                f"config ({b},{r}): b*r must equal num_hashes ({num_hashes}) "
+                "so every config re-slices the same signature table"
+            )
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    sa = sig.select(
+        F.col(id_col).alias("id_a"), *[F.col(f"h{i}").alias(f"ha{i}") for i in range(num_hashes)]
+    )
+    sb = sig.select(
+        F.col(id_col).alias("id_b"), *[F.col(f"h{i}").alias(f"hb{i}") for i in range(num_hashes)]
+    )
+    jac = jaccard_similarity(
+        df, pairs=truth_pairs, id_col=id_col, text_col=text_col, shingle_n=shingle_n
+    )
+    base = (
+        truth_pairs.select("id_a", "id_b")
+        .join(jac, ["id_a", "id_b"])
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+    )
+    per_config = []
+    for b, r in configs:
+        band_ok = [
+            _all_of([F.col(f"ha{bi * r + k}") == F.col(f"hb{bi * r + k}") for k in range(r)])
+            for bi in range(b)
+        ]
+        detected = F.when(_any_of(band_ok), 1).otherwise(0)
+        j = F.col("jaccard")
+        analytic = 1.0 - F.pow(1.0 - F.pow(j, F.lit(float(r))), F.lit(float(b)))
+        per_config.append(
+            base.select(
+                F.lit(f"b{b}r{r}").alias("config"),
+                F.floor(j * 10).cast("int").alias("sim_bucket"),
+                detected.alias("det"),
+                analytic.alias("analytic"),
+            )
+        )
+    from functools import reduce as _reduce
+
+    allc = _reduce(lambda x, y: x.unionAll(y), per_config)
+    return allc.groupBy("config", "sim_bucket").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("det").alias("n_detected"),
+        (F.sum("det") / F.count(F.lit(1))).alias("emp_rate"),
+        F.round(F.avg("analytic"), round_to).alias("mean_analytic"),
+    )
+
+
+def _all_of(cols):
+    out = cols[0]
+    for c in cols[1:]:
+        out = out & c
+    return out
+
+
+def _any_of(cols):
+    out = cols[0]
+    for c in cols[1:]:
+        out = out | c
+    return out

@@ -1098,3 +1098,86 @@ def token_gini(
         .withColumnRenamed("grp", by)
         .orderBy(by)
     )
+
+
+def histogram_cdf(
+    df: DataFrame,
+    score_col: str,
+    bins: int = 32,
+    out_col: str = "pct_est",
+) -> DataFrame:
+    """Approximate global percentile of every row's score via a fixed-K
+    equi-width histogram — cross-domain score CALIBRATION (map raw quality
+    scores onto one comparable 0..1 scale) without the global sort/window
+    that an exact percent_rank needs and that no 100 TB plan survives.
+
+    pct_est(v) = (count strictly below v's bin + within-bin linear
+    interpolation · bin count) / N — the classic histogram-CDF estimate;
+    max error is bounded by the largest bin's mass. All raw IEEE
+    arithmetic (oracle-replayable bit-for-bit).
+
+    Plan shape, deliberately window- and nested-loop-free: one global
+    (min, max, N) aggregate broadcast back; one K-row bin-count aggregate;
+    the cumulative-below table via an ``explode(sequence(bin+1, K-1))``
+    re-aggregation of the K-row histogram (NOT a triangle non-equi
+    self-join, which would plan as BroadcastNestedLoopJoin, and NOT a
+    partition-less window — both are audit-flagged shapes); then one
+    broadcast equi-join back onto the rows. Null scores pass through with
+    a null estimate; a constant column (hi == lo) maps everything to bin 0
+    with pct_est = 1.0 · row fraction below-or-at = N-weighted 1.0.
+    """
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    v = F.col(score_col).cast("double")
+    stats = df.agg(
+        F.min(v).alias("__lo"),
+        F.max(v).alias("__hi"),
+        F.count(v).alias("__n"),
+    )
+    w = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
+    binned = (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__bin",
+            F.when(v.isNull(), F.lit(None).cast("int"))
+            .when(F.col("__hi") == F.col("__lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(bins - 1),
+                    F.floor((v - F.col("__lo")) / w).cast("int"),
+                )
+            ),
+        )
+    )
+    hist = (
+        binned.filter(F.col("__bin").isNotNull())
+        .groupBy("__bin")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    # cum_below[t] = Σ cnt over bins < t, via explode of each bin's
+    # "I am below t" targets — K·K/2 tiny rows, all equi-keyed
+    cum = (
+        # the < bins-1 filter matters: Spark's sequence(start, stop) REVERSES
+        # when start > stop, so the last bin would otherwise emit itself
+        hist.filter(F.col("__bin") < bins - 1)
+        .select(
+            F.explode(F.sequence(F.col("__bin") + 1, F.lit(bins - 1))).alias("__bin"),
+            F.col("__cnt").alias("__below"),
+        )
+        .groupBy("__bin")
+        .agg(F.sum("__below").alias("__cum_below"))
+    )
+    enriched = (
+        binned.join(F.broadcast(hist), "__bin", "left")
+        .join(F.broadcast(cum), "__bin", "left")
+        .fillna({"__cum_below": 0})
+    )
+    frac = F.when(
+        F.col("__hi") == F.col("__lo"), F.lit(1.0)
+    ).otherwise((v - (F.col("__lo") + F.col("__bin") * w)) / w)
+    pct = F.when(
+        v.isNull(), F.lit(None).cast("double")
+    ).otherwise((F.col("__cum_below") + frac * F.col("__cnt")) / F.col("__n"))
+    return enriched.withColumn(out_col, pct).drop(
+        "__lo", "__hi", "__n", "__bin", "__cnt", "__cum_below"
+    )
