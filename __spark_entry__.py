@@ -10151,6 +10151,179 @@ FROM scored GROUP BY config, sim_bucket ORDER BY config, sim_bucket
 SQL_LSH_TUNING = _duck_lsh_tuning_sql()
 
 
+# ---------------------------------------------------------------------------
+# r8 wave 4: sparse APSS, phrase blocklist, Neyman allocation
+
+
+def q_sparse_knn(spark, sf):
+    """Sparse-vector all-pairs similarity search (operators/textstats.py::
+    sparse_cosine_topk; Bayardo et al. 2007): per-doc top-3 lexical
+    neighbors over L2-normalized TF-IDF vectors via an inverted-index
+    term join — no embeddings. df > 200 terms pruned (near-zero IDF,
+    quadratic fan-out), vectors truncated to their 10 heaviest coordinates
+    (exact-deterministic: within a doc the ordering never involves a float
+    SUM), partial dot products rounded before ranking with id tiebreak."""
+    from stackstac_spark.operators.textstats import sparse_cosine_topk
+
+    docs = _t(spark, sf, "documents")
+    return sparse_cosine_topk(docs, k=3, top_terms=10, max_df=200).orderBy(
+        "query_id", "rank"
+    )
+
+
+SQL_SPARSE_KNN = r"""
+WITH tok AS (
+  SELECT doc_id, t.t AS term
+  FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS t(t)
+  WHERE t.t <> ''
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term HAVING count(*) <= 200
+),
+w AS (
+  SELECT doc_id, term, tf * ln(CAST(n_docs AS DOUBLE) / df) AS w
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+wn AS (
+  SELECT w.doc_id, term, w / nrm AS wn,
+         row_number() OVER (PARTITION BY w.doc_id ORDER BY w / nrm DESC, term) AS r
+  FROM w JOIN norms ON norms.doc_id = w.doc_id
+),
+trunc AS (SELECT doc_id, term, wn FROM wn WHERE r <= 10),
+sims AS (
+  SELECT a.doc_id AS query_id, b.doc_id AS match_id,
+         round(sum(a.wn * b.wn), 6) AS sim
+  FROM trunc a JOIN trunc b ON a.term = b.term AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+ranked AS (
+  SELECT query_id, match_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, match_id) AS rank
+  FROM sims
+)
+SELECT query_id, match_id, sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
+"""
+
+
+def q_phrase_blocklist(spark, sf):
+    """Multi-word phrase screening (operators/webtext.py::
+    phrase_blocklist_hits): positional n-gram match per phrase LENGTH
+    against a broadcast phrase dimension — the boilerplate-phrase detector
+    single-token blocklists can't express. Fixture phrases: the corpus's
+    own top-3 bigrams + top-3 trigrams (freq desc / phrase asc). Overlap-
+    inclusive counts; zero-hit docs survive via the left join."""
+    from stackstac_spark.operators.webtext import phrase_blocklist_hits
+
+    docs = _t(spark, sf, "documents")
+
+    def _top_ngrams(n: int, k: int):
+        t = docs.select(F.split(F.lower("text"), r"\s+").alias("t")).filter(
+            F.size("t") >= n
+        )
+        g = t.select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(t) - {n}), "
+                    f"i -> concat_ws(' ', slice(t, i + 1, {n})))"
+                )
+            ).alias("phrase")
+        )
+        return (
+            g.groupBy("phrase")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .orderBy(F.desc("freq"), "phrase")
+            .limit(k)
+            .select("phrase")
+        )
+
+    phrases = _top_ngrams(2, 3).unionAll(_top_ngrams(3, 3))
+    return phrase_blocklist_hits(docs, phrases).orderBy("doc_id")
+
+
+SQL_PHRASE_BLOCKLIST = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+),
+g2 AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS p
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+),
+g3 AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS p
+  FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+),
+top2 AS (
+  SELECT p FROM (SELECT p, count(*) AS f FROM g2 GROUP BY p)
+  ORDER BY f DESC, p LIMIT 3
+),
+top3 AS (
+  SELECT p FROM (SELECT p, count(*) AS f FROM g3 GROUP BY p)
+  ORDER BY f DESC, p LIMIT 3
+),
+hits AS (
+  SELECT doc_id, p FROM g2 JOIN top2 USING (p)
+  UNION ALL
+  SELECT doc_id, p FROM g3 JOIN top3 USING (p)
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_phrase_hits,
+         count(DISTINCT p) AS n_distinct_phrases
+  FROM hits GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_phrase_hits, 0) AS BIGINT) AS n_phrase_hits,
+       CAST(coalesce(a.n_distinct_phrases, 0) AS BIGINT) AS n_distinct_phrases
+FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
+"""
+
+
+def q_neyman_sample(spark, sf):
+    """Neyman-allocation stratified sampling (operators/sampling.py::
+    neyman_sample; Neyman 1934): a 100-doc budget split across sources
+    ∝ N_h·σ_h (the variance-minimizing allocation), floor arithmetic and
+    a pre-rounded σ so the allocation is engine-exact, survivors by
+    deterministic md5 order. One tiny moments agg broadcast back + one
+    stratum window."""
+    from stackstac_spark.operators.sampling import neyman_sample
+
+    docs = _t(spark, sf, "documents")
+    return neyman_sample(docs, budget=100, value_col="n_chars").select(
+        "doc_id", "source", "n_stratum", "sd", "alloc", "strat_rank"
+    ).orderBy("source", "strat_rank")
+
+
+SQL_NEYMAN_SAMPLE = """
+WITH stats AS (
+  SELECT source, count(*) AS n_stratum,
+         round(coalesce(stddev_pop(n_chars), 0.0), 6) AS sd
+  FROM documents GROUP BY source
+),
+tot AS (SELECT sum(n_stratum * sd) AS t FROM stats),
+alloc AS (
+  SELECT source, n_stratum, sd,
+         CASE WHEN t > 0 THEN least(n_stratum,
+                greatest(1, CAST(floor(100.0 * (n_stratum * sd) / t) AS BIGINT)))
+              ELSE 0 END AS alloc
+  FROM stats CROSS JOIN tot
+),
+ranked AS (
+  SELECT d.doc_id, d.source,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS strat_rank
+  FROM documents d
+)
+SELECT r.doc_id, r.source, CAST(a.n_stratum AS BIGINT) AS n_stratum, a.sd,
+       CAST(a.alloc AS BIGINT) AS alloc, CAST(r.strat_rank AS INT) AS strat_rank
+FROM ranked r JOIN alloc a USING (source)
+WHERE r.strat_rank <= a.alloc
+ORDER BY r.source, r.strat_rank
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- Rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r07,
@@ -10180,6 +10353,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "percentile_calibration": (q_percentile_calibration, SQL_PERCENTILE_CALIBRATION),
     "raster_aspect": (q_raster_aspect, SQL_RASTER_ASPECT),
     "lsh_tuning": (q_lsh_tuning, SQL_LSH_TUNING),
+    "sparse_knn": (q_sparse_knn, SQL_SPARSE_KNN),
+    "phrase_blocklist": (q_phrase_blocklist, SQL_PHRASE_BLOCKLIST),
+    "neyman_sample": (q_neyman_sample, SQL_NEYMAN_SAMPLE),
     "zipf_slope": (q_zipf_slope, SQL_ZIPF_SLOPE),
     "keyness_llr": (q_keyness_llr, SQL_KEYNESS_LLR),
     "readability": (q_readability, SQL_READABILITY),

@@ -248,3 +248,70 @@ def importance_sample(
     )
     p = F.least(F.lit(1.0), F.lit(float(rate)) * F.col(weight_col))
     return df.filter(coin < p)
+
+
+def neyman_sample(
+    df: DataFrame,
+    budget: int,
+    value_col: str,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    round_sd_to: int = 6,
+) -> DataFrame:
+    """Neyman-allocation stratified sampling: the ``budget`` is split across
+    strata proportionally to N_h·σ_h (stratum size × score spread), the
+    allocation that minimizes the variance of the stratified mean estimator
+    (Neyman 1934) — where proportional allocation oversamples homogeneous
+    strata and starves variable ones.
+
+    n_h = min(N_h, max(1, ⌊budget · N_hσ_h / Σ N_hσ_h⌋)) — floor, never
+    round-half, so the arithmetic is engine-exact; σ is population stddev
+    ROUNDED to ``round_sd_to`` before the allocation for the same reason
+    (float-sum order must not flip an allocation). Within each stratum the
+    survivors are the first n_h rows by deterministic md5(id) order.
+
+    Scale shape: one tiny per-stratum moments aggregate (count + stddev_pop,
+    map-side combinable) broadcast back, one global Σ N_hσ_h (a one-row
+    cross join), one stratum-keyed window for the rank — the same single
+    wide exchange every stratified sampler pays. Output keeps all input
+    columns plus (n_stratum, sd, alloc, strat_rank).
+    """
+    from pyspark.sql import Window
+
+    stats = df.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).alias("n_stratum"),
+        F.round(
+            F.coalesce(F.stddev_pop(value_col), F.lit(0.0)), round_sd_to
+        ).alias("sd"),
+    )
+    tot = stats.agg(
+        F.sum(F.col("n_stratum") * F.col("sd")).alias("__tot")
+    )
+    alloc = (
+        stats.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "alloc",
+            F.when(F.col("__tot") > 0,
+                F.least(
+                    F.col("n_stratum"),
+                    F.greatest(
+                        F.lit(1),
+                        F.floor(
+                            F.lit(float(budget))
+                            * (F.col("n_stratum") * F.col("sd"))
+                            / F.col("__tot")
+                        ),
+                    ),
+                ),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("__tot")
+    )
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.join(F.broadcast(alloc), stratum_col)
+        .withColumn("strat_rank", F.row_number().over(w))
+        .filter(F.col("strat_rank") <= F.col("alloc"))
+    )

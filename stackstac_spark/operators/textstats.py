@@ -1181,3 +1181,81 @@ def histogram_cdf(
     return enriched.withColumn(out_col, pct).drop(
         "__lo", "__hi", "__n", "__bin", "__cnt", "__cum_below"
     )
+
+
+def sparse_cosine_topk(
+    df: DataFrame,
+    k: int = 5,
+    top_terms: int = 20,
+    max_df: int | None = 10_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """All-pairs sparse-vector similarity search (APSS) over TF-IDF document
+    vectors via an inverted-index join — top-k most similar documents per
+    document WITHOUT embeddings: the classic Bayardo et al. 2007 shape, and
+    the lexical complement to ``similarity.cosine_topk``'s dense path.
+
+    Pipeline (all relational):
+
+    1. token counts → per-term document frequency → smoothed IDF
+       ``ln(N / df)``; terms with df > ``max_df`` are dropped — stopword-
+       class terms contribute near-zero IDF weight but QUADRATIC join
+       fan-out, the classic APSS explosion (at web scale this prune is the
+       difference between feasible and not),
+    2. L2-normalize each doc's TF-IDF vector, keep only its ``top_terms``
+       heaviest coordinates (weight desc, term asc — deterministic) — the
+       standard index-truncation bound on per-term posting fan-out,
+    3. term-keyed self-join accumulates partial dot products per pair
+       (sim of the TRUNCATED vectors — a documented lower bound on the
+       full cosine), then per-doc top-k by (rounded sim desc, other id):
+       partial sums arrive in arbitrary order, so the score is rounded
+       BEFORE ranking and the id tiebreak makes top-k reproducible
+       bit-for-bit on any engine.
+
+    Emits both directions (query_id, match_id, sim) — each doc gets its
+    own top-k list, like a kNN index lookup.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+        ).alias("term"),
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(id_col).distinct().count()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("df") <= max_df)
+    w = tf.join(dfreq, "term").select(
+        id_col,
+        "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("w"),
+    )
+    norms = w.groupBy(id_col).agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    from pyspark.sql import Window
+
+    wn = w.join(norms, id_col).select(
+        id_col, "term", (F.col("w") / F.col("nrm")).alias("wn")
+    )
+    rk = Window.partitionBy(id_col).orderBy(F.desc("wn"), "term")
+    trunc = (
+        wn.withColumn("__r", F.row_number().over(rk))
+        .filter(F.col("__r") <= top_terms)
+        .drop("__r")
+    )
+    a = trunc.select(F.col(id_col).alias("query_id"), "term", F.col("wn").alias("wa"))
+    b = trunc.select(F.col(id_col).alias("match_id"), "term", F.col("wn").alias("wb"))
+    sims = (
+        a.join(b, "term")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .groupBy("query_id", "match_id")
+        .agg(F.round(F.sum(F.col("wa") * F.col("wb")), round_to).alias("sim"))
+    )
+    topw = Window.partitionBy("query_id").orderBy(F.desc("sim"), "match_id")
+    return (
+        sims.withColumn("__r", F.row_number().over(topw))
+        .filter(F.col("__r") <= k)
+        .select("query_id", "match_id", "sim", F.col("__r").alias("rank"))
+    )

@@ -32,6 +32,7 @@ __all__ = [
     "domain_cap",
     "strip_html",
     "blocklist_hits",
+    "phrase_blocklist_hits",
     "TRACKING_PARAM_RE",
     "TWO_LEVEL_SUFFIXES",
 ]
@@ -214,4 +215,79 @@ def blocklist_hits(
             (F.col("n_hits") / F.col("n_tokens")).alias("hit_ratio"),
             (F.col("n_hits") / F.col("n_tokens") <= max_ratio).alias("keep"),
         )
+    )
+
+
+def phrase_blocklist_hits(
+    df: DataFrame,
+    phrases: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    phrase_col: str = "phrase",
+    max_phrase_words: int = 4,
+) -> DataFrame:
+    """Multi-word phrase screening — the phrase-level counterpart to
+    :func:`blocklist_hits` (single tokens can't express "click here" or
+    "all rights reserved", the phrases that actually mark boilerplate/spam).
+
+    Matching is by word n-gram equality per phrase LENGTH: documents emit
+    n-grams only for the lengths that actually occur in the phrase table
+    (computed from the broadcast table itself), each n-gram stream joins
+    the equal-length phrase subset, and hits aggregate per doc. Occurrences
+    are counted positionally (overlaps included), like a scanning matcher
+    would.
+
+    Scale shape: the phrase table is a dimension — broadcast join per
+    length; the n-gram explode is the only data-sized cost (Σ lengths ×
+    tokens), and lengths absent from the table cost nothing. Zero-hit docs
+    survive via the left join back onto input ids. ``max_phrase_words``
+    guards against a degenerate table exploding the corpus (a 40-word
+    "phrase" would 40× the scan) — longer entries raise.
+    """
+    plen = phrases.select(
+        F.col(phrase_col).alias("p"),
+        F.size(F.split(F.col(phrase_col), " ")).alias("n"),
+    )
+    lengths = sorted(
+        r["n"] for r in plen.select("n").distinct().collect()
+    )
+    if lengths and lengths[-1] > max_phrase_words:
+        raise ValueError(
+            f"phrase table contains a {lengths[-1]}-word phrase; "
+            f"max_phrase_words={max_phrase_words} (each extra word multiplies "
+            "the corpus-side n-gram explode)"
+        )
+    toks = df.select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), r"\s+").alias("t")
+    )
+    hits = None
+    for n in lengths:
+        grams = toks.filter(F.size("t") >= n).select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(t) - {n}), "
+                    f"i -> concat_ws(' ', slice(t, i + 1, {n})))"
+                )
+            ).alias("p"),
+        )
+        h = grams.join(
+            F.broadcast(plen.filter(F.col("n") == n).select("p")), "p"
+        ).select(id_col, "p")
+        hits = h if hits is None else hits.unionAll(h)
+    base = df.select(id_col)
+    if hits is None:
+        return base.select(
+            id_col,
+            F.lit(0).cast("long").alias("n_phrase_hits"),
+            F.lit(0).cast("long").alias("n_distinct_phrases"),
+        )
+    agg = hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_phrase_hits"),
+        F.countDistinct("p").alias("n_distinct_phrases"),
+    )
+    return (
+        base.join(agg, id_col, "left")
+        .fillna({"n_phrase_hits": 0, "n_distinct_phrases": 0})
+        .select(id_col, "n_phrase_hits", "n_distinct_phrases")
     )
