@@ -10324,6 +10324,152 @@ ORDER BY r.source, r.strat_rank
 """
 
 
+def q_image_neardup(spark, sf):
+    """Visual near-duplicate detection (operators/multimodal.py::
+    average_hash + hamming_near_dups): deterministic raw-RGB24 decode →
+    integer aHash (grid block sums vs global sum — NO float means, so the
+    oracle replays every bit) → Hamming LSH over the four 16-bit hash
+    words (word-keyed equi-joins, never an image cross product) → exact
+    bit_count verify. Fixture plants a perturbed variant (+64 on every
+    101st payload byte) of every 4th image; variants land a few bits from
+    their source, unrelated images ~32 bits apart."""
+    from stackstac_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        average_hash,
+        fake_payload,
+        hamming_near_dups,
+    )
+    from stackstac_spark.session import local_df
+
+    rows = []
+    for i in range(16):
+        rows.append((i, "image", "image/fake", 32, 24, 1, fake_payload(i)))
+        if i % 4 == 0:
+            base = bytearray(fake_payload(i))
+            for k in range(0, 997, 101):
+                base[k] = (base[k] + 64) % 256
+            rows.append((100 + i, "image", "image/fake", 32, 24, 1, bytes(base)))
+    media = local_df(spark, rows, MEDIA_SCHEMA)
+    hashes = average_hash(media)
+    return hamming_near_dups(hashes, max_hamming=8).orderBy("id_a", "id_b")
+
+
+SQL_IMAGE_NEARDUP = """
+WITH ids AS (
+  SELECT i.g AS mid, i.g AS oid, FALSE AS var FROM generate_series(0, 15) i(g)
+  UNION ALL
+  SELECT 100 + i.g, i.g, TRUE FROM generate_series(0, 15) i(g) WHERE i.g % 4 = 0
+),
+px AS (
+  SELECT mid, oid, var, r.g AS r, c.g AS c,
+         ((r.g * 32 + c.g) * 3 + ch.g) % 997 AS k
+  FROM ids,
+       generate_series(0, 23) r(g), generate_series(0, 31) c(g),
+       generate_series(0, 2) ch(g)
+),
+bytes AS (
+  SELECT mid, r, c,
+         CASE WHEN var AND k % 101 = 0
+              THEN (((oid + 3) * (41 * k + (k % 7) * 29 + 17)) % 256 + 64) % 256
+              ELSE ((oid + 3) * (41 * k + (k % 7) * 29 + 17)) % 256 END AS v
+  FROM px
+),
+gray AS (SELECT mid, r, c, sum(v) AS g FROM bytes GROUP BY mid, r, c),
+blocks AS (
+  SELECT mid, r // 3 AS br, c // 4 AS bc, sum(g) AS bs
+  FROM gray GROUP BY mid, r // 3, c // 4
+),
+tot AS (SELECT mid, sum(bs) AS t FROM blocks GROUP BY mid),
+bits AS (
+  SELECT b.mid, br * 8 + bc AS bidx,
+         CASE WHEN bs * 64 > t THEN 1 ELSE 0 END AS bit
+  FROM blocks b JOIN tot USING (mid)
+),
+words AS (
+  SELECT mid, bidx // 16 AS wi,
+         CAST(sum(bit * (1 << (bidx % 16))) AS BIGINT) AS w
+  FROM bits GROUP BY mid, bidx // 16
+),
+hw AS (
+  SELECT mid,
+         CAST(max(CASE WHEN wi = 0 THEN w END) AS BIGINT) AS w0,
+         CAST(max(CASE WHEN wi = 1 THEN w END) AS BIGINT) AS w1,
+         CAST(max(CASE WHEN wi = 2 THEN w END) AS BIGINT) AS w2,
+         CAST(max(CASE WHEN wi = 3 THEN w END) AS BIGINT) AS w3
+  FROM words GROUP BY mid
+),
+cand AS (
+  SELECT DISTINCT a.mid AS id_a, b.mid AS id_b
+  FROM words a JOIN words b ON a.wi = b.wi AND a.w = b.w AND a.mid < b.mid
+),
+scored AS (
+  SELECT id_a, id_b,
+         bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
+         + bit_count(xor(a.w2, b.w2)) + bit_count(xor(a.w3, b.w3)) AS hamming
+  FROM cand JOIN hw a ON a.mid = id_a JOIN hw b ON b.mid = id_b
+)
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+FROM scored WHERE hamming <= 8 ORDER BY id_a, id_b
+"""
+
+
+def q_kcore(spark, sf):
+    """k-core decomposition (operators/graph.py::kcore; Seidman 1983): peel
+    degree-< k nodes until fixed point — the dense-subgraph filter that
+    keeps only dup-graph regions with real cluster structure. The fixture
+    makes the peel CASCADE (the interesting regime): a 5-node chain hangs
+    off a K4 clique, so each round exposes exactly one new degree-1
+    endpoint — 5 peel rounds, not 1 — while the K4 and a 5-cycle (every
+    node degree 2) survive as the 2-core. Oracle unrolls 8 peel rounds in
+    SQL (extra rounds are no-ops at the fixed point)."""
+    from stackstac_spark.operators.graph import kcore
+
+    k4 = spark.range(16).select(
+        (F.col("id") / 4).cast("long").alias("id_a"), (F.col("id") % 4).alias("id_b")
+    ).filter(F.col("id_a") < F.col("id_b"))
+    pent = spark.range(5).select(
+        (F.col("id") + 10).alias("id_a"),
+        ((F.col("id") + 1) % 5 + 10).alias("id_b"),
+    )
+    chain = spark.range(5).select(
+        F.when(F.col("id") == 0, F.lit(0)).otherwise(F.col("id") + 19).alias("id_a"),
+        (F.col("id") + 20).alias("id_b"),
+    )
+    return kcore(k4.union(pent).union(chain), k=2).orderBy("node")
+
+
+def _duck_kcore_sql(k: int = 2, rounds: int = 8) -> str:
+    steps = []
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"keep{i} AS MATERIALIZED (SELECT src FROM (SELECT src, count(*) AS c FROM {prev} "
+            f"GROUP BY src) WHERE c >= {k}),\n"
+            f"e{i} AS MATERIALIZED (SELECT e.src, e.dst FROM {prev} e "
+            f"JOIN keep{i} a ON e.src = a.src JOIN keep{i} b ON e.dst = b.src)"
+        )
+        prev = f"e{i}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH k4 AS (
+  SELECT (i.g // 4) AS a, (i.g % 4) AS b FROM generate_series(0, 15) i(g)
+  WHERE (i.g // 4) < (i.g % 4)
+),
+pent AS (SELECT i.g + 10 AS a, (i.g + 1) % 5 + 10 AS b FROM generate_series(0, 4) i(g)),
+chain AS (
+  SELECT CASE WHEN i.g = 0 THEN 0 ELSE i.g + 19 END AS a, i.g + 20 AS b
+  FROM generate_series(0, 4) i(g)
+),
+und AS (SELECT a, b FROM k4 UNION ALL SELECT a, b FROM pent UNION ALL SELECT a, b FROM chain),
+e0 AS (SELECT a AS src, b AS dst FROM und UNION SELECT b, a FROM und),
+{chain}
+SELECT src AS node, count(*) AS core_deg FROM {prev} GROUP BY src ORDER BY node
+"""
+
+
+SQL_KCORE = _duck_kcore_sql()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- Rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r07,
@@ -10356,6 +10502,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "sparse_knn": (q_sparse_knn, SQL_SPARSE_KNN),
     "phrase_blocklist": (q_phrase_blocklist, SQL_PHRASE_BLOCKLIST),
     "neyman_sample": (q_neyman_sample, SQL_NEYMAN_SAMPLE),
+    "image_neardup": (q_image_neardup, SQL_IMAGE_NEARDUP),
+    "kcore": (q_kcore, SQL_KCORE),
     "zipf_slope": (q_zipf_slope, SQL_ZIPF_SLOPE),
     "keyness_llr": (q_keyness_llr, SQL_KEYNESS_LLR),
     "readability": (q_readability, SQL_READABILITY),

@@ -19,6 +19,7 @@ __all__ = [
     "label_propagation",
     "triangle_count",
     "connected_components_star",
+    "kcore",
 ]
 
 
@@ -438,3 +439,60 @@ def connected_components_star(
     return edges.select(
         F.col("hi").alias("node"), F.col("lo").alias("component")
     ).union(roots)
+
+
+def kcore(
+    pairs: DataFrame,
+    k: int = 2,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 60,
+) -> DataFrame:
+    """k-core decomposition: iteratively peel nodes of degree < k until the
+    remainder is the k-core → (node, core_deg) for every surviving node
+    (Seidman 1983; the standard "dense enough to matter" subgraph filter —
+    e.g. keep only dup-graph regions with real cluster structure, or prune
+    the long tail of a co-occurrence graph before community detection).
+
+    Each round: one degree aggregate over the CURRENT symmetric edge set +
+    two semi-joins keeping edges whose BOTH endpoints survive, then a
+    ``localCheckpoint`` (the loop is self-referential; lineage must be
+    cut). The peel CASCADES — removing a chain's endpoint exposes its
+    neighbor — so rounds are data-dependent and bounded by the graph's
+    degeneracy ordering depth, not by one pass; the removed-count check
+    (one job on the just-aggregated degrees) stops the loop at the fixed
+    point. Per-round shuffle volume shrinks with the surviving edge set —
+    the same decay property as :func:`connected_components_star`.
+
+    Raises after ``max_iter`` rounds rather than returning a non-core.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    sym = (
+        e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src").localCheckpoint()
+        n_all = deg.count()
+        n_keep = keep.count()
+        if n_keep == n_all:
+            return deg.select(
+                F.col("src").alias("node"), F.col("deg").alias("core_deg")
+            )
+        if n_keep == 0:
+            return sym.sparkSession.createDataFrame(
+                [], "node {}, core_deg long".format(sym.schema["src"].dataType.simpleString())
+            )
+        sym = (
+            sym.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .localCheckpoint()
+        )
+    raise RuntimeError(f"kcore did not converge in {max_iter} rounds")

@@ -257,3 +257,101 @@ def media_repartition_hint(avg_payload_bytes: int, target_partition_bytes: int =
     """Rows per partition so a partition of payloads stays near the target —
     the knob that keeps 100 TB of media from creating 100 GB tasks."""
     return max(1, target_partition_bytes // max(avg_payload_bytes, 1))
+
+
+def average_hash(media: DataFrame, fake: bool = True, grid: int = 8) -> DataFrame:
+    """Per-image perceptual average-hash (aHash): decode → integer grayscale
+    sums → ``grid × grid`` block sums → one bit per block
+    (block_sum · n_blocks > total_sum) → four 16-bit hash words.
+
+    The visual near-duplicate fingerprint: small pixel perturbations
+    (re-encodes, watermark specks) rarely move a block's mean across the
+    global mean, so near-identical images land a few Hamming bits apart
+    while unrelated images differ in ~half the bits.
+
+    Every step is INTEGER arithmetic (channel sums, block sums, strict
+    integer compare — no float mean), so a SQL oracle replays the hash
+    bit-for-bit. Blocks partition pixels by ``r·grid // h`` (floor), exact
+    for any dimensions. The 64 bits ship as four 16-bit words
+    (``w0..w3``, b = block_r·grid + block_c, word i holds bits
+    16i..16i+15 little-endian) rather than one signed 64-bit value: the
+    words are non-negative, engine-portable, and are exactly the LSH bands
+    :func:`hamming_near_dups` buckets on.
+
+    Same streaming ``mapInPandas`` shape as :func:`extract_features` —
+    map-only over payload splits, no shuffle.
+    """
+    n_blocks = grid * grid
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                img = decode_image(row.payload, row.width, row.height, fake=fake)
+                h, w = img.shape[0], img.shape[1]
+                gray = img.astype(np.int64).sum(axis=2)  # (h, w) channel sums
+                br = (np.arange(h) * grid) // h
+                bc = (np.arange(w) * grid) // w
+                blocks = np.zeros((grid, grid), dtype=np.int64)
+                np.add.at(blocks, (br[:, None].repeat(w, 1), bc[None, :].repeat(h, 0)), gray)
+                total = int(gray.sum())
+                bits = (blocks.reshape(-1) * n_blocks > total).astype(np.int64)
+                words = [
+                    int((bits[16 * i : 16 * (i + 1)] << np.arange(16)).sum())
+                    for i in range(n_blocks // 16)
+                ]
+                out.append((row.media_id, *words))
+            yield pd.DataFrame(out, columns=["media_id", "w0", "w1", "w2", "w3"])
+
+    schema = T.StructType(
+        [T.StructField("media_id", T.LongType())]
+        + [T.StructField(f"w{i}", T.LongType()) for i in range(4)]
+    )
+    cols = ["media_id", "kind", "mime", "width", "height", "n_frames", "payload"]
+    return media.select(*cols).mapInPandas(kernel, schema)
+
+
+def hamming_near_dups(hashes: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Visual near-duplicate pairs from :func:`average_hash` words via
+    Hamming LSH: candidates are pairs agreeing EXACTLY on ≥1 of the four
+    16-bit words (an image pair within Hamming distance 3 of each other is
+    guaranteed ≥1 untouched word by pigeonhole; distance ≤ max_hamming
+    pairs are found with the classic banding probability), then verified
+    with the exact 64-bit Hamming distance (bit_count of per-word XORs).
+
+    Scale shape: four word-keyed equi-joins (unioned, distinct) — never an
+    all-pairs product over the image corpus; the verify step is arithmetic
+    on the already-joined pair rows. Returns (id_a < id_b, hamming).
+    """
+    words = [f"w{i}" for i in range(4)]
+    banded = None
+    for i, wcol in enumerate(words):
+        b = hashes.select(
+            F.col("media_id"), F.lit(i).alias("band"), F.col(wcol).alias("key")
+        )
+        banded = b if banded is None else banded.unionAll(b)
+    a = banded.select(
+        F.col("media_id").alias("id_a"), "band", "key"
+    )
+    b = banded.select(F.col("media_id").alias("id_b"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ha = hashes.select(
+        F.col("media_id").alias("id_a"), *[F.col(w).alias(f"a{w}") for w in words]
+    )
+    hb = hashes.select(
+        F.col("media_id").alias("id_b"), *[F.col(w).alias(f"b{w}") for w in words]
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{w}").bitwiseXOR(F.col(f"b{w}"))) for w in words
+    )
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
