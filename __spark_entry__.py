@@ -10470,6 +10470,145 @@ SELECT src AS node, count(*) AS core_deg FROM {prev} GROUP BY src ORDER BY node
 SQL_KCORE = _duck_kcore_sql()
 
 
+def q_prefix_join(spark, sf):
+    """Exact set-similarity join with prefix filtering (operators/dedup.py::
+    prefix_filter_pairs; SSJoin/PPJoin): all token-Jaccard ≥ 0.8 pairs,
+    candidates generated from only each doc's ⌊(1−t)·|d|⌋+1 RAREST tokens
+    (global df order) — the pruning theorem that collapses APSS fan-out
+    from quadratic-in-stopword-df to near-linear, while staying EXACT
+    (unlike MinHash-LSH the filter only skips provably-below-t pairs).
+    Fixture plants a 90%-prefix variant of every 13th doc; set elements
+    are word BIGRAMS (unigram sets of a small-vocabulary corpus are
+    near-identical across docs, defeating any similarity join); the
+    verify is the full-set Jaccard on survivors only."""
+    from stackstac_spark.operators.dedup import prefix_filter_pairs
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    t = F.split(F.col("text"), " ")
+    variants = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                t,
+                1,
+                F.greatest(
+                    F.lit(1), (F.size(t) - F.floor(F.size(t) / F.lit(10))).cast("int")
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    return prefix_filter_pairs(
+        docs.union(variants), threshold=0.8, shingle_n=2
+    ).orderBy("id_a", "id_b")
+
+
+SQL_PREFIX_JOIN = r"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT odid + 300000,
+         array_to_string(t[1:greatest(1, CAST(len(t) - floor(len(t) / 10.0) AS INT))], ' ')
+  FROM (SELECT doc_id AS odid, string_split(text, ' ') AS t FROM documents)
+  WHERE odid % 13 = 0
+),
+toks AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS tok
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM aug),
+       unnest(generate_series(1, len(t) - 1)) AS u(i)
+),
+dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+ranked AS (
+  SELECT toks.doc_id, tok,
+         row_number() OVER (PARTITION BY toks.doc_id ORDER BY df, tok) AS r
+  FROM toks JOIN dfreq USING (tok)
+),
+prefix AS (
+  SELECT r.doc_id, r.tok
+  FROM ranked r JOIN sizes s ON s.doc_id = r.doc_id
+  WHERE r.r <= floor((1.0 - 0.8) * s.n) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM prefix a JOIN prefix b ON a.tok = b.tok AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN toks ta ON ta.doc_id = c.id_a
+  JOIN toks tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b, i.inter,
+       i.inter / (sa.n + sb.n - i.inter) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.8
+ORDER BY i.id_a, i.id_b
+"""
+
+
+def q_scd2(spark, sf):
+    """Type-2 slowly-changing-dimension history build (operators/storage.py::
+    scd2_history; Kimball SCD2): a 4-snapshot dimension series collapses
+    into validity intervals via one per-key lag (change detection), a
+    running change-count (version id), one (key, version) agg and a lead
+    window (valid_to) — all co-keyed, no global ordering. Fixture: 50 keys
+    whose attribute flips once at snapshot key % 4, so keys produce one or
+    two intervals deterministically."""
+    from stackstac_spark.operators.storage import scd2_history
+
+    snaps = spark.range(200).select(
+        (F.col("id") / 4).cast("long").alias("key"),
+        (F.col("id") % 4).alias("snap_id"),
+    ).select(
+        "key",
+        "snap_id",
+        (
+            F.col("key") * 10
+            + F.when(F.col("snap_id") >= F.col("key") % 4, 1).otherwise(0)
+        ).alias("attr1"),
+        F.concat(F.lit("tier"), (F.col("key") % 3).cast("string")).alias("attr2"),
+    )
+    return scd2_history(snaps, "key", ["attr1", "attr2"]).orderBy(
+        "key", "valid_from"
+    )
+
+
+SQL_SCD2 = """
+WITH snaps AS (
+  SELECT (i.g // 4) AS key, (i.g % 4) AS snap_id,
+         (i.g // 4) * 10 + CASE WHEN (i.g % 4) >= (i.g // 4) % 4 THEN 1 ELSE 0 END AS attr1,
+         'tier' || ((i.g // 4) % 3) AS attr2
+  FROM generate_series(0, 199) i(g)
+),
+marked AS (
+  SELECT key, snap_id, attr1, attr2,
+         md5(CAST(attr1 AS VARCHAR) || chr(31) || attr2) AS fp
+  FROM snaps
+),
+chg AS (
+  SELECT *, CASE WHEN lag(fp) OVER w IS NULL OR lag(fp) OVER w <> fp
+                 THEN 1 ELSE 0 END AS c
+  FROM marked WINDOW w AS (PARTITION BY key ORDER BY snap_id)
+),
+ver AS (
+  SELECT *, sum(c) OVER (PARTITION BY key ORDER BY snap_id
+                         ROWS UNBOUNDED PRECEDING) AS v
+  FROM chg
+),
+versions AS (
+  SELECT key, v, min(snap_id) AS valid_from,
+         min(attr1) AS attr1, min(attr2) AS attr2
+  FROM ver GROUP BY key, v
+)
+SELECT key, attr1, attr2, valid_from,
+       lead(valid_from) OVER (PARTITION BY key ORDER BY valid_from) AS valid_to,
+       lead(valid_from) OVER (PARTITION BY key ORDER BY valid_from) IS NULL AS is_current
+FROM versions ORDER BY key, valid_from
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- Rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r07,
@@ -10504,6 +10643,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "neyman_sample": (q_neyman_sample, SQL_NEYMAN_SAMPLE),
     "image_neardup": (q_image_neardup, SQL_IMAGE_NEARDUP),
     "kcore": (q_kcore, SQL_KCORE),
+    "prefix_join": (q_prefix_join, SQL_PREFIX_JOIN),
+    "scd2": (q_scd2, SQL_SCD2),
     "zipf_slope": (q_zipf_slope, SQL_ZIPF_SLOPE),
     "keyness_llr": (q_keyness_llr, SQL_KEYNESS_LLR),
     "readability": (q_readability, SQL_READABILITY),

@@ -168,3 +168,52 @@ def rle_run_stats(
             )
         )
     return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def scd2_history(
+    snapshots: DataFrame,
+    key_col: str,
+    attr_cols: list[str],
+    snap_col: str = "snap_id",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from an ordered snapshot
+    series: consecutive snapshots where a key's attributes are unchanged
+    collapse into one validity interval → (key, attrs, valid_from,
+    valid_to, is_current) — the warehouse dimension-history build
+    (Kimball SCD2; Delta/Iceberg MERGE pipelines materialize exactly this).
+
+    Change detection is an md5 over the attribute tuple compared against
+    the per-key previous snapshot (one lag window); a running change-count
+    window assigns version numbers; one agg per (key, version) yields
+    ``valid_from``; a lead window supplies ``valid_to`` (the next
+    version's start; NULL ⇒ current). ``snap_col`` must be orderable;
+    keys absent from intermediate snapshots are treated as unchanged
+    across the gap (deletion tracking needs a tombstone snapshot row —
+    out of scope here, stated not hidden).
+
+    Scale shape: three key-partitioned windows + one (key, version) agg —
+    all co-keyed on the dimension key, no corpus-wide ordering anywhere.
+    """
+    from pyspark.sql import Window
+
+    fp = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in attr_cols]))
+    w = Window.partitionBy(key_col).orderBy(snap_col)
+    marked = snapshots.select(key_col, snap_col, *attr_cols).withColumn(
+        "__fp", fp
+    ).withColumn(
+        "__chg",
+        F.when(
+            F.lag("__fp").over(w).isNull() | (F.lag("__fp").over(w) != F.col("__fp")),
+            1,
+        ).otherwise(0),
+    ).withColumn("__ver", F.sum("__chg").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    versions = marked.groupBy(key_col, "__ver").agg(
+        F.min(snap_col).alias("valid_from"),
+        *[F.first(c).alias(c) for c in attr_cols],
+    )
+    wv = Window.partitionBy(key_col).orderBy("valid_from")
+    return (
+        versions.withColumn("valid_to", F.lead("valid_from").over(wv))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(key_col, *attr_cols, "valid_from", "valid_to", "is_current")
+    )
