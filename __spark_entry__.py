@@ -9756,8 +9756,11 @@ def q_containment_dup(spark, sf):
     snippet/partial-mirror duplication that symmetric Jaccard structurally
     misses: the fixture plants half-length snippet docs (every 11th doc,
     id+100000, first ⌊n/2⌋ words) whose containment in their source is
-    ~1.0 while Jaccard is ~0.5. Co-shingle equi-join with the
-    hyper-common-shingle prune; ratios raw IEEE division."""
+    ~1.0 while Jaccard is ~0.5. Co-shingle equi-join over word TRIGRAMS —
+    on this small-vocabulary corpus bigram df is ~280 at sf0.1 (every
+    bucket a quadratic pair stream; measured 10× the gate runtime) while
+    trigram df is ~9, the element-space-size lever a real pipeline pulls
+    before reaching for caps. Ratios raw IEEE division."""
     from stackstac_spark.operators.dedup import containment_pairs
 
     docs = _t(spark, sf, "documents").select("doc_id", "text")
@@ -9775,7 +9778,9 @@ def q_containment_dup(spark, sf):
         )
     )
     aug = docs.union(snippets)
-    return containment_pairs(aug, threshold=0.9).orderBy("id_a", "id_b")
+    return containment_pairs(
+        aug, threshold=0.9, shingle_n=3, max_shingle_docs=1000
+    ).orderBy("id_a", "id_b")
 
 
 SQL_CONTAINMENT_DUP = """
@@ -9788,9 +9793,9 @@ WITH aug AS (
   WHERE doc_id % 11 = 0
 ),
 sh AS (
-  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS sh
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
   FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM aug),
-       unnest(generate_series(1, len(t) - 1)) AS u(i)
+       unnest(generate_series(1, len(t) - 2)) AS u(i)
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 kept AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 1000),
@@ -10478,8 +10483,9 @@ def q_prefix_join(spark, sf):
     from quadratic-in-stopword-df to near-linear, while staying EXACT
     (unlike MinHash-LSH the filter only skips provably-below-t pairs).
     Fixture plants a 90%-prefix variant of every 13th doc; set elements
-    are word BIGRAMS (unigram sets of a small-vocabulary corpus are
-    near-identical across docs, defeating any similarity join); the
+    are word TRIGRAMS (this corpus's unigram sets are near-identical
+    across docs and its bigram df is ~280 at sf0.1 — both defeat a
+    similarity join; trigram df ~9 makes the prefix prune bite); the
     verify is the full-set Jaccard on survivors only."""
     from stackstac_spark.operators.dedup import prefix_filter_pairs
 
@@ -10499,7 +10505,7 @@ def q_prefix_join(spark, sf):
         ).alias("text"),
     )
     return prefix_filter_pairs(
-        docs.union(variants), threshold=0.8, shingle_n=2
+        docs.union(variants), threshold=0.8, shingle_n=3
     ).orderBy("id_a", "id_b")
 
 
@@ -10513,9 +10519,9 @@ WITH aug AS (
   WHERE odid % 13 = 0
 ),
 toks AS (
-  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS tok
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS tok
   FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM aug),
-       unnest(generate_series(1, len(t) - 1)) AS u(i)
+       unnest(generate_series(1, len(t) - 2)) AS u(i)
 ),
 dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
 sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
@@ -10527,7 +10533,7 @@ ranked AS (
 prefix AS (
   SELECT r.doc_id, r.tok
   FROM ranked r JOIN sizes s ON s.doc_id = r.doc_id
-  WHERE r.r <= floor((1.0 - 0.8) * s.n) + 1
+  WHERE r.r <= s.n - ceil(0.8 * s.n - 1e-9) + 1
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

@@ -1369,9 +1369,15 @@ def prefix_filter_pairs(
     t (contrast MinHash-LSH, which trades exactness for probability).
 
     Plan: one token-df aggregate, one per-doc window for the global-order
-    rank (doc-keyed), the prefix equi-join, then the usual id-keyed
-    intersection/size verify restricted to candidates. Returns
-    (id_a < id_b, inter, jaccard).
+    rank (doc-keyed), the prefix equi-join, the SIZE filter (the second
+    SSJoin prune: Jaccard ≥ t forces t·|A| ≤ |B| ≤ |A|/t, applied before
+    any verify work), then a pair-keyed verify that joins each candidate
+    pair to the two docs' sorted element ARRAYS and intersects per pair —
+    NOT a second corpus-wide co-token join, whose fan-out on shared-rare-
+    element candidates would reintroduce the very quadratic the prefix
+    filter removed (measured 10× on the sf0.1 gate). Element arrays are
+    bounded by a single document's distinct-element count — document-
+    sized, not corpus-sized rows. Returns (id_a < id_b, inter, jaccard).
 
     ``shingle_n > 1`` uses word n-grams as the set elements instead of
     unigrams — on small-vocabulary corpora unigram SETS of different docs
@@ -1403,8 +1409,18 @@ def prefix_filter_pairs(
     )
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     with_n = ranked.join(sizes, id_col)
+    # prefix length p = n − ⌈t·n − ε⌉ + 1. NOT ⌊(1−t)·n⌋+1: (1−t) rounds
+    # DOWN in binary for t = 0.8 (0.19999999999999996), so ⌊(1−t)·n⌋ loses
+    # a whole element exactly when t·n is an integer — the prefix comes up
+    # one short and the "exact" join silently misses boundary pairs (found
+    # by the oracle diff: a J = 0.8 pair with disjoint too-short prefixes).
+    # The ε (1e-9, far above double error ~1e-15, far below the 1/n gap
+    # between legal thresholds) makes the ceil conservative under either
+    # rounding direction — a too-LONG prefix only costs candidates, never
+    # correctness.
     prefix = with_n.filter(
-        F.col("__r") <= F.floor((1.0 - threshold) * F.col("n")) + 1
+        F.col("__r")
+        <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)) + 1
     ).select(id_col, "tok")
     a = prefix.select(F.col(id_col).alias("id_a"), "tok")
     b = prefix.select(F.col(id_col).alias("id_b"), "tok")
@@ -1414,29 +1430,35 @@ def prefix_filter_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    ta = toks.select(F.col(id_col).alias("id_a"), "tok")
-    tb = toks.select(F.col(id_col).alias("id_b"), "tok")
-    inter = (
-        ta.join(cand.select("id_a").distinct(), "id_a", "left_semi")
-        .join(
-            tb.join(cand.select("id_b").distinct(), "id_b", "left_semi"), "tok"
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-        .join(cand, ["id_a", "id_b"], "left_semi")
+    arrs = toks.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("tok")).alias("elems"),
+        F.count(F.lit(1)).alias("n"),
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    aa = arrs.select(
+        F.col(id_col).alias("id_a"), F.col("elems").alias("ea"), F.col("n").alias("na")
+    )
+    ab = arrs.select(
+        F.col(id_col).alias("id_b"), F.col("elems").alias("eb"), F.col("n").alias("nb")
+    )
+    paired = (
+        cand.join(aa, "id_a")
+        .join(ab, "id_b")
+        # size filter: J ≥ t ⇒ min(|A|,|B|)/max(|A|,|B|) ≥ t. Division form,
+        # NOT `nb >= t*na`: t·na rounds UP for most na (0.8 isn't binary-
+        # exact), silently dropping exact-boundary pairs (min/max == t),
+        # while the ratio division rounds to the same double the verify's
+        # Jaccard division does — boundary-consistent by construction.
+        .filter(
+            (F.least("na", "nb") / F.greatest("na", "nb")) >= threshold
+        )
+    )
+    inter = F.size(F.array_intersect("ea", "eb")).cast("long")
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
+        paired.select(
             "id_a",
             "id_b",
-            "inter",
-            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias(
-                "jaccard"
-            ),
+            inter.alias("inter"),
+            (inter / (F.col("na") + F.col("nb") - inter)).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

@@ -74,6 +74,22 @@ def test_prefix_filter_bigram_elements(spark):
         prefix_filter_pairs(df, threshold=0.0)
 
 
+def test_prefix_filter_exact_boundary_pair(spark):
+    # regression: J exactly == t with t·n integral. The old
+    # floor((1-t)*n)+1 prefix came up one short ((1-t) rounds DOWN in
+    # binary) and silently missed this pair.
+    from stackstac_spark.operators.dedup import prefix_filter_pairs
+
+    # |A|=10, |B|=8, inter=8 -> J = 8/10 = 0.8 exactly
+    a = " ".join("w%d" % i for i in range(10))
+    b = " ".join("w%d" % i for i in range(8))
+    df = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    got = prefix_filter_pairs(df, threshold=0.8).collect()
+    assert [(r["id_a"], r["id_b"], r["inter"], r["jaccard"]) for r in got] == [
+        (1, 2, 8, 0.8)
+    ]
+
+
 def test_scd2_history_intervals(spark):
     from stackstac_spark.operators.storage import scd2_history
 
