@@ -398,11 +398,14 @@ def connected_components_star(
         mins = sym.groupBy("c").agg(
             F.least(F.min("n"), F.first("c")).alias("m")
         )
+        # NO distinct here: the small-star that always follows is
+        # duplicate-insensitive (its min-aggregate collapses dup rows and
+        # its own output is distinct'd), so deduping the intermediate
+        # would pay an extra full-size exchange per round for nothing
         return (
             sym.join(mins, "c")
             .filter(F.col("n") > F.col("c"))
             .select(F.col("n").alias("hi"), F.col("m").alias("lo"))
-            .distinct()
         )
 
     def _small_star(ed: DataFrame) -> DataFrame:
