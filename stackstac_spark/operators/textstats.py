@@ -1259,3 +1259,57 @@ def sparse_cosine_topk(
         .filter(F.col("__r") <= k)
         .select("query_id", "match_id", "sim", F.col("__r").alias("rank"))
     )
+
+
+def feature_hash(
+    df: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hashing-trick text vectorizer (Weinberger et al. 2009): token →
+    bucket md5(token) mod ``dim``, SIGNED by a second hash bit so hash
+    collisions cancel in expectation instead of biasing counts upward —
+    the fixed-dimension, vocabulary-free featurizer (no vocab table to
+    build, broadcast, or keep in sync across corpus versions, which is
+    the operational win over ``encode_with_vocab`` at 100 TB).
+
+    Bucket = first 8 md5 hex digits as an integer mod dim; sign = +1/−1
+    by the parity of the 9th hex digit. Pure integer/string expressions —
+    engine-exact. Output: (id, nnz, l2_sq, vec) where vec is the dense
+    ``dim``-length signed-count array (map + one (id, bucket) aggregate +
+    one per-doc reassembly agg — co-keyed shuffles only).
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+        ).alias("tok"),
+    )
+    h = F.md5(F.col("tok"))
+    bucket = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % dim).cast("int")
+    sign = F.when(
+        F.conv(F.substring(h, 9, 1), 16, 10).cast("int") % 2 == 0, 1
+    ).otherwise(-1)
+    per_bucket = (
+        toks.select(id_col, bucket.alias("b"), sign.alias("s"))
+        .groupBy(id_col, "b")
+        .agg(F.sum("s").alias("v"))
+        .filter(F.col("v") != 0)
+    )
+    # dense reassembly: (bucket, value) entries → map → one transform lookup
+    # per output index (no per-element array fold)
+    ent = (
+        per_bucket.groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct(F.col("b"), F.col("v"))))
+            ).alias("m"),
+            F.count(F.lit(1)).alias("nnz"),
+            F.sum(F.col("v") * F.col("v")).alias("l2_sq"),
+        )
+    )
+    vec = F.expr(f"transform(sequence(0, {dim - 1}), i -> coalesce(element_at(m, i), 0L))")
+    return ent.select(id_col, "nnz", "l2_sq", vec.alias("vec"))
