@@ -10749,6 +10749,123 @@ FROM per_bucket p GROUP BY p.doc_id ORDER BY p.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# r8 wave 8: interval-union coverage, CUSUM change-point screening
+
+
+def q_interval_union(spark, sf):
+    """Gaps-and-islands interval coverage (operators/rangejoin.py::
+    interval_union_length): per-user total covered microseconds / island
+    count from overlapping event intervals — the billing/uptime primitive
+    where naive SUM(end−start) double-counts every overlap. One
+    key-partitioned running-max window + one agg; intervals are each
+    event's [ts_us, ts_us + (1..90 min)] painted from event_id."""
+    from stackstac_spark.operators.rangejoin import interval_union_length
+
+    ev = _events(spark, sf)
+    iv = ev.select(
+        F.col("user_id"),
+        F.col("ts_us").alias("s"),
+        (F.col("ts_us") + (F.col("event_id") % 90 + 1) * 60_000_000).alias("e"),
+    )
+    return interval_union_length(iv, "user_id", "s", "e").orderBy("user_id")
+
+
+SQL_INTERVAL_UNION = f"""
+WITH ev AS ({_DUCK_EV}),
+iv AS (
+  SELECT user_id, ts_us AS s,
+         ts_us + (event_id % 90 + 1) * 60000000 AS e
+  FROM ev
+),
+marked AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM iv
+),
+contrib AS (
+  SELECT user_id,
+         CASE WHEN prev IS NULL OR s > prev THEN 1 ELSE 0 END AS is_new,
+         greatest(run - CASE WHEN prev IS NULL OR s > prev THEN s
+                             ELSE greatest(prev, s) END, 0) AS c
+  FROM marked
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(is_new) AS BIGINT) AS n_islands,
+       CAST(sum(c) AS BIGINT) AS covered
+FROM contrib GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_cusum(spark, sf):
+    """Two-sided CUSUM change-point screening (operators/mlfit.py::
+    cusum_changepoints; Page 1954): four painted integer streams with a
+    +6 level shift at position 180; standardization from EXACT Σv/Σv²
+    moments (integral values sum exactly in double — no Welford order
+    dependence), z rounded before the recursion, alarms reset both sums.
+    The recursion rides a native aggregate() fold per key (the
+    applyInPandasWithState batch shape with zero Python); the oracle
+    replays it as a row-per-step recursive CTE walk."""
+    from stackstac_spark.operators.mlfit import cusum_changepoints
+
+    base = spark.range(1000).select(
+        F.concat(F.lit("k"), (F.col("id") % 4).cast("string")).alias("key"),
+        F.floor(F.col("id") / 4).cast("long").alias("ord"),
+        (
+            (F.col("id") % 7)
+            + F.when(F.floor(F.col("id") / 4) >= 180, 6).otherwise(0)
+        ).cast("double").alias("v"),
+    )
+    return cusum_changepoints(base, "key", "ord", "v", k=0.5, h=5.0).orderBy(
+        "key", "order_val"
+    )
+
+
+def _duck_cusum_sql(k: float = 0.5, h: float = 5.0) -> str:
+    ki, hi = int(round(k * 1_000_000)), int(round(h * 1_000_000))
+    nh = f"greatest(0, w.s_hi + p.zi - {ki})"
+    nl = f"least(0, w.s_lo + p.zi + {ki})"
+    alarm = f"({nh} > {hi} OR {nl} < -{hi})"
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT 'k' || (i.g % 4) AS key, i.g // 4 AS ord,
+         CAST((i.g % 7) + CASE WHEN i.g // 4 >= 180 THEN 6 ELSE 0 END AS DOUBLE) AS v
+  FROM generate_series(0, 999) i(g)
+),
+m AS (SELECT key, sum(v) AS s1, sum(v * v) AS s2, count(*) AS n FROM base GROUP BY key),
+z AS (
+  SELECT b.key, b.ord, b.v,
+         round((b.v - m.s1 / m.n)
+               / sqrt(greatest(m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n), 0.0)), 6) AS z,
+         CAST(round((round((b.v - m.s1 / m.n)
+               / sqrt(greatest(m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n), 0.0)), 6)) * 1000000.0) AS BIGINT) AS zi,
+         row_number() OVER (PARTITION BY b.key ORDER BY b.ord) AS rn
+  FROM base b JOIN m USING (key)
+),
+walk(key, rn, s_hi, s_lo, hit, ord, v, z, h_hi, h_lo) AS (
+  SELECT key, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), FALSE,
+         CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+  FROM (SELECT DISTINCT key FROM z)
+  UNION ALL
+  SELECT p.key, p.rn,
+         CAST(CASE WHEN {alarm} THEN 0 ELSE {nh} END AS BIGINT),
+         CAST(CASE WHEN {alarm} THEN 0 ELSE {nl} END AS BIGINT),
+         {alarm}, p.ord, p.v, p.z, CAST({nh} AS BIGINT), CAST({nl} AS BIGINT)
+  FROM walk w JOIN z p ON p.key = w.key AND p.rn = w.rn + 1
+)
+SELECT key, ord AS order_val, v AS value, z,
+       h_hi / 1000000.0 AS s_hi, h_lo / 1000000.0 AS s_lo
+FROM walk WHERE hit ORDER BY key, order_val
+"""
+
+
+SQL_CUSUM = _duck_cusum_sql()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- Rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r07,
@@ -10788,6 +10905,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "row_ids": (q_row_ids, SQL_ROW_IDS),
     "quantile_bisect": (q_quantile_bisect, SQL_QUANTILE_BISECT),
     "feature_hash": (q_feature_hash, SQL_FEATURE_HASH),
+    "interval_union": (q_interval_union, SQL_INTERVAL_UNION),
+    "cusum": (q_cusum, SQL_CUSUM),
     "zipf_slope": (q_zipf_slope, SQL_ZIPF_SLOPE),
     "keyness_llr": (q_keyness_llr, SQL_KEYNESS_LLR),
     "readability": (q_readability, SQL_READABILITY),

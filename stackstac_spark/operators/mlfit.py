@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["logistic_fit", "naive_bayes_classify"]
+__all__ = ["logistic_fit", "naive_bayes_classify", "cusum_changepoints"]
 
 
 def logistic_fit(
@@ -198,4 +198,111 @@ def naive_bayes_classify(
             F.round("score", round_to).alias("logp"),
         )
         .join(df.select(id_col, F.col(label_col).alias("actual")), id_col)
+    )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    k: float = 0.5,
+    h: float = 5.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-sided CUSUM change-point screening (Page 1954) per stream:
+    standardized deviations accumulate in upper/lower sums that reset at
+    zero; a point is flagged when either exceeds ``h`` — the classic
+    streaming drift detector (data-quality monitors, metric regression
+    alarms) with per-key state of exactly two floats.
+
+    Standardization uses the stream's OWN (mean, stddev) from exact
+    Σv/Σv² sums — one tiny per-key moments aggregate broadcast back (the
+    score_normalize shape, made engine-exact for integral inputs);
+    ``k`` is the slack in σ units, ``h`` the decision threshold. The
+    recursive sums S⁺/S⁻ ride ONE key-partitioned ordered window via a
+    native ``aggregate`` fold over the collected per-key series — per-key
+    series are window-frame-sized (a monitor tracks per-entity metrics,
+    not the corpus; the fold is the applyInPandasWithState batch shape
+    without Python). z-scores are rounded BEFORE the fold so the
+    recursion is engine-replayable.
+
+    Returns one row per flagged point: (key, order, value, z, s_hi, s_lo).
+    """
+    from pyspark.sql import Window
+
+    # moments from raw Σv / Σv² — NOT stddev_pop: single-pass M2 updates are
+    # partition-order-dependent in the last ulp, while plain sums of
+    # INTEGRAL values are exact in double (< 2^53), making mu/sd — and the
+    # whole recursion below — bit-identical on any engine. For non-integral
+    # inputs this is the textbook formula with the usual cancellation
+    # caveat; the rounded z then absorbs last-ulp noise as elsewhere.
+    v = F.col(value_col).cast("double")
+    stats = df.groupBy(key_col).agg(
+        F.sum(v).alias("__s1"),
+        F.sum(v * v).alias("__s2"),
+        F.count(v).alias("__n"),
+    )
+    mu = F.col("__s1") / F.col("__n")
+    sd = F.sqrt(F.greatest(F.col("__s2") / F.col("__n") - mu * mu, F.lit(0.0)))
+    z = F.when(
+        sd > 0, F.round((F.col(value_col) - mu) / sd, round_to)
+    ).otherwise(F.lit(0.0))
+    zed = df.join(F.broadcast(stats), key_col).withColumn("__z", z)
+    # The recursion runs in INTEGER micro-units (z scaled by 1e6): the
+    # rounded z is a 6-decimal multiple, so each fold step's ideal state is
+    # one too — but re-rounding the float sum puts EVERY step exactly on a
+    # .5e-6 decimal tie, where engines' round() disagree (the bitext
+    # sum-vs-avg lesson, compounding per step here). Integers make every
+    # step exact; there is nothing left to round.
+    scale = 1_000_000
+    ki, hi = int(round(k * scale)), int(round(h * scale))
+    seq = (
+        zed.groupBy(key_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(order_col).cast("long").alias("o"),
+                        F.round(F.col("__z") * scale, 0).cast("long").alias("zi"),
+                        F.col("__z").alias("z"),
+                        F.col(value_col).cast("double").alias("v"),
+                    )
+                )
+            ).alias("pts")
+        )
+    )
+    # a flagged point resets both sums (Page's restart-after-alarm
+    # convention). Lambdas can't bind local names, so nh/nl appear inline
+    # (the optimizer CSEs the repeats).
+    nh = f"greatest(0L, acc.s_hi + p.zi - {ki}L)"
+    nl = f"least(0L, acc.s_lo + p.zi + {ki}L)"
+    alarm = f"({nh} > {hi}L OR {nl} < -{hi}L)"
+    fold = F.expr(
+        f"""
+        aggregate(
+          pts,
+          named_struct(
+            's_hi', 0L, 's_lo', 0L,
+            'hits', CAST(array() AS array<struct<o:bigint,v:double,z:double,
+                                                 s_hi:bigint,s_lo:bigint>>)),
+          (acc, p) -> named_struct(
+            's_hi', IF({alarm}, 0L, {nh}),
+            's_lo', IF({alarm}, 0L, {nl}),
+            'hits', IF({alarm},
+                       array_append(acc.hits,
+                                    named_struct('o', p.o, 'v', p.v, 'z', p.z,
+                                                 's_hi', {nh}, 's_lo', {nl})),
+                       acc.hits)),
+          acc -> acc.hits
+        )
+        """
+    )
+    return seq.select(key_col, F.explode(fold).alias("hit")).select(
+        key_col,
+        F.col("hit.o").alias("order_val"),
+        F.col("hit.v").alias("value"),
+        F.col("hit.z").alias("z"),
+        (F.col("hit.s_hi") / F.lit(float(scale))).alias("s_hi"),
+        (F.col("hit.s_lo") / F.lit(float(scale))).alias("s_lo"),
     )

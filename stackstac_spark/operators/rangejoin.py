@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["interval_join", "point_in_interval_join"]
+__all__ = ["interval_join", "point_in_interval_join", "interval_union_length"]
 
 
 def point_in_interval_join(
@@ -128,3 +128,63 @@ def interval_join(
         f"greatest({left_start}, {right_start})"
     )
     return l_b.join(r_b, "_bin").filter(overlap & first_shared_bin).drop("_bin")
+
+
+def interval_union_length(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Per-key total length covered by a set of possibly-overlapping
+    [start, end) intervals, plus island/gap counts — the gaps-and-islands
+    problem (billed machine-seconds from overlapping job intervals, user
+    active time from overlapping sessions; naive SUM(end-start) double-
+    counts every overlap).
+
+    Sweep formulation, one key-partitioned window pass: order intervals by
+    (start, end), carry the running max end over all PRECEDING intervals;
+    an interval opens a new island iff its start exceeds that running max.
+    covered = Σ per-island (max end − island start) computed as
+    Σ (new_max − max(prev_max, start)) over extending intervals — pure
+    column algebra on the lag/running-max columns, no island subquery.
+    Returns (key, n_intervals, n_islands, covered).
+
+    Scale shape: ONE window partitioned by the key + one key agg — the
+    same co-keyed pass every sessionizer pays; nothing global. Degenerate
+    end < start intervals raise rather than silently contributing negative
+    coverage.
+    """
+    from pyspark.sql import Window
+
+    bad = df.filter(F.col(end_col) < F.col(start_col)).count()
+    if bad:
+        raise ValueError(
+            f"interval_union_length: {bad} intervals have {end_col} < {start_col}"
+        )
+    w = Window.partitionBy(key_col).orderBy(start_col, end_col)
+    prev_max = F.max(end_col).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    run_max = F.max(end_col).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    marked = df.select(key_col, start_col, end_col).withColumn(
+        "__prev", prev_max
+    ).withColumn("__run", run_max)
+    is_new = F.col("__prev").isNull() | (F.col(start_col) > F.col("__prev"))
+    # contribution = run_max - max(prev_max, start), floored at 0 for
+    # intervals entirely inside the running coverage
+    contrib = F.greatest(
+        F.col("__run")
+        - F.when(is_new, F.col(start_col)).otherwise(
+            F.greatest(F.col("__prev"), F.col(start_col))
+        ),
+        F.lit(0),
+    )
+    return (
+        marked.withColumn("__new", is_new.cast("int"))
+        .withColumn("__c", contrib)
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("__new").alias("n_islands"),
+            F.sum("__c").alias("covered"),
+        )
+    )
