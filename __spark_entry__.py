@@ -10870,12 +10870,14 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- Rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r07,
     # --- 50/50 green). Slots 1-50 prioritize NEVER-GRADED entries,
-    # --- newest wave first: the 10 r8 gates (cc_star .. lsh_tuning),
-    # --- the 12 prior new gates (zipf_slope .. stream_upsert), the 25
-    # --- prior-wave oracle gates (hll_distinct .. rendezvous_shards), and
-    # --- the first 3 model-fit gates (kcenter_coreset, quality_logreg,
-    # --- cms_frequency) fill exactly 50. The remaining never-graded
-    # --- entries (ols_trend, ewma_smooth, quality_calibration,
+    # --- newest wave first: the 22 r8 gates (cc_star .. cusum), the 12
+    # --- prior new gates (zipf_slope .. stream_upsert), and the first 16
+    # --- of the prior-wave oracle gates (hll_distinct .. k_anonymity)
+    # --- fill exactly 50. The remaining never-graded entries
+    # --- (snapshot_diff, kmv_set_ops, rolling_median, gap_fill,
+    # --- fuzzy_variants, attribution, ab_test, skew_report,
+    # --- rendezvous_shards, kcenter_coreset, quality_logreg,
+    # --- cms_frequency, ols_trend, ewma_smooth, quality_calibration,
     # --- mad_outliers, zorder_cluster, bucketed_join, salted_join,
     # --- bpe_pair_counts, raster_hillshade, label_propagation,
     # --- raster_resample_cubic, hash_sample, stratified_sample,
