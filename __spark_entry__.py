@@ -10866,15 +10866,61 @@ FROM walk WHERE hit ORDER BY key, order_val
 SQL_CUSUM = _duck_cusum_sql()
 
 
+def q_dataset_fingerprint(spark, sf):
+    """Merkle-style dataset version id (operators/storage.py::
+    dataset_fingerprint): content-addressed row hashes → order-invariant
+    per-shard hashes → one root — "is this EXACTLY the training corpus?"
+    plus per-shard blame on mismatch. One map + one shard agg + a 1-row
+    root agg; shard membership rides the row hash, so physical layout
+    can't change the fingerprint."""
+    from stackstac_spark.operators.storage import dataset_fingerprint
+
+    docs = _t(spark, sf, "documents")
+    return dataset_fingerprint(docs, n_shards=16).orderBy("shard")
+
+
+SQL_DATASET_FINGERPRINT = """
+WITH rows_h AS (
+  SELECT md5(CAST(doc_id AS VARCHAR) || chr(31) || text) AS h FROM documents
+),
+sharded AS (
+  SELECT h,
+         CAST((
+             (strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1)
+         ) % 16 AS INT) AS shard
+  FROM rows_h
+),
+shards AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+         md5(string_agg(h, ',' ORDER BY h)) AS shard_hash
+  FROM sharded GROUP BY shard
+),
+root AS (
+  SELECT CAST(-1 AS INT) AS shard, CAST(sum(n_rows) AS BIGINT) AS n_rows,
+         md5(string_agg(shard || ':' || shard_hash, ','
+                        ORDER BY shard || ':' || shard_hash)) AS shard_hash
+  FROM shards
+)
+SELECT shard, n_rows, shard_hash FROM shards
+UNION ALL
+SELECT shard, n_rows, shard_hash FROM root
+ORDER BY shard
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- Rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r07,
     # --- 50/50 green). Slots 1-50 prioritize NEVER-GRADED entries,
-    # --- newest wave first: the 22 r8 gates (cc_star .. cusum), the 12
-    # --- prior new gates (zipf_slope .. stream_upsert), and the first 16
-    # --- of the prior-wave oracle gates (hll_distinct .. k_anonymity)
-    # --- fill exactly 50. The remaining never-graded entries
-    # --- (snapshot_diff, kmv_set_ops, rolling_median, gap_fill,
+    # --- newest wave first: the 23 r8 gates (cc_star ..
+    # --- dataset_fingerprint), the 12 prior new gates (zipf_slope ..
+    # --- stream_upsert), and the first 15 of the prior-wave oracle gates
+    # --- (hll_distinct .. benford_digits) fill exactly 50. The remaining
+    # --- never-graded entries (k_anonymity,
+    # --- snapshot_diff, kmv_set_ops, rolling_median, gap_fill,
     # --- fuzzy_variants, attribution, ab_test, skew_report,
     # --- rendezvous_shards, kcenter_coreset, quality_logreg,
     # --- cms_frequency, ols_trend, ewma_smooth, quality_calibration,
@@ -10909,6 +10955,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "feature_hash": (q_feature_hash, SQL_FEATURE_HASH),
     "interval_union": (q_interval_union, SQL_INTERVAL_UNION),
     "cusum": (q_cusum, SQL_CUSUM),
+    "dataset_fingerprint": (q_dataset_fingerprint, SQL_DATASET_FINGERPRINT),
     "zipf_slope": (q_zipf_slope, SQL_ZIPF_SLOPE),
     "keyness_llr": (q_keyness_llr, SQL_KEYNESS_LLR),
     "readability": (q_readability, SQL_READABILITY),

@@ -267,3 +267,59 @@ def consecutive_ids(
     return keyed.withColumn(
         out_col, F.row_number().over(w_in) - 1 + off_col
     ).drop("__pid")
+
+
+def dataset_fingerprint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 16,
+) -> DataFrame:
+    """Merkle-style dataset version id: per-row content hashes → per-shard
+    hashes (md5 over the shard's SORTED row hashes) → one root hash — the
+    reproducibility primitive that answers "is this EXACTLY the corpus the
+    model trained on?" and, on mismatch, "which shards changed?" without
+    re-reading anything but the changed shards' row hashes.
+
+    Shards are assigned by row-hash prefix (content-addressed, so shard
+    membership is stable under repartitioning/reordering of the physical
+    files); per-shard aggregation sorts the row hashes before hashing, so
+    the fingerprint is ORDER-INVARIANT — two byte-identical corpora laid
+    out differently fingerprint identically. Returns one row per shard
+    (shard, n_rows, shard_hash) plus a shard = −1 root row
+    (root = md5 over the byte-sorted 'shard:hash' strings).
+
+    Scale shape: one map (row md5) + one shard-keyed agg with a
+    ``sort_array(collect_list)`` of hashes — per-shard row counts are
+    corpus/n_shards, so size shards (or add a second tree level) to keep
+    the collected hash list partition-sized; the root is a 1-row agg over
+    n_shards rows.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    rows = df.select(
+        F.md5(
+            F.concat_ws("\x1f", F.col(id_col).cast("string"), F.col(text_col))
+        ).alias("h")
+    ).withColumn(
+        "shard",
+        (F.conv(F.substring("h", 1, 4), 16, 10).cast("long") % n_shards).cast("int"),
+    )
+    shards = rows.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.md5(F.concat_ws(",", F.sort_array(F.collect_list("h")))).alias("shard_hash"),
+    )
+    root = shards.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.sort_array(
+                    F.collect_list(
+                        F.concat_ws(":", F.col("shard").cast("string"), "shard_hash")
+                    )
+                ),
+            )
+        ).alias("shard_hash"),
+    ).select(F.lit(-1).alias("shard"), "n_rows", "shard_hash")
+    return shards.unionByName(root)
