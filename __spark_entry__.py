@@ -10168,16 +10168,17 @@ def q_sparse_knn(spark, sf):
     """Sparse-vector all-pairs similarity search (operators/textstats.py::
     sparse_cosine_topk; Bayardo et al. 2007): per-doc top-3 lexical
     neighbors over L2-normalized TF-IDF vectors via an inverted-index
-    term join — no embeddings. df > 200 terms pruned (near-zero IDF,
-    quadratic fan-out), vectors truncated to their 10 heaviest coordinates
+    term join — no embeddings. Terms in >40% of docs pruned (near-zero
+    IDF, quadratic fan-out; RELATIVE to N so the prune survives scale-up —
+    an absolute cap emptied the index at the sf1 probe), vectors truncated to their 10 heaviest coordinates
     (exact-deterministic: within a doc the ordering never involves a float
     SUM), partial dot products rounded before ranking with id tiebreak."""
     from stackstac_spark.operators.textstats import sparse_cosine_topk
 
     docs = _t(spark, sf, "documents")
-    return sparse_cosine_topk(docs, k=3, top_terms=10, max_df=200).orderBy(
-        "query_id", "rank"
-    )
+    return sparse_cosine_topk(
+        docs, k=3, top_terms=10, max_df=None, max_df_frac=0.4
+    ).orderBy("query_id", "rank")
 
 
 SQL_SPARSE_KNN = r"""
@@ -10189,7 +10190,8 @@ WITH tok AS (
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
 n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
 dfreq AS (
-  SELECT term, count(*) AS df FROM tf GROUP BY term HAVING count(*) <= 200
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+  HAVING count(*) <= 0.4 * (SELECT n_docs FROM n)
 ),
 w AS (
   SELECT doc_id, term, tf * ln(CAST(n_docs AS DOUBLE) / df) AS w

@@ -1188,6 +1188,7 @@ def sparse_cosine_topk(
     k: int = 5,
     top_terms: int = 20,
     max_df: int | None = 10_000,
+    max_df_frac: float | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     round_to: int = 6,
@@ -1200,7 +1201,10 @@ def sparse_cosine_topk(
     Pipeline (all relational):
 
     1. token counts → per-term document frequency → smoothed IDF
-       ``ln(N / df)``; terms with df > ``max_df`` are dropped — stopword-
+       ``ln(N / df)``; terms with df > ``max_df`` (absolute) or
+       df > ``max_df_frac``·N (corpus-RELATIVE — the form that survives a
+       10× scale-up: an absolute cap silently empties the index once every
+       term's df outgrows it, measured at the sf1 probe) are dropped — stopword-
        class terms contribute near-zero IDF weight but QUADRATIC join
        fan-out, the classic APSS explosion (at web scale this prune is the
        difference between feasible and not),
@@ -1228,6 +1232,8 @@ def sparse_cosine_topk(
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if max_df is not None:
         dfreq = dfreq.filter(F.col("df") <= max_df)
+    if max_df_frac is not None:
+        dfreq = dfreq.filter(F.col("df") <= max_df_frac * n_docs)
     w = tf.join(dfreq, "term").select(
         id_col,
         "term",
