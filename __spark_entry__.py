@@ -9609,8 +9609,10 @@ s2 AS (SELECT doc_id,
     || substring(u, length(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0)) + 1) AS u
   FROM s1),
 s3 AS (SELECT doc_id,
-  regexp_replace(regexp_replace(u, '^(https?://)www\.', '\1'),
-                 ':(?:80|443)(/|$)', '\1') AS u
+  regexp_replace(regexp_replace(
+    regexp_replace(u, '^(https?://)www\.', '\1'),
+    '^(http://[^/?#]*):80([/?#]|$)', '\1\2'),
+    '^(https://[^/?#]*):443([/?#]|$)', '\1\2') AS u
   FROM s2),
 parts AS (SELECT doc_id,
   regexp_replace(split_part(u, '?', 1), '/+$', '') AS path,
@@ -10067,8 +10069,9 @@ grad AS (
 SELECT item AS item_idx, row, col,
        round(degrees(atan(sqrt(gx*gx + gy*gy))), 4) AS slope_deg,
        round(CASE WHEN gx = 0 AND gy = 0 THEN -1.0
-                  WHEN degrees(atan2(gy, -gx)) < 0 THEN degrees(atan2(gy, -gx)) + 360.0
-                  ELSE degrees(atan2(gy, -gx)) END, 4) AS aspect_deg
+                  WHEN degrees(atan2(gy, -gx)) > 90
+                  THEN 450.0 - degrees(atan2(gy, -gx))
+                  ELSE 90.0 - degrees(atan2(gy, -gx)) END, 4) AS aspect_deg
 FROM grad WHERE n = 8 ORDER BY item_idx, row, col
 """
 
@@ -10596,7 +10599,9 @@ WITH snaps AS (
 ),
 marked AS (
   SELECT key, snap_id, attr1, attr2,
-         md5(CAST(attr1 AS VARCHAR) || chr(31) || attr2) AS fp
+         md5(coalesce(CAST(attr1 AS VARCHAR), chr(0) || 'NULL' || chr(0))
+             || chr(31)
+             || coalesce(attr2, chr(0) || 'NULL' || chr(0))) AS fp
   FROM snaps
 ),
 chg AS (

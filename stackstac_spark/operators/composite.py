@@ -498,8 +498,13 @@ def slope_aspect(
     :func:`focal_gradient`):
 
         slope_deg  = degrees(atan(z · sqrt(dzdx² + dzdy²)))
-        aspect_deg = degrees(atan2(dzdy, -dzdx)) wrapped to [0, 360)
-                     (GDAL's formula: 0 = north, clockwise); FLAT cells
+        aspect_deg = compass azimuth (0 = north, clockwise) per GDAL:
+                     raw = degrees(atan2(dzdy, -dzdx)), then
+                     450 − raw if raw > 90 else 90 − raw, wrapped to
+                     [0, 360) — gdaldem's exact post-atan2 transform
+                     (alg/gdaldem.cpp), so z = x terrain (downslope
+                     facing west) emits 270, not the math-convention
+                     180; FLAT cells
                      (both gradients exactly 0) emit aspect −1.0, the
                      conventional flat sentinel (GDAL uses −9999 by
                      default; −1 matches its ``-zero_for_flat``-adjacent
@@ -519,9 +524,9 @@ def slope_aspect(
     gx, gy = F.col("dzdx"), F.col("dzdy")
     slope_deg = F.degrees(F.atan(F.lit(float(z_factor)) * F.sqrt(gx * gx + gy * gy)))
     raw = F.degrees(F.atan2(gy, -gx))
-    aspect_deg = F.when((gx == 0.0) & (gy == 0.0), F.lit(-1.0)).otherwise(
-        F.when(raw < 0.0, raw + 360.0).otherwise(raw)
-    )
+    compass = F.when(raw > 90.0, F.lit(450.0) - raw).otherwise(F.lit(90.0) - raw)
+    compass = F.when(compass >= 360.0, compass - 360.0).otherwise(compass)
+    aspect_deg = F.when((gx == 0.0) & (gy == 0.0), F.lit(-1.0)).otherwise(compass)
     if round_to is not None:
         slope_deg = F.round(slope_deg, round_to)
         aspect_deg = F.round(aspect_deg, round_to)

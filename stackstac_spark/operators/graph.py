@@ -366,12 +366,17 @@ def connected_components_star(
       directed edge list grouped by ``hi``), every neighbor and c itself
       attach to m = min(Γ≤(c) ∪ {c}). Same agg+join shape.
 
-    Convergence = the edge set IS a star forest: no node appears both as
-    a parent (``lo``) and as a child (``hi``) — one semi-join count per
-    round on the just-checkpointed set. This is exactly the fixed point of
-    the LS/SS alternation (both rewrites are no-ops on a star forest, and
-    both preserve connectivity, so the forest's roots are the component
-    minima), and it is strictly cheaper than the edge-set-equality check
+    Convergence = the edge set IS a star forest, which needs BOTH checks:
+    (a) no node appears both as a parent (``lo``) and as a child (``hi``)
+    — one semi-join count per round — AND (b) every child has exactly ONE
+    parent — one ``groupBy(hi)`` count. (a) alone is insufficient: a node
+    can end a round attached to two distinct pure roots (e.g. pairs
+    (10,3),(10,1),(11,3),(11,2) leave 3 → {1,2} with 1 and 2 both
+    root-only), which would stop early, split the component, and emit
+    duplicate node rows; requiring unique parents is exactly the
+    functional-forest condition the paper's fixed point implies. Both
+    counts run on the just-checkpointed, already-shrunken set, and the
+    pair is still strictly cheaper than the edge-set-equality check
     (two ``exceptAll``s), which also burns one extra confirming round.
     Each round ends in one ``localCheckpoint`` to truncate the
     self-referential plan; on a real cluster swap for reliable
@@ -426,7 +431,13 @@ def connected_components_star(
         depth2 = edges.join(
             edges.select(F.col("hi").alias("lo")).distinct(), "lo", "left_semi"
         ).count()
-        if depth2 == 0:
+        multi_parent = (
+            edges.groupBy("hi")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .count()
+        )
+        if depth2 == 0 and multi_parent == 0:
             converged = True
             break
     if not converged:

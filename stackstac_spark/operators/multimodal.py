@@ -272,16 +272,26 @@ def average_hash(media: DataFrame, fake: bool = True, grid: int = 8) -> DataFram
     Every step is INTEGER arithmetic (channel sums, block sums, strict
     integer compare — no float mean), so a SQL oracle replays the hash
     bit-for-bit. Blocks partition pixels by ``r·grid // h`` (floor), exact
-    for any dimensions. The 64 bits ship as four 16-bit words
-    (``w0..w3``, b = block_r·grid + block_c, word i holds bits
+    for any dimensions. The ``grid²`` bits ship as ``grid²/16`` 16-bit
+    words (``w0..w{n-1}``, b = block_r·grid + block_c, word i holds bits
     16i..16i+15 little-endian) rather than one signed 64-bit value: the
     words are non-negative, engine-portable, and are exactly the LSH bands
-    :func:`hamming_near_dups` buckets on.
+    :func:`hamming_near_dups` buckets on. ``grid`` must satisfy
+    ``grid² % 16 == 0`` (bits pack exactly into words; e.g. 4, 8, 12, 16)
+    — both the kernel output and the result schema are derived from it,
+    so any accepted ``grid`` yields a consistent DataFrame.
 
     Same streaming ``mapInPandas`` shape as :func:`extract_features` —
     map-only over payload splits, no shuffle.
     """
     n_blocks = grid * grid
+    if grid < 1 or n_blocks % 16 != 0:
+        raise ValueError(
+            f"grid²={n_blocks} must be a positive multiple of 16 so the hash "
+            "bits pack exactly into 16-bit words (e.g. grid = 4, 8, 12, 16)"
+        )
+    n_words = n_blocks // 16
+    word_cols = [f"w{i}" for i in range(n_words)]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -298,14 +308,14 @@ def average_hash(media: DataFrame, fake: bool = True, grid: int = 8) -> DataFram
                 bits = (blocks.reshape(-1) * n_blocks > total).astype(np.int64)
                 words = [
                     int((bits[16 * i : 16 * (i + 1)] << np.arange(16)).sum())
-                    for i in range(n_blocks // 16)
+                    for i in range(n_words)
                 ]
                 out.append((row.media_id, *words))
-            yield pd.DataFrame(out, columns=["media_id", "w0", "w1", "w2", "w3"])
+            yield pd.DataFrame(out, columns=["media_id", *word_cols])
 
     schema = T.StructType(
         [T.StructField("media_id", T.LongType())]
-        + [T.StructField(f"w{i}", T.LongType()) for i in range(4)]
+        + [T.StructField(c, T.LongType()) for c in word_cols]
     )
     cols = ["media_id", "kind", "mime", "width", "height", "n_frames", "payload"]
     return media.select(*cols).mapInPandas(kernel, schema)
@@ -313,17 +323,26 @@ def average_hash(media: DataFrame, fake: bool = True, grid: int = 8) -> DataFram
 
 def hamming_near_dups(hashes: DataFrame, max_hamming: int = 8) -> DataFrame:
     """Visual near-duplicate pairs from :func:`average_hash` words via
-    Hamming LSH: candidates are pairs agreeing EXACTLY on ≥1 of the four
-    16-bit words (an image pair within Hamming distance 3 of each other is
-    guaranteed ≥1 untouched word by pigeonhole; distance ≤ max_hamming
-    pairs are found with the classic banding probability), then verified
-    with the exact 64-bit Hamming distance (bit_count of per-word XORs).
+    Hamming LSH: candidates are pairs agreeing EXACTLY on ≥1 of the
+    16-bit words (with W words, a pair within Hamming distance W−1 of
+    each other is guaranteed ≥1 untouched word by pigeonhole; distance
+    ≤ max_hamming pairs are found with the classic banding probability),
+    then verified with the exact Hamming distance (bit_count of per-word
+    XORs). The word set is DERIVED from the input's ``w<i>`` columns, so
+    any :func:`average_hash` grid size feeds straight in.
 
-    Scale shape: four word-keyed equi-joins (unioned, distinct) — never an
+    Scale shape: per-word equi-joins (unioned, distinct) — never an
     all-pairs product over the image corpus; the verify step is arithmetic
     on the already-joined pair rows. Returns (id_a < id_b, hamming).
     """
-    words = [f"w{i}" for i in range(4)]
+    import re as _re
+
+    words = sorted(
+        (c for c in hashes.columns if _re.fullmatch(r"w\d+", c)),
+        key=lambda c: int(c[1:]),
+    )
+    if not words:
+        raise ValueError("hashes must carry average_hash word columns w0..wN")
     banded = None
     for i, wcol in enumerate(words):
         b = hashes.select(

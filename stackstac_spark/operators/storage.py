@@ -182,8 +182,14 @@ def scd2_history(
     valid_to, is_current) — the warehouse dimension-history build
     (Kimball SCD2; Delta/Iceberg MERGE pipelines materialize exactly this).
 
-    Change detection is an md5 over the attribute tuple compared against
-    the per-key previous snapshot (one lag window); a running change-count
+    Change detection is an md5 over the attribute tuple — each attribute
+    NULL-protected with ``coalesce(cast(c as string), '\\x00NULL\\x00')``
+    before the ``\\x1f``-separated concat, because ``concat_ws`` SKIPS
+    nulls and would otherwise collide tuples that differ only by a NULL
+    shifting position (standard SCD2 hash-diff practice; the ``\\x00``
+    framing keeps the sentinel from colliding with the separator or any
+    plausible attribute string) — compared against the per-key previous
+    snapshot (one lag window); a running change-count
     window assigns version numbers; one agg per (key, version) yields
     ``valid_from``; a lead window supplies ``valid_to`` (the next
     version's start; NULL ⇒ current). ``snap_col`` must be orderable;
@@ -196,7 +202,15 @@ def scd2_history(
     """
     from pyspark.sql import Window
 
-    fp = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in attr_cols]))
+    fp = F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL\x00"))
+                for c in attr_cols
+            ],
+        )
+    )
     w = Window.partitionBy(key_col).orderBy(snap_col)
     marked = snapshots.select(key_col, snap_col, *attr_cols).withColumn(
         "__fp", fp

@@ -61,7 +61,11 @@ def canonicalize_url(url: Column) -> Column:
     2. lowercase the scheme and authority (path/query case is preserved —
        paths ARE case-sensitive),
     3. drop a leading ``www.`` label,
-    4. drop explicit default ports ``:80``/``:443``,
+    4. drop the explicit default port for the URL's OWN scheme — ``:80``
+       for http, ``:443`` for https — with the rewrite anchored to the
+       authority (a literal ``:443`` inside a path or query is data, and
+       ``http://host:443/`` is a distinct resource from ``http://host/``,
+       so neither is touched),
     5. drop tracking query parameters (:data:`TRACKING_PARAM_RE`) and sort
        the survivors byte-wise (param order never changes page identity),
     6. strip trailing slashes from the path.
@@ -74,7 +78,8 @@ def canonicalize_url(url: Column) -> Column:
     prefix = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0)
     u = F.concat(F.lower(prefix), F.substring(u, F.length(prefix) + 1, F.lit(1 << 30)))
     u = F.regexp_replace(u, r"^(https?://)www\.", "$1")
-    u = F.regexp_replace(u, r":(?:80|443)(/|$)", "$1")
+    u = F.regexp_replace(u, r"^(http://[^/?#]*):80([/?#]|$)", "$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/?#]*):443([/?#]|$)", "$1$2")
     path = F.split_part(u, F.lit("?"), F.lit(1))
     query = F.when(u.contains("?"), F.split_part(u, F.lit("?"), F.lit(2))).otherwise(
         F.lit("")

@@ -61,8 +61,19 @@ def test_slope_aspect_planes(spark):
     want_slope = round(math.degrees(math.atan(2.0)), 4)
     for r in out:
         assert r["slope_deg"] == want_slope
-        # dzdx=2, dzdy=0 -> atan2(0, -2) = 180
-        assert r["aspect_deg"] == 180.0
+        # dzdx=2, dzdy=0 -> raw atan2(0, -2) = 180 -> GDAL compass
+        # 450 - 180 = 270: downslope faces WEST (z grows eastward),
+        # matching gdaldem, not the math convention's 180
+        assert r["aspect_deg"] == 270.0
+
+    # z = 2*row: dzdy = 2, dzdx = 0 -> raw = 90 -> compass 0 (north):
+    # z grows with row (southward), downslope faces north
+    py = spark.createDataFrame(
+        [(0, 0, r, c, float(2 * r)) for r in range(5) for c in range(5)],
+        ["item_idx", "band_idx", "row", "col", "value"],
+    )
+    for r in slope_aspect(py).collect():
+        assert r["aspect_deg"] == 0.0
 
     # flat plane -> slope 0, aspect sentinel -1
     flat = spark.createDataFrame(

@@ -127,3 +127,32 @@ def test_scd2_multi_attr_change_on_either(spark):
         (0, 1, 10),
         (1, None, 20),
     ]
+
+
+def test_scd2_null_shift_detected(spark):
+    # Regression (r9 ADVICE): concat_ws skips NULLs, so (a='x', b=NULL) and
+    # (a=NULL, b='x') used to hash identically and collapse into ONE version
+    # with the stale attrs marked current. NULL-protected hashing must emit
+    # two versions with the new attrs current.
+    from stackstac_spark.operators.storage import scd2_history
+
+    rows = [(1, 0, "x", None), (1, 1, None, "x")]
+    df = spark.createDataFrame(rows, ["key", "snap_id", "a", "b"])
+    out = scd2_history(df, "key", ["a", "b"]).orderBy("valid_from").collect()
+    assert [(r["valid_from"], r["valid_to"], r["a"], r["b"], r["is_current"]) for r in out] == [
+        (0, 1, "x", None, False),
+        (1, None, None, "x", True),
+    ]
+
+
+def test_scd2_null_to_value_and_back(spark):
+    from stackstac_spark.operators.storage import scd2_history
+
+    rows = [(7, 0, None), (7, 1, "v"), (7, 2, None), (7, 3, None)]
+    df = spark.createDataFrame(rows, ["key", "snap_id", "a"])
+    out = scd2_history(df, "key", ["a"]).orderBy("valid_from").collect()
+    assert [(r["valid_from"], r["valid_to"], r["a"]) for r in out] == [
+        (0, 1, None),
+        (1, 2, "v"),
+        (2, None, None),
+    ]

@@ -45,6 +45,42 @@ def test_average_hash_identical_and_perturbed(spark):
     assert d_same <= 8
 
 
+def test_average_hash_grid_param(spark):
+    # Regression (r9 ADVICE): grid used to be accepted but the output was
+    # hardcoded to four 16-bit words, so any grid != 8 crashed inside
+    # mapInPandas. The word-column count must follow grid²/16, invalid
+    # grids must be rejected UP FRONT, and near-dup detection must consume
+    # any accepted grid's words.
+    import pytest as _pytest
+
+    from stackstac_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        average_hash,
+        hamming_near_dups,
+    )
+    from stackstac_spark.session import local_df
+
+    media = local_df(spark, _media_rows(range(4), perturb=[1]), MEDIA_SCHEMA)
+    for grid, n_words in ((4, 1), (8, 4), (12, 9)):
+        out = average_hash(media, grid=grid)
+        assert out.columns == ["media_id"] + [f"w{i}" for i in range(n_words)]
+        rows = out.collect()
+        assert len(rows) == 5
+        assert all(0 <= rows[0][f"w{i}"] < 65536 for i in range(n_words))
+
+    # grid*grid % 16 != 0 would silently drop bits — rejected eagerly
+    for bad in (3, 6, 10, 0):
+        with _pytest.raises(ValueError):
+            average_hash(media, grid=bad)
+
+    # hamming_near_dups derives the word set from the input columns
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in hamming_near_dups(average_hash(media, grid=12), max_hamming=12).collect()
+    }
+    assert (1, 1001) in pairs
+
+
 def test_hamming_near_dups_finds_planted_only(spark):
     from stackstac_spark.operators.multimodal import (
         MEDIA_SCHEMA,

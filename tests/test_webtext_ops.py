@@ -23,6 +23,14 @@ def test_canonicalize_url_cases(spark):
             (4, "https://bare.io"),  # nothing to rewrite
             (5, "http://h.net:8080/p?a=1"),  # NON-default port preserved
             (6, "https://CaSe.com/UPPER/Path"),  # path case preserved
+            # ':443' in the PATH is data, not a port — must survive
+            (7, "https://a.com/redir/host:443/x"),
+            # :443 on an http URL is a real, non-default port — preserved
+            (8, "http://b.com:443/y"),
+            # :80 on an https URL is a real, non-default port — preserved
+            (9, "https://c.com:80/z"),
+            # scheme-default port with a query right after the authority
+            (10, "http://d.com:80?a=1"),
         ],
         ["id", "url"],
     )
@@ -40,6 +48,10 @@ def test_canonicalize_url_cases(spark):
     assert out[4] == ("https://bare.io", "bare.io")
     assert out[5] == ("http://h.net:8080/p?a=1", "h.net")
     assert out[6] == ("https://case.com/UPPER/Path", "case.com")
+    assert out[7] == ("https://a.com/redir/host:443/x", "a.com")
+    assert out[8] == ("http://b.com:443/y", "b.com")
+    assert out[9] == ("https://c.com:80/z", "c.com")
+    assert out[10] == ("http://d.com?a=1", "d.com")
 
 
 def test_registered_domain_bare_host(spark):
@@ -125,6 +137,40 @@ def test_cc_star_vs_union_find(spark, seed):
     df = spark.createDataFrame(edges, ["id_a", "id_b"])
     got = {r["node"]: r["component"] for r in connected_components_star(df).collect()}
     assert got == _brute_components(edges)
+
+
+def test_cc_star_double_root_topology(spark):
+    # Regression (r9 ADVICE): after one LS/SS round this topology is
+    # {(3,1),(3,2),(10,1),(11,2)} — no node is both hi and lo, but node 3
+    # has TWO pure-root parents. The old star-forest check stopped here,
+    # splitting component {1,2,3,10,11} across roots 1 and 2 and emitting
+    # node 3 twice. The unique-parent convergence condition must keep
+    # iterating until everything hangs off root 1.
+    from stackstac_spark.operators.graph import connected_components_star
+
+    edges = [(10, 3), (10, 1), (11, 3), (11, 2)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    rows = connected_components_star(df).collect()
+    nodes = [r["node"] for r in rows]
+    assert sorted(nodes) == [1, 2, 3, 10, 11]  # one row per node, no dups
+    assert {r["component"] for r in rows} == {1}
+
+
+def test_cc_star_no_duplicate_node_rows_random(spark):
+    # the double-root bug surfaced as duplicate node rows; sweep a few
+    # random graphs for row-multiplicity, not just label agreement
+    import random
+
+    from stackstac_spark.operators.graph import connected_components_star
+
+    rng = random.Random(99)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(45)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    rows = connected_components_star(df).collect()
+    nodes = [r["node"] for r in rows]
+    assert len(nodes) == len(set(nodes))
+    assert {r["node"]: r["component"] for r in rows} == _brute_components(edges)
 
 
 def test_cc_star_chain_adversary(spark):
