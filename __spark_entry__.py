@@ -9203,6 +9203,114 @@ ORDER BY src_id, tgt_id
 """
 
 
+def q_bitext_mine_ann(spark, sf):
+    """Scale-safe bitext mining (operators/similarity.py::
+    bitext_margin_pairs(candidates=...) + hamming_candidate_pairs): the
+    production LASER/CCMatrix shape — sign-bit codes (Charikar 2002),
+    8-bit band equi-join for candidates (MinHash-LSH pigeonhole, never a
+    cross join), per-side Hamming top-8 shortlists, then the margin rule
+    (kNN sums + mutual argmax) computed OVER the candidate set, exactly
+    how Artetxe & Schwenk compute margins over FAISS shortlists. The
+    exact `bitext_mine` gate stays as the semantic anchor on the same
+    slice; this gate pins the path that survives 100 TB. Every stage is
+    integer/rounded arithmetic, replayed verbatim by the oracle."""
+    from stackstac_spark.operators.similarity import (
+        bitext_margin_pairs,
+        hamming_candidate_pairs,
+    )
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 1200)
+    src = emb.filter(F.col("label") % 2 == 0)
+    tgt = emb.filter(F.col("label") % 2 == 1)
+    cand = hamming_candidate_pairs(src, tgt, per_side=8, dim=64, band_bits=8)
+    return bitext_margin_pairs(
+        src, tgt, knn=4, threshold=1.0, candidates=cand
+    ).orderBy("src_id", "tgt_id")
+
+
+SQL_BITEXT_MINE_ANN = """
+WITH e AS MATERIALIZED (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < 1200
+),
+codes AS MATERIALIZED (
+  SELECT vec_id, label,
+         CAST(list_sum(list_transform(generate_series(1, 32),
+              i -> CASE WHEN v[i] > 0 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END)) AS BIGINT) AS w0,
+         CAST(list_sum(list_transform(generate_series(33, 64),
+              i -> CASE WHEN v[i] > 0 THEN (1::BIGINT << (i - 33)) ELSE 0::BIGINT END)) AS BIGINT) AS w1
+  FROM e
+),
+bands(band) AS (SELECT unnest(generate_series(0, 7))),
+sb AS (
+  SELECT c.vec_id AS src_id, b.band,
+         CASE WHEN b.band < 4 THEN (w0 >> (b.band * 8)) & 255
+              ELSE (w1 >> ((b.band - 4) * 8)) & 255 END AS key
+  FROM codes c, bands b WHERE c.label % 2 = 0
+),
+tb AS (
+  SELECT c.vec_id AS tgt_id, b.band,
+         CASE WHEN b.band < 4 THEN (w0 >> (b.band * 8)) & 255
+              ELSE (w1 >> ((b.band - 4) * 8)) & 255 END AS key
+  FROM codes c, bands b WHERE c.label % 2 = 1
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT src_id, tgt_id
+  FROM sb JOIN tb ON sb.band = tb.band AND sb.key = tb.key
+),
+hams AS MATERIALIZED (
+  SELECT c.src_id, c.tgt_id,
+         bit_count(xor(s.w0, t.w0)) + bit_count(xor(s.w1, t.w1)) AS hamming
+  FROM cand c
+  JOIN codes s ON s.vec_id = c.src_id
+  JOIN codes t ON t.vec_id = c.tgt_id
+),
+shortlist AS MATERIALIZED (
+  SELECT src_id, tgt_id FROM (
+    SELECT src_id, tgt_id,
+           row_number() OVER (PARTITION BY src_id ORDER BY hamming, tgt_id) AS r
+    FROM hams) WHERE r <= 8
+  UNION
+  SELECT src_id, tgt_id FROM (
+    SELECT src_id, tgt_id,
+           row_number() OVER (PARTITION BY tgt_id ORDER BY hamming, src_id) AS r
+    FROM hams) WHERE r <= 8
+),
+en AS MATERIALIZED (
+  SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nn FROM e
+),
+s2 AS (SELECT vec_id AS src_id, v AS sv, nn AS sn FROM en WHERE label % 2 = 0),
+t2 AS (SELECT vec_id AS tgt_id, v AS tv, nn AS tn FROM en WHERE label % 2 = 1),
+sims AS MATERIALIZED (
+  SELECT c.src_id, c.tgt_id,
+         round(list_dot_product(sv, tv) / (sn * tn), 6) AS sim
+  FROM shortlist c JOIN s2 USING (src_id) JOIN t2 USING (tgt_id)
+),
+rk AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, tgt_id) AS rk_s,
+         row_number() OVER (PARTITION BY tgt_id ORDER BY sim DESC, src_id) AS rk_t
+  FROM sims
+),
+avs AS (SELECT src_id, round(sum(sim), 6) AS sum_s FROM rk WHERE rk_s <= 4 GROUP BY src_id),
+avt AS (SELECT tgt_id, round(sum(sim), 6) AS sum_t FROM rk WHERE rk_t <= 4 GROUP BY tgt_id),
+sc AS (
+  SELECT m.src_id, m.tgt_id, m.sim,
+         round(m.sim / ((a.sum_s + b.sum_t) / 8.0), 6) AS margin
+  FROM sims m JOIN avs a USING (src_id) JOIN avt b USING (tgt_id)
+),
+bb AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rk_f,
+         row_number() OVER (PARTITION BY tgt_id ORDER BY margin DESC, src_id) AS rk_b
+  FROM sc
+)
+SELECT src_id, tgt_id, sim, margin
+FROM bb WHERE rk_f = 1 AND rk_b = 1 AND margin >= 1.0
+ORDER BY src_id, tgt_id
+"""
+
+
 def q_rle_runs(spark, sf):
     """RLE layout audit (operators/storage.py::rle_run_stats): per column,
     run counts in the page-local layout (pages = orders, Parquet-style —
@@ -10940,6 +11048,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- bpe_merges / bpe_encode sit past the window (window slots stay
     # --- fully oracle-backed per the driver-contract test),
     # --- pytest-covered end-to-end.
+    "bitext_mine_ann": (q_bitext_mine_ann, SQL_BITEXT_MINE_ANN),
     "cc_star": (q_cc_star, SQL_CC_STAR),
     "url_canonical": (q_url_canonical, SQL_URL_CANONICAL),
     "html_strip": (q_html_strip, SQL_HTML_STRIP),

@@ -1105,6 +1105,110 @@ def hamming_topk(
     )
 
 
+def hamming_candidate_pairs(
+    src: DataFrame,
+    tgt: DataFrame,
+    per_side: int = 8,
+    dim: int = 64,
+    band_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Cross-corpus ANN candidate pairs from sign-bit codes — the first
+    stage that makes :func:`bitext_margin_pairs` linear-ish at corpus
+    scale (the LASER/CCMatrix shape: FAISS shortlists feeding the margin
+    rule; here the shortlist comes from :func:`sign_codes` Hamming
+    banding, everything relational).
+
+    Three bounded stages, no cross join anywhere:
+
+    1. **Band join**: each side's sign codes split into ``band_bits``-bit
+       bands (dim/band_bits bands; default 8×8 over 64 bits); candidate =
+       any src/tgt pair agreeing EXACTLY on ≥1 band — a (band, key)
+       equi-join, the same pigeonhole banding as MinHash LSH (a pair
+       within Hamming distance < n_bands always shares a band; higher
+       distances survive with the S-curve probability).
+    2. **Skew guard** (``max_bucket``): optionally drop (band, key)
+       buckets where either side exceeds ``max_bucket`` rows — the
+       hyper-common-code guard (e.g. an all-zeros band from centered
+       dims), mirroring the MinHash ``max_bucket`` policy. Off by default
+       so small gates stay parameter-free.
+    3. **Per-side shortlist**: exact Hamming (bit_count of word XORs —
+       integer only) on the banded pairs, keep each src's ``per_side``
+       best and each tgt's ``per_side`` best (ties → partner id), union.
+
+    Returns distinct (src_id, tgt_id) — feed straight into
+    ``bitext_margin_pairs(candidates=...)``. Scale shape: two scans for
+    codes, one banded equi-join whose volume is controlled by band_bits ×
+    max_bucket, two partitioned top-k windows. Every step is replayable
+    integer arithmetic, so the oracle pins the exact candidate set.
+    """
+    if band_bits < 1 or 32 % band_bits != 0:
+        raise ValueError(f"band_bits must divide 32, got {band_bits}")
+    n_words = (dim + 31) // 32
+    per_word = 32 // band_bits
+    mask = (1 << band_bits) - 1
+    s_codes = sign_codes(src, vec_col, id_col, dim)
+    t_codes = sign_codes(tgt, vec_col, id_col, dim)
+
+    def _bands(codes: DataFrame, out_id: str) -> DataFrame:
+        band_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(wi * per_word + b).alias("band"),
+                    F.shiftright(F.col(f"w{wi}"), b * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("key"),
+                )
+                for wi in range(n_words)
+                for b in range(per_word)
+            ]
+        )
+        out = codes.select(F.col("id").alias(out_id), F.explode(band_arr).alias("bk"))
+        return out.select(out_id, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    sb, tb = _bands(s_codes, "src_id"), _bands(t_codes, "tgt_id")
+    if max_bucket is not None:
+        for side, idc in ((0, "src_id"), (1, "tgt_id")):
+            df = sb if side == 0 else tb
+            keep = (
+                df.groupBy("band", "key")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") <= max_bucket)
+                .select("band", "key")
+            )
+            if side == 0:
+                sb = sb.join(keep, ["band", "key"], "left_semi")
+            else:
+                tb = tb.join(keep, ["band", "key"], "left_semi")
+    cand = sb.join(tb, ["band", "key"]).select("src_id", "tgt_id").distinct()
+    sw = s_codes.select(
+        F.col("id").alias("src_id"), *[F.col(f"w{i}").alias(f"sw{i}") for i in range(n_words)]
+    )
+    tw = t_codes.select(
+        F.col("id").alias("tgt_id"), *[F.col(f"w{i}").alias(f"tw{i}") for i in range(n_words)]
+    )
+    ham = None
+    for i in range(n_words):
+        t = F.bit_count(F.col(f"sw{i}").bitwiseXOR(F.col(f"tw{i}")))
+        ham = t if ham is None else ham + t
+    scored = (
+        cand.join(sw, "src_id").join(tw, "tgt_id").select("src_id", "tgt_id", ham.alias("hamming"))
+    )
+    w_s = Window.partitionBy("src_id").orderBy("hamming", "tgt_id")
+    w_t = Window.partitionBy("tgt_id").orderBy("hamming", "src_id")
+    keep_s = scored.withColumn("__r", F.row_number().over(w_s)).filter(
+        F.col("__r") <= per_side
+    )
+    keep_t = scored.withColumn("__r", F.row_number().over(w_t)).filter(
+        F.col("__r") <= per_side
+    )
+    return keep_s.select("src_id", "tgt_id").union(
+        keep_t.select("src_id", "tgt_id")
+    ).distinct()
+
+
 def mmr_select(
     corpus: DataFrame,
     query_id,
@@ -1200,6 +1304,7 @@ def bitext_margin_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sim_round: int = 6,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Margin-based bitext mining (Artetxe & Schwenk 2019, the LASER /
     CCMatrix pairing rule): score every cross-lingual pair by
@@ -1208,12 +1313,23 @@ def bitext_margin_pairs(
     ``threshold``. The standard parallel-corpus miner for translation
     training data.
 
-    Relational shape: one sim matrix (src × tgt — at scale, replace the
-    cross join with an ANN candidate join, e.g. ivf_topk's cell join;
-    the margin/mutual logic downstream is unchanged), two window top-k
-    passes for the kNN averages, two argmax windows, one self-join for
-    mutuality. Every sim and margin is rounded before ranking, ties break
-    on the partner id, so an external engine replays the exact pair set.
+    Relational shape: a sim matrix, two window top-k passes for the kNN
+    averages, two argmax windows, one self-join for mutuality. Every sim
+    and margin is rounded before ranking, ties break on the partner id,
+    so an external engine replays the exact pair set.
+
+    ``candidates=None`` scores the FULL src × tgt matrix — exact
+    semantics, quadratic by construction, only for bounded slices (it is
+    this module's semantic anchor, not the production path).
+    ``candidates=`` a (src_id, tgt_id) DataFrame — e.g.
+    :func:`hamming_candidate_pairs`'s banded sign-bit shortlists —
+    restricts scoring to those pairs via two equi-joins (NO cross join in
+    the plan), and the kNN sums / mutual argmax run over the candidate
+    set: exactly the LASER/CCMatrix production shape, where margins are
+    shortlist-relative (Artetxe & Schwenk compute the kNN average over
+    the FAISS shortlist, not the full matrix). This is the path that
+    holds at 100 TB: candidate volume is bounded by the generator, and
+    everything downstream is windows over per-id groups.
     """
     s = src.select(
         F.col(id_col).alias("src_id"),
@@ -1223,17 +1339,18 @@ def bitext_margin_pairs(
         F.col(id_col).alias("tgt_id"),
         F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("tv"),
     ).withColumn("tn", F.sqrt(F.expr("aggregate(tv, 0D, (a, x) -> a + x * x)")))
-    sims = s.crossJoin(t).select(
-        "src_id",
-        "tgt_id",
-        F.round(
-            F.expr(
-                "aggregate(zip_with(sv, tv, (x, y) -> x * y), 0D, (a, z) -> a + z)"
-            )
-            / (F.col("sn") * F.col("tn")),
-            sim_round,
-        ).alias("sim"),
-    )
+    sim_expr = F.round(
+        F.expr("aggregate(zip_with(sv, tv, (x, y) -> x * y), 0D, (a, z) -> a + z)")
+        / (F.col("sn") * F.col("tn")),
+        sim_round,
+    ).alias("sim")
+    if candidates is None:
+        sims = s.crossJoin(t).select("src_id", "tgt_id", sim_expr)
+    else:
+        cand = candidates.select("src_id", "tgt_id").distinct()
+        sims = cand.join(s, "src_id").join(t, "tgt_id").select(
+            "src_id", "tgt_id", sim_expr
+        )
     w_s = Window.partitionBy("src_id").orderBy(F.desc("sim"), F.asc("tgt_id"))
     w_t = Window.partitionBy("tgt_id").orderBy(F.desc("sim"), F.asc("src_id"))
     ranked = sims.withColumn("rk_s", F.row_number().over(w_s)).withColumn(

@@ -1,8 +1,9 @@
 """Suite-wide physical-plan net: EVERY registry query's plan (built at
 sf0.001) must be free of true cartesian products and of row-at-a-time
 Python UDFs. Individual plan guards assert stronger per-operator
-properties; this catches a regression sneaking into any of the ~111
-queries through a refactor that no targeted guard watches."""
+properties; this catches a regression sneaking into ANY registry query
+(the sweep iterates the full registry — 200+ entries and growing)
+through a refactor that no targeted guard watches."""
 
 import os
 import sys

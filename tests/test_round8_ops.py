@@ -47,6 +47,98 @@ def test_jaro_winkler_matches_duckdb_cell_for_cell():
         assert got == pytest.approx(want, abs=1e-12), (a, b, got, want)
 
 
+def test_jw_vectorized_equals_scalar_hypothesis():
+    """The numpy batch scorer must agree with the scalar reference (which
+    is itself pinned to DuckDB above) on arbitrary strings."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from stackstac_spark.operators.linkage import _jw_batch, jaro_winkler
+
+    alpha = st.text(alphabet="abcde", max_size=14)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(st.tuples(alpha, alpha), min_size=1, max_size=8))
+    def prop(pairs):
+        sa = [p[0] for p in pairs]
+        sb = [p[1] for p in pairs]
+        got = _jw_batch(sa, sb)
+        for i, (a, b) in enumerate(pairs):
+            assert got[i] == pytest.approx(jaro_winkler(a, b), abs=1e-12), (a, b)
+
+    prop()
+
+
+def test_jw_bound_is_sound_hypothesis():
+    """Prune-only guarantee: the prefilter bound can NEVER fall below the
+    true Jaro-Winkler score — a dropped pair would silently corrupt the
+    fuzzy join. Checked on arbitrary strings, including the adversarial
+    high-overlap regime."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from stackstac_spark.operators.linkage import _jw_bound_py, jaro_winkler
+
+    alpha = st.text(alphabet="abcdef", max_size=16)
+
+    @settings(max_examples=500, deadline=None)
+    @given(alpha, alpha)
+    def prop(a, b):
+        assert _jw_bound_py(a, b) >= jaro_winkler(a, b) - 1e-12, (a, b)
+
+    prop()
+
+
+def test_jw_bound_column_matches_python(spark):
+    """Chain the Hypothesis property to the Catalyst expression: the SQL
+    bound equals the pure-Python mirror on a deterministic sample."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from stackstac_spark.operators.linkage import _jw_bound_py, jaro_winkler_bound
+
+    def w(seed, n):
+        h = hashlib.md5(seed.encode()).hexdigest()
+        return "".join(chr(ord("a") + int(c, 16) % 9) for c in h)[:n]
+
+    rows = [(w(f"x{i}", 1 + i % 12), w(f"y{i}", 1 + (i * 5) % 12)) for i in range(120)]
+    rows += [("", ""), ("", "abc"), ("same", "same"), ("ab", "ab")]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    got = df.select("a", "b", jaro_winkler_bound(F.col("a"), F.col("b")).alias("ub")).collect()
+    for r in got:
+        assert r["ub"] == pytest.approx(_jw_bound_py(r["a"], r["b"]), abs=1e-9), (
+            r["a"], r["b"],
+        )
+
+
+def test_jw_pairs_prefilter_never_drops_matches(spark):
+    """End-to-end: jaro_winkler_pairs (prefilter + vectorized scorer) on
+    clustered strings returns EXACTLY the brute-force qualifying pair set."""
+    import itertools
+
+    from stackstac_spark.operators.linkage import jaro_winkler, jaro_winkler_pairs
+
+    names = [
+        "martha stewart", "marhta stewart", "martha stewwart",
+        "jonathan smith", "jonathon smith", "jon smith",
+        "xylophone corp", "zzz unrelated",
+    ]
+    rows = [(i, "blk", nm) for i, nm in enumerate(names)]
+    df = spark.createDataFrame(rows, ["rid", "blk", "nm"])
+    for thr in (0.8, 0.9, 0.95):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in jaro_winkler_pairs(df, "nm", ["blk"], "rid", threshold=thr).collect()
+        }
+        want = {
+            (i, j)
+            for (i, a), (j, b) in itertools.combinations(enumerate(names), 2)
+            if round(jaro_winkler(a, b), 6) >= thr
+        }
+        assert got == want, thr
+
+
 def test_edit_distance_pairs_blocked(spark):
     from stackstac_spark.operators.linkage import edit_distance_pairs
 
@@ -206,6 +298,99 @@ def test_bitext_mutuality_is_enforced(spark):
     tgt = _emb_df(spark, [[1.0, 0.05]])
     out = bitext_margin_pairs(src, tgt, knn=1, threshold=0.0).collect()
     assert len(out) <= 1
+
+
+def test_hamming_candidates_recover_planted_pairs(spark):
+    import random
+
+    from stackstac_spark.operators.similarity import hamming_candidate_pairs
+
+    # 20 random src vectors; tgt = slightly perturbed copies (planted
+    # translations) + 10 unrelated vectors. Banding must surface every
+    # planted (i, i) pair; unrelated ids only survive if they happen to
+    # share a band AND make a shortlist.
+    rng = random.Random(11)
+    base = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(20)]
+    src = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    tgt_rows = [
+        (i, [x + rng.uniform(-0.02, 0.02) for x in v]) for i, v in enumerate(base)
+    ] + [
+        (100 + j, [rng.uniform(-1, 1) for _ in range(64)]) for j in range(10)
+    ]
+    tgt = spark.createDataFrame(tgt_rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cand = hamming_candidate_pairs(src, tgt, per_side=4, dim=64, band_bits=8)
+    pairs = {(r["src_id"], r["tgt_id"]) for r in cand.collect()}
+    for i in range(20):
+        assert (i, i) in pairs, f"planted pair {i} missed by banding"
+
+
+def test_bitext_ann_path_matches_exact_on_planted(spark):
+    import random
+
+    from stackstac_spark.operators.similarity import (
+        bitext_margin_pairs,
+        hamming_candidate_pairs,
+    )
+
+    rng = random.Random(7)
+    base = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(15)]
+    src = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    tgt_rows = [
+        (i, [x + rng.uniform(-0.01, 0.01) for x in v]) for i, v in enumerate(base)
+    ]
+    tgt = spark.createDataFrame(tgt_rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    exact = {
+        (r["src_id"], r["tgt_id"])
+        for r in bitext_margin_pairs(src, tgt, knn=4, threshold=1.0).collect()
+    }
+    cand = hamming_candidate_pairs(src, tgt, per_side=8, dim=64, band_bits=8)
+    ann = {
+        (r["src_id"], r["tgt_id"])
+        for r in bitext_margin_pairs(
+            src, tgt, knn=4, threshold=1.0, candidates=cand
+        ).collect()
+    }
+    planted = {(i, i) for i in range(15)}
+    # every planted translation the exact miner finds, the ANN path finds
+    assert planted & exact <= ann
+    assert planted <= ann
+
+
+def test_bitext_ann_plan_has_no_cross_join(spark):
+    from stackstac_spark.operators.similarity import (
+        bitext_margin_pairs,
+        hamming_candidate_pairs,
+    )
+    from stackstac_spark.plans import audit
+
+    src = _emb_df(spark, [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    tgt = _emb_df(spark, [[0.99, 0.1, 0.0], [0.0, 0.0, 1.0]])
+    cand = hamming_candidate_pairs(src, tgt, per_side=2, dim=3, band_bits=8)
+    df = bitext_margin_pairs(src, tgt, knn=2, threshold=0.0, candidates=cand)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rep = audit.report(df)
+    assert not rep["has_cartesian"]
+
+
+def test_hamming_candidates_max_bucket_guard(spark):
+    from stackstac_spark.operators.similarity import hamming_candidate_pairs
+
+    # all-identical vectors: every band bucket holds every row — a
+    # max_bucket of 1 must empty the candidate set instead of going
+    # quadratic
+    vecs = [(i, [1.0] * 64) for i in range(6)]
+    src = spark.createDataFrame(vecs, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    tgt = spark.createDataFrame(vecs, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    n = hamming_candidate_pairs(src, tgt, max_bucket=1).count()
+    assert n == 0
+    full = hamming_candidate_pairs(src, tgt, per_side=10).count()
+    assert full == 36
 
 
 # ------------------------------------------------------------ rle
