@@ -11026,6 +11026,239 @@ ORDER BY shard
 """
 
 
+# ---------------------------------------------------------------------------
+# r9 wave 1: drift monitoring + ranking evaluation
+
+
+def q_ks_drift(spark, sf):
+    """Two-sample Kolmogorov-Smirnov drift screen (operators/drift.py::
+    ks_statistic): each language's n_chars distribution against the 'en'
+    reference — sup-gap of right-continuous CDFs over the merged distinct
+    values. Reference counts replicate to comparison groups via a
+    constant-key broadcast hash join (never a cross join); one
+    group-partitioned cumulative window; one max agg. The "did the crawl
+    shift?" significance companion to psi_drift."""
+    from stackstac_spark.operators.drift import ks_statistic
+
+    docs = _t(spark, sf, "documents")
+    return ks_statistic(docs, "n_chars", "lang", "en").orderBy("group")
+
+
+SQL_KS_DRIFT = """
+WITH vals AS (SELECT lang AS grp, n_chars AS x FROM documents),
+refc AS MATERIALIZED (SELECT x, count(*) AS cr FROM vals WHERE grp = 'en' GROUP BY x),
+grpc AS MATERIALIZED (
+  SELECT grp, x, count(*) AS cg FROM vals WHERE grp <> 'en' GROUP BY grp, x),
+merged AS (
+  SELECT grp, x, sum(cr) AS cr, sum(cg) AS cg FROM (
+    SELECT grp, x, 0 AS cr, cg FROM grpc
+    UNION ALL
+    SELECT g.grp, r.x, r.cr, 0 FROM (SELECT DISTINCT grp FROM grpc) g, refc r
+  ) GROUP BY grp, x
+),
+cum AS (
+  SELECT grp,
+         sum(cr) OVER (PARTITION BY grp ORDER BY x) AS ccr,
+         sum(cg) OVER (PARTITION BY grp ORDER BY x) AS ccg,
+         sum(cr) OVER (PARTITION BY grp) AS n_ref,
+         sum(cg) OVER (PARTITION BY grp) AS n_grp
+  FROM merged
+)
+SELECT grp AS "group", CAST(max(n_ref) AS BIGINT) AS n_ref,
+       CAST(max(n_grp) AS BIGINT) AS n_grp,
+       round(max(abs(CAST(ccr AS DOUBLE) / n_ref - CAST(ccg AS DOUBLE) / n_grp)), 6) AS ks_d
+FROM cum GROUP BY grp ORDER BY "group"
+"""
+
+
+def q_psi_drift(spark, sf):
+    """Population Stability Index (operators/drift.py::psi): each
+    language's n_chars share vector vs the 'en' reference over 10
+    equal-width bins anchored on the reference min/max, empty-bin shares
+    floored at 1e-6 — the scorecard-industry drift metric (PSI > 0.25 ⇒
+    shifted). Bin grid densified with sequence+explode so empty bins
+    contribute; reference stats ride a constant-key broadcast."""
+    from stackstac_spark.operators.drift import psi
+
+    docs = _t(spark, sf, "documents")
+    return psi(docs, "n_chars", "lang", "en", bins=10).orderBy("group")
+
+
+SQL_PSI_DRIFT = """
+WITH vals AS (SELECT lang AS grp, CAST(n_chars AS DOUBLE) AS x FROM documents),
+ref AS (SELECT min(x) AS rmin, max(x) AS rmax FROM vals WHERE grp = 'en'),
+binned AS (
+  SELECT grp, CASE WHEN rmax = rmin THEN 0
+    ELSE greatest(0, least(9, CAST(floor((x - rmin) / ((rmax - rmin) / 10)) AS INT)))
+    END AS bin
+  FROM vals, ref
+),
+counts AS MATERIALIZED (SELECT grp, bin, count(*) AS c FROM binned GROUP BY grp, bin),
+grid AS (
+  SELECT g.grp, t.b AS bin
+  FROM (SELECT DISTINCT grp FROM counts) g, unnest(generate_series(0, 9)) AS t(b)
+),
+dense AS (
+  SELECT grid.grp, grid.bin, coalesce(c.c, 0) AS c
+  FROM grid LEFT JOIN counts c ON c.grp = grid.grp AND c.bin = grid.bin
+),
+shares AS MATERIALIZED (
+  SELECT grp, bin,
+         greatest(CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY grp), 1e-6) AS share
+  FROM dense
+)
+SELECT s.grp AS "group",
+       round(sum((s.share - q.share) * ln(s.share / q.share)), 6) AS psi_value
+FROM shares s JOIN shares q ON s.bin = q.bin AND q.grp = 'en'
+WHERE s.grp <> 'en' GROUP BY s.grp ORDER BY "group"
+"""
+
+
+def q_mannwhitney_test(spark, sf):
+    """Mann-Whitney U rank-sum test (operators/drift.py::mann_whitney_u):
+    de vs zh n_chars with tie-AVERAGED ranks and the tie-corrected normal
+    variance — the distribution-free "are these two slices different?"
+    test. Ranks from per-distinct-value counts + one cumulative window
+    over distinct values (bounded), never a per-row global sort."""
+    from stackstac_spark.operators.drift import mann_whitney_u
+
+    docs = _t(spark, sf, "documents")
+    return mann_whitney_u(docs, "n_chars", "lang", "de", "zh")
+
+
+SQL_MANNWHITNEY_TEST = """
+WITH vals AS (
+  SELECT lang AS grp, n_chars AS x FROM documents WHERE lang IN ('de', 'zh')),
+per_val AS (
+  SELECT x,
+         sum(CASE WHEN grp = 'de' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN grp = 'zh' THEN 1 ELSE 0 END) AS cb
+  FROM vals GROUP BY x
+),
+ranked AS (
+  SELECT x, ca, cb,
+         coalesce(sum(ca + cb) OVER (ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (ca + cb + 1) / 2.0 AS avg_rank,
+         (ca + cb) * (ca + cb) * (ca + cb) - (ca + cb) AS tie3
+  FROM per_val
+),
+agg AS (
+  SELECT sum(ca) AS n_a, sum(cb) AS n_b, sum(ca * avg_rank) AS r_a,
+         sum(tie3) AS t3
+  FROM ranked
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(r_a - n_a * (n_a + 1) / 2.0, 6) AS u_a,
+       round((r_a - n_a * (n_a + 1) / 2.0 - n_a * n_b / 2.0)
+             / sqrt(n_a * n_b / 12.0
+                    * ((n_a + n_b + 1) - t3 / ((n_a + n_b) * (n_a + n_b - 1.0)))), 6) AS z
+FROM agg
+"""
+
+
+def q_roc_auc(spark, sf):
+    """ROC-AUC per source (operators/evalmetrics.py::roc_auc) via the
+    rank-sum identity with tie-averaged ranks — sklearn's exact AUC, as
+    one per-(group, score) aggregate + one in-group cumulative window.
+    Fixture: a deterministic synthetic classifier (integer-arithmetic
+    score, label = doc_id % 3 = 0) whose score is label-shifted, so AUC
+    lands strictly between 0.5 and 1 and every tie path is exercised."""
+    from stackstac_spark.operators.evalmetrics import roc_auc
+
+    docs = _t(spark, sf, "documents").select(
+        "source",
+        (((F.col("doc_id") * 37) % 199) / 199.0
+         + F.when(F.col("doc_id") % 3 == 0, 0.15).otherwise(0.0)).alias("score"),
+        (F.col("doc_id") % 3 == 0).cast("int").alias("label"),
+    )
+    return roc_auc(docs, "score", "label", ["source"]).orderBy("source")
+
+
+SQL_ROC_AUC = """
+WITH scored AS (
+  SELECT source,
+         ((doc_id * 37) % 199) / 199.0
+           + CASE WHEN doc_id % 3 = 0 THEN 0.15 ELSE 0.0 END AS s,
+         CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+per_score AS (
+  SELECT source, s, sum(y) AS p, sum(1 - y) AS n
+  FROM scored GROUP BY source, s
+),
+ranked AS (
+  SELECT source, p, n,
+         coalesce(sum(p + n) OVER (PARTITION BY source ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (p + n + 1) / 2.0 AS avg_rank
+  FROM per_score
+)
+SELECT source, CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(n) AS BIGINT) AS n_neg,
+       round((sum(p * avg_rank) - sum(p) * (sum(p) + 1) / 2.0)
+             / (sum(p) * sum(n)), 6) AS auc
+FROM ranked GROUP BY source ORDER BY source
+"""
+
+
+def q_ndcg_eval(spark, sf):
+    """nDCG@10 per query (operators/evalmetrics.py::ndcg_at_k, the
+    TREC/BEIR exponential-gain form): languages as queries, a
+    deterministic integer-hash retrieval score, sparse graded qrels
+    (rel 3 / 1 / unjudged-0 by doc_id residue — the TREC convention that
+    unjudged docs gain nothing). Two query-partitioned top-k windows +
+    one left join; IDCG from the rels alone."""
+    from stackstac_spark.operators.evalmetrics import ndcg_at_k
+
+    docs = _t(spark, sf, "documents")
+    run = docs.select(
+        F.col("lang").alias("query_id"),
+        "doc_id",
+        ((F.col("doc_id") * 2654435761) % 1000).alias("score"),
+    )
+    qrels = docs.select(
+        F.col("lang").alias("query_id"),
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, 3)
+        .when(F.col("doc_id") % 7 == 1, 1)
+        .otherwise(0)
+        .alias("rel"),
+    )
+    return ndcg_at_k(run, qrels, k=10).orderBy("query_id")
+
+
+SQL_NDCG_EVAL = """
+WITH run AS (
+  SELECT lang AS q, doc_id AS d, (doc_id * 2654435761) % 1000 AS s FROM documents),
+rels AS MATERIALIZED (
+  SELECT lang AS q, doc_id AS d,
+         CASE WHEN doc_id % 7 = 0 THEN 3 WHEN doc_id % 7 = 1 THEN 1 ELSE 0 END AS r
+  FROM documents
+),
+topk AS (
+  SELECT q, d, rank FROM (
+    SELECT q, d, row_number() OVER (PARTITION BY q ORDER BY s DESC, d) AS rank
+    FROM run) WHERE rank <= 10
+),
+dcg AS (
+  SELECT t.q, round(sum((pow(2.0, coalesce(r.r, 0)) - 1.0) / log2(t.rank + 1.0)), 6) AS dcg
+  FROM topk t LEFT JOIN rels r ON r.q = t.q AND r.d = t.d
+  GROUP BY t.q
+),
+ideal AS (
+  SELECT q, round(sum((pow(2.0, r) - 1.0) / log2(rank + 1.0)), 6) AS idcg FROM (
+    SELECT q, r, row_number() OVER (PARTITION BY q ORDER BY r DESC, d) AS rank
+    FROM rels) WHERE rank <= 10 AND r > 0
+  GROUP BY q
+)
+SELECT dcg.q AS query_id, dcg.dcg, coalesce(ideal.idcg, 0.0) AS idcg,
+       round(CASE WHEN coalesce(ideal.idcg, 0.0) > 0.0
+                  THEN dcg.dcg / ideal.idcg ELSE 0.0 END, 6) AS ndcg
+FROM dcg LEFT JOIN ideal ON ideal.q = dcg.q
+ORDER BY query_id
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- Rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r07,
@@ -11049,6 +11282,11 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- fully oracle-backed per the driver-contract test),
     # --- pytest-covered end-to-end.
     "bitext_mine_ann": (q_bitext_mine_ann, SQL_BITEXT_MINE_ANN),
+    "ks_drift": (q_ks_drift, SQL_KS_DRIFT),
+    "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),
+    "mannwhitney_test": (q_mannwhitney_test, SQL_MANNWHITNEY_TEST),
+    "roc_auc": (q_roc_auc, SQL_ROC_AUC),
+    "ndcg_eval": (q_ndcg_eval, SQL_NDCG_EVAL),
     "cc_star": (q_cc_star, SQL_CC_STAR),
     "url_canonical": (q_url_canonical, SQL_URL_CANONICAL),
     "html_strip": (q_html_strip, SQL_HTML_STRIP),

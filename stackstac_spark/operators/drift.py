@@ -1,0 +1,252 @@
+"""Distribution-drift detection and rank tests — the monitoring layer of a
+training-data pipeline: "did this month's crawl shift against the reference
+corpus?" (PSI — the industry-standard scorecard metric), "is the shift
+statistically real?" (two-sample Kolmogorov-Smirnov, Mann-Whitney U).
+
+All three are pure aggregation/window plans keyed on the comparison group:
+no collects in the data path, no cross joins (the reference distribution is
+replicated to comparison groups through a constant-key broadcast hash join —
+the reference side is an already-aggregated distinct-value table, orders of
+magnitude smaller than the corpus). Every emitted statistic is rounded so a
+SQL engine replays it hash-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["ks_statistic", "psi", "mann_whitney_u"]
+
+
+def _const_key_broadcast(small: DataFrame, big: DataFrame) -> DataFrame:
+    """small × big as a constant-key BroadcastHashJoin (equi-join on a
+    literal) — the replicate-tiny-side pattern that keeps CartesianProduct
+    / BroadcastNestedLoopJoin out of the plan."""
+    return big.withColumn("__k", F.lit(1)).join(
+        F.broadcast(small.withColumn("__k", F.lit(1))), "__k"
+    ).drop("__k")
+
+
+def ks_statistic(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    ref_group,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic of every non-reference group
+    against the reference group → (group, n_ref, n_grp, ks_d).
+
+    D = sup_x |F_ref(x) − F_g(x)|; for step CDFs the sup is attained at a
+    data point, so it is the max over the MERGED distinct values of both
+    samples of the right-continuous CDF gap. Plan: per-(group, value)
+    counts, reference counts replicated to each comparison group via a
+    constant-key broadcast join (ref side is the aggregated distinct-value
+    table), one group-partitioned ordered window for the two cumulative
+    sums, one max agg. Everything is co-keyed on the comparison group —
+    at 100 TB the only wide exchange is the initial per-(group, value)
+    count, which is map-side combined.
+    """
+    vals = df.select(F.col(group_col).alias("grp"), F.col(value_col).alias("x"))
+    ref_counts = (
+        vals.filter(F.col("grp") == ref_group)
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("cr"))
+    )
+    grp_counts = (
+        vals.filter(F.col("grp") != ref_group)
+        .groupBy("grp", "x")
+        .agg(F.count(F.lit(1)).alias("cg"))
+    )
+    groups = grp_counts.select("grp").distinct()
+    ref_rep = _const_key_broadcast(ref_counts, groups).select(
+        "grp", "x", "cr", F.lit(0).alias("cg")
+    )
+    merged = (
+        grp_counts.select("grp", "x", F.lit(0).alias("cr"), "cg")
+        .unionByName(ref_rep)
+        .groupBy("grp", "x")
+        .agg(F.sum("cr").alias("cr"), F.sum("cg").alias("cg"))
+    )
+    w = Window.partitionBy("grp").orderBy("x")
+    wtot = Window.partitionBy("grp")
+    cum = merged.select(
+        "grp",
+        F.sum("cr").over(w).alias("ccr"),
+        F.sum("cg").over(w).alias("ccg"),
+        F.sum("cr").over(wtot).alias("n_ref"),
+        F.sum("cg").over(wtot).alias("n_grp"),
+    )
+    return (
+        cum.filter((F.col("n_ref") > 0) & (F.col("n_grp") > 0))
+        .groupBy("grp")
+        .agg(
+            F.first("n_ref").alias("n_ref"),
+            F.first("n_grp").alias("n_grp"),
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("ccr").cast("double") / F.col("n_ref")
+                        - F.col("ccg").cast("double") / F.col("n_grp")
+                    )
+                ),
+                round_to,
+            ).alias("ks_d"),
+        )
+        .withColumnRenamed("grp", "group")
+    )
+
+
+def psi(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    ref_group,
+    bins: int = 10,
+    eps: float = 1e-6,
+    round_to: int = 6,
+) -> DataFrame:
+    """Population Stability Index of every non-reference group against the
+    reference → (group, psi_value): Σ_i (p_i − q_i)·ln(p_i/q_i) over
+    ``bins`` equal-width bins anchored on the REFERENCE min/max (values
+    outside clamp into the edge bins — the standard scorecard convention),
+    with empty-bin shares floored at ``eps`` so the logs stay finite and
+    deterministic. PSI < 0.1 ⇒ stable, 0.1-0.25 ⇒ drifting, > 0.25 ⇒
+    shifted (the conventional gates).
+
+    Plan: one 2-scalar reference aggregate broadcast onto the rows
+    (constant-key), per-(group, bin) counts, a bins-per-group dense grid
+    (sequence + explode — bins is a literal) left-joined so EMPTY bins
+    contribute, one group agg.
+    """
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    vals = df.select(F.col(group_col).alias("grp"), F.col(value_col).cast("double").alias("x"))
+    ref_stats = vals.filter(F.col("grp") == ref_group).agg(
+        F.min("x").alias("rmin"), F.max("x").alias("rmax")
+    )
+    binned = _const_key_broadcast(ref_stats, vals).select(
+        "grp",
+        F.when(
+            F.col("rmax") == F.col("rmin"), F.lit(0)
+        )
+        .otherwise(
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(bins - 1),
+                    F.floor(
+                        (F.col("x") - F.col("rmin"))
+                        / ((F.col("rmax") - F.col("rmin")) / bins)
+                    ).cast("int"),
+                ),
+            )
+        )
+        .alias("bin"),
+    )
+    counts = binned.groupBy("grp", "bin").agg(F.count(F.lit(1)).alias("c"))
+    grid = (
+        counts.select("grp")
+        .distinct()
+        .select("grp", F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("bin"))
+    )
+    dense = grid.join(counts, ["grp", "bin"], "left").fillna(0, ["c"])
+    wtot = Window.partitionBy("grp")
+    shares = dense.select(
+        "grp",
+        "bin",
+        F.greatest(
+            F.col("c").cast("double") / F.sum("c").over(wtot), F.lit(float(eps))
+        ).alias("share"),
+    )
+    ref_shares = shares.filter(F.col("grp") == ref_group).select(
+        "bin", F.col("share").alias("q")
+    )
+    return (
+        shares.filter(F.col("grp") != ref_group)
+        .join(F.broadcast(ref_shares), "bin")
+        .groupBy("grp")
+        .agg(
+            F.round(
+                F.sum((F.col("share") - F.col("q")) * F.log(F.col("share") / F.col("q"))),
+                round_to,
+            ).alias("psi_value")
+        )
+        .withColumnRenamed("grp", "group")
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test between two groups → one row
+    (n_a, n_b, u_a, z): U from tie-averaged ranks, z from the normal
+    approximation WITH the tie-corrected variance
+    σ² = n_a·n_b/12 · ((N+1) − Σ(t³−t)/(N(N−1))) — the standard
+    large-sample form (every real corpus has ties; the uncorrected
+    variance overstates σ and hides real shifts).
+
+    Average ranks come from per-distinct-value counts + one ordered
+    cumulative window (avg_rank = rank_before + (t+1)/2), never a per-row
+    global row_number — the whole test is one distinct-value aggregate
+    regardless of corpus size.
+    """
+    vals = df.select(F.col(group_col).alias("grp"), F.col(value_col).alias("x")).filter(
+        F.col("grp").isin([group_a, group_b])
+    )
+    per_val = vals.groupBy("x").agg(
+        F.sum(F.when(F.col("grp") == group_a, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("grp") == group_b, 1).otherwise(0)).alias("cb"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    # the single-partition ordered window runs over DISTINCT VALUES of the
+    # measured column (bounded, typically ≪ rows); the row stream never
+    # funnels through one task
+    ranked = per_val.select(
+        "x",
+        "ca",
+        "cb",
+        (F.coalesce(F.sum(F.col("ca") + F.col("cb")).over(w), F.lit(0))
+         + (F.col("ca") + F.col("cb") + 1) / 2.0).alias("avg_rank"),
+        ((F.col("ca") + F.col("cb")) * (F.col("ca") + F.col("cb"))
+         * (F.col("ca") + F.col("cb")) - (F.col("ca") + F.col("cb"))).alias("tie3"),
+    )
+    agg = ranked.agg(
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+        F.sum(F.col("ca") * F.col("avg_rank")).alias("r_a"),
+        F.sum("tie3").alias("t3"),
+    )
+    var = (
+        F.col("n_a") * F.col("n_b") / 12.0
+        * (
+            (F.col("n_a") + F.col("n_b") + 1)
+            - F.col("t3")
+            / F.greatest(
+                (F.col("n_a") + F.col("n_b")) * (F.col("n_a") + F.col("n_b") - 1),
+                F.lit(1),
+            )  # N<2 ⇒ t3=0, the clamp only dodges ANSI 0/0
+        )
+    )
+    # z is undefined when either group is empty or EVERY value is tied
+    # (variance 0) — emit NULL rather than an ANSI divide-by-zero
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(F.col("r_a") - F.col("n_a") * (F.col("n_a") + 1) / 2.0, round_to).alias("u_a"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0) & (var > 0),
+            F.round(
+                (F.col("r_a") - F.col("n_a") * (F.col("n_a") + 1) / 2.0
+                 - F.col("n_a") * F.col("n_b") / 2.0)
+                / F.sqrt(var),
+                round_to,
+            ),
+        ).alias("z"),
+    )

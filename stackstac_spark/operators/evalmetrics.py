@@ -1,0 +1,141 @@
+"""Ranking-quality evaluation metrics — the measurement layer for the
+similarity/retrieval family (ANN recall lives in similarity.py; these are
+the label-aware metrics): ROC-AUC for binary quality classifiers and
+nDCG@k for graded retrieval runs.
+
+Both are window/aggregate plans keyed on the evaluation group (model
+segment, query id): tie-averaged ranks from per-distinct-score counts, no
+global sorts, no Python. Outputs rounded for cross-engine hash equality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["roc_auc", "ndcg_at_k"]
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_cols: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """ROC-AUC per group via the rank-sum identity
+    AUC = (R⁺ − P(P+1)/2) / (P·N) with tie-AVERAGED ranks (the
+    Mann-Whitney formulation — exactly what sklearn computes), where R⁺ is
+    the positive-label rank sum over scores ascending. → group_cols +
+    (n_pos, n_neg, auc).
+
+    Ranks come from per-(group, distinct score) counts + one ordered
+    cumulative window inside each group — the corpus never funnels into a
+    single ordered partition, and ties are handled exactly rather than by
+    row_number arbitrariness.
+    """
+    groups = list(group_cols or [])
+    lab = F.col(label_col).cast("int")
+    per_score = (
+        df.select(*groups, F.col(score_col).alias("s"), lab.alias("y"))
+        .groupBy(*groups, "s")
+        .agg(
+            F.sum("y").alias("p"),
+            F.sum(F.lit(1) - F.col("y")).alias("n"),
+        )
+    )
+    w = (
+        Window.partitionBy(*groups).orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+        if groups
+        else Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = per_score.select(
+        *groups,
+        "p",
+        (F.coalesce(F.sum(F.col("p") + F.col("n")).over(w), F.lit(0))
+         + (F.col("p") + F.col("n") + 1) / 2.0).alias("avg_rank"),
+        "n",
+    )
+    # a group with no positives or no negatives has UNDEFINED AUC — emit
+    # NULL (sklearn raises; NULL keeps the metric total and ANSI-safe)
+    return ranked.groupBy(*groups).agg(
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum("n").cast("long").alias("n_neg"),
+        F.when(
+            (F.sum("p") > 0) & (F.sum("n") > 0),
+            F.round(
+                (F.sum(F.col("p") * F.col("avg_rank"))
+                 - F.sum("p") * (F.sum("p") + 1) / 2.0)
+                / (F.sum("p") * F.sum("n")),
+                round_to,
+            ),
+        ).alias("auc"),
+    )
+
+
+def ndcg_at_k(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    score_col: str = "score",
+    rel_col: str = "rel",
+    round_to: int = 6,
+) -> DataFrame:
+    """nDCG@k per query (Järvelin & Kekäläinen 2002, the exponential-gain
+    form used by TREC/BEIR): DCG@k = Σ_{i≤k} (2^rel_i − 1)/log2(i+1) over
+    the run ranked by (score desc, doc id), IDCG@k from the query's rels
+    ranked by (rel desc, doc id), nDCG = DCG/IDCG (0 when the query has no
+    relevant docs). → (query, dcg, idcg, ndcg).
+
+    Plan: two query-partitioned top-k windows (run ranking; ideal
+    ranking), one left join of run@k onto qrels (unjudged docs gain 0 —
+    the TREC convention), two query aggs. Co-keyed on the query
+    throughout; k bounds every per-query sum.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    q, d = F.col(query_col).alias("q"), F.col(doc_col).alias("d")
+    run_n = run.select(q, d, F.col(score_col).alias("s"))
+    rel_n = qrels.select(
+        F.col(query_col).alias("q"), F.col(doc_col).alias("d"), F.col(rel_col).alias("r")
+    )
+    w_run = Window.partitionBy("q").orderBy(F.desc("s"), F.asc("d"))
+    topk = (
+        run_n.withColumn("rank", F.row_number().over(w_run))
+        .filter(F.col("rank") <= k)
+        .join(rel_n, ["q", "d"], "left")
+        .fillna(0, ["r"])
+    )
+    dcg = topk.groupBy("q").agg(
+        F.round(
+            F.sum((F.pow(F.lit(2.0), F.col("r")) - 1.0) / F.log2(F.col("rank") + 1.0)),
+            round_to,
+        ).alias("dcg")
+    )
+    w_ideal = Window.partitionBy("q").orderBy(F.desc("r"), F.asc("d"))
+    idcg = (
+        rel_n.withColumn("rank", F.row_number().over(w_ideal))
+        .filter((F.col("rank") <= k) & (F.col("r") > 0))
+        .groupBy("q")
+        .agg(
+            F.round(
+                F.sum((F.pow(F.lit(2.0), F.col("r")) - 1.0) / F.log2(F.col("rank") + 1.0)),
+                round_to,
+            ).alias("idcg")
+        )
+    )
+    return (
+        dcg.join(idcg, "q", "left")
+        .fillna(0.0, ["idcg"])
+        .select(
+            F.col("q").alias(query_col),
+            "dcg",
+            "idcg",
+            F.round(
+                F.when(F.col("idcg") > 0.0, F.col("dcg") / F.col("idcg")).otherwise(0.0),
+                round_to,
+            ).alias("ndcg"),
+        )
+    )
