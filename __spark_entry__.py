@@ -11259,6 +11259,179 @@ ORDER BY query_id
 """
 
 
+# ---------------------------------------------------------------------------
+# r9 wave 2: graph link prediction / HITS / bipartite projection / budgeting
+
+
+def q_adamic_adar(spark, sf):
+    """Adamic-Adar link prediction (operators/graph.py::adamic_adar) on the
+    near-dup LSH candidate graph: non-adjacent doc pairs scored
+    Σ 1/ln(deg) over common neighbors — "which dup pairs did banding
+    likely miss?". Wedges from a center-keyed self equi-join with the
+    triangle-count hub guard available; existing edges removed by one
+    anti-join. Oracle replays LSH candidates AND the wedge algebra."""
+    from stackstac_spark.operators.graph import adamic_adar
+
+    return (
+        adamic_adar(_lsh_candidates(spark, sf))
+        .orderBy(F.desc("aa"), "id_a", "id_b")
+        .limit(100)
+    )
+
+
+def _duck_adamic_adar_sql() -> str:
+    return f"""
+WITH shingles AS ({_DUCK_SHINGLES}),
+d AS (SELECT DISTINCT doc_id, sh FROM shingles),
+sig AS (SELECT doc_id, min(md5('0:' || sh)) AS h0, min(md5('1:' || sh)) AS h1,
+               min(md5('2:' || sh)) AS h2, min(md5('3:' || sh)) AS h3
+        FROM d GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, 0 AS band, h0 || h1 AS key FROM sig
+  UNION ALL SELECT doc_id, 1 AS band, h2 || h3 AS key FROM sig),
+kept AS (SELECT band, key FROM banded GROUP BY band, key HAVING count(*) <= 1000),
+bk AS (SELECT b.doc_id, b.band, b.key FROM banded b JOIN kept USING (band, key)),
+und AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+sym AS MATERIALIZED (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+deg AS (SELECT a, count(*) AS deg FROM sym GROUP BY a),
+centers AS MATERIALIZED (
+  SELECT s.b AS w, s.a AS n, d.deg FROM sym s JOIN deg d ON d.a = s.b),
+wedges AS (
+  SELECT c1.n AS u, c2.n AS v, c1.deg
+  FROM centers c1 JOIN centers c2 ON c1.w = c2.w AND c1.n < c2.n),
+scored AS (
+  SELECT u, v, round(sum(1.0 / ln(deg)), 6) AS aa FROM wedges GROUP BY u, v)
+SELECT s.u AS id_a, s.v AS id_b, s.aa
+FROM scored s LEFT JOIN und e ON e.a = s.u AND e.b = s.v
+WHERE e.a IS NULL
+ORDER BY aa DESC, id_a, id_b LIMIT 100
+"""
+
+
+def q_hits_scores(spark, sf):
+    """HITS hub/authority (operators/graph.py::hits_scores; Kleinberg
+    1999): 5 synchronous a←Lᵀh / h←La rounds with L1 normalization over a
+    deterministic synthetic link graph (each doc links to two
+    integer-hash targets mod 400, so heavy fan-in authorities emerge).
+    Dual strategy like pagerank (driver loop for small graphs, co-keyed
+    join+agg rounds at scale); the oracle unrolls all 5 rounds."""
+    from stackstac_spark.operators.graph import hits_scores
+
+    docs = _t(spark, sf, "documents")
+    e1 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 31 + 7) % 400).alias("dst"),
+    )
+    e2 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 17 + 3) % 400).alias("dst"),
+    )
+    return hits_scores(e1.union(e2), iters=5).orderBy("node")
+
+
+def _duck_hits_sql(iters: int = 5) -> str:
+    parts = [
+        """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, (doc_id * 31 + 7) % 400 AS dst FROM documents
+    UNION ALL
+    SELECT doc_id AS src, (doc_id * 17 + 3) % 400 AS dst FROM documents)
+  WHERE src <> dst
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)
+),
+h0 AS MATERIALIZED (SELECT node, 1.0 AS h FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+ar{i} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(h.h) AS a FROM e JOIN h{i - 1} h ON h.node = e.src
+  GROUP BY e.dst),
+a{i} AS MATERIALIZED (
+  SELECT n.node, coalesce(ar.a, 0) / (SELECT sum(a) FROM ar{i}) AS a
+  FROM nodes n LEFT JOIN ar{i} ar ON ar.node = n.node),
+hr{i} AS MATERIALIZED (
+  SELECT e.src AS node, sum(a.a) AS h FROM e JOIN a{i} a ON a.node = e.dst
+  GROUP BY e.src),
+h{i} AS MATERIALIZED (
+  SELECT n.node, coalesce(hr.h, 0) / (SELECT sum(h) FROM hr{i}) AS h
+  FROM nodes n LEFT JOIN hr{i} hr ON hr.node = n.node)""")
+    parts.append(f"""
+SELECT h.node, round(h.h, 6) AS hub, round(a.a, 6) AS authority
+FROM h{iters} h JOIN a{iters} a ON a.node = h.node
+ORDER BY h.node""")
+    return "".join(parts)
+
+
+def q_bipartite_projection(spark, sf):
+    """Bipartite one-mode projection (operators/graph.py::
+    bipartite_projection): customer cohorts (custkey mod 97) × order
+    dates → cohort pairs weighted by shared distinct active days, hub
+    dates dropped above a degree cap BEFORE the self-join (the Σdeg²
+    wedge guard that makes projections survivable at scale — part of the
+    operator contract, replayed by the oracle). Top-200 by weight."""
+    from stackstac_spark.operators.graph import bipartite_projection
+
+    orders = _t(spark, sf, "orders").select(
+        (F.col("o_custkey") % 97).alias("cohort"), F.col("o_orderdate").alias("day")
+    )
+    return (
+        bipartite_projection(orders, "cohort", "day", max_right_degree=10_000, min_weight=2)
+        .orderBy(F.desc("weight"), "l_a", "l_b")
+        .limit(200)
+    )
+
+
+SQL_BIPARTITE_PROJECTION = """
+WITH inc AS MATERIALIZED (
+  SELECT DISTINCT (o_custkey % 97) AS l, o_orderdate AS r FROM orders),
+keep AS (SELECT r FROM inc GROUP BY r HAVING count(*) <= 10000),
+pruned AS MATERIALIZED (SELECT i.l, i.r FROM inc i JOIN keep USING (r)),
+pairs AS (
+  SELECT a.l AS l_a, b.l AS l_b
+  FROM pruned a JOIN pruned b ON a.r = b.r AND a.l < b.l)
+SELECT l_a, l_b, CAST(count(*) AS BIGINT) AS weight
+FROM pairs GROUP BY l_a, l_b HAVING count(*) >= 2
+ORDER BY weight DESC, l_a, l_b LIMIT 200
+"""
+
+
+def q_token_budget(spark, sf):
+    """Largest-remainder token-budget apportionment (operators/
+    sampling.py::token_budget; Hamilton's method): a 1M-token budget
+    split across sources proportional to their total characters, floors
+    plus largest-fractional-remainder seats so the allocations sum to the
+    budget EXACTLY (ties → group id). The mixture-budget closer of a
+    training run; one row per group end to end."""
+    from stackstac_spark.operators.sampling import token_budget
+
+    docs = _t(spark, sf, "documents")
+    return token_budget(docs, "source", "n_chars", 1_000_000).orderBy("group")
+
+
+SQL_TOKEN_BUDGET = """
+WITH w AS (
+  SELECT source AS "group", CAST(sum(n_chars) AS BIGINT) AS weight
+  FROM documents GROUP BY source HAVING sum(n_chars) > 0),
+tot AS (SELECT sum(weight) AS tw FROM w),
+based AS MATERIALIZED (
+  SELECT "group", weight,
+         CAST(floor((1000000.0 * weight) / tw) AS BIGINT) AS base,
+         ((1000000.0 * weight) / tw) - floor((1000000.0 * weight) / tw) AS rem
+  FROM w, tot),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, "group") AS r FROM based)
+SELECT "group", weight,
+       CAST(base + CASE WHEN r <= 1000000 - (SELECT sum(base) FROM based)
+                        THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM ranked ORDER BY "group"
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- Rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r07,
@@ -11287,6 +11460,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "mannwhitney_test": (q_mannwhitney_test, SQL_MANNWHITNEY_TEST),
     "roc_auc": (q_roc_auc, SQL_ROC_AUC),
     "ndcg_eval": (q_ndcg_eval, SQL_NDCG_EVAL),
+    "adamic_adar": (q_adamic_adar, _duck_adamic_adar_sql()),
+    "hits_scores": (q_hits_scores, _duck_hits_sql()),
+    "bipartite_projection": (q_bipartite_projection, SQL_BIPARTITE_PROJECTION),
+    "token_budget": (q_token_budget, SQL_TOKEN_BUDGET),
     "cc_star": (q_cc_star, SQL_CC_STAR),
     "url_canonical": (q_url_canonical, SQL_URL_CANONICAL),
     "html_strip": (q_html_strip, SQL_HTML_STRIP),

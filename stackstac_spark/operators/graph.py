@@ -20,6 +20,9 @@ __all__ = [
     "triangle_count",
     "connected_components_star",
     "kcore",
+    "adamic_adar",
+    "hits_scores",
+    "bipartite_projection",
 ]
 
 
@@ -510,3 +513,214 @@ def kcore(
             .localCheckpoint()
         )
     raise RuntimeError(f"kcore did not converge in {max_iter} rounds")
+
+
+def adamic_adar(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_degree: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Adamic-Adar link prediction over an undirected edge list →
+    NON-adjacent node pairs scored AA(u,v) = Σ_{w ∈ Γ(u)∩Γ(v)} 1/ln(deg w)
+    (Adamic & Adar 2003) — "which near-duplicate pairs did the candidate
+    generator probably MISS?" when run on a dup graph, the classic
+    common-neighbor heuristic weighted against promiscuous hubs.
+
+    Plan: symmetric edges + one degree aggregate; wedges from a
+    center-keyed self equi-join (u < v); existing edges removed with one
+    left-anti join; per-pair sum. Every common neighbor has degree ≥ 2 by
+    construction, so 1/ln(deg) is always finite. ``max_degree`` drops
+    hub centers BEFORE the wedge join (the Σ deg² guard — same policy as
+    ``triangle_count``); at 100 TB that cap is what bounds the wedge
+    shuffle, and dropped hubs remove only low-information 1/ln(huge)
+    terms.
+    """
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    und = (
+        e.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sym = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    centers = sym.select(F.col("b").alias("w"), F.col("a").alias("n")).join(
+        deg.select(F.col("a").alias("w"), "deg"), "w"
+    )
+    if max_degree is not None:
+        centers = centers.filter(F.col("deg") <= max_degree)
+    wedges = (
+        centers.select("w", F.col("n").alias("u"), "deg")
+        .join(
+            centers.select(F.col("w").alias("w"), F.col("n").alias("v")),
+            "w",
+        )
+        .filter(F.col("u") < F.col("v"))
+    )
+    scored = wedges.groupBy("u", "v").agg(
+        F.round(F.sum(1.0 / F.log(F.col("deg").cast("double"))), round_to).alias("aa")
+    )
+    return (
+        scored.join(
+            und.select(F.col("a").alias("u"), F.col("b").alias("v")),
+            ["u", "v"],
+            "left_anti",
+        )
+        .select(F.col("u").alias(id_a), F.col("v").alias(id_b), "aa")
+    )
+
+
+def _hits_driver(edges: DataFrame, iters: int, round_to: int) -> DataFrame:
+    """Driver-side HITS for small graphs (the pagerank dual-strategy
+    precedent): identical arithmetic to the distributed loop, one job."""
+    from pyspark.sql import types as T
+
+    from stackstac_spark.session import local_df
+
+    rows = {(r["src"], r["dst"]) for r in edges.collect()}
+    outs: dict = {}
+    ins: dict = {}
+    nodes = set()
+    for s, t in rows:
+        outs.setdefault(s, []).append(t)
+        ins.setdefault(t, []).append(s)
+        nodes.update((s, t))
+    nodes = sorted(nodes)
+    node_type = edges.schema["src"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("node", node_type),
+            T.StructField("hub", T.DoubleType()),
+            T.StructField("authority", T.DoubleType()),
+        ]
+    )
+    spark = edges.sparkSession
+    if not nodes:
+        return spark.createDataFrame([], schema)
+    h = {v: 1.0 for v in nodes}
+    a = {v: 1.0 for v in nodes}
+    for _ in range(iters):
+        a = {v: sum(h[u] for u in ins.get(v, ())) for v in nodes}
+        sa = sum(a.values()) or 1.0
+        a = {v: x / sa for v, x in a.items()}
+        h = {v: sum(a[t] for t in outs.get(v, ())) for v in nodes}
+        sh = sum(h.values()) or 1.0
+        h = {v: x / sh for v, x in h.items()}
+    return local_df(
+        spark,
+        [(v, round(h[v], round_to), round(a[v], round_to)) for v in nodes],
+        schema,
+    )
+
+
+def hits_scores(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    round_to: int = 6,
+    driver_threshold: int = 200_000,
+) -> DataFrame:
+    """HITS hub/authority scores over a DIRECTED edge list (Kleinberg
+    1999) → (node, hub, authority): ``iters`` synchronous rounds of
+    a ← Lᵀh, h ← La with L1 (sum) normalization after each half-step —
+    the sum norm keeps every operation a plain aggregate an external SQL
+    engine replays exactly (the classic L2 norm differs only by a
+    per-round positive scalar, so rankings are identical).
+
+    Same dual physical strategy as :func:`pagerank`: small edge lists
+    iterate on the driver (one job); at scale each half-round is one
+    edge⋈score equi-join + one node-keyed aggregate, co-shuffled on the
+    node id, with a per-round ``localCheckpoint`` to stop plan doubling.
+    Nodes appearing only as sources (or only as destinations) keep score
+    0 on the missing side — Kleinberg's base set keeps them, so we do.
+    """
+    if iters <= 0:
+        raise ValueError(f"iters must be positive, got {iters}")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
+        F.col("src") != F.col("dst")
+    )
+    e = e.distinct().localCheckpoint()
+    if e.count() <= driver_threshold:
+        return _hits_driver(e, iters, round_to)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    h = nodes.select("node", F.lit(1.0).alias("h"))
+    for _ in range(iters):
+        a_raw = (
+            e.join(h.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("h").alias("a"))
+        )
+        a_tot = a_raw.agg(F.sum("a")).collect()[0][0] or 1.0
+        a = nodes.join(
+            a_raw.withColumnRenamed("dst", "node"), "node", "left"
+        ).select("node", (F.coalesce(F.col("a"), F.lit(0.0)) / F.lit(a_tot)).alias("a"))
+        h_raw = (
+            e.join(a.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum("a").alias("h"))
+        )
+        h_tot = h_raw.agg(F.sum("h")).collect()[0][0] or 1.0
+        h = nodes.join(
+            h_raw.withColumnRenamed("src", "node"), "node", "left"
+        ).select("node", (F.coalesce(F.col("h"), F.lit(0.0)) / F.lit(h_tot)).alias("h"))
+        h = h.localCheckpoint()
+        a = a.localCheckpoint()
+    return (
+        h.join(a, "node")
+        .select(
+            "node", F.round("h", round_to).alias("hub"), F.round("a", round_to).alias("authority")
+        )
+    )
+
+
+def bipartite_projection(
+    df: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_right_degree: int = 10_000,
+    min_weight: int = 1,
+) -> DataFrame:
+    """One-mode projection of a bipartite relation → left-node pairs
+    (l_a < l_b) weighted by the number of DISTINCT right nodes they share
+    — the co-occurrence graph builder (docs sharing domains, users
+    sharing sessions, cohorts sharing active days) that feeds the
+    community/components family.
+
+    Plan: distinct (left, right) incidence, right-node degree aggregate,
+    hub rights with degree > ``max_right_degree`` dropped BEFORE the
+    self-join (the Σ deg² wedge-explosion guard — a right node shared by
+    a million lefts creates 5·10¹¹ pairs and says nothing about affinity;
+    the cap is the standard projection policy and part of the operator's
+    CONTRACT, replayed by the oracle), then one right-keyed self
+    equi-join + pair count. ``min_weight`` prunes the long tail at the
+    aggregate.
+    """
+    inc = df.select(
+        F.col(left_col).alias("l"), F.col(right_col).alias("r")
+    ).distinct()
+    keep = (
+        inc.groupBy("r")
+        .agg(F.count(F.lit(1)).alias("rdeg"))
+        .filter(F.col("rdeg") <= max_right_degree)
+        .select("r")
+    )
+    pruned = inc.join(keep, "r", "left_semi")
+    pairs = (
+        pruned.select("r", F.col("l").alias("l_a"))
+        .join(pruned.select("r", F.col("l").alias("l_b")), "r")
+        .filter(F.col("l_a") < F.col("l_b"))
+    )
+    return (
+        pairs.groupBy("l_a", "l_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+        .filter(F.col("weight") >= min_weight)
+    )

@@ -315,3 +315,64 @@ def neyman_sample(
         .withColumn("strat_rank", F.row_number().over(w))
         .filter(F.col("strat_rank") <= F.col("alloc"))
     )
+
+
+def token_budget(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    total_budget: int,
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of an integer token
+    budget across groups proportional to their weights → (group, weight,
+    alloc) with Σ alloc = ``total_budget`` EXACTLY — the mixture-budget
+    step of a training run ("3 T tokens across these domains at these
+    ratios") where naive rounding of quotas over- or under-shoots and
+    downstream shard writers need the totals to close.
+
+    Each group's quota is budget·w/Σw; everyone gets ⌊quota⌋; the
+    leftover seats go one each to the largest fractional remainders
+    (ties → group id, so the result is a pure function of the inputs).
+    Plan: one weight aggregate, one sum (constant-key broadcast back),
+    one remainder-rank window over the GROUP table (bounded: one row per
+    group, not per token/doc). Groups with weight ≤ 0 are dropped —
+    a zero-weight domain gets nothing by definition.
+    """
+    if total_budget < 0:
+        raise ValueError(f"total_budget must be >= 0, got {total_budget}")
+    w = (
+        df.groupBy(F.col(group_col).alias("group"))
+        .agg(F.sum(F.col(weight_col)).alias("weight"))
+        .filter(F.col("weight") > 0)
+    )
+    tot = w.agg(F.sum("weight").alias("tw"))
+    quota = w.withColumn("__k", F.lit(1)).join(
+        F.broadcast(tot.withColumn("__k", F.lit(1))), "__k"
+    ).select(
+        "group",
+        "weight",
+        (F.lit(float(total_budget)) * F.col("weight") / F.col("tw")).alias("q"),
+    )
+    based = quota.select(
+        "group",
+        "weight",
+        F.floor("q").cast("long").alias("base"),
+        (F.col("q") - F.floor("q")).alias("rem"),
+    )
+    wleft = Window.orderBy(F.desc("rem"), F.asc("group"))
+    # the remainder-rank window is partition-less BY DESIGN: it orders one
+    # row PER GROUP (domains/languages — thousands, not rows of the corpus)
+    extra = based.withColumn("__r", F.row_number().over(wleft))
+    leftover = F.lit(total_budget) - F.sum("base").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        extra.withColumn("__left", leftover)
+        .select(
+            "group",
+            "weight",
+            (F.col("base") + F.when(F.col("__r") <= F.col("__left"), 1).otherwise(0))
+            .cast("long")
+            .alias("alloc"),
+        )
+    )
