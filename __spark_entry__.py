@@ -11432,6 +11432,165 @@ FROM ranked ORDER BY "group"
 """
 
 
+# ---------------------------------------------------------------------------
+# r9 wave 3: spatial — Hilbert clustering, geohash cells, grid spatial join
+
+
+def q_hilbert_cluster(spark, sf):
+    """Hilbert-curve clustering key (operators/storage.py::hilbert_key):
+    the locality-preserving alternative to zorder_cluster on the same
+    (value, user_id) fixture — every curve step moves one grid cell, so
+    per-column range scans touch fewer row groups than Morton order. The
+    xy→d transform is unrolled per bit with one projection per level
+    (exponential-tree avoidance documented in the operator); oracle
+    replays the identical level chain as chained CTEs."""
+    from stackstac_spark.operators.storage import hilbert_key
+
+    ev = _t(spark, sf, "events").select(
+        "event_id", "value", F.col("user_id").cast("double").alias("uid")
+    )
+    h = hilbert_key(ev, ["value", "uid"], bits=8, out_col="hkey")
+    return h.select("event_id", "hkey").orderBy("event_id")
+
+
+def _duck_hilbert_sql(bits: int = 8) -> str:
+    n = (1 << bits) - 1
+    parts = [f"""
+WITH r AS (
+  SELECT min(value) AS mnv, max(value) AS mxv,
+         min(CAST(user_id AS DOUBLE)) AS mnu, max(CAST(user_id AS DOUBLE)) AS mxu
+  FROM events
+),
+lvl{bits} AS MATERIALIZED (
+  SELECT e.event_id,
+         GREATEST(0, LEAST({n}, CAST(FLOOR(((e.value - r.mnv) / (CASE WHEN r.mxv = r.mnv THEN 1.0 ELSE r.mxv - r.mnv END)) * {n + 1}) AS BIGINT))) AS x,
+         GREATEST(0, LEAST({n}, CAST(FLOOR(((CAST(e.user_id AS DOUBLE) - r.mnu) / (CASE WHEN r.mxu = r.mnu THEN 1.0 ELSE r.mxu - r.mnu END)) * {n + 1}) AS BIGINT))) AS y,
+         CAST(0 AS BIGINT) AS d
+  FROM events e, r
+)"""]
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        parts.append(f""",
+lvl{i} AS MATERIALIZED (
+  SELECT event_id,
+         CASE WHEN ((y >> {i}) & 1) = 0
+              THEN CASE WHEN ((x >> {i}) & 1) = 1 THEN {s - 1} - y ELSE y END
+              ELSE x END AS x,
+         CASE WHEN ((y >> {i}) & 1) = 0
+              THEN CASE WHEN ((x >> {i}) & 1) = 1 THEN {s - 1} - x ELSE x END
+              ELSE y END AS y,
+         d + {s * s} * xor(3 * ((x >> {i}) & 1), (y >> {i}) & 1) AS d
+  FROM lvl{i + 1}
+)""")
+    parts.append(f"""
+SELECT event_id, d AS hkey FROM lvl0 ORDER BY event_id""")
+    return "".join(parts)
+
+
+def q_geohash_cells(spark, sf):
+    """Geohash spatial bucketing (operators/spatial.py::geohash_encode):
+    customers at deterministic hash-derived coordinates keyed to base32
+    precision-5 cells (closed-form quantization ≡ the textbook bisection,
+    property-tested), then per-cell occupancy — the spatial rollup /
+    neighbor-blocking primitive. One map-only projection + one agg."""
+    from stackstac_spark.operators.spatial import geohash_encode
+
+    cust = _t(spark, sf, "customer").select(
+        ((F.col("c_custkey") % 1800) / 10.0 - 90.0 + 0.05).alias("lat"),
+        (((F.col("c_custkey") * 7) % 3600) / 10.0 - 180.0 + 0.05).alias("lon"),
+    )
+    return (
+        cust.select(geohash_encode(F.col("lat"), F.col("lon"), 5).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), "cell")
+        .limit(100)
+    )
+
+
+def _duck_geohash_sql(precision: int = 5) -> str:
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    chars = []
+    for k in range(precision):
+        terms = []
+        for m in range(5):
+            j = 5 * k + m
+            if j % 2 == 0:
+                terms.append(f"(((qlon >> {lon_bits - 1 - j // 2}) & 1) << {4 - m})")
+            else:
+                terms.append(f"(((qlat >> {lat_bits - 1 - j // 2}) & 1) << {4 - m})")
+        chars.append(f"substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST({' + '.join(terms)} AS INT) + 1, 1)")
+    cell = " || ".join(chars)
+    return f"""
+WITH pts AS (
+  SELECT ((c_custkey % 1800) / 10.0 - 90.0 + 0.05) AS lat,
+         (((c_custkey * 7) % 3600) / 10.0 - 180.0 + 0.05) AS lon
+  FROM customer
+),
+q AS (
+  SELECT GREATEST(0, LEAST({(1 << lon_bits) - 1},
+           CAST(FLOOR((lon + 180.0) / 360.0 * {float(1 << lon_bits)}) AS BIGINT))) AS qlon,
+         GREATEST(0, LEAST({(1 << lat_bits) - 1},
+           CAST(FLOOR((lat + 90.0) / 180.0 * {float(1 << lat_bits)}) AS BIGINT))) AS qlat
+  FROM pts
+)
+SELECT {cell} AS cell, CAST(count(*) AS BIGINT) AS n
+FROM q GROUP BY cell ORDER BY n DESC, cell LIMIT 100
+"""
+
+
+def q_spatial_grid_join(spark, sf):
+    """Grid-bucketed point-in-rectangle join (operators/spatial.py::
+    grid_spatial_join): customers at hash coordinates vs 25 deterministic
+    query boxes (from the nation table), cell size 10 — rectangles
+    explode to ≤ 9 cells each, ONE cell-keyed equi-join + exact
+    containment, never a geometry cross join. Per-box occupancy counts."""
+    from stackstac_spark.operators.spatial import grid_spatial_join
+
+    cust = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("point_id"),
+        ((F.col("c_custkey") % 1000) / 10.0).alias("x"),
+        (((F.col("c_custkey") * 13) % 1000) / 10.0).alias("y"),
+    )
+    rects = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("rect_id"),
+        ((F.col("n_nationkey") * 7) % 80).cast("double").alias("xmin"),
+        ((F.col("n_nationkey") * 13) % 80).cast("double").alias("ymin"),
+        (((F.col("n_nationkey") * 7) % 80) + 15).cast("double").alias("xmax"),
+        (((F.col("n_nationkey") * 13) % 80) + 12).cast("double").alias("ymax"),
+    )
+    return (
+        grid_spatial_join(cust, rects, cell_size=10.0)
+        .groupBy("rect_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+        .orderBy("rect_id")
+    )
+
+
+SQL_SPATIAL_GRID_JOIN = """
+WITH pts AS (
+  SELECT c_custkey AS pid,
+         (c_custkey % 1000) / 10.0 AS px,
+         ((c_custkey * 13) % 1000) / 10.0 AS py
+  FROM customer
+),
+rects AS (
+  SELECT n_nationkey AS rid,
+         CAST((n_nationkey * 7) % 80 AS DOUBLE) AS xmin,
+         CAST((n_nationkey * 13) % 80 AS DOUBLE) AS ymin,
+         CAST((n_nationkey * 7) % 80 + 15 AS DOUBLE) AS xmax,
+         CAST((n_nationkey * 13) % 80 + 12 AS DOUBLE) AS ymax
+  FROM nation
+)
+SELECT r.rid AS rect_id, CAST(count(*) AS BIGINT) AS n_points
+FROM pts p JOIN rects r
+  ON p.px >= r.xmin AND p.px <= r.xmax AND p.py >= r.ymin AND p.py <= r.ymax
+GROUP BY r.rid ORDER BY rect_id
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- Rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r07,
@@ -11464,6 +11623,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "hits_scores": (q_hits_scores, _duck_hits_sql()),
     "bipartite_projection": (q_bipartite_projection, SQL_BIPARTITE_PROJECTION),
     "token_budget": (q_token_budget, SQL_TOKEN_BUDGET),
+    "hilbert_cluster": (q_hilbert_cluster, _duck_hilbert_sql()),
+    "geohash_cells": (q_geohash_cells, _duck_geohash_sql()),
+    "spatial_grid_join": (q_spatial_grid_join, SQL_SPATIAL_GRID_JOIN),
     "cc_star": (q_cc_star, SQL_CC_STAR),
     "url_canonical": (q_url_canonical, SQL_URL_CANONICAL),
     "html_strip": (q_html_strip, SQL_HTML_STRIP),

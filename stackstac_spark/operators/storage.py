@@ -39,6 +39,7 @@ from stackstac_spark.sources.sinks import (  # noqa: F401 (re-exports)
 __all__ = [
     "zorder_key",
     "zorder_write",
+    "hilbert_key",
     "write_bucketed",
     "write_partitioned",
     "read_table",
@@ -98,6 +99,91 @@ def zorder_key(
             bit = F.shiftright(q, i).bitwiseAND(F.lit(1).cast("long"))
             key = key.bitwiseOR(F.shiftleft(bit, i * k + j))
     return df.withColumn(out_col, key)
+
+
+def _hilbert_xy2d_py(bits: int, x: int, y: int) -> int:
+    """Pure-Python Hilbert xy→d reference (Wikipedia's iterative form with
+    per-level reflection) — what the Catalyst unroll and the oracle SQL
+    replay; property-tested for bijectivity AND step-adjacency (the
+    defining Hilbert invariant Z-order lacks)."""
+    d = 0
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def hilbert_key(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    out_col: str = "hilbert",
+    ranges: dict[str, tuple[float, float]] | None = None,
+) -> DataFrame:
+    """Append a Hilbert-curve clustering key over exactly 2 numeric columns
+    — the locality-preserving alternative to :func:`zorder_key`: every
+    curve step moves ONE grid cell (no Z-order "seams"), so range scans on
+    either column touch ~√2× fewer row groups in the worst case (the
+    reason Databricks moved liquid clustering off Morton keys).
+
+    Same min-max quantization contract as ``zorder_key`` (``bits`` bits
+    per column, one tiny range agg unless ``ranges`` pins the domain),
+    then the standard iterative xy→d transform UNROLLED per bit. Each
+    level's (x, y, d) rewrite lands in its own projection (``withColumns``
+    per level) — the rewrites reference x and y multiple times, so
+    collapsing them into one expression would grow the tree exponentially
+    in ``bits``; the stage-per-level shape keeps it linear and
+    codegen-friendly. Pure bit/CASE arithmetic → replayed exactly by the
+    oracle's chained-CTE unroll.
+    """
+    if len(cols) != 2:
+        raise ValueError(f"hilbert_key interleaves exactly 2 columns, got {len(cols)}")
+    if not 1 <= bits <= 16:
+        raise ValueError(f"bits must be in [1, 16], got {bits}")
+    if ranges is None:
+        aggs = []
+        for c in cols:
+            aggs += [F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
+                     F.max(F.col(c).cast("double")).alias(f"mx_{c}")]
+        row = df.agg(*aggs).first()
+        ranges = {c: (float(row[f"mn_{c}"]), float(row[f"mx_{c}"])) for c in cols}
+    nlevels = (1 << bits) - 1
+    quant = []
+    for c in cols:
+        mn, mx = ranges[c]
+        span = (mx - mn) or 1.0
+        q = F.least(
+            F.lit(nlevels),
+            F.floor(((F.col(c).cast("double") - F.lit(mn)) / F.lit(span)) * F.lit(nlevels + 1)).cast("long"),
+        )
+        quant.append(F.greatest(F.lit(0).cast("long"), q))
+    out = df.withColumns(
+        {"__hx": quant[0], "__hy": quant[1], out_col: F.lit(0).cast("long")}
+    )
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        x, y = F.col("__hx"), F.col("__hy")
+        rx = F.when(x.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        ry = F.when(y.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        d_next = F.col(out_col) + F.lit(s * s).cast("long") * (
+            (F.lit(3) * rx).bitwiseXOR(ry).cast("long")
+        )
+        nx = F.when(
+            ry == 0, F.when(rx == 1, F.lit(s - 1) - y).otherwise(y)
+        ).otherwise(x)
+        ny = F.when(
+            ry == 0, F.when(rx == 1, F.lit(s - 1) - x).otherwise(x)
+        ).otherwise(y)
+        out = out.withColumns({"__hx": nx, "__hy": ny, out_col: d_next})
+    return out.drop("__hx", "__hy")
 
 
 def zorder_write(
