@@ -11591,6 +11591,245 @@ GROUP BY r.rid ORDER BY rect_id
 """
 
 
+# ---------------------------------------------------------------------------
+# r9 wave 4: KN smoothing, n-gram novelty, chi2 terms, burstiness, blocking eval
+
+
+def q_kneser_ney_lm(spark, sf):
+    """Interpolated Kneser-Ney bigram perplexity (operators/textstats.py::
+    kneser_ney_score; Kneser & Ney 1995, the KenLM smoothing): absolute
+    discount 0.75 + continuation-count backoff — the smoothing upgrade
+    over the Jelinek-Mercer gate (bigram_ppl). Same one-pass count-table
+    plan; all counts exact bigints; 100 lowest-ppl docs."""
+    from stackstac_spark.operators.textstats import kneser_ney_score
+
+    docs = _t(spark, sf, "documents")
+    return (
+        kneser_ney_score(docs)
+        .orderBy("ppl_kn", "doc_id")
+        .limit(100)
+    )
+
+
+SQL_KNESER_NEY_LM = r"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+bigs AS MATERIALIZED (
+  SELECT id, ts[i] AS p, ts[i + 1] AS w
+  FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+  WHERE len(ts) >= 2
+),
+bc AS MATERIALIZED (SELECT p, w, count(*) AS c_pw FROM bigs GROUP BY p, w),
+ctx AS (SELECT p, sum(c_pw) AS c_p, count(*) AS n1_right FROM bc GROUP BY p),
+cont AS (SELECT w, count(*) AS n1_left FROM bc GROUP BY w),
+btypes AS (SELECT count(*) AS b FROM bc),
+scored AS (
+  SELECT g.id, count(*) AS n_big,
+         sum(ln(greatest(bc.c_pw - 0.75, 0.0) / ctx.c_p
+                + (0.75 / ctx.c_p) * ctx.n1_right
+                  * (CAST(cont.n1_left AS DOUBLE) / bt.b))) AS ll
+  FROM bigs g
+  JOIN bc ON bc.p = g.p AND bc.w = g.w
+  JOIN ctx ON ctx.p = g.p
+  JOIN cont ON cont.w = g.w
+  CROSS JOIN btypes bt
+  GROUP BY g.id
+)
+SELECT id AS doc_id, CAST(n_big AS BIGINT) AS n_big,
+       round(exp(-ll / n_big), 4) AS ppl_kn
+FROM scored ORDER BY ppl_kn, doc_id LIMIT 100
+"""
+
+
+def q_ngram_novelty(spark, sf):
+    """Held-out n-gram novelty (operators/textstats.py::ngram_novelty):
+    md5 hash-split into 70% train / 30% test, then per test doc the share
+    of its 3-gram occurrences never seen in ANY train doc — the
+    memorization/coverage metric (low novelty ⇒ reconstructible from the
+    train slice). One explode, one distinct train set, one left join."""
+    from stackstac_spark.operators.textstats import ngram_novelty
+
+    docs = _t(spark, sf, "documents")
+    return ngram_novelty(docs, n=3).orderBy("doc_id")
+
+
+SQL_NGRAM_NOVELTY = r"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
+                     x -> x <> '') AS ts,
+         (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 10) < 7 AS is_train
+  FROM documents
+),
+grams AS MATERIALIZED (
+  SELECT id, is_train,
+         array_to_string(list_slice(ts, i, i + 2), ' ') AS g
+  FROM toks, unnest(generate_series(1, len(ts) - 3 + 1)) AS u(i)
+  WHERE len(ts) >= 3
+),
+train_set AS MATERIALIZED (SELECT DISTINCT g FROM grams WHERE is_train),
+test AS (
+  SELECT gr.id, count(*) AS n_ngrams,
+         sum(CASE WHEN t.g IS NULL THEN 1 ELSE 0 END) AS n_unseen
+  FROM grams gr LEFT JOIN train_set t ON t.g = gr.g
+  WHERE NOT gr.is_train
+  GROUP BY gr.id
+)
+SELECT id AS doc_id, CAST(n_ngrams AS BIGINT) AS n_ngrams,
+       CAST(n_unseen AS BIGINT) AS n_unseen,
+       round(CAST(n_unseen AS DOUBLE) / n_ngrams, 6) AS novelty
+FROM test ORDER BY doc_id
+"""
+
+
+def q_chi2_terms(spark, sf):
+    """χ² term-class feature selection (operators/textstats.py::
+    chi2_terms; Manning & Schütze ch. 5): per (term, lang) the 2×2
+    document-presence chi-square, top-10 per language, hapaxes pruned at
+    df ≥ 3 — "which words mark this language?" as three aggregates and a
+    window, no dense vocab×class table."""
+    from stackstac_spark.operators.textstats import chi2_terms
+
+    docs = _t(spark, sf, "documents")
+    return chi2_terms(docs, "lang", min_df=3, k=10).orderBy("lang", "rank")
+
+
+SQL_CHI2_TERMS = r"""
+WITH docterm AS MATERIALIZED (
+  SELECT DISTINCT doc_id AS id, lang AS cls, t.term
+  FROM documents,
+       unnest(list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
+                          x -> x <> '')) AS t(term)
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+cls_sizes AS (SELECT lang AS cls, count(*) AS n_cls FROM documents GROUP BY lang),
+term_df AS MATERIALIZED (
+  SELECT term, count(*) AS df FROM docterm GROUP BY term HAVING count(*) >= 3),
+tc AS (SELECT term, cls, count(*) AS n11 FROM docterm GROUP BY term, cls),
+cells AS (
+  SELECT tc.cls, tc.term, td.df,
+         CAST(tc.n11 AS DOUBLE) AS n11,
+         CAST(td.df - tc.n11 AS DOUBLE) AS n10,
+         CAST(cs.n_cls - tc.n11 AS DOUBLE) AS n01,
+         CAST(n.n_docs - td.df - cs.n_cls + tc.n11 AS DOUBLE) AS n00,
+         n.n_docs
+  FROM tc JOIN term_df td USING (term) JOIN cls_sizes cs USING (cls), n
+),
+scored AS (
+  SELECT cls, term, df,
+         round(CASE WHEN (n11+n10)*(n01+n00)*(n11+n01)*(n10+n00) > 0
+               THEN n_docs * pow(n11*n00 - n10*n01, 2)
+                    / ((n11+n10)*(n01+n00)*(n11+n01)*(n10+n00))
+               ELSE 0.0 END, 4) AS chi2
+  FROM cells
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY cls ORDER BY chi2 DESC, term) AS rank
+  FROM scored
+)
+SELECT cls AS lang, CAST(rank AS INT) AS rank, term, CAST(df AS BIGINT) AS df, chi2
+FROM ranked WHERE rank <= 10 ORDER BY lang, rank
+"""
+
+
+def q_term_burstiness(spark, sf):
+    """Term burstiness (operators/textstats.py::term_burstiness; Church &
+    Gale 1995): variance-to-mean ratio of per-doc counts with zeros
+    implicit — content words cluster (VMR ≫ 1), glue words are
+    Poisson-ish. Top-100 bursty terms at df ≥ 5; one (doc, term) count +
+    one term aggregate."""
+    from stackstac_spark.operators.textstats import term_burstiness
+
+    docs = _t(spark, sf, "documents")
+    return term_burstiness(docs, min_df=5, k=100)
+
+
+SQL_TERM_BURSTINESS = r"""
+WITH tf AS (
+  SELECT doc_id AS id, t.term, count(*) AS tf
+  FROM documents,
+       unnest(list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
+                          x -> x <> '')) AS t(term)
+  GROUP BY doc_id, t.term
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+stats AS (
+  SELECT term, count(*) AS df, sum(tf) AS s1, sum(tf * tf) AS s2
+  FROM tf GROUP BY term HAVING count(*) >= 5
+),
+scored AS (
+  SELECT term, df,
+         round(s1 / n_docs, 6) AS mean_tf,
+         round((s2 / n_docs - (s1 / n_docs) * (s1 / n_docs)) / (s1 / n_docs), 6) AS vmr
+  FROM stats, n
+)
+SELECT CAST(row_number() OVER (ORDER BY vmr DESC, term) AS INT) AS rank,
+       term, CAST(df AS BIGINT) AS df, mean_tf, vmr
+FROM scored ORDER BY vmr DESC, term LIMIT 100
+"""
+
+
+def q_blocking_eval(spark, sf):
+    """Blocking-strategy scorecard (operators/linkage.py::blocking_eval;
+    Christen 2012): reduction ratio / pairs completeness / pairs quality
+    of the (nation, name-suffix) blocking key against a deterministic
+    truth-pair set — candidate counts from Σ n(n−1)/2 per block, never an
+    enumerated pair. The evaluation half of the linkage_score gate."""
+    from stackstac_spark.operators.linkage import blocking_eval
+
+    cust = _t(spark, sf, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.substring(F.col("c_name"), -2, 2).alias("sfx"),
+    )
+    truth = (
+        cust.select(F.col("c_custkey").alias("id_a"))
+        .filter(F.col("id_a") % 10 == 0)
+        .select("id_a", (F.col("id_a") + 100).alias("id_b"))
+    )
+    return blocking_eval(cust, truth, ["c_nationkey", "sfx"], "c_custkey")
+
+
+SQL_BLOCKING_EVAL = """
+WITH cust AS (
+  SELECT c_custkey, c_nationkey,
+         substring(c_name, length(c_name) - 1, 2) AS sfx
+  FROM customer
+),
+n AS (SELECT count(*) AS n_rows FROM cust),
+blocks AS (
+  SELECT c_nationkey, sfx, count(*) AS nb FROM cust GROUP BY c_nationkey, sfx),
+cand AS (
+  SELECT CAST(sum(nb * (nb - 1) / 2) AS BIGINT) AS cand,
+         count(*) AS n_blocks
+  FROM blocks),
+truth AS (
+  SELECT c_custkey AS id_a, c_custkey + 100 AS id_b
+  FROM cust WHERE c_custkey % 10 = 0),
+matched AS (
+  SELECT count(*) AS m
+  FROM truth t
+  JOIN cust a ON a.c_custkey = t.id_a
+  JOIN cust b ON b.c_custkey = t.id_b
+  WHERE a.c_nationkey = b.c_nationkey AND a.sfx = b.sfx),
+tot AS (SELECT count(*) AS nt FROM truth)
+SELECT CAST(c.n_blocks AS BIGINT) AS n_blocks,
+       c.cand AS cand_pairs,
+       CAST(n.n_rows * (n.n_rows - 1) // 2 AS BIGINT) AS total_pairs,
+       CAST(tot.nt AS BIGINT) AS truth_pairs,
+       CAST(m.m AS BIGINT) AS matched,
+       round(1.0 - CAST(c.cand AS DOUBLE) / (n.n_rows * (n.n_rows - 1) // 2), 6) AS reduction_ratio,
+       round(CAST(m.m AS DOUBLE) / tot.nt, 6) AS completeness,
+       round(CAST(m.m AS DOUBLE) / c.cand, 6) AS quality
+FROM cand c, n, matched m, tot
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- Rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r07,
@@ -11626,6 +11865,11 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "hilbert_cluster": (q_hilbert_cluster, _duck_hilbert_sql()),
     "geohash_cells": (q_geohash_cells, _duck_geohash_sql()),
     "spatial_grid_join": (q_spatial_grid_join, SQL_SPATIAL_GRID_JOIN),
+    "kneser_ney_lm": (q_kneser_ney_lm, SQL_KNESER_NEY_LM),
+    "ngram_novelty": (q_ngram_novelty, SQL_NGRAM_NOVELTY),
+    "chi2_terms": (q_chi2_terms, SQL_CHI2_TERMS),
+    "term_burstiness": (q_term_burstiness, SQL_TERM_BURSTINESS),
+    "blocking_eval": (q_blocking_eval, SQL_BLOCKING_EVAL),
     "cc_star": (q_cc_star, SQL_CC_STAR),
     "url_canonical": (q_url_canonical, SQL_URL_CANONICAL),
     "html_strip": (q_html_strip, SQL_HTML_STRIP),

@@ -31,6 +31,7 @@ __all__ = [
     "jaro_winkler",
     "jaro_winkler_bound",
     "jaro_winkler_pairs",
+    "blocking_eval",
 ]
 
 
@@ -485,4 +486,94 @@ def jaro_winkler_pairs(
         .filter(F.col("jw") >= threshold)
         .drop("__jwcnt_a", "__jwcnt_b", "__jwks_a", "__jwks_b",
               "__jwlen_a", "__jwlen_b")
+    )
+
+
+def blocking_eval(
+    df: DataFrame,
+    truth_pairs: DataFrame,
+    block_cols: list[str],
+    id_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Blocking-strategy scorecard (the standard record-linkage evaluation
+    triple, Christen 2012): one row with
+
+    - ``reduction_ratio``  = 1 − candidates/total_pairs — how much of the
+      O(N²) space the blocks remove,
+    - ``completeness``     = matched/truth — the fraction of TRUE pairs
+      the blocks keep reachable (pairs completeness / recall),
+    - ``quality``          = matched/candidates — truth density inside
+      the blocks (pairs quality / precision),
+
+    the trade-off curve every blocking key choice moves along. Candidate
+    counts come from Σ n_b(n_b−1)/2 over per-block row counts — computed
+    WITHOUT enumerating a single pair, so the eval runs on corpora whose
+    candidate set itself would not fit. Truth pairs are checked by
+    joining each side to its block key and comparing (two equi-joins).
+    ``truth_pairs`` must carry (id_a, id_b); pairs whose ids are missing
+    from ``df`` count as unmatched (they ARE missed)."""
+    n = df.count()
+    total_pairs = n * (n - 1) // 2
+    blocks = df.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("nb"))
+    cand = blocks.agg(
+        F.sum(F.col("nb") * (F.col("nb") - 1) / 2).cast("long").alias("cand"),
+        F.count(F.lit(1)).alias("n_blocks"),
+    )
+    from functools import reduce
+
+    keys = df.select(F.col(id_col).alias("__id"), *block_cols)
+    ta = truth_pairs.select(F.col("id_a"), F.col("id_b"))
+    if not block_cols:
+        raise ValueError("block_cols must be non-empty")
+    same_block = reduce(
+        lambda a, b: a & b,
+        [F.col(c).eqNullSafe(F.col(f"__b_{c}")) for c in block_cols],
+    )
+    matched = (
+        ta.join(keys.withColumnRenamed("__id", "id_a"), "id_a")
+        .join(
+            keys.select(
+                F.col("__id").alias("id_b"),
+                *[F.col(c).alias(f"__b_{c}") for c in block_cols],
+            ),
+            "id_b",
+        )
+        .filter(same_block)
+        .count()
+    )
+    n_truth = ta.count()
+    row = cand.first()
+    from pyspark.sql import types as T
+
+    from stackstac_spark.session import local_df
+
+    schema = T.StructType(
+        [
+            T.StructField("n_blocks", T.LongType()),
+            T.StructField("cand_pairs", T.LongType()),
+            T.StructField("total_pairs", T.LongType()),
+            T.StructField("truth_pairs", T.LongType()),
+            T.StructField("matched", T.LongType()),
+            T.StructField("reduction_ratio", T.DoubleType()),
+            T.StructField("completeness", T.DoubleType()),
+            T.StructField("quality", T.DoubleType()),
+        ]
+    )
+    cand_n = int(row["cand"] or 0)
+    return local_df(
+        df.sparkSession,
+        [
+            (
+                int(row["n_blocks"]),
+                cand_n,
+                int(total_pairs),
+                int(n_truth),
+                int(matched),
+                round(1.0 - cand_n / total_pairs, round_to) if total_pairs else None,
+                round(matched / n_truth, round_to) if n_truth else None,
+                round(matched / cand_n, round_to) if cand_n else None,
+            )
+        ],
+        schema,
     )

@@ -1319,3 +1319,277 @@ def feature_hash(
     )
     vec = F.expr(f"transform(sequence(0, {dim - 1}), i -> coalesce(element_at(m, i), 0L))")
     return ent.select(id_col, "nnz", "l2_sq", vec.alias("vec"))
+
+
+def kneser_ney_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+    round_to: int = 4,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; the
+    smoothing KenLM actually ships) — per document the KN cross-entropy
+
+        P_KN(w|p) = max(c(p,w) − D, 0)/c(p·)
+                    + (D/c(p·)) · N₁₊(p·) · N₁₊(·w)/B
+
+    with absolute discount D, continuation probability
+    Pcont(w) = N₁₊(·w)/B over B distinct bigram types — the upgrade over
+    :func:`bigram_lm_score`'s Jelinek-Mercer mix that stops "francisco"
+    from looking probable outside "san francisco" (continuation counts
+    ask "how many contexts?" not "how often?").
+
+    Same one-pass count-table plan as the JM scorer: bigram counts, left/
+    right distinct-neighbor counts (two more aggregates of the SAME
+    exploded stream), sparse per-doc scoring join. Every count is an
+    exact bigint; docs score over their own corpus-attested bigrams, so
+    P > 0 always. Returns (id, n_big, ppl_kn = exp(−mean ln P))."""
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+        ).alias("ts"),
+    ).filter(F.size("ts") >= 2)
+    bigs = toks.select(
+        "id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 1), "
+                "i -> struct(element_at(ts, i) AS p, element_at(ts, i + 1) AS w))"
+            )
+        ).alias("b"),
+    ).select("id", F.col("b.p").alias("p"), F.col("b.w").alias("w"))
+    bc = bigs.groupBy("p", "w").agg(F.count(F.lit(1)).alias("c_pw"))
+    ctx = bc.groupBy("p").agg(
+        F.sum("c_pw").alias("c_p"), F.count(F.lit(1)).alias("n1_right")
+    )
+    cont = bc.groupBy("w").agg(F.count(F.lit(1)).alias("n1_left"))
+    b_types = bc.count()
+    p_kn = (
+        F.greatest(F.col("c_pw").cast("double") - F.lit(discount), F.lit(0.0))
+        / F.col("c_p")
+        + (F.lit(discount) / F.col("c_p"))
+        * F.col("n1_right")
+        * (F.col("n1_left").cast("double") / F.lit(float(b_types)))
+    )
+    scored = (
+        bigs.join(bc, ["p", "w"])
+        .join(F.broadcast(ctx), "p")
+        .join(F.broadcast(cont), "w")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_big"), F.sum(F.log(p_kn)).alias("__ll"))
+    )
+    return scored.select(
+        F.col("id").alias(id_col),
+        "n_big",
+        F.round(F.exp(-F.col("__ll") / F.col("n_big")), round_to).alias("ppl_kn"),
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    train_mod: int = 10,
+    train_under: int = 7,
+    round_to: int = 6,
+) -> DataFrame:
+    """Held-out n-gram novelty — the memorization/coverage metric: hash-
+    split docs into train (md5(id) mod ``train_mod`` < ``train_under``)
+    and test, then per TEST doc the fraction of its n-gram OCCURRENCES
+    whose n-gram never appears in any train doc → (id, n_ngrams,
+    n_unseen, novelty). Low novelty ⇒ the doc is reconstructible from the
+    train slice (dedup leak / templated text); high ⇒ genuinely new
+    content. The per-doc relative of ngram_contamination's corpus-level
+    screen.
+
+    Plan: one explode to (doc, ngram), the train side collapsed to a
+    DISTINCT ngram set (the only extra aggregate), one left join + null
+    count per test doc. The split is a pure md5 function of the id —
+    stable across engines and partitionings."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    is_train = (
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % train_mod < train_under
+    )
+    grams = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+            ).alias("ts"),
+        )
+        .filter(F.size("ts") >= n)
+        .select(
+            "id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(ts) - {n} + 1), "
+                    f"i -> array_join(slice(ts, i, {n}), ' '))"
+                )
+            ).alias("g"),
+        )
+        .withColumn("__train", is_train)
+    )
+    train_set = grams.filter(F.col("__train")).select("g").distinct()
+    test = grams.filter(~F.col("__train"))
+    joined = test.join(
+        train_set.withColumn("__seen", F.lit(1)), "g", "left"
+    )
+    return (
+        joined.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.when(F.col("__seen").isNull(), 1).otherwise(0)).alias("n_unseen"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_ngrams",
+            F.col("n_unseen").cast("long").alias("n_unseen"),
+            F.round(F.col("n_unseen").cast("double") / F.col("n_ngrams"), round_to).alias("novelty"),
+        )
+    )
+
+
+def chi2_terms(
+    df: DataFrame,
+    class_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 3,
+    k: int = 10,
+    round_to: int = 4,
+) -> DataFrame:
+    """χ² term-class association (the classic supervised feature-selection
+    statistic; Manning/Schütze ch. 5): per (term, class) the chi-square of
+    the 2×2 document-presence contingency table, top-``k`` terms per class
+    → (class, rank, term, df, chi2). What "which words mark this
+    language/domain?" asks; the significance-flavored complement of
+    keyness_llr.
+
+    Counts are document PRESENCE (distinct (doc, term)), the standard
+    convention. All four cells derive from three aggregates (term df,
+    class sizes, per-(term, class) df) + the corpus total — no dense
+    vocab × class table, and ``min_df`` prunes the hapax tail before the
+    window."""
+    docterm = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(class_col).alias("cls"),
+            F.explode(
+                F.array_distinct(
+                    F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+                )
+            ).alias("term"),
+        )
+    )
+    n_docs = df.count()
+    cls_sizes = df.groupBy(F.col(class_col).alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_cls")
+    )
+    term_df = (
+        docterm.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    tc = docterm.groupBy("term", "cls").agg(F.count(F.lit(1)).alias("n11"))
+    cells = (
+        tc.join(term_df, "term")
+        .join(F.broadcast(cls_sizes), "cls")
+        .select(
+            "cls",
+            "term",
+            "df",
+            F.col("n11").cast("double").alias("n11"),
+            (F.col("df") - F.col("n11")).cast("double").alias("n10"),
+            (F.col("n_cls") - F.col("n11")).cast("double").alias("n01"),
+            (F.lit(n_docs) - F.col("df") - F.col("n_cls") + F.col("n11"))
+            .cast("double")
+            .alias("n00"),
+        )
+    )
+    denom = (
+        (F.col("n11") + F.col("n10"))
+        * (F.col("n01") + F.col("n00"))
+        * (F.col("n11") + F.col("n01"))
+        * (F.col("n10") + F.col("n00"))
+    )
+    chi2 = F.when(
+        denom > 0,
+        F.lit(float(n_docs))
+        * F.pow(F.col("n11") * F.col("n00") - F.col("n10") * F.col("n01"), 2)
+        / denom,
+    ).otherwise(F.lit(0.0))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cls").orderBy(F.desc("chi2"), F.asc("term"))
+    return (
+        cells.select("cls", "term", "df", F.round(chi2, round_to).alias("chi2"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("cls").alias(class_col), "rank", "term", "df", "chi2")
+    )
+
+
+def term_burstiness(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 5,
+    k: int = 100,
+    round_to: int = 6,
+) -> DataFrame:
+    """Term burstiness as the variance-to-mean ratio of per-document
+    occurrence counts, zeros included (Church & Gale 1995: content words
+    are bursty — they cluster in few docs; function words are Poisson-ish
+    with VMR ≈ 1) → top-``k`` (term, df, mean_tf, vmr). The corpus
+    diagnostic that separates topical vocabulary from glue without any
+    labels.
+
+    Population moments over ALL N docs come free from the present-doc
+    aggregate (absent docs contribute zero to both Σx and Σx²), so the
+    plan is one (doc, term) count + one term aggregate + one top-k
+    window — no densification."""
+    tf = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+            ).alias("term"),
+        )
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = float(df.count())
+    stats = (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("s1"),
+            F.sum(F.col("tf") * F.col("tf")).alias("s2"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
+    mean = F.col("s1").cast("double") / F.lit(n_docs)
+    var = F.col("s2").cast("double") / F.lit(n_docs) - mean * mean
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("vmr"), F.asc("term"))
+    return (
+        stats.select(
+            "term",
+            "df",
+            F.round(mean, round_to).alias("mean_tf"),
+            F.round(var / mean, round_to).alias("vmr"),
+        )
+        # the rank window is partition-less over the min_df-pruned TERM
+        # table (bounded vocabulary), not the corpus
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "term", "df", "mean_tf", "vmr")
+    )
