@@ -11830,6 +11830,245 @@ FROM cand c, n, matched m, tot
 """
 
 
+# ---------------------------------------------------------------------------
+# r9 wave 5: embedding classifiers, DDSketch, JSON profiling, Wilson ranking
+
+
+def q_knn_classify(spark, sf):
+    """kNN embedding-quality probe (operators/similarity.py::knn_classify):
+    5% of vectors held out by id residue, classified by majority vote of
+    their 5 nearest train vectors (rounded cosine; ties → train id /
+    smaller label) — the linear-probe-free embedding benchmark. The
+    bounded test side broadcasts (the hamming_topk contract); train
+    streams."""
+    from stackstac_spark.operators.similarity import knn_classify
+
+    emb = _t(spark, sf, "embeddings")
+    train = emb.filter(F.col("vec_id") % 20 != 0)
+    test = emb.filter(F.col("vec_id") % 20 == 0)
+    return knn_classify(train, test, k=5).orderBy("vec_id")
+
+
+SQL_KNN_CLASSIFY = """
+WITH v AS MATERIALIZED (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+  FROM embeddings
+),
+t AS (SELECT * FROM v WHERE vec_id % 20 <> 0),
+q AS (SELECT * FROM v WHERE vec_id % 20 = 0),
+sims AS MATERIALIZED (
+  SELECT q.vec_id AS id, q.label, t.vec_id AS tid, t.label AS tlabel,
+         round(list_dot_product(q.v, t.v) / (q.nrm * t.nrm), 6) AS sim
+  FROM q, t
+),
+nn AS (
+  SELECT id, label, tlabel FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY sim DESC, tid) AS r
+    FROM sims) WHERE r <= 5
+),
+votes AS (SELECT id, label, tlabel, count(*) AS v FROM nn GROUP BY id, label, tlabel)
+SELECT id AS vec_id, label, tlabel AS pred, label = tlabel AS correct
+FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY v DESC, tlabel) AS r
+      FROM votes)
+WHERE r = 1 ORDER BY vec_id
+"""
+
+
+def q_centroid_classify(spark, sf):
+    """Nearest-centroid (Rocchio) classification (operators/similarity.py::
+    centroid_classify): per-label mean vectors (rounded before scoring)
+    from the train split, each held-out vector assigned by max cosine —
+    the O(labels) classifier whose centroid table broadcasts no matter
+    how big train grows. Fully relational dot products (posexplode +
+    dim-keyed join), no vector cross join."""
+    from stackstac_spark.operators.similarity import centroid_classify
+
+    emb = _t(spark, sf, "embeddings")
+    train = emb.filter(F.col("vec_id") % 20 != 0)
+    test = emb.filter(F.col("vec_id") % 20 == 0)
+    return centroid_classify(train, test).orderBy("vec_id")
+
+
+SQL_CENTROID_CLASSIFY = """
+WITH v AS MATERIALIZED (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+t AS (SELECT * FROM v WHERE vec_id % 20 <> 0),
+q AS (SELECT * FROM v WHERE vec_id % 20 = 0),
+cent AS MATERIALIZED (
+  SELECT label AS tlabel, g.i AS dim, round(avg(v[g.i]), 6) AS c
+  FROM t, unnest(generate_series(1, 64)) AS g(i)
+  GROUP BY label, g.i
+),
+cnorm AS (SELECT tlabel, sqrt(sum(c * c)) AS cn FROM cent GROUP BY tlabel),
+ql AS MATERIALIZED (
+  SELECT vec_id AS id, label, g.i AS dim, v[g.i] AS qv
+  FROM q, unnest(generate_series(1, 64)) AS g(i)
+),
+qnorm AS (SELECT id, sqrt(sum(qv * qv)) AS qn FROM ql GROUP BY id),
+dots AS (
+  SELECT ql.id, ql.label, cent.tlabel, sum(ql.qv * cent.c) AS dot
+  FROM ql JOIN cent ON cent.dim = ql.dim
+  GROUP BY ql.id, ql.label, cent.tlabel
+),
+scored AS (
+  SELECT d.id, d.label, d.tlabel,
+         round(d.dot / (cn.cn * qn.qn), 6) AS sim
+  FROM dots d JOIN cnorm cn USING (tlabel) JOIN qnorm qn USING (id)
+)
+SELECT id AS vec_id, label, tlabel AS pred, label = tlabel AS correct
+FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY sim DESC, tlabel) AS r
+      FROM scored)
+WHERE r = 1 ORDER BY vec_id
+"""
+
+
+def q_ddsketch_quantiles(spark, sf):
+    """DDSketch relative-error quantiles (operators/sketch.py::
+    ddsketch_quantiles; Masson 2019): lineitem extended prices into
+    γ-log buckets (α = 1%), q50/q90/q99 from the cumulative bucket walk —
+    the mergeable datacenter-standard quantile sketch (the multiplicative
+    companion to the KMV/HLL/CMS family). Bucket ratio rounded to 9 dp
+    before ceil in both engines so libm last-ulp differences can't flip a
+    boundary bucket."""
+    from stackstac_spark.operators.sketch import ddsketch_quantiles
+
+    li = _t(spark, sf, "lineitem")
+    return ddsketch_quantiles(li, "l_extendedprice", qs=(0.5, 0.9, 0.99), alpha=0.01)
+
+
+def _duck_ddsketch_sql(alpha: float = 0.01) -> str:
+    import math as _m
+
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    lng = _m.log(gamma)
+    return f"""
+WITH vals AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+  WHERE l_extendedprice > 0),
+n AS (SELECT count(*) AS n FROM vals),
+b AS MATERIALIZED (
+  SELECT CAST(ceil(round(ln(x) / {lng!r}, 9)) AS BIGINT) AS b, count(*) AS c
+  FROM vals GROUP BY 1),
+cum AS MATERIALIZED (SELECT b, sum(c) OVER (ORDER BY b) AS cum FROM b),
+qs(q) AS (VALUES (0.5), (0.9), (0.99)),
+ranks AS (SELECT q, CAST(floor(q * (n.n - 1)) AS BIGINT) + 1 AS rank FROM qs, n),
+hit AS (
+  SELECT r.q, r.rank, min(c.b) AS bucket
+  FROM ranks r JOIN cum c ON c.cum >= r.rank GROUP BY r.q, r.rank)
+SELECT q, rank, bucket,
+       round(2.0 * pow({gamma!r}, bucket) / {gamma + 1.0!r}, 6) AS est,
+       (SELECT CAST(n AS BIGINT) FROM n) AS n
+FROM hit ORDER BY q
+"""
+
+
+def q_json_schema_infer(spark, sf):
+    """Lexical JSON schema profiling (operators/webtext.py::
+    json_schema_infer): per (key, value_type) occurrence + row coverage
+    over a synthesized heterogeneous payload (conditional keys, nulls,
+    nested object, array) — the "what's in these payloads?" report as ONE
+    regexp_extract_all + aggregate, no parser, no UDF. Lexical by
+    documented design (nested keys counted; the quote decides stringness).
+    Number FORMATTING may differ between engines; the TYPE never does."""
+    from stackstac_spark.operators.webtext import json_schema_infer
+
+    ev = _t(spark, sf, "events")
+    js = F.concat(
+        F.lit('{"id": '),
+        F.col("event_id").cast("string"),
+        F.lit(', "type": "'),
+        F.col("event_type"),
+        F.lit('"'),
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(F.lit(', "v": '), F.round(F.col("value"), 2).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("event_id") % 5 == 0, F.lit(', "flag": true'))
+        .when(F.col("event_id") % 5 == 1, F.lit(', "flag": null'))
+        .otherwise(F.lit("")),
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.lit(', "tags": ["a", "b"], "meta": {"x": 1}'),
+        ).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    return json_schema_infer(ev.select(js.alias("payload")), "payload")
+
+
+SQL_JSON_SCHEMA_INFER = r"""
+WITH payloads AS (
+  SELECT '{"id": ' || CAST(event_id AS VARCHAR)
+         || ', "type": "' || event_type || '"'
+         || CASE WHEN event_id % 3 = 0
+                 THEN ', "v": ' || CAST(round(value, 2) AS VARCHAR) ELSE '' END
+         || CASE WHEN event_id % 5 = 0 THEN ', "flag": true'
+                 WHEN event_id % 5 = 1 THEN ', "flag": null' ELSE '' END
+         || CASE WHEN event_id % 7 = 0
+                 THEN ', "tags": ["a", "b"], "meta": {"x": 1}' ELSE '' END
+         || '}' AS payload
+  FROM events
+),
+n AS (SELECT count(*) AS n_rows FROM payloads),
+matches AS (
+  SELECT unnest(regexp_extract_all(payload,
+    '"((?:[^"\\]|\\.)*)"\s*:\s*("(?:[^"\\]|\\.)*"|\{|\[|true|false|null|-?[0-9][-+.eE0-9]*)',
+    0)) AS m
+  FROM payloads
+),
+pairs AS (
+  SELECT regexp_extract(m, '^"((?:[^"\\]|\\.)*)"', 1) AS key,
+         regexp_replace(m, '^"(?:[^"\\]|\\.)*"\s*:\s*', '') AS v
+  FROM matches
+),
+typed AS (
+  SELECT key,
+         CASE WHEN v LIKE '"%' THEN 'string'
+              WHEN v = '{' THEN 'object'
+              WHEN v = '[' THEN 'array'
+              WHEN v IN ('true', 'false') THEN 'boolean'
+              WHEN v = 'null' THEN 'null'
+              ELSE 'number' END AS value_type
+  FROM pairs
+)
+SELECT key, value_type, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(count(*) AS DOUBLE) / (SELECT n_rows FROM n), 6) AS coverage
+FROM typed GROUP BY key, value_type ORDER BY key, value_type
+"""
+
+
+def q_wilson_rank(spark, sf):
+    """Wilson lower-bound ranking (operators/evalmetrics.py::wilson_rank;
+    the "how not to sort by average rating" formula): sources ranked by
+    the 95% lower confidence bound of their long-doc rate — small-sample
+    honesty a naive rate sort lacks. One aggregate + arithmetic."""
+    from stackstac_spark.operators.evalmetrics import wilson_rank
+
+    docs = _t(spark, sf, "documents").select(
+        "source", (F.col("n_chars") > 300).alias("is_long")
+    )
+    return wilson_rank(docs, "source", "is_long")
+
+
+SQL_WILSON_RANK = """
+WITH g AS (
+  SELECT source AS "group", CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+  FROM documents GROUP BY source
+)
+SELECT "group", n, pos,
+       round(CAST(pos AS DOUBLE) / n, 6) AS rate,
+       round((CAST(pos AS DOUBLE) / n + (1.96 * 1.96) / (2.0 * n)
+              - 1.96 * sqrt(((CAST(pos AS DOUBLE) / n) * (1.0 - CAST(pos AS DOUBLE) / n)
+                             + (1.96 * 1.96) / (4.0 * n)) / n))
+             / (1.0 + (1.96 * 1.96) / n), 6) AS wilson_lb
+FROM g ORDER BY wilson_lb DESC, "group"
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- Rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r07,
@@ -11870,6 +12109,11 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "chi2_terms": (q_chi2_terms, SQL_CHI2_TERMS),
     "term_burstiness": (q_term_burstiness, SQL_TERM_BURSTINESS),
     "blocking_eval": (q_blocking_eval, SQL_BLOCKING_EVAL),
+    "knn_classify": (q_knn_classify, SQL_KNN_CLASSIFY),
+    "centroid_classify": (q_centroid_classify, SQL_CENTROID_CLASSIFY),
+    "ddsketch_quantiles": (q_ddsketch_quantiles, _duck_ddsketch_sql()),
+    "json_schema_infer": (q_json_schema_infer, SQL_JSON_SCHEMA_INFER),
+    "wilson_rank": (q_wilson_rank, SQL_WILSON_RANK),
     "cc_star": (q_cc_star, SQL_CC_STAR),
     "url_canonical": (q_url_canonical, SQL_URL_CANONICAL),
     "html_strip": (q_html_strip, SQL_HTML_STRIP),

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["roc_auc", "ndcg_at_k"]
+__all__ = ["roc_auc", "ndcg_at_k", "wilson_rank"]
 
 
 def roc_auc(
@@ -139,3 +139,40 @@ def ndcg_at_k(
             ).alias("ndcg"),
         )
     )
+
+
+def wilson_rank(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    z: float = 1.96,
+    round_to: int = 6,
+) -> DataFrame:
+    """Rank groups by the Wilson score LOWER bound of their success rate
+    (Wilson 1927; Evan Miller's "how not to sort by average rating") →
+    (group, n, pos, rate, wilson_lb) ordered by the bound — the
+    small-sample-honest ranking: a 2/2 domain ranks BELOW a 95/100 one
+    because its interval is wide, which naive rate sorting gets wrong.
+
+        lb = (p̂ + z²/2n − z·√((p̂(1−p̂) + z²/4n)/n)) / (1 + z²/n)
+
+    One group aggregate + arithmetic; ``success_col`` is boolean/0-1."""
+    g = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(success_col).cast("int")).cast("long").alias("pos"),
+    )
+    p = F.col("pos").cast("double") / F.col("n")
+    z2 = z * z
+    lb = (
+        p
+        + F.lit(z2) / (2.0 * F.col("n"))
+        - F.lit(z)
+        * F.sqrt((p * (1.0 - p) + F.lit(z2) / (4.0 * F.col("n"))) / F.col("n"))
+    ) / (1.0 + F.lit(z2) / F.col("n"))
+    return g.select(
+        "group",
+        "n",
+        "pos",
+        F.round(p, round_to).alias("rate"),
+        F.round(lb, round_to).alias("wilson_lb"),
+    ).orderBy(F.desc("wilson_lb"), "group")

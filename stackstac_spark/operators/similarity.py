@@ -1394,3 +1394,120 @@ def bitext_margin_pairs(
         .filter(F.col("margin") >= threshold)
         .select("src_id", "tgt_id", "sim", "margin")
     )
+
+
+def knn_classify(
+    train: DataFrame,
+    test: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    sim_round: int = 6,
+) -> DataFrame:
+    """k-nearest-neighbor classification of ``test`` vectors against a
+    labeled ``train`` corpus → (id, label, pred, correct) — the standard
+    "are these embeddings any good?" probe (kNN accuracy is THE linear-
+    probe-free embedding benchmark).
+
+    The test side BROADCASTS (same bounded-query contract as
+    :func:`hamming_topk` — evaluation probes are thousands of rows, the
+    train corpus is the big side and streams); scoring is rounded cosine,
+    the vote is majority with ties → (more votes, smaller label), and the
+    neighbor ordering ties on (sim desc, train id) so an external engine
+    replays the exact prediction set. Two windows: neighbor top-k per
+    query, vote argmax per query."""
+    t = train.select(
+        F.col(id_col).alias("tid"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("tv"),
+        F.col(label_col).alias("tlabel"),
+    ).withColumn("tn", F.sqrt(F.expr("aggregate(tv, 0D, (a, x) -> a + x * x)")))
+    q = test.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("qv"),
+        F.col(label_col).alias("label"),
+    ).withColumn("qn", F.sqrt(F.expr("aggregate(qv, 0D, (a, x) -> a + x * x)")))
+    sims = t.crossJoin(F.broadcast(q)).select(
+        "id",
+        "label",
+        "tid",
+        "tlabel",
+        F.round(
+            F.expr("aggregate(zip_with(tv, qv, (x, y) -> x * y), 0D, (a, z) -> a + z)")
+            / (F.col("tn") * F.col("qn")),
+            sim_round,
+        ).alias("sim"),
+    )
+    w_nn = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("tid"))
+    nn = sims.withColumn("__r", F.row_number().over(w_nn)).filter(F.col("__r") <= k)
+    votes = nn.groupBy("id", "label", "tlabel").agg(F.count(F.lit(1)).alias("v"))
+    w_vote = Window.partitionBy("id").orderBy(F.desc("v"), F.asc("tlabel"))
+    return (
+        votes.withColumn("__r", F.row_number().over(w_vote))
+        .filter(F.col("__r") == 1)
+        .select(
+            F.col("id").alias(id_col),
+            "label",
+            F.col("tlabel").alias("pred"),
+            (F.col("label") == F.col("tlabel")).alias("correct"),
+        )
+    )
+
+
+def centroid_classify(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    sim_round: int = 6,
+) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification → (id, label, pred,
+    correct): per-label mean vectors from the train side, each test
+    vector assigned to the max-cosine centroid (ties → smaller label).
+    The O(labels) companion to :func:`knn_classify` — at corpus scale the
+    centroid table is tiny no matter how big train is, so the scoring
+    join is a broadcast by construction.
+
+    Fully relational dot products: train vectors explode to (label, dim,
+    value) for the per-label per-dim mean (rounded before scoring so an
+    external engine replays the argmax), test vectors explode once and
+    equi-join on dim — never a vector cross join."""
+    tl = train.select(
+        F.col(label_col).alias("tlabel"),
+        F.posexplode(F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))")),
+    ).select("tlabel", F.col("pos").alias("dim"), F.col("col").alias("v"))
+    cent = tl.groupBy("tlabel", "dim").agg(F.round(F.avg("v"), sim_round).alias("c"))
+    cnorm = cent.groupBy("tlabel").agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cn"))
+    ql = test.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("label"),
+        F.posexplode(F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))")),
+    ).select("id", "label", F.col("pos").alias("dim"), F.col("col").alias("q"))
+    qnorm = ql.groupBy("id").agg(F.sqrt(F.sum(F.col("q") * F.col("q"))).alias("qn"))
+    dots = (
+        ql.join(F.broadcast(cent), "dim")
+        .groupBy("id", "label", "tlabel")
+        .agg(F.sum(F.col("q") * F.col("c")).alias("dot"))
+    )
+    scored = (
+        dots.join(F.broadcast(cnorm), "tlabel")
+        .join(qnorm, "id")
+        .select(
+            "id",
+            "label",
+            "tlabel",
+            F.round(F.col("dot") / (F.col("cn") * F.col("qn")), sim_round).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("tlabel"))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(
+            F.col("id").alias(id_col),
+            "label",
+            F.col("tlabel").alias("pred"),
+            (F.col("label") == F.col("tlabel")).alias("correct"),
+        )
+    )

@@ -27,10 +27,10 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["heavy_hitters", "hll_distinct", "kmv_distinct", "kmv_set_ops"]
+__all__ = ["heavy_hitters", "hll_distinct", "kmv_distinct", "kmv_set_ops", "ddsketch_quantiles"]
 
 # 2^55 — the fixed-point scale for HLL register sums (see hll_distinct)
 _HLL_SCALE = 1 << 55
@@ -478,3 +478,61 @@ def quantile_bisect(
     if unconverged:
         raise RuntimeError(f"quantile_bisect: no convergence for {unconverged}")
     return [(q, state[q][0], ks[q]) for q, _ in targets]
+
+
+def ddsketch_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: tuple = (0.5, 0.9, 0.99),
+    alpha: float = 0.01,
+    round_to: int = 6,
+) -> DataFrame:
+    """DDSketch quantile estimates (Masson et al., VLDB 2019) — the
+    RELATIVE-error quantile sketch: positive values land in log buckets
+    ``ceil(ln(x)/ln(γ))`` with γ = (1+α)/(1−α), so every estimate is
+    within α of the true value MULTIPLICATIVELY (q99 of a latency column
+    is off by ≤ 1%, not by a fixed absolute amount like equal-width
+    histograms). → (q, rank, bucket, est, n) per requested quantile.
+
+    The whole sketch is one bucket aggregate (mergeable across partitions
+    by construction — this is why DDSketch is the datacenter-standard
+    distributed quantile) + one cumulative window over the BUCKET table
+    (≤ ln(max/min)/ln γ rows — ~2.3k buckets for a 10¹⁰ dynamic range at
+    α=0.01, never the data). The bucket ratio is rounded to 9 dp before
+    ``ceil`` in both engines so a libm last-ulp difference at a bucket
+    boundary cannot flip the bucket id. Non-positive values are excluded
+    (the standard positive-store; add an offset upstream for signed
+    data)."""
+    import math
+
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    lng = math.log(gamma)
+    vals = df.select(F.col(value_col).cast("double").alias("x")).filter(F.col("x") > 0)
+    n = vals.count()
+    buckets = (
+        vals.select(
+            F.ceil(F.round(F.log("x") / F.lit(lng), 9)).cast("long").alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = buckets.withColumn("cum", F.sum("c").over(w))
+    q_rows = [(float(q), int(math.floor(q * (n - 1))) + 1) for q in qs]
+    qdf = df.sparkSession.createDataFrame(q_rows, "q DOUBLE, rank BIGINT")
+    hit = (
+        cum.withColumn("__k", F.lit(1))
+        .join(F.broadcast(qdf.withColumn("__k", F.lit(1))), "__k")
+        .filter(F.col("cum") >= F.col("rank"))
+        .groupBy("q", "rank")
+        .agg(F.min("b").alias("bucket"))
+    )
+    est = F.round(
+        F.lit(2.0) * F.pow(F.lit(gamma), F.col("bucket")) / F.lit(gamma + 1.0),
+        round_to,
+    )
+    return hit.select(
+        "q", "rank", "bucket", est.alias("est"), F.lit(n).cast("long").alias("n")
+    ).orderBy("q")

@@ -33,6 +33,7 @@ __all__ = [
     "strip_html",
     "blocklist_hits",
     "phrase_blocklist_hits",
+    "json_schema_infer",
     "TRACKING_PARAM_RE",
     "TWO_LEVEL_SUFFIXES",
 ]
@@ -295,4 +296,49 @@ def phrase_blocklist_hits(
         base.join(agg, id_col, "left")
         .fillna({"n_phrase_hits": 0, "n_distinct_phrases": 0})
         .select(id_col, "n_phrase_hits", "n_distinct_phrases")
+    )
+
+
+def json_schema_infer(
+    df: DataFrame,
+    json_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Lexical JSON schema profile of a payload column → one row per
+    (key, value_type) with occurrence count and row coverage — the "what
+    is actually in these crawl/event payloads?" report that precedes any
+    typed extraction.
+
+    Keys and value tokens come from ONE regexp_extract_all over the raw
+    text (RE2-compatible, no backrefs), classified by the value token's
+    first characters: string / object / array / boolean / null / number.
+    LEXICAL by design and documented as such: nested objects' inner keys
+    are counted too (every ``"key":`` pair in the text), and a string
+    that lexically looks like a number is still a string (the quote
+    decides). Map-only expressions + one (key, type) aggregate — no JSON
+    parser, no UDF, no shuffle beyond the count."""
+    pat = r'"((?:[^"\\]|\\.)*)"\s*:\s*("(?:[^"\\]|\\.)*"|\{|\[|true|false|null|-?[0-9][-+.eE0-9]*)'
+    n_rows = df.count()
+    pairs = df.select(
+        F.explode(F.regexp_extract_all(F.col(json_col), F.lit(pat), F.lit(0))).alias("m")
+    ).select(
+        F.regexp_extract(F.col("m"), r'^"((?:[^"\\]|\\.)*)"', 1).alias("key"),
+        F.regexp_replace(F.col("m"), r'^"(?:[^"\\]|\\.)*"\s*:\s*', "").alias("v"),
+    )
+    vtype = (
+        F.when(F.col("v").startswith('"'), "string")
+        .when(F.col("v") == "{", "object")
+        .when(F.col("v") == "[", "array")
+        .when(F.col("v").isin("true", "false"), "boolean")
+        .when(F.col("v") == "null", "null")
+        .otherwise("number")
+    )
+    return (
+        pairs.select("key", vtype.alias("value_type"))
+        .groupBy("key", "value_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn(
+            "coverage", F.round(F.col("n").cast("double") / F.lit(float(n_rows)), round_to)
+        )
+        .orderBy("key", "value_type")
     )
