@@ -12069,6 +12069,98 @@ FROM g ORDER BY wilson_lb DESC, "group"
 """
 
 
+# ---------------------------------------------------------------------------
+# r9 wave 6: oblique stereographic (EPSG 9809) built-in kernel
+
+
+def q_stere_oblique(spark, sf):
+    """Oblique (double) stereographic forward projection (functions/
+    proj.py::_ll_to_sterea; EPSG method 9809, PROJ +proj=sterea — the
+    Dutch RD New family), registered via register_crs and driven through
+    the engine's Arrow-batched project_xy over a 20×20 Netherlands grid.
+    Clears the r8 verdict's 'oblique stereographic needs pyproj' gap; the
+    kernel is pinned to the EPSG GN7-2 worked example in pytest and the
+    oracle replays the published Gauss-sphere formulas in closed-form SQL
+    (constants computed in-SQL, decimeter rounding — same contract as
+    proj_transform)."""
+    from stackstac_spark.functions.proj import project_xy, register_crs
+
+    register_crs(
+        990907,
+        "+proj=sterea +lat_0=52.15616055555555 +lon_0=5.38763888888889 "
+        "+k=0.9999079 +x_0=155000 +y_0=463000 +ellps=bessel +units=m",
+    )
+    pts = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .where("event_id < 400")
+        .selectExpr(
+            "event_id",
+            "3.3 + CAST(event_id % 20 AS DOUBLE) * 0.2 AS lon",
+            "50.8 + CAST(event_id div 20 AS DOUBLE) * 0.14 AS lat",
+        )
+    )
+    proj = project_xy(pts, "lon", "lat", 4326, 990907)
+    return proj.selectExpr(
+        "event_id", "round(x, 1) AS x_m", "round(y, 1) AS y_m"
+    ).orderBy("event_id")
+
+
+SQL_STERE_OBLIQUE = """
+WITH pts AS (
+  SELECT event_id,
+         3.3 + CAST(event_id % 20 AS DOUBLE) * 0.2 AS lon,
+         50.8 + CAST(event_id // 20 AS DOUBLE) * 0.14 AS lat
+  FROM events WHERE event_id < 400
+),
+k AS (
+  SELECT 6377397.155 AS a,
+         (1.0/299.1528128) * (2.0 - 1.0/299.1528128) AS e2,
+         sqrt((1.0/299.1528128) * (2.0 - 1.0/299.1528128)) AS e,
+         radians(52.15616055555555) AS p0,
+         radians(5.38763888888889) AS l0,
+         0.9999079 AS k0, 155000.0 AS fe, 463000.0 AS fn
+),
+c1 AS (
+  SELECT *, sin(p0) AS s0,
+         a * (1.0 - e2) / pow(1.0 - e2 * sin(p0) * sin(p0), 1.5) AS rho0,
+         a / sqrt(1.0 - e2 * sin(p0) * sin(p0)) AS nu0,
+         sqrt(1.0 + e2 * pow(cos(p0), 4) / (1.0 - e2)) AS n
+  FROM k
+),
+c2 AS (
+  SELECT *, sqrt(rho0 * nu0) AS big_r,
+         pow(((1.0 + s0) / (1.0 - s0)) * pow((1.0 - e * s0) / (1.0 + e * s0), e), n) AS w1
+  FROM c1
+),
+c3 AS (
+  SELECT *, (n + s0) * (1.0 - (w1 - 1.0) / (w1 + 1.0))
+            / ((n - s0) * (1.0 + (w1 - 1.0) / (w1 + 1.0))) AS c
+  FROM c2
+),
+c4 AS MATERIALIZED (
+  SELECT *, asin((c * w1 - 1.0) / (c * w1 + 1.0)) AS chi0 FROM c3
+),
+fwd AS (
+  SELECT p.event_id,
+         asin((c.c * pow(((1.0 + sin(radians(p.lat))) / (1.0 - sin(radians(p.lat))))
+                         * pow((1.0 - c.e * sin(radians(p.lat)))
+                               / (1.0 + c.e * sin(radians(p.lat))), c.e), c.n) - 1.0)
+              / (c.c * pow(((1.0 + sin(radians(p.lat))) / (1.0 - sin(radians(p.lat))))
+                           * pow((1.0 - c.e * sin(radians(p.lat)))
+                                 / (1.0 + c.e * sin(radians(p.lat))), c.e), c.n) + 1.0)) AS chi,
+         c.n * (radians(p.lon) - c.l0) AS dlam,
+         c.big_r, c.k0, c.fe, c.fn, c.chi0
+  FROM pts p, c4 c
+)
+SELECT event_id,
+       round(fe + 2.0 * big_r * k0 * cos(chi) * sin(dlam)
+             / (1.0 + sin(chi) * sin(chi0) + cos(chi) * cos(chi0) * cos(dlam)), 1) AS x_m,
+       round(fn + 2.0 * big_r * k0 * (sin(chi) * cos(chi0) - cos(chi) * sin(chi0) * cos(dlam))
+             / (1.0 + sin(chi) * sin(chi0) + cos(chi) * cos(chi0) * cos(dlam)), 1) AS y_m
+FROM fwd ORDER BY event_id
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- Rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r07,
@@ -12114,6 +12206,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ddsketch_quantiles": (q_ddsketch_quantiles, _duck_ddsketch_sql()),
     "json_schema_infer": (q_json_schema_infer, SQL_JSON_SCHEMA_INFER),
     "wilson_rank": (q_wilson_rank, SQL_WILSON_RANK),
+    "stere_oblique": (q_stere_oblique, SQL_STERE_OBLIQUE),
     "cc_star": (q_cc_star, SQL_CC_STAR),
     "url_canonical": (q_url_canonical, SQL_URL_CANONICAL),
     "html_strip": (q_html_strip, SQL_HTML_STRIP),

@@ -253,6 +253,12 @@ _ELLIPSOIDS: dict[str, tuple[float, float]] = {
     # Clarke 1866, in US survey feet — used only by the EPSG worked-example
     # kernel test for LCC 2SP (NAD27 Texas South Central).
     "CLARKE1866_USFT": (20925832.164, 0.00676866),
+    # Bessel 1841 — the oblique-stereographic (EPSG 9809) flagship grids
+    # (Dutch RD New and relatives) are defined on it.
+    "BESSEL1841": (
+        6377397.155,
+        (1 / 299.1528128) * (2 - 1 / 299.1528128),
+    ),
 }
 
 
@@ -532,6 +538,82 @@ def _ups_to_ll(x, y, a, e2, lat0, lon0, k0, fe, fn):
     return np.degrees(lam + math.radians(lon0)), np.degrees(_chi_to_phi(chi, e2))
 
 
+# -- Oblique Stereographic (EPSG 9809, "double stereographic") ---------------
+# The Gauss-conformal-sphere two-step projection PROJ spells +proj=sterea —
+# the Dutch RD New (EPSG 28992) method, also used by several Caribbean and
+# Middle-East national grids. Formulas: EPSG Guidance Note 7-2 §1.3.7.1
+# (constants R, n, c from the origin latitude; conformal latitude χ via
+# w = c·(S_a·S_b^e)^n; spherical oblique stereographic on the conformal
+# sphere). NOT the same surface as Snyder §21's ellipsoidal oblique
+# stereographic (PROJ +proj=stere oblique) — the two differ by meters away
+# from the origin, so register_crs only accepts the explicit +proj=sterea
+# spelling and keeps refusing oblique +proj=stere.
+
+
+@lru_cache(maxsize=32)
+def _sterea_consts(a: float, e2: float, lat0: float, k0: float):
+    e = math.sqrt(e2)
+    p0 = math.radians(lat0)
+    s0 = math.sin(p0)
+    rho0 = a * (1 - e2) / (1 - e2 * s0 * s0) ** 1.5
+    nu0 = a / math.sqrt(1 - e2 * s0 * s0)
+    big_r = math.sqrt(rho0 * nu0)
+    n = math.sqrt(1.0 + (e2 * math.cos(p0) ** 4) / (1.0 - e2))
+    s1 = (1 + s0) / (1 - s0)
+    s2 = (1 - e * s0) / (1 + e * s0)
+    w1 = (s1 * s2**e) ** n
+    sin_chi00 = (w1 - 1) / (w1 + 1)
+    c = (n + s0) * (1 - sin_chi00) / ((n - s0) * (1 + sin_chi00))
+    w2 = c * w1
+    chi0 = math.asin((w2 - 1) / (w2 + 1))
+    return big_r, n, c, chi0
+
+
+def _ll_to_sterea(lon, lat, a, e2, lat0, lon0, k0, fe, fn):
+    e = math.sqrt(e2)
+    big_r, n, c, chi0 = _sterea_consts(a, e2, lat0, k0)
+    phi = np.radians(lat)
+    s = np.sin(phi)
+    sa = (1 + s) / (1 - s)
+    sb = (1 - e * s) / (1 + e * s)
+    w = c * (sa * sb**e) ** n
+    chi = np.arcsin((w - 1) / (w + 1))
+    dlam = n * (np.radians(lon) - math.radians(lon0))
+    b = 1 + np.sin(chi) * math.sin(chi0) + np.cos(chi) * math.cos(chi0) * np.cos(dlam)
+    x = fe + 2 * big_r * k0 * np.cos(chi) * np.sin(dlam) / b
+    y = fn + 2 * big_r * k0 * (
+        np.sin(chi) * math.cos(chi0) - np.cos(chi) * math.sin(chi0) * np.cos(dlam)
+    ) / b
+    return x, y
+
+
+def _sterea_to_ll(x, y, a, e2, lat0, lon0, k0, fe, fn):
+    e = math.sqrt(e2)
+    big_r, n, c, chi0 = _sterea_consts(a, e2, lat0, k0)
+    de = np.asarray(x, dtype="float64") - fe
+    dn = np.asarray(y, dtype="float64") - fn
+    g = 2 * big_r * k0 * math.tan(math.pi / 4 - chi0 / 2)
+    h = 4 * big_r * k0 * math.tan(chi0) + g
+    i = np.arctan2(de, h + dn)
+    j = np.arctan2(de, g - dn) - i
+    chi = chi0 + 2 * np.arctan((dn - de * np.tan(j / 2)) / (2 * big_r * k0))
+    dlam = (j + 2 * i) / n
+    lam = dlam + math.radians(lon0)
+    # geodetic latitude from the conformal-sphere isometric latitude
+    # (EPSG GN7-2: psi = ln((1+sinχ)/(c(1−sinχ)))/(2n), then the standard
+    # fixed-point on the ellipsoidal isometric latitude; 5 rounds take the
+    # residual to float64 noise)
+    psi = np.log((1 + np.sin(chi)) / (c * (1 - np.sin(chi)))) / (2 * n)
+    phi = 2 * np.arctan(np.exp(psi)) - np.pi / 2
+    for _ in range(5):
+        sp = np.sin(phi)
+        psi_i = np.log(
+            np.tan(phi / 2 + np.pi / 4) * ((1 - e * sp) / (1 + e * sp)) ** (e / 2)
+        )
+        phi = phi - (psi_i - psi) * np.cos(phi) * (1 - e2 * sp * sp) / (1 - e2)
+    return np.degrees(lam), np.degrees(phi)
+
+
 # -- parameter registry for the named EPSG codes -----------------------------
 # (family, params, ellipsoid). TM entries reuse the WGS84 Krüger series
 # constants; for GRS80 the series differ below 0.1 mm (Δn ≈ 4e-12).
@@ -560,8 +642,8 @@ _PROJ_PARAMS: dict[int, tuple[str, tuple, str]] = {
     2193: ("tm", (173.0, 1600000.0, 10000000.0), "GRS80"),
 }
 
-_PARAM_FWD = {"lcc": _ll_to_lcc, "aea": _ll_to_aea, "laea": _ll_to_laea, "cea": _ll_to_cea, "ups": _ll_to_ups}
-_PARAM_INV = {"lcc": _lcc_to_ll, "aea": _aea_to_ll, "laea": _laea_to_ll, "cea": _cea_to_ll, "ups": _ups_to_ll}
+_PARAM_FWD = {"lcc": _ll_to_lcc, "aea": _ll_to_aea, "laea": _ll_to_laea, "cea": _ll_to_cea, "ups": _ll_to_ups, "sterea": _ll_to_sterea}
+_PARAM_INV = {"lcc": _lcc_to_ll, "aea": _aea_to_ll, "laea": _laea_to_ll, "cea": _cea_to_ll, "ups": _ups_to_ll, "sterea": _sterea_to_ll}
 
 
 def _param_from_ll(epsg: int, lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -628,14 +710,21 @@ def register_crs(epsg: int, proj4: str) -> None:
     d = _parse_proj4(proj4)
     proj = d.get("proj")
     if "ellps" in d:
-        ell = {"WGS84": "WGS84", "GRS80": "GRS80"}.get(str(d["ellps"]))
+        ell = {
+            "WGS84": "WGS84",
+            "GRS80": "GRS80",
+            # accepted for +proj=sterea (the RD-New family is Bessel-defined);
+            # the null-towgs84 rule below still applies — a non-null Bessel
+            # datum SHIFT needs pyproj, the projection surface does not
+            "bessel": "BESSEL1841",
+        }.get(str(d["ellps"]))
     elif "datum" in d:
         ell = _DATUM_ELLPS.get(str(d["datum"]))
     else:
         ell = "WGS84"
     if ell is None:
         raise NotImplementedError(
-            f"register_crs({epsg}): only WGS84/GRS80 ellipsoids (got "
+            f"register_crs({epsg}): only WGS84/GRS80/bessel ellipsoids (got "
             f"{d.get('ellps') or d.get('datum')!r}); install pyproj for others"
         )
     tow = d.get("towgs84")
@@ -669,12 +758,27 @@ def register_crs(epsg: int, proj4: str) -> None:
         fam, params = "laea", (f("lat_0"), f("lon_0"), f("x_0"), f("y_0"))
     elif proj == "cea":
         fam, params = "cea", (f("lat_ts"), f("lon_0"), f("x_0"), f("y_0"))
+    elif proj == "sterea":
+        # EPSG 9809 Oblique Stereographic (double stereographic) — the
+        # Gauss-conformal-sphere method behind the oblique national grids
+        # (RD New et al.). The Gauss constants degenerate at the exact
+        # poles (1 − sinφ0 = 0) — polar users want variant-A stere, which
+        # is already built in.
+        if abs(f("lat_0")) >= 90.0:
+            raise NotImplementedError(
+                f"register_crs({epsg}): +proj=sterea at a pole degenerates; "
+                "use polar +proj=stere (built in)"
+            )
+        fam, params = "sterea", (f("lat_0"), f("lon_0"), f("k_0", 1.0), f("x_0"), f("y_0"))
     elif proj == "stere":
         lat0 = f("lat_0")
         if abs(lat0) != 90.0:
             raise NotImplementedError(
-                f"register_crs({epsg}): oblique stereographic needs pyproj "
-                "(built-in stere is polar only)"
+                f"register_crs({epsg}): oblique +proj=stere (Snyder §21 "
+                "ellipsoidal) needs pyproj; the DOUBLE stereographic "
+                "(+proj=sterea, EPSG 9809 — RD New and relatives) IS "
+                "built in — the two methods differ by meters away from "
+                "the origin, so the spelling is honored, not coerced"
             )
         if "lat_ts" in d and "k_0" not in d:
             # EPSG 9829 variant B — same kernel family as 3031/3413.
