@@ -434,6 +434,81 @@ def focal_gradient(
     )
 
 
+def terrain_ruggedness(
+    pixels: DataFrame,
+    keys: list[str] | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """gdaldem's remaining terrain trio over the sparse pixel table — per
+    cell with a FULL 3x3 stencil (same edge semantics as
+    :func:`focal_gradient`):
+
+    - ``tri`` — Terrain Ruggedness Index, Riley et al. 1999 (gdaldem TRI
+      default): sqrt(Σ (center − neighbor)²) over the 8 neighbors,
+      computed via the algebraic identity Σ(c−n)² = Σn² − 2c·Σn + 8c²
+      so it rides the same single aggregate as everything else;
+    - ``tpi`` — Topographic Position Index: center − mean(8 neighbors);
+    - ``roughness`` — max − min of the 9-cell window.
+
+    Same scatter shape as :func:`focal_mean`: each pixel contributes to
+    its 9 covering windows via one JVM generator explode (an is-center
+    flag rides along so the center value is recovered inside the
+    aggregate with ``max(CASE WHEN …)``), then ONE hash aggregate on the
+    target cell — shuffle volume is 9x the pixel count, the stencil's
+    data volume; one scan, zero joins, no halo exchange. Returns keys +
+    (row, col, tri, tpi, roughness).
+    """
+    if keys is None:
+        keys = [c for c in ("item_idx", "band_idx") if c in pixels.columns]
+    offs = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    masked = F.when(~F.isnan(F.col("value")), F.col("value"))
+    contrib = pixels.withColumn("__v", masked).filter(F.col("__v").isNotNull()).select(
+        *keys,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("row") - dy).alias("r"),
+                        (F.col("col") - dx).alias("c"),
+                        F.lit(dy == 0 and dx == 0).alias("ctr"),
+                    )
+                    for dy, dx in offs
+                ]
+            )
+        ).alias("t"),
+        F.col("__v"),
+    ).select(
+        *keys,
+        F.col("t.r").alias("row"),
+        F.col("t.c").alias("col"),
+        F.col("t.ctr").alias("ctr"),
+        "__v",
+    )
+    c = F.max(F.when(F.col("ctr"), F.col("__v")))
+    s1 = F.sum("__v")
+    s2 = F.sum(F.col("__v") * F.col("__v"))
+    # neighbors-only sums via the identity (center removed from the window)
+    sn1 = s1 - c
+    sn2 = s2 - c * c
+    tri = F.sqrt(F.greatest(sn2 - 2.0 * c * sn1 + 8.0 * c * c, F.lit(0.0)))
+    tpi = c - sn1 / 8.0
+    rough = F.max("__v") - F.min("__v")
+    if round_to is not None:
+        tri, tpi, rough = (F.round(e, round_to) for e in (tri, tpi, rough))
+    return (
+        contrib.groupBy(*keys, "row", "col")
+        .agg(
+            tri.alias("tri"),
+            tpi.alias("tpi"),
+            rough.alias("roughness"),
+            F.count("__v").alias("__n"),
+            F.max(F.col("ctr").cast("int")).alias("__has_ctr"),
+        )
+        .filter((F.col("__n") == 9) & (F.col("__has_ctr") == 1))
+        .drop("__n", "__has_ctr")
+    )
+
+
 def hillshade(
     pixels: DataFrame,
     azimuth_deg: float = 315.0,

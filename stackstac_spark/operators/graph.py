@@ -21,6 +21,8 @@ __all__ = [
     "connected_components_star",
     "kcore",
     "adamic_adar",
+    "clustering_coefficient",
+    "neighbor_jaccard",
     "hits_scores",
     "bipartite_projection",
 ]
@@ -456,6 +458,119 @@ def connected_components_star(
     return edges.select(
         F.col("hi").alias("node"), F.col("lo").alias("component")
     ).union(roots)
+
+
+def clustering_coefficient(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    round_to: int = 6,
+    broadcast_threshold: int = 5_000_000,
+) -> DataFrame:
+    """Local clustering coefficient per node over an undirected edge list →
+    (node, deg, n_tri, cc) for every node with degree ≥ 2, where
+    cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) (Watts & Strogatz 1998).
+
+    Pure composition: one degree aggregate + :func:`triangle_count` (which
+    carries the degree-ordered orientation and its dual broadcast/shuffle
+    strategy — the Σ out-deg² bound is what keeps the wedge volume sane on
+    hub-heavy graphs at scale), joined back with a left join so
+    triangle-free nodes score 0.0 rather than dropping out.
+    """
+    und = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint()  # consumed by the degree agg AND triangle_count
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = triangle_count(und, "a", "b", broadcast_threshold=broadcast_threshold)
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_tri"),
+            F.round(
+                2.0
+                * F.coalesce(F.col("n_tri"), F.lit(0))
+                / (F.col("deg").cast("double") * (F.col("deg") - F.lit(1))),
+                round_to,
+            ).alias("cc"),
+        )
+    )
+
+
+def neighbor_jaccard(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_degree: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Neighborhood-Jaccard link prediction over an undirected edge list →
+    NON-adjacent node pairs scored J(u,v) = |Γ(u)∩Γ(v)| / |Γ(u)∪Γ(v)|
+    (the unweighted sibling of :func:`adamic_adar`; Liben-Nowell &
+    Kleinberg 2003). On a near-dup candidate graph this ranks pairs two
+    hops apart by how much of their dup-neighborhood they share.
+
+    Plan mirrors ``adamic_adar``: symmetric edges + one degree aggregate;
+    common-neighbor counts from a center-keyed wedge self equi-join
+    (u < v); the union size is inclusion-exclusion deg(u)+deg(v)−common,
+    so no second set op is needed; existing edges removed with one
+    left-anti join. ``max_degree`` drops hub centers BEFORE the wedge
+    join — the same Σ deg² guard as ``triangle_count``, which is what
+    bounds the wedge shuffle at 100 TB.
+    """
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    und = (
+        e.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sym = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    centers = sym.select(F.col("b").alias("w"), F.col("a").alias("n"))
+    if max_degree is not None:
+        cdeg = centers.join(deg.select(F.col("a").alias("w"), "deg"), "w")
+        centers = cdeg.filter(F.col("deg") <= max_degree).select("w", "n")
+    common = (
+        centers.select("w", F.col("n").alias("u"))
+        .join(centers.select("w", F.col("n").alias("v")), "w")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    withdeg = (
+        common.join(deg.select(F.col("a").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("a").alias("v"), F.col("deg").alias("dv")), "v")
+    )
+    return (
+        withdeg.join(
+            und.select(F.col("a").alias("u"), F.col("b").alias("v")),
+            ["u", "v"],
+            "left_anti",
+        )
+        .select(
+            F.col("u").alias(id_a),
+            F.col("v").alias(id_b),
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("du") + F.col("dv") - F.col("n_common")).cast("double"),
+                round_to,
+            ).alias("jaccard"),
+        )
+    )
 
 
 def kcore(

@@ -20,12 +20,16 @@ the F field weights.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
     "field_u_probabilities",
     "linkage_score",
+    "fellegi_sunter_train",
+    "fellegi_sunter_score",
     "blocked_pairs",
     "edit_distance_pairs",
     "jaro_winkler",
@@ -108,6 +112,99 @@ def linkage_score(
         outs.append(agree.alias(f"agree_{f}"))
     return pairs.select(
         "id_a", "id_b", *outs, F.round(score, round_to).alias("score")
+    )
+
+
+def fellegi_sunter_train(
+    labeled_pairs: DataFrame,
+    agreement_cols: list[str],
+    label_col: str = "is_match",
+    laplace: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Supervised Fellegi-Sunter parameter estimation (Fellegi & Sunter
+    1969 §3; the labeled-data alternative to the EM fit): from candidate
+    pairs carrying boolean agreement columns and a match label, estimate
+    per field
+
+        m = P(agree | match)        u = P(agree | non-match)
+
+    with Laplace smoothing (``laplace`` pseudo-counts on both sides, so a
+    field that always/never agrees in the sample still yields finite
+    weights), and emit the log2 agreement / disagreement weights the FS
+    decision rule sums:
+
+        w_agree = log2(m/u)         w_disagree = log2((1−m)/(1−u))
+
+    Returns one row per field: (field, m, u, w_agree, w_disagree). Plan:
+    the pairs unpivot to (field, agree, label) via ``stack`` (map-only)
+    and ONE grouped aggregate computes both conditional means — no
+    per-field scan loop, output is F rows (driver-sized by definition).
+    Complements :func:`linkage_score`, which takes m as a prior and
+    estimates u from record-level value frequencies.
+    """
+    if not agreement_cols:
+        raise ValueError("agreement_cols must be non-empty")
+    if laplace <= 0:
+        raise ValueError(f"laplace must be positive, got {laplace}")
+    n_f = len(agreement_cols)
+    stack_expr = "stack({}, {}) AS (field, agree)".format(
+        n_f, ", ".join(f"'{c}', {c}" for c in agreement_cols)
+    )
+    long = labeled_pairs.select(
+        F.col(label_col).cast("boolean").alias("__match"), F.expr(stack_expr)
+    )
+    lap = float(laplace)
+    est = long.groupBy("field").agg(
+        (
+            (F.sum(F.when(F.col("__match") & F.col("agree"), 1).otherwise(0)) + lap)
+            / (F.sum(F.when(F.col("__match"), 1).otherwise(0)) + 2 * lap)
+        ).alias("m"),
+        (
+            (F.sum(F.when(~F.col("__match") & F.col("agree"), 1).otherwise(0)) + lap)
+            / (F.sum(F.when(~F.col("__match"), 1).otherwise(0)) + 2 * lap)
+        ).alias("u"),
+    )
+    log2 = F.lit(math.log(2.0))
+    return est.select(
+        "field",
+        F.round("m", round_to).alias("m"),
+        F.round("u", round_to).alias("u"),
+        F.round(F.log(F.col("m") / F.col("u")) / log2, round_to).alias("w_agree"),
+        F.round(
+            F.log((1.0 - F.col("m")) / (1.0 - F.col("u"))) / log2, round_to
+        ).alias("w_disagree"),
+    )
+
+
+def fellegi_sunter_score(
+    pairs: DataFrame,
+    weights: DataFrame,
+    agreement_cols: list[str],
+    id_cols: tuple[str, str] = ("id_a", "id_b"),
+    round_to: int = 4,
+) -> DataFrame:
+    """Score candidate pairs with a trained FS weights table
+    (:func:`fellegi_sunter_train` output): score = Σ_field (w_agree if
+    the pair agrees on the field else w_disagree).
+
+    Plan: unpivot the pairs to (ids, field, agree) with ``stack``, ONE
+    broadcast hash join against the weights table (F rows — always
+    broadcastable), and one sum per pair. The pair stream is never
+    widened beyond F rows per pair and never shuffled except for the
+    final per-pair aggregate, which AQE coalesces.
+    """
+    ia, ib = id_cols
+    n_f = len(agreement_cols)
+    stack_expr = "stack({}, {}) AS (field, agree)".format(
+        n_f, ", ".join(f"'{c}', {c}" for c in agreement_cols)
+    )
+    long = pairs.select(F.col(ia), F.col(ib), F.expr(stack_expr))
+    w = F.when(F.col("agree"), F.col("w_agree")).otherwise(F.col("w_disagree"))
+    return (
+        long.join(F.broadcast(weights.select("field", "w_agree", "w_disagree")), "field")
+        .groupBy(ia, ib)
+        .agg(F.round(F.sum(w), round_to).alias("score"))
     )
 
 

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["logistic_fit", "naive_bayes_classify", "cusum_changepoints"]
+__all__ = ["logistic_fit", "naive_bayes_classify", "cusum_changepoints", "conformal_interval"]
 
 
 def logistic_fit(
@@ -305,4 +305,64 @@ def cusum_changepoints(
         F.col("hit.z").alias("z"),
         (F.col("hit.s_hi") / F.lit(float(scale))).alias("s_hi"),
         (F.col("hit.s_lo") / F.lit(float(scale))).alias("s_lo"),
+    )
+
+
+def conformal_interval(
+    cal: DataFrame,
+    test: DataFrame,
+    y_col: str = "y",
+    yhat_col: str = "yhat",
+    alpha: float = 0.1,
+    round_to: int = 6,
+) -> DataFrame:
+    """Split-conformal prediction intervals (Papadopoulos et al. 2002;
+    Lei et al. 2018): given a CALIBRATION frame carrying actuals and
+    predictions and a TEST frame carrying predictions, attach the
+    distribution-free interval ``yhat ± q̂`` with finite-sample coverage
+    ≥ 1−α, where q̂ is the ⌈(n_cal+1)(1−α)⌉-th smallest absolute
+    calibration residual — an EXACT order statistic, not an interpolated
+    quantile, so any engine replays it bit-for-bit (and the classic
+    guarantee holds exactly).
+
+    Plan: residuals are one map-only projection; the order statistic is
+    a global sort LIMIT k + a 1-row tail (TakeOrdered — no full-sort
+    materialization); the scalar q̂ broadcast-joins onto the test rows
+    via a literal key. The calibration set is the only sorted thing, and
+    at 100 TB calibration sets are samples by construction — the test
+    side stays map-only.
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0,1), got {alpha}")
+    import math as _math
+
+    n_cal = cal.count()
+    if n_cal < 1:
+        raise ValueError("calibration frame is empty")
+    k = _math.ceil((n_cal + 1) * (1.0 - alpha))
+    if k > n_cal:
+        raise ValueError(
+            f"alpha={alpha} needs more calibration rows: rank {k} > n_cal={n_cal}"
+        )
+    resid = cal.select(
+        F.abs(F.col(y_col).cast("double") - F.col(yhat_col).cast("double")).alias("__r")
+    )
+    qhat = (
+        resid.orderBy("__r")
+        .limit(k)
+        .agg(F.max("__r").alias("__qhat"))
+        .withColumn("__k", F.lit(1))
+    )
+    return (
+        test.withColumn("__k", F.lit(1))
+        .join(F.broadcast(qhat), "__k")
+        .drop("__k")
+        .withColumn(
+            "pi_lo", F.round(F.col(yhat_col).cast("double") - F.col("__qhat"), round_to)
+        )
+        .withColumn(
+            "pi_hi", F.round(F.col(yhat_col).cast("double") + F.col("__qhat"), round_to)
+        )
+        .withColumn("qhat", F.round("__qhat", round_to))
+        .drop("__qhat")
     )

@@ -376,3 +376,107 @@ def token_budget(
             .alias("alloc"),
         )
     )
+
+
+POISSON1_CDF_HEX = (
+    "5e2d58d8",
+    "bc5ab1b1",
+    "eb715e1d",
+    "fb239797",
+    "ff1025f5",
+    "ffd90f3b",
+    "fffa8b71",
+    "ffff540c",
+    "ffffed1f",
+    "fffffe21",
+)
+"""Cumulative CDF of Poisson(1) at k=0..9, scaled to 32-bit hex — the
+inverse-CDF lookup table for deterministic Poisson bootstrap weights.
+P(K > 9) ≈ 1.1e-7; the tail is clamped to 10."""
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str = "doc_id",
+    n_boot: int = 100,
+    level: float = 0.95,
+    keys: list[str] | None = None,
+    salt: str = "boot",
+    round_to: int = 6,
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean of ``value_col``
+    (per ``keys`` group if given) — the SINGLE-PASS bootstrap that works
+    at any scale (Chamandy et al. 2012, "Estimating uncertainty for
+    massive data streams"): classical resampling needs n draws per
+    replicate from a dataset whose n you'd have to know and shuffle;
+    instead each row independently enters replicate b with weight
+    w ~ Poisson(1), which converges to the multinomial bootstrap and
+    needs only a map-side explode.
+
+    Determinism: w is the inverse CDF of Poisson(1) applied to the
+    md5(salt:b:id) hex uniform (first 8 hex chars compared against the
+    precomputed ``POISSON1_CDF_HEX`` thresholds — a string comparison any
+    engine replays bit-for-bit). The CI is EXACT order statistics of the
+    B replicate means: rank ⌊α/2·B⌋+1 from each end — no interpolation
+    to disagree on.
+
+    Plan: one explode to B weight rows per input row (map-only), one
+    grouped aggregate to replicate means, one tiny window over B rows per
+    group for the order statistics. Returns keys + (mean, ci_lo, ci_hi,
+    n_boot).
+    """
+    if not 0.0 < level < 1.0:
+        raise ValueError(f"level must be in (0,1), got {level}")
+    if n_boot < 10:
+        raise ValueError(f"n_boot must be >= 10, got {n_boot}")
+    keys = keys or []
+    alpha = 1.0 - level
+    k_lo = int(alpha / 2.0 * n_boot) + 1  # 1-based rank from the bottom
+    k_hi = n_boot - k_lo + 1
+    u = F.substring(
+        F.md5(
+            F.concat_ws(
+                ":", F.lit(salt), F.col("__b").cast("string"), F.col(id_col).cast("string")
+            )
+        ),
+        1,
+        8,
+    )
+    w = sum(
+        (u >= F.lit(t)).cast("int") for t in POISSON1_CDF_HEX
+    )
+    rep = (
+        df.select(*keys, id_col, F.col(value_col).cast("double").alias("__v"))
+        .withColumn("__b", F.explode(F.sequence(F.lit(1), F.lit(int(n_boot)))))
+        .withColumn("__w", w)
+        .groupBy(*keys, "__b")
+        .agg(
+            (F.sum(F.col("__w") * F.col("__v")) / F.sum("__w")).alias("__mean_b")
+        )
+    )
+    point = df.groupBy(*keys).agg(F.avg(F.col(value_col).cast("double")).alias("mean"))
+    # order statistics via a bounded sorted array (exactly n_boot values
+    # per group — no window, no extra shuffle beyond the replicate agg)
+    bounds = rep.groupBy(*keys).agg(
+        F.sort_array(F.collect_list("__mean_b")).alias("__ms")
+    ).select(
+        *keys,
+        F.element_at("__ms", k_lo).alias("ci_lo"),
+        F.element_at("__ms", k_hi).alias("ci_hi"),
+    )
+    # equi-join on a literal key when ungrouped: a 1x1 crossJoin would
+    # plan as a cartesian/nested-loop node, which the suite-wide plan
+    # audit (rightly) rejects everywhere
+    jk = keys or ["__k"]
+    if not keys:
+        point = point.withColumn("__k", F.lit(1))
+        bounds = bounds.withColumn("__k", F.lit(1))
+    joined = point.join(bounds, jk).drop("__k")
+    return joined.select(
+        *keys,
+        F.round("mean", round_to).alias("mean"),
+        F.round("ci_lo", round_to).alias("ci_lo"),
+        F.round("ci_hi", round_to).alias("ci_hi"),
+        F.lit(int(n_boot)).alias("n_boot"),
+    )

@@ -1593,3 +1593,111 @@ def term_burstiness(
         .filter(F.col("rank") <= k)
         .select("rank", "term", "df", "mean_tf", "vmr")
     )
+
+
+def token_fertility(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Tokenizer fertility / efficiency profile per corpus slice — the
+    standard multilingual-tokenizer diagnostic (fertility = subword
+    tokens per whitespace word; Ács 2019, BLOOM/XGLM tokenizer reports):
+    a slice whose fertility is high pays proportionally more sequence
+    length for the same text, and chars-per-token says how much raw text
+    each token "buys".
+
+    Uses the engine's BPE-ish regex tokenizer (alphanumeric runs +
+    single punctuation — the same segmentation as :func:`token_stats`)
+    against whitespace words. Per group emits:
+
+    - n_docs, n_words, n_tokens
+    - fertility          = n_tokens / n_words
+    - chars_per_token    = Σ chars / n_tokens
+    - token_type_ratio   = distinct token types / n_tokens (per-group
+      lexical diversity of the tokenized stream)
+
+    Plan: one map-only projection of per-doc counts + ONE grouped
+    aggregate; the type count explodes tokens but aggregates before any
+    join. All JVM regexp/array expressions — no Python in the path.
+    """
+    bpe = F.expr(
+        rf"regexp_extract_all(lower({text_col}), '[a-z0-9]+|[^a-z0-9\\s]', 0)"
+    )
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    per_doc = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col),
+        F.size(words).alias("__w"),
+        F.size(bpe).alias("__t"),
+        F.length(text_col).alias("__c"),
+    )
+    base = per_doc.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__w").alias("n_words"),
+        F.sum("__t").alias("n_tokens"),
+        F.sum("__c").alias("__chars"),
+    )
+    types = (
+        df.select(F.col(group_col).alias("grp"), F.explode(bpe).alias("tok"))
+        .groupBy("grp")
+        .agg(F.count_distinct("tok").alias("__types"))
+    )
+    return (
+        base.join(types, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "n_words",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("n_words"), round_to).alias("fertility"),
+            F.round(F.col("__chars") / F.col("n_tokens"), round_to).alias(
+                "chars_per_token"
+            ),
+            F.round(F.col("__types") / F.col("n_tokens"), round_to).alias(
+                "token_type_ratio"
+            ),
+        )
+    )
+
+
+def boolean_retrieval(
+    df: DataFrame,
+    query_terms: list[str],
+    mode: str = "and",
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Boolean retrieval over the corpus — the exact-match complement of
+    :func:`bm25_topk` (same inverted-index shape Lucene executes):
+    ``mode="and"`` returns docs containing EVERY query term, ``"or"``
+    docs containing ANY, ranked by total query-term frequency then id.
+
+    Scale shape identical to ``bm25_topk``: tokens are filtered to the
+    query terms BEFORE any shuffle (the postings stream is
+    O(|corpus ∩ q|), not O(tokens)); the AND is one grouped aggregate
+    asserting distinct-term count == |q| — never a per-term self-join
+    chain (q terms would mean q−1 joins); top-k is a TakeOrdered, not a
+    global sort. Returns (id, n_terms_hit, total_tf).
+    """
+    if mode not in ("and", "or"):
+        raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(rf"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+        ).alias("tok"),
+    ).filter(F.col("tok").isin(terms))
+    hits = toks.groupBy(id_col).agg(
+        F.count_distinct("tok").alias("n_terms_hit"),
+        F.count(F.lit(1)).alias("total_tf"),
+    )
+    if mode == "and":
+        hits = hits.filter(F.col("n_terms_hit") == len(terms))
+    return hits.orderBy(F.desc("total_tf"), id_col).limit(k)
