@@ -12184,21 +12184,575 @@ FROM fwd ORDER BY event_id
 """
 
 
+# ---------------------------------------------------------------------------
+# r9 second wave: graph coefficients, grid DBSCAN, terrain trio, supervised
+# Fellegi-Sunter, conformal/bootstrap uncertainty, tokenizer fertility,
+# boolean retrieval
+# ---------------------------------------------------------------------------
+
+
+def q_clustering_coeff(spark, sf):
+    """Local clustering coefficient (operators/graph.py::
+    clustering_coefficient) on the near-dup LSH candidate graph:
+    cc(v) = 2·T(v)/(deg·(deg−1)) for deg ≥ 2 — "how clique-like is each
+    doc's dup neighborhood" (a transitively-closed dup cluster scores 1,
+    a hub of unrelated collisions ~0). Triangles ride triangle_count's
+    degree-ordered orientation; the oracle replays the wedge-closure
+    algebra directly."""
+    from stackstac_spark.operators.graph import clustering_coefficient
+
+    return (
+        clustering_coefficient(_lsh_candidates(spark, sf))
+        .orderBy("node")
+    )
+
+
+def _duck_clustering_coeff_sql() -> str:
+    return f"""
+WITH shingles AS ({_DUCK_SHINGLES}),
+d AS (SELECT DISTINCT doc_id, sh FROM shingles),
+sig AS (SELECT doc_id, min(md5('0:' || sh)) AS h0, min(md5('1:' || sh)) AS h1,
+               min(md5('2:' || sh)) AS h2, min(md5('3:' || sh)) AS h3
+        FROM d GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, 0 AS band, h0 || h1 AS key FROM sig
+  UNION ALL SELECT doc_id, 1 AS band, h2 || h3 AS key FROM sig),
+kept AS (SELECT band, key FROM banded GROUP BY band, key HAVING count(*) <= 1000),
+bk AS (SELECT b.doc_id, b.band, b.key FROM banded b JOIN kept USING (band, key)),
+und AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+sym AS MATERIALIZED (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+deg AS (SELECT a, count(*) AS deg FROM sym GROUP BY a),
+tri AS (
+  SELECT s1.a AS node, count(*) AS n_tri
+  FROM sym s1 JOIN sym s2 ON s1.a = s2.a AND s1.b < s2.b
+  JOIN und e ON e.a = s1.b AND e.b = s2.b
+  GROUP BY s1.a)
+SELECT d.a AS node, d.deg, coalesce(t.n_tri, 0) AS n_tri,
+       round(2.0 * coalesce(t.n_tri, 0) / (CAST(d.deg AS DOUBLE) * (d.deg - 1)), 6) AS cc
+FROM deg d LEFT JOIN tri t ON t.node = d.a
+WHERE d.deg >= 2 ORDER BY node
+"""
+
+
+def q_neighbor_jaccard(spark, sf):
+    """Neighborhood-Jaccard link prediction (operators/graph.py::
+    neighbor_jaccard) on the LSH candidate graph: non-adjacent pairs
+    scored |Γ∩Γ| / |Γ∪Γ| — the unweighted sibling of adamic_adar, same
+    wedge plan, union by inclusion-exclusion. Top-100 by score."""
+    from stackstac_spark.operators.graph import neighbor_jaccard
+
+    return (
+        neighbor_jaccard(_lsh_candidates(spark, sf))
+        .orderBy(F.desc("jaccard"), "id_a", "id_b")
+        .limit(100)
+    )
+
+
+def _duck_neighbor_jaccard_sql() -> str:
+    return f"""
+WITH shingles AS ({_DUCK_SHINGLES}),
+d AS (SELECT DISTINCT doc_id, sh FROM shingles),
+sig AS (SELECT doc_id, min(md5('0:' || sh)) AS h0, min(md5('1:' || sh)) AS h1,
+               min(md5('2:' || sh)) AS h2, min(md5('3:' || sh)) AS h3
+        FROM d GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, 0 AS band, h0 || h1 AS key FROM sig
+  UNION ALL SELECT doc_id, 1 AS band, h2 || h3 AS key FROM sig),
+kept AS (SELECT band, key FROM banded GROUP BY band, key HAVING count(*) <= 1000),
+bk AS (SELECT b.doc_id, b.band, b.key FROM banded b JOIN kept USING (band, key)),
+und AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+sym AS MATERIALIZED (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+deg AS (SELECT a, count(*) AS deg FROM sym GROUP BY a),
+common AS (
+  SELECT s1.a AS u, s2.a AS v, count(*) AS n_common
+  FROM sym s1 JOIN sym s2 ON s1.b = s2.b AND s1.a < s2.a
+  GROUP BY s1.a, s2.a),
+scored AS (
+  SELECT c.u, c.v, c.n_common,
+         round(c.n_common / CAST(du.deg + dv.deg - c.n_common AS DOUBLE), 6) AS jaccard
+  FROM common c JOIN deg du ON du.a = c.u JOIN deg dv ON dv.a = c.v)
+SELECT s.u AS id_a, s.v AS id_b, s.n_common, s.jaccard
+FROM scored s LEFT JOIN und e ON e.a = s.u AND e.b = s.v
+WHERE e.a IS NULL
+ORDER BY jaccard DESC, id_a, id_b LIMIT 100
+"""
+
+
+def q_grid_dbscan(spark, sf):
+    """Distributed DBSCAN (operators/spatial.py::grid_cluster): customers
+    at deterministic hash coordinates (the spatial_grid_join fixture),
+    eps=1.5, min_pts=3 — candidate pairs from the 3x3 ε-cell blocked
+    equi-join (never a distance matrix), core flags from one aggregate,
+    clusters from star-CC over core-core edges, borders attached to
+    their min-labeled core neighbor, noise NULL. The oracle replays the
+    ε-graph directly and resolves components with a recursive min-label
+    CTE — same labels because star-CC converges to the min node id."""
+    from stackstac_spark.operators.spatial import grid_cluster
+
+    cust = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("point_id"),
+        ((F.col("c_custkey") % 1000) / 10.0).alias("x"),
+        (((F.col("c_custkey") * 13) % 1000) / 10.0).alias("y"),
+    )
+    return (
+        grid_cluster(cust, eps=1.5, min_pts=3)
+        .orderBy("point_id")
+    )
+
+
+SQL_GRID_DBSCAN = """
+WITH RECURSIVE pts AS (
+  SELECT c_custkey AS pid,
+         (c_custkey % 1000) / 10.0 AS px,
+         ((c_custkey * 13) % 1000) / 10.0 AS py
+  FROM customer
+),
+nbr AS MATERIALIZED (
+  SELECT a.pid AS pa, b.pid AS pb
+  FROM pts a JOIN pts b
+    ON a.pid <> b.pid
+   AND (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py) <= 1.5 * 1.5
+),
+cnt AS (SELECT pa, count(*) AS c FROM nbr GROUP BY pa),
+core AS MATERIALIZED (
+  SELECT p.pid, coalesce(c.c, 0) + 1 >= 3 AS is_core
+  FROM pts p LEFT JOIN cnt c ON c.pa = p.pid
+),
+ce AS MATERIALIZED (
+  SELECT n.pa AS a, n.pb AS b FROM nbr n
+  JOIN core x ON x.pid = n.pa AND x.is_core
+  JOIN core y ON y.pid = n.pb AND y.is_core
+),
+reach(node, lbl) AS (
+  SELECT pid, pid FROM core WHERE is_core
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN ce e ON e.a = r.node
+),
+comp AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node),
+border AS (
+  SELECT n.pa AS pid, min(c2.cluster) AS cluster
+  FROM nbr n
+  JOIN core x ON x.pid = n.pa AND NOT x.is_core
+  JOIN core y ON y.pid = n.pb AND y.is_core
+  JOIN comp c2 ON c2.node = n.pb
+  GROUP BY n.pa
+)
+SELECT p.pid AS point_id,
+       coalesce(cm.cluster, bd.cluster) AS cluster,
+       k.is_core
+FROM pts p
+JOIN core k ON k.pid = p.pid
+LEFT JOIN comp cm ON cm.node = p.pid
+LEFT JOIN border bd ON bd.pid = p.pid
+ORDER BY point_id
+"""
+
+
+def q_raster_tri(spark, sf):
+    """gdaldem terrain trio (operators/composite.py::terrain_ruggedness):
+    TRI (Riley sqrt-sum-of-squared-diffs), TPI (center − neighborhood
+    mean) and roughness (window max − min) over a quadratic DEM built
+    from the stack's pixel coordinates — gather-join formulation because
+    the difference terms would be catastrophic cancellation in a
+    scatter-aggregate identity (see operator docstring). DEM =
+    ((row + col/100)²)/1000 computed from INTEGER row/col identically in
+    both engines, so no float round-trips through the fixture."""
+    from stackstac_spark.operators.composite import terrain_ruggedness
+
+    st = _raster_stack(spark).sel_bands(["red"])
+    dem = F.col("row") + F.col("col") * 0.01
+    px = st.pixels().withColumn("value", dem * dem * 0.001)
+    return (
+        terrain_ruggedness(px)
+        .select("item_idx", "row", "col", "tri", "tpi", "roughness")
+        .orderBy("item_idx", "row", "col")
+    )
+
+
+SQL_RASTER_TRI = f"""
+WITH px AS ({_R_PX64}), it AS ({_R_ITEMS}),
+cov AS (
+  SELECT row, col, item,
+         (row + col * 0.01) * (row + col * 0.01) * 0.001 AS value
+  FROM px, it WHERE {_R_COVER}
+),
+offs(dy, dx) AS (VALUES
+  (-1,-1), (-1,0), (-1,1), (0,-1), (0,1), (1,-1), (1,0), (1,1)),
+nb AS (
+  SELECT t.item, t.row, t.col, t.value AS c, s.value AS v
+  FROM cov t CROSS JOIN offs o
+  JOIN cov s ON s.item = t.item AND s.row = t.row + o.dy AND s.col = t.col + o.dx
+)
+SELECT item AS item_idx, row, col,
+       round(sqrt(sum((c - v) * (c - v))), 6) AS tri,
+       round(max(c) - avg(v), 6) AS tpi,
+       round(greatest(max(v), max(c)) - least(min(v), min(c)), 6) AS roughness
+FROM nb GROUP BY item, row, col HAVING count(*) = 8
+ORDER BY item_idx, row, col
+"""
+
+
+def _fs_labeled_pairs(spark, sf):
+    """Candidate pairs for the supervised Fellegi-Sunter gates: customers
+    blocked on (nation, name-suffix) — the linkage_score blocking — with
+    boolean agreement fields (market segment, balance-bucket) and a
+    deterministic 'truth' label (same coarse 1000-unit balance band)."""
+    cust = _t(spark, sf, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.substring(F.col("c_name"), -2, 2).alias("sfx"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 100).cast("long").alias("bal"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("band"),
+    )
+    a = cust.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("sfx"),
+        F.col("seg").alias("seg_a"),
+        F.col("bal").alias("bal_a"),
+        F.col("band").alias("band_a"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("sfx"),
+        F.col("seg").alias("seg_b"),
+        F.col("bal").alias("bal_b"),
+        F.col("band").alias("band_b"),
+    )
+    return (
+        a.join(b, ["nk", "sfx"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("seg_a") == F.col("seg_b")).alias("agree_seg"),
+            (F.col("bal_a") == F.col("bal_b")).alias("agree_bal"),
+            (F.col("band_a") == F.col("band_b")).alias("is_match"),
+        )
+    )
+
+
+_DUCK_FS_PAIRS = """
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+         a.c_mktsegment = b.c_mktsegment AS agree_seg,
+         floor(a.c_acctbal / 100) = floor(b.c_acctbal / 100) AS agree_bal,
+         floor(a.c_acctbal / 1000) = floor(b.c_acctbal / 1000) AS is_match
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey
+   AND substring(a.c_name, length(a.c_name) - 1, 2)
+     = substring(b.c_name, length(b.c_name) - 1, 2)
+   AND a.c_custkey < b.c_custkey
+"""
+
+
+def q_fellegi_sunter(spark, sf):
+    """Supervised Fellegi-Sunter m/u estimation (operators/linkage.py::
+    fellegi_sunter_train): per-field P(agree|match) / P(agree|non-match)
+    with Laplace-0.5 smoothing and the log2 agreement/disagreement
+    weights, from blocked customer pairs with a deterministic truth
+    label. One stack-unpivot + ONE grouped aggregate — no per-field
+    scans. The labeled-data complement of the linkage_score gate (which
+    takes m as a prior)."""
+    from stackstac_spark.operators.linkage import fellegi_sunter_train
+
+    return fellegi_sunter_train(
+        _fs_labeled_pairs(spark, sf), ["agree_seg", "agree_bal"]
+    ).orderBy("field")
+
+
+SQL_FELLEGI_SUNTER = f"""
+WITH pairs AS ({_DUCK_FS_PAIRS}),
+long AS (
+  SELECT is_match, 'agree_seg' AS field, agree_seg AS agree FROM pairs
+  UNION ALL
+  SELECT is_match, 'agree_bal' AS field, agree_bal AS agree FROM pairs
+),
+est AS (
+  SELECT field,
+    (sum(CASE WHEN is_match AND agree THEN 1 ELSE 0 END) + 0.5)
+      / (sum(CASE WHEN is_match THEN 1 ELSE 0 END) + 1.0) AS m,
+    (sum(CASE WHEN NOT is_match AND agree THEN 1 ELSE 0 END) + 0.5)
+      / (sum(CASE WHEN NOT is_match THEN 1 ELSE 0 END) + 1.0) AS u
+  FROM long GROUP BY field
+)
+SELECT field, round(m, 6) AS m, round(u, 6) AS u,
+       round(ln(m / u) / ln(2.0), 6) AS w_agree,
+       round(ln((1.0 - m) / (1.0 - u)) / ln(2.0), 6) AS w_disagree
+FROM est ORDER BY field
+"""
+
+
+def q_fs_score_pairs(spark, sf):
+    """Trained-weights FS scoring (operators/linkage.py::
+    fellegi_sunter_score): the weights estimated by fellegi_sunter are
+    broadcast-joined back onto the SAME pair stream via a stack-unpivot
+    and summed per pair — the apply half of the supervised workflow.
+    Top-100 by (score desc, ids); ties broken deterministically."""
+    from stackstac_spark.operators.linkage import (
+        fellegi_sunter_score,
+        fellegi_sunter_train,
+    )
+
+    pairs = _fs_labeled_pairs(spark, sf)
+    w = fellegi_sunter_train(pairs, ["agree_seg", "agree_bal"])
+    return (
+        fellegi_sunter_score(pairs, w, ["agree_seg", "agree_bal"])
+        .orderBy(F.desc("score"), "id_a", "id_b")
+        .limit(100)
+    )
+
+
+SQL_FS_SCORE_PAIRS = f"""
+WITH pairs AS ({_DUCK_FS_PAIRS}),
+long AS (
+  SELECT is_match, 'agree_seg' AS field, agree_seg AS agree FROM pairs
+  UNION ALL
+  SELECT is_match, 'agree_bal' AS field, agree_bal AS agree FROM pairs
+),
+est AS (
+  SELECT field,
+    (sum(CASE WHEN is_match AND agree THEN 1 ELSE 0 END) + 0.5)
+      / (sum(CASE WHEN is_match THEN 1 ELSE 0 END) + 1.0) AS m,
+    (sum(CASE WHEN NOT is_match AND agree THEN 1 ELSE 0 END) + 0.5)
+      / (sum(CASE WHEN NOT is_match THEN 1 ELSE 0 END) + 1.0) AS u
+  FROM long GROUP BY field
+),
+w AS (
+  SELECT field, round(ln(m / u) / ln(2.0), 6) AS w_agree,
+         round(ln((1.0 - m) / (1.0 - u)) / ln(2.0), 6) AS w_disagree
+  FROM est
+),
+plong AS (
+  SELECT id_a, id_b, 'agree_seg' AS field, agree_seg AS agree FROM pairs
+  UNION ALL
+  SELECT id_a, id_b, 'agree_bal' AS field, agree_bal AS agree FROM pairs
+)
+SELECT p.id_a, p.id_b,
+       round(sum(CASE WHEN p.agree THEN w.w_agree ELSE w.w_disagree END), 4) AS score
+FROM plong p JOIN w ON w.field = p.field
+GROUP BY p.id_a, p.id_b
+ORDER BY score DESC, id_a, id_b LIMIT 100
+"""
+
+
+def q_token_fertility(spark, sf):
+    """Tokenizer fertility profile (operators/textstats.py::
+    token_fertility): per source, BPE-ish tokens per whitespace word,
+    chars per token, and tokenized type/token ratio — the multilingual-
+    tokenizer efficiency diagnostic (a slice with high fertility pays
+    more sequence length for the same text). All JVM regexp/array
+    expressions; one projection + two aggregates."""
+    from stackstac_spark.operators.textstats import token_fertility
+
+    return token_fertility(_t(spark, sf, "documents"), group_col="source").orderBy(
+        "source"
+    )
+
+
+SQL_TOKEN_FERTILITY = r"""
+WITH per_doc AS (
+  SELECT source,
+         len(string_split_regex(trim(text), '\s+')) AS w,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]', 0)) AS t,
+         length(text) AS c
+  FROM documents
+),
+base AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(w) AS BIGINT) AS n_words,
+         CAST(sum(t) AS BIGINT) AS n_tokens,
+         CAST(sum(c) AS BIGINT) AS chars
+  FROM per_doc GROUP BY source
+),
+types AS (
+  SELECT source, count(DISTINCT tok) AS n_types
+  FROM (SELECT source,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]', 0)) AS tok
+        FROM documents)
+  GROUP BY source
+)
+SELECT b.source, b.n_docs, b.n_words, b.n_tokens,
+       round(b.n_tokens / CAST(b.n_words AS DOUBLE), 6) AS fertility,
+       round(b.chars / CAST(b.n_tokens AS DOUBLE), 6) AS chars_per_token,
+       round(t.n_types / CAST(b.n_tokens AS DOUBLE), 6) AS token_type_ratio
+FROM base b JOIN types t USING (source)
+ORDER BY source
+"""
+
+
+def q_boolean_retrieval(spark, sf):
+    """Boolean conjunctive retrieval (operators/textstats.py::
+    boolean_retrieval): docs containing EVERY query term, ranked by
+    total query-term frequency — the exact-match complement of
+    bm25_topk, postings filtered to the query before any shuffle, AND
+    asserted by one distinct-count aggregate (never a per-term join
+    chain), top-k via TakeOrdered."""
+    from stackstac_spark.operators.textstats import boolean_retrieval
+
+    return boolean_retrieval(
+        _t(spark, sf, "documents"),
+        ["join", "hash", "filter"],
+        mode="and",
+        k=20,
+    )
+
+
+SQL_BOOLEAN_RETRIEVAL = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS tok
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, count(DISTINCT tok) AS n_terms_hit, count(*) AS total_tf
+  FROM toks WHERE tok IN ('join', 'hash', 'filter')
+  GROUP BY doc_id
+)
+SELECT doc_id, n_terms_hit, total_tf
+FROM hits WHERE n_terms_hit = 3
+ORDER BY total_tf DESC, doc_id LIMIT 20
+"""
+
+
+def q_conformal(spark, sf):
+    """Split-conformal prediction intervals (operators/mlfit.py::
+    conformal_interval): a per-type mean model fit on the calibration
+    slice (event_id % 5 != 0), predictions rounded to 6dp in BOTH
+    engines so the residual order statistic sees identical inputs, then
+    the ⌈(n+1)(1−α)⌉-th smallest |y−ŷ| — an EXACT order statistic, no
+    interpolation — attached as ŷ ± q̂ to the test slice. First 500 test
+    events by id."""
+    from stackstac_spark.operators.mlfit import conformal_interval
+
+    ev = _events(spark, sf).select("event_id", "event_type", "value")
+    cal = ev.filter(F.col("event_id") % 5 != 0)
+    test = ev.filter(F.col("event_id") % 5 == 0)
+    model = cal.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("yhat")
+    )
+    cal_p = cal.join(F.broadcast(model), "event_type").select(
+        F.col("value").alias("y"), "yhat"
+    )
+    test_p = test.join(F.broadcast(model), "event_type").select(
+        "event_id", "yhat"
+    )
+    return (
+        conformal_interval(cal_p, test_p, alpha=0.1)
+        .select("event_id", "yhat", "pi_lo", "pi_hi", "qhat")
+        .orderBy("event_id")
+        .limit(500)
+    )
+
+
+SQL_CONFORMAL = """
+WITH ev AS (SELECT event_id, event_type, value FROM events),
+cal AS (SELECT * FROM ev WHERE event_id % 5 <> 0),
+test AS (SELECT * FROM ev WHERE event_id % 5 = 0),
+model AS (SELECT event_type, round(avg(value), 6) AS yhat FROM cal GROUP BY event_type),
+resid AS (
+  SELECT abs(c.value - m.yhat) AS r
+  FROM cal c JOIN model m USING (event_type)
+),
+n AS (SELECT count(*) AS n_cal FROM resid),
+q AS (
+  SELECT max(r) AS qhat FROM (
+    SELECT r FROM resid ORDER BY r
+    LIMIT (SELECT CAST(ceil((n_cal + 1) * 0.9) AS BIGINT) FROM n)
+  )
+)
+SELECT t.event_id, m.yhat,
+       round(m.yhat - q.qhat, 6) AS pi_lo,
+       round(m.yhat + q.qhat, 6) AS pi_hi,
+       round(q.qhat, 6) AS qhat
+FROM test t JOIN model m USING (event_type) CROSS JOIN q
+ORDER BY event_id LIMIT 500
+"""
+
+
+def q_bootstrap_ci(spark, sf):
+    """Poisson-bootstrap mean CI per event type (operators/sampling.py::
+    poisson_bootstrap_ci, Chamandy 2012): 50 replicates, each row's
+    replicate weight the inverse Poisson(1) CDF of its md5(salt:b:id)
+    uniform — single-pass, map-side, no resampling shuffle (THE bootstrap
+    that works on 100 TB). CI = exact order statistics of the replicate
+    means; the oracle replays weights from the same hex thresholds."""
+    from stackstac_spark.operators.sampling import poisson_bootstrap_ci
+
+    ev = _events(spark, sf).select("event_id", "event_type", "value")
+    return poisson_bootstrap_ci(
+        ev, "value", id_col="event_id", n_boot=50, keys=["event_type"]
+    ).orderBy("event_type")
+
+
+SQL_BOOTSTRAP_CI = """
+WITH ev AS (SELECT event_id, event_type, value FROM events),
+reps AS (
+  SELECT e.event_type, b.b, e.value,
+         substring(md5('boot:' || CAST(b.b AS VARCHAR) || ':' || CAST(e.event_id AS VARCHAR)), 1, 8) AS h
+  FROM ev e CROSS JOIN (SELECT unnest(range(1, 51)) AS b) b
+),
+wtd AS (
+  SELECT event_type, b, value,
+         (CASE WHEN h >= '5e2d58d8' THEN 1 ELSE 0 END)
+       + (CASE WHEN h >= 'bc5ab1b1' THEN 1 ELSE 0 END)
+       + (CASE WHEN h >= 'eb715e1d' THEN 1 ELSE 0 END)
+       + (CASE WHEN h >= 'fb239797' THEN 1 ELSE 0 END)
+       + (CASE WHEN h >= 'ff1025f5' THEN 1 ELSE 0 END)
+       + (CASE WHEN h >= 'ffd90f3b' THEN 1 ELSE 0 END)
+       + (CASE WHEN h >= 'fffa8b71' THEN 1 ELSE 0 END)
+       + (CASE WHEN h >= 'ffff540c' THEN 1 ELSE 0 END)
+       + (CASE WHEN h >= 'ffffed1f' THEN 1 ELSE 0 END)
+       + (CASE WHEN h >= 'fffffe21' THEN 1 ELSE 0 END) AS w
+  FROM reps
+),
+rep_means AS (
+  SELECT event_type, b, sum(w * value) / sum(w) AS mean_b
+  FROM wtd GROUP BY event_type, b
+),
+sorted AS (
+  SELECT event_type, list_sort(list(mean_b)) AS ms
+  FROM rep_means GROUP BY event_type
+),
+point AS (SELECT event_type, avg(value) AS mean FROM ev GROUP BY event_type)
+SELECT p.event_type, round(p.mean, 6) AS mean,
+       round(s.ms[2], 6) AS ci_lo,
+       round(s.ms[49], 6) AS ci_hi,
+       50 AS n_boot
+FROM point p JOIN sorted s USING (event_type)
+ORDER BY event_type
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- Rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r08,
     # --- 50/50 green, all slots r7/r8-wave). Per the standing policy the
-    # --- r9 window repeats ZERO slots from the r8 window: slots 1-24 are
-    # --- the never-graded r9-wave gates (bitext_mine_ann ..
-    # --- stere_oblique), slots 25-48 the never-graded backlog
-    # --- (k_anonymity .. raster_resample_cubic), and slots 49-50 the two
-    # --- stalest greens (hash_sample / stratified_sample, last graded
-    # --- r5). Everything below the window stays hash-checked every CI
+    # --- r9 window repeats ZERO slots from the r8 window: slots 1-10 the
+    # --- never-graded r9 second wave (clustering_coeff .. bootstrap_ci),
+    # --- slots 11-34 the never-graded r9 first wave (bitext_mine_ann ..
+    # --- stere_oblique), slots 35-50 the head of the never-graded backlog
+    # --- (k_anonymity .. quality_calibration); the rest of the backlog
+    # --- plus the stalest r5 greens head the r10 window. Everything below the window stays hash-checked every CI
     # --- run by tests/test_past_window_mirror.py +
     # --- scripts/check_correctness.py. The rows-only stream_sessions /
     # --- bpe_merges / bpe_encode sit past the window (window slots stay
     # --- fully oracle-backed per the driver-contract test),
     # --- pytest-covered end-to-end.
+    "clustering_coeff": (q_clustering_coeff, _duck_clustering_coeff_sql()),
+    "neighbor_jaccard": (q_neighbor_jaccard, _duck_neighbor_jaccard_sql()),
+    "grid_dbscan": (q_grid_dbscan, SQL_GRID_DBSCAN),
+    "raster_tri": (q_raster_tri, SQL_RASTER_TRI),
+    "fellegi_sunter": (q_fellegi_sunter, SQL_FELLEGI_SUNTER),
+    "fs_score_pairs": (q_fs_score_pairs, SQL_FS_SCORE_PAIRS),
+    "token_fertility": (q_token_fertility, SQL_TOKEN_FERTILITY),
+    "boolean_retrieval": (q_boolean_retrieval, SQL_BOOLEAN_RETRIEVAL),
+    "conformal": (q_conformal, SQL_CONFORMAL),
+    "bootstrap_ci": (q_bootstrap_ci, SQL_BOOTSTRAP_CI),
     "bitext_mine_ann": (q_bitext_mine_ann, SQL_BITEXT_MINE_ANN),
     "ks_drift": (q_ks_drift, SQL_KS_DRIFT),
     "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),

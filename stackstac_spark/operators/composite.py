@@ -444,68 +444,78 @@ def terrain_ruggedness(
     :func:`focal_gradient`):
 
     - ``tri`` — Terrain Ruggedness Index, Riley et al. 1999 (gdaldem TRI
-      default): sqrt(Σ (center − neighbor)²) over the 8 neighbors,
-      computed via the algebraic identity Σ(c−n)² = Σn² − 2c·Σn + 8c²
-      so it rides the same single aggregate as everything else;
+      default): sqrt(Σ (center − neighbor)²) over the 8 neighbors;
     - ``tpi`` — Topographic Position Index: center − mean(8 neighbors);
     - ``roughness`` — max − min of the 9-cell window.
 
-    Same scatter shape as :func:`focal_mean`: each pixel contributes to
-    its 9 covering windows via one JVM generator explode (an is-center
-    flag rides along so the center value is recovered inside the
-    aggregate with ``max(CASE WHEN …)``), then ONE hash aggregate on the
-    target cell — shuffle volume is 9x the pixel count, the stencil's
-    data volume; one scan, zero joins, no halo exchange. Returns keys +
-    (row, col, tri, tpi, roughness).
+    Unlike the linear stencils (:func:`focal_mean` / :func:`focal_gradient`),
+    these need center−neighbor DIFFERENCES, so the scatter-aggregate trick
+    would have to recover Σ(c−n)² from Σn/Σn² — a catastrophic cancellation
+    for DEM-scale values (1e6² − 1e12-magnitude partial sums leave ~1e-2 of
+    noise, far above any sane rounding). Instead: gather formulation — the
+    pixel table exploded to its 8 neighbor coordinates (still map-side),
+    ONE equi-join back on the cell key to fetch neighbor values next to the
+    center value, then one aggregate of O(1)-magnitude difference terms.
+    Join volume is 8x the pixel count (the stencil's data volume), keyed by
+    (keys, row, col) — co-partitioned, AQE-replannable, no driver state.
+    Returns keys + (row, col, tri, tpi, roughness).
     """
     if keys is None:
         keys = [c for c in ("item_idx", "band_idx") if c in pixels.columns]
-    offs = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
-    masked = F.when(~F.isnan(F.col("value")), F.col("value"))
-    contrib = pixels.withColumn("__v", masked).filter(F.col("__v").isNotNull()).select(
+    px = (
+        pixels.withColumn(
+            "__v", F.when(~F.isnan(F.col("value")), F.col("value"))
+        )
+        .filter(F.col("__v").isNotNull())
+        .select(*keys, "row", "col", "__v")
+        .localCheckpoint()  # probed twice: centers and neighbor fetch
+    )
+    offs = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1) if not (dy == 0 and dx == 0)]
+    centers = px.select(
         *keys,
+        F.col("row").alias("__cr"),
+        F.col("col").alias("__cc"),
+        F.col("__v").alias("__c"),
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        (F.col("row") - dy).alias("r"),
-                        (F.col("col") - dx).alias("c"),
-                        F.lit(dy == 0 and dx == 0).alias("ctr"),
+                        (F.col("row") + dy).alias("r"), (F.col("col") + dx).alias("c")
                     )
                     for dy, dx in offs
                 ]
             )
         ).alias("t"),
-        F.col("__v"),
     ).select(
-        *keys,
-        F.col("t.r").alias("row"),
-        F.col("t.c").alias("col"),
-        F.col("t.ctr").alias("ctr"),
-        "__v",
+        *keys, "__cr", "__cc", "__c",
+        F.col("t.r").alias("row"), F.col("t.c").alias("col"),
     )
-    c = F.max(F.when(F.col("ctr"), F.col("__v")))
-    s1 = F.sum("__v")
-    s2 = F.sum(F.col("__v") * F.col("__v"))
-    # neighbors-only sums via the identity (center removed from the window)
-    sn1 = s1 - c
-    sn2 = s2 - c * c
-    tri = F.sqrt(F.greatest(sn2 - 2.0 * c * sn1 + 8.0 * c * c, F.lit(0.0)))
-    tpi = c - sn1 / 8.0
-    rough = F.max("__v") - F.min("__v")
+    joined = centers.join(px, [*keys, "row", "col"])
+    d = F.col("__c") - F.col("__v")
+    agg = joined.groupBy(*keys, "__cr", "__cc").agg(
+        F.sqrt(F.sum(d * d)).alias("__tri"),
+        (F.first("__c") - F.avg("__v")).alias("__tpi"),
+        (
+            F.greatest(F.max("__v"), F.first("__c"))
+            - F.least(F.min("__v"), F.first("__c"))
+        ).alias("__rough"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    tri_c, tpi_c, rough_c = F.col("__tri"), F.col("__tpi"), F.col("__rough")
     if round_to is not None:
-        tri, tpi, rough = (F.round(e, round_to) for e in (tri, tpi, rough))
-    return (
-        contrib.groupBy(*keys, "row", "col")
-        .agg(
-            tri.alias("tri"),
-            tpi.alias("tpi"),
-            rough.alias("roughness"),
-            F.count("__v").alias("__n"),
-            F.max(F.col("ctr").cast("int")).alias("__has_ctr"),
+        tri_c, tpi_c, rough_c = (
+            F.round(e, round_to) for e in (tri_c, tpi_c, rough_c)
         )
-        .filter((F.col("__n") == 9) & (F.col("__has_ctr") == 1))
-        .drop("__n", "__has_ctr")
+    return (
+        agg.filter(F.col("__n") == 8)
+        .select(
+            *keys,
+            F.col("__cr").alias("row"),
+            F.col("__cc").alias("col"),
+            tri_c.alias("tri"),
+            tpi_c.alias("tpi"),
+            rough_c.alias("roughness"),
+        )
     )
 
 
