@@ -12728,21 +12728,234 @@ ORDER BY event_type
 """
 
 
+def q_seasonal_decompose(spark, sf):
+    """Classical additive decomposition (operators/timeseries.py::
+    seasonal_decompose, Macaulay 1931 / statsmodels semantics): per-type
+    daily mean value series, dense time index by row_number, period-7
+    centered MA trend (full windows only), per-phase seasonal means
+    centered to ~0, residual = value − trend − seasonal. Key-partitioned
+    windows + one (key, phase) aggregate — nothing iterative."""
+    from pyspark.sql import Window as W
+
+    from stackstac_spark.operators.timeseries import seasonal_decompose
+
+    ev = _events(spark, sf)
+    daily = (
+        ev.groupBy(
+            "event_type", F.expr("ts_us div 86400000000").alias("day")
+        )
+        .agg(F.round(F.avg("value"), 6).alias("value"))
+    )
+    series = daily.withColumn(
+        "t",
+        F.row_number().over(W.partitionBy("event_type").orderBy("day")) - 1,
+    ).select("event_type", "t", "value")
+    return (
+        seasonal_decompose(series, period=7, keys=["event_type"])
+        .orderBy("event_type", "t")
+    )
+
+
+SQL_SEASONAL_DECOMPOSE = f"""
+WITH ev AS ({_DUCK_EV}),
+daily AS (
+  SELECT event_type, ts_us // 86400000000 AS day, round(avg(value), 6) AS value
+  FROM ev GROUP BY event_type, ts_us // 86400000000
+),
+series AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS t,
+         value
+  FROM daily
+),
+wtrend AS (
+  SELECT event_type, t, value,
+         CASE WHEN count(*) OVER w = 7
+              THEN sum(value) OVER w / 7.0 END AS trend
+  FROM series
+  WINDOW w AS (PARTITION BY event_type ORDER BY t ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+seas_raw AS (
+  SELECT event_type, t % 7 AS phase, avg(value - trend) AS s_raw
+  FROM wtrend WHERE trend IS NOT NULL
+  GROUP BY event_type, t % 7
+),
+seas_mean AS (
+  SELECT event_type, avg(s_raw) AS s_mean FROM seas_raw GROUP BY event_type
+),
+seas AS (
+  SELECT r.event_type, r.phase, r.s_raw - m.s_mean AS seasonal
+  FROM seas_raw r JOIN seas_mean m USING (event_type)
+)
+SELECT w.event_type, w.t, w.value,
+       round(w.trend, 6) AS trend,
+       round(s.seasonal, 6) AS seasonal,
+       round(w.value - w.trend - s.seasonal, 6) AS resid
+FROM wtrend w LEFT JOIN seas s ON s.event_type = w.event_type AND s.phase = w.t % 7
+ORDER BY w.event_type, w.t
+"""
+
+
+def q_modularity(spark, sf):
+    """Newman modularity (operators/graph.py::modularity) of the
+    connected-component partition of the LSH near-dup candidate graph:
+    per-component Q contribution e_c/m − (d_c/2m)² — "how much denser
+    than chance is each dup cluster". Scores a partition (star-CC
+    labels) with two label joins + one aggregate; nothing iterative.
+    The oracle resolves components with the recursive min-label CTE and
+    replays the algebra."""
+    from stackstac_spark.operators.graph import (
+        connected_components_star,
+        modularity,
+    )
+
+    cand = _lsh_candidates(spark, sf)
+    comp = connected_components_star(cand).withColumnRenamed(
+        "component", "community"
+    )
+    return (
+        modularity(cand, comp)
+        .orderBy("community")
+    )
+
+
+def _duck_modularity_sql() -> str:
+    return f"""
+WITH RECURSIVE shingles AS ({_DUCK_SHINGLES}),
+d AS (SELECT DISTINCT doc_id, sh FROM shingles),
+sig AS (SELECT doc_id, min(md5('0:' || sh)) AS h0, min(md5('1:' || sh)) AS h1,
+               min(md5('2:' || sh)) AS h2, min(md5('3:' || sh)) AS h3
+        FROM d GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, 0 AS band, h0 || h1 AS key FROM sig
+  UNION ALL SELECT doc_id, 1 AS band, h2 || h3 AS key FROM sig),
+kept AS (SELECT band, key FROM banded GROUP BY band, key HAVING count(*) <= 1000),
+bk AS (SELECT b.doc_id, b.band, b.key FROM banded b JOIN kept USING (band, key)),
+und AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+sym AS MATERIALIZED (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+nodes AS (SELECT DISTINCT a AS n FROM sym),
+reach(node, lbl) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node
+),
+comp AS (SELECT node, min(lbl) AS c FROM reach GROUP BY node),
+m AS (SELECT count(*) AS m FROM und),
+deg AS (SELECT a AS n, count(*) AS deg FROM sym GROUP BY a),
+d_tot AS (
+  SELECT cm.c, count(*) AS n_nodes, CAST(sum(g.deg) AS BIGINT) AS d_tot
+  FROM deg g JOIN comp cm ON cm.node = g.n GROUP BY cm.c),
+e_in AS (
+  SELECT ca.c, count(*) AS e_in
+  FROM und e JOIN comp ca ON ca.node = e.a JOIN comp cb ON cb.node = e.b
+  WHERE ca.c = cb.c GROUP BY ca.c)
+SELECT d.c AS community, d.n_nodes,
+       coalesce(e.e_in, 0) AS e_in, d.d_tot,
+       round(coalesce(e.e_in, 0) / CAST(m.m AS DOUBLE)
+             - (d.d_tot / (2.0 * m.m)) * (d.d_tot / (2.0 * m.m)), 6) AS q_c
+FROM d_tot d LEFT JOIN e_in e ON e.c = d.c CROSS JOIN m
+ORDER BY community
+"""
+
+
+def q_fleiss_kappa(spark, sf):
+    """Fleiss' kappa (operators/evalmetrics.py::fleiss_kappa) over a
+    deterministic 5-rater synthetic annotation of the documents table:
+    each rater votes the doc's language with probability ~1/2 (md5 coin)
+    and otherwise a hash-uniform category — so agreement is real but
+    imperfect, and κ lands strictly between 0 and 1. Two hash aggregates
+    + two scalar attaches; the oracle replays votes from the same md5."""
+    from stackstac_spark.operators.evalmetrics import fleiss_kappa
+
+    docs = _t(spark, sf, "documents").select("doc_id", "lang")
+    votes = docs.withColumn(
+        "rater", F.explode(F.sequence(F.lit(0), F.lit(4)))
+    ).select(
+        F.col("doc_id").alias("item_id"),
+        F.when(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit("rate"), F.col("rater"), F.col("doc_id"))),
+                1,
+                8,
+            )
+            < F.lit("80000000"),
+            F.col("lang"),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("c"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    ":", F.lit("cat"), F.col("rater"), F.col("doc_id")
+                                )
+                            ),
+                            1,
+                            4,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 4
+                ).cast("string"),
+            )
+        )
+        .alias("category"),
+    )
+    return fleiss_kappa(votes)
+
+
+SQL_FLEISS_KAPPA = """
+WITH votes AS (
+  SELECT d.doc_id AS item_id,
+         CASE WHEN substring(md5('rate:' || r.r || ':' || CAST(d.doc_id AS VARCHAR)), 1, 8) < '80000000'
+              THEN d.lang
+              ELSE 'c' || CAST(('0x' || substring(md5('cat:' || r.r || ':' || CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT % 4 AS VARCHAR)
+         END AS category
+  FROM documents d CROSS JOIN (SELECT unnest(range(0, 5)) AS r) r
+),
+counts AS (
+  SELECT item_id, category, count(*) AS n_ij FROM votes GROUP BY item_id, category
+),
+per_item AS (
+  SELECT item_id, sum(n_ij) AS n, sum(n_ij * n_ij) AS sq FROM counts GROUP BY item_id
+),
+pb AS (
+  SELECT count(*) AS n_items, avg((sq - 5) / 20.0) AS p_bar FROM per_item
+),
+cat AS (SELECT category, sum(n_ij) AS c FROM counts GROUP BY category),
+tot AS (SELECT sum(c) AS t FROM cat),
+pe AS (SELECT sum((c / CAST(t AS DOUBLE)) * (c / CAST(t AS DOUBLE))) AS p_e FROM cat CROSS JOIN tot)
+SELECT pb.n_items, 5 AS n_raters,
+       round(pb.p_bar, 6) AS p_bar,
+       round(pe.p_e, 6) AS p_e,
+       round((pb.p_bar - pe.p_e) / (1.0 - pe.p_e), 6) AS kappa
+FROM pb CROSS JOIN pe
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- Rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r08,
     # --- 50/50 green, all slots r7/r8-wave). Per the standing policy the
-    # --- r9 window repeats ZERO slots from the r8 window: slots 1-10 the
-    # --- never-graded r9 second wave (clustering_coeff .. bootstrap_ci),
-    # --- slots 11-34 the never-graded r9 first wave (bitext_mine_ann ..
-    # --- stere_oblique), slots 35-50 the head of the never-graded backlog
-    # --- (k_anonymity .. quality_calibration); the rest of the backlog
-    # --- plus the stalest r5 greens head the r10 window. Everything below the window stays hash-checked every CI
+    # --- r9 window repeats ZERO slots from the r8 window: slots 1-13 the
+    # --- never-graded r9 second wave (seasonal_decompose .. bootstrap_ci),
+    # --- slots 14-37 the never-graded r9 first wave (bitext_mine_ann ..
+    # --- stere_oblique), slots 38-50 the head of the never-graded backlog
+    # --- (k_anonymity .. cms_frequency); the rest of the backlog plus the
+    # --- stalest r5 greens head the r10 window. Everything below the window stays hash-checked every CI
     # --- run by tests/test_past_window_mirror.py +
     # --- scripts/check_correctness.py. The rows-only stream_sessions /
     # --- bpe_merges / bpe_encode sit past the window (window slots stay
     # --- fully oracle-backed per the driver-contract test),
     # --- pytest-covered end-to-end.
+    "seasonal_decompose": (q_seasonal_decompose, SQL_SEASONAL_DECOMPOSE),
+    "modularity": (q_modularity, _duck_modularity_sql()),
+    "fleiss_kappa": (q_fleiss_kappa, SQL_FLEISS_KAPPA),
     "clustering_coeff": (q_clustering_coeff, _duck_clustering_coeff_sql()),
     "neighbor_jaccard": (q_neighbor_jaccard, _duck_neighbor_jaccard_sql()),
     "grid_dbscan": (q_grid_dbscan, SQL_GRID_DBSCAN),

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["roc_auc", "ndcg_at_k", "wilson_rank"]
+__all__ = ["roc_auc", "ndcg_at_k", "wilson_rank" "fleiss_kappa",]
 
 
 def roc_auc(
@@ -176,3 +176,76 @@ def wilson_rank(
         F.round(p, round_to).alias("rate"),
         F.round(lb, round_to).alias("wilson_lb"),
     ).orderBy(F.desc("wilson_lb"), "group")
+
+
+def fleiss_kappa(
+    labels: DataFrame,
+    item_col: str = "item_id",
+    category_col: str = "category",
+    round_to: int = 6,
+) -> DataFrame:
+    """Fleiss' kappa (Fleiss 1971) — chance-corrected inter-annotator
+    agreement for n raters per item over k categories, THE quality gate
+    for crowdsourced / multi-model labeling pipelines before labels are
+    trusted for training:
+
+        κ = (P̄ − P̄_e) / (1 − P̄_e)
+
+    with P_i = (Σ_j n_ij² − n) / (n(n−1)) per item and P̄_e = Σ_j p_j²
+    over global category shares. Requires the same rater count n per
+    item (the classic formulation) — validated with one tiny aggregate.
+
+    Plan: one (item, category) count, one per-item agreement aggregate,
+    one global category-share aggregate, all hash aggregations — no
+    windows, no joins except two literal-key scalar attaches. Returns
+    one row: (n_items, n_raters, p_bar, p_e, kappa).
+    """
+    counts = labels.groupBy(item_col, category_col).agg(
+        F.count(F.lit(1)).alias("__n_ij")
+    )
+    per_item = counts.groupBy(item_col).agg(
+        F.sum("__n_ij").alias("__n"),
+        F.sum(F.col("__n_ij") * F.col("__n_ij")).alias("__sq"),
+    )
+    n_check = per_item.agg(
+        F.min("__n").alias("lo"), F.max("__n").alias("hi")
+    ).first()
+    if n_check["lo"] != n_check["hi"]:
+        raise ValueError(
+            f"fleiss_kappa needs a constant rater count per item, got "
+            f"[{n_check['lo']}, {n_check['hi']}]"
+        )
+    n = int(n_check["lo"])
+    if n < 2:
+        raise ValueError(f"need >= 2 raters per item, got {n}")
+    p_bar = per_item.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.avg(
+            (F.col("__sq") - n) / F.lit(float(n * (n - 1)))
+        ).alias("p_bar"),
+    )
+    cat = counts.groupBy(category_col).agg(F.sum("__n_ij").alias("__cat"))
+    tot = cat.agg(F.sum("__cat").alias("__tot")).withColumn("__k", F.lit(1))
+    p_e = (
+        cat.withColumn("__k", F.lit(1))
+        .join(F.broadcast(tot), "__k")
+        .agg(
+            F.sum(
+                (F.col("__cat") / F.col("__tot")) * (F.col("__cat") / F.col("__tot"))
+            ).alias("p_e")
+        )
+    )
+    a = p_bar.withColumn("__k", F.lit(1))
+    b = p_e.withColumn("__k", F.lit(1))
+    return (
+        a.join(F.broadcast(b), "__k")
+        .select(
+            "n_items",
+            F.lit(n).alias("n_raters"),
+            F.round("p_bar", round_to).alias("p_bar"),
+            F.round("p_e", round_to).alias("p_e"),
+            F.round(
+                (F.col("p_bar") - F.col("p_e")) / (1.0 - F.col("p_e")), round_to
+            ).alias("kappa"),
+        )
+    )

@@ -25,6 +25,7 @@ __all__ = [
     "neighbor_jaccard",
     "hits_scores",
     "bipartite_projection",
+    "modularity",
 ]
 
 
@@ -838,4 +839,81 @@ def bipartite_projection(
         pairs.groupBy("l_a", "l_b")
         .agg(F.count(F.lit(1)).cast("long").alias("weight"))
         .filter(F.col("weight") >= min_weight)
+    )
+
+
+def modularity(
+    pairs: DataFrame,
+    communities: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    node_col: str = "node",
+    community_col: str = "community",
+    round_to: int = 6,
+) -> DataFrame:
+    """Newman modularity of a given node partition over an undirected
+    edge list (Newman & Girvan 2004):
+
+        Q = Σ_c [ e_c/m − (d_c/(2m))² ]
+
+    where m = |edges|, e_c = edges with both endpoints in community c,
+    d_c = Σ degree over c's nodes. Returns one row per community
+    (community, n_nodes, e_in, d_tot, q_c) — total Q is ``sum(q_c)``;
+    per-community terms are the useful diagnostic (which clusters are
+    denser than chance).
+
+    Plan: dedup edges once, one degree aggregate, two broadcast-or-
+    shuffle joins of edges against the (node → community) map, one
+    grouped aggregate. Nothing iterative: this SCORES a partition (from
+    :func:`label_propagation`, :func:`connected_components_star`, or any
+    external assignment); it does not search for one.
+    """
+    und = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint()  # reused: m count, degree agg, two label joins
+    )
+    m = und.count()
+    if m == 0:
+        raise ValueError("modularity needs at least one edge")
+    lab = communities.select(
+        F.col(node_col).alias("__n"), F.col(community_col).alias("__c")
+    )
+    deg = (
+        und.select(F.col("a").alias("__n"))
+        .unionAll(und.select(F.col("b").alias("__n")))
+        .groupBy("__n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    d_tot = (
+        deg.join(lab, "__n")
+        .groupBy("__c")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("deg").alias("d_tot"),
+        )
+    )
+    e_in = (
+        und.join(lab.withColumnRenamed("__n", "a").withColumnRenamed("__c", "ca"), "a")
+        .join(lab.withColumnRenamed("__n", "b").withColumnRenamed("__c", "cb"), "b")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("__c"))
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    two_m = 2.0 * m
+    return (
+        d_tot.join(e_in, "__c", "left")
+        .select(
+            F.col("__c").alias(community_col),
+            "n_nodes",
+            F.coalesce(F.col("e_in"), F.lit(0)).alias("e_in"),
+            "d_tot",
+            F.round(
+                F.coalesce(F.col("e_in"), F.lit(0)) / F.lit(float(m))
+                - (F.col("d_tot") / two_m) * (F.col("d_tot") / two_m),
+                round_to,
+            ).alias("q_c"),
+        )
     )

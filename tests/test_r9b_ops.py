@@ -318,3 +318,85 @@ def test_boolean_retrieval_modes(spark):
         boolean_retrieval(docs, ["cat"], mode="xor")
     with pytest.raises(ValueError, match="non-empty"):
         boolean_retrieval(docs, [])
+
+
+def test_seasonal_decompose_matches_manual(spark):
+    vals = [10 + 3 * math.sin(2 * math.pi * t / 4) + 0.1 * t for t in range(20)]
+    sdf = spark.createDataFrame(
+        [("k", t, v) for t, v in enumerate(vals)], "k STRING, t INT, value DOUBLE"
+    )
+    from stackstac_spark.operators.timeseries import seasonal_decompose
+
+    out = {
+        r["t"]: (r["trend"], r["seasonal"], r["resid"])
+        for r in seasonal_decompose(sdf, 4, keys=["k"]).collect()
+    }
+    p, h = 4, 2
+    trend = {}
+    for t in range(h, 20 - h):
+        w = vals[t - h : t + h + 1]
+        trend[t] = (sum(w) - 0.5 * w[0] - 0.5 * w[-1]) / p
+    det = {t: vals[t] - trend[t] for t in trend}
+    ph = {}
+    for t, d in det.items():
+        ph.setdefault(t % p, []).append(d)
+    sraw = {k: sum(v) / len(v) for k, v in ph.items()}
+    smean = sum(sraw.values()) / len(sraw)
+    for t in range(20):
+        g = out[t]
+        assert g[1] == round(sraw[t % p] - smean, 6)
+        if t in trend:
+            assert abs(g[0] - trend[t]) < 1e-6
+            assert abs(g[2] - (vals[t] - trend[t] - (sraw[t % p] - smean))) < 1e-6
+        else:
+            assert g[0] is None and g[2] is None
+    # seasonal component ~0 over one period
+    assert abs(sum(out[t][1] for t in range(4))) < 1e-4
+    with pytest.raises(ValueError, match="period"):
+        seasonal_decompose(sdf, 1, keys=["k"])
+
+
+def test_modularity_matches_brute(spark):
+    from collections import Counter
+
+    from stackstac_spark.operators.graph import modularity
+
+    edges, adj = _random_graph(4, n=40, m=120)
+    comm = {n: n % 5 for n in range(40)}
+    edf = spark.createDataFrame(sorted(edges), "id_a BIGINT, id_b BIGINT")
+    cdf = spark.createDataFrame(sorted(comm.items()), "node BIGINT, community BIGINT")
+    got = {
+        r["community"]: (r["n_nodes"], r["e_in"], r["d_tot"], r["q_c"])
+        for r in modularity(edf, cdf).collect()
+    }
+    m = len(edges)
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    for c in set(comm.values()):
+        nodes = [n for n in comm if comm[n] == c and deg[n] > 0]
+        e_in = sum(1 for a, b in edges if comm[a] == c and comm[b] == c)
+        d = sum(deg[n] for n in nodes)
+        assert got[c] == (len(nodes), e_in, d, round(e_in / m - (d / (2 * m)) ** 2, 6))
+    # perfect partition (each component its own community) has max Q for
+    # this edge set: compare against the 1-community degenerate case Q=0
+    one = spark.createDataFrame([(n, 0) for n in range(40)], "node BIGINT, community BIGINT")
+    total_one = sum(r["q_c"] for r in modularity(edf, one).collect())
+    assert abs(total_one) < 1e-9
+
+
+def test_fleiss_kappa_known_values(spark):
+    from stackstac_spark.operators.evalmetrics import fleiss_kappa
+
+    # perfect agreement -> kappa 1
+    rows = [(i, c) for i in range(10) for c in ["x" if i % 2 else "y"] * 3]
+    df = spark.createDataFrame(rows, "item_id INT, category STRING")
+    got = fleiss_kappa(df).collect()[0]
+    assert got["kappa"] == 1.0 and got["n_raters"] == 3
+    # unequal rater counts rejected
+    bad = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "x")], "item_id INT, category STRING"
+    )
+    with pytest.raises(ValueError, match="constant rater count"):
+        fleiss_kappa(bad)
