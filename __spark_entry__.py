@@ -12938,21 +12938,258 @@ FROM pb CROSS JOIN pe
 """
 
 
+def q_fk_audit(spark, sf):
+    """Referential-integrity audit — the orphan sweep a warehouse runs
+    before trusting a feed: for each declared FK edge, child rows whose
+    key has no parent. Each edge is ONE left join (parent side distinct,
+    broadcastable when small) + ONE aggregate counting null parents, the
+    six 1-row results unioned — a single declarative plan, no driver
+    loops, no correlated subqueries. Output: (fk, n_child, n_orphans,
+    ok)."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    part = _t(spark, sf, "part")
+    supp = _t(spark, sf, "supplier")
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    ev = _t(spark, sf, "events")
+
+    def edge(name, child, key, parent, pkey):
+        p = parent.select(F.col(pkey).alias("__p")).distinct()
+        return (
+            child.select(F.col(key).alias("__k"))
+            .join(p, F.col("__k") == F.col("__p"), "left")
+            .agg(
+                F.lit(name).alias("fk"),
+                F.count(F.lit(1)).alias("n_child"),
+                F.sum(F.when(F.col("__p").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_orphans"),
+            )
+            .withColumn("ok", F.col("n_orphans") == 0)
+        )
+
+    edges = [
+        edge("customer.c_nationkey->nation", cust, "c_nationkey", nation, "n_nationkey"),
+        edge("events.user_id->customer", ev, "user_id", cust, "c_custkey"),
+        edge("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
+        edge("lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey"),
+        edge("lineitem.l_suppkey->supplier", li, "l_suppkey", supp, "s_suppkey"),
+        edge("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out.orderBy("fk")
+
+
+SQL_FK_AUDIT = """
+WITH checks AS (
+  SELECT 'lineitem.l_orderkey->orders' AS fk,
+         (SELECT count(*) FROM lineitem) AS n_child,
+         (SELECT count(*) FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+            ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) AS n_orphans
+  UNION ALL
+  SELECT 'lineitem.l_partkey->part',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+            ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL)
+  UNION ALL
+  SELECT 'lineitem.l_suppkey->supplier',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem l LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s
+            ON l.l_suppkey = s.s_suppkey WHERE s.s_suppkey IS NULL)
+  UNION ALL
+  SELECT 'orders.o_custkey->customer',
+         (SELECT count(*) FROM orders),
+         (SELECT count(*) FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+            ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+  UNION ALL
+  SELECT 'customer.c_nationkey->nation',
+         (SELECT count(*) FROM customer),
+         (SELECT count(*) FROM customer cu LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+            ON cu.c_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL)
+  UNION ALL
+  SELECT 'events.user_id->customer',
+         (SELECT count(*) FROM events),
+         (SELECT count(*) FROM events e LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+            ON e.user_id = c.c_custkey WHERE c.c_custkey IS NULL)
+)
+SELECT fk, n_child, n_orphans, n_orphans = 0 AS ok FROM checks ORDER BY fk
+"""
+
+
+def q_dq_expectations(spark, sf):
+    """Expectation-suite data-quality checks (the great-expectations
+    shape, relationally): every expectation is ONE aggregate expression
+    over its table scan — range bounds, accepted value sets, regex
+    format, key uniqueness, cross-column ordering — so a 100 TB feed
+    pays one pass per table; the three 1-row aggregates meet on a
+    literal key and a stack-unpivot emits the (check, n_rows,
+    n_violations, pass) report. One declarative plan, no driver loops."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+
+    li1 = li.agg(
+        F.count(F.lit(1)).alias("li_n"),
+        F.sum(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1).otherwise(0)
+        ).cast("long").alias("v_qty_range"),
+        F.sum(
+            F.when(~F.col("l_returnflag").isin("A", "N", "R"), 1).otherwise(0)
+        ).cast("long").alias("v_returnflag_set"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1).otherwise(0)
+        ).cast("long").alias("v_discount_range"),
+        F.sum(
+            F.when(F.col("l_extendedprice") <= 0, 1).otherwise(0)
+        ).cast("long").alias("v_price_positive"),
+    ).withColumn("__k", F.lit(1))
+    o1 = orders.agg(
+        F.count(F.lit(1)).alias("o_n"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("v_orderkey_unique"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0)
+        ).cast("long").alias("v_status_set"),
+    ).withColumn("__k", F.lit(1))
+    c1 = cust.agg(
+        F.count(F.lit(1)).alias("c_n"),
+        F.sum(
+            F.when(~F.col("c_name").rlike("^Customer#[0-9]+$"), 1).otherwise(0)
+        ).cast("long").alias("v_name_format"),
+        F.sum(F.when(F.col("c_name").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("v_name_nonnull"),
+    ).withColumn("__k", F.lit(1))
+    joined = li1.join(F.broadcast(o1), "__k").join(F.broadcast(c1), "__k")
+    stacked = joined.select(
+        F.expr(
+            "stack(8, "
+            "'lineitem.qty_range', li_n, v_qty_range, "
+            "'lineitem.returnflag_set', li_n, v_returnflag_set, "
+            "'lineitem.discount_range', li_n, v_discount_range, "
+            "'lineitem.price_positive', li_n, v_price_positive, "
+            "'orders.orderkey_unique', o_n, v_orderkey_unique, "
+            "'orders.status_set', o_n, v_status_set, "
+            "'customer.name_format', c_n, v_name_format, "
+            "'customer.name_nonnull', c_n, v_name_nonnull"
+            ") AS (check, n_rows, n_violations)"
+        )
+    )
+    return stacked.withColumn("pass", F.col("n_violations") == 0).orderBy("check")
+
+
+SQL_DQ_EXPECTATIONS = """
+WITH li AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS v_qty_range,
+         sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS v_returnflag_set,
+         sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS v_discount_range,
+         sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS v_price_positive
+  FROM lineitem
+),
+o AS (
+  SELECT count(*) AS n,
+         count(*) - count(DISTINCT o_orderkey) AS v_orderkey_unique,
+         sum(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS v_status_set
+  FROM orders
+),
+c AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN NOT regexp_matches(c_name, '^Customer#[0-9]+$') THEN 1 ELSE 0 END) AS v_name_format,
+         sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS v_name_nonnull
+  FROM customer
+),
+checks AS (
+  SELECT 'lineitem.qty_range' AS "check", n, CAST(v_qty_range AS BIGINT) AS v FROM li
+  UNION ALL SELECT 'lineitem.returnflag_set', n, CAST(v_returnflag_set AS BIGINT) FROM li
+  UNION ALL SELECT 'lineitem.discount_range', n, CAST(v_discount_range AS BIGINT) FROM li
+  UNION ALL SELECT 'lineitem.price_positive', n, CAST(v_price_positive AS BIGINT) FROM li
+  UNION ALL SELECT 'orders.orderkey_unique', n, CAST(v_orderkey_unique AS BIGINT) FROM o
+  UNION ALL SELECT 'orders.status_set', n, CAST(v_status_set AS BIGINT) FROM o
+  UNION ALL SELECT 'customer.name_format', n, CAST(v_name_format AS BIGINT) FROM c
+  UNION ALL SELECT 'customer.name_nonnull', n, CAST(v_name_nonnull AS BIGINT) FROM c
+)
+SELECT "check", n AS n_rows, v AS n_violations, v = 0 AS pass
+FROM checks ORDER BY "check"
+"""
+
+
+def q_entity_resolution(spark, sf):
+    """End-to-end entity resolution: the linkage family composed — parts
+    blocked on (brand, first word), Jaro-Winkler ≥ 0.9 match pairs
+    (JVM length/Levenshtein prefilter before the Arrow-batched scorer),
+    transitive closure via star-CC, entity id = min member key. Output:
+    one row per matched part (part_id, entity_id) + entity size — the
+    dedup-to-golden-record step every MDM/curation pipeline ends with.
+    Oracle: DuckDB jaro_winkler_similarity pairs + recursive min-label
+    CTE."""
+    from pyspark.sql import Window as W
+
+    from stackstac_spark.operators.graph import connected_components_star
+    from stackstac_spark.operators.linkage import jaro_winkler_pairs
+
+    part = _t(spark, sf, "part").withColumn(
+        "w0", F.split(F.col("p_name"), " ").getItem(0)
+    )
+    pairs = jaro_winkler_pairs(
+        part, "p_name", ["p_brand", "w0"], "p_partkey", threshold=0.9
+    ).select("id_a", "id_b")
+    comp = connected_components_star(pairs).select(
+        F.col("node").alias("part_id"), F.col("component").alias("entity_id")
+    )
+    sizes = comp.groupBy("entity_id").agg(F.count(F.lit(1)).alias("entity_size"))
+    return (
+        comp.join(sizes, "entity_id")
+        .select("part_id", "entity_id", "entity_size")
+        .orderBy("part_id")
+    )
+
+
+SQL_ENTITY_RESOLUTION = """
+WITH RECURSIVE p AS (
+  SELECT p_partkey AS id, p_brand, split_part(p_name, ' ', 1) AS w0, p_name
+  FROM part
+),
+und AS MATERIALIZED (
+  SELECT a.id AS a, b.id AS b
+  FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.w0 = b.w0 AND a.id < b.id
+  WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.9
+),
+sym AS MATERIALIZED (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+nodes AS (SELECT DISTINCT a AS n FROM sym),
+reach(node, lbl) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node
+),
+comp AS (SELECT node AS part_id, min(lbl) AS entity_id FROM reach GROUP BY node),
+sizes AS (SELECT entity_id, count(*) AS entity_size FROM comp GROUP BY entity_id)
+SELECT c.part_id, c.entity_id, s.entity_size
+FROM comp c JOIN sizes s USING (entity_id)
+ORDER BY part_id
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- Rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r08,
     # --- 50/50 green, all slots r7/r8-wave). Per the standing policy the
-    # --- r9 window repeats ZERO slots from the r8 window: slots 1-13 the
-    # --- never-graded r9 second wave (seasonal_decompose .. bootstrap_ci),
-    # --- slots 14-37 the never-graded r9 first wave (bitext_mine_ann ..
-    # --- stere_oblique), slots 38-50 the head of the never-graded backlog
-    # --- (k_anonymity .. cms_frequency); the rest of the backlog plus the
-    # --- stalest r5 greens head the r10 window. Everything below the window stays hash-checked every CI
+    # --- r9 window repeats ZERO slots from the r8 window: slots 1-16 the
+    # --- never-graded r9 second wave (fk_audit .. bootstrap_ci), slots
+    # --- 17-40 the never-graded r9 first wave (bitext_mine_ann ..
+    # --- stere_oblique), slots 41-50 the head of the never-graded backlog
+    # --- (k_anonymity .. rendezvous_shards); the rest of the backlog plus
+    # --- the stalest r5 greens head the r10 window. Everything below the window stays hash-checked every CI
     # --- run by tests/test_past_window_mirror.py +
     # --- scripts/check_correctness.py. The rows-only stream_sessions /
     # --- bpe_merges / bpe_encode sit past the window (window slots stay
     # --- fully oracle-backed per the driver-contract test),
     # --- pytest-covered end-to-end.
+    "fk_audit": (q_fk_audit, SQL_FK_AUDIT),
+    "dq_expectations": (q_dq_expectations, SQL_DQ_EXPECTATIONS),
+    "entity_resolution": (q_entity_resolution, SQL_ENTITY_RESOLUTION),
     "seasonal_decompose": (q_seasonal_decompose, SQL_SEASONAL_DECOMPOSE),
     "modularity": (q_modularity, _duck_modularity_sql()),
     "fleiss_kappa": (q_fleiss_kappa, SQL_FLEISS_KAPPA),
