@@ -867,6 +867,11 @@ def modularity(
     grouped aggregate. Nothing iterative: this SCORES a partition (from
     :func:`label_propagation`, :func:`connected_components_star`, or any
     external assignment); it does not search for one.
+
+    The community map must cover every node that appears in ``pairs``:
+    unlabeled nodes drop out of the inner joins, silently shrinking
+    d_tot/e_in for their communities — pass a complete assignment (CC
+    and label propagation emit one by construction).
     """
     und = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))

@@ -136,6 +136,10 @@ def fellegi_sunter_train(
 
         w_agree = log2(m/u)         w_disagree = log2((1−m)/(1−u))
 
+    NULL agreement values (comparisons over missing fields) count as
+    disagreement on both sides — the conservative FS convention; encode
+    "missing" as its own boolean upstream if you need a third state.
+
     Returns one row per field: (field, m, u, w_agree, w_disagree). Plan:
     the pairs unpivot to (field, agree, label) via ``stack`` (map-only)
     and ONE grouped aggregate computes both conditional means — no

@@ -422,9 +422,15 @@ def poisson_bootstrap_ci(
     to disagree on.
 
     Plan: one explode to B weight rows per input row (map-only), one
-    grouped aggregate to replicate means, one tiny window over B rows per
-    group for the order statistics. Returns keys + (mean, ci_lo, ci_hi,
-    n_boot).
+    grouped aggregate to replicate means, one bounded sorted array
+    (exactly B values per group) for the order statistics. Returns keys +
+    (mean, ci_lo, ci_hi, n_boot).
+
+    Tiny-group caveat: a group so small that a replicate draws ALL-zero
+    weights (P ≈ 0.37^n_rows) yields a null replicate mean; collect_list
+    drops it and the affected bound surfaces as NULL rather than a
+    silently-shifted rank — bootstrap CIs on 1-2-row groups are
+    statistically meaningless anyway.
     """
     if not 0.0 < level < 1.0:
         raise ValueError(f"level must be in (0,1), got {level}")
