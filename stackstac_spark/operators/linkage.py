@@ -254,9 +254,19 @@ def edit_distance_pairs(
     if prefix_len is not None:
         work = df.withColumn(string_col, F.substring(F.col(string_col), 1, prefix_len))
     pairs = blocked_pairs(work, block_cols, id_col, [string_col])
-    return pairs.withColumn(
-        "distance", F.levenshtein(F.col(f"{string_col}_a"), F.col(f"{string_col}_b"))
+    sa, sb = f"{string_col}_a", f"{string_col}_b"
+    # score each DISTINCT string pair once, then re-expand by equi-join:
+    # linkage corpora are duplicate-heavy by nature (that is why they are
+    # being linked), and duplicated records multiply the raw pair stream
+    # quadratically while adding zero new string pairs — the r9 sf1 probe
+    # measured 85x cold growth for 10x data before this, ~linear after.
+    # Results are IDENTICAL: the join re-attaches the score to every id
+    # pair, and non-qualifying string pairs drop in the inner join.
+    uniq = pairs.select(sa, sb).distinct()
+    scored = uniq.withColumn(
+        "distance", F.levenshtein(F.col(sa), F.col(sb))
     ).filter(F.col("distance") <= max_distance)
+    return pairs.join(scored, [sa, sb])
 
 
 def _jaro(a: str, b: str) -> float:
@@ -570,7 +580,20 @@ def jaro_winkler_pairs(
     pairs = blocked_pairs(
         work, block_cols, id_col, [string_col, "__jwcnt", "__jwks", "__jwlen"]
     )
-    ca, cb = F.col(f"{string_col}_a"), F.col(f"{string_col}_b")
+    sa_n, sb_n = f"{string_col}_a", f"{string_col}_b"
+    ca, cb = F.col(sa_n), F.col(sb_n)
+    # tiers 2-3 run once per DISTINCT string pair, then the verdicts
+    # re-expand to id pairs by equi-join: duplicated records (the norm in
+    # linkage corpora) multiply the raw pair stream quadratically while
+    # adding zero new string pairs, so without this the Python scorer's
+    # input — the dominant cost — grows with duplication² (the r9 sf1
+    # probe: 39x cold growth for 10x data before, ~linear after).
+    # Identical results: the inner join drops non-qualifying pairs.
+    uniq = pairs.select(
+        sa_n, sb_n,
+        "__jwcnt_a", "__jwcnt_b", "__jwks_a", "__jwks_b",
+        "__jwlen_a", "__jwlen_b",
+    ).dropDuplicates([sa_n, sb_n])
     bound = _jw_bound_from_counts(
         F.col("__jwlen_a"),
         F.col("__jwlen_b"),
@@ -581,12 +604,15 @@ def jaro_winkler_pairs(
         ca,
         cb,
     )
-    pairs = pairs.filter(bound >= F.lit(threshold - 10.0**-round_to))
-    return (
-        pairs.withColumn("jw", F.round(_jw_udf(ca, cb), round_to))
+    scored = (
+        uniq.filter(bound >= F.lit(threshold - 10.0**-round_to))
+        .withColumn("jw", F.round(_jw_udf(ca, cb), round_to))
         .filter(F.col("jw") >= threshold)
-        .drop("__jwcnt_a", "__jwcnt_b", "__jwks_a", "__jwks_b",
-              "__jwlen_a", "__jwlen_b")
+        .select(sa_n, sb_n, "jw")
+    )
+    return pairs.join(scored, [sa_n, sb_n]).drop(
+        "__jwcnt_a", "__jwcnt_b", "__jwks_a", "__jwks_b",
+        "__jwlen_a", "__jwlen_b",
     )
 
 
