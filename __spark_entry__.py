@@ -13187,21 +13187,170 @@ ORDER BY part_id
 """
 
 
+def q_copurchase_recs(spark, sf):
+    """Item-to-item co-purchase recommendations (operators/graph.py::
+    cooccurrence_recs — the Amazon item-based CF candidate generator):
+    parts bought together in the same order, cosine-normalized by item
+    frequency, top-3 per item. The co-count graph is the bipartite
+    projection (basket-keyed self-join, hub guard); never an item×item
+    matrix. Oracle replays projection + frequencies + rank window."""
+    from stackstac_spark.operators.graph import cooccurrence_recs
+
+    li = _t(spark, sf, "lineitem")
+    return (
+        cooccurrence_recs(
+            li, basket_col="l_orderkey", item_col="l_partkey", k=3
+        )
+        .orderBy("l_partkey", "rank")
+    )
+
+
+SQL_COPURCHASE_RECS = """
+WITH inc AS (SELECT DISTINCT l_partkey AS item, l_orderkey AS b FROM lineitem),
+freq AS (SELECT item, count(*) AS freq FROM inc GROUP BY item),
+pairs AS (
+  SELECT a.item AS l_a, b.item AS l_b, count(*) AS weight
+  FROM inc a JOIN inc b ON a.b = b.b AND a.item < b.item
+  GROUP BY a.item, b.item
+),
+sym AS (
+  SELECT l_a AS item, l_b AS rec, weight FROM pairs
+  UNION ALL SELECT l_b AS item, l_a AS rec, weight FROM pairs
+),
+scored AS (
+  SELECT s.item, s.rec, s.weight,
+         round(s.weight / sqrt(fi.freq * CAST(fr.freq AS DOUBLE)), 6) AS score
+  FROM sym s JOIN freq fi ON fi.item = s.item JOIN freq fr ON fr.item = s.rec
+),
+ranked AS (
+  SELECT item, rec, weight, score,
+         row_number() OVER (PARTITION BY item ORDER BY score DESC, weight DESC, rec) AS rank
+  FROM scored
+)
+SELECT item AS l_partkey, rec AS rec_l_partkey, weight, score, rank
+FROM ranked WHERE rank <= 3
+ORDER BY l_partkey, rank
+"""
+
+
+def q_target_encode(spark, sf):
+    """Out-of-fold target encoding (operators/mlfit.py::target_encode,
+    Micci-Barreca 2001): per-customer smoothed mean order value computed
+    WITHOUT the row's own fold (fold = o_orderkey % 5), smoothing 20
+    toward the out-of-fold global prior — the leakage-free
+    high-cardinality categorical feature. One (cat, fold) aggregate +
+    broadcast joins; the fact table never shuffles."""
+    from stackstac_spark.operators.mlfit import target_encode
+
+    # integer-cents target: double sums are partial-aggregation-order
+    # dependent, and a 6dp rounding boundary flipped once between runs;
+    # exact integer sums make the encoding a deterministic rational
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+        (F.col("o_orderkey") % 5).alias("fold"),
+    )
+    return (
+        target_encode(orders, "o_custkey", "y", "fold", smoothing=20.0)
+        .select("o_orderkey", "o_custkey", "fold", "target_enc")
+        .orderBy("o_orderkey")
+    )
+
+
+SQL_TARGET_ENCODE = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS y,
+         o_orderkey % 5 AS fold
+  FROM orders
+),
+cf AS (
+  SELECT o_custkey, fold, CAST(sum(y) AS BIGINT) AS s, count(y) AS n
+  FROM o GROUP BY o_custkey, fold
+),
+cat AS (SELECT o_custkey, CAST(sum(s) AS BIGINT) AS s_cat, CAST(sum(n) AS BIGINT) AS n_cat FROM cf GROUP BY o_custkey),
+fold AS (SELECT fold, CAST(sum(s) AS BIGINT) AS s_f, CAST(sum(n) AS BIGINT) AS n_f FROM cf GROUP BY fold),
+tot AS (SELECT CAST(sum(s) AS BIGINT) AS s_all, CAST(sum(n) AS BIGINT) AS n_all FROM cf),
+prior AS (
+  SELECT f.fold, (t.s_all - f.s_f) / (t.n_all - f.n_f) AS p
+  FROM fold f CROSS JOIN tot t
+),
+enc AS (
+  SELECT cf.o_custkey, cf.fold,
+         round((c.s_cat - cf.s + 20.0 * p.p) / (c.n_cat - cf.n + 20.0), 6) AS target_enc
+  FROM cf JOIN cat c USING (o_custkey) JOIN prior p USING (fold)
+)
+SELECT o.o_orderkey, o.o_custkey, o.fold, e.target_enc
+FROM o LEFT JOIN enc e ON e.o_custkey = o.o_custkey AND e.fold = o.fold
+ORDER BY o_orderkey
+"""
+
+
+def q_negative_samples(spark, sf):
+    """Deterministic negative sampling (operators/sampling.py::
+    negative_samples — the BPR/word2vec implicit-feedback recipe): for a
+    1-in-20 customer slice, each (customer, purchased part) positive
+    draws 2 md5-uniform candidate parts from [1, 2000]; candidates the
+    customer actually bought are DROPPED by one anti-join (never
+    resampled — loops don't relationalize). Pure function of
+    (salt, user, item, j): the training set is a reproducible artifact."""
+    from stackstac_spark.operators.sampling import negative_samples
+
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    pos = (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                li["l_orderkey"] == orders["o_orderkey"])
+        .filter(F.col("o_custkey") % 20 == 0)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("item_id"),
+        )
+    )
+    return (
+        negative_samples(pos, n_items=2000, k=2)
+        .orderBy("user_id", "pos_item", "j")
+    )
+
+
+SQL_NEGATIVE_SAMPLES = """
+WITH pos AS (
+  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS pos_item
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_custkey % 20 = 0
+),
+cand AS (
+  SELECT u, pos_item, j.j,
+         ('0x' || substring(md5('neg:' || CAST(u AS VARCHAR) || ':'
+            || CAST(pos_item AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)), 1, 15))::BIGINT
+           % 2000 + 1 AS neg_item
+  FROM pos CROSS JOIN (SELECT unnest(range(1, 3)) AS j) j
+)
+SELECT c.u AS user_id, c.pos_item AS pos_item, c.j, c.neg_item
+FROM cand c LEFT JOIN pos p ON p.u = c.u AND p.pos_item = c.neg_item
+WHERE p.u IS NULL
+ORDER BY c.u, c.pos_item, c.j
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- Rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r08,
     # --- 50/50 green, all slots r7/r8-wave). Per the standing policy the
-    # --- r9 window repeats ZERO slots from the r8 window: slots 1-16 the
-    # --- never-graded r9 second wave (fk_audit .. bootstrap_ci), slots
-    # --- 17-40 the never-graded r9 first wave (bitext_mine_ann ..
-    # --- stere_oblique), slots 41-50 the head of the never-graded backlog
-    # --- (k_anonymity .. rendezvous_shards); the rest of the backlog plus
-    # --- the stalest r5 greens head the r10 window. Everything below the window stays hash-checked every CI
+    # --- r9 window repeats ZERO slots from the r8 window: slots 1-19 the
+    # --- never-graded r9 second wave (copurchase_recs .. bootstrap_ci),
+    # --- slots 20-43 the never-graded r9 first wave (bitext_mine_ann ..
+    # --- stere_oblique), slots 44-50 the head of the never-graded backlog
+    # --- (k_anonymity .. attribution); the rest of the backlog plus the
+    # --- stalest r5 greens head the r10 window. Everything below the window stays hash-checked every CI
     # --- run by tests/test_past_window_mirror.py +
     # --- scripts/check_correctness.py. The rows-only stream_sessions /
     # --- bpe_merges / bpe_encode sit past the window (window slots stay
     # --- fully oracle-backed per the driver-contract test),
     # --- pytest-covered end-to-end.
+    "copurchase_recs": (q_copurchase_recs, SQL_COPURCHASE_RECS),
+    "target_encode": (q_target_encode, SQL_TARGET_ENCODE),
+    "negative_samples": (q_negative_samples, SQL_NEGATIVE_SAMPLES),
     "fk_audit": (q_fk_audit, SQL_FK_AUDIT),
     "dq_expectations": (q_dq_expectations, SQL_DQ_EXPECTATIONS),
     "entity_resolution": (q_entity_resolution, SQL_ENTITY_RESOLUTION),

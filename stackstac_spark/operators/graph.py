@@ -11,7 +11,7 @@ Spark executes well when iteration counts are small and fixed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -26,6 +26,7 @@ __all__ = [
     "hits_scores",
     "bipartite_projection",
     "modularity",
+    "cooccurrence_recs",
 ]
 
 
@@ -920,5 +921,77 @@ def modularity(
                 - (F.col("d_tot") / two_m) * (F.col("d_tot") / two_m),
                 round_to,
             ).alias("q_c"),
+        )
+    )
+
+
+def cooccurrence_recs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    k: int = 5,
+    max_basket_size: int = 10_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Item-to-item co-occurrence recommendations (the Amazon
+    item-based CF shape, Linden 2003; the covisitation-matrix candidate
+    generator of modern recsys): for every item, the top-``k`` other
+    items by cosine-normalized basket co-occurrence
+
+        score(a, b) = #baskets{a, b} / sqrt(#baskets{a} · #baskets{b})
+
+    (ties → higher raw co-count, then smaller item id).
+
+    Plan: the co-count graph IS :func:`bipartite_projection` of the
+    (basket, item) incidence — basket-keyed self-join bounded by
+    ``max_basket_size`` (the Σ deg² guard); item frequencies are one
+    aggregate broadcast onto the pair stream twice; top-k per item is a
+    rank window over the symmetrized pairs (co-occurrence is symmetric,
+    so each undirected pair fans into both directions). Never an
+    item×item matrix.
+    """
+    pairs = bipartite_projection(
+        df, left_col=item_col, right_col=basket_col,
+        max_right_degree=max_basket_size,
+    )
+    freq = (
+        df.select(F.col(item_col).alias("item"), F.col(basket_col).alias("b"))
+        .distinct()
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    sym = pairs.select(
+        F.col("l_a").alias("item"), F.col("l_b").alias("rec"), "weight"
+    ).unionByName(
+        pairs.select(
+            F.col("l_b").alias("item"), F.col("l_a").alias("rec"), "weight"
+        )
+    )
+    scored = (
+        sym.join(freq.withColumnRenamed("item", "item").withColumnRenamed("freq", "f_i"), "item")
+        .join(
+            freq.select(F.col("item").alias("rec"), F.col("freq").alias("f_r")),
+            "rec",
+        )
+        .withColumn(
+            "score",
+            F.round(
+                F.col("weight") / F.sqrt(F.col("f_i").cast("double") * F.col("f_r")),
+                round_to,
+            ),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.desc("score"), F.desc("weight"), F.asc("rec")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("item").alias(item_col),
+            F.col("rec").alias(f"rec_{item_col}"),
+            "weight",
+            "score",
+            "rank",
         )
     )

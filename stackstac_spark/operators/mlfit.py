@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["logistic_fit", "naive_bayes_classify", "cusum_changepoints", "conformal_interval"]
+__all__ = ["logistic_fit", "naive_bayes_classify", "cusum_changepoints", "conformal_interval", "target_encode"]
 
 
 def logistic_fit(
@@ -366,3 +366,76 @@ def conformal_interval(
         .withColumn("qhat", F.round("__qhat", round_to))
         .drop("__qhat")
     )
+
+
+def target_encode(
+    df: DataFrame,
+    category_col: str,
+    target_col: str,
+    fold_col: str,
+    smoothing: float = 20.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Leakage-free (out-of-fold) target encoding — the standard
+    high-cardinality categorical feature for tabular models (Micci-
+    Barreca 2001): each row's encoding is the SMOOTHED target mean of its
+    category computed WITHOUT the row's own fold,
+
+        enc = (s_cat − s_fold + m·prior) / (n_cat − n_fold + m)
+
+    where prior is the global out-of-fold target mean and ``m`` the
+    smoothing pseudo-count (categories unseen outside the fold collapse
+    to the prior rather than NaN).
+
+    Plan: one (category, fold) aggregate (the only pass over the data),
+    one category rollup and one fold rollup derived FROM it (tiny), and
+    two broadcast joins back onto the row stream — the encoding never
+    shuffles the fact table. At 100 TB this is the textbook
+    pre-aggregate-then-broadcast shape; nothing is per-row except the
+    final map-side expression.
+    """
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be positive, got {smoothing}")
+    cf = (
+        df.groupBy(category_col, fold_col)
+        .agg(
+            F.sum(F.col(target_col).cast("double")).alias("__s"),
+            F.count(F.col(target_col)).alias("__n"),
+        )
+    )
+    cat = cf.groupBy(category_col).agg(
+        F.sum("__s").alias("__s_cat"), F.sum("__n").alias("__n_cat")
+    )
+    fold = cf.groupBy(fold_col).agg(
+        F.sum("__s").alias("__s_fold_tot"), F.sum("__n").alias("__n_fold_tot")
+    )
+    tot = cf.agg(F.sum("__s").alias("__s_all"), F.sum("__n").alias("__n_all"))
+    # out-of-fold prior per fold: (total - fold) means
+    prior = (
+        fold.withColumn("__k", F.lit(1))
+        .join(F.broadcast(tot.withColumn("__k", F.lit(1))), "__k")
+        .select(
+            fold_col,
+            (
+                (F.col("__s_all") - F.col("__s_fold_tot"))
+                / (F.col("__n_all") - F.col("__n_fold_tot"))
+            ).alias("__prior"),
+        )
+    )
+    enc = (
+        cf.join(F.broadcast(cat), category_col)
+        .join(F.broadcast(prior), fold_col)
+        .select(
+            category_col,
+            fold_col,
+            F.round(
+                (
+                    F.col("__s_cat") - F.col("__s")
+                    + F.lit(float(smoothing)) * F.col("__prior")
+                )
+                / (F.col("__n_cat") - F.col("__n") + F.lit(float(smoothing))),
+                round_to,
+            ).alias("target_enc"),
+        )
+    )
+    return df.join(F.broadcast(enc), [category_col, fold_col], "left")

@@ -486,3 +486,72 @@ def poisson_bootstrap_ci(
         F.round("ci_hi", round_to).alias("ci_hi"),
         F.lit(int(n_boot)).alias("n_boot"),
     )
+
+
+def negative_samples(
+    positives: DataFrame,
+    n_items: int,
+    k: int = 2,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic negative sampling for implicit-feedback training
+    (the word2vec/BPR recipe): for every (user, positive item) pair,
+    draw ``k`` candidate items uniformly from [1, n_items] by md5 hash
+    and keep those the user has NOT interacted with — reproducible
+    across runs/engines (the md5 draw is a pure function of
+    (salt, user, item, j)), so the training set is a deterministic
+    artifact, not a run-dependent one.
+
+    Plan: one explode to k candidates per positive (map-only) + ONE
+    left-anti join against the user's positive set keyed on
+    (user, item) — the collision check never collects per-user item
+    sets. Collisions with positives are DROPPED, not resampled (resample
+    loops don't relationalize; at real n_items the loss is k·|I_u|/n —
+    negligible, and the oracle replays the same convention).
+    Returns (user, pos_item, j, neg_item).
+    """
+    if n_items < 2:
+        raise ValueError(f"n_items must be >= 2, got {n_items}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    pos = positives.select(
+        F.col(user_col).alias("u"), F.col(item_col).alias("pos_item")
+    ).distinct()
+    cand = pos.withColumn(
+        "j", F.explode(F.sequence(F.lit(1), F.lit(int(k))))
+    ).withColumn(
+        "neg_item",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.lit(salt),
+                            F.col("u").cast("string"),
+                            F.col("pos_item").cast("string"),
+                            F.col("j").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % n_items
+            + 1
+        ),
+    )
+    return cand.join(
+        pos.select(F.col("u"), F.col("pos_item").alias("neg_item")),
+        ["u", "neg_item"],
+        "left_anti",
+    ).select(
+        F.col("u").alias(user_col),
+        "pos_item",
+        "j",
+        "neg_item",
+    )

@@ -400,3 +400,93 @@ def test_fleiss_kappa_known_values(spark):
     )
     with pytest.raises(ValueError, match="constant rater count"):
         fleiss_kappa(bad)
+
+
+def test_cooccurrence_recs_matches_brute(spark):
+    from collections import Counter
+
+    from stackstac_spark.operators.graph import cooccurrence_recs
+
+    baskets = {
+        1: ["a", "b", "c"],
+        2: ["a", "b"],
+        3: ["b", "c", "d"],
+        4: ["a", "d"],
+        5: ["a", "b"],
+    }
+    rows = [(b, i) for b, items in baskets.items() for i in items]
+    df = spark.createDataFrame(rows, "basket BIGINT, item STRING")
+    got = {
+        (r["item"], r["rank"]): (r["rec_item"], r["weight"], r["score"])
+        for r in cooccurrence_recs(df, "basket", "item", k=2).collect()
+    }
+    freq = Counter(i for items in baskets.values() for i in set(items))
+    co = Counter()
+    for items in baskets.values():
+        s = sorted(set(items))
+        for x in range(len(s)):
+            for y in range(x + 1, len(s)):
+                co[(s[x], s[y])] += 1
+    import math
+
+    recs = {}
+    for (a, b), w in co.items():
+        for item, rec in ((a, b), (b, a)):
+            recs.setdefault(item, []).append(
+                (round(w / math.sqrt(freq[item] * freq[rec]), 6), w, rec)
+            )
+    for item, lst in recs.items():
+        lst.sort(key=lambda t: (-t[0], -t[1], t[2]))
+        for rank, (score, w, rec) in enumerate(lst[:2], 1):
+            assert got[(item, rank)] == (rec, w, score), (item, rank)
+
+
+def test_target_encode_out_of_fold(spark):
+    from stackstac_spark.operators.mlfit import target_encode
+
+    rows = [(i, "c%d" % (i % 3), float(i), i % 2) for i in range(30)]
+    df = spark.createDataFrame(rows, "id BIGINT, cat STRING, y DOUBLE, fold INT")
+    out = {r["id"]: r["target_enc"] for r in target_encode(df, "cat", "y", "fold", smoothing=5.0).collect()}
+    s_all = sum(r[2] for r in rows)
+    n_all = len(rows)
+    for i, cat, y, fold in rows:
+        s_cat = sum(r[2] for r in rows if r[1] == cat)
+        n_cat = sum(1 for r in rows if r[1] == cat)
+        s_cf = sum(r[2] for r in rows if r[1] == cat and r[3] == fold)
+        n_cf = sum(1 for r in rows if r[1] == cat and r[3] == fold)
+        s_f = sum(r[2] for r in rows if r[3] == fold)
+        n_f = sum(1 for r in rows if r[3] == fold)
+        prior = (s_all - s_f) / (n_all - n_f)
+        exp = round((s_cat - s_cf + 5.0 * prior) / (n_cat - n_cf + 5.0), 6)
+        assert out[i] == exp, (i, out[i], exp)
+    with pytest.raises(ValueError, match="smoothing"):
+        target_encode(df, "cat", "y", "fold", smoothing=0.0)
+
+
+def test_negative_samples_deterministic_and_clean(spark):
+    from stackstac_spark.operators.sampling import negative_samples
+
+    pos = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 12)], "user_id BIGINT, item_id BIGINT"
+    )
+    out1 = sorted(
+        (r["user_id"], r["pos_item"], r["j"], r["neg_item"])
+        for r in negative_samples(pos, n_items=50, k=3).collect()
+    )
+    out2 = sorted(
+        (r["user_id"], r["pos_item"], r["j"], r["neg_item"])
+        for r in negative_samples(pos, n_items=50, k=3).collect()
+    )
+    assert out1 == out2  # pure function of (salt, user, item, j)
+    positives = {(1, 10), (1, 11), (2, 10), (2, 12)}
+    for u, p, j, n in out1:
+        assert (u, n) not in positives
+        assert 1 <= n <= 50
+    # md5 replay
+    import hashlib
+
+    for u, p, j, n in out1[:5]:
+        h = int(hashlib.md5(f"neg:{u}:{p}:{j}".encode()).hexdigest()[:15], 16)
+        assert n == h % 50 + 1
+    with pytest.raises(ValueError, match="n_items"):
+        negative_samples(pos, n_items=1)
