@@ -13333,21 +13333,87 @@ ORDER BY c.u, c.pos_item, c.j
 """
 
 
+def q_pers_pagerank(spark, sf):
+    """Personalized PageRank (operators/graph.py::personalized_pagerank,
+    Haveliwala 2002) over the near-dup candidate graph: the walk restarts
+    at a fixed seed slice (doc_id % 37 == 0) — seed-expansion relevance
+    ("find docs related to this curated list"). 5 fixed synchronous
+    iterations; seed flag joined once, never per round. The oracle
+    replays candidate generation AND all 5 rounds as an unrolled CTE
+    chain — the engine's 5th fully-value-checked iterative algorithm."""
+    from stackstac_spark.operators.graph import personalized_pagerank
+
+    cand = _lsh_candidates(spark, sf)
+    seeds = (
+        cand.select(F.col("id_a").alias("node"))
+        .unionByName(cand.select(F.col("id_b").alias("node")))
+        .distinct()
+        .filter(F.col("node") % 37 == 0)
+    )
+    return personalized_pagerank(cand, seeds).orderBy("node")
+
+
+def _duck_pers_pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
+    head = f"""
+WITH shingles AS ({_DUCK_SHINGLES}),
+d AS (SELECT DISTINCT doc_id, sh FROM shingles),
+sig AS (SELECT doc_id, min(md5('0:' || sh)) AS h0, min(md5('1:' || sh)) AS h1,
+               min(md5('2:' || sh)) AS h2, min(md5('3:' || sh)) AS h3
+        FROM d GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, 0 AS band, h0 || h1 AS key FROM sig
+  UNION ALL SELECT doc_id, 1 AS band, h2 || h3 AS key FROM sig),
+kept AS (SELECT band, key FROM banded GROUP BY band, key HAVING count(*) <= 1000),
+bk AS (SELECT b.doc_id, b.band, b.key FROM banded b JOIN kept USING (band, key)),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+          UNION SELECT id_b AS src, id_a AS dst FROM cand),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+seedn AS (SELECT src, src % 37 = 0 AS is_seed FROM deg),
+ns AS (SELECT CAST(sum(CASE WHEN is_seed THEN 1 ELSE 0 END) AS DOUBLE) AS n FROM seedn),
+r0 AS (SELECT s.src, CASE WHEN s.is_seed THEN 1.0 / ns.n ELSE 0.0 END AS r
+       FROM seedn s, ns)"""
+    its = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        its.append(
+            f"""
+r{i} AS (
+  SELECT s.src,
+         CASE WHEN s.is_seed THEN (1 - {damping}) / ns.n ELSE 0.0 END
+           + {damping} * coalesce(c.c, 0.0) AS r
+  FROM seedn s CROSS JOIN ns
+  LEFT JOIN (
+    SELECT e.dst AS src, sum(p.r / dg.deg) AS c
+    FROM edges e JOIN {prev} p ON p.src = e.src JOIN deg dg ON dg.src = e.src
+    GROUP BY e.dst) c ON c.src = s.src)"""
+        )
+        prev = f"r{i}"
+    return (
+        head
+        + ","
+        + ",\n".join(its)
+        + f"\nSELECT src AS node, round(r, 6) AS rank FROM {prev} ORDER BY node"
+    )
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- Rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r08,
     # --- 50/50 green, all slots r7/r8-wave). Per the standing policy the
-    # --- r9 window repeats ZERO slots from the r8 window: slots 1-19 the
-    # --- never-graded r9 second wave (copurchase_recs .. bootstrap_ci),
-    # --- slots 20-43 the never-graded r9 first wave (bitext_mine_ann ..
-    # --- stere_oblique), slots 44-50 the head of the never-graded backlog
-    # --- (k_anonymity .. attribution); the rest of the backlog plus the
+    # --- r9 window repeats ZERO slots from the r8 window: slots 1-20 the
+    # --- never-graded r9 second wave (pers_pagerank .. bootstrap_ci),
+    # --- slots 21-44 the never-graded r9 first wave (bitext_mine_ann ..
+    # --- stere_oblique), slots 45-50 the head of the never-graded backlog
+    # --- (k_anonymity .. fuzzy_variants); the rest of the backlog plus the
     # --- stalest r5 greens head the r10 window. Everything below the window stays hash-checked every CI
     # --- run by tests/test_past_window_mirror.py +
     # --- scripts/check_correctness.py. The rows-only stream_sessions /
     # --- bpe_merges / bpe_encode sit past the window (window slots stay
     # --- fully oracle-backed per the driver-contract test),
     # --- pytest-covered end-to-end.
+    "pers_pagerank": (q_pers_pagerank, _duck_pers_pagerank_sql()),
     "copurchase_recs": (q_copurchase_recs, SQL_COPURCHASE_RECS),
     "target_encode": (q_target_encode, SQL_TARGET_ENCODE),
     "negative_samples": (q_negative_samples, SQL_NEGATIVE_SAMPLES),

@@ -27,6 +27,7 @@ __all__ = [
     "bipartite_projection",
     "modularity",
     "cooccurrence_recs",
+    "personalized_pagerank",
 ]
 
 
@@ -995,3 +996,122 @@ def cooccurrence_recs(
             "rank",
         )
     )
+
+
+def personalized_pagerank(
+    pairs: DataFrame,
+    seeds: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    seed_col: str = "node",
+    iters: int = 5,
+    damping: float = 0.85,
+    round_to: int = 6,
+    driver_threshold: int = 200_000,
+) -> DataFrame:
+    """Personalized PageRank over an undirected edge list (Haveliwala
+    2002; the random walk restarts at the SEED set instead of uniformly):
+
+        r = (1 − d)·e_S + d · Σ_in r_src / deg_src,   e_S = 1/|S| on seeds
+
+    — "how close is every node to THIS set", the topic-conditioned
+    relevance / seed-expansion primitive (find docs related to a curated
+    seed list, users related to a cohort). Fixed synchronous iterations,
+    fixed-order arithmetic: an external engine replays it exactly with an
+    unrolled CTE chain.
+
+    Same dual physical strategy and per-round hygiene as
+    :func:`pagerank`: driver loop below ``driver_threshold`` edges,
+    otherwise one edge⋈ranks join + one node-keyed aggregate per round
+    with a ``localCheckpoint`` each — the restart vector rides a seed
+    flag joined ONCE onto the node table, never per-iteration. Seeds
+    outside the graph are ignored; an empty effective seed set raises.
+    """
+    if iters <= 0:
+        raise ValueError(f"iters must be positive, got {iters}")
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    e1 = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges_raw = e1.union(
+        e1.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    seed_set = seeds.select(F.col(seed_col).alias("src")).distinct()
+    if edges_raw.count() <= driver_threshold:
+        return _ppr_driver(edges_raw, seed_set, iters, damping, round_to)
+    edges = edges_raw.distinct().localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.join(seed_set, "src", "left_semi").select("src").withColumn(
+        "__seed", F.lit(True)
+    )
+    node_tbl = deg.join(nodes, "src", "left").select(
+        "src", "deg", F.coalesce(F.col("__seed"), F.lit(False)).alias("__seed")
+    ).localCheckpoint()
+    n_seed = node_tbl.filter("__seed").count()
+    if n_seed == 0:
+        raise ValueError("no seed intersects the graph's node set")
+    base = (1.0 - damping) / n_seed
+    node_tbl = node_tbl.withColumn(
+        "__base", F.when(F.col("__seed"), F.lit(base)).otherwise(F.lit(0.0))
+    )
+    ranks = node_tbl.select(
+        "src",
+        F.when(F.col("__seed"), F.lit(1.0 / n_seed)).otherwise(F.lit(0.0)).alias("r"),
+    ).localCheckpoint()
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks, "src")
+            .join(node_tbl.select("src", "deg"), "src")
+            .select(F.col("dst").alias("src"), (F.col("r") / F.col("deg")).alias("c"))
+        )
+        ranks = (
+            contrib.groupBy("src")
+            .agg(F.sum("c").alias("__c"))
+            .join(node_tbl.select("src", "__base"), "src", "right")
+            .select(
+                "src",
+                (
+                    F.col("__base")
+                    + F.lit(damping) * F.coalesce(F.col("__c"), F.lit(0.0))
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        F.col("src").alias("node"), F.round("r", round_to).alias("rank")
+    )
+
+
+def _ppr_driver(
+    edges: DataFrame, seed_set: DataFrame, iters: int, damping: float, round_to: int
+) -> DataFrame:
+    """Driver-side personalized-PageRank loop (small-graph strategy, same
+    contract as ``_pagerank_driver``: dedupes the raw symmetric list
+    locally)."""
+    from pyspark.sql import types as T
+
+    rows = edges.collect()
+    adj: dict = {}
+    deg: dict = {}
+    for s, t in {(r["src"], r["dst"]) for r in rows}:
+        adj.setdefault(t, []).append(s)
+        deg[s] = deg.get(s, 0) + 1
+    nodes = sorted(deg)
+    seeds = {r["src"] for r in seed_set.collect()} & set(nodes)
+    if not seeds:
+        raise ValueError("no seed intersects the graph's node set")
+    node_type = edges.schema["src"].dataType
+    schema = T.StructType(
+        [T.StructField("node", node_type), T.StructField("rank", T.DoubleType())]
+    )
+    spark = edges.sparkSession
+    base = (1.0 - damping) / len(seeds)
+    rank = {v: (1.0 / len(seeds) if v in seeds else 0.0) for v in nodes}
+    for _ in range(iters):
+        rank = {
+            v: (base if v in seeds else 0.0)
+            + damping * sum(rank[s] / deg[s] for s in adj.get(v, ()))
+            for v in nodes
+        }
+    from stackstac_spark.session import local_df
+
+    return local_df(spark, [(v, round(rank[v], round_to)) for v in nodes], schema)

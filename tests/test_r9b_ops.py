@@ -490,3 +490,34 @@ def test_negative_samples_deterministic_and_clean(spark):
         assert n == h % 50 + 1
     with pytest.raises(ValueError, match="n_items"):
         negative_samples(pos, n_items=1)
+
+
+def test_personalized_pagerank_both_strategies(spark):
+    from stackstac_spark.operators.graph import personalized_pagerank
+
+    edges, adj = _random_graph(21, n=40, m=150)
+    edf = spark.createDataFrame(sorted(edges), "id_a BIGINT, id_b BIGINT")
+    seeds = spark.createDataFrame([(n,) for n in (0, 5, 10)], "node BIGINT")
+    deg = {v: len(ns) for v, ns in adj.items()}
+    nodes = sorted(deg)
+    S = {0, 5, 10} & set(nodes)
+    base = 0.15 / len(S)
+    rank = {v: (1.0 / len(S) if v in S else 0.0) for v in nodes}
+    for _ in range(5):
+        rank = {
+            v: (base if v in S else 0.0)
+            + 0.85 * sum(rank[s] / deg[s] for s in adj.get(v, []))
+            for v in nodes
+        }
+    exp = {v: round(rank[v], 6) for v in nodes}
+    got_drv = {r["node"]: r["rank"] for r in personalized_pagerank(edf, seeds).collect()}
+    got_dist = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(edf, seeds, driver_threshold=0).collect()
+    }
+    assert got_drv == exp
+    assert got_dist == exp
+    assert abs(sum(got_drv.values()) - 1.0) < 1e-4  # PPR mass conserved
+    bad = spark.createDataFrame([(99999,)], "node BIGINT")
+    with pytest.raises(ValueError, match="seed"):
+        personalized_pagerank(edf, bad)
