@@ -251,6 +251,14 @@ def main() -> None:
             json.dump(detail, f, indent=1)
     except OSError:
         pass
+    # stop the JVM BEFORE emitting the contract lines: Spark's structured
+    # logger writes JSON-shaped lines, and one landing on stdout after the
+    # summary would corrupt the driver's tail-parse (observed only under
+    # heavy machine contention in CI, but the ordering costs nothing)
+    try:
+        spark.stop()
+    except Exception:
+        pass
     print(json.dumps(detail))
     summary = {
         "metric": "total_wall_sec_all_queries",
@@ -268,6 +276,7 @@ def main() -> None:
             "the last line and must never see a truncated one (r4 lesson)"
         )
     print(line)
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -52,7 +52,11 @@ def test_bench_emits_one_json_line():
         cwd=REPO,
     )
     assert out.returncode == 0, out.stderr[-2000:]
-    json_lines = [ln for ln in out.stdout.splitlines() if ln.strip().startswith("{")]
+    # count only bench contract lines: under heavy load Spark's structured
+    # logger can emit a JSON-shaped diagnostic line of its own
+    json_lines = [
+        ln for ln in out.stdout.splitlines() if ln.strip().startswith('{"metric"')
+    ]
     # r5 contract: detail line first, then a SHORT final summary line — the
     # driver tail-parses the LAST line, which must stay <2 KB (the r4 single
     # giant line overflowed the driver's capture: BENCH_r04 "parsed": null)
