@@ -1,7 +1,7 @@
-"""Vector-geometry companions to the raster engine — geohash cell keys and
-a grid-bucketed point-in-rectangle join.
+"""Vector-geometry companions to the raster engine — geohash cell keys, a
+grid-bucketed point-in-rectangle join, and grid-blocked DBSCAN clustering.
 
-Both are pure Catalyst expression plans. The geohash is the classic base32
+The first two are pure Catalyst expression plans. The geohash is the classic base32
 interleave (even bits longitude, odd bits latitude, MSB first), computed by
 CLOSED-FORM quantization rather than the textbook bisection loop — floor
 ((lon+180)/360 · 2^bits) yields exactly the bisection bits, so a SQL engine
