@@ -13206,7 +13206,9 @@ def q_copurchase_recs(spark, sf):
 
 
 SQL_COPURCHASE_RECS = """
-WITH inc AS (SELECT DISTINCT l_partkey AS item, l_orderkey AS b FROM lineitem),
+WITH inc0 AS (SELECT DISTINCT l_partkey AS item, l_orderkey AS b FROM lineitem),
+keep AS (SELECT b FROM inc0 GROUP BY b HAVING count(*) <= 10000),
+inc AS (SELECT i.item, i.b FROM inc0 i JOIN keep USING (b)),
 freq AS (SELECT item, count(*) AS freq FROM inc GROUP BY item),
 pairs AS (
   SELECT a.item AS l_a, b.item AS l_b, count(*) AS weight
@@ -13400,19 +13402,89 @@ r{i} AS (
 
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- Rotation policy (window history: PROGRESS.jsonl /
-    # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r08,
-    # --- 50/50 green, all slots r7/r8-wave). Per the standing policy the
-    # --- r9 window repeats ZERO slots from the r8 window: slots 1-20 the
-    # --- never-graded r9 second wave (pers_pagerank .. bootstrap_ci),
-    # --- slots 21-44 the never-graded r9 first wave (bitext_mine_ann ..
-    # --- stere_oblique), slots 45-50 the head of the never-graded backlog
-    # --- (k_anonymity .. fuzzy_variants); the rest of the backlog plus the
-    # --- stalest r5 greens head the r10 window. Everything below the window stays hash-checked every CI
-    # --- run by tests/test_past_window_mirror.py +
-    # --- scripts/check_correctness.py. The rows-only stream_sessions /
-    # --- bpe_merges / bpe_encode sit past the window (window slots stay
-    # --- fully oracle-backed per the driver-contract test),
-    # --- pytest-covered end-to-end.
+    # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r09,
+    # --- 50/50 green, all slots r9-wave, zero repeats from r8). Per the r9
+    # --- verdict's #1 instruction the r10 window leads with the 21 registry
+    # --- entries that have NEVER had a driver CORRECTNESS row (the r8 wave
+    # --- graded only in builder+judge mirrors: attribution .. bpe_encode,
+    # --- including the 3 rows-only entries stream_sessions/bpe_merges/
+    # --- bpe_encode, which the driver grades with its weaker rows-only
+    # --- check — their value content is pinned by bpe_pair_counts, the
+    # --- sessionize batch twin, and pytest parity). Slots 22-50 are 29 of
+    # --- the 46 stalest greens (last driver row: r5). After this window
+    # --- lands, every one of the 267 registry entries has at least one
+    # --- green driver CORRECTNESS row. The remaining 17 r5-stale entries
+    # --- (pool_embeddings .. abtt) head the post-window section -> they lead
+    # --- the r11 window. Everything below the window stays hash-checked
+    # --- every CI run by tests/test_past_window_mirror.py +
+    # --- scripts/check_correctness.py.
+    "attribution": (q_attribution, SQL_ATTRIBUTION),
+    "ab_test": (q_ab_test, SQL_AB_TEST),
+    "skew_report": (q_skew_report, SQL_SKEW_REPORT),
+    "rendezvous_shards": (q_rendezvous_shards, SQL_RENDEZVOUS_SHARDS),
+    "kcenter_coreset": (q_kcenter_coreset, SQL_KCENTER_CORESET),
+    "quality_logreg": (q_quality_logreg, SQL_QUALITY_LOGREG),
+    "cms_frequency": (q_cms_frequency, SQL_CMS_FREQUENCY),
+    "ols_trend": (q_ols_trend, SQL_OLS_TREND),
+    "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
+    "quality_calibration": (q_quality_calibration, SQL_QUALITY_CALIBRATION),
+    "mad_outliers": (q_mad_outliers, SQL_MAD_OUTLIERS),
+    "zorder_cluster": (q_zorder_cluster, SQL_ZORDER_CLUSTER),
+    "bucketed_join": (q_bucketed_join, SQL_BUCKETED_JOIN),
+    "salted_join": (q_salted_join, SQL_SALTED_JOIN),
+    "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
+    "raster_hillshade": (q_raster_hillshade, SQL_RASTER_HILLSHADE),
+    "label_propagation": (q_label_propagation, SQL_LABEL_PROPAGATION),
+    "raster_resample_cubic": (q_raster_resample_cubic, SQL_RASTER_RESAMPLE_CUBIC),
+    "stream_sessions": (q_stream_sessions, None),
+    "bpe_merges": (q_bpe_merges, None),
+    "bpe_encode": (q_bpe_encode, None),
+    "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
+    "kmeans": (q_kmeans, SQL_KMEANS),
+    "pagerank": (q_pagerank, SQL_PAGERANK),
+    "cube_agg": (q_cube_agg, SQL_CUBE_AGG),
+    "sentence_stats": (q_sentence_stats, SQL_SENTENCE_STATS),
+    "session_windows": (q_session_windows, SQL_SESSION_WINDOWS),
+    "group_quantiles": (q_group_quantiles, SQL_GROUP_QUANTILES),
+    "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
+    "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
+    "raster_ndvi": (q_raster_ndvi, SQL_RASTER_NDVI),
+    "raster_resample_nearest": (q_raster_resample_nearest, SQL_RASTER_RESAMPLE),
+    "raster_ffill": (q_raster_ffill, SQL_RASTER_FFILL),
+    "raster_focal_mean": (q_raster_focal_mean, SQL_RASTER_FOCAL_MEAN),
+    "raster_interp": (q_raster_interp, SQL_RASTER_INTERP),
+    "raster_zonal": (q_raster_zonal, SQL_RASTER_ZONAL),
+    "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
+    "multimodal_audio": (q_multimodal_audio, SQL_MULTIMODAL_AUDIO),
+    "raster_where": (q_raster_where, SQL_RASTER_WHERE),
+    "raster_temporal_diff": (q_raster_temporal_diff, SQL_RASTER_TEMPORAL_DIFF),
+    "raster_climatology": (q_raster_climatology, SQL_RASTER_CLIMATOLOGY),
+    "raster_masked_mosaic": (q_raster_masked_mosaic, SQL_RASTER_MASKED_MOSAIC),
+    "raster_gradient": (q_raster_gradient, SQL_RASTER_GRADIENT),
+    "hash_split": (q_hash_split, SQL_HASH_SPLIT),
+    "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
+    "ann_rerank": (q_ann_rerank, SQL_ANN_RERANK),
+    "script_stats": (q_script_stats, SQL_SCRIPT_STATS),
+    "dedup_stats": (q_dedup_stats, SQL_DEDUP_STATS),
+    "pool_embeddings": (q_pool_embeddings, SQL_POOL_EMBEDDINGS),
+    "score_normalize": (q_score_normalize, SQL_SCORE_NORMALIZE),
+    "boilerplate_lines": (q_boilerplate_lines, SQL_BOILERPLATE_LINES),
+    "canonical_docs": (q_canonical_docs, SQL_CANONICAL_DOCS),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
+    "matryoshka_topk": (q_matryoshka_topk, SQL_MATRYOSHKA_TOPK),
+    "gopher_filter": (q_gopher_filter, SQL_GOPHER_FILTER),
+    "dsir_sample": (q_dsir_sample, SQL_DSIR_SAMPLE),
+    "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
+    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+    "grouped_topk": (q_grouped_topk, SQL_GROUPED_TOPK),
+    "sliding_windows": (q_sliding_windows, SQL_SLIDING_WINDOWS),
+    "bloom_prefilter": (q_bloom_prefilter, SQL_BLOOM_PREFILTER),
+    "pca_power": (q_pca_power, SQL_PCA_POWER),
+    "abtt": (q_abtt, SQL_ABTT),
     "pers_pagerank": (q_pers_pagerank, _duck_pers_pagerank_sql()),
     "copurchase_recs": (q_copurchase_recs, SQL_COPURCHASE_RECS),
     "target_encode": (q_target_encode, SQL_TARGET_ENCODE),
@@ -13463,26 +13535,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "rolling_median": (q_rolling_median, SQL_ROLLING_MEDIAN),
     "gap_fill": (q_gap_fill, SQL_GAP_FILL),
     "fuzzy_variants": (q_fuzzy_variants, SQL_FUZZY_VARIANTS),
-    "attribution": (q_attribution, SQL_ATTRIBUTION),
-    "ab_test": (q_ab_test, SQL_AB_TEST),
-    "skew_report": (q_skew_report, SQL_SKEW_REPORT),
-    "rendezvous_shards": (q_rendezvous_shards, SQL_RENDEZVOUS_SHARDS),
-    "kcenter_coreset": (q_kcenter_coreset, SQL_KCENTER_CORESET),
-    "quality_logreg": (q_quality_logreg, SQL_QUALITY_LOGREG),
-    "cms_frequency": (q_cms_frequency, SQL_CMS_FREQUENCY),
-    "ols_trend": (q_ols_trend, SQL_OLS_TREND),
-    "ewma_smooth": (q_ewma_smooth, SQL_EWMA_SMOOTH),
-    "quality_calibration": (q_quality_calibration, SQL_QUALITY_CALIBRATION),
-    "mad_outliers": (q_mad_outliers, SQL_MAD_OUTLIERS),
-    "zorder_cluster": (q_zorder_cluster, SQL_ZORDER_CLUSTER),
-    "bucketed_join": (q_bucketed_join, SQL_BUCKETED_JOIN),
-    "salted_join": (q_salted_join, SQL_SALTED_JOIN),
-    "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
-    "raster_hillshade": (q_raster_hillshade, SQL_RASTER_HILLSHADE),
-    "label_propagation": (q_label_propagation, SQL_LABEL_PROPAGATION),
-    "raster_resample_cubic": (q_raster_resample_cubic, SQL_RASTER_RESAMPLE_CUBIC),
-    "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
-    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "cc_star": (q_cc_star, SQL_CC_STAR),
     # html_strip / blocklist_filter run BEFORE url_canonical: they warm the
     # shared documents scan + JVM regexp/array expression classes, so
@@ -13537,53 +13589,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "linkage_score": (q_linkage_score, SQL_LINKAGE_SCORE),
     "profile_table": (q_profile_table, SQL_PROFILE_TABLE),
     "benford_digits": (q_benford_digits, SQL_BENFORD_DIGITS),
-    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
-    "kmeans": (q_kmeans, SQL_KMEANS),
-    "pagerank": (q_pagerank, SQL_PAGERANK),
-    "cube_agg": (q_cube_agg, SQL_CUBE_AGG),
-    "sentence_stats": (q_sentence_stats, SQL_SENTENCE_STATS),
-    "session_windows": (q_session_windows, SQL_SESSION_WINDOWS),
-    "group_quantiles": (q_group_quantiles, SQL_GROUP_QUANTILES),
-    "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
-    "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
-    "raster_ndvi": (q_raster_ndvi, SQL_RASTER_NDVI),
-    "raster_resample_nearest": (q_raster_resample_nearest, SQL_RASTER_RESAMPLE),
-    "raster_ffill": (q_raster_ffill, SQL_RASTER_FFILL),
-    "raster_focal_mean": (q_raster_focal_mean, SQL_RASTER_FOCAL_MEAN),
-    "raster_interp": (q_raster_interp, SQL_RASTER_INTERP),
-    "raster_zonal": (q_raster_zonal, SQL_RASTER_ZONAL),
-    "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
-    "multimodal_audio": (q_multimodal_audio, SQL_MULTIMODAL_AUDIO),
-    "raster_where": (q_raster_where, SQL_RASTER_WHERE),
-    "raster_temporal_diff": (q_raster_temporal_diff, SQL_RASTER_TEMPORAL_DIFF),
-    "raster_climatology": (q_raster_climatology, SQL_RASTER_CLIMATOLOGY),
-    "raster_masked_mosaic": (q_raster_masked_mosaic, SQL_RASTER_MASKED_MOSAIC),
-    "raster_gradient": (q_raster_gradient, SQL_RASTER_GRADIENT),
-    "hash_split": (q_hash_split, SQL_HASH_SPLIT),
-    "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
-    "ann_rerank": (q_ann_rerank, SQL_ANN_RERANK),
-    "script_stats": (q_script_stats, SQL_SCRIPT_STATS),
-    "dedup_stats": (q_dedup_stats, SQL_DEDUP_STATS),
-    "pool_embeddings": (q_pool_embeddings, SQL_POOL_EMBEDDINGS),
-    "score_normalize": (q_score_normalize, SQL_SCORE_NORMALIZE),
-    "boilerplate_lines": (q_boilerplate_lines, SQL_BOILERPLATE_LINES),
-    "canonical_docs": (q_canonical_docs, SQL_CANONICAL_DOCS),
-    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
-    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
-    "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
-    "matryoshka_topk": (q_matryoshka_topk, SQL_MATRYOSHKA_TOPK),
-    "gopher_filter": (q_gopher_filter, SQL_GOPHER_FILTER),
-    "dsir_sample": (q_dsir_sample, SQL_DSIR_SAMPLE),
-    "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
-    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
-    "grouped_topk": (q_grouped_topk, SQL_GROUPED_TOPK),
-    "sliding_windows": (q_sliding_windows, SQL_SLIDING_WINDOWS),
-    "bloom_prefilter": (q_bloom_prefilter, SQL_BLOOM_PREFILTER),
-    "pca_power": (q_pca_power, SQL_PCA_POWER),
-    "abtt": (q_abtt, SQL_ABTT),
-    "stream_sessions": (q_stream_sessions, None),
-    "bpe_merges": (q_bpe_merges, None),
-    "bpe_encode": (q_bpe_encode, None),
     "raster_overview_read": (q_raster_overview_read, SQL_RASTER_OVERVIEW_READ),
     "prepare_inference": (q_prepare_inference, SQL_PREPARE_INFERENCE),
     "raster_complex_mosaic": (q_raster_complex_mosaic, SQL_RASTER_COMPLEX_MOSAIC),

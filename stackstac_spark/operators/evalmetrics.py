@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["roc_auc", "ndcg_at_k", "wilson_rank" "fleiss_kappa",]
+__all__ = ["roc_auc", "ndcg_at_k", "wilson_rank", "fleiss_kappa"]
 
 
 def roc_auc(
@@ -210,6 +210,8 @@ def fleiss_kappa(
     n_check = per_item.agg(
         F.min("__n").alias("lo"), F.max("__n").alias("hi")
     ).first()
+    if n_check["lo"] is None:
+        raise ValueError("fleiss_kappa needs a non-empty labels frame")
     if n_check["lo"] != n_check["hi"]:
         raise ValueError(
             f"fleiss_kappa needs a constant rater count per item, got "

@@ -945,19 +945,31 @@ def cooccurrence_recs(
 
     Plan: the co-count graph IS :func:`bipartite_projection` of the
     (basket, item) incidence — basket-keyed self-join bounded by
-    ``max_basket_size`` (the Σ deg² guard); item frequencies are one
-    aggregate broadcast onto the pair stream twice; top-k per item is a
-    rank window over the symmetrized pairs (co-occurrence is symmetric,
-    so each undirected pair fans into both directions). Never an
-    item×item matrix.
+    ``max_basket_size`` (the Σ deg² guard); item frequencies are counted
+    over the SAME hub-pruned incidence the projection uses (a basket
+    dropped by the guard contributes to neither numerator nor
+    denominator, keeping the cosine a true cosine over the pruned
+    incidence — counting dropped baskets in freq would deflate scores
+    for items appearing in hub baskets); top-k per item is a rank window
+    over the symmetrized pairs (co-occurrence is symmetric, so each
+    undirected pair fans into both directions). Never an item×item
+    matrix.
     """
     pairs = bipartite_projection(
         df, left_col=item_col, right_col=basket_col,
         max_right_degree=max_basket_size,
     )
+    inc = df.select(
+        F.col(item_col).alias("item"), F.col(basket_col).alias("b")
+    ).distinct()
+    keep = (
+        inc.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("__bdeg"))
+        .filter(F.col("__bdeg") <= max_basket_size)
+        .select("b")
+    )
     freq = (
-        df.select(F.col(item_col).alias("item"), F.col(basket_col).alias("b"))
-        .distinct()
+        inc.join(keep, "b", "left_semi")
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("freq"))
     )

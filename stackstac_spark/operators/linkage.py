@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -217,13 +217,33 @@ def blocked_pairs(
     block_cols: list[str],
     id_col: str,
     payload_cols: list[str],
+    max_block: int | None = 100_000,
+    auto_subblock: int | None = None,
 ) -> DataFrame:
     """Within-block unordered candidate pairs (id_a < id_b): the standard
     blocking step shared by every fuzzy matcher below. An equi-join on the
     block key — the ONLY thing standing between string comparison and an
-    O(N²) cross join; at scale the shuffle is keyed on the block columns,
-    so skewed blocks respond to AQE skew-join splitting (or a salted
-    sub-block key when one block dominates)."""
+    O(N²) cross join.
+
+    ``max_block`` fails fast when one block holds more rows than the
+    bound (its pair count is quadratic in that block — one hot
+    (brand, first-word) block at 100 TB would own a near-cross-join with
+    no diagnostic otherwise) — the same guard policy as
+    ``minhash_lsh_candidates``'s ``max_bucket`` and ``grid_cluster``'s
+    ``max_cell_count``: the right response to a pathological block is a
+    finer blocking key, not letting one task go quadratic. The check is
+    one groupBy-count over the block keys, run before pair enumeration;
+    the returned plan for in-bound inputs is unchanged.
+
+    ``auto_subblock=w`` is the escape hatch: instead of raising,
+    oversized blocks are sorted-neighborhood-capped — rows in such a
+    block are sorted by the first payload column and only pairs within
+    window ``w`` of each other are emitted (Hernández & Stolfo 1995),
+    bounding an oversized block's pairs at ``n·(w-1)`` instead of
+    ``n²/2``. Normal blocks keep exact all-pairs semantics; the windowed
+    join is banded (⌊rn/w⌋ buckets, each row probing its own and the
+    next band) so no task sees the whole hot block.
+    """
     a = df.select(
         *block_cols,
         F.col(id_col).alias("id_a"),
@@ -234,7 +254,84 @@ def blocked_pairs(
         F.col(id_col).alias("id_b"),
         *[F.col(c).alias(f"{c}_b") for c in payload_cols],
     )
-    return a.join(b, block_cols).filter(F.col("id_a") < F.col("id_b"))
+    if max_block is None:
+        return a.join(b, block_cols).filter(F.col("id_a") < F.col("id_b"))
+    sizes = df.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("__bn"))
+    if auto_subblock is None:
+        worst = sizes.agg(F.max("__bn").alias("m")).first()
+        if worst["m"] is not None and worst["m"] > max_block:
+            raise ValueError(
+                f"a block holds {worst['m']} rows (> max_block={max_block}); "
+                f"its pair join is quadratic — use finer block_cols, raise "
+                f"max_block, or pass auto_subblock=w to sorted-neighborhood-"
+                f"cap oversized blocks"
+            )
+        return a.join(b, block_cols).filter(F.col("id_a") < F.col("id_b"))
+    if auto_subblock < 2:
+        raise ValueError(f"auto_subblock must be >= 2, got {auto_subblock}")
+    big = sizes.filter(F.col("__bn") > max_block).select(*block_cols)
+    a_ok = a.join(F.broadcast(big), block_cols, "left_anti")
+    b_ok = b.join(F.broadcast(big), block_cols, "left_anti")
+    exact = a_ok.join(b_ok, block_cols).filter(F.col("id_a") < F.col("id_b"))
+    # sorted-neighborhood inside oversized blocks: rank rows by the first
+    # payload column (id tiebreak), band by ⌊rn/w⌋; each left row probes
+    # its own and the following band — covers every |rn_a-rn_b| < w pair
+    # exactly once after the rn filter, with per-task fan-in ≤ 2w rows.
+    sort_key = f"{payload_cols[0]}_a" if payload_cols else "id_a"
+    w_rn = Window.partitionBy(*block_cols).orderBy(F.col(sort_key), F.col("id_a"))
+    ranked = (
+        a.join(F.broadcast(big), block_cols, "left_semi")
+        .withColumn("__rn", F.row_number().over(w_rn))
+    )
+    wnd = int(auto_subblock)
+    left = ranked.withColumn(
+        "__band", F.explode(
+            F.array(
+                (F.col("__rn") / wnd).cast("long"),
+                (F.col("__rn") / wnd).cast("long") + 1,
+            )
+        )
+    )
+    right = ranked.select(
+        *block_cols,
+        (F.col("__rn") / wnd).cast("long").alias("__band"),
+        F.col("__rn").alias("__rn_b"),
+        F.col("id_a").alias("id_b"),
+        *[
+            F.col(f"{c}_a").alias(f"{c}_b")
+            for c in payload_cols
+        ],
+    )
+    capped = (
+        left.join(right, [*block_cols, "__band"])
+        .filter(
+            (F.col("__rn_b") > F.col("__rn"))
+            & (F.col("__rn_b") - F.col("__rn") < wnd)
+        )
+        # re-orient to id_a < id_b: sorted-neighborhood pairs are unordered
+        .select(
+            *block_cols,
+            F.when(F.col("id_a") < F.col("id_b"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("id_a"),
+            F.when(F.col("id_a") < F.col("id_b"), F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("id_b"),
+            *[
+                F.when(
+                    F.col("id_a") < F.col("id_b"), F.col(f"{c}_a")
+                ).otherwise(F.col(f"{c}_b")).alias(f"{c}_a")
+                for c in payload_cols
+            ],
+            *[
+                F.when(
+                    F.col("id_a") < F.col("id_b"), F.col(f"{c}_b")
+                ).otherwise(F.col(f"{c}_a")).alias(f"{c}_b")
+                for c in payload_cols
+            ],
+        )
+    )
+    return exact.unionByName(capped.select(*exact.columns))
 
 
 def edit_distance_pairs(
@@ -244,16 +341,23 @@ def edit_distance_pairs(
     id_col: str,
     max_distance: int = 10,
     prefix_len: int | None = None,
+    max_block: int | None = 100_000,
+    auto_subblock: int | None = None,
 ) -> DataFrame:
     """Levenshtein fuzzy join: within-block pairs with edit distance ≤
     ``max_distance`` on ``string_col`` (optionally truncated to
     ``prefix_len`` chars to bound the O(len²) DP). Uses Catalyst's
     built-in ``levenshtein`` — JVM-side, whole-stage-codegen'd; no Python
-    in the pair stream."""
+    in the pair stream. ``max_block`` / ``auto_subblock`` pass through to
+    :func:`blocked_pairs` (hot-block fail-fast / sorted-neighborhood
+    cap)."""
     work = df
     if prefix_len is not None:
         work = df.withColumn(string_col, F.substring(F.col(string_col), 1, prefix_len))
-    pairs = blocked_pairs(work, block_cols, id_col, [string_col])
+    pairs = blocked_pairs(
+        work, block_cols, id_col, [string_col],
+        max_block=max_block, auto_subblock=auto_subblock,
+    )
     sa, sb = f"{string_col}_a", f"{string_col}_b"
     # score each DISTINCT string pair once, then re-expand by equi-join:
     # linkage corpora are duplicate-heavy by nature (that is why they are
@@ -527,8 +631,12 @@ def jaro_winkler_pairs(
     id_col: str,
     threshold: float = 0.8,
     round_to: int = 6,
+    max_block: int | None = 100_000,
+    auto_subblock: int | None = None,
 ) -> DataFrame:
     """Jaro-Winkler fuzzy join: within-block pairs scoring ≥ ``threshold``.
+    ``max_block`` / ``auto_subblock`` pass through to
+    :func:`blocked_pairs` (hot-block fail-fast / sorted-neighborhood cap).
 
     Three cost tiers, each feeding the next only its survivors:
 
@@ -578,7 +686,8 @@ def jaro_winkler_pairs(
     if work.rdd.getNumPartitions() < target:
         work = work.repartition(target)
     pairs = blocked_pairs(
-        work, block_cols, id_col, [string_col, "__jwcnt", "__jwks", "__jwlen"]
+        work, block_cols, id_col, [string_col, "__jwcnt", "__jwks", "__jwlen"],
+        max_block=max_block, auto_subblock=auto_subblock,
     )
     sa_n, sb_n = f"{string_col}_a", f"{string_col}_b"
     ca, cb = F.col(sa_n), F.col(sb_n)

@@ -336,17 +336,22 @@ def conformal_interval(
         raise ValueError(f"alpha must be in (0,1), got {alpha}")
     import math as _math
 
-    n_cal = cal.count()
+    # Null/NaN y or yhat yields a null/NaN residual; Spark sorts nulls FIRST
+    # ascending, so without this filter they would occupy limit(k) slots
+    # while inflating n_cal — q̂ silently computed from a wrong order
+    # statistic. Conformal coverage is defined over scored calibration rows
+    # only, so drop the unscorable ones before counting.
+    resid = cal.select(
+        F.abs(F.col(y_col).cast("double") - F.col(yhat_col).cast("double")).alias("__r")
+    ).filter(F.col("__r").isNotNull() & ~F.isnan("__r"))
+    n_cal = resid.count()
     if n_cal < 1:
-        raise ValueError("calibration frame is empty")
+        raise ValueError("calibration frame has no rows with non-null y and yhat")
     k = _math.ceil((n_cal + 1) * (1.0 - alpha))
     if k > n_cal:
         raise ValueError(
             f"alpha={alpha} needs more calibration rows: rank {k} > n_cal={n_cal}"
         )
-    resid = cal.select(
-        F.abs(F.col(y_col).cast("double") - F.col(yhat_col).cast("double")).alias("__r")
-    )
     qhat = (
         resid.orderBy("__r")
         .limit(k)

@@ -171,9 +171,11 @@ def grid_cluster(
     max_cell_count: int | None = 100_000,
 ) -> DataFrame:
     """Density clustering of 2-D points (DBSCAN, Ester et al. 1996) →
-    (point_id, cluster, is_core) where ``cluster`` is the MIN point id in
-    the cluster (deterministic label), border points attach to their
-    smallest-labeled core neighbor, and noise points get cluster NULL.
+    (point_id, cluster, is_core) where ``cluster`` is the MIN *core*
+    point id in the cluster (deterministic label — a border point with a
+    smaller id than every core still carries the cores' label), border
+    points attach to their smallest-labeled core neighbor, and noise
+    points get cluster NULL.
 
     The scale architecture is the whole point — no pairwise distance
     matrix ever exists:
