@@ -13138,25 +13138,56 @@ def q_entity_resolution(spark, sf):
     transitive closure via star-CC, entity id = min member key. Output:
     one row per matched part (part_id, entity_id) + entity size — the
     dedup-to-golden-record step every MDM/curation pipeline ends with.
+
+    Scale shape (the r9 sf1 probe's slowest query, 162 s, fixed per the
+    r9 verdict's #3): linkage corpora are duplicate-heavy by nature, and
+    exact-duplicate (brand, w0, name) records form complete sub-cliques
+    in the id-pair graph — quadratic edges carrying zero information.
+    Components over DISTINCT key nodes are identical (duplicate keys are
+    trivially connected: same block, JW = 1), so pair enumeration, JW
+    scoring, AND star-CC all run on one representative id per distinct
+    key (rep = min part id); ids re-expand by one equi-join afterward.
+    Because rep is the min id of its key group and star-CC labels with
+    the min node id, the rep-level component label IS min member key —
+    no relabeling join. Keys duplicated >= 2 times are matched even
+    without a cross-key edge (their ids pair with each other), so they
+    enter as their own singleton component when CC didn't touch them.
     Oracle: DuckDB jaro_winkler_similarity pairs + recursive min-label
     CTE."""
-    from pyspark.sql import Window as W
-
     from stackstac_spark.operators.graph import connected_components_star
     from stackstac_spark.operators.linkage import jaro_winkler_pairs
 
     part = _t(spark, sf, "part").withColumn(
         "w0", F.split(F.col("p_name"), " ").getItem(0)
     )
-    pairs = jaro_winkler_pairs(
-        part, "p_name", ["p_brand", "w0"], "p_partkey", threshold=0.9
-    ).select("id_a", "id_b")
-    comp = connected_components_star(pairs).select(
-        F.col("node").alias("part_id"), F.col("component").alias("entity_id")
+    keys = part.groupBy("p_brand", "w0", "p_name").agg(
+        F.min("p_partkey").alias("rep"), F.count(F.lit(1)).alias("cnt")
     )
-    sizes = comp.groupBy("entity_id").agg(F.count(F.lit(1)).alias("entity_size"))
+    rep_pairs = jaro_winkler_pairs(
+        keys, "p_name", ["p_brand", "w0"], "rep", threshold=0.9
+    ).select("id_a", "id_b")
+    comp = connected_components_star(rep_pairs)
+    dup_only = (
+        keys.filter(F.col("cnt") >= 2)
+        .select(F.col("rep").alias("node"))
+        .join(comp.select("node"), "node", "left_anti")
+        .withColumn("component", F.col("node"))
+    )
+    comp_all = comp.unionByName(dup_only)
+    expanded = (
+        part.select("p_partkey", "p_brand", "w0", "p_name")
+        .join(keys, ["p_brand", "w0", "p_name"])
+        .join(comp_all, F.col("rep") == F.col("node"))
+        .select(
+            F.col("p_partkey").alias("part_id"),
+            F.col("component").alias("entity_id"),
+        )
+    )
+    sizes = expanded.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("entity_size")
+    )
     return (
-        comp.join(sizes, "entity_id")
+        expanded.join(sizes, "entity_id")
         .select("part_id", "entity_id", "entity_size")
         .orderBy("part_id")
     )
