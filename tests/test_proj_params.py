@@ -269,5 +269,5 @@ def test_crs_chain_through_hub():
 
 
 def test_unsupported_crs_error_names_families():
-    with pytest.raises(NotImplementedError, match="LCC/Albers/LAEA/CEA/UPS/NZTM"):
+    with pytest.raises(NotImplementedError, match="LCC/Albers/LAEA/CEA/UPS/oblique-"):
         transform_xy(27700, 4326, np.array([0.0]), np.array([0.0]))
