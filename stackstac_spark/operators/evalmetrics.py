@@ -246,8 +246,13 @@ def fleiss_kappa(
             F.lit(n).alias("n_raters"),
             F.round("p_bar", round_to).alias("p_bar"),
             F.round("p_e", round_to).alias("p_e"),
-            F.round(
-                (F.col("p_bar") - F.col("p_e")) / (1.0 - F.col("p_e")), round_to
+            # one universal category ⇒ p_e = 1 and κ is the undefined 0/0 —
+            # emit NULL instead of an ANSI divide-by-zero
+            F.when(
+                F.col("p_e") < 1.0,
+                F.round(
+                    (F.col("p_bar") - F.col("p_e")) / (1.0 - F.col("p_e")), round_to
+                ),
             ).alias("kappa"),
         )
     )

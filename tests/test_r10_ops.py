@@ -171,3 +171,16 @@ def test_cooccurrence_freq_uses_pruned_incidence(spark):
     # weight 2 shared baskets -> cosine 2/sqrt(2*2) = 1.0 exactly
     assert r["weight"] == 2
     assert r["score"] == 1.0
+
+
+def test_fleiss_kappa_single_category_null_not_error(spark):
+    """Universal agreement on ONE category: p_e = 1 and kappa is the
+    undefined 0/0 — must emit NULL, not an ANSI divide-by-zero."""
+    from stackstac_spark.operators.evalmetrics import fleiss_kappa
+
+    labels = spark.createDataFrame(
+        [(i, "yes") for i in range(4) for _ in range(3)], "item long, category string"
+    )
+    row = fleiss_kappa(labels, "item", "category").first()
+    assert row["p_e"] == 1.0 and row["p_bar"] == 1.0
+    assert row["kappa"] is None
