@@ -1599,6 +1599,20 @@ def q_ivf_topk(spark, sf):
 SQL_IVF_TOPK = SQL_SIM_BRUTEFORCE
 
 
+def _kmeans_model(spark, sf):
+    """The fitted k-means model (assignments + centroids), memoized per
+    (session, sf) — the build-once artifact shared by q_kmeans and
+    q_silhouette."""
+    from stackstac_spark.operators.similarity import kmeans_fit
+
+    key = (id(spark), sf)
+    if key not in _KMEANS_CACHE:
+        emb = _t(spark, sf, "embeddings")
+        assigned, cents = kmeans_fit(emb, k=8, iters=2, d2_round=6, cent_round=6)
+        _KMEANS_CACHE[key] = (assigned.localCheckpoint(), cents)
+    return _KMEANS_CACHE[key]
+
+
 def q_kmeans(spark, sf):
     """Distributed Lloyd's k-means over the full corpus
     (operators/similarity.py::kmeans_fit), k=8, 2 update rounds, seeded by
@@ -1608,16 +1622,9 @@ def q_kmeans(spark, sf):
     ITERATIVE algorithm, not a rows-only check."""
     import math
 
-    from stackstac_spark.operators.similarity import kmeans_fit
     from stackstac_spark.session import local_df
 
-    emb = _t(spark, sf, "embeddings")
-    # the fitted model (assignments + centroids) is a build-once artifact
-    key = (id(spark), sf)
-    if key not in _KMEANS_CACHE:
-        assigned, cents = kmeans_fit(emb, k=8, iters=2, d2_round=6, cent_round=6)
-        _KMEANS_CACHE[key] = (assigned.localCheckpoint(), cents)
-    assigned, cents = _KMEANS_CACHE[key]
+    assigned, cents = _kmeans_model(spark, sf)
     norms = [
         (c, round(math.sqrt(sum(v * v for v in cv)), 4)) for c, cv in enumerate(cents)
     ]
@@ -13431,6 +13438,224 @@ r{i} AS (
     )
 
 
+
+
+# --- r10 wave: clustering quality, isotonic calibration, MI, tail index ----
+
+
+def q_silhouette(spark, sf):
+    """Per-cluster simplified silhouette of the k-means fit (operators/
+    similarity.py::silhouette_centroid, Rousseeuw 1987 with centroid
+    distances — the large-N variant): shares the memoized kmeans model
+    (the build-once artifact q_kmeans/q_semdedup use), computes all k
+    point-centroid distances in ONE map-only higher-order expression
+    (fixed fold order, rounded — the nearest_centroid_column replay
+    contract), then one per-cluster rollup. The oracle replays Lloyd's
+    rounds via the shared CTE chain and the same distance arithmetic."""
+    from stackstac_spark.operators.similarity import silhouette_centroid
+
+    assigned, cents = _kmeans_model(spark, sf)
+    sil = silhouette_centroid(assigned, cents)
+    return (
+        sil.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("a"), 6).alias("avg_a"),
+            F.round(F.avg("b"), 6).alias("avg_b"),
+            F.round(F.avg("s"), 6).alias("avg_sil"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def _silhouette_oracle_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    ctes, cfinal = _kmeans_assign_ctes(k, iters, dim)
+    parts = ["WITH " + ctes[0], *ctes[1:]]
+    parts += [
+        "dist AS (",
+        "  SELECT a.vec_id, a.c AS own, s.c AS c,",
+        "         round(sqrt(list_sum(list_transform(",
+        f"           generate_series(1, {dim}),",
+        "           i -> (e.v[i] - s.cv[i]) * (e.v[i] - s.cv[i])))), 6) AS d",
+        f"  FROM afinal a JOIN emb e USING (vec_id) CROSS JOIN {cfinal} s",
+        "),",
+        "per AS (",
+        "  SELECT vec_id, own,",
+        "         min(CASE WHEN c = own THEN d END) AS a,",
+        "         min(CASE WHEN c <> own THEN d END) AS b",
+        "  FROM dist GROUP BY vec_id, own",
+        "),",
+        "sil AS (",
+        "  SELECT own, a, b,",
+        "         CASE WHEN greatest(a, b) > 0",
+        "              THEN round((b - a) / greatest(a, b), 6)",
+        "              WHEN b IS NOT NULL THEN 0.0 END AS s",
+        "  FROM per",
+        ")",
+        "SELECT CAST(own AS INT) AS cluster, count(*) AS n,",
+        "       round(avg(a), 6) AS avg_a, round(avg(b), 6) AS avg_b,",
+        "       round(avg(s), 6) AS avg_sil",
+        "FROM sil GROUP BY own ORDER BY cluster",
+    ]
+    return "\n".join(parts)
+
+
+SQL_SILHOUETTE = _silhouette_oracle_sql()
+
+
+def q_isotonic_calibration(spark, sf):
+    """Isotonic (PAV) calibration of the trained quality classifier
+    (operators/mlfit.py::isotonic_calibrate, Zadrozny & Elkan 2002): the
+    logreg scores bin to 16 equal-width bins (one global min/max agg +
+    one per-bin agg — the corpus pass), PAV pools the bounded bin table
+    driver-side with exact integer sums, and the monotone rates divide +
+    round ENGINE-side. The oracle replays the GD weight chain, the
+    binning, and PAV through the minimax identity
+    max_{j<=i} min_{k>=i} avg(y[j..k]) — no PAV loop in SQL, same exact
+    integer ratios."""
+    from stackstac_spark.operators.mlfit import isotonic_calibrate
+
+    w0, w1, w2 = _logreg_weights(spark, sf)
+    docs = _t(spark, sf, "documents").select(
+        (F.col("n_chars") / 1000.0).alias("f_len"),
+        (F.size(F.split(F.col("text"), " ")) / 100.0).alias("f_words"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+    scored = docs.select(
+        (
+            1.0
+            / (
+                1.0
+                + F.exp(
+                    -(F.lit(w0) + F.col("f_len") * F.lit(w1) + F.col("f_words") * F.lit(w2))
+                )
+            )
+        ).alias("p"),
+        "y",
+    )
+    return isotonic_calibrate(scored, "p", "y", bins=16).orderBy("bin")
+
+
+def _isotonic_oracle_sql(iters: int = 10, lr: float = 0.4, bins: int = 16) -> str:
+    chain = _logreg_oracle_sql(iters=iters, lr=lr, r=6)
+    head = chain[: chain.rindex("SELECT 0 AS step")].rstrip()
+    return (
+        head
+        + f""",
+scored AS MATERIALIZED (
+  SELECT 1.0 / (1.0 + exp(-(w.w0 + f.x1 * w.w1 + f.x2 * w.w2))) AS p, f.y
+  FROM f, w{iters} w
+),
+rng AS (SELECT min(p) AS lo, max(p) AS hi FROM scored),
+binned AS (
+  SELECT CASE WHEN r.hi = r.lo THEN 0
+              ELSE LEAST({bins - 1}, CAST(FLOOR((s.p - r.lo) / ((r.hi - r.lo) / {bins})) AS INT))
+         END AS bin, s.p, s.y
+  FROM scored s CROSS JOIN rng r
+),
+-- MATERIALIZED: every CTE below re-references this bounded bin table;
+-- without the hint DuckDB re-inlines (and re-runs) the whole GD chain
+-- at each reference — measured 589 s vs ~1 s
+sb AS MATERIALIZED (
+  SELECT bin, count(*) AS n, sum(y) AS pos, round(avg(p), 6) AS mean_score
+  FROM binned GROUP BY bin
+),
+ob AS MATERIALIZED (
+  SELECT bin, n, pos, mean_score, row_number() OVER (ORDER BY bin) AS i FROM sb
+),
+cum AS MATERIALIZED (
+  SELECT i, sum(n) OVER (ORDER BY i) AS cn, sum(pos) OVER (ORDER BY i) AS cpos FROM ob
+),
+cum0 AS (SELECT 0 AS i, 0 AS cn, 0.0 AS cpos UNION ALL SELECT i, cn, cpos FROM cum),
+seg AS (
+  SELECT j1.i + 1 AS j, k.i AS k, (k.cpos - j1.cpos) / (k.cn - j1.cn) AS a
+  FROM cum0 j1 JOIN cum k ON k.i > j1.i
+),
+tri AS (
+  SELECT b.i, s.j, min(s.a) AS mn
+  FROM ob b JOIN seg s ON s.j <= b.i AND b.i <= s.k
+  GROUP BY b.i, s.j
+),
+iso AS (SELECT i, max(mn) AS iso FROM tri GROUP BY i)
+SELECT CAST(o.bin AS INT) AS bin, o.n, CAST(o.pos AS DOUBLE) AS pos, o.mean_score,
+       round(o.pos / o.n, 6) AS rate_raw, round(i.iso, 6) AS rate_iso
+FROM ob o JOIN iso i USING (i) ORDER BY bin
+"""
+    )
+
+
+SQL_ISOTONIC_CALIBRATION = _isotonic_oracle_sql()
+
+
+def q_mutual_info(spark, sf):
+    """Mutual information / NMI between the corpus domain and language
+    columns (operators/drift.py::mutual_information, Strehl & Ghosh
+    2002): the confounding audit — how much does knowing the source tell
+    you about the language of a doc? One (source, lang) count aggregate +
+    derived marginals broadcast back + one scalar agg."""
+    from stackstac_spark.operators.drift import mutual_information
+
+    docs = _t(spark, sf, "documents")
+    return mutual_information(docs, "source", "lang")
+
+
+SQL_MUTUAL_INFO = """
+WITH p AS (
+  SELECT source AS x, lang AS y, count(*) AS cxy
+  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+  GROUP BY source, lang
+),
+mx AS (SELECT x, sum(cxy) AS cx FROM p GROUP BY x),
+my AS (SELECT y, sum(cxy) AS cy FROM p GROUP BY y),
+t AS (SELECT sum(cxy) AS nn FROM p),
+j AS (
+  SELECT p.cxy, mx.cx, my.cy, t.nn
+  FROM p JOIN mx USING (x) JOIN my USING (y) CROSS JOIN t
+),
+agg AS (
+  SELECT max(nn) AS n,
+         (SELECT count(*) FROM mx) AS n_x, (SELECT count(*) FROM my) AS n_y,
+         sum((cxy / CAST(nn AS DOUBLE)) * ln(cxy * CAST(nn AS DOUBLE) / (cx * CAST(cy AS DOUBLE)))) AS mi,
+         -sum((cxy / CAST(nn AS DOUBLE)) * ln(cx / CAST(nn AS DOUBLE))) AS hx,
+         -sum((cxy / CAST(nn AS DOUBLE)) * ln(cy / CAST(nn AS DOUBLE))) AS hy
+  FROM j
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(n_x AS BIGINT) AS n_x, CAST(n_y AS BIGINT) AS n_y,
+       round(hx, 6) AS h_x, round(hy, 6) AS h_y, round(mi, 6) AS mi,
+       CASE WHEN hx > 0 AND hy > 0 THEN round(mi / sqrt(hx * hy), 6) END AS nmi
+FROM agg
+"""
+
+
+def q_tail_index(spark, sf):
+    """Hill tail-index of the item-popularity distribution (operators/
+    textstats.py::hill_tail_index, Hill 1975) at k=200: per-part order
+    counts from lineitem (the degree distribution of the co-purchase
+    graph) — the quantitative heavy-tail check next to zipf_slope. One
+    map-side-combined count, one TakeOrdered top-(k+1), one scalar agg.
+    (The documents fixture's ~31-token vocabulary can't fill k=200, so
+    the popularity distribution is the non-degenerate target here; on a
+    real corpus the same operator runs on token counts.)"""
+    from stackstac_spark.operators.textstats import hill_tail_index
+
+    li = _t(spark, sf, "lineitem")
+    counts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return hill_tail_index(counts, "cnt", k=200)
+
+
+SQL_TAIL_INDEX = """
+WITH counts AS (
+  SELECT l_partkey, CAST(count(*) AS DOUBLE) AS cnt FROM lineitem GROUP BY l_partkey
+),
+top AS (SELECT cnt FROM counts WHERE cnt > 0 ORDER BY cnt DESC LIMIT 201),
+agg AS (SELECT count(*) AS m, min(cnt) AS xk1, sum(ln(cnt)) AS slog FROM top)
+SELECT 200 AS k, round(xk1, 6) AS x_tail,
+       CASE WHEN m = 201 AND slog - 201 * ln(xk1) > 0
+            THEN round(200.0 / (slog - 201 * ln(xk1)), 6) END AS hill_alpha
+FROM agg
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- Rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r09,
@@ -13720,6 +13945,12 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "snapped_bounds": (q_snapped_bounds, SQL_SNAPPED_BOUNDS),
     "tile_grid_overlap": (q_tile_grid_overlap, SQL_TILE_GRID_OVERLAP),
     "metadata_allsame": (q_metadata_allsame, SQL_METADATA_ALLSAME),
+    # r10 wave (registered past the window; driver-graded in a later
+    # rotation, CI-mirrored by test_past_window_mirror meanwhile)
+    "silhouette": (q_silhouette, SQL_SILHOUETTE),
+    "isotonic_calibration": (q_isotonic_calibration, SQL_ISOTONIC_CALIBRATION),
+    "mutual_info": (q_mutual_info, SQL_MUTUAL_INFO),
+    "tail_index": (q_tail_index, SQL_TAIL_INDEX),
 }
 
 

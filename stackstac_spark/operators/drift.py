@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["ks_statistic", "psi", "mann_whitney_u"]
+__all__ = ["ks_statistic", "psi", "mann_whitney_u", "mutual_information"]
 
 
 def _const_key_broadcast(small: DataFrame, big: DataFrame) -> DataFrame:
@@ -249,4 +249,66 @@ def mann_whitney_u(
                 round_to,
             ),
         ).alias("z"),
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mutual information between two categorical columns → one row
+    (n, n_x, n_y, h_x, h_y, mi, nmi): MI = Σ p(x,y)·ln(p(x,y)/(p(x)p(y)))
+    in nats, NMI = MI/√(H(x)·H(y)) (Strehl & Ghosh 2002's normalization)
+    — the dependence audit of a training pipeline: "does this feature
+    leak the label?", "is the domain column confounded with language?".
+    NMI is NULL when either marginal entropy is 0 (a constant column
+    carries no information to normalize by).
+
+    Plan: one (x, y) count aggregate (map-side combined — the only pass
+    over the corpus), marginals derived FROM it (tiny), broadcast back on
+    each key, one scalar aggregate. Rows with a NULL in either column are
+    excluded up front (SQL NULL keys don't equi-join; a null category
+    should be made explicit upstream with coalesce if it is meaningful).
+    """
+    pairs = (
+        df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+    )
+    mx = pairs.groupBy("x").agg(F.sum("cxy").alias("cx"))
+    my = pairs.groupBy("y").agg(F.sum("cxy").alias("cy"))
+    tot = pairs.agg(F.sum("cxy").alias("nn")).withColumn("__k", F.lit(1))
+    j = (
+        pairs.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .withColumn("__k", F.lit(1))
+        .join(F.broadcast(tot), "__k")
+    )
+    c = F.col("cxy").cast("double")
+    n = F.col("nn").cast("double")
+    agg = j.agg(
+        F.max("nn").alias("n"),
+        F.count_distinct("x").alias("n_x"),
+        F.count_distinct("y").alias("n_y"),
+        F.sum((c / n) * F.log(c * n / (F.col("cx") * F.col("cy")))).alias("__mi"),
+        (-F.sum((c / n) * F.log(F.col("cx").cast("double") / n))).alias("__hx_w"),
+        (-F.sum((c / n) * F.log(F.col("cy").cast("double") / n))).alias("__hy_w"),
+    )
+    # H(x) summed over the JOINT rows with p(x,y) weights equals the
+    # marginal entropy Σ p(x)·ln p(x) exactly in math; summation order
+    # noise is absorbed by the rounding, same contract as ks/psi above
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_x").cast("long").alias("n_x"),
+        F.col("n_y").cast("long").alias("n_y"),
+        F.round("__hx_w", round_to).alias("h_x"),
+        F.round("__hy_w", round_to).alias("h_y"),
+        F.round("__mi", round_to).alias("mi"),
+        F.when(
+            (F.col("__hx_w") > 0) & (F.col("__hy_w") > 0),
+            F.round(F.col("__mi") / F.sqrt(F.col("__hx_w") * F.col("__hy_w")), round_to),
+        ).alias("nmi"),
     )

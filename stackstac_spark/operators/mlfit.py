@@ -444,3 +444,113 @@ def target_encode(
         )
     )
     return df.join(F.broadcast(enc), [category_col, fold_col], "left")
+
+
+def isotonic_calibrate(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 32,
+    round_to: int = 6,
+) -> DataFrame:
+    """Isotonic (monotone) probability calibration via pool-adjacent-
+    violators over equal-width score bins (Zadrozny & Elkan 2002 — the
+    standard non-parametric calibrator when Platt's sigmoid is too rigid)
+    → one row per NON-EMPTY bin: (bin, n, pos, mean_score, rate_raw,
+    rate_iso) with rate_iso the isotonic fit of the per-bin positive
+    rates weighted by bin counts.
+
+    Scale shape: binning first is what makes isotonic regression a
+    100 TB operator — the corpus pass is ONE global (min, max) aggregate
+    broadcast back plus ONE per-bin aggregate (≤ ``bins`` rows); PAV then
+    runs on the driver over that bounded table (the kmeans-centroid /
+    quantile-bisect driver-plane pattern — state is O(bins), never
+    O(rows)). Exact-replay contract: for 0/1 labels the pooled rates are
+    ratios of exact integer sums, and PAV's pooled block averages equal
+    the minimax identity max_{j<=i} min_{k>=i} avg(y[j..k]) — so an
+    external SQL engine replays rate_iso bit-for-bit from the same bins
+    without implementing PAV.
+    """
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    base = df.select(s.alias("__s"), y.alias("__y")).filter(
+        F.col("__s").isNotNull() & F.col("__y").isNotNull()
+    )
+    rng = base.agg(F.min("__s").alias("lo"), F.max("__s").alias("hi"))
+    binned = (
+        base.withColumn("__k", F.lit(1))
+        .join(F.broadcast(rng.withColumn("__k", F.lit(1))), "__k")
+        .select(
+            F.when(F.col("hi") == F.col("lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(bins - 1),
+                    F.floor(
+                        (F.col("__s") - F.col("lo"))
+                        / ((F.col("hi") - F.col("lo")) / bins)
+                    ).cast("int"),
+                )
+            )
+            .alias("bin"),
+            "__s",
+            "__y",
+        )
+    )
+    stats = (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__y").alias("pos"),
+            F.round(F.avg("__s"), round_to).alias("mean_score"),
+        )
+        .orderBy("bin")
+        .collect()
+    )
+    if not stats:
+        raise ValueError("isotonic_calibrate: no rows with non-null score and label")
+    # PAV over the bounded bin table: pooled blocks carry exact (pos, n)
+    # sums; a block merges with its left neighbor while its rate is lower
+    blocks: list[list] = []  # [pos_sum, n_sum, members]
+    for r in stats:
+        blocks.append([float(r["pos"]), int(r["n"]), [r]])
+        while len(blocks) > 1 and (
+            blocks[-2][0] * blocks[-1][1] >= blocks[-1][0] * blocks[-2][1]
+        ):  # rate[-2] >= rate[-1] via cross-multiplication (exact for ints)
+            p2, n2, m2 = blocks.pop()
+            blocks[-1][0] += p2
+            blocks[-1][1] += n2
+            blocks[-1][2].extend(m2)
+    out = []
+    for pos_sum, n_sum, members in blocks:
+        for r in members:
+            out.append(
+                (
+                    int(r["bin"]),
+                    int(r["n"]),
+                    float(r["pos"]),
+                    float(r["mean_score"]),
+                    pos_sum,
+                    n_sum,
+                )
+            )
+    from stackstac_spark.session import local_df
+
+    raw = local_df(
+        df.sparkSession,
+        sorted(out),
+        "bin INT, n BIGINT, pos DOUBLE, mean_score DOUBLE, "
+        "pos_blk DOUBLE, n_blk BIGINT",
+    )
+    # final division + rounding ENGINE-side (Spark round = HALF_UP =
+    # DuckDB; Python's round() is banker's and diverges at half-boundary
+    # dyadics like 1/128) — the driver only pools exact sums
+    return raw.select(
+        "bin",
+        "n",
+        "pos",
+        "mean_score",
+        F.round(F.col("pos") / F.col("n"), round_to).alias("rate_raw"),
+        F.round(F.col("pos_blk") / F.col("n_blk"), round_to).alias("rate_iso"),
+    )

@@ -1511,3 +1511,69 @@ def centroid_classify(
             (F.col("label") == F.col("tlabel")).alias("correct"),
         )
     )
+
+
+def silhouette_centroid(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    round_to: int = 6,
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per point → (id, cluster,
+    a, b, s): a = distance to the OWN centroid, b = min distance to any
+    OTHER centroid, s = (b − a)/max(a, b) (Rousseeuw 1987's silhouette
+    with the O(N²) pairwise means replaced by centroid distances — the
+    standard large-N variant, sklearn's "simplified silhouette"). The
+    clustering-quality gate after :func:`kmeans_fit`: s near 1 = well
+    separated, near 0 = boundary, negative = probably mis-assigned.
+
+    Plan: the k centroids ride as ONE array<array<double>> literal (the
+    :func:`nearest_centroid_column` pattern); all k distances per point
+    come from a single map-only higher-order expression — a fixed
+    left-to-right fold per centroid, so the IEEE summation order is
+    pinned and an external engine (list_sum over generate_series)
+    replays every rounded distance bit-for-bit. Never a point×point
+    pair, never a shuffle: per-point cost is k·dim inside one projection.
+    """
+    if not centroids:
+        raise ValueError("centroids must be non-empty")
+    cent_sql = "array(" + ", ".join(
+        "array(" + ", ".join(f"{float(v)!r}D" for v in cvec) + ")"
+        for cvec in centroids
+    ) + ")"
+    dsum = (
+        f"aggregate(zip_with({vec_col}, c, (x, cc) -> "
+        f"(CAST(x AS DOUBLE) - cc) * (CAST(x AS DOUBLE) - cc)), 0D, (acc, v) -> acc + v)"
+    )
+    ds = (
+        f"transform({cent_sql}, (c, i) -> named_struct("
+        f"'d', round(sqrt({dsum}), {round_to}), 'idx', i))"
+    )
+    per_pt = assigned.select(
+        F.col(id_col).alias("id"),
+        F.col(cluster_col).cast("int").alias("own"),
+        F.expr(ds).alias("__ds"),
+    ).select(
+        "id",
+        "own",
+        F.expr("element_at(__ds, own + 1).d").alias("a"),
+        F.expr(
+            "array_min(transform(filter(__ds, s -> s.idx != own), s -> s.d))"
+        ).alias("b"),
+    )
+    return per_pt.select(
+        F.col("id").alias(id_col),
+        F.col("own").alias(cluster_col),
+        "a",
+        "b",
+        # identical distances (a=b=0: point ON two coincident centroids)
+        # score 0 by convention; k=1 leaves b NULL and s NULL
+        F.when(
+            F.greatest("a", "b") > 0,
+            F.round((F.col("b") - F.col("a")) / F.greatest("a", "b"), round_to),
+        ).otherwise(
+            F.when(F.col("b").isNotNull(), F.lit(0.0))
+        ).alias("s"),
+    )

@@ -1701,3 +1701,54 @@ def boolean_retrieval(
     if mode == "and":
         hits = hits.filter(F.col("n_terms_hit") == len(terms))
     return hits.orderBy(F.desc("total_tf"), id_col).limit(k)
+
+
+def hill_tail_index(
+    df: DataFrame,
+    value_col: str,
+    k: int = 100,
+    round_to: int = 6,
+) -> DataFrame:
+    """Hill estimator of the power-law tail index over a positive value
+    column (Hill 1975) → one row (k, x_tail, hill_alpha):
+
+        α̂ = k / Σ_{i=1..k} ln(x_(i) / x_(k+1))
+
+    over the k+1 largest values — the quantitative companion to
+    ``zipf_slope``: does this token/degree/doc-length distribution have
+    the heavy tail real corpora do (α ≈ 1-2), or did a generator/bug
+    flatten it? A changed tail index between crawls is a strong drift
+    signal the mean never shows.
+
+    Plan: top-(k+1) by value is one TakeOrdered (no global sort
+    materializes — Spark's sort+limit physical rewrite), then one scalar
+    aggregate over k+1 rows. Ties at the cut are harmless by
+    construction: any top-(k+1) MULTISET is identical when tied values
+    straddle the boundary, and the estimator depends only on the
+    multiset. α is NULL when all k+1 values are equal (zero denominator —
+    no tail to estimate).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    v = F.col(value_col).cast("double")
+    top = (
+        df.select(v.alias("__x"))
+        .filter(F.col("__x") > 0)
+        .orderBy(F.desc("__x"))
+        .limit(k + 1)
+    )
+    agg = top.agg(
+        F.count(F.lit(1)).alias("__m"),
+        F.min("__x").alias("__xk1"),
+        F.sum(F.log("__x")).alias("__slog"),
+    )
+    # Σ_{i<=k} ln x_i − k·ln x_{k+1} = slog − (k+1)·ln(x_{k+1})
+    denom = F.col("__slog") - (k + 1) * F.log("__xk1")
+    return agg.select(
+        F.lit(k).alias("k"),
+        F.round("__xk1", round_to).alias("x_tail"),
+        F.when(
+            (F.col("__m") == k + 1) & (denom > 0),
+            F.round(F.lit(float(k)) / denom, round_to),
+        ).alias("hill_alpha"),
+    )

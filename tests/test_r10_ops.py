@@ -184,3 +184,98 @@ def test_fleiss_kappa_single_category_null_not_error(spark):
     row = fleiss_kappa(labels, "item", "category").first()
     assert row["p_e"] == 1.0 and row["p_bar"] == 1.0
     assert row["kappa"] is None
+
+
+# ---------------------------------------------------------------- r10 wave
+
+
+def test_silhouette_centroid_known_values(spark):
+    from stackstac_spark.operators.similarity import silhouette_centroid
+
+    # two 1-D clusters at 0 and 10; point at 4 assigned to cluster 0
+    rows = [(1, [0.0], 0), (2, [1.0], 0), (3, [10.0], 1), (4, [4.0], 0)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, cluster int")
+    out = {r["vec_id"]: r for r in silhouette_centroid(df, [[0.0], [10.0]]).collect()}
+    assert out[1]["a"] == 0.0 and out[1]["b"] == 10.0 and out[1]["s"] == 1.0
+    assert out[2]["a"] == 1.0 and out[2]["b"] == 9.0 and out[2]["s"] == round(8 / 9, 6)
+    assert out[3]["a"] == 0.0 and out[3]["b"] == 10.0 and out[3]["s"] == 1.0
+    # boundary-ish point: a=4, b=6 -> s = 2/6
+    assert out[4]["s"] == round(2 / 6, 6)
+
+
+def test_silhouette_single_cluster_null(spark):
+    from stackstac_spark.operators.similarity import silhouette_centroid
+
+    df = spark.createDataFrame(
+        [(1, [0.0], 0)], "vec_id long, embedding array<double>, cluster int"
+    )
+    r = silhouette_centroid(df, [[0.0]]).first()
+    assert r["b"] is None and r["s"] is None
+
+
+def test_isotonic_calibrate_pools_violators(spark):
+    from stackstac_spark.operators.mlfit import isotonic_calibrate
+
+    # scores 0..3 (4 bins), rates .0, .8, .2, 1.0 — bins 1,2 violate and
+    # pool to (0.8+0.2)/2 = 0.5 with equal weights
+    rows = []
+    for b, rate in [(0, 0.0), (1, 0.8), (2, 0.2), (3, 1.0)]:
+        rows += [(float(b), 1.0)] * int(rate * 10) + [(float(b), 0.0)] * (
+            10 - int(rate * 10)
+        )
+    df = spark.createDataFrame(rows, "score double, label double")
+    out = {r["bin"]: r for r in isotonic_calibrate(df, "score", "label", bins=4).collect()}
+    assert [out[b]["rate_raw"] for b in range(4)] == [0.0, 0.8, 0.2, 1.0]
+    assert [out[b]["rate_iso"] for b in range(4)] == [0.0, 0.5, 0.5, 1.0]
+    # isotonic output is monotone and mass-preserving per pooled block
+    assert out[1]["n"] == 10 and out[1]["pos"] == 8.0
+
+
+def test_isotonic_already_monotone_unchanged(spark):
+    from stackstac_spark.operators.mlfit import isotonic_calibrate
+
+    rows = [(0.0, 0.0)] * 5 + [(1.0, 0.0), (1.0, 1.0)] + [(2.0, 1.0)] * 5
+    df = spark.createDataFrame(rows, "score double, label double")
+    out = {r["bin"]: r for r in isotonic_calibrate(df, "score", "label", bins=3).collect()}
+    for b in out:
+        assert out[b]["rate_iso"] == out[b]["rate_raw"]
+
+
+def test_mutual_information_independent_and_dependent(spark):
+    from stackstac_spark.operators.drift import mutual_information
+    import math
+
+    # independent: every (x, y) combination equally likely -> MI = 0
+    indep = spark.createDataFrame(
+        [(x, y) for x in "ab" for y in "cd" for _ in range(5)], "x string, y string"
+    )
+    r = mutual_information(indep, "x", "y").first()
+    assert r["mi"] == 0.0 and r["nmi"] == 0.0
+    # deterministic: y == x -> MI = H(x) = ln 2, NMI = 1
+    dep = spark.createDataFrame(
+        [(x, x) for x in "ab" for _ in range(5)], "x string, y string"
+    )
+    r = mutual_information(dep, "x", "y").first()
+    assert r["mi"] == round(math.log(2), 6)
+    assert r["nmi"] == 1.0
+    # constant column -> NMI null, MI 0
+    const = spark.createDataFrame([("a", "c"), ("a", "d")], "x string, y string")
+    r = mutual_information(const, "x", "y").first()
+    assert r["mi"] == 0.0 and r["nmi"] is None
+
+
+def test_hill_tail_index_pareto(spark):
+    import math
+
+    from stackstac_spark.operators.textstats import hill_tail_index
+
+    # exact power-law sample x_i = (i/n)^(-1/alpha) has Hill estimate
+    # alpha-ish; use a tiny exact check instead: values 16,8,4,2 with k=3
+    df = spark.createDataFrame([(16.0,), (8.0,), (4.0,), (2.0,), (1.0,)], "v double")
+    r = hill_tail_index(df, "v", k=3).first()
+    # top-4 = 16,8,4,2; sum ln(x_i/2) over top-3 = ln8+ln4+ln2 = 6 ln2
+    assert r["x_tail"] == 2.0
+    assert r["hill_alpha"] == round(3.0 / (6.0 * math.log(2)), 6)
+    # degenerate: all equal -> null
+    same = spark.createDataFrame([(3.0,)] * 6, "v double")
+    assert hill_tail_index(same, "v", k=4).first()["hill_alpha"] is None
