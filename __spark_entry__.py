@@ -13656,6 +13656,147 @@ FROM agg
 """
 
 
+
+
+def q_label_noise(spark, sf):
+    """Confident-learning label-noise screen (operators/mlfit.py::
+    label_noise_flags, Northcutt 2021): the trained quality classifier's
+    probabilities against the en/not-en labels — rows the model is
+    confidently out-of-class on (labeled 0 with p >= mean p of the 1s,
+    and vice versa) ranked by margin, the re-annotation queue. One
+    2-scalar class-conditional aggregate broadcast back + a map-only
+    flag; thresholds rounded before comparison so the boundary is
+    engine-stable."""
+    from stackstac_spark.operators.mlfit import label_noise_flags
+
+    w0, w1, w2 = _logreg_weights(spark, sf)
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        (
+            1.0
+            / (
+                1.0
+                + F.exp(
+                    -(
+                        F.lit(w0)
+                        + (F.col("n_chars") / 1000.0) * F.lit(w1)
+                        + (F.size(F.split(F.col("text"), " ")) / 100.0) * F.lit(w2)
+                    )
+                )
+            )
+        ).alias("p"),
+    )
+    out = label_noise_flags(docs, "p", "y")
+    return (
+        out.filter("flagged")
+        .select(
+            "doc_id",
+            "y",
+            F.round("p", 6).alias("p"),
+            "t_hi",
+            "t_lo",
+            "noise_margin",
+        )
+        .orderBy(F.desc("noise_margin"), "doc_id")
+        .limit(200)
+    )
+
+
+def _label_noise_oracle_sql(iters: int = 10, lr: float = 0.4) -> str:
+    chain = _logreg_oracle_sql(iters=iters, lr=lr, r=6)
+    head = chain[: chain.rindex("SELECT 0 AS step")].rstrip()
+    return (
+        head
+        + f""",
+sc AS MATERIALIZED (
+  SELECT d.doc_id,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+         1.0 / (1.0 + exp(-(w.w0 + (d.n_chars / 1000.0) * w.w1
+                            + (len(string_split(d.text, ' ')) / 100.0) * w.w2))) AS p
+  FROM documents d, w{iters} w
+),
+thr AS (
+  SELECT round(avg(CASE WHEN y = 1 THEN p END), 6) AS t_hi,
+         round(avg(CASE WHEN y = 0 THEN 1.0 - p END), 6) AS t_lo
+  FROM sc
+),
+flagged AS (
+  SELECT s.doc_id, s.y, s.p, t.t_hi, t.t_lo,
+         CASE WHEN s.y = 0 AND s.p >= t.t_hi THEN s.p - t.t_hi
+              WHEN s.y = 1 AND 1.0 - s.p >= t.t_lo THEN (1.0 - s.p) - t.t_lo
+              ELSE 0.0 END AS margin,
+         (s.y = 0 AND s.p >= t.t_hi) OR (s.y = 1 AND 1.0 - s.p >= t.t_lo) AS is_noise
+  FROM sc s CROSS JOIN thr t
+)
+SELECT doc_id, y, round(p, 6) AS p, t_hi, t_lo, round(margin, 6) AS noise_margin
+FROM flagged WHERE is_noise
+ORDER BY round(margin, 6) DESC, doc_id LIMIT 200
+"""
+    )
+
+
+SQL_LABEL_NOISE = _label_noise_oracle_sql()
+
+
+def q_sax_symbols(spark, sf):
+    """SAX symbolization of per-user event-value series (operators/
+    timeseries.py::sax_symbols, Lin/Keogh 2003): z-normalize per user,
+    PAA to 8 equal-count segments, map to a 4-letter Gaussian-breakpoint
+    alphabet — the series fingerprint / motif-blocking key. One per-user
+    moments agg broadcast back, one user-partitioned rank window, one
+    (user, seg) agg; letters chosen on the ROUNDED paa in both
+    engines."""
+    from stackstac_spark.operators.timeseries import sax_symbols
+
+    ev = _events(spark, sf).filter(F.col("user_id") < 40)
+    series = ev.select(
+        "user_id",
+        # unique, deterministic per-user order key: zero-padded
+        # (ts_us, event_id) concatenation — lexicographic == numeric
+        F.concat(
+            F.lpad(F.col("ts_us").cast("string"), 20, "0"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        ).alias("tk"),
+        F.col("value").alias("v"),
+    )
+    return sax_symbols(
+        series, word_len=8, t_col="tk", value_col="v", keys=["user_id"], alphabet=4
+    )
+
+
+SQL_SAX_SYMBOLS = f"""
+WITH ev AS ({_DUCK_EV}),
+ser AS (
+  SELECT user_id,
+         lpad(CAST(ts_us AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0') AS tk,
+         CAST(value AS DOUBLE) AS v
+  FROM ev WHERE user_id < 40
+),
+st AS (
+  SELECT user_id, sum(v) AS s1, sum(v * v) AS s2, count(v) AS n
+  FROM ser GROUP BY user_id
+),
+zed AS (
+  SELECT s.user_id,
+         CASE WHEN sqrt(greatest(st.s2 / st.n - (st.s1 / st.n) * (st.s1 / st.n), 0.0)) > 0
+              THEN round((s.v - st.s1 / st.n)
+                         / sqrt(greatest(st.s2 / st.n - (st.s1 / st.n) * (st.s1 / st.n), 0.0)), 6)
+              ELSE 0.0 END AS z,
+         CAST(FLOOR((row_number() OVER (PARTITION BY s.user_id ORDER BY s.tk) - 1) * 8.0 / st.n) AS INT) AS seg
+  FROM ser s JOIN st USING (user_id)
+),
+paa AS (
+  SELECT user_id, seg, count(*) AS n_pts, round(avg(z), 6) AS paa
+  FROM zed GROUP BY user_id, seg
+)
+SELECT user_id, seg, n_pts, paa,
+       CASE WHEN paa < -0.67 THEN 'a' WHEN paa < 0.0 THEN 'b'
+            WHEN paa < 0.67 THEN 'c' ELSE 'd' END AS symbol
+FROM paa ORDER BY user_id, seg
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- Rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r09,
@@ -13951,6 +14092,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "isotonic_calibration": (q_isotonic_calibration, SQL_ISOTONIC_CALIBRATION),
     "mutual_info": (q_mutual_info, SQL_MUTUAL_INFO),
     "tail_index": (q_tail_index, SQL_TAIL_INDEX),
+    "label_noise": (q_label_noise, SQL_LABEL_NOISE),
+    "sax_symbols": (q_sax_symbols, SQL_SAX_SYMBOLS),
 }
 
 

@@ -26,7 +26,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["logistic_fit", "naive_bayes_classify", "cusum_changepoints", "conformal_interval", "target_encode"]
+__all__ = [
+    "logistic_fit",
+    "naive_bayes_classify",
+    "cusum_changepoints",
+    "conformal_interval",
+    "target_encode",
+    "isotonic_calibrate",
+    "label_noise_flags",
+]
 
 
 def logistic_fit(
@@ -553,4 +561,51 @@ def isotonic_calibrate(
         "mean_score",
         F.round(F.col("pos") / F.col("n"), round_to).alias("rate_raw"),
         F.round(F.col("pos_blk") / F.col("n_blk"), round_to).alias("rate_iso"),
+    )
+
+
+def label_noise_flags(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Confident-learning label-noise screen for a binary task (Northcutt
+    et al. 2021, the class-conditional threshold form): with t₁ = mean
+    P(y=1) over rows LABELED 1 and t₀ = mean P(y=0) over rows labeled 0,
+    a row is flagged when the model is confidently out-of-class —
+    labeled 0 with p ≥ t₁, or labeled 1 with (1−p) ≥ t₀. The standard
+    pre-training sweep for mislabeled examples in a quality/toxicity/
+    language label set; the flagged set is what goes to re-annotation.
+
+    Returns the input columns + (t_hi, t_lo, noise_margin, flagged).
+    ``noise_margin`` is how far past the class threshold the confident
+    wrong-class probability sits (0 when not flagged).
+
+    Plan: one 2-scalar aggregate over the corpus (the class-conditional
+    means), broadcast back via a literal key, one map-only flag
+    expression — no shuffle of the fact table at any scale.
+    """
+    p = F.col(prob_col).cast("double")
+    y = F.col(label_col).cast("int")
+    # thresholds ROUNDED before any comparison: the class-conditional
+    # means carry last-ulp summation-order noise, and an unrounded
+    # boundary compare could flag a row in one engine and not another
+    thr = df.agg(
+        F.round(F.avg(F.when(y == 1, p)), round_to).alias("t_hi"),
+        F.round(F.avg(F.when(y == 0, 1.0 - p)), round_to).alias("t_lo"),
+    ).withColumn("__k", F.lit(1))
+    out = df.withColumn("__k", F.lit(1)).join(F.broadcast(thr), "__k").drop("__k")
+    flagged = (
+        ((y == 0) & (p >= F.col("t_hi"))) | ((y == 1) & ((1.0 - p) >= F.col("t_lo")))
+    )
+    margin = F.when(
+        (y == 0) & (p >= F.col("t_hi")), p - F.col("t_hi")
+    ).when(
+        (y == 1) & ((1.0 - p) >= F.col("t_lo")), (1.0 - p) - F.col("t_lo")
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "*",
+        flagged.alias("flagged"),
+        F.round(margin, round_to).alias("noise_margin"),
     )

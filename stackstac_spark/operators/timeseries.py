@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["seasonal_decompose"]
+__all__ = ["seasonal_decompose", "sax_symbols"]
 
 
 def seasonal_decompose(
@@ -103,4 +103,86 @@ def seasonal_decompose(
         t_c.alias("trend"),
         s_c.alias("seasonal"),
         r_c.alias("resid"),
+    )
+
+
+# Gaussian equiprobable breakpoints for SAX alphabets 3..6 (Lin et al. 2003
+# Table 3) — literal constants so any engine replays the symbolization.
+_SAX_BREAKPOINTS = {
+    3: [-0.43, 0.43],
+    4: [-0.67, 0.0, 0.67],
+    5: [-0.84, -0.25, 0.25, 0.84],
+    6: [-0.97, -0.43, 0.0, 0.43, 0.97],
+}
+
+
+def sax_symbols(
+    df: DataFrame,
+    word_len: int,
+    t_col: str = "t",
+    value_col: str = "value",
+    keys: list[str] | None = None,
+    alphabet: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """PAA + SAX symbolization of per-key series (Lin/Keogh et al. 2003)
+    → (keys..., seg, n_pts, paa, symbol): each key's series z-normalizes
+    against its OWN mean/std, collapses to ``word_len`` equal-count
+    segments (Piecewise Aggregate Approximation — the mean per segment),
+    and each segment maps to a letter by the Gaussian equiprobable
+    breakpoints — the discretization behind symbolic similarity search,
+    motif/anomaly discovery, and cheap series fingerprints (two series
+    with the same SAX word are candidate near-duplicates: the dedup
+    blocking key for time series).
+
+    Segment index is ``⌊rank·w/n⌋`` from the per-key (t, order) rank —
+    equal-count segments regardless of gaps. Plan: one per-key moments
+    aggregate broadcast back (exact Σv/Σv² — the cusum contract), one
+    key-partitioned rank window, one (key, seg) aggregate; z and paa are
+    rounded so an external engine replays the letter choice (breakpoint
+    comparisons run on the ROUNDED paa). Constant series (sd = 0)
+    z-score to 0 → the middle letter, matching the degenerate-series
+    convention.
+    """
+    if word_len < 1:
+        raise ValueError(f"word_len must be >= 1, got {word_len}")
+    if alphabet not in _SAX_BREAKPOINTS:
+        raise ValueError(
+            f"alphabet must be one of {sorted(_SAX_BREAKPOINTS)}, got {alphabet}"
+        )
+    keys = keys or []
+    v = F.col(value_col).cast("double")
+    stats = df.groupBy(*keys).agg(
+        F.sum(v).alias("__s1"),
+        F.sum(v * v).alias("__s2"),
+        F.count(v).alias("__n"),
+    )
+    mu = F.col("__s1") / F.col("__n")
+    sd = F.sqrt(F.greatest(F.col("__s2") / F.col("__n") - mu * mu, F.lit(0.0)))
+    z = F.when(sd > 0, F.round((v - mu) / sd, round_to)).otherwise(F.lit(0.0))
+    if keys:
+        zed = df.join(F.broadcast(stats), keys)
+        w_rank = Window.partitionBy(*keys).orderBy(F.col(t_col))
+    else:
+        zed = df.withColumn("__k", F.lit(1)).join(
+            F.broadcast(stats.withColumn("__k", F.lit(1))), "__k"
+        )
+        w_rank = Window.partitionBy("__k").orderBy(F.col(t_col))
+    seg = F.floor(
+        (F.row_number().over(w_rank) - 1) * word_len / F.col("__n")
+    ).cast("int")
+    paa = (
+        zed.select(*keys, z.alias("__z"), seg.alias("seg"))
+        .groupBy(*keys, "seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_pts"),
+            F.round(F.avg("__z"), round_to).alias("paa"),
+        )
+    )
+    bps = _SAX_BREAKPOINTS[alphabet]
+    sym = F.lit(chr(ord("a") + len(bps)))
+    for i in range(len(bps) - 1, -1, -1):
+        sym = F.when(F.col("paa") < F.lit(bps[i]), F.lit(chr(ord("a") + i))).otherwise(sym)
+    return paa.select(*keys, "seg", "n_pts", "paa", sym.alias("symbol")).orderBy(
+        *keys, "seg"
     )

@@ -279,3 +279,42 @@ def test_hill_tail_index_pareto(spark):
     # degenerate: all equal -> null
     same = spark.createDataFrame([(3.0,)] * 6, "v double")
     assert hill_tail_index(same, "v", k=4).first()["hill_alpha"] is None
+
+
+def test_label_noise_flags_confident_wrong(spark):
+    from stackstac_spark.operators.mlfit import label_noise_flags
+
+    # 1-labeled rows score high (t_hi ~ 0.9), 0-labeled low (t_lo ~ 0.9)
+    # except one mislabeled row each way
+    rows = (
+        [(i, 0.9, 1) for i in range(10)]
+        + [(100 + i, 0.1, 0) for i in range(10)]
+        + [(500, 0.95, 0), (501, 0.05, 1)]  # confidently mislabeled
+    )
+    df = spark.createDataFrame(rows, "id long, p double, y int")
+    out = {r["id"]: r for r in label_noise_flags(df, "p", "y").collect()}
+    assert out[500]["flagged"] and out[501]["flagged"]
+    assert out[0]["flagged"] is False and out[100]["flagged"] is False
+    assert out[500]["noise_margin"] > 0
+    assert out[0]["noise_margin"] == 0.0
+
+
+def test_sax_symbols_known_series(spark):
+    from stackstac_spark.operators.timeseries import sax_symbols
+
+    # ramp 0..15: z-normalized, 4 segments of 4 points -> strictly
+    # increasing PAA -> letters a, b, c, d
+    rows = [("u", t, float(t)) for t in range(16)]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    out = sax_symbols(df, word_len=4, t_col="t", value_col="v", keys=["k"]).collect()
+    assert [r["seg"] for r in out] == [0, 1, 2, 3]
+    assert [r["n_pts"] for r in out] == [4, 4, 4, 4]
+    paas = [r["paa"] for r in out]
+    assert paas == sorted(paas) and paas[0] < 0 < paas[-1]
+    assert [r["symbol"] for r in out] == ["a", "b", "c", "d"]
+    # constant series -> z = 0 -> middle letter everywhere
+    const = spark.createDataFrame(
+        [("c", t, 5.0) for t in range(8)], "k string, t int, v double"
+    )
+    sym = {r["seg"]: r["symbol"] for r in sax_symbols(const, 4, "t", "v", ["k"]).collect()}
+    assert set(sym.values()) == {"c"}  # paa = 0.0 -> third letter of abcd
