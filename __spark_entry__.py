@@ -13800,6 +13800,64 @@ FROM paa ORDER BY user_id, seg
 """
 
 
+
+
+def q_calibration_error(spark, sf):
+    """Scalar calibration metrics of the trained quality classifier
+    (operators/evalmetrics.py::calibration_error): Brier score + ECE/MCE
+    over 100 fixed probability bins — the one-number companions to the
+    quality_calibration reliability diagram. One per-bin aggregate + one
+    scalar aggregate; acc/conf are exact-sum ratios per bin."""
+    from stackstac_spark.operators.evalmetrics import calibration_error
+
+    w0, w1, w2 = _logreg_weights(spark, sf)
+    scored = _t(spark, sf, "documents").select(
+        (
+            1.0
+            / (
+                1.0
+                + F.exp(
+                    -(
+                        F.lit(w0)
+                        + (F.col("n_chars") / 1000.0) * F.lit(w1)
+                        + (F.size(F.split(F.col("text"), " ")) / 100.0) * F.lit(w2)
+                    )
+                )
+            )
+        ).alias("p"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+    return calibration_error(scored, "p", "y", bins=100)
+
+
+def _calibration_error_oracle_sql(iters: int = 10, lr: float = 0.4, bins: int = 100) -> str:
+    chain = _logreg_oracle_sql(iters=iters, lr=lr, r=6)
+    head = chain[: chain.rindex("SELECT 0 AS step")].rstrip()
+    return (
+        head
+        + f""",
+scored AS MATERIALIZED (
+  SELECT 1.0 / (1.0 + exp(-(w.w0 + f.x1 * w.w1 + f.x2 * w.w2))) AS p, f.y
+  FROM f, w{iters} w
+),
+pb AS (
+  SELECT LEAST({bins - 1}, CAST(FLOOR(p * {bins}) AS INT)) AS b,
+         count(*) AS n, sum(y) AS pos, sum(p) AS conf,
+         sum((p - y) * (p - y)) AS sqs
+  FROM scored GROUP BY 1
+)
+SELECT CAST(sum(n) AS BIGINT) AS n,
+       round(sum(sqs) / sum(n), 6) AS brier,
+       round(sum(abs(pos / n - conf / n) * n) / sum(n), 6) AS ece,
+       round(max(abs(pos / n - conf / n)), 6) AS mce
+FROM pb
+"""
+    )
+
+
+SQL_CALIBRATION_ERROR = _calibration_error_oracle_sql()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- Rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r09,
@@ -14097,6 +14155,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "tail_index": (q_tail_index, SQL_TAIL_INDEX),
     "label_noise": (q_label_noise, SQL_LABEL_NOISE),
     "sax_symbols": (q_sax_symbols, SQL_SAX_SYMBOLS),
+    "calibration_error": (q_calibration_error, SQL_CALIBRATION_ERROR),
 }
 
 

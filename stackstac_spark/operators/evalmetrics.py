@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["roc_auc", "ndcg_at_k", "wilson_rank", "fleiss_kappa"]
+__all__ = ["roc_auc", "ndcg_at_k", "wilson_rank", "fleiss_kappa", "calibration_error"]
 
 
 def roc_auc(
@@ -255,4 +255,51 @@ def fleiss_kappa(
                 ),
             ).alias("kappa"),
         )
+    )
+
+
+def calibration_error(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Scalar calibration quality of a probabilistic classifier → one row
+    (n, brier, ece, mce): the Brier score mean((p−y)²) (Brier 1950), the
+    Expected Calibration Error Σ (n_b/N)·|acc_b − conf_b| over ``bins``
+    equal-width probability bins, and the Maximum Calibration Error
+    max_b |acc_b − conf_b| (Naeini et al. 2015; Guo et al. 2017's
+    standard reporting pair) — the one-number companions to the
+    reliability-diagram gate: "is this quality/toxicity filter's 0.9
+    actually a 0.9?".
+
+    Bins are FIXED [0,1] equal-width (probability domain — no data-
+    dependent range), p = 1.0 clamps into the top bin. Plan: one per-bin
+    aggregate over the corpus (map-side combined) + one ≤``bins``-row
+    scalar aggregate; acc/conf are ratios of exact sums per bin, so an
+    external engine replays every term.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    p = F.col(prob_col).cast("double")
+    y = F.col(label_col).cast("double")
+    binned = df.select(
+        F.least(F.lit(bins - 1), F.floor(p * bins).cast("int")).alias("__b"),
+        p.alias("__p"),
+        y.alias("__y"),
+        ((p - y) * (p - y)).alias("__sq"),
+    )
+    per_bin = binned.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__y").alias("__pos"),
+        F.sum("__p").alias("__conf"),
+        F.sum("__sq").alias("__sqs"),
+    )
+    gap = F.abs(F.col("__pos") / F.col("__n") - F.col("__conf") / F.col("__n"))
+    return per_bin.agg(
+        F.sum("__n").cast("long").alias("n"),
+        F.round(F.sum("__sqs") / F.sum("__n"), round_to).alias("brier"),
+        F.round(F.sum(gap * F.col("__n")) / F.sum("__n"), round_to).alias("ece"),
+        F.round(F.max(gap), round_to).alias("mce"),
     )

@@ -318,3 +318,21 @@ def test_sax_symbols_known_series(spark):
     )
     sym = {r["seg"]: r["symbol"] for r in sax_symbols(const, 4, "t", "v", ["k"]).collect()}
     assert set(sym.values()) == {"c"}  # paa = 0.0 -> third letter of abcd
+
+
+def test_calibration_error_known_values(spark):
+    from stackstac_spark.operators.evalmetrics import calibration_error
+
+    # two bins: p=0.2 with 25% positives, p=0.8 with 75% positives
+    rows = [(0.2, 1.0)] * 1 + [(0.2, 0.0)] * 3 + [(0.8, 1.0)] * 3 + [(0.8, 0.0)] * 1
+    df = spark.createDataFrame(rows, "p double, y double")
+    r = calibration_error(df, "p", "y", bins=10).first()
+    assert r["n"] == 8
+    # each bin gap = |0.25-0.2| = |0.75-0.8| = 0.05
+    assert r["ece"] == 0.05 and r["mce"] == 0.05
+    # brier = mean over (p-y)^2: (0.64 + 3*0.04 + 3*0.04 + 0.64)/8
+    assert r["brier"] == round((0.64 + 0.04 * 3 + 0.04 * 3 + 0.64) / 8, 6)
+    # perfectly calibrated degenerate case: p == y exactly
+    perf = spark.createDataFrame([(1.0, 1.0), (0.0, 0.0)], "p double, y double")
+    r2 = calibration_error(perf, "p", "y").first()
+    assert r2["brier"] == 0.0 and r2["ece"] == 0.0 and r2["mce"] == 0.0
