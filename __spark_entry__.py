@@ -13870,8 +13870,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- check — their value content is pinned by bpe_pair_counts, the
     # --- sessionize batch twin, and pytest parity). Slots 22-50 are 29 of
     # --- the 46 stalest greens (last driver row: r5). After this window
-    # --- lands, every one of the 267 registry entries has at least one
-    # --- green driver CORRECTNESS row. The remaining 17 r5-stale entries
+    # --- lands, every one of the then-267 registry entries has at least
+    # --- one green driver CORRECTNESS row (the 7 r10-wave additions
+    # --- registered PAST the window await a later rotation, CI-mirrored
+    # --- meanwhile). The remaining 17 r5-stale entries
     # --- (pool_embeddings .. abtt) head the post-window section -> they lead
     # --- the r11 window. Everything below the window stays hash-checked
     # --- every CI run by tests/test_past_window_mirror.py +

@@ -285,7 +285,11 @@ def calibration_error(
     p = F.col(prob_col).cast("double")
     y = F.col(label_col).cast("double")
     binned = df.select(
-        F.least(F.lit(bins - 1), F.floor(p * bins).cast("int")).alias("__b"),
+        # clamp BOTH ends (the psi pattern): p outside [0,1] is caller
+        # error, but it should land in an edge bin, not a phantom one
+        F.greatest(
+            F.lit(0), F.least(F.lit(bins - 1), F.floor(p * bins).cast("int"))
+        ).alias("__b"),
         p.alias("__p"),
         y.alias("__y"),
         ((p - y) * (p - y)).alias("__sq"),
