@@ -100,7 +100,9 @@ def test_jaro_winkler_pairs_guard_passthrough(spark):
 def test_evalmetrics_all_exports():
     import stackstac_spark.operators.evalmetrics as m
 
-    assert m.__all__ == ["roc_auc", "ndcg_at_k", "wilson_rank", "fleiss_kappa"]
+    assert m.__all__ == [
+        "roc_auc", "ndcg_at_k", "wilson_rank", "fleiss_kappa", "calibration_error",
+    ]
     for name in m.__all__:
         assert hasattr(m, name), name
 
