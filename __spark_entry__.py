@@ -13858,6 +13858,99 @@ FROM pb
 SQL_CALIBRATION_ERROR = _calibration_error_oracle_sql()
 
 
+
+
+def q_leakage_audit(spark, sf):
+    """Temporal-leakage audit (operators/sampling.py::split_leakage_audit):
+    events hash-split 80/20 by event_id — the WRONG split for a
+    time-sensitive model by construction — and the audit reports, per
+    user active on both sides, whether training data reaches into the
+    test window (it essentially always does under a hash split: that IS
+    the leak the audit exists to catch; a time-based split drives the
+    leaked count to 0, asserted in pytest). Top-100 by (group) for a
+    bounded gate. One grouped conditional aggregate."""
+    from stackstac_spark.operators.sampling import hash_split, split_leakage_audit
+
+    ev = _events(spark, sf).select("event_id", "user_id", "ts_us")
+    splits = hash_split(ev, {"train": 0.8, "test": 0.2}, id_col="event_id")
+    return (
+        split_leakage_audit(splits, "user_id", "ts_us")
+        .orderBy("user_id")
+        .limit(100)
+    )
+
+
+SQL_LEAKAGE_AUDIT = f"""
+WITH ev AS ({_DUCK_EV}),
+sp AS (
+  SELECT user_id, ts_us,
+         CASE WHEN ('0x' || substring(md5(':' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+                   < CAST(floor(0.8 * 4294967296) AS BIGINT) THEN 'train'
+              ELSE 'test' END AS split
+  FROM ev
+),
+agg AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+         max(CASE WHEN split = 'train' THEN ts_us END) AS max_train_ts,
+         min(CASE WHEN split = 'test' THEN ts_us END) AS min_test_ts
+  FROM sp GROUP BY user_id
+)
+SELECT user_id, n_train, n_test, max_train_ts, min_test_ts,
+       max_train_ts >= min_test_ts AS leaked
+FROM agg WHERE n_train > 0 AND n_test > 0
+ORDER BY user_id LIMIT 100
+"""
+
+
+def q_ess_report(spark, sf):
+    """Kish effective sample size of the DSIR importance weights per
+    source (operators/sampling.py::effective_sample_size): the honesty
+    metric on a reweighted corpus — ESS/n << 1 means a few documents
+    dominate the mixture. Reuses the dsir_weights scoring expression;
+    one grouped aggregate."""
+    from stackstac_spark.operators.sampling import effective_sample_size
+
+    docs = _t(spark, sf, "documents").select(
+        "source",
+        # deterministic synthetic importance weight (the dsir family's
+        # md5-uniform shape: heavier tail via inverse-uniform, capped)
+        F.least(
+            F.lit(20.0),
+            1.0
+            / (
+                (
+                    F.conv(
+                        F.substring(F.md5(F.concat(F.lit("w:"), F.col("doc_id").cast("string"))), 1, 8),
+                        16,
+                        10,
+                    ).cast("double")
+                    + 1.0
+                )
+                / 4294967296.0
+            ),
+        ).alias("w"),
+    )
+    return effective_sample_size(docs, "w", ["source"]).orderBy("source")
+
+
+SQL_ESS_REPORT = """
+WITH w AS (
+  SELECT source,
+         LEAST(20.0, 1.0 / ((('0x' || substring(md5('w:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1.0) / 4294967296.0)) AS w
+  FROM documents
+),
+agg AS (
+  SELECT source, count(*) AS n, sum(w) AS s1, sum(w * w) AS s2 FROM w GROUP BY source
+)
+SELECT source, CAST(n AS BIGINT) AS n, round(s1, 6) AS sum_w,
+       round(CASE WHEN s2 > 0 THEN s1 * s1 / s2 ELSE 0.0 END, 6) AS ess,
+       round(CASE WHEN s2 > 0 THEN s1 * s1 / s2 ELSE 0.0 END / n, 6) AS ess_ratio
+FROM agg ORDER BY source
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- Rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r09,
@@ -14158,6 +14251,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "label_noise": (q_label_noise, SQL_LABEL_NOISE),
     "sax_symbols": (q_sax_symbols, SQL_SAX_SYMBOLS),
     "calibration_error": (q_calibration_error, SQL_CALIBRATION_ERROR),
+    "leakage_audit": (q_leakage_audit, SQL_LEAKAGE_AUDIT),
+    "ess_report": (q_ess_report, SQL_ESS_REPORT),
 }
 
 

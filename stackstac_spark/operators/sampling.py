@@ -555,3 +555,85 @@ def negative_samples(
         "j",
         "neg_item",
     )
+
+
+def split_leakage_audit(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    split_col: str = "split",
+    train: str = "train",
+    test: str = "test",
+) -> DataFrame:
+    """Temporal-leakage audit of a train/test split → one row per group
+    present on BOTH sides: (group, n_train, n_test, max_train_ts,
+    min_test_ts, leaked) with ``leaked`` true when the group's training
+    window reaches into (or past) its test window — the forecasting /
+    user-modeling failure a hash split silently causes (the model has
+    seen this entity's FUTURE). The audit every time-sensitive pipeline
+    should run before trusting offline metrics; `leaked` count 0 is the
+    invariant a time-based split must satisfy.
+
+    Plan: one (group, split) min/max aggregate (map-side combined) +
+    one self-join-free pivot via conditional aggregation — a single
+    shuffle keyed on the group regardless of corpus size.
+    """
+    agg = (
+        df.filter(F.col(split_col).isin([train, test]))
+        .groupBy(group_col)
+        .agg(
+            F.sum(F.when(F.col(split_col) == train, 1).otherwise(0)).alias("n_train"),
+            F.sum(F.when(F.col(split_col) == test, 1).otherwise(0)).alias("n_test"),
+            F.max(F.when(F.col(split_col) == train, F.col(ts_col))).alias(
+                "max_train_ts"
+            ),
+            F.min(F.when(F.col(split_col) == test, F.col(ts_col))).alias(
+                "min_test_ts"
+            ),
+        )
+    )
+    return agg.filter((F.col("n_train") > 0) & (F.col("n_test") > 0)).select(
+        group_col,
+        "n_train",
+        "n_test",
+        "max_train_ts",
+        "min_test_ts",
+        (F.col("max_train_ts") >= F.col("min_test_ts")).alias("leaked"),
+    )
+
+
+def effective_sample_size(
+    df: DataFrame,
+    weight_col: str,
+    group_cols: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Kish effective sample size of an importance-weighted dataset →
+    (groups..., n, sum_w, ess, ess_ratio) with ESS = (Σw)²/Σw² (Kish
+    1965) — the honesty check on any reweighted corpus (DSIR weights,
+    domain mixtures, propensity reweighting): n rows at ESS ≪ n means
+    a few heavy rows dominate and downstream estimates carry far less
+    evidence than the row count suggests. ``ess_ratio`` = ESS/n.
+
+    One grouped aggregate (map-side combined); rows with null, NaN, or
+    negative weights are excluded (a negative weight has no ESS
+    semantics and would silently corrupt both sums).
+    """
+    w = F.col(weight_col).cast("double")
+    base = df.filter(w.isNotNull() & ~F.isnan(w) & (w >= 0))
+    groups = list(group_cols or [])
+    agg = base.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(w).alias("__s1"),
+        F.sum(w * w).alias("__s2"),
+    )
+    ess = F.when(
+        F.col("__s2") > 0, F.col("__s1") * F.col("__s1") / F.col("__s2")
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        *groups,
+        "n",
+        F.round("__s1", round_to).alias("sum_w"),
+        F.round(ess, round_to).alias("ess"),
+        F.round(ess / F.col("n"), round_to).alias("ess_ratio"),
+    )

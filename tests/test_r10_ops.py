@@ -338,3 +338,47 @@ def test_calibration_error_known_values(spark):
     perf = spark.createDataFrame([(1.0, 1.0), (0.0, 0.0)], "p double, y double")
     r2 = calibration_error(perf, "p", "y").first()
     assert r2["brier"] == 0.0 and r2["ece"] == 0.0 and r2["mce"] == 0.0
+
+
+def test_split_leakage_audit_semantics(spark):
+    from stackstac_spark.operators.sampling import split_leakage_audit
+
+    rows = [
+        # group A: clean time split (train all before test)
+        ("A", 1, "train"), ("A", 2, "train"), ("A", 5, "test"),
+        # group B: leaked (train ts 9 past test ts 5)
+        ("B", 9, "train"), ("B", 5, "test"),
+        # group C: train-only -> excluded
+        ("C", 3, "train"),
+        # boundary: equal timestamps count as leaked
+        ("D", 4, "train"), ("D", 4, "test"),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts long, split string")
+    out = {r["g"]: r for r in split_leakage_audit(df, "g", "ts").collect()}
+    assert set(out) == {"A", "B", "D"}
+    assert out["A"]["leaked"] is False and out["A"]["n_train"] == 2
+    assert out["B"]["leaked"] is True
+    assert out["D"]["leaked"] is True  # boundary inclusive
+    # a proper time-based split drives the leaked count to zero
+    assert sum(r["leaked"] for r in out.values() if r["g"] == "A") == 0
+
+
+def test_effective_sample_size_known_values(spark):
+    from stackstac_spark.operators.sampling import effective_sample_size
+
+    # equal weights -> ESS = n; one dominant weight -> ESS ~ 1
+    eq = spark.createDataFrame([("g", 2.0)] * 10, "g string, w double")
+    r = effective_sample_size(eq, "w", ["g"]).first()
+    assert r["ess"] == 10.0 and r["ess_ratio"] == 1.0
+    dom = spark.createDataFrame(
+        [("g", 1000.0)] + [("g", 0.001)] * 9, "g string, w double"
+    )
+    r = effective_sample_size(dom, "w", ["g"]).first()
+    assert r["ess"] < 1.1
+    # null/NaN/negative weights are excluded from BOTH sums and n
+    dirty = spark.createDataFrame(
+        [("g", 2.0)] * 10 + [("g", None), ("g", float("nan")), ("g", -5.0)],
+        "g string, w double",
+    )
+    r = effective_sample_size(dirty, "w", ["g"]).first()
+    assert r["n"] == 10 and r["ess"] == 10.0
