@@ -13964,7 +13964,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- sessionize batch twin, and pytest parity). Slots 22-50 are 29 of
     # --- the 46 stalest greens (last driver row: r5). After this window
     # --- lands, every one of the then-267 registry entries has at least
-    # --- one green driver CORRECTNESS row (the 7 r10-wave additions
+    # --- one green driver CORRECTNESS row (the 9 r10-wave additions
     # --- registered PAST the window await a later rotation, CI-mirrored
     # --- meanwhile). The remaining 17 r5-stale entries
     # --- (pool_embeddings .. abtt) head the post-window section -> they lead
