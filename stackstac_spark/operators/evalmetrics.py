@@ -284,7 +284,16 @@ def calibration_error(
         raise ValueError(f"bins must be >= 1, got {bins}")
     p = F.col(prob_col).cast("double")
     y = F.col(label_col).cast("double")
-    binned = df.select(
+    # Null/NaN p or y rows are unscorable: floor(null*bins) is null and
+    # greatest/least SKIP nulls, so a null p would land in the TOP bin
+    # (inflating its n while contributing nothing to conf/pos), and a null
+    # y would count toward __n while sum(__y) skips it — silently skewing
+    # brier/ece/mce. Calibration is defined over scored rows only; drop
+    # the rest up front (the conformal_interval contract).
+    scored = df.filter(
+        p.isNotNull() & ~F.isnan(p) & y.isNotNull() & ~F.isnan(y)
+    )
+    binned = scored.select(
         # clamp BOTH ends (the psi pattern): p outside [0,1] is caller
         # error, but it should land in an edge bin, not a phantom one
         F.greatest(

@@ -606,6 +606,11 @@ def label_noise_flags(
     ).otherwise(F.lit(0.0))
     return out.select(
         "*",
-        flagged.alias("flagged"),
+        # When one class is absent from the calibration set (or p is null)
+        # t_hi/t_lo is NULL and the comparison yields SQL NULL, not false —
+        # three-valued logic that breaks consumers using ~flagged or
+        # treating the column as boolean-complete. A row that cannot be
+        # judged is not flagged: coalesce to false.
+        F.coalesce(flagged, F.lit(False)).alias("flagged"),
         F.round(margin, round_to).alias("noise_margin"),
     )

@@ -1733,7 +1733,11 @@ def hill_tail_index(
     v = F.col(value_col).cast("double")
     top = (
         df.select(v.alias("__x"))
-        .filter(F.col("__x") > 0)
+        # Spark's total ordering puts NaN ABOVE every number, so NaN passes
+        # __x > 0 AND sorts to the top of the descending limit — poisoning
+        # slog and x_tail (denom NaN, and NaN > 0 is true under Spark NaN
+        # ordering, so hill_alpha would be NaN instead of NULL). Exclude it.
+        .filter((F.col("__x") > 0) & ~F.isnan("__x"))
         .orderBy(F.desc("__x"))
         .limit(k + 1)
     )

@@ -152,6 +152,14 @@ def sax_symbols(
         )
     keys = keys or []
     v = F.col(value_col).cast("double")
+    # Null-value rows are ranked by the row_number window but skipped by
+    # count(v), so seg = floor((rn-1)*w/n) could reach or exceed word_len
+    # (phantom segments) and shift boundaries for the real points. Null-t
+    # rows have no defined rank position. Drop both so rn and __n count
+    # the same row set.
+    df = df.filter(
+        v.isNotNull() & ~F.isnan(v) & F.col(t_col).isNotNull()
+    )
     stats = df.groupBy(*keys).agg(
         F.sum(v).alias("__s1"),
         F.sum(v * v).alias("__s2"),
