@@ -2468,9 +2468,10 @@ def q_stream_sessions(spark, sf):
     exceeds 7 days. Deterministic closed-form fixture: collection 'a'
     receives 3 items spanning one 7-day gap (2 sessions), 'b' one item —
     asserted in-gate along with the state having crossed batches (the
-    second drop UPDATES counts seeded by the first). Rows-only by nature
-    (iterative/stateful; the batch analogue `sessionize` is the
-    hash-matched relative). Memoized per session like stream_scenes —
+    second drop UPDATES counts seeded by the first). Hash-matched against
+    SQL_STREAM_SESSIONS (r11): a gaps-and-islands replay of the same
+    static item feed through the gap rule (the batch analogue `sessionize`
+    covers the corpus-scale shape). Memoized per session like stream_scenes —
     micro-batch machinery is one-time cost, visible in first_call_s."""
     import json
     import os
@@ -8815,15 +8816,106 @@ ORDER BY cnt DESC, "left", "right" LIMIT 200
 """
 
 
+def _duck_bpe_ctes(n_merges: int = 12) -> str:
+    """Shared DuckDB CTE chain replaying bpe_train's merge loop exactly —
+    the unrolled-iteration oracle pattern (like _duck_pers_pagerank_sql).
+
+    Symbol sequences ride a DOUBLE-separator string encoding: a word's
+    symbols render as ``||s1||s2||…||▁||``. One leftmost-greedy merge pass
+    of (L, R) is then literally ``replace(rep, '|L||R|', '|LR|')``: the
+    pattern consumes ONE separator from each side, so every boundary keeps
+    a '|' for its neighbor and adjacent merges still fire ("a a a a" →
+    "aa aa"), while the fused token — scanned past by replace — can never
+    re-merge within the pass. That is exactly bpe_merge_pass's fold
+    contract (operators/bpe.py:80-103). Corpus words verified free of '|'
+    and '▁' at every graded SF. Every stage is MATERIALIZED: w_k is
+    referenced by both p_{k+1} and w_{k+1}, and DuckDB inlines
+    non-materialized CTEs at every reference (exponential replay
+    otherwise)."""
+    parts = [
+        """words AS MATERIALIZED (
+  SELECT w AS word, count(*) AS freq
+  FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(w)
+  WHERE w <> '' GROUP BY w
+),
+w0 AS MATERIALIZED (
+  SELECT word, freq,
+         '||' || regexp_replace(word, '(.)', '\\1||', 'g') || '▁||' AS rep
+  FROM words
+)"""
+    ]
+    for k in range(1, n_merges + 1):
+        prev = f"w{k - 1}"
+        parts.append(
+            f"""p{k} AS MATERIALIZED (
+  SELECT lst[i] AS l, lst[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT freq, string_split(rep, '||') AS lst FROM {prev}),
+       unnest(generate_series(2, len(lst) - 2)) AS g(i)
+  GROUP BY l, r
+),
+b{k} AS MATERIALIZED (
+  SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1
+),
+w{k} AS MATERIALIZED (
+  SELECT word, freq,
+         replace(rep, '|' || b.l || '||' || b.r || '|',
+                 '|' || b.l || b.r || '|') AS rep
+  FROM {prev}, b{k} b
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def _duck_bpe_merges_sql(n_merges: int = 12) -> str:
+    steps = " UNION ALL ".join(
+        f'SELECT CAST({k - 1} AS INTEGER) AS step, l AS "left", r AS "right", '
+        f"l || r AS merged, cnt FROM b{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return f"WITH {_duck_bpe_ctes(n_merges)}\nSELECT * FROM ({steps}) ORDER BY step"
+
+
+def _duck_bpe_encode_sql(n_merges: int = 12) -> str:
+    """Replay encode over the distinct-word dictionary: the final w12 rep
+    IS each word's token sequence (bpe_encode replays the same merges in
+    the same order on the same char-split start state), so n_tokens joins
+    from the dictionary and the value-carried token_key replays
+    md5(concat_ws('\\x01', tokens)) — tokens of each word joined by
+    chr(1), and words joined by the same chr(1) in document word order
+    (flatten inserts no extra separator beyond concat_ws's own)."""
+    toks = "list_filter(string_split(rep, '||'), x -> x <> '')"
+    return f"""WITH {_duck_bpe_ctes(n_merges)},
+tok AS MATERIALIZED (
+  SELECT word, len({toks}) AS n_toks,
+         array_to_string({toks}, chr(1)) AS tok_str
+  FROM w{n_merges}
+),
+docw AS (
+  SELECT doc_id, i, l[i] AS word
+  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS l FROM documents),
+       unnest(generate_series(1, len(l))) AS g(i)
+  WHERE l[i] <> ''
+)
+SELECT d.doc_id,
+       CAST(sum(t.n_toks) AS INTEGER) AS n_tokens,
+       md5(string_agg(t.tok_str, chr(1) ORDER BY d.i)) AS token_key
+FROM docw d JOIN tok t USING (word)
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def q_bpe_merges(spark, sf):
     """Full BPE vocabulary induction (operators/bpe.py::bpe_train): 12
     merges learned from the documents corpus — per step one weighted
     pair-count groupBy + a native leftmost-greedy array fold (F.expr
-    aggregate lambda, zero Python UDFs). Iterative/driver-loop algorithm →
-    rows-only gate (like kmeans/pagerank); exactness vs a pure-Python
-    reference implementation is pinned in tests/test_bpe.py. The learned
-    merge table is memoized per (session, sf) — a tokenizer is trained once
-    and shipped; the cold 12-iteration cost shows in first_call_s."""
+    aggregate lambda, zero Python UDFs). The driver loop is replayed
+    exactly by an unrolled 12-stage DuckDB CTE chain (_duck_bpe_ctes —
+    r11, closing the last no_oracle gates); exactness vs a pure-Python
+    reference implementation is additionally pinned in tests/test_bpe.py.
+    The learned merge table is memoized per (session, sf) — a tokenizer is
+    trained once and shipped; the cold 12-iteration cost shows in
+    first_call_s."""
     from stackstac_spark.operators.bpe import bpe_train, merges_df
 
     key = (id(spark), sf)
@@ -8844,9 +8936,10 @@ def q_bpe_encode(spark, sf):
     assembles per-document token sequences — the corpus is never folded
     row-by-row. Uses the same memoized merges as bpe_merges; emits
     (doc_id, n_tokens, token_key) so the full sequence is value-carried.
-    Rows-only (the merge table is learned, and replaying train+encode in
-    SQL is out of scope); train/encode exactness vs a pure-Python
-    reference is pinned in tests/test_bpe.py."""
+    Hash-matched against _duck_bpe_encode_sql (r11): the unrolled CTE
+    chain re-learns the merges and replays them over the word dictionary;
+    train/encode exactness vs a pure-Python reference is additionally
+    pinned in tests/test_bpe.py."""
     from stackstac_spark.operators.bpe import bpe_encode
 
     q_bpe_merges(spark, sf)  # ensure merges are learned + memoized
@@ -8858,6 +8951,36 @@ def q_bpe_encode(spark, sf):
         F.size("tokens").alias("n_tokens"),
         F.md5(F.concat_ws("", "tokens")).alias("token_key"),
     ).orderBy("doc_id")
+
+
+SQL_BPE_MERGES = _duck_bpe_merges_sql()
+SQL_BPE_ENCODE = _duck_bpe_encode_sql()
+
+
+SQL_STREAM_SESSIONS = """
+-- Gaps-and-islands replay of the stream_sessions gate: the gate feeds a
+-- FIXED two-drop JSONL fixture (sf-independent by design -- see
+-- q_stream_sessions) through a live applyInPandasWithState query; this
+-- oracle pushes the same static item feed through the session rule
+-- (new session when the gap between consecutive datetimes strictly
+-- exceeds 7 days -- ingest.py::sessionized_item_counts gap_us compare).
+WITH items(collection, dt) AS (
+  VALUES ('a', TIMESTAMP '2024-01-01 00:00:00'),
+         ('a', TIMESTAMP '2024-01-03 00:00:00'),
+         ('b', TIMESTAMP '2024-01-02 00:00:00'),
+         ('a', TIMESTAMP '2024-02-01 00:00:00')
+),
+lagged AS (
+  SELECT collection, dt,
+         lag(dt) OVER (PARTITION BY collection ORDER BY dt) AS prev
+  FROM items
+)
+SELECT collection,
+       CAST(sum(CASE WHEN prev IS NULL OR dt - prev > INTERVAL 7 DAY
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lagged GROUP BY collection ORDER BY collection
+"""
 
 
 # --------------------------------------------------------------- r8 wave:
@@ -13951,26 +14074,526 @@ FROM agg ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# r11 wave: eval-metric completions (PR-AUC, Cohen's kappa, McNemar, binned
+# ROC), rank/association drift (Spearman, Jensen-Shannon, Cramér's V),
+# corpus coverage (Chao1, Good-Turing), graph mixing (degree assortativity).
+
+
+def q_avg_precision(spark, sf):
+    """Average precision / PR-AUC per source (operators/evalmetrics.py::
+    average_precision, sklearn's step form): same deterministic
+    label-shifted classifier fixture as roc_auc — the PR curve is the
+    imbalance-honest companion the eval harness reports next to AUC.
+    One per-(source, distinct score) aggregate + one descending in-group
+    cumulative window + one agg."""
+    from stackstac_spark.operators.evalmetrics import average_precision
+
+    docs = _t(spark, sf, "documents").select(
+        "source",
+        (((F.col("doc_id") * 37) % 199) / 199.0
+         + F.when(F.col("doc_id") % 3 == 0, 0.15).otherwise(0.0)).alias("score"),
+        (F.col("doc_id") % 3 == 0).cast("int").alias("label"),
+    )
+    return average_precision(docs, "score", "label", ["source"]).orderBy("source")
+
+
+SQL_AVG_PRECISION = """
+WITH scored AS (
+  SELECT source,
+         ((doc_id * 37) % 199) / 199.0
+           + CASE WHEN doc_id % 3 = 0 THEN 0.15 ELSE 0.0 END AS s,
+         CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+per_score AS (
+  SELECT source, s, sum(y) AS p, sum(1 - y) AS n
+  FROM scored GROUP BY source, s
+),
+cum AS (
+  SELECT source, p, n,
+         sum(p) OVER (PARTITION BY source ORDER BY s DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_p,
+         sum(p + n) OVER (PARTITION BY source ORDER BY s DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_t
+  FROM per_score
+)
+SELECT source, CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(n) AS BIGINT) AS n_neg,
+       CASE WHEN sum(p) > 0
+            THEN round(sum(p * cum_p / cum_t) / sum(p), 6) END AS ap
+FROM cum GROUP BY source ORDER BY source
+"""
+
+
+def q_roc_auc_binned(spark, sf):
+    """Binned ROC-AUC (roc_auc's r11 ``bins=`` scale mode, closing the r10
+    verdict's exact-mode headroom flag): a genuinely CONTINUOUS md5-uniform
+    score (distinct ≈ rows — exactly the input the exact mode's
+    max_distinct guard now refuses) collapses to 64 equal-width per-source
+    bins before the rank window, so the window input is ≤ 64 rows per
+    group at ANY corpus size. Label shift keeps AUC strictly inside
+    (0.5, 1)."""
+    from stackstac_spark.operators.evalmetrics import roc_auc
+
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("r:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / 4294967296.0
+    )
+    docs = _t(spark, sf, "documents").select(
+        "source",
+        (u + F.when(F.col("doc_id") % 5 == 0, 0.25).otherwise(0.0)).alias("score"),
+        (F.col("doc_id") % 5 == 0).cast("int").alias("label"),
+    )
+    return roc_auc(docs, "score", "label", ["source"], bins=64).orderBy("source")
+
+
+SQL_ROC_AUC_BINNED = """
+WITH scored AS (
+  SELECT source,
+         ('0x' || substring(md5('r:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0
+           + CASE WHEN doc_id % 5 = 0 THEN 0.25 ELSE 0.0 END AS s,
+         CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+rng AS (SELECT source, min(s) AS lo, max(s) AS hi FROM scored GROUP BY source),
+binned AS (
+  SELECT sc.source,
+         CAST(CASE WHEN r.hi > r.lo
+                   THEN least(63, floor((sc.s - r.lo) / (r.hi - r.lo) * 64))
+                   ELSE 0 END AS DOUBLE) AS s,
+         sc.y
+  FROM scored sc JOIN rng r USING (source)
+),
+per_score AS (
+  SELECT source, s, sum(y) AS p, sum(1 - y) AS n
+  FROM binned GROUP BY source, s
+),
+ranked AS (
+  SELECT source, p, n,
+         coalesce(sum(p + n) OVER (PARTITION BY source ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (p + n + 1) / 2.0 AS avg_rank
+  FROM per_score
+)
+SELECT source, CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(n) AS BIGINT) AS n_neg,
+       round((sum(p * avg_rank) - sum(p) * (sum(p) + 1) / 2.0)
+             / (sum(p) * sum(n)), 6) AS auc
+FROM ranked GROUP BY source ORDER BY source
+"""
+
+
+def q_cohens_kappa(spark, sf):
+    """Cohen's kappa per source (operators/evalmetrics.py::cohens_kappa):
+    two deterministic synthetic annotators whose agreement is partially
+    chance-corrected away (rater B flips A's call on the doc_id % 11
+    residue) — the standard pairwise double-annotation audit. Category-
+    bounded marginal joins only."""
+    from stackstac_spark.operators.evalmetrics import cohens_kappa
+
+    docs = _t(spark, sf, "documents").select(
+        "source",
+        F.when(F.col("doc_id") % 3 == 0, "pos").otherwise("neg").alias("ra"),
+        F.when(
+            (F.col("doc_id") % 3 == 0) != (F.col("doc_id") % 11 == 0), "pos"
+        ).otherwise("neg").alias("rb"),
+    )
+    return cohens_kappa(docs, "ra", "rb", ["source"]).orderBy("source")
+
+
+SQL_COHENS_KAPPA = """
+WITH r AS (
+  SELECT source,
+         CASE WHEN doc_id % 3 = 0 THEN 'pos' ELSE 'neg' END AS a,
+         CASE WHEN (doc_id % 3 = 0) <> (doc_id % 11 = 0) THEN 'pos' ELSE 'neg' END AS b
+  FROM documents
+),
+t AS (
+  SELECT source, count(*) AS n,
+         sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree
+  FROM r GROUP BY source
+),
+ma AS (SELECT source, a AS k, count(*) AS na FROM r GROUP BY source, a),
+mb AS (SELECT source, b AS k, count(*) AS nb FROM r GROUP BY source, b),
+ch AS (
+  SELECT ma.source, sum(ma.na * mb.nb) AS prod
+  FROM ma JOIN mb ON mb.source = ma.source AND mb.k = ma.k
+  GROUP BY ma.source
+)
+SELECT t.source, CAST(t.n AS BIGINT) AS n,
+       round(agree * 1.0 / n, 6) AS po,
+       round(prod * 1.0 / (n * n), 6) AS pe,
+       CASE WHEN prod * 1.0 / (n * n) < 1.0
+            THEN round((agree * 1.0 / n - prod * 1.0 / (n * n))
+                       / (1.0 - prod * 1.0 / (n * n)), 6) END AS kappa
+FROM t JOIN ch ON ch.source = t.source ORDER BY t.source
+"""
+
+
+def q_mcnemar(spark, sf):
+    """McNemar paired-classifier test per language (operators/
+    evalmetrics.py::mcnemar_test): two deterministic classifiers with
+    different error residues against the doc_id parity label — "is A
+    actually better than B on the same eval set?". One conditional
+    aggregate; concordant rows drop out of the statistic."""
+    from stackstac_spark.operators.evalmetrics import mcnemar_test
+
+    y = (F.col("doc_id") % 2).cast("int")
+    docs = _t(spark, sf, "documents").select(
+        "lang",
+        y.alias("y"),
+        F.when((F.col("doc_id") * 3) % 5 < 3, y).otherwise(1 - y).alias("pa"),
+        F.when((F.col("doc_id") * 7) % 5 < 2, y).otherwise(1 - y).alias("pb"),
+    )
+    return mcnemar_test(docs, "pa", "pb", "y", ["lang"]).orderBy("lang")
+
+
+SQL_MCNEMAR = """
+WITH r AS (
+  SELECT lang,
+         (doc_id * 3) % 5 < 3 AS ok_a,
+         (doc_id * 7) % 5 < 2 AS ok_b
+  FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN ok_a AND NOT ok_b THEN 1 ELSE 0 END) AS BIGINT) AS a_only,
+       CAST(sum(CASE WHEN ok_b AND NOT ok_a THEN 1 ELSE 0 END) AS BIGINT) AS b_only,
+       CASE WHEN sum(CASE WHEN ok_a <> ok_b THEN 1 ELSE 0 END) > 0
+            THEN round(
+              (abs(sum(CASE WHEN ok_a AND NOT ok_b THEN 1 ELSE 0 END)
+                   - sum(CASE WHEN ok_b AND NOT ok_a THEN 1 ELSE 0 END)) - 1)
+              * (abs(sum(CASE WHEN ok_a AND NOT ok_b THEN 1 ELSE 0 END)
+                     - sum(CASE WHEN ok_b AND NOT ok_a THEN 1 ELSE 0 END)) - 1)
+              * 1.0 / sum(CASE WHEN ok_a <> ok_b THEN 1 ELSE 0 END), 6) END AS chi2
+FROM r GROUP BY lang ORDER BY lang
+"""
+
+
+def q_spearman_corr(spark, sf):
+    """Spearman rank correlation per event type (operators/drift.py::
+    spearman_rho): metric value (floor-quantized to cents — floor is
+    bit-identical across engines, unlike round/cast on doubles) against a
+    deterministic user hash. Tie-averaged ranks from distinct-value
+    cumulative windows; rho via exact sums."""
+    from stackstac_spark.operators.drift import spearman_rho
+
+    ev = _t(spark, sf, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("double").alias("a"),
+        ((F.col("user_id") * 2654435761) % 1000).cast("double").alias("b"),
+    )
+    return spearman_rho(ev, "a", "b", ["event_type"]).orderBy("event_type")
+
+
+SQL_SPEARMAN_CORR = """
+WITH base AS (
+  SELECT event_type AS g,
+         CAST(floor(value * 100) AS DOUBLE) AS a,
+         CAST((user_id * 2654435761) % 1000 AS DOUBLE) AS b
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value) AND user_id IS NOT NULL
+),
+pa AS (SELECT g, a, count(*) AS c FROM base GROUP BY g, a),
+ra AS (
+  SELECT g, a,
+         coalesce(sum(c) OVER (PARTITION BY g ORDER BY a
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (c + 1) / 2.0 AS rk
+  FROM pa
+),
+pb AS (SELECT g, b, count(*) AS c FROM base GROUP BY g, b),
+rb AS (
+  SELECT g, b,
+         coalesce(sum(c) OVER (PARTITION BY g ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (c + 1) / 2.0 AS rk
+  FROM pb
+),
+joined AS (
+  SELECT base.g, ra.rk AS x, rb.rk AS y
+  FROM base
+  JOIN ra ON ra.g = base.g AND ra.a = base.a
+  JOIN rb ON rb.g = base.g AND rb.b = base.b
+),
+agg AS (
+  SELECT g, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM joined GROUP BY g
+)
+SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN round((n * sxy - sx * sy)
+                       / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+       END AS rho
+FROM agg ORDER BY event_type
+"""
+
+
+def q_js_drift(spark, sf):
+    """Per-source Jensen-Shannon divergence against the global corpus
+    vocabulary (operators/drift.py::js_divergence): the symmetric,
+    always-finite "did this source's vocabulary drift?" score. Absent
+    tokens never materialize — their mass rides the closed form
+    0.5·(1 − Σ_present q)."""
+    from stackstac_spark.operators.drift import js_divergence
+
+    toks = _t(spark, sf, "documents").select(
+        "source",
+        F.explode(
+            F.split(F.lower(F.col("text")), r"[ \t\n\r\f]+")
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    return js_divergence(toks, "source", "tok").orderBy("source")
+
+
+SQL_JS_DRIFT = """
+WITH toks AS (
+  SELECT source, w AS tok
+  FROM documents, unnest(string_split_regex(lower(text), '[ \t\n\r\f]+')) AS t(w)
+  WHERE w <> ''
+),
+per AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY source, tok),
+gt AS (SELECT tok, count(*) AS gc FROM toks GROUP BY tok),
+tot AS (SELECT count(*) AS nt FROM toks),
+grp AS (SELECT source, sum(c) AS ng FROM per GROUP BY source),
+j AS (
+  SELECT per.source, per.c / grp.ng AS p, gt.gc / tot.nt AS q
+  FROM per JOIN gt USING (tok) JOIN grp USING (source), tot
+),
+agg AS (
+  SELECT source,
+         sum(0.5 * p * log2(2 * p / (p + q))
+             + 0.5 * q * log2(2 * q / (p + q))) AS present,
+         sum(q) AS q_present
+  FROM j GROUP BY source
+)
+SELECT a.source, CAST(g.ng AS BIGINT) AS n_tokens,
+       round(a.present + 0.5 * (1 - a.q_present), 6) AS jsd
+FROM agg a JOIN grp g USING (source) ORDER BY a.source
+"""
+
+
+def q_cramers_v(spark, sf):
+    """Cramér's V association between the lang and source metadata columns
+    (operators/drift.py::cramers_v) — the "are these two fields redundant /
+    is one leaking the other?" screen. χ² collapses to Σ o²/e − n over
+    observed cells only; marginals broadcast onto the contingency table."""
+    from stackstac_spark.operators.drift import cramers_v
+
+    return cramers_v(_t(spark, sf, "documents"), "lang", "source")
+
+
+SQL_CRAMERS_V = """
+WITH base AS (
+  SELECT lang AS a, source AS b FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL
+),
+cont AS (SELECT a, b, count(*) AS o FROM base GROUP BY a, b),
+ma AS (SELECT a, sum(o) AS ra FROM cont GROUP BY a),
+mb AS (SELECT b, sum(o) AS cb FROM cont GROUP BY b),
+s AS (
+  SELECT sum(o * o * 1.0 / (ra * cb)) AS s_, sum(o) AS n,
+         count(DISTINCT cont.a) AS la, count(DISTINCT cont.b) AS lb
+  FROM cont JOIN ma USING (a) JOIN mb USING (b)
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(la AS BIGINT) AS levels_a,
+       CAST(lb AS BIGINT) AS levels_b,
+       round(s_ * n - n, 6) AS chi2,
+       CASE WHEN least(la - 1, lb - 1) > 0
+            THEN round(sqrt((s_ * n - n) / (n * least(la - 1, lb - 1))), 6)
+       END AS v
+FROM s
+"""
+
+
+def q_chao1_vocab(spark, sf):
+    """Chao1 vocabulary-richness estimate per language (operators/
+    textstats.py::chao1_richness, bias-corrected): chao1 ≫ V means the
+    crawl undersamples that language's vocabulary — the coverage companion
+    to zipf_slope."""
+    from stackstac_spark.operators.textstats import chao1_richness
+
+    return chao1_richness(
+        _t(spark, sf, "documents"), group_cols=["lang"]
+    ).orderBy("lang")
+
+
+SQL_CHAO1_VOCAB = """
+WITH toks AS (
+  SELECT lang, w AS term
+  FROM documents, unnest(string_split_regex(lower(text), '[ \t\n\r\f]+')) AS t(w)
+  WHERE w <> ''
+),
+counts AS (SELECT lang, term, count(*) AS c FROM toks GROUP BY lang, term)
+SELECT lang, CAST(count(*) AS BIGINT) AS v_obs,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+       CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+       round(count(*)
+             + sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+               * (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1)
+               / (2.0 * (sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1)), 6) AS chao1
+FROM counts GROUP BY lang ORDER BY lang
+"""
+
+
+def q_good_turing(spark, sf):
+    """Good-Turing frequency-of-frequencies table over the corpus word
+    TRIGRAM types (operators/textstats.py::good_turing_counts, r ≤ 8): the
+    classical unseen-mass estimator — r*·N_r/N of the probability mass
+    belongs to types the crawl has seen r times, N_1/N to types never
+    seen. Trigrams because the synthetic corpus's unigram vocabulary is
+    saturated (31 types, min count 26 at every SF — no singleton mass);
+    the trigram space is where Katz backoff actually smooths."""
+    from stackstac_spark.operators.textstats import good_turing_counts
+
+    return good_turing_counts(_t(spark, sf, "documents"), max_r=8, ngram=3)
+
+
+SQL_GOOD_TURING = """
+WITH toks AS (
+  SELECT array_to_string(list_slice(l, i, i + 2), ' ') AS term
+  FROM (SELECT list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
+                           x -> x <> '') AS l
+        FROM documents),
+       unnest(generate_series(1, len(l) - 2)) AS g(i)
+),
+counts AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+fof AS (SELECT c AS r, count(*) AS n_r, sum(c) AS mass FROM counts GROUP BY c),
+tot AS (SELECT sum(mass) AS n FROM fof),
+led AS (
+  SELECT r, n_r,
+         lead(n_r) OVER (ORDER BY r) AS n_next,
+         lead(r) OVER (ORDER BY r) AS r_next
+  FROM fof
+)
+SELECT CAST(r AS BIGINT) AS r, CAST(n_r AS BIGINT) AS n_r,
+       round(CASE WHEN r_next = r + 1
+                  THEN (r + 1) * n_next * 1.0 / n_r END, 6) AS r_star,
+       round(CASE WHEN r_next = r + 1
+                  THEN (r + 1) * n_next * 1.0 / n_r END
+             / (SELECT n FROM tot), 6) AS p_r
+FROM led WHERE r <= 8 ORDER BY r
+"""
+
+
+def q_assortativity(spark, sf):
+    """Degree assortativity of the LSH near-dup candidate graph
+    (operators/graph.py::degree_assortativity): negative = boilerplate
+    hubs pairing with everything (the star shape), positive = clique-like
+    dup clusters — a one-number crawl-health reading of the dup graph's
+    mixing. Edge-decoration joins only; no pair enumeration beyond the
+    existing edges."""
+    from stackstac_spark.operators.graph import degree_assortativity
+
+    return degree_assortativity(_lsh_candidates(spark, sf))
+
+
+SQL_ASSORTATIVITY = f"""
+WITH shingles AS ({_DUCK_SHINGLES}),
+d AS (SELECT DISTINCT doc_id, sh FROM shingles),
+sig AS (SELECT doc_id, min(md5('0:' || sh)) AS h0, min(md5('1:' || sh)) AS h1,
+               min(md5('2:' || sh)) AS h2, min(md5('3:' || sh)) AS h3
+        FROM d GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, 0 AS band, h0 || h1 AS key FROM sig
+  UNION ALL SELECT doc_id, 1 AS band, h2 || h3 AS key FROM sig),
+kept AS (SELECT band, key FROM banded GROUP BY band, key HAVING count(*) <= 1000),
+bk AS (SELECT b.doc_id, b.band, b.key FROM banded b JOIN kept USING (band, key)),
+und AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+sym AS MATERIALIZED (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+deg AS MATERIALIZED (SELECT a AS node, count(*) AS deg FROM sym GROUP BY a),
+dd AS (
+  SELECT da.deg * 1.0 AS dx, db.deg * 1.0 AS dy
+  FROM sym s JOIN deg da ON da.node = s.a JOIN deg db ON db.node = s.b),
+m AS (
+  SELECT count(*) AS m2, sum(dx) AS sx, sum(dy) AS sy,
+         sum(dx * dx) AS sxx, sum(dy * dy) AS syy, sum(dx * dy) AS sxy
+  FROM dd)
+SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
+       CASE WHEN m2 * sxx - sx * sx > 0 AND m2 * syy - sy * sy > 0
+            THEN round((m2 * sxy - sx * sy)
+                       / sqrt((m2 * sxx - sx * sx) * (m2 * syy - sy * sy)), 6)
+       END AS assortativity
+FROM m
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- Rotation policy (window history: PROGRESS.jsonl /
-    # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r09,
-    # --- 50/50 green, all slots r9-wave, zero repeats from r8). Per the r9
-    # --- verdict's #1 instruction the r10 window leads with the 21 registry
-    # --- entries that have NEVER had a driver CORRECTNESS row (the r8 wave
-    # --- graded only in builder+judge mirrors: attribution .. bpe_encode,
-    # --- including the 3 rows-only entries stream_sessions/bpe_merges/
-    # --- bpe_encode, which the driver grades with its weaker rows-only
-    # --- check — their value content is pinned by bpe_pair_counts, the
-    # --- sessionize batch twin, and pytest parity). Slots 22-50 are 29 of
-    # --- the 46 stalest greens (last driver row: r5). After this window
-    # --- lands, every one of the then-267 registry entries has at least
-    # --- one green driver CORRECTNESS row (the 9 r10-wave additions
-    # --- registered PAST the window await a later rotation, CI-mirrored
-    # --- meanwhile). The remaining 17 r5-stale entries
-    # --- (pool_embeddings .. abtt) head the post-window section -> they lead
-    # --- the r11 window. Everything below the window stays hash-checked
+    # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r10,
+    # --- 47/50 green + 3 rows-only no_oracle). Per the r10 verdict's #1/#2
+    # --- the r11 window leads with (a) the 9 r10-wave entries that have
+    # --- NEVER had a driver CORRECTNESS row (judge-mirrored 9/9 green in
+    # --- r10), (b) the 3 formerly rows-only gates now carrying full DuckDB
+    # --- oracles (stream_sessions gaps-and-islands replay; bpe_merges /
+    # --- bpe_encode unrolled 12-stage merge-loop CTE chains) so their rows
+    # --- flip no_oracle -> hash_match, and (c) the 10 new r11-wave gates
+    # --- (PR-AUC, binned ROC, Cohen's kappa, McNemar, Spearman, JSD,
+    # --- Cramer's V, Chao1, Good-Turing, assortativity). Slots 23-39 are
+    # --- the 17 stalest greens (last driver row r5: pool_embeddings ..
+    # --- abtt), slots 40-50 the next-stalest r6 entries (raster_real_tiff
+    # --- .. tpch_q13). After this window lands every pre-r11 registry
+    # --- entry has a green driver row and all 286 entries are
+    # --- oracle-backed. Everything below the window stays hash-checked
     # --- every CI run by tests/test_past_window_mirror.py +
     # --- scripts/check_correctness.py.
+    "silhouette": (q_silhouette, SQL_SILHOUETTE),
+    "isotonic_calibration": (q_isotonic_calibration, SQL_ISOTONIC_CALIBRATION),
+    "mutual_info": (q_mutual_info, SQL_MUTUAL_INFO),
+    "tail_index": (q_tail_index, SQL_TAIL_INDEX),
+    "label_noise": (q_label_noise, SQL_LABEL_NOISE),
+    "sax_symbols": (q_sax_symbols, SQL_SAX_SYMBOLS),
+    "calibration_error": (q_calibration_error, SQL_CALIBRATION_ERROR),
+    "leakage_audit": (q_leakage_audit, SQL_LEAKAGE_AUDIT),
+    "ess_report": (q_ess_report, SQL_ESS_REPORT),
+    "stream_sessions": (q_stream_sessions, SQL_STREAM_SESSIONS),
+    "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
+    "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
+    "avg_precision": (q_avg_precision, SQL_AVG_PRECISION),
+    "roc_auc_binned": (q_roc_auc_binned, SQL_ROC_AUC_BINNED),
+    "cohens_kappa": (q_cohens_kappa, SQL_COHENS_KAPPA),
+    "mcnemar": (q_mcnemar, SQL_MCNEMAR),
+    "spearman_corr": (q_spearman_corr, SQL_SPEARMAN_CORR),
+    "js_drift": (q_js_drift, SQL_JS_DRIFT),
+    "cramers_v": (q_cramers_v, SQL_CRAMERS_V),
+    "chao1_vocab": (q_chao1_vocab, SQL_CHAO1_VOCAB),
+    "good_turing": (q_good_turing, SQL_GOOD_TURING),
+    "assortativity": (q_assortativity, SQL_ASSORTATIVITY),
+    "pool_embeddings": (q_pool_embeddings, SQL_POOL_EMBEDDINGS),
+    "score_normalize": (q_score_normalize, SQL_SCORE_NORMALIZE),
+    "boilerplate_lines": (q_boilerplate_lines, SQL_BOILERPLATE_LINES),
+    "canonical_docs": (q_canonical_docs, SQL_CANONICAL_DOCS),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
+    "matryoshka_topk": (q_matryoshka_topk, SQL_MATRYOSHKA_TOPK),
+    "gopher_filter": (q_gopher_filter, SQL_GOPHER_FILTER),
+    "dsir_sample": (q_dsir_sample, SQL_DSIR_SAMPLE),
+    "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
+    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+    "grouped_topk": (q_grouped_topk, SQL_GROUPED_TOPK),
+    "sliding_windows": (q_sliding_windows, SQL_SLIDING_WINDOWS),
+    "bloom_prefilter": (q_bloom_prefilter, SQL_BLOOM_PREFILTER),
+    "pca_power": (q_pca_power, SQL_PCA_POWER),
+    "abtt": (q_abtt, SQL_ABTT),
+    "raster_real_tiff": (q_raster_real_tiff, SQL_RASTER_REAL_TIFF),
+    "raster_sql_ndvi": (q_raster_sql_ndvi, SQL_RASTER_SQL_NDVI),
+    "raster_tiff_sink": (q_raster_tiff_sink, SQL_RASTER_TIFF_SINK),
+    "stream_scenes": (q_stream_scenes, SQL_STREAM_SCENES),
+    "tpch_q4": (q_tpch_q4, SQL_TPCH_Q4),
+    "tpch_q7": (q_tpch_q7, SQL_TPCH_Q7),
+    "tpch_q8": (q_tpch_q8, SQL_TPCH_Q8),
+    "tpch_q9": (q_tpch_q9, SQL_TPCH_Q9),
+    "tpch_q10": (q_tpch_q10, SQL_TPCH_Q10),
+    "tpch_q11": (q_tpch_q11, SQL_TPCH_Q11),
+    "tpch_q13": (q_tpch_q13, SQL_TPCH_Q13),
+    # --- end of r11 driver window (first 50) -----------------------------
     "attribution": (q_attribution, SQL_ATTRIBUTION),
     "ab_test": (q_ab_test, SQL_AB_TEST),
     "skew_report": (q_skew_report, SQL_SKEW_REPORT),
@@ -13989,9 +14612,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "raster_hillshade": (q_raster_hillshade, SQL_RASTER_HILLSHADE),
     "label_propagation": (q_label_propagation, SQL_LABEL_PROPAGATION),
     "raster_resample_cubic": (q_raster_resample_cubic, SQL_RASTER_RESAMPLE_CUBIC),
-    "stream_sessions": (q_stream_sessions, None),
-    "bpe_merges": (q_bpe_merges, None),
-    "bpe_encode": (q_bpe_encode, None),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
@@ -14021,23 +14641,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ann_rerank": (q_ann_rerank, SQL_ANN_RERANK),
     "script_stats": (q_script_stats, SQL_SCRIPT_STATS),
     "dedup_stats": (q_dedup_stats, SQL_DEDUP_STATS),
-    "pool_embeddings": (q_pool_embeddings, SQL_POOL_EMBEDDINGS),
-    "score_normalize": (q_score_normalize, SQL_SCORE_NORMALIZE),
-    "boilerplate_lines": (q_boilerplate_lines, SQL_BOILERPLATE_LINES),
-    "canonical_docs": (q_canonical_docs, SQL_CANONICAL_DOCS),
-    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
-    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
-    "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
-    "matryoshka_topk": (q_matryoshka_topk, SQL_MATRYOSHKA_TOPK),
-    "gopher_filter": (q_gopher_filter, SQL_GOPHER_FILTER),
-    "dsir_sample": (q_dsir_sample, SQL_DSIR_SAMPLE),
-    "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
-    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
-    "grouped_topk": (q_grouped_topk, SQL_GROUPED_TOPK),
-    "sliding_windows": (q_sliding_windows, SQL_SLIDING_WINDOWS),
-    "bloom_prefilter": (q_bloom_prefilter, SQL_BLOOM_PREFILTER),
-    "pca_power": (q_pca_power, SQL_PCA_POWER),
-    "abtt": (q_abtt, SQL_ABTT),
     "pers_pagerank": (q_pers_pagerank, _duck_pers_pagerank_sql()),
     "copurchase_recs": (q_copurchase_recs, SQL_COPURCHASE_RECS),
     "target_encode": (q_target_encode, SQL_TARGET_ENCODE),
@@ -14192,17 +14795,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "raster_mosaic": (q_raster_mosaic, SQL_RASTER_MOSAIC),
     "raster_xyz_png": (q_raster_xyz_png, SQL_RASTER_XYZ_PNG),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
-    "raster_real_tiff": (q_raster_real_tiff, SQL_RASTER_REAL_TIFF),
-    "raster_sql_ndvi": (q_raster_sql_ndvi, SQL_RASTER_SQL_NDVI),
-    "raster_tiff_sink": (q_raster_tiff_sink, SQL_RASTER_TIFF_SINK),
-    "stream_scenes": (q_stream_scenes, SQL_STREAM_SCENES),
-    "tpch_q4": (q_tpch_q4, SQL_TPCH_Q4),
-    "tpch_q7": (q_tpch_q7, SQL_TPCH_Q7),
-    "tpch_q8": (q_tpch_q8, SQL_TPCH_Q8),
-    "tpch_q9": (q_tpch_q9, SQL_TPCH_Q9),
-    "tpch_q10": (q_tpch_q10, SQL_TPCH_Q10),
-    "tpch_q11": (q_tpch_q11, SQL_TPCH_Q11),
-    "tpch_q13": (q_tpch_q13, SQL_TPCH_Q13),
     "tpch_q14": (q_tpch_q14, SQL_TPCH_Q14),
     "tpch_q15": (q_tpch_q15, SQL_TPCH_Q15),
     "tpch_q16": (q_tpch_q16, SQL_TPCH_Q16),
@@ -14242,17 +14834,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "snapped_bounds": (q_snapped_bounds, SQL_SNAPPED_BOUNDS),
     "tile_grid_overlap": (q_tile_grid_overlap, SQL_TILE_GRID_OVERLAP),
     "metadata_allsame": (q_metadata_allsame, SQL_METADATA_ALLSAME),
-    # r10 wave (registered past the window; driver-graded in a later
-    # rotation, CI-mirrored by test_past_window_mirror meanwhile)
-    "silhouette": (q_silhouette, SQL_SILHOUETTE),
-    "isotonic_calibration": (q_isotonic_calibration, SQL_ISOTONIC_CALIBRATION),
-    "mutual_info": (q_mutual_info, SQL_MUTUAL_INFO),
-    "tail_index": (q_tail_index, SQL_TAIL_INDEX),
-    "label_noise": (q_label_noise, SQL_LABEL_NOISE),
-    "sax_symbols": (q_sax_symbols, SQL_SAX_SYMBOLS),
-    "calibration_error": (q_calibration_error, SQL_CALIBRATION_ERROR),
-    "leakage_audit": (q_leakage_audit, SQL_LEAKAGE_AUDIT),
-    "ess_report": (q_ess_report, SQL_ESS_REPORT),
 }
 
 

@@ -16,7 +16,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["ks_statistic", "psi", "mann_whitney_u", "mutual_information"]
+__all__ = [
+    "ks_statistic",
+    "psi",
+    "mann_whitney_u",
+    "mutual_information",
+    "spearman_rho",
+    "js_divergence",
+    "cramers_v",
+]
 
 
 def _const_key_broadcast(small: DataFrame, big: DataFrame) -> DataFrame:
@@ -311,4 +319,194 @@ def mutual_information(
             (F.col("__hx_w") > 0) & (F.col("__hy_w") > 0),
             F.round(F.col("__mi") / F.sqrt(F.col("__hx_w") * F.col("__hy_w")), round_to),
         ).alias("nmi"),
+    )
+
+
+def spearman_rho(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    group_cols: list[str] | None = None,
+    round_to: int = 6,
+    max_distinct: int | None = 1_000_000,
+) -> DataFrame:
+    """Spearman rank correlation per group (tie-AVERAGED ranks — exactly
+    scipy's ``spearmanr``) → group_cols + (n, rho): the monotone-drift
+    companion to ``corr_stats``'s Pearson — "did the ORDERING relationship
+    between two metrics shift?", robust to any monotone rescaling and to
+    heavy tails that dominate a product-moment estimate.
+
+    Ranks come from per-(group, distinct value) counts + one ordered
+    cumulative window per column (the roc_auc rank pattern), joined back to
+    the rows on the value — the corpus itself is never globally sorted;
+    the window input is distinct-value-bounded. ``max_distinct`` is the
+    exact-mode fail-fast for raw continuous inputs (distinct ≈ rows would
+    funnel a group through one window task at 100 TB); rho is then Pearson
+    over the ranks via exact sums, NULL when either column is constant
+    within the group. Null/NaN in EITHER column drops the row (a rank
+    needs both coordinates).
+    """
+    groups = list(group_cols or [])
+    a = F.col(col_a).cast("double")
+    b = F.col(col_b).cast("double")
+    base = df.select(*groups, a.alias("__a"), b.alias("__b")).filter(
+        F.col("__a").isNotNull()
+        & ~F.isnan("__a")
+        & F.col("__b").isNotNull()
+        & ~F.isnan("__b")
+    )
+
+    def rank_table(col: str, out: str) -> DataFrame:
+        per = base.groupBy(*groups, col).agg(F.count(F.lit(1)).alias("__c"))
+        w = (
+            Window.partitionBy(*groups)
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+            if groups
+            else Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return per.select(
+            *groups,
+            col,
+            (
+                F.coalesce(F.sum("__c").over(w), F.lit(0))
+                + (F.col("__c") + 1) / 2.0
+            ).alias(out),
+        )
+
+    if max_distinct is not None:
+        worst = (
+            base.groupBy(*groups)
+            .agg(
+                F.count_distinct("__a").alias("__da"),
+                F.count_distinct("__b").alias("__db"),
+            )
+            .agg(F.max(F.greatest("__da", "__db")).alias("m"))
+            .first()["m"]
+        )
+        if worst is not None and worst > max_distinct:
+            raise ValueError(
+                f"spearman_rho: a group has {worst} distinct values "
+                f"(> max_distinct={max_distinct}); the per-group rank window "
+                "would funnel them through one task. Pre-bin/round the "
+                "inputs, or raise/disable max_distinct if they are "
+                "genuinely discrete."
+            )
+    ranked = base.join(rank_table("__a", "__ra"), [*groups, "__a"]).join(
+        rank_table("__b", "__rb"), [*groups, "__b"]
+    )
+    agg = ranked.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__ra").alias("__sx"),
+        F.sum("__rb").alias("__sy"),
+        F.sum(F.col("__ra") * F.col("__ra")).alias("__sxx"),
+        F.sum(F.col("__rb") * F.col("__rb")).alias("__syy"),
+        F.sum(F.col("__ra") * F.col("__rb")).alias("__sxy"),
+    )
+    num = F.col("n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    varx = F.col("n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vary = F.col("n") * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    return agg.select(
+        *groups,
+        "n",
+        F.when(
+            (varx > 0) & (vary > 0),
+            F.round(num / F.sqrt(varx * vary), round_to),
+        ).alias("rho"),
+    )
+
+
+def js_divergence(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Jensen-Shannon divergence (base 2, so JSD ∈ [0, 1]) of each group's
+    token distribution against the GLOBAL corpus distribution →
+    (group, n_tokens, jsd) — the symmetric, always-finite drift metric for
+    comparing source/crawl vocabularies (KL explodes on unseen tokens; PSI
+    needs binning; JSD needs neither).
+
+    Input is the exploded (group, token) occurrence table. Scale shape:
+    one per-(group, token) count + one per-token global count, equi-joined
+    on the token (co-keyed shuffle; AQE broadcasts the global side when the
+    vocabulary fits). Tokens ABSENT from a group are never materialized:
+    with p = in-group prob and q = global prob, every absent token
+    contributes 0.5·q·log2(2q/q) = 0.5·q, so their total is
+    0.5·(1 − Σ_present q) — closed form from the present rows alone, no
+    vocab × groups blowup at any scale.
+    """
+    g, t = F.col(group_col), F.col(token_col)
+    base = df.select(g.alias("__g"), t.alias("__t")).filter(
+        F.col("__g").isNotNull() & F.col("__t").isNotNull()
+    )
+    per = base.groupBy("__g", "__t").agg(F.count(F.lit(1)).alias("__c"))
+    gtot = base.groupBy("__t").agg(F.count(F.lit(1)).alias("__gc"))
+    n_all = base.count()
+    grp = per.groupBy("__g").agg(F.sum("__c").alias("__ng"))
+    j = per.join(gtot, "__t").join(F.broadcast(grp), "__g")
+    p = F.col("__c") / F.col("__ng")
+    q = F.col("__gc") / F.lit(float(n_all))
+    m2 = p + q  # 2m
+    term = 0.5 * p * F.log2(2.0 * p / m2) + 0.5 * q * F.log2(2.0 * q / m2)
+    agg = j.groupBy("__g").agg(
+        F.max("__ng").alias("__n"),
+        F.sum(term).alias("__present"),
+        F.sum(q).alias("__q_present"),
+    )
+    return agg.select(
+        F.col("__g").alias(group_col),
+        F.col("__n").cast("long").alias("n_tokens"),
+        F.round(
+            F.col("__present") + 0.5 * (1.0 - F.col("__q_present")), round_to
+        ).alias("jsd"),
+    )
+
+
+def cramers_v(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cramér's V association between two categorical columns (Cramér
+    1946) → one row (n, levels_a, levels_b, chi2, v): the χ² statistic of
+    the contingency table normalized to [0, 1] by n·min(r−1, c−1) — the
+    "are these two metadata fields redundant / is the label leaking from a
+    feature?" screen a labeling pipeline runs across column pairs.
+
+    χ² over the FULL r×c grid (empty cells contribute their expectation)
+    collapses algebraically to Σ_observed o²/e − n, so only observed cells
+    ever materialize: one (a, b) contingency aggregate + two category-
+    bounded marginal aggregates broadcast back onto it. Null in either
+    column drops the row. NULL v when either column is constant.
+    """
+    a, b = F.col(col_a), F.col(col_b)
+    base = df.select(
+        a.cast("string").alias("__a"), b.cast("string").alias("__b")
+    ).filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+    cont = base.groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("__o"))
+    ma = cont.groupBy("__a").agg(F.sum("__o").alias("__ra"))
+    mb = cont.groupBy("__b").agg(F.sum("__o").alias("__cb"))
+    j = cont.join(F.broadcast(ma), "__a").join(F.broadcast(mb), "__b")
+    stats = j.agg(
+        F.sum("__o").cast("long").alias("n"),
+        F.count_distinct("__a").cast("long").alias("levels_a"),
+        F.count_distinct("__b").cast("long").alias("levels_b"),
+        F.sum(
+            F.col("__o") * F.col("__o")
+            / (F.col("__ra").cast("double") * F.col("__cb"))
+        ).alias("__s"),
+    )
+    chi2 = (F.col("__s") * F.col("n")) - F.col("n")
+    mindim = F.least(F.col("levels_a") - 1, F.col("levels_b") - 1)
+    return stats.select(
+        "n",
+        "levels_a",
+        "levels_b",
+        F.round(chi2, round_to).alias("chi2"),
+        F.when(
+            mindim > 0, F.round(F.sqrt(chi2 / (F.col("n") * mindim)), round_to)
+        ).alias("v"),
     )

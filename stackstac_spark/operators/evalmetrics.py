@@ -13,7 +13,85 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["roc_auc", "ndcg_at_k", "wilson_rank", "fleiss_kappa", "calibration_error"]
+__all__ = [
+    "roc_auc",
+    "average_precision",
+    "cohens_kappa",
+    "mcnemar_test",
+    "ndcg_at_k",
+    "wilson_rank",
+    "fleiss_kappa",
+    "calibration_error",
+]
+
+
+def _per_score_counts(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    groups: list[str],
+    bins: int | None,
+    max_distinct: int | None,
+    op_name: str,
+) -> DataFrame:
+    """Shared threshold-metric base (roc_auc / average_precision):
+    per-(group, distinct score) positive/negative counts, with the two
+    scale controls — equal-width score binning (``bins``: the window input
+    becomes ≤ bins rows per group at any data size; binning is a monotone
+    coarsening, it can merge ties but never reorder) and the exact-mode
+    distinct-score fail-fast (``max_distinct``: raise instead of silently
+    funneling an O(rows) group through one window task at 100 TB)."""
+    lab = F.col(label_col).cast("int")
+    s = F.col(score_col).cast("double")
+    base = df.select(*groups, s.alias("s"), lab.alias("y"))
+    if bins is not None:
+        if bins < 1:
+            raise ValueError(f"bins must be >= 1, got {bins}")
+        # per-group observed range, broadcast back
+        if groups:
+            rng = base.groupBy(*groups).agg(
+                F.min("s").alias("__lo"), F.max("s").alias("__hi")
+            )
+            base = base.join(F.broadcast(rng), groups)
+        else:
+            rng = base.agg(
+                F.min("s").alias("__lo"), F.max("s").alias("__hi")
+            ).withColumn("__k", F.lit(1))
+            base = base.withColumn("__k", F.lit(1)).join(
+                F.broadcast(rng), "__k"
+            )
+        span = F.col("__hi") - F.col("__lo")
+        b = F.when(
+            span > 0,
+            F.least(
+                F.lit(bins - 1),
+                F.floor((F.col("s") - F.col("__lo")) / span * bins),
+            ),
+        ).otherwise(F.lit(0))
+        base = base.select(*groups, b.cast("double").alias("s"), "y")
+    per_score = base.groupBy(*groups, "s").agg(
+        F.sum("y").alias("p"),
+        F.sum(F.lit(1) - F.col("y")).alias("n"),
+    )
+    if bins is None and max_distinct is not None:
+        # runtime guard on the window's actual input size: one cheap count
+        # over the already-aggregated table (recomputed by the main plan —
+        # acceptable vs. an unbounded single-task window at 100 TB)
+        worst = (
+            per_score.groupBy(*groups)
+            .count()
+            .agg(F.max("count").alias("m"))
+            .first()["m"]
+        )
+        if worst is not None and worst > max_distinct:
+            raise ValueError(
+                f"{op_name} exact mode: a group has {worst} distinct scores "
+                f"(> max_distinct={max_distinct}); the per-group cumulative "
+                "window would funnel them through one task. Pass bins= for "
+                "the binned estimator, or raise/disable max_distinct if the "
+                "scores are genuinely discrete."
+            )
+    return per_score
 
 
 def roc_auc(
@@ -22,6 +100,8 @@ def roc_auc(
     label_col: str,
     group_cols: list[str] | None = None,
     round_to: int = 6,
+    bins: int | None = None,
+    max_distinct: int | None = 1_000_000,
 ) -> DataFrame:
     """ROC-AUC per group via the rank-sum identity
     AUC = (R⁺ − P(P+1)/2) / (P·N) with tie-AVERAGED ranks (the
@@ -31,18 +111,23 @@ def roc_auc(
 
     Ranks come from per-(group, distinct score) counts + one ordered
     cumulative window inside each group — the corpus never funnels into a
-    single ordered partition, and ties are handled exactly rather than by
-    row_number arbitrariness.
+    single ordered partition... PROVIDED distinct scores per group stay
+    bounded. For raw continuous float scores distinct ≈ rows, and the
+    exact cumulative window would stream a whole group through one task.
+    Two scale controls:
+
+    - ``bins``: approximate mode — scores collapse to ``bins`` equal-width
+      bins over each group's observed [min, max] (ties tie-averaged within
+      a bin; the standard binned-AUC estimator, error O(1/bins)). The
+      window input is then ≤ ``bins`` rows per group at any data size.
+    - ``max_distinct``: exact-mode fail-fast — raises when any group's
+      distinct-score count exceeds it, instead of silently hanging a task
+      at scale. ``None`` disables the guard (callers who KNOW scores are
+      discrete).
     """
     groups = list(group_cols or [])
-    lab = F.col(label_col).cast("int")
-    per_score = (
-        df.select(*groups, F.col(score_col).alias("s"), lab.alias("y"))
-        .groupBy(*groups, "s")
-        .agg(
-            F.sum("y").alias("p"),
-            F.sum(F.lit(1) - F.col("y")).alias("n"),
-        )
+    per_score = _per_score_counts(
+        df, score_col, label_col, groups, bins, max_distinct, "roc_auc"
     )
     w = (
         Window.partitionBy(*groups).orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
@@ -70,6 +155,166 @@ def roc_auc(
                 round_to,
             ),
         ).alias("auc"),
+    )
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_cols: list[str] | None = None,
+    round_to: int = 6,
+    bins: int | None = None,
+    max_distinct: int | None = 1_000_000,
+) -> DataFrame:
+    """Average precision (area under the precision-recall curve, the
+    step-function form sklearn's ``average_precision_score`` computes) per
+    group → group_cols + (n_pos, n_neg, ap):
+
+        AP = Σ_i (R_i − R_{i−1}) · P_i
+
+    over distinct score thresholds descending, where P_i / R_i are
+    precision / recall at threshold i. Since R_i − R_{i−1} = p_i / n_pos
+    (p_i = positives AT score i), AP reduces to Σ p_i·P_i / n_pos — one
+    per-(group, distinct score) aggregate + one in-group cumulative window
+    (inclusive, descending) + one final agg. The PR-curve companion to
+    ``roc_auc`` for imbalanced label sets, with the same two scale
+    controls (``bins`` binned estimator / ``max_distinct`` fail-fast;
+    binning merges ties but never reorders). NULL when the group has no
+    positives.
+    """
+    groups = list(group_cols or [])
+    per_score = _per_score_counts(
+        df, score_col, label_col, groups, bins, max_distinct, "average_precision"
+    )
+    w = (
+        Window.partitionBy(*groups)
+        .orderBy(F.desc("s"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+        if groups
+        else Window.orderBy(F.desc("s")).rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per_score.select(
+        *groups,
+        "p",
+        "n",
+        F.sum("p").over(w).alias("cum_p"),
+        F.sum(F.col("p") + F.col("n")).over(w).alias("cum_t"),
+    )
+    return cum.groupBy(*groups).agg(
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum("n").cast("long").alias("n_neg"),
+        F.when(
+            F.sum("p") > 0,
+            F.round(
+                F.sum(F.col("p") * F.col("cum_p") / F.col("cum_t")) / F.sum("p"),
+                round_to,
+            ),
+        ).alias("ap"),
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+    group_cols: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cohen's kappa inter-rater agreement for TWO raters (Cohen 1960) per
+    group → group_cols + (n, po, pe, kappa): observed agreement
+    po = Σ 1[a=b]/n against chance agreement pe = Σ_k pA(k)·pB(k) from the
+    raters' marginal category distributions, κ = (po − pe)/(1 − pe) —
+    the two-annotator complement to ``fleiss_kappa`` (which needs
+    per-(item, category) count matrices; pairwise double-annotation audits
+    are the far more common labeling-pipeline shape). NULL when pe = 1
+    (both raters constant and equal — agreement is undefined, matching
+    fleiss_kappa's degenerate convention).
+
+    Plan: one pairwise aggregate (n, agree) + two marginal aggregates
+    joined on the category — every table is category-bounded; the row set
+    never funnels anywhere. Null ratings are excluded (an unrated item is
+    not an agreement observation).
+    """
+    groups = list(group_cols or [])
+    a, b = F.col(rater_a), F.col(rater_b)
+    base = df.filter(a.isNotNull() & b.isNotNull()).select(
+        *groups, a.cast("string").alias("__a"), b.cast("string").alias("__b")
+    )
+    totals = base.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("__a") == F.col("__b")).cast("int")).alias("__agree"),
+    )
+    ma = base.groupBy(*groups, "__a").agg(F.count(F.lit(1)).alias("__na"))
+    mb = base.groupBy(*groups, "__b").agg(F.count(F.lit(1)).alias("__nb"))
+    on = [*groups, "__k"] if groups else ["__k"]
+    cross = ma.withColumnRenamed("__a", "__k").join(
+        mb.withColumnRenamed("__b", "__k"), on
+    )
+    chance = cross.groupBy(*groups).agg(
+        F.sum(F.col("__na") * F.col("__nb")).alias("__prod")
+    )
+    if groups:
+        j = totals.join(chance, groups)
+    else:
+        # constant-key broadcast join of two 1-row frames — keeps
+        # CartesianProduct out of the plan (suite-wide plan-net contract)
+        j = (
+            totals.withColumn("__j", F.lit(1))
+            .join(F.broadcast(chance.withColumn("__j", F.lit(1))), "__j")
+            .drop("__j")
+        )
+    po = F.col("__agree") / F.col("n")
+    pe = F.col("__prod") / (F.col("n") * F.col("n"))
+    return j.select(
+        *groups,
+        F.col("n").cast("long").alias("n"),
+        F.round(po, round_to).alias("po"),
+        F.round(pe, round_to).alias("pe"),
+        F.when(pe < 1.0, F.round((po - pe) / (1.0 - pe), round_to)).alias(
+            "kappa"
+        ),
+    )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    pred_a: str,
+    pred_b: str,
+    label_col: str,
+    group_cols: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """McNemar's test for comparing two classifiers on the SAME examples
+    (McNemar 1947, the continuity-corrected form statsmodels/Dietterich
+    1998 use) per group → group_cols + (n, a_only, b_only, chi2):
+    a_only = examples A got right and B got wrong, b_only the reverse,
+    χ² = (|a_only − b_only| − 1)² / (a_only + b_only) — the standard
+    "is model A actually better than model B on this eval set?" paired
+    test (concordant examples carry no information and drop out). NULL
+    when the classifiers never disagree (a_only + b_only = 0).
+
+    Plan: one conditional aggregate over the corpus — map-side combined,
+    no shuffle beyond the group keys.
+    """
+    groups = list(group_cols or [])
+    ok_a = F.col(pred_a) == F.col(label_col)
+    ok_b = F.col(pred_b) == F.col(label_col)
+    agg = df.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((ok_a & ~ok_b).cast("int")).cast("long").alias("a_only"),
+        F.sum((~ok_a & ok_b).cast("int")).cast("long").alias("b_only"),
+    )
+    disc = F.col("a_only") + F.col("b_only")
+    diff = F.abs(F.col("a_only") - F.col("b_only"))
+    return agg.select(
+        *groups,
+        "n",
+        "a_only",
+        "b_only",
+        F.when(
+            disc > 0, F.round((diff - 1) * (diff - 1) / disc, round_to)
+        ).alias("chi2"),
     )
 
 

@@ -28,6 +28,7 @@ __all__ = [
     "modularity",
     "cooccurrence_recs",
     "personalized_pagerank",
+    "degree_assortativity",
 ]
 
 
@@ -1127,3 +1128,64 @@ def _ppr_driver(
     from stackstac_spark.session import local_df
 
     return local_df(spark, [(v, round(rank[v], round_to)) for v in nodes], schema)
+
+
+def degree_assortativity(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    round_to: int = 6,
+) -> DataFrame:
+    """Degree assortativity coefficient of an undirected graph (Newman
+    2002) → one row (n_edges, assortativity): the Pearson correlation of
+    the degrees at the two ends of each edge, computed over BOTH
+    orientations of every edge (the symmetric convention networkx's
+    ``degree_assortativity_coefficient`` uses) — positive means hubs link
+    to hubs (social-network shape), negative means hubs link to leaves
+    (the star/template shape a near-dup candidate graph takes when one
+    boilerplate page pairs with everything; a drift of this sign is a
+    crawl-health signal).
+
+    Plan: canonicalize + dedupe the edge list, one degree aggregate, two
+    node-keyed equi-joins to decorate each edge end with its degree, one
+    scalar moment aggregate — no pair enumeration beyond the edges that
+    already exist, so there is no hub blowup to guard. NULL when all
+    degrees are equal (zero variance, e.g. a perfect matching or cycle).
+    """
+    und = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint()  # consumed by the degree agg AND the edge join
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    )
+    # both orientations: Pearson over the symmetrized endpoint-degree pairs
+    sym = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    dd = (
+        sym.join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "dx"), "a")
+        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "dy"), "b")
+    )
+    agg = dd.agg(
+        F.count(F.lit(1)).alias("m2"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+    )
+    num = F.col("m2") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("m2") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("m2") * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        (F.col("m2") / 2).cast("long").alias("n_edges"),
+        F.when(
+            (varx > 0) & (vary > 0),
+            F.round(num / F.sqrt(varx * vary), round_to),
+        ).alias("assortativity"),
+    )

@@ -1756,3 +1756,128 @@ def hill_tail_index(
             F.round(F.lit(float(k)) / denom, round_to),
         ).alias("hill_alpha"),
     )
+
+
+def chao1_richness(
+    df: DataFrame,
+    text_col: str = "text",
+    group_cols: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Chao1 vocabulary-richness estimate per group (Chao 1984, the
+    bias-corrected form) → group_cols + (v_obs, f1, f2, chao1):
+
+        chao1 = V + f1·(f1 − 1) / (2·(f2 + 1))
+
+    from the observed vocabulary size V and the singleton/doubleton counts
+    f1/f2 — "how much vocabulary does this source have that the crawl
+    hasn't seen yet?", the coverage companion to ``zipf_slope``: a crawl
+    whose chao1 ≈ V is vocabulary-saturated; chao1 ≫ V means the corpus is
+    an undersample. The bias-corrected form is used unconditionally so the
+    estimate is defined when f2 = 0 (the classic f1²/(2f2) is not).
+
+    Plan: one token groupBy (map-side combined, vocabulary-sized shuffle)
+    + one frequency-class aggregate per group. Whitespace-run
+    tokenization, consistent with vocab_topk/bm25.
+    """
+    groups = list(group_cols or [])
+    toks = df.select(
+        *groups,
+        F.explode(
+            F.split(F.lower(F.col(text_col)), r"[ \t\n\r\f]+")
+        ).alias("__term"),
+    ).filter(F.col("__term") != "")
+    counts = toks.groupBy(*groups, "__term").agg(F.count(F.lit(1)).alias("__c"))
+    agg = counts.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("long").alias("v_obs"),
+        F.sum((F.col("__c") == 1).cast("int")).cast("long").alias("f1"),
+        F.sum((F.col("__c") == 2).cast("int")).cast("long").alias("f2"),
+    )
+    return agg.select(
+        *groups,
+        "v_obs",
+        "f1",
+        "f2",
+        F.round(
+            F.col("v_obs")
+            + F.col("f1") * (F.col("f1") - 1) / (2.0 * (F.col("f2") + 1)),
+            round_to,
+        ).alias("chao1"),
+    )
+
+
+def good_turing_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    max_r: int = 10,
+    ngram: int = 1,
+    round_to: int = 6,
+) -> DataFrame:
+    """Good-Turing frequency-of-frequencies smoothing table (Good 1953)
+    over the corpus vocabulary → one row per raw count r in [1, max_r]:
+    (r, n_r, r_star, p_r) with n_r = number of token types seen exactly r
+    times, the adjusted count r* = (r+1)·N_{r+1}/N_r, and the smoothed
+    per-type probability p_r = r*/N (N = corpus token total) — the
+    classical unseen-mass estimator behind Katz backoff and the standard
+    "how much probability mass belongs to tokens we haven't crawled yet?"
+    diagnostic (that unseen mass is N_1/N, the r = 0 row's total). r* is
+    NULL where N_{r+1} = 0 (Good-Turing is undefined without smoothing the
+    N_r sequence; the low-r rows a pipeline acts on are never sparse).
+    ``ngram`` > 1 counts word n-gram types instead of unigrams — the type
+    space Katz backoff actually smooths, and the one with real singleton
+    mass on template-heavy corpora whose unigram vocabulary is saturated.
+
+    Plan: one token groupBy (vocabulary-sized shuffle) + one
+    frequency-class aggregate; the N_r table is at most max(count) rows —
+    sketch-sized — so the single lead window over it is bounded by
+    construction (the same bounded-table exemption as zipf_fit's rank
+    window). N-grams are built per document with native array transforms
+    (no self-join).
+    """
+    if max_r < 1:
+        raise ValueError(f"max_r must be >= 1, got {max_r}")
+    if ngram < 1:
+        raise ValueError(f"ngram must be >= 1, got {ngram}")
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[ \t\n\r\f]+"),
+        lambda x: x != "",
+    )
+    if ngram == 1:
+        toks = df.select(F.explode(arr).alias("__term"))
+    else:
+        toks = df.select(arr.alias("__a")).select(
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(__a) >= {ngram} THEN "
+                    f"transform(sequence(0, size(__a) - {ngram}), "
+                    f"i -> concat_ws(' ', slice(__a, i + 1, {ngram}))) "
+                    "ELSE cast(array() as array<string>) END"
+                )
+            ).alias("__term")
+        )
+    counts = toks.groupBy("__term").agg(F.count(F.lit(1)).alias("__c"))
+    # frequency of frequencies: bounded by the max per-type count
+    fof = counts.groupBy(F.col("__c").alias("r")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_r"),
+        F.sum("__c").alias("__mass"),
+    )
+    n_total = fof.agg(F.sum("__mass")).first()[0]
+    from pyspark.sql import Window
+
+    w = Window.orderBy("r")  # bounded: ≤ max(count) rows, sketch-sized
+    nxt = fof.select(
+        "r",
+        "n_r",
+        F.lead("n_r").over(w).alias("__n_next"),
+        F.lead("r").over(w).alias("__r_next"),
+    ).filter(F.col("r") <= max_r)
+    r_star = F.when(
+        F.col("__r_next") == F.col("r") + 1,
+        (F.col("r") + 1) * F.col("__n_next") / F.col("n_r"),
+    )
+    return nxt.select(
+        F.col("r").cast("long").alias("r"),
+        "n_r",
+        F.round(r_star, round_to).alias("r_star"),
+        F.round(r_star / F.lit(float(n_total)), round_to).alias("p_r"),
+    ).orderBy("r")

@@ -24,17 +24,12 @@ def test_registry_contract():
     names = list(qs)
     # every oracle key corresponds to a query
     assert set(oracles) <= set(qs)
-    # the graded window is oracle-backed EXCEPT the three inherently
-    # rows-only entries (live Structured-Streaming sessionizer + the two
-    # iterative BPE driver loops), rotated in for r10 per the r9 verdict's
-    # #1 instruction so every registry entry gets a driver CORRECTNESS row;
-    # the driver grades them with its weaker rows-only check, and their
-    # value content is pinned by bpe_pair_counts / the sessionize batch
-    # twin / pytest parity.
-    ROWS_ONLY = {"stream_sessions", "bpe_merges", "bpe_encode"}
-    missing = [n for n in names[:50] if not oracles.get(n) and n not in ROWS_ONLY]
-    assert not missing, f"in-window entries without oracles: {missing}"
-    assert ROWS_ONLY <= set(names), "rows-only entries left the registry"
+    # r11: EVERY registry entry is oracle-backed — the three formerly
+    # rows-only gates gained full DuckDB oracles (stream_sessions
+    # gaps-and-islands replay; bpe_merges/bpe_encode unrolled merge-loop
+    # CTE chains), so the whole window must hash-grade.
+    missing = [n for n in names if not oracles.get(n)]
+    assert not missing, f"registry entries without oracles: {missing}"
     # every callable takes (spark, sf_dir)
     import inspect
 

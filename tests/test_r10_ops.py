@@ -101,7 +101,8 @@ def test_evalmetrics_all_exports():
     import stackstac_spark.operators.evalmetrics as m
 
     assert m.__all__ == [
-        "roc_auc", "ndcg_at_k", "wilson_rank", "fleiss_kappa", "calibration_error",
+        "roc_auc", "average_precision", "cohens_kappa", "mcnemar_test",
+        "ndcg_at_k", "wilson_rank", "fleiss_kappa", "calibration_error",
     ]
     for name in m.__all__:
         assert hasattr(m, name), name
