@@ -43,7 +43,14 @@ def _per_score_counts(
     funneling an O(rows) group through one window task at 100 TB)."""
     lab = F.col(label_col).cast("int")
     s = F.col(score_col).cast("double")
-    base = df.select(*groups, s.alias("s"), lab.alias("y"))
+    # unscorable rows are not threshold observations: a null/NaN score
+    # would form its own rank group (NaN sorts ABOVE every number in
+    # Spark), and a null label would count toward the group totals while
+    # sum(y) skips it — silently deflating AUC/AP (the calibration_error
+    # contract)
+    base = df.filter(
+        s.isNotNull() & ~F.isnan(s) & lab.isNotNull()
+    ).select(*groups, s.alias("s"), lab.alias("y"))
     if bins is not None:
         if bins < 1:
             raise ValueError(f"bins must be >= 1, got {bins}")
@@ -298,6 +305,14 @@ def mcnemar_test(
     no shuffle beyond the group keys.
     """
     groups = list(group_cols or [])
+    # a row with a null prediction or label is not a paired observation:
+    # null == x is SQL NULL, so it would inflate n while contributing to
+    # neither disagreement count — drop it up front
+    df = df.filter(
+        F.col(pred_a).isNotNull()
+        & F.col(pred_b).isNotNull()
+        & F.col(label_col).isNotNull()
+    )
     ok_a = F.col(pred_a) == F.col(label_col)
     ok_b = F.col(pred_b) == F.col(label_col)
     agg = df.groupBy(*groups).agg(
