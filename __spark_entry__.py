@@ -14524,6 +14524,222 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# r11 wave 2: privacy (l-diversity), ranking comparison (RBO), inequality
+# (Theil), multiple testing (Benjamini-Hochberg), association rules.
+
+
+def q_l_diversity(spark, sf):
+    """l-diversity audit (operators/privacy.py::l_diversity_report):
+    k-anonymity's sensitive-attribute refinement — equivalence classes
+    over (nation, balance-decile) QIs scored by DISTINCT market segments;
+    a big class with one segment is still a disclosure. QI-bounded
+    aggregates only."""
+    from stackstac_spark.operators.privacy import l_diversity_report
+
+    cust = _t(spark, sf, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_k"),
+        "c_mktsegment",
+    )
+    return l_diversity_report(cust, ["c_nationkey", "bal_k"], "c_mktsegment", l=3)
+
+
+SQL_L_DIVERSITY = """
+WITH pairs AS (
+  SELECT c_nationkey, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_k,
+         c_mktsegment, count(*) AS n
+  FROM customer WHERE c_mktsegment IS NOT NULL
+  GROUP BY c_nationkey, bal_k, c_mktsegment
+),
+classes AS (
+  SELECT c_nationkey, bal_k, sum(n) AS cls_size, count(*) AS l
+  FROM pairs GROUP BY c_nationkey, bal_k
+)
+SELECT CAST(l AS BIGINT) AS l_distinct,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(cls_size) AS BIGINT) AS n_records,
+       l < 3 AS below_l
+FROM classes GROUP BY l ORDER BY l
+"""
+
+
+def q_rbo_eval(spark, sf):
+    """Rank-Biased Overlap between two deterministic retrieval runs per
+    language (operators/evalmetrics.py::rbo_overlap, depth 10, p=0.9):
+    the top-weighted ranking-change metric a re-ranker rollout reports.
+    Two top-d windows + one (query, doc) equi-join — O(queries·depth)."""
+    from stackstac_spark.operators.evalmetrics import rbo_overlap
+
+    docs = _t(spark, sf, "documents")
+    run_a = docs.select(
+        F.col("lang").alias("query_id"),
+        "doc_id",
+        ((F.col("doc_id") * 2654435761) % 1000).cast("double").alias("score"),
+    )
+    run_b = docs.select(
+        F.col("lang").alias("query_id"),
+        "doc_id",
+        ((F.col("doc_id") * 40503) % 1000).cast("double").alias("score"),
+    )
+    return rbo_overlap(run_a, run_b, depth=10, p=0.9).orderBy("query_id")
+
+
+def _duck_rbo_sql(depth: int = 10, p: float = 0.9) -> str:
+    # same python-computed weight table as rbo_overlap: W[m] = Σ_{k=m..d} p^(k-1)/k
+    weights = [0.0] * (depth + 2)
+    for k in range(depth, 0, -1):
+        weights[k] = weights[k + 1] + (p ** (k - 1)) / k
+    wlist = ", ".join(repr(weights[k]) for k in range(1, depth + 1))
+    return f"""
+WITH ra AS (
+  SELECT lang AS q, doc_id AS d,
+         row_number() OVER (PARTITION BY lang
+             ORDER BY CAST((doc_id * 2654435761) % 1000 AS DOUBLE) DESC, doc_id) AS rk
+  FROM documents QUALIFY rk <= {depth}
+),
+rb AS (
+  SELECT lang AS q, doc_id AS d,
+         row_number() OVER (PARTITION BY lang
+             ORDER BY CAST((doc_id * 40503) % 1000 AS DOUBLE) DESC, doc_id) AS rk
+  FROM documents QUALIFY rk <= {depth}
+)
+SELECT ra.q AS query_id, CAST(count(*) AS BIGINT) AS n_common,
+       round({1.0 - p!r} * sum(([{wlist}])[greatest(ra.rk, rb.rk)]), 6) AS rbo
+FROM ra JOIN rb ON rb.q = ra.q AND rb.d = ra.d
+GROUP BY ra.q ORDER BY ra.q
+"""
+
+
+def q_theil_mass(spark, sf):
+    """Theil T inequality of the metric-value mass per event type
+    (operators/sampling.py::theil_index): where did the byte/token/value
+    budget concentrate — the decomposable companion to ess_report. One
+    grouped moments aggregate."""
+    from stackstac_spark.operators.sampling import theil_index
+
+    return theil_index(
+        _t(spark, sf, "events"), "value", ["event_type"]
+    ).orderBy("event_type")
+
+
+SQL_THEIL_MASS = """
+WITH base AS (
+  SELECT event_type, value AS x FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value) AND value > 0
+),
+agg AS (
+  SELECT event_type, count(*) AS n, sum(x) AS s, sum(x * ln(x)) AS sxlx
+  FROM base GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round(s / n, 6) AS mean_value,
+       round(sxlx / s - ln(s / n), 6) AS theil
+FROM agg ORDER BY event_type
+"""
+
+
+def q_bh_fdr(spark, sf):
+    """Benjamini-Hochberg FDR step-up over a per-source test table
+    (operators/drift.py::bh_fdr, α=0.1): deterministic md5-derived
+    p-values — the correction layer every multi-segment drift monitor
+    needs before paging. Windows ride the config-sized tests table."""
+    from stackstac_spark.operators.drift import bh_fdr
+
+    tests = (
+        _t(spark, sf, "documents")
+        .select("source")
+        .distinct()
+        .select(
+            "source",
+            (
+                (
+                    F.conv(
+                        F.substring(F.md5(F.concat(F.lit("p:"), F.col("source"))), 1, 4),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 997
+                    + 1
+                )
+                / 1000.0
+            ).alias("p"),
+        )
+    )
+    return bh_fdr(tests, "p", alpha=0.1)
+
+
+SQL_BH_FDR = """
+WITH tests AS (
+  SELECT source,
+         (('0x' || substring(md5('p:' || source), 1, 4))::BIGINT % 997 + 1)
+           / 1000.0 AS p
+  FROM (SELECT DISTINCT source FROM documents)
+),
+ranked AS (
+  SELECT source, p,
+         row_number() OVER (ORDER BY p, source) AS bh_rank,
+         count(*) OVER () AS m
+  FROM tests
+),
+adj AS (
+  SELECT source, p, bh_rank,
+         least(1.0, min(m * p / bh_rank) OVER (ORDER BY bh_rank DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS p_adj,
+         max(CASE WHEN p <= bh_rank * 0.1 / m THEN 1 ELSE 0 END)
+             OVER (ORDER BY bh_rank DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rej
+  FROM ranked
+)
+SELECT source, p, bh_rank, round(p_adj, 6) AS p_adj, rej = 1 AS rejected
+FROM adj ORDER BY bh_rank
+"""
+
+
+def q_assoc_rules(spark, sf):
+    """Pairwise association rules over (user, event_type) baskets
+    (operators/graph.py::association_rules): support/confidence/lift with
+    the max_item_baskets hub guard — the "users who do X also do Y"
+    screen. Basket self-join on distinct incidence, broadcast support
+    dimension."""
+    from stackstac_spark.operators.graph import association_rules
+
+    ev = _t(spark, sf, "events")
+    return association_rules(
+        ev, "user_id", "event_type", min_support=2
+    ).orderBy("antecedent", "consequent")
+
+
+SQL_ASSOC_RULES = """
+WITH inc AS (
+  SELECT DISTINCT user_id AS b, event_type AS i FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+supp AS (SELECT i, count(*) AS n_i FROM inc GROUP BY i),
+nb AS (SELECT count(DISTINCT b) AS n_baskets FROM inc),
+pairs AS (
+  SELECT a.i AS ia, b.i AS ib, count(*) AS n_both
+  FROM inc a JOIN inc b ON a.b = b.b AND a.i < b.i
+  GROUP BY a.i, b.i HAVING count(*) >= 2
+),
+two_way AS (
+  SELECT ia, ib, n_both FROM pairs
+  UNION ALL SELECT ib AS ia, ia AS ib, n_both FROM pairs
+)
+SELECT two_way.ia AS antecedent, two_way.ib AS consequent,
+       CAST(n_both AS BIGINT) AS n_both,
+       CAST(sa.n_i AS BIGINT) AS n_ant,
+       CAST(sb.n_i AS BIGINT) AS n_cons,
+       round(n_both / (SELECT CAST(n_baskets AS DOUBLE) FROM nb), 6) AS support,
+       round(n_both * 1.0 / sa.n_i, 6) AS confidence,
+       round(n_both * 1.0 / sa.n_i * (SELECT n_baskets FROM nb) / sb.n_i, 6) AS lift
+FROM two_way
+JOIN supp sa ON sa.i = two_way.ia
+JOIN supp sb ON sb.i = two_way.ib
+ORDER BY antecedent, consequent
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- Rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r10,
@@ -14834,6 +15050,13 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "snapped_bounds": (q_snapped_bounds, SQL_SNAPPED_BOUNDS),
     "tile_grid_overlap": (q_tile_grid_overlap, SQL_TILE_GRID_OVERLAP),
     "metadata_allsame": (q_metadata_allsame, SQL_METADATA_ALLSAME),
+    # r11 wave 2 (registered past the window; driver-graded in a later
+    # rotation, CI-mirrored by test_past_window_mirror meanwhile)
+    "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
+    "rbo_eval": (q_rbo_eval, _duck_rbo_sql()),
+    "theil_mass": (q_theil_mass, SQL_THEIL_MASS),
+    "bh_fdr": (q_bh_fdr, SQL_BH_FDR),
+    "assoc_rules": (q_assoc_rules, SQL_ASSOC_RULES),
 }
 
 

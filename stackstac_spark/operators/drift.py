@@ -24,6 +24,7 @@ __all__ = [
     "spearman_rho",
     "js_divergence",
     "cramers_v",
+    "bh_fdr",
 ]
 
 
@@ -510,3 +511,61 @@ def cramers_v(
             mindim > 0, F.round(F.sqrt(chi2 / (F.col("n") * mindim)), round_to)
         ).alias("v"),
     )
+
+
+def bh_fdr(
+    df: DataFrame,
+    p_col: str,
+    alpha: float = 0.05,
+    round_to: int = 6,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR correction over a TABLE OF TESTS (Benjamini
+    & Hochberg 1995) → the input columns + (bh_rank, p_adj, rejected):
+    with m tests ranked by ascending p (ties/order stabilized by the
+    remaining columns' hash), p_adj(i) = min_{j≥i}(m·p_(j)/j) clamped to 1,
+    and ``rejected`` marks every rank ≤ the largest k with
+    p_(k) ≤ k·α/m — the step-up rule. The multiple-testing companion to
+    the drift family: a monitor running ks/psi/mann-whitney/mcnemar across
+    hundreds of segments MUST correct before paging anyone.
+
+    Plan note: the input is a test-results table — one row per
+    (metric, segment) pair, bounded by the monitoring configuration, never
+    by the corpus (the corpus was reduced to p-values upstream). The two
+    global windows here ride that bounded table, the same exemption as
+    zipf_fit's rank window; null/NaN p rows are excluded (an unrun test is
+    not a discovery candidate).
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0,1), got {alpha}")
+    p = F.col(p_col).cast("double")
+    base = df.filter(p.isNotNull() & ~F.isnan(p))
+    others = [c for c in base.columns if c != p_col]
+    order = [F.col(p_col).asc()] + [F.col(c).asc() for c in others]
+    w_rank = Window.orderBy(*order)  # bounded: tests table, config-sized
+    m = Window.partitionBy()
+    ranked = base.select(
+        "*",
+        F.row_number().over(w_rank).alias("bh_rank"),
+        F.count(F.lit(1)).over(m).alias("__m"),
+    )
+    w_rev = Window.orderBy(F.col("bh_rank").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    adj = ranked.select(
+        "*",
+        F.least(
+            F.lit(1.0),
+            F.min(F.col("__m") * p / F.col("bh_rank")).over(w_rev),
+        ).alias("__adj"),
+        # step-up: rejected iff some k >= rank has p_(k) <= k*alpha/m;
+        # equivalently the running max over ranks >= i of the indicator
+        F.max(
+            (p <= F.col("bh_rank") * alpha / F.col("__m")).cast("int")
+        ).over(w_rev).alias("__rej"),
+    )
+    return adj.select(
+        *[F.col(c) for c in base.columns],
+        "bh_rank",
+        F.round("__adj", round_to).alias("p_adj"),
+        (F.col("__rej") == 1).alias("rejected"),
+    ).orderBy("bh_rank")

@@ -18,6 +18,7 @@ __all__ = [
     "average_precision",
     "cohens_kappa",
     "mcnemar_test",
+    "rbo_overlap",
     "ndcg_at_k",
     "wilson_rank",
     "fleiss_kappa",
@@ -575,4 +576,71 @@ def calibration_error(
         F.round(F.sum("__sqs") / F.sum("__n"), round_to).alias("brier"),
         F.round(F.sum(gap * F.col("__n")) / F.sum("__n"), round_to).alias("ece"),
         F.round(F.max(gap), round_to).alias("mce"),
+    )
+
+
+def rbo_overlap(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    depth: int = 10,
+    p: float = 0.9,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    score_col: str = "score",
+    round_to: int = 6,
+) -> DataFrame:
+    """Rank-Biased Overlap between two rankings per query (Webber, Moffat
+    & Zobel 2010, the truncated prefix form) → (query, n_common, rbo):
+
+        RBO@d = (1−p) · Σ_{k=1..d} p^{k−1} · |A_k ∩ B_k| / k
+
+    — the top-weighted "how much did the ranking change?" metric for
+    comparing retrieval runs / ANN configs / re-ranker versions, where
+    Kendall/Spearman over-weight the tail nobody reads. Ties break by doc
+    id (the nDCG convention here), NULL-scored docs are excluded.
+
+    Rearrangement that keeps the plan join-shaped: a doc first enters both
+    prefixes at k = max(rank_a, rank_b), so
+    RBO@d = (1−p) · Σ_docs W[max(ra, rb)] with W[m] = Σ_{k=m..d} p^{k−1}/k
+    — a d-entry literal lookup. Plan: two query-partitioned top-d windows
+    + one (query, doc) equi-join + one agg; every per-query table is
+    ≤ depth rows, so the metric is O(queries·depth) at any corpus size.
+    """
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    if not 0.0 < p < 1.0:
+        raise ValueError(f"p must be in (0,1), got {p}")
+    # W[m] = sum_{k=m..d} p^(k-1)/k, 1-indexed; python-computed literals so
+    # an external engine replays the exact same doubles
+    weights = [0.0] * (depth + 2)
+    for k in range(depth, 0, -1):
+        weights[k] = weights[k + 1] + (p ** (k - 1)) / k
+
+    def topd(run: DataFrame, rank_name: str) -> DataFrame:
+        s = F.col(score_col).cast("double")
+        w = Window.partitionBy("q").orderBy(F.desc("s"), F.asc("d"))
+        return (
+            run.filter(s.isNotNull() & ~F.isnan(s))
+            .select(
+                F.col(query_col).alias("q"),
+                F.col(doc_col).alias("d"),
+                s.alias("s"),
+            )
+            .withColumn(rank_name, F.row_number().over(w))
+            .filter(F.col(rank_name) <= depth)
+            .drop("s")
+        )
+
+    j = topd(run_a, "ra").join(topd(run_b, "rb"), ["q", "d"])
+    m = F.greatest("ra", "rb")
+    wexpr = F.element_at(
+        F.array(*[F.lit(float(weights[k])) for k in range(1, depth + 1)]), m
+    )
+    return (
+        j.groupBy("q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.round((1.0 - p) * F.sum(wexpr), round_to).alias("rbo"),
+        )
+        .select(F.col("q").alias(query_col), "n_common", "rbo")
     )

@@ -29,6 +29,7 @@ __all__ = [
     "cooccurrence_recs",
     "personalized_pagerank",
     "degree_assortativity",
+    "association_rules",
 ]
 
 
@@ -1188,4 +1189,83 @@ def degree_assortativity(
             (varx > 0) & (vary > 0),
             F.round(num / F.sqrt(varx * vary), round_to),
         ).alias("assortativity"),
+    )
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    max_item_baskets: int | None = 5_000_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pairwise association rules over a (basket, item) incidence table
+    (Agrawal & Srikant 1994's support/confidence plus Brin 1997's lift) →
+    one row per ordered rule a→b with co-support ≥ ``min_support``:
+    (antecedent, consequent, n_both, n_ant, n_cons, support, confidence,
+    lift) — support = n_both/n_baskets, confidence = n_both/n_ant,
+    lift = confidence / (n_cons/n_baskets). The classic "users who do X
+    also do Y" mining, and in a data pipeline the co-occurrence screen for
+    correlated quality flags / template co-appearance.
+
+    Plan: dedupe to distinct (basket, item), self-equi-join on the basket
+    with item_a < item_b (never a cross product), count pairs, broadcast
+    the item-support dimension back, emit both rule orientations from the
+    one canonical pair table. ``max_item_baskets`` is the hub guard: one
+    item present in B baskets contributes O(B·items-per-basket) join rows,
+    so an item above the cap fails fast (the max_bucket policy) rather
+    than silently fanning out — drop stopword-like items upstream or raise
+    the cap deliberately. Null baskets/items are excluded.
+    """
+    if min_support < 1:
+        raise ValueError(f"min_support must be >= 1, got {min_support}")
+    inc = (
+        df.select(
+            F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+        )
+        .filter(F.col("b").isNotNull() & F.col("i").isNotNull())
+        .distinct()
+        .localCheckpoint()  # consumed by supports, the guard, AND the pair join
+    )
+    supp = inc.groupBy("i").agg(F.count(F.lit(1)).alias("n_i"))
+    if max_item_baskets is not None:
+        hot = supp.filter(F.col("n_i") > max_item_baskets).limit(1).collect()
+        if hot:
+            raise ValueError(
+                f"association_rules: item {hot[0]['i']!r} appears in "
+                f"{hot[0]['n_i']} baskets (> max_item_baskets="
+                f"{max_item_baskets}); the basket self-join would fan out. "
+                "Filter ubiquitous items first or raise the cap."
+            )
+    n_baskets = inc.select("b").distinct().count()
+    a = inc.select("b", F.col("i").alias("ia"))
+    b = inc.select("b", F.col("i").alias("ib"))
+    pairs = (
+        a.join(b, "b")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= min_support)
+    )
+    both = pairs.unionByName(
+        pairs.select(
+            F.col("ib").alias("ia"), F.col("ia").alias("ib"), "n_both"
+        )
+    )
+    dim = F.broadcast(supp)
+    out = (
+        both.join(dim.withColumnRenamed("i", "ia").withColumnRenamed("n_i", "n_ant"), "ia")
+        .join(dim.withColumnRenamed("i", "ib").withColumnRenamed("n_i", "n_cons"), "ib")
+    )
+    conf = F.col("n_both") / F.col("n_ant")
+    return out.select(
+        F.col("ia").alias("antecedent"),
+        F.col("ib").alias("consequent"),
+        F.col("n_both").cast("long").alias("n_both"),
+        F.col("n_ant").cast("long").alias("n_ant"),
+        F.col("n_cons").cast("long").alias("n_cons"),
+        F.round(F.col("n_both") / F.lit(float(n_baskets)), round_to).alias("support"),
+        F.round(conf, round_to).alias("confidence"),
+        F.round(conf * n_baskets / F.col("n_cons"), round_to).alias("lift"),
     )

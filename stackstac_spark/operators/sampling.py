@@ -637,3 +637,47 @@ def effective_sample_size(
         F.round(ess, round_to).alias("ess"),
         F.round(ess / F.col("n"), round_to).alias("ess_ratio"),
     )
+
+
+def theil_index(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Theil T inequality index per group (Theil 1967) →
+    group_cols + (n, mean_value, theil):
+
+        T = (1/n) Σ (x/μ)·ln(x/μ)  =  Σ x·ln x / (n·μ) − ln μ
+
+    over POSITIVE values — the decomposable concentration metric for
+    "how unevenly is the token/byte/weight budget spread across
+    sources/domains/shards?" (T = 0 perfectly even, ln n maximal: one
+    member holds everything). The companion to ``effective_sample_size``:
+    ESS says how many samples the weights are worth, Theil says where the
+    mass went. Null/NaN/non-positive values are excluded (ln undefined;
+    a zero-mass member contributes nothing in the x→0 limit).
+
+    Plan: one grouped aggregate of exact sums (n, Σx, Σx·ln x) — map-side
+    combined, no shuffle beyond the group keys, closed form from the
+    moments. NULL when the group is empty after filtering.
+    """
+    v = F.col(value_col).cast("double")
+    groups = list(group_cols or [])
+    base = df.filter(v.isNotNull() & ~F.isnan(v) & (v > 0)).select(
+        *groups, v.alias("__x")
+    )
+    agg = base.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__x").alias("__s"),
+        F.sum(F.col("__x") * F.log("__x")).alias("__sxlx"),
+    )
+    mu = F.col("__s") / F.col("n")
+    return agg.select(
+        *groups,
+        "n",
+        F.round(mu, round_to).alias("mean_value"),
+        F.round(F.col("__sxlx") / F.col("__s") - F.log(mu), round_to).alias(
+            "theil"
+        ),
+    )
