@@ -14740,6 +14740,164 @@ ORDER BY antecedent, consequent
 """
 
 
+# ---------------------------------------------------------------------------
+# r11 wave 3: exact trimmed mean (order stats without a sort), Mann-Kendall
+# trend test, RAKE keyword extraction.
+
+
+def q_trimmed_mean(spark, sf):
+    """Exact 10%-trimmed mean of the metric value per event type
+    (operators/sketch.py::trimmed_mean): interior mean from per-distinct-
+    value rank intervals — no global sort, quantile_bisect's philosophy
+    applied to robust location. The aggregate a metrics pipeline wants
+    when sentinel values and fat tails poison the plain mean."""
+    from stackstac_spark.operators.sketch import trimmed_mean
+
+    return trimmed_mean(
+        _t(spark, sf, "events"), "value", ["event_type"], trim=0.1
+    ).orderBy("event_type")
+
+
+SQL_TRIMMED_MEAN = """
+WITH base AS (
+  SELECT event_type AS g, value AS v FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+),
+per AS (SELECT g, v, count(*) AS c FROM base GROUP BY g, v),
+ranked AS (
+  SELECT g, v, c,
+         sum(c) OVER (PARTITION BY g ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY g) AS n
+  FROM per
+),
+wt AS (
+  SELECT g, v, c, n,
+         greatest(0, least(cum, n - floor(n * 0.1))
+                  - greatest(cum - c, floor(n * 0.1))) AS w
+  FROM ranked
+)
+SELECT g AS event_type, CAST(max(n) AS BIGINT) AS n,
+       CAST(greatest(0, max(n - 2 * floor(n * 0.1))) AS BIGINT) AS n_kept,
+       CASE WHEN max(n - 2 * floor(n * 0.1)) > 0
+            THEN round(sum(v * w) / max(n - 2 * floor(n * 0.1)), 6) END
+         AS trimmed_mean
+FROM wt GROUP BY g ORDER BY g
+"""
+
+
+def q_mann_kendall(spark, sf):
+    """Mann-Kendall monotonic-trend test on the DAILY event-count series
+    per event type (operators/timeseries.py::mann_kendall): integer daily
+    counts (engine-exact arithmetic), pairwise S over ~40 days per series
+    — the nonparametric trend screen of the drift monitor. The corpus
+    reduces to the bounded day-level series BEFORE the pairwise join."""
+    from stackstac_spark.operators.timeseries import mann_kendall
+
+    daily = (
+        _t(spark, sf, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return mann_kendall(
+        daily, "day", "n_events", ["event_type"]
+    ).orderBy("event_type")
+
+
+SQL_MANN_KENDALL = """
+WITH daily AS (
+  SELECT event_type AS g, CAST(ts AS DATE) AS day, count(*) AS x
+  FROM events WHERE ts IS NOT NULL GROUP BY g, day
+),
+s AS (
+  SELECT a.g, CAST(sum(sign(b.x - a.x)) AS BIGINT) AS s_stat
+  FROM daily a JOIN daily b ON b.g = a.g AND a.day < b.day
+  GROUP BY a.g
+),
+ties AS (
+  SELECT g, sum(tg * (tg - 1) * (2 * tg + 5)) AS tie_term,
+         CAST(sum(tg) AS BIGINT) AS n
+  FROM (SELECT g, x, count(*) AS tg FROM daily GROUP BY g, x)
+  GROUP BY g
+),
+j AS (
+  SELECT t.g, t.n, s.s_stat,
+         (t.n * (t.n - 1) * (2 * t.n + 5) - t.tie_term) / 18.0 AS var_s
+  FROM ties t JOIN s ON s.g = t.g
+)
+SELECT g AS event_type, n, s_stat, round(var_s, 6) AS var_s,
+       round(CASE WHEN var_s <= 0 THEN 0.0
+                  WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                  WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                  ELSE 0.0 END, 6) AS z
+FROM j ORDER BY event_type
+"""
+
+
+def q_rake_topk(spark, sf):
+    """RAKE keyword extraction over the corpus (operators/textstats.py::
+    rake_keywords, top-25): stopword-delimited candidate phrases scored
+    Σ deg(w)/freq(w) — the unsupervised "what is this corpus about"
+    screen. Segmentation is fully relational (running stopword count per
+    document — no regex-split semantics to disagree on across engines)."""
+    from stackstac_spark.operators.textstats import rake_keywords
+
+    return rake_keywords(_t(spark, sf, "documents"), k=25)
+
+
+def _duck_rake_sql(k: int = 25) -> str:
+    from stackstac_spark.operators.textstats import RAKE_STOPWORDS
+
+    sw = ", ".join(f"'{w}'" for w in sorted(set(RAKE_STOPWORDS)))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, i AS pos, l[i] AS w
+  FROM (SELECT doc_id,
+               string_split_regex(lower(text), '[ \\t\\n\\r\\f]+') AS l
+        FROM documents),
+       unnest(generate_series(1, len(l))) AS g(i)
+  WHERE l[i] <> ''
+),
+seg AS (
+  SELECT doc_id, pos, w,
+         sum(CASE WHEN w IN ({sw}) THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid,
+         w IN ({sw}) AS is_stop
+  FROM toks
+),
+phrases AS (
+  SELECT doc_id, sid, string_agg(w, ' ' ORDER BY pos) AS phrase,
+         count(*) AS n_words
+  FROM seg WHERE NOT is_stop GROUP BY doc_id, sid
+),
+words AS (
+  SELECT n_words, unnest(string_split(phrase, ' ')) AS w FROM phrases
+),
+stats AS (
+  SELECT w, count(*) AS freq, sum(n_words) AS deg FROM words GROUP BY w
+),
+scored AS (
+  SELECT p.phrase, p.n_words,
+         sum(s.deg * 1.0 / s.freq) AS score_total,
+         count(*) AS word_instances
+  FROM (SELECT phrase, n_words, unnest(string_split(phrase, ' ')) AS w
+        FROM phrases) p
+  JOIN stats s USING (w)
+  GROUP BY p.phrase, p.n_words
+),
+per AS (
+  SELECT phrase, CAST(n_words AS BIGINT) AS n_words,
+         CAST(word_instances / n_words AS BIGINT) AS cnt,
+         round(score_total / (word_instances / n_words), 6) AS score
+  FROM scored
+)
+SELECT row_number() OVER (ORDER BY score DESC, cnt DESC, phrase) AS rank,
+       phrase, n_words, cnt, score
+FROM per ORDER BY score DESC, cnt DESC, phrase LIMIT {k}
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- Rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r10,
@@ -15057,6 +15215,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "theil_mass": (q_theil_mass, SQL_THEIL_MASS),
     "bh_fdr": (q_bh_fdr, SQL_BH_FDR),
     "assoc_rules": (q_assoc_rules, SQL_ASSOC_RULES),
+    "trimmed_mean": (q_trimmed_mean, SQL_TRIMMED_MEAN),
+    "mann_kendall": (q_mann_kendall, SQL_MANN_KENDALL),
+    "rake_topk": (q_rake_topk, _duck_rake_sql()),
 }
 
 

