@@ -14898,6 +14898,201 @@ FROM per ORDER BY score DESC, cnt DESC, phrase LIMIT {k}
 """
 
 
+# ---------------------------------------------------------------------------
+# r11 wave 4: survival (Kaplan-Meier), ordinal concordance (Kendall τ-b),
+# k-classifier omnibus (Cochran's Q), one-way ANOVA.
+
+
+def q_kaplan_meier(spark, sf):
+    """Kaplan-Meier retention curve over per-user activity spans
+    (operators/survival.py::kaplan_meier): duration = days between a
+    user's first and last event (integer — engine-exact grouping), event =
+    churn flag by user residue (the user_id % 4 == 0 quarter stays
+    censored/active). Distinct-time aggregates + one bounded cumulative
+    window; the running product rides exp(Σ ln) with an exact-zero
+    override."""
+    from stackstac_spark.operators.survival import kaplan_meier
+
+    spans = (
+        _t(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.datediff(F.to_date(F.max("ts")), F.to_date(F.min("ts"))) + 1
+            ).cast("double").alias("duration"),
+            F.when(F.col("user_id") % 4 != 0, 1).otherwise(0).alias("churned"),
+        )
+    )
+    return kaplan_meier(spans, "duration", "churned")
+
+
+SQL_KAPLAN_MEIER = """
+WITH peru AS (
+  SELECT user_id,
+         CAST(date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) + 1
+              AS DOUBLE) AS d,
+         CASE WHEN user_id % 4 <> 0 THEN 1 ELSE 0 END AS e
+  FROM events GROUP BY user_id
+),
+per_t AS (SELECT d AS t, sum(e) AS dd, sum(1 - e) AS c FROM peru GROUP BY d),
+risked AS (
+  SELECT t, dd, c,
+         sum(dd + c) OVER ()
+           - coalesce(sum(dd + c) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM per_t
+),
+surv AS (
+  SELECT t, dd, c, n_risk,
+         CASE WHEN max(CASE WHEN dd >= n_risk THEN 1 ELSE 0 END)
+                   OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) = 1
+              THEN 0.0
+              ELSE exp(sum(CASE WHEN dd < n_risk
+                                THEN ln(1 - dd * 1.0 / n_risk)
+                                ELSE 0.0 END)
+                       OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)) END AS s
+  FROM risked
+)
+SELECT t, CAST(n_risk AS BIGINT) AS n_risk, CAST(dd AS BIGINT) AS n_events,
+       CAST(c AS BIGINT) AS n_censored, round(s, 6) AS survival
+FROM surv WHERE dd > 0 ORDER BY t
+"""
+
+
+def q_kendall_corr(spark, sf):
+    """Kendall τ-b per event type (operators/drift.py::kendall_tau_b):
+    coarse ordinal value buckets (floor(value/50) — 12 levels) against a
+    deterministic 20-level user hash; concordance from the contingency
+    CELL join (≤240 cells per group), never a row×row product."""
+    from stackstac_spark.operators.drift import kendall_tau_b
+
+    ev = _t(spark, sf, "events").select(
+        "event_type",
+        F.floor(F.col("value") / 50).cast("double").alias("a"),
+        ((F.col("user_id") * 2654435761) % 20).cast("double").alias("b"),
+    )
+    return kendall_tau_b(ev, "a", "b", ["event_type"]).orderBy("event_type")
+
+
+SQL_KENDALL_CORR = """
+WITH base AS (
+  SELECT event_type AS g,
+         CAST(floor(value / 50) AS DOUBLE) AS a,
+         CAST((user_id * 2654435761) % 20 AS DOUBLE) AS b
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value) AND user_id IS NOT NULL
+),
+cells AS (SELECT g, a, b, count(*) AS c FROM base GROUP BY g, a, b),
+cd AS (
+  SELECT c1.g,
+         CAST(sum(CASE WHEN c1.b < c2.b THEN c1.c * c2.c ELSE 0 END) AS BIGINT)
+           AS concordant,
+         CAST(sum(CASE WHEN c1.b > c2.b THEN c1.c * c2.c ELSE 0 END) AS BIGINT)
+           AS discordant
+  FROM cells c1 JOIN cells c2 ON c2.g = c1.g AND c1.a < c2.a
+  GROUP BY c1.g
+),
+n_tab AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY g),
+ta AS (
+  SELECT g, sum(t * (t - 1) / 2) AS ta FROM
+    (SELECT g, a, count(*) AS t FROM base GROUP BY g, a) GROUP BY g
+),
+tb AS (
+  SELECT g, sum(t * (t - 1) / 2) AS tb FROM
+    (SELECT g, b, count(*) AS t FROM base GROUP BY g, b) GROUP BY g
+)
+SELECT n_tab.g AS event_type, n, concordant, discordant,
+       CASE WHEN (n * (n - 1) / 2.0 - ta) * (n * (n - 1) / 2.0 - tb) > 0
+            THEN round((concordant - discordant)
+                       / sqrt((n * (n - 1) / 2.0 - ta)
+                              * (n * (n - 1) / 2.0 - tb)), 6) END AS tau_b
+FROM n_tab JOIN cd USING (g) JOIN ta USING (g) JOIN tb USING (g)
+ORDER BY event_type
+"""
+
+
+def q_cochran_q(spark, sf):
+    """Cochran's Q omnibus over THREE deterministic classifiers per
+    language (operators/evalmetrics.py::cochran_q) — "is any of these
+    models different?" before the pairwise McNemars (same fixture family
+    as the mcnemar gate, plus a third residue classifier). One grouped
+    aggregate."""
+    from stackstac_spark.operators.evalmetrics import cochran_q
+
+    y = (F.col("doc_id") % 2).cast("int")
+    docs = _t(spark, sf, "documents").select(
+        "lang",
+        y.alias("y"),
+        F.when((F.col("doc_id") * 3) % 5 < 3, y).otherwise(1 - y).alias("pa"),
+        F.when((F.col("doc_id") * 7) % 5 < 2, y).otherwise(1 - y).alias("pb"),
+        F.when((F.col("doc_id") * 11) % 3 < 2, y).otherwise(1 - y).alias("pc"),
+    )
+    return cochran_q(docs, ["pa", "pb", "pc"], "y", ["lang"]).orderBy("lang")
+
+
+SQL_COCHRAN_Q = """
+WITH r AS (
+  SELECT lang,
+         CASE WHEN (doc_id * 3) % 5 < 3 THEN 1 ELSE 0 END AS o1,
+         CASE WHEN (doc_id * 7) % 5 < 2 THEN 1 ELSE 0 END AS o2,
+         CASE WHEN (doc_id * 11) % 3 < 2 THEN 1 ELSE 0 END AS o3
+  FROM documents
+),
+agg AS (
+  SELECT lang, count(*) AS n, sum(o1) AS g1, sum(o2) AS g2, sum(o3) AS g3,
+         sum(o1 + o2 + o3) AS t,
+         sum((o1 + o2 + o3) * (o1 + o2 + o3)) AS l2
+  FROM r GROUP BY lang
+)
+SELECT lang, CAST(n AS BIGINT) AS n, 3 AS k,
+       CASE WHEN 3 * t - l2 > 0
+            THEN round(3 * 2 * ((g1 - t / 3.0) * (g1 - t / 3.0)
+                                + (g2 - t / 3.0) * (g2 - t / 3.0)
+                                + (g3 - t / 3.0) * (g3 - t / 3.0))
+                       / (3 * t - l2), 6) END AS q_stat
+FROM agg ORDER BY lang
+"""
+
+
+def q_anova_f(spark, sf):
+    """One-way ANOVA F of the metric value across event types
+    (operators/drift.py::anova_f): the parametric omnibus next to the
+    rank tests — one grouped moments aggregate + one k-row scalar agg."""
+    from stackstac_spark.operators.drift import anova_f
+
+    return anova_f(_t(spark, sf, "events"), "value", "event_type")
+
+
+SQL_ANOVA_F = """
+WITH base AS (
+  SELECT event_type AS g, value AS x FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value) AND event_type IS NOT NULL
+),
+per AS (
+  SELECT g, count(*) AS n, sum(x) AS s, sum(x * x) AS s2 FROM base GROUP BY g
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n,
+         sum(s) AS gs,
+         sum(s2 - s * s / n) AS ssw,
+         sum(s * s / n) AS sb_raw
+  FROM per
+)
+SELECT k, n,
+       round(sb_raw - gs * gs / n, 6) AS ss_between,
+       round(ssw, 6) AS ss_within,
+       CASE WHEN k > 1 AND n > k AND ssw > 0
+            THEN round(((sb_raw - gs * gs / n) / (k - 1)) / (ssw / (n - k)), 6)
+       END AS f_stat,
+       CASE WHEN (sb_raw - gs * gs / n) + ssw > 0
+            THEN round((sb_raw - gs * gs / n)
+                       / ((sb_raw - gs * gs / n) + ssw), 6) END AS eta_sq
+FROM agg
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- Rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r10,
@@ -15218,6 +15413,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "trimmed_mean": (q_trimmed_mean, SQL_TRIMMED_MEAN),
     "mann_kendall": (q_mann_kendall, SQL_MANN_KENDALL),
     "rake_topk": (q_rake_topk, _duck_rake_sql()),
+    "kaplan_meier": (q_kaplan_meier, SQL_KAPLAN_MEIER),
+    "kendall_corr": (q_kendall_corr, SQL_KENDALL_CORR),
+    "cochran_q": (q_cochran_q, SQL_COCHRAN_Q),
+    "anova_f": (q_anova_f, SQL_ANOVA_F),
 }
 
 

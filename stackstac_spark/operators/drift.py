@@ -25,6 +25,8 @@ __all__ = [
     "js_divergence",
     "cramers_v",
     "bh_fdr",
+    "kendall_tau_b",
+    "anova_f",
 ]
 
 
@@ -569,3 +571,174 @@ def bh_fdr(
         F.round("__adj", round_to).alias("p_adj"),
         (F.col("__rej") == 1).alias("rejected"),
     ).orderBy("bh_rank")
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    group_cols: list[str] | None = None,
+    round_to: int = 6,
+    max_cells: int | None = 10_000,
+) -> DataFrame:
+    """Kendall τ-b rank correlation per group (Kendall 1945, the
+    tie-adjusted form scipy's ``kendalltau`` computes) → group_cols +
+    (n, concordant, discordant, tau_b):
+
+        τ-b = (C − D) / √((N₀ − T_a)(N₀ − T_b))
+
+    with N₀ = n(n−1)/2 and T the within-column tie-pair counts — the
+    concordance companion to ``spearman_rho`` (τ weights every pair
+    equally; ρ weights by rank distance), standard for ordinal metadata
+    (ratings, quality buckets, severity levels).
+
+    Plan: the corpus collapses to the (a, b) CONTINGENCY CELL table per
+    group, and C/D come from one cell×cell join restricted to a₁ < a₂ —
+    pair counts multiply out of cell weights, so cost is cells², never
+    rows². ``max_cells`` fail-fasts on high-cardinality inputs (τ over
+    continuous doubles wants pre-binning — ordinal data is the contract;
+    the guard is the roc_auc policy). Tie terms come from the two
+    marginals. Null/NaN rows are excluded.
+    """
+    groups = list(group_cols or [])
+    a = F.col(col_a).cast("double")
+    b = F.col(col_b).cast("double")
+    base = df.filter(
+        a.isNotNull() & ~F.isnan(a) & b.isNotNull() & ~F.isnan(b)
+    ).select(*groups, a.alias("__a"), b.alias("__b"))
+    cells = base.groupBy(*groups, "__a", "__b").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    if max_cells is not None:
+        worst = (
+            cells.groupBy(*groups)
+            .count()
+            .agg(F.max("count").alias("m"))
+            .first()["m"]
+        )
+        if worst is not None and worst > max_cells:
+            raise ValueError(
+                f"kendall_tau_b: a group has {worst} distinct (a, b) cells "
+                f"(> max_cells={max_cells}); the cell×cell concordance join "
+                "would square it. Pre-bin the inputs (τ is an ordinal "
+                "statistic), or raise/disable the guard."
+            )
+    c1 = cells.select(
+        *groups,
+        F.col("__a").alias("__a1"),
+        F.col("__b").alias("__b1"),
+        F.col("__c").alias("__c1"),
+    )
+    c2 = cells.select(
+        *groups,
+        F.col("__a").alias("__a2"),
+        F.col("__b").alias("__b2"),
+        F.col("__c").alias("__c2"),
+    )
+    if groups:
+        pj = c1.join(c2, groups)
+    else:
+        pj = c1.withColumn("__k", F.lit(1)).join(
+            c2.withColumn("__k", F.lit(1)), "__k"
+        )
+    pj = pj.filter(F.col("__a1") < F.col("__a2"))
+    cd = pj.groupBy(*groups).agg(
+        F.sum(
+            F.when(F.col("__b1") < F.col("__b2"), F.col("__c1") * F.col("__c2")).otherwise(F.lit(0))
+        ).cast("long").alias("concordant"),
+        F.sum(
+            F.when(F.col("__b1") > F.col("__b2"), F.col("__c1") * F.col("__c2")).otherwise(F.lit(0))
+        ).cast("long").alias("discordant"),
+    )
+    n_tab = base.groupBy(*groups).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ta = (
+        base.groupBy(*groups, "__a")
+        .agg(F.count(F.lit(1)).alias("__t"))
+        .groupBy(*groups)
+        .agg(F.sum(F.col("__t") * (F.col("__t") - 1) / 2).alias("__ta"))
+    )
+    tb = (
+        base.groupBy(*groups, "__b")
+        .agg(F.count(F.lit(1)).alias("__t"))
+        .groupBy(*groups)
+        .agg(F.sum(F.col("__t") * (F.col("__t") - 1) / 2).alias("__tb"))
+    )
+    if groups:
+        j = n_tab.join(cd, groups).join(ta, groups).join(tb, groups)
+    else:
+        j = n_tab
+        for other in (cd, ta, tb):
+            j = j.withColumn("__k", F.lit(1)).join(
+                F.broadcast(other.withColumn("__k", F.lit(1))), "__k"
+            ).drop("__k")
+    n0 = F.col("n") * (F.col("n") - 1) / 2.0
+    denom = F.sqrt((n0 - F.col("__ta")) * (n0 - F.col("__tb")))
+    return j.select(
+        *groups,
+        "n",
+        "concordant",
+        "discordant",
+        F.when(
+            denom > 0,
+            F.round((F.col("concordant") - F.col("discordant")) / denom, round_to),
+        ).alias("tau_b"),
+    )
+
+
+def anova_f(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """One-way ANOVA F over the groups of ``group_col`` → one row
+    (k, n, ss_between, ss_within, f_stat, eta_sq): the parametric "do
+    these k segments have the same mean?" omnibus test (the mean-based
+    complement to the rank tests here), plus η² = SSB/SST — how much of
+    the metric's variance the segmentation explains.
+
+        F = (SSB / (k−1)) / (SSW / (n−k))
+
+    computed entirely from per-group exact sums (n_g, Σx, Σx²) via
+    SSB = Σ n_g(x̄_g − x̄)², SSW = Σ(Σx²_g − n_g·x̄_g²) — one grouped
+    aggregate + one k-row scalar aggregate, no second data pass. NULL F
+    when k < 2, n ≤ k, or SSW = 0 (all within-group values identical).
+    Null/NaN values and null groups are excluded.
+    """
+    v = F.col(value_col).cast("double")
+    base = df.filter(
+        v.isNotNull() & ~F.isnan(v) & F.col(group_col).isNotNull()
+    ).select(F.col(group_col).alias("__g"), v.alias("__x"))
+    per = base.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__x").alias("__s"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__s2"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("__n").cast("long").alias("n"),
+        F.sum("__s").alias("__gs"),
+        # SSW = Σ_g (Σx² − (Σx)²/n_g)
+        F.sum(F.col("__s2") - F.col("__s") * F.col("__s") / F.col("__n")).alias("__ssw"),
+        # Σ_g (Σx)²/n_g, for SSB = that − (ΣΣx)²/n
+        F.sum(F.col("__s") * F.col("__s") / F.col("__n")).alias("__sb_raw"),
+    )
+    ssb = F.col("__sb_raw") - F.col("__gs") * F.col("__gs") / F.col("n")
+    ssw = F.col("__ssw")
+    f_ok = (F.col("k") > 1) & (F.col("n") > F.col("k")) & (ssw > 0)
+    return agg.select(
+        "k",
+        "n",
+        F.round(ssb, round_to).alias("ss_between"),
+        F.round(ssw, round_to).alias("ss_within"),
+        F.when(
+            f_ok,
+            F.round(
+                (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))),
+                round_to,
+            ),
+        ).alias("f_stat"),
+        F.when(
+            ssb + ssw > 0, F.round(ssb / (ssb + ssw), round_to)
+        ).alias("eta_sq"),
+    )

@@ -19,6 +19,7 @@ __all__ = [
     "cohens_kappa",
     "mcnemar_test",
     "rbo_overlap",
+    "cochran_q",
     "ndcg_at_k",
     "wilson_rank",
     "fleiss_kappa",
@@ -643,4 +644,63 @@ def rbo_overlap(
             F.round((1.0 - p) * F.sum(wexpr), round_to).alias("rbo"),
         )
         .select(F.col("q").alias(query_col), "n_common", "rbo")
+    )
+
+
+def cochran_q(
+    df: DataFrame,
+    pred_cols: list[str],
+    label_col: str,
+    group_cols: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cochran's Q test for comparing k ≥ 2 classifiers on the SAME
+    examples (Cochran 1950; the k-way generalization of McNemar) per group
+    → group_cols + (n, k, q_stat):
+
+        Q = k(k−1) · Σ_j (G_j − T/k)² / (k·T − Σ_i L_i²)
+
+    with G_j = examples classifier j got right, L_i = classifiers right on
+    example i, T = Σ L_i — "is ANY of these k models actually different?"
+    before pairwise McNemars. Q ~ χ²(k−1) under H0. NULL when the
+    denominator is 0 (all classifiers agree on every example — no
+    information). Rows with a null label or any null prediction are
+    excluded (not a complete k-tuple observation).
+
+    Plan: L_i is a map-only expression over the k prediction columns, then
+    ONE grouped aggregate carries every term (k per-classifier conditional
+    sums + ΣL + ΣL²) — no shuffle beyond the group keys.
+    """
+    if len(pred_cols) < 2:
+        raise ValueError(f"need >= 2 classifiers, got {len(pred_cols)}")
+    k = len(pred_cols)
+    groups = list(group_cols or [])
+    cond = F.col(label_col).isNotNull()
+    for c in pred_cols:
+        cond = cond & F.col(c).isNotNull()
+    base = df.filter(cond)
+    oks = [
+        (F.col(c) == F.col(label_col)).cast("int").alias(f"__ok{i}")
+        for i, c in enumerate(pred_cols)
+    ]
+    li = sum(F.col(f"__ok{i}") for i in range(k))
+    rows = base.select(*groups, *oks).withColumn("__L", li)
+    agg = rows.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__L").alias("__T"),
+        F.sum(F.col("__L") * F.col("__L")).alias("__L2"),
+        *[F.sum(f"__ok{i}").alias(f"__G{i}") for i in range(k)],
+    )
+    gbar = F.col("__T") / k
+    num = sum(
+        (F.col(f"__G{i}") - gbar) * (F.col(f"__G{i}") - gbar) for i in range(k)
+    )
+    den = k * F.col("__T") - F.col("__L2")
+    return agg.select(
+        *groups,
+        "n",
+        F.lit(k).alias("k"),
+        F.when(den > 0, F.round(k * (k - 1) * num / den, round_to)).alias(
+            "q_stat"
+        ),
     )
