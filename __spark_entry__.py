@@ -15093,6 +15093,197 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# r11 wave 5: cumulative-gains lift table, G-test, Cohen's d effect sizes,
+# Page-Hinkley mean-shift detector.
+
+
+def q_lift_table(spark, sf):
+    """Cumulative-gains / lift deciles of the deterministic quality
+    classifier (operators/evalmetrics.py::lift_deciles, same fixture as
+    roc_auc, corpus-wide): rank intervals from distinct scores, ties split
+    proportionally — the business-facing companion to AUC."""
+    from stackstac_spark.operators.evalmetrics import lift_deciles
+
+    docs = _t(spark, sf, "documents").select(
+        (((F.col("doc_id") * 37) % 199) / 199.0
+         + F.when(F.col("doc_id") % 3 == 0, 0.15).otherwise(0.0)).alias("score"),
+        (F.col("doc_id") % 3 == 0).cast("int").alias("label"),
+    )
+    return lift_deciles(docs, "score", "label", n_buckets=10)
+
+
+SQL_LIFT_TABLE = """
+WITH scored AS (
+  SELECT ((doc_id * 37) % 199) / 199.0
+           + CASE WHEN doc_id % 3 = 0 THEN 0.15 ELSE 0.0 END AS s,
+         CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+per_score AS (
+  SELECT s, sum(y) AS p, sum(1 - y) AS nn FROM scored GROUP BY s
+),
+ranked AS (
+  SELECT p, nn, p + nn AS cnt,
+         sum(p + nn) OVER (ORDER BY s DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(p + nn) OVER () AS n_tot,
+         sum(p) OVER () AS p_tot
+  FROM per_score
+),
+burst AS (
+  SELECT r.*, g.bucket
+  FROM ranked r, unnest(generate_series(0, 9)) AS g(bucket)
+),
+ov AS (
+  SELECT bucket, p, cnt, n_tot, p_tot,
+         greatest(0, least(cum, floor((bucket + 1) * n_tot / 10))
+                  - greatest(cum - cnt, floor(bucket * n_tot / 10))) AS w
+  FROM burst
+),
+per_bucket AS (
+  SELECT bucket, round(sum(w), 6) AS n_b,
+         round(sum(p * w / cnt), 6) AS pos_b,
+         max(n_tot) AS n_tot, max(p_tot) AS p_tot
+  FROM ov GROUP BY bucket
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, n_b AS n, pos_b AS n_pos,
+       round(sum(n_b) OVER (ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_n,
+       round(sum(pos_b) OVER (ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_pos,
+       round(sum(pos_b) OVER (ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / p_tot, 6) AS gain,
+       round((sum(pos_b) OVER (ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              / sum(n_b) OVER (ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             / (p_tot * 1.0 / n_tot), 6) AS lift
+FROM per_bucket ORDER BY bucket
+"""
+
+
+def q_g_independence(spark, sf):
+    """G-test of lang × source independence (operators/drift.py::g_test):
+    the additive log-likelihood-ratio alternative to χ² (same contingency
+    + broadcast-marginal plan as cramers_v) — preferred for hierarchical
+    drill-downs because G sums across table partitions."""
+    from stackstac_spark.operators.drift import g_test
+
+    return g_test(_t(spark, sf, "documents"), "lang", "source")
+
+
+SQL_G_INDEPENDENCE = """
+WITH base AS (
+  SELECT lang AS a, source AS b FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL
+),
+cont AS (SELECT a, b, count(*) AS o FROM base GROUP BY a, b),
+ma AS (SELECT a, sum(o) AS ra FROM cont GROUP BY a),
+mb AS (SELECT b, sum(o) AS cb FROM cont GROUP BY b),
+s AS (
+  SELECT sum(o) AS n,
+         count(DISTINCT cont.a) AS la, count(DISTINCT cont.b) AS lb,
+         sum(o * ln(o * 1.0 / (ra * cb))) AS partial
+  FROM cont JOIN ma USING (a) JOIN mb USING (b)
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(la AS BIGINT) AS levels_a,
+       CAST(lb AS BIGINT) AS levels_b,
+       CAST((la - 1) * (lb - 1) AS BIGINT) AS dof,
+       round(2.0 * (partial + n * ln(n)), 6) AS g_stat
+FROM s
+"""
+
+
+def q_effect_sizes(spark, sf):
+    """Cohen's d of each event type's metric value against the rest of
+    the corpus (operators/drift.py::cohens_d): the magnitude companion to
+    anova_f — rest-side moments derived algebraically from (global −
+    group), one corpus scan."""
+    from stackstac_spark.operators.drift import cohens_d
+
+    return cohens_d(
+        _t(spark, sf, "events"), "value", "event_type"
+    ).orderBy("event_type")
+
+
+SQL_EFFECT_SIZES = """
+WITH base AS (
+  SELECT event_type AS g, value AS x FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value) AND event_type IS NOT NULL
+),
+per AS (
+  SELECT g, count(*) AS n, sum(x) AS s, sum(x * x) AS s2 FROM base GROUP BY g
+),
+gtot AS (SELECT sum(n) AS gn, sum(s) AS gs, sum(s2) AS gs2 FROM per)
+SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+       round(s / n, 6) AS mean_value,
+       CASE WHEN n >= 2 AND gn - n >= 2
+                 AND ((s2 - s * s / n)
+                      + ((gs2 - s2) - (gs - s) * (gs - s) / (gn - n)))
+                     / (gn - 2) > 0
+            THEN round((s / n - (gs - s) / (gn - n))
+                       / sqrt(((s2 - s * s / n)
+                               + ((gs2 - s2) - (gs - s) * (gs - s) / (gn - n)))
+                              / (gn - 2)), 6) + 0.0 END AS d
+FROM per, gtot ORDER BY event_type
+"""
+
+
+def q_page_hinkley(spark, sf):
+    """Page-Hinkley mean-shift detector over each event type's daily
+    count series (operators/timeseries.py::page_hinkley, λ=5): the batch
+    replay of the streaming drift monitor — three chained bounded windows
+    (running mean → cumulative deviation → running min). Day index is an
+    integer offset so both engines hash the alarm time identically."""
+    from stackstac_spark.operators.timeseries import page_hinkley
+
+    daily = (
+        _t(spark, sf, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("n_events"))
+    )
+    return page_hinkley(
+        daily, "day", "n_events", ["event_type"], lam=5.0
+    ).orderBy("event_type")
+
+
+SQL_PAGE_HINKLEY = """
+WITH daily AS (
+  SELECT event_type AS g,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS t,
+         count(*) * 1.0 AS x
+  FROM events WHERE ts IS NOT NULL GROUP BY g, t
+),
+term AS (
+  SELECT g, t,
+         x - sum(x) OVER (PARTITION BY g ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / count(*) OVER (PARTITION BY g ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tm
+  FROM daily
+),
+mm AS (
+  SELECT g, t, sum(tm) OVER (PARTITION BY g ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+  FROM term
+),
+ph AS (
+  SELECT g, t, m - min(m) OVER (PARTITION BY g ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+  FROM mm
+)
+SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n,
+       round(max(v), 6) AS ph_stat,
+       max(v) > 5.0 AS alarm,
+       min(CASE WHEN v > 5.0 THEN t END) AS alarm_t
+FROM ph GROUP BY g ORDER BY g
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- Rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r10,
@@ -15417,6 +15608,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "kendall_corr": (q_kendall_corr, SQL_KENDALL_CORR),
     "cochran_q": (q_cochran_q, SQL_COCHRAN_Q),
     "anova_f": (q_anova_f, SQL_ANOVA_F),
+    "lift_table": (q_lift_table, SQL_LIFT_TABLE),
+    "g_independence": (q_g_independence, SQL_G_INDEPENDENCE),
+    "effect_sizes": (q_effect_sizes, SQL_EFFECT_SIZES),
+    "page_hinkley": (q_page_hinkley, SQL_PAGE_HINKLEY),
 }
 
 

@@ -27,6 +27,8 @@ __all__ = [
     "bh_fdr",
     "kendall_tau_b",
     "anova_f",
+    "g_test",
+    "cohens_d",
 ]
 
 
@@ -741,4 +743,110 @@ def anova_f(
         F.when(
             ssb + ssw > 0, F.round(ssb / (ssb + ssw), round_to)
         ).alias("eta_sq"),
+    )
+
+
+def g_test(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """G-test of independence between two categorical columns (the
+    log-likelihood-ratio alternative to Pearson's χ²; Sokal & Rohlf) →
+    one row (n, levels_a, levels_b, dof, g_stat):
+
+        G = 2 Σ_observed o · ln(o·n / (r_a·c_b))
+
+    — additive across partitions of the table (χ² is not), which is why
+    corpus-linguistics keyness and hierarchical drill-downs prefer it.
+    Empty cells contribute 0 (lim x→0 x·ln x = 0), so only observed cells
+    ever materialize — same contingency + broadcast-marginal plan as
+    ``cramers_v``. G ~ χ²((r−1)(c−1)) under independence.
+    """
+    a, b = F.col(col_a), F.col(col_b)
+    base = df.select(
+        a.cast("string").alias("__a"), b.cast("string").alias("__b")
+    ).filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+    cont = base.groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("__o"))
+    ma = cont.groupBy("__a").agg(F.sum("__o").alias("__ra"))
+    mb = cont.groupBy("__b").agg(F.sum("__o").alias("__cb"))
+    j = cont.join(F.broadcast(ma), "__a").join(F.broadcast(mb), "__b")
+    stats = j.agg(
+        F.sum("__o").cast("long").alias("n"),
+        F.count_distinct("__a").cast("long").alias("levels_a"),
+        F.count_distinct("__b").cast("long").alias("levels_b"),
+        F.sum(
+            F.col("__o")
+            * F.log(
+                F.col("__o")
+                / (F.col("__ra").cast("double") * F.col("__cb"))
+            )
+        ).alias("__partial"),  # Σ o·ln(o/(ra·cb)); the +ln(n) term needs n
+    )
+    g = 2.0 * (F.col("__partial") + F.col("n") * F.log(F.col("n")))
+    return stats.select(
+        "n",
+        "levels_a",
+        "levels_b",
+        ((F.col("levels_a") - 1) * (F.col("levels_b") - 1)).alias("dof"),
+        F.round(g, round_to).alias("g_stat"),
+    )
+
+
+def cohens_d(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cohen's d standardized effect size of every group AGAINST THE REST
+    of the corpus (Cohen 1988, pooled-SD form) → one row per group:
+    (group, n, mean_value, d) with
+
+        d = (μ_g − μ_rest) / s_pooled,
+        s_pooled² = ((n_g−1)s_g² + (n_r−1)s_r²) / (n_g + n_r − 2)
+
+    — the "is this segment's shift big enough to CARE about?" companion to
+    the significance tests (anova_f/mann_whitney say real, d says large).
+
+    The rest-of-corpus moments come algebraically from (global − group)
+    sums, so the plan is ONE grouped moments aggregate + a 1-row global
+    aggregate broadcast back — the corpus is scanned once. Sample
+    variances (n−1); NULL d when either side has < 2 rows or the pooled
+    variance is 0. Null/NaN values and null groups are excluded.
+    """
+    v = F.col(value_col).cast("double")
+    base = df.filter(
+        v.isNotNull() & ~F.isnan(v) & F.col(group_col).isNotNull()
+    ).select(F.col(group_col).alias("__g"), v.alias("__x"))
+    per = base.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__x").alias("__s"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__s2"),
+    )
+    glob = per.agg(
+        F.sum("__n").alias("__gn"),
+        F.sum("__s").alias("__gs"),
+        F.sum("__s2").alias("__gs2"),
+    ).withColumn("__k", F.lit(1))
+    j = per.withColumn("__k", F.lit(1)).join(F.broadcast(glob), "__k")
+    n1, s1, q1 = F.col("__n"), F.col("__s"), F.col("__s2")
+    n2 = F.col("__gn") - n1
+    s2 = F.col("__gs") - s1
+    q2 = F.col("__gs2") - q1
+    mu1, mu2 = s1 / n1, s2 / n2
+    ss1 = q1 - s1 * s1 / n1  # Σ(x−μ)² per side
+    ss2 = q2 - s2 * s2 / n2
+    pooled = (ss1 + ss2) / (n1 + n2 - 2)
+    ok = (n1 >= 2) & (n2 >= 2) & (pooled > 0)
+    return j.select(
+        F.col("__g").alias(group_col),
+        n1.cast("long").alias("n"),
+        F.round(mu1, round_to).alias("mean_value"),
+        # + 0.0 normalizes IEEE signed zero: a tiny negative difference
+        # rounds to -0.0 in one engine and 0.0 in the other
+        F.when(
+            ok, F.round((mu1 - mu2) / F.sqrt(pooled), round_to) + 0.0
+        ).alias("d"),
     )

@@ -20,6 +20,7 @@ __all__ = [
     "mcnemar_test",
     "rbo_overlap",
     "cochran_q",
+    "lift_deciles",
     "ndcg_at_k",
     "wilson_rank",
     "fleiss_kappa",
@@ -704,3 +705,90 @@ def cochran_q(
             "q_stat"
         ),
     )
+
+
+def lift_deciles(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_buckets: int = 10,
+    round_to: int = 6,
+    max_distinct: int | None = 1_000_000,
+) -> DataFrame:
+    """Cumulative-gains / lift table (the model-quality report every
+    scored rollout ships next to AUC) → one row per score decile,
+    highest scores first: (bucket, n, n_pos, cum_n, cum_pos, gain, lift)
+    with gain = cum_pos/total_pos and lift = (cum_pos/cum_n)/(base rate) —
+    "the top 20% of scores capture X% of the positives".
+
+    No per-row ranking: distinct scores carry rank INTERVALS from one
+    descending cumulative window (the trimmed_mean machinery); each
+    interval's overlap with a bucket's rank band apportions its rows, and
+    ties straddling a boundary split PROPORTIONALLY (positives distribute
+    as pos·overlap/count — the standard indistinguishable-ties convention
+    for gains charts, engine-exact because the fractions are ratios of
+    integers). Plan: one per-distinct-score aggregate, one bounded window,
+    one buckets-literal explode (≤ n_buckets rows per distinct score), one
+    bucket aggregate. Same null/NaN exclusions and ``max_distinct``
+    fail-fast as roc_auc.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    per_score = _per_score_counts(
+        df, score_col, label_col, [], None, max_distinct, "lift_deciles"
+    )
+    w = Window.orderBy(F.desc("s")).rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    ranked = per_score.select(
+        "p",
+        "n",
+        (F.col("p") + F.col("n")).alias("__cnt"),
+        F.sum(F.col("p") + F.col("n")).over(w).alias("__cum"),
+        F.sum(F.col("p") + F.col("n")).over(wt).alias("__N"),
+        F.sum("p").over(wt).alias("__P"),
+    )
+    burst = ranked.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))).alias("bucket")
+    )
+    lo = F.floor(F.col("bucket") * F.col("__N") / n_buckets)
+    hi = F.floor((F.col("bucket") + 1) * F.col("__N") / n_buckets)
+    ov = F.greatest(
+        F.lit(0),
+        F.least(F.col("__cum"), hi) - F.greatest(F.col("__cum") - F.col("__cnt"), lo),
+    )
+    per_bucket = burst.groupBy("bucket").agg(
+        # cast: the overlap weights are integral, but the oracle column is
+        # a rounded DOUBLE (proportional pos splits are fractional) — the
+        # hash renders 20 and 20.0 differently
+        F.round(F.sum(ov).cast("double"), round_to).alias("__n_b"),
+        F.round(F.sum(F.col("p") * ov / F.col("__cnt")), round_to).alias("__pos_b"),
+        F.max("__N").alias("__N"),
+        F.max("__P").alias("__P"),
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    out = per_bucket.select(
+        "bucket",
+        F.col("__n_b").alias("n"),
+        F.col("__pos_b").alias("n_pos"),
+        F.sum("__n_b").over(w_cum).alias("__cn"),
+        F.sum("__pos_b").over(w_cum).alias("__cp"),
+        "__N",
+        "__P",
+    )
+    return out.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "n",
+        "n_pos",
+        F.round("__cn", round_to).alias("cum_n"),
+        F.round("__cp", round_to).alias("cum_pos"),
+        F.when(
+            F.col("__P") > 0, F.round(F.col("__cp") / F.col("__P"), round_to)
+        ).alias("gain"),
+        F.when(
+            (F.col("__P") > 0) & (F.col("__cn") > 0),
+            F.round(
+                (F.col("__cp") / F.col("__cn")) / (F.col("__P") / F.col("__N")),
+                round_to,
+            ),
+        ).alias("lift"),
+    ).orderBy("bucket")

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["seasonal_decompose", "sax_symbols", "mann_kendall"]
+__all__ = ["seasonal_decompose", "sax_symbols", "mann_kendall", "page_hinkley"]
 
 
 def seasonal_decompose(
@@ -292,4 +292,85 @@ def mann_kendall(
         "s_stat",
         F.round(var_s, round_to).alias("var_s"),
         F.round(z, round_to).alias("z"),
+    )
+
+
+def page_hinkley(
+    df: DataFrame,
+    t_col: str,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    delta: float = 0.0,
+    lam: float = 10.0,
+    round_to: int = 6,
+    max_points: int = 100_000,
+) -> DataFrame:
+    """Page-Hinkley mean-shift detector per series (Page 1954; the
+    sequential drift test river/MOA popularized for data streams) →
+    group_cols + (n, ph_stat, alarm, alarm_t):
+
+        m_t = Σ_{i≤t} (x_i − x̄_i − δ),   PH_t = m_t − min_{j≤t} m_j,
+
+    with x̄_i the running mean of the prefix — the detector fires
+    (``alarm``) at the first t where PH_t > λ, and ``ph_stat`` is the
+    series' max PH (how close a quiet series came). The batch replay of
+    the streaming upward-shift monitor: run it over each day's metric
+    series to ask "did the mean jump, and when?".
+
+    Contract: input is a pre-aggregated series (the mann_kendall policy —
+    ``max_points`` fail-fast, duplicate timestamps raise), so the three
+    chained per-group ordered windows (running mean → cumulative m_t →
+    running min) ride bounded partitions. Null/NaN excluded.
+    """
+    groups = list(group_cols or [])
+    v = F.col(value_col).cast("double")
+    base = df.filter(
+        v.isNotNull() & ~F.isnan(v) & F.col(t_col).isNotNull()
+    ).select(*groups, F.col(t_col).alias("__t"), v.alias("__x"))
+    sizes = base.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("__n"), F.count_distinct("__t").alias("__nt")
+    )
+    bad = sizes.filter(
+        (F.col("__n") > max_points) | (F.col("__nt") < F.col("__n"))
+    ).limit(1).collect()
+    if bad:
+        r = bad[0]
+        if r["__nt"] < r["__n"]:
+            raise ValueError(
+                "page_hinkley: a group has duplicate timestamps — aggregate "
+                "to one observation per (group, t) first."
+            )
+        raise ValueError(
+            f"page_hinkley: a group has {r['__n']} points "
+            f"(> max_points={max_points}); aggregate to coarser buckets."
+        )
+    w = (
+        Window.partitionBy(*groups)
+        .orderBy("__t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+        if groups
+        else Window.orderBy("__t").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    stepped = base.select(
+        *groups,
+        "__t",
+        (
+            F.col("__x")
+            - F.sum("__x").over(w) / F.count(F.lit(1)).over(w)
+            - F.lit(float(delta))
+        ).alias("__term"),
+    )
+    m = stepped.select(
+        *groups, "__t", F.sum("__term").over(w).alias("__m")
+    )
+    ph = m.select(
+        *groups,
+        "__t",
+        (F.col("__m") - F.min("__m").over(w)).alias("__ph"),
+    )
+    return ph.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.max("__ph"), round_to).alias("ph_stat"),
+        (F.max("__ph") > lam).alias("alarm"),
+        F.min(F.when(F.col("__ph") > lam, F.col("__t"))).alias("alarm_t"),
     )

@@ -102,7 +102,7 @@ def test_evalmetrics_all_exports():
 
     assert m.__all__ == [
         "roc_auc", "average_precision", "cohens_kappa", "mcnemar_test",
-        "rbo_overlap", "cochran_q",
+        "rbo_overlap", "cochran_q", "lift_deciles",
         "ndcg_at_k", "wilson_rank", "fleiss_kappa", "calibration_error",
     ]
     for name in m.__all__:
