@@ -8831,7 +8831,11 @@ def _duck_bpe_ctes(n_merges: int = 12) -> str:
     and '▁' at every graded SF. Every stage is MATERIALIZED: w_k is
     referenced by both p_{k+1} and w_{k+1}, and DuckDB inlines
     non-materialized CTEs at every reference (exponential replay
-    otherwise)."""
+    otherwise). Early-stop mirrored (r11 ADVICE): each b_k keeps only a
+    best pair with cnt >= 2 (bpe_train's min_count) and w_k LEFT-joins it,
+    passing rep through unchanged when b_k is empty — so on a sparse
+    corpus the oracle emits exactly the merges the engine learns instead
+    of cnt=1 phantom rows."""
     parts = [
         """words AS MATERIALIZED (
   SELECT w AS word, count(*) AS freq
@@ -8854,13 +8858,14 @@ w0 AS MATERIALIZED (
   GROUP BY l, r
 ),
 b{k} AS MATERIALIZED (
-  SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1
+  SELECT l, r, cnt FROM p{k} WHERE cnt >= 2 ORDER BY cnt DESC, l, r LIMIT 1
 ),
 w{k} AS MATERIALIZED (
   SELECT word, freq,
-         replace(rep, '|' || b.l || '||' || b.r || '|',
-                 '|' || b.l || b.r || '|') AS rep
-  FROM {prev}, b{k} b
+         CASE WHEN b.l IS NULL THEN rep
+              ELSE replace(rep, '|' || b.l || '||' || b.r || '|',
+                           '|' || b.l || b.r || '|') END AS rep
+  FROM {prev} LEFT JOIN b{k} b ON TRUE
 )"""
         )
     return ",\n".join(parts)
@@ -14086,12 +14091,18 @@ def q_avg_precision(spark, sf):
     label-shifted classifier fixture as roc_auc — the PR curve is the
     imbalance-honest companion the eval harness reports next to AUC.
     One per-(source, distinct score) aggregate + one descending in-group
-    cumulative window + one agg."""
+    cumulative window + one agg. Modulus 197 (not 199): with 199 the
+    sf0.001/0.01 fixture landed src2's unrounded AP on an EXACT .5e-6
+    decimal-rounding tie (0.6890625 = 689062.5e-6), which Spark's F.round
+    and DuckDB's round resolve differently across versions/platforms; 197
+    keeps every group >= 0.02e-6 (~1e8 ulps) away from a tie at sf0.001,
+    sf0.01 and sf0.1 (verified in scripts/check_correctness.py's
+    near-tie sweep)."""
     from stackstac_spark.operators.evalmetrics import average_precision
 
     docs = _t(spark, sf, "documents").select(
         "source",
-        (((F.col("doc_id") * 37) % 199) / 199.0
+        (((F.col("doc_id") * 37) % 197) / 197.0
          + F.when(F.col("doc_id") % 3 == 0, 0.15).otherwise(0.0)).alias("score"),
         (F.col("doc_id") % 3 == 0).cast("int").alias("label"),
     )
@@ -14101,7 +14112,7 @@ def q_avg_precision(spark, sf):
 SQL_AVG_PRECISION = """
 WITH scored AS (
   SELECT source,
-         ((doc_id * 37) % 199) / 199.0
+         ((doc_id * 37) % 197) / 197.0
            + CASE WHEN doc_id % 3 = 0 THEN 0.15 ELSE 0.0 END AS s,
          CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y
   FROM documents
@@ -14442,15 +14453,17 @@ FROM counts GROUP BY lang ORDER BY lang
 
 def q_good_turing(spark, sf):
     """Good-Turing frequency-of-frequencies table over the corpus word
-    TRIGRAM types (operators/textstats.py::good_turing_counts, r ≤ 8): the
-    classical unseen-mass estimator — r*·N_r/N of the probability mass
-    belongs to types the crawl has seen r times, N_1/N to types never
-    seen. Trigrams because the synthetic corpus's unigram vocabulary is
-    saturated (31 types, min count 26 at every SF — no singleton mass);
-    the trigram space is where Katz backoff actually smooths."""
+    TRIGRAM types (operators/textstats.py::good_turing_counts, the 8
+    SMALLEST frequency classes): the classical unseen-mass estimator —
+    r*·N_r/N of the probability mass belongs to types the crawl has seen
+    r times. Trigrams because the synthetic corpus's unigram vocabulary
+    is saturated; ``first_k=8`` (not ``r <= 8``) because sf1's verbatim
+    10× replication multiplies every trigram count past an absolute
+    cutoff (the r11 verdict's empty-at-sf1 finding) — "the 8 rarest
+    classes" is non-degenerate at every SF."""
     from stackstac_spark.operators.textstats import good_turing_counts
 
-    return good_turing_counts(_t(spark, sf, "documents"), max_r=8, ngram=3)
+    return good_turing_counts(_t(spark, sf, "documents"), ngram=3, first_k=8)
 
 
 SQL_GOOD_TURING = """
@@ -14467,7 +14480,8 @@ tot AS (SELECT sum(mass) AS n FROM fof),
 led AS (
   SELECT r, n_r,
          lead(n_r) OVER (ORDER BY r) AS n_next,
-         lead(r) OVER (ORDER BY r) AS r_next
+         lead(r) OVER (ORDER BY r) AS r_next,
+         row_number() OVER (ORDER BY r) AS rn
   FROM fof
 )
 SELECT CAST(r AS BIGINT) AS r, CAST(n_r AS BIGINT) AS n_r,
@@ -14476,7 +14490,7 @@ SELECT CAST(r AS BIGINT) AS r, CAST(n_r AS BIGINT) AS n_r,
        round(CASE WHEN r_next = r + 1
                   THEN (r + 1) * n_next * 1.0 / n_r END
              / (SELECT n FROM tot), 6) AS p_r
-FROM led WHERE r <= 8 ORDER BY r
+FROM led WHERE rn <= 8 ORDER BY r
 """
 
 
@@ -14603,11 +14617,19 @@ rb AS (
          row_number() OVER (PARTITION BY lang
              ORDER BY CAST((doc_id * 40503) % 1000 AS DOUBLE) DESC, doc_id) AS rk
   FROM documents QUALIFY rk <= {depth}
-)
-SELECT ra.q AS query_id, CAST(count(*) AS BIGINT) AS n_common,
-       round({1.0 - p!r} * sum(([{wlist}])[greatest(ra.rk, rb.rk)]), 6) AS rbo
-FROM ra JOIN rb ON rb.q = ra.q AND rb.d = ra.d
-GROUP BY ra.q ORDER BY ra.q
+),
+per_q AS (
+  SELECT ra.q AS q, CAST(count(*) AS BIGINT) AS n_common,
+         round({1.0 - p!r} * sum(([{wlist}])[greatest(ra.rk, rb.rk)]), 6) AS rbo
+  FROM ra JOIN rb ON rb.q = ra.q AND rb.d = ra.d
+  GROUP BY ra.q
+),
+qs AS (SELECT q FROM ra UNION SELECT q FROM rb)
+SELECT qs.q AS query_id,
+       CAST(coalesce(per_q.n_common, 0) AS BIGINT) AS n_common,
+       coalesce(per_q.rbo, 0.0) AS rbo
+FROM qs LEFT JOIN per_q ON per_q.q = qs.q
+ORDER BY qs.q
 """
 
 
@@ -15003,12 +15025,14 @@ tb AS (
   SELECT g, sum(t * (t - 1) / 2) AS tb FROM
     (SELECT g, b, count(*) AS t FROM base GROUP BY g, b) GROUP BY g
 )
-SELECT n_tab.g AS event_type, n, concordant, discordant,
+SELECT n_tab.g AS event_type, n,
+       CAST(coalesce(concordant, 0) AS BIGINT) AS concordant,
+       CAST(coalesce(discordant, 0) AS BIGINT) AS discordant,
        CASE WHEN (n * (n - 1) / 2.0 - ta) * (n * (n - 1) / 2.0 - tb) > 0
-            THEN round((concordant - discordant)
+            THEN round((coalesce(concordant, 0) - coalesce(discordant, 0))
                        / sqrt((n * (n - 1) / 2.0 - ta)
                               * (n * (n - 1) / 2.0 - tb)), 6) END AS tau_b
-FROM n_tab JOIN cd USING (g) JOIN ta USING (g) JOIN tb USING (g)
+FROM n_tab LEFT JOIN cd USING (g) JOIN ta USING (g) JOIN tb USING (g)
 ORDER BY event_type
 """
 

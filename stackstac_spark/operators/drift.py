@@ -666,7 +666,18 @@ def kendall_tau_b(
         .agg(F.sum(F.col("__t") * (F.col("__t") - 1) / 2).alias("__tb"))
     )
     if groups:
-        j = n_tab.join(cd, groups).join(ta, groups).join(tb, groups)
+        # LEFT join: a group where col_a is constant yields no a1<a2 pair
+        # rows, so cd has no row for it — an inner join would silently
+        # drop the group (r11 ADVICE). Coalesce C/D to 0; the denom>0
+        # guard then emits the group with tau_b NULL, consistent with
+        # spearman_rho/anova_f on degenerate groups.
+        j = (
+            n_tab.join(cd, groups, "left")
+            .withColumn("concordant", F.coalesce("concordant", F.lit(0).cast("long")))
+            .withColumn("discordant", F.coalesce("discordant", F.lit(0).cast("long")))
+            .join(ta, groups)
+            .join(tb, groups)
+        )
     else:
         j = n_tab
         for other in (cd, ta, tb):

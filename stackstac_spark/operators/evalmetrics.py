@@ -43,7 +43,16 @@ def _per_score_counts(
     becomes ≤ bins rows per group at any data size; binning is a monotone
     coarsening, it can merge ties but never reorder) and the exact-mode
     distinct-score fail-fast (``max_distinct``: raise instead of silently
-    funneling an O(rows) group through one window task at 100 TB)."""
+    funneling an O(rows) group through one window task at 100 TB).
+
+    NOTE (eager guard): when ``max_distinct`` is set and ``bins`` is not,
+    the guard runs a small Spark job (a distinct-count aggregate) at
+    DataFrame-CONSTRUCTION time — a deliberate break from the otherwise
+    lazy operator API so misuse fails at build, not mid-pipeline; the
+    input is re-scanned by the main plan afterwards. Callers that cannot
+    afford the extra scan should pass ``bins=`` (no guard job) or
+    ``max_distinct=None``. Surfaced in the public docstrings of roc_auc /
+    average_precision / lift_deciles via this shared contract."""
     lab = F.col(label_col).cast("int")
     s = F.col(score_col).cast("double")
     # unscorable rows are not threshold observations: a null/NaN score
@@ -633,18 +642,26 @@ def rbo_overlap(
             .drop("s")
         )
 
-    j = topd(run_a, "ra").join(topd(run_b, "rb"), ["q", "d"])
+    ta, tb = topd(run_a, "ra"), topd(run_b, "rb")
+    j = ta.join(tb, ["q", "d"])
     m = F.greatest("ra", "rb")
     wexpr = F.element_at(
         F.array(*[F.lit(float(weights[k])) for k in range(1, depth + 1)]), m
     )
-    return (
-        j.groupBy("q")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_common"),
-            F.round((1.0 - p) * F.sum(wexpr), round_to).alias("rbo"),
-        )
-        .select(F.col("q").alias(query_col), "n_common", "rbo")
+    per_q = j.groupBy("q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.round((1.0 - p) * F.sum(wexpr), round_to).alias("rbo"),
+    )
+    # RBO of DISJOINT prefixes is defined as 0, not "no row": left-join
+    # from the union of queries present in either run so a query whose
+    # top-d sets share nothing still emits (q, 0, 0.0) — r11 ADVICE; the
+    # inner-join form silently dropped such queries (the rbo_eval gate
+    # graded an empty frame at sf1).
+    qs = ta.select("q").union(tb.select("q")).distinct()
+    return qs.join(per_q, "q", "left").select(
+        F.col("q").alias(query_col),
+        F.coalesce("n_common", F.lit(0).cast("long")).alias("n_common"),
+        F.coalesce("rbo", F.lit(0.0)).alias("rbo"),
     )
 
 

@@ -1217,6 +1217,12 @@ def association_rules(
     so an item above the cap fails fast (the max_bucket policy) rather
     than silently fanning out — drop stopword-like items upstream or raise
     the cap deliberately. Null baskets/items are excluded.
+
+    NOTE (eager guard): when ``max_item_baskets`` is set, the hub check
+    runs a small Spark job at DataFrame-construction time (fail at build,
+    not mid-pipeline). The deduped incidence table is localCheckpoint-ed
+    first, so the guard, the support dimension, and the pair join all
+    reuse one materialization — no double scan of the input.
     """
     if min_support < 1:
         raise ValueError(f"min_support must be >= 1, got {min_support}")

@@ -1812,6 +1812,7 @@ def good_turing_counts(
     max_r: int = 10,
     ngram: int = 1,
     round_to: int = 6,
+    first_k: int | None = None,
 ) -> DataFrame:
     """Good-Turing frequency-of-frequencies smoothing table (Good 1953)
     over the corpus vocabulary → one row per raw count r in [1, max_r]:
@@ -1826,6 +1827,12 @@ def good_turing_counts(
     ``ngram`` > 1 counts word n-gram types instead of unigrams — the type
     space Katz backoff actually smooths, and the one with real singleton
     mass on template-heavy corpora whose unigram vocabulary is saturated.
+    ``first_k`` (when set, overrides ``max_r``) keeps the K SMALLEST
+    frequency classes whatever their magnitude — the scale-robust cutoff:
+    an absolute ``r <= max_r`` filter goes empty when the corpus is a
+    verbatim N× replication (every count is a multiple of N, so the
+    smallest class is r = N·min_count), while "the K rarest classes" is
+    the low-count head Good-Turing smooths at any corpus size.
 
     Plan: one token groupBy (vocabulary-sized shuffle) + one
     frequency-class aggregate; the N_r table is at most max(count) rows —
@@ -1870,7 +1877,14 @@ def good_turing_counts(
         "n_r",
         F.lead("n_r").over(w).alias("__n_next"),
         F.lead("r").over(w).alias("__r_next"),
-    ).filter(F.col("r") <= max_r)
+        F.row_number().over(w).alias("__rn"),
+    )
+    if first_k is not None:
+        if first_k < 1:
+            raise ValueError(f"first_k must be >= 1, got {first_k}")
+        nxt = nxt.filter(F.col("__rn") <= first_k)
+    else:
+        nxt = nxt.filter(F.col("r") <= max_r)
     r_star = F.when(
         F.col("__r_next") == F.col("r") + 1,
         (F.col("r") + 1) * F.col("__n_next") / F.col("n_r"),

@@ -230,6 +230,18 @@ def test_good_turing_known(spark):
     rows3 = {r["r"]: r for r in good_turing_counts(tri, max_r=3, ngram=3).collect()}
     assert rows3[1]["n_r"] == 1 and rows3[2]["n_r"] == 1  # "b c d":1, "a b c":2
     assert rows3[1]["r_star"] == pytest.approx(2 * 1 / 1, abs=1e-6)
+    # first_k mode: the K smallest frequency classes regardless of
+    # magnitude — scale-robust on N×-replicated corpora (r12 fix). With
+    # counts {30, 20, 10} an absolute max_r=8 filter is empty; first_k=2
+    # keeps the two rarest classes.
+    big = spark.createDataFrame(
+        [(" ".join(["a"] * 30 + ["b"] * 20 + ["c"] * 10),)], "text string"
+    )
+    assert good_turing_counts(big, max_r=8).count() == 0
+    fk = {r["r"]: r for r in good_turing_counts(big, first_k=2).collect()}
+    assert set(fk) == {10, 20} and fk[10]["n_r"] == 1
+    with pytest.raises(ValueError, match="first_k"):
+        good_turing_counts(big, first_k=0)
 
 
 def test_degree_assortativity_known(spark):

@@ -40,12 +40,24 @@ def test_rbo_known_values(spark):
     want = (1 - p) * sum(p ** (k - 1) for k in range(1, d + 1))
     assert r["n_common"] == 3
     assert r["rbo"] == pytest.approx(want, abs=2e-6)
-    # disjoint rankings -> no joined docs -> no output row for the query
+    # disjoint rankings -> RBO is DEFINED as 0 (r11 ADVICE): the query
+    # still emits one row with n_common=0, rbo=0.0
     other = spark.createDataFrame(
         [("q", "x", 3.0), ("q", "y", 2.0), ("q", "z", 1.0)],
         "query_id string, doc_id string, score double",
     )
-    assert rbo_overlap(run, other, depth=d, p=p).count() == 0
+    disjoint = rbo_overlap(run, other, depth=d, p=p).collect()
+    assert len(disjoint) == 1
+    assert disjoint[0]["n_common"] == 0 and disjoint[0]["rbo"] == 0.0
+    # a query present only in run_b also emits (union of query sets)
+    extra = other.unionByName(
+        spark.createDataFrame(
+            [("q2", "a", 1.0)], "query_id string, doc_id string, score double"
+        )
+    )
+    got = {r["query_id"]: r for r in rbo_overlap(run, extra, depth=d, p=p).collect()}
+    assert set(got) == {"q", "q2"}
+    assert got["q2"]["n_common"] == 0 and got["q2"]["rbo"] == 0.0
     # hand-computed partial overlap: A=[a,b,c], B=[b,a,z]
     runb = spark.createDataFrame(
         [("q", "b", 3.0), ("q", "a", 2.0), ("q", "z", 1.0)],

@@ -66,6 +66,17 @@ def test_kendall_tau_b_vs_bruteforce(spark):
     cont = spark.range(0, 2000).select(F.rand(1).alias("a"), F.rand(2).alias("b"))
     with pytest.raises(ValueError, match="max_cells"):
         kendall_tau_b(cont, "a", "b", max_cells=100)
+    # GROUPED constant-a group is emitted with tau_b NULL, not dropped
+    # (r11 ADVICE: the inner n_tab-cd join removed it)
+    grp = spark.createDataFrame(
+        [("g1", 1.0, 2.0), ("g1", 1.0, 3.0), ("g2", 1.0, 1.0), ("g2", 2.0, 2.0)],
+        "g string, a double, b double",
+    )
+    got = {r["g"]: r for r in kendall_tau_b(grp, "a", "b", ["g"]).collect()}
+    assert set(got) == {"g1", "g2"}
+    assert got["g1"]["tau_b"] is None
+    assert (got["g1"]["concordant"], got["g1"]["discordant"]) == (0, 0)
+    assert got["g2"]["tau_b"] == pytest.approx(1.0, abs=1e-6)
 
 
 def test_cochran_q_known(spark):
