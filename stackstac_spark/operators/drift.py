@@ -29,6 +29,7 @@ __all__ = [
     "anova_f",
     "g_test",
     "cohens_d",
+    "wasserstein_1d",
 ]
 
 
@@ -860,4 +861,109 @@ def cohens_d(
         F.when(
             ok, F.round((mu1 - mu2) / F.sqrt(pooled), round_to) + 0.0
         ).alias("d"),
+    )
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    ref_group,
+    round_to: int = 6,
+    max_distinct: int | None = 1_000_000,
+) -> DataFrame:
+    """1-D Wasserstein (earth-mover's) distance of every non-reference
+    group against the reference group → (group, n_ref, n_grp, w1):
+
+        W₁ = ∫ |F_ref(x) − F_g(x)| dx
+           = Σ over merged distinct values of |F_ref(xᵢ) − F_g(xᵢ)|·(xᵢ₊₁−xᵢ)
+
+    (scipy's ``wasserstein_distance``) — the drift metric that reports
+    "HOW FAR did the distribution move, in the metric's own units", where
+    ``ks_statistic`` reports only the worst CDF gap and ``psi``/``js_*``
+    need binning. The right alarm for "mean token-length crept up 40
+    tokens" class shifts that KS under-weights.
+
+    Plan: the exact ks_statistic plan (per-(group, value) counts, constant
+    key broadcast of the aggregated reference, ONE group-partitioned
+    ordered window for both cumulative sums) + a lead(x) for the step
+    width and a weighted-sum agg instead of max. The window input is the
+    merged DISTINCT-value table, so ``max_distinct`` fail-fasts raw
+    continuous inputs (the spearman_rho contract: pre-round/bin them or
+    lift the guard for genuinely discrete data). Null/NaN values excluded.
+    """
+    v = F.col(value_col).cast("double")
+    vals = df.filter(v.isNotNull() & ~F.isnan(v)).select(
+        F.col(group_col).alias("grp"), v.alias("x")
+    )
+    ref_counts = (
+        vals.filter(F.col("grp") == ref_group)
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("cr"))
+    )
+    grp_counts = (
+        vals.filter(F.col("grp") != ref_group)
+        .groupBy("grp", "x")
+        .agg(F.count(F.lit(1)).alias("cg"))
+    )
+    if max_distinct is not None:
+        # eager guard (the spearman_rho policy: fail at build, not
+        # mid-pipeline); counts are re-derived by the main plan
+        worst = (
+            grp_counts.groupBy("grp")
+            .count()
+            .agg(F.max("count").alias("m"))
+            .first()["m"]
+        )
+        ref_n = ref_counts.count()
+        worst = max(worst or 0, ref_n)
+        if worst > max_distinct:
+            raise ValueError(
+                f"wasserstein_1d: a group has {worst} distinct values "
+                f"(> max_distinct={max_distinct}); the merged-CDF window "
+                "would funnel them through one task. Pre-round/bin the "
+                "values, or raise/disable the guard for discrete data."
+            )
+    groups = grp_counts.select("grp").distinct()
+    ref_rep = _const_key_broadcast(ref_counts, groups).select(
+        "grp", "x", "cr", F.lit(0).alias("cg")
+    )
+    merged = (
+        grp_counts.select("grp", "x", F.lit(0).alias("cr"), "cg")
+        .unionByName(ref_rep)
+        .groupBy("grp", "x")
+        .agg(F.sum("cr").alias("cr"), F.sum("cg").alias("cg"))
+    )
+    w = Window.partitionBy("grp").orderBy("x")
+    wtot = Window.partitionBy("grp")
+    cum = merged.select(
+        "grp",
+        "x",
+        F.sum("cr").over(w).alias("ccr"),
+        F.sum("cg").over(w).alias("ccg"),
+        F.lead("x").over(w).alias("x_next"),
+        F.sum("cr").over(wtot).alias("n_ref"),
+        F.sum("cg").over(wtot).alias("n_grp"),
+    )
+    return (
+        cum.filter((F.col("n_ref") > 0) & (F.col("n_grp") > 0))
+        .groupBy("grp")
+        .agg(
+            F.first("n_ref").alias("n_ref"),
+            F.first("n_grp").alias("n_grp"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("x_next").isNotNull(),
+                        F.abs(
+                            F.col("ccr").cast("double") / F.col("n_ref")
+                            - F.col("ccg").cast("double") / F.col("n_grp")
+                        )
+                        * (F.col("x_next") - F.col("x")),
+                    ).otherwise(0.0)
+                ),
+                round_to,
+            ).alias("w1"),
+        )
+        .withColumnRenamed("grp", "group")
     )

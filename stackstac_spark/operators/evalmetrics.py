@@ -25,6 +25,8 @@ __all__ = [
     "wilson_rank",
     "fleiss_kappa",
     "calibration_error",
+    "brier_decomposition",
+    "krippendorff_alpha",
 ]
 
 
@@ -809,3 +811,160 @@ def lift_deciles(
             ),
         ).alias("lift"),
     ).orderBy("bucket")
+
+
+def brier_decomposition(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_cols: list[str] | None = None,
+    bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score per group →
+    group_cols + (n, brier, reliability, resolution, uncertainty):
+
+        brier       = mean (p − y)²                      (exact, unbinned)
+        reliability = Σ_b n_b (p̄_b − ō_b)² / N           (miscalibration)
+        resolution  = Σ_b n_b (ō_b − ō)² / N             (discrimination)
+        uncertainty = ō(1 − ō)
+
+    over ``bins`` equal-width probability bins — the standard "WHY is the
+    Brier score what it is?" reading: binned_brier = REL − RES + UNC
+    (exact when scores are constant within bins), so a model can be bad
+    because it is miscalibrated (high REL — fix with ``isotonic``/Platt)
+    or because it cannot separate (low RES — fix the model). The
+    decomposed companion to ``calibration_error``'s ECE. Scores must be
+    probabilities: rows with score outside [0, 1], null/NaN score, or
+    null label are excluded. NULL components when the group is empty.
+
+    Plan: one map-side bin assignment + one (group, bin) aggregate + one
+    group aggregate — linear, no windows, no second pass (the global
+    mean ō folds in algebraically via Σy).
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    groups = list(group_cols or [])
+    p = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    base = df.filter(
+        p.isNotNull() & ~F.isnan(p) & (p >= 0.0) & (p <= 1.0) & y.isNotNull()
+    ).select(
+        *groups,
+        p.alias("__p"),
+        y.cast("double").alias("__y"),
+        F.least(F.lit(bins - 1), F.floor(p * bins)).cast("int").alias("__b"),
+    )
+    per_bin = base.groupBy(*groups, "__b").agg(
+        F.count(F.lit(1)).alias("__nb"),
+        F.avg("__p").alias("__pb"),
+        F.avg("__y").alias("__ob"),
+        F.sum("__y").alias("__sy"),
+        F.sum((F.col("__p") - F.col("__y")) * (F.col("__p") - F.col("__y"))).alias(
+            "__se"
+        ),
+    )
+    # ō folds in algebraically: Σ_b n_b(ō_b − ō)² = Σ n_b ō_b² − N·ō²
+    agg = per_bin.groupBy(*groups).agg(
+        F.sum("__nb").cast("long").alias("n"),
+        F.sum("__se").alias("__sse"),
+        F.sum("__sy").alias("__sy"),
+        F.sum(
+            F.col("__nb") * (F.col("__pb") - F.col("__ob")) * (F.col("__pb") - F.col("__ob"))
+        ).alias("__rel"),
+        F.sum(F.col("__nb") * F.col("__ob") * F.col("__ob")).alias("__sob2"),
+    )
+    n = F.col("n").cast("double")
+    obar = F.col("__sy") / n
+    return agg.select(
+        *groups,
+        "n",
+        F.when(F.col("n") > 0, F.round(F.col("__sse") / n, round_to)).alias("brier"),
+        F.when(F.col("n") > 0, F.round(F.col("__rel") / n, round_to)).alias(
+            "reliability"
+        ),
+        F.when(
+            F.col("n") > 0,
+            F.round((F.col("__sob2") - n * obar * obar) / n, round_to),
+        ).alias("resolution"),
+        F.when(F.col("n") > 0, F.round(obar * (1.0 - obar), round_to)).alias(
+            "uncertainty"
+        ),
+    )
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    unit_col: str,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Krippendorff's alpha for NOMINAL data per group (Krippendorff 1970,
+    the coincidence-matrix form) → group_cols + (n_units, n_pairable,
+    alpha):
+
+        α = 1 − D_o/D_e,
+        D_o = Σ_u Σ_c n_uc(n_u − n_uc)/(n_u − 1) / n,
+        D_e = Σ_c n_c(n − n_c) / (n(n−1))
+
+    over the PAIRABLE values (units rated at least twice; n = their
+    count, n_uc = ratings of category c in unit u, n_c = Σ_u n_uc) — the
+    agreement coefficient that, unlike ``cohens_kappa``/``fleiss_kappa``,
+    needs NO fixed rater panel and tolerates missing ratings: exactly the
+    shape of crowdsourced labeling tables (each row = one (item, label)
+    rating, raters anonymous/variable). α = 1 is perfect agreement, 0 is
+    chance, < 0 systematic disagreement. NULL when no unit is pairable or
+    every pairable rating is the same category (D_e = 0: agreement is
+    vacuous, Krippendorff leaves it undefined). Null units/values are
+    excluded.
+
+    Plan: one (group, unit, category) count, one (group, unit) rollup,
+    one (group, category) rollup, one group aggregate — all linear, keyed
+    shuffles only, no windows.
+    """
+    groups = list(group_cols or [])
+    base = df.filter(
+        F.col(unit_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(*groups, F.col(unit_col).alias("__u"), F.col(value_col).alias("__c"))
+    uc = base.groupBy(*groups, "__u", "__c").agg(F.count(F.lit(1)).alias("__nuc"))
+    u_tot = uc.groupBy(*groups, "__u").agg(F.sum("__nuc").alias("__nu"))
+    # pairable = units with >= 2 ratings
+    uc_p = uc.join(
+        u_tot.filter(F.col("__nu") >= 2), [*groups, "__u"]
+    )
+    do_tab = uc_p.groupBy(*groups).agg(
+        F.count_distinct("__u").cast("long").alias("n_units"),
+        F.sum(
+            F.col("__nuc") * (F.col("__nu") - F.col("__nuc")) / (F.col("__nu") - 1)
+        ).alias("__do_sum"),
+    )
+    cat = uc_p.groupBy(*groups, "__c").agg(F.sum("__nuc").alias("__nc"))
+    n_tab = cat.groupBy(*groups).agg(F.sum("__nc").cast("long").alias("n_pairable"))
+    de_tab = (
+        cat.join(n_tab, groups)
+        if groups
+        else cat.withColumn("__k", F.lit(1))
+        .join(F.broadcast(n_tab.withColumn("__k", F.lit(1))), "__k")
+        .drop("__k")
+    ).groupBy(*groups).agg(
+        F.first("n_pairable").alias("n_pairable"),
+        F.sum(F.col("__nc") * (F.col("n_pairable") - F.col("__nc"))).alias("__de_sum"),
+    )
+    if groups:
+        j = do_tab.join(de_tab, groups)
+    else:
+        j = do_tab.withColumn("__k", F.lit(1)).join(
+            F.broadcast(de_tab.withColumn("__k", F.lit(1))), "__k"
+        ).drop("__k")
+    n = F.col("n_pairable").cast("double")
+    d_o = F.col("__do_sum") / n
+    d_e = F.col("__de_sum") / (n * (n - 1.0))
+    return j.select(
+        *groups,
+        "n_units",
+        "n_pairable",
+        F.when((n > 1) & (d_e > 0), F.round(1.0 - d_o / d_e, round_to)).alias(
+            "alpha"
+        ),
+    )

@@ -1,0 +1,488 @@
+"""Nonparametric omnibus tests and ordinal effect sizes — the rank-based
+companions to drift.py's two-sample screens, for the questions a data-quality
+review asks next: "do these k segments differ at all?" (Kruskal-Wallis),
+"did any of the k pipeline variants rank differently across the SAME blocks?"
+(Friedman), "did the paired before/after metric actually move?" (Wilcoxon
+signed-rank), and "by how much, in rank terms?" (Cliff's delta, Somers' D).
+
+Same scale contract as spearman_rho / kendall_tau_b (drift.py): ranks come
+from per-(group, distinct value) counts + one ordered cumulative window over
+the DISTINCT-value table (never a global sort of the corpus), guarded by a
+``max_distinct`` fail-fast for raw continuous inputs; pair statistics ride
+distinct-value cell joins (cells², never rows²) under ``max_cells``. Every
+emitted statistic is rounded so a SQL engine replays it hash-identically.
+
+No reference-counterpart note: gjoseph92/stackstac has no statistics layer
+(its query surface is xarray delegation, SURVEY.md §2.6); this module is
+part of the training-data-pipeline extension mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "kruskal_wallis",
+    "friedman_test",
+    "wilcoxon_signed_rank",
+    "cliffs_delta",
+    "somers_d",
+]
+
+
+def _avg_rank_table(
+    base: DataFrame, groups: list[str], value_col: str, out: str
+) -> DataFrame:
+    """Tie-AVERAGED ranks of ``value_col`` within each group: per-(group,
+    distinct value) counts + one cumulative window over the distinct-value
+    table (the spearman_rho / roc_auc rank pattern — the corpus itself is
+    never sorted)."""
+    per = base.groupBy(*groups, value_col).agg(F.count(F.lit(1)).alias("__c"))
+    w = (
+        Window.partitionBy(*groups)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+        if groups
+        else Window.orderBy(value_col).rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return per.select(
+        *groups,
+        value_col,
+        (F.coalesce(F.sum("__c").over(w), F.lit(0)) + (F.col("__c") + 1) / 2.0).alias(
+            out
+        ),
+    )
+
+
+def _guard_distinct(
+    base: DataFrame, groups: list[str], value_col: str, max_distinct: int | None, op: str
+) -> None:
+    """Exact-mode fail-fast on the distinct-value cardinality that the rank
+    window rides (the spearman_rho policy). NOTE (eager guard): runs a small
+    Spark job at DataFrame-construction time — fail at build, not
+    mid-pipeline; pass ``max_distinct=None`` to skip the extra scan for
+    inputs known to be discrete."""
+    if max_distinct is None:
+        return
+    worst = (
+        base.groupBy(*groups)
+        .agg(F.count_distinct(value_col).alias("__d"))
+        .agg(F.max("__d").alias("m"))
+        .first()["m"]
+    )
+    if worst is not None and worst > max_distinct:
+        raise ValueError(
+            f"{op}: a group has {worst} distinct values "
+            f"(> max_distinct={max_distinct}); the per-group rank window "
+            "would funnel them through one task. Pre-bin/round the inputs, "
+            "or raise/disable max_distinct if they are genuinely discrete."
+        )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    treatment_col: str,
+    group_cols: list[str] | None = None,
+    round_to: int = 6,
+    max_distinct: int | None = 1_000_000,
+) -> DataFrame:
+    """Kruskal-Wallis H test per group (Kruskal & Wallis 1952; scipy's
+    ``kruskal`` incl. its tie correction) → group_cols + (k, n, h_stat):
+    "do these k segments draw from the same distribution?" — the rank-based
+    (outlier-robust, no-normality) omnibus that pairs with ``anova_f``:
+
+        H = [12/(N(N+1)) · Σ_j R_j²/n_j − 3(N+1)] / C,
+        C = 1 − Σ(t³−t)/(N³−N)
+
+    with R_j = rank sum of treatment j over the COMBINED tie-averaged
+    ranking and t the tie-group sizes. H ~ χ²(k−1) under H0. NULL when
+    k < 2 or every value is tied (C = 0). Null/NaN values and null
+    treatments are excluded.
+
+    Plan: one distinct-value rank window per group (``max_distinct``
+    fail-fast, the spearman_rho contract) + join-back + two grouped
+    aggregates — the corpus is never globally sorted.
+    """
+    groups = list(group_cols or [])
+    v = F.col(value_col).cast("double")
+    base = df.filter(
+        v.isNotNull() & ~F.isnan(v) & F.col(treatment_col).isNotNull()
+    ).select(*groups, F.col(treatment_col).alias("__j"), v.alias("__x"))
+    _guard_distinct(base, groups, "__x", max_distinct, "kruskal_wallis")
+    ranked = base.join(_avg_rank_table(base, groups, "__x", "__rk"), [*groups, "__x"])
+    per_treat = ranked.groupBy(*groups, "__j").agg(
+        F.count(F.lit(1)).alias("__nj"), F.sum("__rk").alias("__rj")
+    )
+    rterm = per_treat.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("__nj").cast("long").alias("n"),
+        F.sum(F.col("__rj") * F.col("__rj") / F.col("__nj")).alias("__ssr"),
+    )
+    ties = (
+        base.groupBy(*groups, "__x")
+        .agg(F.count(F.lit(1)).alias("__t"))
+        .groupBy(*groups)
+        .agg(
+            F.sum(
+                F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")
+            ).alias("__tie")
+        )
+    )
+    j = rterm.join(ties, groups) if groups else _cross_one(rterm, ties)
+    n = F.col("n").cast("double")
+    h_raw = 12.0 / (n * (n + 1)) * F.col("__ssr") - 3.0 * (n + 1)
+    c = 1.0 - F.col("__tie") / (n * n * n - n)
+    return j.select(
+        *groups,
+        "k",
+        "n",
+        F.when((F.col("k") >= 2) & (c > 0), F.round(h_raw / c, round_to)).alias(
+            "h_stat"
+        ),
+    )
+
+
+def _cross_one(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Join two single-row (ungrouped-aggregate) frames via a literal-key
+    BroadcastHashJoin — never a CartesianProduct node (the mann_kendall
+    pattern; both sides are one row by construction)."""
+    return (
+        a.withColumn("__k", F.lit(1))
+        .join(F.broadcast(b.withColumn("__k", F.lit(1))), "__k")
+        .drop("__k")
+    )
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Friedman rank test per group (Friedman 1937; scipy's
+    ``friedmanchisquare`` incl. its tie correction) → group_cols +
+    (k, n_blocks, chi2): "across the SAME n blocks (queries, days,
+    documents), do the k treatments (model variants, pipeline configs)
+    rank differently?" — the repeated-measures companion to
+    ``kruskal_wallis`` and the ordinal generalization of ``cochran_q``:
+
+        χ² = [12/(nk(k+1)) · Σ_j R_j² − 3n(k+1)] / C,
+        C = 1 − Σ_blocks Σ(t³−t) / (n·k·(k²−1))
+
+    with ranks tie-averaged WITHIN each block. χ² ~ χ²(k−1) under H0.
+    Only COMPLETE blocks count (a block must observe every treatment of
+    its group — incomplete blocks are excluded relationally, no eager
+    job); duplicate (block, treatment) observations raise. NULL when
+    k < 2 or all blocks are fully tied (C = 0). Null/NaN excluded.
+
+    Plan: the rank window is PARTITIONED BY block (k rows per partition —
+    never a scale concern); completeness is one distinct-count join.
+    """
+    groups = list(group_cols or [])
+    v = F.col(value_col).cast("double")
+    base = df.filter(
+        v.isNotNull()
+        & ~F.isnan(v)
+        & F.col(block_col).isNotNull()
+        & F.col(treatment_col).isNotNull()
+    ).select(
+        *groups,
+        F.col(block_col).alias("__b"),
+        F.col(treatment_col).alias("__j"),
+        v.alias("__x"),
+    )
+    dup = (
+        base.groupBy(*groups, "__b", "__j")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            "friedman_test: duplicate (block, treatment) observation — "
+            "aggregate to one value per cell first."
+        )
+    k_tab = base.groupBy(*groups).agg(
+        F.count_distinct("__j").cast("long").alias("k")
+    )
+    per_block = base.groupBy(*groups, "__b").agg(
+        F.count(F.lit(1)).alias("__kb")
+    )
+    complete = per_block.join(k_tab, groups) if groups else _cross_one(per_block, k_tab)
+    complete = complete.filter(F.col("__kb") == F.col("k")).select(*groups, "__b")
+    obs = base.join(complete, [*groups, "__b"])
+    # within-block tie-averaged ranks: k rows per partition, bounded
+    wb = Window.partitionBy(*groups, "__b").orderBy("__x")
+    cells = obs.groupBy(*groups, "__b", "__x").agg(F.count(F.lit(1)).alias("__t"))
+    rk_tab = cells.select(
+        *groups,
+        "__b",
+        "__x",
+        (
+            F.coalesce(
+                F.sum("__t").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            )
+            + (F.col("__t") + 1) / 2.0
+        ).alias("__rk"),
+    )
+    ranked = obs.join(rk_tab, [*groups, "__b", "__x"])
+    rj = ranked.groupBy(*groups, "__j").agg(F.sum("__rk").alias("__rj"))
+    ssr = rj.groupBy(*groups).agg(
+        F.sum(F.col("__rj") * F.col("__rj")).alias("__ssr")
+    )
+    nb = complete.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks")
+    )
+    ties = cells.groupBy(*groups).agg(
+        F.sum(F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")).alias("__tie")
+    )
+    if groups:
+        j = k_tab.join(nb, groups).join(ssr, groups).join(ties, groups)
+    else:
+        j = _cross_one(_cross_one(_cross_one(k_tab, nb), ssr), ties)
+    k = F.col("k").cast("double")
+    n = F.col("n_blocks").cast("double")
+    chi_raw = 12.0 / (n * k * (k + 1)) * F.col("__ssr") - 3.0 * n * (k + 1)
+    c = 1.0 - F.col("__tie") / (n * k * (k * k - 1.0))
+    return j.select(
+        *groups,
+        "k",
+        "n_blocks",
+        F.when(
+            (F.col("k") >= 2) & (F.col("n_blocks") >= 1) & (c > 0),
+            F.round(chi_raw / c, round_to),
+        ).alias("chi2"),
+    )
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    group_cols: list[str] | None = None,
+    round_to: int = 6,
+    max_distinct: int | None = 1_000_000,
+) -> DataFrame:
+    """Wilcoxon signed-rank test per group (Wilcoxon 1945; scipy's
+    ``wilcoxon`` with the normal approximation, ``zero_method='wilcox'``,
+    no continuity correction) → group_cols + (n, w_plus, w_minus, z):
+    "did the PAIRED before/after metric move?" — the nonparametric paired
+    t-test for A/B reruns, re-crawl deltas, model-v2-vs-v1 per-document
+    scores. Zero differences are dropped (Wilcoxon's own rule); |d| is
+    tie-average-ranked; W± are the signed rank sums and
+
+        z = (W⁺ − n(n+1)/4) / sqrt(n(n+1)(2n+1)/24 − Σ(t³−t)/48)
+
+    NULL z when n = 0 or the variance is 0 (all |d| tied in one sign).
+    Null/NaN in either column drops the pair.
+
+    Plan: ranks from the distinct-|d| table (``max_distinct`` fail-fast,
+    spearman contract) + join-back + one grouped aggregate.
+    """
+    groups = list(group_cols or [])
+    a = F.col(col_a).cast("double")
+    b = F.col(col_b).cast("double")
+    base = (
+        df.filter(a.isNotNull() & ~F.isnan(a) & b.isNotNull() & ~F.isnan(b))
+        .select(*groups, (a - b).alias("__d"))
+        .filter(F.col("__d") != 0.0)
+        .select(*groups, F.abs("__d").alias("__ad"), F.signum("__d").alias("__sg"))
+    )
+    _guard_distinct(base, groups, "__ad", max_distinct, "wilcoxon_signed_rank")
+    ranked = base.join(_avg_rank_table(base, groups, "__ad", "__rk"), [*groups, "__ad"])
+    ties = (
+        base.groupBy(*groups, "__ad")
+        .agg(F.count(F.lit(1)).alias("__t"))
+        .groupBy(*groups)
+        .agg(
+            F.sum(F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")).alias(
+                "__tie"
+            )
+        )
+    )
+    agg = ranked.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("__sg") > 0, F.col("__rk")).otherwise(0.0)).alias("__wp"),
+        F.sum(F.when(F.col("__sg") < 0, F.col("__rk")).otherwise(0.0)).alias("__wm"),
+    )
+    j = agg.join(ties, groups) if groups else _cross_one(agg, ties)
+    n = F.col("n").cast("double")
+    var = n * (n + 1) * (2 * n + 1) / 24.0 - F.col("__tie") / 48.0
+    return j.select(
+        *groups,
+        "n",
+        F.round("__wp", round_to).alias("w_plus"),
+        F.round("__wm", round_to).alias("w_minus"),
+        F.when(
+            (F.col("n") > 0) & (var > 0),
+            F.round((F.col("__wp") - n * (n + 1) / 4.0) / F.sqrt(var), round_to),
+        ).alias("z"),
+    )
+
+
+def cliffs_delta(
+    df: DataFrame,
+    value_col: str,
+    side_col: str,
+    side_a,
+    side_b,
+    group_cols: list[str] | None = None,
+    round_to: int = 6,
+    max_distinct: int | None = 1_000_000,
+) -> DataFrame:
+    """Cliff's delta ordinal effect size per group (Cliff 1993) →
+    group_cols + (n_a, n_b, delta): δ = P(a > b) − P(a < b) over all
+    cross-pairs of the two samples — the assumption-free "HOW MUCH bigger
+    is side A?" that belongs next to a Mann-Whitney p-value (and the
+    rank-world sibling of ``cohens_d``), in [−1, 1], ties contributing 0.
+
+    Computed WITHOUT pair enumeration via the rank identity
+    δ = 2·U_a/(n_a·n_b) − 1 with U_a = R_a − n_a(n_a+1)/2 from tie-averaged
+    ranks over the combined sample (tie-averaging makes ties split half
+    each way — exactly Cliff's 0 contribution). NULL when either side is
+    empty. Rows whose side is neither ``side_a`` nor ``side_b``, and
+    null/NaN values, are excluded.
+
+    Plan: one distinct-value rank window (``max_distinct`` fail-fast) +
+    join-back + one grouped aggregate — O(distinct values), never n_a·n_b.
+    """
+    groups = list(group_cols or [])
+    v = F.col(value_col).cast("double")
+    base = df.filter(
+        v.isNotNull() & ~F.isnan(v) & F.col(side_col).isin([side_a, side_b])
+    ).select(
+        *groups,
+        (F.col(side_col) == F.lit(side_a)).alias("__is_a"),
+        v.alias("__x"),
+    )
+    _guard_distinct(base, groups, "__x", max_distinct, "cliffs_delta")
+    ranked = base.join(_avg_rank_table(base, groups, "__x", "__rk"), [*groups, "__x"])
+    agg = ranked.groupBy(*groups).agg(
+        F.sum(F.col("__is_a").cast("int")).cast("long").alias("n_a"),
+        F.sum((~F.col("__is_a")).cast("int")).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("__is_a"), F.col("__rk")).otherwise(0.0)).alias("__ra"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    u_a = F.col("__ra") - na * (na + 1) / 2.0
+    return agg.select(
+        *groups,
+        "n_a",
+        "n_b",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.round(2.0 * u_a / (na * nb) - 1.0, round_to),
+        ).alias("delta"),
+    )
+
+
+def somers_d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+    round_to: int = 6,
+    max_cells: int | None = 100_000,
+) -> DataFrame:
+    """Somers' D_yx per group (Somers 1962) → group_cols + (n, concordant,
+    discordant, d_yx): the ASYMMETRIC ordinal association of y on x,
+
+        D_yx = (C − D) / (n(n−1)/2 − T_x)
+
+    — Kendall's numerator over only the pairs NOT tied on x (the
+    conditioning variable). The standard asymmetric ordinal-association
+    measure and the directional complement to the symmetric
+    ``kendall_tau_b``; with x = a binary LABEL and y = a score,
+    D_yx IS the Gini coefficient 2·AUC−1 (pairs tied on the label drop,
+    leaving exactly the n₀·n₁ cross-pairs AUC counts). NULL when every
+    pair is tied on x.
+
+    Plan: identical distinct-(x, y) cell join as kendall_tau_b
+    (drift.py::kendall_tau_b — cells², never rows², ``max_cells``
+    fail-fast eagerly at construction), different denominator (only T_x
+    subtracted). Null/NaN rows are excluded.
+    """
+    groups = list(group_cols or [])
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.filter(
+        x.isNotNull() & ~F.isnan(x) & y.isNotNull() & ~F.isnan(y)
+    ).select(*groups, x.alias("__x"), y.alias("__y"))
+    cells = base.groupBy(*groups, "__x", "__y").agg(F.count(F.lit(1)).alias("__c"))
+    if max_cells is not None:
+        worst = (
+            cells.groupBy(*groups).count().agg(F.max("count").alias("m")).first()["m"]
+        )
+        if worst is not None and worst > max_cells:
+            raise ValueError(
+                f"somers_d: a group has {worst} distinct (x, y) cells "
+                f"(> max_cells={max_cells}); the cell×cell concordance join "
+                "would square it. Pre-bin the inputs (D is an ordinal "
+                "statistic), or raise/disable the guard."
+            )
+    c1 = cells.select(
+        *groups,
+        F.col("__x").alias("__x1"),
+        F.col("__y").alias("__y1"),
+        F.col("__c").alias("__c1"),
+    )
+    c2 = cells.select(
+        *groups,
+        F.col("__x").alias("__x2"),
+        F.col("__y").alias("__y2"),
+        F.col("__c").alias("__c2"),
+    )
+    if groups:
+        pj = c1.join(c2, groups)
+    else:
+        pj = c1.withColumn("__k", F.lit(1)).join(
+            c2.withColumn("__k", F.lit(1)), "__k"
+        )
+    pj = pj.filter(F.col("__x1") < F.col("__x2"))
+    cd = pj.groupBy(*groups).agg(
+        F.sum(
+            F.when(F.col("__y1") < F.col("__y2"), F.col("__c1") * F.col("__c2")).otherwise(F.lit(0))
+        ).cast("long").alias("concordant"),
+        F.sum(
+            F.when(F.col("__y1") > F.col("__y2"), F.col("__c1") * F.col("__c2")).otherwise(F.lit(0))
+        ).cast("long").alias("discordant"),
+    )
+    n_tab = base.groupBy(*groups).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tx = (
+        base.groupBy(*groups, "__x")
+        .agg(F.count(F.lit(1)).alias("__t"))
+        .groupBy(*groups)
+        .agg(F.sum(F.col("__t") * (F.col("__t") - 1) / 2).alias("__tx"))
+    )
+    if groups:
+        # LEFT join cd (a constant-x group yields no pair rows — the
+        # kendall_tau_b degenerate-group contract)
+        j = (
+            n_tab.join(cd, groups, "left")
+            .withColumn("concordant", F.coalesce("concordant", F.lit(0).cast("long")))
+            .withColumn("discordant", F.coalesce("discordant", F.lit(0).cast("long")))
+            .join(tx, groups)
+        )
+    else:
+        j = _cross_one(_cross_one(n_tab, cd), tx)
+        j = j.withColumn(
+            "concordant", F.coalesce("concordant", F.lit(0).cast("long"))
+        ).withColumn("discordant", F.coalesce("discordant", F.lit(0).cast("long")))
+    n0 = F.col("n") * (F.col("n") - 1) / 2.0
+    denom = n0 - F.col("__tx")
+    return j.select(
+        *groups,
+        "n",
+        "concordant",
+        "discordant",
+        F.when(
+            denom > 0,
+            F.round((F.col("concordant") - F.col("discordant")) / denom, round_to),
+        ).alias("d_yx"),
+    )

@@ -681,3 +681,58 @@ def theil_index(
             "theil"
         ),
     )
+
+
+def herfindahl_index(
+    df: DataFrame,
+    category_col: str,
+    group_cols: list[str] | None = None,
+    weight_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per group → group_cols +
+    (k, total, hhi, hhi_norm): HHI = Σ_c share_c² over the categories'
+    mass shares (row counts, or ``weight_col`` mass — bytes, tokens),
+    and the size-adjusted HHI* = (HHI − 1/k)/(1 − 1/k) ∈ [0, 1] (NULL
+    when k = 1, where concentration is vacuous). 1/HHI is the "effective
+    number of sources" — the one-number companion to ``theil_index``
+    (decomposable inequality) and ``domain_mix`` (the full table) that
+    answers "is this corpus really diverse, or three domains in a trench
+    coat?". The antitrust thresholds (0.15 / 0.25 for moderate / high
+    concentration) transfer directly to source-mix review. Null
+    categories and null/NaN/negative weights are excluded.
+
+    Plan: one (group, category) aggregate + one group aggregate — the
+    share denominator folds in algebraically (Σ m_c² / (Σ m_c)²), so one
+    linear pass, no window, no second scan.
+    """
+    groups = list(group_cols or [])
+    if weight_col is None:
+        m = F.lit(1.0)
+        base = df.filter(F.col(category_col).isNotNull())
+    else:
+        wv = F.col(weight_col).cast("double")
+        base = df.filter(
+            F.col(category_col).isNotNull() & wv.isNotNull() & ~F.isnan(wv) & (wv >= 0)
+        )
+        m = wv
+    per_cat = base.groupBy(*groups, F.col(category_col).alias("__c")).agg(
+        F.sum(m).alias("__m")
+    )
+    agg = per_cat.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("__m").alias("__tot"),
+        F.sum(F.col("__m") * F.col("__m")).alias("__sq"),
+    )
+    k = F.col("k").cast("double")
+    hhi = F.col("__sq") / (F.col("__tot") * F.col("__tot"))
+    return agg.select(
+        *groups,
+        "k",
+        F.round("__tot", round_to).alias("total"),
+        F.when(F.col("__tot") > 0, F.round(hhi, round_to)).alias("hhi"),
+        F.when(
+            (F.col("__tot") > 0) & (F.col("k") > 1),
+            F.round((hhi - 1.0 / k) / (1.0 - 1.0 / k), round_to),
+        ).alias("hhi_norm"),
+    )

@@ -13,7 +13,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["seasonal_decompose", "sax_symbols", "mann_kendall", "page_hinkley"]
+__all__ = [
+    "seasonal_decompose",
+    "sax_symbols",
+    "mann_kendall",
+    "page_hinkley",
+    "theil_sen",
+    "durbin_watson",
+    "runs_test",
+]
 
 
 def seasonal_decompose(
@@ -373,4 +381,301 @@ def page_hinkley(
         F.round(F.max("__ph"), round_to).alias("ph_stat"),
         (F.max("__ph") > lam).alias("alarm"),
         F.min(F.when(F.col("__ph") > lam, F.col("__t"))).alias("alarm_t"),
+    )
+
+
+def _series_guard(
+    base: DataFrame, groups: list[str], max_points: int, op: str
+) -> None:
+    """The mann_kendall series contract, shared: the input must be an
+    already-aggregated series (one row per (group, t)); fail fast above
+    ``max_points`` per series and on duplicate timestamps. NOTE (eager
+    guard): runs one small Spark job at construction time."""
+    sizes = base.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count_distinct("__t").alias("__nt"),
+    )
+    bad = sizes.filter(
+        (F.col("__n") > max_points) | (F.col("__nt") < F.col("__n"))
+    ).limit(1).collect()
+    if bad:
+        r = bad[0]
+        if r["__nt"] < r["__n"]:
+            raise ValueError(
+                f"{op}: a group has duplicate timestamps — aggregate to one "
+                "observation per (group, t) first."
+            )
+        raise ValueError(
+            f"{op}: a group has {r['__n']} points (> max_points="
+            f"{max_points}); aggregate to coarser time buckets first."
+        )
+
+
+def theil_sen(
+    df: DataFrame,
+    t_col: str,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    round_to: int = 6,
+    max_points: int = 2_000,
+) -> DataFrame:
+    """Theil-Sen robust trend estimator per series (Theil 1950; Sen 1968)
+    → group_cols + (n, n_pairs, slope, intercept): slope = MEDIAN of all
+    pairwise slopes (x_j−x_i)/(t_j−t_i), intercept = median of
+    (x_i − slope·t_i) — the outlier-immune line fit (up to ~29% arbitrary
+    corruption) that pairs with ``mann_kendall``: MK says "is it
+    trending?", Theil-Sen says "at what rate?". The estimate OLS
+    (``ols_trend``) should be sanity-checked against when a crawl has
+    heavy-tailed daily metrics. Medians interpolate (average the two
+    middle order statistics at even counts — the DuckDB/NumPy
+    ``median`` convention). NULL slope when n < 2.
+
+    Contract: pre-aggregated series input (the mann_kendall contract —
+    one row per (group, t), ``max_points`` fail-fast, duplicate
+    timestamps raise), so the pairwise table is ≤ max_points²/2 per
+    series by construction and the per-series median windows ride
+    bounded partitions. Null/NaN values and null times are excluded.
+    """
+    groups = list(group_cols or [])
+    v = F.col(value_col).cast("double")
+    t = F.col(t_col).cast("double")
+    base = df.filter(
+        v.isNotNull() & ~F.isnan(v) & F.col(t_col).isNotNull()
+    ).select(*groups, t.alias("__t"), v.alias("__x"))
+    _series_guard(base, groups, max_points, "theil_sen")
+
+    def _median(d: DataFrame, col: str, out: str) -> DataFrame:
+        """Exact interpolated per-group median over a bounded table."""
+        wo = (
+            Window.partitionBy(*groups).orderBy(col)
+            if groups
+            else Window.orderBy(col)
+        )
+        wt = Window.partitionBy(*groups) if groups else Window.partitionBy()
+        ranked = d.select(
+            *groups,
+            F.col(col),
+            F.row_number().over(wo).alias("__rn"),
+            F.count(F.lit(1)).over(wt).alias("__m"),
+        )
+        # odd m: the single middle row floor((m+1)/2) = floor(m/2)+1;
+        # even m: BOTH middles m/2 and m/2+1 (averaged = interpolation)
+        mid = ranked.filter(
+            (F.col("__rn") == F.floor((F.col("__m") + 1) / 2))
+            | (F.col("__rn") == F.floor(F.col("__m") / 2) + 1)
+        )
+        return mid.groupBy(*groups).agg(F.avg(col).alias(out))
+
+    a = base.select(*groups, F.col("__t").alias("__ti"), F.col("__x").alias("__xi"))
+    b = base.select(*groups, F.col("__t").alias("__tj"), F.col("__x").alias("__xj"))
+    if groups:
+        pairs = a.join(b, groups)
+    else:
+        pairs = a.withColumn("__k", F.lit(1)).join(
+            F.broadcast(b.withColumn("__k", F.lit(1))), "__k"
+        )
+    slopes = pairs.filter(F.col("__ti") < F.col("__tj")).select(
+        *groups,
+        (
+            (F.col("__xj") - F.col("__xi")) / (F.col("__tj") - F.col("__ti"))
+        ).alias("__s"),
+    )
+    n_pairs = slopes.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    med_slope = _median(slopes, "__s", "slope")
+    n_tab = base.groupBy(*groups).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    if groups:
+        with_slope = base.join(med_slope, groups)
+    else:
+        with_slope = base.withColumn("__k", F.lit(1)).join(
+            F.broadcast(med_slope.withColumn("__k", F.lit(1))), "__k"
+        ).drop("__k")
+    resid = with_slope.select(
+        *groups, (F.col("__x") - F.col("slope") * F.col("__t")).alias("__r")
+    )
+    med_int = _median(resid, "__r", "intercept")
+    if groups:
+        out = (
+            n_tab.join(n_pairs, groups, "left")
+            .join(med_slope, groups, "left")
+            .join(med_int, groups, "left")
+        )
+    else:
+        out = n_tab
+        for other in (n_pairs, med_slope, med_int):
+            out = out.withColumn("__k", F.lit(1)).join(
+                F.broadcast(other.withColumn("__k", F.lit(1))), "__k", "left"
+            ).drop("__k")
+    return out.select(
+        *groups,
+        "n",
+        F.coalesce("n_pairs", F.lit(0).cast("long")).alias("n_pairs"),
+        F.round("slope", round_to).alias("slope"),
+        F.round("intercept", round_to).alias("intercept"),
+    )
+
+
+def durbin_watson(
+    df: DataFrame,
+    t_col: str,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    round_to: int = 6,
+    max_points: int = 100_000,
+) -> DataFrame:
+    """Durbin-Watson autocorrelation statistic per series (Durbin & Watson
+    1950) over the DEMEANED values → group_cols + (n, dw):
+
+        DW = Σ_{t=2..n} (e_t − e_{t−1})² / Σ e_t²,   e_t = x_t − x̄
+
+    — in [0, 4]; ≈2 means no lag-1 autocorrelation, →0 positive, →4
+    negative. The one-number "are these residuals actually independent?"
+    check to run after ``ols_trend``/``ewma_smooth``, and the screen that
+    tells you whether a metric's daily noise is really i.i.d. before
+    trusting an A/B variance estimate. NULL when n < 2 or all values
+    are identical (zero variance).
+
+    Contract: pre-aggregated series input (one row per (group, t),
+    duplicate timestamps raise; generous ``max_points`` since the plan is
+    linear — one lag window per series + one aggregate, no pair join).
+    Null/NaN values and null times are excluded.
+    """
+    groups = list(group_cols or [])
+    v = F.col(value_col).cast("double")
+    base = df.filter(
+        v.isNotNull() & ~F.isnan(v) & F.col(t_col).isNotNull()
+    ).select(*groups, F.col(t_col).alias("__t"), v.alias("__x"))
+    _series_guard(base, groups, max_points, "durbin_watson")
+    wt = Window.partitionBy(*groups) if groups else Window.partitionBy()
+    wo = (
+        Window.partitionBy(*groups).orderBy("__t")
+        if groups
+        else Window.orderBy("__t")
+    )
+    # the lag rides the same time order as the demeaning's partition
+    e = base.select(
+        *groups,
+        F.col("__t"),
+        (F.col("__x") - F.avg("__x").over(wt)).alias("__e"),
+    ).select(*groups, "__e", F.lag("__e").over(wo).alias("__ep"))
+    agg = e.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(
+                F.col("__ep").isNotNull(),
+                (F.col("__e") - F.col("__ep")) * (F.col("__e") - F.col("__ep")),
+            ).otherwise(0.0)
+        ).alias("__num"),
+        F.sum(F.col("__e") * F.col("__e")).alias("__den"),
+    )
+    return agg.select(
+        *groups,
+        "n",
+        F.when(
+            (F.col("n") >= 2) & (F.col("__den") > 0),
+            F.round(F.col("__num") / F.col("__den"), round_to),
+        ).alias("dw"),
+    )
+
+
+def runs_test(
+    df: DataFrame,
+    t_col: str,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    round_to: int = 6,
+    max_points: int = 100_000,
+) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness per series (Wald &
+    Wolfowitz 1940, the runs-about-the-MEDIAN form) → group_cols +
+    (n_above, n_below, n_runs, z): dichotomize each value against its
+    series median (values EQUAL to the median are dropped — the standard
+    convention), count the maximal same-sign runs R in time order, and
+
+        z = (R − μ) / σ,  μ = 2·n₁n₂/(n₁+n₂) + 1,
+        σ² = 2n₁n₂(2n₁n₂ − n₁ − n₂) / ((n₁+n₂)²(n₁+n₂−1))
+
+    — too FEW runs = clustering/trend, too MANY = oscillation; the
+    distribution-free "is this metric's day-to-day sequence random?"
+    screen that complements ``mann_kendall`` (monotone trend) and
+    ``durbin_watson`` (linear lag-1). NULL z when either side is empty
+    or σ = 0.
+
+    Contract: pre-aggregated series (one row per (group, t), duplicate
+    timestamps raise, ``max_points`` fail-fast). The median is the exact
+    interpolated one over the bounded series partition. Null/NaN
+    excluded.
+    """
+    groups = list(group_cols or [])
+    v = F.col(value_col).cast("double")
+    base = df.filter(
+        v.isNotNull() & ~F.isnan(v) & F.col(t_col).isNotNull()
+    ).select(*groups, F.col(t_col).alias("__t"), v.alias("__x"))
+    _series_guard(base, groups, max_points, "runs_test")
+    wt = Window.partitionBy(*groups) if groups else Window.partitionBy()
+    wv = (
+        Window.partitionBy(*groups).orderBy("__x")
+        if groups
+        else Window.orderBy("__x")
+    )
+    ranked = base.select(
+        *groups,
+        "__t",
+        "__x",
+        F.row_number().over(wv).alias("__rn"),
+        F.count(F.lit(1)).over(wt).alias("__m"),
+    )
+    med = (
+        ranked.filter(
+            (F.col("__rn") == F.floor((F.col("__m") + 1) / 2))
+            | (F.col("__rn") == F.floor(F.col("__m") / 2) + 1)
+        )
+        .groupBy(*groups)
+        .agg(F.avg("__x").alias("__med"))
+    )
+    if groups:
+        signed = base.join(med, groups)
+    else:
+        signed = base.withColumn("__k", F.lit(1)).join(
+            F.broadcast(med.withColumn("__k", F.lit(1))), "__k"
+        ).drop("__k")
+    signed = signed.filter(F.col("__x") != F.col("__med")).select(
+        *groups, "__t", (F.col("__x") > F.col("__med")).alias("__up")
+    )
+    wo = (
+        Window.partitionBy(*groups).orderBy("__t")
+        if groups
+        else Window.orderBy("__t")
+    )
+    runs = signed.select(
+        *groups,
+        "__up",
+        F.when(
+            F.lag("__up").over(wo).isNull()
+            | (F.lag("__up").over(wo) != F.col("__up")),
+            1,
+        )
+        .otherwise(0)
+        .alias("__new_run"),
+    )
+    agg = runs.groupBy(*groups).agg(
+        F.sum(F.col("__up").cast("int")).cast("long").alias("n_above"),
+        F.sum((~F.col("__up")).cast("int")).cast("long").alias("n_below"),
+        F.sum("__new_run").cast("long").alias("n_runs"),
+    )
+    n1 = F.col("n_above").cast("double")
+    n2 = F.col("n_below").cast("double")
+    nn = n1 + n2
+    mu = 2.0 * n1 * n2 / nn + 1.0
+    var = 2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) / (nn * nn * (nn - 1.0))
+    return agg.select(
+        *groups,
+        "n_above",
+        "n_below",
+        "n_runs",
+        F.when(
+            (F.col("n_above") > 0) & (F.col("n_below") > 0) & (var > 0),
+            F.round((F.col("n_runs") - mu) / F.sqrt(var), round_to),
+        ).alias("z"),
     )
