@@ -15308,25 +15308,928 @@ FROM ph GROUP BY g ORDER BY g
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# r12 wave: nonparametric omnibus tests + ordinal effect sizes (nonparam.py),
+# Wasserstein drift, robust trend / serial-correlation / randomness screens
+# over pre-aggregated daily series, Brier decomposition, Krippendorff alpha,
+# Herfindahl source concentration.
+
+
+def q_kruskal_wallis(spark, sf):
+    """Kruskal-Wallis H across the five event types (operators/nonparam.py::
+    kruskal_wallis): "do the event types draw the same value distribution?"
+    — the rank-based omnibus beside anova_f. Values floored to cents so the
+    rank window rides a bounded distinct-value table (the spearman_corr
+    fixture convention)."""
+    from stackstac_spark.operators.nonparam import kruskal_wallis
+
+    ev = _t(spark, sf, "events").select(
+        "event_type", F.floor(F.col("value") * 100).cast("double").alias("x")
+    )
+    return kruskal_wallis(ev, "x", "event_type")
+
+
+SQL_KRUSKAL_WALLIS = """
+WITH base AS (
+  SELECT event_type AS j, CAST(floor(value * 100) AS DOUBLE) AS x
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value) AND event_type IS NOT NULL
+),
+pa AS (SELECT x, count(*) AS c FROM base GROUP BY x),
+ra AS (
+  SELECT x,
+         coalesce(sum(c) OVER (ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (c + 1) / 2.0 AS rk
+  FROM pa
+),
+rj AS (
+  SELECT b.j, count(*) AS nj, sum(ra.rk) AS rjs
+  FROM base b JOIN ra ON ra.x = b.x GROUP BY b.j
+),
+term AS (
+  SELECT count(*) AS k, sum(nj) AS n, sum(rjs * rjs / nj) AS ssr FROM rj
+),
+ties AS (SELECT sum(c * c * c - c) AS tie FROM pa)
+SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+       CASE WHEN k >= 2 AND 1.0 - tie / (n * 1.0 * n * n - n) > 0
+            THEN round((12.0 / (n * (n + 1.0)) * ssr - 3.0 * (n + 1))
+                       / (1.0 - tie / (n * 1.0 * n * n - n)), 6) END AS h_stat
+FROM term, ties
+"""
+
+
+def q_friedman_langs(spark, sf):
+    """Friedman rank test of the five languages across doc_id%7 blocks
+    (operators/nonparam.py::friedman_test) over exact per-cell char mass:
+    "do the languages rank the same within every block?" — the
+    repeated-measures omnibus; block ranks ride k-row partitions. Cell
+    values are integer sums (exact across engines)."""
+    from stackstac_spark.operators.nonparam import friedman_test
+
+    cells = (
+        _t(spark, sf, "documents")
+        .groupBy((F.col("doc_id") % 7).alias("block"), "lang")
+        .agg(F.sum("n_chars").cast("double").alias("x"))
+    )
+    return friedman_test(cells, "block", "lang", "x")
+
+
+SQL_FRIEDMAN_LANGS = """
+WITH cells0 AS (
+  SELECT doc_id % 7 AS b, lang AS j, CAST(sum(n_chars) AS DOUBLE) AS x
+  FROM documents GROUP BY b, j
+),
+k_tab AS (SELECT count(DISTINCT j) AS k FROM cells0),
+complete AS (
+  SELECT b FROM cells0 GROUP BY b
+  HAVING count(*) = (SELECT k FROM k_tab)
+),
+obs AS (SELECT c.* FROM cells0 c JOIN complete USING (b)),
+tc AS (SELECT b, x, count(*) AS t FROM obs GROUP BY b, x),
+rk_tab AS (
+  SELECT b, x,
+         coalesce(sum(t) OVER (PARTITION BY b ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (t + 1) / 2.0 AS rk
+  FROM tc
+),
+ranked AS (SELECT o.j, r.rk FROM obs o JOIN rk_tab r ON r.b = o.b AND r.x = o.x),
+rj AS (SELECT j, sum(rk) AS rjs FROM ranked GROUP BY j),
+ssr_tab AS (SELECT sum(rjs * rjs) AS ssr FROM rj),
+nb AS (SELECT count(*) AS n_blocks FROM complete),
+ties AS (SELECT sum(t * t * t - t) AS tie FROM tc)
+SELECT CAST(k AS BIGINT) AS k, CAST(n_blocks AS BIGINT) AS n_blocks,
+       CASE WHEN k >= 2 AND n_blocks >= 1
+                 AND 1.0 - tie / (n_blocks * k * (k * k - 1.0)) > 0
+            THEN round((12.0 / (n_blocks * k * (k + 1.0)) * ssr
+                        - 3.0 * n_blocks * (k + 1))
+                       / (1.0 - tie / (n_blocks * k * (k * k - 1.0))), 6)
+       END AS chi2
+FROM k_tab, nb, ssr_tab, ties
+"""
+
+
+def q_wilcoxon_paired(spark, sf):
+    """Wilcoxon signed-rank of two deterministic paired per-document scores
+    per language (operators/nonparam.py::wilcoxon_signed_rank): the "did
+    the rescored metric actually move?" paired test. Exact-rational score
+    fixtures so |d| is bit-identical across engines."""
+    from stackstac_spark.operators.nonparam import wilcoxon_signed_rank
+
+    docs = _t(spark, sf, "documents").select(
+        "lang",
+        (((F.col("doc_id") * 37) % 199) / 199.0).alias("a"),
+        (((F.col("doc_id") * 73) % 211) / 211.0).alias("b"),
+    )
+    return wilcoxon_signed_rank(docs, "a", "b", ["lang"]).orderBy("lang")
+
+
+SQL_WILCOXON_PAIRED = """
+WITH base AS (
+  SELECT lang,
+         abs(((doc_id * 37) % 199) / 199.0 - ((doc_id * 73) % 211) / 211.0) AS ad,
+         CASE WHEN ((doc_id * 37) % 199) / 199.0
+                   > ((doc_id * 73) % 211) / 211.0 THEN 1 ELSE -1 END AS sg
+  FROM documents
+  WHERE ((doc_id * 37) % 199) / 199.0 <> ((doc_id * 73) % 211) / 211.0
+),
+pa AS (SELECT lang, ad, count(*) AS c FROM base GROUP BY lang, ad),
+ra AS (
+  SELECT lang, ad,
+         coalesce(sum(c) OVER (PARTITION BY lang ORDER BY ad
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (c + 1) / 2.0 AS rk
+  FROM pa
+),
+ranked AS (
+  SELECT base.lang, base.sg, ra.rk
+  FROM base JOIN ra ON ra.lang = base.lang AND ra.ad = base.ad
+),
+agg AS (
+  SELECT lang, count(*) AS n,
+         sum(CASE WHEN sg > 0 THEN rk ELSE 0 END) AS wp,
+         sum(CASE WHEN sg < 0 THEN rk ELSE 0 END) AS wm
+  FROM ranked GROUP BY lang
+),
+ties AS (
+  SELECT lang, sum(c * c * c - c) AS tie FROM pa GROUP BY lang
+)
+SELECT agg.lang, CAST(n AS BIGINT) AS n,
+       round(wp, 6) AS w_plus, round(wm, 6) AS w_minus,
+       CASE WHEN n > 0 AND n * (n + 1.0) * (2 * n + 1) / 24.0 - tie / 48.0 > 0
+            THEN round((wp - n * (n + 1.0) / 4.0)
+                       / sqrt(n * (n + 1.0) * (2 * n + 1) / 24.0 - tie / 48.0), 6)
+       END AS z
+FROM agg JOIN ties USING (lang) ORDER BY lang
+"""
+
+
+def q_cliffs_delta(spark, sf):
+    """Cliff's delta between click and view event values
+    (operators/nonparam.py::cliffs_delta): the rank-world effect size —
+    P(click > view) − P(click < view) — computed via the U identity over
+    the combined distinct-value ranking (never n_a·n_b pairs)."""
+    from stackstac_spark.operators.nonparam import cliffs_delta
+
+    ev = _t(spark, sf, "events").select(
+        "event_type", F.floor(F.col("value") * 100).cast("double").alias("x")
+    )
+    return cliffs_delta(ev, "x", "event_type", "click", "view")
+
+
+SQL_CLIFFS_DELTA = """
+WITH base AS (
+  SELECT event_type = 'click' AS is_a, CAST(floor(value * 100) AS DOUBLE) AS x
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value) AND event_type IN ('click', 'view')
+),
+pa AS (SELECT x, count(*) AS c FROM base GROUP BY x),
+ra AS (
+  SELECT x,
+         coalesce(sum(c) OVER (ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (c + 1) / 2.0 AS rk
+  FROM pa
+),
+agg AS (
+  SELECT sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS n_b,
+         sum(CASE WHEN is_a THEN rk ELSE 0 END) AS ras
+  FROM base JOIN ra ON ra.x = base.x
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CASE WHEN n_a > 0 AND n_b > 0
+            THEN round(2.0 * (ras - n_a * (n_a + 1.0) / 2.0)
+                       / (n_a * 1.0 * n_b) - 1.0, 6) END AS delta
+FROM agg
+"""
+
+
+def q_somers_gini(spark, sf):
+    """Somers' D of the deterministic quality score on the binary label per
+    source (operators/nonparam.py::somers_d, x = label, y = score): D_yx
+    here IS the Gini 2·AUC−1 — the asymmetric ordinal association the
+    ranking evaluator reports next to roc_auc, from the same cell-join
+    machinery as kendall_corr. Tie-safe modulus 197 (the avg_precision
+    fixture convention)."""
+    from stackstac_spark.operators.nonparam import somers_d
+
+    docs = _t(spark, sf, "documents").select(
+        "source",
+        (F.col("doc_id") % 3 == 0).cast("double").alias("label"),
+        (((F.col("doc_id") * 37) % 197) / 197.0
+         + F.when(F.col("doc_id") % 3 == 0, 0.15).otherwise(0.0)).alias("score"),
+    )
+    return somers_d(docs, "label", "score", ["source"]).orderBy("source")
+
+
+SQL_SOMERS_GINI = """
+WITH base AS (
+  SELECT source,
+         CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS DOUBLE) AS x,
+         ((doc_id * 37) % 197) / 197.0
+           + CASE WHEN doc_id % 3 = 0 THEN 0.15 ELSE 0.0 END AS y
+  FROM documents
+),
+cells AS (SELECT source, x, y, count(*) AS c FROM base GROUP BY source, x, y),
+cd AS (
+  SELECT c1.source,
+         CAST(sum(CASE WHEN c1.y < c2.y THEN c1.c * c2.c ELSE 0 END) AS BIGINT)
+           AS concordant,
+         CAST(sum(CASE WHEN c1.y > c2.y THEN c1.c * c2.c ELSE 0 END) AS BIGINT)
+           AS discordant
+  FROM cells c1 JOIN cells c2 ON c2.source = c1.source AND c1.x < c2.x
+  GROUP BY c1.source
+),
+n_tab AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY source),
+tx AS (
+  SELECT source, sum(t * (t - 1) / 2) AS txs FROM
+    (SELECT source, x, count(*) AS t FROM base GROUP BY source, x) GROUP BY source
+)
+SELECT n_tab.source, n,
+       CAST(coalesce(concordant, 0) AS BIGINT) AS concordant,
+       CAST(coalesce(discordant, 0) AS BIGINT) AS discordant,
+       CASE WHEN n * (n - 1) / 2.0 - txs > 0
+            THEN round((coalesce(concordant, 0) - coalesce(discordant, 0))
+                       / (n * (n - 1) / 2.0 - txs), 6) END AS d_yx
+FROM n_tab LEFT JOIN cd USING (source) JOIN tx USING (source)
+ORDER BY source
+"""
+
+
+def q_wasserstein_drift(spark, sf):
+    """1-D Wasserstein distance of every event type's value distribution
+    against the view baseline (operators/drift.py::wasserstein_1d): "how
+    FAR did the distribution move, in value units" — the magnitude
+    companion to ks_drift. Values floored to cents so the merged-CDF
+    window is distinct-bounded."""
+    from stackstac_spark.operators.drift import wasserstein_1d
+
+    ev = _t(spark, sf, "events").select(
+        "event_type", F.floor(F.col("value") * 100).cast("double").alias("x")
+    )
+    return wasserstein_1d(ev, "x", "event_type", "view").orderBy("group")
+
+
+SQL_WASSERSTEIN_DRIFT = """
+WITH vals AS (
+  SELECT event_type AS grp, CAST(floor(value * 100) AS DOUBLE) AS x
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+),
+refc AS (SELECT x, count(*) AS cr FROM vals WHERE grp = 'view' GROUP BY x),
+grpc AS (
+  SELECT grp, x, count(*) AS cg FROM vals WHERE grp <> 'view' GROUP BY grp, x
+),
+merged AS (
+  SELECT grp, x, sum(cr) AS cr, sum(cg) AS cg FROM (
+    SELECT grp, x, 0 AS cr, cg FROM grpc
+    UNION ALL
+    SELECT g.grp, r.x, r.cr, 0 AS cg
+    FROM refc r CROSS JOIN (SELECT DISTINCT grp FROM grpc) g
+  ) GROUP BY grp, x
+),
+cum AS (
+  SELECT grp, x,
+         sum(cr) OVER (PARTITION BY grp ORDER BY x) AS ccr,
+         sum(cg) OVER (PARTITION BY grp ORDER BY x) AS ccg,
+         lead(x) OVER (PARTITION BY grp ORDER BY x) AS x_next,
+         sum(cr) OVER (PARTITION BY grp) AS n_ref,
+         sum(cg) OVER (PARTITION BY grp) AS n_grp
+  FROM merged
+)
+SELECT grp AS "group", CAST(max(n_ref) AS BIGINT) AS n_ref,
+       CAST(max(n_grp) AS BIGINT) AS n_grp,
+       round(sum(CASE WHEN x_next IS NOT NULL
+                      THEN abs(ccr * 1.0 / n_ref - ccg * 1.0 / n_grp)
+                           * (x_next - x) ELSE 0 END), 6) AS w1
+FROM cum WHERE n_ref > 0 AND n_grp > 0
+GROUP BY grp ORDER BY grp
+"""
+
+
+def _daily_series(spark, sf):
+    """Shared r12 series fixture: per-(event_type, day) EXACT integer value
+    mass (sum of cents) — integer sums are bit-identical across engines,
+    so medians/ranks over the series never hit summation-order ulps."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
+            .cast("double")
+            .alias("t"),
+        )
+        .agg(F.sum(F.floor(F.col("value") * 100)).cast("double").alias("x"))
+    )
+
+
+_DUCK_DAILY_SERIES = """
+  SELECT event_type AS g,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS DOUBLE) AS t,
+         CAST(sum(floor(value * 100)) AS DOUBLE) AS x
+  FROM events GROUP BY g, t
+"""
+
+
+def q_theilsen_trend(spark, sf):
+    """Theil-Sen robust trend of each event type's daily value mass
+    (operators/timeseries.py::theil_sen): the outlier-immune slope the
+    drift monitor quotes next to mann_kendall's "is it trending?". Rides
+    the pre-aggregated daily series (≤ 31 points/series → ≤ 465 pairs)."""
+    from stackstac_spark.operators.timeseries import theil_sen
+
+    return theil_sen(_daily_series(spark, sf), "t", "x", ["event_type"]).orderBy(
+        "event_type"
+    )
+
+
+SQL_THEILSEN_TREND = f"""
+WITH daily AS ({_DUCK_DAILY_SERIES}),
+pairs AS (
+  SELECT a.g, (b.x - a.x) / (b.t - a.t) AS s
+  FROM daily a JOIN daily b ON b.g = a.g AND a.t < b.t
+),
+med_s AS (SELECT g, count(*) AS n_pairs, median(s) AS slope FROM pairs GROUP BY g),
+resid AS (
+  SELECT d.g, d.x - m.slope * d.t AS r
+  FROM daily d JOIN med_s m ON m.g = d.g
+),
+med_i AS (SELECT g, median(r) AS intercept FROM resid GROUP BY g),
+n_tab AS (SELECT g, count(*) AS n FROM daily GROUP BY g)
+SELECT n_tab.g AS event_type, CAST(n AS BIGINT) AS n,
+       CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+       round(slope, 6) AS slope, round(intercept, 6) AS intercept
+FROM n_tab LEFT JOIN med_s USING (g) LEFT JOIN med_i USING (g)
+ORDER BY event_type
+"""
+
+
+def q_durbin_watson(spark, sf):
+    """Durbin-Watson lag-1 autocorrelation of each event type's daily value
+    mass (operators/timeseries.py::durbin_watson): "is the daily noise
+    actually independent?" before trusting variance estimates. One lag
+    window over the bounded series."""
+    from stackstac_spark.operators.timeseries import durbin_watson
+
+    return durbin_watson(
+        _daily_series(spark, sf), "t", "x", ["event_type"]
+    ).orderBy("event_type")
+
+
+SQL_DURBIN_WATSON = f"""
+WITH daily AS ({_DUCK_DAILY_SERIES}),
+e AS (
+  SELECT g, t, x - avg(x) OVER (PARTITION BY g) AS e
+  FROM daily
+),
+lagd AS (
+  SELECT g, e, lag(e) OVER (PARTITION BY g ORDER BY t) AS ep FROM e
+)
+SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n,
+       CASE WHEN count(*) >= 2 AND sum(e * e) > 0
+            THEN round(sum(CASE WHEN ep IS NOT NULL
+                                THEN (e - ep) * (e - ep) ELSE 0 END)
+                       / sum(e * e), 6) END AS dw
+FROM lagd GROUP BY g ORDER BY g
+"""
+
+
+def q_runs_test(spark, sf):
+    """Wald-Wolfowitz runs test of each event type's daily value mass about
+    its series median (operators/timeseries.py::runs_test): too few runs =
+    clustering/trend, too many = oscillation — the distribution-free
+    randomness screen beside mann_kendall and durbin_watson."""
+    from stackstac_spark.operators.timeseries import runs_test
+
+    return runs_test(_daily_series(spark, sf), "t", "x", ["event_type"]).orderBy(
+        "event_type"
+    )
+
+
+SQL_RUNS_TEST = f"""
+WITH daily AS ({_DUCK_DAILY_SERIES}),
+med AS (SELECT g, median(x) AS m FROM daily GROUP BY g),
+signed AS (
+  SELECT d.g, d.t, d.x > med.m AS up
+  FROM daily d JOIN med ON med.g = d.g
+  WHERE d.x <> med.m
+),
+runs AS (
+  SELECT g, up,
+         CASE WHEN lag(up) OVER (PARTITION BY g ORDER BY t) IS NULL
+                   OR lag(up) OVER (PARTITION BY g ORDER BY t) <> up
+              THEN 1 ELSE 0 END AS new_run
+  FROM signed
+),
+agg AS (
+  SELECT g, sum(CASE WHEN up THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN up THEN 0 ELSE 1 END) AS n2,
+         sum(new_run) AS r
+  FROM runs GROUP BY g
+)
+SELECT g AS event_type, CAST(n1 AS BIGINT) AS n_above,
+       CAST(n2 AS BIGINT) AS n_below, CAST(r AS BIGINT) AS n_runs,
+       CASE WHEN n1 > 0 AND n2 > 0
+                 AND 2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                     / ((n1 + n2) * 1.0 * (n1 + n2) * (n1 + n2 - 1)) > 0
+            THEN round((r - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                       / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                              / ((n1 + n2) * 1.0 * (n1 + n2) * (n1 + n2 - 1))), 6)
+       END AS z
+FROM agg ORDER BY event_type
+"""
+
+
+def q_brier_decomp(spark, sf):
+    """Murphy decomposition of the deterministic quality classifier's Brier
+    score per source (operators/evalmetrics.py::brier_decomposition,
+    10 bins): is the model miscalibrated (reliability) or undiscriminating
+    (resolution)? — the "why" behind calibration_error's ECE, same
+    tie-safe mod-197 fixture family as avg_precision."""
+    from stackstac_spark.operators.evalmetrics import brier_decomposition
+
+    docs = _t(spark, sf, "documents").select(
+        "source",
+        (((F.col("doc_id") * 37) % 197) / 197.0).alias("p"),
+        (F.col("doc_id") % 3 == 0).cast("int").alias("y"),
+    )
+    return brier_decomposition(docs, "p", "y", ["source"], bins=10).orderBy("source")
+
+
+SQL_BRIER_DECOMP = """
+WITH base AS (
+  SELECT source,
+         ((doc_id * 37) % 197) / 197.0 AS p,
+         CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS DOUBLE) AS y,
+         CAST(least(9, floor(((doc_id * 37) % 197) / 197.0 * 10)) AS INTEGER) AS b
+  FROM documents
+),
+per_bin AS (
+  SELECT source, b, count(*) AS nb, avg(p) AS pb, avg(y) AS ob,
+         sum(y) AS sy, sum((p - y) * (p - y)) AS se
+  FROM base GROUP BY source, b
+),
+agg AS (
+  SELECT source, sum(nb) AS n, sum(se) AS sse, sum(sy) AS sy,
+         sum(nb * (pb - ob) * (pb - ob)) AS rel,
+         sum(nb * ob * ob) AS sob2
+  FROM per_bin GROUP BY source
+)
+SELECT source, CAST(n AS BIGINT) AS n,
+       CASE WHEN n > 0 THEN round(sse / n, 6) END AS brier,
+       CASE WHEN n > 0 THEN round(rel / n, 6) END AS reliability,
+       CASE WHEN n > 0
+            THEN round((sob2 - n * (sy / n) * (sy / n)) / n, 6) END AS resolution,
+       CASE WHEN n > 0
+            THEN round((sy / n) * (1.0 - sy / n), 6) END AS uncertainty
+FROM agg ORDER BY source
+"""
+
+
+def q_kripp_alpha(spark, sf):
+    """Krippendorff's nominal alpha over a deterministic crowd-labeling
+    table (operators/evalmetrics.py::krippendorff_alpha): units =
+    doc_id%120 rated by every doc hashing to them, category mostly
+    unit-determined with a 1-in-5 dissenter — the missing-tolerant
+    agreement coefficient (no fixed rater panel, unlike
+    cohens_kappa/fleiss_kappa)."""
+    from stackstac_spark.operators.evalmetrics import krippendorff_alpha
+
+    ratings = _t(spark, sf, "documents").select(
+        (F.col("doc_id") % 120).alias("unit"),
+        F.when(
+            F.col("doc_id") % 5 != 0, (F.col("doc_id") % 120) % 3
+        )
+        .otherwise(((F.col("doc_id") % 120) + 1) % 3)
+        .cast("string")
+        .alias("cat"),
+    )
+    return krippendorff_alpha(ratings, "unit", "cat")
+
+
+SQL_KRIPP_ALPHA = """
+WITH ratings AS (
+  SELECT doc_id % 120 AS u,
+         CAST(CASE WHEN doc_id % 5 <> 0 THEN (doc_id % 120) % 3
+                   ELSE ((doc_id % 120) + 1) % 3 END AS VARCHAR) AS c
+  FROM documents
+),
+uc AS (SELECT u, c, count(*) AS nuc FROM ratings GROUP BY u, c),
+u_tot AS (SELECT u, sum(nuc) AS nu FROM uc GROUP BY u),
+uc_p AS (SELECT uc.*, u_tot.nu FROM uc JOIN u_tot USING (u) WHERE nu >= 2),
+do_tab AS (
+  SELECT count(DISTINCT u) AS n_units,
+         sum(nuc * (nu - nuc) / (nu - 1.0)) AS do_sum
+  FROM uc_p
+),
+cat AS (SELECT c, sum(nuc) AS nc FROM uc_p GROUP BY c),
+n_tab AS (SELECT sum(nc) AS n FROM cat),
+de_tab AS (
+  SELECT sum(nc * ((SELECT n FROM n_tab) - nc)) AS de_sum FROM cat
+)
+SELECT CAST(n_units AS BIGINT) AS n_units,
+       CAST((SELECT n FROM n_tab) AS BIGINT) AS n_pairable,
+       CASE WHEN (SELECT n FROM n_tab) > 1 AND de_sum > 0
+            THEN round(1.0 - (do_sum / (SELECT n FROM n_tab))
+                       / (de_sum / ((SELECT n FROM n_tab)
+                                    * ((SELECT n FROM n_tab) - 1.0))), 6)
+       END AS alpha
+FROM do_tab, de_tab
+"""
+
+
+def q_herfindahl_mix(spark, sf):
+    """Herfindahl source-concentration of the char mass per language
+    (operators/sampling.py::herfindahl_index, weighted by n_chars): "is
+    this language's corpus three domains in a trench coat?" — 1/HHI is
+    the effective number of sources. Integer weight sums are exact across
+    engines."""
+    from stackstac_spark.operators.sampling import herfindahl_index
+
+    return herfindahl_index(
+        _t(spark, sf, "documents"), "source", ["lang"], weight_col="n_chars"
+    ).orderBy("lang")
+
+
+SQL_HERFINDAHL_MIX = """
+WITH per_cat AS (
+  SELECT lang, source, CAST(sum(n_chars) AS DOUBLE) AS m
+  FROM documents
+  WHERE source IS NOT NULL AND n_chars IS NOT NULL AND n_chars >= 0
+  GROUP BY lang, source
+),
+agg AS (
+  SELECT lang, count(*) AS k, sum(m) AS tot, sum(m * m) AS sq
+  FROM per_cat GROUP BY lang
+)
+SELECT lang, CAST(k AS BIGINT) AS k, round(tot, 6) AS total,
+       CASE WHEN tot > 0 THEN round(sq / (tot * tot), 6) END AS hhi,
+       CASE WHEN tot > 0 AND k > 1
+            THEN round((sq / (tot * tot) - 1.0 / k) / (1.0 - 1.0 / k), 6)
+       END AS hhi_norm
+FROM agg ORDER BY lang
+"""
+
+
+
+
+# r12 second sub-wave: continuous agreement (Lin CCC), rubric reliability
+# (Cronbach), prevalence-robust agreement (Gwet AC1), single-outlier screen
+# (Grubbs), binning-free categorical drift (Hellinger/TV), rate effect size
+# (Cohen's h).
+
+
+def q_ccc_rescore(spark, sf):
+    """Lin's concordance between the quality score and its simulated
+    rescore per language (operators/evalmetrics.py::lin_ccc): the
+    continuous-agreement audit a scorer-v2 rollout reports — Pearson
+    ignores the calibration shift, CCC charges for it. One grouped
+    moments aggregate."""
+    from stackstac_spark.operators.evalmetrics import lin_ccc
+
+    docs = _t(spark, sf, "documents").select(
+        "lang",
+        ((((F.col("doc_id") * 37) % 199) / 199.0)).alias("a"),
+        (
+            0.7 * (((F.col("doc_id") * 37) % 199) / 199.0)
+            + 0.3 * (((F.col("doc_id") * 73) % 211) / 211.0)
+        ).alias("b"),
+    )
+    return lin_ccc(docs, "a", "b", ["lang"]).orderBy("lang")
+
+
+SQL_CCC_RESCORE = """
+WITH base AS (
+  SELECT lang,
+         ((doc_id * 37) % 199) / 199.0 AS a,
+         0.7 * (((doc_id * 37) % 199) / 199.0)
+           + 0.3 * (((doc_id * 73) % 211) / 211.0) AS b
+  FROM documents
+),
+agg AS (
+  SELECT lang, count(*) AS n, sum(a) AS sa, sum(b) AS sb,
+         sum(a * a) AS saa, sum(b * b) AS sbb, sum(a * b) AS sab
+  FROM base GROUP BY lang
+)
+SELECT lang, CAST(n AS BIGINT) AS n,
+       CASE WHEN n > 0 AND (saa / n - (sa / n) * (sa / n))
+                          + (sbb / n - (sb / n) * (sb / n))
+                          + (sa / n - sb / n) * (sa / n - sb / n) > 0
+            THEN round(2.0 * (sab / n - (sa / n) * (sb / n))
+                       / ((saa / n - (sa / n) * (sa / n))
+                          + (sbb / n - (sb / n) * (sb / n))
+                          + (sa / n - sb / n) * (sa / n - sb / n)), 6)
+       END AS ccc
+FROM agg ORDER BY lang
+"""
+
+
+def q_cronbach_items(spark, sf):
+    """Cronbach's alpha of three deterministic rubric sub-scores
+    (operators/evalmetrics.py::cronbach_alpha): "do the sub-scores
+    measure one thing?" before collapsing them to a single quality
+    label. Items share the doc-length signal plus independent hash
+    noise. One grouped moments aggregate."""
+    from stackstac_spark.operators.evalmetrics import cronbach_alpha
+
+    sig = (F.col("n_chars") % 100).cast("double")
+    docs = _t(spark, sf, "documents").select(
+        sig.alias("i1"),
+        (0.8 * sig + ((F.col("doc_id") * 13) % 7).cast("double")).alias("i2"),
+        (0.9 * sig + ((F.col("doc_id") * 11) % 5).cast("double")).alias("i3"),
+    )
+    return cronbach_alpha(docs, ["i1", "i2", "i3"])
+
+
+SQL_CRONBACH_ITEMS = """
+WITH base AS (
+  SELECT CAST(n_chars % 100 AS DOUBLE) AS i1,
+         0.8 * CAST(n_chars % 100 AS DOUBLE)
+           + CAST((doc_id * 13) % 7 AS DOUBLE) AS i2,
+         0.9 * CAST(n_chars % 100 AS DOUBLE)
+           + CAST((doc_id * 11) % 5 AS DOUBLE) AS i3
+  FROM documents
+  WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL
+),
+agg AS (
+  SELECT count(*) AS n,
+         sum(i1) AS s1, sum(i1 * i1) AS q1,
+         sum(i2) AS s2, sum(i2 * i2) AS q2,
+         sum(i3) AS s3, sum(i3 * i3) AS q3,
+         sum(i1 + i2 + i3) AS ss, sum((i1 + i2 + i3) * (i1 + i2 + i3)) AS qq
+  FROM base
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(3 AS BIGINT) AS k,
+       CASE WHEN n >= 2 AND qq / n - (ss / n) * (ss / n) > 0
+            THEN round(1.5 * (1.0 - ((q1 / n - (s1 / n) * (s1 / n))
+                                     + (q2 / n - (s2 / n) * (s2 / n))
+                                     + (q3 / n - (s3 / n) * (s3 / n)))
+                             / (qq / n - (ss / n) * (ss / n))), 6)
+       END AS alpha
+FROM agg
+"""
+
+
+def q_gwet_agreement(spark, sf):
+    """Gwet's AC1 between the two deterministic classifiers of the
+    mcnemar fixture family per language (operators/evalmetrics.py::
+    gwet_ac1): the prevalence-robust agreement number a labeling audit
+    reports NEXT TO cohens_kappa (kappa collapses on skewed corpora)."""
+    from stackstac_spark.operators.evalmetrics import gwet_ac1
+
+    y = (F.col("doc_id") % 2).cast("int")
+    docs = _t(spark, sf, "documents").select(
+        "lang",
+        F.when((F.col("doc_id") * 3) % 5 < 3, y).otherwise(1 - y)
+        .cast("string")
+        .alias("pa"),
+        F.when((F.col("doc_id") * 7) % 5 < 2, y).otherwise(1 - y)
+        .cast("string")
+        .alias("pb"),
+    )
+    return gwet_ac1(docs, "pa", "pb", ["lang"]).orderBy("lang")
+
+
+SQL_GWET_AGREEMENT = """
+WITH base AS (
+  SELECT lang,
+         CAST(CASE WHEN (doc_id * 3) % 5 < 3 THEN doc_id % 2
+                   ELSE 1 - doc_id % 2 END AS VARCHAR) AS pa,
+         CAST(CASE WHEN (doc_id * 7) % 5 < 2 THEN doc_id % 2
+                   ELSE 1 - doc_id % 2 END AS VARCHAR) AS pb
+  FROM documents
+),
+n_po AS (
+  SELECT lang, count(*) AS n,
+         avg(CASE WHEN pa = pb THEN 1.0 ELSE 0.0 END) AS po
+  FROM base GROUP BY lang
+),
+ma AS (SELECT lang, pa AS c, count(*) AS ca FROM base GROUP BY lang, pa),
+mb AS (SELECT lang, pb AS c, count(*) AS cb FROM base GROUP BY lang, pb),
+marg AS (
+  SELECT coalesce(ma.lang, mb.lang) AS lang, coalesce(ma.c, mb.c) AS c,
+         coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+  FROM ma FULL JOIN mb ON mb.lang = ma.lang AND mb.c = ma.c
+),
+pe_tab AS (
+  SELECT marg.lang, count(*) AS ncat,
+         sum(((ca * 1.0 / n + cb * 1.0 / n) / 2.0)
+             * (1.0 - (ca * 1.0 / n + cb * 1.0 / n) / 2.0)) AS pe_raw
+  FROM marg JOIN n_po ON n_po.lang = marg.lang
+  GROUP BY marg.lang
+)
+SELECT n_po.lang, CAST(n AS BIGINT) AS n, round(po, 6) AS po,
+       round(CASE WHEN ncat > 1 THEN pe_raw / (ncat - 1.0) ELSE 0.0 END, 6) AS pe,
+       CASE WHEN (CASE WHEN ncat > 1 THEN pe_raw / (ncat - 1.0) ELSE 0.0 END) < 1.0
+            THEN round((po - (CASE WHEN ncat > 1 THEN pe_raw / (ncat - 1.0)
+                                   ELSE 0.0 END))
+                       / (1.0 - (CASE WHEN ncat > 1 THEN pe_raw / (ncat - 1.0)
+                                      ELSE 0.0 END)), 6)
+       END AS ac1
+FROM n_po JOIN pe_tab ON pe_tab.lang = n_po.lang
+ORDER BY n_po.lang
+"""
+
+
+def q_grubbs_outlier(spark, sf):
+    """Grubbs single-outlier statistic of each event type's cent-floored
+    values (operators/drift.py::grubbs_stat): "how extreme is the worst
+    point, in sigmas?" — the max-deviation companion to mad_outliers.
+    One grouped aggregate (min/max carry the extremes — no second
+    pass)."""
+    from stackstac_spark.operators.drift import grubbs_stat
+
+    ev = _t(spark, sf, "events").select(
+        "event_type", F.floor(F.col("value") * 100).cast("double").alias("x")
+    )
+    return grubbs_stat(ev, "x", ["event_type"]).orderBy("event_type")
+
+
+SQL_GRUBBS_OUTLIER = """
+WITH base AS (
+  SELECT event_type, CAST(floor(value * 100) AS DOUBLE) AS x
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+),
+agg AS (
+  SELECT event_type, count(*) AS n, sum(x) AS s, sum(x * x) AS q,
+         min(x) AS lo, max(x) AS hi
+  FROM base GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round(s / n, 6) AS mean,
+       CASE WHEN n >= 2
+            THEN round(sqrt(greatest((q - n * (s / n) * (s / n)) / (n - 1.0),
+                                     0.0)), 6) END AS sd,
+       CASE WHEN n >= 3 AND (q - n * (s / n) * (s / n)) / (n - 1.0) > 0
+            THEN round(greatest(abs(lo - s / n), abs(hi - s / n))
+                       / sqrt((q - n * (s / n) * (s / n)) / (n - 1.0)), 6)
+       END AS g_stat,
+       CASE WHEN n >= 3 AND (q - n * (s / n) * (s / n)) / (n - 1.0) > 0
+            THEN CASE WHEN abs(hi - s / n) >= abs(lo - s / n) THEN hi
+                      ELSE lo END
+       END AS extreme_value
+FROM agg ORDER BY event_type
+"""
+
+
+def q_hellinger_langmix(spark, sf):
+    """Hellinger + total-variation distance of each event type's user-hash
+    mix against the view baseline (operators/drift.py::hellinger_tv): the
+    binning-free, epsilon-free categorical drift pair — TV is literally
+    "the fraction of mass that moved"."""
+    from stackstac_spark.operators.drift import hellinger_tv
+
+    ev = _t(spark, sf, "events").select(
+        "event_type", (F.col("user_id") % 16).cast("int").alias("c")
+    )
+    return hellinger_tv(ev, "c", "event_type", "view").orderBy("group")
+
+
+SQL_HELLINGER_LANGMIX = """
+WITH vals AS (
+  SELECT event_type AS grp, CAST(user_id % 16 AS INTEGER) AS c
+  FROM events WHERE user_id IS NOT NULL
+),
+refc AS (SELECT c, count(*) AS cr FROM vals WHERE grp = 'view' GROUP BY c),
+grpc AS (
+  SELECT grp, c, count(*) AS cg FROM vals WHERE grp <> 'view' GROUP BY grp, c
+),
+merged AS (
+  SELECT grp, c, sum(cr) AS cr, sum(cg) AS cg FROM (
+    SELECT grp, c, 0 AS cr, cg FROM grpc
+    UNION ALL
+    SELECT g.grp, r.c, r.cr, 0 AS cg
+    FROM refc r CROSS JOIN (SELECT DISTINCT grp FROM grpc) g
+  ) GROUP BY grp, c
+),
+shares AS (
+  SELECT grp,
+         cr * 1.0 / sum(cr) OVER (PARTITION BY grp) AS p,
+         cg * 1.0 / sum(cg) OVER (PARTITION BY grp) AS q,
+         sum(cr) OVER (PARTITION BY grp) AS n_ref,
+         sum(cg) OVER (PARTITION BY grp) AS n_grp
+  FROM merged
+)
+SELECT grp AS "group", CAST(max(n_ref) AS BIGINT) AS n_ref,
+       CAST(max(n_grp) AS BIGINT) AS n_grp,
+       round(sqrt(greatest(1.0 - sum(sqrt(p * q)), 0.0)), 6) AS hellinger,
+       round(sum(abs(p - q)) / 2.0, 6) AS tv
+FROM shares WHERE n_ref > 0 AND n_grp > 0
+GROUP BY grp ORDER BY grp
+"""
+
+
+def q_rate_effect(spark, sf):
+    """Cohen's h of each event type's high-value rate against the view
+    baseline (operators/drift.py::cohens_h): the arcsine-stabilized "how
+    big is the rate shift?" effect size — the report beside a proportions
+    z-test when an error/dup rate moves."""
+    from stackstac_spark.operators.drift import cohens_h
+
+    ev = _t(spark, sf, "events").select(
+        "event_type", (F.col("value") > 500).cast("double").alias("f")
+    )
+    return cohens_h(ev, "f", "event_type", "view").orderBy("group")
+
+
+SQL_RATE_EFFECT = """
+WITH vals AS (
+  SELECT event_type AS grp,
+         CAST(CASE WHEN value > 500 THEN 1 ELSE 0 END AS DOUBLE) AS f
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+),
+ref AS (
+  SELECT count(*) AS n_ref, avg(f) AS p_ref FROM vals WHERE grp = 'view'
+),
+grp AS (
+  SELECT grp, count(*) AS n_grp, avg(f) AS p_grp
+  FROM vals WHERE grp <> 'view' GROUP BY grp
+)
+SELECT grp AS "group", CAST(n_ref AS BIGINT) AS n_ref,
+       CAST(n_grp AS BIGINT) AS n_grp,
+       round(p_ref, 6) AS p_ref, round(p_grp, 6) AS p_grp,
+       CASE WHEN n_ref > 0 AND n_grp > 0
+            THEN round(2.0 * asin(sqrt(p_grp)) - 2.0 * asin(sqrt(p_ref)), 6)
+       END AS h
+FROM grp CROSS JOIN ref ORDER BY grp
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- Rotation policy (window history: PROGRESS.jsonl /
-    # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r10,
-    # --- 47/50 green + 3 rows-only no_oracle). Per the r10 verdict's #1/#2
-    # --- the r11 window leads with (a) the 9 r10-wave entries that have
-    # --- NEVER had a driver CORRECTNESS row (judge-mirrored 9/9 green in
-    # --- r10), (b) the 3 formerly rows-only gates now carrying full DuckDB
-    # --- oracles (stream_sessions gaps-and-islands replay; bpe_merges /
-    # --- bpe_encode unrolled 12-stage merge-loop CTE chains) so their rows
-    # --- flip no_oracle -> hash_match, and (c) the 10 new r11-wave gates
-    # --- (PR-AUC, binned ROC, Cohen's kappa, McNemar, Spearman, JSD,
-    # --- Cramer's V, Chao1, Good-Turing, assortativity). Slots 23-39 are
-    # --- the 17 stalest greens (last driver row r5: pool_embeddings ..
-    # --- abtt), slots 40-50 the next-stalest r6 entries (raster_real_tiff
-    # --- .. tpch_q13). After this window lands every pre-r11 registry
-    # --- entry has a green driver row and all 286 entries are
-    # --- oracle-backed. Everything below the window stays hash-checked
+    # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r11,
+    # --- 49/50 hash-green, the one red row being avg_precision's exact
+    # --- .5e-6 rounding tie). Per the r11 verdict's #1/#2 the r12 window
+    # --- leads with (a) avg_precision on its tie-safe mod-197 fixture,
+    # --- (b) the 16 r11-wave gates that have NEVER had a driver
+    # --- CORRECTNESS row (judge-mirrored 16/16 green in r11), (c)
+    # --- good_turing on its scale-robust first_k fixture plus
+    # --- bpe_merges/bpe_encode whose oracles gained the min_count
+    # --- early-stop mirror, (d) the 12 new r12-wave gates (Kruskal-
+    # --- Wallis, Friedman, Wilcoxon, Cliff's delta, Somers' D,
+    # --- Wasserstein drift, Theil-Sen, Durbin-Watson, runs test, Brier
+    # --- decomposition, Krippendorff alpha, Herfindahl), and (e) slots
+    # --- 33-50: the 18 stalest greens (last driver row r6, none of them
+    # --- near a rounding tie per scripts/tie_sweep.py). After this
+    # --- window lands, every r11-and-earlier registry entry has a green
+    # --- driver row. Everything below the window stays hash-checked
     # --- every CI run by tests/test_past_window_mirror.py +
     # --- scripts/check_correctness.py.
+
+    "avg_precision": (q_avg_precision, SQL_AVG_PRECISION),
+    "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
+    "rbo_eval": (q_rbo_eval, _duck_rbo_sql()),
+    "theil_mass": (q_theil_mass, SQL_THEIL_MASS),
+    "bh_fdr": (q_bh_fdr, SQL_BH_FDR),
+    "assoc_rules": (q_assoc_rules, SQL_ASSOC_RULES),
+    "trimmed_mean": (q_trimmed_mean, SQL_TRIMMED_MEAN),
+    "mann_kendall": (q_mann_kendall, SQL_MANN_KENDALL),
+    "rake_topk": (q_rake_topk, _duck_rake_sql()),
+    "kaplan_meier": (q_kaplan_meier, SQL_KAPLAN_MEIER),
+    "kendall_corr": (q_kendall_corr, SQL_KENDALL_CORR),
+    "cochran_q": (q_cochran_q, SQL_COCHRAN_Q),
+    "anova_f": (q_anova_f, SQL_ANOVA_F),
+    "lift_table": (q_lift_table, SQL_LIFT_TABLE),
+    "g_independence": (q_g_independence, SQL_G_INDEPENDENCE),
+    "effect_sizes": (q_effect_sizes, SQL_EFFECT_SIZES),
+    "page_hinkley": (q_page_hinkley, SQL_PAGE_HINKLEY),
+    "good_turing": (q_good_turing, SQL_GOOD_TURING),
+    "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
+    "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
+    "kruskal_wallis": (q_kruskal_wallis, SQL_KRUSKAL_WALLIS),
+    "friedman_langs": (q_friedman_langs, SQL_FRIEDMAN_LANGS),
+    "wilcoxon_paired": (q_wilcoxon_paired, SQL_WILCOXON_PAIRED),
+    "cliffs_delta": (q_cliffs_delta, SQL_CLIFFS_DELTA),
+    "somers_gini": (q_somers_gini, SQL_SOMERS_GINI),
+    "wasserstein_drift": (q_wasserstein_drift, SQL_WASSERSTEIN_DRIFT),
+    "theilsen_trend": (q_theilsen_trend, SQL_THEILSEN_TREND),
+    "durbin_watson": (q_durbin_watson, SQL_DURBIN_WATSON),
+    "runs_test": (q_runs_test, SQL_RUNS_TEST),
+    "brier_decomp": (q_brier_decomp, SQL_BRIER_DECOMP),
+    "kripp_alpha": (q_kripp_alpha, SQL_KRIPP_ALPHA),
+    "herfindahl_mix": (q_herfindahl_mix, SQL_HERFINDAHL_MIX),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "corr_stats": (q_corr_stats, SQL_CORR_STATS),
+    "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
+    "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
+    "json_props": (q_json_props, SQL_JSON_PROPS),
+    "langid_heuristic": (q_langid_heuristic, SQL_LANGID),
+    "metadata_allsame": (q_metadata_allsame, SQL_METADATA_ALLSAME),
+    "metadata_filter": (q_metadata_filter, SQL_METADATA_FILTER),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH),
+    "mosaic_first_valid": (q_mosaic_first_valid, SQL_MOSAIC_FWD),
+    "percentile_range": (q_percentile_range, SQL_PERCENTILE_RANGE),
+    "pivot_ndvi": (q_pivot_ndvi, SQL_PIVOT_NDVI),
+    "range_join": (q_range_join, SQL_RANGE_JOIN),
+    "raster_resample_bilinear": (q_raster_resample_bilinear, SQL_RASTER_RESAMPLE_BILINEAR),
+    "raster_temporal_mean": (q_raster_temporal_mean, SQL_RASTER_TEMPORAL_MEAN),
+    # --- end of r12 driver window (first 50) -----------------------------
     "silhouette": (q_silhouette, SQL_SILHOUETTE),
     "isotonic_calibration": (q_isotonic_calibration, SQL_ISOTONIC_CALIBRATION),
     "mutual_info": (q_mutual_info, SQL_MUTUAL_INFO),
@@ -15337,9 +16240,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "leakage_audit": (q_leakage_audit, SQL_LEAKAGE_AUDIT),
     "ess_report": (q_ess_report, SQL_ESS_REPORT),
     "stream_sessions": (q_stream_sessions, SQL_STREAM_SESSIONS),
-    "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
-    "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
-    "avg_precision": (q_avg_precision, SQL_AVG_PRECISION),
     "roc_auc_binned": (q_roc_auc_binned, SQL_ROC_AUC_BINNED),
     "cohens_kappa": (q_cohens_kappa, SQL_COHENS_KAPPA),
     "mcnemar": (q_mcnemar, SQL_MCNEMAR),
@@ -15347,7 +16247,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "js_drift": (q_js_drift, SQL_JS_DRIFT),
     "cramers_v": (q_cramers_v, SQL_CRAMERS_V),
     "chao1_vocab": (q_chao1_vocab, SQL_CHAO1_VOCAB),
-    "good_turing": (q_good_turing, SQL_GOOD_TURING),
     "assortativity": (q_assortativity, SQL_ASSORTATIVITY),
     "pool_embeddings": (q_pool_embeddings, SQL_POOL_EMBEDDINGS),
     "score_normalize": (q_score_normalize, SQL_SCORE_NORMALIZE),
@@ -15377,7 +16276,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "tpch_q10": (q_tpch_q10, SQL_TPCH_Q10),
     "tpch_q11": (q_tpch_q11, SQL_TPCH_Q11),
     "tpch_q13": (q_tpch_q13, SQL_TPCH_Q13),
-    # --- end of r11 driver window (first 50) -----------------------------
     "attribution": (q_attribution, SQL_ATTRIBUTION),
     "ab_test": (q_ab_test, SQL_AB_TEST),
     "skew_report": (q_skew_report, SQL_SKEW_REPORT),
@@ -15476,10 +16374,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "gap_fill": (q_gap_fill, SQL_GAP_FILL),
     "fuzzy_variants": (q_fuzzy_variants, SQL_FUZZY_VARIANTS),
     "cc_star": (q_cc_star, SQL_CC_STAR),
-    # html_strip / blocklist_filter run BEFORE url_canonical: they warm the
-    # shared documents scan + JVM regexp/array expression classes, so
-    # url_canonical's first bench call measures its own window + projection
-    # instead of one-time classloading (r8 first_call_s flagged it at 4.1s)
     "html_strip": (q_html_strip, SQL_HTML_STRIP),
     "blocklist_filter": (q_blocklist_filter, SQL_BLOCKLIST_FILTER),
     "url_canonical": (q_url_canonical, SQL_URL_CANONICAL),
@@ -15587,55 +16481,25 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "tpch_q20": (q_tpch_q20, SQL_TPCH_Q20),
     "tpch_q22": (q_tpch_q22, SQL_TPCH_Q22),
     "tpch_q21": (q_tpch_q21, SQL_TPCH_Q21),
-    "raster_temporal_mean": (q_raster_temporal_mean, SQL_RASTER_TEMPORAL_MEAN),
-    "raster_resample_bilinear": (q_raster_resample_bilinear, SQL_RASTER_RESAMPLE_BILINEAR),
-    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
-    "corr_stats": (q_corr_stats, SQL_CORR_STATS),
-    "embedding_centroids": (q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
-    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-    "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "sim_bruteforce_topk": (q_sim_bruteforce_topk, SQL_SIM_BRUTEFORCE),
-    "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH),
     "resample_daily_median": (q_resample_daily_median, SQL_RESAMPLE_MEDIAN),
     "window_rank": (q_window_rank, SQL_WINDOW_RANK),
-    "metadata_filter": (q_metadata_filter, SQL_METADATA_FILTER),
-    "langid_heuristic": (q_langid_heuristic, SQL_LANGID),
     "simhash": (q_simhash, _duck_simhash_sql()),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
-    "mosaic_first_valid": (q_mosaic_first_valid, SQL_MOSAIC_FWD),
-    "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
-    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "tumbling_hourly": (q_tumbling_hourly, SQL_TUMBLING),
-    "json_props": (q_json_props, SQL_JSON_PROPS),
-    "range_join": (q_range_join, SQL_RANGE_JOIN),
     "rollup_agg": (q_rollup_agg, SQL_ROLLUP_AGG),
-    "pivot_ndvi": (q_pivot_ndvi, SQL_PIVOT_NDVI),
     "reduce_dims": (q_reduce_dims, SQL_REDUCE_DIMS),
-    "percentile_range": (q_percentile_range, SQL_PERCENTILE_RANGE),
     "sort_items": (q_sort_items, SQL_SORT_ITEMS),
     "snapped_bounds": (q_snapped_bounds, SQL_SNAPPED_BOUNDS),
     "tile_grid_overlap": (q_tile_grid_overlap, SQL_TILE_GRID_OVERLAP),
-    "metadata_allsame": (q_metadata_allsame, SQL_METADATA_ALLSAME),
-    # r11 wave 2 (registered past the window; driver-graded in a later
-    # rotation, CI-mirrored by test_past_window_mirror meanwhile)
-    "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
-    "rbo_eval": (q_rbo_eval, _duck_rbo_sql()),
-    "theil_mass": (q_theil_mass, SQL_THEIL_MASS),
-    "bh_fdr": (q_bh_fdr, SQL_BH_FDR),
-    "assoc_rules": (q_assoc_rules, SQL_ASSOC_RULES),
-    "trimmed_mean": (q_trimmed_mean, SQL_TRIMMED_MEAN),
-    "mann_kendall": (q_mann_kendall, SQL_MANN_KENDALL),
-    "rake_topk": (q_rake_topk, _duck_rake_sql()),
-    "kaplan_meier": (q_kaplan_meier, SQL_KAPLAN_MEIER),
-    "kendall_corr": (q_kendall_corr, SQL_KENDALL_CORR),
-    "cochran_q": (q_cochran_q, SQL_COCHRAN_Q),
-    "anova_f": (q_anova_f, SQL_ANOVA_F),
-    "lift_table": (q_lift_table, SQL_LIFT_TABLE),
-    "g_independence": (q_g_independence, SQL_G_INDEPENDENCE),
-    "effect_sizes": (q_effect_sizes, SQL_EFFECT_SIZES),
-    "page_hinkley": (q_page_hinkley, SQL_PAGE_HINKLEY),
+    "ccc_rescore": (q_ccc_rescore, SQL_CCC_RESCORE),
+    "cronbach_items": (q_cronbach_items, SQL_CRONBACH_ITEMS),
+    "gwet_agreement": (q_gwet_agreement, SQL_GWET_AGREEMENT),
+    "grubbs_outlier": (q_grubbs_outlier, SQL_GRUBBS_OUTLIER),
+    "hellinger_langmix": (q_hellinger_langmix, SQL_HELLINGER_LANGMIX),
+    "rate_effect": (q_rate_effect, SQL_RATE_EFFECT),
 }
 
 

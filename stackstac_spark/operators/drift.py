@@ -30,6 +30,9 @@ __all__ = [
     "g_test",
     "cohens_d",
     "wasserstein_1d",
+    "grubbs_stat",
+    "hellinger_tv",
+    "cohens_h",
 ]
 
 
@@ -966,4 +969,189 @@ def wasserstein_1d(
             ).alias("w1"),
         )
         .withColumnRenamed("grp", "group")
+    )
+
+
+def grubbs_stat(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Grubbs outlier statistic per group (Grubbs 1950) → group_cols +
+    (n, mean, sd, g_stat, extreme_value): G = max_i |x_i − x̄| / s over the
+    sample-form (n−1) standard deviation, plus the value attaining it —
+    "how extreme is the single most extreme observation, in sigmas?".
+    Emitted as the raw statistic (comparing against the t-based critical
+    value is the caller's policy layer); the single-worst-point companion
+    to ``mad_outliers``'s bulk screen. NULL when n < 3 (Grubbs is
+    undefined) or s = 0. Null/NaN values are excluded.
+
+    Plan: ONE grouped aggregate carries n/Σx/Σx²/min/max; G is then
+    max(|min − x̄|, |max − x̄|)/s algebraically — no second pass, no window
+    (the most extreme point is always the min or the max).
+    """
+    groups = list(group_cols or [])
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull() & ~F.isnan(v)).select(
+        *groups, v.alias("__x")
+    )
+    agg = base.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__x").alias("__s"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__q"),
+        F.min("__x").alias("__lo"),
+        F.max("__x").alias("__hi"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("__s") / n
+    var = (F.col("__q") - n * mean * mean) / (n - 1.0)
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    dev_lo = F.abs(F.col("__lo") - mean)
+    dev_hi = F.abs(F.col("__hi") - mean)
+    g = F.greatest(dev_lo, dev_hi) / sd
+    extreme = F.when(dev_hi >= dev_lo, F.col("__hi")).otherwise(F.col("__lo"))
+    ok = (F.col("n") >= 3) & (sd > 0)
+    return agg.select(
+        *groups,
+        "n",
+        F.round(mean, round_to).alias("mean"),
+        F.when(F.col("n") >= 2, F.round(sd, round_to)).alias("sd"),
+        F.when(ok, F.round(g, round_to)).alias("g_stat"),
+        F.when(ok, extreme).alias("extreme_value"),
+    )
+
+
+def hellinger_tv(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    ref_group,
+    round_to: int = 6,
+) -> DataFrame:
+    """Hellinger distance and total-variation distance of every
+    non-reference group's CATEGORICAL distribution against the reference →
+    (group, n_ref, n_grp, hellinger, tv):
+
+        H = sqrt(1 − Σ_c sqrt(p_c·q_c)),   TV = ½ Σ_c |p_c − q_c|
+
+    — the two bounded-[0, 1] categorical drift metrics that need no
+    binning and no epsilon smoothing (unlike ``psi``, whose log blows up
+    on empty bins; unlike ``js_divergence``, H is a true metric and TV has
+    the coupling interpretation "the minimum fraction of mass that
+    moved"). Right screen for language / source / label mix shift.
+    Categories absent from one side contribute sqrt(0) and |p| exactly —
+    handled by the full outer union of the two count tables. Null
+    categories are excluded.
+
+    Plan: the ks_statistic replication pattern — per-(group, category)
+    counts, aggregated reference broadcast to each comparison group, one
+    group aggregate. No window at all (no ordering needed).
+    """
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("grp"), F.col(value_col).alias("c")
+    )
+    ref_counts = (
+        vals.filter(F.col("grp") == ref_group)
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("cr"))
+    )
+    grp_counts = (
+        vals.filter(F.col("grp") != ref_group)
+        .groupBy("grp", "c")
+        .agg(F.count(F.lit(1)).alias("cg"))
+    )
+    groups = grp_counts.select("grp").distinct()
+    ref_rep = _const_key_broadcast(ref_counts, groups).select(
+        "grp", "c", "cr", F.lit(0).alias("cg")
+    )
+    merged = (
+        grp_counts.select("grp", "c", F.lit(0).alias("cr"), "cg")
+        .unionByName(ref_rep)
+        .groupBy("grp", "c")
+        .agg(F.sum("cr").alias("cr"), F.sum("cg").alias("cg"))
+    )
+    wtot = Window.partitionBy("grp")
+    shares = merged.select(
+        "grp",
+        (F.col("cr").cast("double") / F.sum("cr").over(wtot)).alias("p"),
+        (F.col("cg").cast("double") / F.sum("cg").over(wtot)).alias("q"),
+        F.sum("cr").over(wtot).alias("n_ref"),
+        F.sum("cg").over(wtot).alias("n_grp"),
+    )
+    return (
+        shares.filter((F.col("n_ref") > 0) & (F.col("n_grp") > 0))
+        .groupBy("grp")
+        .agg(
+            F.first("n_ref").alias("n_ref"),
+            F.first("n_grp").alias("n_grp"),
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        F.lit(0.0),
+                        1.0 - F.sum(F.sqrt(F.col("p") * F.col("q"))),
+                    )
+                ),
+                round_to,
+            ).alias("hellinger"),
+            F.round(F.sum(F.abs(F.col("p") - F.col("q"))) / 2.0, round_to).alias(
+                "tv"
+            ),
+        )
+        .withColumnRenamed("grp", "group")
+    )
+
+
+def cohens_h(
+    df: DataFrame,
+    flag_col: str,
+    group_col: str,
+    ref_group,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cohen's h proportion effect size of every non-reference group
+    against the reference → (group, n_ref, n_grp, p_ref, p_grp, h):
+
+        h = 2·arcsin(√p_grp) − 2·arcsin(√p_ref)
+
+    (Cohen 1988's arcsine-stabilized difference of proportions) — the
+    "HOW BIG is the rate shift?" companion to a proportions z-test, with
+    the same |h| ≈ 0.2/0.5/0.8 small/medium/large conventions as
+    ``cohens_d``. The right report when an error/spam/dup RATE moved:
+    0.01 → 0.02 and 0.50 → 0.51 are the same absolute delta but h = 0.09
+    vs 0.02. ``flag_col`` is a boolean/0-1 column; null flags are
+    excluded. NULL h when either side is empty.
+
+    Plan: one conditional grouped aggregate + the one-row reference
+    aggregate broadcast back — two scans of the filter column, no window.
+    """
+    flag = F.col(flag_col).cast("double")
+    vals = df.filter(flag.isNotNull() & ~F.isnan(flag)).select(
+        F.col(group_col).alias("grp"), flag.alias("f")
+    )
+    ref = vals.filter(F.col("grp") == ref_group).agg(
+        F.count(F.lit(1)).cast("long").alias("n_ref"),
+        F.avg("f").alias("p_ref"),
+    )
+    grp = (
+        vals.filter(F.col("grp") != ref_group)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grp"),
+            F.avg("f").alias("p_grp"),
+        )
+    )
+    j = _const_key_broadcast(ref, grp)
+    h = 2.0 * F.asin(F.sqrt(F.col("p_grp"))) - 2.0 * F.asin(
+        F.sqrt(F.col("p_ref"))
+    )
+    return j.select(
+        F.col("grp").alias("group"),
+        "n_ref",
+        "n_grp",
+        F.round("p_ref", round_to).alias("p_ref"),
+        F.round("p_grp", round_to).alias("p_grp"),
+        F.when(
+            (F.col("n_ref") > 0) & (F.col("n_grp") > 0), F.round(h, round_to)
+        ).alias("h"),
     )

@@ -27,6 +27,9 @@ __all__ = [
     "calibration_error",
     "brier_decomposition",
     "krippendorff_alpha",
+    "lin_ccc",
+    "cronbach_alpha",
+    "gwet_ac1",
 ]
 
 
@@ -48,11 +51,12 @@ def _per_score_counts(
     funneling an O(rows) group through one window task at 100 TB).
 
     NOTE (eager guard): when ``max_distinct`` is set and ``bins`` is not,
-    the guard runs a small Spark job (a distinct-count aggregate) at
-    DataFrame-CONSTRUCTION time — a deliberate break from the otherwise
-    lazy operator API so misuse fails at build, not mid-pipeline; the
-    input is re-scanned by the main plan afterwards. Callers that cannot
-    afford the extra scan should pass ``bins=`` (no guard job) or
+    the guard runs a small Spark job at DataFrame-CONSTRUCTION time — a
+    deliberate break from the otherwise lazy operator API so misuse fails
+    at build, not mid-pipeline. The per-score aggregate is
+    localCheckpoint-ed first, so the guard count and the main plan share
+    ONE corpus scan (r11 ADVICE closed). Callers that want full laziness
+    should pass ``bins=`` (no guard job, no checkpoint) or
     ``max_distinct=None``. Surfaced in the public docstrings of roc_auc /
     average_precision / lift_deciles via this shared contract."""
     lab = F.col(label_col).cast("int")
@@ -95,9 +99,14 @@ def _per_score_counts(
         F.sum(F.lit(1) - F.col("y")).alias("n"),
     )
     if bins is None and max_distinct is not None:
-        # runtime guard on the window's actual input size: one cheap count
-        # over the already-aggregated table (recomputed by the main plan —
-        # acceptable vs. an unbounded single-task window at 100 TB)
+        # runtime guard on the window's actual input size. The aggregated
+        # per-score table is localCheckpoint-ed FIRST, so the guard count
+        # and the main plan share ONE corpus scan (r11 ADVICE: the
+        # recompute cost roc_auc +0.23 s at sf0.1); eager=True runs the
+        # materialization job here, which is also where a pathological
+        # input fails. The checkpoint is distinct-score-sized when the
+        # guard passes — the table the plan needs materialized anyway.
+        per_score = per_score.localCheckpoint()
         worst = (
             per_score.groupBy(*groups)
             .count()
@@ -967,4 +976,194 @@ def krippendorff_alpha(
         F.when((n > 1) & (d_e > 0), F.round(1.0 - d_o / d_e, round_to)).alias(
             "alpha"
         ),
+    )
+
+
+def lin_ccc(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    group_cols: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Lin's concordance correlation coefficient per group (Lin 1989) →
+    group_cols + (n, ccc):
+
+        CCC = 2·s_xy / (s_x² + s_y² + (x̄ − ȳ)²)
+
+    (population-form moments, matching the common implementations) — "do
+    the two CONTINUOUS measurements agree?", which Pearson alone cannot
+    answer: r measures linear association, CCC additionally punishes
+    scale and location shift, so a re-scored metric that is perfectly
+    correlated but 2× inflated scores CCC ≈ 0.4, not 1.0. The continuous
+    companion to ``cohens_kappa`` for before/after pipeline rescoring
+    audits. NULL when n = 0 or the denominator is 0 (both columns
+    constant AND equal-mean). Null/NaN in either column drops the pair.
+
+    Plan: ONE grouped exact-moments aggregate — no window, no join.
+    """
+    groups = list(group_cols or [])
+    a = F.col(col_a).cast("double")
+    b = F.col(col_b).cast("double")
+    base = df.filter(
+        a.isNotNull() & ~F.isnan(a) & b.isNotNull() & ~F.isnan(b)
+    ).select(*groups, a.alias("__a"), b.alias("__b"))
+    agg = base.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__a").alias("__sa"),
+        F.sum("__b").alias("__sb"),
+        F.sum(F.col("__a") * F.col("__a")).alias("__saa"),
+        F.sum(F.col("__b") * F.col("__b")).alias("__sbb"),
+        F.sum(F.col("__a") * F.col("__b")).alias("__sab"),
+    )
+    n = F.col("n").cast("double")
+    ma = F.col("__sa") / n
+    mb = F.col("__sb") / n
+    sxx = F.col("__saa") / n - ma * ma
+    syy = F.col("__sbb") / n - mb * mb
+    sxy = F.col("__sab") / n - ma * mb
+    den = sxx + syy + (ma - mb) * (ma - mb)
+    return agg.select(
+        *groups,
+        "n",
+        F.when((F.col("n") > 0) & (den > 0), F.round(2.0 * sxy / den, round_to)).alias(
+            "ccc"
+        ),
+    )
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    item_cols: list[str],
+    group_cols: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cronbach's alpha internal-consistency coefficient per group
+    (Cronbach 1951) → group_cols + (n, k, alpha):
+
+        α = k/(k−1) · (1 − Σ_i σ²_item_i / σ²_total)
+
+    with σ²_total the variance of the per-row item SUM (population-form
+    variances) — "do these k quality sub-scores measure one underlying
+    thing?", the standard reliability check before collapsing k rubric
+    columns into a single label. α ≥ 0.7 is the conventional bar. Rows
+    with any null/NaN item are excluded (a complete k-tuple observation,
+    the cochran_q contract). NULL when n < 2 or the total variance is 0.
+
+    Plan: ONE grouped aggregate carrying 2k+2 exact moments (Σx_i, Σx_i²
+    per item, Σs, Σs² for the row sum) — no window, no second pass.
+    """
+    if len(item_cols) < 2:
+        raise ValueError(f"need >= 2 items, got {len(item_cols)}")
+    k = len(item_cols)
+    groups = list(group_cols or [])
+    cols = [F.col(c).cast("double") for c in item_cols]
+    cond = F.lit(True)
+    for c in cols:
+        cond = cond & c.isNotNull() & ~F.isnan(c)
+    total = sum(cols[1:], cols[0])
+    base = df.filter(cond).select(
+        *groups,
+        *[c.alias(f"__x{i}") for i, c in enumerate(cols)],
+        total.alias("__s"),
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i in range(k):
+        aggs.append(F.sum(f"__x{i}").alias(f"__s{i}"))
+        aggs.append(F.sum(F.col(f"__x{i}") * F.col(f"__x{i}")).alias(f"__q{i}"))
+    aggs.append(F.sum("__s").alias("__ss"))
+    aggs.append(F.sum(F.col("__s") * F.col("__s")).alias("__qq"))
+    agg = base.groupBy(*groups).agg(*aggs)
+    n = F.col("n").cast("double")
+    var_items = sum(
+        (
+            F.col(f"__q{i}") / n
+            - (F.col(f"__s{i}") / n) * (F.col(f"__s{i}") / n)
+        )
+        for i in range(k)
+    )
+    var_total = F.col("__qq") / n - (F.col("__ss") / n) * (F.col("__ss") / n)
+    return agg.select(
+        *groups,
+        "n",
+        F.lit(k).cast("long").alias("k"),
+        F.when(
+            (F.col("n") >= 2) & (var_total > 0),
+            F.round(k / (k - 1.0) * (1.0 - var_items / var_total), round_to),
+        ).alias("alpha"),
+    )
+
+
+def gwet_ac1(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+    group_cols: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Gwet's AC1 agreement coefficient for two raters per group (Gwet
+    2008) → group_cols + (n, po, pe, ac1): same (po − pe)/(1 − pe) shape
+    as ``cohens_kappa`` but with chance agreement
+
+        pe = Σ_c π_c(1 − π_c) / (C − 1),   π_c = (pA(c) + pB(c))/2
+
+    — the prevalence-robust alternative: kappa collapses toward 0 when
+    one category dominates (the "kappa paradox" on a 95%-clean corpus
+    where both raters agree 96% of the time); AC1 stays interpretable.
+    Labeling-audit practice is to report both. C = categories observed by
+    either rater in the group. NULL when pe = 1. Rows with either rating
+    null are excluded.
+
+    Plan: the cohens_kappa plan — one agreement aggregate + two
+    category-bounded marginal tables joined back; everything after the
+    first aggregate is category-sized.
+    """
+    groups = list(group_cols or [])
+    base = df.filter(
+        F.col(rater_a).isNotNull() & F.col(rater_b).isNotNull()
+    ).select(*groups, F.col(rater_a).alias("__a"), F.col(rater_b).alias("__b"))
+    n_po = base.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg((F.col("__a") == F.col("__b")).cast("double")).alias("__po"),
+    )
+    ma = base.groupBy(*groups, F.col("__a").alias("__c")).agg(
+        F.count(F.lit(1)).alias("__ca")
+    )
+    mb = base.groupBy(*groups, F.col("__b").alias("__c")).agg(
+        F.count(F.lit(1)).alias("__cb")
+    )
+    marg = ma.join(mb, [*groups, "__c"], "full").select(
+        *groups,
+        "__c",
+        F.coalesce("__ca", F.lit(0)).alias("__ca"),
+        F.coalesce("__cb", F.lit(0)).alias("__cb"),
+    )
+    pe_tab = marg.join(n_po.select(*groups, "n"), groups) if groups else (
+        marg.withColumn("__k", F.lit(1))
+        .join(F.broadcast(n_po.select("n").withColumn("__k", F.lit(1))), "__k")
+        .drop("__k")
+    )
+    nn = F.col("n").cast("double")
+    pi_c = (F.col("__ca") / nn + F.col("__cb") / nn) / 2.0
+    pe = pe_tab.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("long").alias("__ncat"),
+        F.sum(pi_c * (1.0 - pi_c)).alias("__pe_raw"),
+    )
+    j = n_po.join(pe, groups) if groups else (
+        n_po.withColumn("__k", F.lit(1))
+        .join(F.broadcast(pe.withColumn("__k", F.lit(1))), "__k")
+        .drop("__k")
+    )
+    pe_val = F.when(
+        F.col("__ncat") > 1, F.col("__pe_raw") / (F.col("__ncat") - 1.0)
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        *groups,
+        "n",
+        F.round("__po", round_to).alias("po"),
+        F.round(pe_val, round_to).alias("pe"),
+        F.when(
+            pe_val < 1.0,
+            F.round((F.col("__po") - pe_val) / (1.0 - pe_val), round_to),
+        ).alias("ac1"),
     )
