@@ -16158,6 +16158,195 @@ FROM grp CROSS JOIN ref ORDER BY grp
 """
 
 
+
+
+# r12 third sub-wave: first-answer retrieval metrics (MRR, P@k/R@k), the
+# quantile-matching normalizer, dataset-cartography training-dynamics triage.
+
+
+def q_mrr_eval(spark, sf):
+    """Mean reciprocal rank of the deterministic retrieval run
+    (operators/evalmetrics.py::mrr): queries = sources, scores = a
+    Knuth-multiplicative doc hash (odd multiplier mod 2^32 is a bijection
+    — scores are DISTINCT within any query, so the rank is engine-exact),
+    relevant = doc_id % 7 = 0. One query-partitioned rank window."""
+    from stackstac_spark.operators.evalmetrics import mrr
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("source").alias("q"),
+        ((F.col("doc_id") * 2654435761) % 4294967296).cast("double").alias("s"),
+        (F.col("doc_id") % 7 == 0).cast("int").alias("y"),
+    )
+    return mrr(docs, "q", "s", "y")
+
+
+SQL_MRR_EVAL = """
+WITH base AS (
+  SELECT source AS q,
+         CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) AS s,
+         CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+ranked AS (
+  SELECT q, y, row_number() OVER (PARTITION BY q ORDER BY s DESC) AS rk
+  FROM base
+),
+per_q AS (
+  SELECT q, min(CASE WHEN y = 1 THEN rk END) AS first_rel
+  FROM ranked GROUP BY q
+)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       round(avg(CASE WHEN first_rel IS NOT NULL
+                      THEN 1.0 / first_rel ELSE 0.0 END), 6) AS mrr
+FROM per_q
+"""
+
+
+def q_topk_retrieval(spark, sf):
+    """Precision@10 / recall@10 / hit-rate@10 of the same deterministic
+    retrieval run (operators/evalmetrics.py::topk_eval): the macro trio
+    an ANN rollout reports next to ndcg_eval and mrr_eval. One
+    query-partitioned top-k window (WindowGroupLimit)."""
+    from stackstac_spark.operators.evalmetrics import topk_eval
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("source").alias("q"),
+        ((F.col("doc_id") * 2654435761) % 4294967296).cast("double").alias("s"),
+        (F.col("doc_id") % 7 == 0).cast("int").alias("y"),
+    )
+    return topk_eval(docs, "q", "s", "y", k=10)
+
+
+SQL_TOPK_RETRIEVAL = """
+WITH base AS (
+  SELECT source AS q,
+         CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) AS s,
+         CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+totals AS (SELECT q, count(*) AS n_docs, sum(y) AS n_rel FROM base GROUP BY q),
+top AS (
+  SELECT q, sum(y) AS hits, count(*) AS kq FROM (
+    SELECT q, y, row_number() OVER (PARTITION BY q ORDER BY s DESC) AS rk
+    FROM base
+  ) WHERE rk <= 10 GROUP BY q
+)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       round(avg(hits * 1.0 / kq), 6) AS p_at_k,
+       round(avg(CASE WHEN n_rel > 0 THEN hits * 1.0 / n_rel END), 6) AS r_at_k,
+       round(avg(CASE WHEN hits > 0 THEN 1.0 ELSE 0.0 END), 6) AS hit_rate
+FROM totals JOIN top USING (q)
+"""
+
+
+def q_quantile_norm(spark, sf):
+    """Quantile-matching table of each event type's cent-floored values
+    onto the view baseline (operators/mlfit.py::quantile_match): the
+    distribution normalizer — "make crawl B's scores comparable to crawl
+    A's" — emitted as the reusable distinct-value mapping. The inverse-CDF
+    lookup is the percentile-axis merge trick (one window), never an
+    inequality join."""
+    from stackstac_spark.operators.mlfit import quantile_match
+
+    ev = _t(spark, sf, "events").select(
+        "event_type", F.floor(F.col("value") * 100).cast("double").alias("x")
+    )
+    return quantile_match(ev, "x", "event_type", "view").orderBy("group", "x")
+
+
+SQL_QUANTILE_NORM = """
+WITH vals AS (
+  SELECT event_type AS grp, CAST(floor(value * 100) AS DOUBLE) AS x
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+),
+gc AS (
+  SELECT grp, x, count(*) AS c FROM vals WHERE grp <> 'view' GROUP BY grp, x
+),
+g_cdf AS (
+  SELECT grp, x, c AS n,
+         sum(c) OVER (PARTITION BY grp ORDER BY x) * 1.0
+           / sum(c) OVER (PARTITION BY grp) AS p
+  FROM gc
+),
+rc AS (SELECT x, count(*) AS c FROM vals WHERE grp = 'view' GROUP BY x),
+r_cdf AS (
+  SELECT x AS ref_x,
+         sum(c) OVER (ORDER BY x) * 1.0 / sum(c) OVER () AS p
+  FROM rc
+),
+merged AS (
+  SELECT grp, x, n, p, CAST(NULL AS DOUBLE) AS ref_x, 0 AS is_ref FROM g_cdf
+  UNION ALL
+  SELECT g.grp, NULL, NULL, r.p, r.ref_x, 1
+  FROM r_cdf r CROSS JOIN (SELECT DISTINCT grp FROM gc) g
+),
+matched AS (
+  SELECT grp, x, n, is_ref,
+         coalesce(
+           first_value(ref_x IGNORE NULLS) OVER (
+             PARTITION BY grp ORDER BY p, is_ref
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+           last_value(ref_x IGNORE NULLS) OVER (
+             PARTITION BY grp ORDER BY p, is_ref
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ) AS x_matched
+  FROM merged
+)
+SELECT grp AS "group", x, CAST(n AS BIGINT) AS n, round(x_matched, 6) AS x_matched
+FROM matched WHERE is_ref = 0
+ORDER BY "group", x
+"""
+
+
+def q_cartography(spark, sf):
+    """Dataset-cartography region triage over a deterministic 5-epoch
+    training log (operators/mlfit.py::dataset_cartography): per-example
+    confidence/variability from a synthetic P(true) that is
+    doc-anchored with epoch jitter — easy/ambiguous/hard counts the data
+    map reports. Two keyed aggregates."""
+    from stackstac_spark.operators.mlfit import dataset_cartography
+
+    log = _t(spark, sf, "documents").select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("epoch")
+    ).select(
+        "doc_id",
+        "epoch",
+        (
+            ((F.col("doc_id") % 10) / 10.0) * 0.8
+            + ((F.col("doc_id") * 7 + F.col("epoch") * 13) % 5) / 20.0
+        ).alias("p"),
+    )
+    return dataset_cartography(log, "doc_id", "epoch", "p").orderBy("region")
+
+
+SQL_CARTOGRAPHY = """
+WITH log AS (
+  SELECT doc_id, ep.epoch,
+         ((doc_id % 10) / 10.0) * 0.8
+           + ((doc_id * 7 + ep.epoch * 13) % 5) / 20.0 AS p
+  FROM documents, (SELECT unnest(generate_series(0, 4)) AS epoch) ep
+),
+per_ex AS (
+  SELECT doc_id, count(*) AS n, avg(p) AS conf, sum(p * p) AS q
+  FROM log GROUP BY doc_id
+),
+regioned AS (
+  SELECT conf,
+         sqrt(greatest(q / n - conf * conf, 0.0)) AS var,
+         CASE WHEN conf >= 0.7 AND sqrt(greatest(q / n - conf * conf, 0.0)) < 0.2
+                   THEN 'easy_to_learn'
+              WHEN conf <= 0.3 AND sqrt(greatest(q / n - conf * conf, 0.0)) < 0.2
+                   THEN 'hard_to_learn'
+              ELSE 'ambiguous' END AS region
+  FROM per_ex
+)
+SELECT region, CAST(count(*) AS BIGINT) AS n_examples,
+       round(avg(conf), 6) AS avg_confidence,
+       round(avg(var), 6) AS avg_variability
+FROM regioned GROUP BY region ORDER BY region
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- Rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r11,
@@ -16500,6 +16689,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "grubbs_outlier": (q_grubbs_outlier, SQL_GRUBBS_OUTLIER),
     "hellinger_langmix": (q_hellinger_langmix, SQL_HELLINGER_LANGMIX),
     "rate_effect": (q_rate_effect, SQL_RATE_EFFECT),
+    "mrr_eval": (q_mrr_eval, SQL_MRR_EVAL),
+    "topk_retrieval": (q_topk_retrieval, SQL_TOPK_RETRIEVAL),
+    "quantile_norm": (q_quantile_norm, SQL_QUANTILE_NORM),
+    "cartography": (q_cartography, SQL_CARTOGRAPHY),
 }
 
 

@@ -30,6 +30,8 @@ __all__ = [
     "lin_ccc",
     "cronbach_alpha",
     "gwet_ac1",
+    "mrr",
+    "topk_eval",
 ]
 
 
@@ -1166,4 +1168,112 @@ def gwet_ac1(
             pe_val < 1.0,
             F.round((F.col("__po") - pe_val) / (1.0 - pe_val), round_to),
         ).alias("ac1"),
+    )
+
+
+def mrr(
+    df: DataFrame,
+    query_col: str,
+    score_col: str,
+    label_col: str,
+    k: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mean reciprocal rank over queries → one row (n_queries, mrr):
+    1/rank of the FIRST relevant document per query, averaged over all
+    queries (0 for a query with no relevant doc in the (optionally
+    ``k``-truncated) ranking — the trec_eval convention). THE first-answer
+    retrieval metric; nDCG grades the whole list, MRR grades "how fast do
+    I hit one good result". Ties break by document score order with a
+    deterministic fallback on the row's remaining columns being absent —
+    callers should pre-disambiguate ties if exact cross-engine replay
+    matters (the gate fixture uses distinct scores). Null/NaN scores and
+    null labels are excluded.
+
+    Plan: one QUERY-PARTITIONED rank window (row_number — partitioned by
+    construction, any corpus size) + one min-aggregate per query + one
+    global average. No unpartitioned window anywhere.
+    """
+    lab = F.col(label_col).cast("int")
+    s = F.col(score_col).cast("double")
+    base = df.filter(
+        s.isNotNull() & ~F.isnan(s) & lab.isNotNull()
+    ).select(F.col(query_col).alias("__q"), s.alias("__s"), lab.alias("__y"))
+    w = Window.partitionBy("__q").orderBy(F.desc("__s"))
+    ranked = base.withColumn("__rk", F.row_number().over(w))
+    if k is not None:
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        ranked = ranked.filter(F.col("__rk") <= k)
+    per_q = ranked.groupBy("__q").agg(
+        F.min(F.when(F.col("__y") == 1, F.col("__rk"))).alias("__first")
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("__first").isNotNull(), 1.0 / F.col("__first")
+                ).otherwise(0.0)
+            ),
+            round_to,
+        ).alias("mrr"),
+    )
+
+
+def topk_eval(
+    df: DataFrame,
+    query_col: str,
+    score_col: str,
+    label_col: str,
+    k: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Precision@k / recall@k / hit-rate@k macro-averaged over queries →
+    one row (n_queries, p_at_k, r_at_k, hit_rate): per query, take the
+    top ``k`` by score and count relevant docs among them; P@k divides by
+    min(k, candidates), R@k by the query's total relevant count (queries
+    with NO relevant docs are excluded from R@k's average but count in
+    P@k and hit_rate — the trec_eval convention), hit_rate is the share
+    of queries with ≥ 1 relevant in the top k. The retrieval trio a
+    recall-oriented ANN rollout reports next to ``ndcg_at_k``/``mrr``.
+    Null/NaN scores and null labels are excluded.
+
+    Plan: one query-partitioned top-k window (WindowGroupLimit pushes the
+    rank filter below the sort) + per-query aggregates + one global
+    average — partitioned everywhere, any corpus size.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    lab = F.col(label_col).cast("int")
+    s = F.col(score_col).cast("double")
+    base = df.filter(
+        s.isNotNull() & ~F.isnan(s) & lab.isNotNull()
+    ).select(F.col(query_col).alias("__q"), s.alias("__s"), lab.alias("__y"))
+    totals = base.groupBy("__q").agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.sum("__y").alias("__n_rel"),
+    )
+    w = Window.partitionBy("__q").orderBy(F.desc("__s"))
+    top = (
+        base.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .groupBy("__q")
+        .agg(F.sum("__y").alias("__hits"), F.count(F.lit(1)).alias("__kq"))
+    )
+    per_q = totals.join(top, "__q")
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(F.avg(F.col("__hits") / F.col("__kq")), round_to).alias("p_at_k"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("__n_rel") > 0, F.col("__hits") / F.col("__n_rel")
+                )
+            ),
+            round_to,
+        ).alias("r_at_k"),
+        F.round(
+            F.avg((F.col("__hits") > 0).cast("double")), round_to
+        ).alias("hit_rate"),
     )

@@ -34,6 +34,8 @@ __all__ = [
     "target_encode",
     "isotonic_calibrate",
     "label_noise_flags",
+    "quantile_match",
+    "dataset_cartography",
 ]
 
 
@@ -613,4 +615,192 @@ def label_noise_flags(
         # judged is not flagged: coalesce to false.
         F.coalesce(flagged, F.lit(False)).alias("flagged"),
         F.round(margin, round_to).alias("noise_margin"),
+    )
+
+
+def quantile_match(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    ref_group,
+    round_to: int = 6,
+    max_distinct: int | None = 1_000_000,
+) -> DataFrame:
+    """Quantile normalization of every non-reference group onto the
+    reference group's distribution → (group, x, n, x_matched): each
+    distinct value x of a comparison group maps to the smallest reference
+    value whose CDF reaches x's within-group CDF (the inverse-CDF /
+    quantile-matching transform, right-continuous convention) — the
+    classical cross-batch normalizer (microarray quantile normalization;
+    histogram matching) for "make crawl B's quality scores comparable to
+    crawl A's" without assuming a parametric shape. Output is the
+    distinct-value mapping TABLE (join it back to rows to transform a
+    corpus — the mapping, not the corpus, is the reusable artifact).
+    Null/NaN values are excluded.
+
+    Plan: per-(group, distinct value) counts + one cumulative window per
+    group → group CDF; reference CDF replicated to each group
+    (constant-key broadcast — the aggregated distinct table); the inverse
+    lookup is the MERGE trick, not an inequality join: union the group's
+    (p, x) points with the replicated reference (cdf, value) steps on the
+    shared percentile axis, one ordered window per group takes the first
+    reference value at or after each p — no BroadcastNestedLoopJoin, no
+    cartesian. ``max_distinct`` fail-fasts raw continuous inputs (the
+    spearman_rho contract).
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    vals = df.filter(v.isNotNull() & ~F.isnan(v)).select(
+        F.col(group_col).alias("grp"), v.alias("x")
+    )
+    grp_counts = (
+        vals.filter(F.col("grp") != ref_group)
+        .groupBy("grp", "x")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ref_counts = (
+        vals.filter(F.col("grp") == ref_group)
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    if max_distinct is not None:
+        # eager guard at construction (the spearman_rho policy)
+        worst = (
+            grp_counts.groupBy("grp").count().agg(F.max("count").alias("m")).first()["m"]
+        )
+        worst = max(worst or 0, ref_counts.count())
+        if worst > max_distinct:
+            raise ValueError(
+                f"quantile_match: a group has {worst} distinct values "
+                f"(> max_distinct={max_distinct}); pre-round/bin the values "
+                "or raise/disable the guard for discrete data."
+            )
+    wg = Window.partitionBy("grp").orderBy("x")
+    wgt = Window.partitionBy("grp")
+    g_cdf = grp_counts.select(
+        "grp",
+        "x",
+        F.col("c").alias("n"),
+        (F.sum("c").over(wg) / F.sum("c").over(wgt)).alias("p"),
+    )
+    wr = Window.orderBy("x")
+    r_cdf = ref_counts.select(
+        F.col("x").alias("ref_x"),
+        (
+            F.sum("c").over(wr.rowsBetween(Window.unboundedPreceding, 0))
+            / F.sum("c").over(Window.partitionBy())
+        ).alias("p"),
+    )
+    groups = grp_counts.select("grp").distinct()
+    r_rep = groups.withColumn("__k", F.lit(1)).join(
+        F.broadcast(r_cdf.withColumn("__k", F.lit(1))), "__k"
+    ).drop("__k")
+    # merge trick on the percentile axis: group points carry p and NULL
+    # ref_x; reference steps carry (cdf, ref_x). Ordered by (p, is_ref
+    # ASC) the group point sorts BEFORE a reference step at exactly its p,
+    # so the forward-looking window (current row included) takes that step
+    # (right-continuous inverse CDF); first non-null ref_x from here
+    # forward is the matched value.
+    merged = g_cdf.select(
+        "grp", "x", "n", "p", F.lit(None).cast("double").alias("ref_x"),
+        F.lit(0).alias("is_ref"),
+    ).unionByName(
+        r_rep.select(
+            "grp",
+            F.lit(None).cast("double").alias("x"),
+            F.lit(None).cast("long").alias("n"),
+            "p",
+            "ref_x",
+            F.lit(1).alias("is_ref"),
+        )
+    )
+    order = [F.col("p").asc(), F.col("is_ref").asc()]
+    w_fwd = (
+        Window.partitionBy("grp")
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    # fallback for a group percentile ABOVE the reference max cdf (only
+    # reachable through float round-off at p ≈ 1): the last reference
+    # step behind it is the reference max — computed BEFORE the filter so
+    # the backward window still sees reference rows
+    w_bwd = (
+        Window.partitionBy("grp")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = merged.withColumn(
+        "x_matched",
+        F.coalesce(
+            F.first("ref_x", ignorenulls=True).over(w_fwd),
+            F.last("ref_x", ignorenulls=True).over(w_bwd),
+        ),
+    ).filter(F.col("is_ref") == 0)
+    return matched.select(
+        F.col("grp").alias("group"),
+        "x",
+        F.col("n").cast("long").alias("n"),
+        F.round("x_matched", round_to).alias("x_matched"),
+    )
+
+
+def dataset_cartography(
+    df: DataFrame,
+    example_col: str,
+    epoch_col: str,
+    prob_col: str,
+    conf_hi: float = 0.7,
+    conf_lo: float = 0.3,
+    var_hi: float = 0.2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Dataset-cartography training-dynamics summary (Swayamdipta et al.
+    2020) from a (example, epoch, P(true label)) table → one row per
+    region: (region, n_examples, avg_confidence, avg_variability):
+    confidence = mean over epochs of the true-label probability,
+    variability = its population std; regions —
+
+        easy_to_learn : confidence ≥ conf_hi and variability < var_hi
+        hard_to_learn : confidence ≤ conf_lo and variability < var_hi
+        ambiguous     : everything else (the high-variability band)
+
+    — THE data-map triage for what to keep (ambiguous trains best), what
+    to re-label (hard often = label noise; cross-check with
+    ``label_noise_flags``), what to down-sample (easy). Input is the
+    per-epoch prediction log a training run already writes. Null/NaN
+    probabilities and null ids are excluded; an example needs ≥ 1 epoch.
+
+    Plan: one (example) moments aggregate + one region rollup — two keyed
+    shuffles, no window, embarrassingly scalable.
+    """
+    p = F.col(prob_col).cast("double")
+    base = df.filter(
+        p.isNotNull() & ~F.isnan(p)
+        & F.col(example_col).isNotNull() & F.col(epoch_col).isNotNull()
+    ).select(F.col(example_col).alias("__ex"), p.alias("__p"))
+    per_ex = base.groupBy("__ex").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("__p").alias("__conf"),
+        F.sum(F.col("__p") * F.col("__p")).alias("__q"),
+    )
+    var = F.col("__q") / F.col("__n") - F.col("__conf") * F.col("__conf")
+    per_ex = per_ex.withColumn(
+        "__var", F.sqrt(F.greatest(var, F.lit(0.0)))
+    ).withColumn(
+        "__region",
+        F.when(
+            (F.col("__conf") >= conf_hi) & (F.col("__var") < var_hi),
+            F.lit("easy_to_learn"),
+        )
+        .when(
+            (F.col("__conf") <= conf_lo) & (F.col("__var") < var_hi),
+            F.lit("hard_to_learn"),
+        )
+        .otherwise(F.lit("ambiguous")),
+    )
+    return per_ex.groupBy(F.col("__region").alias("region")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_examples"),
+        F.round(F.avg("__conf"), round_to).alias("avg_confidence"),
+        F.round(F.avg("__var"), round_to).alias("avg_variability"),
     )

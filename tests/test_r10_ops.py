@@ -104,6 +104,10 @@ def test_evalmetrics_all_exports():
         "roc_auc", "average_precision", "cohens_kappa", "mcnemar_test",
         "rbo_overlap", "cochran_q", "lift_deciles",
         "ndcg_at_k", "wilson_rank", "fleiss_kappa", "calibration_error",
+        # r12 wave
+        "brier_decomposition", "krippendorff_alpha",
+        # r12 second sub-wave
+        "lin_ccc", "cronbach_alpha", "gwet_ac1",
     ]
     for name in m.__all__:
         assert hasattr(m, name), name
