@@ -16347,6 +16347,214 @@ FROM regioned GROUP BY region ORDER BY region
 """
 
 
+
+
+# r12 fourth sub-wave: t-closeness (privacy triad complete), winsorized
+# mean, Simpson's-paradox screen, reciprocal-rank fusion.
+
+
+def q_t_closeness(spark, sf):
+    """t-closeness audit of (lang, length-bucket) quasi-identifier classes
+    against the corpus-wide source distribution (operators/privacy.py::
+    t_closeness_report, t=0.2): the release audit after k_anonymity and
+    l_diversity — flags classes whose sensitive mix leaks even when large
+    and diverse. QI×sensitive-bounded state only."""
+    from stackstac_spark.operators.privacy import t_closeness_report
+
+    docs = _t(spark, sf, "documents").select(
+        "lang", (F.col("n_chars") % 4).cast("int").alias("len_bucket"), "source"
+    )
+    return t_closeness_report(docs, ["lang", "len_bucket"], "source", t=0.2).orderBy(
+        "lang", "len_bucket"
+    )
+
+
+SQL_T_CLOSENESS = """
+WITH base AS (
+  SELECT lang, CAST(n_chars % 4 AS INTEGER) AS len_bucket, source AS s
+  FROM documents WHERE source IS NOT NULL
+),
+pairs AS (
+  SELECT lang, len_bucket, s, count(*) AS n FROM base GROUP BY lang, len_bucket, s
+),
+gdist AS (SELECT s, sum(n) AS gn FROM pairs GROUP BY s),
+gtot AS (SELECT sum(gn) AS gt FROM gdist),
+sizes AS (SELECT lang, len_bucket, sum(n) AS cs FROM pairs GROUP BY lang, len_bucket),
+dist AS (
+  SELECT p.lang, p.len_bucket,
+         max(z.cs) AS class_size,
+         sum(abs(p.n * 1.0 / z.cs - g.gn * 1.0 / (SELECT gt FROM gtot))) AS present,
+         sum(g.gn * 1.0 / (SELECT gt FROM gtot)) AS gpresent
+  FROM pairs p
+  JOIN sizes z ON z.lang = p.lang AND z.len_bucket = p.len_bucket
+  JOIN gdist g ON g.s = p.s
+  GROUP BY p.lang, p.len_bucket
+)
+SELECT lang, len_bucket, CAST(class_size AS BIGINT) AS class_size,
+       round((present + (1.0 - gpresent)) / 2.0, 6) AS distance,
+       (present + (1.0 - gpresent)) / 2.0 > 0.2 AS above_t
+FROM dist ORDER BY lang, len_bucket
+"""
+
+
+def q_winsorized_stats(spark, sf):
+    """Exact winsorized mean of each event type's cent-floored values
+    (operators/sketch.py::winsorized_mean, trim 0.1): trimmed_mean's
+    clamp-not-drop sibling — same rank-interval algebra, the boundary
+    order statistics come from the SAME single aggregate."""
+    from stackstac_spark.operators.sketch import winsorized_mean
+
+    ev = _t(spark, sf, "events").select(
+        "event_type", F.floor(F.col("value") * 100).cast("double").alias("x")
+    )
+    return winsorized_mean(ev, "x", ["event_type"], trim=0.1).orderBy("event_type")
+
+
+SQL_WINSORIZED_STATS = """
+WITH base AS (
+  SELECT event_type AS g, CAST(floor(value * 100) AS DOUBLE) AS v FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+),
+per AS (SELECT g, v, count(*) AS c FROM base GROUP BY g, v),
+ranked AS (
+  SELECT g, v, c,
+         sum(c) OVER (PARTITION BY g ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY g) AS n
+  FROM per
+),
+wt AS (
+  SELECT g, v, c, n, cum,
+         greatest(0, least(cum, n - floor(n * 0.1))
+                  - greatest(cum - c, floor(n * 0.1))) AS w,
+         floor(n * 0.1) AS k
+  FROM ranked
+),
+agg AS (
+  SELECT g, max(n) AS n, max(k) AS k, sum(v * w) AS s,
+         max(CASE WHEN cum - c < k + 1 AND cum >= k + 1 THEN v END) AS xlo,
+         max(CASE WHEN cum - c < n - k AND cum >= n - k THEN v END) AS xhi
+  FROM wt GROUP BY g
+)
+SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+       CAST(2 * k AS BIGINT) AS n_clamped,
+       CASE WHEN n > 0
+            THEN round((s + k * xlo + k * xhi) / n, 6) END AS winsorized_mean
+FROM agg ORDER BY g
+"""
+
+
+def q_simpson_audit(spark, sf):
+    """Simpson's-paradox screen on the click-vs-view high-value rate
+    across user-hash strata (operators/drift.py::simpson_check): does the
+    pooled "click converts better" headline survive stratification? One
+    stratum aggregate + one rollup."""
+    from stackstac_spark.operators.drift import simpson_check
+
+    ev = _t(spark, sf, "events").select(
+        "event_type",
+        (F.col("user_id") % 4).cast("int").alias("stratum"),
+        (F.col("value") > 500).cast("double").alias("y"),
+    )
+    return simpson_check(ev, "y", "event_type", "click", "view", "stratum")
+
+
+SQL_SIMPSON_AUDIT = """
+WITH base AS (
+  SELECT CAST(user_id % 4 AS INTEGER) AS st,
+         event_type = 'click' AS is_a,
+         CAST(CASE WHEN value > 500 THEN 1 ELSE 0 END AS DOUBLE) AS y
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+        AND event_type IN ('click', 'view') AND user_id IS NOT NULL
+),
+per AS (
+  SELECT st,
+         sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN is_a THEN y ELSE 0 END) AS sa,
+         sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS nb,
+         sum(CASE WHEN is_a THEN 0 ELSE y END) AS sb
+  FROM base GROUP BY st
+),
+agg AS (
+  SELECT sum(na + nb) AS n, count(*) AS n_strata,
+         sum(na) AS tna, sum(sa) AS tsa, sum(nb) AS tnb, sum(sb) AS tsb,
+         sum(CASE WHEN na > 0 AND nb > 0
+                  THEN (sa / na - sb / nb) * (na + nb) END) AS wd,
+         sum(CASE WHEN na > 0 AND nb > 0 THEN na + nb END) AS w,
+         sum(CASE WHEN na > 0 AND nb > 0 AND sa / na - sb / nb > 0
+                  THEN 1 ELSE 0 END) AS npos,
+         sum(CASE WHEN na > 0 AND nb > 0 AND sa / na - sb / nb < 0
+                  THEN 1 ELSE 0 END) AS nneg
+  FROM per
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(n_strata AS BIGINT) AS n_strata,
+       round(tsa / tna - tsb / tnb, 6) AS pooled_diff,
+       round(wd / w, 6) AS strata_diff,
+       CAST(CASE WHEN tsa / tna - tsb / tnb > 0 THEN nneg
+                 WHEN tsa / tna - tsb / tnb < 0 THEN npos
+                 ELSE 0 END AS BIGINT) AS n_flipped,
+       (tsa / tna - tsb / tnb) * (wd / w) < 0 AS reversed
+FROM agg
+"""
+
+
+def q_rrf_hybrid(spark, sf):
+    """Reciprocal-rank fusion of the two deterministic retrieval runs per
+    language (operators/similarity.py::rrf_fuse, k=60, top 10): the
+    zero-training hybrid-search combiner (BM25 + ANN in practice; two
+    hash-ranked runs here). Query-partitioned windows only."""
+    from stackstac_spark.operators.similarity import rrf_fuse
+
+    docs = _t(spark, sf, "documents")
+    run_a = docs.select(
+        F.col("lang").alias("query_id"),
+        "doc_id",
+        ((F.col("doc_id") * 2654435761) % 4294967296).cast("double").alias("score"),
+    )
+    run_b = docs.select(
+        F.col("lang").alias("query_id"),
+        "doc_id",
+        ((F.col("doc_id") * 2246822519) % 4294967296).cast("double").alias("score"),
+    )
+    return rrf_fuse([run_a, run_b], k=60, top_n=10).orderBy("query_id", "fused_rank")
+
+
+SQL_RRF_HYBRID = """
+WITH ra AS (
+  SELECT lang AS q, doc_id AS d,
+         row_number() OVER (PARTITION BY lang
+             ORDER BY CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) DESC,
+                      doc_id) AS rk
+  FROM documents
+),
+rb AS (
+  SELECT lang AS q, doc_id AS d,
+         row_number() OVER (PARTITION BY lang
+             ORDER BY CAST((doc_id * 2246822519) % 4294967296 AS DOUBLE) DESC,
+                      doc_id) AS rk
+  FROM documents
+),
+contrib AS (
+  SELECT q, d, 1.0 / (60 + rk) AS c FROM ra
+  UNION ALL
+  SELECT q, d, 1.0 / (60 + rk) AS c FROM rb
+),
+fused AS (
+  SELECT q, d, CAST(count(*) AS BIGINT) AS n_runs, sum(c) AS rrf
+  FROM contrib GROUP BY q, d
+),
+top AS (
+  SELECT q, d, n_runs, rrf,
+         row_number() OVER (PARTITION BY q ORDER BY rrf DESC, d) AS fr
+  FROM fused
+)
+SELECT q AS query_id, d AS doc_id, n_runs,
+       round(rrf, 6) AS rrf_score, CAST(fr AS INTEGER) AS fused_rank
+FROM top WHERE fr <= 10 ORDER BY query_id, fused_rank
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- Rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r11,
@@ -16693,6 +16901,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "topk_retrieval": (q_topk_retrieval, SQL_TOPK_RETRIEVAL),
     "quantile_norm": (q_quantile_norm, SQL_QUANTILE_NORM),
     "cartography": (q_cartography, SQL_CARTOGRAPHY),
+    "t_closeness": (q_t_closeness, SQL_T_CLOSENESS),
+    "winsorized_stats": (q_winsorized_stats, SQL_WINSORIZED_STATS),
+    "simpson_audit": (q_simpson_audit, SQL_SIMPSON_AUDIT),
+    "rrf_hybrid": (q_rrf_hybrid, SQL_RRF_HYBRID),
 }
 
 

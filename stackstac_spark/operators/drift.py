@@ -33,6 +33,7 @@ __all__ = [
     "grubbs_stat",
     "hellinger_tv",
     "cohens_h",
+    "simpson_check",
 ]
 
 
@@ -1154,4 +1155,84 @@ def cohens_h(
         F.when(
             (F.col("n_ref") > 0) & (F.col("n_grp") > 0), F.round(h, round_to)
         ).alias("h"),
+    )
+
+
+def simpson_check(
+    df: DataFrame,
+    outcome_col: str,
+    side_col: str,
+    side_a,
+    side_b,
+    stratum_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Simpson's-paradox screen for a binary outcome rate compared between
+    two sides across strata → one row (n, n_strata, pooled_diff,
+    strata_diff, n_flipped, reversed): pooled_diff = rate_A − rate_B over
+    everything; strata_diff = the size-weighted average of the
+    per-stratum rate differences (strata missing either side are
+    excluded from it, counted in n only); n_flipped = strata whose
+    difference opposes the pooled sign; ``reversed`` = the pooled and
+    stratified conclusions DISAGREE in sign — the aggregation artifact
+    every A/B readout and "crawl B is cleaner" comparison must be
+    screened for before shipping the headline number (the stratified
+    estimate is a crude direct-standardization adjustment; a flag here
+    means the mix, not the treatment, drives the pooled difference).
+    Null outcomes/strata and other sides are excluded.
+
+    Plan: one (stratum) conditional aggregate + one scalar rollup over
+    the strata table — two keyed shuffles, stratum-bounded state, no
+    window.
+    """
+    y = F.col(outcome_col).cast("double")
+    base = df.filter(
+        y.isNotNull()
+        & ~F.isnan(y)
+        & F.col(side_col).isin([side_a, side_b])
+        & F.col(stratum_col).isNotNull()
+    ).select(
+        F.col(stratum_col).alias("__st"),
+        (F.col(side_col) == F.lit(side_a)).alias("__is_a"),
+        y.alias("__y"),
+    )
+    per = base.groupBy("__st").agg(
+        F.sum(F.when(F.col("__is_a"), 1).otherwise(0)).alias("__na"),
+        F.sum(F.when(F.col("__is_a"), F.col("__y")).otherwise(0.0)).alias("__sa"),
+        F.sum(F.when(~F.col("__is_a"), 1).otherwise(0)).alias("__nb"),
+        F.sum(F.when(~F.col("__is_a"), F.col("__y")).otherwise(0.0)).alias("__sb"),
+    )
+    both = (F.col("__na") > 0) & (F.col("__nb") > 0)
+    # try_divide, not a CASE guard: whole-stage codegen can evaluate a
+    # branch's subexpressions before the branch test, and under ANSI a
+    # one-sided stratum's 0-denominator then throws even inside when()
+    diff = F.try_divide("__sa", "__na") - F.try_divide("__sb", "__nb")
+    wt = F.col("__na") + F.col("__nb")
+    agg = per.agg(
+        F.sum(F.col("__na") + F.col("__nb")).cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum("__na").alias("__NA"),
+        F.sum("__sa").alias("__SA"),
+        F.sum("__nb").alias("__NB"),
+        F.sum("__sb").alias("__SB"),
+        F.sum(F.when(both, diff * wt)).alias("__wd"),
+        F.sum(F.when(both, wt)).alias("__w"),
+        F.sum(F.when(both, F.lit(1)).otherwise(F.lit(0))).cast("long").alias("__nboth"),
+        # sign counts against the pooled direction are resolved below;
+        # carry the per-stratum signed diffs as conditional counts
+        F.sum(F.when(both & (diff > 0), 1).otherwise(0)).cast("long").alias("__npos"),
+        F.sum(F.when(both & (diff < 0), 1).otherwise(0)).cast("long").alias("__nneg"),
+    )
+    pooled = F.try_divide("__SA", "__NA") - F.try_divide("__SB", "__NB")
+    strat = F.try_divide("__wd", "__w")
+    n_flipped = F.when(pooled > 0, F.col("__nneg")).when(
+        pooled < 0, F.col("__npos")
+    ).otherwise(F.lit(0))
+    return agg.select(
+        "n",
+        "n_strata",
+        F.round(pooled, round_to).alias("pooled_diff"),
+        F.round(strat, round_to).alias("strata_diff"),
+        n_flipped.cast("long").alias("n_flipped"),
+        (pooled * strat < 0).alias("reversed"),
     )

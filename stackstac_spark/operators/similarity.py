@@ -1577,3 +1577,70 @@ def silhouette_centroid(
             F.when(F.col("b").isNotNull(), F.lit(0.0))
         ).alias("s"),
     )
+
+
+def rrf_fuse(
+    runs: list[DataFrame],
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    score_col: str = "score",
+    k: int = 60,
+    top_n: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N retrieval runs (Cormack, Clarke &
+    Büttcher 2009) → per query the fused top-``top_n``:
+    (query, doc, n_runs, rrf_score, fused_rank) with
+
+        RRF(d) = Σ_runs 1 / (k + rank_run(d))
+
+    (k = 60, the paper's constant) — THE standard zero-training way to
+    combine a BM25 run with an ANN run (hybrid search), or several ANN
+    configs, into one ranking; rank-based, so wildly different score
+    scales fuse without calibration. A doc absent from a run contributes
+    nothing for that run (the standard convention). Ties in the fused
+    score break by doc id for determinism. Null/NaN scores are excluded
+    from a run's ranking.
+
+    Plan: one query-partitioned rank window PER RUN (row_number with a
+    doc-id tiebreak — deterministic), a union + one (query, doc)
+    aggregate, one query-partitioned top-n window (WindowGroupLimit).
+    Everything is query-partitioned — any corpus size.
+    """
+    if not runs:
+        raise ValueError("need at least one run")
+    if k < 1 or top_n < 1:
+        raise ValueError(f"k and top_n must be >= 1, got k={k}, top_n={top_n}")
+    ranked = []
+    for run in runs:
+        s = F.col(score_col).cast("double")
+        w = Window.partitionBy("__q").orderBy(F.desc("__s"), F.asc("__d"))
+        ranked.append(
+            run.filter(s.isNotNull() & ~F.isnan(s))
+            .select(
+                F.col(query_col).alias("__q"),
+                F.col(doc_col).alias("__d"),
+                s.alias("__s"),
+            )
+            .withColumn("__rk", F.row_number().over(w))
+            .select("__q", "__d", (1.0 / (F.lit(k) + F.col("__rk"))).alias("__c"))
+        )
+    allruns = ranked[0]
+    for r in ranked[1:]:
+        allruns = allruns.unionByName(r)
+    fused = allruns.groupBy("__q", "__d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+        F.sum("__c").alias("__rrf"),
+    )
+    wf = Window.partitionBy("__q").orderBy(F.desc("__rrf"), F.asc("__d"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf))
+        .filter(F.col("fused_rank") <= top_n)
+        .select(
+            F.col("__q").alias(query_col),
+            F.col("__d").alias(doc_col),
+            "n_runs",
+            F.round("__rrf", round_to).alias("rrf_score"),
+            "fused_rank",
+        )
+    )

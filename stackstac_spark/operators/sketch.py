@@ -618,3 +618,94 @@ def trimmed_mean(
             F.round(F.col("__s") / F.col("__kept"), round_to),
         ).alias("trimmed_mean"),
     )
+
+
+def winsorized_mean(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    trim: float = 0.1,
+    round_to: int = 6,
+    max_distinct: int | None = 1_000_000,
+) -> DataFrame:
+    """EXACT winsorized mean per group → group_cols + (n, n_clamped,
+    winsorized_mean): CLAMP (don't drop) the lowest and highest ⌊trim·n⌋
+    observations to the nearest kept order statistics x_(k+1) / x_(n−k),
+    then average all n — ``trimmed_mean``'s sibling that keeps the sample
+    size (the estimator behind winsorized variance and robust z-scores;
+    preferred when downstream wants a mean over exactly n observations).
+
+    Same no-global-sort plan as trimmed_mean: distinct-value rank
+    intervals from one in-group cumulative window; the interior
+    contribution is the interval overlap with the kept band, and the two
+    boundary order statistics come from the SAME aggregate via
+    interval-containment conditionals — one window + one agg, no second
+    pass. ``max_distinct`` fail-fasts raw continuous inputs. Null/NaN
+    excluded. NULL when clamping covers everything (n ≤ 2k would leave
+    an empty interior only when n = 0; k < n/2 always holds for
+    trim < 0.5).
+    """
+    if not 0.0 <= trim < 0.5:
+        raise ValueError(f"trim must be in [0, 0.5), got {trim}")
+    v = F.col(value_col).cast("double")
+    groups = list(group_cols or [])
+    base = df.filter(v.isNotNull() & ~F.isnan(v)).select(
+        *groups, v.alias("__v")
+    )
+    per = base.groupBy(*groups, "__v").agg(F.count(F.lit(1)).alias("__c"))
+    if max_distinct is not None:
+        worst = (
+            per.groupBy(*groups)
+            .count()
+            .agg(F.max("count").alias("m"))
+            .first()["m"]
+        )
+        if worst is not None and worst > max_distinct:
+            raise ValueError(
+                f"winsorized_mean: a group has {worst} distinct values "
+                f"(> max_distinct={max_distinct}); pre-round/bin the input "
+                "or raise/disable the guard."
+            )
+    w = (
+        Window.partitionBy(*groups)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+        if groups
+        else Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy(*groups) if groups else Window.partitionBy()
+    ranked = per.select(
+        *groups,
+        "__v",
+        "__c",
+        F.sum("__c").over(w).alias("__cum"),
+        F.sum("__c").over(wn).alias("__n"),
+    )
+    k = F.floor(F.col("__n") * trim)
+    lo, hi = k, F.col("__n") - k  # kept ranks are (lo, hi]
+    prev = F.col("__cum") - F.col("__c")
+    interior_wt = F.greatest(
+        F.lit(0), F.least(F.col("__cum"), hi) - F.greatest(prev, lo)
+    )
+    contains = lambda r: (prev < r) & (F.col("__cum") >= r)  # noqa: E731
+    agg = ranked.groupBy(*groups).agg(
+        F.max("__n").cast("long").alias("n"),
+        F.max(k).cast("long").alias("__k"),
+        F.sum(F.col("__v") * interior_wt).alias("__s"),
+        # boundary order statistics x_(k+1) and x_(n-k) via containment
+        F.max(F.when(contains(lo + 1), F.col("__v"))).alias("__xlo"),
+        F.max(F.when(contains(hi), F.col("__v"))).alias("__xhi"),
+    )
+    total = (
+        F.col("__s")
+        + F.col("__k") * F.col("__xlo")
+        + F.col("__k") * F.col("__xhi")
+    )
+    return agg.select(
+        *groups,
+        "n",
+        (2 * F.col("__k")).cast("long").alias("n_clamped"),
+        F.when(
+            F.col("n") > 0, F.round(total / F.col("n"), round_to)
+        ).alias("winsorized_mean"),
+    )
