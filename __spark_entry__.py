@@ -16555,6 +16555,151 @@ FROM top WHERE fr <= 10 ORDER BY query_id, fused_rank
 """
 
 
+
+
+# r12 fifth sub-wave: Welch's t, Brown-Forsythe homogeneity, Dunn post-hoc.
+
+
+def q_welch_means(spark, sf):
+    """Welch's unequal-variance t of click-vs-view cent-floored values per
+    user-hash stratum (operators/nonparam.py::welch_ttest): the parametric
+    mean-shift readout beside cliffs_delta. One conditional-moments
+    aggregate."""
+    from stackstac_spark.operators.nonparam import welch_ttest
+
+    ev = _t(spark, sf, "events").select(
+        (F.col("user_id") % 3).cast("int").alias("stratum"),
+        "event_type",
+        F.floor(F.col("value") * 100).cast("double").alias("x"),
+    )
+    return welch_ttest(ev, "x", "event_type", "click", "view", ["stratum"]).orderBy(
+        "stratum"
+    )
+
+
+SQL_WELCH_MEANS = """
+WITH base AS (
+  SELECT CAST(user_id % 3 AS INTEGER) AS stratum,
+         event_type = 'click' AS is_a,
+         CAST(floor(value * 100) AS DOUBLE) AS x
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+        AND event_type IN ('click', 'view') AND user_id IS NOT NULL
+),
+agg AS (
+  SELECT stratum,
+         sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN is_a THEN x ELSE 0 END) AS sa,
+         sum(CASE WHEN is_a THEN x * x ELSE 0 END) AS qa,
+         sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS nb,
+         sum(CASE WHEN is_a THEN 0 ELSE x END) AS sb,
+         sum(CASE WHEN is_a THEN 0 ELSE x * x END) AS qb
+  FROM base GROUP BY stratum
+),
+m AS (
+  SELECT stratum, na, nb, sa / na AS ma, sb / nb AS mb,
+         greatest((qa - na * (sa / na) * (sa / na)) / (na - 1.0), 0.0) AS va,
+         greatest((qb - nb * (sb / nb) * (sb / nb)) / (nb - 1.0), 0.0) AS vb
+  FROM agg WHERE na >= 1 AND nb >= 1
+)
+SELECT stratum, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+       CASE WHEN na >= 2 AND nb >= 2 AND va / na + vb / nb > 0
+            THEN round((ma - mb) / sqrt(va / na + vb / nb), 6) END AS t_stat,
+       CASE WHEN na >= 2 AND nb >= 2 AND va / na + vb / nb > 0
+            THEN round((va / na + vb / nb) * (va / na + vb / nb)
+                       / ((va / na) * (va / na) / (na - 1.0)
+                          + (vb / nb) * (vb / nb) / (nb - 1.0)), 6)
+       END AS dof
+FROM m ORDER BY stratum
+"""
+
+
+def q_levene_spread(spark, sf):
+    """Brown-Forsythe spread-homogeneity test across the five event types
+    (operators/nonparam.py::levene_bf): "are the segments' VARIANCES
+    equal?" — the gate anova_f's equal-variance assumption needs. Exact
+    per-treatment medians from distinct-value rank intervals."""
+    from stackstac_spark.operators.nonparam import levene_bf
+
+    ev = _t(spark, sf, "events").select(
+        "event_type", F.floor(F.col("value") * 100).cast("double").alias("x")
+    )
+    return levene_bf(ev, "x", "event_type")
+
+
+SQL_LEVENE_SPREAD = """
+WITH base AS (
+  SELECT event_type AS j, CAST(floor(value * 100) AS DOUBLE) AS x
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value) AND event_type IS NOT NULL
+),
+med AS (SELECT j, median(x) AS m FROM base GROUP BY j),
+z AS (
+  SELECT base.j, abs(base.x - med.m) AS z
+  FROM base JOIN med ON med.j = base.j
+),
+per_j AS (
+  SELECT j, count(*) AS nj, sum(z) AS sj, sum(z * z) AS qj FROM z GROUP BY j
+),
+agg AS (
+  SELECT count(*) AS k, sum(nj) AS n, sum(sj) AS s, sum(qj) AS q,
+         sum(sj * sj / nj) AS sbar
+  FROM per_j
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+       CASE WHEN k >= 2 AND n > k AND q - sbar > 0
+            THEN round((n - k) / (k - 1.0) * (sbar - s * s / n)
+                       / (q - sbar), 6) END AS w_stat
+FROM agg
+"""
+
+
+def q_dunn_pairs(spark, sf):
+    """Dunn's tie-corrected post-hoc pairwise rank z between the five
+    event types (operators/nonparam.py::dunn_posthoc): WHICH segments
+    differ, once kruskal_wallis rejects — 10 pair rows from k-row summary
+    self-join (never pairs of rows)."""
+    from stackstac_spark.operators.nonparam import dunn_posthoc
+
+    ev = _t(spark, sf, "events").select(
+        "event_type", F.floor(F.col("value") * 100).cast("double").alias("x")
+    )
+    return dunn_posthoc(ev, "x", "event_type")
+
+
+SQL_DUNN_PAIRS = """
+WITH base AS (
+  SELECT event_type AS j, CAST(floor(value * 100) AS DOUBLE) AS x
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value) AND event_type IS NOT NULL
+),
+pa AS (SELECT x, count(*) AS c FROM base GROUP BY x),
+ra AS (
+  SELECT x,
+         coalesce(sum(c) OVER (ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (c + 1) / 2.0 AS rk
+  FROM pa
+),
+per_j AS (
+  SELECT b.j, count(*) AS nj, avg(ra.rk) AS rbar
+  FROM base b JOIN ra ON ra.x = b.x GROUP BY b.j
+),
+gl AS (SELECT sum(c) AS N, sum(c * c * c - c) AS tie FROM pa)
+SELECT a.j AS treat_a, b.j AS treat_b,
+       CAST(a.nj AS BIGINT) AS n_a, CAST(b.nj AS BIGINT) AS n_b,
+       round(a.rbar, 6) AS mean_rank_a, round(b.rbar, 6) AS mean_rank_b,
+       CASE WHEN (N * (N + 1) / 12.0 - tie / (12.0 * (N - 1)))
+                 * (1.0 / a.nj + 1.0 / b.nj) > 0
+            THEN round((a.rbar - b.rbar)
+                       / sqrt((N * (N + 1) / 12.0 - tie / (12.0 * (N - 1)))
+                              * (1.0 / a.nj + 1.0 / b.nj)), 6) END AS z
+FROM per_j a JOIN per_j b ON a.j < b.j CROSS JOIN gl
+ORDER BY treat_a, treat_b
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- Rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r11,
@@ -16905,6 +17050,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "winsorized_stats": (q_winsorized_stats, SQL_WINSORIZED_STATS),
     "simpson_audit": (q_simpson_audit, SQL_SIMPSON_AUDIT),
     "rrf_hybrid": (q_rrf_hybrid, SQL_RRF_HYBRID),
+    "welch_means": (q_welch_means, SQL_WELCH_MEANS),
+    "levene_spread": (q_levene_spread, SQL_LEVENE_SPREAD),
+    "dunn_pairs": (q_dunn_pairs, SQL_DUNN_PAIRS),
 }
 
 

@@ -28,6 +28,9 @@ __all__ = [
     "wilcoxon_signed_rank",
     "cliffs_delta",
     "somers_d",
+    "welch_ttest",
+    "levene_bf",
+    "dunn_posthoc",
 ]
 
 
@@ -486,3 +489,250 @@ def somers_d(
             F.round((F.col("concordant") - F.col("discordant")) / denom, round_to),
         ).alias("d_yx"),
     )
+
+
+def welch_ttest(
+    df: DataFrame,
+    value_col: str,
+    side_col: str,
+    side_a,
+    side_b,
+    group_cols: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test per group (Welch 1947 —
+    the default two-sample t; the pooled-variance Student form is only
+    safe when variances match) → group_cols + (n_a, n_b, mean_a, mean_b,
+    t_stat, dof):
+
+        t = (x̄_a − x̄_b) / sqrt(s²_a/n_a + s²_b/n_b),
+        ν = (s²_a/n_a + s²_b/n_b)² / [ (s²_a/n_a)²/(n_a−1) + (s²_b/n_b)²/(n_b−1) ]
+
+    with SAMPLE (n−1) variances — the parametric mean-shift companion to
+    ``mann_whitney_u``/``cliffs_delta``; report them together. NULL
+    t/dof when either side has n < 2 or both variances are 0. Rows whose
+    side is neither ``side_a`` nor ``side_b``, and null/NaN values, are
+    excluded.
+
+    Plan: ONE grouped conditional-moments aggregate — no window, no join,
+    one corpus scan.
+    """
+    groups = list(group_cols or [])
+    v = F.col(value_col).cast("double")
+    base = df.filter(
+        v.isNotNull() & ~F.isnan(v) & F.col(side_col).isin([side_a, side_b])
+    ).select(
+        *groups,
+        (F.col(side_col) == F.lit(side_a)).alias("__is_a"),
+        v.alias("__x"),
+    )
+    a = F.col("__is_a")
+    agg = base.groupBy(*groups).agg(
+        F.sum(F.when(a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(a, F.col("__x")).otherwise(0.0)).alias("__sa"),
+        F.sum(F.when(a, F.col("__x") * F.col("__x")).otherwise(0.0)).alias("__qa"),
+        F.sum(F.when(~a, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(~a, F.col("__x")).otherwise(0.0)).alias("__sb"),
+        F.sum(F.when(~a, F.col("__x") * F.col("__x")).otherwise(0.0)).alias("__qb"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    ma = F.try_divide("__sa", na)
+    mb = F.try_divide("__sb", nb)
+    va = F.try_divide(F.col("__qa") - na * ma * ma, na - 1.0)
+    vb = F.try_divide(F.col("__qb") - nb * mb * mb, nb - 1.0)
+    va = F.greatest(va, F.lit(0.0))
+    vb = F.greatest(vb, F.lit(0.0))
+    se2 = F.try_divide(va, na) + F.try_divide(vb, nb)
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (se2 > 0)
+    t = (ma - mb) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        F.try_divide(F.try_divide(va, na) * F.try_divide(va, na), na - 1.0)
+        + F.try_divide(F.try_divide(vb, nb) * F.try_divide(vb, nb), nb - 1.0)
+    )
+    return agg.select(
+        *groups,
+        "n_a",
+        "n_b",
+        F.round(ma, round_to).alias("mean_a"),
+        F.round(mb, round_to).alias("mean_b"),
+        F.when(ok, F.round(t, round_to)).alias("t_stat"),
+        F.when(ok, F.round(dof, round_to)).alias("dof"),
+    )
+
+
+def levene_bf(
+    df: DataFrame,
+    value_col: str,
+    treatment_col: str,
+    group_cols: list[str] | None = None,
+    round_to: int = 6,
+    max_distinct: int | None = 1_000_000,
+) -> DataFrame:
+    """Brown-Forsythe test of variance homogeneity per group (Levene 1960
+    with Brown & Forsythe 1974's MEDIAN centering — scipy's
+    ``levene(center='median')``, the robust default) → group_cols +
+    (k, n, w_stat): one-way ANOVA F computed on the absolute deviations
+    z = |x − median_treatment|,
+
+        W = (N−k)/(k−1) · Σ_j n_j(z̄_j − z̄)² / Σ_ij (z_ij − z̄_j)²
+
+    — the "are these segments' SPREADS equal?" gate to run before
+    trusting ``anova_f`` (which assumes them equal). W ~ F(k−1, N−k)
+    under H0. NULL when k < 2 or all deviations are identical. Null/NaN
+    values and null treatments excluded.
+
+    Plan: exact interpolated per-treatment medians from distinct-value
+    rank intervals (one in-treatment cumulative window over the distinct
+    table, ``max_distinct`` fail-fast), medians joined back (aggregated,
+    treatment-sized, broadcastable), then ONE moments aggregate on the
+    deviations — the anova_f algebra.
+    """
+    groups = list(group_cols or [])
+    v = F.col(value_col).cast("double")
+    base = df.filter(
+        v.isNotNull() & ~F.isnan(v) & F.col(treatment_col).isNotNull()
+    ).select(*groups, F.col(treatment_col).alias("__j"), v.alias("__x"))
+    keys = [*groups, "__j"]
+    per = base.groupBy(*keys, "__x").agg(F.count(F.lit(1)).alias("__c"))
+    if max_distinct is not None:
+        worst = (
+            per.groupBy(*keys).count().agg(F.max("count").alias("m")).first()["m"]
+        )
+        if worst is not None and worst > max_distinct:
+            raise ValueError(
+                f"levene_bf: a treatment has {worst} distinct values "
+                f"(> max_distinct={max_distinct}); pre-round/bin the input "
+                "or raise/disable the guard."
+            )
+    w = Window.partitionBy(*keys).orderBy("__x").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy(*keys)
+    ranked = per.select(
+        *keys,
+        "__x",
+        "__c",
+        F.sum("__c").over(w).alias("__cum"),
+        F.sum("__c").over(wn).alias("__n"),
+    )
+    prev = F.col("__cum") - F.col("__c")
+    contains = lambda r: (prev < r) & (F.col("__cum") >= r)  # noqa: E731
+    lo_r = F.floor((F.col("__n") + 1) / 2)
+    hi_r = F.floor(F.col("__n") / 2) + 1
+    med = ranked.groupBy(*keys).agg(
+        (
+            (
+                F.max(F.when(contains(lo_r), F.col("__x")))
+                + F.max(F.when(contains(hi_r), F.col("__x")))
+            )
+            / 2.0
+        ).alias("__med")
+    )
+    z = base.join(F.broadcast(med), keys).select(
+        *groups, "__j", F.abs(F.col("__x") - F.col("__med")).alias("__z")
+    )
+    per_j = z.groupBy(*groups, "__j").agg(
+        F.count(F.lit(1)).alias("__nj"),
+        F.sum("__z").alias("__sj"),
+        F.sum(F.col("__z") * F.col("__z")).alias("__qj"),
+    )
+    agg = per_j.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("__nj").cast("long").alias("n"),
+        F.sum("__sj").alias("__s"),
+        F.sum("__qj").alias("__q"),
+        F.sum(F.col("__sj") * F.col("__sj") / F.col("__nj")).alias("__sbar"),
+    )
+    n = F.col("n").cast("double")
+    k = F.col("k").cast("double")
+    ssb = F.col("__sbar") - F.col("__s") * F.col("__s") / n
+    ssw = F.col("__q") - F.col("__sbar")
+    ok = (F.col("k") >= 2) & (F.col("n") > F.col("k")) & (ssw > 0)
+    return agg.select(
+        *groups,
+        "k",
+        "n",
+        F.when(
+            ok, F.round((n - k) / (k - 1.0) * ssb / ssw, round_to)
+        ).alias("w_stat"),
+    )
+
+
+def dunn_posthoc(
+    df: DataFrame,
+    value_col: str,
+    treatment_col: str,
+    round_to: int = 6,
+    max_distinct: int | None = 1_000_000,
+) -> DataFrame:
+    """Dunn's post-hoc pairwise rank test after Kruskal-Wallis (Dunn
+    1964, tie-corrected) → one row per unordered treatment pair (a < b by
+    name): (treat_a, treat_b, n_a, n_b, mean_rank_a, mean_rank_b, z):
+
+        z = (R̄_a − R̄_b) / sqrt( (N(N+1)/12 − Σ(t³−t)/(12(N−1))) · (1/n_a + 1/n_b) )
+
+    over the COMBINED tie-averaged ranking — "WHICH segments differ?"
+    once ``kruskal_wallis`` rejects. The z's are the caller's to correct
+    (``drift.bh_fdr`` composes directly on a (pair, p) table; emitting
+    raw z keeps the operator engine-replayable — Spark has no normal
+    CDF built-in). NULL z when the variance term is 0 (all values tied).
+
+    Plan: the kruskal rank machinery (distinct-value window +
+    ``max_distinct`` fail-fast) + one per-treatment aggregate + a
+    treatment×treatment self-join on the AGGREGATED k-row table — pairs
+    of summaries, never pairs of rows.
+    """
+    v = F.col(value_col).cast("double")
+    base = df.filter(
+        v.isNotNull() & ~F.isnan(v) & F.col(treatment_col).isNotNull()
+    ).select(F.col(treatment_col).alias("__j"), v.alias("__x"))
+    _guard_distinct(base, [], "__x", max_distinct, "dunn_posthoc")
+    ranked = base.join(_avg_rank_table(base, [], "__x", "__rk"), ["__x"])
+    per_j = ranked.groupBy("__j").agg(
+        F.count(F.lit(1)).cast("long").alias("__nj"),
+        F.avg("__rk").alias("__rbar"),
+    )
+    ties = (
+        base.groupBy("__x")
+        .agg(F.count(F.lit(1)).alias("__t"))
+        .agg(
+            F.sum(F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")).alias(
+                "__tie"
+            ),
+            F.sum("__t").alias("__N"),
+        )
+    )
+    a = per_j.select(
+        F.col("__j").alias("treat_a"),
+        F.col("__nj").alias("n_a"),
+        F.col("__rbar").alias("__ra"),
+    )
+    b = per_j.select(
+        F.col("__j").alias("treat_b"),
+        F.col("__nj").alias("n_b"),
+        F.col("__rbar").alias("__rb"),
+    )
+    pairs = (
+        a.withColumn("__k", F.lit(1))
+        .join(F.broadcast(b.withColumn("__k", F.lit(1))), "__k")
+        .filter(F.col("treat_a") < F.col("treat_b"))
+        .join(F.broadcast(ties.withColumn("__k", F.lit(1))), "__k")
+        .drop("__k")
+    )
+    N = F.col("__N").cast("double")
+    var_term = (N * (N + 1) / 12.0 - F.col("__tie") / (12.0 * (N - 1))) * (
+        1.0 / F.col("n_a") + 1.0 / F.col("n_b")
+    )
+    return pairs.select(
+        "treat_a",
+        "treat_b",
+        "n_a",
+        "n_b",
+        F.round("__ra", round_to).alias("mean_rank_a"),
+        F.round("__rb", round_to).alias("mean_rank_b"),
+        F.when(
+            var_term > 0,
+            F.round((F.col("__ra") - F.col("__rb")) / F.sqrt(var_term), round_to),
+        ).alias("z"),
+    ).orderBy("treat_a", "treat_b")
