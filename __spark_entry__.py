@@ -16700,6 +16700,147 @@ ORDER BY treat_a, treat_b
 """
 
 
+
+
+# r12 sixth sub-wave: classifier-eval basics — confusion report with MCC,
+# log-loss, Youden-J threshold selection.
+
+
+def q_classifier_eval(spark, sf):
+    """Binary confusion report of the thresholded deterministic quality
+    classifier per source (operators/evalmetrics.py::classifier_report):
+    P/R/F1, balanced accuracy and MCC — the imbalance-honest basics next
+    to roc_auc. One conditional aggregate."""
+    from stackstac_spark.operators.evalmetrics import classifier_report
+
+    score = ((F.col("doc_id") * 37) % 197) / 197.0 + F.when(
+        F.col("doc_id") % 3 == 0, 0.15
+    ).otherwise(0.0)
+    docs = _t(spark, sf, "documents").select(
+        "source",
+        (score >= 0.6).cast("int").alias("pred"),
+        (F.col("doc_id") % 3 == 0).cast("int").alias("label"),
+    )
+    return classifier_report(docs, "pred", "label", ["source"]).orderBy("source")
+
+
+SQL_CLASSIFIER_EVAL = """
+WITH base AS (
+  SELECT source,
+         CASE WHEN ((doc_id * 37) % 197) / 197.0
+                   + CASE WHEN doc_id % 3 = 0 THEN 0.15 ELSE 0.0 END >= 0.6
+              THEN 1 ELSE 0 END AS p,
+         CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+agg AS (
+  SELECT source, count(*) AS n,
+         sum(CASE WHEN p = 1 AND y = 1 THEN 1 ELSE 0 END) AS tp,
+         sum(CASE WHEN p = 1 AND y = 0 THEN 1 ELSE 0 END) AS fp,
+         sum(CASE WHEN p = 0 AND y = 1 THEN 1 ELSE 0 END) AS fn,
+         sum(CASE WHEN p = 0 AND y = 0 THEN 1 ELSE 0 END) AS tn
+  FROM base GROUP BY source
+)
+SELECT source, CAST(n AS BIGINT) AS n,
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+       CASE WHEN tp + fp > 0 THEN round(tp * 1.0 / (tp + fp), 6) END AS precision,
+       CASE WHEN tp + fn > 0 THEN round(tp * 1.0 / (tp + fn), 6) END AS recall,
+       CASE WHEN 2 * tp + fp + fn > 0
+            THEN round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1,
+       CASE WHEN tp + fn > 0 AND tn + fp > 0
+            THEN round((tp * 1.0 / (tp + fn) + tn * 1.0 / (tn + fp)) / 2.0, 6)
+       END AS balanced_accuracy,
+       CASE WHEN (tp + fp) * 1.0 * (tp + fn) * (tn + fp) * (tn + fn) > 0
+            THEN round((tp * 1.0 * tn - fp * 1.0 * fn)
+                       / sqrt((tp + fp) * 1.0 * (tp + fn)
+                              * (tn + fp) * (tn + fn)), 6) END AS mcc
+FROM agg ORDER BY source
+"""
+
+
+def q_quality_logloss(spark, sf):
+    """Log-loss of the deterministic quality classifier per source
+    (operators/evalmetrics.py::log_loss): the proper scoring rule that
+    punishes confident wrongness — tracked next to brier_decomp. One
+    clamp + one average."""
+    from stackstac_spark.operators.evalmetrics import log_loss
+
+    docs = _t(spark, sf, "documents").select(
+        "source",
+        (((F.col("doc_id") * 37) % 197) / 197.0).alias("p"),
+        (F.col("doc_id") % 3 == 0).cast("int").alias("y"),
+    )
+    return log_loss(docs, "p", "y", ["source"]).orderBy("source")
+
+
+SQL_QUALITY_LOGLOSS = """
+WITH base AS (
+  SELECT source,
+         least(greatest(((doc_id * 37) % 197) / 197.0, 1e-15), 1 - 1e-15) AS p,
+         CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS DOUBLE) AS y
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n,
+       round(-avg(y * ln(p) + (1 - y) * ln(1 - p)), 6) AS logloss
+FROM base GROUP BY source ORDER BY source
+"""
+
+
+def q_youden_cut(spark, sf):
+    """Youden-J optimal threshold of the deterministic quality classifier
+    per source (operators/evalmetrics.py::youden_threshold): where to set
+    the filter knob once roc_auc says the scores rank — the ROC point
+    farthest above the diagonal, lowest-threshold tie-break. Rides the
+    shared per-score base + one descending cumulative window."""
+    from stackstac_spark.operators.evalmetrics import youden_threshold
+
+    docs = _t(spark, sf, "documents").select(
+        "source",
+        (((F.col("doc_id") * 37) % 197) / 197.0
+         + F.when(F.col("doc_id") % 3 == 0, 0.15).otherwise(0.0)).alias("score"),
+        (F.col("doc_id") % 3 == 0).cast("int").alias("label"),
+    )
+    return youden_threshold(docs, "score", "label", ["source"]).orderBy("source")
+
+
+SQL_YOUDEN_CUT = """
+WITH scored AS (
+  SELECT source,
+         ((doc_id * 37) % 197) / 197.0
+           + CASE WHEN doc_id % 3 = 0 THEN 0.15 ELSE 0.0 END AS s,
+         CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+per_score AS (
+  SELECT source, s, sum(y) AS p, sum(1 - y) AS n
+  FROM scored GROUP BY source, s
+),
+cum AS (
+  SELECT source, s,
+         sum(p) OVER (PARTITION BY source ORDER BY s DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ctp,
+         sum(n) OVER (PARTITION BY source ORDER BY s DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cfp,
+         sum(p) OVER (PARTITION BY source) AS P,
+         sum(n) OVER (PARTITION BY source) AS N
+  FROM per_score
+),
+j AS (
+  SELECT source, s, P, N,
+         ctp * 1.0 / P AS tpr, cfp * 1.0 / N AS fpr,
+         ctp * 1.0 / P - cfp * 1.0 / N AS jj,
+         row_number() OVER (PARTITION BY source
+             ORDER BY ctp * 1.0 / P - cfp * 1.0 / N DESC, s ASC) AS rk
+  FROM cum WHERE P > 0 AND N > 0
+)
+SELECT source, CAST(P AS BIGINT) AS n_pos, CAST(N AS BIGINT) AS n_neg,
+       round(s, 6) AS threshold, round(jj, 6) AS j_stat,
+       round(tpr, 6) AS tpr, round(fpr, 6) AS fpr
+FROM j WHERE rk = 1 ORDER BY source
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- Rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r11,
@@ -17053,6 +17194,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "welch_means": (q_welch_means, SQL_WELCH_MEANS),
     "levene_spread": (q_levene_spread, SQL_LEVENE_SPREAD),
     "dunn_pairs": (q_dunn_pairs, SQL_DUNN_PAIRS),
+    "classifier_eval": (q_classifier_eval, SQL_CLASSIFIER_EVAL),
+    "quality_logloss": (q_quality_logloss, SQL_QUALITY_LOGLOSS),
+    "youden_cut": (q_youden_cut, SQL_YOUDEN_CUT),
 }
 
 

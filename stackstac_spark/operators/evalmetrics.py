@@ -32,6 +32,9 @@ __all__ = [
     "gwet_ac1",
     "mrr",
     "topk_eval",
+    "classifier_report",
+    "log_loss",
+    "youden_threshold",
 ]
 
 
@@ -1276,4 +1279,186 @@ def topk_eval(
         F.round(
             F.avg((F.col("__hits") > 0).cast("double")), round_to
         ).alias("hit_rate"),
+    )
+
+
+def classifier_report(
+    df: DataFrame,
+    pred_col: str,
+    label_col: str,
+    group_cols: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Binary-classifier confusion report per group → group_cols + (n, tp,
+    fp, fn, tn, precision, recall, f1, balanced_accuracy, mcc): the basics
+    every eval harness prints —
+
+        MCC = (TP·TN − FP·FN) / sqrt((TP+FP)(TP+FN)(TN+FP)(TN+FN))
+
+    (the single-number summary that, unlike accuracy or F1, stays honest
+    on imbalanced labels), balanced accuracy = (TPR + TNR)/2, and the
+    P/R/F1 trio. NULL for a ratio whose denominator is 0 (e.g. precision
+    with no positive predictions) — the sklearn zero_division=NaN
+    convention, kept NULL rather than 0 so a degenerate group is visible.
+    Predictions/labels are 0/1-castable; null rows excluded.
+
+    Plan: ONE conditional grouped aggregate; every derived metric is
+    map-side algebra on the four cells. MCC's product is computed in
+    DOUBLE from the start (the integer product overflows BIGINT near
+    n ≈ 10⁵ per group — at 100 TB the cells are ~10¹⁰ and the product
+    ~10⁴⁰).
+    """
+    groups = list(group_cols or [])
+    y = F.col(label_col).cast("int")
+    p = F.col(pred_col).cast("int")
+    base = df.filter(y.isNotNull() & p.isNotNull()).select(
+        *groups, p.alias("__p"), y.alias("__y")
+    )
+    agg = base.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(((F.col("__p") == 1) & (F.col("__y") == 1)).cast("long")).alias("tp"),
+        F.sum(((F.col("__p") == 1) & (F.col("__y") == 0)).cast("long")).alias("fp"),
+        F.sum(((F.col("__p") == 0) & (F.col("__y") == 1)).cast("long")).alias("fn"),
+        F.sum(((F.col("__p") == 0) & (F.col("__y") == 0)).cast("long")).alias("tn"),
+    )
+    tp = F.col("tp").cast("double")
+    fp = F.col("fp").cast("double")
+    fn = F.col("fn").cast("double")
+    tn = F.col("tn").cast("double")
+    prec = F.try_divide(tp, tp + fp)
+    rec = F.try_divide(tp, tp + fn)
+    tnr = F.try_divide(tn, tn + fp)
+    f1 = F.try_divide(2.0 * tp, 2.0 * tp + fp + fn)
+    mcc_den = F.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    mcc = F.when(mcc_den > 0, (tp * tn - fp * fn) / mcc_den)
+    return agg.select(
+        *groups,
+        "n",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(prec, round_to).alias("precision"),
+        F.round(rec, round_to).alias("recall"),
+        F.round(f1, round_to).alias("f1"),
+        F.round((rec + tnr) / 2.0, round_to).alias("balanced_accuracy"),
+        F.round(mcc, round_to).alias("mcc"),
+    )
+
+
+def log_loss(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_cols: list[str] | None = None,
+    eps: float = 1e-15,
+    round_to: int = 6,
+) -> DataFrame:
+    """Binary cross-entropy / log-loss per group → group_cols + (n,
+    logloss): mean of −[y·ln(p) + (1−y)·ln(1−p)] with probabilities
+    clamped to [eps, 1−eps] (sklearn's convention — an unclamped p = 0
+    against y = 1 is infinite and poisons the mean) — THE proper scoring
+    rule to track next to ``brier_decomposition``: Brier is bounded and
+    decomposable, log-loss punishes confident wrongness hardest (what a
+    quality-classifier regression actually costs downstream). Rows with
+    score outside [0, 1], null/NaN score, or null label are excluded.
+
+    Plan: one map-side clamp + ONE grouped average — no window, no join.
+    """
+    if not 0.0 < eps < 0.5:
+        raise ValueError(f"eps must be in (0, 0.5), got {eps}")
+    groups = list(group_cols or [])
+    p = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    base = df.filter(
+        p.isNotNull() & ~F.isnan(p) & (p >= 0.0) & (p <= 1.0) & y.isNotNull()
+    ).select(
+        *groups,
+        F.least(F.greatest(p, F.lit(eps)), F.lit(1.0 - eps)).alias("__p"),
+        y.alias("__y"),
+    )
+    return base.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            -F.avg(
+                F.col("__y") * F.log("__p")
+                + (1.0 - F.col("__y")) * F.log(1.0 - F.col("__p"))
+            ),
+            round_to,
+        ).alias("logloss"),
+    )
+
+
+def youden_threshold(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_cols: list[str] | None = None,
+    round_to: int = 6,
+    bins: int | None = None,
+    max_distinct: int | None = 1_000_000,
+) -> DataFrame:
+    """Optimal decision threshold per group by Youden's J (Youden 1950) →
+    group_cols + (n_pos, n_neg, threshold, j_stat, tpr, fpr): the score
+    cut maximizing J = TPR − FPR over all distinct thresholds — where to
+    SET the quality-filter knob once ``roc_auc`` says the scores rank
+    well (J is the ROC point farthest above the diagonal; prevalence-free
+    where an accuracy-maximizing cut is not). Threshold semantics:
+    predict positive when score ≥ threshold. Deterministic tie-break:
+    the LOWEST threshold attaining the maximal J (keeps more recall).
+    NULL when the group lacks both classes. Same scale controls as
+    roc_auc (``bins`` / ``max_distinct`` via the shared per-score base).
+
+    Plan: the roc_auc per-score table + one descending cumulative window
+    (TP/FP at each cut) + one max-struct aggregate — no per-row ranking.
+    """
+    groups = list(group_cols or [])
+    per_score = _per_score_counts(
+        df, score_col, label_col, groups, bins, max_distinct, "youden_threshold"
+    )
+    w = (
+        Window.partitionBy(*groups)
+        .orderBy(F.desc("s"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+        if groups
+        else Window.orderBy(F.desc("s")).rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy(*groups) if groups else Window.partitionBy()
+    cum = per_score.select(
+        *groups,
+        "s",
+        F.sum("p").over(w).alias("__ctp"),
+        F.sum("n").over(w).alias("__cfp"),
+        F.sum("p").over(wt).alias("__P"),
+        F.sum("n").over(wt).alias("__N"),
+    )
+    j = F.try_divide("__ctp", "__P") - F.try_divide("__cfp", "__N")
+    scored = cum.select(
+        *groups,
+        "__P",
+        "__N",
+        # max_by over (J, then LOWEST threshold): struct ordering compares
+        # fields in sequence, so negate s to prefer the smaller threshold
+        F.struct(
+            j.alias("j"),
+            (-F.col("s")).alias("neg_s"),
+            F.col("s").alias("s"),
+            F.try_divide("__ctp", "__P").alias("tpr"),
+            F.try_divide("__cfp", "__N").alias("fpr"),
+        ).alias("__cand"),
+    )
+    agg = scored.groupBy(*groups).agg(
+        F.max("__P").cast("long").alias("n_pos"),
+        F.max("__N").cast("long").alias("n_neg"),
+        F.max("__cand").alias("__best"),
+    )
+    ok = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    return agg.select(
+        *groups,
+        "n_pos",
+        "n_neg",
+        F.when(ok, F.round(F.col("__best.s"), round_to)).alias("threshold"),
+        F.when(ok, F.round(F.col("__best.j"), round_to)).alias("j_stat"),
+        F.when(ok, F.round(F.col("__best.tpr"), round_to)).alias("tpr"),
+        F.when(ok, F.round(F.col("__best.fpr"), round_to)).alias("fpr"),
     )
