@@ -108,6 +108,10 @@ def test_evalmetrics_all_exports():
         "brier_decomposition", "krippendorff_alpha",
         # r12 second sub-wave
         "lin_ccc", "cronbach_alpha", "gwet_ac1",
+        # r12 third sub-wave
+        "mrr", "topk_eval",
+        # r12 sixth sub-wave
+        "classifier_report", "log_loss", "youden_threshold",
     ]
     for name in m.__all__:
         assert hasattr(m, name), name
