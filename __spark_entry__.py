@@ -16841,6 +16841,42 @@ FROM j WHERE rk = 1 ORDER BY source
 """
 
 
+
+
+def q_temperature_mix(spark, sf):
+    """Temperature-scaled language mixing weights over the corpus char
+    mass (operators/sampling.py::temperature_mix, α=0.3 — the mC4/T5
+    up-sample-the-tail rule): per-language natural share, adjusted share
+    and the boost factor a sampler composes with hash_sample. One domain
+    aggregate + scalar rollups."""
+    from stackstac_spark.operators.sampling import temperature_mix
+
+    return temperature_mix(
+        _t(spark, sf, "documents"), "lang", alpha=0.3, weight_col="n_chars"
+    ).orderBy("domain")
+
+
+SQL_TEMPERATURE_MIX = """
+WITH per AS (
+  SELECT lang AS domain, CAST(sum(n_chars) AS DOUBLE) AS m
+  FROM documents
+  WHERE lang IS NOT NULL AND n_chars IS NOT NULL AND n_chars >= 0
+  GROUP BY lang
+),
+tot AS (SELECT sum(m) AS t FROM per),
+powed AS (
+  SELECT domain, m, m / (SELECT t FROM tot) AS share,
+         pow(m / (SELECT t FROM tot), 0.3) AS p
+  FROM per
+),
+ptot AS (SELECT sum(p) AS pt FROM powed)
+SELECT domain, round(m, 6) AS mass, round(share, 6) AS share,
+       round(p / (SELECT pt FROM ptot), 6) AS adj_share,
+       round(p / (SELECT pt FROM ptot) / share, 6) AS boost
+FROM powed ORDER BY domain
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- Rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r11,
@@ -17197,6 +17233,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "classifier_eval": (q_classifier_eval, SQL_CLASSIFIER_EVAL),
     "quality_logloss": (q_quality_logloss, SQL_QUALITY_LOGLOSS),
     "youden_cut": (q_youden_cut, SQL_YOUDEN_CUT),
+    "temperature_mix": (q_temperature_mix, SQL_TEMPERATURE_MIX),
 }
 
 

@@ -736,3 +736,65 @@ def herfindahl_index(
             F.round((hhi - 1.0 / k) / (1.0 - 1.0 / k), round_to),
         ).alias("hhi_norm"),
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    domain_col: str,
+    alpha: float = 0.3,
+    weight_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Temperature-scaled domain mixing weights (the multilingual-corpus
+    sampling rule of mC4/T5 and XLM-R: p_i ∝ share_i^α) → one row per
+    domain: (domain, mass, share, adj_share, boost):
+
+        adj_share_i = share_i^α / Σ_j share_j^α,
+        boost_i     = adj_share_i / share_i
+
+    — α = 1 reproduces natural sampling, α → 0 approaches uniform; the
+    standard knob for up-sampling tail languages/domains without flat
+    repetition of the head. ``boost`` is the per-domain sampling factor a
+    pipeline multiplies into its per-row keep probability (compose with
+    ``hash_sample``'s deterministic thresholding) or into per-domain
+    epoch counts. ``weight_col`` measures mass in bytes/tokens instead of
+    rows. Null domains and null/NaN/negative weights are excluded.
+
+    Plan: one (domain) aggregate + one scalar rollup broadcast back —
+    domain-bounded state, no window, one corpus scan.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    if weight_col is None:
+        m = F.lit(1.0)
+        base = df.filter(F.col(domain_col).isNotNull())
+    else:
+        wv = F.col(weight_col).cast("double")
+        base = df.filter(
+            F.col(domain_col).isNotNull() & wv.isNotNull() & ~F.isnan(wv) & (wv >= 0)
+        )
+        m = wv
+    per = base.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.sum(m).alias("__m")
+    )
+    tot = per.agg(
+        F.sum("__m").alias("__tot"),
+    )
+    j = per.withColumn("__k", F.lit(1)).join(
+        F.broadcast(tot.withColumn("__k", F.lit(1))), "__k"
+    )
+    share = F.col("__m") / F.col("__tot")
+    powed = j.select("domain", "__m", share.alias("__share"),
+                     F.pow(share, F.lit(float(alpha))).alias("__pow"))
+    ptot = powed.agg(F.sum("__pow").alias("__ptot"))
+    out = powed.withColumn("__k", F.lit(1)).join(
+        F.broadcast(ptot.withColumn("__k", F.lit(1))), "__k"
+    )
+    adj = F.col("__pow") / F.col("__ptot")
+    return out.select(
+        "domain",
+        F.round("__m", round_to).alias("mass"),
+        F.round("__share", round_to).alias("share"),
+        F.round(adj, round_to).alias("adj_share"),
+        F.round(adj / F.col("__share"), round_to).alias("boost"),
+    )

@@ -101,3 +101,37 @@ def test_youden_threshold_known(spark):
     got = {r["g"]: r for r in youden_threshold(grp, "s", "y", ["g"]).collect()}
     assert got["a"]["j_stat"] == pytest.approx(best[0], abs=1e-6)
     assert got["b"]["threshold"] is None
+
+
+def test_temperature_mix_known(spark):
+    from stackstac_spark.operators.sampling import temperature_mix
+
+    cnt = {"en": 70, "de": 20, "zh": 10}
+    alpha = 0.3
+    tot = sum(cnt.values())
+    shares = {d: v / tot for d, v in cnt.items()}
+    ptot = sum(s**alpha for s in shares.values())
+    adj = {d: s**alpha / ptot for d, s in shares.items()}
+    df = spark.createDataFrame(
+        [(d,) for d, v in cnt.items() for _ in range(v)], "d string"
+    )
+    got = {r["domain"]: r for r in temperature_mix(df, "d", alpha=0.3).collect()}
+    for d in cnt:
+        assert got[d]["share"] == pytest.approx(shares[d], abs=1e-6)
+        assert got[d]["adj_share"] == pytest.approx(adj[d], abs=1e-6)
+        assert got[d]["boost"] == pytest.approx(adj[d] / shares[d], abs=1e-6)
+    # the tail is boosted, the head damped; adj shares still sum to 1
+    assert got["zh"]["boost"] > 1 > got["en"]["boost"]
+    assert sum(r["adj_share"] for r in got.values()) == pytest.approx(1.0, abs=1e-5)
+    # alpha = 1 reproduces natural sampling exactly
+    g1 = {r["domain"]: r for r in temperature_mix(df, "d", alpha=1.0).collect()}
+    for d in cnt:
+        assert g1[d]["boost"] == pytest.approx(1.0, abs=1e-6)
+    # weight-column mass equals replicated rows; bad alpha raises
+    w = spark.createDataFrame(
+        [("en", 70.0), ("de", 20.0), ("zh", 10.0)], "d string, w double"
+    )
+    gw = {r["domain"]: r for r in temperature_mix(w, "d", alpha=0.3, weight_col="w").collect()}
+    assert gw["zh"]["adj_share"] == pytest.approx(adj["zh"], abs=1e-6)
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mix(df, "d", alpha=0.0)
