@@ -16877,6 +16877,89 @@ FROM powed ORDER BY domain
 """
 
 
+
+
+def q_bleu_pairs(spark, sf):
+    """Corpus BLEU-2 of each document against its doc_id+1 neighbor
+    (operators/textstats.py::bleu2_corpus): the translation/paraphrase
+    pair-QC metric over the template-heavy synthetic corpus (real n-gram
+    overlap between neighbors). One (pair, n, gram) equi-join — no
+    self-joins beyond the fixture's neighbor pairing."""
+    from stackstac_spark.operators.textstats import bleu2_corpus
+
+    docs = _t(spark, sf, "documents")
+    a = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("k"), F.col("text").alias("cand")
+    )
+    b = docs.select((F.col("doc_id") - 1).alias("k"), F.col("text").alias("ref"))
+    pairs = a.join(b, "k")
+    return bleu2_corpus(pairs, "cand", "ref")
+
+
+SQL_BLEU_PAIRS = """
+WITH pairs AS (
+  SELECT a.doc_id AS pid, lower(a.text) AS c, lower(b.text) AS r
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 10 = 0
+),
+ct AS (
+  SELECT pid, list_filter(string_split_regex(c, '[ \t\n\r\f]+'),
+                          x -> x <> '') AS l
+  FROM pairs
+),
+rt AS (
+  SELECT pid, list_filter(string_split_regex(r, '[ \t\n\r\f]+'),
+                          x -> x <> '') AS l
+  FROM pairs
+),
+cg AS (
+  SELECT pid, n.n, array_to_string(list_slice(l, i, i + n.n - 1), ' ') AS g,
+         count(*) AS cc
+  FROM ct, (SELECT unnest([1, 2]) AS n) n,
+       unnest(generate_series(1, len(l) - n.n + 1)) AS gs(i)
+  GROUP BY pid, n.n, g
+),
+rg AS (
+  SELECT pid, n.n, array_to_string(list_slice(l, i, i + n.n - 1), ' ') AS g,
+         count(*) AS rc
+  FROM rt, (SELECT unnest([1, 2]) AS n) n,
+       unnest(generate_series(1, len(l) - n.n + 1)) AS gs(i)
+  GROUP BY pid, n.n, g
+),
+clip AS (
+  SELECT cg.n, sum(least(cg.cc, rg.rc)) AS matches
+  FROM cg JOIN rg ON rg.pid = cg.pid AND rg.n = cg.n AND rg.g = cg.g
+  GROUP BY cg.n
+),
+tot AS (SELECT n, sum(cc) AS total FROM cg GROUP BY n),
+prec AS (
+  SELECT tot.n, coalesce(matches, 0) * 1.0 / total AS p
+  FROM tot LEFT JOIN clip ON clip.n = tot.n
+),
+lens AS (
+  SELECT count(*) AS n_pairs,
+         sum(len(ct.l)) AS cand_len,
+         (SELECT sum(len(l)) FROM rt) AS ref_len
+  FROM ct
+)
+SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(cand_len AS BIGINT) AS cand_len,
+       CAST(ref_len AS BIGINT) AS ref_len,
+       round((SELECT p FROM prec WHERE n = 1), 6) AS p1,
+       round((SELECT p FROM prec WHERE n = 2), 6) AS p2,
+       CASE WHEN cand_len > 0
+            THEN round(least(1.0, exp(1.0 - ref_len * 1.0 / cand_len)), 6)
+       END AS bp,
+       CASE WHEN cand_len > 0 AND (SELECT p FROM prec WHERE n = 1) > 0
+                 AND (SELECT p FROM prec WHERE n = 2) > 0
+            THEN round(least(1.0, exp(1.0 - ref_len * 1.0 / cand_len))
+                       * exp(0.5 * (ln((SELECT p FROM prec WHERE n = 1))
+                                    + ln((SELECT p FROM prec WHERE n = 2)))), 6)
+       END AS bleu2
+FROM lens
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- Rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r11,
@@ -17234,6 +17317,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "quality_logloss": (q_quality_logloss, SQL_QUALITY_LOGLOSS),
     "youden_cut": (q_youden_cut, SQL_YOUDEN_CUT),
     "temperature_mix": (q_temperature_mix, SQL_TEMPERATURE_MIX),
+    "bleu_pairs": (q_bleu_pairs, SQL_BLEU_PAIRS),
 }
 
 

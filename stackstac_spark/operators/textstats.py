@@ -2008,3 +2008,116 @@ def rake_keywords(
         "cnt",
         "score",
     )
+
+
+def bleu2_corpus(
+    df: DataFrame,
+    cand_col: str,
+    ref_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Corpus-level BLEU-2 over (candidate, reference) text pairs
+    (Papineni et al. 2002, uniform weights over 1- and 2-gram modified
+    precisions, corpus brevity penalty) → one row (n_pairs, cand_len,
+    ref_len, p1, p2, bp, bleu2):
+
+        p_n   = Σ_pairs clipped n-gram matches / Σ_pairs candidate n-grams
+        BP    = min(1, e^(1 − ref_len/cand_len))       (corpus totals)
+        BLEU2 = BP · exp(½(ln p₁ + ln p₂))
+
+    — the standard QC number for machine-translated / back-translated /
+    paraphrased training pairs (a bitext pipeline reports it next to its
+    margin scores). Clipping counts each candidate n-gram at most as
+    often as the reference contains it. NULL BLEU when either precision
+    is 0 (the log is undefined — report the p_n's and fix the pairs) or
+    no candidate tokens. Pairs with a null side are excluded.
+    Tokenization: lowercase whitespace (the corpus convention here).
+
+    Plan: per-(pair, n, gram) counts for both sides via native array
+    transforms (no self-joins), ONE (pair, n, gram) equi-join for
+    clipping, two n-keyed totals — no window, no Python. The input is
+    localCheckpoint-ed once so the plan-dependent pair ids
+    (monotonically_increasing_id) are IDENTICAL across the gram sides
+    and the length totals.
+    """
+
+    def _toks(col: str):
+        return F.filter(
+            F.split(F.lower(F.col(col)), r"[ \t\n\r\f]+"), lambda x: x != ""
+        )
+
+    def _ngrams(col: str, n: int):
+        if n == 1:
+            return _toks(col)
+        toks = f"filter(split(lower({col}), '[ \\t\\n\\r\\f]+'), x -> x != '')"
+        return F.expr(
+            f"CASE WHEN size({toks}) >= {n} THEN "
+            f"transform(sequence(0, size({toks}) - {n}), "
+            f"i -> concat_ws(' ', slice({toks}, i + 1, {n}))) "
+            "ELSE cast(array() as array<string>) END"
+        )
+
+    base = (
+        df.filter(F.col(cand_col).isNotNull() & F.col(ref_col).isNotNull())
+        .select(
+            F.monotonically_increasing_id().alias("__pid"),
+            F.col(cand_col).alias("__c"),
+            F.col(ref_col).alias("__r"),
+        )
+        .localCheckpoint()
+    )
+
+    def _gram_counts(col: str, out: str) -> DataFrame:
+        parts = [
+            base.select(
+                "__pid", F.lit(n).alias("__n"), F.explode(_ngrams(col, n)).alias("__g")
+            )
+            for n in (1, 2)
+        ]
+        allg = parts[0].unionByName(parts[1])
+        return allg.groupBy("__pid", "__n", "__g").agg(
+            F.count(F.lit(1)).alias(out)
+        )
+
+    cand = _gram_counts("__c", "__cc")
+    ref = _gram_counts("__r", "__rr")
+    clipped = cand.join(ref, ["__pid", "__n", "__g"]).select(
+        "__n", F.least("__cc", "__rr").alias("__m")
+    )
+    match_tot = clipped.groupBy("__n").agg(F.sum("__m").alias("__matches"))
+    cand_tot = cand.groupBy("__n").agg(F.sum("__cc").alias("__total"))
+    prec = cand_tot.join(match_tot, "__n", "left").select(
+        "__n",
+        F.try_divide(F.coalesce("__matches", F.lit(0)), "__total").alias("__p"),
+    )
+    pv = prec.groupBy().pivot("__n", [1, 2]).agg(F.first("__p"))
+    lens = base.select(
+        F.size(_toks("__c")).alias("__cl"), F.size(_toks("__r")).alias("__rl")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("__cl").cast("long").alias("cand_len"),
+        F.sum("__rl").cast("long").alias("ref_len"),
+    )
+    j = (
+        lens.withColumn("__k", F.lit(1))
+        .join(F.broadcast(pv.withColumn("__k", F.lit(1))), "__k")
+        .drop("__k")
+    )
+    p1 = F.col("1").cast("double")
+    p2 = F.col("2").cast("double")
+    bp = F.least(
+        F.lit(1.0),
+        F.exp(1.0 - F.try_divide(F.col("ref_len"), F.col("cand_len"))),
+    )
+    ok = (p1 > 0) & (p2 > 0) & (F.col("cand_len") > 0)
+    return j.select(
+        "n_pairs",
+        "cand_len",
+        "ref_len",
+        F.round(p1, round_to).alias("p1"),
+        F.round(p2, round_to).alias("p2"),
+        F.when(F.col("cand_len") > 0, F.round(bp, round_to)).alias("bp"),
+        F.when(
+            ok, F.round(bp * F.exp(0.5 * (F.log(p1) + F.log(p2))), round_to)
+        ).alias("bleu2"),
+    )

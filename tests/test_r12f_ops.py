@@ -135,3 +135,52 @@ def test_temperature_mix_known(spark):
     assert gw["zh"]["adj_share"] == pytest.approx(adj["zh"], abs=1e-6)
     with pytest.raises(ValueError, match="alpha"):
         temperature_mix(df, "d", alpha=0.0)
+
+
+def test_bleu2_corpus_known(spark):
+    import collections
+
+    from stackstac_spark.operators.textstats import bleu2_corpus
+
+    pairs = [
+        ("the cat sat on the mat", "the cat is on the mat"),
+        ("a quick brown fox", "the quick brown fox jumps"),
+        ("hello world", "hello there world"),
+    ]
+    m = {1: 0, 2: 0}
+    t = {1: 0, 2: 0}
+    cl = rl = 0
+    for c, r in pairs:
+        ct, rt = c.lower().split(), r.lower().split()
+        cl += len(ct)
+        rl += len(rt)
+        for n in (1, 2):
+            cg = collections.Counter(
+                tuple(ct[i : i + n]) for i in range(len(ct) - n + 1)
+            )
+            rg = collections.Counter(
+                tuple(rt[i : i + n]) for i in range(len(rt) - n + 1)
+            )
+            t[n] += sum(cg.values())
+            m[n] += sum(min(v, rg[g]) for g, v in cg.items())
+    p1, p2 = m[1] / t[1], m[2] / t[2]
+    bp = min(1.0, math.exp(1 - rl / cl))
+    want = bp * math.exp(0.5 * (math.log(p1) + math.log(p2)))
+    df = spark.createDataFrame(pairs, "c string, r string")
+    r = bleu2_corpus(df, "c", "r").first()
+    assert (r["cand_len"], r["ref_len"]) == (cl, rl)
+    assert r["p1"] == pytest.approx(p1, abs=1e-6)
+    assert r["p2"] == pytest.approx(p2, abs=1e-6)
+    assert r["bp"] == pytest.approx(bp, abs=1e-6)
+    assert r["bleu2"] == pytest.approx(want, abs=1e-6)
+    # identical -> 1; disjoint -> NULL bleu with p1 = 0 reported
+    same = spark.createDataFrame([("a b c", "a b c")], "c string, r string")
+    assert bleu2_corpus(same, "c", "r").first()["bleu2"] == 1.0
+    dis = spark.createDataFrame([("a b", "x y")], "c string, r string")
+    rd = bleu2_corpus(dis, "c", "r").first()
+    assert rd["bleu2"] is None and rd["p1"] == 0.0
+    # clipping: candidate repeating a word gets credit at most ref count
+    rep = spark.createDataFrame([("the the the", "the cat")], "c string, r string")
+    assert bleu2_corpus(rep, "c", "r").first()["p1"] == pytest.approx(
+        1 / 3, abs=1e-6
+    )
