@@ -35,6 +35,7 @@ __all__ = [
     "classifier_report",
     "log_loss",
     "youden_threshold",
+    "bland_altman",
 ]
 
 
@@ -1461,4 +1462,79 @@ def youden_threshold(
         F.when(ok, F.round(F.col("__best.j"), round_to)).alias("j_stat"),
         F.when(ok, F.round(F.col("__best.tpr"), round_to)).alias("tpr"),
         F.when(ok, F.round(F.col("__best.fpr"), round_to)).alias("fpr"),
+    )
+
+
+def bland_altman(
+    df: DataFrame,
+    score_a: str,
+    score_b: str,
+    group_cols: list[str] | None = None,
+    agreement_z: float = 1.96,
+    round_to: int = 6,
+) -> DataFrame:
+    """Bland-Altman agreement analysis between two raters/scorers (Bland
+    & Altman 1986) per group → (group_cols..., n, bias, sd_diff, loa_low,
+    loa_high, within_loa):
+
+        d_i        = a_i − b_i                 (per item)
+        bias       = mean(d),  sd_diff = stddev_samp(d)
+        LoA        = bias ± z · sd_diff        (z = 1.96 → 95% limits)
+        within_loa = fraction of items inside [loa_low, loa_high]
+
+    The method-comparison read for two quality scorers / two annotation
+    models: correlation ([lin_ccc], Pearson) can be high while the
+    scorers disagree systematically; bias + limits-of-agreement show the
+    disagreement in the score's own units.
+
+    Plan: one grouped aggregate for the moments; the within-LoA coverage
+    is algebra over the SAME aggregate — d is inside bias ± z·sd iff
+    |d − mean| ≤ z·sd, and counting that without a second corpus pass
+    rides sum((d − mean)² ≤ (z·sd)²)… which needs d per row again, so the
+    coverage count is ONE more grouped aggregate over a broadcast join of
+    the per-group moments — two corpus scans total, no window, no Python.
+    Null/NaN pairs are excluded.
+    """
+    groups = list(group_cols or [])
+    a = F.col(score_a).cast("double")
+    b = F.col(score_b).cast("double")
+    base = df.filter(
+        a.isNotNull() & b.isNotNull() & ~F.isnan(a) & ~F.isnan(b)
+    ).select(*groups, (a - b).alias("__d"))
+    mom = base.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("__d").alias("__mean"),
+        F.stddev_samp("__d").alias("__sd"),
+    )
+    lo = F.col("__mean") - agreement_z * F.col("__sd")
+    hi = F.col("__mean") + agreement_z * F.col("__sd")
+    lim = mom.select(*groups, "__n", "__mean", "__sd", lo.alias("__lo"), hi.alias("__hi"))
+    joined = (
+        base.join(F.broadcast(lim), groups)
+        if groups
+        else base.crossJoin(F.broadcast(lim))
+    )
+    cov = joined.groupBy(*groups).agg(
+        F.avg(
+            (
+                (F.col("__d") >= F.col("__lo")) & (F.col("__d") <= F.col("__hi"))
+            ).cast("double")
+        ).alias("__cov")
+    )
+    out = lim.join(cov, groups) if groups else lim.crossJoin(F.broadcast(cov))
+    return out.select(
+        *groups,
+        F.col("__n").cast("long").alias("n"),
+        F.round("__mean", round_to).alias("bias"),
+        F.round("__sd", round_to).alias("sd_diff"),
+        F.round("__lo", round_to).alias("loa_low"),
+        F.round("__hi", round_to).alias("loa_high"),
+        F.round("__cov", round_to).alias("within_loa"),
+    ).orderBy(*groups) if groups else out.select(
+        F.col("__n").cast("long").alias("n"),
+        F.round("__mean", round_to).alias("bias"),
+        F.round("__sd", round_to).alias("sd_diff"),
+        F.round("__lo", round_to).alias("loa_low"),
+        F.round("__hi", round_to).alias("loa_high"),
+        F.round("__cov", round_to).alias("within_loa"),
     )

@@ -30,6 +30,7 @@ __all__ = [
     "personalized_pagerank",
     "degree_assortativity",
     "association_rules",
+    "sequential_patterns",
 ]
 
 
@@ -1275,3 +1276,77 @@ def association_rules(
         F.round(conf, round_to).alias("confidence"),
         F.round(conf * n_baskets / F.col("n_cons"), round_to).alias("lift"),
     )
+
+
+def sequential_patterns(
+    df: DataFrame,
+    seq_col: str,
+    order_cols: list[str],
+    item_col: str,
+    lengths: tuple[int, ...] = (2, 3),
+    min_support: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Frequent contiguous sequential patterns (the depth-limited,
+    contiguous core of PrefixSpan, Pei et al. 2001) → one row per
+    surviving pattern: (length, pattern, support, support_frac) where
+    support counts DISTINCT sequences containing the pattern at least
+    once (the sequential-mining convention — repeats inside one sequence
+    don't inflate support) and pattern is the '>'-joined item run.
+
+    The behavioral-motif miner over event streams: which 2- and 3-step
+    event runs recur across users/sessions? Complements
+    [markov_transitions] (per-step conditional probabilities) with
+    set-level support — a rare-but-deterministic 3-step run shows up here
+    and is invisible in the pairwise transition matrix.
+
+    Plan: one lead() window per sequence (shuffle keyed on seq_col — each
+    sequence lands on one task, the standard sessionization shape; no
+    global window), distinct-(seq, pattern) projection, one pattern-keyed
+    count against the distinct-sequence total. Pattern cardinality is
+    bounded by |item vocabulary|^max(lengths), so the result is
+    dimension-table sized; nothing quadratic in sequences.
+    """
+    w = Window.partitionBy(seq_col).orderBy(*order_cols)
+    base = df.filter(F.col(item_col).isNotNull()).select(
+        F.col(seq_col).alias("__s"),
+        *[F.col(c) for c in order_cols],
+        F.col(item_col).cast("string").alias("__i0"),
+    )
+    with_leads = base.select(
+        "__s",
+        "__i0",
+        *[
+            F.lead("__i0", k).over(
+                Window.partitionBy("__s").orderBy(*order_cols)
+            ).alias(f"__i{k}")
+            for k in range(1, max(lengths))
+        ],
+    )
+    parts = []
+    for n in lengths:
+        cols = [F.col(f"__i{k}") for k in range(n)]
+        pat = F.concat_ws(">", *cols)
+        parts.append(
+            with_leads.filter(F.col(f"__i{n-1}").isNotNull()).select(
+                "__s", F.lit(n).alias("length"), pat.alias("pattern")
+            )
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    n_seqs = base.select("__s").distinct().count()
+    sup = (
+        allp.distinct()
+        .groupBy("length", "pattern")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    return sup.select(
+        F.col("length").cast("int").alias("length"),
+        "pattern",
+        F.col("support").cast("long").alias("support"),
+        F.round(F.col("support") / F.lit(float(n_seqs)), round_to).alias(
+            "support_frac"
+        ),
+    ).orderBy("length", F.desc("support"), "pattern")

@@ -2121,3 +2121,209 @@ def bleu2_corpus(
             ok, F.round(bp * F.exp(0.5 * (F.log(p1) + F.log(p2))), round_to)
         ).alias("bleu2"),
     )
+
+
+def chrf_corpus(
+    df: DataFrame,
+    cand_col: str,
+    ref_col: str,
+    max_n: int = 6,
+    beta: float = 2.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Corpus-level chrF over (candidate, reference) text pairs (Popović
+    2015: character n-gram F-score, the MT metric that correlates with
+    human judgment better than BLEU for morphologically rich languages)
+    → one row (n_pairs, prec, recall, chrf):
+
+        P_n  = Σ_pairs clipped char-n-gram matches / Σ_pairs cand n-grams
+        R_n  = same / Σ_pairs ref n-grams            (micro over corpus)
+        P, R = mean over n = 1..max_n (an order with no n-grams scores 0)
+        chrF = (1 + β²) P R / (β² P + R)             (0 when P + R = 0)
+
+    Whitespace is removed before n-gramming (the chrF convention — word
+    boundaries carry no signal at the character level); case is kept.
+    Clipping counts each candidate n-gram at most as often as the
+    reference contains it, per pair.
+
+    Plan: the bleu2_corpus machinery on the character axis — per-(pair,
+    n, gram) counts from native array transforms, ONE (pair, n, gram)
+    equi-join for clipping, n-keyed totals, no window, no Python. Input
+    localCheckpoint-ed once so plan-dependent pair ids agree across
+    subplans. ~max_n × total_chars intermediate rows — linear in corpus
+    size, shuffled only on (pair, n, gram).
+    """
+    orders = list(range(1, max_n + 1))
+
+    def _stripped(col: str):
+        return F.regexp_replace(F.col(col), r"\s+", "")
+
+    def _char_ngrams(col: str, n: int):
+        s = f"regexp_replace({col}, '\\\\s+', '')"
+        return F.expr(
+            f"CASE WHEN length({s}) >= {n} THEN "
+            f"transform(sequence(1, length({s}) - {n} + 1), "
+            f"i -> substring({s}, i, {n})) "
+            "ELSE cast(array() as array<string>) END"
+        )
+
+    base = (
+        df.filter(F.col(cand_col).isNotNull() & F.col(ref_col).isNotNull())
+        .select(
+            F.monotonically_increasing_id().alias("__pid"),
+            F.col(cand_col).alias("__c"),
+            F.col(ref_col).alias("__r"),
+        )
+        .localCheckpoint()
+    )
+
+    def _gram_counts(col: str, out: str) -> DataFrame:
+        parts = [
+            base.select(
+                "__pid", F.lit(n).alias("__n"),
+                F.explode(_char_ngrams(col, n)).alias("__g"),
+            )
+            for n in orders
+        ]
+        allg = parts[0]
+        for p in parts[1:]:
+            allg = allg.unionByName(p)
+        return allg.groupBy("__pid", "__n", "__g").agg(F.count(F.lit(1)).alias(out))
+
+    cand = _gram_counts("__c", "__cc")
+    ref = _gram_counts("__r", "__rr")
+    matches = (
+        cand.join(ref, ["__pid", "__n", "__g"])
+        .groupBy("__n")
+        .agg(F.sum(F.least("__cc", "__rr")).alias("__m"))
+    )
+    ctot = cand.groupBy("__n").agg(F.sum("__cc").alias("__ct"))
+    rtot = ref.groupBy("__n").agg(F.sum("__rr").alias("__rt"))
+    # dense order axis so empty orders score 0 instead of vanishing
+    grid = base.sparkSession.range(1, max_n + 1).select(F.col("id").alias("__n"))
+    per_n = (
+        grid.join(ctot, "__n", "left")
+        .join(rtot, "__n", "left")
+        .join(matches, "__n", "left")
+        .select(
+            "__n",
+            F.coalesce(
+                F.try_divide(F.coalesce("__m", F.lit(0)), "__ct"), F.lit(0.0)
+            ).alias("__p"),
+            F.coalesce(
+                F.try_divide(F.coalesce("__m", F.lit(0)), "__rt"), F.lit(0.0)
+            ).alias("__r"),
+        )
+    )
+    pr = per_n.agg(F.avg("__p").alias("__P"), F.avg("__r").alias("__R"))
+    n_pairs = base.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    b2 = beta * beta
+    chrf = F.when(
+        (F.col("__P") + F.col("__R")) > 0,
+        (1.0 + b2) * F.col("__P") * F.col("__R")
+        / (b2 * F.col("__P") + F.col("__R")),
+    ).otherwise(F.lit(0.0))
+    return n_pairs.crossJoin(F.broadcast(pr)).select(
+        "n_pairs",
+        F.round("__P", round_to).alias("prec"),
+        F.round("__R", round_to).alias("recall"),
+        F.round(chrf, round_to).alias("chrf"),
+    )
+
+
+def rouge_n_corpus(
+    df: DataFrame,
+    cand_col: str,
+    ref_col: str,
+    orders: tuple[int, ...] = (1, 2),
+    round_to: int = 6,
+) -> DataFrame:
+    """Corpus-level ROUGE-N over (candidate, reference) pairs (Lin 2004)
+    → one row per order n: (n, matches, cand_total, ref_total, rouge_p,
+    rouge_r, rouge_f) with micro-aggregated totals:
+
+        rouge_r = Σ clipped matches / Σ reference n-grams   (the headline)
+        rouge_p = Σ clipped matches / Σ candidate n-grams
+        rouge_f = 2PR/(P+R)
+
+    The summarization-QC twin of [bleu2_corpus] (which is precision-
+    oriented with a brevity penalty; ROUGE is recall-oriented — did the
+    summary keep the reference's content?). Same lowercase-whitespace
+    tokenization and per-pair clipping; NULL metric where the
+    denominator is 0.
+
+    Plan: identical shape — per-(pair, n, gram) counts, one clipping
+    equi-join, n-keyed totals. No window, no Python.
+    """
+
+    def _ngrams(col: str, n: int):
+        toks = f"filter(split(lower({col}), '[ \\t\\n\\r\\f]+'), x -> x != '')"
+        if n == 1:
+            return F.expr(toks)
+        return F.expr(
+            f"CASE WHEN size({toks}) >= {n} THEN "
+            f"transform(sequence(0, size({toks}) - {n}), "
+            f"i -> concat_ws(' ', slice({toks}, i + 1, {n}))) "
+            "ELSE cast(array() as array<string>) END"
+        )
+
+    base = (
+        df.filter(F.col(cand_col).isNotNull() & F.col(ref_col).isNotNull())
+        .select(
+            F.monotonically_increasing_id().alias("__pid"),
+            F.col(cand_col).alias("__c"),
+            F.col(ref_col).alias("__r"),
+        )
+        .localCheckpoint()
+    )
+
+    def _gram_counts(col: str, out: str) -> DataFrame:
+        parts = [
+            base.select(
+                "__pid", F.lit(n).alias("__n"),
+                F.explode(_ngrams(col, n)).alias("__g"),
+            )
+            for n in orders
+        ]
+        allg = parts[0]
+        for p in parts[1:]:
+            allg = allg.unionByName(p)
+        return allg.groupBy("__pid", "__n", "__g").agg(F.count(F.lit(1)).alias(out))
+
+    cand = _gram_counts("__c", "__cc")
+    ref = _gram_counts("__r", "__rr")
+    matches = (
+        cand.join(ref, ["__pid", "__n", "__g"])
+        .groupBy("__n")
+        .agg(F.sum(F.least("__cc", "__rr")).alias("__m"))
+    )
+    ctot = cand.groupBy("__n").agg(F.sum("__cc").alias("__ct"))
+    rtot = ref.groupBy("__n").agg(F.sum("__rr").alias("__rt"))
+    # dense order axis so an order with zero n-grams still emits its row
+    # (0 totals, NULL metrics) instead of vanishing from the report
+    grid = base.sparkSession.createDataFrame(
+        [(int(n),) for n in orders], "__n int"
+    )
+    per_n = (
+        grid.join(ctot, "__n", "left")
+        .join(rtot, "__n", "left")
+        .join(matches, "__n", "left")
+        .select(
+            "__n",
+            F.coalesce("__m", F.lit(0)).alias("__mm"),
+            F.coalesce("__ct", F.lit(0)).alias("__ctt"),
+            F.coalesce("__rt", F.lit(0)).alias("__rtt"),
+        )
+    )
+    p = F.try_divide("__mm", "__ctt")
+    r = F.try_divide("__mm", "__rtt")
+    f1 = F.when((p + r) > 0, 2.0 * p * r / (p + r))
+    return per_n.select(
+        F.col("__n").cast("int").alias("n"),
+        F.col("__mm").cast("long").alias("matches"),
+        F.col("__ctt").cast("long").alias("cand_total"),
+        F.col("__rtt").cast("long").alias("ref_total"),
+        F.round(p, round_to).alias("rouge_p"),
+        F.round(r, round_to).alias("rouge_r"),
+        F.round(f1, round_to).alias("rouge_f"),
+    ).orderBy("n")
