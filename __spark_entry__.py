@@ -16960,6 +16960,334 @@ FROM lens
 """
 
 
+def q_nelson_aalen(spark, sf):
+    """Nelson-Aalen cumulative hazard over the same per-user activity
+    spans as the kaplan_meier gate (operators/survival.py::nelson_aalen):
+    H(t) = sum d/n with variance sum d(n-d)/n^3 — one distinct-time
+    aggregate + one bounded cumulative window."""
+    from stackstac_spark.operators.survival import nelson_aalen
+
+    spans = (
+        _t(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.datediff(F.to_date(F.max("ts")), F.to_date(F.min("ts"))) + 1
+            ).cast("double").alias("duration"),
+            F.when(F.col("user_id") % 4 != 0, 1).otherwise(0).alias("churned"),
+        )
+    )
+    return nelson_aalen(spans, "duration", "churned")
+
+
+SQL_NELSON_AALEN = """
+WITH peru AS (
+  SELECT user_id,
+         CAST(date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) + 1
+              AS DOUBLE) AS d,
+         CASE WHEN user_id % 4 <> 0 THEN 1 ELSE 0 END AS e
+  FROM events GROUP BY user_id
+),
+per_t AS (SELECT d AS t, sum(e) AS dd, sum(1 - e) AS c FROM peru GROUP BY d),
+risked AS (
+  SELECT t, dd, c,
+         sum(dd + c) OVER ()
+           - coalesce(sum(dd + c) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+  FROM per_t
+),
+haz AS (
+  SELECT t, dd, n,
+         sum(dd * 1.0 / n) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+             PRECEDING AND CURRENT ROW) AS h,
+         sum(dd * (n - dd) * 1.0 / (n * n * n)) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+  FROM risked
+)
+SELECT t, CAST(n AS BIGINT) AS n_risk, CAST(dd AS BIGINT) AS n_events,
+       round(h, 6) AS cum_hazard, round(v, 6) AS hazard_var
+FROM haz WHERE dd > 0 ORDER BY t
+"""
+
+
+def q_log_rank(spark, sf):
+    """Two-sample log-rank test between even/odd user cohorts over the
+    per-user activity spans (operators/survival.py::log_rank): pooled
+    event-time grid x 2 cohorts, at-risk counts from one bounded window
+    over grid markers, then a single O/E/V aggregate."""
+    from stackstac_spark.operators.survival import log_rank
+
+    spans = (
+        _t(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.datediff(F.to_date(F.max("ts")), F.to_date(F.min("ts"))) + 1
+            ).cast("double").alias("duration"),
+            F.when(F.col("user_id") % 4 != 0, 1).otherwise(0).alias("churned"),
+            F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd").alias("cohort"),
+        )
+    )
+    return log_rank(spans, "duration", "churned", "cohort")
+
+
+SQL_LOG_RANK = """
+WITH peru AS MATERIALIZED (
+  SELECT user_id,
+         CAST(date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) + 1
+              AS DOUBLE) AS d,
+         CASE WHEN user_id % 4 <> 0 THEN 1 ELSE 0 END AS e,
+         CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS g
+  FROM events GROUP BY user_id
+),
+times AS (SELECT DISTINCT d AS t FROM peru WHERE e = 1),
+cells AS (
+  SELECT t.t, p.g,
+         sum(CASE WHEN p.d >= t.t THEN 1 ELSE 0 END) AS n_g,
+         sum(CASE WHEN p.d = t.t AND p.e = 1 THEN 1 ELSE 0 END) AS d_g
+  FROM times t CROSS JOIN peru p GROUP BY t.t, p.g
+),
+perj AS (
+  SELECT t, sum(n_g) AS nj, sum(d_g) AS dj,
+         sum(CASE WHEN g = 'even' THEN n_g ELSE 0 END) AS n1,
+         sum(CASE WHEN g = 'even' THEN d_g ELSE 0 END) AS d1
+  FROM cells GROUP BY t
+),
+stat AS (
+  SELECT sum(d1) AS o1, sum(dj * n1 * 1.0 / nj) AS e1,
+         sum(CASE WHEN nj > 1
+                  THEN dj * (n1 * 1.0 / nj) * (1 - n1 * 1.0 / nj)
+                       * (nj - dj) / (nj - 1)
+                  ELSE 0 END) AS v,
+         sum(dj) AS totd
+  FROM perj
+),
+cnt AS (SELECT g, count(*) AS n FROM peru GROUP BY g)
+SELECT g AS "group", CAST(n AS BIGINT) AS n_subjects,
+       CAST(CASE WHEN g = 'even' THEN o1 ELSE totd - o1 END AS BIGINT)
+         AS observed,
+       round(CASE WHEN g = 'even' THEN e1 ELSE totd - e1 END, 6) AS expected,
+       round(CASE WHEN v > 0 THEN (o1 - e1) * (o1 - e1) / v END, 6) AS chi2
+FROM cnt CROSS JOIN stat ORDER BY g
+"""
+
+
+def q_chrf_pairs(spark, sf):
+    """Corpus chrF over the same neighbor-document pairs as bleu_pairs
+    (operators/textstats.py::chrf_corpus): character 1..6-gram clipped
+    precision/recall, micro over the corpus, averaged over orders,
+    beta=2 F-score. One (pair, n, gram) equi-join."""
+    from stackstac_spark.operators.textstats import chrf_corpus
+
+    docs = _t(spark, sf, "documents")
+    a = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("k"), F.col("text").alias("cand")
+    )
+    b = docs.select((F.col("doc_id") - 1).alias("k"), F.col("text").alias("ref"))
+    return chrf_corpus(a.join(b, "k"), "cand", "ref")
+
+
+SQL_CHRF_PAIRS = """
+WITH pairs AS MATERIALIZED (
+  SELECT a.doc_id AS pid,
+         regexp_replace(a.text, '\\s+', '', 'g') AS c,
+         regexp_replace(b.text, '\\s+', '', 'g') AS r
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 10 = 0
+),
+cg AS MATERIALIZED (
+  SELECT pid, n.n, substring(c, i, n.n) AS g, count(*) AS cc
+  FROM pairs, (SELECT unnest([1, 2, 3, 4, 5, 6]) AS n) n,
+       unnest(generate_series(1, length(c) - n.n + 1)) AS gs(i)
+  GROUP BY pid, n.n, g
+),
+rg AS MATERIALIZED (
+  SELECT pid, n.n, substring(r, i, n.n) AS g, count(*) AS rc
+  FROM pairs, (SELECT unnest([1, 2, 3, 4, 5, 6]) AS n) n,
+       unnest(generate_series(1, length(r) - n.n + 1)) AS gs(i)
+  GROUP BY pid, n.n, g
+),
+clip AS (
+  SELECT cg.n, sum(least(cg.cc, rg.rc)) AS m
+  FROM cg JOIN rg ON rg.pid = cg.pid AND rg.n = cg.n AND rg.g = cg.g
+  GROUP BY cg.n
+),
+ct AS (SELECT n, sum(cc) AS tot FROM cg GROUP BY n),
+rt AS (SELECT n, sum(rc) AS tot FROM rg GROUP BY n),
+grid AS (SELECT unnest([1, 2, 3, 4, 5, 6]) AS n),
+pern AS (
+  SELECT grid.n,
+         coalesce(coalesce(clip.m, 0) * 1.0 / nullif(ct.tot, 0), 0.0) AS p,
+         coalesce(coalesce(clip.m, 0) * 1.0 / nullif(rt.tot, 0), 0.0) AS r
+  FROM grid LEFT JOIN ct ON ct.n = grid.n
+       LEFT JOIN rt ON rt.n = grid.n
+       LEFT JOIN clip ON clip.n = grid.n
+),
+pr AS (SELECT avg(p) AS pp, avg(r) AS rr FROM pern),
+np AS (SELECT count(*) AS n_pairs FROM pairs)
+SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+       round(pp, 6) AS prec, round(rr, 6) AS recall,
+       round(CASE WHEN pp + rr > 0 THEN 5.0 * pp * rr / (4.0 * pp + rr)
+                  ELSE 0.0 END, 6) AS chrf
+FROM np CROSS JOIN pr
+"""
+
+
+def q_rouge_pairs(spark, sf):
+    """Corpus ROUGE-1/ROUGE-2 over the neighbor-document pairs
+    (operators/textstats.py::rouge_n_corpus): recall-oriented clipped
+    n-gram overlap, one row per order."""
+    from stackstac_spark.operators.textstats import rouge_n_corpus
+
+    docs = _t(spark, sf, "documents")
+    a = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("k"), F.col("text").alias("cand")
+    )
+    b = docs.select((F.col("doc_id") - 1).alias("k"), F.col("text").alias("ref"))
+    return rouge_n_corpus(a.join(b, "k"), "cand", "ref")
+
+
+SQL_ROUGE_PAIRS = """
+WITH pairs AS MATERIALIZED (
+  SELECT a.doc_id AS pid, lower(a.text) AS c, lower(b.text) AS r
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 10 = 0
+),
+ctk AS (
+  SELECT pid, list_filter(string_split_regex(c, '[ \t\n\r\f]+'),
+                          x -> x <> '') AS l
+  FROM pairs
+),
+rtk AS (
+  SELECT pid, list_filter(string_split_regex(r, '[ \t\n\r\f]+'),
+                          x -> x <> '') AS l
+  FROM pairs
+),
+cg AS MATERIALIZED (
+  SELECT pid, n.n, array_to_string(list_slice(l, i, i + n.n - 1), ' ') AS g,
+         count(*) AS cc
+  FROM ctk, (SELECT unnest([1, 2]) AS n) n,
+       unnest(generate_series(1, len(l) - n.n + 1)) AS gs(i)
+  GROUP BY pid, n.n, g
+),
+rg AS MATERIALIZED (
+  SELECT pid, n.n, array_to_string(list_slice(l, i, i + n.n - 1), ' ') AS g,
+         count(*) AS rc
+  FROM rtk, (SELECT unnest([1, 2]) AS n) n,
+       unnest(generate_series(1, len(l) - n.n + 1)) AS gs(i)
+  GROUP BY pid, n.n, g
+),
+clip AS (
+  SELECT cg.n, sum(least(cg.cc, rg.rc)) AS m
+  FROM cg JOIN rg ON rg.pid = cg.pid AND rg.n = cg.n AND rg.g = cg.g
+  GROUP BY cg.n
+),
+ct AS (SELECT n, sum(cc) AS tot FROM cg GROUP BY n),
+rt AS (SELECT n, sum(rc) AS tot FROM rg GROUP BY n),
+grid AS (SELECT unnest([1, 2]) AS n),
+pern AS (
+  SELECT grid.n, coalesce(clip.m, 0) AS m,
+         coalesce(ct.tot, 0) AS ctt, coalesce(rt.tot, 0) AS rtt
+  FROM grid LEFT JOIN ct ON ct.n = grid.n
+       LEFT JOIN rt ON rt.n = grid.n
+       LEFT JOIN clip ON clip.n = grid.n
+)
+SELECT CAST(n AS INTEGER) AS n, CAST(m AS BIGINT) AS matches,
+       CAST(ctt AS BIGINT) AS cand_total, CAST(rtt AS BIGINT) AS ref_total,
+       round(m * 1.0 / nullif(ctt, 0), 6) AS rouge_p,
+       round(m * 1.0 / nullif(rtt, 0), 6) AS rouge_r,
+       CASE WHEN m * 1.0 / nullif(ctt, 0) + m * 1.0 / nullif(rtt, 0) > 0
+            THEN round(2.0 * (m * 1.0 / ctt) * (m * 1.0 / rtt)
+                       / (m * 1.0 / ctt + m * 1.0 / rtt), 6)
+       END AS rouge_f
+FROM pern ORDER BY n
+"""
+
+
+def q_scorer_agreement(spark, sf):
+    """Bland-Altman agreement between a length-derived and a perturbed
+    metadata-derived quality score per source
+    (operators/evalmetrics.py::bland_altman): bias, limits of agreement,
+    and within-LoA coverage — two grouped aggregates, no window."""
+    from stackstac_spark.operators.evalmetrics import bland_altman
+
+    docs = _t(spark, sf, "documents").select(
+        "source",
+        (F.length("text") / 100.0).alias("s_len"),
+        (
+            (F.col("n_chars") + (F.col("doc_id") * 37) % 23 - 11) / 100.0
+        ).alias("s_meta"),
+    )
+    return bland_altman(docs, "s_len", "s_meta", ["source"])
+
+
+SQL_SCORER_AGREEMENT = """
+WITH base AS MATERIALIZED (
+  SELECT source,
+         length(text) / 100.0
+           - (n_chars + (doc_id * 37) % 23 - 11) / 100.0 AS d
+  FROM documents
+  WHERE text IS NOT NULL AND n_chars IS NOT NULL
+),
+lim AS (
+  SELECT source, count(*) AS n, avg(d) AS m, stddev_samp(d) AS sd,
+         avg(d) - 1.96 * stddev_samp(d) AS lo,
+         avg(d) + 1.96 * stddev_samp(d) AS hi
+  FROM base GROUP BY source
+),
+cov AS (
+  SELECT b.source,
+         avg(CASE WHEN b.d >= l.lo AND b.d <= l.hi THEN 1.0 ELSE 0.0 END) AS c
+  FROM base b JOIN lim l ON l.source = b.source GROUP BY b.source
+)
+SELECT lim.source, CAST(n AS BIGINT) AS n, round(m, 6) AS bias,
+       round(sd, 6) AS sd_diff, round(lo, 6) AS loa_low,
+       round(hi, 6) AS loa_high, round(c, 6) AS within_loa
+FROM lim JOIN cov ON cov.source = lim.source ORDER BY lim.source
+"""
+
+
+def q_seq_patterns(spark, sf):
+    """Frequent contiguous 2/3-step event-type runs per user
+    (operators/graph.py::sequential_patterns): distinct-sequence support
+    mining — one per-user lead() window, pattern-keyed counts."""
+    from stackstac_spark.operators.graph import sequential_patterns
+
+    return sequential_patterns(
+        _t(spark, sf, "events"), "user_id", ["ts", "event_id"], "event_type"
+    )
+
+
+SQL_SEQ_PATTERNS = """
+WITH seq AS (
+  SELECT user_id AS s, event_type AS i,
+         lead(event_type, 1) OVER w AS i1,
+         lead(event_type, 2) OVER w AS i2
+  FROM events WHERE event_type IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+p2 AS (
+  SELECT DISTINCT s, 2 AS length, i || '>' || i1 AS pattern
+  FROM seq WHERE i1 IS NOT NULL
+),
+p3 AS (
+  SELECT DISTINCT s, 3 AS length, i || '>' || i1 || '>' || i2 AS pattern
+  FROM seq WHERE i2 IS NOT NULL
+),
+allp AS (SELECT * FROM p2 UNION ALL SELECT * FROM p3),
+ns AS (SELECT count(DISTINCT user_id) AS n FROM events
+       WHERE event_type IS NOT NULL),
+sup AS (
+  SELECT length, pattern, count(*) AS support
+  FROM allp GROUP BY length, pattern HAVING count(*) >= 2
+)
+SELECT CAST(length AS INTEGER) AS length, pattern,
+       CAST(support AS BIGINT) AS support,
+       round(support * 1.0 / (SELECT n FROM ns), 6) AS support_frac
+FROM sup ORDER BY length, support DESC, pattern
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- Rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r11,
@@ -17318,6 +17646,12 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "youden_cut": (q_youden_cut, SQL_YOUDEN_CUT),
     "temperature_mix": (q_temperature_mix, SQL_TEMPERATURE_MIX),
     "bleu_pairs": (q_bleu_pairs, SQL_BLEU_PAIRS),
+    "nelson_aalen": (q_nelson_aalen, SQL_NELSON_AALEN),
+    "log_rank": (q_log_rank, SQL_LOG_RANK),
+    "chrf_pairs": (q_chrf_pairs, SQL_CHRF_PAIRS),
+    "rouge_pairs": (q_rouge_pairs, SQL_ROUGE_PAIRS),
+    "scorer_agreement": (q_scorer_agreement, SQL_SCORER_AGREEMENT),
+    "seq_patterns": (q_seq_patterns, SQL_SEQ_PATTERNS),
 }
 
 
