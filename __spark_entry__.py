@@ -17215,7 +17215,7 @@ def q_scorer_agreement(spark, sf):
         "source",
         (F.length("text") / 100.0).alias("s_len"),
         (
-            (F.col("n_chars") + (F.col("doc_id") * 37) % 23 - 11) / 100.0
+            (F.col("n_chars") + (F.col("doc_id") * 41) % 29 - 14) / 100.0
         ).alias("s_meta"),
     )
     return bland_altman(docs, "s_len", "s_meta", ["source"])
@@ -17225,7 +17225,7 @@ SQL_SCORER_AGREEMENT = """
 WITH base AS MATERIALIZED (
   SELECT source,
          length(text) / 100.0
-           - (n_chars + (doc_id * 37) % 23 - 11) / 100.0 AS d
+           - (n_chars + (doc_id * 41) % 29 - 14) / 100.0 AS d
   FROM documents
   WHERE text IS NOT NULL AND n_chars IS NOT NULL
 ),
