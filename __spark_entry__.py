@@ -17288,6 +17288,236 @@ FROM sup ORDER BY length, support DESC, pattern
 """
 
 
+def q_holm_tests(spark, sf):
+    """Holm-Bonferroni step-down FWER correction over the SAME
+    md5-derived per-source test table as the bh_fdr gate
+    (operators/drift.py::holm_bonferroni, alpha=0.1) — the
+    one-false-alarm-is-expensive counterpart to BH's FDR control.
+    Windows ride the config-sized tests table."""
+    from stackstac_spark.operators.drift import holm_bonferroni
+
+    tests = (
+        _t(spark, sf, "documents")
+        .select("source")
+        .distinct()
+        .select(
+            "source",
+            (
+                (
+                    F.conv(
+                        F.substring(F.md5(F.concat(F.lit("p:"), F.col("source"))), 1, 4),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 997
+                    + 1
+                )
+                / 1000.0
+            ).alias("p"),
+        )
+    )
+    return holm_bonferroni(tests, "p", alpha=0.1)
+
+
+SQL_HOLM_TESTS = """
+WITH tests AS (
+  SELECT source,
+         (('0x' || substring(md5('p:' || source), 1, 4))::BIGINT % 997 + 1)
+           / 1000.0 AS p
+  FROM (SELECT DISTINCT source FROM documents)
+),
+ranked AS (
+  SELECT source, p,
+         row_number() OVER (ORDER BY p, source) AS holm_rank,
+         count(*) OVER () AS m
+  FROM tests
+),
+adj AS (
+  SELECT source, p, holm_rank,
+         max(least(1.0, (m - holm_rank + 1) * p))
+             OVER (ORDER BY holm_rank
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_adj,
+         min(CASE WHEN p <= 0.1 / (m - holm_rank + 1) THEN 1 ELSE 0 END)
+             OVER (ORDER BY holm_rank
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rej
+  FROM ranked
+)
+SELECT source, p, holm_rank, round(p_adj, 6) AS p_adj, rej = 1 AS rejected
+FROM adj ORDER BY holm_rank
+"""
+
+
+def q_cvm_drift(spark, sf):
+    """Two-sample Cramér-von Mises between click and view event values
+    (operators/drift.py::cvm_two_sample), floor-bucketed so the
+    distinct-value window axis is engine-exact and bounded. The
+    integrated-ECDF companion to the ks_drift gate."""
+    from stackstac_spark.operators.drift import cvm_two_sample
+
+    ev = _t(spark, sf, "events").select(
+        "event_type", F.floor("value").cast("double").alias("v")
+    )
+    return cvm_two_sample(ev, "v", "event_type", "click", "view")
+
+
+SQL_CVM_DRIFT = """
+WITH per AS (
+  SELECT CAST(floor(value) AS DOUBLE) AS x,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
+  FROM events
+  WHERE event_type IN ('click', 'view')
+        AND value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1
+),
+cum AS (
+  SELECT ca, cb,
+         sum(ca) OVER w AS fa, sum(cb) OVER w AS fb,
+         sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+  FROM per
+  WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+agg AS (
+  SELECT max(na) AS n_a, max(nb) AS n_b,
+         sum((ca + cb) * pow(fa * 1.0 / na - fb * 1.0 / nb, 2)) AS s
+  FROM cum
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(n_a * n_b * 1.0 / ((n_a + n_b) * (n_a + n_b)) * s, 6) AS cvm_t,
+       round((1 + 1.0 / (n_a + n_b)) / 6.0, 6) AS t_mean
+FROM agg
+"""
+
+
+def q_jonckheere(spark, sf):
+    """Jonckheere-Terpstra ordered trend across user-residue groups
+    (operators/nonparam.py::jonckheere_trend): value-decile cells per
+    group, ordered-group-pair cell join (cells squared, never rows
+    squared) — the directional sharpening of kruskal_wallis."""
+    from stackstac_spark.operators.nonparam import jonckheere_trend
+
+    ev = _t(spark, sf, "events").select(
+        F.concat(F.lit("g"), (F.col("user_id") % 3).cast("string")).alias("grp"),
+        F.floor(F.col("value") / 10).cast("double").alias("v"),
+    )
+    return jonckheere_trend(ev, "v", "grp")
+
+
+SQL_JONCKHEERE = """
+WITH base AS (
+  SELECT 'g' || CAST(user_id % 3 AS VARCHAR) AS g,
+         CAST(floor(value / 10) AS DOUBLE) AS x
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value) AND user_id IS NOT NULL
+),
+cells AS MATERIALIZED (SELECT g, x, count(*) AS c FROM base GROUP BY g, x),
+contrib AS (
+  SELECT sum(CASE WHEN a.x < b.x THEN a.c * b.c
+                  WHEN a.x = b.x THEN a.c * b.c / 2.0
+                  ELSE 0 END) AS j
+  FROM cells a JOIN cells b ON a.g < b.g
+),
+sizes AS (SELECT g, sum(c) AS n FROM cells GROUP BY g),
+mom AS (
+  SELECT sum(n) AS nn, count(*) AS k, sum(n * n) AS s2,
+         sum(n * n * (2 * n + 3)) AS s3
+  FROM sizes
+)
+SELECT CAST(nn AS BIGINT) AS n, CAST(k AS BIGINT) AS n_groups,
+       round(j, 6) AS j_stat,
+       round((nn * nn - s2) / 4.0, 6) AS j_mean,
+       CASE WHEN nn * nn * (2 * nn + 3) - s3 > 0
+            THEN round((j - (nn * nn - s2) / 4.0)
+                       / sqrt((nn * nn * (2 * nn + 3) - s3) / 72.0), 6)
+       END AS z
+FROM mom CROSS JOIN contrib
+"""
+
+
+def q_vocab_overlap(spark, sf):
+    """Pairwise top-40 vocabulary Jaccard between languages
+    (operators/textstats.py::vocab_overlap): can these domains share one
+    tokenizer vocab budget? One corpus pass, per-domain rank window over
+    the vocab table, K-row term self-join."""
+    from stackstac_spark.operators.textstats import vocab_overlap
+
+    return vocab_overlap(_t(spark, sf, "documents"), "lang", top_k=40)
+
+
+SQL_VOCAB_OVERLAP = """
+WITH toks AS (
+  SELECT dom, t FROM (
+    SELECT lang AS dom,
+           unnest(regexp_split_to_array(lower(text), '[ \t\n\r\f]+')) AS t
+    FROM documents WHERE lang IS NOT NULL
+  ) WHERE t <> ''
+),
+counts AS (SELECT dom, t, count(*) AS c FROM toks GROUP BY dom, t),
+top AS MATERIALIZED (
+  SELECT dom, t FROM (
+    SELECT dom, t,
+           row_number() OVER (PARTITION BY dom ORDER BY c DESC, t) AS r
+    FROM counts
+  ) WHERE r <= 40
+),
+sizes AS MATERIALIZED (SELECT dom, count(*) AS sz FROM top GROUP BY dom),
+inter AS (
+  SELECT a.dom AS da, b.dom AS db, count(*) AS common
+  FROM top a JOIN top b ON b.t = a.t AND a.dom < b.dom
+  GROUP BY a.dom, b.dom
+),
+grid AS (
+  SELECT a.dom AS da, a.sz AS sa, b.dom AS db, b.sz AS sb
+  FROM sizes a JOIN sizes b ON a.dom < b.dom
+)
+SELECT grid.da AS domain_a, grid.db AS domain_b,
+       CAST(sa AS BIGINT) AS size_a, CAST(sb AS BIGINT) AS size_b,
+       CAST(coalesce(common, 0) AS BIGINT) AS common,
+       round(coalesce(common, 0) * 1.0 / (sa + sb - coalesce(common, 0)), 6)
+         AS jaccard
+FROM grid LEFT JOIN inter ON inter.da = grid.da AND inter.db = grid.db
+ORDER BY domain_a, domain_b
+"""
+
+
+def q_oov_rate(spark, sf):
+    """Per-language OOV rate against the global top-100 vocabulary
+    (operators/textstats.py::oov_rate): which domains will fragment
+    under a shared head vocab? One corpus pass, TakeOrdered global
+    vocab, broadcast coverage join."""
+    from stackstac_spark.operators.textstats import oov_rate
+
+    return oov_rate(_t(spark, sf, "documents"), "lang", ref_top_k=100)
+
+
+SQL_OOV_RATE = """
+WITH toks AS (
+  SELECT dom, t FROM (
+    SELECT lang AS dom,
+           unnest(regexp_split_to_array(lower(text), '[ \t\n\r\f]+')) AS t
+    FROM documents WHERE lang IS NOT NULL
+  ) WHERE t <> ''
+),
+counts AS MATERIALIZED (SELECT dom, t, count(*) AS c FROM toks GROUP BY dom, t),
+vocab AS (
+  SELECT t FROM (
+    SELECT t, sum(c) AS g FROM counts GROUP BY t
+    ORDER BY g DESC, t LIMIT 100
+  )
+),
+agg AS (
+  SELECT counts.dom, sum(c) AS tot,
+         sum(CASE WHEN v.t IS NULL THEN c ELSE 0 END) AS oov
+  FROM counts LEFT JOIN vocab v ON v.t = counts.t
+  GROUP BY counts.dom
+)
+SELECT dom AS domain, CAST(tot AS BIGINT) AS total_tokens,
+       CAST(oov AS BIGINT) AS oov_tokens,
+       round(oov * 1.0 / tot, 6) AS oov_rate
+FROM agg ORDER BY domain
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- Rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r11,
@@ -17652,6 +17882,11 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "rouge_pairs": (q_rouge_pairs, SQL_ROUGE_PAIRS),
     "scorer_agreement": (q_scorer_agreement, SQL_SCORER_AGREEMENT),
     "seq_patterns": (q_seq_patterns, SQL_SEQ_PATTERNS),
+    "holm_tests": (q_holm_tests, SQL_HOLM_TESTS),
+    "cvm_drift": (q_cvm_drift, SQL_CVM_DRIFT),
+    "jonckheere": (q_jonckheere, SQL_JONCKHEERE),
+    "vocab_overlap": (q_vocab_overlap, SQL_VOCAB_OVERLAP),
+    "oov_rate": (q_oov_rate, SQL_OOV_RATE),
 }
 
 

@@ -34,6 +34,8 @@ __all__ = [
     "hellinger_tv",
     "cohens_h",
     "simpson_check",
+    "holm_bonferroni",
+    "cvm_two_sample",
 ]
 
 
@@ -1235,4 +1237,134 @@ def simpson_check(
         F.round(strat, round_to).alias("strata_diff"),
         n_flipped.cast("long").alias("n_flipped"),
         (pooled * strat < 0).alias("reversed"),
+    )
+
+
+def holm_bonferroni(
+    df: DataFrame,
+    p_col: str,
+    alpha: float = 0.05,
+    round_to: int = 6,
+) -> DataFrame:
+    """Holm-Bonferroni step-down correction over a TABLE OF TESTS (Holm
+    1979) → the input columns + (holm_rank, p_adj, rejected): with m
+    tests ranked by ascending p (ties stabilized by the remaining
+    columns), p_adj(i) = max_{j ≤ i} min(1, (m − j + 1)·p_(j)) and the
+    step-down rule rejects ranks 1..k−1 where k is the FIRST rank with
+    p_(k) > α/(m − k + 1) — every rejection requires all smaller-p tests
+    to have been rejected too.
+
+    Controls the family-wise error rate (any false positive at all),
+    strictly stronger than [bh_fdr]'s false-discovery-rate control —
+    use it when one false alarm is expensive (pausing an ingest
+    pipeline), BH when discoveries are cheap to triage.
+
+    Plan note: same contract as bh_fdr — the input is a config-sized
+    test-results table, never the corpus, so the two ordered windows are
+    bounded; null/NaN p rows are excluded.
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0,1), got {alpha}")
+    p = F.col(p_col).cast("double")
+    base = df.filter(p.isNotNull() & ~F.isnan(p))
+    others = [c for c in base.columns if c != p_col]
+    order = [F.col(p_col).asc()] + [F.col(c).asc() for c in others]
+    w_rank = Window.orderBy(*order)  # bounded: tests table, config-sized
+    ranked = base.select(
+        "*",
+        F.row_number().over(w_rank).alias("holm_rank"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("__m"),
+    )
+    w_fwd = Window.orderBy("holm_rank").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    adj = ranked.select(
+        "*",
+        F.max(
+            F.least(
+                F.lit(1.0), (F.col("__m") - F.col("holm_rank") + 1) * p
+            )
+        ).over(w_fwd).alias("__adj"),
+        # step-down: rejected iff EVERY rank j <= i passes its own
+        # threshold — the running min of the pass indicator
+        F.min(
+            (p <= alpha / (F.col("__m") - F.col("holm_rank") + 1)).cast("int")
+        ).over(w_fwd).alias("__rej"),
+    )
+    return adj.select(
+        *[F.col(c) for c in base.columns],
+        "holm_rank",
+        F.round("__adj", round_to).alias("p_adj"),
+        (F.col("__rej") == 1).alias("rejected"),
+    ).orderBy("holm_rank")
+
+
+def cvm_two_sample(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-sample Cramér-von Mises statistic (Anderson 1962, in the
+    tie-weighted ECDF functional form) → one row (n_a, n_b, cvm_t,
+    t_mean):
+
+        T = n_a·n_b/N² · Σ_z w_z (F_a(z) − F_b(z))²
+
+    summed over the pooled DISTINCT values z with multiplicity weight
+    w_z (= pooled count at z; on tie-free data this is exactly
+    Anderson's rank form). ``t_mean`` = (1 + 1/N)/6, the null
+    expectation — T ≫ t_mean is evidence of distribution change.
+
+    The integrated-distance cousin of [ks_statistic]: KS reads the single
+    worst ECDF gap (sensitive to one sharp local shift), CvM integrates
+    every gap (sensitive to broad, small shifts KS misses) — monitors
+    typically watch both.
+
+    Plan: the mann_whitney_u shape — one distinct-value aggregate with
+    per-group counts, one ordered cumulative window over the bounded
+    distinct-value axis, one scalar aggregate. NULL statistic when either
+    group is empty.
+    """
+    vals = df.select(
+        F.col(group_col).alias("grp"), F.col(value_col).cast("double").alias("x")
+    ).filter(
+        F.col("grp").isin([group_a, group_b])
+        & F.col("x").isNotNull()
+        & ~F.isnan("x")
+    )
+    per_val = vals.groupBy("x").agg(
+        F.sum(F.when(F.col("grp") == group_a, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("grp") == group_b, 1).otherwise(0)).alias("cb"),
+    )
+    # bounded: the window runs over DISTINCT VALUES, never corpus rows
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    w_tot = Window.partitionBy()
+    cum = per_val.select(
+        "ca",
+        "cb",
+        F.sum("ca").over(w).alias("__fa"),
+        F.sum("cb").over(w).alias("__fb"),
+        F.sum("ca").over(w_tot).alias("__na"),
+        F.sum("cb").over(w_tot).alias("__nb"),
+    )
+    na, nb = F.col("__na").cast("double"), F.col("__nb").cast("double")
+    # try_divide: an empty group yields NULL gaps (and a NULL statistic
+    # via the `ok` gate below) instead of an ANSI divide-by-zero
+    gap = F.try_divide(F.col("__fa"), na) - F.try_divide(F.col("__fb"), nb)
+    agg = cum.agg(
+        F.max("__na").alias("n_a"),
+        F.max("__nb").alias("n_b"),
+        F.sum((F.col("ca") + F.col("cb")) * gap * gap).alias("__s"),
+    )
+    nn = (F.col("n_a") + F.col("n_b")).cast("double")
+    t = F.col("n_a") * F.col("n_b") / (nn * nn) * F.col("__s")
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.when(ok, F.round(t, round_to)).alias("cvm_t"),
+        F.when(ok, F.round((1.0 + 1.0 / nn) / 6.0, round_to)).alias("t_mean"),
     )

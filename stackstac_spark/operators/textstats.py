@@ -2327,3 +2327,143 @@ def rouge_n_corpus(
         F.round(r, round_to).alias("rouge_r"),
         F.round(f1, round_to).alias("rouge_f"),
     ).orderBy("n")
+
+
+def vocab_overlap(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 100,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pairwise top-``top_k`` vocabulary overlap between domains → one
+    row per unordered domain pair (domain_a < domain_b): (domain_a,
+    domain_b, size_a, size_b, common, jaccard) with Jaccard =
+    |A∩B| / |A∪B| over each domain's top-K token set (count desc, term
+    asc tiebreak — deterministic).
+
+    The set-based companion to the distributional mixes
+    ([hellinger_langmix] compares token FREQUENCY vectors; this asks
+    whether the domains even share their head vocabulary) — the quick
+    read on "can these domains share one tokenizer/vocab budget?".
+
+    Plan: one (domain, term) count aggregate (map-side combined — the
+    only corpus pass), a per-domain rank window over that vocab table
+    (partitioned by domain — parallel across domains, bounded by each
+    domain's vocabulary), then a term-keyed self-join of the K-row-per-
+    domain survivors (≤ K·|domains| rows — dimension-sized). The domain-
+    pair result is |domains|² rows of scalars.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(domain_col).alias("__dom"),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), r"[ \t\n\r\f]+")
+        ).alias("__t"),
+    ).filter(F.col("__t") != "")
+    counts = toks.filter(F.col("__dom").isNotNull()).groupBy(
+        "__dom", "__t"
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.partitionBy("__dom").orderBy(F.desc("__c"), F.asc("__t"))
+    top = (
+        counts.select("*", F.row_number().over(w).alias("__r"))
+        .filter(F.col("__r") <= top_k)
+        .select("__dom", "__t")
+        .localCheckpoint()
+    )
+    sizes = top.groupBy("__dom").agg(F.count(F.lit(1)).alias("__sz"))
+    inter = (
+        top.select(F.col("__dom").alias("__da"), "__t")
+        .join(top.select(F.col("__dom").alias("__db"), "__t"), "__t")
+        .filter(F.col("__da") < F.col("__db"))
+        .groupBy("__da", "__db")
+        .agg(F.count(F.lit(1)).alias("__common"))
+    )
+    # dense pair grid so disjoint-vocab pairs emit jaccard 0, not no row
+    grid = (
+        sizes.select(F.col("__dom").alias("__da"), F.col("__sz").alias("__sa"))
+        .withColumn("__k", F.lit(1))
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("__dom").alias("__db"), F.col("__sz").alias("__sb")
+                ).withColumn("__k", F.lit(1))
+            ),
+            "__k",
+        )
+        .filter(F.col("__da") < F.col("__db"))
+        .drop("__k")
+    )
+    out = grid.join(inter, ["__da", "__db"], "left").select(
+        F.col("__da").alias("domain_a"),
+        F.col("__db").alias("domain_b"),
+        F.col("__sa").cast("long").alias("size_a"),
+        F.col("__sb").cast("long").alias("size_b"),
+        F.coalesce("__common", F.lit(0)).cast("long").alias("common"),
+        F.round(
+            F.coalesce("__common", F.lit(0))
+            / (F.col("__sa") + F.col("__sb") - F.coalesce("__common", F.lit(0))).cast(
+                "double"
+            ),
+            round_to,
+        ).alias("jaccard"),
+    )
+    return out.orderBy("domain_a", "domain_b")
+
+
+def oov_rate(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_top_k: int = 500,
+    round_to: int = 6,
+) -> DataFrame:
+    """Out-of-vocabulary rate per domain against the corpus-global
+    top-``ref_top_k`` vocabulary → (domain, total_tokens, oov_tokens,
+    oov_rate): the fraction of a domain's token OCCURRENCES not covered
+    by the shared head vocabulary (count desc, term asc tiebreak).
+
+    The tokenizer-budget diagnostic: a domain with a high OOV rate
+    against the global head vocab will fragment into subwords/bytes and
+    eat the token budget — raise its vocab share or normalize its text
+    before training.
+
+    Plan: one (domain, term) count aggregate feeds BOTH the global vocab
+    (a second small aggregate over it + TakeOrdered limit — no window,
+    no vocabulary sort shuffle) and the per-domain totals; coverage is a
+    broadcast left-join of the per-(domain, term) counts against the
+    K-row vocab. Two corpus-free joins after the single corpus pass.
+    """
+    toks = df.select(
+        F.col(domain_col).alias("__dom"),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), r"[ \t\n\r\f]+")
+        ).alias("__t"),
+    ).filter((F.col("__t") != "") & F.col("__dom").isNotNull())
+    counts = toks.groupBy("__dom", "__t").agg(
+        F.count(F.lit(1)).alias("__c")
+    ).localCheckpoint()
+    vocab = (
+        counts.groupBy("__t")
+        .agg(F.sum("__c").alias("__g"))
+        .orderBy(F.desc("__g"), F.asc("__t"))
+        .limit(ref_top_k)
+        .select("__t", F.lit(1).alias("__in"))
+    )
+    cov = counts.join(F.broadcast(vocab), "__t", "left").groupBy("__dom").agg(
+        F.sum("__c").alias("__tot"),
+        F.sum(F.when(F.col("__in").isNull(), F.col("__c")).otherwise(0)).alias(
+            "__oov"
+        ),
+    )
+    return cov.select(
+        F.col("__dom").alias("domain"),
+        F.col("__tot").cast("long").alias("total_tokens"),
+        F.col("__oov").cast("long").alias("oov_tokens"),
+        F.round(F.col("__oov") / F.col("__tot").cast("double"), round_to).alias(
+            "oov_rate"
+        ),
+    ).orderBy("domain")
