@@ -17518,6 +17518,274 @@ FROM agg ORDER BY domain
 """
 
 
+def q_ljung_box(spark, sf):
+    """Ljung-Box whiteness test on the daily per-event-type totals (the
+    acf_daily series; operators/timeseries.py::ljung_box, lags 1-3):
+    Q ~ chi-square(k) under no remaining autocorrelation. One per-group
+    index window + one lag equi-join over the pre-aggregated series."""
+    from stackstac_spark.operators.timeseries import ljung_box
+
+    ev = _events(spark, sf)
+    daily = ev.groupBy(
+        "event_type", F.expr("ts_us div 86400000000").alias("day")
+    ).agg(F.sum("value").alias("v"))
+    return ljung_box(daily, "day", "v", ["event_type"])
+
+
+SQL_LJUNG_BOX = f"""
+WITH ev AS ({_DUCK_EV}),
+daily AS (
+  SELECT event_type, ts_us // 86400000000 AS day, sum(value) AS v
+  FROM ev GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type, count(*) AS n, avg(v) AS m,
+         sum((v - (SELECT avg(v) FROM daily d2
+                   WHERE d2.event_type = daily.event_type)) ^ 2) AS ss
+  FROM daily GROUP BY event_type
+),
+lagged AS (
+  SELECT event_type, v,
+         lag(v, 1) OVER w AS v1, lag(v, 2) OVER w AS v2,
+         lag(v, 3) OVER w AS v3
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+rs AS (
+  SELECT l.event_type, st.n,
+         sum(CASE WHEN v1 IS NOT NULL THEN (v - m) * (v1 - m) END) / ss AS r1,
+         sum(CASE WHEN v2 IS NOT NULL THEN (v - m) * (v2 - m) END) / ss AS r2,
+         sum(CASE WHEN v3 IS NOT NULL THEN (v - m) * (v3 - m) END) / ss AS r3
+  FROM lagged l JOIN st ON st.event_type = l.event_type
+  GROUP BY l.event_type, st.n, st.m, st.ss
+),
+un AS (
+  SELECT event_type, n, 1 AS lag, r1 AS r, r1 * r1 / (n - 1) AS qq FROM rs
+  UNION ALL
+  SELECT event_type, n, 2, r2,
+         r1 * r1 / (n - 1) + r2 * r2 / (n - 2) FROM rs
+  UNION ALL
+  SELECT event_type, n, 3, r3,
+         r1 * r1 / (n - 1) + r2 * r2 / (n - 2) + r3 * r3 / (n - 3) FROM rs
+)
+SELECT event_type, CAST(lag AS INTEGER) AS lag, round(r, 6) AS r,
+       round(n * (n + 2.0) * qq, 6) AS q
+FROM un ORDER BY event_type, lag
+"""
+
+
+def q_page_trend(spark, sf):
+    """Page's L ordered-alternative test of the five event types across
+    per-user blocks (operators/nonparam.py::page_l_test): complete
+    blocks only, exact integer cell sums (cross-engine-stable ranks, the
+    friedman_langs hardening). Per-block rank windows ride k-row
+    partitions."""
+    from stackstac_spark.operators.nonparam import page_l_test
+
+    ev = _t(spark, sf, "events")
+    cells = (
+        ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .groupBy("user_id", "event_type")
+        .agg(F.sum(F.floor("value")).cast("double").alias("x"))
+    )
+    return page_l_test(cells, "user_id", "event_type", "x")
+
+
+SQL_PAGE_TREND = """
+WITH cell AS MATERIALIZED (
+  SELECT user_id AS b, event_type AS trt,
+         CAST(sum(CAST(floor(value) AS BIGINT)) AS DOUBLE) AS x
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value) AND event_type IS NOT NULL
+        AND user_id IS NOT NULL
+  GROUP BY user_id, event_type
+),
+kk AS (SELECT count(DISTINCT trt) AS k FROM cell),
+complete AS MATERIALIZED (
+  SELECT b FROM cell GROUP BY b
+  HAVING count(*) = (SELECT k FROM kk)
+     AND count(DISTINCT trt) = (SELECT k FROM kk)
+),
+kept AS (SELECT cell.* FROM cell JOIN complete USING (b)),
+ranked AS (
+  SELECT b, trt,
+         rank() OVER (PARTITION BY b ORDER BY x)
+           + (count(*) OVER (PARTITION BY b, x) - 1) / 2.0 AS r
+  FROM kept
+),
+pos AS (
+  SELECT trt, row_number() OVER (ORDER BY trt) AS j
+  FROM (SELECT DISTINCT trt FROM cell)
+),
+rs AS (SELECT j, sum(r) AS rj FROM ranked JOIN pos USING (trt) GROUP BY j),
+agg AS (
+  SELECT (SELECT sum(j * rj) FROM rs) AS l,
+         (SELECT count(*) FROM complete) AS bb,
+         (SELECT k FROM kk) AS k
+)
+SELECT CAST(bb AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS n_treatments,
+       round(l, 6) AS l_stat,
+       round(bb * k * (k + 1.0) * (k + 1.0) / 4.0, 6) AS l_mean,
+       CASE WHEN bb * ((k*k*k - k) * 1.0) ^ 2 / (144.0 * (k - 1)) > 0
+            THEN round((l - bb * k * (k + 1.0) * (k + 1.0) / 4.0)
+                       / sqrt(bb * ((k*k*k - k) * 1.0) ^ 2 / (144.0 * (k - 1))), 6)
+       END AS z
+FROM agg
+"""
+
+
+def q_stylometry_delta(spark, sf):
+    """Burrows' Delta stylometric distance between sources over the
+    top-150 corpus words (operators/textstats.py::burrows_delta): the
+    provenance screen — near-zero Delta = same pipeline, different
+    label. Everything after one corpus aggregate is dimension-sized."""
+    from stackstac_spark.operators.textstats import burrows_delta
+
+    return burrows_delta(_t(spark, sf, "documents"), "source", top_k=150)
+
+
+SQL_STYLOMETRY_DELTA = """
+WITH toks AS (
+  SELECT g, t FROM (
+    SELECT source AS g,
+           unnest(regexp_split_to_array(lower(text), '[ \t\n\r\f]+')) AS t
+    FROM documents WHERE source IS NOT NULL
+  ) WHERE t <> ''
+),
+counts AS MATERIALIZED (SELECT g, t, count(*) AS c FROM toks GROUP BY g, t),
+vocab AS (
+  SELECT t FROM (
+    SELECT t, sum(c) AS tot FROM counts GROUP BY t
+    ORDER BY tot DESC, t LIMIT 150
+  )
+),
+gtot AS (SELECT g, sum(c) AS gt FROM counts GROUP BY g),
+freq AS MATERIALIZED (
+  SELECT gtot.g, vocab.t,
+         coalesce(counts.c, 0) * 1.0 / gtot.gt AS f
+  FROM gtot CROSS JOIN vocab
+       LEFT JOIN counts ON counts.g = gtot.g AND counts.t = vocab.t
+),
+mom AS (
+  SELECT t, avg(f) AS mu, stddev_samp(f) AS sd FROM freq GROUP BY t
+),
+zs AS MATERIALIZED (
+  SELECT freq.g, freq.t, (f - mu) / sd AS z
+  FROM freq JOIN mom ON mom.t = freq.t
+  WHERE sd > 0
+)
+SELECT a.g AS group_a, b.g AS group_b,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       round(avg(abs(a.z - b.z)), 6) AS delta
+FROM zs a JOIN zs b ON b.t = a.t AND a.g < b.g
+GROUP BY a.g, b.g ORDER BY group_a, group_b
+"""
+
+
+def q_domain_cosine(spark, sf):
+    """TF-IDF cosine between language centroid vectors over the top-200
+    corpus words (operators/textstats.py::tfidf_domain_cosine): the
+    frequency-weighted companion to vocab_overlap. Term-keyed pair join
+    over K x |domains| rows."""
+    from stackstac_spark.operators.textstats import tfidf_domain_cosine
+
+    return tfidf_domain_cosine(_t(spark, sf, "documents"), "lang", top_k=200)
+
+
+SQL_DOMAIN_COSINE = """
+WITH toks AS (
+  SELECT dom, id, t FROM (
+    SELECT lang AS dom, doc_id AS id,
+           unnest(regexp_split_to_array(lower(text), '[ \t\n\r\f]+')) AS t
+    FROM documents WHERE lang IS NOT NULL
+  ) WHERE t <> ''
+),
+counts AS MATERIALIZED (SELECT dom, t, count(*) AS c FROM toks GROUP BY dom, t),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents WHERE lang IS NOT NULL),
+dfreq AS (
+  SELECT t, count(*) AS df FROM (SELECT DISTINCT t, id FROM toks) GROUP BY t
+),
+vocab AS (
+  SELECT v.t, ln((SELECT n FROM nd) * 1.0 / dfreq.df) AS idf
+  FROM (
+    SELECT t FROM (
+      SELECT t, sum(c) AS tot FROM counts GROUP BY t
+      ORDER BY tot DESC, t LIMIT 200
+    )
+  ) v JOIN dfreq ON dfreq.t = v.t
+),
+vec AS MATERIALIZED (
+  SELECT dom, counts.t, c * idf AS w
+  FROM counts JOIN vocab ON vocab.t = counts.t
+),
+norms AS (SELECT dom, sqrt(sum(w * w)) AS nrm FROM vec GROUP BY dom),
+dots AS (
+  SELECT a.dom AS da, b.dom AS db, sum(a.w * b.w) AS dot
+  FROM vec a JOIN vec b ON b.t = a.t AND a.dom < b.dom
+  GROUP BY a.dom, b.dom
+)
+SELECT da AS domain_a, db AS domain_b,
+       round(dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots
+     JOIN norms na ON na.dom = dots.da
+     JOIN norms nb ON nb.dom = dots.db
+ORDER BY domain_a, domain_b
+"""
+
+
+def q_morans_events(spark, sf):
+    """Global Moran's I over the customer grid cells (hash-derived
+    coordinates, the geohash_cells fixture; operators/spatial.py::
+    morans_i): rook-neighbor spatial autocorrelation of per-cell
+    occupancy — neighbor discovery is a shifted-key equi-join, never a
+    distance cross join."""
+    from stackstac_spark.operators.spatial import morans_i
+
+    cust = _t(spark, sf, "customer").select(
+        ((F.col("c_custkey") % 1800) / 10.0 - 90.0 + 0.05).alias("lat"),
+        (((F.col("c_custkey") * 7) % 3600) / 10.0 - 180.0 + 0.05).alias("lon"),
+    )
+    cells = cust.groupBy(
+        F.floor("lat").alias("cy"), F.floor("lon").alias("cx")
+    ).agg(F.count(F.lit(1)).cast("double").alias("occ"))
+    return morans_i(cells, "cy", "cx", "occ")
+
+
+SQL_MORANS_EVENTS = """
+WITH pts AS (
+  SELECT (c_custkey % 1800) / 10.0 - 90.0 + 0.05 AS lat,
+         ((c_custkey * 7) % 3600) / 10.0 - 180.0 + 0.05 AS lon
+  FROM customer
+),
+cells AS MATERIALIZED (
+  SELECT CAST(floor(lat) AS BIGINT) AS y, CAST(floor(lon) AS BIGINT) AS x,
+         count(*) * 1.0 AS v
+  FROM pts GROUP BY 1, 2
+),
+st AS (SELECT count(*) AS n, avg(v) AS m FROM cells),
+z AS MATERIALIZED (
+  SELECT y, x, v - (SELECT m FROM st) AS z FROM cells
+),
+probes AS (
+  SELECT y + dy AS yy, x + dx AS xx, z
+  FROM z, (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) o(dy, dx)
+),
+pairs AS (
+  SELECT p.z AS zi, q.z AS zj
+  FROM probes p JOIN z q ON q.y = p.yy AND q.x = p.xx
+),
+agg AS (SELECT count(*) AS w, sum(zi * zj) AS num FROM pairs),
+ssq AS (SELECT sum(z * z) AS ss FROM z)
+SELECT CAST((SELECT n FROM st) AS BIGINT) AS n_cells,
+       CAST(w AS BIGINT) AS n_neighbor_pairs,
+       round(CASE WHEN w > 0 AND ss > 0
+                  THEN (SELECT n FROM st) * 1.0 / w * num / ss END, 6)
+         AS morans_i,
+       round(-1.0 / ((SELECT n FROM st) - 1), 6) AS expected_i
+FROM agg CROSS JOIN ssq
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- Rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r11,
@@ -17887,6 +18155,11 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "jonckheere": (q_jonckheere, SQL_JONCKHEERE),
     "vocab_overlap": (q_vocab_overlap, SQL_VOCAB_OVERLAP),
     "oov_rate": (q_oov_rate, SQL_OOV_RATE),
+    "ljung_box": (q_ljung_box, SQL_LJUNG_BOX),
+    "page_trend": (q_page_trend, SQL_PAGE_TREND),
+    "stylometry_delta": (q_stylometry_delta, SQL_STYLOMETRY_DELTA),
+    "domain_cosine": (q_domain_cosine, SQL_DOMAIN_COSINE),
+    "morans_events": (q_morans_events, SQL_MORANS_EVENTS),
 }
 
 

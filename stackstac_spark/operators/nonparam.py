@@ -32,6 +32,7 @@ __all__ = [
     "levene_bf",
     "dunn_posthoc",
     "jonckheere_trend",
+    "page_l_test",
 ]
 
 
@@ -826,4 +827,98 @@ def jonckheere_trend(
         F.when(
             var_j > 0, F.round((F.col("__j") - mean_j) / F.sqrt(var_j), round_to)
         ).alias("z"),
+    )
+
+
+def page_l_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Page's L test for an ORDERED alternative in a randomized block
+    design (Page 1963) → one row (n_blocks, n_treatments, l_stat,
+    l_mean, z):
+
+        L      = Σ_j j · R_j      (R_j = rank sum of treatment j across
+                                   blocks; j = the treatment's position
+                                   in natural sort order)
+        E[L]   = b·k(k+1)²/4
+        Var[L] = b·(k³ − k)² / (144(k − 1))   (tie-free form —
+                 conservative under ties, which get average ranks)
+        z      = (L − E[L]) / √Var[L]
+
+    The repeated-measures cousin of [jonckheere_trend]: same directional
+    hypothesis ("quality rises stage by stage"), but each block (user,
+    document, day) contributes its own within-block ranking, so
+    between-block level differences cancel — [friedman_test] without the
+    direction, Page WITH it. Blocks missing any treatment are dropped
+    (the complete-block requirement).
+
+    Plan: one per-block rank window (partitioned by block — parallel,
+    width = k treatments), a broadcast treatment→position map (distinct
+    treatments, dimension-sized), two scalar aggregates. The corpus is
+    expected pre-aggregated to one value per (block, treatment), the
+    friedman_test contract.
+    """
+    base = df.select(
+        F.col(block_col).alias("__b"),
+        F.col(treatment_col).cast("string").alias("__trt"),
+        F.col(value_col).cast("double").alias("__x"),
+    ).filter(
+        F.col("__b").isNotNull()
+        & F.col("__trt").isNotNull()
+        & F.col("__x").isNotNull()
+        & ~F.isnan("__x")
+    )
+    trts = base.select("__trt").distinct()
+    k_row = trts.count()
+    if k_row < 2:
+        raise ValueError(f"page_l_test: need >= 2 treatments, got {k_row}")
+    w_pos = Window.orderBy("__trt")  # bounded: distinct treatments
+    pos = trts.select("__trt", F.row_number().over(w_pos).alias("__j"))
+    # complete blocks only: every treatment present exactly once
+    sizes = base.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.count_distinct("__trt").alias("__ntrt"),
+    )
+    complete = sizes.filter(
+        (F.col("__cnt") == k_row) & (F.col("__ntrt") == k_row)
+    ).select("__b")
+    kept = base.join(complete, "__b")
+    w_rank = Window.partitionBy("__b").orderBy("__x")
+    # average ranks for ties: rank + (ties-1)/2 via cume machinery ==
+    # (rank() + rank() + count(same) - 1) / 2; use the standard
+    # avg-rank identity from two window functions over the k-row block
+    ranked = kept.select(
+        "__b",
+        "__trt",
+        (
+            F.rank().over(w_rank)
+            + (F.count(F.lit(1)).over(
+                Window.partitionBy("__b", "__x")
+            ) - 1) / 2.0
+        ).alias("__r"),
+    )
+    rsums = ranked.join(F.broadcast(pos), "__trt").groupBy("__j").agg(
+        F.sum("__r").alias("__rj")
+    )
+    b_cnt = complete.count()
+    l_agg = rsums.agg(F.sum(F.col("__j") * F.col("__rj")).alias("__l"))
+    kk = float(k_row)
+    bb = float(b_cnt)
+    mean_l = bb * kk * (kk + 1.0) ** 2 / 4.0
+    var_l = bb * (kk**3 - kk) ** 2 / (144.0 * (kk - 1.0))
+    z = (
+        F.round((F.col("__l") - F.lit(mean_l)) / F.lit(var_l**0.5), round_to)
+        if var_l > 0
+        else F.lit(None).cast("double")
+    )
+    return l_agg.select(
+        F.lit(b_cnt).cast("long").alias("n_blocks"),
+        F.lit(k_row).cast("long").alias("n_treatments"),
+        F.round("__l", round_to).alias("l_stat"),
+        F.round(F.lit(mean_l), round_to).alias("l_mean"),
+        z.alias("z"),
     )

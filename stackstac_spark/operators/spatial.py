@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["GEOHASH_ALPHABET", "geohash_encode", "grid_spatial_join", "grid_cluster"]
+__all__ = ["GEOHASH_ALPHABET", "geohash_encode", "grid_spatial_join", "grid_cluster", "morans_i"]
 
 GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
 
@@ -294,4 +294,92 @@ def grid_cluster(
         .join(labels, "pid", "left")
         .join(core.withColumnRenamed("pid", "pid_"), F.col("pid") == F.col("pid_"))
         .select(F.col("pid").alias(point_id), "cluster", "is_core")
+    )
+
+
+def morans_i(
+    cells: DataFrame,
+    y_col: str,
+    x_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Global Moran's I spatial autocorrelation over a PRE-AGGREGATED
+    cell table (Moran 1950, binary rook weights) → one row (n_cells,
+    n_neighbor_pairs, morans_i, expected_i):
+
+        I = (N / W) · Σ_{i~j} z_i z_j / Σ_i z_i²     (z = x − x̄)
+
+    summed over DIRECTED rook-neighbor pairs (each undirected adjacency
+    counts twice, the symmetric-weights convention; W = the directed
+    pair count). E[I] = −1/(N − 1) under spatial randomness — I above
+    it means hot spots cluster, below means checkerboard dispersion.
+    The spatial autocorrelation read on any gridded statistic: per-cell
+    event counts, zonal raster means, per-tile quality scores.
+
+    Input contract: one row per (y, x) cell — aggregate the corpus to
+    its grid FIRST (the [grid_cluster] / kaplan_meier pre-aggregation
+    convention). Duplicate cells raise.
+
+    Plan: neighbor discovery is one self-equi-join on the 4 shifted
+    integer keys (explode of a 4-element literal array — never a
+    distance cross join), plus two scalar aggregates. Linear in cells.
+    """
+    base = cells.select(
+        F.col(y_col).cast("long").alias("__y"),
+        F.col(x_col).cast("long").alias("__x"),
+        F.col(value_col).cast("double").alias("__v"),
+    ).filter(
+        F.col("__y").isNotNull() & F.col("__x").isNotNull()
+        & F.col("__v").isNotNull() & ~F.isnan("__v")
+    ).localCheckpoint()
+    n_tot = base.count()
+    n_dist = base.select("__y", "__x").distinct().count()
+    if n_tot != n_dist:
+        raise ValueError(
+            f"morans_i: {n_tot - n_dist} duplicate (y, x) cells — "
+            "aggregate to one value per cell first."
+        )
+    if n_tot < 2:
+        raise ValueError(f"morans_i: need >= 2 cells, got {n_tot}")
+    mean_row = base.agg(F.avg("__v").alias("m")).first()
+    m = float(mean_row["m"])
+    z = base.select("__y", "__x", (F.col("__v") - F.lit(m)).alias("__z"))
+    # each cell emits its 4 rook-neighbor addresses; the equi-join keeps
+    # the addresses that exist — boundary cells simply match fewer
+    offs = F.array(
+        F.struct(F.lit(1).alias("dy"), F.lit(0).alias("dx")),
+        F.struct(F.lit(-1).alias("dy"), F.lit(0).alias("dx")),
+        F.struct(F.lit(0).alias("dy"), F.lit(1).alias("dx")),
+        F.struct(F.lit(0).alias("dy"), F.lit(-1).alias("dx")),
+    )
+    probes = z.select(
+        "__z", F.explode(offs).alias("__o"), "__y", "__x"
+    ).select(
+        (F.col("__y") + F.col("__o.dy")).alias("__y"),
+        (F.col("__x") + F.col("__o.dx")).alias("__x"),
+        F.col("__z").alias("__zi"),
+    )
+    pairs = probes.join(
+        z.select("__y", "__x", F.col("__z").alias("__zj")), ["__y", "__x"]
+    )
+    cross = pairs.agg(
+        F.count(F.lit(1)).alias("__w"),
+        F.sum(F.col("__zi") * F.col("__zj")).alias("__num"),
+    )
+    ss = z.agg(F.sum(F.col("__z") * F.col("__z")).alias("__ss"))
+    j = (
+        cross.withColumn("__k", F.lit(1))
+        .join(F.broadcast(ss.withColumn("__k", F.lit(1))), "__k")
+        .drop("__k")
+    )
+    i_val = F.when(
+        (F.col("__w") > 0) & (F.col("__ss") > 0),
+        F.lit(float(n_tot)) / F.col("__w") * F.col("__num") / F.col("__ss"),
+    )
+    return j.select(
+        F.lit(n_tot).cast("long").alias("n_cells"),
+        F.col("__w").cast("long").alias("n_neighbor_pairs"),
+        F.round(i_val, round_to).alias("morans_i"),
+        F.round(F.lit(-1.0 / (n_tot - 1)), round_to).alias("expected_i"),
     )

@@ -2467,3 +2467,186 @@ def oov_rate(
             "oov_rate"
         ),
     ).orderBy("domain")
+
+
+def burrows_delta(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    top_k: int = 150,
+    round_to: int = 6,
+) -> DataFrame:
+    """Burrows' Delta stylometric distance between author/source groups
+    (Burrows 2002, the standard attribution measure) → one row per
+    unordered group pair: (group_a, group_b, n_terms, delta) with
+
+        f_gw  = count of word w in group g / group g's token total
+        z_gw  = (f_gw − mean_g' f_g'w) / stddev_g' f_g'w
+        Delta = mean over the top-``top_k`` corpus words |z_aw − z_bw|
+
+    over the corpus's most frequent words (the classic function-word
+    proxy — style lives in 'the/of/and' rates, content in the tail).
+    Words whose frequency is CONSTANT across groups (sd = 0) carry no
+    stylometric signal and are excluded from the mean; ``n_terms`` is
+    the per-pair surviving word count. The provenance/contamination
+    screen: a "new" source whose Delta to an existing one is near 0 is
+    the same pipeline wearing a different label.
+
+    Plan: one (group, term) corpus aggregate, TakeOrdered global top-K
+    (no vocabulary sort shuffle), a dense group×word grid (missing word
+    → frequency 0), per-word moments ACROSS groups (word-keyed
+    aggregate over |groups| rows), and a word-keyed pair join over
+    K·|groups| rows — everything after the first aggregate is
+    dimension-sized.
+    """
+    from pyspark.sql import Window  # noqa: F401  (module convention)
+
+    toks = df.select(
+        F.col(group_col).alias("__g"),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), r"[ \t\n\r\f]+")
+        ).alias("__t"),
+    ).filter((F.col("__t") != "") & F.col("__g").isNotNull())
+    counts = toks.groupBy("__g", "__t").agg(
+        F.count(F.lit(1)).alias("__c")
+    ).localCheckpoint()
+    vocab = (
+        counts.groupBy("__t")
+        .agg(F.sum("__c").alias("__tot"))
+        .orderBy(F.desc("__tot"), F.asc("__t"))
+        .limit(top_k)
+        .select("__t")
+    )
+    gtot = counts.groupBy("__g").agg(F.sum("__c").alias("__gt"))
+    grid = (
+        gtot.withColumn("__k", F.lit(1))
+        .join(F.broadcast(vocab.withColumn("__k", F.lit(1))), "__k")
+        .drop("__k")
+    )
+    freq = (
+        grid.join(counts, ["__g", "__t"], "left")
+        .select(
+            "__g",
+            "__t",
+            (F.coalesce("__c", F.lit(0)) / F.col("__gt").cast("double")).alias("__f"),
+        )
+        .localCheckpoint()
+    )
+    moments = freq.groupBy("__t").agg(
+        F.avg("__f").alias("__mu"), F.stddev_samp("__f").alias("__sd")
+    )
+    zs = (
+        freq.join(F.broadcast(moments), "__t")
+        .filter(F.col("__sd") > 0)
+        .select(
+            "__g", "__t", ((F.col("__f") - F.col("__mu")) / F.col("__sd")).alias("__z")
+        )
+    )
+    pairs = (
+        zs.select(F.col("__g").alias("__ga"), "__t", F.col("__z").alias("__za"))
+        .join(
+            zs.select(F.col("__g").alias("__gb"), "__t", F.col("__z").alias("__zb")),
+            "__t",
+        )
+        .filter(F.col("__ga") < F.col("__gb"))
+    )
+    return (
+        pairs.groupBy("__ga", "__gb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.round(F.avg(F.abs(F.col("__za") - F.col("__zb"))), round_to).alias(
+                "delta"
+            ),
+        )
+        .select(
+            F.col("__ga").alias("group_a"),
+            F.col("__gb").alias("group_b"),
+            "n_terms",
+            "delta",
+        )
+        .orderBy("group_a", "group_b")
+    )
+
+
+def tfidf_domain_cosine(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 200,
+    round_to: int = 6,
+) -> DataFrame:
+    """TF-IDF cosine similarity between domain centroid vectors → one
+    row per unordered domain pair: (domain_a, domain_b, cosine) with
+    each domain represented by the vector (count of w in domain) ·
+    ln(N_docs / df_w) over the top-``top_k`` corpus words.
+
+    The frequency-weighted companion to [vocab_overlap] (which reads
+    set membership only) and the sparse-lexical analogue of
+    [embedding_centroids]: high cosine = candidates for merging a
+    mixture bucket; near-zero = distinct registers that need their own
+    quality thresholds.
+
+    Plan: one (domain, term) corpus aggregate + one (term, doc) distinct
+    projection for df (the second corpus pass — IDF needs document
+    frequency, not collection frequency), TakeOrdered top-K vocab,
+    broadcast IDF join, norm aggregates, and a term-keyed pair join over
+    K·|domains| rows.
+    """
+    toks = df.select(
+        F.col(domain_col).alias("__dom"),
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), r"[ \t\n\r\f]+")
+        ).alias("__t"),
+    ).filter((F.col("__t") != "") & F.col("__dom").isNotNull())
+    counts = toks.groupBy("__dom", "__t").agg(
+        F.count(F.lit(1)).alias("__c")
+    ).localCheckpoint()
+    n_docs = df.filter(F.col(domain_col).isNotNull()).select(id_col).distinct().count()
+    dfreq = toks.select("__t", "__id").distinct().groupBy("__t").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    vocab = (
+        counts.groupBy("__t")
+        .agg(F.sum("__c").alias("__tot"))
+        .orderBy(F.desc("__tot"), F.asc("__t"))
+        .limit(top_k)
+        .select("__t")
+        .join(dfreq, "__t")
+        .select("__t", F.log(F.lit(float(n_docs)) / F.col("__df")).alias("__idf"))
+    )
+    vec = counts.join(F.broadcast(vocab), "__t").select(
+        "__dom", "__t", (F.col("__c") * F.col("__idf")).alias("__w")
+    ).localCheckpoint()
+    norms = vec.groupBy("__dom").agg(
+        F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__nrm")
+    )
+    dots = (
+        vec.select(F.col("__dom").alias("__da"), "__t", F.col("__w").alias("__wa"))
+        .join(
+            vec.select(F.col("__dom").alias("__db"), "__t", F.col("__w").alias("__wb")),
+            "__t",
+        )
+        .filter(F.col("__da") < F.col("__db"))
+        .groupBy("__da", "__db")
+        .agg(F.sum(F.col("__wa") * F.col("__wb")).alias("__dot"))
+    )
+    out = (
+        dots.join(
+            F.broadcast(norms.select(F.col("__dom").alias("__da"), F.col("__nrm").alias("__na"))),
+            "__da",
+        )
+        .join(
+            F.broadcast(norms.select(F.col("__dom").alias("__db"), F.col("__nrm").alias("__nb"))),
+            "__db",
+        )
+        .select(
+            F.col("__da").alias("domain_a"),
+            F.col("__db").alias("domain_b"),
+            F.round(
+                F.try_divide(F.col("__dot"), F.col("__na") * F.col("__nb")), round_to
+            ).alias("cosine"),
+        )
+    )
+    return out.orderBy("domain_a", "domain_b")

@@ -21,6 +21,7 @@ __all__ = [
     "theil_sen",
     "durbin_watson",
     "runs_test",
+    "ljung_box",
 ]
 
 
@@ -679,3 +680,126 @@ def runs_test(
             F.round((F.col("n_runs") - mu) / F.sqrt(var), round_to),
         ).alias("z"),
     )
+
+
+def ljung_box(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    max_lag: int = 3,
+    round_to: int = 6,
+    max_points: int | None = 100_000,
+) -> DataFrame:
+    """Ljung-Box portmanteau test on a PRE-AGGREGATED series per group
+    (Ljung & Box 1978) → one row per (group, lag ≤ ``max_lag``):
+    (group_cols..., lag, r, q) with
+
+        r_k = Σ_{t>k} (x_t − x̄)(x_{t−k} − x̄) / Σ_t (x_t − x̄)²
+        Q_k = n(n+2) Σ_{j≤k} r_j² / (n − j)
+
+    — "is anything left in the residuals?" after a trend/seasonal fit
+    ([seasonal_decompose], [ols_trend]): Q_k ~ χ²(k) under whiteness, so
+    a large Q at small lag means structure remains. Lags are ROW lags
+    over the time-ordered series (a dense re-index — gaps in the
+    timestamp axis do not create phantom zero products).
+
+    Same input contract as [mann_kendall]: the caller aggregates the
+    corpus to (group, t, value) FIRST (daily totals, hourly means);
+    ``max_points`` fail-fasts (eager, one count job at build time) when
+    a group's series would funnel one window task, and duplicate
+    timestamps in a group raise (lag algebra needs one x per t).
+
+    Plan: one per-group row_number window (partitioned — parallel across
+    groups), ONE lag self-equi-join against the offsets 1..max_lag
+    (explode on the small side), per-(group, lag) aggregates, and a
+    ≤max_lag-row cumulative window per group for Q.
+    """
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    groups = list(group_cols or [])
+    x = F.col(value_col).cast("double")
+    base = df.filter(
+        F.col(time_col).isNotNull() & x.isNotNull() & ~F.isnan(x)
+    ).select(*groups, F.col(time_col).alias("__t"), x.alias("__x"))
+    stats = base.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count_distinct("__t").alias("__nt"),
+        F.avg("__x").alias("__m"),
+    ).localCheckpoint()
+    guard = stats.agg(
+        F.max("__n").alias("mx"), F.min((F.col("__nt") == F.col("__n")).cast("int")).alias("uniq")
+    ).first()
+    if guard["mx"] is not None and guard["uniq"] == 0:
+        raise ValueError(
+            "ljung_box: duplicate timestamps within a group — aggregate "
+            "to one value per (group, t) first."
+        )
+    if max_points is not None and guard["mx"] is not None and guard["mx"] > max_points:
+        raise ValueError(
+            f"ljung_box: a group has {guard['mx']} points "
+            f"(> max_points={max_points}); aggregate to a coarser grain."
+        )
+    w_idx = (
+        Window.partitionBy(*groups).orderBy("__t")
+        if groups
+        else Window.orderBy("__t")
+    )
+    idx = base.select(*groups, "__x", F.row_number().over(w_idx).alias("__i"))
+    centered = idx.join(F.broadcast(stats), groups) if groups else idx.crossJoin(
+        F.broadcast(stats)
+    )
+    centered = centered.select(
+        *groups, "__i", (F.col("__x") - F.col("__m")).alias("__z"), "__n"
+    ).localCheckpoint()
+    ss = centered.groupBy(*groups).agg(
+        F.sum(F.col("__z") * F.col("__z")).alias("__ss")
+    )
+    lags = centered.sparkSession.range(1, max_lag + 1).select(
+        F.col("id").cast("int").alias("__lag")
+    )
+    # constant-key equi-join against the tiny lag axis (BroadcastHashJoin,
+    # never a nested-loop plan — the kendall_tau_b pattern)
+    b = (
+        centered.select(
+            *groups, F.col("__i").alias("__ib"), F.col("__z").alias("__zb")
+        )
+        .withColumn("__k", F.lit(1))
+        .join(F.broadcast(lags.withColumn("__k", F.lit(1))), "__k")
+        .drop("__k")
+    )
+    keys = groups + ["__i"]
+    a = centered.select(*groups, "__i", "__z", "__n")
+    paired = a.join(
+        b.withColumnRenamed("__ib", "__i_from").withColumn(
+            "__i", F.col("__i_from") + F.col("__lag")
+        ),
+        keys,
+    )
+    per_lag = paired.groupBy(*groups, "__lag").agg(
+        F.sum(F.col("__z") * F.col("__zb")).alias("__num"),
+        F.max("__n").alias("__n"),
+    )
+    r_tab = per_lag.join(ss, groups) if groups else per_lag.crossJoin(
+        F.broadcast(ss)
+    )
+    r_tab = r_tab.select(
+        *groups, "__lag", "__n", F.try_divide("__num", "__ss").alias("__r")
+    )
+    w_cum = (
+        Window.partitionBy(*groups)
+        .orderBy("__lag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+        if groups
+        else Window.orderBy("__lag").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    nn = F.col("__n").cast("double")
+    q = nn * (nn + 2.0) * F.sum(
+        F.col("__r") * F.col("__r") / (nn - F.col("__lag"))
+    ).over(w_cum)
+    return r_tab.select(
+        *groups,
+        F.col("__lag").alias("lag"),
+        F.round("__r", round_to).alias("r"),
+        F.round(q, round_to).alias("q"),
+    ).orderBy(*groups, "lag")
