@@ -17786,6 +17786,244 @@ FROM agg CROSS JOIN ssq
 """
 
 
+def q_ols_price(spark, sf):
+    """Two-feature OLS of extended price on quantity and discount per
+    return flag (operators/mlfit.py::ols_multi): closed-form normal-
+    equation solve from ONE covariance aggregate — the scalable
+    regression shape (corpus → nine moments → algebra)."""
+    from stackstac_spark.operators.mlfit import ols_multi
+
+    li = _t(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("double").alias("qty"),
+        F.col("l_discount").cast("double").alias("disc"),
+        F.col("l_extendedprice").cast("double").alias("price"),
+    )
+    return ols_multi(li, "price", "qty", "disc", ["l_returnflag"])
+
+
+SQL_OLS_PRICE = """
+WITH mom AS (
+  SELECT l_returnflag, count(*) AS n,
+         avg(l_extendedprice) AS my, avg(l_quantity) AS m1,
+         avg(l_discount) AS m2,
+         var_samp(l_quantity) AS v11, var_samp(l_discount) AS v22,
+         covar_samp(l_quantity, l_discount) AS v12,
+         covar_samp(l_quantity, l_extendedprice) AS c1,
+         covar_samp(l_discount, l_extendedprice) AS c2,
+         var_samp(l_extendedprice) AS vy
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        AND l_discount IS NOT NULL
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       CASE WHEN n >= 3 AND v11 * v22 - v12 * v12 > 0
+            THEN round(my - (v22 * c1 - v12 * c2) / (v11 * v22 - v12 * v12) * m1
+                          - (v11 * c2 - v12 * c1) / (v11 * v22 - v12 * v12) * m2, 6)
+       END AS b0,
+       CASE WHEN n >= 3 AND v11 * v22 - v12 * v12 > 0
+            THEN round((v22 * c1 - v12 * c2) / (v11 * v22 - v12 * v12), 6)
+       END AS b1,
+       CASE WHEN n >= 3 AND v11 * v22 - v12 * v12 > 0
+            THEN round((v11 * c2 - v12 * c1) / (v11 * v22 - v12 * v12), 6)
+       END AS b2,
+       CASE WHEN n >= 3 AND v11 * v22 - v12 * v12 > 0
+            THEN round(((v22 * c1 - v12 * c2) / (v11 * v22 - v12 * v12) * c1
+                        + (v11 * c2 - v12 * c1) / (v11 * v22 - v12 * v12) * c2)
+                       / vy, 6)
+       END AS r2
+FROM mom ORDER BY l_returnflag
+"""
+
+
+def q_mahalanobis_audit(spark, sf):
+    """Bivariate Mahalanobis outlier screen over per-customer order
+    behavior (operators/mlfit.py::mahalanobis_outliers): customers off
+    the joint (order count, total spend) ellipse at the chi-square(2)
+    0.999 bar — the correlation-aware audit univariate z-scores miss.
+    One covariance aggregate + broadcast + filter."""
+    from stackstac_spark.operators.mlfit import mahalanobis_outliers
+
+    per_cust = (
+        _t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_orders"),
+            F.sum("o_totalprice").cast("double").alias("spend"),
+        )
+    )
+    return mahalanobis_outliers(per_cust, "n_orders", "spend").orderBy("o_custkey")
+
+
+SQL_MAHALANOBIS_AUDIT = """
+WITH base AS MATERIALIZED (
+  SELECT o_custkey, CAST(count(*) AS DOUBLE) AS n_orders,
+         CAST(sum(o_totalprice) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+),
+mom AS (
+  SELECT avg(n_orders) AS mx, avg(spend) AS my,
+         var_samp(n_orders) AS vxx, var_samp(spend) AS vyy,
+         covar_samp(n_orders, spend) AS vxy
+  FROM base
+)
+SELECT o_custkey, n_orders, spend, round(d2, 6) AS mahal_d2 FROM (
+  SELECT o_custkey, n_orders, spend,
+         ((n_orders - mx) ^ 2 * vyy
+          - 2 * (n_orders - mx) * (spend - my) * vxy
+          + (spend - my) ^ 2 * vxx) / (vxx * vyy - vxy * vxy) AS d2
+  FROM base, mom
+  WHERE vxx * vyy - vxy * vxy > 0
+)
+WHERE round(d2, 6) >= 13.815511
+ORDER BY o_custkey
+"""
+
+
+def q_oner_baseline(spark, sf):
+    """OneR single-feature baseline predicting a document's language
+    from its source and its size bucket (operators/mlfit.py::one_rule):
+    the sanity floor a trained classifier must beat, and a leakage
+    tripwire (accuracy ~1.0 = label in disguise). Per-feature
+    (value, label) aggregates, dimension-sized after the scan."""
+    from stackstac_spark.operators.mlfit import one_rule
+
+    docs = _t(spark, sf, "documents").select(
+        "lang",
+        "source",
+        F.concat(F.lit("b"), F.floor(F.col("n_chars") / 200).cast("string")).alias(
+            "size_bucket"
+        ),
+    )
+    return one_rule(docs, "lang", ["source", "size_bucket"])
+
+
+SQL_ONER_BASELINE = """
+WITH docs AS MATERIALIZED (
+  SELECT lang, source,
+         'b' || CAST(CAST(floor(n_chars / 200) AS BIGINT) AS VARCHAR)
+           AS size_bucket
+  FROM documents WHERE lang IS NOT NULL
+),
+f1 AS (
+  SELECT coalesce(source, '__NULL__') AS v, CAST(lang AS VARCHAR) AS y,
+         count(*) AS c
+  FROM docs GROUP BY 1, 2
+),
+f2 AS (
+  SELECT coalesce(size_bucket, '__NULL__') AS v, CAST(lang AS VARCHAR) AS y,
+         count(*) AS c
+  FROM docs GROUP BY 1, 2
+),
+p1 AS (
+  SELECT 'source' AS feature, count(*) AS n_values, sum(top_c) AS correct,
+         sum(tot_c) AS total
+  FROM (
+    SELECT v, max(CASE WHEN rn = 1 THEN c END) AS top_c, sum(c) AS tot_c
+    FROM (SELECT v, y, c,
+                 row_number() OVER (PARTITION BY v ORDER BY c DESC, y) AS rn
+          FROM f1)
+    GROUP BY v
+  )
+),
+p2 AS (
+  SELECT 'size_bucket' AS feature, count(*) AS n_values, sum(top_c) AS correct,
+         sum(tot_c) AS total
+  FROM (
+    SELECT v, max(CASE WHEN rn = 1 THEN c END) AS top_c, sum(c) AS tot_c
+    FROM (SELECT v, y, c,
+                 row_number() OVER (PARTITION BY v ORDER BY c DESC, y) AS rn
+          FROM f2)
+    GROUP BY v
+  )
+),
+allf AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+SELECT feature, CAST(n_values AS BIGINT) AS n_values,
+       CAST(correct AS BIGINT) AS correct,
+       round(correct * 1.0 / total, 6) AS accuracy,
+       row_number() OVER (ORDER BY correct * 1.0 / total DESC, feature) = 1
+         AS best
+FROM allf ORDER BY accuracy DESC, feature
+"""
+
+
+def q_weighted_median_docs(spark, sf):
+    """Exact weighted length quantiles per language
+    (operators/sketch.py::weighted_quantiles): deterministic doc_id-hash
+    weights stand in for dedup cluster sizes — the duplication-aware
+    corpus statistic. One distinct-value aggregate + bounded cumulative
+    window."""
+    from stackstac_spark.operators.sketch import weighted_quantiles
+
+    docs = _t(spark, sf, "documents").select(
+        "lang",
+        F.col("n_chars").cast("double").alias("len"),
+        ((F.col("doc_id") % 7) + 1).cast("double").alias("wt"),
+    )
+    return weighted_quantiles(docs, "len", "wt", group_cols=["lang"])
+
+
+SQL_WEIGHTED_MEDIAN_DOCS = """
+WITH base AS (
+  SELECT lang, CAST(n_chars AS DOUBLE) AS v,
+         CAST(doc_id % 7 + 1 AS DOUBLE) AS w
+  FROM documents
+  WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+),
+per_v AS (SELECT lang, v, sum(w) AS wv FROM base GROUP BY lang, v),
+cum AS (
+  SELECT lang, v,
+         sum(wv) OVER (PARTITION BY lang ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         sum(wv) OVER (PARTITION BY lang) AS tw
+  FROM per_v
+),
+probs AS (SELECT unnest([0.25, 0.5, 0.75]) AS prob)
+SELECT lang, prob, min(v) AS quantile
+FROM cum JOIN probs ON cw >= prob * tw
+GROUP BY lang, prob ORDER BY lang, prob
+"""
+
+
+def q_skyline_parts(spark, sf):
+    """Sales skyline over parts (operators/skyline.py::skyline_2d):
+    the (total quantity, total revenue) Pareto frontier — no other part
+    sold both more units and more value. One per-part aggregate + one
+    bounded suffix-max window over distinct quantity totals."""
+    from stackstac_spark.operators.skyline import skyline_2d
+
+    per_part = (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("units"),
+            F.sum("l_extendedprice").cast("double").alias("revenue"),
+        )
+    )
+    return skyline_2d(per_part, "units", "revenue")
+
+
+SQL_SKYLINE_PARTS = """
+WITH per_part AS (
+  SELECT l_partkey, CAST(sum(l_quantity) AS DOUBLE) AS units,
+         CAST(sum(l_extendedprice) AS DOUBLE) AS revenue
+  FROM lineitem GROUP BY l_partkey
+),
+per_x AS (SELECT units AS x, max(revenue) AS my FROM per_part GROUP BY units),
+flagged AS (
+  SELECT x, my,
+         max(my) OVER (ORDER BY x DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS suf
+  FROM per_x
+)
+SELECT x, my AS y FROM flagged
+WHERE suf IS NULL OR my > suf
+ORDER BY x DESC
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- Rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r11,
@@ -18160,6 +18398,11 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "stylometry_delta": (q_stylometry_delta, SQL_STYLOMETRY_DELTA),
     "domain_cosine": (q_domain_cosine, SQL_DOMAIN_COSINE),
     "morans_events": (q_morans_events, SQL_MORANS_EVENTS),
+    "ols_price": (q_ols_price, SQL_OLS_PRICE),
+    "mahalanobis_audit": (q_mahalanobis_audit, SQL_MAHALANOBIS_AUDIT),
+    "oner_baseline": (q_oner_baseline, SQL_ONER_BASELINE),
+    "weighted_median_docs": (q_weighted_median_docs, SQL_WEIGHTED_MEDIAN_DOCS),
+    "skyline_parts": (q_skyline_parts, SQL_SKYLINE_PARTS),
 }
 
 

@@ -36,6 +36,9 @@ __all__ = [
     "label_noise_flags",
     "quantile_match",
     "dataset_cartography",
+    "ols_multi",
+    "mahalanobis_outliers",
+    "one_rule",
 ]
 
 
@@ -803,4 +806,204 @@ def dataset_cartography(
         F.count(F.lit(1)).cast("long").alias("n_examples"),
         F.round(F.avg("__conf"), round_to).alias("avg_confidence"),
         F.round(F.avg("__var"), round_to).alias("avg_variability"),
+    )
+
+
+def ols_multi(
+    df: DataFrame,
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+    group_cols: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-feature OLS with intercept per group, solved in closed form
+    from covariance aggregates → (group_cols..., n, b0, b1, b2, r2):
+
+        [b1 b2]ᵀ = Σ⁻¹ c   with Σ = [[v11, v12], [v12, v22]],
+                           c = [cov(x1,y), cov(x2,y)]
+        b0 = ȳ − b1·x̄1 − b2·x̄2,
+        R² = (b1·cov(x1,y) + b2·cov(x2,y)) / var(y)
+
+    — the multivariate step past [ols_trend] (one regressor): length AND
+    punctuation rate against quality, time AND payload against latency.
+    This is THE scalable regression shape: the corpus collapses to nine
+    moments in ONE aggregate (Spark's single-pass centered covariance
+    update — numerically stable, no raw-power-sum cancellation) and the
+    2×2 solve is closed-form algebra. NULL coefficients when the design
+    is collinear (det ≤ 0 within float) or n < 3.
+
+    For d ≫ 2 features the same pattern holds (d² covariance aggregates
+    + a driver-side solve); the two-feature closed form is what an
+    external SQL engine can replay exactly.
+    """
+    groups = list(group_cols or [])
+    y = F.col(y_col).cast("double")
+    x1 = F.col(x1_col).cast("double")
+    x2 = F.col(x2_col).cast("double")
+    base = df.filter(
+        y.isNotNull() & ~F.isnan(y)
+        & x1.isNotNull() & ~F.isnan(x1)
+        & x2.isNotNull() & ~F.isnan(x2)
+    ).select(*groups, y.alias("__y"), x1.alias("__x1"), x2.alias("__x2"))
+    mom = base.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("__y").alias("__my"),
+        F.avg("__x1").alias("__m1"),
+        F.avg("__x2").alias("__m2"),
+        F.var_samp("__x1").alias("__v11"),
+        F.var_samp("__x2").alias("__v22"),
+        F.covar_samp("__x1", "__x2").alias("__v12"),
+        F.covar_samp("__x1", "__y").alias("__c1"),
+        F.covar_samp("__x2", "__y").alias("__c2"),
+        F.var_samp("__y").alias("__vy"),
+    )
+    det = F.col("__v11") * F.col("__v22") - F.col("__v12") * F.col("__v12")
+    b1 = (F.col("__v22") * F.col("__c1") - F.col("__v12") * F.col("__c2")) / det
+    b2 = (F.col("__v11") * F.col("__c2") - F.col("__v12") * F.col("__c1")) / det
+    b0 = F.col("__my") - b1 * F.col("__m1") - b2 * F.col("__m2")
+    r2 = F.try_divide(b1 * F.col("__c1") + b2 * F.col("__c2"), F.col("__vy"))
+    ok = (F.col("__n") >= 3) & (det > 0)
+    out = mom.select(
+        *groups,
+        F.col("__n").cast("long").alias("n"),
+        F.when(ok, F.round(b0, round_to)).alias("b0"),
+        F.when(ok, F.round(b1, round_to)).alias("b1"),
+        F.when(ok, F.round(b2, round_to)).alias("b2"),
+        F.when(ok, F.round(r2, round_to)).alias("r2"),
+    )
+    return out.orderBy(*groups) if groups else out
+
+
+def mahalanobis_outliers(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+    threshold: float = 13.815511,
+    round_to: int = 6,
+) -> DataFrame:
+    """Bivariate Mahalanobis-distance outlier screen per group → the
+    input columns + (mahal_d2), filtered to d² ≥ ``threshold`` (default
+    = the χ²(2) 0.999 quantile):
+
+        d²(x, y) = [ (x−x̄)²·v22 − 2(x−x̄)(y−ȳ)·v12 + (y−ȳ)²·v11 ] / det
+
+    — the correlation-aware generalization of the per-column z-score
+    screens ([grubbs_stat], [mad_outliers]): a point can be ordinary in
+    x and in y yet wildly off the joint ellipse (long doc with tiny
+    vocabulary; heavy user with zero purchases) — exactly the rows a
+    univariate audit misses.
+
+    Plan: one covariance aggregate per group (the ols_multi moments),
+    broadcast back, one filter — two corpus scans, no window, no Python.
+    Degenerate groups (det ≤ 0: constant or collinear columns) emit no
+    rows (there is no joint ellipse to be outside of).
+    """
+    groups = list(group_cols or [])
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.filter(
+        x.isNotNull() & ~F.isnan(x) & y.isNotNull() & ~F.isnan(y)
+    )
+    mom = base.groupBy(*groups).agg(
+        F.avg(x).alias("__mx"),
+        F.avg(y).alias("__my"),
+        F.var_samp(x).alias("__vxx"),
+        F.var_samp(y).alias("__vyy"),
+        F.covar_samp(x, y).alias("__vxy"),
+    )
+    joined = (
+        base.join(F.broadcast(mom), groups)
+        if groups
+        else base.crossJoin(F.broadcast(mom))
+    )
+    det = F.col("__vxx") * F.col("__vyy") - F.col("__vxy") * F.col("__vxy")
+    dx = x - F.col("__mx")
+    dy = y - F.col("__my")
+    d2 = (
+        dx * dx * F.col("__vyy")
+        - 2.0 * dx * dy * F.col("__vxy")
+        + dy * dy * F.col("__vxx")
+    ) / det
+    return (
+        joined.filter(det > 0)
+        .select(*df.columns, F.round(d2, round_to).alias("mahal_d2"))
+        .filter(F.col("mahal_d2") >= threshold)
+    )
+
+
+def one_rule(
+    df: DataFrame,
+    label_col: str,
+    feature_cols: list[str],
+    round_to: int = 6,
+) -> DataFrame:
+    """OneR baseline classifier (Holte 1993: "very simple classification
+    rules perform surprisingly well") → one row per candidate feature:
+    (feature, n_values, correct, accuracy, best) where each feature's
+    rule predicts the majority label per feature value (ties → smallest
+    label) and ``best`` marks the highest-accuracy feature (ties →
+    feature name order).
+
+    The sanity floor every trained quality classifier must beat — if
+    [quality_logreg] barely outperforms the best single-feature rule,
+    the extra features are not pulling weight. Also a leakage tripwire:
+    a feature whose OneR accuracy is ~1.0 IS the label in disguise
+    (the [leakage_audit] companion).
+
+    Plan: per feature, one (value, label) count aggregate (map-side
+    combined) + a value-keyed max_by majority pick — all |values|-sized
+    after the scan; the per-feature passes union into one result. Null
+    feature values form their own stratum (a real classifier must route
+    them somewhere); null labels are excluded.
+    """
+    if not feature_cols:
+        raise ValueError("one_rule: need at least one feature column")
+    lbl = F.col(label_col)
+    parts = []
+    for feat in feature_cols:
+        base = df.filter(lbl.isNotNull()).select(
+            F.coalesce(F.col(feat).cast("string"), F.lit("__NULL__")).alias("__v"),
+            lbl.cast("string").alias("__y"),
+        )
+        counts = base.groupBy("__v", "__y").agg(F.count(F.lit(1)).alias("__c"))
+        parts.append((feat, counts))
+    outs = []
+    for feat, counts in parts:
+        w_sum = counts.groupBy().agg(F.sum("__c").alias("__tot"))
+        # deterministic majority per value: min_by over (-count, label)
+        # — highest count wins, ties go to the smallest label
+        best_per_v = counts.groupBy("__v").agg(
+            F.min_by(
+                F.struct(F.col("__c").alias("c"), F.col("__y").alias("y")),
+                F.struct((-F.col("__c")).alias("nc"), F.col("__y").alias("y")),
+            ).alias("__pick")
+        )
+        correct = best_per_v.agg(
+            F.count(F.lit(1)).cast("long").alias("n_values"),
+            F.sum(F.col("__pick.c")).cast("long").alias("correct"),
+        )
+        row = (
+            correct.withColumn("__k", F.lit(1))
+            .join(F.broadcast(w_sum.withColumn("__k", F.lit(1))), "__k")
+            .select(
+                F.lit(feat).alias("feature"),
+                "n_values",
+                "correct",
+                F.round(
+                    F.col("correct") / F.col("__tot").cast("double"), round_to
+                ).alias("accuracy"),
+            )
+        )
+        outs.append(row)
+    from pyspark.sql import Window
+
+    allf = outs[0]
+    for o in outs[1:]:
+        allf = allf.unionByName(o)
+    w = Window.orderBy(F.desc("accuracy"), F.asc("feature"))  # bounded: |features|
+    return (
+        allf.select("*", (F.row_number().over(w) == 1).alias("best"))
+        .orderBy(F.desc("accuracy"), "feature")
     )

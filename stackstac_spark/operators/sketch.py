@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["heavy_hitters", "hll_distinct", "kmv_distinct", "kmv_set_ops", "ddsketch_quantiles"]
+__all__ = ["heavy_hitters", "hll_distinct", "kmv_distinct", "kmv_set_ops", "ddsketch_quantiles", "weighted_quantiles"]
 
 # 2^55 — the fixed-point scale for HLL register sums (see hll_distinct)
 _HLL_SCALE = 1 << 55
@@ -708,4 +708,83 @@ def winsorized_mean(
         F.when(
             F.col("n") > 0, F.round(total / F.col("n"), round_to)
         ).alias("winsorized_mean"),
+    )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    group_cols: list[str] | None = None,
+    max_distinct: int | None = 1_000_000,
+) -> DataFrame:
+    """Exact WEIGHTED quantiles per group → one row per (group, prob):
+    (group_cols..., prob, quantile) where the p-quantile is the smallest
+    value whose cumulative weight reaches p · total weight (the
+    left-continuous inverse-CDF convention; negative/zero/null weights
+    are excluded).
+
+    The duplication-aware corpus statistic: after dedup assigns each
+    canonical document its cluster size as weight, the UNWEIGHTED median
+    length describes unique texts while the weighted one describes the
+    corpus a model would actually train on — these differ exactly when
+    duplication correlates with the measured property (boilerplate is
+    short AND viral).
+
+    Plan: the trimmed_mean machinery — one (group, value) weight-sum
+    aggregate, one cumulative window over the bounded distinct-value
+    axis (``max_distinct`` fail-fast), then a probs-keyed min aggregate.
+    The probs axis joins as a broadcast literal table; no per-row work
+    after the first aggregate.
+    """
+    from pyspark.sql import Window
+
+    if not probs or not all(0.0 < p <= 1.0 for p in probs):
+        raise ValueError(f"probs must be in (0, 1], got {probs}")
+    groups = list(group_cols or [])
+    v = F.col(value_col).cast("double")
+    w = F.col(weight_col).cast("double")
+    base = df.filter(
+        v.isNotNull() & ~F.isnan(v) & w.isNotNull() & ~F.isnan(w) & (w > 0)
+    ).select(*groups, v.alias("__v"), w.alias("__w"))
+    per_v = base.groupBy(*groups, "__v").agg(F.sum("__w").alias("__wv"))
+    if max_distinct is not None:
+        worst = (
+            per_v.groupBy(*groups)
+            .count()
+            .agg(F.max("count").alias("m"))
+            .first()["m"]
+        )
+        if worst is not None and worst > max_distinct:
+            raise ValueError(
+                f"weighted_quantiles: a group has {worst} distinct values "
+                f"(> max_distinct={max_distinct}); pre-bin the inputs."
+            )
+    w_cum = (
+        Window.partitionBy(*groups)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+        if groups
+        else Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy(*groups) if groups else Window.partitionBy()
+    cum = per_v.select(
+        *groups,
+        "__v",
+        F.sum("__wv").over(w_cum).alias("__cw"),
+        F.sum("__wv").over(w_tot).alias("__tw"),
+    )
+    ptab = base.sparkSession.createDataFrame(
+        [(float(p),) for p in probs], "prob double"
+    )
+    hit = (
+        cum.withColumn("__k", F.lit(1))
+        .join(F.broadcast(ptab.withColumn("__k", F.lit(1))), "__k")
+        .filter(F.col("__cw") >= F.col("prob") * F.col("__tw"))
+    )
+    return (
+        hit.groupBy(*groups, "prob")
+        .agg(F.min("__v").alias("quantile"))
+        .orderBy(*groups, "prob")
     )
