@@ -18024,6 +18024,217 @@ ORDER BY x DESC
 """
 
 
+def q_changepoint_daily(spark, sf):
+    """Optimal single changepoint in each event type's daily total
+    (operators/timeseries.py::binary_segment): prefix-sum algebra makes
+    every candidate split O(1) — one window pass over the
+    pre-aggregated series, the offline complement to cusum."""
+    from stackstac_spark.operators.timeseries import binary_segment
+
+    ev = _events(spark, sf)
+    daily = ev.groupBy(
+        "event_type", F.expr("ts_us div 86400000000").alias("day")
+    ).agg((F.sum("value") / 1000.0).alias("v"))  # kilo-scale keeps the
+    # SSE magnitude where round(,6) absorbs cross-engine sum-order noise
+    return binary_segment(daily, "day", "v", ["event_type"])
+
+
+SQL_CHANGEPOINT_DAILY = f"""
+WITH ev AS ({_DUCK_EV}),
+daily AS (
+  SELECT event_type AS g, ts_us // 86400000000 AS t,
+         sum(value) / 1000.0 AS x
+  FROM ev GROUP BY 1, 2
+),
+pre AS (
+  SELECT g, t,
+         count(*) OVER w AS k, sum(x) OVER w AS sk,
+         sum(x * x) OVER w AS qk,
+         count(*) OVER (PARTITION BY g) AS n,
+         sum(x) OVER (PARTITION BY g) AS s,
+         sum(x * x) OVER (PARTITION BY g) AS q
+  FROM daily
+  WINDOW w AS (PARTITION BY g ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+cand AS (
+  SELECT g, t, n, s, q,
+         (qk - sk * sk / k) + ((q - qk) - (s - sk) * (s - sk) / (n - k))
+           AS sse
+  FROM pre WHERE k < n
+),
+best AS (
+  SELECT g, max(n) AS n, max(q) AS q, max(s) AS s,
+         min(sse) AS sse_split,
+         min(t) FILTER (WHERE rn = 1) AS split_t
+  FROM (SELECT *, row_number() OVER (PARTITION BY g ORDER BY sse, t) AS rn
+        FROM cand)
+  GROUP BY g
+)
+SELECT g AS event_type, CAST(n AS BIGINT) AS n, split_t,
+       round(q - s * s / n, 6) AS sse_total,
+       round(sse_split, 6) AS sse_split,
+       CASE WHEN q - s * s / n > 0
+            THEN round(1.0 - sse_split / (q - s * s / n), 6) END AS reduction
+FROM best ORDER BY event_type
+"""
+
+
+def q_gumbel_maxima(spark, sf):
+    """Gumbel EV-I fit of the daily maxima per event type
+    (operators/timeseries.py::gumbel_fit): method-of-moments location/
+    scale + the 0.99 return level — tail provisioning from one
+    aggregate."""
+    from stackstac_spark.operators.timeseries import gumbel_fit
+
+    ev = _events(spark, sf)
+    maxima = ev.filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    ).groupBy(
+        "event_type", F.expr("ts_us div 86400000000").alias("day")
+    ).agg(F.max("value").alias("mx"))
+    return gumbel_fit(maxima, "mx", ["event_type"])
+
+
+SQL_GUMBEL_MAXIMA = f"""
+WITH ev AS ({_DUCK_EV}),
+maxima AS (
+  SELECT event_type, ts_us // 86400000000 AS day, max(value) AS mx
+  FROM ev WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY 1, 2
+),
+mom AS (
+  SELECT event_type, count(*) AS n, avg(mx) AS m, stddev_samp(mx) AS s
+  FROM maxima GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CASE WHEN n >= 2 AND s > 0
+            THEN round(m - 0.5772156649015329 * (s * sqrt(6) / pi()), 6)
+       END AS loc,
+       CASE WHEN n >= 2 AND s > 0
+            THEN round(s * sqrt(6) / pi(), 6) END AS scale,
+       CASE WHEN n >= 2 AND s > 0
+            THEN round(m - 0.5772156649015329 * (s * sqrt(6) / pi())
+                       - (s * sqrt(6) / pi()) * ln(-ln(0.99)), 6)
+       END AS q_ret
+FROM mom ORDER BY event_type
+"""
+
+
+def q_crawl_overlap(spark, sf):
+    """Chapman capture-recapture population estimate from two
+    deterministic document subsets standing in for independent crawls
+    (operators/dedup.py::capture_recapture): distinct keys + one
+    overlap join + closed-form algebra."""
+    from stackstac_spark.operators.dedup import capture_recapture
+
+    docs = _t(spark, sf, "documents")
+    a = docs.filter(F.col("doc_id") % 3 != 0)
+    b = docs.filter(F.col("doc_id") % 2 == 0)
+    return capture_recapture(a, b, "doc_id")
+
+
+SQL_CRAWL_OVERLAP = """
+WITH a AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 3 <> 0),
+b AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 2 = 0),
+c AS (
+  SELECT (SELECT count(*) FROM a) AS n_a,
+         (SELECT count(*) FROM b) AS n_b,
+         (SELECT count(*) FROM a JOIN b USING (doc_id)) AS m
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(m AS BIGINT) AS n_both,
+       CASE WHEN n_a > 0 AND n_b > 0
+            THEN round((n_a + 1) * (n_b + 1) * 1.0 / (m + 1) - 1, 6)
+       END AS n_hat,
+       CASE WHEN n_a > 0 AND n_b > 0
+            THEN round(sqrt((n_a + 1) * (n_b + 1) * 1.0 * (n_a - m)
+                            * (n_b - m) / ((m + 1) * (m + 1) * (m + 2))), 6)
+       END AS se_hat
+FROM c
+"""
+
+
+def q_hash_uniformity(spark, sf):
+    """Chi-square uniformity audit of a 16-bucket md5 residue over order
+    keys (operators/sampling.py::uniformity_gof): the health check for
+    every hash-keyed split/shard in the engine. Two map-side-combined
+    aggregates."""
+    from stackstac_spark.operators.sampling import uniformity_gof
+
+    buckets = _t(spark, sf, "orders").select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4),
+                16,
+                10,
+            ).cast("long")
+            % 16
+        ).alias("bucket")
+    )
+    return uniformity_gof(buckets, "bucket")
+
+
+SQL_HASH_UNIFORMITY = """
+WITH b AS (
+  SELECT ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::BIGINT
+           % 16 AS bucket
+  FROM orders
+),
+per AS (SELECT bucket, count(*) AS o FROM b GROUP BY bucket),
+agg AS (
+  SELECT count(*) AS k, sum(o) AS n, sum(o * 1.0 * o) AS o2 FROM per
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+       CASE WHEN k >= 2 THEN round(k * 1.0 / n * o2 - n, 6) END AS chi2
+FROM agg
+"""
+
+
+def q_session_predictability(spark, sf):
+    """Conditional transition entropy of per-user event streams
+    (operators/graph.py::transition_entropy): how scripted are
+    sessions? The scalar summary over the markov_transitions matrix —
+    one lag window + |states|²-sized algebra."""
+    from stackstac_spark.operators.graph import transition_entropy
+
+    return transition_entropy(
+        _t(spark, sf, "events"), "user_id", ["ts", "event_id"], "event_type"
+    )
+
+
+SQL_SESSION_PREDICTABILITY = """
+WITH steps AS (
+  SELECT prev, event_type AS cur FROM (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+    FROM events WHERE event_type IS NOT NULL
+  ) WHERE prev IS NOT NULL
+),
+cij AS MATERIALIZED (SELECT prev, cur, count(*) AS c FROM steps GROUP BY prev, cur),
+ci AS (SELECT prev, sum(c) AS ci FROM cij GROUP BY prev),
+tot AS (SELECT sum(c) AS n FROM cij),
+hc AS (
+  SELECT sum(c * 1.0 / (SELECT n FROM tot)
+             * ln(c * 1.0 / ci.ci)) * -1 AS h,
+         count(DISTINCT cij.prev) AS np
+  FROM cij JOIN ci ON ci.prev = cij.prev
+),
+hm AS (
+  SELECT -sum(cj * 1.0 / (SELECT n FROM tot)
+              * ln(cj * 1.0 / (SELECT n FROM tot))) AS h,
+         count(*) AS ns
+  FROM (SELECT cur, sum(c) AS cj FROM cij GROUP BY cur)
+)
+SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n_transitions,
+       CAST(greatest(np, ns) AS BIGINT) AS n_states,
+       round(hc.h, 6) AS h_cond, round(hm.h, 6) AS h_marginal,
+       CASE WHEN hm.h > 0 THEN round(1.0 - hc.h / hm.h, 6) END
+         AS predictability
+FROM hc CROSS JOIN hm
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- Rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r11,
@@ -18403,6 +18614,11 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "oner_baseline": (q_oner_baseline, SQL_ONER_BASELINE),
     "weighted_median_docs": (q_weighted_median_docs, SQL_WEIGHTED_MEDIAN_DOCS),
     "skyline_parts": (q_skyline_parts, SQL_SKYLINE_PARTS),
+    "changepoint_daily": (q_changepoint_daily, SQL_CHANGEPOINT_DAILY),
+    "gumbel_maxima": (q_gumbel_maxima, SQL_GUMBEL_MAXIMA),
+    "crawl_overlap": (q_crawl_overlap, SQL_CRAWL_OVERLAP),
+    "hash_uniformity": (q_hash_uniformity, SQL_HASH_UNIFORMITY),
+    "session_predictability": (q_session_predictability, SQL_SESSION_PREDICTABILITY),
 }
 
 

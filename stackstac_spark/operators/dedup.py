@@ -1462,3 +1462,62 @@ def prefix_filter_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def capture_recapture(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Chapman capture-recapture population estimate from two overlapping
+    samples (Chapman 1951, the bias-corrected Lincoln-Petersen) → one row
+    (n_a, n_b, n_both, n_hat, se_hat):
+
+        N̂  = (n_a + 1)(n_b + 1)/(m + 1) − 1        (m = |A ∩ B|)
+        SE = √[(n_a+1)(n_b+1)(n_a−m)(n_b−m) / ((m+1)²(m+2))]
+
+    over DISTINCT keys per sample. The "how big is the web corpus we
+    can't enumerate?" estimator: two independent crawls (or two hash
+    partitions of a feed) act as the two captures, their key overlap
+    calibrates total population — the same trick ecologists use on fish.
+    Assumes independent samples with equal catchability; correlated
+    crawls bias N̂ low. NULL estimate when either sample is empty.
+
+    Plan: two distinct projections, one equi-join for the overlap, three
+    scalar counts — no window, no Python, linear in keys.
+    """
+    a = df_a.select(F.col(key_col).alias("__key")).filter(
+        F.col("__key").isNotNull()
+    ).distinct().localCheckpoint()
+    b = df_b.select(F.col(key_col).alias("__key")).filter(
+        F.col("__key").isNotNull()
+    ).distinct().localCheckpoint()
+    n_a = a.count()
+    n_b = b.count()
+    m = a.join(b, "__key").count()
+    spark = df_a.sparkSession
+    if n_a == 0 or n_b == 0:
+        n_hat = None
+        se = None
+    else:
+        n_hat = round((n_a + 1) * (n_b + 1) / (m + 1) - 1, round_to)
+        var = (
+            (n_a + 1) * (n_b + 1) * (n_a - m) * (n_b - m)
+            / ((m + 1) ** 2 * (m + 2))
+        )
+        se = round(var**0.5, round_to)
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("n_a", T.LongType()),
+            T.StructField("n_b", T.LongType()),
+            T.StructField("n_both", T.LongType()),
+            T.StructField("n_hat", T.DoubleType()),
+            T.StructField("se_hat", T.DoubleType()),
+        ]
+    )
+    from stackstac_spark.session import local_df
+
+    return local_df(spark, [(n_a, n_b, m, n_hat, se)], schema)

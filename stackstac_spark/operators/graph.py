@@ -1350,3 +1350,92 @@ def sequential_patterns(
             "support_frac"
         ),
     ).orderBy("length", F.desc("support"), "pattern")
+
+
+def transition_entropy(
+    df: DataFrame,
+    seq_col: str,
+    order_cols: list[str],
+    item_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Empirical conditional entropy of the first-order transition model
+    over per-sequence item streams → one row (n_transitions, n_states,
+    h_cond, h_marginal, predictability) in nats:
+
+        H(next|prev) = −Σ_ij (c_ij/N)·ln(c_ij/c_i·)
+        H(next)      = −Σ_j (c_·j/N)·ln(c_·j/N)
+        predictability = 1 − H(next|prev)/H(next)
+
+    — how much does knowing the previous event tell you about the next?
+    The summary number over the [markov_transitions] matrix: near-0
+    predictability means the chain adds nothing over the marginal (drop
+    the model), near-1 means sessions are near-deterministic scripts
+    (bot signature). NULL predictability when H(next) = 0.
+
+    Plan: one per-sequence lag window (sessionization shuffle), one
+    transition-count aggregate, marginals derived from it — everything
+    after the window is |states|²-sized.
+    """
+    w = Window.partitionBy(seq_col).orderBy(*order_cols)
+    steps = (
+        df.filter(F.col(item_col).isNotNull())
+        .select(
+            F.col(seq_col).alias("__s"),
+            F.col(item_col).cast("string").alias("__cur"),
+            *[F.col(c) for c in order_cols],
+        )
+        .select(
+            "__s",
+            F.lag("__cur").over(
+                Window.partitionBy("__s").orderBy(*order_cols)
+            ).alias("__prev"),
+            "__cur",
+        )
+        .filter(F.col("__prev").isNotNull())
+    )
+    cij = steps.groupBy("__prev", "__cur").agg(F.count(F.lit(1)).alias("__c"))
+    ci = cij.groupBy("__prev").agg(F.sum("__c").alias("__ci"))
+    tot = cij.agg(F.sum("__c").alias("__n"))
+    joined = (
+        cij.join(F.broadcast(ci), "__prev")
+        .withColumn("__k", F.lit(1))
+        .join(F.broadcast(tot.withColumn("__k", F.lit(1))), "__k")
+    )
+    c = F.col("__c").cast("double")
+    n = F.col("__n").cast("double")
+    agg = joined.agg(
+        F.max("__n").alias("n_transitions"),
+        F.count_distinct("__prev").alias("__np"),
+        (-F.sum((c / n) * F.log(c / F.col("__ci")))).alias("__hc"),
+    )
+    marg = (
+        cij.groupBy("__cur")
+        .agg(F.sum("__c").alias("__cj"))
+        .withColumn("__k", F.lit(1))
+        .join(F.broadcast(tot.withColumn("__k", F.lit(1))), "__k")
+        .agg(
+            (
+                -F.sum(
+                    (F.col("__cj") / F.col("__n"))
+                    * F.log(F.col("__cj") / F.col("__n"))
+                )
+            ).alias("__hm"),
+            F.count_distinct("__cur").alias("__ns"),
+        )
+    )
+    out = (
+        agg.withColumn("__k", F.lit(1))
+        .join(F.broadcast(marg.withColumn("__k", F.lit(1))), "__k")
+        .drop("__k")
+    )
+    return out.select(
+        F.col("n_transitions").cast("long").alias("n_transitions"),
+        F.greatest(F.col("__np"), F.col("__ns")).cast("long").alias("n_states"),
+        F.round("__hc", round_to).alias("h_cond"),
+        F.round("__hm", round_to).alias("h_marginal"),
+        F.when(
+            F.col("__hm") > 0,
+            F.round(1.0 - F.col("__hc") / F.col("__hm"), round_to),
+        ).alias("predictability"),
+    )

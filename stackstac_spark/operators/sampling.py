@@ -798,3 +798,48 @@ def temperature_mix(
         F.round(adj, round_to).alias("adj_share"),
         F.round(adj / F.col("__share"), round_to).alias("boost"),
     )
+
+
+def uniformity_gof(
+    df: DataFrame,
+    bucket_col: str,
+    group_cols: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Chi-square goodness-of-fit against the UNIFORM distribution over
+    the observed buckets, per group → (group_cols..., k, n, chi2):
+
+        χ² = Σ_buckets (o_b − n/k)² / (n/k)        ~ χ²(k−1) under H0
+
+    The hash-quality audit for everything keyed by a hash residue in
+    this engine ([hash_split] folds, salting shards, [rendezvous_shards]
+    assignments, LSH bands): a biased residue silently skews every
+    downstream split ratio and shard load. χ² near k−1 is healthy; tens
+    of times that means the bucketing expression is eating entropy.
+    NULL when k < 2. (One-way GOF; [g_independence] / [cramers_v] are
+    the two-way companions.)
+
+    Plan: one (group, bucket) count + one grouped roll-up — two
+    map-side-combined aggregates, nothing else.
+    """
+    groups = list(group_cols or [])
+    base = df.filter(F.col(bucket_col).isNotNull()).select(
+        *groups, F.col(bucket_col).alias("__b")
+    )
+    per_b = base.groupBy(*groups, "__b").agg(F.count(F.lit(1)).alias("__o"))
+    agg = per_b.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("__kk"),
+        F.sum("__o").alias("__n"),
+        F.sum(F.col("__o").cast("double") * F.col("__o")).alias("__o2"),
+    )
+    # Σ(o − n/k)²/(n/k) = k/n·Σo² − n   (algebraic — one pass, no join-back)
+    kd = F.col("__kk").cast("double")
+    nd = F.col("__n").cast("double")
+    chi2 = kd / nd * F.col("__o2") - nd
+    out = agg.select(
+        *groups,
+        F.col("__kk").cast("long").alias("k"),
+        F.col("__n").cast("long").alias("n"),
+        F.when(F.col("__kk") >= 2, F.round(chi2, round_to)).alias("chi2"),
+    )
+    return out.orderBy(*groups) if groups else out

@@ -22,6 +22,8 @@ __all__ = [
     "durbin_watson",
     "runs_test",
     "ljung_box",
+    "binary_segment",
+    "gumbel_fit",
 ]
 
 
@@ -803,3 +805,184 @@ def ljung_box(
         F.round("__r", round_to).alias("r"),
         F.round(q, round_to).alias("q"),
     ).orderBy(*groups, "lag")
+
+
+def binary_segment(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    round_to: int = 6,
+    max_points: int | None = 100_000,
+) -> DataFrame:
+    """Optimal single changepoint per group by binary segmentation
+    (Scott & Knott 1974; the recursion step of ruptures' BinSeg) → one
+    row per group: (group_cols..., n, split_t, sse_total, sse_split,
+    reduction) where split_t is the LAST timestamp of the left segment
+    at the split k minimizing
+
+        SSE(k) = [Q_k − S_k²/k] + [(Q−Q_k) − (S−S_k)²/(n−k)]
+
+    (prefix count/sum/sum-of-squares algebra — each candidate split is
+    O(1) given the cumulative sums, so the full scan of n−1 candidate
+    splits is ONE window pass). ``reduction`` = 1 − sse_split/sse_total,
+    the variance explained by the break.
+
+    The offline complement to the sequential detectors ([cusum],
+    [page_hinkley]): those flag "something changed, roughly here" while
+    streaming; this pins the single best break exactly, for audit and
+    for recursing into sub-segments. Ties → earliest split.
+
+    Same pre-aggregated-series contract as [ljung_box] /
+    [mann_kendall]: aggregate the corpus to (group, t, value) first;
+    ``max_points`` fail-fasts (eager count job) on series that would
+    funnel one window task. Groups with n < 2 emit NULL split columns.
+    """
+    groups = list(group_cols or [])
+    x = F.col(value_col).cast("double")
+    base = df.filter(
+        F.col(time_col).isNotNull() & x.isNotNull() & ~F.isnan(x)
+    ).select(*groups, F.col(time_col).alias("__t"), x.alias("__x"))
+    if max_points is not None:
+        worst = (
+            base.groupBy(*groups)
+            .count()
+            .agg(F.max("count").alias("m"))
+            .first()["m"]
+        )
+        if worst is not None and worst > max_points:
+            raise ValueError(
+                f"binary_segment: a group has {worst} points "
+                f"(> max_points={max_points}); aggregate to a coarser grain."
+            )
+    w_cum = (
+        Window.partitionBy(*groups)
+        .orderBy("__t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+        if groups
+        else Window.orderBy("__t").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy(*groups) if groups else Window.partitionBy()
+    pre = base.select(
+        *groups,
+        "__t",
+        F.count(F.lit(1)).over(w_cum).alias("__k"),
+        F.sum("__x").over(w_cum).alias("__sk"),
+        F.sum(F.col("__x") * F.col("__x")).over(w_cum).alias("__qk"),
+        F.count(F.lit(1)).over(w_tot).alias("__n"),
+        F.sum("__x").over(w_tot).alias("__s"),
+        F.sum(F.col("__x") * F.col("__x")).over(w_tot).alias("__q"),
+    )
+    kk = F.col("__k").cast("double")
+    nn = F.col("__n").cast("double")
+    sse_l = F.col("__qk") - F.col("__sk") * F.col("__sk") / kk
+    sse_r = (F.col("__q") - F.col("__qk")) - (
+        (F.col("__s") - F.col("__sk")) * (F.col("__s") - F.col("__sk"))
+    ) / (nn - kk)
+    cand = pre.filter(F.col("__k") < F.col("__n")).select(
+        *groups,
+        "__t",
+        "__n",
+        "__s",
+        "__q",
+        (sse_l + sse_r).alias("__sse"),
+    )
+    best = cand.groupBy(*groups).agg(
+        F.max("__n").alias("__n"),
+        F.max("__q").alias("__qq"),
+        F.max("__s").alias("__ss"),
+        F.min(F.struct(F.col("__sse").alias("s"), F.col("__t").alias("t"))).alias(
+            "__b"
+        ),
+    )
+    sse_tot = F.col("__qq") - F.col("__ss") * F.col("__ss") / F.col("__n").cast(
+        "double"
+    )
+    # groups with a single point have no candidate split and drop out of
+    # `cand`; re-attach them with NULL split columns via the totals table
+    totals = base.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("__tn"),
+        F.sum("__x").alias("__ts"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__tq"),
+    )
+    out = totals.join(best, groups, "left") if groups else _one_row_left(
+        totals, best
+    )
+    tot_expr = F.col("__tq") - F.col("__ts") * F.col("__ts") / F.col(
+        "__tn"
+    ).cast("double")
+    return out.select(
+        *groups,
+        F.col("__tn").cast("long").alias("n"),
+        F.col("__b.t").alias("split_t"),
+        F.round(tot_expr, round_to).alias("sse_total"),
+        F.round(F.col("__b.s"), round_to).alias("sse_split"),
+        F.when(
+            tot_expr > 0,
+            F.round(1.0 - F.col("__b.s") / tot_expr, round_to),
+        ).alias("reduction"),
+    ).orderBy(*groups)
+
+
+def _one_row_left(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Ungrouped left join of two ≤1-row aggregates via a literal key
+    (BroadcastHashJoin, never a nested-loop node)."""
+    return (
+        a.withColumn("__jk", F.lit(1))
+        .join(F.broadcast(b.withColumn("__jk", F.lit(1))), "__jk", "left")
+        .drop("__jk")
+    )
+
+
+_EULER_GAMMA = 0.5772156649015329
+
+
+def gumbel_fit(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    quantile: float = 0.99,
+    round_to: int = 6,
+) -> DataFrame:
+    """Gumbel (EV-I) extreme-value fit by the method of moments per
+    group → (group_cols..., n, loc, scale, q_ret): given block maxima
+    (daily max latency, per-crawl max doc length),
+
+        scale β = s·√6/π,  loc μ = x̄ − γβ   (γ = Euler-Mascheroni)
+        q_ret   = μ − β·ln(−ln(p))           (the p return level)
+
+    — the tail-risk read: "what max should we provision for?" The
+    Fisher-Tippett theorem says block maxima of light-tailed inputs
+    converge to exactly this family; pair with [hill_tail_index] (which
+    reads the raw tail instead of block maxima) and [grubbs_stat].
+    Moment estimators are one aggregate — the 100 TB shape; MLE's
+    iteration buys ~nothing at monitoring sample sizes. The caller
+    supplies the block maxima (one groupBy ahead of this call); NULL fit
+    when n < 2 or s = 0.
+    """
+    if not 0.0 < quantile < 1.0:
+        raise ValueError(f"quantile must be in (0,1), got {quantile}")
+    groups = list(group_cols or [])
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull() & ~F.isnan(x)).select(
+        *groups, x.alias("__x")
+    )
+    mom = base.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("__x").alias("__m"),
+        F.stddev_samp("__x").alias("__s"),
+    )
+    import math
+
+    beta = F.col("__s") * F.lit(math.sqrt(6.0) / math.pi)
+    mu = F.col("__m") - F.lit(_EULER_GAMMA) * beta
+    qret = mu - beta * F.lit(math.log(-math.log(quantile)))
+    ok = (F.col("__n") >= 2) & (F.col("__s") > 0)
+    out = mom.select(
+        *groups,
+        F.col("__n").cast("long").alias("n"),
+        F.when(ok, F.round(mu, round_to)).alias("loc"),
+        F.when(ok, F.round(beta, round_to)).alias("scale"),
+        F.when(ok, F.round(qret, round_to)).alias("q_ret"),
+    )
+    return out.orderBy(*groups) if groups else out
