@@ -112,6 +112,8 @@ def test_evalmetrics_all_exports():
         "mrr", "topk_eval",
         # r12 sixth sub-wave
         "classifier_report", "log_loss", "youden_threshold",
+        # r12 seventh sub-wave
+        "bland_altman",
     ]
     for name in m.__all__:
         assert hasattr(m, name), name
