@@ -18255,6 +18255,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- driver row. Everything below the window stays hash-checked
     # --- every CI run by tests/test_past_window_mirror.py +
     # --- scripts/check_correctness.py.
+    # --- r13 rotation note: the r12 waves 7-11 added 26 gates (tail of
+    # --- this dict, nelson_aalen .. session_predictability), all
+    # --- builder-verified hash-green at sf0.01 and tie-sweep-clean but
+    # --- NEVER driver-graded — lead the r13 window with them.
 
     "avg_precision": (q_avg_precision, SQL_AVG_PRECISION),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
