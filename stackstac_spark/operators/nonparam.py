@@ -860,7 +860,9 @@ def page_l_test(
     width = k treatments), a broadcast treatment→position map (distinct
     treatments, dimension-sized), two scalar aggregates. The corpus is
     expected pre-aggregated to one value per (block, treatment), the
-    friedman_test contract.
+    friedman_test contract. NOTE (eager): the treatment count and the
+    complete-block count run small Spark jobs at construction time (the
+    E[L]/Var[L] constants need them as Python scalars).
     """
     base = df.select(
         F.col(block_col).alias("__b"),

@@ -324,6 +324,9 @@ def morans_i(
     Plan: neighbor discovery is one self-equi-join on the 4 shifted
     integer keys (explode of a 4-element literal array — never a
     distance cross join), plus two scalar aggregates. Linear in cells.
+    NOTE (eager): the duplicate-cell check and the grand mean run small
+    Spark jobs at construction time (the mean is folded in as a literal
+    so the z-column stays a pure map expression).
     """
     base = cells.select(
         F.col(y_col).cast("long").alias("__y"),

@@ -246,6 +246,9 @@ def log_rank(
     cumulative window over the union of grid markers and the group's own
     removal times — removals strictly before t, the same risk-set
     convention as kaplan_meier. Everything after is one aggregate.
+    NOTE (eager): the two-group check and the ``max_distinct`` guard run
+    small Spark jobs at DataFrame-construction time (fail at build, not
+    mid-pipeline — the spearman_rho policy).
     """
     t = F.col(duration_col).cast("double")
     e = F.col(event_col).cast("int")

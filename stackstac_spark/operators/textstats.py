@@ -2459,14 +2459,27 @@ def oov_rate(
             "__oov"
         ),
     )
-    return cov.select(
-        F.col("__dom").alias("domain"),
-        F.col("__tot").cast("long").alias("total_tokens"),
-        F.col("__oov").cast("long").alias("oov_tokens"),
-        F.round(F.col("__oov") / F.col("__tot").cast("double"), round_to).alias(
-            "oov_rate"
-        ),
-    ).orderBy("domain")
+    # dense domain axis (the rbo_overlap lesson): a domain whose documents
+    # tokenize to nothing still shows up, as (0, 0, NULL), instead of
+    # silently vanishing from the coverage report
+    doms = (
+        df.filter(F.col(domain_col).isNotNull())
+        .select(F.col(domain_col).alias("__dom"))
+        .distinct()
+    )
+    return (
+        doms.join(cov, "__dom", "left")
+        .select(
+            F.col("__dom").alias("domain"),
+            F.coalesce(F.col("__tot"), F.lit(0)).cast("long").alias("total_tokens"),
+            F.coalesce(F.col("__oov"), F.lit(0)).cast("long").alias("oov_tokens"),
+            F.round(
+                F.try_divide(F.col("__oov"), F.col("__tot").cast("double")),
+                round_to,
+            ).alias("oov_rate"),
+        )
+        .orderBy("domain")
+    )
 
 
 def burrows_delta(
@@ -2550,18 +2563,35 @@ def burrows_delta(
         )
         .filter(F.col("__ga") < F.col("__gb"))
     )
-    return (
-        pairs.groupBy("__ga", "__gb")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_terms"),
-            F.round(F.avg(F.abs(F.col("__za") - F.col("__zb"))), round_to).alias(
-                "delta"
+    agg = pairs.groupBy("__ga", "__gb").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.round(F.avg(F.abs(F.col("__za") - F.col("__zb"))), round_to).alias(
+            "delta"
+        ),
+    )
+    # dense pair grid (the rbo_overlap lesson): a pair with NO surviving
+    # word (all top-K frequencies constant across groups — pathological
+    # but possible with verbatim-duplicate corpora) emits (0, NULL)
+    # instead of silently vanishing from the report
+    doms = gtot.select("__g")
+    grid = (
+        doms.select(F.col("__g").alias("__ga"))
+        .withColumn("__k", F.lit(1))
+        .join(
+            F.broadcast(
+                doms.select(F.col("__g").alias("__gb")).withColumn("__k", F.lit(1))
             ),
+            "__k",
         )
+        .filter(F.col("__ga") < F.col("__gb"))
+        .drop("__k")
+    )
+    return (
+        grid.join(agg, ["__ga", "__gb"], "left")
         .select(
             F.col("__ga").alias("group_a"),
             F.col("__gb").alias("group_b"),
-            "n_terms",
+            F.coalesce("n_terms", F.lit(0).cast("long")).alias("n_terms"),
             "delta",
         )
         .orderBy("group_a", "group_b")
@@ -2632,21 +2662,30 @@ def tfidf_domain_cosine(
         .groupBy("__da", "__db")
         .agg(F.sum(F.col("__wa") * F.col("__wb")).alias("__dot"))
     )
-    out = (
-        dots.join(
-            F.broadcast(norms.select(F.col("__dom").alias("__da"), F.col("__nrm").alias("__na"))),
-            "__da",
-        )
+    # dense pair grid (the rbo_overlap lesson): domains sharing NO vocab
+    # term have cosine exactly 0 — emit it rather than dropping the pair
+    grid = (
+        norms.select(F.col("__dom").alias("__da"), F.col("__nrm").alias("__na"))
+        .withColumn("__k", F.lit(1))
         .join(
-            F.broadcast(norms.select(F.col("__dom").alias("__db"), F.col("__nrm").alias("__nb"))),
-            "__db",
+            F.broadcast(
+                norms.select(
+                    F.col("__dom").alias("__db"), F.col("__nrm").alias("__nb")
+                ).withColumn("__k", F.lit(1))
+            ),
+            "__k",
         )
-        .select(
-            F.col("__da").alias("domain_a"),
-            F.col("__db").alias("domain_b"),
-            F.round(
-                F.try_divide(F.col("__dot"), F.col("__na") * F.col("__nb")), round_to
-            ).alias("cosine"),
-        )
+        .filter(F.col("__da") < F.col("__db"))
+        .drop("__k")
+    )
+    out = grid.join(dots, ["__da", "__db"], "left").select(
+        F.col("__da").alias("domain_a"),
+        F.col("__db").alias("domain_b"),
+        F.round(
+            F.try_divide(
+                F.coalesce("__dot", F.lit(0.0)), F.col("__na") * F.col("__nb")
+            ),
+            round_to,
+        ).alias("cosine"),
     )
     return out.orderBy("domain_a", "domain_b")

@@ -178,3 +178,14 @@ def test_oov_rate_known(spark):
     # a vocab covering everything -> oov_rate 0 everywhere
     full = oov_rate(df, "dom", ref_top_k=100).collect()
     assert all(r["oov_rate"] == 0.0 for r in full)
+
+
+def test_oov_rate_tokenless_domain_row(spark):
+    from stackstac_spark.operators.textstats import oov_rate
+
+    docs = [(0, "a", "xx yy"), (1, "b", "   ")]
+    df = spark.createDataFrame(docs, "doc_id long, dom string, text string")
+    got = {r["domain"]: (r["total_tokens"], r["oov_tokens"], r["oov_rate"])
+           for r in oov_rate(df, "dom", ref_top_k=10).collect()}
+    assert got["a"] == (2, 0, 0.0)
+    assert got["b"] == (0, 0, None)

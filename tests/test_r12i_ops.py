@@ -217,3 +217,24 @@ def test_morans_i_known(spark):
             "x",
             "v",
         )
+
+
+def test_burrows_delta_degenerate_pair_row(spark):
+    from stackstac_spark.operators.textstats import burrows_delta
+
+    # two groups with IDENTICAL texts: every word's cross-group frequency
+    # sd is 0, no word survives -> the pair row still appears as (0, NULL)
+    docs = [(0, "a", "x y z x"), (1, "b", "x y z x")]
+    df = spark.createDataFrame(docs, "doc_id long, g string, text string")
+    r = burrows_delta(df, "g", top_k=5).collect()
+    assert len(r) == 1
+    assert r[0]["n_terms"] == 0 and r[0]["delta"] is None
+
+
+def test_tfidf_domain_cosine_disjoint_zero(spark):
+    from stackstac_spark.operators.textstats import tfidf_domain_cosine
+
+    docs = [(0, "a", "aa bb aa"), (1, "b", "cc dd cc")]
+    df = spark.createDataFrame(docs, "doc_id long, g string, text string")
+    r = tfidf_domain_cosine(df, "g", top_k=10).collect()
+    assert len(r) == 1 and r[0]["cosine"] == 0.0
