@@ -18235,6 +18235,200 @@ FROM hc CROSS JOIN hm
 """
 
 
+def q_bartlett_arms(spark, sf):
+    """Bartlett's equal-variance test of event values across event types
+    (operators/nonparam.py::bartlett_test): the classical high-power
+    companion to levene_spread. One moment aggregate + one roll-up."""
+    from stackstac_spark.operators.nonparam import bartlett_test
+
+    ev = _t(spark, sf, "events").select("event_type", "value")
+    return bartlett_test(ev, "value", "event_type")
+
+
+SQL_BARTLETT_ARMS = """
+WITH per AS (
+  SELECT event_type, count(*) AS ni, var_samp(value) AS s2
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value) AND event_type IS NOT NULL
+  GROUP BY event_type
+),
+agg AS (
+  SELECT count(*) AS k, sum(ni) AS n,
+         sum((ni - 1) * s2) AS num,
+         sum(CASE WHEN ni >= 2 AND s2 > 0 THEN (ni - 1) * ln(s2) END)
+           AS sumlog,
+         sum(CASE WHEN ni >= 2 THEN 1.0 / (ni - 1) END) AS sinv,
+         min(ni) AS minn,
+         min(CASE WHEN s2 > 0 THEN 1 ELSE 0 END) AS allpos
+  FROM per
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+       CASE WHEN k >= 2 AND minn >= 2 AND allpos = 1
+            THEN round(((n - k) * ln(num / (n - k)) - sumlog)
+                       / (1 + (sinv - 1.0 / (n - k)) / (3 * (k - 1))), 6)
+       END AS chi2
+FROM agg
+"""
+
+
+def q_odds_exposure(spark, sf):
+    """Odds ratio of high order value by urgent priority
+    (operators/drift.py::odds_ratio, Woolf CI, Haldane correction on
+    zero cells): one 4-cell aggregate + algebra."""
+    from stackstac_spark.operators.drift import odds_ratio
+
+    orders = _t(spark, sf, "orders").select(
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("urgent"),
+        (F.col("o_totalprice") > 150000).cast("int").alias("big"),
+    )
+    return odds_ratio(orders, "urgent", "big")
+
+
+SQL_ODDS_EXPOSURE = """
+WITH base AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS e,
+         CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS o
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+),
+cells AS (
+  SELECT sum(e * o) AS a, sum(e * (1 - o)) AS b,
+         sum((1 - e) * o) AS c, sum((1 - e) * (1 - o)) AS d
+  FROM base
+),
+corr AS (
+  SELECT a, b, c, d,
+         CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN 0.5 ELSE 0.0 END
+           AS h
+  FROM cells
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+       round(exp(ln((a + h) * (d + h) / ((b + h) * (c + h)))), 6) AS or_est,
+       round(exp(ln((a + h) * (d + h) / ((b + h) * (c + h)))
+                 - 1.959964 * sqrt(1.0 / (a + h) + 1.0 / (b + h)
+                                   + 1.0 / (c + h) + 1.0 / (d + h))), 6)
+         AS ci_low,
+       round(exp(ln((a + h) * (d + h) / ((b + h) * (c + h)))
+                 + 1.959964 * sqrt(1.0 / (a + h) + 1.0 / (b + h)
+                                   + 1.0 / (c + h) + 1.0 / (d + h))), 6)
+         AS ci_high
+FROM corr
+"""
+
+
+def q_cuped_readout(spark, sf):
+    """CUPED-adjusted arm means over the md5-parity experiment
+    (operators/abexp.py::cuped_adjust): per-user odd-day value as the
+    metric, even-day value as the pre-period covariate — the variance-
+    reduction read every mature A/B platform applies. Pooled covariance
+    + per-arm moments, closed form."""
+    from stackstac_spark.operators.abexp import cuped_adjust
+
+    ev = _events(spark, sf)
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        % 2
+    ).alias("arm")
+    per_user = ev.filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    ).groupBy("user_id", arm).agg(
+        F.sum(
+            F.when(F.expr("(ts_us div 86400000000) % 2") == 1, F.col("value"))
+            .otherwise(0.0)
+        ).alias("y"),
+        F.sum(
+            F.when(F.expr("(ts_us div 86400000000) % 2") == 0, F.col("value"))
+            .otherwise(0.0)
+        ).alias("x"),
+    )
+    return cuped_adjust(per_user, "y", "x", "arm")
+
+
+SQL_CUPED_READOUT = f"""
+WITH ev AS ({_DUCK_EV}),
+per_user AS MATERIALIZED (
+  SELECT user_id,
+         ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT % 2
+           AS arm,
+         sum(CASE WHEN (ts_us // 86400000000) % 2 = 1 THEN value
+                  ELSE 0.0 END) AS y,
+         sum(CASE WHEN (ts_us // 86400000000) % 2 = 0 THEN value
+                  ELSE 0.0 END) AS x
+  FROM ev WHERE value IS NOT NULL AND NOT isnan(value)
+  GROUP BY user_id
+),
+pooled AS (
+  SELECT covar_samp(y, x) AS cxy, var_samp(x) AS vx, var_samp(y) AS vy,
+         avg(x) AS mx_pool
+  FROM per_user
+),
+arms AS (
+  SELECT arm, count(*) AS n, avg(y) AS my, avg(x) AS mx
+  FROM per_user GROUP BY arm
+)
+SELECT arm, CAST(n AS BIGINT) AS n, round(my, 6) AS mean_raw,
+       round(my - (cxy / vx) * (mx - mx_pool), 6) AS mean_adj,
+       round(cxy / vx, 6) AS theta,
+       round(cxy * cxy / (vx * vy), 6) AS rho2,
+       round(cxy * cxy / (vx * vy), 6) AS var_reduction
+FROM arms CROSS JOIN pooled ORDER BY arm
+"""
+
+
+def q_ratio_readout(spark, sf):
+    """Delta-method CI for the clicks-per-view ratio metric by arm
+    (operators/abexp.py::ratio_metric_ci): per-user sums first, THEN the
+    ratio of sums — the variance fix for clustered events (Deng et al.
+    KDD 2018)."""
+    from stackstac_spark.operators.abexp import ratio_metric_ci
+
+    ev = _t(spark, sf, "events").select(
+        "user_id",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10
+            )
+            % 2
+        ).alias("arm"),
+        (F.col("event_type") == "click").cast("double").alias("clicks"),
+        (F.col("event_type") == "view").cast("double").alias("views"),
+    )
+    return ratio_metric_ci(ev, "clicks", "views", "user_id", "arm")
+
+
+SQL_RATIO_READOUT = """
+WITH per_unit AS MATERIALIZED (
+  SELECT ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT % 2
+           AS arm,
+         user_id,
+         sum(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END) AS nu,
+         sum(CASE WHEN event_type = 'view' THEN 1.0 ELSE 0.0 END) AS du
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY arm, user_id
+),
+mom AS (
+  SELECT arm, count(*) AS n, sum(nu) AS sn, sum(du) AS sd, avg(du) AS md,
+         var_samp(nu) AS vn, var_samp(du) AS vd, covar_samp(nu, du) AS cnd
+  FROM per_unit GROUP BY arm
+),
+calc AS (
+  SELECT arm, n, sn / sd AS r, md, vn, vd, cnd,
+         (vn - 2 * (sn / sd) * cnd + (sn / sd) * (sn / sd) * vd)
+           / (n * md * md) AS var_r
+  FROM mom
+)
+SELECT arm, CAST(n AS BIGINT) AS n_units, round(r, 6) AS ratio,
+       CASE WHEN n >= 2 AND md <> 0 AND var_r >= 0
+            THEN round(sqrt(var_r), 6) END AS se,
+       CASE WHEN n >= 2 AND md <> 0 AND var_r >= 0
+            THEN round(r - 1.959964 * sqrt(var_r), 6) END AS ci_low,
+       CASE WHEN n >= 2 AND md <> 0 AND var_r >= 0
+            THEN round(r + 1.959964 * sqrt(var_r), 6) END AS ci_high
+FROM calc ORDER BY arm
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- Rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r11,
@@ -18623,6 +18817,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "crawl_overlap": (q_crawl_overlap, SQL_CRAWL_OVERLAP),
     "hash_uniformity": (q_hash_uniformity, SQL_HASH_UNIFORMITY),
     "session_predictability": (q_session_predictability, SQL_SESSION_PREDICTABILITY),
+    "bartlett_arms": (q_bartlett_arms, SQL_BARTLETT_ARMS),
+    "odds_exposure": (q_odds_exposure, SQL_ODDS_EXPOSURE),
+    "cuped_readout": (q_cuped_readout, SQL_CUPED_READOUT),
+    "ratio_readout": (q_ratio_readout, SQL_RATIO_READOUT),
 }
 
 

@@ -36,6 +36,7 @@ __all__ = [
     "simpson_check",
     "holm_bonferroni",
     "cvm_two_sample",
+    "odds_ratio",
 ]
 
 
@@ -1368,3 +1369,67 @@ def cvm_two_sample(
         F.when(ok, F.round(t, round_to)).alias("cvm_t"),
         F.when(ok, F.round((1.0 + 1.0 / nn) / 6.0, round_to)).alias("t_mean"),
     )
+
+
+def odds_ratio(
+    df: DataFrame,
+    exposure_col: str,
+    outcome_col: str,
+    group_cols: list[str] | None = None,
+    z: float = 1.959964,
+    round_to: int = 6,
+) -> DataFrame:
+    """Odds ratio of a binary outcome by binary exposure per group, with
+    the Woolf log-normal confidence interval → (group_cols..., a, b, c,
+    d, or_est, ci_low, ci_high):
+
+        OR = (a·d)/(b·c)          (a = exposed∧outcome, b = exposed∧¬,
+                                   c = ¬exposed∧outcome, d = neither)
+        CI = exp(ln OR ± z·√(1/a + 1/b + 1/c + 1/d))
+
+    with the Haldane-Anscombe +0.5 applied to ALL FOUR cells when any
+    cell is 0 (the standard continuity correction — documented so the
+    corrected estimate isn't mistaken for the raw one). The epidemiology
+    view of a 2×2 that [cohens_h] reads as a proportion difference and
+    [rate_effect] as a risk difference: OR is the one that transfers to
+    case-control sampling and logistic-regression coefficients
+    (ln OR = the logit slope).
+
+    Plan: one grouped aggregate of four conditional counts + algebra.
+    Rows with NULL exposure/outcome are excluded; values are coerced by
+    ``!= 0`` so 0/1, boolean, and count-like inputs all work.
+    """
+    groups = list(group_cols or [])
+    e = (F.col(exposure_col).cast("double") != 0).cast("int")
+    o = (F.col(outcome_col).cast("double") != 0).cast("int")
+    base = df.filter(
+        F.col(exposure_col).isNotNull() & F.col(outcome_col).isNotNull()
+    ).select(*groups, e.alias("__e"), o.alias("__o"))
+    agg = base.groupBy(*groups).agg(
+        F.sum((F.col("__e") * F.col("__o"))).alias("__a"),
+        F.sum((F.col("__e") * (1 - F.col("__o")))).alias("__b"),
+        F.sum(((1 - F.col("__e")) * F.col("__o"))).alias("__c"),
+        F.sum(((1 - F.col("__e")) * (1 - F.col("__o")))).alias("__d"),
+    )
+    any_zero = (
+        (F.col("__a") == 0) | (F.col("__b") == 0)
+        | (F.col("__c") == 0) | (F.col("__d") == 0)
+    )
+    corr = F.when(any_zero, F.lit(0.5)).otherwise(F.lit(0.0))
+    a = F.col("__a") + corr
+    b = F.col("__b") + corr
+    c = F.col("__c") + corr
+    d = F.col("__d") + corr
+    lnor = F.log(a * d / (b * c))
+    se = F.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+    out = agg.select(
+        *groups,
+        F.col("__a").cast("long").alias("a"),
+        F.col("__b").cast("long").alias("b"),
+        F.col("__c").cast("long").alias("c"),
+        F.col("__d").cast("long").alias("d"),
+        F.round(F.exp(lnor), round_to).alias("or_est"),
+        F.round(F.exp(lnor - z * se), round_to).alias("ci_low"),
+        F.round(F.exp(lnor + z * se), round_to).alias("ci_high"),
+    )
+    return out.orderBy(*groups) if groups else out

@@ -33,6 +33,7 @@ __all__ = [
     "dunn_posthoc",
     "jonckheere_trend",
     "page_l_test",
+    "bartlett_test",
 ]
 
 
@@ -924,3 +925,74 @@ def page_l_test(
         F.round(F.lit(mean_l), round_to).alias("l_mean"),
         z.alias("z"),
     )
+
+
+def bartlett_test(
+    df: DataFrame,
+    value_col: str,
+    treatment_col: str,
+    group_cols: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Bartlett's test of equal variances across k treatments per group
+    (Bartlett 1937) → (group_cols..., k, n, chi2):
+
+        s_p² = Σ(n_i−1)s_i² / (N−k)
+        T    = [(N−k)·ln s_p² − Σ(n_i−1)·ln s_i²] / C
+        C    = 1 + [Σ 1/(n_i−1) − 1/(N−k)] / (3(k−1))      T ~ χ²(k−1)
+
+    The classical, maximum-power-under-normality companion to
+    [levene_bf] (which trades power for robustness): run Bartlett when
+    the metric is known near-normal (means of large per-unit samples),
+    Levene/Brown-Forsythe when it is raw and heavy-tailed — a variance
+    shift between arms with equal means is exactly what the t-test
+    family silently ignores.
+
+    NULL when k < 2, any treatment has n_i < 2, or any s_i² = 0 (the
+    log is undefined — a constant arm needs investigating, not
+    averaging over). Plan: one (group, treatment) moment aggregate +
+    one grouped roll-up; nothing touches the corpus twice.
+    """
+    groups = list(group_cols or [])
+    v = F.col(value_col).cast("double")
+    base = df.filter(
+        v.isNotNull() & ~F.isnan(v) & F.col(treatment_col).isNotNull()
+    ).select(*groups, F.col(treatment_col).alias("__j"), v.alias("__x"))
+    per = base.groupBy(*groups, "__j").agg(
+        F.count(F.lit(1)).alias("__ni"), F.var_samp("__x").alias("__s2"),
+    )
+    agg = per.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("__kk"),
+        F.sum("__ni").alias("__n"),
+        F.sum((F.col("__ni") - 1) * F.col("__s2")).alias("__num"),
+        F.sum(
+            F.when(
+                (F.col("__ni") >= 2) & (F.col("__s2") > 0),
+                (F.col("__ni") - 1) * F.log("__s2"),
+            )
+        ).alias("__sumlog"),
+        # guard the ANSI division: a 1-member arm contributes no term
+        # (the minn gate below nullifies the whole statistic anyway)
+        F.sum(
+            F.when(F.col("__ni") >= 2, 1.0 / (F.col("__ni") - 1))
+        ).alias("__sinv"),
+        F.min(F.col("__ni")).alias("__minn"),
+        F.min(F.when(F.col("__s2") > 0, 1).otherwise(0)).alias("__allpos"),
+    )
+    kd = F.col("__kk").cast("double")
+    nd = F.col("__n").cast("double")
+    sp2 = F.col("__num") / (nd - kd)
+    t_raw = (nd - kd) * F.log(sp2) - F.col("__sumlog")
+    c = 1.0 + (F.col("__sinv") - 1.0 / (nd - kd)) / (3.0 * (kd - 1.0))
+    ok = (
+        (F.col("__kk") >= 2)
+        & (F.col("__minn") >= 2)
+        & (F.col("__allpos") == 1)
+    )
+    out = agg.select(
+        *groups,
+        F.col("__kk").cast("long").alias("k"),
+        F.col("__n").cast("long").alias("n"),
+        F.when(ok, F.round(t_raw / c, round_to)).alias("chi2"),
+    )
+    return out.orderBy(*groups) if groups else out
