@@ -18429,6 +18429,171 @@ FROM calc ORDER BY arm
 """
 
 
+def q_lead_lag(spark, sf):
+    """Cross-correlation between daily view volume and daily purchase
+    value (operators/timeseries.py::cross_correlation, lags ±3): which
+    metric leads which, and by how many days? One index window + one lag
+    equi-join over the 30-day pre-aggregated pair of series."""
+    from stackstac_spark.operators.timeseries import cross_correlation
+
+    ev = _events(spark, sf)
+    daily = ev.groupBy(F.expr("ts_us div 86400000000").alias("day")).agg(
+        (
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+            )
+            / 1000.0
+        ).alias("purch"),
+        (
+            F.sum(F.when(F.col("event_type") == "view", F.col("value")).otherwise(0.0))
+            / 1000.0
+        ).alias("views"),
+    )
+    return cross_correlation(daily, "day", "purch", "views")
+
+
+SQL_LEAD_LAG = f"""
+WITH ev AS ({_DUCK_EV}),
+daily AS (
+  SELECT ts_us // 86400000000 AS day,
+         sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END)
+           / 1000.0 AS a,
+         sum(CASE WHEN event_type = 'view' THEN value ELSE 0.0 END)
+           / 1000.0 AS b
+  FROM ev GROUP BY 1
+),
+idx AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY day) AS i,
+         a - (SELECT avg(a) FROM daily) AS za,
+         b - (SELECT avg(b) FROM daily) AS zb
+  FROM daily
+),
+den AS (
+  SELECT sqrt(sum(za * za) * (SELECT sum(zb * zb) FROM idx)) AS d FROM idx
+),
+lags AS (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag),
+nums AS (
+  SELECT lags.lag, sum(p.za * q.zb) AS num
+  FROM lags
+       JOIN idx p ON TRUE
+       JOIN idx q ON q.i = p.i - lags.lag
+  GROUP BY lags.lag
+)
+SELECT CAST(lag AS INTEGER) AS lag,
+       round(num / (SELECT d FROM den), 6) AS r
+FROM nums ORDER BY lag
+"""
+
+
+def q_hotspots(spark, sf):
+    """Getis-Ord Gi* hot-spot scan over the customer grid with a planted
+    hot corner (operators/spatial.py::getis_ord): WHERE the clustering
+    is, cell by cell with z-scores — the drill-down companion to
+    morans_events. Neighborhood sums via the 5-offset shifted-key
+    equi-join."""
+    from stackstac_spark.operators.spatial import getis_ord
+
+    cust = _t(spark, sf, "customer").select(
+        ((F.col("c_custkey") % 1800) / 10.0 - 90.0 + 0.05).alias("lat"),
+        (((F.col("c_custkey") * 7) % 3600) / 10.0 - 180.0 + 0.05).alias("lon"),
+    )
+    cells = (
+        cust.groupBy(F.floor("lat").alias("cy"), F.floor("lon").alias("cx"))
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .select(
+            "cy",
+            "cx",
+            (
+                F.col("occ")
+                + F.when((F.col("cy") < -84) & (F.col("cx") < -174), 20).otherwise(0)
+            ).cast("double").alias("val"),
+        )
+    )
+    return getis_ord(cells, "cy", "cx", "val")
+
+
+SQL_HOTSPOTS = """
+WITH pts AS (
+  SELECT CAST((c_custkey % 1800) AS DOUBLE) / 10.0 - 90.0 + 0.05 AS lat,
+         CAST(((c_custkey * 7) % 3600) AS DOUBLE) / 10.0 - 180.0 + 0.05
+           AS lon
+  FROM customer
+),
+cells AS MATERIALIZED (
+  SELECT y, x,
+         CAST(occ + CASE WHEN y < -84 AND x < -174 THEN 20 ELSE 0 END
+              AS DOUBLE) AS v
+  FROM (
+    SELECT CAST(floor(lat) AS BIGINT) AS y, CAST(floor(lon) AS BIGINT) AS x,
+           count(*) AS occ
+    FROM pts GROUP BY 1, 2
+  )
+),
+st AS (
+  SELECT count(*) AS n, avg(v) AS m,
+         sqrt(avg(v * v) - avg(v) * avg(v)) AS s
+  FROM cells
+),
+probes AS (
+  SELECT y AS cy, x AS cx, y + dy AS yy, x + dx AS xx
+  FROM cells, (VALUES (0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)) o(dy, dx)
+),
+hood AS (
+  SELECT p.cy, p.cx, count(*) AS w, sum(c.v) AS sumn
+  FROM probes p JOIN cells c ON c.y = p.yy AND c.x = p.xx
+  GROUP BY p.cy, p.cx
+),
+scored AS (
+  SELECT h.cy AS y, h.cx AS x, c.v AS value,
+         CAST(h.w - 1 AS BIGINT) AS n_neighbors,
+         round((h.sumn - st.m * h.w)
+               / (st.s * sqrt((st.n * h.w - h.w * h.w) * 1.0 / (st.n - 1))),
+               6) AS gi_z
+  FROM hood h JOIN cells c ON c.y = h.cy AND c.x = h.cx
+       CROSS JOIN st
+)
+SELECT y, x, value, n_neighbors, gi_z
+FROM scored WHERE abs(gi_z) >= 2.575829
+ORDER BY gi_z DESC, y, x
+"""
+
+
+def q_event_dispersion(spark, sf):
+    """Overdispersion diagnosis + NB moment fit of events-per-user by
+    event type (operators/sampling.py::count_dispersion): is the
+    per-user event count Poisson or clustered? One moment aggregate per
+    type over the per-(user, type) count table."""
+    from stackstac_spark.operators.sampling import count_dispersion
+
+    per = (
+        _t(spark, sf, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+    return count_dispersion(per, "cnt", ["event_type"])
+
+
+SQL_EVENT_DISPERSION = """
+WITH per AS (
+  SELECT event_type, CAST(count(*) AS DOUBLE) AS c
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY user_id, event_type
+),
+mom AS (
+  SELECT event_type, count(*) AS n, avg(c) AS m, var_samp(c) AS s2
+  FROM per GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n, round(m, 6) AS mean,
+       round(s2, 6) AS variance,
+       round(s2 / m, 6) AS dispersion,
+       CASE WHEN m > 0 THEN round((n - 1) * s2 / m, 6) END AS chi2,
+       CASE WHEN s2 > m AND m > 0 THEN round(m * m / (s2 - m), 6) END AS nb_r,
+       CASE WHEN s2 > m AND m > 0 THEN round(m / s2, 6) END AS nb_p
+FROM mom ORDER BY event_type
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- Rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r11,
@@ -18821,6 +18986,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "odds_exposure": (q_odds_exposure, SQL_ODDS_EXPOSURE),
     "cuped_readout": (q_cuped_readout, SQL_CUPED_READOUT),
     "ratio_readout": (q_ratio_readout, SQL_RATIO_READOUT),
+    "lead_lag": (q_lead_lag, SQL_LEAD_LAG),
+    "hotspots": (q_hotspots, SQL_HOTSPOTS),
+    "event_dispersion": (q_event_dispersion, SQL_EVENT_DISPERSION),
 }
 
 

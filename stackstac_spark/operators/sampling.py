@@ -843,3 +843,53 @@ def uniformity_gof(
         F.when(F.col("__kk") >= 2, F.round(chi2, round_to)).alias("chi2"),
     )
     return out.orderBy(*groups) if groups else out
+
+
+def count_dispersion(
+    df: DataFrame,
+    count_col: str,
+    group_cols: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Overdispersion diagnosis + negative-binomial moment fit for count
+    data per group → (group_cols..., n, mean, variance, dispersion,
+    chi2, nb_r, nb_p):
+
+        dispersion = s²/x̄           (1 under Poisson)
+        chi2       = (n−1)·s²/x̄      (the dispersion test statistic,
+                                      ~χ²(n−1) under Poisson)
+        NB fit     = r = x̄²/(s²−x̄),  p = x̄/s²   (method of moments,
+                     only when s² > x̄ — NULL otherwise)
+
+    The model-choice read on any event-count column (events per user,
+    dups per document, tokens per line): Poisson assumptions silently
+    understate variance everywhere counts cluster — dispersion ≫ 1 says
+    switch the sampling/power math to negative binomial, and (r, p) are
+    the plug-in parameters. One moment aggregate per group, nothing
+    else.
+    """
+    groups = list(group_cols or [])
+    c = F.col(count_col).cast("double")
+    base = df.filter(c.isNotNull() & ~F.isnan(c) & (c >= 0)).select(
+        *groups, c.alias("__c")
+    )
+    mom = base.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("__c").alias("__m"),
+        F.var_samp("__c").alias("__s2"),
+    )
+    m, s2, n = F.col("__m"), F.col("__s2"), F.col("__n").cast("double")
+    disp = F.try_divide(s2, m)
+    chi2 = F.when(m > 0, (n - 1.0) * s2 / m)
+    over = (s2 > m) & (m > 0)
+    out = mom.select(
+        *groups,
+        F.col("__n").cast("long").alias("n"),
+        F.round(m, round_to).alias("mean"),
+        F.round(s2, round_to).alias("variance"),
+        F.round(disp, round_to).alias("dispersion"),
+        F.round(chi2, round_to).alias("chi2"),
+        F.when(over, F.round(m * m / (s2 - m), round_to)).alias("nb_r"),
+        F.when(over, F.round(m / s2, round_to)).alias("nb_p"),
+    )
+    return out.orderBy(*groups) if groups else out

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["GEOHASH_ALPHABET", "geohash_encode", "grid_spatial_join", "grid_cluster", "morans_i"]
+__all__ = ["GEOHASH_ALPHABET", "geohash_encode", "grid_spatial_join", "grid_cluster", "morans_i", "getis_ord"]
 
 GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
 
@@ -386,3 +386,99 @@ def morans_i(
         F.round(i_val, round_to).alias("morans_i"),
         F.round(F.lit(-1.0 / (n_tot - 1)), round_to).alias("expected_i"),
     )
+
+
+def getis_ord(
+    cells: DataFrame,
+    y_col: str,
+    x_col: str,
+    value_col: str,
+    min_z: float = 2.575829,
+    round_to: int = 6,
+) -> DataFrame:
+    """Getis-Ord Gi* hot/cold-spot detection over a pre-aggregated cell
+    table (Getis & Ord 1992; Ord & Getis 1995) → one row per cell whose
+    |z| ≥ ``min_z`` (default = the two-sided 0.01 normal quantile):
+    (y, x, value, n_neighbors, gi_z) with the self-inclusive rook
+    neighborhood (the cell + its 4 rook neighbors, binary weights):
+
+        Gi* = [Σ_{j∈N(i)} x_j − x̄·W_i]
+              / [S·√((n·W_i − W_i²)/(n − 1))],
+        S   = √(Σx²/n − x̄²)
+
+    — WHERE the clustering is, where [morans_i] says only WHETHER it
+    exists globally: the hot tiles / hot user-regions / hot shards worth
+    drilling into, each with a z-score attached. Same input contract as
+    morans_i (one row per cell — pre-aggregate first; duplicates raise).
+
+    Plan: the morans_i machinery with the neighborhood sum gathered by
+    the same 5-offset explode + equi-join (boundary cells simply match
+    fewer neighbors, W_i adjusts per cell), global moments folded in as
+    literals from one eager aggregate. Linear in cells; the |z| filter
+    keeps the output report-sized.
+    """
+    base = cells.select(
+        F.col(y_col).cast("long").alias("__y"),
+        F.col(x_col).cast("long").alias("__x"),
+        F.col(value_col).cast("double").alias("__v"),
+    ).filter(
+        F.col("__y").isNotNull() & F.col("__x").isNotNull()
+        & F.col("__v").isNotNull() & ~F.isnan("__v")
+    ).localCheckpoint()
+    n_tot = base.count()
+    n_dist = base.select("__y", "__x").distinct().count()
+    if n_tot != n_dist:
+        raise ValueError(
+            f"getis_ord: {n_tot - n_dist} duplicate (y, x) cells — "
+            "aggregate to one value per cell first."
+        )
+    if n_tot < 3:
+        raise ValueError(f"getis_ord: need >= 3 cells, got {n_tot}")
+    mom = base.agg(
+        F.avg("__v").alias("m"), F.avg(F.col("__v") * F.col("__v")).alias("m2")
+    ).first()
+    mean = float(mom["m"])
+    s = (float(mom["m2"]) - mean * mean) ** 0.5
+    offs = F.array(
+        F.struct(F.lit(0).alias("dy"), F.lit(0).alias("dx")),
+        F.struct(F.lit(1).alias("dy"), F.lit(0).alias("dx")),
+        F.struct(F.lit(-1).alias("dy"), F.lit(0).alias("dx")),
+        F.struct(F.lit(0).alias("dy"), F.lit(1).alias("dx")),
+        F.struct(F.lit(0).alias("dy"), F.lit(-1).alias("dx")),
+    )
+    probes = base.select(
+        F.col("__y").alias("__cy"), F.col("__x").alias("__cx"),
+        F.explode(offs).alias("__o"),
+    ).select(
+        "__cy", "__cx",
+        (F.col("__cy") + F.col("__o.dy")).alias("__y"),
+        (F.col("__cx") + F.col("__o.dx")).alias("__x"),
+    )
+    hood = probes.join(base, ["__y", "__x"]).groupBy("__cy", "__cx").agg(
+        F.count(F.lit(1)).alias("__w"),
+        F.sum("__v").alias("__sumn"),
+    )
+    w = F.col("__w").cast("double")
+    num = F.col("__sumn") - F.lit(mean) * w
+    den = F.lit(s) * F.sqrt(
+        (F.lit(float(n_tot)) * w - w * w) / F.lit(float(n_tot - 1))
+    )
+    z = F.try_divide(num, den)
+    out = (
+        hood.join(
+            base.select(
+                F.col("__y").alias("__cy"), F.col("__x").alias("__cx"), "__v"
+            ),
+            ["__cy", "__cx"],
+        )
+        .select(
+            F.col("__cy").alias("y"),
+            F.col("__cx").alias("x"),
+            F.col("__v").alias("value"),
+            (F.col("__w") - 1).cast("long").alias("n_neighbors"),
+            F.round(z, round_to).alias("gi_z"),
+        )
+        .filter(F.abs(F.col("gi_z")) >= min_z)
+        .orderBy(F.desc("gi_z"), "y", "x")
+    )
+    return out

@@ -24,6 +24,7 @@ __all__ = [
     "ljung_box",
     "binary_segment",
     "gumbel_fit",
+    "cross_correlation",
 ]
 
 
@@ -986,3 +987,118 @@ def gumbel_fit(
         F.when(ok, F.round(qret, round_to)).alias("q_ret"),
     )
     return out.orderBy(*groups) if groups else out
+
+
+def cross_correlation(
+    df: DataFrame,
+    time_col: str,
+    a_col: str,
+    b_col: str,
+    group_cols: list[str] | None = None,
+    max_lag: int = 3,
+    round_to: int = 6,
+    max_points: int | None = 100_000,
+) -> DataFrame:
+    """Cross-correlation function between two aligned series per group →
+    one row per (group, lag ∈ [−max_lag, max_lag]):
+    (group_cols..., lag, r) with
+
+        r(ℓ) = Σ_t (a_t − ā)(b_{t−ℓ} − b̄) / √(Σ(a−ā)² · Σ(b−b̄)²)
+
+    — positive ℓ means b LEADS a by ℓ steps (b's past correlates with
+    a's present): does crawler error rate lead ingest latency? does
+    view volume lead purchase volume, and by how many days? The
+    two-series companion to [ljung_box] (auto-correlation of one
+    series); the lag of the peak |r| is the lead-lag estimate.
+
+    Both series must share the (group, t) axis: rows where EITHER side
+    is null/NaN are dropped (listwise — means/variances and products
+    all come from the common support, so r(0) equals Pearson on the
+    paired rows). Row lags over the dense re-index, the ljung_box
+    contract, with the same ``max_points`` / duplicate-t guards.
+
+    Plan: one per-group row_number window, ONE lag self-equi-join
+    against the exploded −max_lag..max_lag axis, per-(group, lag)
+    aggregates. No global sort, no Python.
+    """
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    groups = list(group_cols or [])
+    a = F.col(a_col).cast("double")
+    b = F.col(b_col).cast("double")
+    base = df.filter(
+        F.col(time_col).isNotNull()
+        & a.isNotNull() & ~F.isnan(a)
+        & b.isNotNull() & ~F.isnan(b)
+    ).select(*groups, F.col(time_col).alias("__t"), a.alias("__a"), b.alias("__b"))
+    stats = base.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count_distinct("__t").alias("__nt"),
+        F.avg("__a").alias("__ma"),
+        F.avg("__b").alias("__mb"),
+    ).localCheckpoint()
+    guard = stats.agg(
+        F.max("__n").alias("mx"),
+        F.min((F.col("__nt") == F.col("__n")).cast("int")).alias("uniq"),
+    ).first()
+    if guard["mx"] is not None and guard["uniq"] == 0:
+        raise ValueError(
+            "cross_correlation: duplicate timestamps within a group — "
+            "aggregate to one row per (group, t) first."
+        )
+    if max_points is not None and guard["mx"] is not None and guard["mx"] > max_points:
+        raise ValueError(
+            f"cross_correlation: a group has {guard['mx']} points "
+            f"(> max_points={max_points}); aggregate to a coarser grain."
+        )
+    w_idx = (
+        Window.partitionBy(*groups).orderBy("__t")
+        if groups
+        else Window.orderBy("__t")
+    )
+    idx = base.select(*groups, "__a", "__b", F.row_number().over(w_idx).alias("__i"))
+    centered = idx.join(F.broadcast(stats), groups) if groups else (
+        idx.withColumn("__jk", F.lit(1)).join(
+            F.broadcast(stats.withColumn("__jk", F.lit(1))), "__jk"
+        ).drop("__jk")
+    )
+    centered = centered.select(
+        *groups,
+        "__i",
+        (F.col("__a") - F.col("__ma")).alias("__za"),
+        (F.col("__b") - F.col("__mb")).alias("__zb"),
+    ).localCheckpoint()
+    denom = centered.groupBy(*groups).agg(
+        F.sqrt(
+            F.sum(F.col("__za") * F.col("__za"))
+            * F.sum(F.col("__zb") * F.col("__zb"))
+        ).alias("__den")
+    )
+    lags = centered.sparkSession.range(-max_lag, max_lag + 1).select(
+        F.col("id").cast("int").alias("__lag")
+    )
+    bshift = (
+        centered.select(
+            *groups, F.col("__i").alias("__ib"), "__zb"
+        )
+        .withColumn("__jk", F.lit(1))
+        .join(F.broadcast(lags.withColumn("__jk", F.lit(1))), "__jk")
+        .drop("__jk")
+        .select(*groups, "__lag", (F.col("__ib") + F.col("__lag")).alias("__i"), "__zb")
+    )
+    prods = centered.select(*groups, "__i", "__za").join(
+        bshift, groups + ["__i"]
+    )
+    per_lag = prods.groupBy(*groups, "__lag").agg(
+        F.sum(F.col("__za") * F.col("__zb")).alias("__num")
+    )
+    r_tab = per_lag.join(denom, groups) if groups else (
+        per_lag.withColumn("__jk", F.lit(1)).join(
+            F.broadcast(denom.withColumn("__jk", F.lit(1))), "__jk"
+        ).drop("__jk")
+    )
+    return r_tab.select(
+        *groups,
+        F.col("__lag").alias("lag"),
+        F.round(F.try_divide("__num", "__den"), round_to).alias("r"),
+    ).orderBy(*groups, "lag")
