@@ -18594,6 +18594,211 @@ FROM mom ORDER BY event_type
 """
 
 
+def q_quality_split(spark, sf):
+    """Entropy-optimal length threshold separating English documents
+    (operators/mlfit.py::info_split): the C4.5/MDLP cut — prefix class
+    counts over the bounded distinct-length axis make every candidate
+    cut O(1)."""
+    from stackstac_spark.operators.mlfit import info_split
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("n_chars").cast("double").alias("len"),
+        (F.col("lang") == "en").cast("int").alias("is_en"),
+    )
+    return info_split(docs, "len", "is_en")
+
+
+SQL_QUALITY_SPLIT = """
+WITH base AS (
+  SELECT CAST(n_chars AS DOUBLE) AS x,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+),
+per_v AS (
+  SELECT x, sum(y) AS p, sum(1 - y) AS q FROM base GROUP BY x
+),
+pre AS (
+  SELECT x,
+         sum(p) OVER w AS pl, sum(q) OVER w AS ql,
+         sum(p) OVER () AS pt, sum(q) OVER () AS qt,
+         count(*) OVER () AS nv
+  FROM per_v
+  WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+cand AS (
+  SELECT x, pt, qt, nv,
+         ((pl + ql) * 1.0 / (pt + qt))
+           * (CASE WHEN pl > 0 THEN -(pl * 1.0 / (pl + ql))
+                                     * ln(pl * 1.0 / (pl + ql)) ELSE 0 END
+              + CASE WHEN ql > 0 THEN -(ql * 1.0 / (pl + ql))
+                                       * ln(ql * 1.0 / (pl + ql)) ELSE 0 END)
+         + ((pt - pl + qt - ql) * 1.0 / (pt + qt))
+           * (CASE WHEN pt - pl > 0
+                   THEN -((pt - pl) * 1.0 / (pt - pl + qt - ql))
+                        * ln((pt - pl) * 1.0 / (pt - pl + qt - ql)) ELSE 0 END
+              + CASE WHEN qt - ql > 0
+                   THEN -((qt - ql) * 1.0 / (pt - pl + qt - ql))
+                        * ln((qt - ql) * 1.0 / (pt - pl + qt - ql)) ELSE 0 END)
+           AS hs
+  FROM pre WHERE pt - pl + qt - ql > 0
+),
+best AS (
+  SELECT max(pt) AS pt, max(qt) AS qt, max(nv) AS nv,
+         min(hs) AS h_split,
+         min(x) FILTER (WHERE rn = 1) AS threshold
+  FROM (SELECT *, row_number() OVER (ORDER BY hs, x) AS rn FROM cand)
+),
+fin AS (
+  SELECT pt, qt, nv, h_split, threshold,
+         CASE WHEN pt > 0 THEN -(pt * 1.0 / (pt + qt))
+                                * ln(pt * 1.0 / (pt + qt)) ELSE 0 END
+         + CASE WHEN qt > 0 THEN -(qt * 1.0 / (pt + qt))
+                                  * ln(qt * 1.0 / (pt + qt)) ELSE 0 END
+           AS h_parent
+  FROM best
+)
+SELECT CAST(pt + qt AS BIGINT) AS n,
+       CASE WHEN nv >= 2 AND pt > 0 AND qt > 0 THEN threshold END
+         AS threshold,
+       round(h_parent, 6) AS h_parent,
+       CASE WHEN nv >= 2 AND pt > 0 AND qt > 0 THEN round(h_split, 6) END
+         AS h_split,
+       CASE WHEN nv >= 2 AND pt > 0 AND qt > 0
+            THEN round(h_parent - h_split, 6) END AS info_gain
+FROM fin
+"""
+
+
+def q_srm_gate(spark, sf):
+    """Sample-ratio-mismatch health check on the md5-parity experiment
+    assignment (operators/abexp.py::srm_check, 50/50 design): the first
+    gate of every A/B readout. One arm count + broadcast expected
+    table."""
+    from stackstac_spark.operators.abexp import srm_check
+
+    users = (
+        _t(spark, sf, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10
+                )
+                % 2
+            ).cast("string").alias("arm")
+        )
+    )
+    return srm_check(users, "arm")
+
+
+SQL_SRM_GATE = """
+WITH arms AS (
+  SELECT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT
+              % 2 AS VARCHAR) AS arm
+  FROM (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL)
+),
+counts AS (SELECT arm, count(*) AS o FROM arms GROUP BY arm),
+tot AS (SELECT sum(o) AS n, count(*) AS k FROM counts),
+scored AS (
+  SELECT arm, o, n * 1.0 / k AS e FROM counts CROSS JOIN tot
+),
+chi AS (SELECT sum((o - e) * (o - e) / e) AS chi2 FROM scored)
+SELECT arm, CAST(o AS BIGINT) AS n, round(e, 6) AS expected_n,
+       round(chi2, 6) AS chi2
+FROM scored CROSS JOIN chi ORDER BY arm
+"""
+
+
+def q_mde_gate(spark, sf):
+    """Minimum detectable effect of the running md5-parity experiment
+    (operators/abexp.py::mde_report): can this test even see the lift we
+    care about? One arm aggregate + a k-row broadcast pair join."""
+    from stackstac_spark.operators.abexp import mde_report
+
+    ev = _events(spark, sf)
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        % 2
+    ).cast("string").alias("arm")
+    per_user = ev.groupBy(F.col("user_id"), arm).agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+            )
+            > 600.0,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    )
+    return mde_report(per_user, "converted", "arm")
+
+
+SQL_MDE_GATE = f"""
+WITH ev AS ({_DUCK_EV}),
+per_user AS (
+  SELECT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT
+              % 2 AS VARCHAR) AS arm,
+         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN value
+                            ELSE 0.0 END) > 600.0 THEN 1 ELSE 0 END AS conv
+  FROM ev GROUP BY user_id
+),
+arms AS (SELECT arm, count(*) AS n, sum(conv) AS x FROM per_user GROUP BY arm),
+pairs AS (
+  SELECT a.arm AS arm_a, b.arm AS arm_b, a.n AS na, b.n AS nb,
+         (a.x + b.x) * 1.0 / (a.n + b.n) AS pp
+  FROM arms a JOIN arms b ON a.arm < b.arm
+)
+SELECT arm_a, arm_b, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(pp, 6) AS p_pool,
+       CASE WHEN pp > 0 AND pp < 1
+            THEN round((1.959964 + 0.841621)
+                       * sqrt(pp * (1 - pp) * (1.0 / na + 1.0 / nb)), 6)
+       END AS mde_abs,
+       CASE WHEN pp > 0 AND pp < 1
+            THEN round((1.959964 + 0.841621)
+                       * sqrt(pp * (1 - pp) * (1.0 / na + 1.0 / nb)) / pp, 6)
+       END AS mde_rel
+FROM pairs ORDER BY arm_a, arm_b
+"""
+
+
+def q_ucb_gate(spark, sf):
+    """UCB1 allocation scores treating event types as bandit arms with a
+    high-value-event reward (operators/abexp.py::ucb_scores): the
+    deterministic adaptive-allocation readout. One arm aggregate + a
+    k-row argmax window."""
+    from stackstac_spark.operators.abexp import ucb_scores
+
+    ev = _t(spark, sf, "events").select(
+        "event_type",
+        (F.col("value") > 250).cast("double").alias("reward"),
+    ).filter(F.col("value").isNotNull() & ~F.isnan("value"))
+    return ucb_scores(ev, "event_type", "reward")
+
+
+SQL_UCB_GATE = """
+WITH base AS (
+  SELECT event_type AS arm,
+         CASE WHEN value > 250 THEN 1.0 ELSE 0.0 END AS r
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
+),
+arms AS (SELECT arm, count(*) AS n, avg(r) AS m FROM base GROUP BY arm),
+tot AS (SELECT sum(n) AS nn FROM arms),
+scored AS (
+  SELECT arm, n, m, 1.414214 * sqrt(ln(nn * 1.0) / n) AS b
+  FROM arms CROSS JOIN tot
+)
+SELECT arm, CAST(n AS BIGINT) AS n_pulls, round(m, 6) AS mean_reward,
+       round(b, 6) AS bonus, round(m + b, 6) AS ucb,
+       row_number() OVER (ORDER BY round(m + b, 6) DESC, arm) = 1
+         AS play_next
+FROM scored ORDER BY arm
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- Rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r11,
@@ -18989,6 +19194,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "lead_lag": (q_lead_lag, SQL_LEAD_LAG),
     "hotspots": (q_hotspots, SQL_HOTSPOTS),
     "event_dispersion": (q_event_dispersion, SQL_EVENT_DISPERSION),
+    "quality_split": (q_quality_split, SQL_QUALITY_SPLIT),
+    "srm_gate": (q_srm_gate, SQL_SRM_GATE),
+    "mde_gate": (q_mde_gate, SQL_MDE_GATE),
+    "ucb_gate": (q_ucb_gate, SQL_UCB_GATE),
 }
 
 

@@ -39,6 +39,7 @@ __all__ = [
     "ols_multi",
     "mahalanobis_outliers",
     "one_rule",
+    "info_split",
 ]
 
 
@@ -1007,3 +1008,116 @@ def one_rule(
         allf.select("*", (F.row_number().over(w) == 1).alias("best"))
         .orderBy(F.desc("accuracy"), "feature")
     )
+
+
+def info_split(
+    df: DataFrame,
+    feature_col: str,
+    label_col: str,
+    group_cols: list[str] | None = None,
+    round_to: int = 6,
+    max_distinct: int | None = 100_000,
+) -> DataFrame:
+    """Entropy-optimal binary split of a numeric feature against a
+    binary label per group (the MDLP/C4.5 threshold step, Fayyad &
+    Irani 1993) → (group_cols..., n, threshold, h_parent, h_split,
+    info_gain): the cut t maximizing
+
+        gain(t) = H(label) − [w_≤·H(label | x ≤ t) + w_>·H(label | x > t)]
+
+    (entropies in nats; threshold = the LARGEST feature value of the
+    left side; ties → smallest threshold). The decision-stump
+    discretizer: where to cut a quality score into keep/drop, a length
+    into short/long — the information-optimal answer rather than a
+    quantile guess, and the one_rule companion for numeric features.
+
+    Plan: the binary_segment shape with entropy instead of SSE — one
+    (group, value) class-count aggregate, one cumulative window over
+    the bounded distinct-value axis (``max_distinct`` fail-fast), every
+    candidate cut O(1) given prefix class counts, one min-pick. NULL
+    columns when a group has < 2 distinct values or a single class.
+    """
+    from pyspark.sql import Window
+
+    groups = list(group_cols or [])
+    x = F.col(feature_col).cast("double")
+    y = (F.col(label_col).cast("double") != 0).cast("int")
+    base = df.filter(
+        x.isNotNull() & ~F.isnan(x) & F.col(label_col).isNotNull()
+    ).select(*groups, x.alias("__x"), y.alias("__y"))
+    per_v = base.groupBy(*groups, "__x").agg(
+        F.sum("__y").alias("__p"),
+        F.sum(1 - F.col("__y")).alias("__q"),
+    )
+    if max_distinct is not None:
+        worst = (
+            per_v.groupBy(*groups)
+            .count()
+            .agg(F.max("count").alias("m"))
+            .first()["m"]
+        )
+        if worst is not None and worst > max_distinct:
+            raise ValueError(
+                f"info_split: a group has {worst} distinct feature values "
+                f"(> max_distinct={max_distinct}); pre-bin the feature."
+            )
+    w_cum = (
+        Window.partitionBy(*groups)
+        .orderBy("__x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+        if groups
+        else Window.orderBy("__x").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy(*groups) if groups else Window.partitionBy()
+    pre = per_v.select(
+        *groups,
+        "__x",
+        F.sum("__p").over(w_cum).alias("__pl"),
+        F.sum("__q").over(w_cum).alias("__ql"),
+        F.sum("__p").over(w_tot).alias("__pt"),
+        F.sum("__q").over(w_tot).alias("__qt"),
+        F.count(F.lit(1)).over(w_tot).alias("__nv"),
+    )
+
+    def _h(p, q):
+        # binary entropy of a (p, q) count pair in nats; 0-count terms
+        # contribute 0 (the 0·ln 0 := 0 convention)
+        tot = (p + q).cast("double")
+        hp = F.when(p > 0, -(p / tot) * F.log(p / tot)).otherwise(F.lit(0.0))
+        hq = F.when(q > 0, -(q / tot) * F.log(q / tot)).otherwise(F.lit(0.0))
+        return hp + hq
+
+    nl = (F.col("__pl") + F.col("__ql")).cast("double")
+    nr = (F.col("__pt") - F.col("__pl") + F.col("__qt") - F.col("__ql")).cast(
+        "double"
+    )
+    nt = (F.col("__pt") + F.col("__qt")).cast("double")
+    h_left = _h(F.col("__pl"), F.col("__ql"))
+    h_right = _h(
+        F.col("__pt") - F.col("__pl"), F.col("__qt") - F.col("__ql")
+    )
+    h_split = (nl / nt) * h_left + (nr / nt) * h_right
+    cand = pre.filter(nr > 0).select(
+        *groups, "__x", "__pt", "__qt", "__nv", h_split.alias("__hs")
+    )
+    best = cand.groupBy(*groups).agg(
+        F.max("__pt").alias("__pt"),
+        F.max("__qt").alias("__qt"),
+        F.max("__nv").alias("__nv"),
+        F.min(F.struct(F.col("__hs").alias("h"), F.col("__x").alias("t"))).alias(
+            "__b"
+        ),
+    )
+    h_parent = _h(F.col("__pt"), F.col("__qt"))
+    ok = (F.col("__nv") >= 2) & (F.col("__pt") > 0) & (F.col("__qt") > 0)
+    out = best.select(
+        *groups,
+        (F.col("__pt") + F.col("__qt")).cast("long").alias("n"),
+        F.when(ok, F.col("__b.t")).alias("threshold"),
+        F.round(h_parent, round_to).alias("h_parent"),
+        F.when(ok, F.round(F.col("__b.h"), round_to)).alias("h_split"),
+        F.when(ok, F.round(h_parent - F.col("__b.h"), round_to)).alias(
+            "info_gain"
+        ),
+    )
+    return out.orderBy(*groups) if groups else out
