@@ -18503,9 +18503,14 @@ def q_hotspots(spark, sf):
         .select(
             "cy",
             "cx",
+            # multiplicative bump: the planted hot corner scales WITH the
+            # data (an additive constant washes out at 10x occupancy --
+            # the good_turing scale-degeneracy lesson)
             (
                 F.col("occ")
-                + F.when((F.col("cy") < -84) & (F.col("cx") < -174), 20).otherwise(0)
+                * F.when(
+                    (F.col("cy") < -84) & (F.col("cx") < -174), 3
+                ).otherwise(1)
             ).cast("double").alias("val"),
         )
     )
@@ -18521,7 +18526,7 @@ WITH pts AS (
 ),
 cells AS MATERIALIZED (
   SELECT y, x,
-         CAST(occ + CASE WHEN y < -84 AND x < -174 THEN 20 ELSE 0 END
+         CAST(occ * CASE WHEN y < -84 AND x < -174 THEN 3 ELSE 1 END
               AS DOUBLE) AS v
   FROM (
     SELECT CAST(floor(lat) AS BIGINT) AS y, CAST(floor(lon) AS BIGINT) AS x,
