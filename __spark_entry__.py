@@ -18824,10 +18824,12 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- driver row. Everything below the window stays hash-checked
     # --- every CI run by tests/test_past_window_mirror.py +
     # --- scripts/check_correctness.py.
-    # --- r13 rotation note: the r12 waves 7-11 added 26 gates (tail of
-    # --- this dict, nelson_aalen .. session_predictability), all
-    # --- builder-verified hash-green at sf0.01 and tie-sweep-clean but
-    # --- NEVER driver-graded — lead the r13 window with them.
+    # --- r13 rotation note: the r12 waves 7-14 added 37 gates (tail of
+    # --- this dict, nelson_aalen .. ucb_gate), all builder-verified
+    # --- hash-green at sf0.01, tie-sweep-clean, sf1-probed, and covered
+    # --- by the past-window mirror every CI run — but NEVER
+    # --- driver-graded. Lead the r13 window with them (37 fit in one
+    # --- 50-slot window with room for 13 stale-green rotations).
 
     "avg_precision": (q_avg_precision, SQL_AVG_PRECISION),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
