@@ -18804,6 +18804,148 @@ FROM scored ORDER BY arm
 """
 
 
+def q_by_fdr(spark, sf):
+    """Benjamini-Yekutieli FDR over the same md5-derived test table as
+    bh_fdr/holm_tests (operators/drift.py::by_fdr, alpha=0.1): the
+    arbitrary-dependence-safe correction — BH's windows plus the
+    harmonic c(m) penalty."""
+    from stackstac_spark.operators.drift import by_fdr
+
+    tests = (
+        _t(spark, sf, "documents")
+        .select("source")
+        .distinct()
+        .select(
+            "source",
+            (
+                (
+                    F.conv(
+                        F.substring(F.md5(F.concat(F.lit("p:"), F.col("source"))), 1, 4),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 997
+                    + 1
+                )
+                / 1000.0
+            ).alias("p"),
+        )
+    )
+    return by_fdr(tests, "p", alpha=0.1)
+
+
+SQL_BY_FDR = """
+WITH tests AS (
+  SELECT source,
+         (('0x' || substring(md5('p:' || source), 1, 4))::BIGINT % 997 + 1)
+           / 1000.0 AS p
+  FROM (SELECT DISTINCT source FROM documents)
+),
+ranked AS (
+  SELECT source, p,
+         row_number() OVER (ORDER BY p, source) AS by_rank,
+         count(*) OVER () AS m
+  FROM tests
+),
+withcm AS (
+  SELECT *, sum(1.0 / by_rank) OVER () AS cm FROM ranked
+),
+adj AS (
+  SELECT source, p, by_rank,
+         least(1.0, min(cm * m * p / by_rank)
+               OVER (ORDER BY by_rank DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           AS p_adj,
+         max(CASE WHEN p <= by_rank * 0.1 / (m * cm) THEN 1 ELSE 0 END)
+             OVER (ORDER BY by_rank DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rej
+  FROM withcm
+)
+SELECT source, p, by_rank, round(p_adj, 6) AS p_adj, rej = 1 AS rejected
+FROM adj ORDER BY by_rank
+"""
+
+
+def q_risk_exposure(spark, sf):
+    """Relative risk of high order value by urgent priority
+    (operators/drift.py::risk_ratio, Katz CI): the cohort-honest twin of
+    odds_exposure. One 4-cell aggregate + algebra."""
+    from stackstac_spark.operators.drift import risk_ratio
+
+    orders = _t(spark, sf, "orders").select(
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("urgent"),
+        (F.col("o_totalprice") > 150000).cast("int").alias("big"),
+    )
+    return risk_ratio(orders, "urgent", "big")
+
+
+SQL_RISK_EXPOSURE = """
+WITH base AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS e,
+         CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS o
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+),
+cells AS (
+  SELECT sum(e * o) AS a, sum(e * (1 - o)) AS b,
+         sum((1 - e) * o) AS c, sum((1 - e) * (1 - o)) AS d
+  FROM base
+),
+corr AS (
+  SELECT a, b, c, d,
+         CASE WHEN a = 0 OR c = 0 THEN 0.5 ELSE 0.0 END AS h
+  FROM cells
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+       round(((a + h) / (a + h + b + h)) / ((c + h) / (c + h + d + h)), 6)
+         AS rr_est,
+       round(exp(ln(((a + h) / (a + h + b + h)) / ((c + h) / (c + h + d + h)))
+                 - 1.959964 * sqrt(1.0 / (a + h) - 1.0 / (a + h + b + h)
+                                   + 1.0 / (c + h) - 1.0 / (c + h + d + h))),
+             6) AS ci_low,
+       round(exp(ln(((a + h) / (a + h + b + h)) / ((c + h) / (c + h + d + h)))
+                 + 1.959964 * sqrt(1.0 / (a + h) - 1.0 / (a + h + b + h)
+                                   + 1.0 / (c + h) - 1.0 / (c + h + d + h))),
+             6) AS ci_high
+FROM corr
+"""
+
+
+def q_mix_diversity(spark, sf):
+    """Diversity profile of each language's source mix
+    (operators/sampling.py::diversity_profile): richness, Shannon H,
+    Pielou evenness, Gini-Simpson, Berger-Parker dominance in one
+    grouped roll-up — the consolidated mix report."""
+    from stackstac_spark.operators.sampling import diversity_profile
+
+    return diversity_profile(_t(spark, sf, "documents"), "source", ["lang"])
+
+
+SQL_MIX_DIVERSITY = """
+WITH per AS (
+  SELECT lang, source, count(*) AS c
+  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+  GROUP BY lang, source
+),
+tot AS (SELECT lang, sum(c) AS n FROM per GROUP BY lang),
+j AS (
+  SELECT per.lang, per.c, tot.n, per.c * 1.0 / tot.n AS p
+  FROM per JOIN tot ON tot.lang = per.lang
+),
+agg AS (
+  SELECT lang, max(n) AS n, count(*) AS k,
+         -sum(p * ln(p)) AS h, sum(p * p) AS p2, max(p) AS dom
+  FROM j GROUP BY lang
+)
+SELECT lang, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS richness,
+       round(h, 6) AS shannon_h,
+       CASE WHEN k >= 2 THEN round(h / ln(k * 1.0), 6) END AS evenness,
+       round(1.0 - p2, 6) AS simpson, round(dom, 6) AS dominance
+FROM agg ORDER BY lang
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # --- Rotation policy (window history: PROGRESS.jsonl /
     # --- CORRECTNESS_r0*.json; last landed grading: CORRECTNESS_r11,
@@ -19205,6 +19347,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "srm_gate": (q_srm_gate, SQL_SRM_GATE),
     "mde_gate": (q_mde_gate, SQL_MDE_GATE),
     "ucb_gate": (q_ucb_gate, SQL_UCB_GATE),
+    "by_fdr": (q_by_fdr, SQL_BY_FDR),
+    "risk_exposure": (q_risk_exposure, SQL_RISK_EXPOSURE),
+    "mix_diversity": (q_mix_diversity, SQL_MIX_DIVERSITY),
 }
 
 

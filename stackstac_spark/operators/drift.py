@@ -37,6 +37,8 @@ __all__ = [
     "holm_bonferroni",
     "cvm_two_sample",
     "odds_ratio",
+    "by_fdr",
+    "risk_ratio",
 ]
 
 
@@ -1431,5 +1433,123 @@ def odds_ratio(
         F.round(F.exp(lnor), round_to).alias("or_est"),
         F.round(F.exp(lnor - z * se), round_to).alias("ci_low"),
         F.round(F.exp(lnor + z * se), round_to).alias("ci_high"),
+    )
+    return out.orderBy(*groups) if groups else out
+
+
+def by_fdr(
+    df: DataFrame,
+    p_col: str,
+    alpha: float = 0.05,
+    round_to: int = 6,
+) -> DataFrame:
+    """Benjamini-Yekutieli FDR correction over a TABLE OF TESTS
+    (Benjamini & Yekutieli 2001) → the input columns + (by_rank, p_adj,
+    rejected): [bh_fdr] with the harmonic penalty c(m) = Σ_{i≤m} 1/i —
+    p_adj(i) = min_{j≥i}(c(m)·m·p_(j)/j) clamped to 1, step-up rejection
+    at p_(k) ≤ k·α/(m·c(m)).
+
+    BH assumes independent (or positively dependent) tests; BY holds
+    the FDR under ARBITRARY dependence — the honest choice when the
+    tests are the same metric sliced many overlapping ways (a drift
+    monitor's segments share users), at a ~ln(m) power cost.
+
+    Same bounded-tests-table contract and window shapes as bh_fdr;
+    null/NaN p excluded.
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0,1), got {alpha}")
+    p = F.col(p_col).cast("double")
+    base = df.filter(p.isNotNull() & ~F.isnan(p))
+    others = [c for c in base.columns if c != p_col]
+    order = [F.col(p_col).asc()] + [F.col(c).asc() for c in others]
+    w_rank = Window.orderBy(*order)  # bounded: tests table
+    ranked = base.select(
+        "*",
+        F.row_number().over(w_rank).alias("by_rank"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("__m"),
+    )
+    # c(m) = Σ 1/i over the rank axis itself — one more bounded window
+    cm = F.sum(1.0 / F.col("by_rank")).over(
+        Window.orderBy("by_rank").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    ranked = ranked.withColumn("__cm", cm)
+    w_rev = Window.orderBy(F.col("by_rank").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    adj = ranked.select(
+        "*",
+        F.least(
+            F.lit(1.0),
+            F.min(F.col("__cm") * F.col("__m") * p / F.col("by_rank")).over(w_rev),
+        ).alias("__adj"),
+        F.max(
+            (p <= F.col("by_rank") * alpha / (F.col("__m") * F.col("__cm"))).cast(
+                "int"
+            )
+        ).over(w_rev).alias("__rej"),
+    )
+    return adj.select(
+        *[F.col(c) for c in base.columns],
+        "by_rank",
+        F.round("__adj", round_to).alias("p_adj"),
+        (F.col("__rej") == 1).alias("rejected"),
+    ).orderBy("by_rank")
+
+
+def risk_ratio(
+    df: DataFrame,
+    exposure_col: str,
+    outcome_col: str,
+    group_cols: list[str] | None = None,
+    z: float = 1.959964,
+    round_to: int = 6,
+) -> DataFrame:
+    """Relative risk of a binary outcome by binary exposure per group,
+    with the Katz log-normal CI → (group_cols..., a, b, c, d, rr_est,
+    ci_low, ci_high):
+
+        RR = [a/(a+b)] / [c/(c+d)]
+        CI = exp(ln RR ± z·√(1/a − 1/(a+b) + 1/c − 1/(c+d)))
+
+    (+0.5 on all four cells when any of a/c is 0 — the same
+    Haldane-style continuity convention as [odds_ratio]). RR is the
+    number product/incident reviews actually want ("exposed users are
+    2.1× as likely to churn") — the odds ratio only approximates it when
+    the outcome is rare; for cohort-style data report RR directly.
+
+    Plan: identical to odds_ratio — one 4-cell aggregate + algebra.
+    """
+    groups = list(group_cols or [])
+    e = (F.col(exposure_col).cast("double") != 0).cast("int")
+    o = (F.col(outcome_col).cast("double") != 0).cast("int")
+    base = df.filter(
+        F.col(exposure_col).isNotNull() & F.col(outcome_col).isNotNull()
+    ).select(*groups, e.alias("__e"), o.alias("__o"))
+    agg = base.groupBy(*groups).agg(
+        F.sum(F.col("__e") * F.col("__o")).alias("__a"),
+        F.sum(F.col("__e") * (1 - F.col("__o"))).alias("__b"),
+        F.sum((1 - F.col("__e")) * F.col("__o")).alias("__c"),
+        F.sum((1 - F.col("__e")) * (1 - F.col("__o"))).alias("__d"),
+    )
+    any_zero = (F.col("__a") == 0) | (F.col("__c") == 0)
+    corr = F.when(any_zero, F.lit(0.5)).otherwise(F.lit(0.0))
+    a = F.col("__a") + corr
+    b = F.col("__b") + corr
+    c = F.col("__c") + corr
+    d = F.col("__d") + corr
+    lnrr = F.log((a / (a + b)) / (c / (c + d)))
+    se = F.sqrt(1.0 / a - 1.0 / (a + b) + 1.0 / c - 1.0 / (c + d))
+    out = agg.select(
+        *groups,
+        F.col("__a").cast("long").alias("a"),
+        F.col("__b").cast("long").alias("b"),
+        F.col("__c").cast("long").alias("c"),
+        F.col("__d").cast("long").alias("d"),
+        F.round(F.exp(lnrr), round_to).alias("rr_est"),
+        F.round(F.exp(lnrr - z * se), round_to).alias("ci_low"),
+        F.round(F.exp(lnrr + z * se), round_to).alias("ci_high"),
     )
     return out.orderBy(*groups) if groups else out

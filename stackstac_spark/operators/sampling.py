@@ -893,3 +893,60 @@ def count_dispersion(
         F.when(over, F.round(m / s2, round_to)).alias("nb_p"),
     )
     return out.orderBy(*groups) if groups else out
+
+
+def diversity_profile(
+    df: DataFrame,
+    category_col: str,
+    group_cols: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Ecology-style diversity profile of a categorical mix per group →
+    (group_cols..., n, richness, shannon_h, evenness, simpson, dominance):
+
+        shannon_h = −Σ p_i ln p_i          (nats)
+        evenness  = H / ln(richness)        (Pielou; NULL if k = 1)
+        simpson   = 1 − Σ p_i²              (Gini-Simpson)
+        dominance = max p_i                 (Berger-Parker)
+
+    The one-aggregate answer to "how concentrated is this domain /
+    language / source mix?" — the same question [herfindahl_mix] answers
+    with 1/Σp² and [l_diversity] with a privacy floor, profiled across
+    the standard indices at once so a mix report needs one operator.
+
+    Plan: one (group, category) count + one grouped roll-up — two
+    map-side-combined aggregates, nothing else. Null categories are
+    excluded (make them explicit upstream if meaningful).
+    """
+    groups = list(group_cols or [])
+    base = df.filter(F.col(category_col).isNotNull()).select(
+        *groups, F.col(category_col).alias("__cat")
+    )
+    per = base.groupBy(*groups, "__cat").agg(F.count(F.lit(1)).alias("__c"))
+    tot = per.groupBy(*groups).agg(F.sum("__c").alias("__n"))
+    j = per.join(tot, groups) if groups else (
+        per.withColumn("__k", F.lit(1)).join(
+            F.broadcast(tot.withColumn("__k", F.lit(1))), "__k"
+        ).drop("__k")
+    )
+    pi = F.col("__c") / F.col("__n").cast("double")
+    agg = j.groupBy(*groups).agg(
+        F.max("__n").alias("__nn"),
+        F.count(F.lit(1)).alias("__k"),
+        (-F.sum(pi * F.log(pi))).alias("__h"),
+        F.sum(pi * pi).alias("__p2"),
+        F.max(pi).alias("__dom"),
+    )
+    out = agg.select(
+        *groups,
+        F.col("__nn").cast("long").alias("n"),
+        F.col("__k").cast("long").alias("richness"),
+        F.round("__h", round_to).alias("shannon_h"),
+        F.when(
+            F.col("__k") >= 2,
+            F.round(F.col("__h") / F.log(F.col("__k").cast("double")), round_to),
+        ).alias("evenness"),
+        F.round(1.0 - F.col("__p2"), round_to).alias("simpson"),
+        F.round("__dom", round_to).alias("dominance"),
+    )
+    return out.orderBy(*groups) if groups else out
