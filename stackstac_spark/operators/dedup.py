@@ -532,14 +532,20 @@ def minhash_lsh_candidates(
         )
         for b in range(bands)
     ]
+    # materialize the banded signature table once (optimization r12): the
+    # bucket-size aggregate, the semi-join, and BOTH sides of the pair
+    # self-join would otherwise each re-execute the signature pipeline
+    # (tokenize + explode + per-doc min-hash aggregate — the operator's
+    # dominant cost, ~4 evaluations). The table is docs × bands rows —
+    # far smaller than the shingle stream it derives from.
     banded = sig.select(id_col, F.explode(F.array(*band_structs)).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    ).localCheckpoint()
     if max_bucket is not None:
         sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bn"))
         banded = banded.join(
             sizes.filter(F.col("bn") <= max_bucket).drop("bn"), ["band", "key"], "left_semi"
-        )
+        ).localCheckpoint()  # feeds both sides of the pair self-join
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -882,7 +888,10 @@ def jaccard_similarity(
     """Exact n-gram Jaccard for candidate ``pairs`` (id_a, id_b) — or all
     shingle-sharing pairs when pairs is None (verification stage after LSH;
     never run pairless at full scale)."""
-    sh = shingles(df, id_col, text_col, shingle_n)
+    # materialized once: the size aggregate and both self-join sides would
+    # otherwise each re-run tokenize + explode + distinct (optimization
+    # r12, the containment_pairs fix)
+    sh = shingles(df, id_col, text_col, shingle_n).localCheckpoint()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
@@ -1092,15 +1101,22 @@ def containment_pairs(
     dominated corpora should run ``boilerplate_lines`` first. Sizes join
     back by doc id (two hash joins on the already-aggregated pair list).
     """
-    sh = shingles(df, id_col, text_col, shingle_n)
+    # materialize the shingle table once (optimization r12): the size
+    # aggregate, the df aggregate, and BOTH sides of the co-shingle
+    # self-join would otherwise each re-execute tokenize + explode +
+    # distinct (4 full corpus scans + 4 distinct exchanges). One
+    # evaluation, cheap re-reads (guide §1.2 / §2.4).
+    sh = shingles(df, id_col, text_col, shingle_n).localCheckpoint()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     if max_shingle_docs is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        # the filtered stream feeds both join sides: checkpoint it too, so
+        # the semi-join runs once instead of twice
         sh = sh.join(
             freq.filter(F.col("df") <= max_shingle_docs).drop("df"),
             "shingle",
             "left_semi",
-        )
+        ).localCheckpoint()
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
@@ -1161,8 +1177,15 @@ def cross_lsh_matches(
             f"bands ({bands}) must divide num_hashes ({num_hashes})"
         )
     rows_per_band = num_hashes // bands
-    sig_c = minhash_signatures(corpus, id_col, text_col, num_hashes, shingle_n)
-    sig_r = minhash_signatures(reference, ref_id_col, text_col, num_hashes, shingle_n)
+    # each signature table feeds its banded view AND the estimator join —
+    # materialize so the per-side shingle + min-hash pipeline runs once
+    # per side instead of twice (optimization r12)
+    sig_c = minhash_signatures(
+        corpus, id_col, text_col, num_hashes, shingle_n
+    ).localCheckpoint()
+    sig_r = minhash_signatures(
+        reference, ref_id_col, text_col, num_hashes, shingle_n
+    ).localCheckpoint()
 
     def _banded(sig: DataFrame, key: str) -> DataFrame:
         band_structs = [
@@ -1300,6 +1323,12 @@ def lsh_tuning_curve(
         .join(jac, ["id_a", "id_b"])
         .join(sa, "id_a")
         .join(sb, "id_b")
+        # labeled-pair-sized table consumed once PER CONFIG by the union
+        # below — without this the signature pipeline and the exact-
+        # Jaccard pass re-execute for every config (3× by default;
+        # optimization r12). Materializing it is exactly the docstring's
+        # "signatures are the expensive artifact; re-slice them" contract.
+        .localCheckpoint()
     )
     per_config = []
     for b, r in configs:
@@ -1400,6 +1429,14 @@ def prefix_filter_pairs(
                 F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
             ).alias("tok"),
         ).distinct()
+    # materialize the element table once (optimization r12): its consumers
+    # — the df aggregate, the global-order rank join, the size aggregate,
+    # and the verify-array build — would otherwise each re-execute the
+    # tokenize + explode + distinct pipeline (a full corpus scan plus the
+    # distinct's exchange, ~7 evaluations total counting both sides of the
+    # candidate self-join). Guide §1.2: don't compute things you throw
+    # away; §2.4: share the exchange. One evaluation, many cheap re-reads.
+    toks = toks.localCheckpoint()
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     ranked = toks.join(dfreq, "tok").withColumn(
         "__r",
@@ -1422,6 +1459,11 @@ def prefix_filter_pairs(
         F.col("__r")
         <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)) + 1
     ).select(id_col, "tok")
+    # both sides of the candidate self-join consume `prefix`; without this
+    # the rank window + two joins above run twice (optimization r12). The
+    # prefix table is the SMALL proxy (~(1−t) of the distinct elements,
+    # the rarest ones at that), so this is the cheap side to materialize.
+    prefix = prefix.localCheckpoint()
     a = prefix.select(F.col(id_col).alias("id_a"), "tok")
     b = prefix.select(F.col(id_col).alias("id_b"), "tok")
     cand = (

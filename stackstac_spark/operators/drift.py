@@ -371,8 +371,21 @@ def spearman_rho(
         & ~F.isnan("__b")
     )
 
+    # one corpus scan total (optimization r12): collapse the corpus to the
+    # per-(group, a, b) CELL table once, materialize it, and derive
+    # everything — the guard, both tie-averaged rank tables, and the final
+    # Pearson-over-ranks sums — from the cells. Previously the guard, each
+    # rank_table's value-count aggregate, AND the two corpus-wide
+    # join-backs each re-scanned/re-shuffled `base` (~5 corpus passes; the
+    # join-back alone shuffled every row twice). The rank of a distinct
+    # value and all sums are exact dyadic rationals (ranks are halves,
+    # counts integers), so Σ_rows ra·rb ≡ Σ_cells c·ra·rb bit-for-bit.
+    cells = base.groupBy(*groups, "__a", "__b").agg(
+        F.count(F.lit(1)).alias("__c")
+    ).localCheckpoint()
+
     def rank_table(col: str, out: str) -> DataFrame:
-        per = base.groupBy(*groups, col).agg(F.count(F.lit(1)).alias("__c"))
+        per = cells.groupBy(*groups, col).agg(F.sum("__c").alias("__c"))
         w = (
             Window.partitionBy(*groups)
             .orderBy(col)
@@ -391,7 +404,7 @@ def spearman_rho(
 
     if max_distinct is not None:
         worst = (
-            base.groupBy(*groups)
+            cells.groupBy(*groups)
             .agg(
                 F.count_distinct("__a").alias("__da"),
                 F.count_distinct("__b").alias("__db"),
@@ -407,16 +420,17 @@ def spearman_rho(
                 "inputs, or raise/disable max_distinct if they are "
                 "genuinely discrete."
             )
-    ranked = base.join(rank_table("__a", "__ra"), [*groups, "__a"]).join(
+    ranked = cells.join(rank_table("__a", "__ra"), [*groups, "__a"]).join(
         rank_table("__b", "__rb"), [*groups, "__b"]
     )
+    c = F.col("__c")
     agg = ranked.groupBy(*groups).agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("__ra").alias("__sx"),
-        F.sum("__rb").alias("__sy"),
-        F.sum(F.col("__ra") * F.col("__ra")).alias("__sxx"),
-        F.sum(F.col("__rb") * F.col("__rb")).alias("__syy"),
-        F.sum(F.col("__ra") * F.col("__rb")).alias("__sxy"),
+        F.sum("__c").cast("long").alias("n"),
+        F.sum(c * F.col("__ra")).alias("__sx"),
+        F.sum(c * F.col("__rb")).alias("__sy"),
+        F.sum(c * F.col("__ra") * F.col("__ra")).alias("__sxx"),
+        F.sum(c * F.col("__rb") * F.col("__rb")).alias("__syy"),
+        F.sum(c * F.col("__ra") * F.col("__rb")).alias("__sxy"),
     )
     num = F.col("n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
     varx = F.col("n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
@@ -456,9 +470,17 @@ def js_divergence(
     base = df.select(g.alias("__g"), t.alias("__t")).filter(
         F.col("__g").isNotNull() & F.col("__t").isNotNull()
     )
-    per = base.groupBy("__g", "__t").agg(F.count(F.lit(1)).alias("__c"))
-    gtot = base.groupBy("__t").agg(F.count(F.lit(1)).alias("__gc"))
-    n_all = base.count()
+    # ONE corpus pass (optimization r12): the (group, token) count table
+    # is the sufficient statistic — the global per-token counts and the
+    # corpus total are exact integer roll-ups of it, so the (usually
+    # exploded-upstream) token table is scanned once and only the
+    # vocabulary-sized count table is materialized (guide §5: never cache
+    # the stream when a bounded aggregate carries the same information).
+    per = base.groupBy("__g", "__t").agg(
+        F.count(F.lit(1)).alias("__c")
+    ).localCheckpoint()
+    gtot = per.groupBy("__t").agg(F.sum("__c").alias("__gc"))
+    n_all = per.agg(F.sum("__c")).first()[0]
     grp = per.groupBy("__g").agg(F.sum("__c").alias("__ng"))
     j = per.join(gtot, "__t").join(F.broadcast(grp), "__g")
     p = F.col("__c") / F.col("__ng")
@@ -618,9 +640,18 @@ def kendall_tau_b(
     base = df.filter(
         a.isNotNull() & ~F.isnan(a) & b.isNotNull() & ~F.isnan(b)
     ).select(*groups, a.alias("__a"), b.alias("__b"))
+    # one corpus scan total (optimization r12): the contingency-cell table
+    # is materialized once and EVERYTHING below — the guard, both sides of
+    # the concordance join, n, and both tie marginals — derives from it.
+    # Previously the guard, n_tab, ta and tb each re-scanned `base` (the
+    # raw corpus) and c1/c2 re-evaluated `cells`: ~6 corpus passes. The
+    # checkpoint is cell-bounded (≤ max_cells per group when the guard
+    # passes) — the table the concordance join needs materialized anyway.
+    # All derived quantities are exact-integer identical: n = Σc, tie
+    # t-counts per value = Σc over the value's cells.
     cells = base.groupBy(*groups, "__a", "__b").agg(
         F.count(F.lit(1)).alias("__c")
-    )
+    ).localCheckpoint()
     if max_cells is not None:
         worst = (
             cells.groupBy(*groups)
@@ -662,16 +693,16 @@ def kendall_tau_b(
             F.when(F.col("__b1") > F.col("__b2"), F.col("__c1") * F.col("__c2")).otherwise(F.lit(0))
         ).cast("long").alias("discordant"),
     )
-    n_tab = base.groupBy(*groups).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    n_tab = cells.groupBy(*groups).agg(F.sum("__c").cast("long").alias("n"))
     ta = (
-        base.groupBy(*groups, "__a")
-        .agg(F.count(F.lit(1)).alias("__t"))
+        cells.groupBy(*groups, "__a")
+        .agg(F.sum("__c").alias("__t"))
         .groupBy(*groups)
         .agg(F.sum(F.col("__t") * (F.col("__t") - 1) / 2).alias("__ta"))
     )
     tb = (
-        base.groupBy(*groups, "__b")
-        .agg(F.count(F.lit(1)).alias("__t"))
+        cells.groupBy(*groups, "__b")
+        .agg(F.sum("__c").alias("__t"))
         .groupBy(*groups)
         .agg(F.sum(F.col("__t") * (F.col("__t") - 1) / 2).alias("__tb"))
     )
@@ -917,7 +948,14 @@ def wasserstein_1d(
     )
     if max_distinct is not None:
         # eager guard (the spearman_rho policy: fail at build, not
-        # mid-pipeline); counts are re-derived by the main plan
+        # mid-pipeline). Materialize both distinct-value count tables
+        # first (optimization r12): the guard jobs AND the main plan's
+        # consumers (grp_counts feeds the group list and the merge;
+        # ref_counts feeds the constant-key replication) otherwise each
+        # re-scan the corpus — ~5 passes. Distinct-value-bounded when the
+        # guard passes.
+        grp_counts = grp_counts.localCheckpoint()
+        ref_counts = ref_counts.localCheckpoint()
         worst = (
             grp_counts.groupBy("grp")
             .count()

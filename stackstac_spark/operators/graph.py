@@ -439,16 +439,38 @@ def connected_components_star(
     converged = False
     for _ in range(max_iter):
         edges = _small_star(_large_star(edges)).localCheckpoint()
-        depth2 = edges.join(
-            edges.select(F.col("hi").alias("lo")).distinct(), "lo", "left_semi"
-        ).count()
-        multi_parent = (
-            edges.groupBy("hi")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") > 1)
+        # star-forest test, one aggregate job (optimization r12; was two
+        # jobs/round, one of them a semi-join): classify every node's role
+        # counts in a single pass over the endpoint stream — a node that is
+        # a child more than once violates unique-parent, a node that is
+        # both a child and a parent violates depth-1. Exactly equivalent to
+        # the old (depth2 == 0 AND multi_parent == 0) pair:
+        # depth2 > 0  ⟺ some node has n_child ≥ 1 and n_parent ≥ 1;
+        # multi_parent > 0 ⟺ some node has n_child > 1.
+        violations = (
+            edges.select(
+                F.col("hi").alias("id"),
+                F.lit(1).alias("__child"),
+                F.lit(0).alias("__parent"),
+            )
+            .unionAll(
+                edges.select(
+                    F.col("lo").alias("id"),
+                    F.lit(0).alias("__child"),
+                    F.lit(1).alias("__parent"),
+                )
+            )
+            .groupBy("id")
+            .agg(
+                F.sum("__child").alias("nc"),
+                F.sum("__parent").alias("np"),
+            )
+            .filter(
+                (F.col("nc") > 1) | ((F.col("nc") >= 1) & (F.col("np") >= 1))
+            )
             .count()
         )
-        if depth2 == 0 and multi_parent == 0:
+        if violations == 0:
             converged = True
             break
     if not converged:
@@ -544,11 +566,15 @@ def neighbor_jaccard(
         .localCheckpoint()
     )
     sym = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    # deg feeds the hub filter and BOTH per-endpoint decoration joins;
+    # centers feeds both wedge sides — materialize each once
+    # (optimization r12, the adamic_adar shape)
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
     centers = sym.select(F.col("b").alias("w"), F.col("a").alias("n"))
     if max_degree is not None:
         cdeg = centers.join(deg.select(F.col("a").alias("w"), "deg"), "w")
         centers = cdeg.filter(F.col("deg") <= max_degree).select("w", "n")
+    centers = centers.localCheckpoint()
     common = (
         centers.select("w", F.col("n").alias("u"))
         .join(centers.select("w", F.col("n").alias("v")), "w")
@@ -616,10 +642,21 @@ def kcore(
         .localCheckpoint()
     )
     for _ in range(max_iter):
-        deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        keep = deg.filter(F.col("deg") >= k).select("src").localCheckpoint()
-        n_all = deg.count()
-        n_keep = keep.count()
+        # the degree table is materialized once per round (optimization
+        # r12): the survivor filter, BOTH convergence counts (now one
+        # aggregate job instead of two), and the converged-round return
+        # all read it — previously the degree aggregate re-ran for
+        # n_all, and keep carried its own checkpoint job. 4 jobs/round
+        # → 3, and the degree agg runs once instead of up to three times.
+        deg = sym.groupBy("src").agg(
+            F.count(F.lit(1)).alias("deg")
+        ).localCheckpoint()
+        cnts = deg.agg(
+            F.count(F.lit(1)).alias("n_all"),
+            F.sum((F.col("deg") >= k).cast("int")).alias("n_keep"),
+        ).first()
+        n_all = cnts["n_all"]
+        n_keep = cnts["n_keep"] or 0
         if n_keep == n_all:
             return deg.select(
                 F.col("src").alias("node"), F.col("deg").alias("core_deg")
@@ -628,6 +665,7 @@ def kcore(
             return sym.sparkSession.createDataFrame(
                 [], "node {}, core_deg long".format(sym.schema["src"].dataType.simpleString())
             )
+        keep = deg.filter(F.col("deg") >= k).select("src")
         sym = (
             sym.join(keep, "src", "left_semi")
             .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
@@ -673,6 +711,9 @@ def adamic_adar(
     )
     if max_degree is not None:
         centers = centers.filter(F.col("deg") <= max_degree)
+    # both wedge sides consume `centers`; materialize so the degree
+    # aggregate + decoration join run once, not twice (optimization r12)
+    centers = centers.localCheckpoint()
     wedges = (
         centers.select("w", F.col("n").alias("u"), "deg")
         .join(
@@ -825,16 +866,7 @@ def bipartite_projection(
     equi-join + pair count. ``min_weight`` prunes the long tail at the
     aggregate.
     """
-    inc = df.select(
-        F.col(left_col).alias("l"), F.col(right_col).alias("r")
-    ).distinct()
-    keep = (
-        inc.groupBy("r")
-        .agg(F.count(F.lit(1)).alias("rdeg"))
-        .filter(F.col("rdeg") <= max_right_degree)
-        .select("r")
-    )
-    pruned = inc.join(keep, "r", "left_semi")
+    pruned = _pruned_incidence(df, left_col, right_col, max_right_degree)
     pairs = (
         pruned.select("r", F.col("l").alias("l_a"))
         .join(pruned.select("r", F.col("l").alias("l_b")), "r")
@@ -845,6 +877,30 @@ def bipartite_projection(
         .agg(F.count(F.lit(1)).cast("long").alias("weight"))
         .filter(F.col("weight") >= min_weight)
     )
+
+
+def _pruned_incidence(
+    df: DataFrame, left_col: str, right_col: str, max_right_degree: int
+) -> DataFrame:
+    """Distinct (l, r) incidence with hub right-nodes dropped, materialized
+    once (optimization r12): the incidence feeds the degree aggregate AND
+    both sides of the projection self-join AND (in cooccurrence_recs) the
+    item-frequency aggregate — without the checkpoints each consumer
+    re-executes the corpus scan + the distinct's exchange (~8 evaluations
+    in cooccurrence_recs, 48 Exchange nodes in its physical plan). Guide
+    §1.2/§2.4: evaluate once, share the exchange."""
+    inc = (
+        df.select(F.col(left_col).alias("l"), F.col(right_col).alias("r"))
+        .distinct()
+        .localCheckpoint()
+    )
+    keep = (
+        inc.groupBy("r")
+        .agg(F.count(F.lit(1)).alias("rdeg"))
+        .filter(F.col("rdeg") <= max_right_degree)
+        .select("r")
+    )
+    return inc.join(keep, "r", "left_semi").localCheckpoint()
 
 
 def modularity(
@@ -958,23 +1014,31 @@ def cooccurrence_recs(
     undirected pair fans into both directions). Never an item×item
     matrix.
     """
-    pairs = bipartite_projection(
-        df, left_col=item_col, right_col=basket_col,
-        max_right_degree=max_basket_size,
+    # one materialized hub-pruned incidence feeds the projection self-join
+    # AND the item-frequency aggregate (optimization r12: this function
+    # previously rebuilt inc/keep a second time next to the projection's
+    # own, ~8 evaluations of the distinct incidence in the physical plan);
+    # the projection result is materialized because `sym` fans it into
+    # both directions (two consumers of the basket self-join, the
+    # operator's dominant cost), and `freq` because the cosine joins it
+    # twice. Identical arithmetic — the cosine still counts over the SAME
+    # pruned incidence the projection uses.
+    pruned = _pruned_incidence(df, item_col, basket_col, max_basket_size)
+    raw_pairs = (
+        pruned.select("r", F.col("l").alias("l_a"))
+        .join(pruned.select("r", F.col("l").alias("l_b")), "r")
+        .filter(F.col("l_a") < F.col("l_b"))
     )
-    inc = df.select(
-        F.col(item_col).alias("item"), F.col(basket_col).alias("b")
-    ).distinct()
-    keep = (
-        inc.groupBy("b")
-        .agg(F.count(F.lit(1)).alias("__bdeg"))
-        .filter(F.col("__bdeg") <= max_basket_size)
-        .select("b")
+    pairs = (
+        raw_pairs.groupBy("l_a", "l_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+        .localCheckpoint()
     )
     freq = (
-        inc.join(keep, "b", "left_semi")
-        .groupBy("item")
+        pruned.groupBy("l")
         .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.col("l").alias("item"), "freq")
+        .localCheckpoint()
     )
     sym = pairs.select(
         F.col("l_a").alias("item"), F.col("l_b").alias("rec"), "weight"
@@ -1313,6 +1377,9 @@ def sequential_patterns(
         *[F.col(c) for c in order_cols],
         F.col(item_col).cast("string").alias("__i0"),
     )
+    # one lead-window pass, materialized (optimization r12): each length's
+    # projection and the distinct-sequence total would otherwise re-run
+    # the sequence-keyed window shuffle per consumer
     with_leads = base.select(
         "__s",
         "__i0",
@@ -1322,7 +1389,7 @@ def sequential_patterns(
             ).alias(f"__i{k}")
             for k in range(1, max(lengths))
         ],
-    )
+    ).localCheckpoint()
     parts = []
     for n in lengths:
         cols = [F.col(f"__i{k}") for k in range(n)]
@@ -1335,7 +1402,9 @@ def sequential_patterns(
     allp = parts[0]
     for p in parts[1:]:
         allp = allp.unionByName(p)
-    n_seqs = base.select("__s").distinct().count()
+    # same row set as base (lead() drops nothing) — read the checkpoint
+    # instead of re-scanning the corpus for the total
+    n_seqs = with_leads.select("__s").distinct().count()
     sup = (
         allp.distinct()
         .groupBy("length", "pattern")

@@ -244,6 +244,13 @@ def blocked_pairs(
     join is banded (⌊rn/w⌋ buckets, each row probing its own and the
     next band) so no task sees the whole hot block.
     """
+    if max_block is not None:
+        # the guard below runs an eager job anyway — materialize the
+        # record stream first so the guard scan and BOTH join sides read
+        # one evaluation of the caller's upstream projection (per-record
+        # bound ingredients, repartition) instead of three (optimization
+        # r12, the _per_score_counts pattern)
+        df = df.localCheckpoint()
     a = df.select(
         *block_cols,
         F.col(id_col).alias("id_a"),

@@ -154,8 +154,19 @@ def naive_bayes_classify(
             F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
         ).alias("tok"),
     )
-    doctok = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    ctab = toks.groupBy("y", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # materialize the two COUNT tables once (optimization r12): doctok
+    # feeds the scoring join AND the per-doc totals; ctab feeds the
+    # vocabulary count (eager), the class totals, and the scoring join —
+    # each consumer otherwise re-ran the corpus explode (~5 passes; now
+    # exactly two, one per count table). The raw token stream itself is
+    # deliberately not cached (guide §5 — the aggregates are the compact
+    # sufficient statistics).
+    doctok = toks.groupBy("id", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint()
+    ctab = toks.groupBy("y", "tok").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).localCheckpoint()
     v_size = ctab.select("tok").distinct().count()
     stats = (
         ctab.groupBy("y")
@@ -669,7 +680,11 @@ def quantile_match(
         .agg(F.count(F.lit(1)).alias("c"))
     )
     if max_distinct is not None:
-        # eager guard at construction (the spearman_rho policy)
+        # eager guard at construction (the spearman_rho policy); both
+        # distinct-value tables are materialized first so the guard jobs
+        # and the CDF windows share one corpus scan (optimization r12)
+        grp_counts = grp_counts.localCheckpoint()
+        ref_counts = ref_counts.localCheckpoint()
         worst = (
             grp_counts.groupBy("grp").count().agg(F.max("count").alias("m")).first()["m"]
         )
@@ -1050,6 +1065,9 @@ def info_split(
         F.sum(1 - F.col("__y")).alias("__q"),
     )
     if max_distinct is not None:
+        # share one corpus scan between guard and main plan (the
+        # _per_score_counts pattern; optimization r12)
+        per_v = per_v.localCheckpoint()
         worst = (
             per_v.groupBy(*groups)
             .count()

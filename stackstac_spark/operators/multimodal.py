@@ -343,6 +343,13 @@ def hamming_near_dups(hashes: DataFrame, max_hamming: int = 8) -> DataFrame:
     )
     if not words:
         raise ValueError("hashes must carry average_hash word columns w0..wN")
+    # materialize the hash table once (optimization r12): the W banded
+    # branches × both candidate-join sides plus the two verify joins would
+    # otherwise re-run the upstream decode + hash Python kernel ~10 times
+    # (the union of W selects alone evaluates its input W times). The
+    # table is one row of W small ints per image — the cheapest possible
+    # thing to pin against the most expensive thing in the plan.
+    hashes = hashes.localCheckpoint()
     banded = None
     for i, wcol in enumerate(words):
         b = hashes.select(

@@ -38,13 +38,35 @@ __all__ = [
 
 
 def _avg_rank_table(
-    base: DataFrame, groups: list[str], value_col: str, out: str
+    base: DataFrame,
+    groups: list[str],
+    value_col: str,
+    out: str,
+    max_distinct: int | None = None,
+    op: str | None = None,
 ) -> DataFrame:
     """Tie-AVERAGED ranks of ``value_col`` within each group: per-(group,
     distinct value) counts + one cumulative window over the distinct-value
     table (the spearman_rho / roc_auc rank pattern — the corpus itself is
-    never sorted)."""
+    never sorted).
+
+    When ``max_distinct`` is set, the distinct-value count table is
+    localCheckpoint-ed and the fail-fast guard rides it (optimization r12:
+    the guard previously ran ``_guard_distinct`` as a SEPARATE corpus
+    scan; now guard and rank table share one evaluation — the
+    _per_score_counts pattern). Same eager-at-construction contract and
+    the same error, raised via :func:`_raise_distinct`."""
     per = base.groupBy(*groups, value_col).agg(F.count(F.lit(1)).alias("__c"))
+    if max_distinct is not None:
+        per = per.localCheckpoint()
+        worst = (
+            per.groupBy(*groups)
+            .count()
+            .agg(F.max("count").alias("m"))
+            .first()["m"]
+        )
+        if worst is not None and worst > max_distinct:
+            _raise_distinct(op or "rank", worst, max_distinct)
     w = (
         Window.partitionBy(*groups)
         .orderBy(value_col)
@@ -61,29 +83,15 @@ def _avg_rank_table(
     )
 
 
-def _guard_distinct(
-    base: DataFrame, groups: list[str], value_col: str, max_distinct: int | None, op: str
-) -> None:
-    """Exact-mode fail-fast on the distinct-value cardinality that the rank
-    window rides (the spearman_rho policy). NOTE (eager guard): runs a small
-    Spark job at DataFrame-construction time — fail at build, not
-    mid-pipeline; pass ``max_distinct=None`` to skip the extra scan for
-    inputs known to be discrete."""
-    if max_distinct is None:
-        return
-    worst = (
-        base.groupBy(*groups)
-        .agg(F.count_distinct(value_col).alias("__d"))
-        .agg(F.max("__d").alias("m"))
-        .first()["m"]
+def _raise_distinct(op: str, worst: int, max_distinct: int) -> None:
+    """The spearman_rho-policy fail-fast error, shared so the message stays
+    byte-identical across the rank-based operators."""
+    raise ValueError(
+        f"{op}: a group has {worst} distinct values "
+        f"(> max_distinct={max_distinct}); the per-group rank window "
+        "would funnel them through one task. Pre-bin/round the inputs, "
+        "or raise/disable max_distinct if they are genuinely discrete."
     )
-    if worst is not None and worst > max_distinct:
-        raise ValueError(
-            f"{op}: a group has {worst} distinct values "
-            f"(> max_distinct={max_distinct}); the per-group rank window "
-            "would funnel them through one task. Pre-bin/round the inputs, "
-            "or raise/disable max_distinct if they are genuinely discrete."
-        )
 
 
 def kruskal_wallis(
@@ -116,8 +124,10 @@ def kruskal_wallis(
     base = df.filter(
         v.isNotNull() & ~F.isnan(v) & F.col(treatment_col).isNotNull()
     ).select(*groups, F.col(treatment_col).alias("__j"), v.alias("__x"))
-    _guard_distinct(base, groups, "__x", max_distinct, "kruskal_wallis")
-    ranked = base.join(_avg_rank_table(base, groups, "__x", "__rk"), [*groups, "__x"])
+    ranked = base.join(
+        _avg_rank_table(base, groups, "__x", "__rk", max_distinct, "kruskal_wallis"),
+        [*groups, "__x"],
+    )
     per_treat = ranked.groupBy(*groups, "__j").agg(
         F.count(F.lit(1)).alias("__nj"), F.sum("__rk").alias("__rj")
     )
@@ -300,8 +310,10 @@ def wilcoxon_signed_rank(
         .filter(F.col("__d") != 0.0)
         .select(*groups, F.abs("__d").alias("__ad"), F.signum("__d").alias("__sg"))
     )
-    _guard_distinct(base, groups, "__ad", max_distinct, "wilcoxon_signed_rank")
-    ranked = base.join(_avg_rank_table(base, groups, "__ad", "__rk"), [*groups, "__ad"])
+    ranked = base.join(
+        _avg_rank_table(base, groups, "__ad", "__rk", max_distinct, "wilcoxon_signed_rank"),
+        [*groups, "__ad"],
+    )
     ties = (
         base.groupBy(*groups, "__ad")
         .agg(F.count(F.lit(1)).alias("__t"))
@@ -367,8 +379,10 @@ def cliffs_delta(
         (F.col(side_col) == F.lit(side_a)).alias("__is_a"),
         v.alias("__x"),
     )
-    _guard_distinct(base, groups, "__x", max_distinct, "cliffs_delta")
-    ranked = base.join(_avg_rank_table(base, groups, "__x", "__rk"), [*groups, "__x"])
+    ranked = base.join(
+        _avg_rank_table(base, groups, "__x", "__rk", max_distinct, "cliffs_delta"),
+        [*groups, "__x"],
+    )
     agg = ranked.groupBy(*groups).agg(
         F.sum(F.col("__is_a").cast("int")).cast("long").alias("n_a"),
         F.sum((~F.col("__is_a")).cast("int")).cast("long").alias("n_b"),
@@ -420,7 +434,13 @@ def somers_d(
     base = df.filter(
         x.isNotNull() & ~F.isnan(x) & y.isNotNull() & ~F.isnan(y)
     ).select(*groups, x.alias("__x"), y.alias("__y"))
-    cells = base.groupBy(*groups, "__x", "__y").agg(F.count(F.lit(1)).alias("__c"))
+    # one corpus scan total (optimization r12, the kendall_tau_b fix): the
+    # cell table is materialized once; the guard, both concordance-join
+    # sides, n, and the x-tie marginal all derive from it (exact-integer
+    # identical: n = Σc, tie t per x = Σc over x's cells).
+    cells = base.groupBy(*groups, "__x", "__y").agg(
+        F.count(F.lit(1)).alias("__c")
+    ).localCheckpoint()
     if max_cells is not None:
         worst = (
             cells.groupBy(*groups).count().agg(F.max("count").alias("m")).first()["m"]
@@ -459,10 +479,10 @@ def somers_d(
             F.when(F.col("__y1") > F.col("__y2"), F.col("__c1") * F.col("__c2")).otherwise(F.lit(0))
         ).cast("long").alias("discordant"),
     )
-    n_tab = base.groupBy(*groups).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    n_tab = cells.groupBy(*groups).agg(F.sum("__c").cast("long").alias("n"))
     tx = (
-        base.groupBy(*groups, "__x")
-        .agg(F.count(F.lit(1)).alias("__t"))
+        cells.groupBy(*groups, "__x")
+        .agg(F.sum("__c").alias("__t"))
         .groupBy(*groups)
         .agg(F.sum(F.col("__t") * (F.col("__t") - 1) / 2).alias("__tx"))
     )
@@ -599,6 +619,9 @@ def levene_bf(
     keys = [*groups, "__j"]
     per = base.groupBy(*keys, "__x").agg(F.count(F.lit(1)).alias("__c"))
     if max_distinct is not None:
+        # share one corpus scan between guard and main plan (the
+        # _per_score_counts pattern; optimization r12)
+        per = per.localCheckpoint()
         worst = (
             per.groupBy(*keys).count().agg(F.max("count").alias("m")).first()["m"]
         )
@@ -690,8 +713,10 @@ def dunn_posthoc(
     base = df.filter(
         v.isNotNull() & ~F.isnan(v) & F.col(treatment_col).isNotNull()
     ).select(F.col(treatment_col).alias("__j"), v.alias("__x"))
-    _guard_distinct(base, [], "__x", max_distinct, "dunn_posthoc")
-    ranked = base.join(_avg_rank_table(base, [], "__x", "__rk"), ["__x"])
+    ranked = base.join(
+        _avg_rank_table(base, [], "__x", "__rk", max_distinct, "dunn_posthoc"),
+        ["__x"],
+    )
     per_j = ranked.groupBy("__j").agg(
         F.count(F.lit(1)).cast("long").alias("__nj"),
         F.avg("__rk").alias("__rbar"),

@@ -779,6 +779,10 @@ def semantic_dedup(
     assigned, _cents = kmeans_fit(
         emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col
     )
+    # three consumers (both pair-join sides + the output join) — without
+    # this the nearest-centroid assignment scan re-runs per consumer
+    # (optimization r12)
+    assigned = assigned.localCheckpoint()
     side = assigned.select(
         F.col(id_col).alias("__id"), F.col("cluster"), F.col(vec_col).alias("__v")
     )
@@ -1351,30 +1355,48 @@ def bitext_margin_pairs(
         sims = cand.join(s, "src_id").join(t, "tgt_id").select(
             "src_id", "tgt_id", sim_expr
         )
-    w_s = Window.partitionBy("src_id").orderBy(F.desc("sim"), F.asc("tgt_id"))
-    w_t = Window.partitionBy("tgt_id").orderBy(F.desc("sim"), F.asc("src_id"))
-    ranked = sims.withColumn("rk_s", F.row_number().over(w_s)).withColumn(
-        "rk_t", F.row_number().over(w_t)
-    )
+    # Single-pass shape (optimization r12): the sim matrix — the dominant
+    # cost (cross join or candidate join + a dim-length dot product per
+    # pair) — is evaluated ONCE. The old shape aggregated the kNN sums in
+    # two groupBy branches and joined them back onto a third evaluation of
+    # `sims` (Spark re-executes a subtree per DataFrame consumer), i.e.
+    # 3 full sim-matrix evaluations + 2 joins + 6 exchanges. Here the kNN
+    # sums ride the SAME window partitioning that computes the ranks
+    # (full-partition frame, no extra exchange), and the mutual-argmax
+    # windows are ordered so consecutive window operators share their
+    # exchange: src → tgt → src = 3 exchanges total, 0 joins, 1 sim-matrix
+    # evaluation (guide §2.4: two operations keyed the same way share one
+    # exchange; §1.2: fix the distributed algorithm first).
+    #
     # carry the rounded SUM of the top-k sims, not their average: the sims
     # are 6-decimal multiples, so their ideal sum is too — round(sum, 6) is
     # boundary-stable across engines, whereas round(sum/k, 6) lands exactly
     # on a .5e-6 rounding boundary for ~1/k of all keys (fp noise then
     # flips the 6th decimal between engines). The /2k moves into the
-    # margin denominator.
-    sum_s = (
-        ranked.filter(F.col("rk_s") <= knn)
-        .groupBy("src_id")
-        .agg(F.round(F.sum("sim"), sim_round).alias("sum_s"))
-    )
-    sum_t = (
-        ranked.filter(F.col("rk_t") <= knn)
-        .groupBy("tgt_id")
-        .agg(F.round(F.sum("sim"), sim_round).alias("sum_t"))
-    )
+    # margin denominator. The window SUM adds the same ≤ knn addends as the
+    # old groupBy sum (order-insensitive under round(,6), the contract the
+    # oracle already relies on), so the pair set is unchanged.
+    ord_s = Window.partitionBy("src_id").orderBy(F.desc("sim"), F.asc("tgt_id"))
+    ord_t = Window.partitionBy("tgt_id").orderBy(F.desc("sim"), F.asc("src_id"))
+    part_s = Window.partitionBy("src_id")
+    part_t = Window.partitionBy("tgt_id")
     scored = (
-        sims.join(F.broadcast(sum_s), "src_id")
-        .join(F.broadcast(sum_t), "tgt_id")
+        sims.withColumn("rk_s", F.row_number().over(ord_s))
+        .withColumn(
+            "sum_s",
+            F.round(
+                F.sum(F.when(F.col("rk_s") <= knn, F.col("sim"))).over(part_s),
+                sim_round,
+            ),
+        )
+        .withColumn("rk_t", F.row_number().over(ord_t))
+        .withColumn(
+            "sum_t",
+            F.round(
+                F.sum(F.when(F.col("rk_t") <= knn, F.col("sim"))).over(part_t),
+                sim_round,
+            ),
+        )
         .withColumn(
             "margin",
             F.round(
@@ -1383,11 +1405,14 @@ def bitext_margin_pairs(
             ),
         )
     )
+    # rk_b first: it shares the tgt_id partitioning just established by the
+    # sum_t window (sort-only, no exchange); rk_f then pays the one
+    # remaining exchange back to src_id.
     w_fwd = Window.partitionBy("src_id").orderBy(F.desc("margin"), F.asc("tgt_id"))
     w_bwd = Window.partitionBy("tgt_id").orderBy(F.desc("margin"), F.asc("src_id"))
     best = (
-        scored.withColumn("rk_f", F.row_number().over(w_fwd))
-        .withColumn("rk_b", F.row_number().over(w_bwd))
+        scored.withColumn("rk_b", F.row_number().over(w_bwd))
+        .withColumn("rk_f", F.row_number().over(w_fwd))
     )
     return (
         best.filter((F.col("rk_f") == 1) & (F.col("rk_b") == 1))

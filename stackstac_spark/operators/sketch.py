@@ -571,6 +571,12 @@ def trimmed_mean(
     )
     per = base.groupBy(*groups, "__v").agg(F.count(F.lit(1)).alias("__c"))
     if max_distinct is not None:
+        # materialize the distinct-value table before the guard job so the
+        # guard count and the main plan share ONE corpus scan (the
+        # _per_score_counts pattern; optimization r12 — the guard
+        # previously re-scanned the corpus). Distinct-value-bounded when
+        # the guard passes.
+        per = per.localCheckpoint()
         worst = (
             per.groupBy(*groups)
             .count()
@@ -654,6 +660,9 @@ def winsorized_mean(
     )
     per = base.groupBy(*groups, "__v").agg(F.count(F.lit(1)).alias("__c"))
     if max_distinct is not None:
+        # share one corpus scan between guard and main plan (the
+        # _per_score_counts pattern; optimization r12)
+        per = per.localCheckpoint()
         worst = (
             per.groupBy(*groups)
             .count()
@@ -750,6 +759,9 @@ def weighted_quantiles(
     ).select(*groups, v.alias("__v"), w.alias("__w"))
     per_v = base.groupBy(*groups, "__v").agg(F.sum("__w").alias("__wv"))
     if max_distinct is not None:
+        # share one corpus scan between guard and main plan (the
+        # _per_score_counts pattern; optimization r12)
+        per_v = per_v.localCheckpoint()
         worst = (
             per_v.groupBy(*groups)
             .count()

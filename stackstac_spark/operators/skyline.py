@@ -49,6 +49,9 @@ def skyline_2d(
     ).select(*groups, x.alias("__x"), y.alias("__y"))
     per_x = base.groupBy(*groups, "__x").agg(F.max("__y").alias("__my"))
     if max_distinct is not None:
+        # share one corpus scan between guard and main plan (the
+        # _per_score_counts pattern; optimization r12)
+        per_x = per_x.localCheckpoint()
         worst = (
             per_x.groupBy(*groups)
             .count()

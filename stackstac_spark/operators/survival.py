@@ -57,6 +57,9 @@ def kaplan_meier(
         F.sum(F.lit(1) - F.col("__e")).alias("__c"),
     )
     if max_distinct is not None:
+        # share one corpus scan between guard and main plan (the
+        # _per_score_counts pattern; optimization r12)
+        per_t = per_t.localCheckpoint()
         worst = (
             per_t.groupBy(*groups)
             .count()
@@ -165,6 +168,9 @@ def nelson_aalen(
         F.sum(F.lit(1) - F.col("__e")).alias("__c"),
     )
     if max_distinct is not None:
+        # share one corpus scan between guard and main plan (the
+        # _per_score_counts pattern; optimization r12)
+        per_t = per_t.localCheckpoint()
         worst = (
             per_t.groupBy(*groups)
             .count()
@@ -255,16 +261,21 @@ def log_rank(
     base = df.filter(
         t.isNotNull() & ~F.isnan(t) & e.isNotNull() & F.col(group_col).isNotNull()
     ).select(F.col(group_col).cast("string").alias("__g"), t.alias("__t"), e.alias("__e"))
-    glist = [r["__g"] for r in base.select("__g").distinct().orderBy("__g").collect()]
+    # one corpus scan total (optimization r12): the (group, t) aggregate is
+    # materialized FIRST; the two-group check, the max_distinct guard, and
+    # the pooled grid all derive from the checkpointed bounded table
+    # (previously the group-list collect and the grid each re-scanned the
+    # corpus).
+    per_gt = base.groupBy("__g", "__t").agg(
+        F.sum("__e").alias("__d"),
+        F.sum(F.lit(1) - F.col("__e")).alias("__c"),
+    ).localCheckpoint()
+    glist = [r["__g"] for r in per_gt.select("__g").distinct().orderBy("__g").collect()]
     if len(glist) != 2:
         raise ValueError(
             f"log_rank: need exactly 2 groups, got {len(glist)} ({glist[:5]}); "
             "run pairwise for k-sample comparisons."
         )
-    per_gt = base.groupBy("__g", "__t").agg(
-        F.sum("__e").alias("__d"),
-        F.sum(F.lit(1) - F.col("__e")).alias("__c"),
-    ).localCheckpoint()
     if max_distinct is not None:
         worst = per_gt.select("__t").distinct().count()
         if worst > max_distinct:
@@ -277,7 +288,7 @@ def log_rank(
         per_gt.groupBy("__t").agg(F.sum("__d").alias("__dj")).filter(F.col("__dj") > 0)
     )
     grid = ev_times.select("__t").crossJoin(
-        F.broadcast(base.select("__g").distinct())
+        F.broadcast(per_gt.select("__g").distinct())
     )
     # at-risk entering t = N_g − removals strictly before t: union grid
     # markers (sorted BEFORE same-time removal rows) with removal rows,

@@ -813,10 +813,17 @@ def pmi_bigrams(
             )
         ).alias("p")
     ).select(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
-    pc = pairs.groupBy("left", "right").agg(F.count(F.lit(1)).alias("n_pair"))
-    lm = pairs.groupBy("left").agg(F.count(F.lit(1)).alias("n_left"))
-    rm = pairs.groupBy("right").agg(F.count(F.lit(1)).alias("n_right"))
-    n_slots = pairs.count()
+    # ONE corpus pass total (optimization r12): the pair-count table is
+    # the sufficient statistic — both marginals and the N-slot total are
+    # exact integer roll-ups of it (n_left = Σ_right n_pair etc.), so the
+    # tokenize + explode runs once and everything else is type-table
+    # algebra (previously 4 corpus passes).
+    pc = pairs.groupBy("left", "right").agg(
+        F.count(F.lit(1)).alias("n_pair")
+    ).localCheckpoint()
+    lm = pc.groupBy("left").agg(F.sum("n_pair").alias("n_left"))
+    rm = pc.groupBy("right").agg(F.sum("n_pair").alias("n_right"))
+    n_slots = pc.agg(F.sum("n_pair")).first()[0]
     scored = (
         pc.filter(F.col("n_pair") >= min_count)
         .join(F.broadcast(lm), "left")
@@ -882,10 +889,26 @@ def bigram_lm_score(
             )
         ).alias("b"),
     ).select("id", F.col("b.p").alias("p"), F.col("b.w").alias("w"))
-    bc = bigs.groupBy("p", "w").agg(F.count(F.lit(1)).alias("c_pw"))
-    pc = bigs.groupBy("p").agg(F.count(F.lit(1)).alias("c_p"))
-    uni = bigs.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
-    n_slots = bigs.count()
+    # One corpus pass for ALL model tables (optimization r12): the bigram
+    # count table is the sufficient statistic — the context totals, the
+    # unigram (second-slot) totals, the N-slot total, and V all derive
+    # from it by exact integer aggregation (c_p = Σ_w c_pw, c_w = Σ_p
+    # c_pw, N = Σ c_pw, V = |distinct w|), identical to counting over the
+    # raw stream. Previously each table re-ran the tokenize + explode
+    # (5 corpus passes); the materialized table is distinct-bigram-sized
+    # (a type table, far smaller than the token stream — deliberately NOT
+    # the stream itself, per guide §5: cache only what is cheaper than
+    # the memory pressure it creates). The scoring join below is the one
+    # remaining corpus pass, so the operator reads the corpus twice.
+    bc = bigs.groupBy("p", "w").agg(
+        F.count(F.lit(1)).alias("c_pw")
+    ).localCheckpoint()
+    pc = bc.groupBy("p").agg(F.sum("c_pw").alias("c_p"))
+    uni = bc.groupBy("w").agg(F.sum("c_pw").alias("c_w"))
+    tot = bc.agg(
+        F.sum("c_pw").alias("__n"), F.count(F.lit(1)).alias("__types")
+    )
+    n_slots = tot.first()["__n"]
     v_size = uni.count()
     prob = (
         F.lit(lam) * F.col("c_pw").cast("double") / F.col("c_p")
@@ -1227,7 +1250,12 @@ def sparse_cosine_topk(
             F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
         ).alias("term"),
     )
-    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # materialized once (optimization r12): the df table, the weight
+    # projection (consumed by norms AND wn), all otherwise re-run the
+    # tokenize + explode + (doc, term) aggregate per consumer
+    tf = tok.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint()
     n_docs = df.select(id_col).distinct().count()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if max_df is not None:
@@ -1250,6 +1278,8 @@ def sparse_cosine_topk(
         wn.withColumn("__r", F.row_number().over(rk))
         .filter(F.col("__r") <= top_terms)
         .drop("__r")
+        # ≤ top_terms rows/doc, feeds both sides of the posting self-join
+        .localCheckpoint()
     )
     a = trunc.select(F.col(id_col).alias("query_id"), "term", F.col("wn").alias("wa"))
     b = trunc.select(F.col(id_col).alias("match_id"), "term", F.col("wn").alias("wb"))
@@ -1362,7 +1392,15 @@ def kneser_ney_score(
             )
         ).alias("b"),
     ).select("id", F.col("b.p").alias("p"), F.col("b.w").alias("w"))
-    bc = bigs.groupBy("p", "w").agg(F.count(F.lit(1)).alias("c_pw"))
+    # One materialized type table (optimization r12): bc is the sufficient
+    # statistic for the context totals, both continuation counts, and the
+    # B-types count — without the checkpoint each consumer re-ran the
+    # corpus explode (~5 passes). The scoring join is the one remaining
+    # corpus pass (the stream itself is deliberately NOT cached — type
+    # table only, guide §5).
+    bc = bigs.groupBy("p", "w").agg(
+        F.count(F.lit(1)).alias("c_pw")
+    ).localCheckpoint()
     ctx = bc.groupBy("p").agg(
         F.sum("c_pw").alias("c_p"), F.count(F.lit(1)).alias("n1_right")
     )
@@ -1867,7 +1905,9 @@ def good_turing_counts(
     fof = counts.groupBy(F.col("__c").alias("r")).agg(
         F.count(F.lit(1)).cast("long").alias("n_r"),
         F.sum("__c").alias("__mass"),
-    )
+    ).localCheckpoint()  # sketch-sized; the eager N total and the lead
+    # window below would otherwise each re-run the corpus token explode
+    # + vocabulary aggregate (optimization r12)
     n_total = fof.agg(F.sum("__mass")).first()[0]
     from pyspark.sql import Window
 
@@ -1966,7 +2006,12 @@ def rake_keywords(
             F.expr("transform(array_sort(collect_list(struct(__pos, __w))), x -> x.__w)"),
         ).alias("phrase"),
         F.count(F.lit(1)).alias("n_words"),
-    )
+    ).localCheckpoint()
+    # ^ materialized once (optimization r12): the word-stats aggregate and
+    # the scoring explode would otherwise each re-run the posexplode +
+    # per-doc window + phrase-rebuild pipeline; the checkpoint also pins
+    # the plan-dependent monotonically_increasing_id doc keys (the
+    # bleu2_corpus precedent).
     # word stats over phrase occurrences: freq = count, deg = Σ |phrase|
     words = phrases.select(
         "n_words", F.explode(F.split("phrase", " ")).alias("__w")

@@ -239,6 +239,12 @@ def mann_kendall(
     base = df.filter(
         v.isNotNull() & ~F.isnan(v) & F.col(t_col).isNotNull()
     ).select(*groups, F.col(t_col).alias("__t"), v.alias("__x"))
+    # materialize the series before the guard job: the guard and the main
+    # plan (both self-join sides + the final agg) would otherwise each
+    # re-evaluate the caller's upstream series aggregation. The series is
+    # ≤ max_points per group when the guard passes (optimization r12, the
+    # _per_score_counts pattern).
+    base = base.localCheckpoint()
     sizes = base.groupBy(*groups).agg(
         F.count(F.lit(1)).alias("__n"),
         F.count_distinct("__t").alias("__nt"),
@@ -339,6 +345,9 @@ def page_hinkley(
     base = df.filter(
         v.isNotNull() & ~F.isnan(v) & F.col(t_col).isNotNull()
     ).select(*groups, F.col(t_col).alias("__t"), v.alias("__x"))
+    # materialize the series before the guard job (optimization r12; see
+    # mann_kendall) — guard and main plan share one upstream evaluation
+    base = base.localCheckpoint()
     sizes = base.groupBy(*groups).agg(
         F.count(F.lit(1)).alias("__n"), F.count_distinct("__t").alias("__nt")
     )
@@ -390,11 +399,17 @@ def page_hinkley(
 
 def _series_guard(
     base: DataFrame, groups: list[str], max_points: int, op: str
-) -> None:
+) -> DataFrame:
     """The mann_kendall series contract, shared: the input must be an
     already-aggregated series (one row per (group, t)); fail fast above
     ``max_points`` per series and on duplicate timestamps. NOTE (eager
-    guard): runs one small Spark job at construction time."""
+    guard): runs one small Spark job at construction time.
+
+    Returns the series localCheckpoint-ed (optimization r12): the guard
+    job materializes it, so the caller's main plan re-reads the bounded
+    series instead of re-evaluating its upstream aggregation — guard and
+    plan share one evaluation (the _per_score_counts pattern)."""
+    base = base.localCheckpoint()
     sizes = base.groupBy(*groups).agg(
         F.count(F.lit(1)).alias("__n"),
         F.count_distinct("__t").alias("__nt"),
@@ -413,6 +428,7 @@ def _series_guard(
             f"{op}: a group has {r['__n']} points (> max_points="
             f"{max_points}); aggregate to coarser time buckets first."
         )
+    return base
 
 
 def theil_sen(
@@ -446,7 +462,7 @@ def theil_sen(
     base = df.filter(
         v.isNotNull() & ~F.isnan(v) & F.col(t_col).isNotNull()
     ).select(*groups, t.alias("__t"), v.alias("__x"))
-    _series_guard(base, groups, max_points, "theil_sen")
+    base = _series_guard(base, groups, max_points, "theil_sen")
 
     def _median(d: DataFrame, col: str, out: str) -> DataFrame:
         """Exact interpolated per-group median over a bounded table."""
@@ -550,7 +566,7 @@ def durbin_watson(
     base = df.filter(
         v.isNotNull() & ~F.isnan(v) & F.col(t_col).isNotNull()
     ).select(*groups, F.col(t_col).alias("__t"), v.alias("__x"))
-    _series_guard(base, groups, max_points, "durbin_watson")
+    base = _series_guard(base, groups, max_points, "durbin_watson")
     wt = Window.partitionBy(*groups) if groups else Window.partitionBy()
     wo = (
         Window.partitionBy(*groups).orderBy("__t")
@@ -616,7 +632,7 @@ def runs_test(
     base = df.filter(
         v.isNotNull() & ~F.isnan(v) & F.col(t_col).isNotNull()
     ).select(*groups, F.col(t_col).alias("__t"), v.alias("__x"))
-    _series_guard(base, groups, max_points, "runs_test")
+    base = _series_guard(base, groups, max_points, "runs_test")
     wt = Window.partitionBy(*groups) if groups else Window.partitionBy()
     wv = (
         Window.partitionBy(*groups).orderBy("__x")
@@ -845,6 +861,10 @@ def binary_segment(
         F.col(time_col).isNotNull() & x.isNotNull() & ~F.isnan(x)
     ).select(*groups, F.col(time_col).alias("__t"), x.alias("__x"))
     if max_points is not None:
+        # materialize the (≤ max_points/group when the guard passes) series
+        # so the guard count and the main plan share one upstream
+        # evaluation (the _per_score_counts pattern; optimization r12)
+        base = base.localCheckpoint()
         worst = (
             base.groupBy(*groups)
             .count()

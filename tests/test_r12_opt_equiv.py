@@ -1,0 +1,274 @@
+"""Equivalence guards for the round-12 optimization restructures.
+
+Each optimized operator changed its PHYSICAL shape only (single-pass window
+chains, cell-table algebra, checkpointed shared subplans); these tests pin
+the LOGICAL results against straightforward reference computations so a
+future refactor can't silently change semantics while chasing plans. The
+full DuckDB oracle mirror (test_past_window_mirror) also covers these gates;
+here the references are independent pure-Python recomputations on small
+adversarial fixtures (ties, duplicates, degenerate groups).
+"""
+
+import math
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _avg_ranks(values):
+    """Tie-averaged ranks (scipy.stats.rankdata 'average')."""
+    order = sorted(range(len(values)), key=lambda i: values[i])
+    ranks = [0.0] * len(values)
+    i = 0
+    while i < len(order):
+        j = i
+        while j + 1 < len(order) and values[order[j + 1]] == values[order[i]]:
+            j += 1
+        avg = (i + j) / 2.0 + 1.0
+        for k in range(i, j + 1):
+            ranks[order[k]] = avg
+        i = j + 1
+    return ranks
+
+
+def test_bitext_margin_pairs_matches_bruteforce(spark):
+    """The single-pass window restructure must reproduce the margin rule
+    exactly: rounded cosine, rounded top-k sums, mutual argmax."""
+    import random
+
+    from stackstac_spark.operators.similarity import bitext_margin_pairs
+
+    rng = random.Random(7)
+    dim = 8
+    rows = [
+        (i, i % 2, [round(rng.uniform(-1, 1), 3) for _ in range(dim)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label long, embedding array<double>")
+    src = df.filter("label % 2 = 0")
+    tgt = df.filter("label % 2 = 1")
+    knn, thr = 3, 0.0
+    got = {
+        (r["src_id"], r["tgt_id"]): (r["sim"], r["margin"])
+        for r in bitext_margin_pairs(src, tgt, knn=knn, threshold=thr).collect()
+    }
+
+    # brute-force reference
+    svecs = {i: v for i, lab, v in rows if lab % 2 == 0}
+    tvecs = {i: v for i, lab, v in rows if lab % 2 == 1}
+    sims = {}
+    for si, sv in svecs.items():
+        sn = math.sqrt(sum(x * x for x in sv))
+        for ti, tv in tvecs.items():
+            tn = math.sqrt(sum(x * x for x in tv))
+            dot = sum(a * b for a, b in zip(sv, tv))
+            sims[(si, ti)] = round(dot / (sn * tn), 6)
+    sum_s = {
+        si: round(
+            sum(sorted((sims[(si, ti)] for ti in tvecs), reverse=True)[:knn]), 6
+        )
+        for si in svecs
+    }
+    sum_t = {
+        ti: round(
+            sum(sorted((sims[(si, ti)] for si in svecs), reverse=True)[:knn]), 6
+        )
+        for ti in tvecs
+    }
+    margin = {
+        (si, ti): round(s / ((sum_s[si] + sum_t[ti]) / (2.0 * knn)), 6)
+        for (si, ti), s in sims.items()
+    }
+    expected = {}
+    for si in svecs:
+        # forward argmax: max margin, tie -> smaller tgt_id
+        ti = min(tvecs, key=lambda t: (-margin[(si, t)], t))
+        # backward argmax for that tgt
+        si_b = min(svecs, key=lambda s: (-margin[(s, ti)], s))
+        if si_b == si and margin[(si, ti)] >= thr:
+            expected[(si, ti)] = (sims[(si, ti)], margin[(si, ti)])
+    assert got == expected
+
+
+def test_spearman_cells_restructure_matches_reference(spark):
+    from stackstac_spark.operators.drift import spearman_rho
+
+    rows = [
+        ("g1", 1.0, 2.0), ("g1", 1.0, 2.0), ("g1", 3.0, 1.0), ("g1", 2.0, 5.0),
+        ("g1", 2.0, 5.0), ("g1", 4.0, 4.0),
+        ("g2", 1.0, 1.0), ("g2", 2.0, 2.0), ("g2", 3.0, 3.0),
+        ("g3", 7.0, 1.0), ("g3", 7.0, 2.0),  # constant a -> rho NULL
+    ]
+    df = spark.createDataFrame(rows, "g string, a double, b double")
+    got = {r["g"]: (r["n"], r["rho"]) for r in spearman_rho(df, "a", "b", ["g"]).collect()}
+
+    for g in ("g1", "g2", "g3"):
+        xs = [a for gg, a, b in rows if gg == g]
+        ys = [b for gg, a, b in rows if gg == g]
+        ra, rb = _avg_ranks(xs), _avg_ranks(ys)
+        n = len(xs)
+        sx, sy = sum(ra), sum(rb)
+        sxx = sum(r * r for r in ra)
+        syy = sum(r * r for r in rb)
+        sxy = sum(p * q for p, q in zip(ra, rb))
+        num = n * sxy - sx * sy
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        exp_rho = round(num / math.sqrt(vx * vy), 6) if vx > 0 and vy > 0 else None
+        assert got[g][0] == n
+        assert got[g][1] == exp_rho, g
+
+
+def _kendall_ref(pairs):
+    n = len(pairs)
+    conc = disc = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            (a1, b1), (a2, b2) = pairs[i], pairs[j]
+            if a1 == a2 or b1 == b2:
+                continue
+            if (a1 < a2) == (b1 < b2):
+                conc += 1
+            else:
+                disc += 1
+    from collections import Counter
+
+    ta = sum(c * (c - 1) / 2 for c in Counter(a for a, _ in pairs).values())
+    tb = sum(c * (c - 1) / 2 for c in Counter(b for _, b in pairs).values())
+    n0 = n * (n - 1) / 2.0
+    denom = math.sqrt((n0 - ta) * (n0 - tb))
+    tau = round((conc - disc) / denom, 6) if denom > 0 else None
+    return n, conc, disc, tau
+
+
+def test_kendall_cells_restructure_matches_reference(spark):
+    from stackstac_spark.operators.drift import kendall_tau_b
+
+    data = {
+        "g1": [(1, 2), (1, 2), (2, 1), (3, 3), (3, 4), (2, 2)],
+        "g2": [(5, 1), (5, 2), (5, 3)],  # constant a -> tau NULL, C=D=0
+    }
+    rows = [(g, float(a), float(b)) for g, ps in data.items() for a, b in ps]
+    df = spark.createDataFrame(rows, "g string, a double, b double")
+    got = {
+        r["g"]: (r["n"], r["concordant"], r["discordant"], r["tau_b"])
+        for r in kendall_tau_b(df, "a", "b", ["g"]).collect()
+    }
+    for g, ps in data.items():
+        assert got[g] == _kendall_ref(ps), g
+
+
+def test_somers_d_cells_restructure_matches_reference(spark):
+    from stackstac_spark.operators.nonparam import somers_d
+
+    ps = [(0, 1.0), (0, 3.0), (0, 2.0), (1, 4.0), (1, 2.0), (1, 5.0), (0, 2.0)]
+    df = spark.createDataFrame(
+        [(float(x), y) for x, y in ps], "x double, y double"
+    )
+    got = somers_d(df, "x", "y").collect()[0]
+    n = len(ps)
+    conc = disc = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            (x1, y1), (x2, y2) = ps[i], ps[j]
+            if x1 == x2:
+                continue
+            if (x1 < x2) == (y1 < y2) and y1 != y2:
+                conc += 1
+            elif y1 != y2:
+                disc += 1
+    from collections import Counter
+
+    tx = sum(c * (c - 1) / 2 for c in Counter(x for x, _ in ps).values())
+    n0 = n * (n - 1) / 2.0
+    exp = round((conc - disc) / (n0 - tx), 6)
+    assert (got["n"], got["concordant"], got["discordant"], got["d_yx"]) == (
+        n, conc, disc, exp,
+    )
+
+
+def test_star_cc_combined_convergence_check(spark):
+    """The one-job violations test must converge to the same components as
+    before on the adversarial chain+cross fixture (the cc_star gate shape)
+    and on a graph whose intermediate state has a node attached to two
+    pure roots (the case the old depth2-only check would have missed —
+    both checks are now one aggregate)."""
+    from pyspark.sql import functions as F
+
+    from stackstac_spark.operators.graph import connected_components_star
+
+    nums = spark.range(100)
+    chain = nums.filter(F.col("id") % 25 != 24).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    cross = nums.filter(F.col("id") % 50 == 3).select(
+        F.col("id").alias("id_a"), (F.col("id") + 100).alias("id_b")
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components_star(chain.union(cross)).collect()
+    }
+    # chains 0-24 / 25-49 merged via (3,103)? no: +100 edges link node 3->103
+    # which is outside 0..99 only when id+100 > 99; recompute reference via
+    # union-find
+    edges = [(i, i + 1) for i in range(100) if i % 25 != 24] + [
+        (i, i + 100) for i in range(100) if i % 50 == 3
+    ]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {x: find(x) for x in parent}
+    assert comp == expected
+
+
+def test_kcore_restructure(spark):
+    from pyspark.sql import functions as F
+
+    from stackstac_spark.operators.graph import kcore
+
+    # triangle + tail: kcore(2) keeps the triangle only
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["core_deg"] for r in kcore(df, k=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+    # k larger than any core -> empty
+    assert kcore(df, k=3).count() == 0
+
+
+def test_cooccurrence_recs_shared_incidence(spark):
+    """The shared-pruned-incidence restructure must keep the cosine over
+    the pruned incidence (hub basket dropped from BOTH numerator and
+    denominator)."""
+    from stackstac_spark.operators.graph import cooccurrence_recs
+
+    rows = (
+        [(100, i) for i in range(1, 6)]  # hub basket (dropped at cap 4)
+        + [(200, 1), (200, 2), (201, 1), (201, 2), (202, 2), (202, 3)]
+    )
+    df = spark.createDataFrame(rows, "basket long, item long")
+    got = {
+        (r["item"], r["rec_item"]): (r["weight"], r["score"], r["rank"])
+        for r in cooccurrence_recs(
+            df, basket_col="basket", item_col="item", k=2, max_basket_size=4
+        ).collect()
+    }
+    # pruned incidence: baskets 200{1,2} 201{1,2} 202{2,3}
+    # freqs: 1->2, 2->3, 3->1; pairs: (1,2,w=2), (2,3,w=1)
+    s12 = round(2 / math.sqrt(2 * 3), 6)
+    s23 = round(1 / math.sqrt(3 * 1), 6)
+    assert got[(1, 2)] == (2, s12, 1)
+    assert got[(2, 1)] == (2, s12, 1)
+    assert got[(3, 2)] == (1, s23, 1)
+    assert got[(2, 3)] == (1, s23, 2)
