@@ -540,12 +540,12 @@ def minhash_lsh_candidates(
     # far smaller than the shingle stream it derives from.
     banded = sig.select(id_col, F.explode(F.array(*band_structs)).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     if max_bucket is not None:
         sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bn"))
         banded = banded.join(
             sizes.filter(F.col("bn") <= max_bucket).drop("bn"), ["band", "key"], "left_semi"
-        ).localCheckpoint()  # feeds both sides of the pair self-join
+        ).localCheckpoint(eager=False)  # feeds both sides of the pair self-join
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -891,7 +891,7 @@ def jaccard_similarity(
     # materialized once: the size aggregate and both self-join sides would
     # otherwise each re-run tokenize + explode + distinct (optimization
     # r12, the containment_pairs fix)
-    sh = shingles(df, id_col, text_col, shingle_n).localCheckpoint()
+    sh = shingles(df, id_col, text_col, shingle_n).localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
@@ -1106,7 +1106,7 @@ def containment_pairs(
     # self-join would otherwise each re-execute tokenize + explode +
     # distinct (4 full corpus scans + 4 distinct exchanges). One
     # evaluation, cheap re-reads (guide §1.2 / §2.4).
-    sh = shingles(df, id_col, text_col, shingle_n).localCheckpoint()
+    sh = shingles(df, id_col, text_col, shingle_n).localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     if max_shingle_docs is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -1116,7 +1116,7 @@ def containment_pairs(
             freq.filter(F.col("df") <= max_shingle_docs).drop("df"),
             "shingle",
             "left_semi",
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
@@ -1182,10 +1182,10 @@ def cross_lsh_matches(
     # per side instead of twice (optimization r12)
     sig_c = minhash_signatures(
         corpus, id_col, text_col, num_hashes, shingle_n
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     sig_r = minhash_signatures(
         reference, ref_id_col, text_col, num_hashes, shingle_n
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     def _banded(sig: DataFrame, key: str) -> DataFrame:
         band_structs = [
@@ -1328,7 +1328,7 @@ def lsh_tuning_curve(
         # Jaccard pass re-execute for every config (3× by default;
         # optimization r12). Materializing it is exactly the docstring's
         # "signatures are the expensive artifact; re-slice them" contract.
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     per_config = []
     for b, r in configs:
@@ -1436,7 +1436,7 @@ def prefix_filter_pairs(
     # distinct's exchange, ~7 evaluations total counting both sides of the
     # candidate self-join). Guide §1.2: don't compute things you throw
     # away; §2.4: share the exchange. One evaluation, many cheap re-reads.
-    toks = toks.localCheckpoint()
+    toks = toks.localCheckpoint(eager=False)
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     ranked = toks.join(dfreq, "tok").withColumn(
         "__r",
@@ -1463,7 +1463,7 @@ def prefix_filter_pairs(
     # the rank window + two joins above run twice (optimization r12). The
     # prefix table is the SMALL proxy (~(1−t) of the distinct elements,
     # the rarest ones at that), so this is the cheap side to materialize.
-    prefix = prefix.localCheckpoint()
+    prefix = prefix.localCheckpoint(eager=False)
     a = prefix.select(F.col(id_col).alias("id_a"), "tok")
     b = prefix.select(F.col(id_col).alias("id_b"), "tok")
     cand = (

@@ -382,7 +382,7 @@ def spearman_rho(
     # counts integers), so Σ_rows ra·rb ≡ Σ_cells c·ra·rb bit-for-bit.
     cells = base.groupBy(*groups, "__a", "__b").agg(
         F.count(F.lit(1)).alias("__c")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     def rank_table(col: str, out: str) -> DataFrame:
         per = cells.groupBy(*groups, col).agg(F.sum("__c").alias("__c"))
@@ -478,7 +478,7 @@ def js_divergence(
     # the stream when a bounded aggregate carries the same information).
     per = base.groupBy("__g", "__t").agg(
         F.count(F.lit(1)).alias("__c")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     gtot = per.groupBy("__t").agg(F.sum("__c").alias("__gc"))
     n_all = per.agg(F.sum("__c")).first()[0]
     grp = per.groupBy("__g").agg(F.sum("__c").alias("__ng"))
@@ -651,7 +651,7 @@ def kendall_tau_b(
     # t-counts per value = Σc over the value's cells.
     cells = base.groupBy(*groups, "__a", "__b").agg(
         F.count(F.lit(1)).alias("__c")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     if max_cells is not None:
         worst = (
             cells.groupBy(*groups)
@@ -954,8 +954,8 @@ def wasserstein_1d(
         # ref_counts feeds the constant-key replication) otherwise each
         # re-scan the corpus — ~5 passes. Distinct-value-bounded when the
         # guard passes.
-        grp_counts = grp_counts.localCheckpoint()
-        ref_counts = ref_counts.localCheckpoint()
+        grp_counts = grp_counts.localCheckpoint(eager=False)
+        ref_counts = ref_counts.localCheckpoint(eager=False)
         worst = (
             grp_counts.groupBy("grp")
             .count()

@@ -569,12 +569,12 @@ def neighbor_jaccard(
     # deg feeds the hub filter and BOTH per-endpoint decoration joins;
     # centers feeds both wedge sides — materialize each once
     # (optimization r12, the adamic_adar shape)
-    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(eager=False)
     centers = sym.select(F.col("b").alias("w"), F.col("a").alias("n"))
     if max_degree is not None:
         cdeg = centers.join(deg.select(F.col("a").alias("w"), "deg"), "w")
         centers = cdeg.filter(F.col("deg") <= max_degree).select("w", "n")
-    centers = centers.localCheckpoint()
+    centers = centers.localCheckpoint(eager=False)
     common = (
         centers.select("w", F.col("n").alias("u"))
         .join(centers.select("w", F.col("n").alias("v")), "w")
@@ -650,7 +650,7 @@ def kcore(
         # → 3, and the degree agg runs once instead of up to three times.
         deg = sym.groupBy("src").agg(
             F.count(F.lit(1)).alias("deg")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         cnts = deg.agg(
             F.count(F.lit(1)).alias("n_all"),
             F.sum((F.col("deg") >= k).cast("int")).alias("n_keep"),
@@ -713,7 +713,7 @@ def adamic_adar(
         centers = centers.filter(F.col("deg") <= max_degree)
     # both wedge sides consume `centers`; materialize so the degree
     # aggregate + decoration join run once, not twice (optimization r12)
-    centers = centers.localCheckpoint()
+    centers = centers.localCheckpoint(eager=False)
     wedges = (
         centers.select("w", F.col("n").alias("u"), "deg")
         .join(
@@ -892,7 +892,7 @@ def _pruned_incidence(
     inc = (
         df.select(F.col(left_col).alias("l"), F.col(right_col).alias("r"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     keep = (
         inc.groupBy("r")
@@ -900,7 +900,7 @@ def _pruned_incidence(
         .filter(F.col("rdeg") <= max_right_degree)
         .select("r")
     )
-    return inc.join(keep, "r", "left_semi").localCheckpoint()
+    return inc.join(keep, "r", "left_semi").localCheckpoint(eager=False)
 
 
 def modularity(
@@ -1032,13 +1032,13 @@ def cooccurrence_recs(
     pairs = (
         raw_pairs.groupBy("l_a", "l_b")
         .agg(F.count(F.lit(1)).cast("long").alias("weight"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     freq = (
         pruned.groupBy("l")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(F.col("l").alias("item"), "freq")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     sym = pairs.select(
         F.col("l_a").alias("item"), F.col("l_b").alias("rec"), "weight"
@@ -1389,7 +1389,7 @@ def sequential_patterns(
             ).alias(f"__i{k}")
             for k in range(1, max(lengths))
         ],
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     parts = []
     for n in lengths:
         cols = [F.col(f"__i{k}") for k in range(n)]

@@ -250,7 +250,7 @@ def blocked_pairs(
         # one evaluation of the caller's upstream projection (per-record
         # bound ingredients, repartition) instead of three (optimization
         # r12, the _per_score_counts pattern)
-        df = df.localCheckpoint()
+        df = df.localCheckpoint(eager=False)
     a = df.select(
         *block_cols,
         F.col(id_col).alias("id_a"),

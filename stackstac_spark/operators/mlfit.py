@@ -163,10 +163,10 @@ def naive_bayes_classify(
     # sufficient statistics).
     doctok = toks.groupBy("id", "tok").agg(
         F.count(F.lit(1)).alias("tf")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     ctab = toks.groupBy("y", "tok").agg(
         F.count(F.lit(1)).alias("cnt")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     v_size = ctab.select("tok").distinct().count()
     stats = (
         ctab.groupBy("y")
@@ -683,8 +683,8 @@ def quantile_match(
         # eager guard at construction (the spearman_rho policy); both
         # distinct-value tables are materialized first so the guard jobs
         # and the CDF windows share one corpus scan (optimization r12)
-        grp_counts = grp_counts.localCheckpoint()
-        ref_counts = ref_counts.localCheckpoint()
+        grp_counts = grp_counts.localCheckpoint(eager=False)
+        ref_counts = ref_counts.localCheckpoint(eager=False)
         worst = (
             grp_counts.groupBy("grp").count().agg(F.max("count").alias("m")).first()["m"]
         )
@@ -1067,7 +1067,7 @@ def info_split(
     if max_distinct is not None:
         # share one corpus scan between guard and main plan (the
         # _per_score_counts pattern; optimization r12)
-        per_v = per_v.localCheckpoint()
+        per_v = per_v.localCheckpoint(eager=False)
         worst = (
             per_v.groupBy(*groups)
             .count()

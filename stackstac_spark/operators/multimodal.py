@@ -349,7 +349,7 @@ def hamming_near_dups(hashes: DataFrame, max_hamming: int = 8) -> DataFrame:
     # (the union of W selects alone evaluates its input W times). The
     # table is one row of W small ints per image — the cheapest possible
     # thing to pin against the most expensive thing in the plan.
-    hashes = hashes.localCheckpoint()
+    hashes = hashes.localCheckpoint(eager=False)
     banded = None
     for i, wcol in enumerate(words):
         b = hashes.select(

@@ -58,7 +58,7 @@ def _avg_rank_table(
     the same error, raised via :func:`_raise_distinct`."""
     per = base.groupBy(*groups, value_col).agg(F.count(F.lit(1)).alias("__c"))
     if max_distinct is not None:
-        per = per.localCheckpoint()
+        per = per.localCheckpoint(eager=False)
         worst = (
             per.groupBy(*groups)
             .count()
@@ -440,7 +440,7 @@ def somers_d(
     # identical: n = Σc, tie t per x = Σc over x's cells).
     cells = base.groupBy(*groups, "__x", "__y").agg(
         F.count(F.lit(1)).alias("__c")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     if max_cells is not None:
         worst = (
             cells.groupBy(*groups).count().agg(F.max("count").alias("m")).first()["m"]
@@ -621,7 +621,7 @@ def levene_bf(
     if max_distinct is not None:
         # share one corpus scan between guard and main plan (the
         # _per_score_counts pattern; optimization r12)
-        per = per.localCheckpoint()
+        per = per.localCheckpoint(eager=False)
         worst = (
             per.groupBy(*keys).count().agg(F.max("count").alias("m")).first()["m"]
         )

@@ -782,7 +782,7 @@ def semantic_dedup(
     # three consumers (both pair-join sides + the output join) — without
     # this the nearest-centroid assignment scan re-runs per consumer
     # (optimization r12)
-    assigned = assigned.localCheckpoint()
+    assigned = assigned.localCheckpoint(eager=False)
     side = assigned.select(
         F.col(id_col).alias("__id"), F.col("cluster"), F.col(vec_col).alias("__v")
     )

@@ -576,7 +576,7 @@ def trimmed_mean(
         # _per_score_counts pattern; optimization r12 — the guard
         # previously re-scanned the corpus). Distinct-value-bounded when
         # the guard passes.
-        per = per.localCheckpoint()
+        per = per.localCheckpoint(eager=False)
         worst = (
             per.groupBy(*groups)
             .count()
@@ -662,7 +662,7 @@ def winsorized_mean(
     if max_distinct is not None:
         # share one corpus scan between guard and main plan (the
         # _per_score_counts pattern; optimization r12)
-        per = per.localCheckpoint()
+        per = per.localCheckpoint(eager=False)
         worst = (
             per.groupBy(*groups)
             .count()
@@ -761,7 +761,7 @@ def weighted_quantiles(
     if max_distinct is not None:
         # share one corpus scan between guard and main plan (the
         # _per_score_counts pattern; optimization r12)
-        per_v = per_v.localCheckpoint()
+        per_v = per_v.localCheckpoint(eager=False)
         worst = (
             per_v.groupBy(*groups)
             .count()

@@ -51,7 +51,7 @@ def skyline_2d(
     if max_distinct is not None:
         # share one corpus scan between guard and main plan (the
         # _per_score_counts pattern; optimization r12)
-        per_x = per_x.localCheckpoint()
+        per_x = per_x.localCheckpoint(eager=False)
         worst = (
             per_x.groupBy(*groups)
             .count()

@@ -59,7 +59,7 @@ def kaplan_meier(
     if max_distinct is not None:
         # share one corpus scan between guard and main plan (the
         # _per_score_counts pattern; optimization r12)
-        per_t = per_t.localCheckpoint()
+        per_t = per_t.localCheckpoint(eager=False)
         worst = (
             per_t.groupBy(*groups)
             .count()
@@ -170,7 +170,7 @@ def nelson_aalen(
     if max_distinct is not None:
         # share one corpus scan between guard and main plan (the
         # _per_score_counts pattern; optimization r12)
-        per_t = per_t.localCheckpoint()
+        per_t = per_t.localCheckpoint(eager=False)
         worst = (
             per_t.groupBy(*groups)
             .count()
@@ -269,7 +269,7 @@ def log_rank(
     per_gt = base.groupBy("__g", "__t").agg(
         F.sum("__e").alias("__d"),
         F.sum(F.lit(1) - F.col("__e")).alias("__c"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     glist = [r["__g"] for r in per_gt.select("__g").distinct().orderBy("__g").collect()]
     if len(glist) != 2:
         raise ValueError(

@@ -820,7 +820,7 @@ def pmi_bigrams(
     # algebra (previously 4 corpus passes).
     pc = pairs.groupBy("left", "right").agg(
         F.count(F.lit(1)).alias("n_pair")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     lm = pc.groupBy("left").agg(F.sum("n_pair").alias("n_left"))
     rm = pc.groupBy("right").agg(F.sum("n_pair").alias("n_right"))
     n_slots = pc.agg(F.sum("n_pair")).first()[0]
@@ -902,7 +902,7 @@ def bigram_lm_score(
     # remaining corpus pass, so the operator reads the corpus twice.
     bc = bigs.groupBy("p", "w").agg(
         F.count(F.lit(1)).alias("c_pw")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     pc = bc.groupBy("p").agg(F.sum("c_pw").alias("c_p"))
     uni = bc.groupBy("w").agg(F.sum("c_pw").alias("c_w"))
     tot = bc.agg(
@@ -1255,7 +1255,7 @@ def sparse_cosine_topk(
     # tokenize + explode + (doc, term) aggregate per consumer
     tf = tok.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("tf")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     n_docs = df.select(id_col).distinct().count()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if max_df is not None:
@@ -1279,7 +1279,7 @@ def sparse_cosine_topk(
         .filter(F.col("__r") <= top_terms)
         .drop("__r")
         # ≤ top_terms rows/doc, feeds both sides of the posting self-join
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     a = trunc.select(F.col(id_col).alias("query_id"), "term", F.col("wn").alias("wa"))
     b = trunc.select(F.col(id_col).alias("match_id"), "term", F.col("wn").alias("wb"))
@@ -1400,7 +1400,7 @@ def kneser_ney_score(
     # table only, guide §5).
     bc = bigs.groupBy("p", "w").agg(
         F.count(F.lit(1)).alias("c_pw")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     ctx = bc.groupBy("p").agg(
         F.sum("c_pw").alias("c_p"), F.count(F.lit(1)).alias("n1_right")
     )
@@ -1905,7 +1905,7 @@ def good_turing_counts(
     fof = counts.groupBy(F.col("__c").alias("r")).agg(
         F.count(F.lit(1)).cast("long").alias("n_r"),
         F.sum("__c").alias("__mass"),
-    ).localCheckpoint()  # sketch-sized; the eager N total and the lead
+    ).localCheckpoint(eager=False)  # sketch-sized; the eager N total and the lead
     # window below would otherwise each re-run the corpus token explode
     # + vocabulary aggregate (optimization r12)
     n_total = fof.agg(F.sum("__mass")).first()[0]
@@ -2006,7 +2006,7 @@ def rake_keywords(
             F.expr("transform(array_sort(collect_list(struct(__pos, __w))), x -> x.__w)"),
         ).alias("phrase"),
         F.count(F.lit(1)).alias("n_words"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # ^ materialized once (optimization r12): the word-stats aggregate and
     # the scoring explode would otherwise each re-run the posexplode +
     # per-doc window + phrase-rebuild pipeline; the checkpoint also pins

@@ -244,7 +244,7 @@ def mann_kendall(
     # re-evaluate the caller's upstream series aggregation. The series is
     # ≤ max_points per group when the guard passes (optimization r12, the
     # _per_score_counts pattern).
-    base = base.localCheckpoint()
+    base = base.localCheckpoint(eager=False)
     sizes = base.groupBy(*groups).agg(
         F.count(F.lit(1)).alias("__n"),
         F.count_distinct("__t").alias("__nt"),
@@ -347,7 +347,7 @@ def page_hinkley(
     ).select(*groups, F.col(t_col).alias("__t"), v.alias("__x"))
     # materialize the series before the guard job (optimization r12; see
     # mann_kendall) — guard and main plan share one upstream evaluation
-    base = base.localCheckpoint()
+    base = base.localCheckpoint(eager=False)
     sizes = base.groupBy(*groups).agg(
         F.count(F.lit(1)).alias("__n"), F.count_distinct("__t").alias("__nt")
     )
@@ -409,7 +409,7 @@ def _series_guard(
     job materializes it, so the caller's main plan re-reads the bounded
     series instead of re-evaluating its upstream aggregation — guard and
     plan share one evaluation (the _per_score_counts pattern)."""
-    base = base.localCheckpoint()
+    base = base.localCheckpoint(eager=False)
     sizes = base.groupBy(*groups).agg(
         F.count(F.lit(1)).alias("__n"),
         F.count_distinct("__t").alias("__nt"),
@@ -864,7 +864,7 @@ def binary_segment(
         # materialize the (≤ max_points/group when the guard passes) series
         # so the guard count and the main plan share one upstream
         # evaluation (the _per_score_counts pattern; optimization r12)
-        base = base.localCheckpoint()
+        base = base.localCheckpoint(eager=False)
         worst = (
             base.groupBy(*groups)
             .count()
