@@ -275,8 +275,9 @@ def triangle_count(
         # consumed by the degree agg (twice, via the union), the
         # orientation join, and the strategy-routing count: materialize
         # once or the edge-build (often a self-join + distinct upstream)
-        # re-executes per consumer
-        .localCheckpoint()
+        # re-executes per consumer. Lazy: the strategy-routing count below
+        # is the materializing action (one job, not checkpoint + count).
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("a").alias("node"))
@@ -298,7 +299,9 @@ def triangle_count(
         )
         .otherwise(F.struct(F.col("da").alias("d"), F.col("a").alias("n")))
         .alias("dst"),
-    ).localCheckpoint()  # reused by the adjacency/wedge build AND the probe
+    ).localCheckpoint(eager=False)  # reused by the adjacency/wedge build AND
+    # the probe; materialized by whichever runs first (the broadcast build
+    # precedes the probe stage, so evaluation is effectively sequential)
     if und.count() <= broadcast_threshold:
         # edge-iterator: out-neighbor lists in orientation order, broadcast
         adj = oriented.groupBy("src").agg(
@@ -321,12 +324,47 @@ def triangle_count(
             .drop("v_")
             .withColumnRenamed("nbrs", "nv")
         )
-        tris = j.select(
-            F.col("src").alias("u"),
-            "v",
-            F.explode(F.array_intersect("nu", "nv")).alias("w"),
+        # per-edge contribution algebra instead of exploding every triangle
+        # corner (optimization r12, second pass): edge (u, v) closes
+        # c = |N+(u) ∩ N+(v)| triangles, contributing c to u, c to v and 1
+        # to each closing w — so the aggregate input shrinks from 3T corner
+        # rows to E edge rows + T w-rows (T = triangle count; on the dense
+        # bench graph avg |ws| ≈ 8, a ~2.5x cut in rows through the hash
+        # aggregate). Σ of the same addends — n_tri is bit-identical.
+        ws = F.array_intersect("nu", "nv")
+        contrib = (
+            j.select(F.col("src").alias("u"), F.col("v").alias("v"), ws.alias("ws"))
+            .select(
+                F.explode(
+                    F.concat(
+                        F.array(
+                            F.struct(
+                                F.col("u").alias("node"),
+                                F.size("ws").cast("long").alias("c"),
+                            ),
+                            F.struct(
+                                F.col("v").alias("node"),
+                                F.size("ws").cast("long").alias("c"),
+                            ),
+                        ),
+                        F.transform(
+                            "ws",
+                            lambda w: F.struct(
+                                w.alias("node"), F.lit(1).cast("long").alias("c")
+                            ),
+                        ),
+                    )
+                ).alias("e")
+            )
+            .select(F.col("e.node").alias("node"), F.col("e.c").alias("c"))
+            .filter(F.col("c") > 0)
         )
+        return contrib.groupBy("node").agg(F.sum("c").cast("long").alias("n_tri"))
     else:
+        # the wedge join consumes `oriented` from three concurrent branches;
+        # materialize it first so the orientation joins run exactly once
+        # (the count doubles as the checkpoint's materializing action)
+        oriented.count()
         o1 = oriented.select(F.col("src"), F.col("dst").alias("v"))
         o2 = oriented.select(F.col("src"), F.col("dst").alias("w"))
         wedges = o1.join(o2, "src").filter(F.col("v") < F.col("w"))
@@ -404,7 +442,10 @@ def connected_components_star(
     edges = (
         e.select(F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo"))
         .distinct()
-        .localCheckpoint()
+        # lazy: round 1's convergence aggregate materializes it inside the
+        # same job as the first rewrite (the distinct's exchange is shared
+        # by both sym branches either way)
+        .localCheckpoint(eager=False)
     )
 
     def _large_star(ed: DataFrame) -> DataFrame:
@@ -438,7 +479,16 @@ def connected_components_star(
 
     converged = False
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint()
+        # ONE job per round (optimization r12, second pass): the rewritten
+        # edge set is localCheckpoint-ed lazily and the convergence
+        # aggregate below is the action that materializes it — rewrite +
+        # star-forest test run inside a single DAG (was: an eager
+        # checkpoint job, then a separate count job re-reading the fresh
+        # blocks). The union's two branches reference the SAME persisted
+        # RDD, so its shuffle stages are shared and only the final narrow
+        # map can (benignly, deterministically) compute a partition twice
+        # before the cache fills.
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         # star-forest test, one aggregate job (optimization r12; was two
         # jobs/round, one of them a semi-join): classify every node's role
         # counts in a single pass over the endpoint stream — a node that is
@@ -567,14 +617,22 @@ def neighbor_jaccard(
     )
     sym = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
     # deg feeds the hub filter and BOTH per-endpoint decoration joins;
-    # centers feeds both wedge sides — materialize each once
-    # (optimization r12, the adamic_adar shape)
-    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(eager=False)
+    # centers feeds both wedge sides. EAGER materialization (optimization
+    # r12, second pass): both tables' first consumers are concurrent
+    # branches of ONE job (the wedge self-join sides / the two decoration
+    # joins) — a lazy checkpoint there lets the branches race and compute
+    # the aggregate twice before the cache fills (measured: +45% on
+    # neighbor_jaccard in the full-bench context). deg rides centers'
+    # materialization when the hub filter consumes it; otherwise it is
+    # materialized itself.
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
+        eager=max_degree is None
+    )
     centers = sym.select(F.col("b").alias("w"), F.col("a").alias("n"))
     if max_degree is not None:
         cdeg = centers.join(deg.select(F.col("a").alias("w"), "deg"), "w")
         centers = cdeg.filter(F.col("deg") <= max_degree).select("w", "n")
-    centers = centers.localCheckpoint(eager=False)
+        centers = centers.localCheckpoint()
     common = (
         centers.select("w", F.col("n").alias("u"))
         .join(centers.select("w", F.col("n").alias("v")), "w")
@@ -639,7 +697,10 @@ def kcore(
         e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .union(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .distinct()
-        .localCheckpoint()
+        # lazy: round 1's cnts.first() materializes it through the degree
+        # aggregate (single consumer at that point); the survivor semi-joins
+        # read the cache afterwards
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         # the degree table is materialized once per round (optimization
@@ -669,7 +730,10 @@ def kcore(
         sym = (
             sym.join(keep, "src", "left_semi")
             .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
-            .localCheckpoint()
+            # lazy: the next round's cnts.first() (or the caller's action on
+            # the converged round) materializes the peeled set — one job per
+            # round instead of checkpoint-job + convergence-job
+            .localCheckpoint(eager=False)
         )
     raise RuntimeError(f"kcore did not converge in {max_iter} rounds")
 
@@ -711,9 +775,12 @@ def adamic_adar(
     )
     if max_degree is not None:
         centers = centers.filter(F.col("deg") <= max_degree)
-    # both wedge sides consume `centers`; materialize so the degree
-    # aggregate + decoration join run once, not twice (optimization r12)
-    centers = centers.localCheckpoint(eager=False)
+    # both wedge sides consume `centers`; EAGER materialization so the
+    # degree aggregate + decoration join run exactly once — the wedge
+    # self-join's two branches are concurrent stages of one job, so a lazy
+    # checkpoint lets them race and compute the decoration twice before
+    # the cache fills (optimization r12, second pass)
+    centers = centers.localCheckpoint()
     wedges = (
         centers.select("w", F.col("n").alias("u"), "deg")
         .join(
@@ -892,6 +959,9 @@ def _pruned_incidence(
     inc = (
         df.select(F.col(left_col).alias("l"), F.col(right_col).alias("r"))
         .distinct()
+        # lazy: materialized inside the pruned table's eager job below (the
+        # degree aggregate runs before the semi-join probes it, so the two
+        # in-job consumers are effectively sequential)
         .localCheckpoint(eager=False)
     )
     keep = (
@@ -900,7 +970,12 @@ def _pruned_incidence(
         .filter(F.col("rdeg") <= max_right_degree)
         .select("r")
     )
-    return inc.join(keep, "r", "left_semi").localCheckpoint(eager=False)
+    # EAGER: the pruned incidence's first consumers are both sides of the
+    # projection self-join — concurrent stages of one job, which race and
+    # re-evaluate a lazy checkpoint (optimization r12, second pass:
+    # interleaved A/B at sf0.1 read eager 3.8 s vs lazy 4.1 s vs
+    # unmaterialized 5.7 s for copurchase_recs)
+    return inc.join(keep, "r", "left_semi").localCheckpoint()
 
 
 def modularity(
@@ -939,7 +1014,10 @@ def modularity(
         .filter(F.col("a") != F.col("b"))
         .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .distinct()
-        .localCheckpoint()  # reused: m count, degree agg, two label joins
+        # reused: m count, degree agg, two label joins. Lazy: the m count
+        # right below is the materializing action (fuses the old eager
+        # checkpoint job with the count job)
+        .localCheckpoint(eager=False)
     )
     m = und.count()
     if m == 0:
@@ -1029,16 +1107,19 @@ def cooccurrence_recs(
         .join(pruned.select("r", F.col("l").alias("l_b")), "r")
         .filter(F.col("l_a") < F.col("l_b"))
     )
+    # EAGER (optimization r12, second pass): `pairs` first feeds the two
+    # concurrent branches of the sym union and `freq` the two cosine joins
+    # — lazy checkpoints race there (same A/B as _pruned_incidence)
     pairs = (
         raw_pairs.groupBy("l_a", "l_b")
         .agg(F.count(F.lit(1)).cast("long").alias("weight"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     freq = (
         pruned.groupBy("l")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(F.col("l").alias("item"), "freq")
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     sym = pairs.select(
         F.col("l_a").alias("item"), F.col("l_b").alias("rec"), "weight"
@@ -1377,9 +1458,10 @@ def sequential_patterns(
         *[F.col(c) for c in order_cols],
         F.col(item_col).cast("string").alias("__i0"),
     )
-    # one lead-window pass, materialized (optimization r12): each length's
-    # projection and the distinct-sequence total would otherwise re-run
-    # the sequence-keyed window shuffle per consumer
+    # one lead-window pass, materialized EAGERLY (optimization r12): each
+    # length's projection and the distinct-sequence total would otherwise
+    # re-run the sequence-keyed window shuffle per consumer — and they are
+    # concurrent union branches of one job, so a lazy checkpoint races
     with_leads = base.select(
         "__s",
         "__i0",
@@ -1389,7 +1471,7 @@ def sequential_patterns(
             ).alias(f"__i{k}")
             for k in range(1, max(lengths))
         ],
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     parts = []
     for n in lengths:
         cols = [F.col(f"__i{k}") for k in range(n)]

@@ -44,6 +44,7 @@ def _avg_rank_table(
     out: str,
     max_distinct: int | None = None,
     op: str | None = None,
+    count_out: str | None = None,
 ) -> DataFrame:
     """Tie-AVERAGED ranks of ``value_col`` within each group: per-(group,
     distinct value) counts + one cumulative window over the distinct-value
@@ -55,7 +56,13 @@ def _avg_rank_table(
     the guard previously ran ``_guard_distinct`` as a SEPARATE corpus
     scan; now guard and rank table share one evaluation — the
     _per_score_counts pattern). Same eager-at-construction contract and
-    the same error, raised via :func:`_raise_distinct`."""
+    the same error, raised via :func:`_raise_distinct`.
+
+    ``count_out`` additionally exposes the per-value tie-group size t as a
+    column (optimization r12, second pass): callers that need the tie
+    correction Σ(t³−t) fold it into their main aggregate via the row-level
+    identity Σ_rows(t²−1) = Σ_values t(t²−1), instead of re-scanning the
+    corpus for a separate tie aggregate."""
     per = base.groupBy(*groups, value_col).agg(F.count(F.lit(1)).alias("__c"))
     if max_distinct is not None:
         per = per.localCheckpoint(eager=False)
@@ -80,6 +87,7 @@ def _avg_rank_table(
         (F.coalesce(F.sum("__c").over(w), F.lit(0)) + (F.col("__c") + 1) / 2.0).alias(
             out
         ),
+        *([F.col("__c").alias(count_out)] if count_out else []),
     )
 
 
@@ -125,28 +133,28 @@ def kruskal_wallis(
         v.isNotNull() & ~F.isnan(v) & F.col(treatment_col).isNotNull()
     ).select(*groups, F.col(treatment_col).alias("__j"), v.alias("__x"))
     ranked = base.join(
-        _avg_rank_table(base, groups, "__x", "__rk", max_distinct, "kruskal_wallis"),
+        _avg_rank_table(
+            base, groups, "__x", "__rk", max_distinct, "kruskal_wallis",
+            count_out="__t",
+        ),
         [*groups, "__x"],
     )
+    # the tie correction rides the SAME aggregate as the rank sums
+    # (optimization r12, second pass): each row carries its value's
+    # tie-group size t, and Σ_rows(t²−1) = Σ_values(t³−t) exactly (integer
+    # arithmetic) — the old separate corpus re-scan + join for `ties` is
+    # gone.
     per_treat = ranked.groupBy(*groups, "__j").agg(
-        F.count(F.lit(1)).alias("__nj"), F.sum("__rk").alias("__rj")
+        F.count(F.lit(1)).alias("__nj"),
+        F.sum("__rk").alias("__rj"),
+        F.sum(F.col("__t") * F.col("__t") - 1).alias("__tiej"),
     )
-    rterm = per_treat.groupBy(*groups).agg(
+    j = per_treat.groupBy(*groups).agg(
         F.count(F.lit(1)).cast("long").alias("k"),
         F.sum("__nj").cast("long").alias("n"),
         F.sum(F.col("__rj") * F.col("__rj") / F.col("__nj")).alias("__ssr"),
+        F.sum("__tiej").alias("__tie"),
     )
-    ties = (
-        base.groupBy(*groups, "__x")
-        .agg(F.count(F.lit(1)).alias("__t"))
-        .groupBy(*groups)
-        .agg(
-            F.sum(
-                F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")
-            ).alias("__tie")
-        )
-    )
-    j = rterm.join(ties, groups) if groups else _cross_one(rterm, ties)
     n = F.col("n").cast("double")
     h_raw = 12.0 / (n * (n + 1)) * F.col("__ssr") - 3.0 * (n + 1)
     c = 1.0 - F.col("__tie") / (n * n * n - n)
@@ -311,25 +319,21 @@ def wilcoxon_signed_rank(
         .select(*groups, F.abs("__d").alias("__ad"), F.signum("__d").alias("__sg"))
     )
     ranked = base.join(
-        _avg_rank_table(base, groups, "__ad", "__rk", max_distinct, "wilcoxon_signed_rank"),
+        _avg_rank_table(
+            base, groups, "__ad", "__rk", max_distinct, "wilcoxon_signed_rank",
+            count_out="__t",
+        ),
         [*groups, "__ad"],
     )
-    ties = (
-        base.groupBy(*groups, "__ad")
-        .agg(F.count(F.lit(1)).alias("__t"))
-        .groupBy(*groups)
-        .agg(
-            F.sum(F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")).alias(
-                "__tie"
-            )
-        )
-    )
-    agg = ranked.groupBy(*groups).agg(
+    # tie correction folded into the main aggregate via Σ_rows(t²−1) =
+    # Σ_values(t³−t) — no separate corpus re-scan + join (optimization
+    # r12, second pass; exact integer arithmetic)
+    j = ranked.groupBy(*groups).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.when(F.col("__sg") > 0, F.col("__rk")).otherwise(0.0)).alias("__wp"),
         F.sum(F.when(F.col("__sg") < 0, F.col("__rk")).otherwise(0.0)).alias("__wm"),
+        F.sum(F.col("__t") * F.col("__t") - 1).alias("__tie"),
     )
-    j = agg.join(ties, groups) if groups else _cross_one(agg, ties)
     n = F.col("n").cast("double")
     var = n * (n + 1) * (2 * n + 1) / 24.0 - F.col("__tie") / 48.0
     return j.select(
@@ -714,22 +718,25 @@ def dunn_posthoc(
         v.isNotNull() & ~F.isnan(v) & F.col(treatment_col).isNotNull()
     ).select(F.col(treatment_col).alias("__j"), v.alias("__x"))
     ranked = base.join(
-        _avg_rank_table(base, [], "__x", "__rk", max_distinct, "dunn_posthoc"),
+        _avg_rank_table(
+            base, [], "__x", "__rk", max_distinct, "dunn_posthoc", count_out="__t"
+        ),
         ["__x"],
     )
+    # per-treatment aggregate also carries the tie term (Σ_rows(t²−1) =
+    # Σ_values(t³−t), exact integers); N and the tie total then roll up
+    # from the k-row per_j table instead of a separate corpus re-scan
+    # (optimization r12, second pass)
     per_j = ranked.groupBy("__j").agg(
         F.count(F.lit(1)).cast("long").alias("__nj"),
         F.avg("__rk").alias("__rbar"),
-    )
-    ties = (
-        base.groupBy("__x")
-        .agg(F.count(F.lit(1)).alias("__t"))
-        .agg(
-            F.sum(F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")).alias(
-                "__tie"
-            ),
-            F.sum("__t").alias("__N"),
-        )
+        F.sum(F.col("__t") * F.col("__t") - 1).alias("__tiej"),
+    ).localCheckpoint()  # k rows; feeds a, b AND the totals — one corpus
+    # pass instead of three (the old code re-scanned the corpus for each
+    # pair side and once more for the tie aggregate)
+    ties = per_j.agg(
+        F.sum("__tiej").alias("__tie"),
+        F.sum("__nj").alias("__N"),
     )
     a = per_j.select(
         F.col("__j").alias("treat_a"),

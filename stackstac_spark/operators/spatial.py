@@ -214,7 +214,13 @@ def grid_cluster(
             "cx": F.floor(F.col("px") / eps).cast("long"),
             "cy": F.floor(F.col("py") / eps).cast("long"),
         }
-    ).localCheckpoint()  # consumed by the pair join (twice) and the label joins
+        # consumed by the pair join (twice) and the label joins. Lazy when
+        # the cell-count guard runs: its .first() right below is the
+        # materializing action (fuses the old checkpoint job + guard job
+        # into one — optimization r12, second pass); eager when the guard
+        # is disabled, because the first consumers are then the pair
+        # join's two concurrent sides.
+    ).localCheckpoint(eager=max_cell_count is None)
     if max_cell_count is not None:
         worst = (
             p.groupBy("cx", "cy").count().agg(F.max("count").alias("m")).first()
@@ -256,7 +262,12 @@ def grid_cluster(
             <= F.lit(float(eps) * float(eps))
         )
         .select(F.col("pid").alias("a"), F.col("pid_b").alias("b"))
-        .localCheckpoint()  # consumed by the core agg, the CC, and border attach
+        # consumed by the core agg, the CC, and border attach. Lazy: the
+        # first consumer is the neighbor-count aggregate inside `core`'s
+        # eager materialization (a single sequential chain), which fuses
+        # the pair join into that job; the CC and border joins then read
+        # the cache (optimization r12, second pass)
+        .localCheckpoint(eager=False)
     )
     # directed pairs contain (u,v) AND (v,u): neighbor count is a plain agg
     nbrs = pairs.groupBy("a").agg(F.count(F.lit(1)).alias("n_nbrs"))

@@ -13,6 +13,46 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_memory() -> str:
+    """Size the local-mode driver heap from the machine, not a constant.
+
+    In ``local[N]`` the driver JVM IS the executor: all N concurrent tasks'
+    execution memory plus every cached/localCheckpoint-ed block live in one
+    heap (guide §5). The previous fixed ``8g`` default left the unified
+    region at ~4.6 GB; a full 376-query bench run accumulates checkpoint
+    blocks faster than the GC-driven ContextCleaner reclaims them, so
+    storage pressure evicted hot blocks mid-suite — measured r12: the
+    same suite read 309 s at 8g vs 250 s at 48g, with the worst aged
+    queries (copurchase_recs, entity_resolution) at 4x their isolated
+    cost. Default: half of the box's RAM (cgroup-capped), clamped to
+    [8g, 64g]; ``SPARK_DRIVER_MEMORY`` still overrides for clusters,
+    where the executors carry the data plane and 8g drivers are fine.
+    """
+    total_b = None
+    try:  # container limit first (cgroup v2, then v1)
+        for p in ("/sys/fs/cgroup/memory.max", "/sys/fs/cgroup/memory/memory.limit_in_bytes"):
+            if os.path.exists(p):
+                raw = open(p).read().strip()
+                if raw.isdigit() and int(raw) < 1 << 48:
+                    total_b = int(raw)
+                break
+    except OSError:
+        pass
+    if total_b is None:
+        try:
+            with open("/proc/meminfo") as f:
+                for line in f:
+                    if line.startswith("MemTotal"):
+                        total_b = int(line.split()[1]) * 1024
+                        break
+        except OSError:
+            pass
+    if total_b is None:
+        return "8g"
+    gb = total_b // (1 << 30)
+    return f"{max(8, min(gb // 2, 64))}g"
+
+
 def get_spark(
     app_name: str = "stackstac-spark",
     master: str | None = None,
@@ -37,7 +77,10 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or os.cpu_count() or 32),
         )
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_memory()),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
