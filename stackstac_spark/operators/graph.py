@@ -383,11 +383,57 @@ def triangle_count(
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
 
 
+def _cc_driver(edges: DataFrame) -> DataFrame:
+    """Driver-side min-label union-find over a collected (a, b) edge list —
+    the small-graph physical strategy (the ``_pagerank_driver`` /
+    ``_label_prop_driver`` precedent). Output is bit-identical to the star
+    rounds' fixed point: every node labeled with its component's MINIMUM id
+    (union-by-min keeps every tree root equal to its set's minimum, and the
+    star forest's root IS that minimum). Dedupes locally, so the caller may
+    hand it the raw pre-distinct pair list (LSH candidate lists emit a pair
+    once per colliding band)."""
+    from pyspark.sql import types as T
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edges.collect():
+        a, b = r[0], r[1]
+        if a == b:
+            continue
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra  # larger root hangs under the smaller: root = min
+    node_type = edges.schema[0].dataType
+    schema = T.StructType(
+        [T.StructField("node", node_type), T.StructField("component", node_type)]
+    )
+    from stackstac_spark.session import local_df
+
+    return local_df(
+        edges.sparkSession, [(v, find(v)) for v in sorted(parent)], schema
+    )
+
+
 def connected_components_star(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 30,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star rounds
     (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond")
@@ -439,6 +485,20 @@ def connected_components_star(
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).filter(
         F.col("a") != F.col("b")
     )
+    # dual physical strategy (the pagerank/label_prop precedent, extended to
+    # CC in optimization r12): below the threshold, collect the edge list
+    # and union-find on the driver — identical min-label output, ONE job
+    # instead of ~1 aggregate job per star round (each of which AQE splits
+    # into several sub-jobs; the cc_star/grid_dbscan/modularity gates
+    # measured 51-107 jobs, mostly scheduling overhead at this size). A
+    # billion-edge graph never routes here; driver_threshold=0 forces the
+    # distributed loop (tests pin both paths and assert agreement). Raw
+    # count first — the driver path dedupes locally, so the common
+    # small-graph case skips the distinct exchange entirely.
+    if driver_threshold:
+        e = e.localCheckpoint(eager=False)
+        if e.count() <= driver_threshold:
+            return _cc_driver(e)
     edges = (
         e.select(F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo"))
         .distinct()
@@ -447,6 +507,8 @@ def connected_components_star(
         # by both sym branches either way)
         .localCheckpoint(eager=False)
     )
+    if driver_threshold and edges.count() <= driver_threshold:
+        return _cc_driver(edges.select(F.col("hi").alias("a"), F.col("lo").alias("b")))
 
     def _large_star(ed: DataFrame) -> DataFrame:
         sym = ed.select(F.col("hi").alias("c"), F.col("lo").alias("n")).union(

@@ -206,9 +206,13 @@ def test_star_cc_combined_convergence_check(spark):
     cross = nums.filter(F.col("id") % 50 == 3).select(
         F.col("id").alias("id_a"), (F.col("id") + 100).alias("id_b")
     )
+    # driver_threshold=0 forces the distributed star rounds — this test
+    # pins the one-job convergence check, not the driver union-find path
     comp = {
         r["node"]: r["component"]
-        for r in connected_components_star(chain.union(cross)).collect()
+        for r in connected_components_star(
+            chain.union(cross), driver_threshold=0
+        ).collect()
     }
     # chains 0-24 / 25-49 merged via (3,103)? no: +100 edges link node 3->103
     # which is outside 0..99 only when id+100 > 99; recompute reference via

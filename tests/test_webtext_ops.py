@@ -135,7 +135,12 @@ def test_cc_star_vs_union_find(spark, seed):
     from stackstac_spark.operators.graph import connected_components_star
 
     df = spark.createDataFrame(edges, ["id_a", "id_b"])
-    got = {r["node"]: r["component"] for r in connected_components_star(df).collect()}
+    # driver_threshold=0 pins the distributed star rounds; the default
+    # driver union-find path is covered by test_cc_star_dual_path_agreement
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_star(df, driver_threshold=0).collect()
+    }
     assert got == _brute_components(edges)
 
 
@@ -150,7 +155,7 @@ def test_cc_star_double_root_topology(spark):
 
     edges = [(10, 3), (10, 1), (11, 3), (11, 2)]
     df = spark.createDataFrame(edges, ["id_a", "id_b"])
-    rows = connected_components_star(df).collect()
+    rows = connected_components_star(df, driver_threshold=0).collect()
     nodes = [r["node"] for r in rows]
     assert sorted(nodes) == [1, 2, 3, 10, 11]  # one row per node, no dups
     assert {r["component"] for r in rows} == {1}
@@ -171,6 +176,25 @@ def test_cc_star_no_duplicate_node_rows_random(spark):
     nodes = [r["node"] for r in rows]
     assert len(nodes) == len(set(nodes))
     assert {r["node"]: r["component"] for r in rows} == _brute_components(edges)
+
+
+@pytest.mark.parametrize("seed", [7, 8])
+def test_cc_star_dual_path_agreement(spark, seed):
+    # optimization r12: the driver union-find fast path (default routing at
+    # this size) must agree row-for-row with the distributed star rounds —
+    # same nodes, same min-id component labels, same schema
+    import random
+
+    from stackstac_spark.operators.graph import connected_components_star
+
+    rng = random.Random(seed)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(70)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    fast = connected_components_star(df)  # routes to _cc_driver
+    slow = connected_components_star(df, driver_threshold=0)
+    assert fast.schema == slow.schema
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
 
 
 def test_cc_star_chain_adversary(spark):
