@@ -890,8 +890,10 @@ def jaccard_similarity(
     never run pairless at full scale)."""
     # materialized once: the size aggregate and both self-join sides would
     # otherwise each re-run tokenize + explode + distinct (optimization
-    # r12, the containment_pairs fix)
-    sh = shingles(df, id_col, text_col, shingle_n).localCheckpoint(eager=False)
+    # r12). EAGER (second pass): the consumers are concurrent branches of
+    # one job, so a lazy cache lets them race and recompute the pipeline
+    # before it fills.
+    sh = shingles(df, id_col, text_col, shingle_n).localCheckpoint()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
@@ -1105,18 +1107,21 @@ def containment_pairs(
     # aggregate, the df aggregate, and BOTH sides of the co-shingle
     # self-join would otherwise each re-execute tokenize + explode +
     # distinct (4 full corpus scans + 4 distinct exchanges). One
-    # evaluation, cheap re-reads (guide §1.2 / §2.4).
-    sh = shingles(df, id_col, text_col, shingle_n).localCheckpoint(eager=False)
+    # evaluation, cheap re-reads (guide §1.2 / §2.4). EAGER (second pass):
+    # the consumers are concurrent branches of one job — a lazy cache lets
+    # them race and recompute the pipeline before it fills.
+    sh = shingles(df, id_col, text_col, shingle_n).localCheckpoint()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     if max_shingle_docs is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         # the filtered stream feeds both join sides: checkpoint it too, so
-        # the semi-join runs once instead of twice
+        # the semi-join runs once instead of twice (eager — same race
+        # argument as above)
         sh = sh.join(
             freq.filter(F.col("df") <= max_shingle_docs).drop("df"),
             "shingle",
             "left_semi",
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint()
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
@@ -1179,13 +1184,15 @@ def cross_lsh_matches(
     rows_per_band = num_hashes // bands
     # each signature table feeds its banded view AND the estimator join —
     # materialize so the per-side shingle + min-hash pipeline runs once
-    # per side instead of twice (optimization r12)
+    # per side instead of twice (optimization r12). EAGER (second pass):
+    # both consumers sit in one job, so a lazy cache lets the branches
+    # race and recompute the pipeline before it fills.
     sig_c = minhash_signatures(
         corpus, id_col, text_col, num_hashes, shingle_n
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     sig_r = minhash_signatures(
         reference, ref_id_col, text_col, num_hashes, shingle_n
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
 
     def _banded(sig: DataFrame, key: str) -> DataFrame:
         band_structs = [
@@ -1308,7 +1315,10 @@ def lsh_tuning_curve(
                 f"config ({b},{r}): b*r must equal num_hashes ({num_hashes}) "
                 "so every config re-slices the same signature table"
             )
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    # EAGER materialization (optimization r12, second pass): both join
+    # sides below consume the signature table concurrently inside one job —
+    # the corpus-wide shingle + min-hash aggregate runs exactly once.
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).localCheckpoint()
     sa = sig.select(
         F.col(id_col).alias("id_a"), *[F.col(f"h{i}").alias(f"ha{i}") for i in range(num_hashes)]
     )
@@ -1323,14 +1333,15 @@ def lsh_tuning_curve(
         .join(jac, ["id_a", "id_b"])
         .join(sa, "id_a")
         .join(sb, "id_b")
-        # labeled-pair-sized table consumed once PER CONFIG by the union
-        # below — without this the signature pipeline and the exact-
-        # Jaccard pass re-execute for every config (3× by default;
-        # optimization r12). Materializing it is exactly the docstring's
-        # "signatures are the expensive artifact; re-slice them" contract.
-        .localCheckpoint(eager=False)
     )
-    per_config = []
+    # one pass over the labeled pairs for ALL configs (optimization r12,
+    # second pass): each config's (detected, analytic) is a struct in a
+    # per-row array that one explode fans out — same row multiset as the
+    # previous union-of-3-selects, but the signature + exact-Jaccard
+    # pipeline is a SINGLE consumer subtree now, so no checkpoint (and no
+    # chance of the union branches racing to re-evaluate it inside one
+    # job). The plan shrinks ~3×.
+    cfg_structs = []
     for b, r in configs:
         band_ok = [
             _all_of([F.col(f"ha{bi * r + k}") == F.col(f"hb{bi * r + k}") for k in range(r)])
@@ -1339,17 +1350,22 @@ def lsh_tuning_curve(
         detected = F.when(_any_of(band_ok), 1).otherwise(0)
         j = F.col("jaccard")
         analytic = 1.0 - F.pow(1.0 - F.pow(j, F.lit(float(r))), F.lit(float(b)))
-        per_config.append(
-            base.select(
+        cfg_structs.append(
+            F.struct(
                 F.lit(f"b{b}r{r}").alias("config"),
-                F.floor(j * 10).cast("int").alias("sim_bucket"),
                 detected.alias("det"),
                 analytic.alias("analytic"),
             )
         )
-    from functools import reduce as _reduce
-
-    allc = _reduce(lambda x, y: x.unionAll(y), per_config)
+    allc = base.select(
+        F.floor(F.col("jaccard") * 10).cast("int").alias("sim_bucket"),
+        F.explode(F.array(*cfg_structs)).alias("__cfg"),
+    ).select(
+        F.col("__cfg.config").alias("config"),
+        "sim_bucket",
+        F.col("__cfg.det").alias("det"),
+        F.col("__cfg.analytic").alias("analytic"),
+    )
     return allc.groupBy("config", "sim_bucket").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum("det").alias("n_detected"),
@@ -1436,7 +1452,9 @@ def prefix_filter_pairs(
     # distinct's exchange, ~7 evaluations total counting both sides of the
     # candidate self-join). Guide §1.2: don't compute things you throw
     # away; §2.4: share the exchange. One evaluation, many cheap re-reads.
-    toks = toks.localCheckpoint(eager=False)
+    # EAGER (second pass): the consumers are concurrent branches of one
+    # job — a lazy cache lets them race and recompute the pipeline.
+    toks = toks.localCheckpoint()
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     ranked = toks.join(dfreq, "tok").withColumn(
         "__r",
@@ -1463,7 +1481,8 @@ def prefix_filter_pairs(
     # the rank window + two joins above run twice (optimization r12). The
     # prefix table is the SMALL proxy (~(1−t) of the distinct elements,
     # the rarest ones at that), so this is the cheap side to materialize.
-    prefix = prefix.localCheckpoint(eager=False)
+    # EAGER (second pass): the self-join sides are concurrent in one job.
+    prefix = prefix.localCheckpoint()
     a = prefix.select(F.col(id_col).alias("id_a"), "tok")
     b = prefix.select(F.col(id_col).alias("id_b"), "tok")
     cand = (

@@ -343,19 +343,31 @@ def hamming_near_dups(hashes: DataFrame, max_hamming: int = 8) -> DataFrame:
     )
     if not words:
         raise ValueError("hashes must carry average_hash word columns w0..wN")
-    # materialize the hash table once (optimization r12): the W banded
-    # branches × both candidate-join sides plus the two verify joins would
-    # otherwise re-run the upstream decode + hash Python kernel ~10 times
-    # (the union of W selects alone evaluates its input W times). The
-    # table is one row of W small ints per image — the cheapest possible
-    # thing to pin against the most expensive thing in the plan.
-    hashes = hashes.localCheckpoint(eager=False)
-    banded = None
-    for i, wcol in enumerate(words):
-        b = hashes.select(
-            F.col("media_id"), F.lit(i).alias("band"), F.col(wcol).alias("key")
-        )
-        banded = b if banded is None else banded.unionAll(b)
+    # materialize the hash table once (optimization r12): the banded view,
+    # both candidate-join sides, and the two verify joins would otherwise
+    # re-run the upstream decode + hash Python kernel per consumer. EAGER
+    # (second pass): the consumers are concurrent branches of ONE job
+    # (self-join sides), so a lazy checkpoint lets them race and recompute
+    # the decode before the cache fills. The table is one row of W small
+    # ints per image — the cheapest possible thing to pin against the most
+    # expensive thing in the plan.
+    hashes = hashes.localCheckpoint()
+    # one pass builds all W bands via explode (optimization r12, second
+    # pass) — the previous union of W selects evaluated its input W times
+    # (W plan subtrees, W cache reads)
+    banded = hashes.select(
+        F.col("media_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), F.col(w).alias("key"))
+                    for i, w in enumerate(words)
+                ]
+            )
+        ).alias("__bk"),
+    ).select(
+        "media_id", F.col("__bk.band").alias("band"), F.col("__bk.key").alias("key")
+    )
     a = banded.select(
         F.col("media_id").alias("id_a"), "band", "key"
     )

@@ -781,8 +781,10 @@ def semantic_dedup(
     )
     # three consumers (both pair-join sides + the output join) — without
     # this the nearest-centroid assignment scan re-runs per consumer
-    # (optimization r12)
-    assigned = assigned.localCheckpoint(eager=False)
+    # (optimization r12). EAGER (second pass): the pair-join sides are
+    # concurrent branches of one job, so a lazy cache lets them race and
+    # recompute the assignment scan before it fills.
+    assigned = assigned.localCheckpoint()
     side = assigned.select(
         F.col(id_col).alias("__id"), F.col("cluster"), F.col(vec_col).alias("__v")
     )

@@ -251,6 +251,29 @@ def test_kcore_restructure(spark):
     assert kcore(df, k=3).count() == 0
 
 
+def test_kcore_driver_matches_distributed(spark):
+    """The driver-side cascade peel (default route below driver_threshold)
+    must emit row-for-row what the distributed peel rounds emit —
+    driver_threshold=0 pins the distributed path."""
+    import random
+
+    from stackstac_spark.operators.graph import kcore
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(120)]
+    # K4 clique so a 3-core exists, plus a cascading chain off node 0
+    edges += [(a, b) for a in range(90, 94) for b in range(a + 1, 94)]
+    edges += [(0, 50), (50, 51), (51, 52)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    for k in (2, 3):
+        fast = {(r["node"], r["core_deg"]) for r in kcore(df, k=k).collect()}
+        slow = {
+            (r["node"], r["core_deg"])
+            for r in kcore(df, k=k, driver_threshold=0).collect()
+        }
+        assert fast == slow
+
+
 def test_cooccurrence_recs_shared_incidence(spark):
     """The shared-pruned-incidence restructure must keep the cosine over
     the pruned incidence (hub basket dropped from BOTH numerator and
