@@ -540,12 +540,15 @@ def minhash_lsh_candidates(
     # far smaller than the shingle stream it derives from.
     banded = sig.select(id_col, F.explode(F.array(*band_structs)).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()  # EAGER (second pass): the bucket-size aggregate and
+    # the semi-join probe are concurrent branches of one job — a lazy cache
+    # lets them race and re-run the signature pipeline before it fills
     if max_bucket is not None:
         sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bn"))
         banded = banded.join(
             sizes.filter(F.col("bn") <= max_bucket).drop("bn"), ["band", "key"], "left_semi"
-        ).localCheckpoint(eager=False)  # feeds both sides of the pair self-join
+        ).localCheckpoint()  # feeds both sides of the pair self-join (eager —
+        # same race argument)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -163,7 +163,9 @@ def naive_bayes_classify(
     # sufficient statistics).
     doctok = toks.groupBy("id", "tok").agg(
         F.count(F.lit(1)).alias("tf")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()  # EAGER (second pass): the scoring join and the
+    # per-doc totals consume it concurrently in one job; ctab below stays
+    # lazy because the v_size count materializes it sequentially first
     ctab = toks.groupBy("y", "tok").agg(
         F.count(F.lit(1)).alias("cnt")
     ).localCheckpoint(eager=False)

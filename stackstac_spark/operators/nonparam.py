@@ -45,6 +45,7 @@ def _avg_rank_table(
     max_distinct: int | None = None,
     op: str | None = None,
     count_out: str | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Tie-AVERAGED ranks of ``value_col`` within each group: per-(group,
     distinct value) counts + one cumulative window over the distinct-value
@@ -62,8 +63,16 @@ def _avg_rank_table(
     column (optimization r12, second pass): callers that need the tie
     correction Σ(t³−t) fold it into their main aggregate via the row-level
     identity Σ_rows(t²−1) = Σ_values t(t²−1), instead of re-scanning the
-    corpus for a separate tie aggregate."""
-    per = base.groupBy(*groups, value_col).agg(F.count(F.lit(1)).alias("__c"))
+    corpus for a separate tie aggregate.
+
+    ``weight_col``: when ``base`` is already a pre-aggregated cell table
+    (one row per distinct key combination carrying a row count), the rank
+    table derives the per-value count t as Σ weight instead of a row
+    count — so callers can rank over the SAME aggregate their main plan
+    consumes and the corpus is scanned exactly once (the spearman cell
+    algebra, generalized to the rank-test family)."""
+    cnt = F.sum(weight_col) if weight_col else F.count(F.lit(1))
+    per = base.groupBy(*groups, value_col).agg(cnt.alias("__c"))
     if max_distinct is not None:
         per = per.localCheckpoint(eager=False)
         worst = (
@@ -132,22 +141,32 @@ def kruskal_wallis(
     base = df.filter(
         v.isNotNull() & ~F.isnan(v) & F.col(treatment_col).isNotNull()
     ).select(*groups, F.col(treatment_col).alias("__j"), v.alias("__x"))
-    ranked = base.join(
+    # ONE corpus scan total (optimization r12, second pass — the spearman
+    # cell algebra): collapse to per-(group, treatment, value) cells first;
+    # the rank table derives from the cells (t = Σ cell counts per value)
+    # and every row-level sum becomes a cell-count-weighted sum. All terms
+    # are exact dyadic rationals (tie-averaged ranks are half-integers,
+    # counts are integers), so the results are bit-identical to the
+    # row-level join-back this replaces. Lazy checkpoint: the max_distinct
+    # guard inside _avg_rank_table is the materializing action; with the
+    # guard disabled the join sides would race, so checkpoint eagerly.
+    cells = base.groupBy(*groups, "__j", "__x").agg(
+        F.count(F.lit(1)).alias("__cj")
+    ).localCheckpoint(eager=max_distinct is None)
+    ranked = cells.join(
         _avg_rank_table(
-            base, groups, "__x", "__rk", max_distinct, "kruskal_wallis",
-            count_out="__t",
+            cells, groups, "__x", "__rk", max_distinct, "kruskal_wallis",
+            count_out="__t", weight_col="__cj",
         ),
         [*groups, "__x"],
     )
-    # the tie correction rides the SAME aggregate as the rank sums
-    # (optimization r12, second pass): each row carries its value's
-    # tie-group size t, and Σ_rows(t²−1) = Σ_values(t³−t) exactly (integer
-    # arithmetic) — the old separate corpus re-scan + join for `ties` is
-    # gone.
+    # the tie correction rides the SAME aggregate as the rank sums:
+    # Σ_rows(t²−1) = Σ_cells c·(t²−1) = Σ_values(t³−t) exactly (integer
+    # arithmetic) — no separate corpus re-scan.
     per_treat = ranked.groupBy(*groups, "__j").agg(
-        F.count(F.lit(1)).alias("__nj"),
-        F.sum("__rk").alias("__rj"),
-        F.sum(F.col("__t") * F.col("__t") - 1).alias("__tiej"),
+        F.sum("__cj").alias("__nj"),
+        F.sum(F.col("__cj") * F.col("__rk")).alias("__rj"),
+        F.sum(F.col("__cj") * (F.col("__t") * F.col("__t") - 1)).alias("__tiej"),
     )
     j = per_treat.groupBy(*groups).agg(
         F.count(F.lit(1)).cast("long").alias("k"),
@@ -318,21 +337,34 @@ def wilcoxon_signed_rank(
         .filter(F.col("__d") != 0.0)
         .select(*groups, F.abs("__d").alias("__ad"), F.signum("__d").alias("__sg"))
     )
-    ranked = base.join(
+    # ONE corpus scan total (optimization r12, second pass — the spearman
+    # cell algebra, same as kruskal_wallis): per-(group, sign, |d|) cells;
+    # ranks derive from the cells (t = Σ cell counts per |d| across signs)
+    # and the W± sums weight each cell's rank by its count. Exact dyadic
+    # arithmetic → bit-identical to the row-level join-back.
+    cells = base.groupBy(*groups, "__sg", "__ad").agg(
+        F.count(F.lit(1)).alias("__cj")
+    ).localCheckpoint(eager=max_distinct is None)
+    ranked = cells.join(
         _avg_rank_table(
-            base, groups, "__ad", "__rk", max_distinct, "wilcoxon_signed_rank",
-            count_out="__t",
+            cells, groups, "__ad", "__rk", max_distinct, "wilcoxon_signed_rank",
+            count_out="__t", weight_col="__cj",
         ),
         [*groups, "__ad"],
     )
     # tie correction folded into the main aggregate via Σ_rows(t²−1) =
-    # Σ_values(t³−t) — no separate corpus re-scan + join (optimization
-    # r12, second pass; exact integer arithmetic)
+    # Σ_cells c·(t²−1) = Σ_values(t³−t) — exact integer arithmetic
     j = ranked.groupBy(*groups).agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.when(F.col("__sg") > 0, F.col("__rk")).otherwise(0.0)).alias("__wp"),
-        F.sum(F.when(F.col("__sg") < 0, F.col("__rk")).otherwise(0.0)).alias("__wm"),
-        F.sum(F.col("__t") * F.col("__t") - 1).alias("__tie"),
+        # coalesce: the ungrouped aggregate over an empty frame must keep
+        # emitting n = 0 (the old F.count semantics), not NULL
+        F.coalesce(F.sum("__cj"), F.lit(0)).cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("__sg") > 0, F.col("__cj") * F.col("__rk")).otherwise(0.0)
+        ).alias("__wp"),
+        F.sum(
+            F.when(F.col("__sg") < 0, F.col("__cj") * F.col("__rk")).otherwise(0.0)
+        ).alias("__wm"),
+        F.sum(F.col("__cj") * (F.col("__t") * F.col("__t") - 1)).alias("__tie"),
     )
     n = F.col("n").cast("double")
     var = n * (n + 1) * (2 * n + 1) / 24.0 - F.col("__tie") / 48.0
@@ -383,14 +415,26 @@ def cliffs_delta(
         (F.col(side_col) == F.lit(side_a)).alias("__is_a"),
         v.alias("__x"),
     )
-    ranked = base.join(
-        _avg_rank_table(base, groups, "__x", "__rk", max_distinct, "cliffs_delta"),
+    # ONE corpus scan total (optimization r12, second pass — the spearman
+    # cell algebra): per-(group, side, value) cells; ranks derive from the
+    # cells and the side sums weight each cell's rank by its count. Exact
+    # dyadic arithmetic → bit-identical to the row-level join-back.
+    cells = base.groupBy(*groups, "__is_a", "__x").agg(
+        F.count(F.lit(1)).alias("__cj")
+    ).localCheckpoint(eager=max_distinct is None)
+    ranked = cells.join(
+        _avg_rank_table(
+            cells, groups, "__x", "__rk", max_distinct, "cliffs_delta",
+            weight_col="__cj",
+        ),
         [*groups, "__x"],
     )
     agg = ranked.groupBy(*groups).agg(
-        F.sum(F.col("__is_a").cast("int")).cast("long").alias("n_a"),
-        F.sum((~F.col("__is_a")).cast("int")).cast("long").alias("n_b"),
-        F.sum(F.when(F.col("__is_a"), F.col("__rk")).otherwise(0.0)).alias("__ra"),
+        F.sum(F.when(F.col("__is_a"), F.col("__cj")).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(~F.col("__is_a"), F.col("__cj")).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(
+            F.when(F.col("__is_a"), F.col("__cj") * F.col("__rk")).otherwise(0.0)
+        ).alias("__ra"),
     )
     na = F.col("n_a").cast("double")
     nb = F.col("n_b").cast("double")
@@ -717,20 +761,25 @@ def dunn_posthoc(
     base = df.filter(
         v.isNotNull() & ~F.isnan(v) & F.col(treatment_col).isNotNull()
     ).select(F.col(treatment_col).alias("__j"), v.alias("__x"))
-    ranked = base.join(
+    # ONE corpus scan total (optimization r12, second pass — the spearman
+    # cell algebra): per-(treatment, value) cells; ranks derive from the
+    # cells, and every per-treatment sum weights the cell's rank by its
+    # count. R̄_j = Σ(c·rk)/Σc equals the row-level mean exactly (both
+    # divide the same exact dyadic numerator by the same integer).
+    cells = base.groupBy("__j", "__x").agg(
+        F.count(F.lit(1)).alias("__cj")
+    ).localCheckpoint(eager=max_distinct is None)
+    ranked = cells.join(
         _avg_rank_table(
-            base, [], "__x", "__rk", max_distinct, "dunn_posthoc", count_out="__t"
+            cells, [], "__x", "__rk", max_distinct, "dunn_posthoc",
+            count_out="__t", weight_col="__cj",
         ),
         ["__x"],
     )
-    # per-treatment aggregate also carries the tie term (Σ_rows(t²−1) =
-    # Σ_values(t³−t), exact integers); N and the tie total then roll up
-    # from the k-row per_j table instead of a separate corpus re-scan
-    # (optimization r12, second pass)
     per_j = ranked.groupBy("__j").agg(
-        F.count(F.lit(1)).cast("long").alias("__nj"),
-        F.avg("__rk").alias("__rbar"),
-        F.sum(F.col("__t") * F.col("__t") - 1).alias("__tiej"),
+        F.sum("__cj").cast("long").alias("__nj"),
+        (F.sum(F.col("__cj") * F.col("__rk")) / F.sum("__cj")).alias("__rbar"),
+        F.sum(F.col("__cj") * (F.col("__t") * F.col("__t") - 1)).alias("__tiej"),
     ).localCheckpoint()  # k rows; feeds a, b AND the totals — one corpus
     # pass instead of three (the old code re-scanned the corpus for each
     # pair side and once more for the tie aggregate)

@@ -1252,10 +1252,13 @@ def sparse_cosine_topk(
     )
     # materialized once (optimization r12): the df table, the weight
     # projection (consumed by norms AND wn), all otherwise re-run the
-    # tokenize + explode + (doc, term) aggregate per consumer
+    # tokenize + explode + (doc, term) aggregate per consumer. EAGER
+    # (second pass): those consumers are concurrent branches of one job
+    # (tf joins dfreq, which itself derives from tf), so a lazy cache lets
+    # them race and recompute the aggregate before it fills.
     tf = tok.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("tf")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     n_docs = df.select(id_col).distinct().count()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if max_df is not None:
@@ -1279,7 +1282,8 @@ def sparse_cosine_topk(
         .filter(F.col("__r") <= top_terms)
         .drop("__r")
         # ≤ top_terms rows/doc, feeds both sides of the posting self-join
-        .localCheckpoint(eager=False)
+        # (eager — the join sides are concurrent branches of one job)
+        .localCheckpoint()
     )
     a = trunc.select(F.col(id_col).alias("query_id"), "term", F.col("wn").alias("wa"))
     b = trunc.select(F.col(id_col).alias("match_id"), "term", F.col("wn").alias("wb"))
@@ -2006,12 +2010,14 @@ def rake_keywords(
             F.expr("transform(array_sort(collect_list(struct(__pos, __w))), x -> x.__w)"),
         ).alias("phrase"),
         F.count(F.lit(1)).alias("n_words"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     # ^ materialized once (optimization r12): the word-stats aggregate and
     # the scoring explode would otherwise each re-run the posexplode +
     # per-doc window + phrase-rebuild pipeline; the checkpoint also pins
     # the plan-dependent monotonically_increasing_id doc keys (the
-    # bleu2_corpus precedent).
+    # bleu2_corpus precedent). EAGER (second pass): the scoring join
+    # consumes the phrase table on BOTH sides (directly and via the word
+    # stats) in one job — a lazy cache lets the branches race.
     # word stats over phrase occurrences: freq = count, deg = Σ |phrase|
     words = phrases.select(
         "n_words", F.explode(F.split("phrase", " ")).alias("__w")

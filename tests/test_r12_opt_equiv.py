@@ -299,3 +299,88 @@ def test_cooccurrence_recs_shared_incidence(spark):
     assert got[(2, 1)] == (2, s12, 1)
     assert got[(3, 2)] == (1, s23, 1)
     assert got[(2, 3)] == (1, s23, 2)
+
+
+def test_rank_test_cell_algebra_matches_row_level(spark):
+    """kruskal_wallis / wilcoxon_signed_rank / cliffs_delta / dunn_posthoc
+    collapsed their row-level rank join-back into cell-count-weighted sums
+    over a per-(key, value) aggregate (second pass). All the sums' terms
+    are exact dyadic rationals, so the statistics must be BIT-identical to
+    pure-Python row-level references on a tie-heavy fixture."""
+    import random
+
+    from stackstac_spark.operators.nonparam import (
+        cliffs_delta,
+        dunn_posthoc,
+        kruskal_wallis,
+        wilcoxon_signed_rank,
+    )
+
+    rng = random.Random(11)
+    vals = [round(rng.gauss(0, 1), 1) for _ in range(300)]  # heavy ties
+    treat = [rng.choice("abc") for _ in range(300)]
+    df = spark.createDataFrame(
+        list(zip(treat, vals)), "event_type string, x double"
+    )
+
+    # kruskal: tie-corrected H from row-level ranks
+    rk = _avg_ranks(vals)
+    n = len(vals)
+    ssr = 0.0
+    for t in "abc":
+        idx = [i for i in range(n) if treat[i] == t]
+        rsum = sum(rk[i] for i in idx)
+        ssr += rsum * rsum / len(idx)
+    h = 12.0 / (n * (n + 1)) * ssr - 3 * (n + 1)
+    tie = 0
+    for v in set(vals):
+        t_sz = vals.count(v)
+        tie += t_sz**3 - t_sz
+    h_ref = round(h / (1 - tie / (n**3 - n)), 6)
+    got = kruskal_wallis(df, "x", "event_type").collect()[0]
+    assert got["h_stat"] == h_ref
+
+    # dunn: mean ranks per treatment, z per pair
+    rows = {(r["treat_a"], r["treat_b"]): r for r in dunn_posthoc(df, "x", "event_type").collect()}
+    assert set(rows) == {("a", "b"), ("a", "c"), ("b", "c")}
+    for (ta, tb), r in rows.items():
+        ia = [i for i in range(n) if treat[i] == ta]
+        ib = [i for i in range(n) if treat[i] == tb]
+        ra = sum(rk[i] for i in ia) / len(ia)
+        rb = sum(rk[i] for i in ib) / len(ib)
+        assert r["mean_rank_a"] == round(ra, 6)
+        assert r["mean_rank_b"] == round(rb, 6)
+        var = (n * (n + 1) / 12.0 - tie / (12.0 * (n - 1))) * (
+            1.0 / len(ia) + 1.0 / len(ib)
+        )
+        assert r["z"] == round((ra - rb) / math.sqrt(var), 6)
+
+    # wilcoxon: signed rank sums over nonzero |d| with ties
+    a = [round(rng.gauss(0, 1), 1) for _ in range(200)]
+    b = [round(x + rng.gauss(0.1, 0.5), 1) for x in a]
+    d = [x - y for x, y in zip(a, b) if x != y]
+    ark = _avg_ranks([abs(x) for x in d])
+    wp = round(sum(r for r, x in zip(ark, d) if x > 0), 6)
+    wm = round(sum(r for r, x in zip(ark, d) if x < 0), 6)
+    dfp = spark.createDataFrame(list(zip(a, b)), "pre double, post double")
+    got = wilcoxon_signed_rank(dfp, "pre", "post").collect()[0]
+    assert got["n"] == len(d)
+    assert got["w_plus"] == wp and got["w_minus"] == wm
+
+    # cliffs: brute-force pair comparison
+    side = ["click" if i % 3 else "view" for i in range(120)]
+    xs = [round(rng.gauss(1.0 if s == "click" else 0.0, 1), 1) for s in side]
+    xa = [x for s, x in zip(side, xs) if s == "click"]
+    xb = [x for s, x in zip(side, xs) if s == "view"]
+    gt = sum(1 for p in xa for q in xb if p > q)
+    lt = sum(1 for p in xa for q in xb if p < q)
+    delta_ref = round((gt - lt) / (len(xa) * len(xb)), 6)
+    dfc = spark.createDataFrame(list(zip(side, xs)), "side string, x double")
+    got = cliffs_delta(dfc, "x", "side", "click", "view").collect()[0]
+    assert (got["n_a"], got["n_b"]) == (len(xa), len(xb))
+    assert got["delta"] == delta_ref
+
+    # degenerate: every pair ties -> n = 0 (not NULL), z NULL
+    dfe = spark.createDataFrame([(1.0, 1.0), (2.0, 2.0)], "pre double, post double")
+    got = wilcoxon_signed_rank(dfe, "pre", "post").collect()[0]
+    assert got["n"] == 0 and got["z"] is None
