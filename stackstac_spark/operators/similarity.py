@@ -34,32 +34,242 @@ def _norm(a: str):
     return F.sqrt(F.expr(f"aggregate({a}, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"))
 
 
+# Bounded-side rows above this are never collected: the dense-sims Arrow
+# route stays strictly a physical strategy for the "one side is small"
+# contract the JVM path already assumes (broadcast / bounded-slice).
+_DENSE_COLLECT_THRESHOLD = 100_000
+
+
+def _fold_norms(mat):
+    """L2 norms with the JVM fold's exact operation order: one add per
+    dimension, left to right (``aggregate(v, 0D, (a, x) -> a + x * x)``),
+    so the result is bit-identical to ``_norm`` on the same doubles."""
+    n = np.zeros(len(mat), dtype=np.float64)
+    for k in range(mat.shape[1]):
+        n += mat[:, k] * mat[:, k]
+    return np.sqrt(n)
+
+
+def _collect_bounded_matrix(side: DataFrame, pass_cols: list, vec_col: str, threshold: int):
+    """``take(threshold + 1)`` the bounded side once (one job — the same
+    action doubles as the routing decision and the data). Returns
+    ``(pass_values, matrix)`` or None when the side is over the threshold,
+    empty, or not a dense fixed-dimension double/float matrix (null vector,
+    null element, ragged lengths) — callers then keep the JVM pair path,
+    whose null semantics stay authoritative for such inputs."""
+    rows = side.select(*pass_cols, vec_col).take(threshold + 1)
+    if not rows or len(rows) > threshold:
+        return None
+    nv = len(pass_cols)
+    vecs = [r[nv] for r in rows]
+    d = len(vecs[0]) if vecs[0] is not None else 0
+    if d == 0:
+        return None
+    for v in vecs:
+        if v is None or len(v) != d or any(x is None for x in v):
+            return None
+    mat = np.array(vecs, dtype=np.float64)
+    if mat.shape != (len(rows), d):
+        return None
+    vals = [[r[i] for r in rows] for i in range(nv)]
+    return vals, mat
+
+
+def _dense_sims(
+    big: DataFrame,
+    big_cols: list,
+    big_vec: str,
+    small: DataFrame,
+    small_cols: list,
+    small_vec: str,
+    sim_name: str = "sim",
+    threshold: int = _DENSE_COLLECT_THRESHOLD,
+) -> DataFrame | None:
+    """Raw cosine sims of every (big, small) pair with the small side
+    collected+broadcast and the per-pair arithmetic done in NumPy inside one
+    ``mapInArrow`` pass over the big side → columns ``[*big_cols,
+    *small_cols, sim_name]`` (sim UNROUNDED), or None when the small side
+    isn't routable (over ``threshold``, empty, or not dense fixed-d).
+
+    This is a physical rewrite of ``big.crossJoin(broadcast(small))`` +
+    the ``aggregate``/``zip_with`` fold (guide §4.2: HOF lambdas are
+    interpreted per element — measured ~12x slower than handing whole Arrow
+    batches to NumPy at the bench shapes). Bit-identical by construction:
+    the kernel folds dimension-by-dimension in the same left-to-right order
+    (IEEE doubles on both sides, no FMA fusion in either), norms use the
+    same fold, and the division is ``dot / (norm_big * norm_small)`` exactly
+    as the JVM expression — pinned by tests/test_r12_opt_equiv.py against
+    the JVM path row-for-row. Big-side rows that are not dense fixed-d
+    (null vector, null element, ragged) emit NULL sims, matching the JVM
+    fold's null propagation.
+    """
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    got = _collect_bounded_matrix(small, small_cols, small_vec, threshold)
+    if got is None:
+        return None
+    small_vals, smat = got
+    snorm = _fold_norms(smat)
+    m, d = smat.shape
+
+    big_proj = big.select(*big_cols, F.col(big_vec).alias("__vec"))
+    big_schema = big_proj.schema
+    small_schema = small.select(*small_cols).schema
+    try:
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        small_arrays = [
+            pa.array(small_vals[i], type=to_arrow_type(small_schema[i].dataType))
+            for i in range(len(small_cols))
+        ]
+    except Exception:
+        return None
+
+    out_schema = T.StructType(
+        [big_schema[i] for i in range(len(big_cols))]
+        + list(small_schema)
+        + [T.StructField(sim_name, T.DoubleType(), True)]
+    )
+
+    sc = big.sparkSession.sparkContext
+    bc = sc.broadcast((smat, snorm))
+    n_big = len(big_cols)
+    # bound the per-chunk sim block (chunk_rows x m doubles) to ~32 MB
+    max_cells = 4_000_000
+
+    def kernel(batches):
+        import pyarrow.compute as pc
+
+        smat, snorm = bc.value
+        m, d = smat.shape
+        tnorm = snorm[None, :]
+        for batch in batches:
+            nb = batch.num_rows
+            if nb == 0:
+                continue
+            vec = batch.column(n_big)
+            if isinstance(vec, pa.ChunkedArray):
+                vec = vec.combine_chunks()
+            offs = vec.offsets.to_numpy()
+            lengths = np.diff(offs)
+            elem = vec.values
+            # dense fast path: fixed-d, no nulls anywhere
+            dense = (
+                vec.null_count == 0
+                and elem.null_count == 0
+                and bool(np.all(lengths == d))
+            )
+            if dense:
+                flat = elem.to_numpy(zero_copy_only=False).astype(
+                    np.float64, copy=False
+                )
+                sv = flat[offs[0] : offs[-1]].reshape(nb, d)
+                null_rows = None
+            else:
+                # JVM null semantics: any non-dense row gets sim NULL
+                sv = np.zeros((nb, d), dtype=np.float64)
+                null_rows = np.zeros(nb, dtype=bool)
+                py = vec.to_pylist()
+                for i, v in enumerate(py):
+                    if v is None or len(v) != d or any(x is None for x in v):
+                        null_rows[i] = True
+                    else:
+                        sv[i] = v
+            chunk = max(1, max_cells // max(m, 1))
+            for c0 in range(0, nb, chunk):
+                sb = sv[c0 : c0 + chunk]
+                cb = len(sb)
+                acc = np.zeros((cb, m), dtype=np.float64)
+                bn = np.zeros(cb, dtype=np.float64)
+                for k in range(d):  # the JVM fold's exact order
+                    acc += sb[:, k : k + 1] * smat[None, :, k]
+                    bn += sb[:, k] * sb[:, k]
+                denom = np.sqrt(bn)[:, None] * tnorm
+                live = (
+                    np.ones(cb, dtype=bool)
+                    if null_rows is None
+                    else ~null_rows[c0 : c0 + cb]
+                )
+                if np.any((denom == 0.0) & live[:, None]):
+                    # ANSI mode (Spark 4 default): the JVM division raises
+                    # on a zero divisor — a zero-norm vector must fail the
+                    # same way here, not silently become NaN
+                    raise ArithmeticError(
+                        "[DIVIDE_BY_ZERO] zero-norm vector in dense-sims "
+                        "cosine (matches the JVM path's ANSI division error)"
+                    )
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = acc / denom
+                sim_arr = pa.array(sims.ravel())
+                if null_rows is not None and null_rows[c0 : c0 + cb].any():
+                    mask = pa.array(np.repeat(null_rows[c0 : c0 + cb], m))
+                    sim_arr = pc.if_else(mask, pa.scalar(None, pa.float64()), sim_arr)
+                rep = pa.array(np.repeat(np.arange(c0, c0 + cb, dtype=np.int64), m))
+                til_idx = np.tile(np.arange(m, dtype=np.int64), cb)
+                yield pa.RecordBatch.from_arrays(
+                    [batch.column(i).take(rep) for i in range(n_big)]
+                    + [arr.take(pa.array(til_idx)) for arr in small_arrays]
+                    + [sim_arr],
+                    names=[f.name for f in out_schema],
+                )
+
+    return big_proj.mapInArrow(kernel, out_schema)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dense_collect_threshold: int = _DENSE_COLLECT_THRESHOLD,
 ) -> DataFrame:
-    """Exact top-k: (query_id, neighbor_id, sim, rank). Queries broadcast."""
-    # norms once per ROW before the join — computing them inside the
-    # pair-level select would redo the O(d) fold once per (query, corpus)
-    # pair, tripling the dominant stage's arithmetic
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).withColumn("__qn", _norm("qv"))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    ).withColumn("__cn", _norm("cv"))
-    sims = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (_dot("qv", "cv") / (F.col("__qn") * F.col("__cn"))).alias("sim"),
-        )
+    """Exact top-k: (query_id, neighbor_id, sim, rank). Queries broadcast.
+
+    Physical routing (optimization r12): when the query side is a bounded
+    dense matrix it is collected once and the sims come from the NumPy
+    ``mapInArrow`` kernel (:func:`_dense_sims` — bit-identical fold, ~12x
+    less per-pair cost than the interpreted HOF lambdas); otherwise the
+    original broadcast-join + JVM fold runs. ``dense_collect_threshold=0``
+    forces the JVM path (tests pin the two paths' row-for-row agreement)."""
+    # sim = dot / (qn * cn), qv/cv cast to double element-wise exactly as
+    # _dot/_norm do — pre-casting the arrays is fold-order-equivalent
+    qd = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("qv"),
     )
+    cd = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("cv"),
+    )
+    routed = _dense_sims(
+        cd, ["neighbor_id"], "cv", qd, ["query_id"], "qv",
+        threshold=dense_collect_threshold,
+    )
+    if routed is not None:
+        sims = routed.filter(F.col("neighbor_id") != F.col("query_id")).select(
+            "query_id", "neighbor_id", "sim"
+        )
+    else:
+        # norms once per ROW before the join — computing them inside the
+        # pair-level select would redo the O(d) fold once per (query, corpus)
+        # pair, tripling the dominant stage's arithmetic
+        q = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ).withColumn("__qn", _norm("qv"))
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        ).withColumn("__cn", _norm("cv"))
+        sims = (
+            c.crossJoin(F.broadcast(q))
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                (_dot("qv", "cv") / (F.col("__qn") * F.col("__cn"))).alias("sim"),
+            )
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -1311,6 +1521,7 @@ def bitext_margin_pairs(
     vec_col: str = "embedding",
     sim_round: int = 6,
     candidates: DataFrame | None = None,
+    dense_collect_threshold: int = _DENSE_COLLECT_THRESHOLD,
 ) -> DataFrame:
     """Margin-based bitext mining (Artetxe & Schwenk 2019, the LASER /
     CCMatrix pairing rule): score every cross-lingual pair by
@@ -1351,7 +1562,23 @@ def bitext_margin_pairs(
         sim_round,
     ).alias("sim")
     if candidates is None:
-        sims = s.crossJoin(t).select("src_id", "tgt_id", sim_expr)
+        # full-matrix path: when the tgt side is a bounded dense matrix
+        # (the documented bounded-slice contract of this exact path), the
+        # sims come from the NumPy mapInArrow kernel — same fold order,
+        # bit-identical, ~12x less per-pair cost than the interpreted HOF
+        # lambdas (optimization r12; _dense_sims docstring has the
+        # equivalence argument). Otherwise the original cross join runs.
+        routed = _dense_sims(
+            s.select("src_id", "sv"), ["src_id"], "sv",
+            t.select("tgt_id", "tv"), ["tgt_id"], "tv",
+            threshold=dense_collect_threshold,
+        )
+        if routed is not None:
+            sims = routed.select(
+                "src_id", "tgt_id", F.round(F.col("sim"), sim_round).alias("sim")
+            )
+        else:
+            sims = s.crossJoin(t).select("src_id", "tgt_id", sim_expr)
     else:
         cand = candidates.select("src_id", "tgt_id").distinct()
         sims = cand.join(s, "src_id").join(t, "tgt_id").select(
@@ -1431,6 +1658,7 @@ def knn_classify(
     vec_col: str = "embedding",
     label_col: str = "label",
     sim_round: int = 6,
+    dense_collect_threshold: int = _DENSE_COLLECT_THRESHOLD,
 ) -> DataFrame:
     """k-nearest-neighbor classification of ``test`` vectors against a
     labeled ``train`` corpus → (id, label, pred, correct) — the standard
@@ -1454,17 +1682,30 @@ def knn_classify(
         F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("qv"),
         F.col(label_col).alias("label"),
     ).withColumn("qn", F.sqrt(F.expr("aggregate(qv, 0D, (a, x) -> a + x * x)")))
-    sims = t.crossJoin(F.broadcast(q)).select(
-        "id",
-        "label",
-        "tid",
-        "tlabel",
-        F.round(
-            F.expr("aggregate(zip_with(tv, qv, (x, y) -> x * y), 0D, (a, z) -> a + z)")
-            / (F.col("tn") * F.col("qn")),
-            sim_round,
-        ).alias("sim"),
+    # bounded test side -> NumPy mapInArrow sims (bit-identical fold; see
+    # _dense_sims) instead of the broadcast join + interpreted HOF lambdas
+    routed = _dense_sims(
+        t.select("tid", "tlabel", "tv"), ["tid", "tlabel"], "tv",
+        q.select("id", "label", "qv"), ["id", "label"], "qv",
+        threshold=dense_collect_threshold,
     )
+    if routed is not None:
+        sims = routed.select(
+            "id", "label", "tid", "tlabel",
+            F.round(F.col("sim"), sim_round).alias("sim"),
+        )
+    else:
+        sims = t.crossJoin(F.broadcast(q)).select(
+            "id",
+            "label",
+            "tid",
+            "tlabel",
+            F.round(
+                F.expr("aggregate(zip_with(tv, qv, (x, y) -> x * y), 0D, (a, z) -> a + z)")
+                / (F.col("tn") * F.col("qn")),
+                sim_round,
+            ).alias("sim"),
+        )
     w_nn = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("tid"))
     nn = sims.withColumn("__r", F.row_number().over(w_nn)).filter(F.col("__r") <= k)
     votes = nn.groupBy("id", "label", "tlabel").agg(F.count(F.lit(1)).alias("v"))

@@ -384,3 +384,86 @@ def test_rank_test_cell_algebra_matches_row_level(spark):
     dfe = spark.createDataFrame([(1.0, 1.0), (2.0, 2.0)], "pre double, post double")
     got = wilcoxon_signed_rank(dfe, "pre", "post").collect()[0]
     assert got["n"] == 0 and got["z"] is None
+
+
+def test_dense_sims_arrow_route_matches_jvm_fold(spark):
+    """The collected-side mapInArrow cosine kernel (similarity._dense_sims)
+    must be BIT-identical to the crossJoin + aggregate/zip_with fold it
+    replaces — same per-dimension operation order, same null propagation,
+    same ANSI zero-divisor failure. dense_collect_threshold=0 forces the
+    original JVM path; the two runs must agree row for row (unrounded sims
+    included, so any fold-order drift fails loudly)."""
+    from pyspark.sql import functions as F
+
+    from stackstac_spark.operators.similarity import (
+        bitext_margin_pairs,
+        cosine_topk,
+        knn_classify,
+    )
+
+    base = spark.range(120).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 5).alias("label"),
+        F.expr(
+            "transform(sequence(0, 11), k -> "
+            "CAST(sin(CAST(id * 12 + k AS DOUBLE)) AS FLOAT))"
+        ).alias("embedding"),
+    )
+    # adversarial small-side rows: null vector, ragged length, null element
+    edge = spark.sql(
+        """
+        SELECT vec_id, label,
+               CASE kind
+                 WHEN 0 THEN CAST(NULL AS ARRAY<FLOAT>)
+                 WHEN 1 THEN CAST(array(1.0, 2.0) AS ARRAY<FLOAT>)
+                 ELSE transform(sequence(0, 11),
+                                k -> CAST(IF(k = 3, NULL, 0.5) AS FLOAT))
+               END AS embedding
+        FROM VALUES (1000L, 0L, 0), (1001L, 1L, 1), (1002L, 2L, 2)
+          AS t(vec_id, label, kind)
+        """
+    )
+    corpus = base.unionAll(edge).localCheckpoint()
+    queries = base.filter(F.col("vec_id") % 10 == 0).localCheckpoint()
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    # cosine_topk: unrounded sims cross the comparison -> bit-exactness
+    assert rows(cosine_topk(corpus, queries, k=5)) == rows(
+        cosine_topk(corpus, queries, k=5, dense_collect_threshold=0)
+    )
+    # non-dense SMALL side -> silent fallback to the JVM path, same rows
+    oddq = corpus.filter(F.col("vec_id") >= 995)
+    assert rows(cosine_topk(base, oddq, k=3)) == rows(
+        cosine_topk(base, oddq, k=3, dense_collect_threshold=0)
+    )
+    # bitext margin rule end to end (rounded sims, window sums, mutual argmax)
+    src = base.filter(F.col("label") % 2 == 0)
+    tgt = base.filter(F.col("label") % 2 == 1)
+    assert rows(bitext_margin_pairs(src, tgt, knn=3, threshold=1.0)) == rows(
+        bitext_margin_pairs(src, tgt, knn=3, threshold=1.0, dense_collect_threshold=0)
+    )
+    # empty small side -> fallback, empty output on both paths
+    empty = tgt.filter("vec_id < 0")
+    assert (
+        bitext_margin_pairs(src, empty, knn=3, threshold=1.0).count()
+        == bitext_margin_pairs(
+            src, empty, knn=3, threshold=1.0, dense_collect_threshold=0
+        ).count()
+        == 0
+    )
+    # knn_classify carries pass-through columns through the kernel
+    assert rows(knn_classify(corpus, queries, k=5)) == rows(
+        knn_classify(corpus, queries, k=5, dense_collect_threshold=0)
+    )
+    # ANSI parity: a zero-norm vector fails BOTH paths (JVM raises
+    # DIVIDE_BY_ZERO; the kernel raises its mirrored ArithmeticError)
+    zero = spark.sql(
+        "SELECT 1003L AS vec_id, 3L AS label, "
+        "transform(sequence(0, 11), k -> CAST(0.0 AS FLOAT)) AS embedding"
+    )
+    c2 = base.unionAll(zero)
+    for thr in (100_000, 0):
+        with pytest.raises(Exception):
+            cosine_topk(c2, queries, k=3, dense_collect_threshold=thr).collect()
