@@ -1745,7 +1745,15 @@ def centroid_classify(
         F.col(label_col).alias("tlabel"),
         F.posexplode(F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))")),
     ).select("tlabel", F.col("pos").alias("dim"), F.col("col").alias("v"))
-    cent = tl.groupBy("tlabel", "dim").agg(F.round(F.avg("v"), sim_round).alias("c"))
+    # the centroid table (labels × dims — bounded, tiny at any scale) is
+    # consumed by TWO broadcast builds (the scoring join and the norm
+    # join); without a checkpoint each build re-runs the train explode +
+    # aggregate. Eager: broadcast builds race as driver-side jobs.
+    cent = (
+        tl.groupBy("tlabel", "dim")
+        .agg(F.round(F.avg("v"), sim_round).alias("c"))
+        .localCheckpoint()
+    )
     cnorm = cent.groupBy("tlabel").agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cn"))
     ql = test.select(
         F.col(id_col).alias("id"),

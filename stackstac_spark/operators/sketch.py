@@ -507,26 +507,44 @@ def ddsketch_quantiles(
 
     if not 0.0 < alpha < 1.0:
         raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    from ..session import local_df
+
     gamma = (1.0 + alpha) / (1.0 - alpha)
     lng = math.log(gamma)
     vals = df.select(F.col(value_col).cast("double").alias("x")).filter(F.col("x") > 0)
-    n = vals.count()
     buckets = (
         vals.select(
             F.ceil(F.round(F.log("x") / F.lit(lng), 9)).cast("long").alias("b")
         )
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("c"))
+        # the bucket table (≤ ~2.3k rows for a 10¹⁰ range) is consumed by
+        # the N total AND the cumulative window — concurrent branches of
+        # one job, so eager: lazy would let the branches race and run the
+        # corpus scan twice (previously N came from a separate vals.count()
+        # job, a full second pass over the data).
+        .localCheckpoint()
+    )
+    # N = Σ bucket counts — exactly the positive-value count the sketch
+    # covers; deriving it from the materialized bucket table keeps the
+    # whole operator at ONE corpus scan. rank = floor(q·(N−1)) + 1 in
+    # double arithmetic, identical to the former driver-side math.floor.
+    total = buckets.agg(F.sum("c").alias("__n"))
+    qdf = local_df(df.sparkSession, [(float(q),) for q in qs], "q DOUBLE")
+    ranked = qdf.crossJoin(F.broadcast(total)).select(
+        "q",
+        (
+            F.floor(F.col("q") * (F.col("__n") - F.lit(1)).cast("double")) + F.lit(1)
+        ).cast("long").alias("rank"),
+        "__n",
     )
     w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
     cum = buckets.withColumn("cum", F.sum("c").over(w))
-    q_rows = [(float(q), int(math.floor(q * (n - 1))) + 1) for q in qs]
-    qdf = df.sparkSession.createDataFrame(q_rows, "q DOUBLE, rank BIGINT")
     hit = (
         cum.withColumn("__k", F.lit(1))
-        .join(F.broadcast(qdf.withColumn("__k", F.lit(1))), "__k")
+        .join(F.broadcast(ranked.withColumn("__k", F.lit(1))), "__k")
         .filter(F.col("cum") >= F.col("rank"))
-        .groupBy("q", "rank")
+        .groupBy("q", "rank", "__n")
         .agg(F.min("b").alias("bucket"))
     )
     est = F.round(
@@ -534,7 +552,7 @@ def ddsketch_quantiles(
         round_to,
     )
     return hit.select(
-        "q", "rank", "bucket", est.alias("est"), F.lit(n).cast("long").alias("n")
+        "q", "rank", "bucket", est.alias("est"), F.col("__n").cast("long").alias("n")
     ).orderBy("q")
 
 
