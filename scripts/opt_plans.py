@@ -29,7 +29,7 @@ def main() -> None:
     spark = get_spark("opt-plans")
     spark.sparkContext.setLogLevel("ERROR")
     qs = e.queries()
-    outdir = "/root/repo/plans/r12"
+    outdir = os.environ.get("SPARK_GRAFT_PLANS_DIR", "/root/repo/plans/r13")
     os.makedirs(outdir, exist_ok=True)
     for name in names:
         if name not in qs:
