@@ -233,6 +233,7 @@ def label_propagation(
     return labels.select("node", F.col("label").alias("community"))
 
 
+_INT_TYPES = ("bigint", "int", "smallint", "tinyint")
 def triangle_count(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -304,6 +305,11 @@ def triangle_count(
     # precedes the probe stage, so evaluation is effectively sequential)
     if und.count() <= broadcast_threshold:
         # edge-iterator: out-neighbor lists in orientation order, broadcast
+        # (optimization r13 note: a NumPy mapInArrow intersection kernel was
+        # built and A/B-measured against this path at the bench shape —
+        # JVM 6.3-7.8s vs kernel 11.8-15s warm, clean probes; the binary-
+        # search membership probe is cache-miss-bound where the JVM hash
+        # intersect streams. Kept the JVM expression; see OPTIMIZATION_r13.md)
         adj = oriented.groupBy("src").agg(
             F.expr("transform(sort_array(collect_list(dst)), s -> s.n)").alias(
                 "nbrs"
@@ -648,6 +654,188 @@ def clustering_coefficient(
     )
 
 
+_WEDGE_COLLECT_THRESHOLD = 200_000
+_WEDGE_PAIR_CAP = 20_000_000
+
+
+def _wedge_kernel_route(
+    und: DataFrame,
+    max_degree: int | None,
+    mode: str,
+    round_to: int,
+    id_a: str,
+    id_b: str,
+    threshold: int = _WEDGE_COLLECT_THRESHOLD,
+) -> DataFrame | None:
+    """Bounded-graph NumPy route shared by :func:`adamic_adar` and
+    :func:`neighbor_jaccard` (optimization r13, guide §4.2 — the
+    ``_dense_sims`` precedent): collect the canonical edge list once (one
+    ``limit(threshold+1)`` job — the same action is the routing decision
+    AND the data), build the symmetric adjacency CSR + degree table +
+    sorted edge keys on the driver, and score every wedge pair in a
+    ``mapInArrow`` kernel over ``spark.range(n_centers)``. Each task
+    pre-aggregates its pairs with one ``np.unique`` + ``bincount`` and
+    drops ADJACENT pairs against the broadcast edge keys, so the plan
+    collapses from [sym union → deg agg → two-sided wedge self-join →
+    groupBy → 2 degree-decoration joins → left-anti join] to
+    [Range → MapInArrow → one groupBy]. Common-neighbor counts and
+    degrees are integers (bit-identical scores for ``jaccard``); the AA
+    weight sum is a float reduction whose operand order the JVM partial
+    aggregate never pinned either — both paths agree through
+    ``round(round_to)``, pinned by the dual-path test and the oracle.
+
+    Returns None (callers keep the distributed wedge join) when ids are
+    not integers / nulls appear, the edge list exceeds ``threshold``, no
+    center survives the degree guards, or Σ d·(d−1)/2 over surviving
+    centers exceeds the pair cap (hub-heavy graph: the shuffled join's
+    spill robustness wins at that volume).
+    """
+    node_dt = und.schema[0].dataType
+    if node_dt.simpleString() not in _INT_TYPES:
+        return None
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    try:
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        node_at = to_arrow_type(node_dt)
+    except Exception:
+        return None
+    pdf = und.limit(threshold + 1).toPandas()
+    if len(pdf) == 0 or len(pdf) > threshold:
+        return None
+    a = pdf.iloc[:, 0].to_numpy()
+    b = pdf.iloc[:, 1].to_numpy()
+    if not (np.issubdtype(a.dtype, np.integer) and np.issubdtype(b.dtype, np.integer)):
+        return None
+    both = np.concatenate([a, b])
+    # NOT unique(return_inverse=True): that path is pathologically slow on
+    # this NumPy (measured 9.3 s on 2.4M int64 vs 0.5 s for the
+    # unique + searchsorted pair, which is exactly equivalent)
+    nodes = np.unique(both)
+    inv = np.searchsorted(nodes, both)
+    ai = inv[: len(a)].astype(np.int64)
+    bi = inv[len(a) :].astype(np.int64)
+    n = int(len(nodes))
+    ctr = np.concatenate([ai, bi])
+    nbr = np.concatenate([bi, ai])
+    deg = np.bincount(ctr, minlength=n).astype(np.int64)
+    cmask = deg >= 2
+    if max_degree is not None:
+        cmask &= deg <= int(max_degree)
+    centers = np.flatnonzero(cmask)
+    if len(centers) == 0:
+        return None  # distributed path emits the empty frame + exact schema
+    cd = deg[centers].astype(np.float64)
+    if float((cd * (cd - 1)).sum() / 2.0) > _WEDGE_PAIR_CAP:
+        return None
+    order = np.argsort(ctr, kind="stable")
+    nbrs = nbr[order]
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(deg, out=indptr[1:])
+    # und is canonical (a < b in id space); node factorization is order-
+    # preserving, so the keys below are canonical in index space too
+    ekeys = np.sort(ai * n + bi)
+    spark = und.sparkSession
+    bc = spark.sparkContext.broadcast((indptr, nbrs, deg, ekeys, nodes, centers))
+
+    is_aa = mode == "aa"
+    fields = [T.StructField("u", node_dt), T.StructField("v", node_dt)]
+    if is_aa:
+        fields.append(T.StructField("w", T.DoubleType()))
+    else:
+        fields += [
+            T.StructField("c", T.LongType()),
+            T.StructField("du", T.LongType()),
+            T.StructField("dv", T.LongType()),
+        ]
+    out_schema = T.StructType(fields)
+
+    def kernel(batches):
+        indptr, nbrs, deg, ekeys, nodes, centers = bc.value
+        n = len(nodes)
+        ne = len(ekeys)
+        triu_cache: dict = {}
+        key_chunks: list = []
+        w_chunks: list = []
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            for ci in centers[ids]:
+                s, e = indptr[ci], indptr[ci + 1]
+                m = int(e - s)
+                if m < 2:
+                    continue
+                idx = np.sort(nbrs[s:e])
+                rc = triu_cache.get(m)
+                if rc is None:
+                    rc = np.triu_indices(m, k=1)
+                    triu_cache[m] = rc
+                keys = idx[rc[0]] * n + idx[rc[1]]
+                key_chunks.append(keys)
+                if is_aa:
+                    w_chunks.append(np.full(len(keys), 1.0 / np.log(float(deg[ci]))))
+        if not key_chunks:
+            return
+        keys = np.concatenate(key_chunks)
+        uk = np.unique(keys)  # see the return_inverse note above
+        kinv = np.searchsorted(uk, keys)
+        if is_aa:
+            agg = np.bincount(kinv, weights=np.concatenate(w_chunks))
+        else:
+            agg = np.bincount(kinv).astype(np.int64)
+        # drop pairs that are existing edges (the left-anti join, in-kernel)
+        loc = np.minimum(np.searchsorted(ekeys, uk), ne - 1)
+        keep = ekeys[loc] != uk
+        uk, agg = uk[keep], agg[keep]
+        if len(uk) == 0:
+            return
+        pu = (uk // n).astype(np.int64)
+        pv = (uk % n).astype(np.int64)
+        cols = [
+            pa.array(nodes[pu], type=node_at),
+            pa.array(nodes[pv], type=node_at),
+        ]
+        if is_aa:
+            cols.append(pa.array(agg, type=pa.float64()))
+        else:
+            cols += [
+                pa.array(agg, type=pa.int64()),
+                pa.array(deg[pu], type=pa.int64()),
+                pa.array(deg[pv], type=pa.int64()),
+            ]
+        yield pa.RecordBatch.from_arrays(cols, names=[f.name for f in fields])
+
+    par = spark.sparkContext.defaultParallelism
+    base = spark.range(len(centers), numPartitions=min(par, len(centers)))
+    part = base.mapInArrow(kernel, out_schema)
+    if is_aa:
+        return (
+            part.groupBy("u", "v")
+            .agg(F.round(F.sum("w"), round_to).alias("aa"))
+            .select(F.col("u").alias(id_a), F.col("v").alias(id_b), "aa")
+        )
+    return (
+        part.groupBy("u", "v")
+        .agg(
+            F.sum("c").alias("n_common"),
+            F.max("du").alias("du"),
+            F.max("dv").alias("dv"),
+        )
+        .select(
+            F.col("u").alias(id_a),
+            F.col("v").alias(id_b),
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("du") + F.col("dv") - F.col("n_common")).cast("double"),
+                round_to,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def neighbor_jaccard(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -672,11 +860,18 @@ def neighbor_jaccard(
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).filter(
         F.col("a") != F.col("b")
     )
+    # lazy checkpoint: the kernel route's limit-collect is the materializing
+    # action when it fires; the distributed fallback materializes explicitly
+    # below before its racing consumers (optimization r13)
     und = (
         e.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
+    route = _wedge_kernel_route(und, max_degree, "jaccard", round_to, id_a, id_b)
+    if route is not None:
+        return route
+    und.count()
     sym = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
     # deg feeds the hub filter and BOTH per-endpoint decoration joins;
     # centers feeds both wedge sides. EAGER materialization (optimization
@@ -881,11 +1076,18 @@ def adamic_adar(
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).filter(
         F.col("a") != F.col("b")
     )
+    # lazy checkpoint: the kernel route's limit-collect is the materializing
+    # action when it fires; the distributed fallback materializes explicitly
+    # below before its racing consumers (optimization r13)
     und = (
         e.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
+    route = _wedge_kernel_route(und, max_degree, "aa", round_to, id_a, id_b)
+    if route is not None:
+        return route
+    und.count()
     sym = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
     centers = sym.select(F.col("b").alias("w"), F.col("a").alias("n")).join(
