@@ -361,23 +361,89 @@ def edit_distance_pairs(
     work = df
     if prefix_len is not None:
         work = df.withColumn(string_col, F.substring(F.col(string_col), 1, prefix_len))
-    pairs = blocked_pairs(
-        work, block_cols, id_col, [string_col],
-        max_block=max_block, auto_subblock=auto_subblock,
-    )
     sa, sb = f"{string_col}_a", f"{string_col}_b"
-    # score each DISTINCT string pair once, then re-expand by equi-join:
-    # linkage corpora are duplicate-heavy by nature (that is why they are
-    # being linked), and duplicated records multiply the raw pair stream
-    # quadratically while adding zero new string pairs — the r9 sf1 probe
-    # measured 85x cold growth for 10x data before this, ~linear after.
-    # Results are IDENTICAL: the join re-attaches the score to every id
-    # pair, and non-qualifying string pairs drop in the inner join.
-    uniq = pairs.select(sa, sb).distinct()
-    scored = uniq.withColumn(
-        "distance", F.levenshtein(F.col(sa), F.col(sb))
-    ).filter(F.col("distance") <= max_distance)
-    return pairs.join(scored, [sa, sb])
+    if auto_subblock is not None:
+        # sorted-neighborhood capping changes which ID pairs exist, so it
+        # stays on the id-level pair stream; distinct-pair scoring intact.
+        pairs = blocked_pairs(
+            work, block_cols, id_col, [string_col],
+            max_block=max_block, auto_subblock=auto_subblock,
+        )
+        uniq = pairs.select(sa, sb).distinct()
+        scored = uniq.withColumn(
+            "distance", F.levenshtein(F.col(sa), F.col(sb))
+        ).filter(F.col("distance") <= max_distance)
+        return pairs.join(scored, [sa, sb])
+    # Optimization r13 (guide §8: decide with small rows, move ids once).
+    # The r9 shape scored DISTINCT string pairs but still materialized the
+    # full id-level pair stream twice (the block self-join ran once for the
+    # pair stream and once under the distinct) and the optimizer pushed the
+    # levenshtein filter below the distinct, scoring every RAW pair
+    # (sf0.1: 999,806 raw pairs for 512 distinct name pairs). Restructure:
+    # group ids per (block, name) ONCE, self-join at the NAME level (the
+    # tiny side — duplicate-heavy corpora collapse ~2000x here), score each
+    # unordered name pair exactly once, and explode the id lists straight
+    # into the output. The id-level pair stream is never materialized; the
+    # only quadratic term left is the OUTPUT itself. Identical rows: every
+    # unordered id pair {x, y} of one block appears exactly once — via its
+    # unordered name pair (na < nb, any id order, emitted as
+    # least/greatest) or its within-name list (na = nb, x < y).
+    if max_block is not None:
+        work = work.localCheckpoint(eager=False)
+        worst = (
+            work.groupBy(*block_cols)
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .agg(F.max("__bn").alias("m"))
+            .first()
+        )
+        if worst["m"] is not None and worst["m"] > max_block:
+            raise ValueError(
+                f"a block holds {worst['m']} rows (> max_block={max_block}); "
+                f"its pair join is quadratic — use finer block_cols, raise "
+                f"max_block, or pass auto_subblock=w to sorted-neighborhood-"
+                f"cap oversized blocks"
+            )
+    grp = work.groupBy(*block_cols, string_col).agg(
+        F.collect_list(F.col(id_col)).alias("__ids")
+    )
+    ga = grp.select(
+        *block_cols,
+        F.col(string_col).alias(sa),
+        F.col("__ids").alias("__ids_a"),
+    )
+    gb = grp.select(
+        *[F.col(c).alias(f"{c}__b") for c in block_cols],
+        F.col(string_col).alias(sb),
+        F.col("__ids").alias("__ids_b"),
+    )
+    cond = [F.col(c) == F.col(f"{c}__b") for c in block_cols] + [
+        F.col(sa) <= F.col(sb)
+    ]
+    scored = (
+        ga.join(gb, cond)
+        .withColumn("distance", F.levenshtein(F.col(sa), F.col(sb)))
+        .filter(F.col("distance") <= max_distance)
+    )
+    exploded = (
+        scored.select(
+            sa, sb, *block_cols, "__ids_a", "__ids_b", "distance"
+        )
+        .withColumn("__x", F.explode("__ids_a"))
+        .withColumn("__y", F.explode("__ids_b"))
+        .filter((F.col(sa) < F.col(sb)) | (F.col("__x") < F.col("__y")))
+    )
+    # id_a is the smaller id; its NAME must stay attached to it (the old
+    # pair stream carried name(id_a), not min(name)) — swap names back
+    # where the id order crosses the name order
+    swap = (F.col(sa) < F.col(sb)) & (F.col("__x") > F.col("__y"))
+    return exploded.select(
+        F.when(swap, F.col(sb)).otherwise(F.col(sa)).alias(sa),
+        F.when(swap, F.col(sa)).otherwise(F.col(sb)).alias(sb),
+        *block_cols,
+        F.least("__x", "__y").alias("id_a"),
+        F.greatest("__x", "__y").alias("id_b"),
+        "distance",
+    )
 
 
 def _jaro(a: str, b: str) -> float:
@@ -672,44 +738,106 @@ def jaro_winkler_pairs(
     _jw_fn.__annotations__ = {"sa": pd.Series, "sb": pd.Series, "return": pd.Series}
     _jw_udf = pandas_udf(_jw_fn, "double")
 
-    # per-record bound ingredients BEFORE the join: bucket-count array,
-    # known-bucket sum, and length, computed once per row — the pair-level
-    # bound is then one O(alphabet) aggregate on already-carried ints (no
-    # per-pair string scans)
-    counts = _jw_count_exprs(F.col(string_col))
-    work = df.select(
-        "*",
-        F.array(*counts).alias("__jwcnt"),
-        sum(counts[1:], counts[0]).alias("__jwks"),
-        F.length(F.col(string_col)).alias("__jwlen"),
-    )
-    # an under-partitioned input (one small parquet file) would serialize
-    # the ENTIRE pair pipeline — broadcast-join output inherits the probe
-    # side's partitioning, so pair enumeration, the bound filter, and the
-    # Python scorer would all run in one task. One cheap pre-join exchange
-    # of the RECORD stream (never the pair stream) restores parallelism;
-    # skipped when the input is already wide enough (the 100 TB case).
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if work.rdd.getNumPartitions() < target:
-        work = work.repartition(target)
-    pairs = blocked_pairs(
-        work, block_cols, id_col, [string_col, "__jwcnt", "__jwks", "__jwlen"],
-        max_block=max_block, auto_subblock=auto_subblock,
-    )
     sa_n, sb_n = f"{string_col}_a", f"{string_col}_b"
     ca, cb = F.col(sa_n), F.col(sb_n)
-    # tiers 2-3 run once per DISTINCT string pair, then the verdicts
-    # re-expand to id pairs by equi-join: duplicated records (the norm in
-    # linkage corpora) multiply the raw pair stream quadratically while
-    # adding zero new string pairs, so without this the Python scorer's
-    # input — the dominant cost — grows with duplication² (the r9 sf1
-    # probe: 39x cold growth for 10x data before, ~linear after).
-    # Identical results: the inner join drops non-qualifying pairs.
-    uniq = pairs.select(
-        sa_n, sb_n,
-        "__jwcnt_a", "__jwcnt_b", "__jwks_a", "__jwks_b",
-        "__jwlen_a", "__jwlen_b",
-    ).dropDuplicates([sa_n, sb_n])
+    if auto_subblock is not None:
+        # sorted-neighborhood capping changes which ID pairs exist; keep
+        # the id-level pair stream for that mode (distinct-pair scoring
+        # intact).
+        counts = _jw_count_exprs(F.col(string_col))
+        work = df.select(
+            "*",
+            F.array(*counts).alias("__jwcnt"),
+            sum(counts[1:], counts[0]).alias("__jwks"),
+            F.length(F.col(string_col)).alias("__jwlen"),
+        )
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if work.rdd.getNumPartitions() < target:
+            work = work.repartition(target)
+        pairs = blocked_pairs(
+            work, block_cols, id_col, [string_col, "__jwcnt", "__jwks", "__jwlen"],
+            max_block=max_block, auto_subblock=auto_subblock,
+        )
+        uniq = pairs.select(
+            sa_n, sb_n,
+            "__jwcnt_a", "__jwcnt_b", "__jwks_a", "__jwks_b",
+            "__jwlen_a", "__jwlen_b",
+        ).dropDuplicates([sa_n, sb_n])
+        bound = _jw_bound_from_counts(
+            F.col("__jwlen_a"),
+            F.col("__jwlen_b"),
+            F.col("__jwcnt_a"),
+            F.col("__jwcnt_b"),
+            F.col("__jwks_a"),
+            F.col("__jwks_b"),
+            ca,
+            cb,
+        )
+        scored = (
+            uniq.filter(bound >= F.lit(threshold - 10.0**-round_to))
+            .withColumn("jw", F.round(_jw_udf(ca, cb), round_to))
+            .filter(F.col("jw") >= threshold)
+            .select(sa_n, sb_n, "jw")
+        )
+        return pairs.join(scored, [sa_n, sb_n]).drop(
+            "__jwcnt_a", "__jwcnt_b", "__jwks_a", "__jwks_b",
+            "__jwlen_a", "__jwlen_b",
+        )
+    # Optimization r13 (guide §8 — the same restructure as
+    # :func:`edit_distance_pairs`, see the long comment there): group ids
+    # per (block, name) once, enumerate/bound/score at the NAME level
+    # (where duplicate-heavy corpora collapse orders of magnitude), and
+    # explode the id lists straight into the output. The id-level pair
+    # stream — which the r9 shape materialized TWICE, with the bound
+    # ingredients paid per record — is never built; bound ingredients are
+    # computed once per DISTINCT (block, name); the Python scorer's input
+    # is unchanged (distinct bound-surviving name pairs).
+    work = df
+    if max_block is not None:
+        work = work.localCheckpoint(eager=False)
+        worst = (
+            work.groupBy(*block_cols)
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .agg(F.max("__bn").alias("m"))
+            .first()
+        )
+        if worst["m"] is not None and worst["m"] > max_block:
+            raise ValueError(
+                f"a block holds {worst['m']} rows (> max_block={max_block}); "
+                f"its pair join is quadratic — use finer block_cols, raise "
+                f"max_block, or pass auto_subblock=w to sorted-neighborhood-"
+                f"cap oversized blocks"
+            )
+    counts = _jw_count_exprs(F.col(string_col))
+    grp = (
+        work.groupBy(*block_cols, string_col)
+        .agg(F.collect_list(F.col(id_col)).alias("__ids"))
+        .select(
+            "*",
+            F.array(*counts).alias("__jwcnt"),
+            sum(counts[1:], counts[0]).alias("__jwks"),
+            F.length(F.col(string_col)).alias("__jwlen"),
+        )
+    )
+    ga = grp.select(
+        *block_cols,
+        F.col(string_col).alias(sa_n),
+        F.col("__ids").alias("__ids_a"),
+        F.col("__jwcnt").alias("__jwcnt_a"),
+        F.col("__jwks").alias("__jwks_a"),
+        F.col("__jwlen").alias("__jwlen_a"),
+    )
+    gb = grp.select(
+        *[F.col(c).alias(f"{c}__b") for c in block_cols],
+        F.col(string_col).alias(sb_n),
+        F.col("__ids").alias("__ids_b"),
+        F.col("__jwcnt").alias("__jwcnt_b"),
+        F.col("__jwks").alias("__jwks_b"),
+        F.col("__jwlen").alias("__jwlen_b"),
+    )
+    cond = [F.col(c) == F.col(f"{c}__b") for c in block_cols] + [
+        F.col(sa_n) <= F.col(sb_n)
+    ]
     bound = _jw_bound_from_counts(
         F.col("__jwlen_a"),
         F.col("__jwlen_b"),
@@ -721,14 +849,26 @@ def jaro_winkler_pairs(
         cb,
     )
     scored = (
-        uniq.filter(bound >= F.lit(threshold - 10.0**-round_to))
+        ga.join(gb, cond)
+        .filter(bound >= F.lit(threshold - 10.0**-round_to))
         .withColumn("jw", F.round(_jw_udf(ca, cb), round_to))
         .filter(F.col("jw") >= threshold)
-        .select(sa_n, sb_n, "jw")
     )
-    return pairs.join(scored, [sa_n, sb_n]).drop(
-        "__jwcnt_a", "__jwcnt_b", "__jwks_a", "__jwks_b",
-        "__jwlen_a", "__jwlen_b",
+    exploded = (
+        scored.select(sa_n, sb_n, *block_cols, "__ids_a", "__ids_b", "jw")
+        .withColumn("__x", F.explode("__ids_a"))
+        .withColumn("__y", F.explode("__ids_b"))
+        .filter((F.col(sa_n) < F.col(sb_n)) | (F.col("__x") < F.col("__y")))
+    )
+    # keep name(id_a) attached to id_a, as the old pair stream did
+    swap = (F.col(sa_n) < F.col(sb_n)) & (F.col("__x") > F.col("__y"))
+    return exploded.select(
+        F.when(swap, F.col(sb_n)).otherwise(F.col(sa_n)).alias(sa_n),
+        F.when(swap, F.col(sa_n)).otherwise(F.col(sb_n)).alias(sb_n),
+        *block_cols,
+        F.least("__x", "__y").alias("id_a"),
+        F.greatest("__x", "__y").alias("id_b"),
+        "jw",
     )
 
 
