@@ -75,6 +75,42 @@ _WINNOW_FP_CACHE: dict = {}
 _LSH_CAND_CACHE: dict = {}
 
 
+def reset_session_caches() -> None:
+    """Drop every per-(session, sf) memoized build artifact (optimization
+    r13 — the r12 verdict's ``_*_CACHE`` ruling). ``bench.py`` calls this
+    between queries, OUTSIDE the timed region, so no graded query rides an
+    artifact built by an EARLIER query: each affected query's first rep
+    now pays its own cold build (surfaced in BENCH_DETAIL's
+    ``first_call_s``), while the graded median stays the warm steady-state
+    (reps 2-3 share the build within one query). Cached DataFrames are
+    unpersisted; checkpointed blocks are swept by the caller's RDD-level
+    unpersist pass right after.
+
+    Covers every module-level ``*_CACHE`` dict by naming convention, so a
+    future cache cannot silently escape the ruling. ``_GATE_TMPDIR`` is
+    NOT a result cache (deterministic fixture FILES, i.e. input data) and
+    is deliberately kept.
+    """
+    g = globals()
+    for name, cache in list(g.items()):
+        if not (name.endswith("_CACHE") and isinstance(cache, dict)):
+            continue
+        for val in cache.values():
+            stack = [val]
+            while stack:
+                x = stack.pop()
+                if isinstance(x, (tuple, list)):
+                    stack.extend(x)
+                else:
+                    up = getattr(x, "unpersist", None)
+                    if callable(up):
+                        try:
+                            up()
+                        except Exception:
+                            pass
+        cache.clear()
+
+
 def _lsh_candidates(spark, sf):
     """minhash_lsh_candidates(docs, 4, 2), persisted per (session, sf) —
     the near-dup candidate graph consumed by pagerank AND label
@@ -8326,7 +8362,12 @@ def q_prepare_inference(spark, sf):
         assets_df,
         assets="image/tiff",  # mimetype matcher drops the json asset
         bounds=(499903.0, 3999302.0, 500747.0, 4000057.0),
-        persist=False,
+        # persist: the asset table is read twice per call (the guard/agg
+        # pass and the returned projection); without the cache the
+        # reprojection UDFs and the item window run twice (optimization
+        # r13 — bench.py unpersists between queries, so caches no longer
+        # accumulate across the suite)
+        persist=True,
     )
     spec = p.spec
     h, w = spec.shape

@@ -17,6 +17,14 @@ planning + execution.
 Methodology note (r4): rounds 1-3 published a single pass, so r4 totals read
 slightly lower for unchanged queries purely because the median of warm
 repeats strips one-time scan/JIT warmup; the spread makes that visible.
+
+Methodology note (r13): between queries — outside the timed region — the
+harness now clears the per-(session, sf) artifact caches and unpersists all
+cached/checkpointed blocks. Medians are computed exactly as before (each
+query's reps 2-3 still share artifacts built by its OWN first rep), but no
+query rides an artifact built by an EARLIER query anymore, and storage no
+longer accumulates across the 376-query session; per-query cold build cost
+is surfaced in first_call_s. See OPTIMIZATION_r13.md for the full ruling.
 """
 
 from __future__ import annotations
@@ -188,6 +196,31 @@ def main() -> None:
             f" x{runs} ({n} rows)",
             file=sys.stderr,
         )
+        # Post-query cleanup, OUTSIDE the timed region (optimization r13;
+        # disclosed in OPTIMIZATION_r13.md — the r12 verdict's _*_CACHE
+        # ruling and checkpoint-lifecycle item):
+        # 1) clear the per-(session, sf) artifact caches so no graded query
+        #    rides an artifact built by an EARLIER query — each affected
+        #    query's first rep pays its own cold build (reported in
+        #    first_call_s); medians stay warm (reps 2-3 reuse within the
+        #    query), so graded numbers remain methodology-comparable;
+        # 2) drop CacheManager entries, then unpersist every remaining
+        #    persisted/localCheckpoint-ed RDD block, so a 376-query session
+        #    no longer accumulates storage faster than the GC-driven
+        #    ContextCleaner reclaims it (the r12 storage-pressure symptom).
+        try:
+            e.reset_session_caches()
+        except Exception:
+            pass
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
+        try:
+            for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                jrdd.unpersist()
+        except Exception:
+            pass
 
     # BASELINE.md's only directly comparable number: lazy stack()
     # construction for 13 items x 17 bands of 10980^2 px (reference: 117 ms

@@ -99,19 +99,7 @@ def select_asset_ids(
     if isinstance(assets, (list, tuple)):
         return list(assets)
     if isinstance(assets, str):  # mimetype filter
-        mt = Mimetype.from_str(assets)
-        # universal quantifier: asset id kept iff its type matches on EVERY
-        # item carrying it (prepare.py:86-120); untyped assets drop. The
-        # match itself runs driver-side over the DISTINCT (asset_id, type)
-        # pairs — a native dedup job with no Python-worker round trip; the
-        # distinct set is metadata-plane (band ids × mime-string variants),
-        # tiny at any corpus scale.
-        pairs = assets_df.select("asset_id", "type").distinct().collect()
-        by_id: dict[str, bool] = {}
-        for r in pairs:
-            ok = mt.matches(r.type) if r.type is not None else False
-            by_id[r.asset_id] = by_id.get(r.asset_id, True) and ok
-        return sorted(aid for aid, ok in by_id.items() if ok)
+        return _select_by_mimetype(assets_df, assets)[0]
     # default: asset ids of the item with the most assets, order-preserving
     # (prepare.py:83-85)
     row = (
@@ -122,6 +110,72 @@ def select_asset_ids(
         .collect()
     )
     return list(dict.fromkeys(row[0].ids)) if row else []
+
+
+def _select_by_mimetype(
+    assets_df: DataFrame, assets: str, items_df: DataFrame | None = None
+) -> tuple[list[str], set | None]:
+    """Mimetype selection, optionally fused with CRS-code collection.
+
+    Universal quantifier: asset id kept iff its type matches on EVERY item
+    carrying it (reference prepare.py:86-120); untyped assets drop. The
+    match runs driver-side over the DISTINCT (asset_id, type) pairs — a
+    native dedup job, metadata-plane tiny at any corpus scale.
+
+    Optimization r13 (one driver round-trip instead of two): when
+    ``items_df`` is given, the SAME distinct job also carries each pair's
+    effective EPSG (asset ``proj:epsg`` with item-level fallback —
+    reference prepare.py:146-149), so the caller's distinct-CRS check
+    (prepare.py:187-206) needs no second job; the codes for the SELECTED
+    ids are filtered out of the collected pairs driver-side. Returns
+    (selected_ids, epsg_codes_or_None).
+    """
+    mt = Mimetype.from_str(assets)
+    if items_df is not None:
+        # LEFT join: the selection quantifier sees EVERY asset row (as the
+        # unfused path does), while the codes filter below keeps only rows
+        # whose item exists — matching the downstream asset⋈item INNER join
+        # that defines the CRS-check population
+        pairs = (
+            assets_df.join(
+                F.broadcast(
+                    items_df.select(
+                        "item_id",
+                        F.col("proj_epsg").alias("__i_epsg"),
+                        F.lit(True).alias("__has_item"),
+                    )
+                ),
+                "item_id",
+                "left",
+            )
+            .select(
+                "asset_id",
+                "type",
+                F.coalesce("proj_epsg", "__i_epsg").alias("__eff_epsg"),
+                "__has_item",
+            )
+            .distinct()
+            .collect()
+        )
+    else:
+        pairs = assets_df.select("asset_id", "type").distinct().collect()
+    by_id: dict[str, bool] = {}
+    for r in pairs:
+        ok = mt.matches(r.type) if r.type is not None else False
+        by_id[r.asset_id] = by_id.get(r.asset_id, True) and ok
+    selected = sorted(aid for aid, ok in by_id.items() if ok)
+    codes = None
+    if items_df is not None:
+        keep = set(selected)
+        # Row.__getattr__ refuses dunder names — use item access
+        codes = {
+            r["__eff_epsg"]
+            for r in pairs
+            if r.asset_id in keep
+            and r["__has_item"]
+            and r["__eff_epsg"] is not None
+        }
+    return selected, codes
 
 
 # --- reprojection UDF --------------------------------------------------------
@@ -244,8 +298,14 @@ def prepare(
         w = Window.orderBy("item_id")
     items_idx = items_df.withColumn("item_idx", F.row_number().over(w) - 1)
 
-    # 2. asset-id selection
-    asset_ids = select_asset_ids(items_df, assets_df, assets)
+    # 2. asset-id selection (mimetype selection with epsg=None fuses the
+    #    distinct-CRS collection into the same metadata job — optimization
+    #    r13, one driver round-trip instead of two)
+    fused_codes: set | None = None
+    if isinstance(assets, str) and epsg is None:
+        asset_ids, fused_codes = _select_by_mimetype(assets_df, assets, items_df)
+    else:
+        asset_ids = select_asset_ids(items_df, assets_df, assets)
     if not asset_ids:
         raise ValueError("No assets selected")
     if isinstance(assets, (list, tuple)):
@@ -303,11 +363,14 @@ def prepare(
 
     # 3. output CRS (prepare.py:187-206)
     if epsg is None:
-        codes = [
-            r.asset_epsg
-            for r in at.select("asset_epsg").distinct().collect()
-        ]
-        codes = [c for c in codes if c is not None]
+        if fused_codes is not None:
+            codes = sorted(fused_codes)
+        else:
+            codes = [
+                r.asset_epsg
+                for r in at.select("asset_epsg").distinct().collect()
+            ]
+            codes = [c for c in codes if c is not None]
         if len(set(codes)) != 1:
             raise ValueError(
                 f"Cannot pick a common CRS: assets have EPSG codes {sorted(set(codes))}; "
